@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+reads each query's Spark parquet output, runs the corresponding oracle
+SQL in DuckDB over the same testdata parquet tables, and compares
+(columns sorted by name, rows sorted, exact value compare with a tiny
+float tolerance report).
+
+Usage: python3 scripts/verify_local.py /root/testdata/sf0.01 /tmp/graft_verify
+"""
+import json, math, sys, glob, os
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return v
+
+
+def rows_of(cols_names, cols_values):
+    rows = [tuple(norm(c[i]) for c in cols_values) for i in range(len(cols_values[0]) if cols_values else 0)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def compare(name, spark_dir, con, sql):
+    files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+    if not files:
+        return f"{name}: MISSING spark output"
+    t = pq.read_table(files[0])
+    s_names = sorted(t.column_names)
+    s_cols = [t.column(n).to_pylist() for n in s_names]
+    try:
+        res = con.execute(sql)
+        d_names_raw = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+    except Exception as e:
+        return f"{name}: ORACLE ERROR {e}"
+    d_order = sorted(range(len(d_names_raw)), key=lambda i: d_names_raw[i])
+    d_names = [d_names_raw[i] for i in d_order]
+    if s_names != d_names:
+        return f"{name}: SCHEMA MISMATCH spark={s_names} duck={d_names}"
+    d_cols = [[r[i] for r in d_rows] for i in d_order]
+    if (s_cols and len(s_cols[0])) != len(d_rows):
+        return f"{name}: ROWCOUNT spark={len(s_cols[0]) if s_cols else 0} duck={len(d_rows)}"
+    sr = rows_of(s_names, s_cols)
+    dr = rows_of(d_names, d_cols)
+    n_exact = n_close = n_diff = 0
+    first_diff = None
+    for a, b in zip(sr, dr):
+        for x, y in zip(a, b):
+            if x == y or (x is None and y is None):
+                n_exact += 1
+            elif isinstance(x, float) and isinstance(y, float) and (
+                    (math.isnan(x) and math.isnan(y)) or math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)):
+                n_close += 1
+            else:
+                n_diff += 1
+                if first_diff is None:
+                    first_diff = (a, b)
+    if n_diff:
+        return f"{name}: VALUE DIFF exact={n_exact} close={n_close} diff={n_diff} first={first_diff}"
+    if n_close:
+        return f"{name}: CLOSE-ONLY (fp drift, would FAIL exact hash) exact={n_exact} close={n_close}"
+    return f"{name}: OK ({len(dr)} rows)"
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    ok = 0
+    for name, sql in sorted(oracle.items()):
+        msg = compare(name, os.path.join(out_dir, name), con, sql)
+        print(msg)
+        ok += msg.endswith("rows)") and ": OK" in msg
+    print(f"\n{ok}/{len(oracle)} OK")
+
+
+if __name__ == "__main__":
+    main()

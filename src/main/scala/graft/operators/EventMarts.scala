@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's mart layer re-expressed as single-pass Spark
+  * aggregations over the `events` table.
+  *
+  * Reference: /root/reference/sql/marts/mart_user_daily.sql,
+  * mart_funnel_daily.sql, mart_product_daily.sql, mart_orders.sql and
+  * /root/reference/scripts/spark_batch_processor.py:127-265.
+  *
+  * Testdata mapping (SURVEY.md §3): event_type ∈ {view, click, purchase,
+  * signup, error}; `value` plays order amount; `props` ('{"k": N}') plays
+  * the JSONB extra_data (product id); `user_id % 3` plays the platform
+  * dimension ("segment").
+  *
+  * Scale notes: each mart is ONE shuffle (groupBy on its grain) with
+  * map-side partial aggregation; at 100 TB the events table would be
+  * date-partitioned and the `event_date` filter would prune partitions —
+  * the grouping keys here (user/day, day/segment, product/day) are
+  * exactly the reference's mart grains, so DELETE+INSERT idempotent
+  * backfills translate to `.write.partitionBy("event_date")` overwrite
+  * of the touched partitions (dynamic partition overwrite).
+  */
+object EventMarts {
+
+  private def dsum(c: Column) = sum(c.cast("decimal(12,2)")).cast("double")
+
+  /** Events with derived columns shared by every mart. */
+  def enriched(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("event_date", col("ts").cast("date"))
+      .withColumn("event_epoch", unix_timestamp(col("ts")))
+      .withColumn("segment", (col("user_id") % 3).cast("int"))
+      .withColumn("product_k",
+        get_json_object(col("props"), "$.k").cast("int"))
+
+  /** Per user/day behavioral summary.
+    * Reference: sql/marts/mart_user_daily.sql (session_count is covered
+    * by Sessionize — the testdata has no session_id column). */
+  def martUserDaily(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .groupBy(col("user_id"), col("event_date"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        count(when(col("event_type") === "view", 1)).as("view_count"),
+        count(when(col("event_type") === "click", 1)).as("click_count"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase_count"),
+        count(when(col("event_type") === "signup", 1)).as("signup_count"),
+        count(when(col("event_type") === "error", 1)).as("error_count"),
+        coalesce(dsum(when(col("event_type") === "purchase", col("value"))), lit(0.0))
+          .as("total_purchase_amount"),
+        min(col("event_epoch")).as("first_event_epoch"),
+        max(col("event_epoch")).as("last_event_epoch"),
+        (max(col("event_epoch")) - min(col("event_epoch"))).as("active_seconds"))
+      .orderBy("user_id", "event_date")
+
+  val martUserDailySql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS event_date,
+      |  COUNT(*) AS event_count,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_count,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS total_purchase_amount,
+      |  MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS first_event_epoch,
+      |  MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS last_event_epoch,
+      |  MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) - MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS active_seconds
+      |FROM events
+      |GROUP BY user_id, CAST(ts AS DATE)
+      |ORDER BY user_id, event_date""".stripMargin
+
+  /** Per day/segment conversion funnel (view → click → purchase).
+    * Reference: sql/marts/mart_funnel_daily.sql and
+    * spark_batch_processor.compute_funnel_conversion. */
+  def martFunnelDaily(spark: SparkSession, dir: String): DataFrame = {
+    def ustep(t: String) = countDistinct(when(col("event_type") === t, col("user_id")))
+    def rate(a: Column, b: Column) =
+      a.cast("double") / nullif(b, lit(0)).cast("double") * lit(100)
+    enriched(spark, dir)
+      .groupBy(col("event_date"), col("segment"))
+      .agg(
+        ustep("view").as("step1_viewers"),
+        ustep("click").as("step2_clickers"),
+        ustep("purchase").as("step3_purchasers"),
+        countDistinct(when(col("event_type") === "signup", col("user_id"))).as("signup_users"))
+      .withColumn("view_to_click_rate", rate(col("step2_clickers"), col("step1_viewers")))
+      .withColumn("click_to_purchase_rate", rate(col("step3_purchasers"), col("step2_clickers")))
+      .withColumn("overall_conversion_rate", rate(col("step3_purchasers"), col("step1_viewers")))
+      .orderBy("event_date", "segment")
+  }
+
+  val martFunnelDailySql: String =
+    """SELECT event_date, segment, step1_viewers, step2_clickers, step3_purchasers, signup_users,
+      |  CAST(step2_clickers AS DOUBLE) / CAST(NULLIF(step1_viewers, 0) AS DOUBLE) * 100 AS view_to_click_rate,
+      |  CAST(step3_purchasers AS DOUBLE) / CAST(NULLIF(step2_clickers, 0) AS DOUBLE) * 100 AS click_to_purchase_rate,
+      |  CAST(step3_purchasers AS DOUBLE) / CAST(NULLIF(step1_viewers, 0) AS DOUBLE) * 100 AS overall_conversion_rate
+      |FROM (
+      |  SELECT CAST(ts AS DATE) AS event_date, CAST(user_id % 3 AS INT) AS segment,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS step1_viewers,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS step2_clickers,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS step3_purchasers,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup_users
+      |  FROM events
+      |  GROUP BY CAST(ts AS DATE), CAST(user_id % 3 AS INT)
+      |) t ORDER BY event_date, segment""".stripMargin
+
+  /** Per product/day behavior, product id parsed once from the JSON
+    * props column (reference unnests JSONB extra_data —
+    * sql/marts/mart_product_daily.sql). */
+  def martProductDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = enriched(spark, dir).filter(col("product_k").isNotNull)
+    e.groupBy(col("product_k"), col("event_date"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("click_count"),
+        count(when(col("event_type") === "view", 1)).as("view_count"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase_count"),
+        coalesce(dsum(when(col("event_type") === "purchase", col("value"))), lit(0.0)).as("revenue"),
+        countDistinct(when(col("event_type") === "click", col("user_id"))).as("unique_clickers"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("unique_buyers"))
+      .withColumn("conversion_rate",
+        col("unique_buyers").cast("double") / nullif(col("unique_clickers"), lit(0)).cast("double") * lit(100))
+      .orderBy("product_k", "event_date")
+  }
+
+  val martProductDailySql: String =
+    """SELECT product_k, event_date, click_count, view_count, purchase_count, revenue,
+      |  unique_clickers, unique_buyers,
+      |  CAST(unique_buyers AS DOUBLE) / CAST(NULLIF(unique_clickers, 0) AS DOUBLE) * 100 AS conversion_rate
+      |FROM (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS product_k, CAST(ts AS DATE) AS event_date,
+      |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+      |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS revenue,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS unique_clickers,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS unique_buyers
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |  GROUP BY 1, 2
+      |) t ORDER BY product_k, event_date""".stripMargin
+
+  /** Order-grain detail (reference: sql/marts/mart_orders.sql —
+    * purchase events with JSON field extraction + derived categorical). */
+  def martOrders(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("order_id"),
+        col("user_id"),
+        col("event_date").as("order_date"),
+        col("event_epoch").as("order_epoch"),
+        col("value").as("total_amount"),
+        col("product_k"),
+        when(col("value") < 50, "low").when(col("value") < 200, "mid").otherwise("high")
+          .as("amount_bucket"))
+      .orderBy("order_id")
+
+  val martOrdersSql: String =
+    """SELECT event_id AS order_id, user_id, CAST(ts AS DATE) AS order_date,
+      |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS order_epoch,
+      |  value AS total_amount,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS product_k,
+      |  CASE WHEN value < 50 THEN 'low' WHEN value < 200 THEN 'mid' ELSE 'high' END AS amount_bucket
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY order_id""".stripMargin
+
+  /** Hourly traffic distribution.
+    * Reference: spark_batch_processor.compute_hourly_traffic. */
+  def hourlyTraffic(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .groupBy(col("event_date"), hour(col("ts")).cast("int").as("event_hour"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("unique_users"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase_count"),
+        coalesce(dsum(when(col("event_type") === "purchase", col("value"))), lit(0.0)).as("revenue"))
+      .orderBy("event_date", "event_hour")
+
+  val hourlyTrafficSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, CAST(HOUR(ts) AS INT) AS event_hour,
+      |  COUNT(*) AS event_count,
+      |  COUNT(DISTINCT user_id) AS unique_users,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS revenue
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_date, event_hour""".stripMargin
+
+  /** Product conversion top-N by revenue (deterministic product_k
+    * tiebreak). Reference: spark_batch_processor.compute_product_conversion. */
+  def productTopN(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    martProductDaily(spark, dir)
+      .groupBy(col("product_k"))
+      .agg(
+        sum(col("click_count")).as("clicks"),
+        sum(col("purchase_count")).as("purchases"),
+        sum(col("revenue").cast("decimal(14,2)")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("product_k"))
+      .limit(topN)
+
+  val productTopNSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS product_k,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS revenue
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY revenue DESC, product_k ASC
+      |LIMIT 20""".stripMargin
+
+  /** Daily-report user summary (reference: llm_daily_report.py:225-255,
+    * aggregate over the user mart). */
+  def reportUserSummary(spark: SparkSession, dir: String): DataFrame =
+    martUserDaily(spark, dir)
+      .agg(
+        countDistinct(col("user_id")).as("active_users"),
+        sum(col("event_count")).as("total_events"),
+        sum(col("view_count")).as("total_views"),
+        sum(col("click_count")).as("total_clicks"),
+        sum(col("purchase_count")).as("total_purchases"),
+        sum(col("total_purchase_amount").cast("decimal(14,2)")).cast("double").as("total_revenue"),
+        count(when(col("purchase_count") > 0, 1)).as("purchasing_user_days"))
+
+  val reportUserSummarySql: String =
+    """SELECT COUNT(DISTINCT user_id) AS active_users,
+      |  SUM(event_count) AS total_events, SUM(view_count) AS total_views,
+      |  SUM(click_count) AS total_clicks, SUM(purchase_count) AS total_purchases,
+      |  CAST(SUM(CAST(total_purchase_amount AS DECIMAL(14,2))) AS DOUBLE) AS total_revenue,
+      |  COUNT(CASE WHEN purchase_count > 0 THEN 1 END) AS purchasing_user_days
+      |FROM (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    COUNT(*) AS event_count,
+      |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+      |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+      |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS total_purchase_amount
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+      |) t""".stripMargin
+
+  /** Payment-method distribution (reference: llm_daily_report.py:339-358;
+    * method derived deterministically from the JSON product id). */
+  def reportPaymentDist(spark: SparkSession, dir: String): DataFrame = {
+    val methods = array(lit("credit_card"), lit("bank_transfer"), lit("kakao_pay"), lit("naver_pay"), lit("toss_pay"))
+    enriched(spark, dir)
+      .filter(col("event_type") === "purchase" && col("product_k").isNotNull)
+      .withColumn("payment_method", element_at(methods, (col("product_k") % 5) + 1))
+      .groupBy(col("payment_method"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        dsum(col("value")).as("total_amount"))
+      .orderBy(desc("total_amount"), asc("payment_method"))
+  }
+
+  val reportPaymentDistSql: String =
+    """SELECT (['credit_card','bank_transfer','kakao_pay','naver_pay','toss_pay'])[CAST(json_extract_string(props, '$.k') AS INT) % 5 + 1] AS payment_method,
+      |  COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_amount
+      |FROM events
+      |WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY total_amount DESC, payment_method ASC""".stripMargin
+
+  /** D1 retention cohort: users grouped by first-seen day; retained =
+    * came back the next day. Two shuffles (user grain → cohort grain). */
+  def retentionDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = enriched(spark, dir).select("user_id", "event_date")
+    val firstDay = e.groupBy("user_id").agg(min("event_date").as("cohort_date")).as("f")
+    val activity = e.distinct().as("a")
+    firstDay
+      .join(activity,
+        col("a.user_id") === col("f.user_id") &&
+          col("a.event_date") === date_add(col("f.cohort_date"), 1), "left")
+      .groupBy(col("f.cohort_date").as("cohort_date"))
+      .agg(
+        count(col("f.user_id")).as("cohort_size"),
+        count(col("a.user_id")).as("retained_d1"))
+      .withColumn("retention_rate",
+        col("retained_d1").cast("double") / nullif(col("cohort_size"), lit(0)).cast("double") * lit(100))
+      .orderBy("cohort_date")
+  }
+
+  val retentionDailySql: String =
+    """WITH first_day AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+      |), activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date FROM events
+      |)
+      |SELECT cohort_date,
+      |  COUNT(f.user_id) AS cohort_size,
+      |  COUNT(a.user_id) AS retained_d1,
+      |  CAST(COUNT(a.user_id) AS DOUBLE) / CAST(NULLIF(COUNT(f.user_id), 0) AS DOUBLE) * 100 AS retention_rate
+      |FROM first_day f LEFT JOIN activity a
+      |  ON a.user_id = f.user_id AND a.event_date = f.cohort_date + INTERVAL 1 DAY
+      |GROUP BY cohort_date
+      |ORDER BY cohort_date""".stripMargin
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational/OLAP core — the headline scan/join/agg shapes the
+  * reference's mart layer exercises (SQL over raw_events / marts,
+  * cf. /root/reference/sql/marts/mart_user_daily.sql and siblings),
+  * expressed on the TPC-H-ish testdata tables.
+  *
+  * Determinism contract with the DuckDB oracle: money aggregates are
+  * summed as DECIMAL (exact, order-independent) and cast back to DOUBLE,
+  * so Spark and DuckDB produce bit-identical doubles regardless of
+  * partial-aggregation order. Rates/averages are single IEEE divisions
+  * of exact operands.
+  *
+  * Scale notes: all aggregates are single-shuffle groupBys with map-side
+  * partial aggregation; dimension joins (region/nation/supplier/customer)
+  * are explicitly broadcast; fact tables are projected to the needed
+  * columns before any join so the parquet scan prunes (ReadSchema).
+  */
+object Relational {
+
+  /** Exact decimal sum of a 2-dp double column, returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(12,2)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary: full lineitem scan + 8 aggregates.
+    * Reference shape: mart_user_daily.sql's grouped multi-aggregate. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val disc  = col("l_extendedprice").cast("decimal(12,2)") *
+                (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    val charge = disc * (lit(1).cast("decimal(12,2)") + col("l_tax").cast("decimal(12,2)"))
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-style selective revenue scan — predicate pushdown showcase. */
+  def q6RevenueForecast(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(
+        col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01") &&
+        col("l_discount").between(0.02, 0.09) && col("l_quantity") < 25)
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") * col("l_discount").cast("decimal(12,2)"))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 25""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: filtered 3-way join + agg + top-N.
+    * customer is broadcast (small dim); orders⋈lineitem shuffles on the
+    * order key only after projection. Deterministic top-10 via unique
+    * orderkey tiebreak. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1995-06-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1995-06-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+             .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-06-15 00:00:00' AND l_shipdate > TIMESTAMP '1995-06-15 00:00:00'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style local-supplier volume: 6-way join, dims broadcast. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+             .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** Window-function showcase: top-3 customers per nation by account
+    * balance (rank with unique custkey tiebreak → deterministic). */
+  def topCustomersWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val w = Window.partitionBy("n_name").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank_in_nation", row_number().over(w))
+      .filter(col("rank_in_nation") <= 3)
+      .select("n_name", "rank_in_nation", "c_custkey", "c_name", "c_acctbal")
+      .orderBy("n_name", "rank_in_nation")
+  }
+
+  val topCustomersSql: String =
+    """SELECT n_name, rank_in_nation, c_custkey, c_name, c_acctbal
+      |FROM (
+      |  SELECT n_name, c_custkey, c_name, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |) t WHERE rank_in_nation <= 3
+      |ORDER BY n_name, rank_in_nation""".stripMargin
+
+  /** Multi-level rollup: orders⋈lineitem grouped by status/priority. */
+  def orderLineitemRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_quantity")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("line_count"),
+        countDistinct(col("o_orderkey")).as("order_count"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("gross_revenue"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val orderLineitemRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS line_count,
+      |  COUNT(DISTINCT o_orderkey) AS order_count,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross_revenue,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.EventMarts.enriched
+
+/** Gap-based sessionization + session sequence analysis.
+  *
+  * Reference: spark_batch_processor.compute_session_sequences
+  * (/root/reference/scripts/spark_batch_processor.py:266-324) — the
+  * testdata has no session_id, so sessions are derived with the classic
+  * lag + cumulative-sum pattern: a new session starts after a
+  * `gapSeconds` silence per user.
+  *
+  * Scale notes: both window functions share ONE partitioning
+  * (user_id) → a single shuffle; the subsequent groupBy(user_id,
+  * session_idx) is partition-local in practice (same prefix key).
+  * Sequences are built with sort_array(collect_list(struct)) — bounded
+  * per session, never a driver-side collect. At 100 TB, user_id
+  * partitioning distributes evenly (no hot keys in behavioral data;
+  * were there any, AQE skew-join/salting applies).
+  */
+object Sessionize {
+
+  val GapSeconds = 1800
+
+  /** One row per (user, session): ordered event sequence + stats. */
+  def sessionSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_epoch", "event_id")
+    val withGap = enriched(spark, dir)
+      .select("user_id", "event_id", "event_type", "event_epoch")
+      .withColumn("prev_epoch", lag("event_epoch", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_epoch").isNull || col("event_epoch") - col("prev_epoch") > GapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("event_epoch"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          " -> ").as("event_sequence"),
+        count(lit(1)).as("event_count"),
+        min(col("event_epoch")).as("session_start_epoch"),
+        max(col("event_epoch")).as("session_end_epoch"),
+        (max(col("event_epoch")) - min(col("event_epoch"))).as("duration_seconds"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val sessionSequencesSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS event_epoch,
+      |    CASE WHEN LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w IS NULL
+      |           OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id)
+      |), sessioned AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_epoch, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_idx,
+      |  STRING_AGG(event_type, ' -> ' ORDER BY event_epoch, event_id) AS event_sequence,
+      |  COUNT(*) AS event_count,
+      |  MIN(event_epoch) AS session_start_epoch,
+      |  MAX(event_epoch) AS session_end_epoch,
+      |  MAX(event_epoch) - MIN(event_epoch) AS duration_seconds,
+      |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      |FROM sessioned
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Frequency/duration/conversion per behavioral pattern.
+    * Reference: spark_batch_processor.py:313-322 (pattern_summary). */
+  def sessionPatterns(spark: SparkSession, dir: String): DataFrame =
+    sessionSequences(spark, dir)
+      .groupBy(col("event_sequence"))
+      .agg(
+        count(lit(1)).as("session_count"),
+        (sum(col("duration_seconds")).cast("double") / count(lit(1))).as("avg_duration_sec"),
+        (sum(col("has_purchase")).cast("double") / count(lit(1)) * lit(100)).as("purchase_rate"))
+      .orderBy(desc("session_count"), asc("event_sequence"))
+
+  val sessionPatternsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS event_epoch,
+      |    CASE WHEN LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w IS NULL
+      |           OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id)
+      |), sessioned AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_epoch, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |), sessions AS (
+      |  SELECT user_id, session_idx,
+      |    STRING_AGG(event_type, ' -> ' ORDER BY event_epoch, event_id) AS event_sequence,
+      |    MAX(event_epoch) - MIN(event_epoch) AS duration_seconds,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      |  FROM sessioned GROUP BY user_id, session_idx
+      |)
+      |SELECT event_sequence,
+      |  COUNT(*) AS session_count,
+      |  CAST(SUM(duration_seconds) AS DOUBLE) / COUNT(*) AS avg_duration_sec,
+      |  CAST(SUM(has_purchase) AS DOUBLE) / COUNT(*) * 100 AS purchase_rate
+      |FROM sessions
+      |GROUP BY event_sequence
+      |ORDER BY session_count DESC, event_sequence ASC""".stripMargin
+}
