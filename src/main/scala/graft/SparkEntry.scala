@@ -31,6 +31,33 @@ object SparkEntry {
     "retention_daily"      -> ((s, d) => EventMarts.retentionDaily(s, d)),
     "session_sequences"    -> ((s, d) => Sessionize.sessionSequences(s, d)),
     "session_patterns"     -> ((s, d) => Sessionize.sessionPatterns(s, d)),
+    // §2B data-quality validation
+    "dq_null_check"        -> ((s, d) => Quality.nullCheck(s, d)),
+    "dq_duplicate_check"   -> ((s, d) => Quality.duplicateCheck(s, d)),
+    "dq_range_check"       -> ((s, d) => Quality.rangeCheck(s, d)),
+    "dq_sequence_check"    -> ((s, d) => Quality.sequenceCheck(s, d)),
+    "dq_timestamp_check"   -> ((s, d) => Quality.timestampCheck(s, d)),
+    "dq_integrity_check"   -> ((s, d) => Quality.integrityCheck(s, d)),
+    "dq_consistency_check" -> ((s, d) => Quality.consistencyCheck(s, d)),
+    "dq_summary"           -> ((s, d) => Quality.summary(s, d)),
+    // §2D text analysis
+    "text_token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "text_quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "text_langid"          -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_fingerprint"     -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "doc_stats_by_lang"    -> ((s, d) => TextAnalysis.statsByLang(s, d)),
+    // §2D dedup family
+    "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
+    // §2D similarity search
+    "ann_cosine_topk"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh_bucketed"     -> ((s, d) => Similarity.lshTopK(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Similarity.cosineNearDup(s, d)),
+    // §2E multimodal plumbing
+    "media_metadata"       -> ((s, d) => Multimodal.mediaMetadata(s, d)),
+    "media_frame_sample"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables).
@@ -53,5 +80,23 @@ object SparkEntry {
     "retention_daily"      -> EventMarts.retentionDailySql,
     "session_sequences"    -> Sessionize.sessionSequencesSql,
     "session_patterns"     -> Sessionize.sessionPatternsSql,
+    "dq_null_check"        -> Quality.nullCheckSql,
+    "dq_duplicate_check"   -> Quality.duplicateCheckSql,
+    "dq_range_check"       -> Quality.rangeCheckSql,
+    "dq_sequence_check"    -> Quality.sequenceCheckSql,
+    "dq_timestamp_check"   -> Quality.timestampCheckSql,
+    "dq_integrity_check"   -> Quality.integrityCheckSql,
+    "dq_consistency_check" -> Quality.consistencyCheckSql,
+    "dq_summary"           -> Quality.summarySql,
+    "text_token_count"     -> TextAnalysis.tokenCountSql,
+    "text_quality_score"   -> TextAnalysis.qualityScoreSql,
+    "text_langid"          -> TextAnalysis.langIdSql,
+    "text_fingerprint"     -> TextAnalysis.fingerprintSql,
+    "doc_stats_by_lang"    -> TextAnalysis.statsByLangSql,
+    "dedup_exact"          -> Dedup.exactSql,
+    "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
+    "media_metadata"       -> Multimodal.mediaMetadataSql,
+    // dedup_minhash_lsh / dedup_simhash / ann_* / dedup_embedding_cosine /
+    // media_frame_sample: approximate or non-SQL-expressible → rows-only.
   )
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for LLM-training-data pipelines over the
+  * `documents` table (SURVEY.md §2D): exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash.
+  *
+  * Scale design: the only all-pairs computation is inside a BLOCK —
+  * exact dedup is a hash groupBy (one shuffle); Jaccard pairs are
+  * blocked by language (in production: by LSH band, as in
+  * `minhashLsh`); MinHash/SimHash candidates come from band-bucket
+  * joins, never an unblocked self-join. All signatures are computed
+  * with higher-order functions on arrays — no UDFs, no explode of
+  * shingles (the per-doc signature is folded in a single projection).
+  */
+object Dedup {
+
+  /** Whitespace tokens. */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct 3-gram token shingles ("a b c" strings). */
+  private def shingles(c: Column): Column = {
+    val t = toks(c)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array_distinct(t))
+  }
+
+  /** Exact dedup: group by content hash, keep min doc_id.
+    * One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup
+    * plan (hash is computed map-side; the shuffle carries only
+    * (hash, id)). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(
+        count(lit(1)).as("dup_count"),
+        min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy("text_md5")
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin
+
+  /** Near-dup pairs by exact 3-gram Jaccard within a language block.
+    * The block bounds the self-join (at scale the block key would be an
+    * LSH bucket — see minhashLsh — this operator is the exact verifier
+    * that runs on candidate pairs). */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+    val a = d.as("a")
+    val b = d.as("b")
+    val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+      size(array_union(col("a.sh"), col("b.sh"))).cast("double")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String = {
+    val sh =
+      """list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+        |  THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |       i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1] || ' ' || string_split_regex(trim(text), '\s+')[i+2])
+        |  ELSE string_split_regex(trim(text), '\s+') END)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, lang, $sh AS sh FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Number of MinHash permutations / LSH bands (16 bands × 4 rows —
+    * catches Jaccard ≳ 0.5 with high probability). */
+  val NumPerms = 64
+  val NumBands = 16
+  val RowsPerBand = 4
+  private val Prime = 2147483647L // 2^31 - 1
+  /** Deterministic permutation parameters (seeded, fixed at build time). */
+  private val permAB: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Per-doc MinHash signature as an array column (no explode: one
+    * projection folds all 64 permutations over the shingle hashes). */
+  private def signature(sh: Column): Column = {
+    val hashed = transform(sh, s => pmod(xxhash64(s), lit(Prime)))
+    array(permAB.map { case (a, b) =>
+      array_min(transform(hashed, h => pmod(h * lit(a) + lit(b), lit(Prime))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding: shingle → 64 minhashes → 16 band keys →
+    * bucket self-join → candidate pairs with estimated Jaccard
+    * (signature agreement ratio). At 100 TB this is THE near-dup plan:
+    * the shuffle key is (band_idx, band_hash) so only colliding docs
+    * ever meet; no unblocked pair enumeration exists anywhere.
+    * Oracle: rows-only (approximate operator, no SQL equivalent). */
+  def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), signature(shingles(col("text"))).as("sig"))
+    val bands = docs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        struct(b.as("band_idx"),
+          xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
+            .as("band_hash")))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val agree = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1)), x => x.isNotNull))
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") && col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= estThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash near-dup: token hashes vote per bit; candidates
+    * from 16-bit band blocking; pairs kept at Hamming distance ≤ 7.
+    * Oracle: rows-only. */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+    // bit b of the simhash = majority vote of token-hash bit b; folded
+    // entirely with higher-order functions (SQL expr: the DSL's
+    // shiftleft/shiftright only accept literal shift amounts).
+    val simhashExpr = expr(
+      """aggregate(
+        |  zip_with(
+        |    aggregate(
+        |      transform(split(trim(text), '\\s+'), t -> xxhash64(t)),
+        |      array_repeat(0, 64),
+        |      (acc, h) -> zip_with(acc, transform(sequence(0, 63), b -> cast((shiftright(h, b) & 1) as int)), (c, bit) -> c + bit)),
+        |    sequence(0, 63),
+        |    (c, b) -> if(c * 2 > size(split(trim(text), '\\s+')), shiftleft(1L, b), 0L)),
+        |  0L, (acc, v) -> acc | v)""".stripMargin)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhashExpr.as("simhash"))
+    val banded = docs.select(col("doc_id"), col("simhash"),
+      expr("explode(transform(sequence(0, 3), b -> struct(b as band_idx, shiftright(simhash, b * 16) & 65535 as band_val)))").as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2E): media payloads are
+  * opaque `binary` columns with typed metadata travelling beside them.
+  * The testdata has no media table, so the corpus is derived
+  * deterministically from `documents` (utf-8 bytes as the payload) —
+  * the Spark-side schema / partitioning / batch shape is the real
+  * deliverable; the actual image/audio decode is STUBBED (no codec
+  * libraries in this environment) behind `decodeFrameStub`.
+  */
+object Multimodal {
+
+  /** documents → media table: payload as binary + metadata columns. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "utf-8").as("payload"),
+        col("source"),
+        col("lang"))
+
+  /** Typed metadata extraction over the binary payload — byte length,
+    * content hash, and deterministic fake dimensions (what a real
+    * decoder would emit from the header). Fully distributed projection;
+    * oracle-checkable since everything derives from the bytes. */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("media_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        (length(col("payload")) % 640 + 16).as("fake_width"),
+        (length(col("payload")) % 480 + 16).as("fake_height"),
+        col("source"))
+      .orderBy("media_id")
+
+  val mediaMetadataSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS fake_width,
+      |  CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS fake_height,
+      |  source
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** STUB — a real implementation would decode the media container and
+    * emit sampled frames; this deterministic fake slices the payload at
+    * fixed strides so the distributed plumbing (schema, batching,
+    * partition-local iteration) is real and testable. */
+  private def decodeFrameStub(payload: Array[Byte], frameIdx: Int, stride: Int): Array[Byte] = {
+    val start = frameIdx * stride
+    java.util.Arrays.copyOfRange(payload, start, math.min(start + stride, payload.length))
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", BinaryType, nullable = true),
+    StructField("frame_len", IntegerType, nullable = false)))
+
+  /** Frame sampling over binary payloads via mapPartitions — the
+    * batch-at-a-time shape a Pandas-UDF/Arrow pipeline would use, kept
+    * partition-local (no shuffle; each task decodes its own split). */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 100, maxFrames: Int = 8): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+    mediaTable(spark, dir)
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val n = math.min((payload.length + stride - 1) / stride, maxFrames)
+          (0 until n).iterator.map { i =>
+            val f = decodeFrameStub(payload, i, stride)
+            Row(id, i, f, f.length)
+          }
+        }
+      }(enc)
+      .orderBy("media_id", "frame_idx")
+  }
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.EventMarts.enriched
+
+/** The reference's 7-dimension data-quality validation re-expressed as
+  * distributed aggregations (reference:
+  * /root/reference/scripts/validate_quality.py:63-340 — null, duplicate,
+  * range, funnel-sequence, timestamp, integrity, consistency checks;
+  * PASS = pass_rate ≥ 99%).
+  *
+  * Where the reference loops over a Python list of dicts, each check
+  * here is ONE aggregate over the events table — no driver-side
+  * iteration, so a check over 100 TB is a map-side-combined scan.
+  * Every check emits the reference's result shape:
+  * (check_name, check_type, total_records, failed_records, pass_rate,
+  * status).
+  */
+object Quality {
+
+  private implicit class AggAll(df: DataFrame) {
+    def aggAll(cols: Seq[Column]): DataFrame = df.agg(cols.head, cols.tail: _*)
+  }
+
+  private def result(checkName: String, checkType: String,
+                     total: Column, failed: Column): Seq[Column] = Seq(
+    lit(checkName).as("check_name"),
+    lit(checkType).as("check_type"),
+    total.as("total_records"),
+    failed.as("failed_records"),
+    ((lit(1.0) - failed.cast("double") / greatest(total, lit(1L)).cast("double")) * lit(100))
+      .as("pass_rate"),
+    when((lit(1.0) - failed.cast("double") / greatest(total, lit(1L)).cast("double")) * lit(100) >= 99.0,
+      "PASS").otherwise("FAIL").as("status"))
+
+  private def sqlResult(checkName: String, checkType: String,
+                        totalExpr: String, failedExpr: String, from: String): String =
+    s"""SELECT '$checkName' AS check_name, '$checkType' AS check_type,
+       |  $totalExpr AS total_records, $failedExpr AS failed_records,
+       |  (1.0 - CAST($failedExpr AS DOUBLE) / CAST(GREATEST($totalExpr, 1) AS DOUBLE)) * 100 AS pass_rate,
+       |  CASE WHEN (1.0 - CAST($failedExpr AS DOUBLE) / CAST(GREATEST($totalExpr, 1) AS DOUBLE)) * 100 >= 99.0
+       |       THEN 'PASS' ELSE 'FAIL' END AS status
+       |FROM $from""".stripMargin
+
+  /** 1. Required-field NULL check (validate_quality.py:86-118). */
+  def nullCheck(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir).aggAll(result("null_check", "null_check",
+        count(lit(1)),
+        count(when(col("event_id").isNull || col("ts").isNull || col("user_id").isNull ||
+                   col("event_type").isNull || col("value").isNull || col("props").isNull, 1))))
+
+  val nullCheckSql: String = sqlResult("null_check", "null_check",
+    "COUNT(*)",
+    "COUNT(CASE WHEN event_id IS NULL OR ts IS NULL OR user_id IS NULL OR event_type IS NULL OR value IS NULL OR props IS NULL THEN 1 END)",
+    "events")
+
+  /** 2. event_id duplicate check (validate_quality.py:120-135). */
+  def duplicateCheck(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir).aggAll(result("duplicate_check", "duplicate_check",
+        count(lit(1)),
+        count(lit(1)) - countDistinct(col("event_id"))))
+
+  val duplicateCheckSql: String = sqlResult("duplicate_check", "duplicate_check",
+    "COUNT(*)", "COUNT(*) - COUNT(DISTINCT event_id)", "events")
+
+  /** 3. Value-range / enum validity (validate_quality.py:137-186). */
+  def rangeCheck(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir).aggAll(result("range_check", "range_check",
+        count(lit(1)),
+        count(when(
+          col("value") < 0 || col("value") > 1000000 ||
+          !col("event_type").isin("view", "click", "purchase", "signup", "error"), 1))))
+
+  val rangeCheckSql: String = sqlResult("range_check", "range_check",
+    "COUNT(*)",
+    "COUNT(CASE WHEN value < 0 OR value > 1000000 OR event_type NOT IN ('view','click','purchase','signup','error') THEN 1 END)",
+    "events")
+
+  /** 4. Funnel-sequence check: a purchase within a user-day must be
+    * preceded by a view or click (validate_quality.py:188-228 groups by
+    * session; sessions here are user-days, cf. SURVEY.md §3). */
+  def sequenceCheck(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .groupBy(col("user_id"), col("event_date"))
+      .agg(
+        min(when(col("event_type") === "purchase", col("event_epoch"))).as("first_purchase"),
+        min(when(col("event_type").isin("view", "click"), col("event_epoch"))).as("first_touch"))
+      .aggAll(result("sequence_check", "sequence_check",
+          count(lit(1)),
+          count(when(col("first_purchase").isNotNull &&
+                     (col("first_touch").isNull || col("first_touch") > col("first_purchase")), 1))))
+
+  val sequenceCheckSql: String = sqlResult("sequence_check", "sequence_check",
+    "COUNT(*)",
+    "COUNT(CASE WHEN first_purchase IS NOT NULL AND (first_touch IS NULL OR first_touch > first_purchase) THEN 1 END)",
+    """(
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS first_purchase,
+      |    MIN(CASE WHEN event_type IN ('view','click') THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS first_touch
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+      |) t""".stripMargin)
+
+  /** 5. Timestamp validity: year ∈ [2020, 2030] (validate_quality.py:230-252). */
+  def timestampCheck(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir).aggAll(result("timestamp_check", "range_check",
+        count(lit(1)),
+        count(when(col("ts").isNull || year(col("ts")) < 2020 || year(col("ts")) > 2030, 1))))
+
+  val timestampCheckSql: String = sqlResult("timestamp_check", "range_check",
+    "COUNT(*)",
+    "COUNT(CASE WHEN ts IS NULL OR YEAR(ts) < 2020 OR YEAR(ts) > 2030 THEN 1 END)",
+    "events")
+
+  /** 6. Order integrity: purchases must carry a valid product id in
+    * props and a positive amount (validate_quality.py:254-285 checks
+    * total_amount against the JSONB item list). */
+  def integrityCheck(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .aggAll(result("integrity_check", "integrity_check",
+          count(lit(1)),
+          count(when(col("product_k").isNull || col("product_k") < 0 ||
+                     col("product_k") > 99 || col("value") <= 0, 1))))
+
+  val integrityCheckSql: String = sqlResult("integrity_check", "integrity_check",
+    "COUNT(*)",
+    "COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) IS NULL OR CAST(json_extract_string(props, '$.k') AS INT) < 0 OR CAST(json_extract_string(props, '$.k') AS INT) > 99 OR value <= 0 THEN 1 END)",
+    "(SELECT * FROM events WHERE event_type = 'purchase') t")
+
+  /** 7. Consistency: at most one signup per user
+    * (validate_quality.py:287-340 checks per-session platform
+    * stability; the analogous per-entity invariant here). */
+  def consistencyCheck(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "signup", 1)).as("signups"))
+      .aggAll(result("consistency_check", "consistency_check",
+          count(lit(1)),
+          count(when(col("signups") > 1, 1))))
+
+  val consistencyCheckSql: String = sqlResult("consistency_check", "consistency_check",
+    "COUNT(*)",
+    "COUNT(CASE WHEN signups > 1 THEN 1 END)",
+    """(
+      |  SELECT user_id, COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups
+      |  FROM events GROUP BY user_id
+      |) t""".stripMargin)
+
+  /** All 7 checks in one result set (validate_quality.run_all_checks). */
+  def summary(spark: SparkSession, dir: String): DataFrame =
+    Seq(
+      nullCheck(spark, dir), duplicateCheck(spark, dir), rangeCheck(spark, dir),
+      sequenceCheck(spark, dir), timestampCheck(spark, dir),
+      integrityCheck(spark, dir), consistencyCheck(spark, dir))
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+
+  val summarySql: String =
+    Seq(nullCheckSql, duplicateCheckSql, rangeCheckSql, sequenceCheckSql,
+        timestampCheckSql, integrityCheckSql, consistencyCheckSql)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY check_name")
+}

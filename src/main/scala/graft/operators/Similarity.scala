@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2D):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane
+  * LSH bucketing as the scale path, and cosine near-dup pairs.
+  *
+  * Scale design: the brute-force path BROADCASTS the (small) query set
+  * against the candidate corpus — one pass over the big side, no
+  * shuffle until the per-query top-k (which shuffles only k rows per
+  * query after a partial top-k). The LSH path buckets both sides by
+  * signature so only same-bucket pairs are scored. Norms are
+  * precomputed once per side, never per pair.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k neighbors for each query vector
+    * (query set = vec_id < numQueries, broadcast). Deterministic
+    * ranking: similarity is rounded to 6 dp before ordering and ties
+    * break on vec_id. */
+  def bruteForceTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val candidates = e.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val sim = round(cosine(col("q_emb"), col("c_emb")), 6)
+    val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
+    candidates.join(broadcast(queries))
+      .select(col("query_id"), col("cand_id"), sim.as("similarity"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Number of LSH hyperplanes (bucket signature bits). */
+  val NumPlanes = 12
+  /** Deterministic pseudo-random hyperplanes (seeded at build time). */
+  private def planes(dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(1234)
+    Array.fill(NumPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH ANN: both sides get a sign-bit signature;
+    * candidates are scored only within matching buckets. Recall is
+    * traded for a ~2^planes reduction of the join fan-out — the scale
+    * path when the query set is also huge (cannot broadcast). */
+  def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5, dim: Int = 64): DataFrame = {
+    val ps = planes(dim)
+    def bucket(emb: org.apache.spark.sql.Column) = {
+      val bits: Seq[org.apache.spark.sql.Column] = ps.toSeq.zipWithIndex.map { case (p, i) =>
+        val planeCol = array(p.map(lit(_)): _*)
+        when(dot(emb, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        bucket(col("embedding")).as("bucket"))
+    val candidates = e.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        bucket(col("embedding")).as("bucket"))
+    val sim = round(cosine(col("q_emb"), col("c_emb")), 6)
+    val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
+    candidates.join(broadcast(queries), "bucket")
+      .select(col("query_id"), col("cand_id"), sim.as("similarity"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Cosine near-duplicate pairs (embedding-space dedup). The pair
+    * space is blocked by `label` (in production: an LSH bucket or IVF
+    * cell); sim threshold keeps only near-dups. */
+  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val a = e.as("a")
+    val b = e.as("b")
+    val sim = round(
+      cosinePrenormed(dot(col("a.embedding"), col("b.embedding")), col("a.nrm"), col("b.nrm")), 6)
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), sim.as("similarity"))
+      .filter(col("similarity") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for an LLM-training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language ID,
+  * content fingerprinting (SURVEY.md §2D).
+  *
+  * Everything is built from codegen'd built-ins + higher-order array
+  * functions — no UDFs — so the whole stage stays in Tungsten. Each
+  * operator is a narrow map over documents (no shuffle at all), which
+  * at 100 TB is embarrassingly parallel and bounded only by scan
+  * throughput.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words.map(lit(_)): _*)))
+
+  private def sqlCountIn(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN (", ", ", ")))")
+
+  /** Token counting: whitespace tokens + regex word tokens (the
+    * "BPE-ish" lower bound) + chars-per-token. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("char_count"),
+        size(tokens(col("text"))).as("ws_token_count"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("word_token_count"),
+        (length(col("text")).cast("double") /
+          greatest(size(tokens(col("text"))), lit(1)).cast("double")).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS char_count,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_token_count,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS word_token_count,
+      |  CAST(length(text) AS DOUBLE) / CAST(GREATEST(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document quality scoring: length, stopword ratio, word-shape
+    * heuristics → one [0,1] score (the classic pre-training quality
+    * filter stack: length/punct/stopword ratios). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    val stopRatio = countIn(toks, Stopwords).cast("double") / greatest(nWords, lit(1)).cast("double")
+    val avgWordLen = length(col("text")).cast("double") / greatest(nWords, lit(1)).cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        nWords.as("word_count"),
+        stopRatio.as("stopword_ratio"),
+        avgWordLen.as("avg_word_len"),
+        (least(nWords.cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+          stopRatio * lit(0.3) +
+          when(avgWordLen.between(3.0, 8.0), lit(1.0)).otherwise(lit(0.0)) * lit(0.3))
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    s"""SELECT doc_id, lang,
+       |  CAST($nWords AS INT) AS word_count,
+       |  $stopR AS stopword_ratio,
+       |  $awl AS avg_word_len,
+       |  LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4 + ($stopR) * 0.3 +
+       |    (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** Marker-token language ID (n-gram heuristic): score = marker-token
+    * hits per language, argmax with fixed precedence. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = Markers.map { case (l, ws) => l -> countIn(toks, ws) }
+    val predicted = scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s > lit(0) && scores.filter(_._1 != l).map(_._2).foldLeft(lit(true): Column)((acc, o) => acc && s >= o), lit(l)).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang").as("actual_lang")) ++
+        scores.map { case (l, s) => s.cast("int").as(s"score_$l") } :+
+        predicted.as("predicted_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val scoreExprs = Markers.map { case (l, ws) => l -> sqlCountIn(ws) }
+    val preds = scoreExprs.zipWithIndex.map { case ((l, e), _) =>
+      val others = scoreExprs.filter(_._1 != l).map(_._2)
+      s"WHEN $e > 0 AND ${others.map(o => s"$e >= $o").mkString(" AND ")} THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang AS actual_lang,
+       |  ${scoreExprs.map { case (l, e) => s"CAST($e AS INT) AS score_$l" }.mkString(",\n  ")},
+       |  CASE $preds ELSE 'und' END AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Polynomial rolling-hash fingerprint over the document's characters
+    * (mod 1e9+7) — a portable content fingerprint computed with
+    * higher-order aggregate, identical in Spark and the oracle. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(filter(split(col("text"), ""), c => c =!= ""), c => ascii(c).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * lit(31L) + x) % lit(1000000007L)).as("fingerprint"),
+        length(col("text")).as("char_count"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
+      |  CAST(length(text) AS INT) AS char_count
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-language corpus stats (grouped rollup over derived metrics). */
+  def statsByLang(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("distinct_sources"))
+      .orderBy("lang")
+
+  val statsByLangSql: String =
+    """SELECT lang, COUNT(*) AS doc_count, SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  COUNT(DISTINCT source) AS distinct_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+}
