@@ -23,6 +23,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Spark 4.1's ChecksumCheckpointFileManager writes state-store
+      // checkpoint checksums on a side thread pool; in single-JVM test
+      // runs this can deadlock against executor class loading
+      // (observed: state commit parked in awaitResult while the pool
+      // thread loads classes). Plain checkpoint files are sufficient
+      // here; a real cluster can re-enable.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

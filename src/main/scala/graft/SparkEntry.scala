@@ -28,6 +28,7 @@ object SparkEntry {
     "product_top_n"        -> ((s, d) => EventMarts.productTopN(s, d)),
     "report_user_summary"  -> ((s, d) => EventMarts.reportUserSummary(s, d)),
     "report_payment_dist"  -> ((s, d) => EventMarts.reportPaymentDist(s, d)),
+    "report_order_summary" -> ((s, d) => EventMarts.reportOrderSummary(s, d)),
     "retention_daily"      -> ((s, d) => EventMarts.retentionDaily(s, d)),
     "session_sequences"    -> ((s, d) => Sessionize.sessionSequences(s, d)),
     "session_patterns"     -> ((s, d) => Sessionize.sessionPatterns(s, d)),
@@ -40,6 +41,7 @@ object SparkEntry {
     "dq_integrity_check"   -> ((s, d) => Quality.integrityCheck(s, d)),
     "dq_consistency_check" -> ((s, d) => Quality.consistencyCheck(s, d)),
     "dq_summary"           -> ((s, d) => Quality.summary(s, d)),
+    "dq_daily_trend"       -> ((s, d) => Quality.dailyTrend(s, d)),
     // §2D text analysis
     "text_token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -77,6 +79,7 @@ object SparkEntry {
     "product_top_n"        -> EventMarts.productTopNSql,
     "report_user_summary"  -> EventMarts.reportUserSummarySql,
     "report_payment_dist"  -> EventMarts.reportPaymentDistSql,
+    "report_order_summary" -> EventMarts.reportOrderSummarySql,
     "retention_daily"      -> EventMarts.retentionDailySql,
     "session_sequences"    -> Sessionize.sessionSequencesSql,
     "session_patterns"     -> Sessionize.sessionPatternsSql,
@@ -88,6 +91,7 @@ object SparkEntry {
     "dq_integrity_check"   -> Quality.integrityCheckSql,
     "dq_consistency_check" -> Quality.consistencyCheckSql,
     "dq_summary"           -> Quality.summarySql,
+    "dq_daily_trend"       -> Quality.dailyTrendSql,
     "text_token_count"     -> TextAnalysis.tokenCountSql,
     "text_quality_score"   -> TextAnalysis.qualityScoreSql,
     "text_langid"          -> TextAnalysis.langIdSql,

@@ -265,6 +265,27 @@ object EventMarts {
       |GROUP BY 1
       |ORDER BY total_amount DESC, payment_method ASC""".stripMargin
 
+  /** Daily-report order-mart summary (reference: llm_daily_report.py
+    * "주문 마트 요약" — order count, revenue, avg/max order value,
+    * unique buyers). avg is one exact-decimal division (deterministic
+    * vs the oracle); max over doubles is order-independent. */
+  def reportOrderSummary(spark: SparkSession, dir: String): DataFrame =
+    martOrders(spark, dir)
+      .agg(
+        count(lit(1)).as("order_count"),
+        dsum(col("total_amount")).as("total_revenue"),
+        (dsum(col("total_amount")) / count(lit(1))).as("avg_order_value"),
+        max(col("total_amount")).as("max_order_amount"),
+        countDistinct(col("user_id")).as("unique_buyers"))
+
+  val reportOrderSummarySql: String =
+    """SELECT COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_order_value,
+      |  MAX(value) AS max_order_amount,
+      |  COUNT(DISTINCT user_id) AS unique_buyers
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
   /** D1 retention cohort: users grouped by first-seen day; retained =
     * came back the next day. Two shuffles (user grain → cohort grain). */
   def retentionDaily(spark: SparkSession, dir: String): DataFrame = {

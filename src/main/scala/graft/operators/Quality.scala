@@ -147,6 +147,59 @@ object Quality {
       |  FROM events GROUP BY user_id
       |) t""".stripMargin)
 
+  /** Pass-rate trend per check over days (reference:
+    * scripts/quality_dashboard.py — avg/min pass rate per check across
+    * the check-log days). Day-grain failure counts are unpivoted with
+    * `stack`, then rolled up per check. Determinism: min over per-day
+    * doubles is order-independent; the overall rate is one exact
+    * division of decimal/long sums — no double summation anywhere. */
+  def dailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = enriched(spark, dir)
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("total"),
+        count(when(col("event_id").isNull || col("ts").isNull || col("user_id").isNull ||
+                   col("event_type").isNull || col("value").isNull || col("props").isNull, 1))
+          .as("null_failed"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("dup_failed"),
+        count(when(
+          col("value") < 0 || col("value") > 1000000 ||
+          !col("event_type").isin("view", "click", "purchase", "signup", "error"), 1))
+          .as("range_failed"))
+    daily
+      .select(col("event_date"), col("total"), expr(
+        "stack(3, 'null_check', null_failed, 'duplicate_check', dup_failed, 'range_check', range_failed) as (check_name, failed)"))
+      .withColumn("day_pass_rate",
+        (lit(1.0) - col("failed").cast("double") / greatest(col("total"), lit(1L)).cast("double")) * lit(100))
+      .groupBy(col("check_name"))
+      .agg(
+        count(lit(1)).as("days"),
+        sum(col("total")).as("total_records"),
+        sum(col("failed")).as("failed_records"),
+        ((lit(1.0) - sum(col("failed")).cast("double") / greatest(sum(col("total")), lit(1L)).cast("double")) * lit(100))
+          .as("overall_pass_rate"),
+        min(col("day_pass_rate")).as("min_daily_pass_rate"))
+      .orderBy("check_name")
+  }
+
+  val dailyTrendSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS total,
+      |    COUNT(CASE WHEN event_id IS NULL OR ts IS NULL OR user_id IS NULL OR event_type IS NULL OR value IS NULL OR props IS NULL THEN 1 END) AS null_failed,
+      |    COUNT(*) - COUNT(DISTINCT event_id) AS dup_failed,
+      |    COUNT(CASE WHEN value < 0 OR value > 1000000 OR event_type NOT IN ('view','click','purchase','signup','error') THEN 1 END) AS range_failed
+      |  FROM events GROUP BY 1
+      |), unp AS (
+      |  SELECT event_date, total, 'null_check' AS check_name, null_failed AS failed FROM daily
+      |  UNION ALL SELECT event_date, total, 'duplicate_check', dup_failed FROM daily
+      |  UNION ALL SELECT event_date, total, 'range_check', range_failed FROM daily
+      |)
+      |SELECT check_name, COUNT(*) AS days,
+      |  CAST(SUM(total) AS BIGINT) AS total_records, CAST(SUM(failed) AS BIGINT) AS failed_records,
+      |  (1.0 - CAST(SUM(failed) AS DOUBLE) / CAST(GREATEST(SUM(total), 1) AS DOUBLE)) * 100 AS overall_pass_rate,
+      |  MIN((1.0 - CAST(failed AS DOUBLE) / CAST(GREATEST(total, 1) AS DOUBLE)) * 100) AS min_daily_pass_rate
+      |FROM unp GROUP BY check_name ORDER BY check_name""".stripMargin
+
   /** All 7 checks in one result set (validate_quality.run_all_checks). */
   def summary(spark: SparkSession, dir: String): DataFrame =
     Seq(

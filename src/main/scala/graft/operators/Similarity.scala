@@ -24,12 +24,14 @@ object Similarity {
     * ranking: similarity is rounded to 6 dp before ordering and ties
     * break on vec_id. */
   def bruteForceTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val candidates = e.filter(col("vec_id") >= numQueries)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-    val sim = round(cosine(col("q_emb"), col("c_emb")), 6)
+    // native codegen'd expression — single fused loop per pair
+    val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
     val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
     candidates.join(broadcast(queries))
       .select(col("query_id"), col("cand_id"), sim.as("similarity"))
@@ -38,38 +40,50 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Number of LSH hyperplanes (bucket signature bits). */
-  val NumPlanes = 12
+  /** LSH tables × hyperplanes per table: multiple independent tables
+    * trade compute for recall (a true neighbor only needs to collide in
+    * ONE table). 6 tables × 6 bits → 64 buckets/table. */
+  val NumTables = 6
+  val PlanesPerTable = 6
   /** Deterministic pseudo-random hyperplanes (seeded at build time). */
-  private def planes(dim: Int): Array[Array[Double]] = {
+  private def planes(dim: Int): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(1234)
-    Array.fill(NumPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    Array.fill(NumTables, PlanesPerTable)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Random-hyperplane LSH ANN: both sides get a sign-bit signature;
-    * candidates are scored only within matching buckets. Recall is
-    * traded for a ~2^planes reduction of the join fan-out — the scale
-    * path when the query set is also huge (cannot broadcast). */
+  /** Random-hyperplane LSH ANN: each side gets one sign-bit signature
+    * per table; candidate pairs are scored only when they collide in
+    * some table. This is the scale path when the query set is also
+    * huge (cannot broadcast): the join key is (table_idx, bucket), so
+    * the shuffle carries each row NumTables times instead of
+    * enumerating all pairs. */
   def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5, dim: Int = 64): DataFrame = {
     val ps = planes(dim)
-    def bucket(emb: org.apache.spark.sql.Column) = {
-      val bits: Seq[org.apache.spark.sql.Column] = ps.toSeq.zipWithIndex.map { case (p, i) =>
-        val planeCol = array(p.map(lit(_)): _*)
-        when(dot(emb, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    // array of per-table buckets, exploded to (table_idx, bucket) keys
+    def buckets(emb: org.apache.spark.sql.Column) = {
+      val perTable = ps.toSeq.zipWithIndex.map { case (table, t) =>
+        val bits: Seq[org.apache.spark.sql.Column] = table.toSeq.zipWithIndex.map { case (p, i) =>
+          val planeCol = array(p.map(lit(_)): _*)
+          when(dot(emb, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+        }
+        struct(lit(t).as("table_idx"), bits.reduce(_ + _).as("bucket"))
       }
-      bits.reduce(_ + _)
+      array(perTable: _*)
     }
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        bucket(col("embedding")).as("bucket"))
+        explode(buckets(col("embedding"))).as("tb"))
+      .select(col("query_id"), col("q_emb"), col("tb.table_idx"), col("tb.bucket"))
     val candidates = e.filter(col("vec_id") >= numQueries)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-        bucket(col("embedding")).as("bucket"))
+        explode(buckets(col("embedding"))).as("tb"))
+      .select(col("cand_id"), col("c_emb"), col("tb.table_idx"), col("tb.bucket"))
     val sim = round(cosine(col("q_emb"), col("c_emb")), 6)
     val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
-    candidates.join(broadcast(queries), "bucket")
+    candidates.join(broadcast(queries), Seq("table_idx", "bucket"))
       .select(col("query_id"), col("cand_id"), sim.as("similarity"))
+      .distinct() // a pair may collide in several tables
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")

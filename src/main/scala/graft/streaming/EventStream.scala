@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming flavors of the batch marts (SURVEY.md §2F).
+  *
+  * The reference ingests daily JSONL batches via Airflow
+  * (dags/event_pipeline_dag.py); the streaming-native equivalent reads
+  * the same event schema continuously, watermarks on event time, and
+  * maintains the funnel/traffic marts incrementally. Sinks are
+  * caller-provided (tests use the memory sink; production would use a
+  * partitioned parquet/Delta sink with checkpointing).
+  */
+object EventStream {
+
+  /** The events schema as produced by the reference generator
+    * (schemas/event_schema.json) mapped to the testdata layout. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of JSONL events (the reference's ingest format). */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 8)
+      .json(path)
+
+  /** Windowed funnel counts with a watermark: tumbling 1h windows of
+    * distinct-ish step counts per segment. approx_count_distinct is the
+    * streaming-safe distinct (exact distinct per window would need the
+    * full user set in state; HLL keeps state O(1) per window — the
+    * 100 TB answer). */
+  def funnelCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("segment", (col("user_id") % 3).cast("int"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        approx_count_distinct(when(col("event_type") === "purchase", col("user_id"))).as("purchasers_approx"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("revenue"))
+
+  /** Hourly traffic mart, streaming flavor. */
+  def hourlyTraffic(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        approx_count_distinct(col("user_id")).as("unique_users_approx"))
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class RelationalSpec extends SparkSpec {
+  test("q1 groups cover every (returnflag, linestatus) and counts add up") {
+    val q1 = Relational.q1PricingSummary(spark, Sf).collect()
+    assert(q1.nonEmpty)
+    val total = q1.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, Sf).filter(col("l_shipdate") <= lit("1998-09-02")).count()
+    assert(total == expected)
+  }
+
+  test("q3 returns at most 10 rows ordered by revenue desc") {
+    val rows = Relational.q3ShippingPriority(spark, Sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q6 revenue equals a manually computed decimal sum") {
+    val row = Relational.q6RevenueForecast(spark, Sf).collect().head
+    val manual = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01") &&
+        col("l_discount").between(0.02, 0.09) && col("l_quantity") < 25)
+      .select((col("l_extendedprice").cast("decimal(12,2)") * col("l_discount").cast("decimal(12,2)")).as("r"))
+      .agg(sum("r").cast("double")).collect().head.getDouble(0)
+    assert(row.getAs[Double]("revenue") == manual)
+  }
+
+  test("window top-3 per nation never exceeds 3 and ranks start at 1") {
+    val rows = Relational.topCustomersWindow(spark, Sf).collect()
+    val byNation = rows.groupBy(_.getAs[String]("n_name"))
+    assert(byNation.values.forall(_.length <= 3))
+    assert(byNation.values.forall(_.map(_.getAs[Int]("rank_in_nation")).min == 1))
+  }
+}
+
+class EventMartsSpec extends SparkSpec {
+  test("mart_user_daily per-type counts sum to event_count") {
+    val bad = EventMarts.martUserDaily(spark, Sf)
+      .filter(col("view_count") + col("click_count") + col("purchase_count") +
+        col("signup_count") + col("error_count") =!= col("event_count"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("funnel rates are within [0, ∞) and steps are bounded by distinct users") {
+    val rows = EventMarts.martFunnelDaily(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Any]("overall_conversion_rate")
+      if (rate != null) assert(rate.asInstanceOf[Double] >= 0.0)
+    }
+  }
+
+  test("mart_orders only contains purchases and totals match user mart revenue") {
+    val orders = EventMarts.martOrders(spark, Sf)
+    val orderSum = orders.agg(sum(col("total_amount").cast("decimal(12,2)")).cast("double")).collect().head.getDouble(0)
+    val userSum = EventMarts.martUserDaily(spark, Sf)
+      .agg(sum(col("total_purchase_amount").cast("decimal(14,2)")).cast("double")).collect().head.getDouble(0)
+    assert(math.abs(orderSum - userSum) < 1e-6)
+  }
+
+  test("retention cohort sizes sum to the distinct user count") {
+    val total = EventMarts.retentionDaily(spark, Sf).agg(sum("cohort_size")).collect().head.getLong(0)
+    val users = Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(total == users)
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  test("session event counts sum to total events; gaps within a session ≤ 1800s") {
+    val sessions = Sessionize.sessionSequences(spark, Sf)
+    val sum1 = sessions.agg(sum("event_count")).collect().head.getLong(0)
+    assert(sum1 == Tables.events(spark, Sf).count())
+    // no session may span more than count*gap seconds
+    val bad = sessions.filter(col("duration_seconds") > col("event_count") * Sessionize.GapSeconds).count()
+    assert(bad == 0)
+  }
+
+  test("patterns aggregate to the same session total") {
+    val sCount = Sessionize.sessionSequences(spark, Sf).count()
+    val pSum = Sessionize.sessionPatterns(spark, Sf).agg(sum("session_count")).collect().head.getLong(0)
+    assert(sCount == pSum)
+  }
+}
+
+class QualitySpec extends SparkSpec {
+  test("all 7 checks emit one row with pass_rate in [0,100]") {
+    val rows = Quality.summary(spark, Sf).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pass_rate")
+      assert(pr >= 0.0 && pr <= 100.0, s"${r.getAs[String]("check_name")} pass_rate=$pr")
+      assert(Set("PASS", "FAIL").contains(r.getAs[String]("status")))
+    }
+  }
+
+  test("clean synthetic data passes null/duplicate/timestamp checks") {
+    val byName = Quality.summary(spark, Sf).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap
+    assert(byName("null_check") == "PASS")
+    assert(byName("duplicate_check") == "PASS")
+    assert(byName("timestamp_check") == "PASS")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming._
+
+class StreamingSpec extends SparkSpec {
+  import org.apache.spark.sql.Encoders
+
+  private def eventsDf() = {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    mem.addData(
+      (1L, at(0), 1L, "view", 1.0, "{}"),
+      (2L, at(1), 1L, "click", 1.0, "{}"),
+      (3L, at(2), 1L, "purchase", 42.5, "{}"),
+      (4L, at(5), 2L, "view", 1.0, "{}"),
+      (5L, at(65), 2L, "view", 1.0, "{}"))
+    (mem, mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
+  test("streaming funnel counts maintain windowed aggregates on a memory stream") {
+    val (_, df) = eventsDf()
+    val q = EventStream.funnelCounts(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_test").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("funnel_test").collect()
+      assert(rows.nonEmpty)
+      val totalPurchases = rows.map(_.getAs[Long]("purchases")).sum
+      assert(totalPurchases == 1)
+      val revenue = rows.map(_.getAs[Double]("revenue")).sum
+      assert(math.abs(revenue - 42.5) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap and keeps order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessionizeStream.Ev]
+    def ev(id: Long, t: String, epoch: Long) =
+      SessionizeStream.Ev(7L, id, t, epoch, new java.sql.Timestamp(epoch * 1000L))
+    // user 7: 3 events tight, then a 1-hour gap event → first session closes
+    mem.addData(
+      ev(1L, "view", 1000L),
+      ev(2L, "click", 1060L),
+      ev(3L, "purchase", 1120L),
+      ev(4L, "view", 99999L))
+    val out = SessionizeStream.sessionize(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess_test").collect()
+      assert(rows.length == 1) // first session closed by the gap
+      val r = rows.head
+      assert(r.getAs[String]("event_sequence") == "view -> click -> purchase")
+      assert(r.getAs[Boolean]("has_purchase"))
+      assert(r.getAs[Int]("event_count") == 3)
+
+      // push the watermark far past 99999 + gap → the open session
+      // times out (event-time) and is emitted as final
+      mem.addData(ev(5L, "view", 999999L))
+      q.processAllAvailable()
+      val rows2 = spark.table("sess_test").collect()
+      assert(rows2.length == 2)
+      assert(rows2.map(_.getAs[Long]("session_start_epoch")).toSet == Set(1000L, 99999L))
+    } finally q.stop()
+  }
+}

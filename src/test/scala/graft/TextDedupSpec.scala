@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.VectorFunctions
+
+class TextAnalysisSpec extends SparkSpec {
+  test("token counts: char_count matches n_chars column; counts positive") {
+    val joined = TextAnalysis.tokenCount(spark, Sf).as("t")
+      .join(Tables.documents(spark, Sf).as("d"), col("t.doc_id") === col("d.doc_id"))
+    assert(joined.filter(col("char_count") =!= col("n_chars")).count() == 0)
+    assert(joined.filter(col("ws_token_count") <= 0).count() == 0)
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val a = TextAnalysis.fingerprint(spark, Sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = TextAnalysis.fingerprint(spark, Sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // ≥99% of distinct texts should get distinct fingerprints on this corpus
+    assert(a.values.toSet.size >= (a.size * 0.99).toInt)
+  }
+
+  test("quality score lands in [0,1]") {
+    val bad = TextAnalysis.qualityScore(spark, Sf)
+      .filter(col("quality_score") < 0 || col("quality_score") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("langid emits a prediction for every doc") {
+    val df = TextAnalysis.langId(spark, Sf)
+    assert(df.filter(col("predicted_lang").isNull).count() == 0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  test("exact dedup partitions the corpus: sum(dup_count) == doc count") {
+    val total = Dedup.exact(spark, Sf).agg(sum("dup_count")).collect().head.getLong(0)
+    assert(total == Tables.documents(spark, Sf).count())
+  }
+
+  test("jaccard pairs are ordered, thresholded, and within a lang block") {
+    val rows = Dedup.ngramJaccard(spark, Sf, threshold = 0.1).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.1 && r.getAs[Double]("jaccard") <= 1.0)
+    }
+  }
+
+  test("minhash estimate tracks exact jaccard on candidate pairs") {
+    val est = Dedup.minhashLsh(spark, Sf, estThreshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    if (est.nonEmpty) {
+      val exact = Dedup.ngramJaccard(spark, Sf, threshold = 0.0).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+      val errs = est.collect { case (k, e) if exact.contains(k) => math.abs(e - exact(k)) }
+      assert(errs.nonEmpty && errs.sum / errs.size < 0.25,
+        s"minhash estimate drift too high: ${errs.sum / errs.size}")
+    }
+  }
+
+  test("simhash pairs respect the hamming bound") {
+    val bad = Dedup.simhash(spark, Sf).filter(col("hamming") > 7).count()
+    assert(bad == 0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  test("brute-force top-k returns k ranked rows per query, sims in [-1,1]") {
+    val rows = Similarity.bruteForceTopK(spark, Sf, numQueries = 5, k = 3).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 3))
+      g.foreach(r => assert(math.abs(r.getAs[Double]("similarity")) <= 1.0))
+    }
+  }
+
+  test("native cosine_sim expression agrees with the HOF formulation") {
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, Sf).limit(50)
+      .select(col("vec_id"), col("embedding").as("u"), col("embedding").as("v"))
+    val diff = e.select(
+        (expr("cosine_sim(u, v)") - VectorFunctions.cosine(col("u"), col("v"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diff < 1e-12)
+  }
+
+  test("lsh candidates are a subset of brute-force scoring domain and ranked") {
+    val rows = Similarity.lshTopK(spark, Sf, numQueries = 5, k = 3).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cand_id") >= 5)
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3)
+    }
+  }
+
+  test("cosine near-dup pairs stay within label blocks") {
+    val rows = Similarity.cosineNearDup(spark, Sf, threshold = 0.3).collect()
+    rows.foreach(r => assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("frame samples reassemble to min(payload, maxFrames*stride) bytes") {
+    val frames = Multimodal.frameSample(spark, Sf, stride = 100, maxFrames = 8)
+    val perDoc = frames.groupBy("media_id").agg(sum("frame_len").as("bytes"), count(lit(1)).as("n"))
+    val docs = Multimodal.mediaTable(spark, Sf)
+      .select(col("media_id"), length(col("payload")).as("n_bytes"))
+    val bad = perDoc.join(docs, "media_id")
+      .filter(col("bytes") =!= least(col("n_bytes"), lit(800)))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("media metadata derives byte length from utf-8 payload") {
+    val bad = Multimodal.mediaMetadata(spark, Sf)
+      .filter(col("n_bytes") <= 0 || col("fake_width") < 16 || col("fake_height") < 16)
+      .count()
+    assert(bad == 0)
+  }
+}
