@@ -100,12 +100,11 @@ object CosineSimilarity {
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(CosineSimilarity.fnName),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.fnName),
-      { children: Seq[Expression] =>
-        require(children.length == 2, s"${CosineSimilarity.fnName} expects 2 arguments")
-        CosineSimilarity(children.head, children(1))
-      }))
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftFunctions.type].getName, name),
+        builder))
+    }
   }
 }

@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dedup family's hot loops.
+  *
+  * The composable higher-order-function forms (transform/aggregate/
+  * zip_with) are semantically fine but allocate an intermediate array
+  * per lambda application and — worse — inline shared subtrees, so a
+  * 64-permutation MinHash signature written as 64 × array_min(
+  * transform(hashed, …)) re-hashes every shingle 64 times. At corpus
+  * scale these loops ARE the workload; each expression below is one
+  * fused, allocation-free pass with whole-stage codegen.
+  */
+private object HashExprConsts {
+  val Prime: Long = 2147483647L // 2^31 - 1
+  val NumPerms = 64
+  /** Deterministic permutation parameters (seeded, fixed at build time).
+    * Same seed/shape as the documented MinHash scheme in
+    * graft.operators.Dedup. */
+  val (permA: Array[Long], permB: Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue - 1).toLong + 1)
+    val b = Array.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  def requireLongArray(e: Expression, name: String): TypeCheckResult = e.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$name expects array<bigint>, got $t")
+  }
+}
+
+/** `minhash_sig(array<bigint>) -> array<bigint>`: 64-permutation
+  * MinHash signature over pre-hashed shingles (e.g.
+  * `transform(shingles, s -> xxhash64(s))`). Each input element is
+  * normalized into [0, P) and run through the 64 affine permutations
+  * in one loop — each shingle hash is read exactly once. */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  import HashExprConsts._
+
+  override def checkInputDataTypes(): TypeCheckResult = requireLongArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(NumPerms)(Prime)
+    var i = 0
+    while (i < n) {
+      val h = ((arr.getLong(i) % Prime) + Prime) % Prime
+      var p = 0
+      while (p < NumPerms) {
+        val v = (h * permA(p) + permB(p)) % Prime
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("permA", permA, "long[]")
+    val bRef = ctx.addReferenceObj("permB", permB, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p"); val h = ctx.freshName("h")
+      val v = ctx.freshName("v"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $sig = new long[${NumPerms}];
+         |java.util.Arrays.fill($sig, ${Prime}L);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = (($c.getLong($i) % ${Prime}L) + ${Prime}L) % ${Prime}L;
+         |  for (int $p = 0; $p < ${NumPerms}; $p++) {
+         |    long $v = ($h * $aRef[$p] + $bRef[$p]) % ${Prime}L;
+         |    if ($v < $sig[$p]) $sig[$p] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** `simhash64(array<bigint>) -> bigint`: 64-bit SimHash over token
+  * hashes — bit b of the result is the majority vote of bit b across
+  * the inputs. One pass, a 64-int counter array, no allocations per
+  * element. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  import HashExprConsts._
+
+  override def checkInputDataTypes(): TypeCheckResult = requireLongArray(child, prettyName)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > n) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) $counts[$b] += (int) (($h >>> $b) & 1L);
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] * 2 > $n) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** `sorted_intersect_count(array<bigint>, array<bigint>) -> int`:
+  * size of the intersection of two SORTED DISTINCT long arrays via a
+  * single merge pass — no per-pair hash-set build, which is what makes
+  * `array_intersect` the bottleneck of an n-gram Jaccard verifier
+  * (millions of candidate pairs × a set build each). Caller contract:
+  * both inputs sorted ascending with distinct elements
+  * (`array_sort(array_distinct(...))`). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import HashExprConsts._
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = requireLongArray(left, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l else requireLongArray(right, prettyName)
+  }
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(u: Any, v: Any): Any = {
+    val a = u.asInstanceOf[ArrayData]; val b = v.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |${ev.value} = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Idempotent registration of every graft native function on a session
+  * (covers sessions not built with GraftExtensions, e.g. the driver's). */
+object GraftFunctions {
+  private def unary(name: String, f: Expression => Expression) =
+    (name, { children: Seq[Expression] =>
+      require(children.length == 1, s"$name expects 1 argument"); f(children.head)
+    })
+  private def binary(name: String, f: (Expression, Expression) => Expression) =
+    (name, { children: Seq[Expression] =>
+      require(children.length == 2, s"$name expects 2 arguments"); f(children.head, children(1))
+    })
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    binary(CosineSimilarity.fnName, CosineSimilarity(_, _)),
+    unary("minhash_sig", MinHashSignature(_)),
+    unary("simhash64", SimHash64(_)),
+    binary("sorted_intersect_count", SortedIntersectCount(_, _)))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, new ExpressionInfo(getClass.getName, name), builder)
+    }
+  }
+}

@@ -30,6 +30,14 @@ object Dedup {
       .otherwise(array_distinct(t))
   }
 
+  /** Shingles hashed to sorted distinct longs — set operations on long
+    * arrays (merge pass) instead of string arrays (per-pair hash-set
+    * build). xxhash64 is injective in practice at shingle-set sizes, so
+    * intersection/union cardinalities — and hence Jaccard — are
+    * unchanged. */
+  private def shingleHashes(c: Column): Column =
+    array_sort(array_distinct(transform(shingles(c), s => xxhash64(s))))
+
   /** Exact dedup: group by content hash, keep min doc_id.
     * One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup
     * plan (hash is computed map-side; the shuffle carries only
@@ -51,12 +59,15 @@ object Dedup {
     * LSH bucket — see minhashLsh — this operator is the exact verifier
     * that runs on candidate pairs). */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), col("lang"), shingleHashes(col("text")).as("sh"))
     val a = d.as("a")
     val b = d.as("b")
-    val jac = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-      size(array_union(col("a.sh"), col("b.sh"))).cast("double")
+    // |A∩B| in one merge pass (native expression); |A∪B| = |A|+|B|-|A∩B|
+    val inter = expr("sorted_intersect_count(a.sh, b.sh)")
+    val jac = inter.cast("double") /
+      (size(col("a.sh")) + size(col("b.sh")) - inter).cast("double")
     a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -80,25 +91,19 @@ object Dedup {
   }
 
   /** Number of MinHash permutations / LSH bands (16 bands × 4 rows —
-    * catches Jaccard ≳ 0.5 with high probability). */
+    * catches Jaccard ≳ 0.5 with high probability). Permutation
+    * parameters live in the native expression
+    * (graft.functions.MinHashSignature — a fused single pass; the
+    * higher-order-function form inlined the shingle-hash subtree 64
+    * times, re-hashing every shingle once per permutation). */
   val NumPerms = 64
   val NumBands = 16
   val RowsPerBand = 4
-  private val Prime = 2147483647L // 2^31 - 1
-  /** Deterministic permutation parameters (seeded, fixed at build time). */
-  private val permAB: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-  }
 
-  /** Per-doc MinHash signature as an array column (no explode: one
-    * projection folds all 64 permutations over the shingle hashes). */
-  private def signature(sh: Column): Column = {
-    val hashed = transform(sh, s => pmod(xxhash64(s), lit(Prime)))
-    array(permAB.map { case (a, b) =>
-      array_min(transform(hashed, h => pmod(h * lit(a) + lit(b), lit(Prime))))
-    }: _*)
-  }
+  /** Per-doc MinHash signature: hash each shingle once, then one fused
+    * 64-permutation pass (native codegen'd expression). */
+  private def signature(sh: Column): Column =
+    call_function("minhash_sig", transform(sh, s => xxhash64(s)))
 
   /** MinHash + LSH banding: shingle → 64 minhashes → 16 band keys →
     * bucket self-join → candidate pairs with estimated Jaccard
@@ -107,6 +112,7 @@ object Dedup {
     * ever meet; no unblocked pair enumeration exists anywhere.
     * Oracle: rows-only (approximate operator, no SQL equivalent). */
   def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), signature(shingles(col("text"))).as("sig"))
     val bands = docs.select(
@@ -133,21 +139,13 @@ object Dedup {
     * from 16-bit band blocking; pairs kept at Hamming distance ≤ 7.
     * Oracle: rows-only. */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
-    // bit b of the simhash = majority vote of token-hash bit b; folded
-    // entirely with higher-order functions (SQL expr: the DSL's
-    // shiftleft/shiftright only accept literal shift amounts).
-    val simhashExpr = expr(
-      """aggregate(
-        |  zip_with(
-        |    aggregate(
-        |      transform(split(trim(text), '\\s+'), t -> xxhash64(t)),
-        |      array_repeat(0, 64),
-        |      (acc, h) -> zip_with(acc, transform(sequence(0, 63), b -> cast((shiftright(h, b) & 1) as int)), (c, bit) -> c + bit)),
-        |    sequence(0, 63),
-        |    (c, b) -> if(c * 2 > size(split(trim(text), '\\s+')), shiftleft(1L, b), 0L)),
-        |  0L, (acc, v) -> acc | v)""".stripMargin)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // bit b of the simhash = majority vote of token-hash bit b — one
+    // fused pass in the native expression (the higher-order-function
+    // form allocated a 64-wide array per token).
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhashExpr.as("simhash"))
+      .select(col("doc_id"),
+        call_function("simhash64", transform(toks(col("text")), t => xxhash64(t))).as("simhash"))
     val banded = docs.select(col("doc_id"), col("simhash"),
       expr("explode(transform(sequence(0, 3), b -> struct(b as band_idx, shiftright(simhash, b * 16) & 65535 as band_val)))").as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))

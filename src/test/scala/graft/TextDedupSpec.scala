@@ -64,6 +64,65 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+/** The native fused expressions must agree exactly with their
+  * composable higher-order-function formulations. */
+class HashExpressionsSpec extends SparkSpec {
+  private def withFns() = { graft.functions.GraftFunctions.ensureRegistered(spark); spark }
+
+  test("minhash_sig equals the 64×array_min(transform(...)) formulation") {
+    val s = withFns()
+    val hashed = expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))")
+    val df = Tables.documents(s, Sf).limit(100)
+      .select(col("doc_id"), hashed.as("h"))
+      .select(col("doc_id"), expr("minhash_sig(h)").as("fused"), col("h"))
+    // independent reference: interpreted eval on the driver
+    val rows = df.collect()
+    rows.foreach { r =>
+      val h = r.getSeq[Long](r.fieldIndex("h")).toVector
+      val fused = r.getSeq[Long](r.fieldIndex("fused")).toVector
+      val P = 2147483647L
+      val rnd = new scala.util.Random(42)
+      val a = Array.fill(64)(rnd.nextInt(Int.MaxValue - 1).toLong + 1)
+      val b = Array.fill(64)(rnd.nextInt(Int.MaxValue).toLong)
+      val ref = (0 until 64).map { p =>
+        if (h.isEmpty) P
+        else h.map(x => ((((x % P) + P) % P) * a(p) + b(p)) % P).min
+      }
+      assert(fused == ref, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("sorted_intersect_count equals size(array_intersect(...))") {
+    val s = withFns()
+    val sh = expr("array_sort(array_distinct(transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))))")
+    val d = Tables.documents(s, Sf).limit(60).select(col("doc_id"), sh.as("sh"))
+    val bad = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("sorted_intersect_count(a.sh, b.sh)") =!=
+        size(array_intersect(col("a.sh"), col("b.sh"))))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("simhash64 equals the zip_with majority-vote formulation") {
+    val s = withFns()
+    val hashed = expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))")
+    val hof = expr(
+      """aggregate(
+        |  zip_with(
+        |    aggregate(
+        |      h, array_repeat(0, 64),
+        |      (acc, x) -> zip_with(acc, transform(sequence(0, 63), b -> cast((shiftright(x, b) & 1) as int)), (c, bit) -> c + bit)),
+        |    sequence(0, 63),
+        |    (c, b) -> if(c * 2 > size(h), shiftleft(1L, b), 0L)),
+        |  0L, (acc, v) -> acc | v)""".stripMargin)
+    val bad = Tables.documents(s, Sf).limit(100)
+      .select(hashed.as("h"))
+      .filter(expr("simhash64(h)") =!= hof)
+      .count()
+    assert(bad == 0)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   test("brute-force top-k returns k ranked rows per query, sims in [-1,1]") {
     val rows = Similarity.bruteForceTopK(spark, Sf, numQueries = 5, k = 3).collect()
