@@ -60,15 +60,33 @@ object Dedup {
     * that runs on candidate pairs). */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // repartition before the heavy per-row work: the corpus may arrive
+    // in a handful of splits (here: one parquet file), which would run
+    // shingling — and every probe of the broadcast join — in one task.
+    // The shuffle moves only raw text; the pair scoring downstream is
+    // orders of magnitude heavier.
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val d = Tables.documents(spark, dir)
+      .repartition(nPart)
       .select(col("doc_id"), col("lang"), shingleHashes(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
     val a = d.as("a")
     val b = d.as("b")
     // |A∩B| in one merge pass (native expression); |A∪B| = |A|+|B|-|A∩B|
     val inter = expr("sorted_intersect_count(a.sh, b.sh)")
     val jac = inter.cast("double") /
-      (size(col("a.sh")) + size(col("b.sh")) - inter).cast("double")
-    a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      (col("a.n") + col("b.n") - inter).cast("double")
+    // Length prefilter (lossless): J(A,B) ≤ min/max, so any pair with
+    // min(|A|,|B|) < τ·max(|A|,|B|) can never reach the threshold —
+    // pruned BEFORE the merge-count runs. The build side is broadcast:
+    // a lang block's dictionary is bounded (this operator is the exact
+    // verifier; unbounded corpora go through minhashLsh first), and a
+    // broadcast join keeps full parallelism where a shuffle join would
+    // collapse to one partition per distinct lang key.
+    a.join(broadcast(b),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          lit(threshold) * greatest(col("a.n"), col("b.n")).cast("double"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.lang").as("lang"), jac.as("jaccard"))
@@ -113,7 +131,10 @@ object Dedup {
     * Oracle: rows-only (approximate operator, no SQL equivalent). */
   def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // repartition raw docs so signature computation parallelizes even
+    // from a single input split (see ngramJaccard)
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), signature(shingles(col("text"))).as("sig"))
     val bands = docs.select(
       col("doc_id"), col("sig"),

@@ -28,7 +28,10 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // repartition: the corpus may arrive as one split; every candidate
+    // row scores against all broadcast queries, so spread that work
     val candidates = e.filter(col("vec_id") >= numQueries)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     // native codegen'd expression — single fused loop per pair
     val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
@@ -94,13 +97,16 @@ object Similarity {
     * cell); sim threshold keeps only near-dups. */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
     val a = e.as("a")
     val b = e.as("b")
     val sim = round(
       cosinePrenormed(dot(col("a.embedding"), col("b.embedding")), col("a.nrm"), col("b.nrm")), 6)
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    // broadcast the block dictionary: a shuffle join on `label` would
+    // collapse parallelism to #distinct-labels tasks
+    a.join(broadcast(b), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), sim.as("similarity"))
       .filter(col("similarity") >= threshold)
