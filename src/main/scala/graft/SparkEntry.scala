@@ -17,6 +17,9 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
     "q5_local_supplier"    -> ((s, d) => Relational.q5LocalSupplier(s, d)),
     "q6_revenue_forecast"  -> ((s, d) => Relational.q6RevenueForecast(s, d)),
+    "q7_volume_shipping"   -> ((s, d) => Relational.q7VolumeShipping(s, d)),
+    "q10_returned_items"   -> ((s, d) => Relational.q10ReturnedItems(s, d)),
+    "q14_promo_share"      -> ((s, d) => Relational.q14PromoShare(s, d)),
     "top_customers_window" -> ((s, d) => Relational.topCustomersWindow(s, d)),
     "order_lineitem_rollup" -> ((s, d) => Relational.orderLineitemRollup(s, d)),
     // §2A reference marts & batch aggregates
@@ -69,6 +72,9 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.q3Sql,
     "q5_local_supplier"    -> Relational.q5Sql,
     "q6_revenue_forecast"  -> Relational.q6Sql,
+    "q7_volume_shipping"   -> Relational.q7Sql,
+    "q10_returned_items"   -> Relational.q10Sql,
+    "q14_promo_share"      -> Relational.q14Sql,
     "top_customers_window" -> Relational.topCustomersSql,
     "order_lineitem_rollup" -> Relational.orderLineitemRollupSql,
     "mart_user_daily"      -> EventMarts.martUserDailySql,

@@ -67,7 +67,7 @@ object Dedup {
     // orders of magnitude heavier.
     val nPart = spark.sessionState.conf.numShufflePartitions
     val d = Tables.documents(spark, dir)
-      .repartition(nPart)
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), col("lang"), shingleHashes(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
     val a = d.as("a")
@@ -134,7 +134,7 @@ object Dedup {
     // repartition raw docs so signature computation parallelizes even
     // from a single input split (see ngramJaccard)
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), signature(shingles(col("text"))).as("sig"))
     val bands = docs.select(
       col("doc_id"), col("sig"),

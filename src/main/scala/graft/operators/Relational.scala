@@ -168,6 +168,107 @@ object Relational {
       |) t WHERE rank_in_nation <= 3
       |ORDER BY n_name, rank_in_nation""".stripMargin
 
+  /** TPC-H Q7-style volume shipping: revenue between two nations by
+    * ship year. supplier/customer/nation broadcast; lineitem⋈orders is
+    * the only fact-fact shuffle. */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+                       nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+             .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |    CAST(YEAR(l_shipdate) AS INT) AS l_year, l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+      |) t
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q10-style returned-item report: top-20 customers by revenue
+    * lost to returns. */
+  def q10ReturnedItems(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+             .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(topN)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q14-style promo revenue share: conditional aggregate over a
+    * part-dimension join, one exact division at the end. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1995-07-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val disc = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+         sum(disc).cast("double") * lit(100)).as("promo_revenue_pct"),
+        sum(disc).cast("double").as("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) * 100 AS promo_revenue_pct,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'""".stripMargin
+
   /** Multi-level rollup: orders⋈lineitem grouped by status/priority. */
   def orderLineitemRollup(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus", "o_orderpriority")

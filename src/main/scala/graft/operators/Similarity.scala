@@ -31,7 +31,7 @@ object Similarity {
     // repartition: the corpus may arrive as one split; every candidate
     // row scores against all broadcast queries, so spread that work
     val candidates = e.filter(col("vec_id") >= numQueries)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     // native codegen'd expression — single fused loop per pair
     val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
@@ -97,7 +97,7 @@ object Similarity {
     * cell); sim threshold keeps only near-dups. */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
     val a = e.as("a")

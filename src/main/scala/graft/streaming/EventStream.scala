@@ -57,4 +57,15 @@ object EventStream {
       .agg(
         count(lit(1)).as("event_count"),
         approx_count_distinct(col("user_id")).as("unique_users_approx"))
+
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped, and state for an id is released
+    * once the watermark passes it — bounded state on an unbounded
+    * stream (a plain dropDuplicates would grow state forever). This is
+    * the ingest-side guard for the at-least-once delivery the
+    * reference's loader tolerates via ON CONFLICT DO NOTHING. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -37,6 +37,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hourly traffic matches batch counts on the same events") {
+    val (_, df) = eventsDf()
+    val q = EventStream.hourlyTraffic(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("traffic_test").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("traffic_test").collect()
+      assert(rows.map(_.getAs[Long]("event_count")).sum == 5)
+      // events span two distinct hours (10:xx and 11:05)
+      assert(rows.length == 2)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData(
+      (1L, base, 1L, "view", 1.0, "{}"),
+      (1L, base, 1L, "view", 1.0, "{}"), // duplicate delivery
+      (2L, base, 1L, "click", 1.0, "{}"))
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupEvents(df)
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and keeps order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
