@@ -51,6 +51,7 @@ object SparkEntry {
     "text_langid"          -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint"     -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "doc_stats_by_lang"    -> ((s, d) => TextAnalysis.statsByLang(s, d)),
+    "sample_stratified"    -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
     // §2D dedup family
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -58,6 +59,7 @@ object SparkEntry {
     "dedup_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
     // §2D similarity search
     "ann_cosine_topk"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "embedding_centroids"  -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "ann_lsh_bucketed"     -> ((s, d) => Similarity.lshTopK(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.cosineNearDup(s, d)),
     // §2E multimodal plumbing
@@ -103,6 +105,8 @@ object SparkEntry {
     "text_langid"          -> TextAnalysis.langIdSql,
     "text_fingerprint"     -> TextAnalysis.fingerprintSql,
     "doc_stats_by_lang"    -> TextAnalysis.statsByLangSql,
+    "sample_stratified"    -> TextAnalysis.sampleStratifiedSql,
+    "embedding_centroids"  -> Similarity.embeddingCentroidsSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "media_metadata"       -> Multimodal.mediaMetadataSql,

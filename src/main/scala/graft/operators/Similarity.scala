@@ -92,6 +92,48 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-label embedding centroids — the vector aggregation every
+    * IVF-style ANN index build and cluster-dedup pass needs. Spark has
+    * no native vector-sum aggregate, so the idiomatic distributed plan
+    * is posexplode → (label, dim) grouped sum → re-assemble ordered by
+    * dim. Two shuffles, both map-side combined; component sums are
+    * decimal so the result is bit-identical to the oracle regardless
+    * of partial-aggregation order. */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    // Components are quantized to 1e-7 (integer units) before summing:
+    // float→decimal casts are NOT identical across engines (Spark casts
+    // via the float's shortest decimal form), but float→double widening,
+    // a double multiply, and away-from-zero rounding are — so the
+    // integer sum is exact and order-independent on both sides.
+    e.groupBy(col("label"), col("dim"))
+      .agg((sum(round(col("x").cast("double") * lit(1e7)).cast("bigint")).cast("double") /
+            (count(lit(1)) * lit(1e7))).as("c"))
+      .groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("centroid"),
+        max(col("dim") + 1).cast("bigint").as("dim_count"))
+      .select(col("label"), col("centroid"), col("dim_count"))
+      .orderBy("label")
+  }
+
+  val embeddingCentroidsSql: String =
+    """WITH comps AS (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS x
+      |  FROM embeddings
+      |), means AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS DOUBLE)
+      |      / (COUNT(*) * 10000000) AS c
+      |  FROM comps GROUP BY label, dim
+      |)
+      |SELECT label,
+      |  list(c ORDER BY dim) AS centroid,
+      |  CAST(MAX(dim + 1) AS BIGINT) AS dim_count
+      |FROM means GROUP BY label ORDER BY label""".stripMargin
+
   /** Cosine near-duplicate pairs (embedding-space dedup). The pair
     * space is blocked by `label` (in production: an LSH bucket or IVF
     * cell); sim threshold keeps only near-dups. */

@@ -136,6 +136,29 @@ object TextAnalysis {
       |  CAST(length(text) AS INT) AS char_count
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sampling — the corpus-balancing step of
+    * a training-data pipeline (e.g. downsample the dominant language).
+    * The strata rates are applied with a modulus on the stable doc id,
+    * so the sample is reproducible across runs/retries and needs no
+    * shuffle at all (a pure pushed-down filter; `sample()` would be
+    * seed-dependent per partitioning). */
+  def sampleStratified(spark: SparkSession, dir: String,
+                       rates: Map[String, Int] = Map("en" -> 5), defaultRate: Int = 2): DataFrame = {
+    val keep = rates.foldLeft(lit(defaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) < keep)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE doc_id % 10 < (CASE WHEN lang = 'en' THEN 5 ELSE 2 END)
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-language corpus stats (grouped rollup over derived metrics). */
   def statsByLang(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
