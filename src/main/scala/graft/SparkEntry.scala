@@ -61,6 +61,7 @@ object SparkEntry {
     "ann_cosine_topk"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "embedding_centroids"  -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "ann_lsh_bucketed"     -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.cosineNearDup(s, d)),
     // §2E multimodal plumbing
     "media_metadata"       -> ((s, d) => Multimodal.mediaMetadata(s, d)),

@@ -134,6 +134,47 @@ object Similarity {
       |  CAST(MAX(dim + 1) AS BIGINT) AS dim_count
       |FROM means GROUP BY label ORDER BY label""".stripMargin
 
+  /** IVF-style ANN: a coarse quantizer (the per-label centroids)
+    * partitions the corpus into cells; each candidate is indexed under
+    * its nearest centroid, each query probes its `nProbe` nearest
+    * cells, and exact scoring happens only inside probed cells. This is
+    * the second scale path next to `lshTopK`: at 100 TB the cell
+    * assignment is a narrow map against a broadcast centroid table
+    * (nlist entries), the probe join shuffles on cell id, and recall is
+    * tuned with nProbe instead of re-indexing. No driver-side collect —
+    * the "index build" (centroids) is itself a distributed aggregate.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+              nProbe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cents = embeddingCentroids(spark, dir)
+      .select(col("label").as("cell"),
+        transform(col("centroid"), c => c.cast("float")).as("c_vec"))
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+    val cellSim = expr("cosine_sim(embedding, c_vec)")
+    def nearestCells(df: org.apache.spark.sql.DataFrame, probes: Int) = {
+      val w = Window.partitionBy("vec_id").orderBy(desc("cell_sim"), asc("cell"))
+      df.join(broadcast(cents))
+        .withColumn("cell_sim", cellSim)
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= probes)
+        .drop("c_vec", "cell_sim", "cell_rank")
+    }
+    val candidates = nearestCells(e.filter(col("vec_id") >= numQueries), 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("cell"))
+    val queries = nearestCells(e.filter(col("vec_id") < numQueries), nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
+    val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
+    candidates.join(broadcast(queries), "cell")
+      .select(col("query_id"), col("cand_id"), sim.as("similarity"))
+      .distinct() // a pair may meet in several probed cells
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Cosine near-duplicate pairs (embedding-space dedup). The pair
     * space is blocked by `label` (in production: an LSH bucket or IVF
     * cell); sim threshold keeps only near-dups. */

@@ -152,6 +152,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf ann probes cells and returns ranked candidates per query") {
+    val rows = Similarity.ivfTopK(spark, Sf, numQueries = 5, k = 3).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).min == 1)
+      g.foreach { r =>
+        assert(r.getAs[Long]("cand_id") >= 5)
+        assert(math.abs(r.getAs[Double]("similarity")) <= 1.0)
+      }
+    }
+  }
+
+  test("embedding centroids have full dimensionality per label") {
+    val rows = Similarity.embeddingCentroids(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim_count") == 64L)
+      assert(r.getSeq[Double](r.fieldIndex("centroid")).length == 64)
+    }
+  }
+
   test("cosine near-dup pairs stay within label blocks") {
     val rows = Similarity.cosineNearDup(spark, Sf, threshold = 0.3).collect()
     rows.foreach(r => assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
