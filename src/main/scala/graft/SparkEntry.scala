@@ -66,6 +66,8 @@ object SparkEntry {
     // §2E multimodal plumbing
     "media_metadata"       -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "media_frame_sample"   -> ((s, d) => Multimodal.frameSample(s, d)),
+    "media_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, d)),
+    "media_resize"         -> ((s, d) => Multimodal.mediaResize(s, d)),
   )
 
   /** DuckDB-runnable oracle for each query (same parquet tables).
@@ -111,6 +113,7 @@ object SparkEntry {
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "media_metadata"       -> Multimodal.mediaMetadataSql,
+    "media_feature_extract" -> Multimodal.featureExtractSql,
     // dedup_minhash_lsh / dedup_simhash / ann_* / dedup_embedding_cosine /
     // media_frame_sample: approximate or non-SQL-expressible → rows-only.
   )

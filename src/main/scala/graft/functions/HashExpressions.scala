@@ -214,6 +214,8 @@ object GraftFunctions {
     binary(CosineSimilarity.fnName, CosineSimilarity(_, _)),
     unary("minhash_sig", MinHashSignature(_)),
     unary("simhash64", SimHash64(_)),
+    unary("trigram_hashes", TrigramShingleHashes(_)),
+    unary("codepoint_hist16", CodepointHist16(_)),
     binary("sorted_intersect_count", SortedIntersectCount(_, _)))
 
   def ensureRegistered(spark: SparkSession): Unit = {

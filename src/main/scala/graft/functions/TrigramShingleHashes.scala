@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `trigram_hashes(string) -> array<bigint>`: sorted distinct 64-bit
+  * hashes of the 3-gram token shingles of a document (falling back to
+  * the distinct tokens themselves when there are fewer than three).
+  *
+  * Replaces the higher-order-function chain
+  * `array_sort(array_distinct(transform(shingles(text), xxhash64)))`,
+  * which materializes every trigram as a string (split → sequence →
+  * concat_ws per position → two distinct passes). Here each token is
+  * hashed once and trigram identity is a mix of three token hashes —
+  * injective per distinct trigram up to 64-bit collisions, so set
+  * cardinalities (and hence Jaccard) are unchanged while never
+  * allocating a shingle string.
+  *
+  * Tokenization matches `split(trim(text), '\s+')` (Java regex
+  * semantics: split on whitespace runs after trimming spaces). */
+case class TrigramShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TrigramShingleHashes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = TrigramShingleHashes.getClass.getName // graft.functions.TrigramShingleHashes$
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $obj.MODULE$$.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "trigram_hashes"
+}
+
+/** `codepoint_hist16(string) -> array<int>`: 16-bin histogram of
+  * code points mod 16 in one pass — the fused form of 16 ×
+  * size(filter(chars, …)), which walked the split-char array once per
+  * bin. */
+case class CodepointHist16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CodepointHist16.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = CodepointHist16.getClass.getName
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $obj.MODULE$$.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "codepoint_hist16"
+}
+
+object CodepointHist16 {
+  def compute(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val counts = new Array[Int](16)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts(cp % 16) += 1
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+object TrigramShingleHashes {
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64 over the chars of s[from, until). */
+  private def hashToken(s: String, from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Murmur3-style finalizer mix of three token hashes. */
+  private def mix(a: Long, b: Long, c: Long): Long = {
+    var h = a
+    h = h * 31 + b
+    h = h * 31 + c
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val s = if (text == null) "" else text.toString
+    // token boundaries after space-trim, split on whitespace runs
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val hashes = new java.util.ArrayList[Long]()
+    // Java split() emits a leading empty token when the string begins
+    // with a separator (e.g. a tab surviving the space-only trim)
+    if (start < end && Character.isWhitespace(s.charAt(start)))
+      hashes.add(hashToken(s, 0, 0))
+    var i = start
+    var tokStart = -1
+    while (i <= end) {
+      val isWs = i == end || Character.isWhitespace(s.charAt(i))
+      if (!isWs && tokStart < 0) tokStart = i
+      else if (isWs && tokStart >= 0) {
+        hashes.add(hashToken(s, tokStart, i))
+        tokStart = -1
+      }
+      i += 1
+    }
+    if (hashes.isEmpty) hashes.add(hashToken(s, 0, 0)) // "" token, like split('')
+    val n = hashes.size
+    val out =
+      if (n >= 3) {
+        val arr = new Array[Long](n - 2)
+        var j = 0
+        while (j < n - 2) {
+          arr(j) = mix(hashes.get(j), hashes.get(j + 1), hashes.get(j + 2))
+          j += 1
+        }
+        arr
+      } else {
+        val arr = new Array[Long](n)
+        var j = 0
+        while (j < n) { arr(j) = hashes.get(j); j += 1 }
+        arr
+      }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+}

@@ -21,22 +21,15 @@ object Dedup {
   /** Whitespace tokens. */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct 3-gram token shingles ("a b c" strings). */
-  private def shingles(c: Column): Column = {
-    val t = toks(c)
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-      .otherwise(array_distinct(t))
-  }
-
   /** Shingles hashed to sorted distinct longs — set operations on long
     * arrays (merge pass) instead of string arrays (per-pair hash-set
-    * build). xxhash64 is injective in practice at shingle-set sizes, so
+    * build). Hashing is injective in practice at shingle-set sizes, so
     * intersection/union cardinalities — and hence Jaccard — are
-    * unchanged. */
+    * unchanged. One fused native pass (graft.functions
+    * .TrigramShingleHashes): the HOF chain materialized every trigram
+    * as a string and ran two distinct passes per document. */
   private def shingleHashes(c: Column): Column =
-    array_sort(array_distinct(transform(shingles(c), s => xxhash64(s))))
+    call_function("trigram_hashes", c)
 
   /** Exact dedup: group by content hash, keep min doc_id.
     * One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup
@@ -118,10 +111,10 @@ object Dedup {
   val NumBands = 16
   val RowsPerBand = 4
 
-  /** Per-doc MinHash signature: hash each shingle once, then one fused
-    * 64-permutation pass (native codegen'd expression). */
-  private def signature(sh: Column): Column =
-    call_function("minhash_sig", transform(sh, s => xxhash64(s)))
+  /** Per-doc MinHash signature: fused shingle hashing, then one fused
+    * 64-permutation pass (both native codegen'd expressions). */
+  private def signature(text: Column): Column =
+    call_function("minhash_sig", call_function("trigram_hashes", text))
 
   /** MinHash + LSH banding: shingle → 64 minhashes → 16 band keys →
     * bucket self-join → candidate pairs with estimated Jaccard
@@ -135,7 +128,7 @@ object Dedup {
     // from a single input split (see ngramJaccard)
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
-      .select(col("doc_id"), signature(shingles(col("text"))).as("sig"))
+      .select(col("doc_id"), signature(col("text")).as("sig"))
     val bands = docs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>

@@ -48,6 +48,40 @@ object Multimodal {
       |  source
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Feature extraction over the payload: a 16-bin code-point
+    * histogram per media item (the real thing would be an image/audio
+    * embedding — the DISTRIBUTED SHAPE is identical: narrow map,
+    * fixed-width vector out, no shuffle). Oracle-checkable since the
+    * histogram derives deterministically from the bytes. */
+  def featureExtract(spark: SparkSession, dir: String, bins: Int = 16): DataFrame = {
+    require(bins == 16, "fused histogram expression is 16-bin")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        call_function("codepoint_hist16", col("text")).as("feature_vec"),
+        length(col("text")).as("n_chars"))
+      .orderBy("media_id")
+  }
+
+  val featureExtractSql: String =
+    """SELECT doc_id AS media_id,
+      |  [len(list_filter(string_split(text, ''), c -> ascii(c) % 16 = b)) FOR b IN range(0, 16)] AS feature_vec,
+      |  CAST(length(text) AS INT) AS n_chars
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Resize/truncate stub: clamp every payload to `targetBytes`,
+    * zero-padding short ones — the fixed-shape normalization step
+    * before batched tensor ops. Distributed as a pure projection. */
+  def mediaResize(spark: SparkSession, dir: String, targetBytes: Int = 256): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("media_id"),
+        expr(s"substring(rpad(payload, $targetBytes, x'00'), 1, $targetBytes)")
+          .as("resized"),
+        length(col("payload")).as("orig_bytes"))
+      .orderBy("media_id")
+
   /** STUB — a real implementation would decode the media container and
     * emit sampled frames; this deterministic fake slices the payload at
     * fixed strides so the distributed plumbing (schema, batching,

@@ -61,6 +61,7 @@ object Similarity {
     * the shuffle carries each row NumTables times instead of
     * enumerating all pairs. */
   def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val ps = planes(dim)
     // array of per-table buckets, exploded to (table_idx, bucket) keys
     def buckets(emb: org.apache.spark.sql.Column) = {
@@ -82,7 +83,7 @@ object Similarity {
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         explode(buckets(col("embedding"))).as("tb"))
       .select(col("cand_id"), col("c_emb"), col("tb.table_idx"), col("tb.bucket"))
-    val sim = round(cosine(col("q_emb"), col("c_emb")), 6)
+    val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
     val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
     candidates.join(broadcast(queries), Seq("table_idx", "bucket"))
       .select(col("query_id"), col("cand_id"), sim.as("similarity"))
@@ -179,14 +180,15 @@ object Similarity {
     * space is blocked by `label` (in production: an LSH bucket or IVF
     * cell); sim threshold keeps only near-dups. */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
-      .select(col("vec_id"), col("label"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("label"), col("embedding"))
     val a = e.as("a")
     val b = e.as("b")
-    val sim = round(
-      cosinePrenormed(dot(col("a.embedding"), col("b.embedding")), col("a.nrm"), col("b.nrm")), 6)
+    // fused single-loop scoring — the HOF dot/norm chain allocates per
+    // lambda application and dominated the pair stage
+    val sim = round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
     // broadcast the block dictionary: a shuffle join on `label` would
     // collapse parallelism to #distinct-labels tasks
     a.join(broadcast(b), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

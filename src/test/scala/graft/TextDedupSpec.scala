@@ -92,6 +92,26 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("trigram_hashes preserves shingle-set cardinality and pairwise Jaccard") {
+    val s = withFns()
+    // string-based reference formulation
+    val shStr = expr(
+      """CASE WHEN size(split(trim(text), '\\s+')) >= 3
+        |THEN array_distinct(transform(sequence(1, size(split(trim(text), '\\s+')) - 2),
+        |  i -> concat_ws(' ', element_at(split(trim(text), '\\s+'), i),
+        |                      element_at(split(trim(text), '\\s+'), i + 1),
+        |                      element_at(split(trim(text), '\\s+'), i + 2))))
+        |ELSE array_distinct(split(trim(text), '\\s+')) END""".stripMargin)
+    val d = Tables.documents(s, Sf).limit(40)
+      .select(col("doc_id"), expr("trigram_hashes(text)").as("h"), shStr.as("sh"))
+    assert(d.filter(size(col("h")) =!= size(col("sh"))).count() == 0)
+    val pairs = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val bad = pairs.filter(
+      expr("sorted_intersect_count(a.h, b.h)") =!=
+        size(array_intersect(col("a.sh"), col("b.sh")))).count()
+    assert(bad == 0)
+  }
+
   test("sorted_intersect_count equals size(array_intersect(...))") {
     val s = withFns()
     val sh = expr("array_sort(array_distinct(transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))))")
@@ -188,6 +208,21 @@ class MultimodalSpec extends SparkSpec {
       .select(col("media_id"), length(col("payload")).as("n_bytes"))
     val bad = perDoc.join(docs, "media_id")
       .filter(col("bytes") =!= least(col("n_bytes"), lit(800)))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("feature vectors are 16-wide and bins sum to char count") {
+    val bad = Multimodal.featureExtract(spark, Sf)
+      .filter(size(col("feature_vec")) =!= 16 ||
+        aggregate(col("feature_vec"), lit(0), (a, x) => a + x) =!= col("n_chars"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("resize clamps every payload to exactly 256 bytes") {
+    val bad = Multimodal.mediaResize(spark, Sf)
+      .filter(length(col("resized")) =!= 256)
       .count()
     assert(bad == 0)
   }
