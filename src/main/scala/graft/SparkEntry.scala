@@ -28,6 +28,7 @@ object SparkEntry {
     "mart_product_daily"   -> ((s, d) => EventMarts.martProductDaily(s, d)),
     "mart_orders"          -> ((s, d) => EventMarts.martOrders(s, d)),
     "hourly_traffic"       -> ((s, d) => EventMarts.hourlyTraffic(s, d)),
+    "funnel_conversion"    -> ((s, d) => EventMarts.funnelConversion(s, d)),
     "product_top_n"        -> ((s, d) => EventMarts.productTopN(s, d)),
     "report_user_summary"  -> ((s, d) => EventMarts.reportUserSummary(s, d)),
     "report_payment_dist"  -> ((s, d) => EventMarts.reportPaymentDist(s, d)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "mart_product_daily"   -> EventMarts.martProductDailySql,
     "mart_orders"          -> EventMarts.martOrdersSql,
     "hourly_traffic"       -> EventMarts.hourlyTrafficSql,
+    "funnel_conversion"    -> EventMarts.funnelConversionSql,
     "product_top_n"        -> EventMarts.productTopNSql,
     "report_user_summary"  -> EventMarts.reportUserSummarySql,
     "report_payment_dist"  -> EventMarts.reportPaymentDistSql,

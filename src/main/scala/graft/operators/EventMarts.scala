@@ -168,6 +168,37 @@ object EventMarts {
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY order_id""".stripMargin
 
+  /** Overall funnel conversion (corpus-wide, one row).
+    * Reference: spark_batch_processor.compute_funnel_conversion —
+    * distinct users per step + step-to-step rates. One aggregate, three
+    * conditional distincts. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    def ustep(t: String) = countDistinct(when(col("event_type") === t, col("user_id")))
+    def rate(a: Column, b: Column) =
+      a.cast("double") / nullif(b, lit(0)).cast("double") * lit(100)
+    Tables.events(spark, dir)
+      .agg(
+        ustep("view").as("viewers"),
+        ustep("click").as("clickers"),
+        ustep("purchase").as("purchasers"))
+      .withColumn("view_to_click_rate", rate(col("clickers"), col("viewers")))
+      .withColumn("click_to_purchase_rate", rate(col("purchasers"), col("clickers")))
+      .withColumn("overall_conversion_rate", rate(col("purchasers"), col("viewers")))
+  }
+
+  val funnelConversionSql: String =
+    """SELECT viewers, clickers, purchasers,
+      |  CAST(clickers AS DOUBLE) / CAST(NULLIF(viewers, 0) AS DOUBLE) * 100 AS view_to_click_rate,
+      |  CAST(purchasers AS DOUBLE) / CAST(NULLIF(clickers, 0) AS DOUBLE) * 100 AS click_to_purchase_rate,
+      |  CAST(purchasers AS DOUBLE) / CAST(NULLIF(viewers, 0) AS DOUBLE) * 100 AS overall_conversion_rate
+      |FROM (
+      |  SELECT
+      |    COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS viewers,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS clickers,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers
+      |  FROM events
+      |) t""".stripMargin
+
   /** Hourly traffic distribution.
     * Reference: spark_batch_processor.compute_hourly_traffic. */
   def hourlyTraffic(spark: SparkSession, dir: String): DataFrame =

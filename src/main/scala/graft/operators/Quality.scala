@@ -200,14 +200,53 @@ object Quality {
       |  MIN((1.0 - CAST(failed AS DOUBLE) / CAST(GREATEST(total, 1) AS DOUBLE)) * 100) AS min_daily_pass_rate
       |FROM unp GROUP BY check_name ORDER BY check_name""".stripMargin
 
-  /** All 7 checks in one result set (validate_quality.run_all_checks). */
-  def summary(spark: SparkSession, dir: String): DataFrame =
-    Seq(
-      nullCheck(spark, dir), duplicateCheck(spark, dir), rangeCheck(spark, dir),
-      sequenceCheck(spark, dir), timestampCheck(spark, dir),
-      integrityCheck(spark, dir), consistencyCheck(spark, dir))
-      .reduce(_ unionByName _)
+  /** All 7 checks in one result set (validate_quality.run_all_checks).
+    *
+    * THREE scans, not seven: every row-grain check (null, duplicate,
+    * range, timestamp, integrity) folds into ONE aggregate over events;
+    * the two grouped checks (sequence: user-day grain, consistency:
+    * user grain) take one shuffle each. At 100 TB the scan is the cost,
+    * so the quality suite must not multiply it by the check count. The
+    * single-check operators above keep their per-check shape for the
+    * driver contract; the oracle recomputes each check independently —
+    * results are identical. */
+  def summary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    val row = enriched(spark, dir).agg(
+      count(lit(1)).as("total"),
+      count(when(col("event_id").isNull || col("ts").isNull || col("user_id").isNull ||
+                 col("event_type").isNull || col("value").isNull || col("props").isNull, 1))
+        .as("null_failed"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_failed"),
+      count(when(
+        col("value") < 0 || col("value") > 1000000 ||
+        !col("event_type").isin("view", "click", "purchase", "signup", "error"), 1))
+        .as("range_failed"),
+      count(when(col("ts").isNull || year(col("ts")) < 2020 || year(col("ts")) > 2030, 1))
+        .as("ts_failed"),
+      count(when(col("event_type") === "purchase", 1)).as("purchase_total"),
+      count(when(col("event_type") === "purchase" &&
+                 (col("product_k").isNull || col("product_k") < 0 ||
+                  col("product_k") > 99 || col("value") <= 0), 1)).as("integrity_failed"))
+    val rowChecks = row.select(sqlExpr(
+      """stack(5,
+        |  'null_check', 'null_check', total, null_failed,
+        |  'duplicate_check', 'duplicate_check', total, dup_failed,
+        |  'range_check', 'range_check', total, range_failed,
+        |  'timestamp_check', 'range_check', total, ts_failed,
+        |  'integrity_check', 'integrity_check', purchase_total, integrity_failed
+        |) as (check_name, check_type, total_records, failed_records)""".stripMargin))
+    def rated(df: DataFrame): DataFrame = {
+      val rate = (lit(1.0) - col("failed_records").cast("double") /
+        greatest(col("total_records"), lit(1L)).cast("double")) * lit(100)
+      df.withColumn("pass_rate", rate)
+        .withColumn("status", when(col("pass_rate") >= 99.0, "PASS").otherwise("FAIL"))
+    }
+    rated(rowChecks)
+      .unionByName(sequenceCheck(spark, dir))
+      .unionByName(consistencyCheck(spark, dir))
       .orderBy("check_name")
+  }
 
   val summarySql: String =
     Seq(nullCheckSql, duplicateCheckSql, rangeCheckSql, sequenceCheckSql,
