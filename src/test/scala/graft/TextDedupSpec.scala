@@ -172,6 +172,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+
+  test("approximate ANN paths recall a meaningful share of the exact top-k") {
+    val exact = topkSets(Similarity.bruteForceTopK(spark, Sf, numQueries = 10, k = 5))
+    def recallOf(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (q, ex) => (approx.getOrElse(q, Set.empty) & ex).size }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val lsh = recallOf(topkSets(Similarity.lshTopK(spark, Sf, numQueries = 10, k = 5)))
+    val ivf = recallOf(topkSets(Similarity.ivfTopK(spark, Sf, numQueries = 10, k = 5)))
+    // deterministic given fixed data/planes/centroids; floors guard
+    // against a silently-broken bucketing (recall ~0)
+    assert(lsh >= 0.2, s"LSH recall too low: $lsh")
+    assert(ivf >= 0.2, s"IVF recall too low: $ivf")
+  }
+
   test("ivf ann probes cells and returns ranked candidates per query") {
     val rows = Similarity.ivfTopK(spark, Sf, numQueries = 5, k = 3).collect()
     assert(rows.nonEmpty)
