@@ -55,6 +55,7 @@ object SparkEntry {
     "sample_stratified"    -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
     // §2D dedup family
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_corpus"         -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
@@ -113,6 +114,7 @@ object SparkEntry {
     "sample_stratified"    -> TextAnalysis.sampleStratifiedSql,
     "embedding_centroids"  -> Similarity.embeddingCentroidsSql,
     "dedup_exact"          -> Dedup.exactSql,
+    "dedup_corpus"         -> Dedup.dedupedCorpusSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "media_metadata"       -> Multimodal.mediaMetadataSql,
     "media_feature_extract" -> Multimodal.featureExtractSql,

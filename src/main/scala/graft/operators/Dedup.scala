@@ -47,6 +47,30 @@ object Dedup {
     """SELECT md5(text) AS text_md5, COUNT(*) AS dup_count, MIN(doc_id) AS keeper_doc_id
       |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin
 
+  /** The deduplicated corpus itself: one kept document per distinct
+    * content hash (min doc_id wins). This is the consumable output of
+    * exact dedup — `exact()` reports the groups; this returns the
+    * surviving rows. Implemented as a keeper-id window filter, one
+    * shuffle on the content hash. */
+  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    Tables.documents(spark, dir)
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val dedupedCorpusSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents
+      |) t WHERE doc_id = keeper
+      |ORDER BY doc_id""".stripMargin
+
   /** Near-dup pairs by exact 3-gram Jaccard within a language block.
     * The block bounds the self-join (at scale the block key would be an
     * LSH bucket — see minhashLsh — this operator is the exact verifier
