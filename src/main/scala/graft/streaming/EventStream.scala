@@ -58,6 +58,24 @@ object EventStream {
         count(lit(1)).as("event_count"),
         approx_count_distinct(col("user_id")).as("unique_users_approx"))
 
+  /** Streaming quality monitor: per-window failure counts for the
+    * row-grain checks (null / range / timestamp), the continuous
+    * flavor of graft.operators.Quality — alerting-oriented (the batch
+    * suite is the gate; this feeds a live dashboard the way the
+    * reference's Slack alert watches the daily run). */
+  def qualityCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("total"),
+        count(when(col("event_id").isNull || col("user_id").isNull ||
+                   col("event_type").isNull || col("value").isNull, 1)).as("null_failed"),
+        count(when(col("value") < 0 || col("value") > 1000000 ||
+                   !col("event_type").isin("view", "click", "purchase", "signup", "error"), 1))
+          .as("range_failed"),
+        count(when(year(col("ts")) < 2020 || year(col("ts")) > 2030, 1)).as("ts_failed"))
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped, and state for an id is released
     * once the watermark passes it — bounded state on an unbounded

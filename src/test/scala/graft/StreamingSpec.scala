@@ -50,6 +50,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality monitor counts bad rows per window") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData(
+      (1L, base, 1L, "view", 1.0, "{}"),
+      (2L, base, 1L, "bogus_type", 1.0, "{}"),   // range failure
+      (3L, base, 1L, "purchase", -5.0, "{}"))    // range failure (negative)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.qualityCounts(df)
+      .writeStream.format("memory").queryName("dqmon_test").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("dqmon_test").collect().head
+      assert(r.getAs[Long]("total") == 3)
+      assert(r.getAs[Long]("range_failed") == 2)
+      assert(r.getAs[Long]("null_failed") == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
