@@ -38,6 +38,31 @@ class SourcesSpec extends SparkSpec {
   }
 }
 
+class EventGeneratorSpec extends SparkSpec {
+  import graft.sources.EventGenerator
+
+  test("generator is deterministic, schema-complete, and funnel-weighted") {
+    val a = EventGenerator.events(spark, 5000).collect()
+    val b = EventGenerator.events(spark, 5000).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.length == 5000)
+    val types = a.groupBy(_.getAs[String]("event_type")).view.mapValues(_.length).toMap
+    assert(types("view") > types("purchase")) // funnel-heavy mix
+    assert(a.forall(r => r.getAs[Double]("value") > 0))
+    // purchases carry a product id in props
+    assert(a.filter(_.getAs[String]("event_type") == "purchase")
+      .forall(_.getAs[String]("props").contains("\"k\"")))
+  }
+
+  test("generated jsonl round-trips through EventSource with zero corrupt rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    EventGenerator.writeJsonl(spark, dir, n = 500, partitions = 2)
+    val back = EventSource.jsonl(spark, dir).cache()
+    assert(back.count() == 500)
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 0)
+  }
+}
+
 class PipelineSpec extends SparkSpec {
   test("pipeline validates, gates, and writes idempotent marts") {
     val out = Files.createTempDirectory("graft_pipeline").toString
