@@ -58,6 +58,27 @@ object EventStream {
         count(lit(1)).as("event_count"),
         approx_count_distinct(col("user_id")).as("unique_users_approx"))
 
+  /** Declarative gap-sessionization with the built-in `session_window`
+    * (dynamic-gap windows merged by the engine; state evicted by the
+    * watermark). The flatMapGroupsWithState variant
+    * (SessionizeStream) exists for semantics the built-in cannot
+    * express — ordered event sequences in the output; when plain
+    * per-session aggregates suffice, THIS is the preferred form: no
+    * user state code, and the engine can optimize the merge. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("session"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase_count"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+          .as("session_revenue"))
+      .select(col("user_id"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("event_count"),
+        col("purchase_count"), col("session_revenue"))
+
   /** Streaming quality monitor: per-window failure counts for the
     * row-grain checks (null / range / timestamp), the continuous
     * flavor of graft.operators.Quality — alerting-oriented (the batch

@@ -50,6 +50,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window sessionization groups by gap and sums revenue") {
+    val (_, df) = eventsDf()
+    // append mode requires the watermark to close sessions; user 1's
+    // events sit 60+ min before user 2's last event, so its session
+    // finalizes once the watermark passes
+    val q = EventStream.sessionStats(df, gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sesswin_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sesswin_test").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1)
+      assert(u1.head.getAs[Long]("event_count") == 3)
+      assert(math.abs(u1.head.getAs[Double]("session_revenue") - 42.5) < 1e-9)
+    } finally q.stop()
+  }
+
   test("streaming quality monitor counts bad rows per window") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
