@@ -75,7 +75,14 @@ object Dedup {
     * The block bounds the self-join (at scale the block key would be an
     * LSH bucket — see minhashLsh — this operator is the exact verifier
     * that runs on candidate pairs). */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+  /** @param broadcastBuild broadcast the build side (default): right
+    *   when this runs as the exact verifier over bounded candidate
+    *   blocks. Pass false for a pre-blocked corpus too large to
+    *   broadcast — the join falls back to a shuffle on the block key
+    *   (then the caller must ensure block-key cardinality ≫ cores,
+    *   e.g. LSH band buckets, or parallelism collapses). */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2,
+                   broadcastBuild: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // repartition before the heavy per-row work: the corpus may arrive
     // in a handful of splits (here: one parquet file), which would run
@@ -100,7 +107,7 @@ object Dedup {
     // verifier; unbounded corpora go through minhashLsh first), and a
     // broadcast join keeps full parallelism where a shuffle join would
     // collapse to one partition per distinct lang key.
-    a.join(broadcast(b),
+    a.join(if (broadcastBuild) broadcast(b) else b,
         col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")).cast("double") >=
           lit(threshold) * greatest(col("a.n"), col("b.n")).cast("double"))

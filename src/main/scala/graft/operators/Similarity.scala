@@ -179,7 +179,11 @@ object Similarity {
   /** Cosine near-duplicate pairs (embedding-space dedup). The pair
     * space is blocked by `label` (in production: an LSH bucket or IVF
     * cell); sim threshold keeps only near-dups. */
-  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  /** @param broadcastBuild see Dedup.ngramJaccard — broadcast is the
+    *   bounded-verifier default; false falls back to a shuffle join on
+    *   the block key for corpora too large to broadcast. */
+  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                    broadcastBuild: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
@@ -191,7 +195,8 @@ object Similarity {
     val sim = round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
     // broadcast the block dictionary: a shuffle join on `label` would
     // collapse parallelism to #distinct-labels tasks
-    a.join(broadcast(b), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    a.join(if (broadcastBuild) broadcast(b) else b,
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), sim.as("similarity"))
       .filter(col("similarity") >= threshold)
