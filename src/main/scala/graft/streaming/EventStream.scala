@@ -97,6 +97,28 @@ object EventStream {
           .as("range_failed"),
         count(when(year(col("ts")) < 2020 || year(col("ts")) > 2030, 1)).as("ts_failed"))
 
+  /** Stream-stream interval self-join: attribute each purchase to the
+    * same user's views in the preceding hour. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * the engine can evict per-side state once the watermark passes the
+    * interval — bounded state on two unbounded streams. */
+  def viewPurchaseAttribution(events: DataFrame, attributionWindow: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(views, expr(
+      s"""p_user = v_user AND
+         |view_ts <= purchase_ts AND
+         |view_ts >= purchase_ts - INTERVAL $attributionWindow""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("view_ts"), col("amount"))
+  }
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped, and state for an id is released
     * once the watermark passes it — bounded state on an unbounded

@@ -88,6 +88,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to preceding views") {
+    val (_, df) = eventsDf()
+    // user 1: view @0min, purchase @2min → attributed (1 view in window)
+    // user 2: views only → no row
+    val q = EventStream.viewPurchaseAttribution(df)
+      .writeStream.format("memory").queryName("attr_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attr_test").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("user_id") == 1L)
+      assert(math.abs(rows.head.getAs[Double]("amount") - 42.5) < 1e-9)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
