@@ -37,6 +37,35 @@ class RelationalSpec extends SparkSpec {
   }
 }
 
+class BucketingSpec extends SparkSpec {
+  test("bucketed fact-fact join is shuffle-free and matches the shuffled result") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val (oName, lName) = Bucketing.writeBucketed(spark, Sf, tmp, buckets = 4, suffix = "_t")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // tiny test tables would broadcast; force the at-scale join shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Bucketing.rollupFromBucketed(spark, oName, lName)
+      val rows = bucketed.collect() // materialize so AQE finalizes the plan
+      val plan = bucketed.queryExecution.executedPlan.toString
+      // the join itself must not shuffle: bucket-local sort-merge join,
+      // no exchange on either join key (the agg exchange above is fine)
+      assert(plan.contains("SortMergeJoin"), s"expected bucket-local SMJ in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans in:\n$plan")
+      assert(!plan.contains("hashpartitioning(o_orderkey") &&
+             !plan.contains("hashpartitioning(l_orderkey"),
+        s"bucketed join must not shuffle on the join key:\n$plan")
+      // identical results to the shuffle-based rollup
+      val expected = Relational.orderLineitemRollup(spark, Sf).collect().toSeq
+      assert(rows.toSeq == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $oName")
+      spark.sql(s"DROP TABLE IF EXISTS $lName")
+    }
+  }
+}
+
 class EventMartsSpec extends SparkSpec {
   test("mart_user_daily per-type counts sum to event_count") {
     val bad = EventMarts.martUserDaily(spark, Sf)
