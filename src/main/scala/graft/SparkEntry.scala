@@ -20,6 +20,7 @@ object SparkEntry {
     "q7_volume_shipping"   -> ((s, d) => Relational.q7VolumeShipping(s, d)),
     "q10_returned_items"   -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q14_promo_share"      -> ((s, d) => Relational.q14PromoShare(s, d)),
+    "q18_large_orders"     -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "top_customers_window" -> ((s, d) => Relational.topCustomersWindow(s, d)),
     "order_lineitem_rollup" -> ((s, d) => Relational.orderLineitemRollup(s, d)),
     // §2A reference marts & batch aggregates
@@ -82,6 +83,7 @@ object SparkEntry {
     "q7_volume_shipping"   -> Relational.q7Sql,
     "q10_returned_items"   -> Relational.q10Sql,
     "q14_promo_share"      -> Relational.q14Sql,
+    "q18_large_orders"     -> Relational.q18Sql,
     "top_customers_window" -> Relational.topCustomersSql,
     "order_lineitem_rollup" -> Relational.orderLineitemRollupSql,
     "mart_user_daily"      -> EventMarts.martUserDailySql,

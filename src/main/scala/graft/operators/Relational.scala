@@ -269,6 +269,40 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'""".stripMargin
 
+  /** TPC-H Q18-style large-volume orders: grouped HAVING over lineitem
+    * feeds a join back to orders/customer — the "aggregate as a filter"
+    * shape. The big-order set after the HAVING is tiny, so it
+    * broadcasts into the orders join; lineitem aggregates in one
+    * shuffle on the order key. */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Double = 120, topN: Int = 100): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(topN)
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  o_totalprice, sum_qty
+      |FROM (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 120
+      |) big
+      |JOIN orders   ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
   /** Multi-level rollup: orders⋈lineitem grouped by status/priority. */
   def orderLineitemRollup(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus", "o_orderpriority")
