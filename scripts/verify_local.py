@@ -74,7 +74,29 @@ def compare(name, spark_dir, con, sql):
         return f"{name}: VALUE DIFF exact={n_exact} close={n_close} diff={n_diff} first={first_diff}"
     if n_close:
         return f"{name}: CLOSE-ONLY (fp drift, would FAIL exact hash) exact={n_exact} close={n_close}"
+    # Driver-parity dtype check: the driver hashes pandas dtypes, so
+    # value-equal columns still fail when e.g. DuckDB SUM(BIGINT) →
+    # HUGEINT → float64 while Spark wrote int64 (round-1 lesson).
+    dtype_msg = dtype_drift(name, files[0], con, sql)
+    if dtype_msg:
+        return dtype_msg
     return f"{name}: OK ({len(dr)} rows)"
+
+
+def dtype_drift(name, spark_file, con, sql):
+    import numpy as np
+    import pandas as pd
+    s_df = pq.read_table(spark_file).to_pandas()
+    d_df = con.execute(sql).fetchdf()
+    for c in sorted(s_df.columns):
+        sd, dd = s_df[c].dtype, d_df[c].dtype
+        for side, df in (("spark", s_df), ("duck", d_df)):
+            if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (np.ndarray, list)):
+                return f"{name}: ARRAY COLUMN {c} ({side}) — driver harness crashes on ndarray cells"
+        s_kind, d_kind = sd.kind, dd.kind
+        if s_kind != d_kind and {s_kind, d_kind} <= {"i", "u", "f"}:
+            return f"{name}: DTYPE DRIFT col={c} spark={sd} duck={dd} — would fail driver hash (cast the oracle)"
+    return None
 
 
 def main():

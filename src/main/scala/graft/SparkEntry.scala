@@ -62,14 +62,15 @@ object SparkEntry {
     "dedup_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
     // §2D similarity search
     "ann_cosine_topk"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
-    "embedding_centroids"  -> ((s, d) => Similarity.embeddingCentroids(s, d)),
+    // long format: the driver's pandas compare cannot hash array columns
+    "embedding_centroids"  -> ((s, d) => Similarity.embeddingCentroidsLong(s, d)),
     "ann_lsh_bucketed"     -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.cosineNearDup(s, d)),
     // §2E multimodal plumbing
     "media_metadata"       -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "media_frame_sample"   -> ((s, d) => Multimodal.frameSample(s, d)),
-    "media_feature_extract" -> ((s, d) => Multimodal.featureExtract(s, d)),
+    "media_feature_extract" -> ((s, d) => Multimodal.featureExtractLong(s, d)),
     "media_resize"         -> ((s, d) => Multimodal.mediaResize(s, d)),
   )
 

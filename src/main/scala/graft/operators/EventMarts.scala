@@ -259,8 +259,8 @@ object EventMarts {
 
   val reportUserSummarySql: String =
     """SELECT COUNT(DISTINCT user_id) AS active_users,
-      |  SUM(event_count) AS total_events, SUM(view_count) AS total_views,
-      |  SUM(click_count) AS total_clicks, SUM(purchase_count) AS total_purchases,
+      |  CAST(SUM(event_count) AS BIGINT) AS total_events, CAST(SUM(view_count) AS BIGINT) AS total_views,
+      |  CAST(SUM(click_count) AS BIGINT) AS total_clicks, CAST(SUM(purchase_count) AS BIGINT) AS total_purchases,
       |  CAST(SUM(CAST(total_purchase_amount AS DECIMAL(14,2))) AS DOUBLE) AS total_revenue,
       |  COUNT(CASE WHEN purchase_count > 0 THEN 1 END) AS purchasing_user_days
       |FROM (

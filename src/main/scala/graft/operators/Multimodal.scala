@@ -64,11 +64,35 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Long-format (media_id, bin, bin_count, n_chars) rows — the
+    * driver-comparable shape (array output crashes the harness's
+    * pandas compare); the array form above stays the library API. */
+  def featureExtractLong(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        call_function("codepoint_hist16", col("text")).as("fv"),
+        length(col("text")).as("n_chars"))
+      .select(col("media_id"), posexplode(col("fv")).as(Seq("bin", "bin_count")), col("n_chars"))
+      .orderBy("media_id", "bin")
+  }
+
   val featureExtractSql: String =
-    """SELECT doc_id AS media_id,
-      |  [len(list_filter(string_split(text, ''), c -> ascii(c) % 16 = b)) FOR b IN range(0, 16)] AS feature_vec,
-      |  CAST(length(text) AS INT) AS n_chars
-      |FROM documents ORDER BY media_id""".stripMargin
+    """WITH h AS (
+      |  SELECT doc_id AS media_id,
+      |    [len(list_filter(string_split(text, ''), c -> ascii(c) % 16 = b)) FOR b IN range(0, 16)] AS fv,
+      |    CAST(length(text) AS INT) AS n_chars
+      |  FROM documents
+      |), longf AS (
+      |  SELECT media_id,
+      |    CAST(generate_subscripts(fv, 1) - 1 AS INT) AS bin,
+      |    CAST(unnest(fv) AS INT) AS bin_count,
+      |    n_chars
+      |  FROM h
+      |)
+      |SELECT media_id, bin, bin_count, n_chars FROM longf
+      |ORDER BY media_id, bin""".stripMargin
 
   /** Resize/truncate stub: clamp every payload to `targetBytes`,
     * zero-padding short ones — the fixed-shape normalization step

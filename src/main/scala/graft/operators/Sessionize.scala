@@ -62,8 +62,8 @@ object Sessionize {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id)
       |), sessioned AS (
-      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_epoch, event_id
-      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_epoch, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM flagged
       |)
       |SELECT user_id, session_idx,

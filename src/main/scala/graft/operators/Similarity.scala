@@ -100,7 +100,7 @@ object Similarity {
     * dim. Two shuffles, both map-side combined; component sums are
     * decimal so the result is bit-identical to the oracle regardless
     * of partial-aggregation order. */
-  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+  private def componentMeans(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
     // Components are quantized to 1e-7 (integer units) before summing:
@@ -111,6 +111,17 @@ object Similarity {
     e.groupBy(col("label"), col("dim"))
       .agg((sum(round(col("x").cast("double") * lit(1e7)).cast("bigint")).cast("double") /
             (count(lit(1)) * lit(1e7))).as("c"))
+  }
+
+  /** Long-format centroids (label, dim, c) — the driver-comparable
+    * shape (array columns crash the harness's pandas compare). */
+  def embeddingCentroidsLong(spark: SparkSession, dir: String): DataFrame =
+    componentMeans(spark, dir)
+      .select(col("label"), col("dim"), col("c"))
+      .orderBy("label", "dim")
+
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    componentMeans(spark, dir)
       .groupBy(col("label"))
       .agg(
         transform(array_sort(collect_list(struct(col("dim"), col("c")))),
@@ -122,18 +133,14 @@ object Similarity {
 
   val embeddingCentroidsSql: String =
     """WITH comps AS (
-      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS x
+      |  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim, unnest(embedding) AS x
       |  FROM embeddings
-      |), means AS (
-      |  SELECT label, dim,
-      |    CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS DOUBLE)
-      |      / (COUNT(*) * 10000000) AS c
-      |  FROM comps GROUP BY label, dim
       |)
-      |SELECT label,
-      |  list(c ORDER BY dim) AS centroid,
-      |  CAST(MAX(dim + 1) AS BIGINT) AS dim_count
-      |FROM means GROUP BY label ORDER BY label""".stripMargin
+      |SELECT label, dim,
+      |  CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS DOUBLE)
+      |    / (COUNT(*) * 10000000) AS c
+      |FROM comps GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
 
   /** IVF-style ANN: a coarse quantizer (the per-label centroids)
     * partitions the corpus into cells; each candidate is indexed under

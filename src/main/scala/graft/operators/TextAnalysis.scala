@@ -173,7 +173,7 @@ object TextAnalysis {
       .orderBy("lang")
 
   val statsByLangSql: String =
-    """SELECT lang, COUNT(*) AS doc_count, SUM(n_chars) AS total_chars,
+    """SELECT lang, COUNT(*) AS doc_count, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
       |  COUNT(DISTINCT source) AS distinct_sources
