@@ -86,6 +86,14 @@ object TrigramShingleHashes {
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
 
+  /** Java-regex `\s` = [ \t\n\x0B\f\r] — the documented `split('\s+')`
+    * tokenizer contract and what the DuckDB oracle's regex matches.
+    * Deliberately NOT Character.isWhitespace, which also matches
+    * U+001C-1F, U+2028/2029, U+3000 etc. and would give non-ASCII
+    * corpora different shingle sets than the oracle. */
+  private def isTokenSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** FNV-1a 64 over the chars of s[from, until). */
   private def hashToken(s: String, from: Int, until: Int): Long = {
     var h = FnvOffset
@@ -118,12 +126,12 @@ object TrigramShingleHashes {
     val hashes = new java.util.ArrayList[Long]()
     // Java split() emits a leading empty token when the string begins
     // with a separator (e.g. a tab surviving the space-only trim)
-    if (start < end && Character.isWhitespace(s.charAt(start)))
+    if (start < end && isTokenSep(s.charAt(start)))
       hashes.add(hashToken(s, 0, 0))
     var i = start
     var tokStart = -1
     while (i <= end) {
-      val isWs = i == end || Character.isWhitespace(s.charAt(i))
+      val isWs = i == end || isTokenSep(s.charAt(i))
       if (!isWs && tokStart < 0) tokStart = i
       else if (isWs && tokStart >= 0) {
         hashes.add(hashToken(s, tokStart, i))

@@ -123,6 +123,33 @@ class HashExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("trigram_hashes tokenizer honors the \\s contract on exotic whitespace") {
+    val s = withFns()
+    import s.implicits._
+    // U+2028 (line sep), U+3000 (ideographic space), U+001C (file sep)
+    // are Character.isWhitespace but NOT Java-regex \s: they must stay
+    // INSIDE tokens, exactly as split(trim(text), '\s+') keeps them.
+    val texts = Seq(
+      "a" + 0x2028.toChar + "b c d e",
+      "a" + 0x3000.toChar + "b c d e",
+      "a" + 0x001C.toChar + "b c d e",
+      "a\tb" + 0x000B.toChar + "c\fd\re f",
+      "\ta b c",
+      "  a b c  ",
+      "plain ascii words only")
+    val shStr = expr(
+      """CASE WHEN size(split(trim(text), '\\s+')) >= 3
+        |THEN array_distinct(transform(sequence(1, size(split(trim(text), '\\s+')) - 2),
+        |  i -> concat_ws(' ', element_at(split(trim(text), '\\s+'), i),
+        |                      element_at(split(trim(text), '\\s+'), i + 1),
+        |                      element_at(split(trim(text), '\\s+'), i + 2))))
+        |ELSE array_distinct(split(trim(text), '\\s+')) END""".stripMargin)
+    val bad = texts.toDF("text")
+      .filter(size(expr("trigram_hashes(text)")) =!= size(shStr))
+      .count()
+    assert(bad == 0)
+  }
+
   test("simhash64 equals the zip_with majority-vote formulation") {
     val s = withFns()
     val hashed = expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))")
@@ -162,6 +189,35 @@ class SimilaritySpec extends SparkSpec {
         (expr("cosine_sim(u, v)") - VectorFunctions.cosine(col("u"), col("v"))).as("d"))
       .agg(max(abs(col("d")))).collect().head.getDouble(0)
     assert(diff < 1e-12)
+  }
+
+  test("cosine_sim: zero norm scores 0.0 and ranks last; length mismatch is null") {
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    import spark.implicits._
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val scored = cands
+      .withColumn("q", array(lit(1.0f), lit(0.0f), lit(0.0f)))
+      .select(col("id"), expr("cosine_sim(q, v)").as("s"))
+      .orderBy(desc("s"), asc("id"))
+      .collect()
+    // the all-zero vector must score 0.0 (not NaN, which sorts largest)
+    // and therefore land LAST in the descending ranking
+    assert(scored.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(scored.last.getDouble(1) == 0.0)
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def litArr(xs: Float*) = Literal.create(xs.toArray, ArrayType(FloatType))
+    val zero = graft.functions.CosineSimilarity(litArr(1f, 2f), litArr(0f, 0f)).eval(null)
+    assert(zero == 0.0)
+    // mismatched dimensionality → null, in both paths
+    val mm = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)")).collect().head
+    assert(mm.isNullAt(0))
+    assert(graft.functions.CosineSimilarity(litArr(1f), litArr(1f, 2f)).eval(null) == null)
   }
 
   test("lsh candidates are a subset of brute-force scoring domain and ranked") {
