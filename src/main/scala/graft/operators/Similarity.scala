@@ -60,20 +60,24 @@ object Similarity {
     * huge (cannot broadcast): the join key is (table_idx, bucket), so
     * the shuffle carries each row NumTables times instead of
     * enumerating all pairs. */
+  /** Array of per-table (table_idx, bucket) LSH keys for one embedding:
+    * bucket = the sign bits of the hyperplane projections. Shared by
+    * `lshTopK` (ANN) and `cosineNearDup` (near-dup blocking). */
+  private def bandKeys(emb: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column = {
+    val ps = planes(dim)
+    val perTable = ps.toSeq.zipWithIndex.map { case (table, t) =>
+      val bits: Seq[org.apache.spark.sql.Column] = table.toSeq.zipWithIndex.map { case (p, i) =>
+        val planeCol = array(p.toSeq.map(lit(_)): _*)
+        when(dot(emb, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table_idx"), bits.reduce(_ + _).as("bucket"))
+    }
+    array(perTable: _*)
+  }
+
   def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val ps = planes(dim)
-    // array of per-table buckets, exploded to (table_idx, bucket) keys
-    def buckets(emb: org.apache.spark.sql.Column) = {
-      val perTable = ps.toSeq.zipWithIndex.map { case (table, t) =>
-        val bits: Seq[org.apache.spark.sql.Column] = table.toSeq.zipWithIndex.map { case (p, i) =>
-          val planeCol = array(p.map(lit(_)): _*)
-          when(dot(emb, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-        }
-        struct(lit(t).as("table_idx"), bits.reduce(_ + _).as("bucket"))
-      }
-      array(perTable: _*)
-    }
+    def buckets(emb: org.apache.spark.sql.Column) = bandKeys(emb, dim)
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -142,37 +146,66 @@ object Similarity {
       |FROM comps GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
-  /** IVF-style ANN: a coarse quantizer (the per-label centroids)
-    * partitions the corpus into cells; each candidate is indexed under
-    * its nearest centroid, each query probes its `nProbe` nearest
-    * cells, and exact scoring happens only inside probed cells. This is
-    * the second scale path next to `lshTopK`: at 100 TB the cell
-    * assignment is a narrow map against a broadcast centroid table
-    * (nlist entries), the probe join shuffles on cell id, and recall is
-    * tuned with nProbe instead of re-indexing. No driver-side collect —
-    * the "index build" (centroids) is itself a distributed aggregate.
-    */
+  /** Coarse-quantizer index metadata: the trained centroids, collected
+    * to the driver as nlist (cell_id, vector) pairs. nlist is small by
+    * construction (10s-1000s of cells for billions of rows), so this is
+    * the one legitimate driver materialization in the IVF family — the
+    * moral equivalent of broadcasting the index, except embedding it as
+    * a LITERAL lets cell assignment run as a narrow projection with no
+    * join, no window, and no shuffle at all. */
+  private[operators] def collectCentroids(cents: DataFrame): Seq[(Int, Array[Float])] =
+    cents.collect().toSeq.map { r =>
+      r.getInt(r.fieldIndex("cell")) ->
+        r.getSeq[Double](r.fieldIndex("c_vec")).map(_.toFloat).toArray
+    }
+
+  /** `probes` nearest cells of `emb` as an array column — a NARROW map:
+    * per row, score the literal centroid array in one projection
+    * (fused `cosine_sim` per cell), order by (sim desc, cell asc) via
+    * struct sort on (neg_sim, cell), keep the first `probes`. Zero
+    * exchanges between the embeddings scan and whatever consumes the
+    * cell ids. */
+  private[operators] def nearestCellsCol(emb: org.apache.spark.sql.Column,
+      cents: Seq[(Int, Array[Float])], probes: Int): org.apache.spark.sql.Column = {
+    val centArr = array(cents.map { case (cell, vec) =>
+      struct(lit(cell).as("cell"), array(vec.toSeq.map(lit(_)): _*).as("vec"))
+    }: _*)
+    val scored = transform(centArr, c => struct(
+      (-call_function("cosine_sim", emb, c.getField("vec"))).as("neg_sim"),
+      c.getField("cell").as("cell")))
+    transform(slice(array_sort(scored), 1, probes), s => s.getField("cell"))
+  }
+
+  /** IVF-style ANN: a coarse quantizer (the per-label centroids — see
+    * `kmeansCentroids` for the trained variant) partitions the corpus
+    * into cells; each candidate is indexed under its nearest centroid,
+    * each query probes its `nProbe` nearest cells, and exact scoring
+    * happens only inside probed cells. This is the second scale path
+    * next to `lshTopK`: cell assignment is a narrow projection against
+    * the literal centroid array (`nearestCellsCol` — no exchange
+    * between the embeddings scan and the probe join), the probe join
+    * broadcasts the query side, and recall is tuned with nProbe
+    * instead of re-indexing. At 100 TB the scan's own input splits
+    * carry the parallelism — nothing here repartitions. */
   def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
               nProbe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val cents = embeddingCentroids(spark, dir)
-      .select(col("label").as("cell"),
-        transform(col("centroid"), c => c.cast("float")).as("c_vec"))
+    val cents = collectCentroids(
+      embeddingCentroids(spark, dir)
+        .select(col("label").as("cell"), col("centroid").as("c_vec")))
+    ivfTopKWith(spark, dir, cents, numQueries, k, nProbe)
+  }
+
+  private[operators] def ivfTopKWith(spark: SparkSession, dir: String,
+      cents: Seq[(Int, Array[Float])], numQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
-    val cellSim = expr("cosine_sim(embedding, c_vec)")
-    def nearestCells(df: org.apache.spark.sql.DataFrame, probes: Int) = {
-      val w = Window.partitionBy("vec_id").orderBy(desc("cell_sim"), asc("cell"))
-      df.join(broadcast(cents))
-        .withColumn("cell_sim", cellSim)
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= probes)
-        .drop("c_vec", "cell_sim", "cell_rank")
-    }
-    val candidates = nearestCells(e.filter(col("vec_id") >= numQueries), 1)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"), col("cell"))
-    val queries = nearestCells(e.filter(col("vec_id") < numQueries), nProbe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    val candidates = e.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        explode(nearestCellsCol(col("embedding"), cents, 1)).as("cell"))
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(nearestCellsCol(col("embedding"), cents, nProbe)).as("cell"))
     val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
     val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
     candidates.join(broadcast(queries), "cell")
@@ -183,30 +216,51 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Cosine near-duplicate pairs (embedding-space dedup). The pair
-    * space is blocked by `label` (in production: an LSH bucket or IVF
-    * cell); sim threshold keeps only near-dups. */
-  /** @param broadcastBuild see Dedup.ngramJaccard — broadcast is the
-    *   bounded-verifier default; false falls back to a shuffle join on
-    *   the block key for corpora too large to broadcast. */
+  /** Cosine near-duplicate pairs (embedding-space dedup). The block
+    * key is a random-hyperplane LSH band (table_idx, bucket) — the same
+    * hyperplanes as `lshTopK` — so a pair is scored only when it
+    * collides in some table; exact cosine is the in-bucket verifier and
+    * `distinct` collapses multi-table collisions.
+    *
+    * Scale design: no whole-corpus broadcast and no low-cardinality
+    * block shuffle — the join shuffles on NumTables × 2^PlanesPerTable
+    * band keys and carries each row NumTables times, the same invariant
+    * as `Dedup.minhashLsh`. Recall vs bucket size trades with
+    * PlanesPerTable: at larger corpora add planes so per-bucket pair
+    * counts stay bounded (expected bucket size halves per added
+    * plane). */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                    broadcastBuild: Boolean = true): DataFrame = {
+                    dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val a = e.as("a")
-    val b = e.as("b")
+    cosineNearDupFrom(Tables.embeddings(spark, dir), threshold, dim)
+  }
+
+  /** DataFrame-input core of `cosineNearDup` — input needs (vec_id,
+    * embedding). Recall is threshold-dependent by LSH nature: true
+    * near-duplicates (sim → 1) collide in some table with probability
+    * → 1, while barely-over-threshold pairs are the hard case — which
+    * is the correct trade for dedup, where the verifier must never
+    * pass a false positive but a borderline near-miss is harmless. */
+  private[graft] def cosineNearDupFrom(e: DataFrame, threshold: Double,
+                                       dim: Int): DataFrame = {
+    val banded = e
+      // spread the band-key projection and the per-bucket pair scoring
+      // across tasks even when the local input is a single split
+      .repartition(e.sparkSession.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        explode(bandKeys(col("embedding"), dim)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.table_idx"), col("tb.bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
     // fused single-loop scoring — the HOF dot/norm chain allocates per
     // lambda application and dominated the pair stage
     val sim = round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
-    // broadcast the block dictionary: a shuffle join on `label` would
-    // collapse parallelism to #distinct-labels tasks
-    a.join(if (broadcastBuild) broadcast(b) else b,
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"), sim.as("similarity"))
+    a.join(b,
+        col("a.table_idx") === col("b.table_idx") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), sim.as("similarity"))
       .filter(col("similarity") >= threshold)
+      .distinct() // a pair may collide in several tables
       .orderBy("vec_a", "vec_b")
   }
 }

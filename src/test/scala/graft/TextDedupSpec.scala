@@ -268,9 +268,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("cosine near-dup pairs stay within label blocks") {
-    val rows = Similarity.cosineNearDup(spark, Sf, threshold = 0.3).collect()
-    rows.foreach(r => assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  test("cosine near-dup: no false positives vs the unblocked exact pair set") {
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    val th = 0.4
+    val approx = Similarity.cosineNearDup(spark, Sf, threshold = th).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    approx.foreach { case (a, b) => assert(a < b) }
+    val e = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("s"))
+      .filter(col("s") >= th)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // in-bucket exact verification ⇒ every reported pair is a true pair
+    assert(approx.subsetOf(exact), s"false positives: ${approx -- exact}")
+    // this corpus's over-threshold pairs are ALL borderline (max sim
+    // ≈0.48) — the hardest case for LSH banding; require a non-trivial
+    // floor here and near-total recall on planted dups (next test)
+    if (exact.nonEmpty) {
+      val recall = (approx & exact).size.toDouble / exact.size
+      assert(recall >= 0.25, s"banded near-dup recall too low: $recall")
+    }
+  }
+
+  test("cosine near-dup: planted true duplicates are recalled") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // clone 20 corpus vectors with a tiny deterministic perturbation
+    // (sim ≈ 0.999) — the regime near-dup blocking exists for
+    val base = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val planted = base.map { case (id, v) =>
+      (id + 100000L, v.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) 1e-3f else 0f) })
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val found = Similarity.cosineNearDupFrom(all, threshold = 0.9, dim = 64).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val wanted = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    val recall = (found & wanted).size.toDouble / wanted.size
+    assert(recall >= 0.95, s"planted-dup recall too low: $recall")
   }
 }
 
