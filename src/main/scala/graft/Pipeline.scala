@@ -1,75 +1,147 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.operators.{EventMarts, Quality, Sessionize}
 import graft.sources.MartSink
 
 /** The reference DAG re-expressed as a composable batch driver
   * (reference: dags/event_pipeline_dag.py — generate → validate →
-  * branch(PASS/FAIL) → load → 4 marts in parallel → report).
+  * branch(PASS/FAIL) → load → 4 marts in parallel → report; daily
+  * execution-date grain via scripts/spark_batch_processor.py:87-104
+  * `load_events(dates)`).
   *
   * Orchestration differences are deliberate and Spark-native:
-  *   - "parallel mart tasks" are one Spark scheduler's jobs over a
-  *     shared scan; an external orchestrator (Airflow et al.) would
-  *     submit this main per day.
+  *   - "parallel mart tasks" are one Spark scheduler's jobs over ONE
+  *     persisted events projection (the reference likewise runs its
+  *     marts off one loaded table): the fact table is scanned once per
+  *     run, not once per mart — at 100 TB the scan IS the cost.
   *   - the PASS/FAIL branch is a driver-side decision over the tiny
-  *     7-row quality summary — the only collect() in the library, by
-  *     design (it IS the branch condition).
+  *     7-row quality summary — the only collect()s in the library are
+  *     these few-row gate/report reads, by design.
   *   - idempotency: marts are written with dynamic partition
   *     overwrite (MartSink), the Spark analogue of the reference's
-  *     DELETE+INSERT per date.
+  *     DELETE+INSERT per date; a date-scoped run prunes its input up
+  *     front and rewrites only the touched partitions.
+  *   - alerting/reporting are pure driver-side formatters
+  *     (graft.Reporting) over the collected gate rows — payload
+  *     shapes match the reference, transport is the caller's concern.
   */
 object Pipeline {
 
   final case class Result(
       passed: Boolean,
       failedChecks: Seq[String],
-      martsWritten: Seq[String])
+      martsWritten: Seq[String],
+      runDate: Option[String] = None,
+      alertPayload: Option[String] = None)
 
   /** All marts built by the daily run, keyed by output name. */
-  def marts(spark: SparkSession, sfDir: String): Map[String, DataFrame] = Map(
-    "mart_user_daily"    -> EventMarts.martUserDaily(spark, sfDir),
-    "mart_funnel_daily"  -> EventMarts.martFunnelDaily(spark, sfDir),
-    "mart_product_daily" -> EventMarts.martProductDaily(spark, sfDir),
-    "mart_orders"        -> EventMarts.martOrders(spark, sfDir),
-    "session_sequences"  -> Sessionize.sessionSequences(spark, sfDir),
-    "hourly_traffic"     -> EventMarts.hourlyTraffic(spark, sfDir))
+  def marts(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    martsFrom(EventMarts.enriched(spark, sfDir))
 
-  /** Marts partitioned by event_date on disk (the backfill grain). */
+  /** The mart set over one shared enriched-events projection.
+    * session_sequences gains a session_date (= session start date)
+    * partition column here so per-date reruns replace only their own
+    * partitions, like every other mart. */
+  def martsFrom(e: DataFrame): Map[String, DataFrame] = Map(
+    "mart_user_daily"    -> EventMarts.martUserDailyFrom(e),
+    "mart_funnel_daily"  -> EventMarts.martFunnelDailyFrom(e),
+    "mart_product_daily" -> EventMarts.martProductDailyFrom(e),
+    "mart_orders"        -> EventMarts.martOrdersFrom(e),
+    "session_sequences"  -> Sessionize.sessionSequencesFrom(e)
+      .withColumn("session_date", to_date(timestamp_seconds(col("session_start_epoch")))),
+    "hourly_traffic"     -> EventMarts.hourlyTrafficFrom(e))
+
+  /** Partition spec per mart (the backfill grain). */
   private val partitioned = Map(
     "mart_user_daily"    -> Seq("event_date"),
     "mart_funnel_daily"  -> Seq("event_date"),
     "mart_product_daily" -> Seq("event_date"),
     "mart_orders"        -> Seq("order_date"),
+    "session_sequences"  -> Seq("session_date"),
     "hourly_traffic"     -> Seq("event_date"))
 
   /** validate → gate → build. Returns what was written and why (or
-    * why not). `failFast = false` mirrors the reference's WARN path
-    * (build marts anyway, surface failures in the result). */
+    * why not), plus the quality-alert payload when the gate failed.
+    *
+    * @param dates execution dates (ISO yyyy-MM-dd) to process — the
+    *   reference's per-execution-date batch. Empty = whole input. The
+    *   filter lands directly above the scan, so a date-partitioned
+    *   fact table prunes to the touched partitions, and dynamic
+    *   overwrite rewrites only those mart partitions on rerun.
+    * @param checkLogDir when set, this run's 7 check results are
+    *   appended under their run_date partition (the reference's
+    *   quality_check_log), idempotently.
+    * @param failFast mirrors the reference's branch: true stops before
+    *   building marts, false is the WARN path (build anyway, surface
+    *   failures in the result). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          failFast: Boolean = true): Result = {
-    val summary = Quality.summary(spark, sfDir).collect()
-    val failed = summary.filter(_.getAs[String]("status") == "FAIL")
-      .map(_.getAs[String]("check_name")).toSeq
-    if (failed.nonEmpty && failFast) Result(passed = false, failed, Nil)
-    else {
-      val written = marts(spark, sfDir).map { case (name, df) =>
-        partitioned.get(name) match {
-          case Some(cols) => MartSink.writePartitioned(df, s"$outDir/$name", cols)
-          case None       => MartSink.writeSnapshot(df, s"$outDir/$name")
-        }
-        name
-      }.toSeq
-      Result(passed = failed.isEmpty, failed, written)
+          failFast: Boolean = true, dates: Seq[String] = Nil,
+          checkLogDir: Option[String] = None): Result = {
+    val base = EventMarts.enriched(spark, sfDir)
+    val scoped =
+      if (dates.isEmpty) base
+      else base.filter(col("event_date").isin(dates.map(java.sql.Date.valueOf): _*))
+    // one events scan feeds the gate and every mart
+    val e = scoped.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val summaryDf = Quality.summaryFrom(e)
+      val summary = summaryDf.collect().toSeq
+      val checks = Reporting.checkResults(summary)
+      val failed = checks.filter(_.status == "FAIL").map(_.checkName)
+      val runDate = dates.sorted.lastOption.orElse {
+        val r = e.agg(max(col("event_date"))).collect().head
+        if (r.isNullAt(0)) None else Some(r.getDate(0).toString)
+      }
+      runDate.filter(_ => checkLogDir.isDefined)
+        .foreach(d => Quality.writeCheckLog(summaryDf, checkLogDir.get, d))
+      val alert = Option.when(failed.nonEmpty)(
+        Reporting.qualityAlertPayload(runDate.getOrElse("unknown"), checks))
+      if (failed.nonEmpty && failFast)
+        Result(passed = false, failed, Nil, runDate, alert)
+      else {
+        val written = martsFrom(e).map { case (name, df) =>
+          partitioned.get(name) match {
+            case Some(cols) => MartSink.writePartitioned(df, s"$outDir/$name", cols)
+            case None       => MartSink.writeSnapshot(df, s"$outDir/$name")
+          }
+          name
+        }.toSeq
+        Result(passed = failed.isEmpty, failed, written, runDate, alert)
+      }
+    } finally {
+      e.unpersist()
+      ()
     }
+  }
+
+  /** The daily business report for one date, assembled from the five
+    * mart extracts (reference: llm_daily_report's extract+format
+    * path; graft.Reporting renders the deterministic fallback
+    * template). All five aggregates are tiny; `e` should be the
+    * shared persisted projection when called inside a run. */
+  def dailyReportText(e: DataFrame, executionDate: String): String = {
+    val day = e.filter(col("event_date") === java.sql.Date.valueOf(executionDate))
+    Reporting.dailyReport(
+      executionDate,
+      userSummary = EventMarts.reportUserSummaryFrom(day).collect().headOption,
+      funnel = EventMarts.martFunnelDailyFrom(day).collect().toSeq,
+      topProducts = EventMarts.productTopNFrom(day, 10).collect().toSeq,
+      orderSummary = EventMarts.reportOrderSummaryFrom(day).collect().headOption,
+      payments = EventMarts.reportPaymentDistFrom(day).collect().toSeq)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_marts"
+    val dates = if (args.length > 2) args(2).split(",").toSeq else Nil
     val spark = GraftSession.get()
-    val r = run(spark, sfDir, outDir)
-    println(s"passed=${r.passed} failedChecks=${r.failedChecks.mkString(",")} " +
+    val r = run(spark, sfDir, outDir, dates = dates,
+      checkLogDir = Some(s"$outDir/quality_check_log"))
+    println(s"passed=${r.passed} runDate=${r.runDate.getOrElse("-")} " +
+      s"failedChecks=${r.failedChecks.mkString(",")} " +
       s"martsWritten=${r.martsWritten.sorted.mkString(",")}")
     spark.stop()
   }

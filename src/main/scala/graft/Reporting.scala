@@ -1,0 +1,175 @@
+package graft
+
+import java.util.Locale
+import org.apache.spark.sql.Row
+
+/** Driver-side alert and report assembly over tiny collected
+  * aggregates.
+  *
+  * Reference: scripts/slack_alert.py:78-204 (Block Kit payload shapes
+  * for quality / success / failure alerts) and
+  * scripts/llm_daily_report.py:424-538 with the deterministic no-LLM
+  * fallback at :194-207 (the report is assembled from the five mart
+  * extracts regardless; the LLM only paraphrases it).
+  *
+  * Pure formatting by design: no transport, no webhook URLs, no
+  * network — emitting a payload is the caller's concern. These run on
+  * the driver over ≤ tens of rows (the aggregates themselves are the
+  * distributed part), so there is nothing to scale here.
+  */
+object Reporting {
+
+  final case class CheckResult(checkName: String, checkType: String,
+      totalRecords: Long, failedRecords: Long, passRate: Double, status: String)
+
+  /** Adapt collected `Quality.summary` rows. */
+  def checkResults(rows: Seq[Row]): Seq[CheckResult] = rows.map { r =>
+    CheckResult(r.getAs[String]("check_name"), r.getAs[String]("check_type"),
+      r.getAs[Long]("total_records"), r.getAs[Long]("failed_records"),
+      r.getAs[Double]("pass_rate"), r.getAs[String]("status"))
+  }
+
+  // ---- minimal JSON assembly (payloads are flat Block Kit shapes;
+  // ---- a full JSON library would be the only dependency it buys) ----
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def headerBlock(text: String) =
+    s"""{"type":"header","text":{"type":"plain_text","text":"${esc(text)}"}}"""
+  private def mrkdwn(text: String) = s"""{"type":"mrkdwn","text":"${esc(text)}"}"""
+  private def fieldsBlock(fields: Seq[String]) =
+    s"""{"type":"section","fields":[${fields.map(mrkdwn).mkString(",")}]}"""
+  private def textBlock(text: String) = s"""{"type":"section","text":${mrkdwn(text)}}"""
+  private def payload(blocks: Seq[String]) = s"""{"blocks":[${blocks.mkString(",")}]}"""
+
+  private def num(l: Long) = String.format(Locale.US, "%,d", Long.box(l))
+  private def money(d: Double) = String.format(Locale.US, "%,.0f", Double.box(d))
+  private def pct1(d: Double) = String.format(Locale.US, "%.1f%%", Double.box(d))
+  private def pct2(d: Double) = String.format(Locale.US, "%.2f%%", Double.box(d))
+
+  /** Quality-gate alert (slack_alert.send_quality_report shape):
+    * header [PASS|FAIL] + passed/total fields + one detail line per
+    * failed check. */
+  def qualityAlertPayload(executionDate: String, checks: Seq[CheckResult]): String = {
+    val passed = checks.count(_.status == "PASS")
+    val failed = checks.filter(_.status != "PASS")
+    val statusText = if (failed.isEmpty) "PASS" else "FAIL"
+    val base = Seq(
+      headerBlock(s"[$statusText] quality checks ($executionDate)"),
+      fieldsBlock(Seq(s"*result:* $passed/${checks.size} passed", s"*date:* $executionDate")))
+    val detail =
+      if (failed.isEmpty) Nil
+      else Seq(textBlock("*failed:*\n" + failed.map(c =>
+        s"- *${c.checkName}*: ${pct2(c.passRate)} " +
+          s"(${num(c.failedRecords)} of ${num(c.totalRecords)} failed)").mkString("\n")))
+    payload(base ++ detail)
+  }
+
+  /** Run-complete alert (slack_alert.send_pipeline_success shape). */
+  def pipelineSuccessPayload(executionDate: String, totalEvents: Long,
+      uniqueUsers: Long, qualityPassRate: String): String =
+    payload(Seq(
+      headerBlock(s"[SUCCESS] pipeline complete ($executionDate)"),
+      fieldsBlock(Seq(
+        s"*events:* ${num(totalEvents)}",
+        s"*users:* ${num(uniqueUsers)}",
+        s"*quality:* $qualityPassRate",
+        s"*date:* $executionDate"))))
+
+  /** Task-failure alert (slack_alert.send_pipeline_failure shape —
+    * error text truncated to 500 chars, as the reference does). */
+  def pipelineFailurePayload(jobId: String, taskId: String,
+      executionDate: String, errorMessage: String): String =
+    payload(Seq(
+      headerBlock("[ALERT] pipeline failure"),
+      fieldsBlock(Seq(s"*job:* $jobId", s"*task:* $taskId", s"*date:* $executionDate")),
+      textBlock(s"*error:*\n```${errorMessage.take(500)}```")))
+
+  // ---- daily report (deterministic no-LLM template) ----
+
+  private def nullablePct(r: Row, field: String): String =
+    if (r.isNullAt(r.fieldIndex(field))) "n/a" else pct1(r.getAs[Double](field))
+
+  /** Assemble the daily business report from the five mart extracts
+    * (reportUserSummary / martFunnelDaily / productTopN /
+    * reportOrderSummary / reportPaymentDist rows for one date) —
+    * sectioned exactly like llm_daily_report's formatted summary, with
+    * the fallback's "data summary only" determinism. */
+  def dailyReport(executionDate: String,
+      userSummary: Option[Row], funnel: Seq[Row], topProducts: Seq[Row],
+      orderSummary: Option[Row], payments: Seq[Row]): String = {
+    val user = userSummary.map { r =>
+      Seq(
+        s"- active users: ${num(r.getAs[Long]("active_users"))}",
+        s"- events: ${num(r.getAs[Long]("total_events"))}",
+        s"- views: ${num(r.getAs[Long]("total_views"))}",
+        s"- clicks: ${num(r.getAs[Long]("total_clicks"))}",
+        s"- purchases: ${num(r.getAs[Long]("total_purchases"))}",
+        s"- revenue: ${money(r.getAs[Double]("total_revenue"))}",
+        s"- purchasing user-days: ${num(r.getAs[Long]("purchasing_user_days"))}"
+      ).mkString("\n")
+    }.getOrElse("no data")
+
+    val funnelText =
+      if (funnel.isEmpty) "no data"
+      else funnel.map { r =>
+        s"[segment ${r.getAs[Int]("segment")}] " +
+          s"views ${num(r.getAs[Long]("step1_viewers"))} -> " +
+          s"clicks ${num(r.getAs[Long]("step2_clickers"))} -> " +
+          s"purchases ${num(r.getAs[Long]("step3_purchasers"))}\n" +
+          s"  rates: view->click ${nullablePct(r, "view_to_click_rate")} | " +
+          s"click->purchase ${nullablePct(r, "click_to_purchase_rate")} | " +
+          s"overall ${nullablePct(r, "overall_conversion_rate")}"
+      }.mkString("\n")
+
+    val productsText =
+      if (topProducts.isEmpty) "no data"
+      else topProducts.zipWithIndex.map { case (r, i) =>
+        s"${i + 1}. product ${r.getAs[Int]("product_k")} - " +
+          s"revenue ${money(r.getAs[Double]("revenue"))} | " +
+          s"purchases ${num(r.getAs[Long]("purchases"))} | " +
+          s"clicks ${num(r.getAs[Long]("clicks"))}"
+      }.mkString("\n")
+
+    val ordersText = orderSummary.map { r =>
+      val base = Seq(
+        s"- orders: ${num(r.getAs[Long]("order_count"))}",
+        s"- revenue: ${money(r.getAs[Double]("total_revenue"))}",
+        s"- avg order value: ${money(r.getAs[Double]("avg_order_value"))}",
+        s"- max order amount: ${money(r.getAs[Double]("max_order_amount"))}",
+        s"- unique buyers: ${num(r.getAs[Long]("unique_buyers"))}",
+        s"- payment methods: ${payments.size}")
+      val dist =
+        if (payments.isEmpty) Nil
+        else "payment distribution:" +: payments.map { p =>
+          s"  - ${p.getAs[String]("payment_method")}: " +
+            s"${num(p.getAs[Long]("order_count"))} orders / ${money(p.getAs[Double]("total_amount"))}"
+        }
+      (base ++ dist).mkString("\n")
+    }.getOrElse("no data")
+
+    s"""Daily report ($executionDate)
+       |${"=" * 40}
+       |
+       |[user activity]
+       |$user
+       |
+       |[conversion funnel by segment]
+       |$funnelText
+       |
+       |[top products]
+       |$productsText
+       |
+       |[orders]
+       |$ordersText
+       |""".stripMargin
+  }
+}

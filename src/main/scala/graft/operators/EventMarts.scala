@@ -41,7 +41,10 @@ object EventMarts {
     * Reference: sql/marts/mart_user_daily.sql (session_count is covered
     * by Sessionize — the testdata has no session_id column). */
   def martUserDaily(spark: SparkSession, dir: String): DataFrame =
-    enriched(spark, dir)
+    martUserDailyFrom(enriched(spark, dir))
+
+  def martUserDailyFrom(e: DataFrame): DataFrame =
+    e
       .groupBy(col("user_id"), col("event_date"))
       .agg(
         count(lit(1)).as("event_count"),
@@ -76,11 +79,14 @@ object EventMarts {
   /** Per day/segment conversion funnel (view → click → purchase).
     * Reference: sql/marts/mart_funnel_daily.sql and
     * spark_batch_processor.compute_funnel_conversion. */
-  def martFunnelDaily(spark: SparkSession, dir: String): DataFrame = {
+  def martFunnelDaily(spark: SparkSession, dir: String): DataFrame =
+    martFunnelDailyFrom(enriched(spark, dir))
+
+  def martFunnelDailyFrom(e: DataFrame): DataFrame = {
     def ustep(t: String) = countDistinct(when(col("event_type") === t, col("user_id")))
     def rate(a: Column, b: Column) =
       a.cast("double") / nullif(b, lit(0)).cast("double") * lit(100)
-    enriched(spark, dir)
+    e
       .groupBy(col("event_date"), col("segment"))
       .agg(
         ustep("view").as("step1_viewers"),
@@ -111,8 +117,11 @@ object EventMarts {
   /** Per product/day behavior, product id parsed once from the JSON
     * props column (reference unnests JSONB extra_data —
     * sql/marts/mart_product_daily.sql). */
-  def martProductDaily(spark: SparkSession, dir: String): DataFrame = {
-    val e = enriched(spark, dir).filter(col("product_k").isNotNull)
+  def martProductDaily(spark: SparkSession, dir: String): DataFrame =
+    martProductDailyFrom(enriched(spark, dir))
+
+  def martProductDailyFrom(enr: DataFrame): DataFrame = {
+    val e = enr.filter(col("product_k").isNotNull)
     e.groupBy(col("product_k"), col("event_date"))
       .agg(
         count(when(col("event_type") === "click", 1)).as("click_count"),
@@ -146,7 +155,10 @@ object EventMarts {
   /** Order-grain detail (reference: sql/marts/mart_orders.sql —
     * purchase events with JSON field extraction + derived categorical). */
   def martOrders(spark: SparkSession, dir: String): DataFrame =
-    enriched(spark, dir)
+    martOrdersFrom(enriched(spark, dir))
+
+  def martOrdersFrom(e: DataFrame): DataFrame =
+    e
       .filter(col("event_type") === "purchase")
       .select(
         col("event_id").as("order_id"),
@@ -202,7 +214,10 @@ object EventMarts {
   /** Hourly traffic distribution.
     * Reference: spark_batch_processor.compute_hourly_traffic. */
   def hourlyTraffic(spark: SparkSession, dir: String): DataFrame =
-    enriched(spark, dir)
+    hourlyTrafficFrom(enriched(spark, dir))
+
+  def hourlyTrafficFrom(e: DataFrame): DataFrame =
+    e
       .groupBy(col("event_date"), hour(col("ts")).cast("int").as("event_hour"))
       .agg(
         count(lit(1)).as("event_count"),
@@ -224,7 +239,10 @@ object EventMarts {
   /** Product conversion top-N by revenue (deterministic product_k
     * tiebreak). Reference: spark_batch_processor.compute_product_conversion. */
   def productTopN(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
-    martProductDaily(spark, dir)
+    productTopNFrom(enriched(spark, dir), topN)
+
+  def productTopNFrom(e: DataFrame, topN: Int = 20): DataFrame =
+    martProductDailyFrom(e)
       .groupBy(col("product_k"))
       .agg(
         sum(col("click_count")).as("clicks"),
@@ -247,7 +265,10 @@ object EventMarts {
   /** Daily-report user summary (reference: llm_daily_report.py:225-255,
     * aggregate over the user mart). */
   def reportUserSummary(spark: SparkSession, dir: String): DataFrame =
-    martUserDaily(spark, dir)
+    reportUserSummaryFrom(enriched(spark, dir))
+
+  def reportUserSummaryFrom(e: DataFrame): DataFrame =
+    martUserDailyFrom(e)
       .agg(
         countDistinct(col("user_id")).as("active_users"),
         sum(col("event_count")).as("total_events"),
@@ -275,9 +296,12 @@ object EventMarts {
 
   /** Payment-method distribution (reference: llm_daily_report.py:339-358;
     * method derived deterministically from the JSON product id). */
-  def reportPaymentDist(spark: SparkSession, dir: String): DataFrame = {
+  def reportPaymentDist(spark: SparkSession, dir: String): DataFrame =
+    reportPaymentDistFrom(enriched(spark, dir))
+
+  def reportPaymentDistFrom(e: DataFrame): DataFrame = {
     val methods = array(lit("credit_card"), lit("bank_transfer"), lit("kakao_pay"), lit("naver_pay"), lit("toss_pay"))
-    enriched(spark, dir)
+    e
       .filter(col("event_type") === "purchase" && col("product_k").isNotNull)
       .withColumn("payment_method", element_at(methods, (col("product_k") % 5) + 1))
       .groupBy(col("payment_method"))
@@ -301,7 +325,10 @@ object EventMarts {
     * unique buyers). avg is one exact-decimal division (deterministic
     * vs the oracle); max over doubles is order-independent. */
   def reportOrderSummary(spark: SparkSession, dir: String): DataFrame =
-    martOrders(spark, dir)
+    reportOrderSummaryFrom(enriched(spark, dir))
+
+  def reportOrderSummaryFrom(e: DataFrame): DataFrame =
+    martOrdersFrom(e)
       .agg(
         count(lit(1)).as("order_count"),
         dsum(col("total_amount")).as("total_revenue"),

@@ -81,7 +81,10 @@ object Quality {
     * preceded by a view or click (validate_quality.py:188-228 groups by
     * session; sessions here are user-days, cf. SURVEY.md §3). */
   def sequenceCheck(spark: SparkSession, dir: String): DataFrame =
-    enriched(spark, dir)
+    sequenceCheckFrom(enriched(spark, dir))
+
+  def sequenceCheckFrom(e: DataFrame): DataFrame =
+    e
       .groupBy(col("user_id"), col("event_date"))
       .agg(
         min(when(col("event_type") === "purchase", col("event_epoch"))).as("first_purchase"),
@@ -132,7 +135,10 @@ object Quality {
     * (validate_quality.py:287-340 checks per-session platform
     * stability; the analogous per-entity invariant here). */
   def consistencyCheck(spark: SparkSession, dir: String): DataFrame =
-    enriched(spark, dir)
+    consistencyCheckFrom(enriched(spark, dir))
+
+  def consistencyCheckFrom(e: DataFrame): DataFrame =
+    e
       .groupBy(col("user_id"))
       .agg(count(when(col("event_type") === "signup", 1)).as("signups"))
       .aggAll(result("consistency_check", "consistency_check",
@@ -147,15 +153,29 @@ object Quality {
       |  FROM events GROUP BY user_id
       |) t""".stripMargin)
 
-  /** Pass-rate trend per check over days (reference:
-    * scripts/quality_dashboard.py — avg/min pass rate per check across
-    * the check-log days). Day-grain failure counts are unpivoted with
-    * `stack`, then rolled up per check. Determinism: min over per-day
-    * doubles is order-independent; the overall rate is one exact
-    * division of decimal/long sums — no double summation anywhere. */
-  def dailyTrend(spark: SparkSession, dir: String): DataFrame = {
-    val daily = enriched(spark, dir)
-      .groupBy(col("event_date"))
+  /** Pass-rate trend for ALL 7 checks over days (reference:
+    * scripts/quality_dashboard.py trends every check across the
+    * check-log days). Each check is evaluated per event_date — a
+    * "daily run" of the suite — with its own denominator (rows for the
+    * row-grain checks, purchases for integrity, user-days for
+    * sequence/consistency). TWO scans regardless of check count: one
+    * row-grain daily aggregate, one (user_id, event_date) grouped
+    * aggregate rolled up per day; the per-day frames are tiny and join
+    * on event_date. `stack` unpivots to (check, day) grain, then one
+    * rollup per check. Determinism: min over per-day doubles is
+    * order-independent; the overall rate is one exact division of long
+    * sums — no double summation anywhere.
+    *
+    * Note the consistency/sequence day-scope semantics: a user with
+    * one signup on each of two days passes every DAILY consistency
+    * check while failing the corpus-wide `consistencyCheck` — inherent
+    * to trending a per-entity invariant at day grain, and exactly what
+    * a per-run check log records. */
+  def dailyTrend(spark: SparkSession, dir: String): DataFrame =
+    dailyTrendFrom(enriched(spark, dir))
+
+  private[graft] def dailyTrendFrom(e: DataFrame): DataFrame = {
+    val rowDaily = e.groupBy(col("event_date"))
       .agg(
         count(lit(1)).as("total"),
         count(when(col("event_id").isNull || col("ts").isNull || col("user_id").isNull ||
@@ -165,39 +185,83 @@ object Quality {
         count(when(
           col("value") < 0 || col("value") > 1000000 ||
           !col("event_type").isin("view", "click", "purchase", "signup", "error"), 1))
-          .as("range_failed"))
-    daily
-      .select(col("event_date"), col("total"), expr(
-        "stack(3, 'null_check', null_failed, 'duplicate_check', dup_failed, 'range_check', range_failed) as (check_name, failed)"))
+          .as("range_failed"),
+        count(when(col("ts").isNull || year(col("ts")) < 2020 || year(col("ts")) > 2030, 1))
+          .as("ts_failed"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase_total"),
+        count(when(col("event_type") === "purchase" &&
+                   (col("product_k").isNull || col("product_k") < 0 ||
+                    col("product_k") > 99 || col("value") <= 0), 1)).as("integrity_failed"))
+    val udDaily = e.groupBy(col("user_id"), col("event_date"))
+      .agg(
+        count(when(col("event_type") === "signup", 1)).as("signups"),
+        min(when(col("event_type") === "purchase", col("event_epoch"))).as("first_purchase"),
+        min(when(col("event_type").isin("view", "click"), col("event_epoch"))).as("first_touch"))
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("ud_total"),
+        count(when(col("first_purchase").isNotNull &&
+                   (col("first_touch").isNull || col("first_touch") > col("first_purchase")), 1))
+          .as("seq_failed"),
+        count(when(col("signups") > 1, 1)).as("cons_failed"))
+    rowDaily.join(udDaily, "event_date")
+      .select(col("event_date"), expr(
+        """stack(7,
+          |  'null_check', total, null_failed,
+          |  'duplicate_check', total, dup_failed,
+          |  'range_check', total, range_failed,
+          |  'timestamp_check', total, ts_failed,
+          |  'integrity_check', purchase_total, integrity_failed,
+          |  'sequence_check', ud_total, seq_failed,
+          |  'consistency_check', ud_total, cons_failed
+          |) as (check_name, day_total, failed)""".stripMargin))
       .withColumn("day_pass_rate",
-        (lit(1.0) - col("failed").cast("double") / greatest(col("total"), lit(1L)).cast("double")) * lit(100))
+        (lit(1.0) - col("failed").cast("double") / greatest(col("day_total"), lit(1L)).cast("double")) * lit(100))
       .groupBy(col("check_name"))
       .agg(
         count(lit(1)).as("days"),
-        sum(col("total")).as("total_records"),
+        sum(col("day_total")).as("total_records"),
         sum(col("failed")).as("failed_records"),
-        ((lit(1.0) - sum(col("failed")).cast("double") / greatest(sum(col("total")), lit(1L)).cast("double")) * lit(100))
+        ((lit(1.0) - sum(col("failed")).cast("double") / greatest(sum(col("day_total")), lit(1L)).cast("double")) * lit(100))
           .as("overall_pass_rate"),
         min(col("day_pass_rate")).as("min_daily_pass_rate"))
       .orderBy("check_name")
   }
 
   val dailyTrendSql: String =
-    """WITH daily AS (
+    """WITH row_daily AS (
       |  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS total,
       |    COUNT(CASE WHEN event_id IS NULL OR ts IS NULL OR user_id IS NULL OR event_type IS NULL OR value IS NULL OR props IS NULL THEN 1 END) AS null_failed,
       |    COUNT(*) - COUNT(DISTINCT event_id) AS dup_failed,
-      |    COUNT(CASE WHEN value < 0 OR value > 1000000 OR event_type NOT IN ('view','click','purchase','signup','error') THEN 1 END) AS range_failed
+      |    COUNT(CASE WHEN value < 0 OR value > 1000000 OR event_type NOT IN ('view','click','purchase','signup','error') THEN 1 END) AS range_failed,
+      |    COUNT(CASE WHEN ts IS NULL OR YEAR(ts) < 2020 OR YEAR(ts) > 2030 THEN 1 END) AS ts_failed,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_total,
+      |    COUNT(CASE WHEN event_type = 'purchase' AND (CAST(json_extract_string(props, '$.k') AS INT) IS NULL OR CAST(json_extract_string(props, '$.k') AS INT) < 0 OR CAST(json_extract_string(props, '$.k') AS INT) > 99 OR value <= 0) THEN 1 END) AS integrity_failed
       |  FROM events GROUP BY 1
+      |), ud AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS event_date,
+      |    COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS first_purchase,
+      |    MIN(CASE WHEN event_type IN ('view','click') THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END) AS first_touch
+      |  FROM events GROUP BY 1, 2
+      |), ud_daily AS (
+      |  SELECT event_date, COUNT(*) AS ud_total,
+      |    COUNT(CASE WHEN first_purchase IS NOT NULL AND (first_touch IS NULL OR first_touch > first_purchase) THEN 1 END) AS seq_failed,
+      |    COUNT(CASE WHEN signups > 1 THEN 1 END) AS cons_failed
+      |  FROM ud GROUP BY 1
       |), unp AS (
-      |  SELECT event_date, total, 'null_check' AS check_name, null_failed AS failed FROM daily
-      |  UNION ALL SELECT event_date, total, 'duplicate_check', dup_failed FROM daily
-      |  UNION ALL SELECT event_date, total, 'range_check', range_failed FROM daily
+      |  SELECT event_date, 'null_check' AS check_name, total AS day_total, null_failed AS failed FROM row_daily
+      |  UNION ALL SELECT event_date, 'duplicate_check', total, dup_failed FROM row_daily
+      |  UNION ALL SELECT event_date, 'range_check', total, range_failed FROM row_daily
+      |  UNION ALL SELECT event_date, 'timestamp_check', total, ts_failed FROM row_daily
+      |  UNION ALL SELECT event_date, 'integrity_check', purchase_total, integrity_failed FROM row_daily
+      |  UNION ALL SELECT event_date, 'sequence_check', ud_total, seq_failed FROM ud_daily
+      |  UNION ALL SELECT event_date, 'consistency_check', ud_total, cons_failed FROM ud_daily
       |)
       |SELECT check_name, COUNT(*) AS days,
-      |  CAST(SUM(total) AS BIGINT) AS total_records, CAST(SUM(failed) AS BIGINT) AS failed_records,
-      |  (1.0 - CAST(SUM(failed) AS DOUBLE) / CAST(GREATEST(SUM(total), 1) AS DOUBLE)) * 100 AS overall_pass_rate,
-      |  MIN((1.0 - CAST(failed AS DOUBLE) / CAST(GREATEST(total, 1) AS DOUBLE)) * 100) AS min_daily_pass_rate
+      |  CAST(SUM(day_total) AS BIGINT) AS total_records, CAST(SUM(failed) AS BIGINT) AS failed_records,
+      |  (1.0 - CAST(SUM(failed) AS DOUBLE) / CAST(GREATEST(SUM(day_total), 1) AS DOUBLE)) * 100 AS overall_pass_rate,
+      |  MIN((1.0 - CAST(failed AS DOUBLE) / CAST(GREATEST(day_total, 1) AS DOUBLE)) * 100) AS min_daily_pass_rate
       |FROM unp GROUP BY check_name ORDER BY check_name""".stripMargin
 
   /** All 7 checks in one result set (validate_quality.run_all_checks).
@@ -210,9 +274,12 @@ object Quality {
     * single-check operators above keep their per-check shape for the
     * driver contract; the oracle recomputes each check independently —
     * results are identical. */
-  def summary(spark: SparkSession, dir: String): DataFrame = {
+  def summary(spark: SparkSession, dir: String): DataFrame =
+    summaryFrom(enriched(spark, dir))
+
+  def summaryFrom(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{expr => sqlExpr}
-    val row = enriched(spark, dir).agg(
+    val row = e.agg(
       count(lit(1)).as("total"),
       count(when(col("event_id").isNull || col("ts").isNull || col("user_id").isNull ||
                  col("event_type").isNull || col("value").isNull || col("props").isNull, 1))
@@ -243,10 +310,44 @@ object Quality {
         .withColumn("status", when(col("pass_rate") >= 99.0, "PASS").otherwise("FAIL"))
     }
     rated(rowChecks)
-      .unionByName(sequenceCheck(spark, dir))
-      .unionByName(consistencyCheck(spark, dir))
+      .unionByName(sequenceCheckFrom(e))
+      .unionByName(consistencyCheckFrom(e))
       .orderBy("check_name")
   }
+
+  /** The check log row shape the reference persists per run
+    * (quality_check_log: every run's 7 check results keyed by the run
+    * date — scripts/quality_dashboard.py:52-73 reads it back for
+    * trending). */
+  def checkLog(summary: DataFrame, runDate: String): DataFrame =
+    summary.withColumn("run_date", lit(runDate).cast("date"))
+
+  /** Persist one run's check results under its run_date partition —
+    * idempotent via dynamic partition overwrite (re-running a date
+    * replaces that date's log rows only). */
+  def writeCheckLog(summary: DataFrame, logDir: String, runDate: String): Unit =
+    graft.sources.MartSink.writePartitioned(checkLog(summary, runDate), logDir, Seq("run_date"))
+
+  /** Trend per check across persisted runs — the log-backed variant of
+    * `dailyTrend` (reads quality_check_log instead of recomputing from
+    * raw events, exactly how the reference dashboard trends). The log
+    * is tiny (7 rows/run), so this is driver-light work no matter the
+    * corpus size behind it. */
+  def trendFromLog(spark: SparkSession, logDir: String): DataFrame =
+    spark.read.parquet(logDir)
+      .withColumn("day_pass_rate",
+        (lit(1.0) - col("failed_records").cast("double") /
+          greatest(col("total_records"), lit(1L)).cast("double")) * lit(100))
+      .groupBy(col("check_name"))
+      .agg(
+        count(lit(1)).as("days"),
+        sum(col("total_records")).as("total_records"),
+        sum(col("failed_records")).as("failed_records"),
+        ((lit(1.0) - sum(col("failed_records")).cast("double") /
+          greatest(sum(col("total_records")), lit(1L)).cast("double")) * lit(100))
+          .as("overall_pass_rate"),
+        min(col("day_pass_rate")).as("min_daily_pass_rate"))
+      .orderBy("check_name")
 
   val summarySql: String =
     Seq(nullCheckSql, duplicateCheckSql, rangeCheckSql, sequenceCheckSql,

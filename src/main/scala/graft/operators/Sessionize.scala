@@ -26,9 +26,12 @@ object Sessionize {
   val GapSeconds = 1800
 
   /** One row per (user, session): ordered event sequence + stats. */
-  def sessionSequences(spark: SparkSession, dir: String): DataFrame = {
+  def sessionSequences(spark: SparkSession, dir: String): DataFrame =
+    sessionSequencesFrom(enriched(spark, dir))
+
+  def sessionSequencesFrom(e: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_epoch", "event_id")
-    val withGap = enriched(spark, dir)
+    val withGap = e
       .select("user_id", "event_id", "event_type", "event_epoch")
       .withColumn("prev_epoch", lag("event_epoch", 1).over(w))
       .withColumn("is_new",

@@ -78,4 +78,137 @@ class PipelineSpec extends SparkSpec {
       assert(spark.read.parquet(s"$out/mart_user_daily").count() == userMart.count())
     }
   }
+
+  private def twoDates(): Seq[String] =
+    operators.EventMarts.enriched(spark, Sf).select("event_date").distinct()
+      .orderBy("event_date").limit(2).collect().map(_.getDate(0).toString).toSeq
+
+  /** Map of relative-path -> content hash for every file under dir. */
+  private def dirState(path: String): Map[String, Int] = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    if (!root.exists()) Map.empty
+    else walk(root)
+      .filterNot(_.getName.startsWith("."))
+      .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) ->
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath)))
+      .toMap
+  }
+
+  test("date-scoped run leaves other dates' mart files byte-identical") {
+    val out = Files.createTempDirectory("graft_scoped").toString
+    val dates = twoDates()
+    assert(dates.length == 2)
+    // failFast=false: a single day's data can legitimately dip under a
+    // 99% daily gate (this test is about partition idempotency, and the
+    // reference's WARN path builds marts anyway)
+    val r1 = Pipeline.run(spark, Sf, out, dates = Seq(dates(0)), failFast = false)
+    assert(r1.martsWritten.nonEmpty)
+    assert(r1.runDate.contains(dates(0)))
+    val day1 = s"$out/mart_user_daily/event_date=${dates(0)}"
+    val before = dirState(day1)
+    assert(before.nonEmpty)
+    // processing date 2 must not touch date 1's files in ANY mart
+    val allBefore = dirState(out)
+    val r2 = Pipeline.run(spark, Sf, out, dates = Seq(dates(1)), failFast = false)
+    assert(r2.martsWritten.nonEmpty)
+    assert(dirState(day1) == before)
+    val allAfter = dirState(out)
+    // every pre-existing data file survived with identical bytes
+    // (_SUCCESS markers are rewritten by design)
+    allBefore.filterNot(_._1.endsWith("_SUCCESS")).foreach { case (p, h) =>
+      assert(allAfter.get(p).contains(h), s"file rewritten: $p")
+    }
+    assert(new java.io.File(s"$out/mart_user_daily/event_date=${dates(1)}").exists())
+  }
+
+  test("check log persists per run_date and trend-from-log matches the logged rows") {
+    val log = Files.createTempDirectory("graft_qlog").toString
+    val out = Files.createTempDirectory("graft_qlog_marts").toString
+    val dates = twoDates()
+    dates.foreach(d =>
+      Pipeline.run(spark, Sf, out, dates = Seq(d), checkLogDir = Some(log)))
+    spark.catalog.refreshByPath(log)
+    val loggedRows = spark.read.parquet(log).collect()
+    assert(loggedRows.length == 14) // 7 checks x 2 runs
+    // idempotent: re-running a date replaces its partition, not appends
+    Pipeline.run(spark, Sf, out, dates = Seq(dates(0)), checkLogDir = Some(log))
+    spark.catalog.refreshByPath(log)
+    assert(spark.read.parquet(log).count() == 14)
+    val trend = operators.Quality.trendFromLog(spark, log).collect()
+    assert(trend.length == 7)
+    val logged = loggedRows.groupBy(_.getAs[String]("check_name"))
+    trend.foreach { t =>
+      val rows = logged(t.getAs[String]("check_name"))
+      assert(t.getAs[Long]("days") == 2)
+      assert(t.getAs[Long]("total_records") == rows.map(_.getAs[Long]("total_records")).sum)
+      assert(t.getAs[Long]("failed_records") == rows.map(_.getAs[Long]("failed_records")).sum)
+    }
+  }
+
+  test("dq_daily_trend covers all 7 checks with sane rates") {
+    val rows = operators.Quality.dailyTrend(spark, Sf).collect()
+    assert(rows.map(_.getAs[String]("check_name")).toSet == Set(
+      "null_check", "duplicate_check", "range_check", "timestamp_check",
+      "integrity_check", "sequence_check", "consistency_check"))
+    rows.foreach { r =>
+      val overall = r.getAs[Double]("overall_pass_rate")
+      val minDaily = r.getAs[Double]("min_daily_pass_rate")
+      assert(overall >= 0 && overall <= 100)
+      assert(minDaily <= overall + 1e-9)
+      assert(r.getAs[Long]("days") > 0)
+    }
+  }
+}
+
+class ReportingSpec extends SparkSpec {
+  import graft.Reporting
+
+  private def assertValidJson(payload: String): Unit = {
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(payload).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"), s"invalid JSON: $payload")
+    assert(parsed.columns.contains("blocks"))
+  }
+
+  test("quality alert payload carries status, counts, and failed-check details") {
+    val checks = Seq(
+      Reporting.CheckResult("null_check", "null_check", 1000, 0, 100.0, "PASS"),
+      Reporting.CheckResult("range_check", "range_check", 1000, 25, 97.5, "FAIL"))
+    val p = Reporting.qualityAlertPayload("2024-01-15", checks)
+    assertValidJson(p)
+    assert(p.contains("[FAIL] quality checks (2024-01-15)"))
+    assert(p.contains("1/2 passed"))
+    assert(p.contains("range_check") && p.contains("97.50%"))
+    val pass = Reporting.qualityAlertPayload("2024-01-15",
+      checks.filter(_.status == "PASS"))
+    assert(pass.contains("[PASS]") && !pass.contains("failed:"))
+  }
+
+  test("failure payload truncates the error to 500 chars and escapes JSON") {
+    val err = "boom \"quoted\"\n" + ("x" * 1000)
+    val p = Reporting.pipelineFailurePayload("daily_job", "build_marts", "2024-01-15", err)
+    assertValidJson(p)
+    assert(!p.contains("x" * 501))
+    assert(p.contains("x" * 480))
+    assert(p.contains("daily_job") && p.contains("build_marts"))
+  }
+
+  test("success payload formats counts with grouping") {
+    val p = Reporting.pipelineSuccessPayload("2024-01-15", 1234567L, 8901L, "7/7 PASS")
+    assertValidJson(p)
+    assert(p.contains("1,234,567") && p.contains("8,901") && p.contains("7/7 PASS"))
+  }
+
+  test("daily report assembles all mart sections for a real date") {
+    val e = operators.EventMarts.enriched(spark, Sf)
+    val date = e.select(max("event_date")).collect().head.getDate(0).toString
+    val report = Pipeline.dailyReportText(e, date)
+    assert(report.contains(s"Daily report ($date)"))
+    Seq("[user activity]", "[conversion funnel by segment]", "[top products]", "[orders]")
+      .foreach(s => assert(report.contains(s), s"missing section $s"))
+    assert(report.contains("active users:"))
+    assert(report.contains("revenue:"))
+  }
 }
