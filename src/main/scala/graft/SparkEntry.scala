@@ -66,6 +66,7 @@ object SparkEntry {
     "embedding_centroids"  -> ((s, d) => Similarity.embeddingCentroidsLong(s, d)),
     "ann_lsh_bucketed"     -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "ann_ivf_kmeans"       -> ((s, d) => Similarity.ivfTopKKmeans(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Similarity.cosineNearDup(s, d)),
     // §2E multimodal plumbing
     "media_metadata"       -> ((s, d) => Multimodal.mediaMetadata(s, d)),

@@ -216,6 +216,56 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** K-means-trained IVF coarse quantizer (a few seeded Lloyd
+    * iterations) executed as DataFrame aggregates — the trained
+    * replacement for the label-cell quantizer, which on real corpora
+    * has no geometric meaning. Per iteration: assign every vector to
+    * its nearest current centroid in a NARROW projection
+    * (`nearestCellsCol`, no shuffle), then recompute component means
+    * with the posexplode grouped-sum plan (map-side combined,
+    * quantized integer sums for run-to-run determinism). Only the
+    * nlist centroid vectors cross the driver between iterations — the
+    * same index metadata `ivfTopKWith` embeds as a literal; empty
+    * cells keep their previous centroid. */
+  def kmeansCentroids(spark: SparkSession, dir: String, nlist: Int = 10,
+                      iters: Int = 3): Seq[(Int, Array[Float])] = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // deterministic seeding: the nlist rows with smallest hashed id
+    var cents: Seq[(Int, Array[Float])] = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(nlist)
+      .collect().toSeq.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](r.fieldIndex("embedding")).toArray }
+    var it = 0
+    while (it < iters) {
+      val means = e
+        .select(explode(nearestCellsCol(col("embedding"), cents, 1)).as("cell"),
+          col("embedding"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(round(col("x").cast("double") * lit(1e7)).cast("bigint")).cast("double") /
+              (count(lit(1)) * lit(1e7))).as("c"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+        .collect().toSeq.map(r => r.getInt(r.fieldIndex("cell")) ->
+          r.getSeq[Double](r.fieldIndex("centroid")).map(_.toFloat).toArray).toMap
+      cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF ANN over the k-means quantizer — same probe plan as
+    * `ivfTopK`, better cells (label cells carry no geometry; Lloyd
+    * cells are Voronoi regions, so true neighbors co-locate). */
+  def ivfTopKKmeans(spark: SparkSession, dir: String, numQueries: Int = 10,
+                    k: Int = 5, nProbe: Int = 2, nlist: Int = 10,
+                    iters: Int = 3): DataFrame =
+    ivfTopKWith(spark, dir, kmeansCentroids(spark, dir, nlist, iters),
+      numQueries, k, nProbe)
+
   /** Cosine near-duplicate pairs (embedding-space dedup). The block
     * key is a random-hyperplane LSH band (table_idx, bucket) — the same
     * hyperplanes as `lshTopK` — so a pair is scored only when it

@@ -244,6 +244,10 @@ class SimilaritySpec extends SparkSpec {
     // against a silently-broken bucketing (recall ~0)
     assert(lsh >= 0.2, s"LSH recall too low: $lsh")
     assert(ivf >= 0.2, s"IVF recall too low: $ivf")
+    // trained Voronoi cells must not lose to the label partitioner
+    // (labels carry no geometry in this corpus) at equal probes
+    val km = recallOf(topkSets(Similarity.ivfTopKKmeans(spark, Sf, numQueries = 10, k = 5)))
+    assert(km >= ivf, s"kmeans-IVF recall $km below label-cell recall $ivf")
   }
 
   test("ivf ann probes cells and returns ranked candidates per query") {
