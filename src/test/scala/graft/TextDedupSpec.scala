@@ -295,6 +295,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosine near-dup scale plan: band-key shuffle join once broadcast is off") {
+    // at local test sizes Catalyst broadcasts the banded side (it fits
+    // under autoBroadcastJoinThreshold); above the threshold — the only
+    // regime that matters at 100 TB — the join must shuffle on the
+    // (table_idx, bucket) band keys, never on a low-cardinality block
+    // key and never via a forced full-table broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Similarity.cosineNearDup(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), "unexpected broadcast join")
+      assert(plan.contains("table_idx") && plan.contains("bucket"),
+        "join not keyed on the LSH band")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("cosine near-dup: planted true duplicates are recalled") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
