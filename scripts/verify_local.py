@@ -77,25 +77,35 @@ def compare(name, spark_dir, con, sql):
     # Driver-parity dtype check: the driver hashes pandas dtypes, so
     # value-equal columns still fail when e.g. DuckDB SUM(BIGINT) →
     # HUGEINT → float64 while Spark wrote int64 (round-1 lesson).
-    dtype_msg = dtype_drift(name, files[0], con, sql)
+    dtype_msg = dtype_drift(name, t, con, sql)
     if dtype_msg:
         return dtype_msg
     return f"{name}: OK ({len(dr)} rows)"
 
 
-def dtype_drift(name, spark_file, con, sql):
+def dtype_drift(name, spark_table, con, sql):
     import numpy as np
-    import pandas as pd
-    s_df = pq.read_table(spark_file).to_pandas()
+    s_df = spark_table.to_pandas()
+    # the SQL re-runs on purpose: the compare above consumed its cursor
+    # via fetchall(), and the dtype signal must come from fetchdf()
+    # exactly as the driver sees it (an arrow fetch would e.g. surface
+    # HUGEINT as decimal/object instead of the float64 the driver hashes)
     d_df = con.execute(sql).fetchdf()
     for c in sorted(s_df.columns):
         sd, dd = s_df[c].dtype, d_df[c].dtype
         for side, df in (("spark", s_df), ("duck", d_df)):
-            if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (np.ndarray, list)):
-                return f"{name}: ARRAY COLUMN {c} ({side}) — driver harness crashes on ndarray cells"
-        s_kind, d_kind = sd.kind, dd.kind
-        if s_kind != d_kind and {s_kind, d_kind} <= {"i", "u", "f"}:
+            if df[c].dtype == object:
+                nn = df[c].dropna()
+                if len(nn) and isinstance(nn.iloc[0], (np.ndarray, list)):
+                    return f"{name}: ARRAY COLUMN {c} ({side}) — driver harness crashes on ndarray cells"
+        # cross-kind drift (int vs float, the HUGEINT→float64 trap)
+        # demonstrably fails the driver hash; same-kind width drift
+        # (int32 vs int64) demonstrably does NOT (top_customers_window
+        # carried one through driver rounds 1-2 green) — warn only
+        if sd.kind != dd.kind and {sd.kind, dd.kind} <= {"i", "u", "f"}:
             return f"{name}: DTYPE DRIFT col={c} spark={sd} duck={dd} — would fail driver hash (cast the oracle)"
+        if sd != dd and {sd.kind, dd.kind} <= {"i", "u", "f"}:
+            print(f"  [warn] {name}: width drift col={c} spark={sd} duck={dd} (driver tolerates)")
     return None
 
 

@@ -160,7 +160,7 @@ object Relational {
   }
 
   val topCustomersSql: String =
-    """SELECT n_name, rank_in_nation, c_custkey, c_name, c_acctbal
+    """SELECT n_name, CAST(rank_in_nation AS INTEGER) AS rank_in_nation, c_custkey, c_name, c_acctbal
       |FROM (
       |  SELECT n_name, c_custkey, c_name, c_acctbal,
       |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
