@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_corpus"         -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_near_corpus"    -> ((s, d) => Dedup.nearDupCorpus(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.simhash(s, d)),
     // §2D similarity search
     "ann_cosine_topk"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),

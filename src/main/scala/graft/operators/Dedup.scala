@@ -180,6 +180,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The consumable output of NEAR-dup dedup: one kept document per
+    * near-duplicate cluster (min doc_id wins), where clusters are the
+    * connected components of the `minhashLsh` candidate-pair graph.
+    *
+    * Components are resolved with iterated min-id label propagation —
+    * the standard bounded-rounds Spark CC: each round every doc's
+    * keeper becomes the min over itself and its neighbors' keepers
+    * (one join + one grouped min = two shuffles per round, labels are
+    * (doc_id, keeper) pairs only). Near-dup clusters have tiny
+    * diameters in practice, so `rounds` rounds converge; docs chained
+    * further than `rounds` hops from their component min would keep a
+    * non-minimal keeper (each still elects SOME keeper — the dedup
+    * stays sound, merely slightly less aggressive). At 100 TB each
+    * round's frames should be checkpointed to cut lineage; at a few
+    * rounds the plan stays compact. */
+  def nearDupCorpus(spark: SparkSession, dir: String, estThreshold: Double = 0.4,
+                    rounds: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val pairs = minhashLsh(spark, dir, estThreshold).select(col("doc_a"), col("doc_b"))
+    // undirected adjacency: propagate keeper ids both ways
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("keeper"))
+    var r = 0
+    while (r < rounds) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_b") === col("nbr"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("keeper")).as("nbr_keeper"))
+      labels = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keeper"), coalesce(col("nbr_keeper"), col("keeper"))).as("keeper"))
+      r += 1
+    }
+    docs.join(labels.filter(col("doc_id") === col("keeper")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash near-dup: token hashes vote per bit; candidates
     * from 16-bit band blocking; pairs kept at Hamming distance ≤ 7.
     * Oracle: rows-only. */

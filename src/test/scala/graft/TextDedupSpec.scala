@@ -62,6 +62,26 @@ class DedupSpec extends SparkSpec {
     val bad = Dedup.simhash(spark, Sf).filter(col("hamming") > 7).count()
     assert(bad == 0)
   }
+
+  test("near-dup corpus keeps exactly one doc per pair-graph component") {
+    val th = 0.4
+    val kept = Dedup.nearDupCorpus(spark, Sf, estThreshold = th).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // ground truth: union-find over the same candidate pairs
+    val pairs = Dedup.minhashLsh(spark, Sf, estThreshold = th).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val all = Tables.documents(spark, Sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(all.map(d => d -> d): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = all.groupBy(find).map { case (_, ds) => ds.min }.toSet
+    assert(kept == expected,
+      s"missing=${expected -- kept} extra=${kept -- expected}")
+  }
 }
 
 /** The native fused expressions must agree exactly with their
