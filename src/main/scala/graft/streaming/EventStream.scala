@@ -97,6 +97,41 @@ object EventStream {
           .as("range_failed"),
         count(when(year(col("ts")) < 2020 || year(col("ts")) > 2030, 1)).as("ts_failed"))
 
+  /** Persist the streaming quality monitor as a continuously-appended
+    * check log: each watermark-FINALIZED window's counts are unpivoted
+    * to the reference's check-result shape and appended under their
+    * window-date partition — quality_check_log continuity between the
+    * live monitor and the batch suite (`Quality.trendFromLog` reads
+    * either: it needs check_name/total_records/failed_records).
+    * foreachBatch + parquet append is the right sink shape: append
+    * mode guarantees each window is emitted exactly once after its
+    * watermark closes, and the streaming checkpoint makes the batch
+    * writes replay-safe. */
+  def qualityLogSink(quality: DataFrame, logDir: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    quality.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val rate = (lit(1.0) - col("failed_records").cast("double") /
+            greatest(col("total_records"), lit(1L)).cast("double")) * lit(100)
+          batch.select(
+              col("window.start").as("window_start"),
+              expr("""stack(3,
+                |  'null_check', total, null_failed,
+                |  'range_check', total, range_failed,
+                |  'timestamp_check', total, ts_failed
+                |) as (check_name, total_records, failed_records)""".stripMargin))
+            .withColumn("pass_rate", rate)
+            .withColumn("status", when(col("pass_rate") >= 99.0, "PASS").otherwise("FAIL"))
+            .withColumn("run_date", to_date(col("window_start")))
+            .write.mode("append").partitionBy("run_date").parquet(logDir)
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream interval self-join: attribute each purchase to the
     * same user's views in the preceding hour. Both sides carry a
     * watermark and the join condition bounds event-time distance, so

@@ -88,6 +88,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality log sink appends finalized windows in check-log shape") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    mem.addData(
+      (1L, at(0), 1L, "view", 1.0, "{}"),
+      (2L, at(1), 1L, "bogus_type", 1.0, "{}"), // range failure
+      (3L, at(75), 1L, "view", 1.0, "{}"))      // pushes watermark past 11:00
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val log = java.nio.file.Files.createTempDirectory("graft_slog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sckpt").toString
+    val q = EventStream.qualityLogSink(
+      EventStream.qualityCounts(df, watermark = "10 minutes"), log, ckpt)
+    try {
+      q.processAllAvailable()
+      val rows = spark.read.parquet(log).collect()
+      // exactly the finalized 10:00 window, unpivoted to 3 checks
+      assert(rows.length == 3, s"got ${rows.length} rows")
+      val range = rows.find(_.getAs[String]("check_name") == "range_check").get
+      assert(range.getAs[Long]("total_records") == 2)
+      assert(range.getAs[Long]("failed_records") == 1)
+      assert(range.getAs[String]("status") == "FAIL")
+      // the batch trender consumes the streaming log as-is
+      val trend = operators.Quality.trendFromLog(spark, log).collect()
+      assert(trend.length == 3)
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to preceding views") {
     val (_, df) = eventsDf()
     // user 1: view @0min, purchase @2min → attributed (1 view in window)
