@@ -21,6 +21,9 @@ object SparkEntry {
     "q10_returned_items"   -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q14_promo_share"      -> ((s, d) => Relational.q14PromoShare(s, d)),
     "q18_large_orders"     -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q4_priority_count"    -> ((s, d) => Relational.q4PriorityCount(s, d)),
+    "q13_order_distribution" -> ((s, d) => Relational.q13OrderDistribution(s, d)),
+    "q22_untapped_segments" -> ((s, d) => Relational.q22UntappedSegments(s, d)),
     "top_customers_window" -> ((s, d) => Relational.topCustomersWindow(s, d)),
     "order_lineitem_rollup" -> ((s, d) => Relational.orderLineitemRollup(s, d)),
     // §2A reference marts & batch aggregates
@@ -87,6 +90,9 @@ object SparkEntry {
     "q10_returned_items"   -> Relational.q10Sql,
     "q14_promo_share"      -> Relational.q14Sql,
     "q18_large_orders"     -> Relational.q18Sql,
+    "q4_priority_count"    -> Relational.q4Sql,
+    "q13_order_distribution" -> Relational.q13Sql,
+    "q22_untapped_segments" -> Relational.q22Sql,
     "top_customers_window" -> Relational.topCustomersSql,
     "order_lineitem_rollup" -> Relational.orderLineitemRollupSql,
     "mart_user_daily"      -> EventMarts.martUserDailySql,

@@ -326,4 +326,100 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** TPC-H Q4 analog — late-shipment priority census: orders with at
+    * least one lineitem shipped more than 60 days after the order
+    * date, counted per priority. The EXISTS is a LEFT SEMI join on the
+    * order key with the lateness predicate in the join condition — the
+    * probe side never duplicates (no post-join distinct needed), one
+    * shuffle per side on the order key. */
+  def q4PriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 analog — customer order-count distribution: customers
+    * LEFT OUTER joined to orders so zero-order customers stay in the
+    * census (count(o_orderkey) skips their nulls), then customers
+    * counted per order count. Two single-shuffle aggregates. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q22 analog — untapped wealthy customers: above-average
+    * positive-balance customers with no BIG-TICKET order yet
+    * (every customer in this corpus has some order, so the anti-join
+    * target is the selective high-value order subset), censused per
+    * market segment. The NOT EXISTS is a LEFT ANTI join with the
+    * selective filter pushed below it; the global-average threshold is
+    * a one-row exact-decimal scalar broadcast (a double-summed average
+    * would make the cutoff order-dependent and flip memberships
+    * between engines). */
+  def q22UntappedSegments(spark: SparkSession, dir: String,
+                          bigOrder: Double = 300000.0): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > bigOrder)
+      .select("o_custkey")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("avg_bal"))
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q22Sql: String =
+    """WITH ab AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0
+      |)
+      |SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer, ab
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 }

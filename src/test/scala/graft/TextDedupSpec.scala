@@ -283,6 +283,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf plan: the candidate side reaches the probe join with zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // concrete plan tree
+    try {
+      val plan = Similarity.ivfTopK(spark, Sf).queryExecution.executedPlan
+      val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"expected a broadcast probe join in:\n$plan")
+      // cell assignment is a literal-centroid projection: the streamed
+      // (candidate) side must run scan -> project -> join, no shuffle
+      val shuffles = bhj.get.left.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"cell assignment must be narrow, found:\n${bhj.get.left}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("embedding centroids have full dimensionality per label") {
     val rows = Similarity.embeddingCentroids(spark, Sf).collect()
     assert(rows.nonEmpty)
