@@ -57,6 +57,7 @@ object SparkEntry {
     "text_fingerprint"     -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "doc_stats_by_lang"    -> ((s, d) => TextAnalysis.statsByLang(s, d)),
     "sample_stratified"    -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
+    "clean_corpus"         -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
     // §2D dedup family
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_corpus"         -> ((s, d) => Dedup.dedupedCorpus(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "text_fingerprint"     -> TextAnalysis.fingerprintSql,
     "doc_stats_by_lang"    -> TextAnalysis.statsByLangSql,
     "sample_stratified"    -> TextAnalysis.sampleStratifiedSql,
+    "clean_corpus"         -> TextAnalysis.cleanCorpusSql,
     "embedding_centroids"  -> Similarity.embeddingCentroidsSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_corpus"         -> Dedup.dedupedCorpusSql,

@@ -47,6 +47,17 @@ object TextAnalysis {
       |  CAST(length(text) AS DOUBLE) / CAST(GREATEST(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The [0,1] quality score as a reusable column over `text`. */
+  private def qualityScoreCol: Column = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    val stopRatio = countIn(toks, Stopwords).cast("double") / greatest(nWords, lit(1)).cast("double")
+    val avgWordLen = length(col("text")).cast("double") / greatest(nWords, lit(1)).cast("double")
+    least(nWords.cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+      stopRatio * lit(0.3) +
+      when(avgWordLen.between(3.0, 8.0), lit(1.0)).otherwise(lit(0.0)) * lit(0.3)
+  }
+
   /** Document quality scoring: length, stopword ratio, word-shape
     * heuristics → one [0,1] score (the classic pre-training quality
     * filter stack: length/punct/stopword ratios). */
@@ -61,10 +72,7 @@ object TextAnalysis {
         nWords.as("word_count"),
         stopRatio.as("stopword_ratio"),
         avgWordLen.as("avg_word_len"),
-        (least(nWords.cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
-          stopRatio * lit(0.3) +
-          when(avgWordLen.between(3.0, 8.0), lit(1.0)).otherwise(lit(0.0)) * lit(0.3))
-          .as("quality_score"))
+        qualityScoreCol.as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -87,14 +95,21 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
+  /** The predicted-language column (argmax with fixed precedence). */
+  private def predictedLangCol: Column = {
+    val toks = tokens(col("text"))
+    val scores = Markers.map { case (l, ws) => l -> countIn(toks, ws) }
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s > lit(0) && scores.filter(_._1 != l).map(_._2).foldLeft(lit(true): Column)((acc, o) => acc && s >= o), lit(l)).otherwise(els)
+    }
+  }
+
   /** Marker-token language ID (n-gram heuristic): score = marker-token
     * hits per language, argmax with fixed precedence. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val scores = Markers.map { case (l, ws) => l -> countIn(toks, ws) }
-    val predicted = scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
-      when(s > lit(0) && scores.filter(_._1 != l).map(_._2).foldLeft(lit(true): Column)((acc, o) => acc && s >= o), lit(l)).otherwise(els)
-    }
+    val predicted = predictedLangCol
     Tables.documents(spark, dir)
       .select(Seq(col("doc_id"), col("lang").as("actual_lang")) ++
         scores.map { case (l, s) => s.cast("int").as(s"score_$l") } :+
@@ -102,15 +117,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val langIdSql: String = {
+  /** The predicted-language CASE expression in oracle SQL. */
+  private def sqlPredictedLang: String = {
     val scoreExprs = Markers.map { case (l, ws) => l -> sqlCountIn(ws) }
-    val preds = scoreExprs.zipWithIndex.map { case ((l, e), _) =>
+    val preds = scoreExprs.map { case (l, e) =>
       val others = scoreExprs.filter(_._1 != l).map(_._2)
       s"WHEN $e > 0 AND ${others.map(o => s"$e >= $o").mkString(" AND ")} THEN '$l'"
     }.mkString("\n    ")
+    s"CASE $preds ELSE 'und' END"
+  }
+
+  val langIdSql: String = {
+    val scoreExprs = Markers.map { case (l, ws) => l -> sqlCountIn(ws) }
     s"""SELECT doc_id, lang AS actual_lang,
        |  ${scoreExprs.map { case (l, e) => s"CAST($e AS INT) AS score_$l" }.mkString(",\n  ")},
-       |  CASE $preds ELSE 'und' END AS predicted_lang
+       |  $sqlPredictedLang AS predicted_lang
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -178,4 +199,48 @@ object TextAnalysis {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
       |  COUNT(DISTINCT source) AS distinct_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The end-to-end corpus-cleaning pass (the pipeline every
+    * pre-training dataset runs): quality filter + language filter +
+    * exact dedup composed in ONE plan — quality score and language ID
+    * are free riders in the same projection as the scan, and the only
+    * shuffle is the dedup-keeper window on the content hash. At 100 TB
+    * this is a single scan + single exchange; running the three
+    * operators separately would triple the scan and materialize two
+    * intermediate corpora. */
+  def cleanCorpus(spark: SparkSession, dir: String, minQuality: Double = 0.5,
+                  langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        qualityScoreCol.as("quality_score"),
+        predictedLangCol.as("predicted_lang"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang").isin(langs.map(lit(_)): _*) &&
+        col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("lang"), col("predicted_lang"),
+        col("quality_score"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val cleanCorpusSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    s"""SELECT doc_id, lang, predicted_lang, quality_score, n_chars
+       |FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |    LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4 + ($stopR) * 0.3 +
+       |      (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality_score,
+       |    $sqlPredictedLang AS predicted_lang,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM documents
+       |) t
+       |WHERE quality_score >= 0.5
+       |  AND predicted_lang IN ('en', 'es', 'de', 'fr')
+       |  AND doc_id = keeper
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -30,6 +30,31 @@ class TextAnalysisSpec extends SparkSpec {
     val df = TextAnalysis.langId(spark, Sf)
     assert(df.filter(col("predicted_lang").isNull).count() == 0)
   }
+
+  test("clean corpus composes quality+lang+dedup in one scan and one hash exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val langs = Seq("en", "es", "de", "fr")
+    val df = TextAnalysis.cleanCorpus(spark, Sf, minQuality = 0.5, langs = langs)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("quality_score") >= 0.5)
+      assert(langs.contains(r.getAs[String]("predicted_lang")))
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.cleanCorpus(spark, Sf).queryExecution.executedPlan
+      assert(plan.collect { case s: FileSourceScanExec => s }.length == 1,
+        "cleaning pass must read documents exactly once")
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(hashEx.length == 1,
+        s"expected only the dedup-window exchange, got ${hashEx.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
 
 class DedupSpec extends SparkSpec {
