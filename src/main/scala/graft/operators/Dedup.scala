@@ -199,7 +199,15 @@ object Dedup {
                     rounds: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val pairs = minhashLsh(spark, dir, estThreshold).select(col("doc_a"), col("doc_b"))
+    nearDupCorpusFromPairs(docs,
+      minhashLsh(spark, dir, estThreshold).select(col("doc_a"), col("doc_b")), rounds)
+  }
+
+  /** The component-collapse core over ANY candidate-pair graph —
+    * feed it `minhashLsh`, `simhash`, `ngramJaccard` or
+    * `Similarity.cosineNearDup` pairs (renamed to doc_a/doc_b). */
+  def nearDupCorpusFromPairs(docs: DataFrame, pairs: DataFrame,
+                             rounds: Int = 3): DataFrame = {
     // undirected adjacency: propagate keeper ids both ways
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -216,7 +224,7 @@ object Dedup {
       r += 1
     }
     docs.join(labels.filter(col("doc_id") === col("keeper")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .select(docs.columns.map(col).toSeq: _*)
       .orderBy("doc_id")
   }
 
