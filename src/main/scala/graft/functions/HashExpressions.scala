@@ -198,6 +198,78 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** `hyperplane_bands(array<float>) -> array<bigint>`: per-table
+  * random-hyperplane LSH bucket ids (index = table, value = the sign
+  * bits of that table's plane projections), fused into ONE pass over
+  * the vector that feeds all tables × planes accumulators. The
+  * higher-order-function chain walked the embedding once per plane —
+  * 36 array traversals with a lambda application per element, per row.
+  * Plane matrices are seeded and memoized per dimension; the
+  * accumulation order matches the HOF `aggregate` fold exactly, so
+  * bucket assignments are bit-identical to the composable form. */
+case class HyperplaneBands(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBands.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = HyperplaneBands.getClass.getName
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $obj.MODULE$$.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_bands"
+}
+
+object HyperplaneBands {
+  val NumTables = 6
+  val PlanesPerTable = 6
+  val Seed = 1234
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  /** Flattened [table×plane][dim] Gaussian matrix; generation order
+    * (Random(seed), table-major then plane) matches the historical
+    * `Array.fill(NumTables, PlanesPerTable)(Array.fill(dim)(nextGaussian))`. */
+  def matrixFor(dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(dim, d => {
+      val rnd = new scala.util.Random(Seed)
+      Array.fill(NumTables * PlanesPerTable)(Array.fill(d)(rnd.nextGaussian()))
+    })
+
+  def compute(arr: ArrayData): GenericArrayData = {
+    val dim = arr.numElements()
+    val m = matrixFor(dim)
+    val acc = new Array[Double](NumTables * PlanesPerTable)
+    var d = 0
+    while (d < dim) {
+      val x = arr.getFloat(d).toDouble
+      var k = 0
+      while (k < acc.length) { acc(k) += x * m(k)(d); k += 1 }
+      d += 1
+    }
+    val out = new Array[Long](NumTables)
+    var t = 0
+    while (t < NumTables) {
+      var b = 0L
+      var p = 0
+      while (p < PlanesPerTable) {
+        if (acc(t * PlanesPerTable + p) > 0) b |= (1L << p)
+        p += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Idempotent registration of every graft native function on a session
   * (covers sessions not built with GraftExtensions, e.g. the driver's). */
 object GraftFunctions {
@@ -216,6 +288,7 @@ object GraftFunctions {
     unary("simhash64", SimHash64(_)),
     unary("trigram_hashes", TrigramShingleHashes(_)),
     unary("codepoint_hist16", CodepointHist16(_)),
+    unary("hyperplane_bands", HyperplaneBands(_)),
     binary("sorted_intersect_count", SortedIntersectCount(_, _)))
 
   def ensureRegistered(spark: SparkSession): Unit = {

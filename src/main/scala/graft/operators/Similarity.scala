@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.VectorFunctions._
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2D):
   * brute-force cosine top-k as the exact baseline, random-hyperplane
@@ -46,13 +45,20 @@ object Similarity {
   /** LSH tables × hyperplanes per table: multiple independent tables
     * trade compute for recall (a true neighbor only needs to collide in
     * ONE table). 6 tables × 6 bits → 64 buckets/table. */
-  val NumTables = 6
-  val PlanesPerTable = 6
-  /** Deterministic pseudo-random hyperplanes (seeded at build time). */
-  private def planes(dim: Int): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(1234)
-    Array.fill(NumTables, PlanesPerTable)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  val NumTables: Int = graft.functions.HyperplaneBands.NumTables
+  val PlanesPerTable: Int = graft.functions.HyperplaneBands.PlanesPerTable
+
+  /** (table_idx, bucket) LSH band keys, one output row per table, via
+    * the fused native expression (functions.HyperplaneBands): ONE pass
+    * over the vector feeds every tables×planes accumulator, where the
+    * composable HOF form walked the embedding once per plane (36
+    * traversals with a lambda application per element, per row).
+    * Shared by `lshTopK` (ANN) and `cosineNearDup` (near-dup
+    * blocking). */
+  private def bandKeyed(df: DataFrame, idAs: String, embAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+      posexplode(call_function("hyperplane_bands", col("embedding")))
+        .as(Seq("table_idx", "bucket")))
 
   /** Random-hyperplane LSH ANN: each side gets one sign-bit signature
     * per table; candidate pairs are scored only when they collide in
@@ -60,33 +66,11 @@ object Similarity {
     * huge (cannot broadcast): the join key is (table_idx, bucket), so
     * the shuffle carries each row NumTables times instead of
     * enumerating all pairs. */
-  /** Array of per-table (table_idx, bucket) LSH keys for one embedding:
-    * bucket = the sign bits of the hyperplane projections. Shared by
-    * `lshTopK` (ANN) and `cosineNearDup` (near-dup blocking). */
-  private def bandKeys(emb: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column = {
-    val ps = planes(dim)
-    val perTable = ps.toSeq.zipWithIndex.map { case (table, t) =>
-      val bits: Seq[org.apache.spark.sql.Column] = table.toSeq.zipWithIndex.map { case (p, i) =>
-        val planeCol = array(p.toSeq.map(lit(_)): _*)
-        when(dot(emb, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("table_idx"), bits.reduce(_ + _).as("bucket"))
-    }
-    array(perTable: _*)
-  }
-
-  def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5, dim: Int = 64): DataFrame = {
+  def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    def buckets(emb: org.apache.spark.sql.Column) = bandKeys(emb, dim)
     val e = Tables.embeddings(spark, dir)
-    val queries = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(buckets(col("embedding"))).as("tb"))
-      .select(col("query_id"), col("q_emb"), col("tb.table_idx"), col("tb.bucket"))
-    val candidates = e.filter(col("vec_id") >= numQueries)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-        explode(buckets(col("embedding"))).as("tb"))
-      .select(col("cand_id"), col("c_emb"), col("tb.table_idx"), col("tb.bucket"))
+    val queries = bandKeyed(e.filter(col("vec_id") < numQueries), "query_id", "q_emb")
+    val candidates = bandKeyed(e.filter(col("vec_id") >= numQueries), "cand_id", "c_emb")
     val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
     val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
     candidates.join(broadcast(queries), Seq("table_idx", "bucket"))
@@ -279,10 +263,9 @@ object Similarity {
     * PlanesPerTable: at larger corpora add planes so per-bucket pair
     * counts stay bounded (expected bucket size halves per added
     * plane). */
-  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                    dim: Int = 64): DataFrame = {
+  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    cosineNearDupFrom(Tables.embeddings(spark, dir), threshold, dim)
+    cosineNearDupFrom(Tables.embeddings(spark, dir), threshold)
   }
 
   /** DataFrame-input core of `cosineNearDup` — input needs (vec_id,
@@ -291,15 +274,12 @@ object Similarity {
     * → 1, while barely-over-threshold pairs are the hard case — which
     * is the correct trade for dedup, where the verifier must never
     * pass a false positive but a borderline near-miss is harmless. */
-  private[graft] def cosineNearDupFrom(e: DataFrame, threshold: Double,
-                                       dim: Int): DataFrame = {
-    val banded = e
+  private[graft] def cosineNearDupFrom(e: DataFrame, threshold: Double): DataFrame = {
+    val banded = bandKeyed(e
       // spread the band-key projection and the per-bucket pair scoring
       // across tasks even when the local input is a single split
-      .repartition(e.sparkSession.sessionState.conf.numShufflePartitions, col("vec_id"))
-      .select(col("vec_id"), col("embedding"),
-        explode(bandKeys(col("embedding"), dim)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.table_idx"), col("tb.bucket"))
+      .repartition(e.sparkSession.sessionState.conf.numShufflePartitions, col("vec_id")),
+      "vec_id", "embedding")
     val a = banded.as("a")
     val b = banded.as("b")
     // fused single-loop scoring — the HOF dot/norm chain allocates per

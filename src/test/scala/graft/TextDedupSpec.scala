@@ -195,6 +195,27 @@ class HashExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("hyperplane_bands equals the per-plane HOF dot-product formulation") {
+    val s = withFns()
+    import graft.functions.{HyperplaneBands, VectorFunctions}
+    val dim = 64
+    // the same seeded matrix the expression memoizes, re-derived here
+    val rnd = new scala.util.Random(HyperplaneBands.Seed)
+    val planes = Array.fill(HyperplaneBands.NumTables, HyperplaneBands.PlanesPerTable)(
+      Array.fill(dim)(rnd.nextGaussian()))
+    val hofBuckets = planes.toSeq.map { table =>
+      table.toSeq.zipWithIndex.map { case (p, i) =>
+        val planeCol = array(p.toSeq.map(lit(_)): _*)
+        when(VectorFunctions.dot(col("embedding"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val bad = Tables.embeddings(s, Sf).limit(100)
+      .select(expr("hyperplane_bands(embedding)").as("fused"), array(hofBuckets: _*).as("hof"))
+      .filter(col("fused") =!= col("hof"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("simhash64 equals the zip_with majority-vote formulation") {
     val s = withFns()
     val hashed = expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))")
@@ -385,7 +406,7 @@ class SimilaritySpec extends SparkSpec {
       (id + 100000L, v.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) 1e-3f else 0f) })
     }
     val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
-    val found = Similarity.cosineNearDupFrom(all, threshold = 0.9, dim = 64).collect()
+    val found = Similarity.cosineNearDupFrom(all, threshold = 0.9).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     val wanted = base.map { case (id, _) => (id, id + 100000L) }.toSet
     val recall = (found & wanted).size.toDouble / wanted.size
