@@ -208,9 +208,17 @@ object Dedup {
     * `Similarity.cosineNearDup` pairs (renamed to doc_a/doc_b). */
   def nearDupCorpusFromPairs(docs: DataFrame, pairs: DataFrame,
                              rounds: Int = 3): DataFrame = {
-    // undirected adjacency: propagate keeper ids both ways
+    // undirected adjacency: propagate keeper ids both ways.
+    // localCheckpoint materializes the pair graph ONCE and cuts its
+    // lineage — every propagation round joins the edges again, and
+    // without the cut the (expensive) candidate-generation subtree
+    // would be re-planned into each round. The edge list is tiny
+    // relative to the corpus (near-dup pairs only). On a real cluster
+    // prefer a reliable checkpoint dir (localCheckpoint does not
+    // survive executor loss).
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("keeper"))
     var r = 0
     while (r < rounds) {
