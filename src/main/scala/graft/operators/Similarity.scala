@@ -214,31 +214,40 @@ object Similarity {
   def kmeansCentroids(spark: SparkSession, dir: String, nlist: Int = 10,
                       iters: Int = 3): Seq[(Int, Array[Float])] = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // every Lloyd iteration re-reads the corpus projection — persist it
+    // once for the training loop (at scale this cache is what makes an
+    // iterative index build tolerable at all)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // deterministic seeding: the nlist rows with smallest hashed id
-    var cents: Seq[(Int, Array[Float])] = e
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h", "vec_id").limit(nlist)
-      .collect().toSeq.zipWithIndex.map { case (r, i) =>
-        i -> r.getSeq[Float](r.fieldIndex("embedding")).toArray }
-    var it = 0
-    while (it < iters) {
-      val means = e
-        .select(explode(nearestCellsCol(col("embedding"), cents, 1)).as("cell"),
-          col("embedding"))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg((sum(round(col("x").cast("double") * lit(1e7)).cast("bigint")).cast("double") /
-              (count(lit(1)) * lit(1e7))).as("c"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          s => s.getField("c")).as("centroid"))
-        .collect().toSeq.map(r => r.getInt(r.fieldIndex("cell")) ->
-          r.getSeq[Double](r.fieldIndex("centroid")).map(_.toFloat).toArray).toMap
-      cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
-      it += 1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seeding: the nlist rows with smallest hashed id
+      var cents: Seq[(Int, Array[Float])] = e
+        .withColumn("h", xxhash64(col("vec_id")))
+        .orderBy("h", "vec_id").limit(nlist)
+        .collect().toSeq.zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Float](r.fieldIndex("embedding")).toArray }
+      var it = 0
+      while (it < iters) {
+        val means = e
+          .select(explode(nearestCellsCol(col("embedding"), cents, 1)).as("cell"),
+            col("embedding"))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg((sum(round(col("x").cast("double") * lit(1e7)).cast("bigint")).cast("double") /
+                (count(lit(1)) * lit(1e7))).as("c"))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+            s => s.getField("c")).as("centroid"))
+          .collect().toSeq.map(r => r.getInt(r.fieldIndex("cell")) ->
+            r.getSeq[Double](r.fieldIndex("centroid")).map(_.toFloat).toArray).toMap
+        cents = cents.map { case (i, old) => i -> means.getOrElse(i, old) }
+        it += 1
+      }
+      cents
+    } finally {
+      e.unpersist()
+      ()
     }
-    cents
   }
 
   /** IVF ANN over the k-means quantizer — same probe plan as
