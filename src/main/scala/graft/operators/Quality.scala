@@ -266,14 +266,17 @@ object Quality {
 
   /** All 7 checks in one result set (validate_quality.run_all_checks).
     *
-    * THREE scans, not seven: every row-grain check (null, duplicate,
-    * range, timestamp, integrity) folds into ONE aggregate over events;
-    * the two grouped checks (sequence: user-day grain, consistency:
-    * user grain) take one shuffle each. At 100 TB the scan is the cost,
-    * so the quality suite must not multiply it by the check count. The
-    * single-check operators above keep their per-check shape for the
-    * driver contract; the oracle recomputes each check independently —
-    * results are identical. */
+    * TWO scans, not seven: every row-grain check (null, duplicate,
+    * range, timestamp, integrity) folds into ONE aggregate over
+    * events, and BOTH grouped checks share one (user_id, event_date)
+    * aggregate — sequence reads it directly, consistency re-aggregates
+    * it per user (per-user signups = the sum of per-user-day signups),
+    * so Catalyst's ReuseExchange computes the shared user-day shuffle
+    * once. At 100 TB the scan is the cost, so the quality suite must
+    * not multiply it by the check count. The single-check operators
+    * above keep their per-check shape for the driver contract; the
+    * oracle recomputes each check independently — results are
+    * identical. */
   def summary(spark: SparkSession, dir: String): DataFrame =
     summaryFrom(enriched(spark, dir))
 
@@ -309,9 +312,34 @@ object Quality {
       df.withColumn("pass_rate", rate)
         .withColumn("status", when(col("pass_rate") >= 99.0, "PASS").otherwise("FAIL"))
     }
+    // ROLLUP(user_id, event_date) computes the user-day grain (gid=0,
+    // feeds sequence) AND the per-user subtotals (gid=1, feeds
+    // consistency: per-user signups = sum of per-user-day signups) in
+    // one aggregate; both checks' counters then collapse in one final
+    // single-row aggregate — a single linear plan, so nothing is
+    // recomputed via DataFrame fan-out (two branches would re-plan the
+    // scan each, as branch-specific column pruning defeats
+    // ReuseExchange).
+    val grouped = e.rollup(col("user_id"), col("event_date"))
+      .agg(
+        grouping_id().as("gid"),
+        count(when(col("event_type") === "signup", 1)).as("signups"),
+        min(when(col("event_type") === "purchase", col("event_epoch"))).as("first_purchase"),
+        min(when(col("event_type").isin("view", "click"), col("event_epoch"))).as("first_touch"))
+    val groupedChecks = grouped.agg(
+        count(when(col("gid") === 0, 1)).as("ud_total"),
+        count(when(col("gid") === 0 && col("first_purchase").isNotNull &&
+                   (col("first_touch").isNull || col("first_touch") > col("first_purchase")), 1))
+          .as("seq_failed"),
+        count(when(col("gid") === 1, 1)).as("user_total"),
+        count(when(col("gid") === 1 && col("signups") > 1, 1)).as("cons_failed"))
+      .select(sqlExpr(
+        """stack(2,
+          |  'consistency_check', 'consistency_check', user_total, cons_failed,
+          |  'sequence_check', 'sequence_check', ud_total, seq_failed
+          |) as (check_name, check_type, total_records, failed_records)""".stripMargin))
     rated(rowChecks)
-      .unionByName(sequenceCheckFrom(e))
-      .unionByName(consistencyCheckFrom(e))
+      .unionByName(rated(groupedChecks))
       .orderBy("check_name")
   }
 
