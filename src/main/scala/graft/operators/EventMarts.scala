@@ -345,19 +345,23 @@ object EventMarts {
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
   /** D1 retention cohort: users grouped by first-seen day; retained =
-    * came back the next day. Two shuffles (user grain → cohort grain). */
+    * came back the next day. ONE events scan: distinct user-days, the
+    * per-user cohort via a window on the user key, a per-user retained
+    * flag, then the cohort rollup — the join-based formulation scanned
+    * events twice (cohort aggregate + activity side) and shuffled the
+    * join. */
   def retentionDaily(spark: SparkSession, dir: String): DataFrame = {
-    val e = enriched(spark, dir).select("user_id", "event_date")
-    val firstDay = e.groupBy("user_id").agg(min("event_date").as("cohort_date")).as("f")
-    val activity = e.distinct().as("a")
-    firstDay
-      .join(activity,
-        col("a.user_id") === col("f.user_id") &&
-          col("a.event_date") === date_add(col("f.cohort_date"), 1), "left")
-      .groupBy(col("f.cohort_date").as("cohort_date"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    enriched(spark, dir).select("user_id", "event_date").distinct()
+      .withColumn("cohort_date", min("event_date").over(w))
+      .groupBy(col("user_id"), col("cohort_date"))
+      .agg(max(when(col("event_date") === date_add(col("cohort_date"), 1), 1)
+        .otherwise(0)).as("retained"))
+      .groupBy(col("cohort_date"))
       .agg(
-        count(col("f.user_id")).as("cohort_size"),
-        count(col("a.user_id")).as("retained_d1"))
+        count(lit(1)).as("cohort_size"),
+        sum(col("retained")).as("retained_d1"))
       .withColumn("retention_rate",
         col("retained_d1").cast("double") / nullif(col("cohort_size"), lit(0)).cast("double") * lit(100))
       .orderBy("cohort_date")

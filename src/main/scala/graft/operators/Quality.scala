@@ -175,8 +175,16 @@ object Quality {
     dailyTrendFrom(enriched(spark, dir))
 
   private[graft] def dailyTrendFrom(e: DataFrame): DataFrame = {
-    val rowDaily = e.groupBy(col("event_date"))
+    // ONE events scan: ROLLUP(event_date, user_id) yields the user-day
+    // grain (gid=0 — sequence/consistency inputs) AND the per-date row
+    // grain (gid=1 — totals and row-grain failure counts, including
+    // the distinct-id dup check) in a single aggregate; a per-date
+    // second stage then merges both grains. The previous two-aggregate
+    // + join formulation scanned events twice — fan-out cannot share
+    // the scan (branch pruning defeats ReuseExchange).
+    val grouped = e.rollup(col("event_date"), col("user_id"))
       .agg(
+        grouping_id().as("gid"),
         count(lit(1)).as("total"),
         count(when(col("event_id").isNull || col("ts").isNull || col("user_id").isNull ||
                    col("event_type").isNull || col("value").isNull || col("props").isNull, 1))
@@ -191,20 +199,27 @@ object Quality {
         count(when(col("event_type") === "purchase", 1)).as("purchase_total"),
         count(when(col("event_type") === "purchase" &&
                    (col("product_k").isNull || col("product_k") < 0 ||
-                    col("product_k") > 99 || col("value") <= 0), 1)).as("integrity_failed"))
-    val udDaily = e.groupBy(col("user_id"), col("event_date"))
-      .agg(
+                    col("product_k") > 99 || col("value") <= 0), 1)).as("integrity_failed"),
         count(when(col("event_type") === "signup", 1)).as("signups"),
         min(when(col("event_type") === "purchase", col("event_epoch"))).as("first_purchase"),
         min(when(col("event_type").isin("view", "click"), col("event_epoch"))).as("first_touch"))
+    def dateLevel(c: org.apache.spark.sql.Column) = max(when(col("gid") === 1, c))
+    grouped
+      .filter(col("gid").isin(0, 1)) // drop the grand-total row
       .groupBy(col("event_date"))
       .agg(
-        count(lit(1)).as("ud_total"),
-        count(when(col("first_purchase").isNotNull &&
+        dateLevel(col("total")).as("total"),
+        dateLevel(col("null_failed")).as("null_failed"),
+        dateLevel(col("dup_failed")).as("dup_failed"),
+        dateLevel(col("range_failed")).as("range_failed"),
+        dateLevel(col("ts_failed")).as("ts_failed"),
+        dateLevel(col("purchase_total")).as("purchase_total"),
+        dateLevel(col("integrity_failed")).as("integrity_failed"),
+        count(when(col("gid") === 0, 1)).as("ud_total"),
+        count(when(col("gid") === 0 && col("first_purchase").isNotNull &&
                    (col("first_touch").isNull || col("first_touch") > col("first_purchase")), 1))
           .as("seq_failed"),
-        count(when(col("signups") > 1, 1)).as("cons_failed"))
-    rowDaily.join(udDaily, "event_date")
+        count(when(col("gid") === 0 && col("signups") > 1, 1)).as("cons_failed"))
       .select(col("event_date"), expr(
         """stack(7,
           |  'null_check', total, null_failed,
