@@ -153,7 +153,13 @@ object Dedup {
     * the shuffle key is (band_idx, band_hash) so only colliding docs
     * ever meet; no unblocked pair enumeration exists anywhere.
     * Oracle: rows-only (approximate operator, no SQL equivalent). */
-  def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.4): DataFrame = {
+  /** @param maxBucket skew guard: a band bucket larger than this is a
+    *   degenerate block (e.g. a boilerplate/empty-text cluster) whose
+    *   O(bucket²) pairs add no near-dup information beyond what exact
+    *   dedup already collapses — such buckets are dropped rather than
+    *   allowed to dominate the stage. */
+  def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.4,
+                 maxBucket: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // repartition raw docs so signature computation parallelizes even
     // from a single input split (see ngramJaccard)
@@ -167,13 +173,24 @@ object Dedup {
           xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
             .as("band_hash")))).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val agree = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1)), x => x.isNotNull))
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") && col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    // Pairs are enumerated INSIDE each band bucket from the grouped
+    // member list: signatures are computed once and shuffled once (the
+    // self-join formulation planned the fused signature subtree into
+    // BOTH join sides — twice the dominant CPU cost — and leaned on a
+    // broadcast). Bucket size is bounded by the banding design, so the
+    // per-bucket list and its pair expansion are bounded too.
+    val pairs = bands
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(members, x -> transform(members, y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sig_a, y.sig AS sig_b)))),
+          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
+    val agree = size(filter(zip_with(col("p.sig_a"), col("p.sig_b"), (x, y) => when(x === y, 1)), x => x.isNotNull))
+    pairs
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= estThreshold)
@@ -239,7 +256,8 @@ object Dedup {
   /** 64-bit SimHash near-dup: token hashes vote per bit; candidates
     * from 16-bit band blocking; pairs kept at Hamming distance ≤ 7.
     * Oracle: rows-only. */
-  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 7,
+              maxBucket: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // bit b of the simhash = majority vote of token-hash bit b — one
     // fused pass in the native expression (the higher-order-function
@@ -250,13 +268,19 @@ object Dedup {
     val banded = docs.select(col("doc_id"), col("simhash"),
       expr("explode(transform(sequence(0, 3), b -> struct(b as band_idx, shiftright(simhash, b * 16) & 65535 as band_val)))").as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    // grouped-bucket pair enumeration (see minhashLsh): one simhash
+    // computation, one shuffle, bounded per-bucket expansion
+    banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(members, x -> transform(members, y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS h_a, y.simhash AS h_b)))),
+          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.h_a").bitwiseXOR(col("p.h_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
