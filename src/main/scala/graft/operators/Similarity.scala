@@ -283,21 +283,32 @@ object Similarity {
     * → 1, while barely-over-threshold pairs are the hard case — which
     * is the correct trade for dedup, where the verifier must never
     * pass a false positive but a borderline near-miss is harmless. */
-  private[graft] def cosineNearDupFrom(e: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def cosineNearDupFrom(e: DataFrame, threshold: Double,
+                                       maxBucket: Int = 1024): DataFrame = {
     val banded = bandKeyed(e
       // spread the band-key projection and the per-bucket pair scoring
       // across tasks even when the local input is a single split
       .repartition(e.sparkSession.sessionState.conf.numShufflePartitions, col("vec_id")),
       "vec_id", "embedding")
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // grouped-bucket pair enumeration (see Dedup.minhashLsh): band
+    // keys are computed once and shuffled once; pairs come from the
+    // per-bucket member list (a self-join planned the band-key subtree
+    // into both sides), with the maxBucket skew guard dropping
+    // degenerate buckets. Exact fused cosine verifies each pair.
+    val pairs = banded
+      .groupBy(col("table_idx"), col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(members, x -> transform(members, y ->
+          |    struct(x.vec_id AS vec_a, y.vec_id AS vec_b, x.embedding AS emb_a, y.embedding AS emb_b)))),
+          |  p -> p.vec_a < p.vec_b)""".stripMargin)).as("p"))
     // fused single-loop scoring — the HOF dot/norm chain allocates per
     // lambda application and dominated the pair stage
-    val sim = round(expr("cosine_sim(a.embedding, b.embedding)"), 6)
-    a.join(b,
-        col("a.table_idx") === col("b.table_idx") && col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), sim.as("similarity"))
+    val sim = round(expr("cosine_sim(p.emb_a, p.emb_b)"), 6)
+    pairs
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"), sim.as("similarity"))
       .filter(col("similarity") >= threshold)
       .distinct() // a pair may collide in several tables
       .orderBy("vec_a", "vec_b")

@@ -377,21 +377,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("cosine near-dup scale plan: band-key shuffle join once broadcast is off") {
-    // at local test sizes Catalyst broadcasts the banded side (it fits
-    // under autoBroadcastJoinThreshold); above the threshold — the only
-    // regime that matters at 100 TB — the join must shuffle on the
-    // (table_idx, bucket) band keys, never on a low-cardinality block
-    // key and never via a forced full-table broadcast
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val plan = Similarity.cosineNearDup(spark, Sf)
-        .queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastHashJoin"), "unexpected broadcast join")
-      assert(plan.contains("table_idx") && plan.contains("bucket"),
-        "join not keyed on the LSH band")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  test("cosine near-dup scale plan: join-free band-bucket grouping, no broadcast") {
+    // pair generation is a grouped aggregation on the (table_idx,
+    // bucket) band key with in-bucket enumeration — no join of any
+    // kind, no broadcast, never a low-cardinality block shuffle
+    val plan = Similarity.cosineNearDup(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected join-free pair generation:\n$plan")
+    assert(plan.contains("table_idx") && plan.contains("bucket"),
+      "grouping not keyed on the LSH band")
   }
 
   test("cosine near-dup: planted true duplicates are recalled") {
