@@ -71,9 +71,12 @@ object Pipeline {
     *   filter lands directly above the scan, so a date-partitioned
     *   fact table prunes to the touched partitions, and dynamic
     *   overwrite rewrites only those mart partitions on rerun.
-    * @param checkLogDir when set, this run's 7 check results are
-    *   appended under their run_date partition (the reference's
-    *   quality_check_log), idempotently.
+    * @param checkLogDir when set, the run's check results are logged
+    *   PER EVENT DATE in scope — 7 rows per date under its run_date
+    *   partition (the reference's quality_check_log), idempotently
+    *   via dynamic overwrite. A multi-date or full run logs each
+    *   date's own totals (the whole-scope gate summary would corrupt
+    *   per-day trend semantics if logged under one date).
     * @param failFast mirrors the reference's branch: true stops before
     *   building marts, false is the WARN path (build anyway, surface
     *   failures in the result). */
@@ -95,8 +98,11 @@ object Pipeline {
         val r = e.agg(max(col("event_date"))).collect().head
         if (r.isNullAt(0)) None else Some(r.getDate(0).toString)
       }
-      runDate.filter(_ => checkLogDir.isDefined)
-        .foreach(d => Quality.writeCheckLog(summaryDf, checkLogDir.get, d))
+      checkLogDir.foreach { dir =>
+        val log = Quality.perDateChecks(e)
+          .withColumnRenamed("event_date", "run_date")
+        MartSink.writePartitioned(log, dir, Seq("run_date"))
+      }
       val alert = Option.when(failed.nonEmpty)(
         Reporting.qualityAlertPayload(runDate.getOrElse("unknown"), checks))
       if (failed.nonEmpty && failFast)

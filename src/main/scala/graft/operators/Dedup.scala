@@ -177,75 +177,90 @@ object Dedup {
     // member list: signatures are computed once and shuffled once (the
     // self-join formulation planned the fused signature subtree into
     // BOTH join sides — twice the dominant CPU cost — and leaned on a
-    // broadcast). Bucket size is bounded by the banding design, so the
-    // per-bucket list and its pair expansion are bounded too.
+    // broadcast). Enumeration is by INDEX pair (i < j, ~n²/2 tiny
+    // structs); the signature payloads are looked up from the member
+    // list only at projection time, per exploded pair — the naive
+    // member×member product would materialize every payload n times
+    // inside one row.
     val pairs = bands
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(members, x -> transform(members, y ->
-          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sig_a, y.sig AS sig_b)))),
-          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
-    val agree = size(filter(zip_with(col("p.sig_a"), col("p.sig_b"), (x, y) => when(x === y, 1)), x => x.isNotNull))
+      .select(col("members"), explode(Dedup.indexPairs).as("p"))
+    val x = expr("element_at(members, p.i)")
+    val y = expr("element_at(members, p.j)")
+    val agree = size(filter(zip_with(x.getField("sig"), y.getField("sig"),
+      (a, b) => when(a === b, 1)), v => v.isNotNull))
     pairs
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+      .select(
+        least(x.getField("doc_id"), y.getField("doc_id")).as("doc_a"),
+        greatest(x.getField("doc_id"), y.getField("doc_id")).as("doc_b"),
         (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= estThreshold)
       .orderBy("doc_a", "doc_b")
   }
 
+  /** All (i, j) index pairs with 1 ≤ i < j ≤ size(members) — the
+    * bounded in-bucket pair space as 8-byte structs (payloads stay in
+    * the member list and are dereferenced per pair downstream). */
+  private[operators] def indexPairs: Column = expr(
+    """flatten(transform(sequence(1, size(members) - 1), i ->
+      |  transform(sequence(i + 1, size(members)), j -> struct(i AS i, j AS j))))""".stripMargin)
+
   /** The consumable output of NEAR-dup dedup: one kept document per
     * near-duplicate cluster (min doc_id wins), where clusters are the
     * connected components of the `minhashLsh` candidate-pair graph.
     *
-    * Components are resolved with iterated min-id label propagation —
-    * the standard bounded-rounds Spark CC: each round every doc's
-    * keeper becomes the min over itself and its neighbors' keepers
-    * (one join + one grouped min = two shuffles per round, labels are
-    * (doc_id, keeper) pairs only). Near-dup clusters have tiny
-    * diameters in practice, so `rounds` rounds converge; docs chained
-    * further than `rounds` hops from their component min would keep a
-    * non-minimal keeper (each still elects SOME keeper — the dedup
-    * stays sound, merely slightly less aggressive). At 100 TB each
-    * round's frames should be checkpointed to cut lineage; at a few
-    * rounds the plan stays compact. */
+    * Components are resolved with min-id label propagation TO
+    * FIXPOINT — each round every doc's keeper becomes the min over
+    * itself and its neighbors' keepers (one join + one grouped min
+    * over (doc_id, keeper) pairs), and the loop stops as soon as a
+    * round changes nothing. Rounds needed = the largest component's
+    * eccentricity from its min id — tiny for near-dup clusters —
+    * with `maxRounds` as a pathological-chain cap. Per-round frames
+    * are localCheckpoint'ed: it cuts the growing lineage AND makes
+    * the cheap convergence probe (limit-1 over changed rows) read
+    * materialized data. On a real cluster prefer a reliable
+    * checkpoint dir (localCheckpoint does not survive executor
+    * loss). */
   def nearDupCorpus(spark: SparkSession, dir: String, estThreshold: Double = 0.4,
-                    rounds: Int = 3): DataFrame = {
+                    maxRounds: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     nearDupCorpusFromPairs(docs,
-      minhashLsh(spark, dir, estThreshold).select(col("doc_a"), col("doc_b")), rounds)
+      minhashLsh(spark, dir, estThreshold).select(col("doc_a"), col("doc_b")), maxRounds)
   }
 
   /** The component-collapse core over ANY candidate-pair graph —
     * feed it `minhashLsh`, `simhash`, `ngramJaccard` or
     * `Similarity.cosineNearDup` pairs (renamed to doc_a/doc_b). */
   def nearDupCorpusFromPairs(docs: DataFrame, pairs: DataFrame,
-                             rounds: Int = 3): DataFrame = {
-    // undirected adjacency: propagate keeper ids both ways.
-    // localCheckpoint materializes the pair graph ONCE and cuts its
-    // lineage — every propagation round joins the edges again, and
-    // without the cut the (expensive) candidate-generation subtree
-    // would be re-planned into each round. The edge list is tiny
-    // relative to the corpus (near-dup pairs only). On a real cluster
-    // prefer a reliable checkpoint dir (localCheckpoint does not
-    // survive executor loss).
+                             maxRounds: Int = 20): DataFrame = {
+    // undirected adjacency, materialized ONCE: every propagation round
+    // joins the edges again, and without the lineage cut the
+    // (expensive) candidate-generation subtree would be re-planned
+    // into each round
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("keeper"))
+      .localCheckpoint()
     var r = 0
-    while (r < rounds) {
+    var converged = false
+    while (r < maxRounds && !converged) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_b") === col("nbr"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("keeper")).as("nbr_keeper"))
-      labels = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val next = labels.withColumnRenamed("keeper", "prev_keeper")
+        .join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("keeper"), coalesce(col("nbr_keeper"), col("keeper"))).as("keeper"))
+          least(col("prev_keeper"), coalesce(col("nbr_keeper"), col("prev_keeper"))).as("keeper"),
+          col("prev_keeper"))
+        .localCheckpoint()
+      converged = next.filter(col("keeper") =!= col("prev_keeper")).isEmpty
+      labels = next.select(col("doc_id"), col("keeper"))
       r += 1
     }
     docs.join(labels.filter(col("doc_id") === col("keeper")), Seq("doc_id"))
@@ -268,19 +283,19 @@ object Dedup {
     val banded = docs.select(col("doc_id"), col("simhash"),
       expr("explode(transform(sequence(0, 3), b -> struct(b as band_idx, shiftright(simhash, b * 16) & 65535 as band_val)))").as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
-    // grouped-bucket pair enumeration (see minhashLsh): one simhash
-    // computation, one shuffle, bounded per-bucket expansion
+    // grouped-bucket index-pair enumeration (see minhashLsh): one
+    // simhash computation, one shuffle, bounded per-bucket expansion
+    val x = expr("element_at(members, p.i)")
+    val y = expr("element_at(members, p.j)")
     banded
       .groupBy(col("band_idx"), col("band_val"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(members, x -> transform(members, y ->
-          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS h_a, y.simhash AS h_b)))),
-          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        bit_count(col("p.h_a").bitwiseXOR(col("p.h_b"))).as("hamming"))
+      .select(col("members"), explode(indexPairs).as("p"))
+      .select(
+        least(x.getField("doc_id"), y.getField("doc_id")).as("doc_a"),
+        greatest(x.getField("doc_id"), y.getField("doc_id")).as("doc_b"),
+        bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")

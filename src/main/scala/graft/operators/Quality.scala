@@ -158,13 +158,10 @@ object Quality {
     * check-log days). Each check is evaluated per event_date — a
     * "daily run" of the suite — with its own denominator (rows for the
     * row-grain checks, purchases for integrity, user-days for
-    * sequence/consistency). TWO scans regardless of check count: one
-    * row-grain daily aggregate, one (user_id, event_date) grouped
-    * aggregate rolled up per day; the per-day frames are tiny and join
-    * on event_date. `stack` unpivots to (check, day) grain, then one
-    * rollup per check. Determinism: min over per-day doubles is
-    * order-independent; the overall rate is one exact division of long
-    * sums — no double summation anywhere.
+    * sequence/consistency). ONE scan regardless of check count — see
+    * `perDateChecks` — then one rollup per check. Determinism: min
+    * over per-day doubles is order-independent; the overall rate is
+    * one exact division of long sums — no double summation anywhere.
     *
     * Note the consistency/sequence day-scope semantics: a user with
     * one signup on each of two days passes every DAILY consistency
@@ -174,14 +171,30 @@ object Quality {
   def dailyTrend(spark: SparkSession, dir: String): DataFrame =
     dailyTrendFrom(enriched(spark, dir))
 
-  private[graft] def dailyTrendFrom(e: DataFrame): DataFrame = {
-    // ONE events scan: ROLLUP(event_date, user_id) yields the user-day
-    // grain (gid=0 — sequence/consistency inputs) AND the per-date row
-    // grain (gid=1 — totals and row-grain failure counts, including
-    // the distinct-id dup check) in a single aggregate; a per-date
-    // second stage then merges both grains. The previous two-aggregate
-    // + join formulation scanned events twice — fan-out cannot share
-    // the scan (branch pruning defeats ReuseExchange).
+  private[graft] def dailyTrendFrom(e: DataFrame): DataFrame =
+    perDateChecks(e)
+      .groupBy(col("check_name"))
+      .agg(
+        count(lit(1)).as("days"),
+        sum(col("total_records")).as("total_records"),
+        sum(col("failed_records")).as("failed_records"),
+        ((lit(1.0) - sum(col("failed_records")).cast("double") /
+          greatest(sum(col("total_records")), lit(1L)).cast("double")) * lit(100))
+          .as("overall_pass_rate"),
+        min(col("pass_rate")).as("min_daily_pass_rate"))
+      .orderBy("check_name")
+
+  /** Per-(event_date, check) results for ALL 7 checks in ONE events
+    * scan — the day-grain frame behind `dailyTrend` and the
+    * pipeline's per-date check log: ROLLUP(event_date, user_id)
+    * yields the user-day grain (gid=0 — sequence/consistency inputs)
+    * AND the per-date row grain (gid=1 — totals and row-grain failure
+    * counts, including the distinct-id dup check) in a single
+    * aggregate; a per-date second stage merges both grains (a
+    * two-aggregate + join formulation would scan events twice —
+    * fan-out cannot share the scan, branch pruning defeats
+    * ReuseExchange). */
+  private[graft] def perDateChecks(e: DataFrame): DataFrame = {
     val grouped = e.rollup(col("event_date"), col("user_id"))
       .agg(
         grouping_id().as("gid"),
@@ -222,25 +235,18 @@ object Quality {
         count(when(col("gid") === 0 && col("signups") > 1, 1)).as("cons_failed"))
       .select(col("event_date"), expr(
         """stack(7,
-          |  'null_check', total, null_failed,
-          |  'duplicate_check', total, dup_failed,
-          |  'range_check', total, range_failed,
-          |  'timestamp_check', total, ts_failed,
-          |  'integrity_check', purchase_total, integrity_failed,
-          |  'sequence_check', ud_total, seq_failed,
-          |  'consistency_check', ud_total, cons_failed
-          |) as (check_name, day_total, failed)""".stripMargin))
-      .withColumn("day_pass_rate",
-        (lit(1.0) - col("failed").cast("double") / greatest(col("day_total"), lit(1L)).cast("double")) * lit(100))
-      .groupBy(col("check_name"))
-      .agg(
-        count(lit(1)).as("days"),
-        sum(col("day_total")).as("total_records"),
-        sum(col("failed")).as("failed_records"),
-        ((lit(1.0) - sum(col("failed")).cast("double") / greatest(sum(col("day_total")), lit(1L)).cast("double")) * lit(100))
-          .as("overall_pass_rate"),
-        min(col("day_pass_rate")).as("min_daily_pass_rate"))
-      .orderBy("check_name")
+          |  'null_check', 'null_check', total, null_failed,
+          |  'duplicate_check', 'duplicate_check', total, dup_failed,
+          |  'range_check', 'range_check', total, range_failed,
+          |  'timestamp_check', 'range_check', total, ts_failed,
+          |  'integrity_check', 'integrity_check', purchase_total, integrity_failed,
+          |  'sequence_check', 'sequence_check', ud_total, seq_failed,
+          |  'consistency_check', 'consistency_check', ud_total, cons_failed
+          |) as (check_name, check_type, total_records, failed_records)""".stripMargin))
+      .withColumn("pass_rate",
+        (lit(1.0) - col("failed_records").cast("double") /
+          greatest(col("total_records"), lit(1L)).cast("double")) * lit(100))
+      .withColumn("status", when(col("pass_rate") >= 99.0, "PASS").otherwise("FAIL"))
   }
 
   val dailyTrendSql: String =

@@ -290,25 +290,25 @@ object Similarity {
       // across tasks even when the local input is a single split
       .repartition(e.sparkSession.sessionState.conf.numShufflePartitions, col("vec_id")),
       "vec_id", "embedding")
-    // grouped-bucket pair enumeration (see Dedup.minhashLsh): band
-    // keys are computed once and shuffled once; pairs come from the
-    // per-bucket member list (a self-join planned the band-key subtree
-    // into both sides), with the maxBucket skew guard dropping
-    // degenerate buckets. Exact fused cosine verifies each pair.
-    val pairs = banded
+    // grouped-bucket index-pair enumeration (see Dedup.minhashLsh):
+    // band keys are computed once and shuffled once; pairs come from
+    // tiny (i, j) index structs with the embedding payloads
+    // dereferenced from the member list only at projection time, and
+    // the maxBucket skew guard bounds degenerate buckets. Exact fused
+    // cosine verifies each pair.
+    val x = expr("element_at(members, p.i)")
+    val y = expr("element_at(members, p.j)")
+    val sim = round(call_function("cosine_sim",
+      x.getField("embedding"), y.getField("embedding")), 6)
+    banded
       .groupBy(col("table_idx"), col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(members, x -> transform(members, y ->
-          |    struct(x.vec_id AS vec_a, y.vec_id AS vec_b, x.embedding AS emb_a, y.embedding AS emb_b)))),
-          |  p -> p.vec_a < p.vec_b)""".stripMargin)).as("p"))
-    // fused single-loop scoring — the HOF dot/norm chain allocates per
-    // lambda application and dominated the pair stage
-    val sim = round(expr("cosine_sim(p.emb_a, p.emb_b)"), 6)
-    pairs
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"), sim.as("similarity"))
+      .select(col("members"), explode(Dedup.indexPairs).as("p"))
+      .select(
+        least(x.getField("vec_id"), y.getField("vec_id")).as("vec_a"),
+        greatest(x.getField("vec_id"), y.getField("vec_id")).as("vec_b"),
+        sim.as("similarity"))
       .filter(col("similarity") >= threshold)
       .distinct() // a pair may collide in several tables
       .orderBy("vec_a", "vec_b")

@@ -97,26 +97,29 @@ object EventStream {
           .as("range_failed"),
         count(when(year(col("ts")) < 2020 || year(col("ts")) > 2030, 1)).as("ts_failed"))
 
-  /** Persist the streaming quality monitor as a continuously-appended
+  /** Persist the streaming quality monitor as a continuously-written
     * check log: each watermark-FINALIZED window's counts are unpivoted
-    * to the reference's check-result shape and appended under their
-    * window-date partition — quality_check_log continuity between the
-    * live monitor and the batch suite (`Quality.trendFromLog` reads
-    * either: it needs check_name/total_records/failed_records).
-    * foreachBatch + parquet append is the right sink shape: append
-    * mode guarantees each window is emitted exactly once after its
-    * watermark closes, and the streaming checkpoint makes the batch
-    * writes replay-safe. */
+    * to the reference's check-result shape — quality_check_log
+    * continuity between the live monitor and the batch suite
+    * (`Quality.trendFromLog` reads either: it needs check_name/
+    * total_records/failed_records).
+    *
+    * foreachBatch is at-least-once (a batch replays if the stream dies
+    * before its offsets commit), so the write must be idempotent, not
+    * a blind append: rows land under (run_date, batch_id) partitions
+    * via dynamic overwrite, and a replayed batch rewrites exactly its
+    * own partitions — effectively-once output, the standard
+    * batchId-keyed foreachBatch pattern. */
   def qualityLogSink(quality: DataFrame, logDir: String,
                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     quality.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val rate = (lit(1.0) - col("failed_records").cast("double") /
             greatest(col("total_records"), lit(1L)).cast("double")) * lit(100)
-          batch.select(
+          val rows = batch.select(
               col("window.start").as("window_start"),
               expr("""stack(3,
                 |  'null_check', total, null_failed,
@@ -126,7 +129,8 @@ object EventStream {
             .withColumn("pass_rate", rate)
             .withColumn("status", when(col("pass_rate") >= 99.0, "PASS").otherwise("FAIL"))
             .withColumn("run_date", to_date(col("window_start")))
-            .write.mode("append").partitionBy("run_date").parquet(logDir)
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.MartSink.writePartitioned(rows, logDir, Seq("run_date", "batch_id"))
         }
         ()
       }
