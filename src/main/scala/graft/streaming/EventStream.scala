@@ -38,8 +38,12 @@ object EventStream {
     * full user set in state; HLL keeps state O(1) per window — the
     * 100 TB answer). */
   def funnelCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    funnelCountsOn(events.withWatermark("ts", watermark))
+
+  /** Core over an ALREADY-watermarked stream (a watermark may only be
+    * defined once per query — e.g. upstream of `dedupEvents`). */
+  def funnelCountsOn(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", watermark)
       .withColumn("segment", (col("user_id") % 3).cast("int"))
       .groupBy(window(col("ts"), "1 hour"), col("segment"))
       .agg(
@@ -51,8 +55,10 @@ object EventStream {
 
   /** Hourly traffic mart, streaming flavor. */
   def hourlyTraffic(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    hourlyTrafficOn(events.withWatermark("ts", watermark))
+
+  def hourlyTrafficOn(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(
         count(lit(1)).as("event_count"),
@@ -85,8 +91,10 @@ object EventStream {
     * suite is the gate; this feeds a live dashboard the way the
     * reference's Slack alert watches the daily run). */
   def qualityCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    qualityCountsOn(events.withWatermark("ts", watermark))
+
+  def qualityCountsOn(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(
         count(lit(1)).as("total"),

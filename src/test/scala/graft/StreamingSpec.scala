@@ -151,6 +151,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pipeline maintains funnel/traffic marts and the check log end-to-end") {
+    val in = java.nio.file.Files.createTempDirectory("graft_spipe_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_spipe_out").toString
+    // two hours of events plus a late tail that pushes the watermark
+    // far enough to finalize both full windows
+    val lines = (0 until 120).map { m =>
+      val t = f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00"
+      val et = if (m % 7 == 0) "purchase" else "view"
+      s"""{"event_id":$m,"ts":"$t","user_id":${m % 5},"event_type":"$et","value":${m % 90 + 1}.0,"props":"{}"}"""
+    } :+ """{"event_id":999,"ts":"2024-01-01 14:00:00","user_id":1,"event_type":"view","value":1.0,"props":"{}"}"""
+    val w = new java.io.PrintWriter(s"$in/events.jsonl")
+    lines.foreach(w.println)
+    w.close()
+    val queries = StreamingPipeline.start(spark, in, out, watermark = "10 minutes")
+    try {
+      queries.foreach(_.processAllAvailable())
+      val funnel = spark.read.parquet(s"$out/funnel_hourly")
+      val traffic = spark.read.parquet(s"$out/hourly_traffic")
+      val qlog = spark.read.parquet(s"$out/quality_check_log")
+      // the 10:00 and 11:00 windows are watermark-finalized
+      assert(traffic.count() == 2, s"traffic windows: ${traffic.count()}")
+      assert(traffic.agg(sum("event_count")).collect().head.getLong(0) == 120)
+      assert(funnel.agg(sum("purchases")).collect().head.getLong(0) ==
+        (0 until 120).count(_ % 7 == 0))
+      assert(qlog.select("check_name").distinct().count() == 3)
+      // the log feeds the same trender as the batch check log
+      assert(operators.Quality.trendFromLog(spark, s"$out/quality_check_log").count() == 3)
+    } finally queries.foreach(_.stop())
+  }
+
   test("streaming sessionization closes sessions on gap and keeps order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
