@@ -131,7 +131,9 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "media_metadata"       -> Multimodal.mediaMetadataSql,
     "media_feature_extract" -> Multimodal.featureExtractSql,
-    // dedup_minhash_lsh / dedup_simhash / ann_* / dedup_embedding_cosine /
-    // media_frame_sample: approximate or non-SQL-expressible → rows-only.
+    // dedup_minhash_lsh / dedup_simhash / dedup_near_corpus / ann_* /
+    // dedup_embedding_cosine / media_frame_sample / media_resize:
+    // approximate or non-SQL-expressible → rows-only (each is
+    // ScalaTest-backed with recall floors / exact ground-truth checks).
   )
 }
