@@ -60,4 +60,15 @@ object StreamingPipeline {
       EventStream.qualityLogSink(EventStream.qualityCountsOn(events),
         s"$outDir/quality_check_log", s"$outDir/_checkpoints/quality"))
   }
+
+  /** Standalone runner: `runMain graft.streaming.StreamingPipeline
+    * <jsonlInDir> <outDir>` — starts the three sinks and blocks. */
+  def main(args: Array[String]): Unit = {
+    val inDir = if (args.nonEmpty) args(0) else "/tmp/graft_stream_in"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_stream_out"
+    val spark = graft.GraftSession.get()
+    val queries = start(spark, inDir, outDir)
+    println(s"streaming pipeline up: ${queries.map(_.name).mkString(", ")} -> $outDir")
+    queries.foreach(_.awaitTermination())
+  }
 }
