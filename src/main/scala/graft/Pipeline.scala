@@ -71,6 +71,16 @@ object Pipeline {
     *   filter lands directly above the scan, so a date-partitioned
     *   fact table prunes to the touched partitions, and dynamic
     *   overwrite rewrites only those mart partitions on rerun.
+    *   Sessionization additionally reads a ONE-DAY LOOKBACK per scoped
+    *   date (pruned the same way) so a session that started before
+    *   midnight keeps its events: without it, a rerun of date d would
+    *   re-fragment the tail of a cross-midnight session into a bogus
+    *   new session under session_date=d while the full session row
+    *   survives in partition d-1. Only the scoped dates' session
+    *   partitions are written — lookback-date sessions are recomputed
+    *   for chaining but never overwrite their own partition (their OWN
+    *   lookback isn't loaded). Sessions spanning 2+ midnights remain a
+    *   documented edge: their tail days conservatively write nothing.
     * @param checkLogDir when set, the run's check results are logged
     *   PER EVENT DATE in scope — 7 rows per date under its run_date
     *   partition (the reference's quality_check_log), idempotently
@@ -84,11 +94,18 @@ object Pipeline {
           failFast: Boolean = true, dates: Seq[String] = Nil,
           checkLogDir: Option[String] = None): Result = {
     val base = EventMarts.enriched(spark, sfDir)
-    val scoped =
+    val runDates = dates.map(java.sql.Date.valueOf)
+    // persist scope = run dates + one-day lookback (for sessionize);
+    // gate and non-session marts consume the run-date slice of it
+    val lookback = dates
+      .map(d => java.sql.Date.valueOf(d).toLocalDate.minusDays(1).toString)
+    val scopeDates = (dates ++ lookback).distinct.map(java.sql.Date.valueOf)
+    val widened =
       if (dates.isEmpty) base
-      else base.filter(col("event_date").isin(dates.map(java.sql.Date.valueOf): _*))
+      else base.filter(col("event_date").isin(scopeDates: _*))
     // one events scan feeds the gate and every mart
-    val e = scoped.persist(StorageLevel.MEMORY_AND_DISK)
+    val w = widened.persist(StorageLevel.MEMORY_AND_DISK)
+    val e = if (dates.isEmpty) w else w.filter(col("event_date").isin(runDates: _*))
     try {
       val summaryDf = Quality.summaryFrom(e)
       val summary = summaryDf.collect().toSeq
@@ -99,7 +116,12 @@ object Pipeline {
         if (r.isNullAt(0)) None else Some(r.getDate(0).toString)
       }
       checkLogDir.foreach { dir =>
+        // rows with a null ts have no run date to log under (they would
+        // land in a __HIVE_DEFAULT_PARTITION__ that trendFromLog counts
+        // as an extra "day"); they stay visible through the corpus-wide
+        // null/timestamp checks in the gate summary above
         val log = Quality.perDateChecks(e)
+          .filter(col("event_date").isNotNull)
           .withColumnRenamed("event_date", "run_date")
         MartSink.writePartitioned(log, dir, Seq("run_date"))
       }
@@ -108,7 +130,15 @@ object Pipeline {
       if (failed.nonEmpty && failFast)
         Result(passed = false, failed, Nil, runDate, alert)
       else {
-        val written = martsFrom(e).map { case (name, df) =>
+        // session_sequences sessionizes over the widened (lookback)
+        // frame so cross-midnight chains assemble, then keeps only the
+        // scoped dates' partitions for the write (see run() scaladoc)
+        val marts = martsFrom(e) ++ Option.when(dates.nonEmpty)(
+          "session_sequences" -> Sessionize.sessionSequencesFrom(w)
+            .withColumn("session_date",
+              to_date(timestamp_seconds(col("session_start_epoch"))))
+            .filter(col("session_date").isin(runDates: _*)))
+        val written = marts.map { case (name, df) =>
           partitioned.get(name) match {
             case Some(cols) => MartSink.writePartitioned(df, s"$outDir/$name", cols)
             case None       => MartSink.writeSnapshot(df, s"$outDir/$name")
@@ -118,7 +148,7 @@ object Pipeline {
         Result(passed = failed.isEmpty, failed, written, runDate, alert)
       }
     } finally {
-      e.unpersist()
+      w.unpersist()
       ()
     }
   }

@@ -18,6 +18,8 @@ import graft.Tables
   */
 object Dedup {
 
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Whitespace tokens. */
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
@@ -160,19 +162,6 @@ object Dedup {
     *   allowed to dominate the stage. */
   def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.4,
                  maxBucket: Int = 1024): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    // repartition raw docs so signature computation parallelizes even
-    // from a single input split (see ngramJaccard)
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
-      .select(col("doc_id"), signature(col("text")).as("sig"))
-    val bands = docs.select(
-      col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-        struct(b.as("band_idx"),
-          xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
-            .as("band_hash")))).as("band"))
-      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
     // Pairs are enumerated INSIDE each band bucket from the grouped
     // member list: signatures are computed once and shuffled once (the
     // self-join formulation planned the fused signature subtree into
@@ -182,11 +171,8 @@ object Dedup {
     // list only at projection time, per exploded pair — the naive
     // member×member product would materialize every payload n times
     // inside one row.
-    val pairs = bands
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-      .select(col("members"), explode(Dedup.indexPairs).as("p"))
+    val pairs = bucketPairs(minhashBanded(spark, dir),
+      Seq("band_idx", "band_hash"), Seq("doc_id", "sig"), maxBucket)
     val x = expr("element_at(members, p.i)")
     val y = expr("element_at(members, p.j)")
     val agree = size(filter(zip_with(x.getField("sig"), y.getField("sig"),
@@ -207,6 +193,68 @@ object Dedup {
   private[operators] def indexPairs: Column = expr(
     """flatten(transform(sequence(1, size(members) - 1), i ->
       |  transform(sequence(i + 1, size(members)), j -> struct(i AS i, j AS j))))""".stripMargin)
+
+  /** The (doc_id, sig, band_idx, band_hash) MinHash banding frame —
+    * the shared input of `minhashLsh` and `minhashDroppedBuckets` (the
+    * diagnostic must profile EXACTLY the band keys the pair stage
+    * shuffles on). */
+  private[graft] def minhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // repartition raw docs so signature computation parallelizes even
+    // from a single input split (see ngramJaccard)
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), signature(col("text")).as("sig"))
+    docs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        struct(b.as("band_idx"),
+          xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
+            .as("band_hash")))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Grouped-bucket index-pair enumeration shared by every banded
+    * near-dup family (MinHash, SimHash, embedding-LSH): one shuffle on
+    * the band key, members collected per bucket, (i, j) pairs exploded
+    * as tiny index structs with payloads dereferenced downstream.
+    * Buckets above `maxBucket` are DROPPED (skew guard) — use
+    * `droppedBuckets` over the same banded frame to quantify what was
+    * lost before trusting a keep-set on a skewed corpus. */
+  private[graft] def bucketPairs(banded: DataFrame, keys: Seq[String],
+                                 payload: Seq[String], maxBucket: Int): DataFrame =
+    banded
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(payload.map(col): _*)).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(col("members"), explode(indexPairs).as("p"))
+
+  /** Skew-guard observability: one row quantifying the buckets the
+    * `maxBucket` guard in `bucketPairs` dropped — bucket count, member
+    * rows inside them, and the largest bucket seen. A non-zero count
+    * means some candidate pairs were never enumerated (recall loss
+    * concentrated in degenerate clusters — boilerplate/empty-text
+    * docs the exact-dedup pass already collapses). */
+  private[graft] def droppedBuckets(banded: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame =
+    banded
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .agg(
+        count(lit(1)).as("dropped_buckets"),
+        coalesce(sum(col("bucket_size")), lit(0L)).cast("bigint").as("rows_in_dropped"),
+        coalesce(max(col("bucket_size")), lit(0L)).cast("bigint").as("max_bucket_size"))
+
+  /** Dropped-bucket report for `minhashLsh` at the same maxBucket. */
+  def minhashDroppedBuckets(spark: SparkSession, dir: String,
+                            maxBucket: Int = 1024): DataFrame =
+    droppedBuckets(minhashBanded(spark, dir), Seq("band_idx", "band_hash"), maxBucket)
+
+  /** Dropped-bucket report for `simhash` at the same maxBucket. */
+  def simhashDroppedBuckets(spark: SparkSession, dir: String,
+                            maxBucket: Int = 1024): DataFrame =
+    droppedBuckets(simhashBanded(spark, dir), Seq("band_idx", "band_val"), maxBucket)
 
   /** The consumable output of NEAR-dup dedup: one kept document per
     * near-duplicate cluster (min doc_id wins), where clusters are the
@@ -234,9 +282,16 @@ object Dedup {
 
   /** The component-collapse core over ANY candidate-pair graph —
     * feed it `minhashLsh`, `simhash`, `ngramJaccard` or
-    * `Similarity.cosineNearDup` pairs (renamed to doc_a/doc_b). */
+    * `Similarity.cosineNearDup` pairs (renamed to doc_a/doc_b).
+    *
+    * @param requireConvergence when true, a loop that exits via the
+    *   `maxRounds` cap (a component deeper than maxRounds hops from
+    *   its min id — still partially collapsed) throws instead of
+    *   returning the partial keep-set; when false it logs a WARN so
+    *   non-converged runs are detectable either way. */
   def nearDupCorpusFromPairs(docs: DataFrame, pairs: DataFrame,
-                             maxRounds: Int = 20): DataFrame = {
+                             maxRounds: Int = 20,
+                             requireConvergence: Boolean = false): DataFrame = {
     // undirected adjacency, materialized ONCE: every propagation round
     // joins the edges again, and without the lineage cut the
     // (expensive) candidate-generation subtree would be re-planned
@@ -263,6 +318,12 @@ object Dedup {
       labels = next.select(col("doc_id"), col("keeper"))
       r += 1
     }
+    if (!converged) {
+      val msg = s"near-dup label propagation hit the $maxRounds-round cap without " +
+        "converging: some component deeper than the cap keeps multiple 'keeper' docs"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
     docs.join(labels.filter(col("doc_id") === col("keeper")), Seq("doc_id"))
       .select(docs.columns.map(col).toSeq: _*)
       .orderBy("doc_id")
@@ -273,25 +334,12 @@ object Dedup {
     * Oracle: rows-only. */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 7,
               maxBucket: Int = 1024): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    // bit b of the simhash = majority vote of token-hash bit b — one
-    // fused pass in the native expression (the higher-order-function
-    // form allocated a 64-wide array per token).
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        call_function("simhash64", transform(toks(col("text")), t => xxhash64(t))).as("simhash"))
-    val banded = docs.select(col("doc_id"), col("simhash"),
-      expr("explode(transform(sequence(0, 3), b -> struct(b as band_idx, shiftright(simhash, b * 16) & 65535 as band_val)))").as("band"))
-      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
     // grouped-bucket index-pair enumeration (see minhashLsh): one
     // simhash computation, one shuffle, bounded per-bucket expansion
     val x = expr("element_at(members, p.i)")
     val y = expr("element_at(members, p.j)")
-    banded
-      .groupBy(col("band_idx"), col("band_val"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-      .select(col("members"), explode(indexPairs).as("p"))
+    bucketPairs(simhashBanded(spark, dir),
+        Seq("band_idx", "band_val"), Seq("doc_id", "simhash"), maxBucket)
       .select(
         least(x.getField("doc_id"), y.getField("doc_id")).as("doc_a"),
         greatest(x.getField("doc_id"), y.getField("doc_id")).as("doc_b"),
@@ -299,5 +347,20 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The (doc_id, simhash, band_idx, band_val) SimHash banding frame —
+    * shared by `simhash` and `simhashDroppedBuckets`. Bit b of the
+    * simhash = majority vote of token-hash bit b — one fused pass in
+    * the native expression (the higher-order-function form allocated a
+    * 64-wide array per token). */
+  private[graft] def simhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        call_function("simhash64", transform(toks(col("text")), t => xxhash64(t))).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        expr("explode(transform(sequence(0, 3), b -> struct(b as band_idx, shiftright(simhash, b * 16) & 65535 as band_val)))").as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
   }
 }

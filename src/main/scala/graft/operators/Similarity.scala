@@ -180,7 +180,7 @@ object Similarity {
     ivfTopKWith(spark, dir, cents, numQueries, k, nProbe)
   }
 
-  private[operators] def ivfTopKWith(spark: SparkSession, dir: String,
+  private[graft] def ivfTopKWith(spark: SparkSession, dir: String,
       cents: Seq[(Int, Array[Float])], numQueries: Int, k: Int, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
@@ -272,9 +272,21 @@ object Similarity {
     * PlanesPerTable: at larger corpora add planes so per-bucket pair
     * counts stay bounded (expected bucket size halves per added
     * plane). */
-  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                    maxBucket: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    cosineNearDupFrom(Tables.embeddings(spark, dir), threshold)
+    cosineNearDupFrom(Tables.embeddings(spark, dir), threshold, maxBucket)
+  }
+
+  /** Dropped-bucket report for `cosineNearDup` at the same maxBucket
+    * (see Dedup.droppedBuckets — non-zero means the skew guard cost
+    * recall in degenerate buckets). */
+  def cosineDroppedBuckets(spark: SparkSession, dir: String,
+                           maxBucket: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Dedup.droppedBuckets(
+      bandKeyed(Tables.embeddings(spark, dir), "vec_id", "embedding"),
+      Seq("table_idx", "bucket"), maxBucket)
   }
 
   /** DataFrame-input core of `cosineNearDup` — input needs (vec_id,
@@ -300,11 +312,8 @@ object Similarity {
     val y = expr("element_at(members, p.j)")
     val sim = round(call_function("cosine_sim",
       x.getField("embedding"), y.getField("embedding")), 6)
-    banded
-      .groupBy(col("table_idx"), col("bucket"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-      .select(col("members"), explode(Dedup.indexPairs).as("p"))
+    Dedup.bucketPairs(banded, Seq("table_idx", "bucket"),
+        Seq("vec_id", "embedding"), maxBucket)
       .select(
         least(x.getField("vec_id"), y.getField("vec_id")).as("vec_a"),
         greatest(x.getField("vec_id"), y.getField("vec_id")).as("vec_b"),

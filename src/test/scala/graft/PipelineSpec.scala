@@ -123,6 +123,40 @@ class PipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$out/mart_user_daily/event_date=${dates(1)}").exists())
   }
 
+  test("date-scoped rerun keeps cross-midnight sessions intact (no re-fragmentation)") {
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft_midnight").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1's session starts 23:50 on day 1 and continues 00:05 on
+    // day 2 (15-min gap < the 30-min session gap)
+    Seq(
+      (1L, t("2024-03-01 09:00:00"), 3L, "view", 1.0, "{}"),
+      (2L, t("2024-03-01 23:50:00"), 1L, "view", 1.0, "{}"),
+      (3L, t("2024-03-02 00:05:00"), 1L, "purchase", 9.5, """{"k":3}"""),
+      (4L, t("2024-03-02 10:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dataDir/events.parquet")
+    def sessions(out: String) = {
+      spark.catalog.refreshByPath(s"$out/session_sequences")
+      spark.read.parquet(s"$out/session_sequences")
+        .select("user_id", "session_date", "event_count", "event_sequence", "has_purchase")
+        .collect().map(_.toSeq).toSet
+    }
+    val outFull = Files.createTempDirectory("graft_mid_full").toString
+    Pipeline.run(spark, dataDir, outFull, failFast = false)
+    val full = sessions(outFull)
+    assert(full.size == 3) // user3@d1, user1@d1 (cross-midnight), user2@d2
+    // backfill then rerun ONLY day 2: user 1's 00:05 tail must stay in
+    // the day-1 session, not re-fragment into a new day-2 session
+    val out = Files.createTempDirectory("graft_mid_rerun").toString
+    Pipeline.run(spark, dataDir, out, failFast = false)
+    Pipeline.run(spark, dataDir, out, dates = Seq("2024-03-02"), failFast = false)
+    assert(sessions(out) == full)
+    val d2 = spark.read.parquet(s"$out/session_sequences")
+      .filter(col("session_date") === "2024-03-02").collect()
+    assert(d2.map(_.getAs[Long]("user_id")).toSeq == Seq(2L))
+  }
+
   test("check log persists per run_date and trend-from-log matches the logged rows") {
     val log = Files.createTempDirectory("graft_qlog").toString
     val out = Files.createTempDirectory("graft_qlog_marts").toString

@@ -107,6 +107,48 @@ class DedupSpec extends SparkSpec {
     assert(kept == expected,
       s"missing=${expected -- kept} extra=${kept -- expected}")
   }
+
+  test("label propagation surfaces non-convergence at the round cap") {
+    import spark.implicits._
+    // a 10-deep chain needs 9 rounds to collapse to doc 1; cap at 2
+    val docs = (1L to 10L).toDF("doc_id")
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.nearDupCorpusFromPairs(docs, pairs, maxRounds = 2,
+        requireConvergence = true).collect()
+    }
+    // non-strict: the capped run completes (and WARNs) instead of
+    // throwing — the keep-set may be partially collapsed
+    assert(Dedup.nearDupCorpusFromPairs(docs, pairs, maxRounds = 2).count() >= 1)
+    // enough rounds: the chain collapses to its min id
+    val full = Dedup.nearDupCorpusFromPairs(docs, pairs, maxRounds = 15).collect()
+    assert(full.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+  }
+
+  test("dropped-bucket diagnostics quantify what the skew guard lost") {
+    import spark.implicits._
+    // 5 members in one bucket, 2 in another; guard at 3 drops the big one
+    val banded = (Seq.fill(5)((0, 7L)) ++ Seq.fill(2)((1, 9L)))
+      .zipWithIndex.map { case ((b, h), i) => (i.toLong, b, h) }
+      .toDF("doc_id", "band_idx", "band_hash")
+    val d = Dedup.droppedBuckets(banded, Seq("band_idx", "band_hash"), maxBucket = 3)
+      .collect().head
+    assert(d.getAs[Long]("dropped_buckets") == 1L)
+    assert(d.getAs[Long]("rows_in_dropped") == 5L)
+    assert(d.getAs[Long]("max_bucket_size") == 5L)
+    // nothing dropped → explicit zero row, not an empty frame
+    val z = Dedup.droppedBuckets(banded, Seq("band_idx", "band_hash"), maxBucket = 100)
+      .collect().head
+    assert(z.getAs[Long]("dropped_buckets") == 0L)
+    // the real corpus at the default guard drops nothing (and the
+    // public per-family reports share the exact banding of the pair
+    // stage)
+    Seq(Dedup.minhashDroppedBuckets(spark, Sf),
+        Dedup.simhashDroppedBuckets(spark, Sf),
+        Similarity.cosineDroppedBuckets(spark, Sf)).foreach { df =>
+      assert(df.collect().head.getAs[Long]("dropped_buckets") == 0L)
+    }
+  }
 }
 
 /** The native fused expressions must agree exactly with their
