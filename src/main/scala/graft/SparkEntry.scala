@@ -24,6 +24,11 @@ object SparkEntry {
     "q4_priority_count"    -> ((s, d) => Relational.q4PriorityCount(s, d)),
     "q13_order_distribution" -> ((s, d) => Relational.q13OrderDistribution(s, d)),
     "q22_untapped_segments" -> ((s, d) => Relational.q22UntappedSegments(s, d)),
+    "q8_market_share"      -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q15_top_supplier"     -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q17_small_quantity"   -> ((s, d) => Relational.q17SmallQuantity(s, d)),
+    "q19_discounted_revenue" -> ((s, d) => Relational.q19DiscountedRevenue(s, d)),
+    "q21_suppliers_waiting" -> ((s, d) => Relational.q21SuppliersKeptWaiting(s, d)),
     "top_customers_window" -> ((s, d) => Relational.topCustomersWindow(s, d)),
     "order_lineitem_rollup" -> ((s, d) => Relational.orderLineitemRollup(s, d)),
     // §2A reference marts & batch aggregates
@@ -94,6 +99,11 @@ object SparkEntry {
     "q4_priority_count"    -> Relational.q4Sql,
     "q13_order_distribution" -> Relational.q13Sql,
     "q22_untapped_segments" -> Relational.q22Sql,
+    "q8_market_share"      -> Relational.q8Sql,
+    "q15_top_supplier"     -> Relational.q15Sql,
+    "q17_small_quantity"   -> Relational.q17Sql,
+    "q19_discounted_revenue" -> Relational.q19Sql,
+    "q21_suppliers_waiting" -> Relational.q21Sql,
     "top_customers_window" -> Relational.topCustomersSql,
     "order_lineitem_rollup" -> Relational.orderLineitemRollupSql,
     "mart_user_daily"      -> EventMarts.martUserDailySql,

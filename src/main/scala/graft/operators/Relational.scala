@@ -408,6 +408,213 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q8-style market share: among ASIA-region customers' orders
+    * in 1995-1996 for parts of one type, the per-year revenue share
+    * supplied by one nation. Plan: the selective part filter joins
+    * FIRST (broadcast) so the fact shuffle carries only matching
+    * lines; customer/supplier/nation/region are all broadcast dims;
+    * one shuffle for lineitem⋈orders, one for the year aggregate. The
+    * share is a single IEEE division of two exact decimal sums. */
+  def q8MarketShare(spark: SparkSession, dir: String, regionName: String = "ASIA",
+                    partType: String = "ECONOMY", nationName: String = "NATION_2"): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === regionName).select("r_regionkey")
+    val nCust = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nCust), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === partType).select("p_partkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val vol = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === nationName, vol).otherwise(lit(0).cast("decimal(12,2)")))
+           .cast("double") / sum(vol).cast("double")).as("mkt_share"),
+        sum(vol).cast("double").as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS mkt_share,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_volume
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region   ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier,
+    * keep the supplier(s) hitting the maximum — the "view + scalar
+    * max" shape. The per-supplier aggregate is one shuffle; the max is
+    * a one-row broadcast joined back on exact equality (both sides are
+    * the same decimal-sum double, so equality is deterministic). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+             .cast("double").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    rev.join(broadcast(mx), col("total_revenue") === col("max_rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-style small-quantity revenue: for one brand's parts,
+    * the yearly-average revenue of lines ordering under 20% of that
+    * part's average quantity. The correlated per-part average is a
+    * WINDOW over the brand-filtered join — one selective broadcast
+    * join + one shuffle on the part key, instead of scanning lineitem
+    * twice (subquery form). The average is an exact decimal sum over
+    * an integer count, so the 0.2× cutoff is bit-identical across
+    * engines. */
+  def q17SmallQuantity(spark: SparkSession, dir: String, brand: String = "Brand#12"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir).filter(col("p_brand") === brand).select("p_partkey")
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        sum(col("l_quantity").cast("decimal(12,2)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_lines
+      |FROM (
+      |  SELECT l_quantity, l_extendedprice,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#12'
+      |) t WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** TPC-H Q19-style disjunctive revenue: three OR'd (brand, size,
+    * quantity) branches over lineitem⋈part. The disjunction lives in
+    * the broadcast-join condition; the per-branch part predicates
+    * still prune the broadcast build side, and the scan projects only
+    * the four needed lineitem columns. */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val branches =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && branches)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q21-style suppliers kept waiting: for finished ('F')
+    * orders, count each supplier's late lines (shipped > 60 days after
+    * the order date) in multi-supplier orders where it was the ONLY
+    * late supplier. The double EXISTS/NOT-EXISTS correlated form is
+    * re-expressed as ONE grouped aggregate per order — distinct
+    * suppliers, distinct late suppliers, the sole late supplier's id
+    * and line count — so lineitem joins orders once and shuffles once
+    * on the order key, instead of the textbook three self-joins of
+    * lineitem (the oracle runs the EXISTS form to pin equivalence). */
+  def q21SuppliersKeptWaiting(spark: SparkSession, dir: String,
+                              lateDays: Int = 60, topN: Int = 100): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")
+    val perOrder = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_suppkey"),
+        count(when(late, 1)).as("late_lines"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    perOrder
+      .groupBy(col("late_suppkey"))
+      .agg(sum(col("late_lines")).cast("bigint").as("numwait"))
+      .join(broadcast(s), col("late_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(topN)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders     ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   val q22Sql: String =
     """WITH ab AS (
       |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
