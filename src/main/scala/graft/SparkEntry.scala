@@ -63,6 +63,9 @@ object SparkEntry {
     "doc_stats_by_lang"    -> ((s, d) => TextAnalysis.statsByLang(s, d)),
     "sample_stratified"    -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
     "clean_corpus"         -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
+    "text_pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "corpus_split"         -> ((s, d) => TextAnalysis.corpusSplit(s, d)),
+    "sample_weighted_sources" -> ((s, d) => TextAnalysis.sampleWeightedSources(s, d)),
     // §2D dedup family
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_corpus"         -> ((s, d) => Dedup.dedupedCorpus(s, d)),
@@ -74,6 +77,7 @@ object SparkEntry {
     "ann_cosine_topk"      -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     // long format: the driver's pandas compare cannot hash array columns
     "embedding_centroids"  -> ((s, d) => Similarity.embeddingCentroidsLong(s, d)),
+    "embedding_quantize"   -> ((s, d) => Similarity.embeddingQuantize(s, d)),
     "ann_lsh_bucketed"     -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "ann_ivf_kmeans"       -> ((s, d) => Similarity.ivfTopKKmeans(s, d)),
@@ -135,7 +139,11 @@ object SparkEntry {
     "doc_stats_by_lang"    -> TextAnalysis.statsByLangSql,
     "sample_stratified"    -> TextAnalysis.sampleStratifiedSql,
     "clean_corpus"         -> TextAnalysis.cleanCorpusSql,
+    "text_pii_scrub"       -> TextAnalysis.piiScrubSql,
+    "corpus_split"         -> TextAnalysis.corpusSplitSql,
+    "sample_weighted_sources" -> TextAnalysis.sampleWeightedSourcesSql,
     "embedding_centroids"  -> Similarity.embeddingCentroidsSql,
+    "embedding_quantize"   -> Similarity.embeddingQuantizeSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_corpus"         -> Dedup.dedupedCorpusSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,

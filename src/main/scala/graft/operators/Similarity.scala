@@ -259,6 +259,39 @@ object Similarity {
     ivfTopKWith(spark, dir, kmeansCentroids(spark, dir, nlist, iters),
       numQueries, k, nProbe)
 
+  /** Int8 scalar quantization of embeddings — the compression step a
+    * billion-vector ANN index needs (4 bytes/dim float → 1 byte/dim).
+    * Per-vector min/max scaling: q = floor((x - min)/(max - min)·255),
+    * clamped to 255 at the top edge; a constant vector quantizes to 0.
+    * A pure NARROW map — min/max come from the same row's array before
+    * the posexplode, so there is no shuffle at all and the op scales
+    * with the scan. Output is long-format (vec_id, dim, q) for the
+    * driver compare; floor (not round) keeps the bucket function
+    * identical across engines' rounding modes. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val vmin = array_min(col("embedding")).cast("double")
+    val vmax = array_max(col("embedding")).cast("double")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vmin.as("vmin"), vmax.as("vmax"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        when(col("vmax") === col("vmin"), lit(0))
+          .otherwise(least(lit(255L),
+            floor((col("x").cast("double") - col("vmin")) /
+                  (col("vmax") - col("vmin")) * lit(255))))
+          .cast("int").as("q"))
+      .orderBy("vec_id", "dim")
+  }
+
+  val embeddingQuantizeSql: String =
+    """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+      |  CAST(CASE WHEN list_max(embedding) = list_min(embedding) THEN 0
+      |    ELSE LEAST(255, FLOOR(
+      |      (CAST(unnest(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+      |        / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255))
+      |    END AS INT) AS q
+      |FROM embeddings ORDER BY vec_id, dim""".stripMargin
+
   /** Cosine near-duplicate pairs (embedding-space dedup). The block
     * key is a random-hyperplane LSH band (table_idx, bucket) — the same
     * hyperplanes as `lshTopK` — so a pair is scored only when it

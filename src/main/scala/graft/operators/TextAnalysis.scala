@@ -243,4 +243,117 @@ object TextAnalysis {
        |  AND doc_id = keeper
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** PII patterns shared by the Spark op and the oracle — kept to the
+    * regex subset Java and RE2 agree on (no backrefs, no lookaround). */
+  private[graft] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val PhoneRe = """\b\d{2,4}[-.]\d{3,4}[-.]\d{4}\b"""
+  private[graft] val IpRe    = """\b(?:\d{1,3}\.){3}\d{1,3}\b"""
+
+  /** PII scrubbing — the redaction pass every shared training corpus
+    * needs before release: emails, phone-shaped numbers, and IPv4
+    * addresses replaced with typed placeholder tokens, plus a per-doc
+    * redaction count for audit. A pure narrow map (regex projections,
+    * no shuffle); the patterns are sequential REPLACEs over the text
+    * while the counts are taken from the ORIGINAL text, so overlapping
+    * matches are counted consistently in both engines. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    def hits(re: String) = size(expr(s"regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), scrubbed.as("clean_text"),
+        (hits(EmailRe) + hits(PhoneRe) + hits(IpRe)).cast("bigint").as("n_redactions"))
+      .orderBy("doc_id")
+  }
+
+  /** The same scrub over an arbitrary (id, text) frame — the reusable
+    * entry for corpora that don't come from the documents table. */
+  private[graft] def piiScrubText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$IpRe', '<IP>', 'g') AS clean_text,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe'))
+       |     + len(regexp_extract_all(text, '$PhoneRe'))
+       |     + len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_redactions
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test split census — assignment is a pure
+    * function of the stable doc id (first hex char of its md5), so the
+    * split is reproducible across runs, engines, and repartitioning,
+    * and membership never flips when the corpus grows (no count-based
+    * percentile cut, which would reassign docs on every append).
+    * 12/16 hex chars → train (75%), 2 → val, 2 → test. Zero-shuffle
+    * assignment; one aggregate for the census. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket_c", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+      .withColumn("split",
+        when(col("bucket_c") <= "9" || col("bucket_c") === "a" || col("bucket_c") === "b", "train")
+          .when(col("bucket_c").isin("c", "d"), "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("n_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("split")
+
+  val corpusSplitSql: String =
+    """SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM (
+      |  SELECT n_chars, source,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9'
+      |           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('a', 'b') THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |) t GROUP BY split ORDER BY split""".stripMargin
+
+  /** Domain mixing — per-source target sampling rates (in 1/16 units
+    * for exactness) applied via a deterministic md5 bucket of the doc
+    * id, the distributed form of the "mix web/code/books at fixed
+    * ratios" step of pre-training data prep. Like `corpusSplit` the
+    * keep decision is a pure per-row function (no shuffle, no seed
+    * drift); the census reports realized vs target rates per source. */
+  def sampleWeightedSources(spark: SparkSession, dir: String,
+                            sixteenths: Map[String, Int] = Map("src0" -> 16, "src1" -> 8, "src2" -> 4),
+                            defaultSixteenths: Int = 2): DataFrame = {
+    val c = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val bucket16 = when(c <= "9", ascii(c) - 48).otherwise(ascii(c) - 87)
+    val rate = sixteenths.foldLeft(lit(defaultSixteenths)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("kept", (bucket16 < rate).cast("int"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("kept")).cast("bigint").as("n_kept"),
+        (sum(col("kept")).cast("double") / count(lit(1))).as("realized_rate"))
+      .orderBy("source")
+  }
+
+  val sampleWeightedSourcesSql: String =
+    """SELECT source, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS realized_rate
+      |FROM (
+      |  SELECT source,
+      |    CASE WHEN (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9'
+      |                    THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48
+      |                    ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END)
+      |             < (CASE WHEN source = 'src0' THEN 16 WHEN source = 'src1' THEN 8
+      |                     WHEN source = 'src2' THEN 4 ELSE 2 END)
+      |         THEN 1 ELSE 0 END AS kept
+      |  FROM documents
+      |) t GROUP BY source ORDER BY source""".stripMargin
 }

@@ -57,6 +57,64 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class CorpusPrepSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("pii scrub redacts emails, phones, and IPs; counts match; clean text passes through") {
+    import spark.implicits._
+    val scrubbed = Seq(
+      "contact jane.doe+x@corp.example.com or 010-1234-5678",
+      "server at 10.0.255.7 rebooted",
+      "no pii here at all")
+      .toDF("text")
+      .select(operators.TextAnalysis.piiScrubText(col("text")).as("clean"))
+      .collect().map(_.getString(0))
+    assert(scrubbed(0) == "contact <EMAIL> or <PHONE>")
+    assert(scrubbed(1) == "server at <IP> rebooted")
+    assert(scrubbed(2) == "no pii here at all")
+    // corpus op: counts column is consistent and non-negative
+    val rows = operators.TextAnalysis.piiScrub(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    assert(rows.forall(_.getAs[Long]("n_redactions") >= 0))
+  }
+
+  test("corpus split covers every doc exactly once with sane proportions") {
+    val rows = operators.TextAnalysis.corpusSplit(spark, Sf).collect()
+    val total = Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val bySplit = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // train targets 12/16 = 75%; allow wide tolerance at tiny sf
+    assert(bySplit("train").toDouble / total > 0.55)
+  }
+
+  test("weighted source sampling realizes the 1/16-unit target rates deterministically") {
+    val rows = operators.TextAnalysis.sampleWeightedSources(spark, Sf).collect()
+    rows.foreach { r =>
+      val target = r.getAs[String]("source") match {
+        case "src0" => 1.0; case "src1" => 0.5; case "src2" => 0.25; case _ => 0.125
+      }
+      assert(math.abs(r.getAs[Double]("realized_rate") - target) < 0.25,
+        s"${r.getAs[String]("source")}: ${r.getAs[Double]("realized_rate")} vs $target")
+    }
+    // determinism: a second run keeps identical counts
+    val again = operators.TextAnalysis.sampleWeightedSources(spark, Sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("int8 quantization stays in [0,255], hits both edges, and is monotone per vector") {
+    val q = operators.Similarity.embeddingQuantize(spark, Sf)
+    val vals = q.agg(min(col("q")), max(col("q"))).collect().head
+    assert(vals.getInt(0) == 0 && vals.getInt(1) == 255)
+    // per vector: the max component quantizes to 255, the min to 0
+    val perVec = q.groupBy("vec_id")
+      .agg(min(col("q")).as("qmin"), max(col("q")).as("qmax"),
+        count(lit(1)).as("dims")).collect()
+    assert(perVec.forall(r => r.getAs[Int]("qmin") == 0 && r.getAs[Int]("qmax") == 255))
+    assert(perVec.forall(_.getAs[Long]("dims") == 64L))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   test("exact dedup partitions the corpus: sum(dup_count) == doc count") {
     val total = Dedup.exact(spark, Sf).agg(sum("dup_count")).collect().head.getLong(0)
