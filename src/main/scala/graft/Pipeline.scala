@@ -169,6 +169,41 @@ object Pipeline {
       payments = EventMarts.reportPaymentDistFrom(day).collect().toSeq)
   }
 
+  /** Assemble dashboard rows from a persisted quality_check_log plus
+    * the corpus' per-day traffic (events/purchases/revenue) — the data
+    * the reference dashboard loads per daily report. Both inputs are
+    * tiny aggregates (7 rows/day and one row/day); the only
+    * distributed work is the single per-day traffic aggregate over
+    * `e`. */
+  def dashboardDays(spark: SparkSession, checkLogDir: String,
+                    e: DataFrame): Seq[Reporting.DashboardDay] = {
+    val byDate = spark.read.parquet(checkLogDir).collect()
+      .groupBy(_.getAs[java.sql.Date]("run_date").toString)
+    val traffic = e.groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        coalesce(sum(when(col("event_type") === "purchase", col("value"))
+          .cast("decimal(12,2)")), lit(0).cast("decimal(12,2)"))
+          .cast("double").as("revenue"))
+      .collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    byDate.toSeq.sortBy(_._1).map { case (date, rows) =>
+      val (ev, pur, rev) = traffic.getOrElse(date, (0L, 0L, 0.0))
+      Reporting.DashboardDay(date, Reporting.checkResults(rows.toSeq), ev, pur, rev)
+    }
+  }
+
+  /** The terminal quality dashboard for a run's check log. */
+  def qualityDashboardText(spark: SparkSession, checkLogDir: String, e: DataFrame): String =
+    Reporting.qualityDashboard(dashboardDays(spark, checkLogDir, e))
+
+  /** The HTML quality dashboard for a run's check log. */
+  def qualityDashboardHtml(spark: SparkSession, checkLogDir: String, e: DataFrame): String =
+    Reporting.qualityDashboardHtml(dashboardDays(spark, checkLogDir, e))
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_marts"

@@ -172,4 +172,118 @@ object Reporting {
        |$ordersText
        |""".stripMargin
   }
+
+  // ---- quality dashboard (terminal + HTML renderings of the check
+  // ---- log trend; reference: scripts/quality_dashboard.py
+  // ---- generate_terminal_report :108-188 and
+  // ---- generate_html_dashboard :189-324) ----
+
+  /** One dashboard row: a run date's check results plus that day's
+    * traffic summary (events/purchases/revenue from the marts). */
+  final case class DashboardDay(date: String, checks: Seq[CheckResult],
+      totalEvents: Long, purchases: Long, revenue: Double)
+
+  private def dayStatus(d: DashboardDay): String =
+    if (d.checks.isEmpty) "N/A"
+    else if (d.checks.forall(_.status == "PASS")) "PASS" else "FAIL"
+
+  /** Per-check day-grain failure frequency across the period:
+    * (checkName, failDays, totalDays, passRatePct). */
+  private def checkFrequencies(days: Seq[DashboardDay]): Seq[(String, Int, Int, Double)] =
+    days.flatMap(_.checks).groupBy(_.checkName).toSeq.sortBy(_._1).map {
+      case (name, cs) =>
+        val fails = cs.count(_.status != "PASS")
+        (name, fails, cs.size, (cs.size - fails).toDouble / cs.size * 100)
+    }
+
+  /** Terminal dashboard: daily status table, period stats, per-check
+    * failure frequency — the reference's report layout with the same
+    * column set (date, status, passed, events, purchases, revenue). */
+  def qualityDashboard(days: Seq[DashboardDay]): String = {
+    if (days.isEmpty) return "[WARN] no report data"
+    val sep = "=" * 70
+    val sorted = days.sortBy(_.date)
+    val passDays = sorted.count(dayStatus(_) == "PASS")
+    val failDays = sorted.count(dayStatus(_) == "FAIL")
+    val header = Seq(
+      sep, "quality dashboard",
+      s"period: ${sorted.head.date} ~ ${sorted.last.date}",
+      s"${sorted.size} day(s) total", sep, "", "--- daily status ---",
+      f"${"date"}%-12s ${"status"}%-6s ${"passed"}%-8s ${"events"}%10s ${"purch"}%6s ${"revenue"}%14s",
+      "-" * 70)
+    val daily = sorted.map { d =>
+      f"${d.date}%-12s ${dayStatus(d)}%-6s ${d.checks.count(_.status == "PASS")}/${d.checks.size}%-5d " +
+        f"${num(d.totalEvents)}%10s ${num(d.purchases)}%6s ${money(d.revenue)}%14s"
+    }
+    val stats = Seq("-" * 70, "", "--- period stats ---",
+      s"  PASS days:     $passDays",
+      s"  FAIL days:     $failDays",
+      s"  availability:  ${pct1(passDays.toDouble / math.max(passDays + failDays, 1) * 100)}",
+      s"  total events:  ${num(sorted.map(_.totalEvents).sum)}",
+      s"  total revenue: ${money(sorted.map(_.revenue).sum)}")
+    val checks = Seq("", "--- per-check failure frequency ---") ++
+      checkFrequencies(sorted).map { case (name, fails, total, rate) =>
+        f"  $name%-30s ${pct1(rate)}%6s ($fails failed / $total day(s))" +
+          (if (fails > 0) "  <-- attention" else "")
+      }
+    (header ++ daily ++ stats ++ checks ++ Seq("", sep)).mkString("\n")
+  }
+
+  private def escHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** HTML dashboard: summary cards + the same two tables as the
+    * terminal report (reference layout; self-contained inline CSS, no
+    * external assets). */
+  def qualityDashboardHtml(days: Seq[DashboardDay]): String = {
+    val sorted = days.sortBy(_.date)
+    val passDays = sorted.count(dayStatus(_) == "PASS")
+    val failDays = sorted.count(dayStatus(_) == "FAIL")
+    val avail = pct1(passDays.toDouble / math.max(passDays + failDays, 1) * 100)
+    def card(label: String, value: String) =
+      s"""<div class="card"><div class="v">$value</div><div class="l">$label</div></div>"""
+    val dailyRows = sorted.map { d =>
+      val st = dayStatus(d)
+      s"""<tr><td>${escHtml(d.date)}</td><td class="${st.toLowerCase}">$st</td>""" +
+        s"""<td>${d.checks.count(_.status == "PASS")}/${d.checks.size}</td>""" +
+        s"""<td>${num(d.totalEvents)}</td><td>${num(d.purchases)}</td><td>${money(d.revenue)}</td></tr>"""
+    }.mkString("\n")
+    val checkRows = checkFrequencies(sorted).map { case (name, fails, total, rate) =>
+      val cls = if (fails > 0) "fail" else "pass"
+      s"""<tr><td>${escHtml(name)}</td><td>$total</td><td class="$cls">$fails</td><td>${pct1(rate)}</td></tr>"""
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html lang="en">
+       |<head><meta charset="utf-8"><title>quality dashboard</title>
+       |<style>
+       |  body { font-family: sans-serif; margin: 24px; }
+       |  .summary { display: flex; gap: 16px; margin: 20px 0; }
+       |  .card { border: 1px solid #ddd; border-radius: 6px; padding: 12px 20px; }
+       |  .card .v { font-size: 1.6em; font-weight: bold; }
+       |  table { border-collapse: collapse; margin: 12px 0; }
+       |  td, th { border: 1px solid #ccc; padding: 4px 10px; text-align: right; }
+       |  td:first-child, th:first-child { text-align: left; }
+       |  .pass { color: #1a7f37; } .fail { color: #cf222e; }
+       |</style></head>
+       |<body>
+       |<h1>quality dashboard</h1>
+       |<div class="summary">
+       |${card("days", sorted.size.toString)}
+       |${card("pass days", passDays.toString)}
+       |${card("fail days", failDays.toString)}
+       |${card("availability", avail)}
+       |</div>
+       |<h2>daily status</h2>
+       |<table>
+       |<tr><th>date</th><th>status</th><th>passed</th><th>events</th><th>purchases</th><th>revenue</th></tr>
+       |$dailyRows
+       |</table>
+       |<h2>per-check pass rates</h2>
+       |<table>
+       |<tr><th>check</th><th>days</th><th>fail days</th><th>pass rate</th></tr>
+       |$checkRows
+       |</table>
+       |</body>
+       |</html>""".stripMargin
+  }
 }

@@ -235,6 +235,50 @@ class ReportingSpec extends SparkSpec {
     assert(p.contains("1,234,567") && p.contains("8,901") && p.contains("7/7 PASS"))
   }
 
+  test("quality dashboard renders daily table, period stats, and per-check frequency") {
+    val days = Seq(
+      Reporting.DashboardDay("2024-01-01", Seq(
+        Reporting.CheckResult("null_check", "null_check", 1000, 0, 100.0, "PASS"),
+        Reporting.CheckResult("range_check", "range_check", 1000, 30, 97.0, "FAIL")),
+        totalEvents = 1000, purchases = 50, revenue = 12345.0),
+      Reporting.DashboardDay("2024-01-02", Seq(
+        Reporting.CheckResult("null_check", "null_check", 2000, 0, 100.0, "PASS"),
+        Reporting.CheckResult("range_check", "range_check", 2000, 0, 100.0, "PASS")),
+        totalEvents = 2000, purchases = 80, revenue = 20000.0))
+    val text = Reporting.qualityDashboard(days)
+    assert(text.contains("period: 2024-01-01 ~ 2024-01-02"))
+    assert(text.contains("PASS days:     1") && text.contains("FAIL days:     1"))
+    assert(text.contains("availability:  50.0%"))
+    assert(text.contains("total events:  3,000"))
+    assert(text.contains("range_check") && text.contains("<-- attention"))
+    val html = Reporting.qualityDashboardHtml(days)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("<td>2024-01-01</td>") && html.contains("""<td class="fail">FAIL</td>"""))
+    assert(html.contains("availability") && html.contains("50.0%"))
+    assert(Reporting.qualityDashboard(Nil).contains("no report data"))
+  }
+
+  test("dashboard assembles from a real check log with per-day traffic") {
+    val log = Files.createTempDirectory("graft_dash_log").toString
+    val out = Files.createTempDirectory("graft_dash_marts").toString
+    val dates = operators.EventMarts.enriched(spark, Sf).select("event_date").distinct()
+      .orderBy("event_date").limit(2).collect().map(_.getDate(0).toString).toSeq
+    dates.foreach(d =>
+      Pipeline.run(spark, Sf, out, dates = Seq(d), checkLogDir = Some(log), failFast = false))
+    spark.catalog.refreshByPath(log)
+    val e = operators.EventMarts.enriched(spark, Sf)
+    val days = Pipeline.dashboardDays(spark, log, e)
+    assert(days.map(_.date) == dates.sorted)
+    days.foreach { d =>
+      assert(d.checks.size == 7)
+      assert(d.totalEvents > 0)
+      assert(d.revenue >= 0)
+    }
+    val text = Pipeline.qualityDashboardText(spark, log, e)
+    assert(text.contains(s"period: ${dates.min} ~ ${dates.max}"))
+    assert(text.contains("null_check"))
+  }
+
   test("daily report assembles all mart sections for a real date") {
     val e = operators.EventMarts.enriched(spark, Sf)
     val date = e.select(max("event_date")).collect().head.getDate(0).toString
