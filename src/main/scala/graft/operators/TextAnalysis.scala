@@ -48,7 +48,7 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** The [0,1] quality score as a reusable column over `text`. */
-  private def qualityScoreCol: Column = {
+  private[graft] def qualityScoreCol: Column = {
     val toks = tokens(col("text"))
     val nWords = size(toks)
     val stopRatio = countIn(toks, Stopwords).cast("double") / greatest(nWords, lit(1)).cast("double")
@@ -96,7 +96,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
   /** The predicted-language column (argmax with fixed precedence). */
-  private def predictedLangCol: Column = {
+  private[graft] def predictedLangCol: Column = {
     val toks = tokens(col("text"))
     val scores = Markers.map { case (l, ws) => l -> countIn(toks, ws) }
     scores.foldRight(lit("und"): Column) { case ((l, s), els) =>

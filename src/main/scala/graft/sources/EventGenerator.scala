@@ -51,4 +51,52 @@ object EventGenerator {
     * format) — one file per partition, ready for EventSource.jsonl. */
   def writeJsonl(spark: SparkSession, path: String, n: Long, partitions: Int = 8): Unit =
     events(spark, n).repartition(partitions).write.mode("overwrite").json(path)
+
+  /** Session-structured generation (reference:
+    * generate_events.py `_simulate_user_session` :231-307 — the
+    * reference's events arrive as per-user session journeys, not
+    * i.i.d. rows). One row per (user, session) seeds a funnel-ordered
+    * event burst: 2-7 events spaced 4-7 minutes apart, so every
+    * generated session is internally gap-free while consecutive
+    * sessions of a user sit ≥ 2h apart — Sessionize recovers EXACTLY
+    * the generated sessions (round-trip asserted in spec).
+    *
+    * Spark-native shape: range → narrow derivations → one explode; no
+    * shuffle, no RNG state, reproducible at any scale. */
+  def sessionEvents(spark: SparkSession, users: Long, sessionsPerUser: Int = 3,
+                    startDate: String = "2024-01-01", seed: Long = 42): DataFrame = {
+    def h(salt: String) = pmod(xxhash64(col("id"), lit(seed), lit(salt)), lit(1000000007L))
+    def he(salt: String) = // per-event hash
+      pmod(xxhash64(col("id"), col("eidx"), lit(seed), lit(salt)), lit(1000000007L))
+    val base = unix_timestamp(lit(startDate), "yyyy-MM-dd")
+    spark.range(users.toLong * sessionsPerUser)
+      .withColumn("user_id", col("id") % users)
+      .withColumn("session_slot", (col("id") / lit(users)).cast("long"))
+      // slots every 2h + <30min jitter; max session span < 45min, so
+      // inter-session gaps always exceed the 30-min sessionize gap
+      .withColumn("session_start",
+        base + col("session_slot") * 7200L + h("jitter") % 1800L)
+      .withColumn("n_events", (h("len") % 6 + 2).cast("int"))
+      .select(col("id"), col("user_id"), col("session_start"), col("n_events"),
+        explode(sequence(lit(0), col("n_events") - 1)).as("eidx"))
+      // 240s stride + <200s jitter: strictly monotone within a session
+      .withColumn("ts",
+        (col("session_start") + col("eidx") * 240L + he("off") % 200L).cast("timestamp"))
+      .withColumn("event_type",
+        // funnel journey: open with a view, browse, maybe convert last
+        when(col("eidx") === 0, "view")
+          .when(col("eidx") === col("n_events") - 1 && he("buy") % 100 < 40, "purchase")
+          .when(he("act") % 100 < 55, "view")
+          .when(he("act") % 100 < 90, "click")
+          .otherwise("signup"))
+      .withColumn("event_id", col("id") * 16 + col("eidx"))
+      .withColumn("value",
+        when(col("event_type") === "purchase", (he("amt") % 49000 + 1000).cast("double") / 100)
+          .otherwise(lit(1.0)))
+      .withColumn("props",
+        when(col("event_type").isin("view", "click", "purchase"),
+          concat(lit("""{"k": """), (he("prod") % 100).cast("string"), lit("}")))
+          .otherwise(lit("{}")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 }

@@ -54,6 +54,24 @@ class EventGeneratorSpec extends SparkSpec {
       .forall(_.getAs[String]("props").contains("\"k\"")))
   }
 
+  test("session-structured generation round-trips through Sessionize exactly") {
+    val users = 40L
+    val perUser = 3
+    val gen = EventGenerator.sessionEvents(spark, users, perUser)
+      .withColumn("event_date", col("ts").cast("date"))
+      .withColumn("event_epoch", unix_timestamp(col("ts")))
+    val sessions = operators.Sessionize.sessionSequencesFrom(gen).collect()
+    // every generated (user, session) burst is recovered as ONE session
+    assert(sessions.length == users * perUser)
+    assert(sessions.forall(_.getAs[Long]("duration_seconds") < 2700))
+    // funnel structure: sessions open with a view
+    assert(sessions.forall(_.getAs[String]("event_sequence").startsWith("view")))
+    // determinism
+    val again = EventGenerator.sessionEvents(spark, users, perUser).collect()
+    assert(EventGenerator.sessionEvents(spark, users, perUser).collect()
+      .map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("generated jsonl round-trips through EventSource with zero corrupt rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gen").toString
     EventGenerator.writeJsonl(spark, dir, n = 500, partitions = 2)

@@ -37,6 +37,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming doc ingest scrubs PII, gates quality/lang, and dedups content") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, String, String, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val good = "the and of to in the and of to in"
+    val pii = "the and of to in the and of to in contact a@b.com"
+    mem.addData(
+      (1L, at(0), "en", "s0", good),
+      (2L, at(1), "en", "s0", good),          // exact dup of doc 1 → dropped
+      (3L, at(2), "en", "s1", pii),           // kept, email scrubbed
+      (4L, at(3), "en", "s1", "zzzzzzzzzzzz") // low quality → dropped
+    )
+    val df = mem.toDF.toDF("doc_id", "ts", "lang", "source", "text")
+    val q = DocStream.cleanDocs(df)
+      .writeStream.format("memory").queryName("doc_clean_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("doc_clean_test").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+      val scrubbed = rows.find(_.getAs[Long]("doc_id") == 3L).get.getAs[String]("clean_text")
+      assert(scrubbed.endsWith("contact <EMAIL>"))
+      assert(rows.forall(_.getAs[Double]("quality_score") >= 0.5))
+      assert(rows.forall(_.getAs[String]("predicted_lang") == "en"))
+    } finally q.stop()
+  }
+
   test("streaming hourly traffic matches batch counts on the same events") {
     val (_, df) = eventsDf()
     val q = EventStream.hourlyTraffic(df, watermark = "10 minutes")
