@@ -66,6 +66,8 @@ object SparkEntry {
     "text_pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "corpus_split"         -> ((s, d) => TextAnalysis.corpusSplit(s, d)),
     "sample_weighted_sources" -> ((s, d) => TextAnalysis.sampleWeightedSources(s, d)),
+    "corpus_pack"          -> ((s, d) => TextAnalysis.corpusPack(s, d)),
+    "asof_view_purchase"   -> ((s, d) => AsOfJoin.viewPurchaseAsOf(s, d)),
     // §2D dedup family
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_corpus"         -> ((s, d) => Dedup.dedupedCorpus(s, d)),
@@ -142,6 +144,8 @@ object SparkEntry {
     "text_pii_scrub"       -> TextAnalysis.piiScrubSql,
     "corpus_split"         -> TextAnalysis.corpusSplitSql,
     "sample_weighted_sources" -> TextAnalysis.sampleWeightedSourcesSql,
+    "corpus_pack"          -> TextAnalysis.corpusPackSql,
+    "asof_view_purchase"   -> AsOfJoin.viewPurchaseAsOfSql,
     "embedding_centroids"  -> Similarity.embeddingCentroidsSql,
     "embedding_quantize"   -> Similarity.embeddingQuantizeSql,
     "dedup_exact"          -> Dedup.exactSql,

@@ -356,4 +356,50 @@ object TextAnalysis {
       |         THEN 1 ELSE 0 END AS kept
       |  FROM documents
       |) t GROUP BY source ORDER BY source""".stripMargin
+
+  /** Context-window packing census — the "pack documents into
+    * fixed-token training sequences" step. Docs are sharded by id
+    * (each shard packs independently — the embarrassingly parallel
+    * form; a single global packing order would serialize the whole
+    * corpus through one partition), then chunked in id order at
+    * `budget`-token boundaries of the running token stream: a doc
+    * joins the pack where its prefix starts, so packs can overhang by
+    * less than one doc (offset chunking, the deterministic streaming
+    * packer; token-level splitting of the straddler is the tokenizer's
+    * job downstream). One shuffle on the shard key; the census per
+    * (shard, pack) reports fill. */
+  def corpusPack(spark: SparkSession, dir: String, budget: Int = 512,
+                 shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        pmod(col("doc_id"), lit(shards)).cast("int").as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("int"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "pack_id")
+  }
+
+  val corpusPackSql: String =
+    """SELECT shard, pack_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS INT) AS pack_id
+      |  FROM (
+      |    SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |      len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |    FROM documents
+      |  ) b
+      |) t GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 }

@@ -102,6 +102,49 @@ class CorpusPrepSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("as-of join attributes each purchase to its latest prior-or-equal view") {
+    import spark.implicits._
+    val purchases = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("user_id", "event_epoch", "event_id")
+    val views = Seq((1L, 90L, 1L), (1L, 100L, 2L), (1L, 150L, 3L), (2L, 60L, 4L))
+      .toDF("user_id", "event_epoch", "event_id")
+    val out = operators.AsOfJoin.asofBackwardEpoch(
+        purchases, views, "user_id", "event_epoch", "event_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong)).toMap
+    assert(out(10L).contains(100L)) // equal-ts view matches (>= semantics)
+    assert(out(11L).contains(150L)) // latest prior view wins
+    assert(out(12L).isEmpty)        // user 2 has no view at or before 50
+    // corpus-level: gaps are non-negative and unmatched purchases keep null
+    val rows = operators.AsOfJoin.viewPurchaseAsOf(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("gap_seconds")))
+        assert(r.getAs[Long]("gap_seconds") >= 0)
+    }
+  }
+
+  test("corpus packing covers every doc once and fills packs near budget") {
+    val packs = operators.TextAnalysis.corpusPack(spark, Sf).collect()
+    val total = Tables.documents(spark, Sf).count()
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == total)
+    // every non-final pack of a shard starts within budget of its
+    // predecessor: pack ids are consecutive from 0 per shard
+    packs.groupBy(_.getAs[Int]("shard")).foreach { case (_, ps) =>
+      val ids = ps.map(_.getAs[Int]("pack_id")).sorted
+      assert(ids.head == 0 && ids.sameElements(ids.head to ids.last))
+    }
+    // doc ranges within a shard don't overlap across packs
+    packs.groupBy(_.getAs[Int]("shard")).foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_.getAs[Int]("pack_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
+
   test("int8 quantization stays in [0,255], hits both edges, and is monotone per vector") {
     val q = operators.Similarity.embeddingQuantize(spark, Sf)
     val vals = q.agg(min(col("q")), max(col("q"))).collect().head
