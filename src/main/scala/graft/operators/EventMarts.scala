@@ -30,7 +30,12 @@ object EventMarts {
 
   /** Events with derived columns shared by every mart. */
   def enriched(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    enrich(Tables.events(spark, dir))
+
+  /** The same derivations over any raw events frame (generated
+    * batches, streams collected to batch, injected test corpora). */
+  def enrich(raw: DataFrame): DataFrame =
+    raw
       .withColumn("event_date", col("ts").cast("date"))
       .withColumn("event_epoch", unix_timestamp(col("ts")))
       .withColumn("segment", (col("user_id") % 3).cast("int"))
@@ -381,4 +386,56 @@ object EventMarts {
       |  ON a.user_id = f.user_id AND a.event_date = f.cohort_date + INTERVAL 1 DAY
       |GROUP BY cohort_date
       |ORDER BY cohort_date""".stripMargin
+
+  /** Multi-horizon retention curve (D1/D3/D7) per signup cohort — the
+    * generalization of `retentionDaily`. Over the DISTINCT (user, day)
+    * activity set each user has at most ONE row per day offset, so
+    * every horizon is a plain conditional count (no per-horizon
+    * countDistinct → no Expand blow-up): cohort membership is the
+    * offset-0 row. Plan: one distinct shuffle, one window on user, one
+    * cohort aggregate. */
+  def retentionCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    def retained(h: Int) = count(when(col("day_offset") === h, 1))
+    enriched(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select("user_id", "event_date").distinct()
+      .withColumn("cohort_date", min("event_date").over(w))
+      .withColumn("day_offset", datediff(col("event_date"), col("cohort_date")))
+      .groupBy(col("cohort_date"))
+      .agg(
+        count(when(col("day_offset") === 0, 1)).as("cohort_size"),
+        retained(1).as("d1_retained"),
+        retained(3).as("d3_retained"),
+        retained(7).as("d7_retained"))
+      .withColumn("d1_rate",
+        col("d1_retained").cast("double") / col("cohort_size").cast("double"))
+      .withColumn("d3_rate",
+        col("d3_retained").cast("double") / col("cohort_size").cast("double"))
+      .withColumn("d7_rate",
+        col("d7_retained").cast("double") / col("cohort_size").cast("double"))
+      .orderBy("cohort_date")
+  }
+
+  val retentionCurveSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |), f AS (
+      |  SELECT user_id, MIN(event_date) AS cohort_date FROM ud GROUP BY user_id
+      |), j AS (
+      |  SELECT ud.user_id, f.cohort_date,
+      |    date_diff('day', f.cohort_date, ud.event_date) AS day_offset
+      |  FROM ud JOIN f ON ud.user_id = f.user_id
+      |)
+      |SELECT cohort_date,
+      |  COUNT(CASE WHEN day_offset = 0 THEN 1 END) AS cohort_size,
+      |  COUNT(CASE WHEN day_offset = 1 THEN 1 END) AS d1_retained,
+      |  COUNT(CASE WHEN day_offset = 3 THEN 1 END) AS d3_retained,
+      |  COUNT(CASE WHEN day_offset = 7 THEN 1 END) AS d7_retained,
+      |  CAST(COUNT(CASE WHEN day_offset = 1 THEN 1 END) AS DOUBLE) / CAST(COUNT(CASE WHEN day_offset = 0 THEN 1 END) AS DOUBLE) AS d1_rate,
+      |  CAST(COUNT(CASE WHEN day_offset = 3 THEN 1 END) AS DOUBLE) / CAST(COUNT(CASE WHEN day_offset = 0 THEN 1 END) AS DOUBLE) AS d3_rate,
+      |  CAST(COUNT(CASE WHEN day_offset = 7 THEN 1 END) AS DOUBLE) / CAST(COUNT(CASE WHEN day_offset = 0 THEN 1 END) AS DOUBLE) AS d7_rate
+      |FROM j GROUP BY cohort_date ORDER BY cohort_date""".stripMargin
 }

@@ -52,6 +52,35 @@ object EventGenerator {
   def writeJsonl(spark: SparkSession, path: String, n: Long, partitions: Int = 8): Unit =
     events(spark, n).repartition(partitions).write.mode("overwrite").json(path)
 
+  /** Deterministic dirty-data injection over a generated batch — the
+    * test harness for the quality suite (the reference validates
+    * production feeds; to prove the checks CATCH defects we need a
+    * corpus with known defect rates). Each defect class is keyed by an
+    * independent seeded hash with a per-mille rate, so the expected
+    * failure counts are exact functions of (n, rate) and a spec can
+    * assert the quality checks recover them. Narrow maps only.
+    *
+    * Injected classes (mirroring the 7-check taxonomy):
+    *   nulls    — user_id nulled (null_check)
+    *   dups     — event_id collapsed to id 0 (duplicate_check)
+    *   badValue — value set to -5 (range_check + integrity for purchases)
+    *   badTs    — year shifted to 2035 (timestamp_check) */
+  def withAnomalies(events: DataFrame, nullPerMille: Int = 10, dupPerMille: Int = 10,
+                    badValuePerMille: Int = 10, badTsPerMille: Int = 10,
+                    seed: Long = 43): DataFrame = {
+    def h(salt: String) = // all classes key off the ORIGINAL event_id
+      pmod(xxhash64(col("event_id"), lit(seed), lit(salt)), lit(1000L))
+    // one projection so every condition sees the pre-mutation columns
+    events.select(
+      when(h("dup") < dupPerMille, lit(0L)).otherwise(col("event_id")).as("event_id"),
+      when(h("ts") < badTsPerMille, col("ts") + expr("INTERVAL 11 YEARS"))
+        .otherwise(col("ts")).as("ts"),
+      when(h("null") < nullPerMille, lit(null)).otherwise(col("user_id")).as("user_id"),
+      col("event_type"),
+      when(h("bad") < badValuePerMille, lit(-5.0)).otherwise(col("value")).as("value"),
+      col("props"))
+  }
+
   /** Session-structured generation (reference:
     * generate_events.py `_simulate_user_session` :231-307 — the
     * reference's events arrive as per-user session journeys, not

@@ -72,6 +72,35 @@ class EventGeneratorSpec extends SparkSpec {
       .map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("quality checks recover exactly the injected defect counts (closed loop)") {
+    val clean = EventGenerator.events(spark, 20000)
+    val dirty = EventGenerator.withAnomalies(clean).cache()
+    try {
+      // ground truth straight off the dirty frame
+      val expNull = dirty.filter(col("user_id").isNull).count()
+      val expDup = dirty.count() - dirty.select("event_id").distinct().count()
+      val expRange = dirty.filter(col("value") < 0).count()
+      val expTs = dirty.filter(year(col("ts")) > 2030).count()
+      assert(expNull > 0 && expDup > 0 && expRange > 0 && expTs > 0)
+      val summary = operators.Quality.summaryFrom(operators.EventMarts.enrich(dirty))
+        .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Long]("failed_records"))
+        .toMap
+      assert(summary("null_check") == expNull)
+      assert(summary("duplicate_check") == expDup)
+      assert(summary("range_check") == expRange)
+      assert(summary("timestamp_check") == expTs)
+      // the clean batch passes everything the injection targets
+      val cleanSummary = operators.Quality.summaryFrom(operators.EventMarts.enrich(clean))
+        .collect().map(r => r.getAs[String]("check_name") -> r.getAs[Long]("failed_records"))
+        .toMap
+      Seq("null_check", "duplicate_check", "range_check", "timestamp_check")
+        .foreach(c => assert(cleanSummary(c) == 0L, s"clean corpus fails $c"))
+    } finally {
+      dirty.unpersist()
+      ()
+    }
+  }
+
   test("generated jsonl round-trips through EventSource with zero corrupt rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gen").toString
     EventGenerator.writeJsonl(spark, dir, n = 500, partitions = 2)
