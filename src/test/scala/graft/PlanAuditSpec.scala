@@ -1,19 +1,30 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Fleet-wide plan lint: every registered query is PLANNED (not
   * executed) and checked against the scale invariants that individual
   * specs can't guard once the query count grows. A regression that
-  * sneaks a cartesian product or an unintended nested-loop join into
-  * any operator fails here by name. */
+  * sneaks a cartesian product, an unintended nested-loop join, or a
+  * shuffle explosion into any operator fails here by name.
+  *
+  * With AQE on, `executedPlan` is an `AdaptiveSparkPlanExec` WRAPPER
+  * whose TreeNode children are empty — a plain `.collect` on it finds
+  * nothing and silently lints an empty tree. The physical plan to
+  * audit is its `inputPlan` (the pre-adaptive plan; AQE only ever
+  * improves on it at runtime). */
 class PlanAuditSpec extends SparkSpec {
 
   /** Queries whose broadcast nested-loop join is the intended plan:
-    * brute-force scoring joins every candidate against the whole
-    * broadcast query set by design. */
-  private val IntendedBnlj = Set("ann_cosine_topk")
+    * ann_cosine_topk brute-force-scores every candidate against the
+    * whole broadcast query set by design; q22 crosses each customer
+    * with the ONE-ROW broadcast global-average threshold (the
+    * scalar-subquery pattern — a 1-row build side is O(n) work). */
+  private val IntendedBnlj = Set("ann_cosine_topk", "q22_untapped_segments")
 
   /** Queries whose CONSTRUCTION runs real Spark jobs (localCheckpoint
     * propagation rounds, k-means collect loops), so the DataFrame they
@@ -22,15 +33,35 @@ class PlanAuditSpec extends SparkSpec {
     * Those subtrees are audited directly below instead. */
   private val AuditedViaSubplans = Set("dedup_near_corpus", "ann_ivf_kmeans")
 
+  /** Shuffle-exchange budget per query (pre-AQE plan). The default
+    * bound catches shuffle explosions; queries listed here carry a
+    * deliberate higher count (multi-stage aggregates over distinct
+    * user-day sets, grouping-set rollups, fused multi-check plans). */
+  private val DefaultMaxShuffles = 6
+  private val MaxShuffles = Map(
+    "dq_daily_trend" -> 8,
+    "session_patterns" -> 8,
+    "retention_curve" -> 7,
+    "retention_daily" -> 7)
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+
   private def offendersIn(name: String, df: DataFrame): Seq[String] = {
-    val plan = df.queryExecution.executedPlan
+    val plan = physical(df)
     val cartesian = plan.collect { case c: CartesianProductExec => c }
     val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }.size
+    val cap = MaxShuffles.getOrElse(name.takeWhile(_ != '['), DefaultMaxShuffles)
     (if (cartesian.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
-      (if (bnlj.nonEmpty && !IntendedBnlj(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+      (if (bnlj.nonEmpty && !IntendedBnlj(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil) ++
+      (if (shuffles > cap) Seq(s"$name: $shuffles shuffle exchanges (cap $cap)") else Nil)
   }
 
-  test("no query plans a cartesian product; nested-loop joins only where intended") {
+  test("no cartesian products, unintended nested-loop joins, or shuffle explosions") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => AuditedViaSubplans(name) }
       .flatMap { case (name, fn) => offendersIn(name, fn(spark, Sf)) }
@@ -50,5 +81,14 @@ class PlanAuditSpec extends SparkSpec {
       offendersIn("ann_ivf_kmeans[ivfTopKWith]",
         operators.Similarity.ivfTopKWith(spark, Sf, fakeCents, numQueries = 10, k = 5, nProbe = 2))
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+
+  test("the lint itself sees through the AQE wrapper (not vacuous)") {
+    // a plan with a known BNLJ must be detected — guards against the
+    // wrapper regression where .collect on AdaptiveSparkPlanExec
+    // silently audited an empty tree
+    val bf = operators.Similarity.bruteForceTopK(spark, Sf)
+    assert(physical(bf).collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "expected the brute-force scorer's BNLJ to be visible to the lint")
   }
 }
