@@ -61,6 +61,7 @@ object SparkEntry {
     "text_quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_langid"          -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint"     -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_bpe_estimate"    -> ((s, d) => TextAnalysis.bpeEstimate(s, d)),
     "doc_stats_by_lang"    -> ((s, d) => TextAnalysis.statsByLang(s, d)),
     "sample_stratified"    -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
     "clean_corpus"         -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
@@ -140,6 +141,7 @@ object SparkEntry {
     "text_quality_score"   -> TextAnalysis.qualityScoreSql,
     "text_langid"          -> TextAnalysis.langIdSql,
     "text_fingerprint"     -> TextAnalysis.fingerprintSql,
+    "text_bpe_estimate"    -> TextAnalysis.bpeEstimateSql,
     "doc_stats_by_lang"    -> TextAnalysis.statsByLangSql,
     "sample_stratified"    -> TextAnalysis.sampleStratifiedSql,
     "clean_corpus"         -> TextAnalysis.cleanCorpusSql,

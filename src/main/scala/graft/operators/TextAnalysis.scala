@@ -357,6 +357,52 @@ object TextAnalysis {
       |  FROM documents
       |) t GROUP BY source ORDER BY source""".stripMargin
 
+  /** A tiny "learned" merge vocabulary (the most frequent English
+    * bigram merges — the first entries a BPE trainer learns on web
+    * text). Literal so the estimator is a pure projection. */
+  private val BpeMerges = Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
+
+  /** BPE-ish token count estimate — closer to a real subword
+    * tokenizer than whitespace counting: start from character-level
+    * tokens (whitespace excluded) and subtract one per occurrence of
+    * each vocabulary merge, clamped below by the word count (a word
+    * never tokenizes to less than one token). Merges are counted
+    * independently on the raw text (first-iteration estimate — the
+    * sequential-merge fixpoint is the tokenizer's job, not the
+    * corpus-stats pass); occurrence counting is the portable
+    * length-difference-after-replace, identical in Spark and DuckDB.
+    * A pure narrow map. */
+  def bpeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val charsNoWs = length(regexp_replace(col("text"), "\\s+", ""))
+    val mergeHits = BpeMerges.map(m =>
+      (length(col("text")) - length(expr(s"replace(text, '$m', '')"))) / lit(2))
+      .reduce(_ + _)
+    val words = size(tokens(col("text")))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("char_count"),
+        words.as("ws_token_count"),
+        greatest(words, charsNoWs - mergeHits).cast("int").as("est_bpe_tokens"),
+        (length(col("text")).cast("double") /
+          greatest(greatest(words, charsNoWs - mergeHits), lit(1)).cast("double"))
+          .as("chars_per_bpe_token"))
+      .orderBy("doc_id")
+  }
+
+  val bpeEstimateSql: String = {
+    val occ = BpeMerges.map(m =>
+      s"(length(text) - length(replace(text, '$m', ''))) / 2").mkString(" + ")
+    val words = "len(string_split_regex(trim(text), '\\s+'))"
+    val est = s"GREATEST($words, length(regexp_replace(text, '\\s+', '', 'g')) - ($occ))"
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INT) AS char_count,
+       |  CAST($words AS INT) AS ws_token_count,
+       |  CAST($est AS INT) AS est_bpe_tokens,
+       |  CAST(length(text) AS DOUBLE) / CAST(GREATEST($est, 1) AS DOUBLE) AS chars_per_bpe_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Context-window packing census — the "pack documents into
     * fixed-token training sequences" step. Docs are sharded by id
     * (each shard packs independently — the embarrassingly parallel

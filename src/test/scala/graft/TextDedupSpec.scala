@@ -102,6 +102,19 @@ class CorpusPrepSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("bpe estimate sits between word count and character count") {
+    val rows = operators.TextAnalysis.bpeEstimate(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      val words = r.getAs[Int]("ws_token_count")
+      val chars = r.getAs[Int]("char_count")
+      val est = r.getAs[Int]("est_bpe_tokens")
+      assert(est >= words, s"doc ${r.getAs[Long]("doc_id")}: est $est < words $words")
+      assert(est <= chars)
+      assert(r.getAs[Double]("chars_per_bpe_token") >= 1.0)
+    }
+  }
+
   test("as-of join attributes each purchase to its latest prior-or-equal view") {
     import spark.implicits._
     val purchases = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
