@@ -110,6 +110,48 @@ class EventGeneratorSpec extends SparkSpec {
   }
 }
 
+/** Per-check fail-mode coverage over a crafted corpus — the corpus-
+  * level mirror of the reference's row-level check tests
+  * (tests/test_validate_quality.py: each check exercised with known
+  * passing and failing rows). */
+class QualityUnitSpec extends SparkSpec {
+  test("each of the 7 checks counts exactly its crafted failures") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val rows: Seq[(java.lang.Long, java.sql.Timestamp, java.lang.Long, String, java.lang.Double, String)] = Seq(
+      // u1: clean funnel day — passes everything
+      (1L, t("2024-02-01 09:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-02-01 09:10:00"), 1L, "purchase", 10.0, """{"k":5}"""),
+      // u2: purchase with no prior touch that day -> sequence fail
+      (3L, t("2024-02-01 10:00:00"), 2L, "purchase", 10.0, """{"k":5}"""),
+      // u3: two signups -> consistency fail
+      (4L, t("2024-02-01 11:00:00"), 3L, "signup", 1.0, "{}"),
+      (5L, t("2024-02-02 11:00:00"), 3L, "signup", 1.0, "{}"),
+      // u4: negative purchase value -> range fail + integrity fail
+      (6L, t("2024-02-01 12:00:00"), 4L, "view", 1.0, "{}"),
+      (7L, t("2024-02-01 12:05:00"), 4L, "purchase", -1.0, """{"k":3}"""),
+      // u5: product id out of range -> integrity fail only
+      (8L, t("2024-02-01 13:00:00"), 5L, "view", 1.0, "{}"),
+      (9L, t("2024-02-01 13:05:00"), 5L, "purchase", 10.0, """{"k":150}"""),
+      // u6: null ts -> null fail + timestamp fail
+      (10L, null, 6L, "view", 1.0, "{}"),
+      // u7: duplicate event_id pair -> one duplicate
+      (11L, t("2024-02-01 14:00:00"), 7L, "view", 1.0, "{}"),
+      (11L, t("2024-02-01 14:01:00"), 7L, "view", 1.0, "{}"))
+    val e = operators.EventMarts.enrich(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val failed = operators.Quality.summaryFrom(e).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("failed_records")).toMap
+    assert(failed("null_check") == 1L)
+    assert(failed("duplicate_check") == 1L)
+    assert(failed("range_check") == 1L)
+    assert(failed("timestamp_check") == 1L)
+    assert(failed("integrity_check") == 2L) // u4 (value<=0) + u5 (k out of range)
+    assert(failed("sequence_check") == 1L)  // u2 only — u1/u4/u5 had prior touches
+    assert(failed("consistency_check") == 1L) // u3's double signup
+  }
+}
+
 class PipelineSpec extends SparkSpec {
   test("pipeline validates, gates, and writes idempotent marts") {
     val out = Files.createTempDirectory("graft_pipeline").toString
