@@ -44,6 +44,7 @@ object SparkEntry {
     "report_order_summary" -> ((s, d) => EventMarts.reportOrderSummary(s, d)),
     "retention_daily"      -> ((s, d) => EventMarts.retentionDaily(s, d)),
     "retention_curve"      -> ((s, d) => EventMarts.retentionCurve(s, d)),
+    "value_percentiles"    -> ((s, d) => EventMarts.valuePercentiles(s, d)),
     "session_sequences"    -> ((s, d) => Sessionize.sessionSequences(s, d)),
     "session_patterns"     -> ((s, d) => Sessionize.sessionPatterns(s, d)),
     // §2B data-quality validation
@@ -126,6 +127,7 @@ object SparkEntry {
     "report_order_summary" -> EventMarts.reportOrderSummarySql,
     "retention_daily"      -> EventMarts.retentionDailySql,
     "retention_curve"      -> EventMarts.retentionCurveSql,
+    "value_percentiles"    -> EventMarts.valuePercentilesSql,
     "session_sequences"    -> Sessionize.sessionSequencesSql,
     "session_patterns"     -> Sessionize.sessionPatternsSql,
     "dq_null_check"        -> Quality.nullCheckSql,

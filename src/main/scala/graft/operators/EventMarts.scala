@@ -387,6 +387,36 @@ object EventMarts {
       |GROUP BY cohort_date
       |ORDER BY cohort_date""".stripMargin
 
+  /** Exact value percentiles per event type — the sort-based aggregate
+    * family (no other query exercises it): p50/p90/p99 plus min/max.
+    * Spark's `percentile` and DuckDB's `quantile_cont` both compute
+    * the exact interpolated quantile, so the oracle matches without
+    * approximation. At scale exact percentiles shuffle each group's
+    * values to one reducer — correct for bounded group counts like
+    * event types; unbounded-cardinality groups should switch to
+    * approx_percentile (t-digest) and accept rows-only checking. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
+  val valuePercentilesSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Multi-horizon retention curve (D1/D3/D7) per signup cohort — the
     * generalization of `retentionDaily`. Over the DISTINCT (user, day)
     * activity set each user has at most ONE row per day offset, so
