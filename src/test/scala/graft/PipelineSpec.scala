@@ -54,6 +54,27 @@ class EventGeneratorSpec extends SparkSpec {
       .forall(_.getAs[String]("props").contains("\"k\"")))
   }
 
+  test("gap sessionization agrees with Spark's declarative session_window in batch") {
+    // two independent formulations of the same semantics: the lag+
+    // cumsum window Sessionize uses, and the engine's session_window
+    // aggregation (usable in batch too) — per-user session count and
+    // per-session event counts must match exactly
+    val e = operators.EventMarts.enriched(spark, Sf).filter(col("ts").isNotNull)
+    val ours = operators.Sessionize.sessionSequencesFrom(e)
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("event_count")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val engine = e
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("event_count"))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("event_count")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ours == engine)
+  }
+
   test("session-structured generation round-trips through Sessionize exactly") {
     val users = 40L
     val perUser = 3
