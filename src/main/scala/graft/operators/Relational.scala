@@ -579,13 +579,22 @@ object Relational {
       .select("o_orderkey", "o_orderdate")
     val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
     val late = col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")
-    val perOrder = l.join(o, col("l_orderkey") === col("o_orderkey"))
+    // two PLAIN aggregates instead of two countDistincts in one (which
+    // would plan an Expand carrying every row 3× through the shuffle):
+    // (order, supplier) grain first — distinct-supplier counting then
+    // degenerates to plain counts at the order grain
+    val perOrderSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(
+        max(when(late, 1).otherwise(0)).as("is_late"),
+        count(when(late, 1)).as("late_lines"))
+    val perOrder = perOrderSupp
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
-        max(when(late, col("l_suppkey"))).as("late_suppkey"),
-        count(when(late, 1)).as("late_lines"))
+        count(lit(1)).as("n_supp"),
+        sum(col("is_late")).as("n_late_supp"),
+        max(when(col("is_late") === 1, col("l_suppkey"))).as("late_suppkey"),
+        sum(when(col("is_late") === 1, col("late_lines")).otherwise(lit(0L))).as("late_lines"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     perOrder
