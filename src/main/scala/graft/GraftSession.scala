@@ -17,6 +17,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

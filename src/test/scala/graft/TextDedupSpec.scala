@@ -265,6 +265,20 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class GraftExtensionsSpec extends SparkSpec {
+  test("native functions are available in a fresh session via SparkSessionExtensions") {
+    // newSession() rebuilds session state from the extensions alone —
+    // manual FunctionRegistry writes from other suites don't carry
+    // over, so this exercises the injectFunction path
+    val s2 = spark.newSession()
+    val r = s2.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS sim, " +
+        "simhash64(array(CAST(1 AS BIGINT))) AS sh").collect().head
+    assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+}
+
 /** The native fused expressions must agree exactly with their
   * composable higher-order-function formulations. */
 class HashExpressionsSpec extends SparkSpec {
