@@ -63,6 +63,7 @@ object SparkEntry {
     "text_langid"          -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint"     -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_bpe_estimate"    -> ((s, d) => TextAnalysis.bpeEstimate(s, d)),
+    "text_top_ngrams"      -> ((s, d) => TextAnalysis.topNgrams(s, d)),
     "doc_stats_by_lang"    -> ((s, d) => TextAnalysis.statsByLang(s, d)),
     "sample_stratified"    -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
     "clean_corpus"         -> ((s, d) => TextAnalysis.cleanCorpus(s, d)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "text_langid"          -> TextAnalysis.langIdSql,
     "text_fingerprint"     -> TextAnalysis.fingerprintSql,
     "text_bpe_estimate"    -> TextAnalysis.bpeEstimateSql,
+    "text_top_ngrams"      -> TextAnalysis.topNgramsSql,
     "doc_stats_by_lang"    -> TextAnalysis.statsByLangSql,
     "sample_stratified"    -> TextAnalysis.sampleStratifiedSql,
     "clean_corpus"         -> TextAnalysis.cleanCorpusSql,

@@ -357,6 +357,44 @@ object TextAnalysis {
       |  FROM documents
       |) t GROUP BY source ORDER BY source""".stripMargin
 
+  /** Corpus-wide top-k word trigrams with document frequency — the
+    * n-gram census behind contamination screening and boilerplate
+    * detection. The explode-heavy plan family: flatMap each doc to its
+    * trigram OCCURRENCES (not the per-doc distinct sets Jaccard uses),
+    * one grouped count with map-side partial aggregation, then a
+    * deterministic top-k (count desc, gram asc). At 100 TB the
+    * explode's row blow-up is absorbed by partial aggregation before
+    * the shuffle — the exchange carries (gram, partial counts), not
+    * raw occurrences. */
+  def topNgrams(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val t = tokens(col("text"))
+    val grams = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(desc("occurrences"), asc("gram"))
+      .limit(k)
+  }
+
+  val topNgramsSql: String =
+    """SELECT gram, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE [] END) AS gram
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents) b
+      |) t
+      |GROUP BY gram
+      |ORDER BY occurrences DESC, gram ASC
+      |LIMIT 50""".stripMargin
+
   /** A tiny "learned" merge vocabulary (the most frequent English
     * bigram merges — the first entries a BPE trainer learns on web
     * text). Literal so the estimator is a pure projection. */
