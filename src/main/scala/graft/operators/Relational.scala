@@ -465,6 +465,67 @@ object Relational {
       |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q2-style minimum-cost supplier (partsupp re-expressed over
+    * lineitem: a supplier's offer price for a part = its exact decimal
+    * average sale price). For small parts (p_size ≤ 10), find each
+    * part's cheapest supplier in one region — the correlated
+    * min-per-group subquery as a WINDOW over the (part, supplier)
+    * aggregate, then broadcast dim join-back. Two shuffles: the
+    * (part, supplier) aggregate and the per-part window; everything
+    * dimensional broadcasts. Top-100 by balance/name for determinism. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String, regionName: String = "EUROPE",
+                        maxSize: Int = 10, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.region(spark, dir).filter(col("r_name") === regionName).select("r_regionkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val p = Tables.part(spark, dir).filter(col("p_size") <= maxSize)
+      .select("p_partkey", "p_brand", "p_size")
+    // offer price per (part, supplier): exact decimal mean of sale prices
+    val offers = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("p_size"), col("l_suppkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") /
+            count(lit(1))).as("offer_price"))
+    val w = Window.partitionBy("p_partkey")
+    offers
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_price", min(col("offer_price")).over(w))
+      .filter(col("offer_price") === col("min_price"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("offer_price"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .limit(topN)
+  }
+
+  val q2Sql: String =
+    """WITH s AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |), offers AS (
+      |  SELECT p_partkey, p_brand, p_size, l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS offer_price
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_size <= 10
+      |  GROUP BY p_partkey, p_brand, p_size, l_suppkey
+      |), ranked AS (
+      |  SELECT o.*, s.s_acctbal, s.s_name, s.n_name,
+      |    MIN(offer_price) OVER (PARTITION BY p_partkey) AS min_price
+      |  FROM offers o JOIN s ON o.l_suppkey = s.s_suppkey
+      |)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, offer_price
+      |FROM ranked WHERE offer_price = min_price
+      |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+      |LIMIT 100""".stripMargin
+
   /** TPC-H Q15-style top supplier: quarterly revenue per supplier,
     * keep the supplier(s) hitting the maximum — the "view + scalar
     * max" shape. The per-supplier aggregate is one shuffle; the max is
