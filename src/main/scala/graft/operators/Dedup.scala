@@ -349,6 +349,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental exact dedup — the daily-ingest form: an incoming
+    * batch is deduped (a) against the EXISTING corpus by content hash
+    * (left anti join — broadcast when the incoming side is small
+    * relative to the corpus index, shuffle otherwise) and (b) within
+    * itself (keeper window). The existing side only ever contributes
+    * its hash column, so at scale the corpus is represented by its
+    * hash index, not its text. */
+  def incrementalFrom(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("text").cast("binary"))
+    val existingHashes = existing.select(h.as("text_md5")).distinct()
+    val w = Window.partitionBy(h)
+    incoming
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .join(existingHashes, h === col("text_md5"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract form: the corpus split deterministically into an
+    * "existing" majority and an "incoming" batch (doc_id % 5 == 0), so
+    * the incremental path is oracle-checkable on one table. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalFrom(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+  }
+
+  val incrementalSql: String =
+    """WITH incoming AS (
+      |  SELECT doc_id, lang, source, n_chars, md5(text) AS h,
+      |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents WHERE doc_id % 5 = 0
+      |), existing AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+      |)
+      |SELECT doc_id, lang, source, n_chars
+      |FROM incoming
+      |WHERE doc_id = keeper
+      |  AND NOT EXISTS (SELECT 1 FROM existing WHERE existing.h = incoming.h)
+      |ORDER BY doc_id""".stripMargin
+
   /** The (doc_id, simhash, band_idx, band_val) SimHash banding frame —
     * shared by `simhash` and `simhashDroppedBuckets`. Bit b of the
     * simhash = majority vote of token-hash bit b — one fused pass in
