@@ -41,6 +41,14 @@ object Pipeline {
   def marts(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     martsFrom(EventMarts.enriched(spark, sfDir))
 
+  /** The session_date partition column (= session start date) — ONE
+    * definition shared by the full-run mart map and the date-scoped
+    * override so the partition grain cannot drift between the two
+    * write paths. */
+  private def withSessionDate(sessions: DataFrame): DataFrame =
+    sessions.withColumn("session_date",
+      to_date(timestamp_seconds(col("session_start_epoch"))))
+
   /** The mart set over one shared enriched-events projection.
     * session_sequences gains a session_date (= session start date)
     * partition column here so per-date reruns replace only their own
@@ -50,8 +58,7 @@ object Pipeline {
     "mart_funnel_daily"  -> EventMarts.martFunnelDailyFrom(e),
     "mart_product_daily" -> EventMarts.martProductDailyFrom(e),
     "mart_orders"        -> EventMarts.martOrdersFrom(e),
-    "session_sequences"  -> Sessionize.sessionSequencesFrom(e)
-      .withColumn("session_date", to_date(timestamp_seconds(col("session_start_epoch")))),
+    "session_sequences"  -> withSessionDate(Sessionize.sessionSequencesFrom(e)),
     "hourly_traffic"     -> EventMarts.hourlyTrafficFrom(e))
 
   /** Partition spec per mart (the backfill grain). */
@@ -71,16 +78,19 @@ object Pipeline {
     *   filter lands directly above the scan, so a date-partitioned
     *   fact table prunes to the touched partitions, and dynamic
     *   overwrite rewrites only those mart partitions on rerun.
-    *   Sessionization additionally reads a ONE-DAY LOOKBACK per scoped
-    *   date (pruned the same way) so a session that started before
-    *   midnight keeps its events: without it, a rerun of date d would
-    *   re-fragment the tail of a cross-midnight session into a bogus
-    *   new session under session_date=d while the full session row
-    *   survives in partition d-1. Only the scoped dates' session
-    *   partitions are written — lookback-date sessions are recomputed
-    *   for chaining but never overwrite their own partition (their OWN
-    *   lookback isn't loaded). Sessions spanning 2+ midnights remain a
-    *   documented edge: their tail days conservatively write nothing.
+    *   Sessionization additionally reads a ONE-DAY LOOKBACK AND
+    *   LOOK-AHEAD per scoped date (pruned the same way): the lookback
+    *   keeps a rerun of date d from re-fragmenting the tail of a
+    *   session that started on d-1; the look-ahead keeps a rerun of d
+    *   from TRUNCATING a session that starts on d and crosses into
+    *   d+1 (without it the rerun would overwrite the correct full
+    *   session row with a clipped one). Only the scoped dates' session
+    *   partitions are written — lookback/look-ahead-date sessions are
+    *   recomputed for chaining but never overwrite their own
+    *   partitions (their own neighbors aren't loaded). Sessions
+    *   spanning 2+ midnights remain a documented edge: their middle/
+    *   tail days conservatively write nothing and the start-day row
+    *   carries at most one midnight of tail.
     * @param checkLogDir when set, the run's check results are logged
     *   PER EVENT DATE in scope — 7 rows per date under its run_date
     *   partition (the reference's quality_check_log), idempotently
@@ -95,11 +105,14 @@ object Pipeline {
           checkLogDir: Option[String] = None): Result = {
     val base = EventMarts.enriched(spark, sfDir)
     val runDates = dates.map(java.sql.Date.valueOf)
-    // persist scope = run dates + one-day lookback (for sessionize);
-    // gate and non-session marts consume the run-date slice of it
-    val lookback = dates
-      .map(d => java.sql.Date.valueOf(d).toLocalDate.minusDays(1).toString)
-    val scopeDates = (dates ++ lookback).distinct.map(java.sql.Date.valueOf)
+    // persist scope = run dates ± one day (sessionize lookback and
+    // look-ahead); gate and non-session marts consume the run-date
+    // slice of it
+    val neighbors = dates.flatMap { d =>
+      val ld = java.sql.Date.valueOf(d).toLocalDate
+      Seq(ld.minusDays(1).toString, ld.plusDays(1).toString)
+    }
+    val scopeDates = (dates ++ neighbors).distinct.map(java.sql.Date.valueOf)
     val widened =
       if (dates.isEmpty) base
       else base.filter(col("event_date").isin(scopeDates: _*))
@@ -130,13 +143,12 @@ object Pipeline {
       if (failed.nonEmpty && failFast)
         Result(passed = false, failed, Nil, runDate, alert)
       else {
-        // session_sequences sessionizes over the widened (lookback)
-        // frame so cross-midnight chains assemble, then keeps only the
-        // scoped dates' partitions for the write (see run() scaladoc)
+        // session_sequences sessionizes over the widened (±1 day)
+        // frame so cross-midnight chains assemble in BOTH directions,
+        // then keeps only the scoped dates' partitions for the write
+        // (see run() scaladoc)
         val marts = martsFrom(e) ++ Option.when(dates.nonEmpty)(
-          "session_sequences" -> Sessionize.sessionSequencesFrom(w)
-            .withColumn("session_date",
-              to_date(timestamp_seconds(col("session_start_epoch"))))
+          "session_sequences" -> withSessionDate(Sessionize.sessionSequencesFrom(w))
             .filter(col("session_date").isin(runDates: _*)))
         val written = marts.map { case (name, df) =>
           partitioned.get(name) match {
@@ -179,7 +191,12 @@ object Pipeline {
                     e: DataFrame): Seq[Reporting.DashboardDay] = {
     val byDate = spark.read.parquet(checkLogDir).collect()
       .groupBy(_.getAs[java.sql.Date]("run_date").toString)
-    val traffic = e.groupBy(col("event_date"))
+    // prune the traffic aggregate to the dashboard's dates — the log's
+    // date set is known driver-side, so don't scan/shuffle the corpus'
+    // other days just to discard them
+    val logDates = byDate.keySet.toSeq.map(java.sql.Date.valueOf)
+    val traffic = e.filter(col("event_date").isin(logDates: _*))
+      .groupBy(col("event_date"))
       .agg(
         count(lit(1)).as("n_events"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchases"),

@@ -361,23 +361,29 @@ object TextAnalysis {
     * n-gram census behind contamination screening and boilerplate
     * detection. The explode-heavy plan family: flatMap each doc to its
     * trigram OCCURRENCES (not the per-doc distinct sets Jaccard uses),
-    * one grouped count with map-side partial aggregation, then a
-    * deterministic top-k (count desc, gram asc). At 100 TB the
-    * explode's row blow-up is absorbed by partial aggregation before
-    * the shuffle — the exchange carries (gram, partial counts), not
-    * raw occurrences. */
+    * a (gram, doc) count then a gram rollup — both map-side partially
+    * aggregated — and a deterministic top-k (count desc, gram asc). At
+    * 100 TB the explode's row blow-up is absorbed by partial
+    * aggregation before the shuffle, and doc frequency is a plain
+    * count at the second level, not a countDistinct (whose Expand
+    * would double the exploded rows). */
   def topNgrams(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val t = tokens(col("text"))
     val grams = when(size(t) >= 3,
       transform(sequence(lit(1), size(t) - 2), i =>
         concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
+    // two-level plain aggregate: (gram, doc) counts first, so doc_freq
+    // degenerates to a plain count — no countDistinct Expand doubling
+    // the exploded rows through the shuffle (same rewrite as q21)
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
       .groupBy(col("gram"))
       .agg(
-        count(lit(1)).as("occurrences"),
-        countDistinct(col("doc_id")).as("doc_freq"))
+        sum(col("n")).cast("bigint").as("occurrences"),
+        count(lit(1)).as("doc_freq"))
       .orderBy(desc("occurrences"), asc("gram"))
       .limit(k)
   }

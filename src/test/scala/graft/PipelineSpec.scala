@@ -58,7 +58,11 @@ class EventGeneratorSpec extends SparkSpec {
     // two independent formulations of the same semantics: the lag+
     // cumsum window Sessionize uses, and the engine's session_window
     // aggregation (usable in batch too) — per-user session count and
-    // per-session event counts must match exactly
+    // per-session event counts must match exactly. Boundary alignment:
+    // Sessionize breaks on floored-epoch gap > 1800s (exactly 1800
+    // merges), while session_window(gap) merges only gap < window —
+    // so feed session_window the floored epochs with an 1801s window
+    // to make the two formulations agree at the exact boundary.
     val e = operators.EventMarts.enriched(spark, Sf).filter(col("ts").isNotNull)
     val ours = operators.Sessionize.sessionSequencesFrom(e)
       .groupBy("user_id").agg(
@@ -66,7 +70,8 @@ class EventGeneratorSpec extends SparkSpec {
         sum(col("event_count")).as("n_events"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val engine = e
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .groupBy(session_window(timestamp_seconds(col("event_epoch")), "1801 seconds"),
+        col("user_id"))
       .agg(count(lit(1)).as("event_count"))
       .groupBy("user_id").agg(
         count(lit(1)).as("n_sessions"),
@@ -265,6 +270,17 @@ class PipelineSpec extends SparkSpec {
     val d2 = spark.read.parquet(s"$out/session_sequences")
       .filter(col("session_date") === "2024-03-02").collect()
     assert(d2.map(_.getAs[Long]("user_id")).toSeq == Seq(2L))
+    // rerun ONLY day 1 (the session's START day): the look-ahead must
+    // keep the cross-midnight session intact — without it the rerun
+    // would overwrite the full session row with a truncated one
+    Pipeline.run(spark, dataDir, out, dates = Seq("2024-03-01"), failFast = false)
+    assert(sessions(out) == full)
+    // and sequential day-by-day processing (the reference's daily
+    // execution model) converges to the full-run state too
+    val daily = Files.createTempDirectory("graft_mid_daily").toString
+    Pipeline.run(spark, dataDir, daily, dates = Seq("2024-03-01"), failFast = false)
+    Pipeline.run(spark, dataDir, daily, dates = Seq("2024-03-02"), failFast = false)
+    assert(sessions(daily) == full)
   }
 
   test("check log persists per run_date and trend-from-log matches the logged rows") {
