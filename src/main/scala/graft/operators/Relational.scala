@@ -327,6 +327,29 @@ object Relational {
       |GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** Multi-grain reporting via CUBE: order counts and revenue at every
+    * (status × priority) grain including subtotals and the grand
+    * total — the grouping-sets family as ONE aggregate over ONE scan
+    * (separate per-grain queries would multiply the scan by four).
+    * grouping_id disambiguates subtotal rows from real NULL groups. */
+  def orderCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("int").as("grain"),
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("total_revenue"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val orderCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS grain,
+      |  COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** TPC-H Q4 analog — late-shipment priority census: orders with at
     * least one lineitem shipped more than 60 days after the order
     * date, counted per priority. The EXISTS is a LEFT SEMI join on the

@@ -176,4 +176,27 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** The product dimension at the events' product_k grain, derived
+    * from the part table (p_partkey mod 100 is the testdata's product
+    * id space): one deterministic row per product id. */
+  def productDim(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.part(spark, dir)
+      .groupBy(pmod(col("p_partkey"), lit(100)).cast("int").as("product_k"))
+      .agg(
+        min(col("p_brand")).as("brand"),
+        (sum(col("p_retailprice").cast("decimal(12,2)")).cast("double") /
+          count(lit(1))).as("avg_retail_price"))
+
+  /** Stream-static dimension enrichment: join the event stream to a
+    * static (batch) product dimension — stateless on the stream side,
+    * the static side is broadcast per micro-batch, no watermark
+    * needed. This is THE pattern for attaching slowly-changing
+    * reference data to a live feed (the streaming flavor of every
+    * mart's dim join); a left join keeps events with unknown or
+    * missing product ids flowing. */
+  def enrichWithProductDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withColumn("product_k", get_json_object(col("props"), "$.k").cast("int"))
+      .join(broadcast(dim), Seq("product_k"), "left")
 }

@@ -161,6 +161,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with the broadcast product dim") {
+    val (_, df) = eventsDf()
+    val dim = EventStream.productDim(spark, Sf)
+    val q = EventStream.enrichWithProductDim(df, dim)
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+      assert(rows.length == 5) // left join keeps every event
+      // events with props {} have no product id and survive with nulls
+      assert(rows.forall(r => r.isNullAt(r.fieldIndex("product_k")) ==
+        r.isNullAt(r.fieldIndex("brand"))))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
