@@ -722,4 +722,210 @@ object Relational {
       |    WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q9-style product-type profit: profit by supplier nation and
+    * order year for one part type. The testdata has no partsupp, so
+    * supply cost is proxied as 60% of the part's retail price per unit
+    * (exact decimal math, cf. ps_supplycost * l_quantity in the
+    * reference query; /root/reference/sql/marts/mart_orders.sql is the
+    * analogous revenue-minus-cost mart shape).
+    *
+    * Plan: part (type-filtered, 1/6 of 2000 rows) and supplier⋈nation
+    * are broadcast; the one real shuffle is lineitem⋈orders on the
+    * order key (both fact-sized, as in the textbook Q9). Aggregation
+    * is a single groupBy(nation, year) with map-side partials. */
+  def q9ProductTypeProfit(spark: SparkSession, dir: String, partType: String = "PROMO"): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === partType)
+      .select("p_partkey", "p_retailprice")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+    val revenue = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    val cost = lit(0.6).cast("decimal(12,2)") * col("p_retailprice").cast("decimal(12,2)") *
+      col("l_quantity").cast("decimal(12,2)")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg((sum(revenue).cast("double") - sum(cost).cast("double")).as("sum_profit"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(asc("n_name"), desc("o_year"))
+  }
+
+  val q9Sql: String =
+    """SELECT n_name, CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |    - CAST(SUM(CAST(0.6 AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY n_name, CAST(YEAR(o_orderdate) AS INTEGER)
+      |ORDER BY n_name ASC, o_year DESC""".stripMargin
+
+  /** TPC-H Q11-style important parts: for parts supplied by one
+    * nation's suppliers, keep those whose sales value exceeds a fixed
+    * fraction of that nation's total. The "GROUP BY … HAVING SUM >
+    * (scalar subquery)" shape: one shuffle to the part grain, then the
+    * global total is re-aggregated from the SAME grouped result (no
+    * second scan) and broadcast back as a one-row join. */
+  def q11ImportantParts(spark: SparkSession, dir: String, nationName: String = "NATION_3",
+                        fraction: Double = 0.001): DataFrame = {
+    val n = Tables.nation(spark, dir).filter(col("n_name") === nationName).select("n_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    // per-part values stay DECIMAL until after the total: a double sum's
+    // rounding is partial-aggregation-order dependent, and the threshold
+    // comparison must be bit-identical with the oracle
+    val perPart = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("part_value_dec"))
+    val total = perPart.agg(sum(col("part_value_dec")).cast("double").as("total_value"))
+    perPart
+      .withColumn("part_value", col("part_value_dec").cast("double"))
+      .join(broadcast(total), col("part_value") > col("total_value") * lit(fraction))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(desc("part_value"), asc("l_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH perpart AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value_dec
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY l_partkey
+      |)
+      |SELECT l_partkey, CAST(part_value_dec AS DOUBLE) AS part_value
+      |FROM perpart
+      |WHERE CAST(part_value_dec AS DOUBLE) > CAST((SELECT SUM(part_value_dec) FROM perpart) AS DOUBLE) * 0.001
+      |ORDER BY part_value DESC, l_partkey ASC""".stripMargin
+
+  /** TPC-H Q12-style priority split by return flag: for lines shipped
+    * in one year, count urgent/high-priority orders vs the rest per
+    * return flag (the testdata has no l_shipmode, so l_returnflag
+    * stands in as the grouping column). The shape is Q12's: one
+    * fact⋈fact shuffle join on the order key + conditional aggregates
+    * (SUM(CASE WHEN …)). The year filter is pushed into the lineitem
+    * scan before the join. */
+  def q12PrioritySplit(spark: SparkSession, dir: String, yearStart: String = "1996-01-01",
+                       yearEnd: String = "1997-01-01"): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(yearStart) && col("l_shipdate") < lit(yearEnd))
+      .select("l_orderkey", "l_returnflag")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(high, 1)).as("high_line_count"),
+           count(when(!high, 1)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+      |  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q16-style supplier census: distinct suppliers per (brand,
+    * type, size) for non-excluded parts, excluding complained-about
+    * suppliers (proxied by negative account balance — the testdata has
+    * no s_comment). The exclusion is a broadcast anti-join BEFORE the
+    * aggregate; the single countDistinct plans as a two-phase
+    * aggregate on (brand, type, size, suppkey) — no Expand. */
+  def q16SupplierCensus(spark: SparkSession, dir: String, excludeBrand: String = "Brand#45",
+                        sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 23, 36, 45)): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val bad = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin
+
+  /** TPC-H Q20-style dominant suppliers: suppliers who shipped more
+    * than half of a part's total 1997 volume for one part type — the
+    * correlated "quantity > 0.5 × (SELECT SUM … same part)" shape,
+    * expressed as a per-part window over ONE shuffle on the part key
+    * instead of a rescan-per-row subquery. The qualifying (part,
+    * supplier) pairs then semi-drive a broadcast join to supplier ⋈
+    * nation for the report. Both sides of the 0.5× comparison are
+    * exact decimal sums cast to double, so the cutoff is bit-identical
+    * across engines. */
+  def q20DominantSuppliers(spark: SparkSession, dir: String, partType: String = "SMALL",
+                           yearStart: String = "1997-01-01", yearEnd: String = "1998-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir).filter(col("p_type") === partType).select("p_partkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val w = Window.partitionBy("l_partkey")
+    val perPartSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(yearStart) && col("l_shipdate") < lit(yearEnd))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("supp_qty"))
+    perPartSupp
+      .withColumn("part_qty", sum(col("supp_qty")).over(w))
+      .filter(col("supp_qty") > lit(0.5) * col("part_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated_parts"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_name"), col("n_dominated_parts"))
+      .orderBy(desc("n_dominated_parts"), asc("s_name"))
+  }
+
+  val q20Sql: String =
+    """WITH per_part_supp AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS supp_qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'SMALL'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l_partkey, l_suppkey
+      |), dominant AS (
+      |  SELECT l_suppkey, COUNT(*) AS n_dominated_parts
+      |  FROM (
+      |    SELECT l_suppkey, supp_qty,
+      |      SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+      |    FROM per_part_supp
+      |  ) t WHERE supp_qty > 0.5 * part_qty
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_name, n_name, n_dominated_parts
+      |FROM dominant
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |ORDER BY n_dominated_parts DESC, s_name ASC""".stripMargin
 }

@@ -492,4 +492,120 @@ object TextAnalysis {
       |    FROM documents
       |  ) b
       |) t GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+
+  /** Word n-gram array over `words`, empty below n words. Guarded with
+    * `when` because `sequence(1, 0)` would generate a DESCENDING range
+    * (Spark's sequence walks backwards when stop < start). 1-based
+    * `element_at` to mirror the oracle's 1-based list indexing. */
+  private def wordGrams(words: Column, n: Int): Column = {
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(k => element_at(words, (i + lit(k)).cast("int"))): _*)
+    when(size(words) >= n, transform(sequence(lit(1), size(words) - lit(n - 1)), gram))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signals (cf. Rae et al. 2021 §A1.1:
+    * repeated-line / top-n-gram filters), word-based because the
+    * testdata documents are single-line: per-doc top-word count (the
+    * mode), top-word fraction, and duplicate 2-/3-gram fractions.
+    *
+    * Entirely a NARROW map — no shuffle anywhere. The mode is computed
+    * without an explode/groupBy round-trip: sort the word array, then
+    * a run-length `aggregate` HOF takes the longest run, which for a
+    * sorted array IS the max multiplicity. O(n log n) per document,
+    * embarrassingly parallel at 100 TB. Duplicate-gram fractions use
+    * `array_distinct` on the per-doc gram array, same reasoning. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val topCount = expr(
+      """aggregate(
+        |  sort_array(split(trim(text), '\\s+')),
+        |  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+        |  (s, x) -> named_struct(
+        |    'prev', x,
+        |    'run',  IF(x <=> s.prev, s.run + 1, 1),
+        |    'best', GREATEST(s.best, IF(x <=> s.prev, s.run + 1, 1))),
+        |  s -> s.best)""".stripMargin)
+    val g2 = wordGrams(w, 2)
+    val g3 = wordGrams(w, 3)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(w).as("n_words"),
+        topCount.as("top_word_count"),
+        (topCount.cast("double") / greatest(size(w), lit(1)).cast("double")).as("top_word_frac"),
+        (lit(1.0) - size(array_distinct(g2)).cast("double") /
+          greatest(size(g2), lit(1)).cast("double")).as("dup_bigram_frac"),
+        (lit(1.0) - size(array_distinct(g3)).cast("double") /
+          greatest(size(g3), lit(1)).cast("double")).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle computes the mode as max multiplicity over distinct words
+    * (O(d·n), fine at oracle scale) — provably equal to the Spark
+    * side's longest-sorted-run. */
+  val repetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id, len(words) AS n_words,
+      |    list_max(list_transform(list_distinct(words), x -> len(list_filter(words, y -> y = x)))) AS top_word_count,
+      |    list_transform(range(1, greatest(len(words)-1, 0) + 1), i -> words[i] || ' ' || words[i+1]) AS g2,
+      |    list_transform(range(1, greatest(len(words)-2, 0) + 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS g3
+      |  FROM w
+      |)
+      |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+      |  CAST(top_word_count AS INT) AS top_word_count,
+      |  CAST(top_word_count AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS top_word_frac,
+      |  1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(GREATEST(len(g2), 1) AS DOUBLE) AS dup_bigram_frac,
+      |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(GREATEST(len(g3), 1) AS DOUBLE) AS dup_trigram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination check: corpus documents sharing any word
+    * 3-gram with a held-out benchmark set (deterministically carved
+    * out as doc_id % 97 = 0 — in production this is the eval-suite
+    * text). Per-doc DISTINCT grams come from `array_distinct` BEFORE
+    * the explode (narrow, no dedup shuffle); the benchmark gram set is
+    * tiny by nature (eval suites, ~1% here) so the overlap probe is a
+    * BROADCAST hash join on the gram — the only shuffle in the plan is
+    * the final per-doc count. At 100 TB the corpus side streams
+    * through map tasks against the broadcast gram set; for benchmark
+    * sets too big to broadcast, the same plan shuffle-joins on a gram
+    * hash (or goes through a bloom filter pre-pass). */
+  def contaminationCheck(spark: SparkSession, dir: String, n: Int = 3, modulus: Int = 97): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = (d: DataFrame) => d
+      .select(col("doc_id"), explode(array_distinct(wordGrams(tokens(col("text")), n))).as("gram"))
+    val bench = grams(docs.filter(col("doc_id") % modulus === 0))
+      .select(col("gram")).distinct()
+    grams(docs.filter(col("doc_id") % modulus =!= 0))
+      .join(broadcast(bench.withColumnRenamed("gram", "bgram")),
+            col("gram") === col("bgram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("bgram")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .withColumn("contamination_frac",
+        col("n_overlap").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationCheckSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, greatest(len(words)-2, 0) + 1),
+      |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS gram
+      |  FROM w
+      |), bench AS (
+      |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+      |), corpus AS (
+      |  SELECT * FROM g WHERE doc_id % 97 <> 0
+      |)
+      |SELECT corpus.doc_id, COUNT(*) AS n_grams, COUNT(bench.gram) AS n_overlap,
+      |  CAST(COUNT(bench.gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination_frac
+      |FROM corpus LEFT JOIN bench ON corpus.gram = bench.gram
+      |GROUP BY corpus.doc_id
+      |HAVING COUNT(bench.gram) > 0
+      |ORDER BY corpus.doc_id""".stripMargin
 }

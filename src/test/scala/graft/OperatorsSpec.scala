@@ -35,6 +35,66 @@ class RelationalSpec extends SparkSpec {
     assert(byNation.values.forall(_.length <= 3))
     assert(byNation.values.forall(_.map(_.getAs[Int]("rank_in_nation")).min == 1))
   }
+
+  test("q9 line counts add up to the PROMO lineitem total") {
+    val rows = Relational.q9ProductTypeProfit(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_lines")).sum
+    val expected = Tables.lineitem(spark, Sf).join(
+        Tables.part(spark, Sf).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(total == expected)
+  }
+
+  test("q11 returns exactly the parts above the fractional threshold") {
+    val rows = Relational.q11ImportantParts(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the unfiltered per-part values and the global total
+    val perPart = Tables.lineitem(spark, Sf)
+      .join(Tables.supplier(spark, Sf).join(
+          Tables.nation(spark, Sf).filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("vdec"))
+      .select(col("l_partkey"), col("vdec").cast("double").as("v"),
+        sum(col("vdec")).over().cast("double").as("total"))
+      .collect().map(r => (r.getAs[Long]("l_partkey"), r.getAs[Double]("v"), r.getAs[Double]("total")))
+    val cutoff = perPart.head._3 * 0.001
+    val expected = perPart.collect { case (k, v, _) if v > cutoff => k }.toSet
+    assert(rows.map(_.getAs[Long]("l_partkey")).toSet == expected)
+  }
+
+  test("q12 priority split partitions the joined line count") {
+    val rows = Relational.q12PrioritySplit(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val expected = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .join(Tables.orders(spark, Sf), col("l_orderkey") === col("o_orderkey")).count()
+    assert(total == expected)
+  }
+
+  test("q16 never counts an excluded supplier and stays within the fleet size") {
+    val rows = Relational.q16SupplierCensus(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val nSuppliers = Tables.supplier(spark, Sf).filter(col("s_acctbal") >= 0).count()
+    rows.foreach { r =>
+      assert(r.getAs[String]("p_brand") != "Brand#45")
+      val cnt = r.getAs[Long]("supplier_cnt")
+      assert(cnt > 0 && cnt <= nSuppliers)
+    }
+  }
+
+  test("q20 dominant suppliers each dominate at least one part, uniquely per part") {
+    val rows = Relational.q20DominantSuppliers(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_dominated_parts") >= 1))
+    // >50% dominance is exclusive: no part can have two dominant suppliers,
+    // so the dominated-part total cannot exceed the qualifying part count
+    val nParts = Tables.part(spark, Sf).filter(col("p_type") === "SMALL").count()
+    assert(rows.map(_.getAs[Long]("n_dominated_parts")).sum <= nParts)
+  }
 }
 
 class BucketingSpec extends SparkSpec {

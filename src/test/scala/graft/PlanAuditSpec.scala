@@ -23,8 +23,10 @@ class PlanAuditSpec extends SparkSpec {
     * ann_cosine_topk brute-force-scores every candidate against the
     * whole broadcast query set by design; q22 crosses each customer
     * with the ONE-ROW broadcast global-average threshold (the
-    * scalar-subquery pattern — a 1-row build side is O(n) work). */
-  private val IntendedBnlj = Set("ann_cosine_topk", "q22_untapped_segments")
+    * scalar-subquery pattern — a 1-row build side is O(n) work);
+    * q11 crosses per-part values with its ONE-ROW broadcast total for
+    * the same scalar-threshold reason. */
+  private val IntendedBnlj = Set("ann_cosine_topk", "q22_untapped_segments", "q11_important_parts")
 
   /** Queries whose CONSTRUCTION runs real Spark jobs (localCheckpoint
     * propagation rounds, k-means collect loops), so the DataFrame they

@@ -55,6 +55,44 @@ class TextAnalysisSpec extends SparkSpec {
         s"expected only the dedup-window exchange, got ${hashEx.length}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("repetition signals match a plain-Scala recompute on every doc") {
+    val got = TextAnalysis.repetition(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_words"), r.getAs[Int]("top_word_count"),
+         r.getAs[Double]("dup_bigram_frac"), r.getAs[Double]("dup_trigram_frac"))).toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { r =>
+      val words = r.getAs[String]("text").trim.split("\\s+").toSeq
+      def grams(n: Int) = if (words.length < n) Seq.empty
+        else words.sliding(n).map(_.mkString(" ")).toSeq
+      val (g2, g3) = (grams(2), grams(3))
+      val expTop = if (words.isEmpty) 0 else words.groupBy(identity).values.map(_.size).max
+      val (n, top, d2, d3) = got(r.getAs[Long]("doc_id"))
+      assert(n == words.length && top == expTop)
+      assert(d2 == 1.0 - g2.distinct.size.toDouble / math.max(g2.size, 1))
+      assert(d3 == 1.0 - g3.distinct.size.toDouble / math.max(g3.size, 1))
+    }
+  }
+
+  test("contamination check matches a plain-Scala gram-overlap recompute") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq.sliding(3)
+          .filter(_.length == 3).map(_.mkString(" ")).toSet).toMap
+    val bench = docs.collect { case (id, g) if id % 97 == 0 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = docs.collect {
+      case (id, g) if id % 97 != 0 && (g & bench).nonEmpty =>
+        id -> (g.size.toLong, (g & bench).size.toLong)
+    }
+    val got = TextAnalysis.contaminationCheck(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap"))).toMap
+    assert(got.nonEmpty, "the corpus should contain contaminated docs")
+    assert(got == expected)
+  }
 }
 
 class CorpusPrepSpec extends SparkSpec {
