@@ -287,6 +287,7 @@ object GraftFunctions {
     unary("minhash_sig", MinHashSignature(_)),
     unary("simhash64", SimHash64(_)),
     unary("trigram_hashes", TrigramShingleHashes(_)),
+    unary("word_rep_stats", WordRepStats(_)),
     unary("codepoint_hist16", CodepointHist16(_)),
     unary("hyperplane_bands", HyperplaneBands(_)),
     binary("sorted_intersect_count", SortedIntersectCount(_, _)))

@@ -82,6 +82,106 @@ object CodepointHist16 {
   }
 }
 
+/** `word_rep_stats(string) -> array<int>`: per-document word
+  * repetition statistics in ONE tokenizer pass —
+  * `[n_words, top_word_count, bigram_total, bigram_distinct,
+  *   trigram_total, trigram_distinct]`.
+  *
+  * Replaces the higher-order-function stack the repetition signals
+  * first shipped with (sort_array + run-length `aggregate` for the
+  * mode, two transform/concat_ws gram builds + array_distinct), whose
+  * interpreted per-element lambdas re-split the text per output column
+  * — ~50× slower per document than this fused pass.
+  *
+  * Exactness: the mode is counted by token STRING equality (hash-free)
+  * and n-gram identity is the packed tuple of per-document token ids
+  * (21 bits each), so distinct counts are exact — not
+  * collision-probabilistic — up to 2^21 distinct tokens per document
+  * (a multi-megabyte single doc; corpora at that grain are length-
+  * filtered long before this operator).
+  *
+  * Tokenization matches `split(trim(text), '\s+')` exactly, including
+  * the leading-empty-token and empty-string quirks (see
+  * [[TrigramShingleHashes.compute]]). */
+case class WordRepStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordRepStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = WordRepStats.getClass.getName
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $obj.MODULE$$.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_rep_stats"
+}
+
+object WordRepStats {
+  import TrigramShingleHashes.isTokenSep
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val s = if (text == null) "" else text.toString
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val ids = new java.util.ArrayList[Integer]()
+    val idOf = new java.util.HashMap[String, Integer]()
+    val counts = new java.util.ArrayList[Integer]()
+    def addToken(tok: String): Unit = {
+      var id = idOf.get(tok)
+      if (id == null) { id = Integer.valueOf(idOf.size); idOf.put(tok, id); counts.add(0) }
+      counts.set(id, counts.get(id) + 1)
+      ids.add(id)
+      ()
+    }
+    if (start < end && isTokenSep(s.charAt(start))) addToken("")
+    var i = start
+    var tokStart = -1
+    while (i <= end) {
+      val isWs = i == end || isTokenSep(s.charAt(i))
+      if (!isWs && tokStart < 0) tokStart = i
+      else if (isWs && tokStart >= 0) {
+        addToken(s.substring(tokStart, i))
+        tokStart = -1
+      }
+      i += 1
+    }
+    if (ids.isEmpty) addToken("")
+    val n = ids.size
+    var top = 0
+    var c = 0
+    while (c < counts.size) { if (counts.get(c) > top) top = counts.get(c); c += 1 }
+    def distinctGrams(g: Int): Int =
+      if (n < g) 0
+      else {
+        val arr = new Array[Long](n - g + 1)
+        var j = 0
+        while (j <= n - g) {
+          var key = 0L
+          var t = 0
+          while (t < g) { key = (key << 21) | ids.get(j + t).longValue(); t += 1 }
+          arr(j) = key
+          j += 1
+        }
+        java.util.Arrays.sort(arr)
+        var d = 0
+        var r = 0
+        while (r < arr.length) { if (r == 0 || arr(r) != arr(r - 1)) d += 1; r += 1 }
+        d
+      }
+    new GenericArrayData(Array(
+      n, top, math.max(n - 1, 0), distinctGrams(2), math.max(n - 2, 0), distinctGrams(3)))
+  }
+}
+
 object TrigramShingleHashes {
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
@@ -91,7 +191,7 @@ object TrigramShingleHashes {
     * Deliberately NOT Character.isWhitespace, which also matches
     * U+001C-1F, U+2028/2029, U+3000 etc. and would give non-ASCII
     * corpora different shingle sets than the oracle. */
-  private def isTokenSep(c: Char): Boolean =
+  private[functions] def isTokenSep(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** FNV-1a 64 over the chars of s[from, until). */

@@ -198,11 +198,14 @@ object Dedup {
     * the shared input of `minhashLsh` and `minhashDroppedBuckets` (the
     * diagnostic must profile EXACTLY the band keys the pair stage
     * shuffles on). */
-  private[graft] def minhashBanded(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashBanded(spark: SparkSession, dir: String): DataFrame =
+    minhashBandedFrom(spark, Tables.documents(spark, dir))
+
+  private[graft] def minhashBandedFrom(spark: SparkSession, raw: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // repartition raw docs so signature computation parallelizes even
     // from a single input split (see ngramJaccard)
-    val docs = Tables.documents(spark, dir)
+    val docs = raw
       .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), signature(col("text")).as("sig"))
     docs.select(
@@ -375,6 +378,51 @@ object Dedup {
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     incrementalFrom(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+  }
+
+  /** Incremental NEAR-dup: which incoming documents are near-dups of
+    * the existing corpus — the daily-batch form of `minhashLsh`, and
+    * the reason near-dup at 100 TB doesn't mean re-pairing the whole
+    * corpus every day.
+    *
+    * Plan (asymmetric by design): the existing corpus's banded MinHash
+    * index is grouped once per band key into bounded member buckets
+    * (≤ maxBucket, same skew guard as `bucketPairs`) — at scale this
+    * index is computed once and persisted, amortized across batches.
+    * The incoming batch's banded signatures are BROADCAST against it
+    * (a daily batch is small next to the corpus), so the existing side
+    * never reshuffles per batch. Candidate (incoming, existing) pairs
+    * explode from colliding buckets only; signature agreement is
+    * estimated once per distinct pair.
+    *
+    * Rows-only oracle (approximate operator); ScalaTest pins exact-dup
+    * recall and agreement-vs-exact-jaccard tracking. */
+  def incrementalMinhashFrom(spark: SparkSession, incoming: DataFrame, existing: DataFrame,
+                             estThreshold: Double = 0.4, maxBucket: Int = 1024): DataFrame = {
+    val in = minhashBandedFrom(spark, incoming)
+      .select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_in"), col("sig").as("sig_in"))
+    val exBuckets = minhashBandedFrom(spark, existing)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")) <= maxBucket)
+    val agree = size(filter(zip_with(col("sig_in"), col("m.sig"),
+      (a, b) => when(a === b, 1)), v => v.isNotNull))
+    exBuckets
+      .join(broadcast(in), Seq("band_idx", "band_hash"))
+      .select(col("doc_in"), col("sig_in"), explode(col("members")).as("m"))
+      .select(col("doc_in"), col("m.doc_id").as("doc_existing"),
+        (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
+      .dropDuplicates("doc_in", "doc_existing")
+      .filter(col("est_jaccard") >= estThreshold)
+      .orderBy("doc_in", "doc_existing")
+  }
+
+  def incrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalMinhashFrom(spark,
       docs.filter(pmod(col("doc_id"), lit(5)) === 0),
       docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
   }

@@ -402,4 +402,76 @@ object Quality {
     Seq(nullCheckSql, duplicateCheckSql, rangeCheckSql, sequenceCheckSql,
         timestampCheckSql, integrityCheckSql, consistencyCheckSql)
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY check_name")
+
+  /** Daily-volume anomaly detection: per (event_type, day) event
+    * counts z-scored against the trailing window of up to 7 prior
+    * days (the reference dashboard's day-over-day trend, hardened
+    * into an alertable signal; cf. scripts/quality_dashboard.py's
+    * per-day counts).
+    *
+    * Determinism contract: mean and variance are derived from EXACT
+    * integer window sums (count, Σn, Σn²) — never from a streaming
+    * stddev aggregate, whose accumulation order differs between
+    * engines — so the z-score is one fixed IEEE expression over exact
+    * operands, bit-identical with the oracle. Days with fewer than 3
+    * trailing observations or zero variance emit a NULL z-score.
+    *
+    * Scale: the daily-count frame is days × event-types rows (tiny)
+    * after one map-side-combined shuffle of the raw scan; the window
+    * runs over that tiny frame. */
+  def volumeAnomaly(spark: SparkSession, dir: String, zCut: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("ts").cast("date").as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("event_date").rowsBetween(-7, -1)
+    val nTrail = count(lit(1)).over(w)
+    val sumT = sum(col("n_events")).over(w)
+    val sumSqT = sum(col("n_events") * col("n_events")).over(w)
+    daily
+      .withColumn("n_trail", nTrail)
+      .withColumn("sum_t", sumT)
+      .withColumn("sumsq_t", sumSqT)
+      .withColumn("trail_mean", col("sum_t").cast("double") / col("n_trail").cast("double"))
+      .withColumn("trail_var",
+        (col("sumsq_t").cast("double") -
+          col("sum_t").cast("double") * col("sum_t").cast("double") / col("n_trail").cast("double")) /
+          (col("n_trail") - lit(1)).cast("double"))
+      .withColumn("z_score",
+        when(col("n_trail") >= 3 && col("trail_var") > 0,
+          (col("n_events").cast("double") - col("trail_mean")) / sqrt(col("trail_var"))))
+      .withColumn("is_anomaly", coalesce(abs(col("z_score")) > zCut, lit(false)))
+      .filter(col("n_trail") >= 3)
+      .select("event_date", "event_type", "n_events", "trail_mean", "z_score", "is_anomaly")
+      .orderBy("event_date", "event_type")
+  }
+
+  val volumeAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n_events
+      |  FROM events WHERE ts IS NOT NULL
+      |  GROUP BY CAST(ts AS DATE), event_type
+      |), windowed AS (
+      |  SELECT event_date, event_type, n_events,
+      |    COUNT(*)            OVER tw AS n_trail,
+      |    SUM(n_events)       OVER tw AS sum_t,
+      |    SUM(n_events * n_events) OVER tw AS sumsq_t
+      |  FROM daily
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY event_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |), scored AS (
+      |  SELECT event_date, event_type, n_events, n_trail,
+      |    CAST(sum_t AS DOUBLE) / CAST(n_trail AS DOUBLE) AS trail_mean,
+      |    (CAST(sumsq_t AS DOUBLE) - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE) / CAST(n_trail AS DOUBLE))
+      |      / CAST(n_trail - 1 AS DOUBLE) AS trail_var
+      |  FROM windowed
+      |)
+      |SELECT event_date, event_type, n_events, trail_mean,
+      |  CASE WHEN n_trail >= 3 AND trail_var > 0
+      |       THEN (CAST(n_events AS DOUBLE) - trail_mean) / SQRT(trail_var) END AS z_score,
+      |  COALESCE(ABS(CASE WHEN n_trail >= 3 AND trail_var > 0
+      |       THEN (CAST(n_events AS DOUBLE) - trail_mean) / SQRT(trail_var) END) > 3.0, false) AS is_anomaly
+      |FROM scored
+      |WHERE n_trail >= 3
+      |ORDER BY event_date, event_type""".stripMargin
 }

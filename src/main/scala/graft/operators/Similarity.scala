@@ -268,6 +268,150 @@ object Similarity {
     * with the scan. Output is long-format (vec_id, dim, q) for the
     * driver compare; floor (not round) keeps the bucket function
     * identical across engines' rounding modes. */
+  /** Second-moment frame for PCA: ONE pass over the corpus emitting,
+    * per row, the upper-triangular products (i, j, xi·xj) AND the
+    * first moments as (i, -1, xi) — D(D+3)/2 tiny structs per row —
+    * then one map-side-combined shuffle to (i, j) grain. The shuffle
+    * payload is only (D(D+3)/2) × partitions rows regardless of corpus
+    * size, which is what makes a driver-side covariance assembly
+    * viable at 100 TB. */
+  private def momentSums(spark: SparkSession, dir: String): (Long, Array[Double], Map[(Int, Int), Double]) = {
+    val momentExpr = expr(
+      """flatten(transform(sequence(0, size(embedding) - 1), i ->
+        |  concat(
+        |    array(named_struct('i', i, 'j', -1,
+        |      'v', cast(element_at(embedding, i + 1) as double))),
+        |    transform(sequence(i, size(embedding) - 1), j ->
+        |      named_struct('i', i, 'j', j,
+        |        'v', cast(element_at(embedding, i + 1) as double) *
+        |             cast(element_at(embedding, j + 1) as double))))))""".stripMargin)
+    val rows = Tables.embeddings(spark, dir)
+      .select(explode(momentExpr).as("m"))
+      .groupBy(col("m.i").as("i"), col("m.j").as("j"))
+      .agg(sum(col("m.v")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    val n = rows.head.getAs[Long]("cnt")
+    val dim = rows.map(_.getAs[Int]("i")).max + 1
+    val sums = Array.ofDim[Double](dim)
+    val prods = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    rows.foreach { r =>
+      val (i, j, s) = (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("s"))
+      if (j == -1) sums(i) = s else prods((i, j)) = s
+    }
+    (n, sums, prods.toMap)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix
+    * (classic textbook routine — Golub & Van Loan §8.5). Returns
+    * (eigenvalues, eigenvectors as columns), unsorted. Only ever runs
+    * on the driver over the D×D covariance (D = embedding dim). */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val m = a0.map(_.clone)
+    val v = Array.tabulate(n, n)((r, c) => if (r == c) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) { var q = p + 1; while (q < n) { s += m(p)(q) * m(p)(q); q += 1 }; p += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 60 && offNorm > 1e-20) {
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(m(p)(q)) > 1e-18) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) { // column rotation: M ← M·G
+              val akp = m(k)(p); val akq = m(k)(q)
+              m(k)(p) = c * akp - s * akq
+              m(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) { // row rotation: M ← Gᵀ·M
+              val apk = m(p)(k); val aqk = m(q)(k)
+              m(p)(k) = c * apk - s * aqk
+              m(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) { // accumulate eigenvectors: V ← V·G
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => m(i)(i)), v)
+  }
+
+  /** Top-k PCA basis of the embedding corpus: (component index,
+    * eigenvalue, eigenvector), eigenvalues descending, each vector
+    * sign-normalized (largest-|entry| positive) for determinism.
+    * Covariance = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/(n−1) from the one-pass moment
+    * sums; the eigensolve is driver-side over the D×D matrix. */
+  def pcaBasis(spark: SparkSession, dir: String, k: Int = 4): Seq[(Int, Double, Array[Double])] =
+    basisFrom(momentSums(spark, dir), k)
+
+  private def basisFrom(moments: (Long, Array[Double], Map[(Int, Int), Double]),
+                        k: Int): Seq[(Int, Double, Array[Double])] = {
+    val (n, sums, prods) = moments
+    val dim = sums.length
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      (prods((lo, hi)) - sums(i) * sums(j) / n) / (n - 1.0)
+    }
+    val (eig, vecs) = jacobiEigen(cov)
+    (0 until dim)
+      .sortBy(c => (-eig(c), c))
+      .take(k).zipWithIndex
+      .map { case (c, rank) =>
+        val vec = Array.tabulate(dim)(r => vecs(r)(c))
+        val maxAbsIdx = vec.indices.maxBy(i => math.abs(vec(i)))
+        val signed = if (vec(maxAbsIdx) < 0) vec.map(-_) else vec
+        (rank, eig(c), signed)
+      }
+  }
+
+  /** PCA projection of every embedding onto the top-k principal
+    * components, long format (vec_id, component, value) — the
+    * dimensionality-reduction front-end for ANN/clustering at scale.
+    * The projection itself is a NARROW map: k dot products against
+    * eigenvector literals; centering folds into a per-component scalar
+    * offset (Σ μ·c), so the mean vector never ships with the rows.
+    * Rows-only oracle (iterative eigensolve has no SQL form);
+    * ScalaTest pins orthonormality, eigenvalue ordering, and
+    * projected-variance ≈ eigenvalue. */
+  def embeddingPca(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val moments @ (n, sums, _) = momentSums(spark, dir)
+    val basis = basisFrom(moments, k)
+    val means = sums.map(_ / n)
+    val projections = array(basis.map { case (rank, _, vec) =>
+      val offset = vec.zip(means).map { case (c, mu) => c * mu }.sum
+      struct(lit(rank).as("component"),
+        (graft.functions.VectorFunctions.dot(col("embedding"),
+          array(vec.map(lit(_)): _*)) - lit(offset)).as("value"))
+    }: _*)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), explode(projections).as("p"))
+      .select(col("vec_id"), col("p.component"), col("p.value"))
+      .orderBy("vec_id", "component")
+  }
+
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     val vmin = array_min(col("embedding")).cast("double")
     val vmax = array_max(col("embedding")).cast("double")

@@ -493,51 +493,30 @@ object TextAnalysis {
       |  ) b
       |) t GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
-  /** Word n-gram array over `words`, empty below n words. Guarded with
-    * `when` because `sequence(1, 0)` would generate a DESCENDING range
-    * (Spark's sequence walks backwards when stop < start). 1-based
-    * `element_at` to mirror the oracle's 1-based list indexing. */
-  private def wordGrams(words: Column, n: Int): Column = {
-    val gram = (i: Column) =>
-      concat_ws(" ", (0 until n).map(k => element_at(words, (i + lit(k)).cast("int"))): _*)
-    when(size(words) >= n, transform(sequence(lit(1), size(words) - lit(n - 1)), gram))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Gopher-style repetition signals (cf. Rae et al. 2021 §A1.1:
     * repeated-line / top-n-gram filters), word-based because the
     * testdata documents are single-line: per-doc top-word count (the
     * mode), top-word fraction, and duplicate 2-/3-gram fractions.
     *
-    * Entirely a NARROW map — no shuffle anywhere. The mode is computed
-    * without an explode/groupBy round-trip: sort the word array, then
-    * a run-length `aggregate` HOF takes the longest run, which for a
-    * sorted array IS the max multiplicity. O(n log n) per document,
-    * embarrassingly parallel at 100 TB. Duplicate-gram fractions use
-    * `array_distinct` on the per-doc gram array, same reasoning. */
+    * Entirely a NARROW map — no shuffle anywhere, embarrassingly
+    * parallel at 100 TB. All six counts come from ONE call of the
+    * fused native `word_rep_stats` expression (codegen'd; exact
+    * string-equality mode and exact packed-id gram identity — see
+    * graft.functions.WordRepStats); whole-stage codegen's common-
+    * subexpression elimination evaluates it once per row across the
+    * five derived columns. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val w = tokens(col("text"))
-    val topCount = expr(
-      """aggregate(
-        |  sort_array(split(trim(text), '\\s+')),
-        |  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
-        |  (s, x) -> named_struct(
-        |    'prev', x,
-        |    'run',  IF(x <=> s.prev, s.run + 1, 1),
-        |    'best', GREATEST(s.best, IF(x <=> s.prev, s.run + 1, 1))),
-        |  s -> s.best)""".stripMargin)
-    val g2 = wordGrams(w, 2)
-    val g3 = wordGrams(w, 3)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val st = call_function("word_rep_stats", col("text"))
+    def f(i: Int) = element_at(st, i).cast("double")
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(w).as("n_words"),
-        topCount.as("top_word_count"),
-        (topCount.cast("double") / greatest(size(w), lit(1)).cast("double")).as("top_word_frac"),
-        (lit(1.0) - size(array_distinct(g2)).cast("double") /
-          greatest(size(g2), lit(1)).cast("double")).as("dup_bigram_frac"),
-        (lit(1.0) - size(array_distinct(g3)).cast("double") /
-          greatest(size(g3), lit(1)).cast("double")).as("dup_trigram_frac"))
+        element_at(st, 1).as("n_words"),
+        element_at(st, 2).as("top_word_count"),
+        (f(2) / greatest(f(1), lit(1.0))).as("top_word_frac"),
+        (lit(1.0) - f(4) / greatest(f(3), lit(1.0))).as("dup_bigram_frac"),
+        (lit(1.0) - f(6) / greatest(f(5), lit(1.0))).as("dup_trigram_frac"))
       .orderBy("doc_id")
   }
 
@@ -572,10 +551,20 @@ object TextAnalysis {
     * through map tasks against the broadcast gram set; for benchmark
     * sets too big to broadcast, the same plan shuffle-joins on a gram
     * hash (or goes through a bloom filter pre-pass). */
-  def contaminationCheck(spark: SparkSession, dir: String, n: Int = 3, modulus: Int = 97): DataFrame = {
+  def contaminationCheck(spark: SparkSession, dir: String, modulus: Int = 97): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val docs = Tables.documents(spark, dir)
+    // Gram identity is the native trigram hash (sorted-distinct 64-bit
+    // per doc, codegen'd — no gram strings are ever materialized);
+    // docs under 3 words are excluded BEFORE hashing because
+    // trigram_hashes falls back to single tokens there, which would
+    // diverge from the oracle's pure-trigram gram sets. Distinct
+    // counts and the overlap join agree with the oracle's
+    // string-gram form up to 64-bit hash collisions (cf. the same
+    // argument on dedup_ngram_jaccard's shingle sets).
     val grams = (d: DataFrame) => d
-      .select(col("doc_id"), explode(array_distinct(wordGrams(tokens(col("text")), n))).as("gram"))
+      .filter(element_at(call_function("word_rep_stats", col("text")), 1) >= 3)
+      .select(col("doc_id"), explode(call_function("trigram_hashes", col("text"))).as("gram"))
     val bench = grams(docs.filter(col("doc_id") % modulus === 0))
       .select(col("gram")).distinct()
     grams(docs.filter(col("doc_id") % modulus =!= 0))

@@ -194,4 +194,34 @@ class QualitySpec extends SparkSpec {
     assert(byName("duplicate_check") == "PASS")
     assert(byName("timestamp_check") == "PASS")
   }
+
+  test("volume anomaly z-scores match a plain-Scala trailing-window recompute") {
+    val daily = Tables.events(spark, Sf).filter(col("ts").isNotNull)
+      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toString, r.getAs[Long]("n")))
+    val expected = daily.groupBy(_._1).flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.flatMap { i =>
+        val trail = sorted.slice(math.max(0, i - 7), i).map(_._3)
+        if (trail.length < 3) None
+        else {
+          val n = trail.length
+          val mean = trail.sum.toDouble / n
+          val varr = (trail.map(x => x * x).sum.toDouble - trail.sum.toDouble * trail.sum / n) / (n - 1)
+          val z = if (varr > 0) Some((sorted(i)._3 - mean) / math.sqrt(varr)) else None
+          Some((et, sorted(i)._2) -> (sorted(i)._3, mean, z))
+        }
+      }
+    }.toMap
+    val got = Quality.volumeAnomaly(spark, Sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("event_date").toString) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("trail_mean"),
+         Option(r.getAs[java.lang.Double]("z_score")).map(_.doubleValue))).toMap
+    assert(got.nonEmpty && got.keySet == expected.keySet)
+    got.foreach { case (k, (n, m, z)) =>
+      val (en, em, ez) = expected(k)
+      assert(n == en && m == em && z == ez, s"$k: got ($n,$m,$z) expected ($en,$em,$ez)")
+    }
+  }
 }

@@ -301,6 +301,33 @@ class DedupSpec extends SparkSpec {
       assert(df.collect().head.getAs[Long]("dropped_buckets") == 0L)
     }
   }
+
+  test("incremental minhash finds planted cross-batch duplicates at est 1.0") {
+    val docs = Tables.documents(spark, Sf)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    // incoming = the %5==0 batch PLUS exact copies of 20 existing docs
+    // under fresh ids — every copy must come back as an est-1.0 match
+    // against exactly its source
+    val copies = existing.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val incoming = docs.filter(col("doc_id") % 5 === 0).unionByName(copies)
+    val plantedSources = existing.filter(col("doc_id") < 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plantedSources.nonEmpty)
+    val pairs = Dedup.incrementalMinhashFrom(spark, incoming, existing).collect()
+    pairs.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.4 && est <= 1.0)
+      assert(r.getAs[Long]("doc_existing") % 5 != 0)
+    }
+    val plantedHits = pairs
+      .filter(r => r.getAs[Long]("doc_in") >= 1000000L &&
+        r.getAs[Long]("doc_existing") == r.getAs[Long]("doc_in") - 1000000L)
+      .filter(_.getAs[Double]("est_jaccard") == 1.0)
+      .map(_.getAs[Long]("doc_existing")).toSet
+    assert(plantedSources.subsetOf(plantedHits),
+      s"missed planted dups: ${plantedSources -- plantedHits}")
+  }
 }
 
 class GraftExtensionsSpec extends SparkSpec {
@@ -613,6 +640,34 @@ class SimilaritySpec extends SparkSpec {
     val wanted = base.map { case (id, _) => (id, id + 100000L) }.toSet
     val recall = (found & wanted).size.toDouble / wanted.size
     assert(recall >= 0.95, s"planted-dup recall too low: $recall")
+  }
+
+  test("pca basis is orthonormal with descending eigenvalues matching projected variance") {
+    val k = 4
+    val basis = Similarity.pcaBasis(spark, Sf, k)
+    assert(basis.length == k)
+    val eigs = basis.map(_._2)
+    assert(eigs.zip(eigs.tail).forall { case (a, b) => a >= b }, "eigenvalues must descend")
+    assert(eigs.forall(_ > 0), "top eigenvalues of a real covariance must be positive")
+    for ((_, _, u) <- basis; (_, _, v) <- basis) {
+      val d = u.zip(v).map { case (a, b) => a * b }.sum
+      val expectedDot = if (u eq v) 1.0 else 0.0
+      assert(math.abs(d - expectedDot) < 1e-8, s"basis not orthonormal: dot=$d")
+    }
+    // sample variance of each projected component must equal its eigenvalue
+    val proj = Similarity.embeddingPca(spark, Sf, k).collect()
+      .groupBy(_.getAs[Int]("component"))
+      .map { case (c, rows) => c -> rows.map(_.getAs[Double]("value")) }
+    assert(proj.keySet == (0 until k).toSet)
+    assert(proj.values.forall(_.length == 500))
+    proj.foreach { case (c, vals) =>
+      val n = vals.length
+      val mean = vals.sum / n
+      val varr = vals.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      val eig = basis(c)._2
+      assert(math.abs(varr - eig) / eig < 1e-6,
+        s"component $c: projected variance $varr vs eigenvalue $eig")
+    }
   }
 }
 
