@@ -152,6 +152,96 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * (millions of candidate pairs × a set build each). Caller contract:
   * both inputs sorted ascending with distinct elements
   * (`array_sort(array_distinct(...))`). */
+/** `pca_moments(array<float>) -> array<double>`: the per-row PCA
+  * moment vector `[x_0 … x_{D-1}, x_0x_0, x_0x_1 … x_{D-1}x_{D-1}]`
+  * (first moments, then the upper triangle of the outer product in
+  * row-major order) — length D(D+3)/2. One fused pass; the HOF
+  * formulation (flatten(transform(sequence…))) built ~D²/2 interpreted
+  * struct allocations per row and dominated the covariance stage. */
+case class PcaMoments(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    PcaMoments.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = PcaMoments.getClass.getName
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $obj.MODULE$$.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pca_moments"
+}
+
+object PcaMoments {
+  def compute(emb: ArrayData): GenericArrayData = {
+    val d = emb.numElements()
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) { x(i) = emb.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Double](d + d * (d + 1) / 2)
+    System.arraycopy(x, 0, out, 0, d)
+    var idx = d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { out(idx) = x(i) * x(j); idx += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `sig_agree(array<bigint>, array<bigint>) -> int`: number of
+  * positions where two MinHash signatures carry the same value — the
+  * signature-agreement count whose ratio over the permutation count
+  * estimates Jaccard. Replaces the per-candidate-pair HOF stack
+  * `size(filter(zip_with(a, b, …), …))`, which evaluates an
+  * interpreted lambda per position per pair — on the banded-bucket
+  * hot path that interpretation dominated the whole stage. */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import HashExprConsts._
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = requireLongArray(left, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l else requireLongArray(right, prettyName)
+  }
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(u: Any, v: Any): Any = {
+    val a = u.asInstanceOf[ArrayData]; val b = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sig_agree"
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   import HashExprConsts._
@@ -287,10 +377,13 @@ object GraftFunctions {
     unary("minhash_sig", MinHashSignature(_)),
     unary("simhash64", SimHash64(_)),
     unary("trigram_hashes", TrigramShingleHashes(_)),
+    unary("trigram_strings", TrigramStrings(_)),
     unary("word_rep_stats", WordRepStats(_)),
     unary("codepoint_hist16", CodepointHist16(_)),
     unary("hyperplane_bands", HyperplaneBands(_)),
-    binary("sorted_intersect_count", SortedIntersectCount(_, _)))
+    binary("sorted_intersect_count", SortedIntersectCount(_, _)),
+    binary("sig_agree", SignatureAgreement(_, _)),
+    unary("pca_moments", PcaMoments(_)))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

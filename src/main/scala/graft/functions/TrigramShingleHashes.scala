@@ -82,6 +82,78 @@ object CodepointHist16 {
   }
 }
 
+/** `trigram_strings(string) -> array<string>`: the word 3-gram
+  * shingle STRINGS of a document in order, with multiplicity; empty
+  * below three words. The materialized-string sibling of
+  * [[TrigramShingleHashes]] for census-style queries whose OUTPUT is
+  * the gram text (e.g. the corpus top-k n-gram census, where hashes
+  * can count but cannot name).
+  *
+  * Replaces `transform(sequence(…), i -> concat_ws(' ',
+  * element_at(w, i), …))` over a captured split array: interpreted
+  * higher-order evaluation has no common-subexpression elimination,
+  * so each element_at re-ran the full regex split — O(words²) splits
+  * per document. One tokenizer pass here.
+  *
+  * Tokenization matches `split(trim(text), '\s+')` (same quirks as
+  * [[TrigramShingleHashes.compute]]). */
+case class TrigramStrings(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TrigramStrings.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = TrigramStrings.getClass.getName
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $obj.MODULE$$.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "trigram_strings"
+}
+
+object TrigramStrings {
+  import TrigramShingleHashes.isTokenSep
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val s = if (text == null) "" else text.toString
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val toks = new java.util.ArrayList[String]()
+    if (start < end && isTokenSep(s.charAt(start))) toks.add("")
+    var i = start
+    var tokStart = -1
+    while (i <= end) {
+      val isWs = i == end || isTokenSep(s.charAt(i))
+      if (!isWs && tokStart < 0) tokStart = i
+      else if (isWs && tokStart >= 0) {
+        toks.add(s.substring(tokStart, i))
+        tokStart = -1
+      }
+      i += 1
+    }
+    val n = toks.size
+    if (n < 3) new GenericArrayData(new Array[AnyRef](0))
+    else {
+      val out = new Array[AnyRef](n - 2)
+      var j = 0
+      while (j < n - 2) {
+        out(j) = UTF8String.fromString(
+          toks.get(j) + " " + toks.get(j + 1) + " " + toks.get(j + 2))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
 /** `word_rep_stats(string) -> array<int>`: per-document word
   * repetition statistics in ONE tokenizer pass —
   * `[n_words, top_word_count, bigram_total, bigram_distinct,

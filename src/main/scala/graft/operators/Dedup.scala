@@ -175,8 +175,7 @@ object Dedup {
       Seq("band_idx", "band_hash"), Seq("doc_id", "sig"), maxBucket)
     val x = expr("element_at(members, p.i)")
     val y = expr("element_at(members, p.j)")
-    val agree = size(filter(zip_with(x.getField("sig"), y.getField("sig"),
-      (a, b) => when(a === b, 1)), v => v.isNotNull))
+    val agree = call_function("sig_agree", x.getField("sig"), y.getField("sig"))
     pairs
       .select(
         least(x.getField("doc_id"), y.getField("doc_id")).as("doc_a"),
@@ -408,8 +407,7 @@ object Dedup {
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       .filter(size(col("members")) <= maxBucket)
-    val agree = size(filter(zip_with(col("sig_in"), col("m.sig"),
-      (a, b) => when(a === b, 1)), v => v.isNotNull))
+    val agree = call_function("sig_agree", col("sig_in"), col("m.sig"))
     exBuckets
       .join(broadcast(in), Seq("band_idx", "band_hash"))
       .select(col("doc_in"), col("sig_in"), explode(col("members")).as("m"))

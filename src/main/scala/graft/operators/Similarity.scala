@@ -276,27 +276,28 @@ object Similarity {
     * size, which is what makes a driver-side covariance assembly
     * viable at 100 TB. */
   private def momentSums(spark: SparkSession, dir: String): (Long, Array[Double], Map[(Int, Int), Double]) = {
-    val momentExpr = expr(
-      """flatten(transform(sequence(0, size(embedding) - 1), i ->
-        |  concat(
-        |    array(named_struct('i', i, 'j', -1,
-        |      'v', cast(element_at(embedding, i + 1) as double))),
-        |    transform(sequence(i, size(embedding) - 1), j ->
-        |      named_struct('i', i, 'j', j,
-        |        'v', cast(element_at(embedding, i + 1) as double) *
-        |             cast(element_at(embedding, j + 1) as double))))))""".stripMargin)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // one fused native pass builds the D(D+3)/2 moment vector per row
+    // (graft.functions.PcaMoments); posexplode + groupBy(pos) with
+    // map-side partials keeps the shuffle at moment-vector size ×
+    // partitions regardless of corpus size
     val rows = Tables.embeddings(spark, dir)
-      .select(explode(momentExpr).as("m"))
-      .groupBy(col("m.i").as("i"), col("m.j").as("j"))
-      .agg(sum(col("m.v")).as("s"), count(lit(1)).as("cnt"))
+      .select(posexplode(call_function("pca_moments", col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
       .collect()
     val n = rows.head.getAs[Long]("cnt")
-    val dim = rows.map(_.getAs[Int]("i")).max + 1
-    val sums = Array.ofDim[Double](dim)
+    val total = rows.length
+    // total = dim + dim(dim+1)/2 → dim = (−3 + √(9+8·total))/2
+    val dim = ((math.sqrt(9.0 + 8.0 * total) - 3.0) / 2.0).round.toInt
+    require(dim + dim * (dim + 1) / 2 == total, s"non-triangular moment count $total")
+    val byPos = rows.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("s")).toMap
+    val sums = Array.tabulate(dim)(byPos(_))
     val prods = scala.collection.mutable.Map.empty[(Int, Int), Double]
-    rows.foreach { r =>
-      val (i, j, s) = (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("s"))
-      if (j == -1) sums(i) = s else prods((i, j)) = s
+    var idx = dim
+    for (i <- 0 until dim; j <- i until dim) {
+      prods((i, j)) = byPos(idx)
+      idx += 1
     }
     (n, sums, prods.toMap)
   }

@@ -368,16 +368,14 @@ object TextAnalysis {
     * count at the second level, not a countDistinct (whose Expand
     * would double the exploded rows). */
   def topNgrams(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    val t = tokens(col("text"))
-    val grams = when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     // two-level plain aggregate: (gram, doc) counts first, so doc_freq
     // degenerates to a plain count — no countDistinct Expand doubling
-    // the exploded rows through the shuffle (same rewrite as q21)
+    // the exploded rows through the shuffle (same rewrite as q21).
+    // Gram strings come from the native one-pass trigram_strings
+    // (the captured-array HOF form re-split the text per element).
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"), explode(call_function("trigram_strings", col("text"))).as("gram"))
       .groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("gram"))

@@ -392,6 +392,42 @@ class HashExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("sig_agree equals the zip_with positional-agreement formulation") {
+    val s = withFns()
+    val sig = expr("minhash_sig(trigram_hashes(text))")
+    val d = Tables.documents(s, Sf).limit(40).select(col("doc_id"), sig.as("sig"))
+    val hof = size(filter(zip_with(col("a.sig"), col("b.sig"),
+      (x, y) => when(x === y, 1)), v => v.isNotNull))
+    val bad = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("sig_agree(a.sig, b.sig)") =!= hof)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("trigram_strings equals the transform/concat_ws gram builder") {
+    val s = withFns()
+    val t = split(trim(col("text")), "\\s+")
+    val hofGrams = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val bad = Tables.documents(s, Sf)
+      .filter(expr("trigram_strings(text)") =!= hofGrams)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("pca_moments lays out first moments then the exact upper triangle") {
+    val s = withFns()
+    import s.implicits._
+    val v = Array(1.5f, -2.0f, 0.25f)
+    val out = Seq(Tuple1(v)).toDF("embedding")
+      .select(expr("pca_moments(embedding)")).collect().head.getSeq[Double](0)
+    val x = v.map(_.toDouble)
+    val expected = x.toSeq ++ (for (i <- 0 until 3; j <- i until 3) yield x(i) * x(j))
+    assert(out == expected)
+  }
+
   test("sorted_intersect_count equals size(array_intersect(...))") {
     val s = withFns()
     val sh = expr("array_sort(array_distinct(transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))))")
