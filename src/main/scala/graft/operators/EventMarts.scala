@@ -417,6 +417,38 @@ object EventMarts {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sketch-based variants of the exact distinct/percentile marts —
+    * the 100 TB forms. `percentile()` materializes every value per
+    * group through the shuffle and `countDistinct` shuffles the full
+    * (day, user) universe; the sketches below carry fixed-size state
+    * through map-side partial aggregation instead (HyperLogLog++ for
+    * distincts, Greenwald-Khanna for quantiles — Spark's built-in
+    * approx aggregates), so shuffle volume is groups × sketch size no
+    * matter the row count. Rows-only at the gate (DuckDB's approx
+    * algorithms differ); the ScalaTest spec pins each sketch against
+    * its exact sibling with the documented error bounds. */
+  def approxDistinctUsers(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    enriched(spark, dir)
+      .groupBy(col("event_date"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .withColumn("rel_error",
+        abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"))
+      .orderBy("event_date")
+
+  def valuePercentilesApprox(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    enriched(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
+      .orderBy("event_type")
+
   /** Multi-horizon retention curve (D1/D3/D7) per signup cohort — the
     * generalization of `retentionDaily`. Over the DISTINCT (user, day)
     * activity set each user has at most ONE row per day offset, so

@@ -159,6 +159,39 @@ class EventMartsSpec extends SparkSpec {
   }
 }
 
+class ApproxSpec extends SparkSpec {
+  test("HLL distinct users lands within 3x the requested rsd of exact") {
+    val rows = EventMarts.approxDistinctUsers(spark, Sf, rsd = 0.02).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_error") <= 0.06,
+        s"${r.getAs[Any]("event_date")}: rel_error ${r.getAs[Double]("rel_error")}")
+    }
+  }
+
+  test("approx percentiles land inside the exact quantile neighborhood") {
+    // GK returns an order statistic; the exact percentile interpolates.
+    // The correct bound is therefore by RANK: the sketch's answer for
+    // quantile q must lie within the exact values at q ± 0.01 (sketch
+    // accuracy 1e-4 is far inside that band).
+    val bounds = EventMarts.enriched(spark, Sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, array(0.49, 0.51, 0.89, 0.91, 0.98, 1.0))").as("b"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getSeq[Double](1)).toMap
+    val approx = EventMarts.valuePercentilesApprox(spark, Sf).collect()
+    assert(approx.nonEmpty && approx.length == bounds.size)
+    approx.foreach { r =>
+      val b = bounds(r.getAs[String]("event_type"))
+      assert(r.getAs[Double]("p50") >= b(0) && r.getAs[Double]("p50") <= b(1))
+      assert(r.getAs[Double]("p90") >= b(2) && r.getAs[Double]("p90") <= b(3))
+      assert(r.getAs[Double]("p99") >= b(4) && r.getAs[Double]("p99") <= b(5))
+    }
+  }
+}
+
 class SessionizeSpec extends SparkSpec {
   test("session event counts sum to total events; gaps within a session ≤ 1800s") {
     val sessions = Sessionize.sessionSequences(spark, Sf)
