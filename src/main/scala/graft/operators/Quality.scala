@@ -419,20 +419,26 @@ object Quality {
     * Scale: the daily-count frame is days × event-types rows (tiny)
     * after one map-side-combined shuffle of the raw scan; the window
     * runs over that tiny frame. */
-  def volumeAnomaly(spark: SparkSession, dir: String, zCut: Double = 3.0): DataFrame = {
+  def volumeAnomaly(spark: SparkSession, dir: String, zCut: Double = 3.0): DataFrame =
+    anomalyScores(
+      graft.Tables.events(spark, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events")),
+      bucketCol = "event_date", zCut = zCut)
+
+  /** The z-scoring core over any (bucket, event_type, n_events) counts
+    * frame — shared by the batch query (daily buckets from raw
+    * events), the log-backed variant below (hourly windows appended by
+    * the streaming sink), and anything else that can produce counts. */
+  private[graft] def anomalyScores(counts: DataFrame, bucketCol: String,
+                                   zCut: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = graft.Tables.events(spark, dir)
-      .filter(col("ts").isNotNull)
-      .groupBy(col("ts").cast("date").as("event_date"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy("event_type").orderBy("event_date").rowsBetween(-7, -1)
-    val nTrail = count(lit(1)).over(w)
-    val sumT = sum(col("n_events")).over(w)
-    val sumSqT = sum(col("n_events") * col("n_events")).over(w)
-    daily
-      .withColumn("n_trail", nTrail)
-      .withColumn("sum_t", sumT)
-      .withColumn("sumsq_t", sumSqT)
+    val w = Window.partitionBy("event_type").orderBy(bucketCol).rowsBetween(-7, -1)
+    counts
+      .withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("sum_t", sum(col("n_events")).over(w))
+      .withColumn("sumsq_t", sum(col("n_events") * col("n_events")).over(w))
       .withColumn("trail_mean", col("sum_t").cast("double") / col("n_trail").cast("double"))
       .withColumn("trail_var",
         (col("sumsq_t").cast("double") -
@@ -441,11 +447,27 @@ object Quality {
       .withColumn("z_score",
         when(col("n_trail") >= 3 && col("trail_var") > 0,
           (col("n_events").cast("double") - col("trail_mean")) / sqrt(col("trail_var"))))
-      .withColumn("is_anomaly", coalesce(abs(col("z_score")) > zCut, lit(false)))
+      // zero trailing variance = a perfectly stable baseline: ANY
+      // deviation from it is anomalous even though z is undefined
+      .withColumn("is_anomaly",
+        when(col("trail_var") > 0, abs(col("z_score")) > zCut)
+          .otherwise(col("n_events").cast("double") =!= col("trail_mean")))
       .filter(col("n_trail") >= 3)
-      .select("event_date", "event_type", "n_events", "trail_mean", "z_score", "is_anomaly")
-      .orderBy("event_date", "event_type")
+      .select(bucketCol, "event_type", "n_events", "trail_mean", "z_score", "is_anomaly")
+      .orderBy(bucketCol, "event_type")
   }
+
+  /** Anomaly scores over a PERSISTED volume log (the streaming sink's
+    * output — hourly windows instead of days). Rows are re-summed per
+    * (window, type) first so replayed/multi-batch appends stay
+    * idempotent; the log is tiny (windows × types) regardless of the
+    * event volume behind it. */
+  def volumeAnomalyFromLog(spark: SparkSession, logDir: String, zCut: Double = 3.0): DataFrame =
+    anomalyScores(
+      spark.read.parquet(logDir)
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events")),
+      bucketCol = "window_start", zCut = zCut)
 
   val volumeAnomalySql: String =
     """WITH daily AS (
@@ -469,8 +491,9 @@ object Quality {
       |SELECT event_date, event_type, n_events, trail_mean,
       |  CASE WHEN n_trail >= 3 AND trail_var > 0
       |       THEN (CAST(n_events AS DOUBLE) - trail_mean) / SQRT(trail_var) END AS z_score,
-      |  COALESCE(ABS(CASE WHEN n_trail >= 3 AND trail_var > 0
-      |       THEN (CAST(n_events AS DOUBLE) - trail_mean) / SQRT(trail_var) END) > 3.0, false) AS is_anomaly
+      |  CASE WHEN trail_var > 0
+      |       THEN ABS((CAST(n_events AS DOUBLE) - trail_mean) / SQRT(trail_var)) > 3.0
+      |       ELSE CAST(n_events AS DOUBLE) <> trail_mean END AS is_anomaly
       |FROM scored
       |WHERE n_trail >= 3
       |ORDER BY event_date, event_type""".stripMargin

@@ -144,6 +144,39 @@ object EventStream {
       }
       .start()
 
+  /** Per-window per-type event-volume counts — the feed for the
+    * streaming flavor of `Quality.volumeAnomaly`. Append mode: a
+    * window emits exactly once, when the watermark passes it. */
+  def volumeCounts(events: DataFrame, windowLen: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** foreachBatch sink appending finalized volume windows to a
+    * parquet log (idempotent per batch via the batch_id partition,
+    * like `qualityLogSink`). `Quality.volumeAnomalyFromLog` z-scores
+    * the log; together they are the continuous alerting path: counts
+    * stream in, the tiny log is rescored on whatever cadence alerts
+    * are wanted. */
+  def volumeLogSink(counts: DataFrame, logDir: String,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch.select(
+              col("window.start").as("window_start"),
+              col("event_type"), col("n_events"))
+            .withColumn("run_date", to_date(col("window_start")))
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.MartSink.writePartitioned(rows, logDir, Seq("run_date", "batch_id"))
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream interval self-join: attribute each purchase to the
     * same user's views in the preceding hour. Both sides carry a
     * watermark and the join condition bounds event-time distance, so

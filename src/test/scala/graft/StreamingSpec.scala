@@ -146,6 +146,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming volume log + batch rescore flags an injected traffic spike") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hour: Int, idx: Int) = new java.sql.Timestamp(base.getTime + hour * 3600000L + idx * 1000L)
+    // hours 0-9: 5 views each; hour 10: 50 views (the spike);
+    // hour 13 sentinel pushes the watermark past hour 10
+    var id = 0L
+    val rows = (for (h <- 0 to 9; i <- 0 until 5) yield { id += 1; (id, at(h, i), i.toLong, "view", 1.0, "{}") }) ++
+      (for (i <- 0 until 50) yield { id += 1; (id, at(10, i), i.toLong, "view", 1.0, "{}") }) :+
+      { id += 1; (id, at(13, 0), 0L, "view", 1.0, "{}") }
+    mem.addData(rows: _*)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val log = java.nio.file.Files.createTempDirectory("graft_vlog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vckpt").toString
+    val q = EventStream.volumeLogSink(
+      EventStream.volumeCounts(df, watermark = "1 hour"), log, ckpt)
+    try {
+      q.processAllAvailable()
+      val scored = operators.Quality.volumeAnomalyFromLog(spark, log).collect()
+      assert(scored.nonEmpty)
+      val spike = scored.filter(r =>
+        r.getAs[java.sql.Timestamp]("window_start").getTime == base.getTime + 10 * 3600000L)
+      assert(spike.length == 1, s"spike window not scored: ${scored.mkString("\n")}")
+      assert(spike.head.getAs[Boolean]("is_anomaly"),
+        s"spike not flagged: z=${spike.head.getAs[Any]("z_score")}")
+      assert(spike.head.getAs[Long]("n_events") == 50)
+      // flat hours must not be anomalous
+      assert(scored.filter(_.getAs[Long]("n_events") == 5).forall(!_.getAs[Boolean]("is_anomaly")))
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to preceding views") {
     val (_, df) = eventsDf()
     // user 1: view @0min, purchase @2min → attributed (1 view in window)
