@@ -383,7 +383,16 @@ object GraftFunctions {
     unary("hyperplane_bands", HyperplaneBands(_)),
     binary("sorted_intersect_count", SortedIntersectCount(_, _)),
     binary("sig_agree", SignatureAgreement(_, _)),
-    unary("pca_moments", PcaMoments(_)))
+    unary("pca_moments", PcaMoments(_)),
+    ("freq_items_sketch", { children: Seq[Expression] =>
+      require(children.length == 2, "freq_items_sketch expects (item, k)")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"freq_items_sketch k must be an integer literal, got $other")
+      }
+      FreqItemsSketch(children.head, k)
+    }))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

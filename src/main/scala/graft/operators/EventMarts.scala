@@ -438,6 +438,23 @@ object EventMarts {
           col("exact_users").cast("double"))
       .orderBy("event_date")
 
+  /** Heavy-hitter products via the custom Misra-Gries aggregate
+    * (graft.functions.FreqItemsSketch): at most k counters per partial
+    * aggregate, merged associatively — the fixed-state alternative to
+    * `product_top_n`'s full groupBy when the product universe is too
+    * large to shuffle. Counts are lower bounds within N/(k+1) of
+    * exact; every product with true share > 1/(k+1) is guaranteed
+    * present (spec-pinned against the exact counts). */
+  def productHeavyHitters(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    enriched(spark, dir)
+      .filter(col("product_k").isNotNull)
+      .agg(call_function("freq_items_sketch",
+        col("product_k").cast("string"), lit(k)).as("sketch"))
+      .select(explode(col("sketch")).as("hh"))
+      .select(col("hh.item").as("product_k"), col("hh.est_count"))
+  }
+
   def valuePercentilesApprox(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
     enriched(spark, dir)
       .filter(col("value").isNotNull)

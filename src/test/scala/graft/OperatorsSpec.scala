@@ -190,6 +190,29 @@ class ApproxSpec extends SparkSpec {
       assert(r.getAs[Double]("p99") >= b(4) && r.getAs[Double]("p99") <= b(5))
     }
   }
+
+  test("Misra-Gries heavy hitters honor the frequency and error guarantees") {
+    val k = 16
+    val exact = EventMarts.enriched(spark, Sf)
+      .filter(col("product_k").isNotNull)
+      .groupBy(col("product_k").cast("string").as("p")).count()
+      .collect().map(r => r.getAs[String]("p") -> r.getAs[Long]("count")).toMap
+    val n = exact.values.sum
+    val sketch = EventMarts.productHeavyHitters(spark, Sf, k).collect()
+      .map(r => r.getAs[String]("product_k") -> r.getAs[Long]("est_count")).toMap
+    assert(sketch.nonEmpty && sketch.size <= k)
+    val bound = n.toDouble / (k + 1)
+    // completeness: every true heavy hitter survives
+    exact.foreach { case (p, c) =>
+      if (c > bound) assert(sketch.contains(p), s"heavy hitter $p (count $c > $bound) missing")
+    }
+    // soundness: estimates are lower bounds within the MG error
+    sketch.foreach { case (p, est) =>
+      val truth = exact.getOrElse(p, 0L)
+      assert(est <= truth, s"$p: estimate $est exceeds true count $truth")
+      assert(truth - est <= bound.ceil.toLong, s"$p: error ${truth - est} > $bound")
+    }
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
