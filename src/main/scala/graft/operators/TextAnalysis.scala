@@ -491,6 +491,70 @@ object TextAnalysis {
       |  ) b
       |) t GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
+  /** The cleaning pass extended with the Gopher repetition filters
+    * (Rae et al. 2021 §A1.1): minimum length, top-word-fraction and
+    * duplicate-bigram caps, on top of cleanCorpus's quality/language/
+    * exact-dedup gates. Still ONE scan and ONE shuffle (the dedup
+    * window): all repetition stats ride the same fused native
+    * `word_rep_stats` call inside the existing projection. */
+  def cleanCorpusGopher(spark: SparkSession, dir: String, minQuality: Double = 0.5,
+                        langs: Seq[String] = Seq("en", "es", "de", "fr"),
+                        minWords: Int = 20, maxTopWordFrac: Double = 0.2,
+                        maxDupBigramFrac: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val st = call_function("word_rep_stats", col("text"))
+    def f(i: Int) = element_at(st, i).cast("double")
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        qualityScoreCol.as("quality_score"),
+        predictedLangCol.as("predicted_lang"),
+        element_at(st, 1).as("n_words"),
+        (f(2) / greatest(f(1), lit(1.0))).as("top_word_frac"),
+        (lit(1.0) - f(4) / greatest(f(3), lit(1.0))).as("dup_bigram_frac"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang").isin(langs.map(lit(_)): _*) &&
+        col("doc_id") === col("keeper") &&
+        col("n_words") >= minWords &&
+        col("top_word_frac") < maxTopWordFrac &&
+        col("dup_bigram_frac") < maxDupBigramFrac)
+      .select(col("doc_id"), col("lang"), col("predicted_lang"), col("quality_score"),
+        col("n_words"), col("top_word_frac"), col("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val cleanCorpusGopherSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    s"""SELECT doc_id, lang, predicted_lang, quality_score, n_words, top_word_frac, dup_bigram_frac
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4 + ($stopR) * 0.3 +
+       |      (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality_score,
+       |    $sqlPredictedLang AS predicted_lang,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+       |    CAST(rs.n_words AS INT) AS n_words,
+       |    CAST(rs.top AS DOUBLE) / CAST(GREATEST(rs.n_words, 1) AS DOUBLE) AS top_word_frac,
+       |    1.0 - CAST(len(list_distinct(rs.g2)) AS DOUBLE) / CAST(GREATEST(len(rs.g2), 1) AS DOUBLE) AS dup_bigram_frac
+       |  FROM documents, LATERAL (
+       |    SELECT len(words) AS n_words,
+       |      list_max(list_transform(list_distinct(words), x -> len(list_filter(words, y -> y = x)))) AS top,
+       |      list_transform(range(1, greatest(len(words)-1, 0) + 1), i -> words[i] || ' ' || words[i+1]) AS g2
+       |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS words)
+       |  ) rs
+       |) t
+       |WHERE quality_score >= 0.5
+       |  AND predicted_lang IN ('en', 'es', 'de', 'fr')
+       |  AND doc_id = keeper
+       |  AND n_words >= 20
+       |  AND top_word_frac < 0.2
+       |  AND dup_bigram_frac < 0.1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Gopher-style repetition signals (cf. Rae et al. 2021 §A1.1:
     * repeated-line / top-n-gram filters), word-based because the
     * testdata documents are single-line: per-doc top-word count (the
