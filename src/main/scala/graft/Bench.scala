@@ -20,8 +20,13 @@ object Bench {
     Tables.events(spark, sfDir).groupBy("event_type").count()
       .write.format("noop").mode("overwrite").save()
     // best of two runs per query: the first run absorbs per-plan
-    // codegen/compile; min damps GC/scheduler noise in the report
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // codegen/compile; min damps GC/scheduler noise in the report.
+    // Optional args restrict to the named queries (iteration aid; the
+    // driver's no-arg invocation still benches everything).
+    val wanted = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted.isEmpty || wanted(name) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -77,11 +77,20 @@ class PlanAuditSpec extends SparkSpec {
     // ann_ivf_kmeans: the probe plan is ivfTopKWith over literal
     // centroids (training only varies the literals) — audit the probe.
     val fakeCents = (0 until 4).map(i => i -> Array.fill(64)(i.toFloat + 0.5f))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions.{call_function, col, posexplode, sum => fsum}
+    // embedding_pca's returned frame is only the post-eigensolve
+    // projection; its expensive subtree is the moment aggregation —
+    // audit that plan directly
+    val momentPlan = Tables.embeddings(spark, Sf)
+      .select(posexplode(call_function("pca_moments", col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(fsum(col("v")))
     val offenders =
       offendersIn("dedup_near_corpus[minhashLsh]",
         operators.Dedup.minhashLsh(spark, Sf)) ++
       offendersIn("ann_ivf_kmeans[ivfTopKWith]",
-        operators.Similarity.ivfTopKWith(spark, Sf, fakeCents, numQueries = 10, k = 5, nProbe = 2))
+        operators.Similarity.ivfTopKWith(spark, Sf, fakeCents, numQueries = 10, k = 5, nProbe = 2)) ++
+      offendersIn("embedding_pca[moments]", momentPlan)
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
 
