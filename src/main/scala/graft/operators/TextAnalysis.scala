@@ -555,6 +555,52 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-relative word-rarity scoring — the deterministic stand-in
+    * for unigram-LM quality filtering: documents dominated by globally
+    * rare tokens (misspellings, codes, boilerplate noise) score high.
+    * A true log-prob scorer would hash-mismatch the oracle at the ulp
+    * level (JVM Math.log vs DuckDB libm are not bit-identical), so the
+    * signals here are pure integer arithmetic over global counts:
+    * rare-word fraction (global freq < minCount) and mean word
+    * frequency (exact integer sum / count).
+    *
+    * Plan: one shuffle for the global unigram counts, one shuffle join
+    * of the exploded words against them on the word (broadcast is
+    * wrong at scale — a 100 TB corpus's vocabulary is not small), one
+    * shuffle back to the doc grain. */
+  def rarityScore(spark: SparkSession, dir: String, minCount: Int = 5): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumnRenamed("word", "fword")
+    words.join(freq, col("word") === col("fword"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        count(when(col("freq") < minCount, 1)).as("n_rare"),
+        sum(col("freq")).as("freq_sum"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_words").cast("double")).as("rare_frac"),
+        (col("freq_sum").cast("double") / col("n_words").cast("double")).as("mean_word_freq"))
+      .orderBy("doc_id")
+  }
+
+  val rarityScoreSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+      |), freq AS (
+      |  SELECT word AS fword, COUNT(*) AS freq FROM words GROUP BY word
+      |)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_words,
+      |  COUNT(*) FILTER (WHERE freq < 5) AS n_rare,
+      |  CAST(COUNT(*) FILTER (WHERE freq < 5) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_frac,
+      |  CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_word_freq
+      |FROM words JOIN freq ON word = fword
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Gopher-style repetition signals (cf. Rae et al. 2021 §A1.1:
     * repeated-line / top-n-gram filters), word-based because the
     * testdata documents are single-line: per-doc top-word count (the

@@ -76,6 +76,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("rarity score matches a plain-Scala global-frequency recompute") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (w, ws) => w -> ws.size }
+    val got = TextAnalysis.rarityScore(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_rare"), r.getAs[Double]("mean_word_freq"))).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, words) =>
+      val (n, rare, mean) = got(id)
+      assert(n == words.length)
+      assert(rare == words.count(w => freq(w) < 5))
+      assert(mean == words.map(w => freq(w).toLong).sum.toDouble / words.length)
+    }
+  }
+
   test("contamination check matches a plain-Scala gram-overlap recompute") {
     val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") ->
