@@ -118,27 +118,12 @@ case class TrigramStrings(child: Expression) extends UnaryExpression {
 }
 
 object TrigramStrings {
-  import TrigramShingleHashes.isTokenSep
+  import TrigramShingleHashes.foreachToken
 
   def compute(text: UTF8String): GenericArrayData = {
     val s = if (text == null) "" else text.toString
-    var start = 0
-    var end = s.length
-    while (start < end && s.charAt(start) == ' ') start += 1
-    while (end > start && s.charAt(end - 1) == ' ') end -= 1
     val toks = new java.util.ArrayList[String]()
-    if (start < end && isTokenSep(s.charAt(start))) toks.add("")
-    var i = start
-    var tokStart = -1
-    while (i <= end) {
-      val isWs = i == end || isTokenSep(s.charAt(i))
-      if (!isWs && tokStart < 0) tokStart = i
-      else if (isWs && tokStart >= 0) {
-        toks.add(s.substring(tokStart, i))
-        tokStart = -1
-      }
-      i += 1
-    }
+    foreachToken(s)((from, until) => toks.add(s.substring(from, until)))
     val n = toks.size
     if (n < 3) new GenericArrayData(new Array[AnyRef](0))
     else {
@@ -196,37 +181,21 @@ case class WordRepStats(child: Expression) extends UnaryExpression {
 }
 
 object WordRepStats {
-  import TrigramShingleHashes.isTokenSep
+  import TrigramShingleHashes.foreachToken
 
   def compute(text: UTF8String): GenericArrayData = {
     val s = if (text == null) "" else text.toString
-    var start = 0
-    var end = s.length
-    while (start < end && s.charAt(start) == ' ') start += 1
-    while (end > start && s.charAt(end - 1) == ' ') end -= 1
     val ids = new java.util.ArrayList[Integer]()
     val idOf = new java.util.HashMap[String, Integer]()
     val counts = new java.util.ArrayList[Integer]()
-    def addToken(tok: String): Unit = {
+    foreachToken(s) { (from, until) =>
+      val tok = s.substring(from, until)
       var id = idOf.get(tok)
       if (id == null) { id = Integer.valueOf(idOf.size); idOf.put(tok, id); counts.add(0) }
       counts.set(id, counts.get(id) + 1)
       ids.add(id)
       ()
     }
-    if (start < end && isTokenSep(s.charAt(start))) addToken("")
-    var i = start
-    var tokStart = -1
-    while (i <= end) {
-      val isWs = i == end || isTokenSep(s.charAt(i))
-      if (!isWs && tokStart < 0) tokStart = i
-      else if (isWs && tokStart >= 0) {
-        addToken(s.substring(tokStart, i))
-        tokStart = -1
-      }
-      i += 1
-    }
-    if (ids.isEmpty) addToken("")
     val n = ids.size
     var top = 0
     var c = 0
@@ -288,30 +257,40 @@ object TrigramShingleHashes {
     h ^ (h >>> 33)
   }
 
-  def compute(text: UTF8String): GenericArrayData = {
-    val s = if (text == null) "" else text.toString
-    // token boundaries after space-trim, split on whitespace runs
+  /** THE tokenizer: applies `f(from, until)` to each token boundary of
+    * `s`, replicating `split(trim(s), '\s+')` exactly — space-only
+    * trim, a leading EMPTY token when the trimmed string begins with a
+    * non-space separator (Java split() semantics), and a single empty
+    * token for the empty/all-space string. The one definition shared
+    * by every native expression in this family (hashes, strings,
+    * repetition stats), so the load-bearing oracle-parity contract
+    * cannot drift between the implementations. */
+  private[functions] def foreachToken(s: String)(f: (Int, Int) => Unit): Unit = {
     var start = 0
     var end = s.length
     while (start < end && s.charAt(start) == ' ') start += 1
     while (end > start && s.charAt(end - 1) == ' ') end -= 1
-    val hashes = new java.util.ArrayList[Long]()
-    // Java split() emits a leading empty token when the string begins
-    // with a separator (e.g. a tab surviving the space-only trim)
-    if (start < end && isTokenSep(s.charAt(start)))
-      hashes.add(hashToken(s, 0, 0))
+    var emitted = false
+    if (start < end && isTokenSep(s.charAt(start))) { f(0, 0); emitted = true }
     var i = start
     var tokStart = -1
     while (i <= end) {
       val isWs = i == end || isTokenSep(s.charAt(i))
       if (!isWs && tokStart < 0) tokStart = i
       else if (isWs && tokStart >= 0) {
-        hashes.add(hashToken(s, tokStart, i))
+        f(tokStart, i)
+        emitted = true
         tokStart = -1
       }
       i += 1
     }
-    if (hashes.isEmpty) hashes.add(hashToken(s, 0, 0)) // "" token, like split('')
+    if (!emitted) f(0, 0) // "" token, like split('')
+  }
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val s = if (text == null) "" else text.toString
+    val hashes = new java.util.ArrayList[Long]()
+    foreachToken(s)((from, until) => hashes.add(hashToken(s, from, until)))
     val n = hashes.size
     val out =
       if (n >= 3) {

@@ -421,24 +421,47 @@ object Quality {
     * runs over that tiny frame. */
   def volumeAnomaly(spark: SparkSession, dir: String, zCut: Double = 3.0): DataFrame =
     anomalyScores(
-      graft.Tables.events(spark, dir)
-        .filter(col("ts").isNotNull)
-        .groupBy(col("ts").cast("date").as("event_date"), col("event_type"))
-        .agg(count(lit(1)).as("n_events")),
+      denseFill(
+        graft.Tables.events(spark, dir)
+          .filter(col("ts").isNotNull)
+          .groupBy(col("ts").cast("date").as("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n_events")),
+        bucketCol = "event_date", step = "1 day"),
       bucketCol = "event_date", zCut = zCut)
 
-  /** The z-scoring core over any (bucket, event_type, n_events) counts
+  /** Zero-fills the (bucket × event_type) grid between the observed
+    * min and max bucket: a bucket with NO rows is the highest-value
+    * anomaly there is (a total outage), and without the fill it would
+    * produce no row, no score, and no alert — while the trailing
+    * ROWS window would silently span arbitrary calendar time across
+    * the gaps. The grid is buckets × types (tiny); the cross join is
+    * intentional. */
+  private def denseFill(counts: DataFrame, bucketCol: String, step: String): DataFrame = {
+    val buckets = counts
+      .agg(min(col(bucketCol)).as("b0"), max(col(bucketCol)).as("b1"))
+      .select(explode(expr(s"sequence(b0, b1, interval $step)")).as(bucketCol))
+    buckets.crossJoin(counts.select("event_type").distinct())
+      .join(counts, Seq(bucketCol, "event_type"), "left")
+      .na.fill(0L, Seq("n_events"))
+  }
+
+  /** The z-scoring core over a DENSE (bucket, event_type, n_events)
     * frame — shared by the batch query (daily buckets from raw
     * events), the log-backed variant below (hourly windows appended by
-    * the streaming sink), and anything else that can produce counts. */
+    * the streaming sink), and anything else that can produce counts.
+    * Squares go through DECIMAL: a long n×n silently wraps past
+    * ~3.04e9 events per bucket, and a double square loses integer
+    * exactness past 2^26.5 — decimal keeps the window sums exact (and
+    * engine-identical) at any realistic count. */
   private[graft] def anomalyScores(counts: DataFrame, bucketCol: String,
                                    zCut: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy(bucketCol).rowsBetween(-7, -1)
+    val nDec = col("n_events").cast("decimal(18,0)")
     counts
       .withColumn("n_trail", count(lit(1)).over(w))
       .withColumn("sum_t", sum(col("n_events")).over(w))
-      .withColumn("sumsq_t", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("sumsq_t", sum(nDec * nDec).over(w))
       .withColumn("trail_mean", col("sum_t").cast("double") / col("n_trail").cast("double"))
       .withColumn("trail_var",
         (col("sumsq_t").cast("double") -
@@ -458,15 +481,22 @@ object Quality {
   }
 
   /** Anomaly scores over a PERSISTED volume log (the streaming sink's
-    * output — hourly windows instead of days). Rows are re-summed per
-    * (window, type) first so replayed/multi-batch appends stay
-    * idempotent; the log is tiny (windows × types) regardless of the
+    * output — hourly windows instead of days). A window is finalized
+    * exactly once per checkpoint lineage, but a restart with a LOST
+    * checkpoint replays the source and re-appends the same finalized
+    * windows under new batch_ids — so the per-(window, type) combiner
+    * is MAX, not SUM: re-emissions carry the same count and collapse
+    * idempotently, where a sum would double-count and fire false
+    * spikes. The log is tiny (windows × types) regardless of the
     * event volume behind it. */
-  def volumeAnomalyFromLog(spark: SparkSession, logDir: String, zCut: Double = 3.0): DataFrame =
+  def volumeAnomalyFromLog(spark: SparkSession, logDir: String, zCut: Double = 3.0,
+                           windowLen: String = "1 hour"): DataFrame =
     anomalyScores(
-      spark.read.parquet(logDir)
-        .groupBy(col("window_start"), col("event_type"))
-        .agg(sum(col("n_events")).as("n_events")),
+      denseFill(
+        spark.read.parquet(logDir)
+          .groupBy(col("window_start"), col("event_type"))
+          .agg(max(col("n_events")).as("n_events")),
+        bucketCol = "window_start", step = windowLen),
       bucketCol = "window_start", zCut = zCut)
 
   val volumeAnomalySql: String =
@@ -474,12 +504,17 @@ object Quality {
       |  SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n_events
       |  FROM events WHERE ts IS NOT NULL
       |  GROUP BY CAST(ts AS DATE), event_type
+      |), dense AS (
+      |  SELECT d.event_date, t.event_type, COALESCE(daily.n_events, 0) AS n_events
+      |  FROM (SELECT unnest(generate_series(MIN(event_date), MAX(event_date), INTERVAL 1 DAY))::DATE AS event_date FROM daily) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      |  LEFT JOIN daily ON d.event_date = daily.event_date AND t.event_type = daily.event_type
       |), windowed AS (
       |  SELECT event_date, event_type, n_events,
       |    COUNT(*)            OVER tw AS n_trail,
       |    SUM(n_events)       OVER tw AS sum_t,
-      |    SUM(n_events * n_events) OVER tw AS sumsq_t
-      |  FROM daily
+      |    SUM(CAST(n_events AS DECIMAL(18,0)) * CAST(n_events AS DECIMAL(18,0))) OVER tw AS sumsq_t
+      |  FROM dense
       |  WINDOW tw AS (PARTITION BY event_type ORDER BY event_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
       |), scored AS (
       |  SELECT event_date, event_type, n_events, n_trail,

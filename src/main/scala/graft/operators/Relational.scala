@@ -890,14 +890,18 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name", "n_name")
     val w = Window.partitionBy("l_partkey")
+    // quantities stay DECIMAL through BOTH the per-supplier aggregate
+    // AND the per-part window sum — a double window sum would make the
+    // 0.5× cutoff accumulation-order dependent (cf. q11's total)
     val perPartSupp = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit(yearStart) && col("l_shipdate") < lit(yearEnd))
       .select("l_partkey", "l_suppkey", "l_quantity")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("supp_qty"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("supp_qty_dec"))
     perPartSupp
-      .withColumn("part_qty", sum(col("supp_qty")).over(w))
+      .withColumn("supp_qty", col("supp_qty_dec").cast("double"))
+      .withColumn("part_qty", sum(col("supp_qty_dec")).over(w).cast("double"))
       .filter(col("supp_qty") > lit(0.5) * col("part_qty"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_dominated_parts"))
@@ -909,7 +913,7 @@ object Relational {
   val q20Sql: String =
     """WITH per_part_supp AS (
       |  SELECT l_partkey, l_suppkey,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS supp_qty
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty_dec
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE p_type = 'SMALL'
       |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -917,8 +921,8 @@ object Relational {
       |), dominant AS (
       |  SELECT l_suppkey, COUNT(*) AS n_dominated_parts
       |  FROM (
-      |    SELECT l_suppkey, supp_qty,
-      |      SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+      |    SELECT l_suppkey, CAST(supp_qty_dec AS DOUBLE) AS supp_qty,
+      |      CAST(SUM(supp_qty_dec) OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_qty
       |    FROM per_part_supp
       |  ) t WHERE supp_qty > 0.5 * part_qty
       |  GROUP BY l_suppkey

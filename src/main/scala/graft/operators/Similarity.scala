@@ -286,7 +286,13 @@ object Similarity {
       .groupBy(col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
       .collect()
-    val n = rows.head.getAs[Long]("cnt")
+    require(rows.nonEmpty, "empty embeddings table — nothing to decompose")
+    // every position must be present in every row: a ragged embedding
+    // column would give high moment positions smaller counts and a
+    // silently wrong covariance
+    val cnts = rows.map(_.getAs[Long]("cnt")).distinct
+    require(cnts.length == 1, s"ragged embedding dimensions: per-position counts $cnts")
+    val n = cnts.head
     val total = rows.length
     // total = dim + dim(dim+1)/2 → dim = (−3 + √(9+8·total))/2
     val dim = ((math.sqrt(9.0 + 8.0 * total) - 3.0) / 2.0).round.toInt

@@ -512,7 +512,7 @@ object TextAnalysis {
         predictedLangCol.as("predicted_lang"),
         element_at(st, 1).as("n_words"),
         (f(2) / greatest(f(1), lit(1.0))).as("top_word_frac"),
-        (lit(1.0) - f(4) / greatest(f(3), lit(1.0))).as("dup_bigram_frac"))
+        ((f(3) - f(4)) / greatest(f(3), lit(1.0))).as("dup_bigram_frac"))
       .withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("quality_score") >= minQuality &&
         col("predicted_lang").isin(langs.map(lit(_)): _*) &&
@@ -538,7 +538,7 @@ object TextAnalysis {
        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
        |    CAST(rs.n_words AS INT) AS n_words,
        |    CAST(rs.top AS DOUBLE) / CAST(GREATEST(rs.n_words, 1) AS DOUBLE) AS top_word_frac,
-       |    1.0 - CAST(len(list_distinct(rs.g2)) AS DOUBLE) / CAST(GREATEST(len(rs.g2), 1) AS DOUBLE) AS dup_bigram_frac
+       |    CAST(len(rs.g2) - len(list_distinct(rs.g2)) AS DOUBLE) / CAST(GREATEST(len(rs.g2), 1) AS DOUBLE) AS dup_bigram_frac
        |  FROM documents, LATERAL (
        |    SELECT len(words) AS n_words,
        |      list_max(list_transform(list_distinct(words), x -> len(list_filter(words, y -> y = x)))) AS top,
@@ -617,14 +617,18 @@ object TextAnalysis {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val st = call_function("word_rep_stats", col("text"))
     def f(i: Int) = element_at(st, i).cast("double")
+    // dup fractions as (total − distinct)/max(total, 1): exact 0.0 for
+    // gram-free (short) docs, where `1 − distinct/total` would report a
+    // nonsensical 1.0 — and the integer subtraction keeps the IEEE
+    // expression shape identical to the oracle's
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         element_at(st, 1).as("n_words"),
         element_at(st, 2).as("top_word_count"),
         (f(2) / greatest(f(1), lit(1.0))).as("top_word_frac"),
-        (lit(1.0) - f(4) / greatest(f(3), lit(1.0))).as("dup_bigram_frac"),
-        (lit(1.0) - f(6) / greatest(f(5), lit(1.0))).as("dup_trigram_frac"))
+        ((f(3) - f(4)) / greatest(f(3), lit(1.0))).as("dup_bigram_frac"),
+        ((f(5) - f(6)) / greatest(f(5), lit(1.0))).as("dup_trigram_frac"))
       .orderBy("doc_id")
   }
 
@@ -644,8 +648,8 @@ object TextAnalysis {
       |SELECT doc_id, CAST(n_words AS INT) AS n_words,
       |  CAST(top_word_count AS INT) AS top_word_count,
       |  CAST(top_word_count AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS top_word_frac,
-      |  1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(GREATEST(len(g2), 1) AS DOUBLE) AS dup_bigram_frac,
-      |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(GREATEST(len(g3), 1) AS DOUBLE) AS dup_trigram_frac
+      |  CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(GREATEST(len(g2), 1) AS DOUBLE) AS dup_bigram_frac,
+      |  CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(GREATEST(len(g3), 1) AS DOUBLE) AS dup_trigram_frac
       |FROM g ORDER BY doc_id""".stripMargin
 
   /** Benchmark-contamination check: corpus documents sharing any word
@@ -666,12 +670,14 @@ object TextAnalysis {
     // per doc, codegen'd — no gram strings are ever materialized);
     // docs under 3 words are excluded BEFORE hashing because
     // trigram_hashes falls back to single tokens there, which would
-    // diverge from the oracle's pure-trigram gram sets. Distinct
-    // counts and the overlap join agree with the oracle's
+    // diverge from the oracle's pure-trigram gram sets. The guard is a
+    // plain token count (same `\s` tokenizer contract) — word_rep_stats
+    // would compute and discard gram sorts just to read n_words.
+    // Distinct counts and the overlap join agree with the oracle's
     // string-gram form up to 64-bit hash collisions (cf. the same
     // argument on dedup_ngram_jaccard's shingle sets).
     val grams = (d: DataFrame) => d
-      .filter(element_at(call_function("word_rep_stats", col("text")), 1) >= 3)
+      .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), explode(call_function("trigram_hashes", col("text"))).as("gram"))
     val bench = grams(docs.filter(col("doc_id") % modulus === 0))
       .select(col("gram")).distinct()

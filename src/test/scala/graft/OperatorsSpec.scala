@@ -256,17 +256,26 @@ class QualitySpec extends SparkSpec {
       .groupBy(col("ts").cast("date").as("d"), col("event_type"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toString, r.getAs[Long]("n")))
-    val expected = daily.groupBy(_._1).flatMap { case (et, rows) =>
-      val sorted = rows.sortBy(_._2)
+    // dense-fill the (day × type) grid like the operator does, so a
+    // missing bucket scores as an explicit zero
+    val allDays = {
+      val ds = daily.map(_._2).distinct.sorted
+      val (d0, d1) = (java.time.LocalDate.parse(ds.head), java.time.LocalDate.parse(ds.last))
+      Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).map(_.toString).toSeq
+    }
+    val types = daily.map(_._1).distinct
+    val byKey = daily.map(r => (r._1, r._2) -> r._3).toMap
+    val expected = types.flatMap { et =>
+      val sorted = allDays.map(d => (d, byKey.getOrElse((et, d), 0L)))
       sorted.indices.flatMap { i =>
-        val trail = sorted.slice(math.max(0, i - 7), i).map(_._3)
+        val trail = sorted.slice(math.max(0, i - 7), i).map(_._2)
         if (trail.length < 3) None
         else {
           val n = trail.length
           val mean = trail.sum.toDouble / n
           val varr = (trail.map(x => x * x).sum.toDouble - trail.sum.toDouble * trail.sum / n) / (n - 1)
-          val z = if (varr > 0) Some((sorted(i)._3 - mean) / math.sqrt(varr)) else None
-          Some((et, sorted(i)._2) -> (sorted(i)._3, mean, z))
+          val z = if (varr > 0) Some((sorted(i)._2 - mean) / math.sqrt(varr)) else None
+          Some((et, sorted(i)._1) -> (sorted(i)._2, mean, z))
         }
       }
     }.toMap

@@ -25,15 +25,19 @@ class PlanAuditSpec extends SparkSpec {
     * with the ONE-ROW broadcast global-average threshold (the
     * scalar-subquery pattern — a 1-row build side is O(n) work);
     * q11 crosses per-part values with its ONE-ROW broadcast total for
-    * the same scalar-threshold reason. */
-  private val IntendedBnlj = Set("ann_cosine_topk", "q22_untapped_segments", "q11_important_parts")
+    * the same scalar-threshold reason; dq_anomaly's dense-fill crosses
+    * the bucket sequence with the distinct event types (buckets ×
+    * types — the full grid IS the intended output). */
+  private val IntendedBnlj = Set("ann_cosine_topk", "q22_untapped_segments",
+    "q11_important_parts", "dq_anomaly")
 
   /** Queries whose CONSTRUCTION runs real Spark jobs (localCheckpoint
-    * propagation rounds, k-means collect loops), so the DataFrame they
-    * return is only the post-checkpoint/post-training tail — auditing
-    * it would skip the expensive candidate-generation/probe subtrees.
-    * Those subtrees are audited directly below instead. */
-  private val AuditedViaSubplans = Set("dedup_near_corpus", "ann_ivf_kmeans")
+    * propagation rounds, k-means collect loops, the PCA moment
+    * aggregation + driver eigensolve), so the DataFrame they return is
+    * only the post-checkpoint/post-training tail — auditing it would
+    * skip the expensive candidate-generation/probe subtrees. Those
+    * subtrees are audited directly below instead. */
+  private val AuditedViaSubplans = Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a

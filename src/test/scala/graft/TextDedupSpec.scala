@@ -71,8 +71,8 @@ class TextAnalysisSpec extends SparkSpec {
       val expTop = if (words.isEmpty) 0 else words.groupBy(identity).values.map(_.size).max
       val (n, top, d2, d3) = got(r.getAs[Long]("doc_id"))
       assert(n == words.length && top == expTop)
-      assert(d2 == 1.0 - g2.distinct.size.toDouble / math.max(g2.size, 1))
-      assert(d3 == 1.0 - g3.distinct.size.toDouble / math.max(g3.size, 1))
+      assert(d2 == (g2.size - g2.distinct.size).toDouble / math.max(g2.size, 1))
+      assert(d3 == (g3.size - g3.distinct.size).toDouble / math.max(g3.size, 1))
     }
   }
 
