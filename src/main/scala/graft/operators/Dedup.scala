@@ -453,4 +453,64 @@ object Dedup {
         expr("explode(transform(sequence(0, 3), b -> struct(b as band_idx, shiftright(simhash, b * 16) & 65535 as band_val)))").as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
   }
+
+  /** Cross-document duplicated-substring census — the corpus-level
+    * signal behind substring-granular training-data dedup ("how much
+    * of this document's text also appears verbatim in OTHER
+    * documents"): per document, the count and fraction of its
+    * word-trigram positions whose trigram occurs in at least one other
+    * document. Whole-document dedup (exact/minhash) misses boilerplate
+    * shared across otherwise-distinct pages; this census finds it.
+    *
+    * Plan shape (all hash aggregates, O(1) state per key — no window:
+    * WindowExec would buffer every row of a gram's partition, and a
+    * universal boilerplate gram's partition is the whole corpus):
+    * explode positioned trigrams (native one-pass `trigram_strings`)
+    * → (gram, doc) counts with map-side partial aggregation (repeated
+    * grams collapse before the shuffle) → per-gram doc frequency as a
+    * PLAIN second-level count (no countDistinct Expand) → shuffle join
+    * back on the gram → per-doc totals. Every stage is linear in its
+    * input; the only large shuffle carries distinct (gram, doc) pairs,
+    * already collapsed from gram positions. */
+  def substringDup(spark: SparkSession, dir: String): DataFrame =
+    substringDupFrom(spark, Tables.documents(spark, dir))
+
+  private[graft] def substringDupFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val perDocGram = docs
+      .select(col("doc_id"), explode(call_function("trigram_strings", col("text"))).as("gram"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+    val gramDocs = perDocGram
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("ndocs"))
+    perDocGram.join(gramDocs, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).cast("bigint").as("n_grams"),
+        sum(when(col("ndocs") > 1, col("occ")).otherwise(lit(0L))).cast("bigint").as("cross_dup_grams"))
+      .withColumn("dup_fraction",
+        col("cross_dup_grams").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val substringDupSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE [] END) AS gram
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents) b
+      |), pdg AS (
+      |  SELECT gram, doc_id, COUNT(*) AS occ FROM g GROUP BY 1, 2
+      |), gs AS (
+      |  SELECT gram, COUNT(*) AS ndocs FROM pdg GROUP BY 1
+      |)
+      |SELECT p.doc_id,
+      |  CAST(SUM(p.occ) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN gs.ndocs > 1 THEN p.occ ELSE 0 END) AS BIGINT) AS cross_dup_grams,
+      |  CAST(SUM(CASE WHEN gs.ndocs > 1 THEN p.occ ELSE 0 END) AS DOUBLE) / CAST(SUM(p.occ) AS DOUBLE) AS dup_fraction
+      |FROM pdg p JOIN gs USING (gram)
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
 }

@@ -438,6 +438,35 @@ object EventMarts {
           col("exact_users").cast("double"))
       .orderBy("event_date")
 
+  /** Day-over-day returning users from MERGEABLE per-day HLL sketch
+    * partials (Datasketches `hll_sketch_agg`) — the set-algebra step
+    * `approx_count_distinct` cannot express: once the per-day sketch
+    * table exists, |A ∩ B| for ANY day pair comes from
+    * inclusion–exclusion over sketch unions without touching raw
+    * events again. At 100 TB this is the retention plan: one
+    * events-scan shuffle builds ~365 sketch rows (each a few KB);
+    * every subsequent day-pair/window/cohort combination is a join
+    * over that tiny table. The estimate's rsd at lgConfigK=12 is
+    * ~1.6% (spec bounds the realized error vs the exact
+    * intersection). Rows-only at the gate: DuckDB's HLL differs. */
+  def approxRetentionHll(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
+    val sketches = enriched(spark, dir)
+      .groupBy(col("event_date"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+    val a = sketches.select(col("event_date").as("day"), col("sk").as("sk_a"))
+    val b = sketches.select(col("event_date").as("next_day"), col("sk").as("sk_b"))
+    val estA = round(hll_sketch_estimate(col("sk_a")))
+    val estB = round(hll_sketch_estimate(col("sk_b")))
+    val estU = round(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+    a.join(b, date_add(col("day"), 1) === col("next_day"))
+      .select(
+        col("day"),
+        estA.cast("bigint").as("est_active"),
+        estB.cast("bigint").as("est_next_active"),
+        (estA + estB - estU).cast("bigint").as("est_returning"))
+      .orderBy("day")
+  }
+
   /** Heavy-hitter products via the custom Misra-Gries aggregate
     * (graft.functions.FreqItemsSketch): at most k counters per partial
     * aggregate, merged associatively — the fixed-state alternative to

@@ -506,4 +506,65 @@ object Similarity {
       .distinct() // a pair may collide in several tables
       .orderBy("vec_a", "vec_b")
   }
+
+  /** SemDeDup-style semantic deduplication (k-means cells as blocking
+    * keys, exact cosine inside each cell, connected near-sets
+    * collapsed to one keeper): prunes embeddings that are
+    * semantically redundant even when their source texts share no
+    * n-grams — the pruning pass a web-scale training corpus runs
+    * AFTER exact/MinHash dedup. Returns a per-cell census
+    * (n_vectors / n_kept / n_pruned) so the prune rate is observable
+    * per region of embedding space.
+    *
+    * Scale shape: cell assignment is a NARROW projection against the
+    * literal trained centroids (`nearestCellsCol` — no exchange after
+    * the scan); in-cell pairs come from the same grouped-bucket
+    * index-pair enumeration as every other dedup family member (one
+    * shuffle on the cell key, maxBucket skew guard); survivors come
+    * from the shared component-collapse core. At production scale
+    * `nlist` grows with the corpus (SemDeDup uses ~100k cells for
+    * billions of docs) so cells stay both small — bounding the
+    * in-cell O(|cell|²) — and numerous, keeping the cell-key shuffle
+    * parallel. nlist=10 here only matches the 10-label testdata. */
+  def semDedup(spark: SparkSession, dir: String, threshold: Double = 0.985,
+               nlist: Int = 10, iters: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cents = kmeansCentroids(spark, dir, nlist, iters)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      explode(nearestCellsCol(col("embedding"), cents, 1)).as("cell"))
+    val survivors = semDedupSurvivorsFrom(assigned, threshold, maxBucket)
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .join(survivors.groupBy(col("cell")).agg(count(lit(1)).as("n_kept")), Seq("cell"), "left")
+      .select(col("cell"),
+        col("n_vectors").cast("bigint").as("n_vectors"),
+        coalesce(col("n_kept"), lit(0L)).cast("bigint").as("n_kept"))
+      .withColumn("n_pruned", (col("n_vectors") - col("n_kept")).cast("bigint"))
+      .orderBy("cell")
+  }
+
+  /** Survivor core of `semDedup` — input needs (vec_id, embedding,
+    * cell); returns the kept (vec_id, cell) rows (min vec_id per
+    * connected near-set within a cell). Split out so specs can plant
+    * vectors against literal centroids. */
+  private[graft] def semDedupSurvivorsFrom(assigned: DataFrame, threshold: Double,
+                                           maxBucket: Int): DataFrame = {
+    val x = expr("element_at(members, p.i)")
+    val y = expr("element_at(members, p.j)")
+    val sim = call_function("cosine_sim",
+      x.getField("embedding"), y.getField("embedding"))
+    val pairs = Dedup.bucketPairs(
+        assigned.repartition(assigned.sparkSession.sessionState.conf.numShufflePartitions,
+          col("cell")),
+        Seq("cell"), Seq("vec_id", "embedding"), maxBucket)
+      .select(
+        least(x.getField("vec_id"), y.getField("vec_id")).as("doc_a"),
+        greatest(x.getField("vec_id"), y.getField("vec_id")).as("doc_b"),
+        sim.as("similarity"))
+      .filter(col("similarity") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.nearDupCorpusFromPairs(
+        assigned.select(col("vec_id").as("doc_id"), col("cell")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cell"))
+  }
 }

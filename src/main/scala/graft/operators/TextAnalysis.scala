@@ -399,6 +399,54 @@ object TextAnalysis {
       |ORDER BY occurrences DESC, gram ASC
       |LIMIT 50""".stripMargin
 
+  /** Literal query-term set for `keywordSearch` — in production the
+    * terms arrive with the search request; literals keep the DuckDB
+    * oracle runnable over the same tables. */
+  private val SearchTerms = Seq("spark", "vector", "stream", "window")
+
+  /** Inverted-index keyword search: top-k postings per query term with
+    * term frequency and document frequency — the retrieval shape of a
+    * corpus-curation pipeline (targeted inspection: "show me the docs
+    * that mention X most"). The decisive scale move is the term
+    * FILTER placed before any aggregation: only postings for the
+    * queried terms survive the explode, so the shuffle carries
+    * O(matching positions) rows, not the whole inverted index; df is
+    * a second-level plain count over distinct (term, doc) rows (no
+    * countDistinct Expand), and the per-term df table (≤ #terms rows)
+    * is broadcast back. Ranking is deterministic (tf desc, doc_id
+    * asc). */
+  def keywordSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(SearchTerms: _*))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = postings.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy("term").orderBy(desc("tf"), asc("doc_id"))
+    postings.join(broadcast(docFreq), "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("doc_freq"), col("rank"))
+      .orderBy("term", "rank")
+  }
+
+  val keywordSearchSql: String =
+    """WITH p AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+      |  ) t WHERE term IN ('spark', 'vector', 'stream', 'window')
+      |  GROUP BY 1, 2
+      |), d AS (
+      |  SELECT term, COUNT(*) AS doc_freq FROM p GROUP BY 1
+      |)
+      |SELECT term, doc_id, tf, doc_freq, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT p.term, p.doc_id, p.tf, d.doc_freq,
+      |    ROW_NUMBER() OVER (PARTITION BY p.term ORDER BY p.tf DESC, p.doc_id ASC) AS rank
+      |  FROM p JOIN d USING (term)
+      |) q WHERE rank <= 10
+      |ORDER BY term, rank""".stripMargin
+
   /** A tiny "learned" merge vocabulary (the most frequent English
     * bigram merges — the first entries a BPE trainer learns on web
     * text). Literal so the estimator is a pure projection. */

@@ -169,6 +169,28 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("HLL retention estimate tracks the exact day-over-day intersection") {
+    val exact = Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val nxt = exact.select(col("user_id").as("nxt_user"), col("day").as("next_day"))
+    val truth = exact.join(nxt, date_add(col("day"), 1) === col("next_day") &&
+        col("user_id") === col("nxt_user"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("returning"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("returning")).toMap
+    val est = EventMarts.approxRetentionHll(spark, Sf).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      val got = r.getAs[Long]("est_returning")
+      val want = truth.getOrElse(day, 0L)
+      assert(r.getAs[Long]("est_active") > 0)
+      // inclusion-exclusion over three ~1.6%-rsd estimates: allow 6%
+      // relative (plus a small absolute floor for tiny intersections)
+      assert(math.abs(got - want) <= math.max(3.0, 0.06 * want),
+        s"$day: est_returning $got vs exact $want")
+    }
+  }
+
   test("approx percentiles land inside the exact quantile neighborhood") {
     // GK returns an order statistic; the exact percentile interpolates.
     // The correct bound is therefore by RANK: the sketch's answer for

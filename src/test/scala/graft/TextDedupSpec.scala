@@ -231,6 +231,28 @@ class DedupSpec extends SparkSpec {
     assert(total == Tables.documents(spark, Sf).count())
   }
 
+  test("substring dup census counts cross-doc trigram positions, not within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),            // shares "alpha beta gamma" with doc 2
+      (2L, "xx yy alpha beta gamma zz"),
+      (3L, "unrelated words entirely here"),     // nothing shared
+      (4L, "p q r p q r p q")                    // repeats only WITHIN itself
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupFrom(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("cross_dup_grams")))).toMap
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((4L, 1L)))
+    assert(got(3L) == ((2L, 0L)))
+    assert(got(4L) == ((6L, 0L)), "within-doc repetition must not count as cross-doc duplication")
+    // corpus run: fractions well-formed
+    val bad = Dedup.substringDup(spark, Sf)
+      .filter(col("dup_fraction") < 0 || col("dup_fraction") > 1 ||
+        col("cross_dup_grams") > col("n_grams")).count()
+    assert(bad == 0)
+  }
+
   test("jaccard pairs are ordered, thresholded, and within a lang block") {
     val rows = Dedup.ngramJaccard(spark, Sf, threshold = 0.1).collect()
     rows.foreach { r =>
@@ -692,6 +714,30 @@ class SimilaritySpec extends SparkSpec {
     val wanted = base.map { case (id, _) => (id, id + 100000L) }.toSet
     val recall = (found & wanted).size.toDouble / wanted.size
     assert(recall >= 0.95, s"planted-dup recall too low: $recall")
+  }
+
+  test("semdedup prunes in-cell near-sets to one keeper, never across cells") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val assigned = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),     // near-set {1,2,3}: keep min id 1
+      (2L, Array(1f, 0f, 0f, 0f), 0),     // identical to 1
+      (3L, Array(0.9f, 0.1f, 0f, 0f), 0), // cos≈0.994 to 1 → same set
+      (4L, Array(0f, 1f, 0f, 0f), 1),     // alone in its cell
+      (5L, Array(0f, 0f, 1f, 0f), 0),     // identical to 6 but DIFFERENT cell:
+      (6L, Array(0f, 0f, 1f, 0f), 1)      //   blocking must keep both
+    ).toDF("vec_id", "embedding", "cell")
+    val kept = Similarity.semDedupSurvivorsFrom(assigned, threshold = 0.985, maxBucket = 1024)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L), s"got $kept")
+    // corpus census: partitions every vector into kept + pruned per cell
+    val census = Similarity.semDedup(spark, Sf).collect()
+    val total = census.map(_.getAs[Long]("n_vectors")).sum
+    assert(total == Tables.embeddings(spark, Sf).count())
+    census.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_pruned") == r.getAs[Long]("n_vectors"))
+      assert(r.getAs[Long]("n_kept") >= 1)
+    }
   }
 
   test("pca basis is orthonormal with descending eigenvalues matching projected variance") {
