@@ -384,6 +384,10 @@ object GraftFunctions {
     binary("sorted_intersect_count", SortedIntersectCount(_, _)),
     binary("sig_agree", SignatureAgreement(_, _)),
     unary("pca_moments", PcaMoments(_)),
+    ("pq_encode", { children: Seq[Expression] =>
+      require(children.length == 3, "pq_encode expects (vec, books, m)")
+      PqEncodeCodes(children(0), children(1), children(2))
+    }),
     ("freq_items_sketch", { children: Seq[Expression] =>
       require(children.length == 2, "freq_items_sketch expects (item, k)")
       val k = children(1) match {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -149,7 +149,7 @@ object Similarity {
     * struct sort on (neg_sim, cell), keep the first `probes`. Zero
     * exchanges between the embeddings scan and whatever consumes the
     * cell ids. */
-  private[operators] def nearestCellsCol(emb: org.apache.spark.sql.Column,
+  private[graft] def nearestCellsCol(emb: org.apache.spark.sql.Column,
       cents: Seq[(Int, Array[Float])], probes: Int): org.apache.spark.sql.Column = {
     val centArr = array(cents.map { case (cell, vec) =>
       struct(lit(cell).as("cell"), array(vec.toSeq.map(lit(_)): _*).as("vec"))
@@ -507,6 +507,146 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------- Product quantization (the ANN compression stage) ----------
+
+  /** L2-normalized copy of (vec_id, embedding) with the norm computed
+    * ONCE per row in its own projection (a norm folded into the
+    * per-element lambda would be re-evaluated per element — the
+    * documented HOF-CSE trap). Zero vectors pass through unscaled so
+    * downstream cosine stays 0 for them. */
+  private def normalized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v)).as("nrm"))
+      .select(col("vec_id"),
+        when(col("nrm") > 0,
+          transform(col("embedding"), x => (x.cast("double") / col("nrm")).cast("float")))
+          .otherwise(col("embedding")).as("nv"))
+
+  /** Flat m-major codebook literal for the native `pq_encode`
+    * (component t of codeword j of subspace mi at
+    * ((mi·ksub)+j)·dsub+t) — constant-folded into one array literal. */
+  private def flatBooksLit(books: Seq[Seq[(Int, Array[Float])]]): Column =
+    array(books.flatMap(_.flatMap(_._2.toSeq)).map(lit(_)): _*)
+
+  /** PQ codebook training: M subspaces × ksub codewords via seeded
+    * Lloyd iterations. Each iteration is ONE distributed job: the
+    * native `pq_encode` assigns all M subspaces in a single narrow
+    * pass (no subvector explode, no per-subspace loop), then the mean
+    * update rides one map-side-combined shuffle keyed (subspace,
+    * codeword, dim) — the subspace id is derived from the exploded
+    * component index, so codes are computed once per row, not per
+    * component. Deterministic: hash-seeded init, integer-quantized
+    * mean sums, argmin tiebreak on codeword id. */
+  private[graft] def pqCodebooks(e: DataFrame, m: Int, ksub: Int,
+                                 iters: Int): Seq[Seq[(Int, Array[Float])]] = {
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    val nv = normalized(e).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the same ksub smallest-hash rows seed every subspace (sliced
+      // per subspace on the driver — one job, not one per subspace)
+      val seedRows = nv.withColumn("h", xxhash64(col("vec_id")))
+        .orderBy("h", "vec_id").limit(ksub)
+        .collect().map(r => r.getSeq[Float](r.fieldIndex("nv")).toArray)
+      require(seedRows.length == ksub, s"corpus smaller than ksub=$ksub")
+      val dim = seedRows.head.length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
+      var books: Seq[Seq[(Int, Array[Float])]] = (0 until m).map(mi =>
+        seedRows.zipWithIndex.map { case (v, j) =>
+          j -> v.slice(mi * dsub, (mi + 1) * dsub) }.toSeq)
+      var it = 0
+      while (it < iters) {
+        val coded = nv.select(
+          call_function("pq_encode", col("nv"), flatBooksLit(books), lit(m)).as("codes"),
+          col("nv"))
+        val means = coded
+          .select(col("codes"), posexplode(col("nv")).as(Seq("dim", "x")))
+          .select((col("dim") / lit(dsub)).cast("int").as("m"),
+            element_at(col("codes"), (col("dim") / lit(dsub)).cast("int") + 1).as("cell"),
+            col("dim"), col("x"))
+          .groupBy(col("m"), col("cell"), col("dim"))
+          .agg((sum(round(col("x").cast("double") * lit(1e7)).cast("bigint")).cast("double") /
+                (count(lit(1)) * lit(1e7))).as("c"))
+          .groupBy(col("m"), col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+            s => s.getField("c")).as("centroid"))
+          .collect().toSeq
+          .map(r => (r.getAs[Int]("m"), r.getAs[Int]("cell")) ->
+            r.getSeq[Double](r.fieldIndex("centroid")).map(_.toFloat).toArray).toMap
+        books = books.zipWithIndex.map { case (book, mi) =>
+          book.map { case (c, old) => c -> means.getOrElse((mi, c), old) } }
+        it += 1
+      }
+      books
+    } finally {
+      nv.unpersist()
+      ()
+    }
+  }
+
+  /** PQ-compressed ANN with asymmetric-distance scoring and exact
+    * refine — the 100 TB memory story for similarity search: the
+    * corpus is held as M byte codes per vector (a 64×+ compression of
+    * a float corpus; this is what makes a billion-vector index fit a
+    * cluster's RAM at all), queries score candidates through per-query
+    * literal lookup tables (ADC: one table lookup per subspace instead
+    * of a d-dim dot product), and only the top `refine` shortlist per
+    * query is re-scored against exact float vectors. Encode is one
+    * narrow projection against the literal codebooks; scoring is a
+    * broadcast join of the tiny query side against the code table;
+    * nothing reshuffles the corpus. Composes with the IVF cell filter
+    * (`ivfTopK`) for sub-linear probe at even larger scale.
+    * Normalized-space squared L2 = 2 − 2·cosine, so ADC ranking
+    * agrees with the family's cosine ranking. Rows-only: recall
+    * floors and code-range invariants are spec-pinned. */
+  def pqTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+             m: Int = 8, ksub: Int = 16, iters: Int = 2, refine: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val books = pqCodebooks(e.filter(col("vec_id") >= numQueries), m, ksub, iters)
+    val dsub = books.head.head._2.length
+    val codes = pqEncode(e.filter(col("vec_id") >= numQueries), books)
+    // tiny query side: exact normalized vectors + per-query ADC LUTs
+    // (M × ksub squared-L2 partials against each codebook)
+    val qRows = normalized(e.filter(col("vec_id") < numQueries))
+      .collect().map { r =>
+        val qv = r.getSeq[Float](r.fieldIndex("nv")).toArray
+        val lut = books.zipWithIndex.map { case (book, mi) =>
+          book.map { case (_, cw) =>
+            cw.zipWithIndex.map { case (c, j) =>
+              val d = qv(mi * dsub + j) - c; d * d.toDouble }.sum } }
+        (r.getLong(r.fieldIndex("vec_id")), qv, lut.map(_.toSeq).toSeq)
+      }.toSeq
+    import spark.implicits._
+    val queries = qRows.toDF("query_id", "q_emb", "lut")
+    val adc = expr(
+      s"aggregate(sequence(0, $m - 1), cast(0.0 as double), " +
+        "(acc, mi) -> acc + element_at(element_at(lut, mi + 1), element_at(codes, mi + 1) + 1))")
+    val wAdc = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("cand_id"))
+    val wTop = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
+    codes.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cand_id"), col("c_emb"), col("q_emb"),
+        round(adc, 9).as("adc_dist"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= refine)
+      .select(col("query_id"), col("cand_id"),
+        round(call_function("cosine_sim", col("q_emb"), col("c_emb")), 6).as("similarity"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ encode: every vector → M codeword bytes in one narrow
+    * projection through the native `pq_encode` against the literal
+    * codebooks (this column, not the floats, is what a production
+    * index persists). */
+  private[graft] def pqEncode(e: DataFrame, books: Seq[Seq[(Int, Array[Float])]]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    normalized(e).select(col("vec_id").as("cand_id"), col("nv").as("c_emb"),
+      call_function("pq_encode", col("nv"), flatBooksLit(books), lit(books.length)).as("codes"))
+  }
+
   /** SemDeDup-style semantic deduplication (k-means cells as blocking
     * keys, exact cosine inside each cell, connected near-sets
     * collapsed to one keeper): prunes embeddings that are
@@ -548,12 +688,22 @@ object Similarity {
     * connected near-set within a cell). Split out so specs can plant
     * vectors against literal centroids. */
   private[graft] def semDedupSurvivorsFrom(assigned: DataFrame, threshold: Double,
-                                           maxBucket: Int): DataFrame = {
+                                           maxBucket: Int): DataFrame =
+    Dedup.nearDupCorpusFromPairs(
+        assigned.select(col("vec_id").as("doc_id"), col("cell")),
+        semDedupPairsFrom(assigned, threshold, maxBucket))
+      .select(col("doc_id").as("vec_id"), col("cell"))
+
+  /** In-cell over-threshold pair graph of `semDedup` — the expensive
+    * candidate-generation subtree, exposed so the plan lint can audit
+    * it directly (the survivor frame is a post-checkpoint tail). */
+  private[graft] def semDedupPairsFrom(assigned: DataFrame, threshold: Double,
+                                       maxBucket: Int): DataFrame = {
     val x = expr("element_at(members, p.i)")
     val y = expr("element_at(members, p.j)")
     val sim = call_function("cosine_sim",
       x.getField("embedding"), y.getField("embedding"))
-    val pairs = Dedup.bucketPairs(
+    Dedup.bucketPairs(
         assigned.repartition(assigned.sparkSession.sessionState.conf.numShufflePartitions,
           col("cell")),
         Seq("cell"), Seq("vec_id", "embedding"), maxBucket)
@@ -563,8 +713,5 @@ object Similarity {
         sim.as("similarity"))
       .filter(col("similarity") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    Dedup.nearDupCorpusFromPairs(
-        assigned.select(col("vec_id").as("doc_id"), col("cell")), pairs)
-      .select(col("doc_id").as("vec_id"), col("cell"))
   }
 }

@@ -29,7 +29,10 @@ class PlanAuditSpec extends SparkSpec {
     * the bucket sequence with the distinct event types (buckets ×
     * types — the full grid IS the intended output). */
   private val IntendedBnlj = Set("ann_cosine_topk", "q22_untapped_segments",
-    "q11_important_parts", "dq_anomaly")
+    "q11_important_parts", "dq_anomaly",
+    // PQ ADC scores every code row against the broadcast query LUTs
+    // by design (the shortlist cut happens after the lookup-table sum)
+    "ann_pq_topk[probe]")
 
   /** Queries whose CONSTRUCTION runs real Spark jobs (localCheckpoint
     * propagation rounds, k-means collect loops, the PCA moment
@@ -37,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     * only the post-checkpoint/post-training tail — auditing it would
     * skip the expensive candidate-generation/probe subtrees. Those
     * subtrees are audited directly below instead. */
-  private val AuditedViaSubplans = Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca")
+  private val AuditedViaSubplans =
+    Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca", "semdedup", "ann_pq_topk")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a
@@ -89,12 +93,29 @@ class PlanAuditSpec extends SparkSpec {
     val momentPlan = Tables.embeddings(spark, Sf)
       .select(posexplode(call_function("pca_moments", col("embedding"))).as(Seq("pos", "v")))
       .groupBy(col("pos")).agg(fsum(col("v")))
+    // semdedup: training and component collapse run eagerly; the
+    // expensive subtree is the in-cell pair generation — audit it over
+    // a literal-centroid cell assignment
+    val semAssigned = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.functions.explode(
+          operators.Similarity.nearestCellsCol(col("embedding"), fakeCents, 1)).as("cell"))
     val offenders =
       offendersIn("dedup_near_corpus[minhashLsh]",
         operators.Dedup.minhashLsh(spark, Sf)) ++
       offendersIn("ann_ivf_kmeans[ivfTopKWith]",
         operators.Similarity.ivfTopKWith(spark, Sf, fakeCents, numQueries = 10, k = 5, nProbe = 2)) ++
-      offendersIn("embedding_pca[moments]", momentPlan)
+      offendersIn("embedding_pca[moments]", momentPlan) ++
+      offendersIn("semdedup[pairs]",
+        operators.Similarity.semDedupPairsFrom(semAssigned, threshold = 0.985, maxBucket = 1024)) ++
+      // ann_pq_topk: training varies only the codebook literals; the
+      // corpus-side plan is the encode projection (must stay narrow —
+      // the scoring tail is the intended broadcast BNLJ + two bounded
+      // top-k windows)
+      offendersIn("ann_pq_topk[encode]",
+        operators.Similarity.pqEncode(
+          Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding")),
+          (0 until 8).map(mi => (0 until 4).map(j => j -> Array.fill(8)(j * 0.1f + mi)).toSeq)))
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
 

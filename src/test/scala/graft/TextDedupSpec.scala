@@ -387,6 +387,34 @@ class GraftExtensionsSpec extends SparkSpec {
 class HashExpressionsSpec extends SparkSpec {
   private def withFns() = { graft.functions.GraftFunctions.ensureRegistered(spark); spark }
 
+  test("pq_encode equals a plain-Scala argmin recompute; shape mismatch is null") {
+    val s = withFns()
+    import s.implicits._
+    val m = 4; val ksub = 3; val dsub = 2
+    val books = (0 until m * ksub * dsub).map(i => (i % 7) * 0.25f - 0.5f)
+    val vecs = (0 until 20).map(i =>
+      i.toLong -> (0 until m * dsub).map(j => math.sin(i * 31 + j).toFloat).toArray)
+    val got = vecs.toDF("id", "v")
+      .select(col("id"),
+        call_function("pq_encode", col("v"), array(books.map(lit): _*), lit(m)).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until m).map { mi =>
+        (0 until ksub).minBy { j =>
+          (0 until dsub).map { t =>
+            val d = v(mi * dsub + t).toDouble - books((mi * ksub + j) * dsub + t); d * d
+          }.sum
+        }
+      }
+      assert(got(id) == want, s"vec $id: ${got(id)} vs $want")
+    }
+    // length not divisible into m subspaces → null, not truncation
+    val bad = Seq((1L, Array.fill(7)(0.5f))).toDF("id", "v")
+      .select(call_function("pq_encode", col("v"), array(books.map(lit): _*), lit(m)))
+      .collect().head
+    assert(bad.isNullAt(0))
+  }
+
   test("minhash_sig equals the 64×array_min(transform(...)) formulation") {
     val s = withFns()
     val hashed = expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))")
@@ -714,6 +742,34 @@ class SimilaritySpec extends SparkSpec {
     val wanted = base.map { case (id, _) => (id, id + 100000L) }.toSet
     val recall = (found & wanted).size.toDouble / wanted.size
     assert(recall >= 0.95, s"planted-dup recall too low: $recall")
+  }
+
+  test("pq codes stay in range and ADC+refine recalls the exact top-k") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val books = Similarity.pqCodebooks(e, m = 8, ksub = 16, iters = 2)
+    assert(books.length == 8)
+    books.foreach { book =>
+      assert(book.map(_._1) == (0 until 16))
+      book.foreach { case (_, cw) => assert(cw.length == 8) }
+    }
+    val codes = Similarity.pqEncode(e, books)
+      .select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.nonEmpty)
+    codes.foreach { cs =>
+      assert(cs.length == 8)
+      assert(cs.forall(c => c >= 0 && c < 16), s"code out of range: $cs")
+    }
+    val k = 5
+    val exact = Similarity.bruteForceTopK(spark, Sf, numQueries = 10, k = k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val pq = Similarity.pqTopK(spark, Sf, numQueries = 10, k = k).collect()
+    val perQuery = pq.groupBy(_.getAs[Long]("query_id"))
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to k), s"query $q ranks") }
+    val got = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@$k too low: $recall")
   }
 
   test("semdedup prunes in-cell near-sets to one keeper, never across cells") {
