@@ -605,27 +605,69 @@ object Similarity {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val books = pqCodebooks(e.filter(col("vec_id") >= numQueries), m, ksub, iters)
-    val dsub = books.head.head._2.length
     val codes = pqEncode(e.filter(col("vec_id") >= numQueries), books)
-    // tiny query side: exact normalized vectors + per-query ADC LUTs
-    // (M × ksub squared-L2 partials against each codebook)
-    val qRows = normalized(e.filter(col("vec_id") < numQueries))
+    val queries = pqQueryFrame(e.filter(col("vec_id") < numQueries), books)
+    adcRefineTopK(codes.crossJoin(broadcast(queries)), m, k, refine)
+  }
+
+  /** IVF-PQ — the production ANN composition: IVF cells bound WHICH
+    * candidates each query scores (sub-linear probe: only nProbe of
+    * nlist cells are touched), PQ codes bound the BYTES per scored
+    * candidate. Cell assignment and encode are both narrow
+    * projections against literals; the probe is an equi-join on the
+    * cell key with the tiny query side broadcast, so the corpus never
+    * reshuffles and per-query work is (corpus/nlist)·nProbe ADC
+    * lookups. Recall is tuned with nProbe and refine, never by
+    * re-indexing. */
+  def ivfpqTopK(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+                nlist: Int = 10, nProbe: Int = 3, m: Int = 8, ksub: Int = 16,
+                iters: Int = 2, refine: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cands = e.filter(col("vec_id") >= numQueries)
+    val cents = kmeansCentroids(spark, dir, nlist, iters)
+    val books = pqCodebooks(cands, m, ksub, iters)
+    val codes = pqEncode(cands, books)
+      .withColumn("cell", explode(nearestCellsCol(col("c_emb"), cents, 1)))
+    val queries = pqQueryFrame(e.filter(col("vec_id") < numQueries), books)
+      .withColumn("cell", explode(nearestCellsCol(col("q_emb"), cents, nProbe)))
+    // a candidate lives in exactly one cell, so a (query, cand) pair
+    // meets at most once — no dedup needed after the probe join
+    adcRefineTopK(codes.join(broadcast(queries), "cell"), m, k, refine)
+  }
+
+  /** Tiny ADC query side: (query_id, normalized q_emb, per-query LUT
+    * of M × ksub squared-L2 partials against each codebook). Collected
+    * to the driver — the query set is small by contract (it is
+    * broadcast either way); the LUT turns every candidate score into M
+    * table lookups. */
+  private[graft] def pqQueryFrame(q: DataFrame, books: Seq[Seq[(Int, Array[Float])]]): DataFrame = {
+    val spark = q.sparkSession
+    val dsub = books.head.head._2.length
+    val qRows = normalized(q)
       .collect().map { r =>
         val qv = r.getSeq[Float](r.fieldIndex("nv")).toArray
         val lut = books.zipWithIndex.map { case (book, mi) =>
           book.map { case (_, cw) =>
-            cw.zipWithIndex.map { case (c, j) =>
-              val d = qv(mi * dsub + j) - c; d * d.toDouble }.sum } }
+            cw.zipWithIndex.map { case (c, t) =>
+              val d = qv(mi * dsub + t) - c; d * d.toDouble }.sum } }
         (r.getLong(r.fieldIndex("vec_id")), qv, lut.map(_.toSeq).toSeq)
       }.toSeq
     import spark.implicits._
-    val queries = qRows.toDF("query_id", "q_emb", "lut")
+    qRows.toDF("query_id", "q_emb", "lut")
+  }
+
+  /** ADC shortlist + exact refine over a joined (codes × queries)
+    * frame with (query_id, cand_id, c_emb, q_emb, lut, codes): rank by
+    * the LUT sum, keep `refine` per query, re-score those exactly,
+    * return the top k. */
+  private[graft] def adcRefineTopK(joined: DataFrame, m: Int, k: Int, refine: Int): DataFrame = {
     val adc = expr(
       s"aggregate(sequence(0, $m - 1), cast(0.0 as double), " +
         "(acc, mi) -> acc + element_at(element_at(lut, mi + 1), element_at(codes, mi + 1) + 1))")
     val wAdc = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("cand_id"))
     val wTop = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
-    codes.crossJoin(broadcast(queries))
+    joined
       .select(col("query_id"), col("cand_id"), col("c_emb"), col("q_emb"),
         round(adc, 9).as("adc_dist"))
       .withColumn("adc_rank", row_number().over(wAdc))

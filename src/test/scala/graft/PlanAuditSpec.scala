@@ -41,7 +41,8 @@ class PlanAuditSpec extends SparkSpec {
     * skip the expensive candidate-generation/probe subtrees. Those
     * subtrees are audited directly below instead. */
   private val AuditedViaSubplans =
-    Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca", "semdedup", "ann_pq_topk")
+    Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca", "semdedup",
+      "ann_pq_topk", "ann_ivfpq_topk")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a
@@ -85,6 +86,7 @@ class PlanAuditSpec extends SparkSpec {
     // ann_ivf_kmeans: the probe plan is ivfTopKWith over literal
     // centroids (training only varies the literals) — audit the probe.
     val fakeCents = (0 until 4).map(i => i -> Array.fill(64)(i.toFloat + 0.5f))
+    val fakeBooks = (0 until 8).map(mi => (0 until 4).map(j => j -> Array.fill(8)(j * 0.1f + mi)).toSeq)
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import org.apache.spark.sql.functions.{call_function, col, posexplode, sum => fsum}
     // embedding_pca's returned frame is only the post-eigensolve
@@ -115,8 +117,27 @@ class PlanAuditSpec extends SparkSpec {
       offendersIn("ann_pq_topk[encode]",
         operators.Similarity.pqEncode(
           Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding")),
-          (0 until 8).map(mi => (0 until 4).map(j => j -> Array.fill(8)(j * 0.1f + mi)).toSeq)))
+          fakeBooks)) ++
+      offendersIn("ann_ivfpq_topk[probe]", ivfpqProbePlan(fakeCents, fakeBooks))
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+
+  /** The IVF-PQ probe plan over literal index metadata (training only
+    * varies the literals): code rows cell-assigned narrow, equi-joined
+    * on the cell key against a broadcast literal query frame, then the
+    * shared ADC+refine tail. */
+  private def ivfpqProbePlan(cents: Seq[(Int, Array[Float])],
+                             books: Seq[Seq[(Int, Array[Float])]]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, explode}
+    import spark.implicits._
+    val codes = operators.Similarity.pqEncode(
+        Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding")), books)
+      .withColumn("cell", explode(operators.Similarity.nearestCellsCol(col("c_emb"), cents, 1)))
+    val queries = Seq((0L, Array.fill(64)(0.1f), Seq.fill(8)(Seq.fill(4)(0.0))))
+      .toDF("query_id", "q_emb", "lut")
+      .withColumn("cell", explode(operators.Similarity.nearestCellsCol(col("q_emb"), cents, 2)))
+    operators.Similarity.adcRefineTopK(codes.join(broadcast(queries), "cell"),
+      m = 8, k = 5, refine = 32)
   }
 
   test("the lint itself sees through the AQE wrapper (not vacuous)") {

@@ -770,6 +770,15 @@ class SimilaritySpec extends SparkSpec {
     val got = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
     val recall = (got & exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"PQ recall@$k too low: $recall")
+    // IVF-PQ prunes candidates to probed cells before ADC — recall
+    // trades against nProbe, so the floor is lower than plain PQ's
+    val ivfpq = Similarity.ivfpqTopK(spark, Sf, numQueries = 10, k = k).collect()
+    ivfpq.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"query $q ranks not contiguous: $ranks") }
+    val gotIvf = ivfpq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recallIvf = (gotIvf & exact).size.toDouble / exact.size
+    assert(recallIvf >= 0.3, s"IVF-PQ recall@$k too low: $recallIvf")
   }
 
   test("semdedup prunes in-cell near-sets to one keeper, never across cells") {
