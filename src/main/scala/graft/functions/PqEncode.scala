@@ -43,9 +43,9 @@ case class PqEncodeCodes(first: Expression, second: Expression, third: Expressio
     val books = b.asInstanceOf[ArrayData]
     val m = mAny.asInstanceOf[Int]
     val dims = vec.numElements()
-    if (m <= 0 || dims % m != 0) return null
+    if (m <= 0 || dims == 0 || dims % m != 0) return null
     val dsub = dims / m
-    if (books.numElements() % (m * dsub) != 0) return null
+    if (books.numElements() == 0 || books.numElements() % (m * dsub) != 0) return null
     val ksub = books.numElements() / (m * dsub)
     val codes = new Array[Int](m)
     var mi = 0
@@ -89,11 +89,11 @@ case class PqEncodeCodes(first: Expression, second: Expression, third: Expressio
       val bOff = ctx.freshName("bOff")
       s"""
          |int $dims = $v.numElements();
-         |if ($m <= 0 || $dims % $m != 0) {
+         |if ($m <= 0 || $dims == 0 || $dims % $m != 0) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $dsub = $dims / $m;
-         |  if ($b.numElements() % ($m * $dsub) != 0) {
+         |  if ($b.numElements() == 0 || $b.numElements() % ($m * $dsub) != 0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    int $ksub = $b.numElements() / ($m * $dsub);

@@ -476,11 +476,7 @@ object Dedup {
     substringDupFrom(spark, Tables.documents(spark, dir))
 
   private[graft] def substringDupFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val perDocGram = docs
-      .select(col("doc_id"), explode(call_function("trigram_strings", col("text"))).as("gram"))
-      .groupBy(col("gram"), col("doc_id"))
-      .agg(count(lit(1)).as("occ"))
+    val perDocGram = TextAnalysis.perDocGramCounts(docs, "occ")
     val gramDocs = perDocGram
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("ndocs"))

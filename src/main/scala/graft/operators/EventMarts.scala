@@ -463,7 +463,10 @@ object EventMarts {
         col("day"),
         estA.cast("bigint").as("est_active"),
         estB.cast("bigint").as("est_next_active"),
-        (estA + estB - estU).cast("bigint").as("est_returning"))
+        // three independently-rounded ~1.6%-rsd estimates: on disjoint
+        // day pairs the union estimate can exceed the sum by a few
+        // counts — clamp so the query never reports negative users
+        greatest(lit(0L), (estA + estB - estU).cast("bigint")).as("est_returning"))
       .orderBy("day")
   }
 

@@ -368,16 +368,10 @@ object TextAnalysis {
     * count at the second level, not a countDistinct (whose Expand
     * would double the exploded rows). */
   def topNgrams(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
     // two-level plain aggregate: (gram, doc) counts first, so doc_freq
     // degenerates to a plain count — no countDistinct Expand doubling
     // the exploded rows through the shuffle (same rewrite as q21).
-    // Gram strings come from the native one-pass trigram_strings
-    // (the captured-array HOF form re-split the text per element).
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(call_function("trigram_strings", col("text"))).as("gram"))
-      .groupBy(col("gram"), col("doc_id"))
-      .agg(count(lit(1)).as("n"))
+    perDocGramCounts(Tables.documents(spark, dir), "n")
       .groupBy(col("gram"))
       .agg(
         sum(col("n")).cast("bigint").as("occurrences"),
@@ -398,6 +392,20 @@ object TextAnalysis {
       |GROUP BY gram
       |ORDER BY occurrences DESC, gram ASC
       |LIMIT 50""".stripMargin
+
+  /** Word-trigram occurrence counts at the (gram, doc) grain — the
+    * shared first stage of `topNgrams` and `Dedup.substringDup`: one
+    * explode of the native one-pass `trigram_strings` (the
+    * captured-array HOF form re-split the text per element) into a
+    * map-side-combined count, so repeated grams collapse before the
+    * shuffle. */
+  private[operators] def perDocGramCounts(docs: DataFrame, countAs: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(call_function("trigram_strings", col("text"))).as("gram"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as(countAs))
+  }
 
   /** Literal query-term set for `keywordSearch` — in production the
     * terms arrive with the search request; literals keep the DuckDB

@@ -118,8 +118,23 @@ class PlanAuditSpec extends SparkSpec {
         operators.Similarity.pqEncode(
           Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding")),
           fakeBooks)) ++
-      offendersIn("ann_ivfpq_topk[probe]", ivfpqProbePlan(fakeCents, fakeBooks))
+      offendersIn("ann_ivfpq_topk[probe]", ivfpqProbePlan(fakeCents, fakeBooks)) ++
+      offendersIn("ann_pq_topk[probe]", pqProbePlan(fakeBooks))
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+
+  /** The plain-PQ scoring plan over literal codebooks: every code row
+    * crosses the broadcast query LUTs (the intended BNLJ) into the
+    * shared ADC+refine tail. */
+  private def pqProbePlan(books: Seq[Seq[(Int, Array[Float])]]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val codes = operators.Similarity.pqEncode(
+      Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding")), books)
+    val queries = Seq((0L, Array.fill(64)(0.1f), Seq.fill(8)(Seq.fill(4)(0.0))))
+      .toDF("query_id", "q_emb", "lut")
+    operators.Similarity.adcRefineTopK(codes.crossJoin(broadcast(queries)),
+      m = 8, k = 5, refine = 32)
   }
 
   /** The IVF-PQ probe plan over literal index metadata (training only

@@ -408,11 +408,16 @@ class HashExpressionsSpec extends SparkSpec {
       }
       assert(got(id) == want, s"vec $id: ${got(id)} vs $want")
     }
-    // length not divisible into m subspaces → null, not truncation
-    val bad = Seq((1L, Array.fill(7)(0.5f))).toDF("id", "v")
-      .select(call_function("pq_encode", col("v"), array(books.map(lit): _*), lit(m)))
-      .collect().head
-    assert(bad.isNullAt(0))
+    // length not divisible into m subspaces → null, not truncation;
+    // empty vector and empty codebook → null, not a crash or
+    // out-of-range codes (0 % m == 0 would otherwise slip the guard)
+    val bad = Seq(
+      (1L, Array.fill(7)(0.5f), books),
+      (2L, Array.empty[Float], books),
+      (3L, Array.fill(8)(0.5f), Seq.empty[Float])).toDF("id", "v", "b")
+      .select(call_function("pq_encode", col("v"), col("b"), lit(m)))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
   }
 
   test("minhash_sig equals the 64×array_min(transform(...)) formulation") {
