@@ -24,6 +24,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // relied-upon at the 100 TB design point (made explicit): when a
+      // fact-fact join can't broadcast, the optimizer injects a bloom
+      // semi-filter from the selective side onto the probe-side scan —
+      // the spec pins that it arms once the size thresholds are in the
+      // no-broadcast regime (at test scale it correctly stays off)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // Spark 4.1's ChecksumCheckpointFileManager writes state-store
       // checkpoint checksums on a side thread pool; in single-JVM test
       // runs this can deadlock against executor class loading

@@ -515,18 +515,25 @@ object Similarity {
     * documented HOF-CSE trap). Zero vectors pass through unscaled so
     * downstream cosine stays 0 for them. */
   private def normalized(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"),
-        sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (a, v) => a + v)).as("nrm"))
-      .select(col("vec_id"),
-        when(col("nrm") > 0,
-          transform(col("embedding"), x => (x.cast("double") / col("nrm")).cast("float")))
-          .otherwise(col("embedding")).as("nv"))
+    withNormalized(e, "embedding", "nv").select(col("vec_id"), col("nv"))
+
+  /** Append an L2-normalized copy of `in` as `out`, keeping every
+    * other column (the streaming encoder needs the event time) —
+    * shared so batch and streaming PQ paths can't drift. */
+  private[graft] def withNormalized(df: DataFrame, in: String, out: String): DataFrame =
+    df.withColumn("__nrm",
+        sqrt(aggregate(transform(col(in), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v)))
+      .withColumn(out,
+        when(col("__nrm") > 0,
+          transform(col(in), x => (x.cast("double") / col("__nrm")).cast("float")))
+          .otherwise(col(in)))
+      .drop("__nrm")
 
   /** Flat m-major codebook literal for the native `pq_encode`
     * (component t of codeword j of subspace mi at
     * ((mi·ksub)+j)·dsub+t) — constant-folded into one array literal. */
-  private def flatBooksLit(books: Seq[Seq[(Int, Array[Float])]]): Column =
+  private[graft] def flatBooksLit(books: Seq[Seq[(Int, Array[Float])]]): Column =
     array(books.flatMap(_.flatMap(_._2.toSeq)).map(lit(_)): _*)
 
   /** PQ codebook training: M subspaces × ksub codewords via seeded

@@ -155,6 +155,27 @@ class PlanAuditSpec extends SparkSpec {
       m = 8, k = 5, refine = 32)
   }
 
+  test("runtime bloom-filter pruning arms the fact-fact join at the no-broadcast scale point") {
+    val conf = spark.conf
+    assert(conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true",
+      "runtime bloom filters must stay enabled — at 100 TB they are the probe-side semi-prune")
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.get(k))
+    // emulate the 100 TB regime: the probe scan is over the size
+    // threshold and the build side is too big to broadcast (at test
+    // scale every dim broadcasts, so the filter correctly stays off)
+    conf.set(keys(0), "0")
+    conf.set(keys(1), "-1")
+    try {
+      val plan = operators.Relational.q12PrioritySplit(spark, Sf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a bloom runtime filter on the lineitem probe side:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("the lint itself sees through the AQE wrapper (not vacuous)") {
     // a plan with a known BNLJ must be detected — guards against the
     // wrapper regression where .collect on AdaptiveSparkPlanExec

@@ -65,6 +65,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ encode matches the batch encoder and dedups replayed vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Array[Float])]
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val books = (0 until 8).map(mi =>
+      (0 until 4).map(j => j -> Array.tabulate(8)(t => (j * 8 + t) * 0.05f - 0.4f)).toSeq)
+    val cents = (0 until 3).map(i =>
+      i -> Array.tabulate(64)(t => if (t % 3 == i) 1.0f else 0.1f))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val vecs = (0L until 6L).map(i =>
+      (i, new java.sql.Timestamp(base.getTime + i * 60000L),
+        Array.tabulate(64)(t => math.sin(i * 17 + t).toFloat)))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+    mem.addData(vecs :+ vecs.head: _*) // replay vec 0 → must not duplicate
+    val q = EmbeddingStream.encode(
+        mem.toDF.toDF("vec_id", "ts", "embedding"), books, cents)
+      .writeStream.format("memory").queryName("emb_encode_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("emb_encode_test").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("cell"), r.getSeq[Int](r.fieldIndex("codes")).toSeq))).toMap
+      assert(got.size == 6, "replayed vector must be deduped within the watermark")
+      // batch reference: same literals through the batch encoder
+      import spark.implicits._
+      val batch = operators.Similarity.pqEncode(
+          vecs.map(v => (v._1, v._3)).toDF("vec_id", "embedding"), books)
+        .withColumn("cell", explode(operators.Similarity.nearestCellsCol(col("c_emb"), cents, 1)))
+        .collect()
+        .map(r => r.getAs[Long]("cand_id") ->
+          ((r.getAs[Int]("cell"), r.getSeq[Int](r.fieldIndex("codes")).toSeq))).toMap
+      assert(got == batch, "streaming and batch index rows must be identical")
+    } finally q.stop()
+  }
+
   test("streaming hourly traffic matches batch counts on the same events") {
     val (_, df) = eventsDf()
     val q = EventStream.hourlyTraffic(df, watermark = "10 minutes")
