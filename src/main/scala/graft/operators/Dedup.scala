@@ -161,7 +161,15 @@ object Dedup {
     *   dedup already collapses — such buckets are dropped rather than
     *   allowed to dominate the stage. */
   def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.4,
-                 maxBucket: Int = 1024): DataFrame = {
+                 maxBucket: Int = 1024): DataFrame =
+    minhashLshFrom(spark, Tables.documents(spark, dir), estThreshold, maxBucket)
+
+  /** DataFrame-input core of `minhashLsh` — input needs (doc_id,
+    * text); lets pipelines run the near-dup stage over an
+    * already-cleaned frame instead of re-reading the table. */
+  private[graft] def minhashLshFrom(spark: SparkSession, raw: DataFrame,
+                                    estThreshold: Double = 0.4,
+                                    maxBucket: Int = 1024): DataFrame = {
     // Pairs are enumerated INSIDE each band bucket from the grouped
     // member list: signatures are computed once and shuffled once (the
     // self-join formulation planned the fused signature subtree into
@@ -171,7 +179,7 @@ object Dedup {
     // list only at projection time, per exploded pair — the naive
     // member×member product would materialize every payload n times
     // inside one row.
-    val pairs = bucketPairs(minhashBanded(spark, dir),
+    val pairs = bucketPairs(minhashBandedFrom(spark, raw),
       Seq("band_idx", "band_hash"), Seq("doc_id", "sig"), maxBucket)
     val x = expr("element_at(members, p.i)")
     val y = expr("element_at(members, p.j)")

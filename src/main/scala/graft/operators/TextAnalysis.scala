@@ -293,13 +293,17 @@ object TextAnalysis {
     * percentile cut, which would reassign docs on every append).
     * 12/16 hex chars → train (75%), 2 → val, 2 → test. Zero-shuffle
     * assignment; one aggregate for the census. */
+  /** The split-assignment column itself — shared by `corpusSplit` and
+    * `CorpusPipeline`'s partitioned write so the two can't drift. */
+  private[graft] def splitCol(id: Column): Column = {
+    val b = substring(md5(id.cast("string").cast("binary")), 1, 1)
+    when(b <= "9" || b === "a" || b === "b", "train")
+      .when(b.isin("c", "d"), "val")
+      .otherwise("test")
+  }
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket_c", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
-      .withColumn("split",
-        when(col("bucket_c") <= "9" || col("bucket_c") === "a" || col("bucket_c") === "b", "train")
-          .when(col("bucket_c").isin("c", "d"), "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_docs"),

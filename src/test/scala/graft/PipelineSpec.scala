@@ -194,6 +194,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpus pipeline cleans, collapses near-dups, and writes an idempotent split-partitioned corpus") {
+    val out = Files.createTempDirectory("graft_corpus_pipe").toString
+    val r1 = CorpusPipeline.run(spark, Sf, out)
+    assert(r1.inputDocs > 0)
+    assert(r1.cleaned <= r1.inputDocs && r1.kept <= r1.cleaned && r1.kept > 0)
+    val parts = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("split=")).toSet
+    assert(parts.nonEmpty && parts.subsetOf(Set("split=train", "split=val", "split=test")))
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == r1.kept)
+    assert(rows.forall(_.getAs[Double]("quality_score") >= 0.5))
+    // the written corpus is exactly deduped: no two docs share scrubbed content
+    val texts = rows.map(_.getAs[String]("clean_text"))
+    assert(texts.distinct.length == texts.length)
+    // rerun is idempotent: same survivors, partitions replaced not doubled
+    val ids1 = rows.map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val r2 = CorpusPipeline.run(spark, Sf, out)
+    assert(r2.kept == r1.kept)
+    val ids2 = spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids2 == ids1)
+  }
+
   private def twoDates(): Seq[String] =
     operators.EventMarts.enriched(spark, Sf).select("event_date").distinct()
       .orderBy("event_date").limit(2).collect().map(_.getDate(0).toString).toSeq
