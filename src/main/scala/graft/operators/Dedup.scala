@@ -163,12 +163,18 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.4,
                  maxBucket: Int = 1024): DataFrame =
     minhashLshFrom(spark, Tables.documents(spark, dir), estThreshold, maxBucket)
+      .orderBy("doc_a", "doc_b")
 
   /** DataFrame-input core of `minhashLsh` — input needs (doc_id,
     * text); lets pipelines run the near-dup stage over an
-    * already-cleaned frame instead of re-reading the table. */
+    * already-cleaned frame instead of re-reading the table. UNSORTED:
+    * only the public query wrapper pays the presentation orderBy —
+    * pipeline consumers feed the pairs straight into an eagerly
+    * materialized edge list, where a global sort is pure waste.
+    * Defaults live on the public wrapper only, so the two entries
+    * can't drift. */
   private[graft] def minhashLshFrom(spark: SparkSession, raw: DataFrame,
-                                    estThreshold: Double = 0.4,
+                                    estThreshold: Double,
                                     maxBucket: Int = 1024): DataFrame = {
     // Pairs are enumerated INSIDE each band bucket from the grouped
     // member list: signatures are computed once and shuffled once (the
@@ -191,7 +197,6 @@ object Dedup {
         (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= estThreshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** All (i, j) index pairs with 1 ≤ i < j ≤ size(members) — the

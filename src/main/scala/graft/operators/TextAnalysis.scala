@@ -286,14 +286,7 @@ object TextAnalysis {
        |     + len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_redactions
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Deterministic train/val/test split census — assignment is a pure
-    * function of the stable doc id (first hex char of its md5), so the
-    * split is reproducible across runs, engines, and repartitioning,
-    * and membership never flips when the corpus grows (no count-based
-    * percentile cut, which would reassign docs on every append).
-    * 12/16 hex chars → train (75%), 2 → val, 2 → test. Zero-shuffle
-    * assignment; one aggregate for the census. */
-  /** The split-assignment column itself — shared by `corpusSplit` and
+  /** The split-assignment column — shared by `corpusSplit` and
     * `CorpusPipeline`'s partitioned write so the two can't drift. */
   private[graft] def splitCol(id: Column): Column = {
     val b = substring(md5(id.cast("string").cast("binary")), 1, 1)
@@ -301,6 +294,14 @@ object TextAnalysis {
       .when(b.isin("c", "d"), "val")
       .otherwise("test")
   }
+
+  /** Deterministic train/val/test split census — assignment is a pure
+    * function of the stable doc id (first hex char of its md5), so the
+    * split is reproducible across runs, engines, and repartitioning,
+    * and membership never flips when the corpus grows (no count-based
+    * percentile cut, which would reassign docs on every append).
+    * 12/16 hex chars → train (75%), 2 → val, 2 → test. Zero-shuffle
+    * assignment; one aggregate for the census. */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("split", splitCol(col("doc_id")))

@@ -215,6 +215,27 @@ class PipelineSpec extends SparkSpec {
     assert(ids2 == ids1)
   }
 
+  test("corpus pipeline gates before dedup: a failing min-id twin cannot evict its passing copy") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpus_gate").toString
+    val stop20 = Seq.fill(4)("the and of to in").mkString(" ")
+    // both docs scrub to the SAME clean text ("... contact <EMAIL>"),
+    // but doc 1's 200-char email wrecks its raw avg-word-length and
+    // fails the quality gate, while doc 5 passes. Windowing before the
+    // gate would pick doc 1 as keeper (min id) and then drop the whole
+    // content group; gating first must keep doc 5.
+    Seq(
+      (1L, s"$stop20 contact ${"a" * 200}@x.com", "en", "s0", 0L),
+      (5L, s"$stop20 contact ab@x.com", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Files.createTempDirectory("graft_corpus_gate_out").toString
+    val r = CorpusPipeline.run(spark, dir, out)
+    assert(r.kept == 1L)
+    val ids = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(5L), s"passing copy must survive its failing min-id twin: got $ids")
+  }
+
   private def twoDates(): Seq[String] =
     operators.EventMarts.enriched(spark, Sf).select("event_date").distinct()
       .orderBy("event_date").limit(2).collect().map(_.getDate(0).toString).toSeq
