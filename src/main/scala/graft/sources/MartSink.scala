@@ -35,4 +35,23 @@ object MartSink {
     * tables): plain overwrite, coalesced to a handful of files. */
   def writeSnapshot(df: DataFrame, path: String, files: Int = 4): Unit =
     df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Dynamic-overwrite write with a SORTED data layout on `sortCols`
+    * — the layout lever for downstream scans: parquet keeps min/max
+    * statistics per row group and per file, and a range-clustered
+    * sorted layout makes those ranges narrow and DISJOINT, so a later
+    * selective read (one user, one product, one session) skips whole
+    * row groups/files instead of scanning the partition. At 100 TB
+    * this is the difference between a point lookup touching megabytes
+    * or the whole date partition. Costs one range exchange at write
+    * time (`repartitionByRange` so different tasks own different key
+    * ranges — a task-local sort alone would leave every file spanning
+    * the full key range) plus a task-local sort; reads pay nothing. */
+  def writePartitionedSorted(df: DataFrame, path: String,
+                             partitionCols: Seq[String], sortCols: Seq[String]): Unit = {
+    val keys = (partitionCols ++ sortCols).map(df.col)
+    writePartitioned(
+      df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*),
+      path, partitionCols)
+  }
 }

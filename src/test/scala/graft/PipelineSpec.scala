@@ -215,6 +215,47 @@ class PipelineSpec extends SparkSpec {
     assert(ids2 == ids1)
   }
 
+  test("sorted mart write lays out disjoint user_id ranges (row-group stats prunable)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val out = Files.createTempDirectory("graft_sorted").toString
+    val e = operators.EventMarts.enriched(spark, Sf)
+      .select(col("event_date"), col("user_id"), col("event_type"), col("value"))
+      .filter(col("event_date").isNotNull)
+    sources.MartSink.writePartitionedSorted(e, out, Seq("event_date"), Seq("user_id"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    // per date partition: [min,max] user_id of every row group of every file
+    val byPartition = walk(new java.io.File(out))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .groupBy(_.getParentFile.getName)
+    assert(byPartition.nonEmpty)
+    val allRanges = byPartition.map { case (_, files) =>
+      files.flatMap { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+        try r.getFooter.getBlocks.toArray.toSeq.map { b =>
+          val c = b.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+            .getColumns.toArray.toSeq
+            .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+            .find(_.getPath.toDotString == "user_id").get
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        } finally r.close()
+      }
+    }
+    // a range-clustered sorted layout: within each partition, ranges
+    // sorted by min must not interleave (boundary keys may touch)
+    allRanges.foreach { ranges =>
+      val sorted = ranges.sortBy(_._1)
+      sorted.zip(sorted.drop(1)).foreach { case ((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping user_id ranges: $sorted")
+      }
+    }
+  }
+
   test("corpus pipeline gates before dedup: a failing min-id twin cannot evict its passing copy") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_corpus_gate").toString
