@@ -449,25 +449,34 @@ object EventMarts {
     * over that tiny table. The estimate's rsd at lgConfigK=12 is
     * ~1.6% (spec bounds the realized error vs the exact
     * intersection). Rows-only at the gate: DuckDB's HLL differs. */
-  def approxRetentionHll(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
+  def approxRetentionHll(spark: SparkSession, dir: String, lgConfigK: Int = 12,
+                         offsets: Seq[Int] = Seq(1)): DataFrame = {
     val sketches = enriched(spark, dir)
       .groupBy(col("event_date"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+      // the sketch table is tiny (one row per day) but feeds one join
+      // per offset — persist it so the events scan runs once, not
+      // |offsets| times (same shared-subtree rule as Pipeline)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sketches.select(col("event_date").as("day"), col("sk").as("sk_a"))
-    val b = sketches.select(col("event_date").as("next_day"), col("sk").as("sk_b"))
+    val b = sketches.select(col("event_date").as("later_day"), col("sk").as("sk_b"))
     val estA = round(hll_sketch_estimate(col("sk_a")))
     val estB = round(hll_sketch_estimate(col("sk_b")))
     val estU = round(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
-    a.join(b, date_add(col("day"), 1) === col("next_day"))
-      .select(
-        col("day"),
-        estA.cast("bigint").as("est_active"),
-        estB.cast("bigint").as("est_next_active"),
-        // three independently-rounded ~1.6%-rsd estimates: on disjoint
-        // day pairs the union estimate can exceed the sum by a few
-        // counts — clamp so the query never reports negative users
-        greatest(lit(0L), (estA + estB - estU).cast("bigint")).as("est_returning"))
-      .orderBy("day")
+    offsets.map { off =>
+      a.join(b, date_add(col("day"), off) === col("later_day"))
+        .select(
+          col("day"),
+          lit(off).as("day_offset"),
+          estA.cast("bigint").as("est_active"),
+          estB.cast("bigint").as("est_later_active"),
+          // three independently-rounded ~1.6%-rsd estimates: on
+          // disjoint day pairs the union estimate can exceed the sum
+          // by a few counts — clamp so the query never reports
+          // negative users
+          greatest(lit(0L), (estA + estB - estU).cast("bigint")).as("est_returning"))
+    }.reduce(_.unionByName(_))
+      .orderBy("day", "day_offset")
   }
 
   /** Heavy-hitter products via the custom Misra-Gries aggregate

@@ -169,25 +169,30 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  test("HLL retention estimate tracks the exact day-over-day intersection") {
+  test("HLL retention estimates track the exact day-pair intersections at every offset") {
+    val offsets = Seq(1, 3, 7)
     val exact = Tables.events(spark, Sf)
       .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
-    val nxt = exact.select(col("user_id").as("nxt_user"), col("day").as("next_day"))
-    val truth = exact.join(nxt, date_add(col("day"), 1) === col("next_day") &&
-        col("user_id") === col("nxt_user"))
-      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("returning"))
-      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("returning")).toMap
-    val est = EventMarts.approxRetentionHll(spark, Sf).collect()
+    val later = exact.select(col("user_id").as("later_user"), col("day").as("later_day"))
+    val truth = offsets.flatMap { off =>
+      exact.join(later, date_add(col("day"), off) === col("later_day") &&
+          col("user_id") === col("later_user"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("returning"))
+        .collect().map(r =>
+          (r.getAs[java.sql.Date]("day").toString, off) -> r.getAs[Long]("returning"))
+    }.toMap
+    val est = EventMarts.approxRetentionHll(spark, Sf, offsets = offsets).collect()
     assert(est.nonEmpty)
+    assert(est.map(_.getAs[Int]("day_offset")).toSet == offsets.toSet)
     est.foreach { r =>
-      val day = r.getAs[java.sql.Date]("day").toString
+      val key = (r.getAs[java.sql.Date]("day").toString, r.getAs[Int]("day_offset"))
       val got = r.getAs[Long]("est_returning")
-      val want = truth.getOrElse(day, 0L)
+      val want = truth.getOrElse(key, 0L)
       assert(r.getAs[Long]("est_active") > 0)
       // inclusion-exclusion over three ~1.6%-rsd estimates: allow 6%
       // relative (plus a small absolute floor for tiny intersections)
       assert(math.abs(got - want) <= math.max(3.0, 0.06 * want),
-        s"$day: est_returning $got vs exact $want")
+        s"$key: est_returning $got vs exact $want")
     }
   }
 
