@@ -72,7 +72,7 @@ object CorpusPipeline {
       val cleaned = cleanedDf.count()
       val pairs = Dedup.minhashLshFrom(spark,
           cleanedDf.select(col("doc_id"), col("clean_text").as("text")),
-          estThreshold)
+          estThreshold, Dedup.DefaultMaxBucket)
         .select(col("doc_a"), col("doc_b"))
       val kept = Dedup.nearDupCorpusFromPairs(cleanedDf, pairs,
           maxRounds, requireConvergence)

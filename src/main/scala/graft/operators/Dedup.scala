@@ -144,6 +144,11 @@ object Dedup {
   val NumBands = 16
   val RowsPerBand = 4
 
+  /** The ONE default for every bucket skew guard in the dedup/ANN
+    * family — referenced by each public API's default parameter so
+    * the query surface and pipeline consumers can't drift. */
+  val DefaultMaxBucket = 1024
+
   /** Per-doc MinHash signature: fused shingle hashing, then one fused
     * 64-permutation pass (both native codegen'd expressions). */
   private def signature(text: Column): Column =
@@ -161,7 +166,7 @@ object Dedup {
     *   dedup already collapses — such buckets are dropped rather than
     *   allowed to dominate the stage. */
   def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.4,
-                 maxBucket: Int = 1024): DataFrame =
+                 maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashLshFrom(spark, Tables.documents(spark, dir), estThreshold, maxBucket)
       .orderBy("doc_a", "doc_b")
 
@@ -175,7 +180,7 @@ object Dedup {
     * can't drift. */
   private[graft] def minhashLshFrom(spark: SparkSession, raw: DataFrame,
                                     estThreshold: Double,
-                                    maxBucket: Int = 1024): DataFrame = {
+                                    maxBucket: Int): DataFrame = {
     // Pairs are enumerated INSIDE each band bucket from the grouped
     // member list: signatures are computed once and shuffled once (the
     // self-join formulation planned the fused signature subtree into
@@ -263,12 +268,12 @@ object Dedup {
 
   /** Dropped-bucket report for `minhashLsh` at the same maxBucket. */
   def minhashDroppedBuckets(spark: SparkSession, dir: String,
-                            maxBucket: Int = 1024): DataFrame =
+                            maxBucket: Int = DefaultMaxBucket): DataFrame =
     droppedBuckets(minhashBanded(spark, dir), Seq("band_idx", "band_hash"), maxBucket)
 
   /** Dropped-bucket report for `simhash` at the same maxBucket. */
   def simhashDroppedBuckets(spark: SparkSession, dir: String,
-                            maxBucket: Int = 1024): DataFrame =
+                            maxBucket: Int = DefaultMaxBucket): DataFrame =
     droppedBuckets(simhashBanded(spark, dir), Seq("band_idx", "band_val"), maxBucket)
 
   /** The consumable output of NEAR-dup dedup: one kept document per
@@ -291,13 +296,20 @@ object Dedup {
                     maxRounds: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    // the unsorted pair core: the presentation orderBy of the public
+    // minhashLsh would be destroyed by the union+groupBy inside the
+    // collapse anyway
     nearDupCorpusFromPairs(docs,
-      minhashLsh(spark, dir, estThreshold).select(col("doc_a"), col("doc_b")), maxRounds)
+        minhashLshFrom(spark, Tables.documents(spark, dir), estThreshold, DefaultMaxBucket)
+          .select(col("doc_a"), col("doc_b")), maxRounds)
+      .orderBy("doc_id")
   }
 
   /** The component-collapse core over ANY candidate-pair graph —
     * feed it `minhashLsh`, `simhash`, `ngramJaccard` or
     * `Similarity.cosineNearDup` pairs (renamed to doc_a/doc_b).
+    * UNSORTED output (the survivors feed writes/censuses downstream —
+    * query wrappers add their own presentation orderBy).
     *
     * @param requireConvergence when true, a loop that exits via the
     *   `maxRounds` cap (a component deeper than maxRounds hops from
@@ -307,13 +319,14 @@ object Dedup {
   def nearDupCorpusFromPairs(docs: DataFrame, pairs: DataFrame,
                              maxRounds: Int = 20,
                              requireConvergence: Boolean = false): DataFrame = {
-    // undirected adjacency, materialized ONCE: every propagation round
-    // joins the edges again, and without the lineage cut the
-    // (expensive) candidate-generation subtree would be re-planned
-    // into each round
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    // candidate generation is materialized ONCE, then the undirected
+    // adjacency is a cheap narrow union over the checkpointed pairs —
+    // checkpointing only the union would re-plan the (expensive)
+    // generation subtree into BOTH union branches, and no lineage cut
+    // at all would re-plan it into every propagation round
+    val p = pairs.localCheckpoint()
+    val edges = p.unionByName(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = docs.select(col("doc_id"), col("doc_id").as("keeper"))
       .localCheckpoint()
     var r = 0
@@ -341,14 +354,13 @@ object Dedup {
     }
     docs.join(labels.filter(col("doc_id") === col("keeper")), Seq("doc_id"))
       .select(docs.columns.map(col).toSeq: _*)
-      .orderBy("doc_id")
   }
 
   /** 64-bit SimHash near-dup: token hashes vote per bit; candidates
     * from 16-bit band blocking; pairs kept at Hamming distance ≤ 7.
     * Oracle: rows-only. */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 7,
-              maxBucket: Int = 1024): DataFrame = {
+              maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // grouped-bucket index-pair enumeration (see minhashLsh): one
     // simhash computation, one shuffle, bounded per-bucket expansion
     val x = expr("element_at(members, p.i)")
@@ -412,7 +424,7 @@ object Dedup {
     * Rows-only oracle (approximate operator); ScalaTest pins exact-dup
     * recall and agreement-vs-exact-jaccard tracking. */
   def incrementalMinhashFrom(spark: SparkSession, incoming: DataFrame, existing: DataFrame,
-                             estThreshold: Double = 0.4, maxBucket: Int = 1024): DataFrame = {
+                             estThreshold: Double = 0.4, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val in = minhashBandedFrom(spark, incoming)
       .select(col("band_idx"), col("band_hash"),
         col("doc_id").as("doc_in"), col("sig").as("sig_in"))

@@ -451,19 +451,25 @@ object EventMarts {
     * intersection). Rows-only at the gate: DuckDB's HLL differs. */
   def approxRetentionHll(spark: SparkSession, dir: String, lgConfigK: Int = 12,
                          offsets: Seq[Int] = Seq(1)): DataFrame = {
+    require(offsets.nonEmpty, "approxRetentionHll needs at least one day offset")
+    val offs = offsets.distinct
     val sketches = enriched(spark, dir)
       .groupBy(col("event_date"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
-      // the sketch table is tiny (one row per day) but feeds one join
-      // per offset — persist it so the events scan runs once, not
-      // |offsets| times (same shared-subtree rule as Pipeline)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the sketch table is tiny (one row per day) but feeds 2 joins
+      // per offset — cut the lineage so the events scan runs once,
+      // not 2·|offsets| times. localCheckpoint (not persist): the
+      // returned frame is lazy, so a persist could never be
+      // unpersisted by anyone and would leak a cache entry per call;
+      // checkpoint RDDs are ContextCleaner-collected when the plan is
+      // garbage.
+      .localCheckpoint()
     val a = sketches.select(col("event_date").as("day"), col("sk").as("sk_a"))
     val b = sketches.select(col("event_date").as("later_day"), col("sk").as("sk_b"))
     val estA = round(hll_sketch_estimate(col("sk_a")))
     val estB = round(hll_sketch_estimate(col("sk_b")))
     val estU = round(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
-    offsets.map { off =>
+    offs.map { off =>
       a.join(b, date_add(col("day"), off) === col("later_day"))
         .select(
           col("day"),

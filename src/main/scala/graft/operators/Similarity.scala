@@ -457,7 +457,7 @@ object Similarity {
     * counts stay bounded (expected bucket size halves per added
     * plane). */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                    maxBucket: Int = 1024): DataFrame = {
+                    maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     cosineNearDupFrom(Tables.embeddings(spark, dir), threshold, maxBucket)
   }
@@ -466,7 +466,7 @@ object Similarity {
     * (see Dedup.droppedBuckets — non-zero means the skew guard cost
     * recall in degenerate buckets). */
   def cosineDroppedBuckets(spark: SparkSession, dir: String,
-                           maxBucket: Int = 1024): DataFrame = {
+                           maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     Dedup.droppedBuckets(
       bandKeyed(Tables.embeddings(spark, dir), "vec_id", "embedding"),
@@ -480,7 +480,7 @@ object Similarity {
     * is the correct trade for dedup, where the verifier must never
     * pass a false positive but a borderline near-miss is harmless. */
   private[graft] def cosineNearDupFrom(e: DataFrame, threshold: Double,
-                                       maxBucket: Int = 1024): DataFrame = {
+                                       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val banded = bandKeyed(e
       // spread the band-key projection and the per-bucket pair scoring
       // across tasks even when the local input is a single split

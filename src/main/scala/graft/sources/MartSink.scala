@@ -50,8 +50,17 @@ object MartSink {
   def writePartitionedSorted(df: DataFrame, path: String,
                              partitionCols: Seq[String], sortCols: Seq[String]): Unit = {
     val keys = (partitionCols ++ sortCols).map(df.col)
-    writePartitioned(
-      df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*),
-      path, partitionCols)
+    // RangePartitioner samples range bounds with a SEPARATE job over
+    // the child plan before the shuffle job — persist the input so an
+    // expensive upstream mart build isn't computed twice
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      writePartitioned(
+        in.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*),
+        path, partitionCols)
+    finally {
+      in.unpersist()
+      ()
+    }
   }
 }
