@@ -485,6 +485,31 @@ object EventMarts {
       .orderBy("day", "day_offset")
   }
 
+  /** Count-min-sketch point-frequency mart — the fourth sketch next
+    * to HLL (distincts), Greenwald-Khanna (quantiles) and Misra-Gries
+    * (top-k): CMS answers "how often did THIS key occur" from
+    * fixed-size state with a one-sided guarantee (never under, over
+    * by ≤ ε·N with probability ≥ confidence). One map-side-combined
+    * aggregation builds the d×w counter grid no matter the row count;
+    * the probed keys are scored on the driver against the collected
+    * sketch (the sketch IS the query-servable index — the whole point
+    * is that the 100 TB table is not touched again per lookup).
+    * Rows-only: the spec pins both sides of the CMS guarantee against
+    * exact counts. */
+  def productFreqCms(spark: SparkSession, dir: String, eps: Double = 0.001,
+                     confidence: Double = 0.99,
+                     probeKeys: Seq[Int] = (0 until 10)): DataFrame = {
+    val bytes = enriched(spark, dir)
+      .filter(col("product_k").isNotNull)
+      .select(count_min_sketch(col("product_k"), lit(eps), lit(confidence), lit(42)).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    import spark.implicits._
+    probeKeys.map(k => (k, cms.estimateCount(k), cms.totalCount()))
+      .toDF("product_k", "est_count", "total_events")
+  }
+
   /** Heavy-hitter products via the custom Misra-Gries aggregate
     * (graft.functions.FreqItemsSketch): at most k counters per partial
     * aggregate, merged associatively — the fixed-state alternative to

@@ -196,6 +196,25 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates respect both sides of the CMS guarantee") {
+    val eps = 0.001
+    val exact = EventMarts.enriched(spark, Sf)
+      .filter(col("product_k").isNotNull)
+      .groupBy(col("product_k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("product_k") -> r.getAs[Long]("n")).toMap
+    val est = EventMarts.productFreqCms(spark, Sf, eps = eps).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val k = r.getAs[Int]("product_k")
+      val got = r.getAs[Long]("est_count")
+      val want = exact.getOrElse(k, 0L)
+      val total = r.getAs[Long]("total_events")
+      assert(got >= want, s"CMS must never undercount: key $k got $got < exact $want")
+      assert(got <= want + math.max(1L, (eps * total).toLong) * 3,
+        s"key $k overcounts beyond 3x the eps*N bound: $got vs $want (N=$total)")
+    }
+  }
+
   test("approx percentiles land inside the exact quantile neighborhood") {
     // GK returns an order statistic; the exact percentile interpolates.
     // The correct bound is therefore by RANK: the sketch's answer for

@@ -42,7 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     * subtrees are audited directly below instead. */
   private val AuditedViaSubplans =
     Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca", "semdedup",
-      "ann_pq_topk", "ann_ivfpq_topk")
+      "ann_pq_topk", "ann_ivfpq_topk", "product_freq_cms")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a
@@ -119,7 +119,17 @@ class PlanAuditSpec extends SparkSpec {
           Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding")),
           fakeBooks)) ++
       offendersIn("ann_ivfpq_topk[probe]", ivfpqProbePlan(fakeCents, fakeBooks)) ++
-      offendersIn("ann_pq_topk[probe]", pqProbePlan(fakeBooks))
+      offendersIn("ann_pq_topk[probe]", pqProbePlan(fakeBooks)) ++
+      // product_freq_cms collects its sketch at construction; the
+      // distributed subtree is the single map-side-combined aggregate
+      offendersIn("product_freq_cms[sketch]",
+        operators.EventMarts.enriched(spark, Sf)
+          .filter(col("product_k").isNotNull)
+          .select(org.apache.spark.sql.functions.count_min_sketch(
+            col("product_k"),
+            org.apache.spark.sql.functions.lit(0.001),
+            org.apache.spark.sql.functions.lit(0.99),
+            org.apache.spark.sql.functions.lit(42))))
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
 
