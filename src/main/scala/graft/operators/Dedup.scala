@@ -498,17 +498,27 @@ object Dedup {
     * grams seen in ≥2 docs (typically far smaller: on a healthy
     * corpus most grams are unique — same-session A/B vs joining ALL
     * grams back: 1.26 s vs 1.51 s at sf0.1). All-unique docs re-enter
-    * with 0 through the left join onto the totals. Measured caveat:
+    * with 0 through the left join onto the totals.
+    *
+    * The (gram, doc) stage is localCheckpoint'ed ONCE before fan-out:
     * neither static ReuseExchange nor AQE's stage cache dedups the
-    * three identical subtrees (distinct stage ids observed), so a
-    * production run at real scale should persist
-    * `perDocGramCounts` once and pass the cached frame through —
-    * each consumer otherwise re-scans the text. */
+    * three canonically-identical subtrees (distinct stage ids
+    * observed), so without it each consumer re-ran the text scan +
+    * gram explosion — 3 corpus scans instead of 1. localCheckpoint
+    * (not persist): the returned frame is lazy, so a persist could
+    * never be unpersisted and would leak; checkpoint blocks are
+    * ContextCleaner-collected when the plan is garbage (same
+    * rationale as approxRetentionHll, EventMarts.scala). */
   def substringDup(spark: SparkSession, dir: String): DataFrame =
     substringDupFrom(spark, Tables.documents(spark, dir))
 
-  private[graft] def substringDupFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val perDocGram = TextAnalysis.perDocGramCounts(docs, "occ")
+  private[graft] def substringDupFrom(spark: SparkSession, docs: DataFrame): DataFrame =
+    substringDupTail(TextAnalysis.perDocGramCounts(docs, "occ").localCheckpoint())
+
+  /** The three-consumer tail over an already-materialized (gram, doc,
+    * occ) frame — split out so the plan lint can audit the full
+    * un-checkpointed shape. */
+  private[graft] def substringDupTail(perDocGram: DataFrame): DataFrame = {
     val totals = perDocGram
       .groupBy(col("doc_id"))
       .agg(sum(col("occ")).cast("bigint").as("n_grams"))

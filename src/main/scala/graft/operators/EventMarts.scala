@@ -88,16 +88,28 @@ object EventMarts {
     martFunnelDailyFrom(enriched(spark, dir))
 
   def martFunnelDailyFrom(e: DataFrame): DataFrame = {
-    def ustep(t: String) = countDistinct(when(col("event_type") === t, col("user_id")))
+    // Distinct (date, segment, type, user) pre-aggregate instead of 4
+    // countDistincts: the multi-distinct form plans an Expand that
+    // multiplies every pre-shuffle row ×5; here the shuffle carries the
+    // (already map-side-combined) distinct set once, and each step is a
+    // plain conditional count — retentionCurve's own trick. The
+    // distinct keeps ALL event types so a (date, segment) group whose
+    // only events are non-funnel types still surfaces with zeros, and
+    // the null-user guard matches countDistinct's null handling
+    // exactly.
+    def ustep(t: String) =
+      count(when(col("event_type") === t && col("user_id").isNotNull, 1))
     def rate(a: Column, b: Column) =
       a.cast("double") / nullif(b, lit(0)).cast("double") * lit(100)
     e
+      .select(col("event_date"), col("segment"), col("event_type"), col("user_id"))
+      .distinct()
       .groupBy(col("event_date"), col("segment"))
       .agg(
         ustep("view").as("step1_viewers"),
         ustep("click").as("step2_clickers"),
         ustep("purchase").as("step3_purchasers"),
-        countDistinct(when(col("event_type") === "signup", col("user_id"))).as("signup_users"))
+        ustep("signup").as("signup_users"))
       .withColumn("view_to_click_rate", rate(col("step2_clickers"), col("step1_viewers")))
       .withColumn("click_to_purchase_rate", rate(col("step3_purchasers"), col("step2_clickers")))
       .withColumn("overall_conversion_rate", rate(col("step3_purchasers"), col("step1_viewers")))
@@ -110,13 +122,14 @@ object EventMarts {
       |  CAST(step3_purchasers AS DOUBLE) / CAST(NULLIF(step2_clickers, 0) AS DOUBLE) * 100 AS click_to_purchase_rate,
       |  CAST(step3_purchasers AS DOUBLE) / CAST(NULLIF(step1_viewers, 0) AS DOUBLE) * 100 AS overall_conversion_rate
       |FROM (
-      |  SELECT CAST(ts AS DATE) AS event_date, CAST(user_id % 3 AS INT) AS segment,
-      |    COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS step1_viewers,
-      |    COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS step2_clickers,
-      |    COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS step3_purchasers,
-      |    COUNT(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signup_users
-      |  FROM events
-      |  GROUP BY CAST(ts AS DATE), CAST(user_id % 3 AS INT)
+      |  SELECT event_date, segment,
+      |    COUNT(CASE WHEN event_type = 'view' AND user_id IS NOT NULL THEN 1 END) AS step1_viewers,
+      |    COUNT(CASE WHEN event_type = 'click' AND user_id IS NOT NULL THEN 1 END) AS step2_clickers,
+      |    COUNT(CASE WHEN event_type = 'purchase' AND user_id IS NOT NULL THEN 1 END) AS step3_purchasers,
+      |    COUNT(CASE WHEN event_type = 'signup' AND user_id IS NOT NULL THEN 1 END) AS signup_users
+      |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS event_date, CAST(user_id % 3 AS INT) AS segment,
+      |          event_type, user_id FROM events) du
+      |  GROUP BY event_date, segment
       |) t ORDER BY event_date, segment""".stripMargin
 
   /** Per product/day behavior, product id parsed once from the JSON
@@ -187,13 +200,17 @@ object EventMarts {
 
   /** Overall funnel conversion (corpus-wide, one row).
     * Reference: spark_batch_processor.compute_funnel_conversion —
-    * distinct users per step + step-to-step rates. One aggregate, three
-    * conditional distincts. */
+    * distinct users per step + step-to-step rates. Built on the
+    * distinct (type, user) pre-aggregate (no multi-countDistinct
+    * Expand — see martFunnelDailyFrom). */
   def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
-    def ustep(t: String) = countDistinct(when(col("event_type") === t, col("user_id")))
+    def ustep(t: String) =
+      count(when(col("event_type") === t && col("user_id").isNotNull, 1))
     def rate(a: Column, b: Column) =
       a.cast("double") / nullif(b, lit(0)).cast("double") * lit(100)
     Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
       .agg(
         ustep("view").as("viewers"),
         ustep("click").as("clickers"),
@@ -210,10 +227,10 @@ object EventMarts {
       |  CAST(purchasers AS DOUBLE) / CAST(NULLIF(viewers, 0) AS DOUBLE) * 100 AS overall_conversion_rate
       |FROM (
       |  SELECT
-      |    COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS viewers,
-      |    COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS clickers,
-      |    COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers
-      |  FROM events
+      |    COUNT(CASE WHEN event_type = 'view' AND user_id IS NOT NULL THEN 1 END) AS viewers,
+      |    COUNT(CASE WHEN event_type = 'click' AND user_id IS NOT NULL THEN 1 END) AS clickers,
+      |    COUNT(CASE WHEN event_type = 'purchase' AND user_id IS NOT NULL THEN 1 END) AS purchasers
+      |  FROM (SELECT DISTINCT event_type, user_id FROM events) du
       |) t""".stripMargin
 
   /** Hourly traffic distribution.
@@ -506,8 +523,11 @@ object EventMarts {
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     import spark.implicits._
+    // N here is the non-null-product row count (the sketch is built on
+    // the filtered stream), so the column says so — "total_events"
+    // would misread as the unfiltered event count
     probeKeys.map(k => (k, cms.estimateCount(k), cms.totalCount()))
-      .toDF("product_k", "est_count", "total_events")
+      .toDF("product_k", "est_count", "total_product_events")
   }
 
   /** Heavy-hitter products via the custom Misra-Gries aggregate

@@ -13,17 +13,27 @@ import graft.operators.EventMarts.enriched
   * lag + cumulative-sum pattern: a new session starts after a
   * `gapSeconds` silence per user.
   *
-  * Scale notes: both window functions share ONE partitioning
-  * (user_id) → a single shuffle; the subsequent groupBy(user_id,
-  * session_idx) is partition-local in practice (same prefix key).
-  * Sequences are built with sort_array(collect_list(struct)) — bounded
-  * per session, never a driver-side collect. At 100 TB, user_id
+  * Scale notes: all three window functions share ONE partitioning —
+  * the per-session `row_number` clusters on (user_id, session_idx),
+  * which the existing HashPartitioning(user_id) already satisfies
+  * (subset rule), so it adds only a partition-local sort, and the
+  * subsequent groupBy(user_id, session_idx) is likewise co-located.
+  * Sequences are HARD-CAPPED at `MaxSeqEvents` events: the
+  * `collect_list` aggregates `when(rank <= cap, …)` so the aggregation
+  * BUFFER is bounded, not just the output row — a bot user with a
+  * multi-million-event "session" costs `MaxSeqEvents` structs of state,
+  * with the tail surfaced as `overflow_events`. At 100 TB, user_id
   * partitioning distributes evenly (no hot keys in behavioral data;
   * were there any, AQE skew-join/salting applies).
   */
 object Sessionize {
 
   val GapSeconds = 1800
+
+  /** Max events rendered into `event_sequence`; the rest are counted in
+    * `overflow_events`. Bounds both the aggregation state and the
+    * output row width against pathological single-user sessions. */
+  val MaxSeqEvents = 100
 
   /** One row per (user, session): ordered event sequence + stats. */
   def sessionSequences(spark: SparkSession, dir: String): DataFrame =
@@ -39,19 +49,27 @@ object Sessionize {
           .otherwise(0))
       .withColumn("session_idx",
         sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // same user_id hash partitioning satisfies the (user_id,
+      // session_idx) clustering — only a local sort is added here
+      .withColumn("seq_rank",
+        row_number().over(Window.partitionBy("user_id", "session_idx")
+          .orderBy("event_epoch", "event_id")))
     withGap
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col("event_epoch"), col("event_id"), col("event_type")))),
+            array_sort(collect_list(
+              when(col("seq_rank") <= MaxSeqEvents,
+                struct(col("event_epoch"), col("event_id"), col("event_type"))))),
             x => x.getField("event_type")),
           " -> ").as("event_sequence"),
         count(lit(1)).as("event_count"),
         min(col("event_epoch")).as("session_start_epoch"),
         max(col("event_epoch")).as("session_end_epoch"),
         (max(col("event_epoch")) - min(col("event_epoch"))).as("duration_seconds"),
-        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"),
+        greatest(count(lit(1)) - lit(MaxSeqEvents), lit(0L)).as("overflow_events"))
       .orderBy("user_id", "session_idx")
   }
 
@@ -68,15 +86,21 @@ object Sessionize {
       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_epoch, event_id
       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM flagged
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+      |                               ORDER BY event_epoch, event_id) AS seq_rank
+      |  FROM sessioned
       |)
       |SELECT user_id, session_idx,
-      |  STRING_AGG(event_type, ' -> ' ORDER BY event_epoch, event_id) AS event_sequence,
+      |  STRING_AGG(event_type, ' -> ' ORDER BY event_epoch, event_id)
+      |    FILTER (WHERE seq_rank <= 100) AS event_sequence,
       |  COUNT(*) AS event_count,
       |  MIN(event_epoch) AS session_start_epoch,
       |  MAX(event_epoch) AS session_end_epoch,
       |  MAX(event_epoch) - MIN(event_epoch) AS duration_seconds,
-      |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
-      |FROM sessioned
+      |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+      |  GREATEST(COUNT(*) - 100, 0) AS overflow_events
+      |FROM ranked
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
@@ -104,12 +128,17 @@ object Sessionize {
       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_epoch, event_id
       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       |  FROM flagged
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+      |                               ORDER BY event_epoch, event_id) AS seq_rank
+      |  FROM sessioned
       |), sessions AS (
       |  SELECT user_id, session_idx,
-      |    STRING_AGG(event_type, ' -> ' ORDER BY event_epoch, event_id) AS event_sequence,
+      |    STRING_AGG(event_type, ' -> ' ORDER BY event_epoch, event_id)
+      |      FILTER (WHERE seq_rank <= 100) AS event_sequence,
       |    MAX(event_epoch) - MIN(event_epoch) AS duration_seconds,
       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
-      |  FROM sessioned GROUP BY user_id, session_idx
+      |  FROM ranked GROUP BY user_id, session_idx
       |)
       |SELECT event_sequence,
       |  COUNT(*) AS session_count,

@@ -720,8 +720,15 @@ object Similarity {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val cents = kmeansCentroids(spark, dir, nlist, iters)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // localCheckpoint: `assigned` feeds three consumers (the pair
+    // graph, the docs side of the component collapse, the census) and
+    // neither ReuseExchange nor AQE dedups the shared subtree — without
+    // it the scan + nlist-way argmin runs 3×. Checkpoint (not persist):
+    // the returned census frame is lazy, so a persist could never be
+    // unpersisted; checkpoint blocks are ContextCleaner-collected.
     val assigned = e.select(col("vec_id"), col("embedding"),
       explode(nearestCellsCol(col("embedding"), cents, 1)).as("cell"))
+      .localCheckpoint()
     val survivors = semDedupSurvivorsFrom(assigned, threshold, maxBucket)
     assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
       .join(survivors.groupBy(col("cell")).agg(count(lit(1)).as("n_kept")), Seq("cell"), "left")

@@ -404,7 +404,7 @@ object TextAnalysis {
     * captured-array HOF form re-split the text per element) into a
     * map-side-combined count, so repeated grams collapse before the
     * shuffle. */
-  private[operators] def perDocGramCounts(docs: DataFrame, countAs: String): DataFrame = {
+  private[graft] def perDocGramCounts(docs: DataFrame, countAs: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     docs
       .select(col("doc_id"), explode(call_function("trigram_strings", col("text"))).as("gram"))

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.jdbc.JdbcDialects
 
 /** Idempotent mart writer.
   *
@@ -52,15 +53,93 @@ object MartSink {
     val keys = (partitionCols ++ sortCols).map(df.col)
     // RangePartitioner samples range bounds with a SEPARATE job over
     // the child plan before the shuffle job — persist the input so an
-    // expensive upstream mart build isn't computed twice
-    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // expensive upstream mart build isn't computed twice. If the
+    // caller already persisted df, reuse THEIR cache and leave it
+    // alone on exit (persist() on a cached frame is a no-op, so an
+    // unconditional unpersist here would silently drop the caller's
+    // cache out from under them).
+    val wasCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val in = if (wasCached) df
+             else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try
       writePartitioned(
         in.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*),
         path, partitionCols)
     finally {
-      in.unpersist()
+      if (!wasCached) in.unpersist()
       ()
     }
+  }
+
+  /** Idempotent JDBC mart load — the relational-warehouse counterpart
+    * of `writePartitioned` (the reference loads its marts into
+    * PostgreSQL with per-date DELETE + INSERT:
+    * dags/event_pipeline_dag.py load task, docker/init-db.sh,
+    * sql/create_tables.sql).
+    *
+    * A naive driver-side DELETE followed by executor-side appends is
+    * retry-safe but not atomic: readers see the hole between the two,
+    * and a mid-insert failure leaves a partial date visible. Instead:
+    *
+    *   1. executors append `df` into a fresh STAGING table — the
+    *      distributed leg, full cluster insert bandwidth, each task
+    *      its own batched connection;
+    *   2. ONE driver transaction runs `DELETE FROM target WHERE
+    *      deletePredicate` + `INSERT INTO target SELECT … FROM
+    *      staging` and commits — readers see the old date or the new
+    *      date, never the hole or a prefix;
+    *   3. staging is dropped (best-effort — an orphan staging table
+    *      is garbage, not corruption).
+    *
+    * Re-running the same load is idempotent: the predicate delete
+    * clears the previous attempt inside the same transaction. With
+    * `deletePredicate = None` only the insert runs (first-load /
+    * append-only mode). The target table is created from the staging
+    * table's dialect-mapped schema if absent. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                deletePredicate: Option[String] = None,
+                batchSize: Int = 10000): Unit = {
+    val dialect = JdbcDialects.get(url)
+    // Spark's JDBC writer emits the TABLE name raw (the DB folds its
+    // case) but quotes COLUMN names exact-case — mirror both here or
+    // the staging identifiers won't resolve
+    def qid(s: String) = dialect.quoteIdentifier(s)
+    val staging = table + "_stg_" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val props = new java.util.Properties()
+    props.setProperty("batchsize", batchSize.toString)
+    // leg 1: distributed append into staging (Spark creates it with
+    // the dialect's type mapping)
+    df.write.mode(SaveMode.Append).jdbc(url, staging, props)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val cols = df.schema.fieldNames.map(qid).mkString(", ")
+      val exists = {
+        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+        try Iterator.continually(rs)
+          .takeWhile(_.next()).exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+        finally rs.close()
+      }
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        if (!exists)
+          // empty clone of staging → target inherits the exact
+          // dialect-mapped column types Spark just created
+          st.executeUpdate(
+            s"CREATE TABLE $table AS SELECT $cols FROM $staging WITH NO DATA")
+        // leg 2: the atomic swap — delete + insert in one transaction
+        deletePredicate.foreach(p => st.executeUpdate(s"DELETE FROM $table WHERE $p"))
+        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+      // leg 3: best-effort cleanup
+      try {
+        conn.setAutoCommit(true)
+        val drop = conn.createStatement()
+        try drop.executeUpdate(s"DROP TABLE $staging") finally drop.close()
+      } catch { case _: java.sql.SQLException => () }
+    } finally conn.close()
   }
 }

@@ -208,7 +208,7 @@ class ApproxSpec extends SparkSpec {
       val k = r.getAs[Int]("product_k")
       val got = r.getAs[Long]("est_count")
       val want = exact.getOrElse(k, 0L)
-      val total = r.getAs[Long]("total_events")
+      val total = r.getAs[Long]("total_product_events")
       assert(got >= want, s"CMS must never undercount: key $k got $got < exact $want")
       assert(got <= want + math.max(1L, (eps * total).toLong) * 3,
         s"key $k overcounts beyond 3x the eps*N bound: $got vs $want (N=$total)")
@@ -275,6 +275,29 @@ class SessionizeSpec extends SparkSpec {
     val sCount = Sessionize.sessionSequences(spark, Sf).count()
     val pSum = Sessionize.sessionPatterns(spark, Sf).agg(sum("session_count")).collect().head.getLong(0)
     assert(sCount == pSum)
+  }
+
+  test("a 100k-event bot session yields a bounded row: capped sequence + overflow count") {
+    // one user firing an event per second for 10^5 seconds — a single
+    // session (every gap 1s < 1800s) that would otherwise build a
+    // 100k-struct aggregation buffer and a megabyte row
+    val n = 100000L
+    val e = spark.range(n).selectExpr(
+      "'bot' AS user_id",
+      "concat('e', lpad(cast(id as string), 7, '0')) AS event_id",
+      "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 THEN 'cart' ELSE 'purchase' END AS event_type",
+      "1000000 + id AS event_epoch")
+    val rows = Sessionize.sessionSequencesFrom(e).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("event_count") == n)
+    assert(r.getAs[Long]("overflow_events") == n - Sessionize.MaxSeqEvents)
+    val seq = r.getAs[String]("event_sequence")
+    // capped at MaxSeqEvents entries → MaxSeqEvents-1 separators
+    assert(seq.split(" -> ").length == Sessionize.MaxSeqEvents)
+    assert(seq.length <= Sessionize.MaxSeqEvents * 12, s"row not bounded: ${seq.length} chars")
+    // the cap keeps the FIRST events in order: id 0 is 'view', id 1 'cart'
+    assert(seq.startsWith("view -> cart -> purchase"))
   }
 }
 

@@ -36,6 +36,37 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("event_date") === "2024-01-01").collect().head.getAs[Long]("n") == 5L)
     assert(back.filter(col("event_date") === "2024-01-02").collect().head.getAs[Long]("n") == 99L)
   }
+
+  test("JDBC mart load is date-idempotent: rerunning one date leaves other dates untouched") {
+    import spark.implicits._
+    // embedded Derby (bundled with Spark) stands in for the
+    // reference's PostgreSQL target
+    val db = Files.createTempDirectory("graft_derby").resolve("martdb")
+    val url = s"jdbc:derby:$db;create=true"
+    def mart(rows: (Long, String, Long)*) =
+      rows.toDF("user_id", "d", "n").withColumn("event_date", col("d").cast("date")).drop("d")
+        .select("user_id", "event_date", "n")
+    // initial load: two dates
+    MartSink.writeJdbc(mart((1L, "2024-01-01", 5L), (2L, "2024-01-02", 7L)), url, "mart_user_daily")
+    // rerun of day 2 with corrected values — delete+insert scoped to
+    // the date; must not touch day 1 and must not duplicate day 2
+    MartSink.writeJdbc(mart((2L, "2024-01-02", 99L), (3L, "2024-01-02", 4L)), url,
+      "mart_user_daily", deletePredicate = Some("\"event_date\" = DATE('2024-01-02')"))
+    val back = spark.read.jdbc(url, "mart_user_daily", new java.util.Properties())
+    assert(back.count() == 3)
+    assert(back.filter(col("event_date") === "2024-01-01").collect()
+      .map(_.getAs[Long]("n")).toSeq == Seq(5L))
+    assert(back.filter(col("event_date") === "2024-01-02").collect()
+      .map(_.getAs[Long]("n")).sorted.toSeq == Seq(4L, 99L))
+    // staging tables are dropped after the swap
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next()).map(_.getString("TABLE_NAME")).toList
+      rs.close()
+      assert(!names.exists(_.toLowerCase.contains("_stg_")), s"staging leak: $names")
+    } finally conn.close()
+  }
 }
 
 class EventGeneratorSpec extends SparkSpec {

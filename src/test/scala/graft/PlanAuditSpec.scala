@@ -42,7 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     * subtrees are audited directly below instead. */
   private val AuditedViaSubplans =
     Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca", "semdedup",
-      "ann_pq_topk", "ann_ivfpq_topk", "product_freq_cms")
+      "ann_pq_topk", "ann_ivfpq_topk", "product_freq_cms", "dedup_substring")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a
@@ -120,6 +120,13 @@ class PlanAuditSpec extends SparkSpec {
           fakeBooks)) ++
       offendersIn("ann_ivfpq_topk[probe]", ivfpqProbePlan(fakeCents, fakeBooks)) ++
       offendersIn("ann_pq_topk[probe]", pqProbePlan(fakeBooks)) ++
+      // dedup_substring eagerly checkpoints its (gram, doc) stage at
+      // construction; audit the FULL un-checkpointed shape (scan +
+      // explode + the three-consumer tail) — strictly a superset of
+      // the runtime plan
+      offendersIn("dedup_substring[full]",
+        operators.Dedup.substringDupTail(
+          operators.TextAnalysis.perDocGramCounts(Tables.documents(spark, Sf), "occ"))) ++
       // product_freq_cms collects its sketch at construction; the
       // distributed subtree is the single map-side-combined aggregate
       offendersIn("product_freq_cms[sketch]",
@@ -163,6 +170,19 @@ class PlanAuditSpec extends SparkSpec {
       .withColumn("cell", explode(operators.Similarity.nearestCellsCol(col("q_emb"), cents, 2)))
     operators.Similarity.adcRefineTopK(codes.join(broadcast(queries), "cell"),
       m = 8, k = 5, refine = 32)
+  }
+
+  test("funnel marts plan without an Expand (distinct pre-aggregate, not multi-countDistinct)") {
+    // 4 countDistincts over one groupBy plan an Expand that multiplies
+    // every pre-shuffle row ×5 — the distinct (keys…, user) form must
+    // keep both funnel queries Expand-free
+    import org.apache.spark.sql.execution.ExpandExec
+    Seq("mart_funnel_daily" -> operators.EventMarts.martFunnelDaily(spark, Sf),
+        "funnel_conversion" -> operators.EventMarts.funnelConversion(spark, Sf))
+      .foreach { case (n, df) =>
+        assert(physical(df).collect { case e: ExpandExec => e }.isEmpty,
+          s"$n plans an Expand")
+      }
   }
 
   test("runtime bloom-filter pruning arms the fact-fact join at the no-broadcast scale point") {

@@ -84,10 +84,14 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("emb_encode_test").outputMode("append").start()
     try {
       q.processAllAvailable()
+      // raw row count FIRST: keying into a Map would collapse a
+      // surviving duplicate row and make the size check vacuous
+      assert(spark.table("emb_encode_test").count() == 6,
+        "replayed vector must be deduped within the watermark")
       val got = spark.table("emb_encode_test").collect()
         .map(r => r.getAs[Long]("vec_id") ->
           ((r.getAs[Int]("cell"), r.getSeq[Int](r.fieldIndex("codes")).toSeq))).toMap
-      assert(got.size == 6, "replayed vector must be deduped within the watermark")
+      assert(got.size == 6)
       // batch reference: same literals through the batch encoder
       import spark.implicits._
       val batch = operators.Similarity.pqEncode(
