@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale proof-point: generate a ~10× corpus (1M events via
+  * EventGenerator; 50k documents by replicating sf0.1 docs with a
+  * per-replica token remap) and time the headline marts + dedup
+  * family at sf0.1 vs the generated sf~1, emitting per-query flushed
+  * JSON lines with the scaling factor.
+  *
+  * The document replicas are made pairwise-DISJOINT across replicas
+  * (every token suffixed with the replica id), so the duplicate
+  * DENSITY of the corpus is unchanged — a naive ×10 copy would give
+  * every doc 10 exact near-twins and quadratically inflate the
+  * in-bucket pair work, measuring densification, not scale. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val small = "/root/testdata/sf0.1"
+    val big = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$big/events.parquet").exists()) {
+      sources.EventGenerator.events(spark, 1000000L, days = 30, users = 10000)
+        .repartition(32).write.mode("overwrite").parquet(s"$big/events.parquet")
+      Tables.documents(spark, small)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
+          explode(sequence(lit(0), lit(9))).as("rep"))
+        .select(
+          (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(array_join(
+              transform(split(col("text"), " "), w => concat(w, lit("_"), col("rep"))), " "))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
+
+    val headline = Seq(
+      "mart_user_daily", "mart_funnel_daily", "hourly_traffic", "session_sequences",
+      "product_top_n", "retention_curve",
+      "dedup_exact", "dedup_corpus", "dedup_minhash_lsh", "dedup_substring")
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both scan paths + codegen once
+    Tables.events(spark, small).groupBy("event_type").count().write.format("noop").mode("overwrite").save()
+    Tables.events(spark, big).groupBy("event_type").count().write.format("noop").mode("overwrite").save()
+    headline.foreach { name =>
+      val s = (1 to 2).map(_ => run(name, small)).min
+      val b = (1 to 2).map(_ => run(name, big)).min
+      println("{\"query\":\"" + name + "\",\"sf01_sec\":" + f"$s%.3f" +
+        ",\"sf1_sec\":" + f"$b%.3f" + ",\"factor\":" + f"${b / s}%.2f" + "}")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}
