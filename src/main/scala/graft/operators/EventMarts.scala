@@ -139,15 +139,31 @@ object EventMarts {
     martProductDailyFrom(enriched(spark, dir))
 
   def martProductDailyFrom(enr: DataFrame): DataFrame = {
-    val e = enr.filter(col("product_k").isNotNull)
-    e.groupBy(col("product_k"), col("event_date"))
+    // Per (product, day, user) pre-aggregate, then plain sums +
+    // conditional user counts: the two-countDistinct form plans an
+    // Expand that triples every pre-shuffle row; here the shuffle
+    // carries one (map-side-combined) row per product/day/user and the
+    // distinct-user steps become plain conditional counts —
+    // martFunnelDailyFrom's trick at the product grain. Revenue stays
+    // decimal through both levels so the sum-of-sums is exact.
+    val perUser = enr
+      .filter(col("product_k").isNotNull)
+      .groupBy(col("product_k"), col("event_date"), col("user_id"))
       .agg(
-        count(when(col("event_type") === "click", 1)).as("click_count"),
-        count(when(col("event_type") === "view", 1)).as("view_count"),
-        count(when(col("event_type") === "purchase", 1)).as("purchase_count"),
-        coalesce(dsum(when(col("event_type") === "purchase", col("value"))), lit(0.0)).as("revenue"),
-        countDistinct(when(col("event_type") === "click", col("user_id"))).as("unique_clickers"),
-        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("unique_buyers"))
+        count(when(col("event_type") === "click", 1)).as("u_clicks"),
+        count(when(col("event_type") === "view", 1)).as("u_views"),
+        count(when(col("event_type") === "purchase", 1)).as("u_purchases"),
+        sum(when(col("event_type") === "purchase", col("value")).cast("decimal(12,2)"))
+          .as("u_revenue"))
+    perUser
+      .groupBy(col("product_k"), col("event_date"))
+      .agg(
+        sum(col("u_clicks")).as("click_count"),
+        sum(col("u_views")).as("view_count"),
+        sum(col("u_purchases")).as("purchase_count"),
+        coalesce(sum(col("u_revenue")).cast("double"), lit(0.0)).as("revenue"),
+        count(when(col("u_clicks") > 0 && col("user_id").isNotNull, 1)).as("unique_clickers"),
+        count(when(col("u_purchases") > 0 && col("user_id").isNotNull, 1)).as("unique_buyers"))
       .withColumn("conversion_rate",
         col("unique_buyers").cast("double") / nullif(col("unique_clickers"), lit(0)).cast("double") * lit(100))
       .orderBy("product_k", "event_date")
@@ -264,12 +280,16 @@ object EventMarts {
     productTopNFrom(enriched(spark, dir), topN)
 
   def productTopNFrom(e: DataFrame, topN: Int = 20): DataFrame =
-    martProductDailyFrom(e)
+    // Aggregates events directly at the product grain (its oracle is
+    // single-level): one shuffle, no per-day intermediate. The previous
+    // form re-aggregated martProductDailyFrom — Catalyst pruned the
+    // unused countDistincts but still paid two shuffles.
+    e.filter(col("product_k").isNotNull)
       .groupBy(col("product_k"))
       .agg(
-        sum(col("click_count")).as("clicks"),
-        sum(col("purchase_count")).as("purchases"),
-        sum(col("revenue").cast("decimal(14,2)")).cast("double").as("revenue"))
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        coalesce(dsum(when(col("event_type") === "purchase", col("value"))), lit(0.0)).as("revenue"))
       .orderBy(desc("revenue"), asc("product_k"))
       .limit(topN)
 

@@ -172,13 +172,16 @@ class PlanAuditSpec extends SparkSpec {
       m = 8, k = 5, refine = 32)
   }
 
-  test("funnel marts plan without an Expand (distinct pre-aggregate, not multi-countDistinct)") {
-    // 4 countDistincts over one groupBy plan an Expand that multiplies
-    // every pre-shuffle row ×5 — the distinct (keys…, user) form must
-    // keep both funnel queries Expand-free
+  test("funnel+product marts plan without an Expand (distinct pre-aggregate, not multi-countDistinct)") {
+    // N countDistincts over one groupBy plan an Expand that multiplies
+    // every pre-shuffle row ×(N+1) — the per-(keys…, user) pre-aggregate
+    // form must keep all four queries Expand-free (order_cube and the
+    // dq grouping-sets plans are the only INTENDED Expands in the repo)
     import org.apache.spark.sql.execution.ExpandExec
     Seq("mart_funnel_daily" -> operators.EventMarts.martFunnelDaily(spark, Sf),
-        "funnel_conversion" -> operators.EventMarts.funnelConversion(spark, Sf))
+        "funnel_conversion" -> operators.EventMarts.funnelConversion(spark, Sf),
+        "mart_product_daily" -> operators.EventMarts.martProductDaily(spark, Sf),
+        "product_top_n" -> operators.EventMarts.productTopN(spark, Sf))
       .foreach { case (n, df) =>
         assert(physical(df).collect { case e: ExpandExec => e }.isEmpty,
           s"$n plans an Expand")
