@@ -396,6 +396,26 @@ object GraftFunctions {
           s"freq_items_sketch k must be an integer literal, got $other")
       }
       FreqItemsSketch(children.head, k)
+    }),
+    ("quantile_bucket", { children: Seq[Expression] =>
+      require(children.length == 2, "quantile_bucket expects (x, boundaries)")
+      require(children(1).foldable, "quantile_bucket boundaries must be foldable")
+      val bs = children(1).eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray().toSeq
+        case other => throw new IllegalArgumentException(
+          s"quantile_bucket boundaries must be array<double>, got $other")
+      }
+      QuantileBucket(children.head, bs)
+    }),
+    ("spread_bits", { children: Seq[Expression] =>
+      require(children.length == 4, "spread_bits expects (bucket, stride, offset, bits)")
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"spread_bits $what must be an integer literal, got $other")
+      }
+      SpreadBits(children.head, intLit(children(1), "stride"),
+        intLit(children(2), "offset"), intLit(children(3), "bits"))
     }))
 
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -71,6 +71,70 @@ object MartSink {
     }
   }
 
+  /** Dynamic-overwrite write with a Z-ORDERED (Morton-curve) layout on
+    * `zCols` — multi-dimensional data skipping where
+    * `writePartitionedSorted` is one-dimensional. A linear sort on
+    * (a, b) gives narrow per-file min/max ranges on `a` only: every
+    * file still spans b's full domain, so a filter on `b` alone skips
+    * nothing. Z-ordering interleaves the bits of the columns'
+    * QUANTILE-bucket indices (equi-depth, so skew doesn't collapse the
+    * curve) and range-clusters on the interleaved key: each file then
+    * covers a small hyper-rectangle of the (a, b) space and carries
+    * narrow parquet min/max stats on EVERY z column — a selective
+    * filter on any one of them prunes most files/row groups. This is
+    * the layout a 100 TB mart wants when reads filter sometimes by
+    * user, sometimes by product, sometimes by session.
+    *
+    * Cost at write time: one `approxQuantile` sampling pass over the
+    * z columns (2^bits−1 cut points each) + the same range exchange
+    * and local sort `writePartitionedSorted` pays. Reads pay nothing.
+    * The interleave itself is two native codegen'd expressions per
+    * column (`quantile_bucket` binary search + `spread_bits`) OR-ed
+    * together — no UDF, no CASE tree.
+    *
+    * `bits` per column defaults to 8 (256 buckets/column — with 2-3
+    * z columns that is 65k-16M distinct cells, far more than the file
+    * count, so the range partitioner stays balanced); `zCols.size *
+    * bits` must stay below 63. Nulls sort to bucket 0. */
+  def writeZOrdered(df: DataFrame, path: String, partitionCols: Seq[String],
+                    zCols: Seq[String], bits: Int = 8, relErr: Double = 0.001): Unit = {
+    require(zCols.nonEmpty, "writeZOrdered needs at least one z column")
+    require(zCols.size * bits < 63, s"${zCols.size} columns x $bits bits exceeds a long")
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    val wasCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    // the quantile sampling pass and the write would otherwise each
+    // recompute the upstream mart (same reason as writePartitionedSorted)
+    val in = if (wasCached) df
+             else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+      val bounds = in.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+        .stat.approxQuantile(zCols.toArray, probes, relErr)
+      val zkey = zCols.zip(bounds).zipWithIndex.map { case ((c, bs), j) =>
+        // ties in a low-cardinality/skewed column yield duplicate cut
+        // points — dedup keeps the boundary array strictly increasing
+        // (the bucket map must be monotone, not equi-populated)
+        val cuts = bs.distinct.sorted.toSeq
+        call_function("spread_bits",
+          coalesce(call_function("quantile_bucket", col(c).cast("double"),
+            lit(cuts.toArray)), lit(0)),
+          lit(zCols.size), lit(j), lit(bits))
+      }.reduce(_ bitwiseOR _)
+      val keys = partitionCols.map(col) :+ col("__zkey")
+      writePartitioned(
+        in.withColumn("__zkey", zkey)
+          .repartitionByRange(keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop("__zkey"),
+        path, partitionCols)
+    } finally {
+      if (!wasCached) in.unpersist()
+      ()
+    }
+  }
+
   /** Idempotent JDBC mart load — the relational-warehouse counterpart
     * of `writePartitioned` (the reference loads its marts into
     * PostgreSQL with per-date DELETE + INSERT:

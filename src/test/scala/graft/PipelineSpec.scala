@@ -69,6 +69,103 @@ class SourcesSpec extends SparkSpec {
   }
 }
 
+class ZOrderSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.FileSourceScanExec
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  test("quantile_bucket counts boundaries below x; spread_bits builds the Morton interleave") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def one(sqlExpr: String): Any =
+      spark.sql(s"SELECT $sqlExpr AS v").collect().head.get(0)
+    // boundaries (1,3,7): x below all → 0; between → count ≤ x; ties count
+    assert(one("quantile_bucket(CAST(0.5 AS DOUBLE), array(1.0d,3.0d,7.0d))") == 0)
+    assert(one("quantile_bucket(CAST(3.0 AS DOUBLE), array(1.0d,3.0d,7.0d))") == 2)
+    assert(one("quantile_bucket(CAST(99.0 AS DOUBLE), array(1.0d,3.0d,7.0d))") == 3)
+    // NaN orders above every boundary → top bucket (matches Spark's
+    // double ordering; a NaN row must not derail the curve)
+    assert(one("quantile_bucket(CAST('NaN' AS DOUBLE), array(1.0d,3.0d,7.0d))") == 3)
+    // Morton: a=5 (101b) at even positions, b=3 (011b) at odd →
+    // a contributes 1+16, b contributes 2+8 → 27
+    assert(one("spread_bits(5, 2, 0, 3)") == 17L)
+    assert(one("spread_bits(3, 2, 1, 3)") == 10L)
+    assert(one("spread_bits(5, 2, 0, 3) | spread_bits(3, 2, 1, 3)") == 27L)
+    // out-of-range buckets clamp instead of colliding across columns
+    assert(one("spread_bits(9, 2, 0, 3)") == one("spread_bits(7, 2, 0, 3)"))
+    assert(one("spread_bits(-4, 2, 0, 3)") == 0L)
+  }
+
+  test("z-ordered layout keeps per-file min/max narrow on EVERY z column and skips row groups on either") {
+    import spark.implicits._
+    // two independent dimensions: a linear sort can only serve one
+    val df = spark.range(20000).toDF("id")
+      .withColumn("a", pmod(xxhash64(col("id")), lit(1000)))
+      .withColumn("b", pmod(xxhash64(col("id") + 500000), lit(1000)).cast("double") / 1000.0)
+    val sortedPath = Files.createTempDirectory("graft_lin").toString
+    val zPath = Files.createTempDirectory("graft_z").toString
+    val prevN = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    // pin 32 files: AQE's 64 MB advisory target would (correctly, at
+    // production scale) coalesce this ~300 KB frame into one file
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      MartSink.writePartitionedSorted(df, sortedPath, Nil, Seq("a"))
+      MartSink.writeZOrdered(df, zPath, Nil, Seq("a", "b"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevN)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+
+    // per-file min/max = exactly the stats parquet keeps per row
+    // group/file; normalized width is the fraction of the domain a
+    // selective filter on that file CANNOT skip
+    def widths(path: String): (Double, Double) = {
+      val w = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("a") - min("a")) / 999.0).as("wa"),
+          ((max("b") - min("b")) / lit(0.999)).as("wb"))
+        .agg(avg("wa"), avg("wb")).collect().head
+      (w.getDouble(0), w.getDouble(1))
+    }
+    val (linA, linB) = widths(sortedPath)
+    val (zA, zB) = widths(zPath)
+    // linear sort: razor-thin on a, but every file spans b's domain
+    assert(linA < 0.15, s"linear layout a-width $linA")
+    assert(linB > 0.8, s"linear layout should span b, got $linB")
+    // z-order: BOTH dimensions stay narrow (8×4-ish hyper-rectangles)
+    assert(zA < 0.5, s"z layout a-width $zA")
+    assert(zB < 0.5, s"z layout b-width $zB")
+
+    // end-to-end: the narrow stats actually prune — a selective filter
+    // on b alone reads a fraction of the z table but ALL of the
+    // a-sorted one (each small file is one row group; the vectorized
+    // reader drops row groups whose stats exclude the pushed filter)
+    def scanned(q: DataFrame): Long = {
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.sum
+    }
+    val bFilter = col("b") >= 0.40 && col("b") < 0.45
+    val linScan = scanned(spark.read.parquet(sortedPath).filter(bFilter))
+    val zScan = scanned(spark.read.parquet(zPath).filter(bFilter))
+    assert(linScan == 20000L, s"a-sorted layout cannot skip on b (scanned $linScan)")
+    assert(zScan < 10000L, s"z layout should skip most row groups on b (scanned $zScan)")
+    // and the a dimension still skips too (z-order trades a LITTLE of
+    // a's resolution for coverage of both)
+    val aFilter = col("a") >= 100L && col("a") < 150L
+    val zScanA = scanned(spark.read.parquet(zPath).filter(aFilter))
+    assert(zScanA < 10000L, s"z layout should also skip on a (scanned $zScanA)")
+    // both layouts return identical data
+    assert(spark.read.parquet(zPath).count() == 20000L)
+  }
+}
+
 class EventGeneratorSpec extends SparkSpec {
   import graft.sources.EventGenerator
 
