@@ -135,6 +135,29 @@ object MartSink {
     }
   }
 
+  /** Exactly-once streaming leg of the JDBC load: a `foreachBatch`
+    * body that tags every row with the micro-batch epoch and routes it
+    * through `writeJdbc` with `DELETE WHERE _epoch = id` as the swap
+    * predicate. Structured Streaming replays a failed micro-batch
+    * with the SAME epoch id, so the replay's delete clears the
+    * partial/duplicate attempt inside the same transaction — at-least-
+    * once delivery + this idempotent sink = exactly-once table state
+    * (the standard construction; the reference's DB load has no
+    * streaming leg, this extends it to the `writeStream` surface).
+    *
+    * Usage: `stream.writeStream.foreachBatch(MartSink.jdbcEpochSink(
+    * url, "mart_live")).start()`. */
+  def jdbcEpochSink(url: String, table: String,
+                    batchSize: Int = 10000): (DataFrame, Long) => Unit = {
+    val epochCol = JdbcDialects.get(url).quoteIdentifier("_epoch")
+    (batch: DataFrame, epochId: Long) =>
+      writeJdbc(
+        batch.withColumn("_epoch", org.apache.spark.sql.functions.lit(epochId)),
+        url, table,
+        deletePredicate = Some(s"$epochCol = $epochId"),
+        batchSize = batchSize)
+  }
+
   /** Idempotent JDBC mart load — the relational-warehouse counterpart
     * of `writePartitioned` (the reference loads its marts into
     * PostgreSQL with per-date DELETE + INSERT:
