@@ -135,6 +135,77 @@ object MartSink {
     }
   }
 
+  /** Small-file compaction for a partitioned mart — the operational
+    * complement of the streaming sinks and incremental backfills,
+    * which accrete files far below the row-group sweet spot (every
+    * micro-batch/backfill writes its own files). At 100 TB the cost
+    * of fragmentation is per-file open/footer overhead, a task per
+    * tiny file unless the scan packs them, and min/max stats so
+    * fine-grained they stop describing anything — compaction restores
+    * target-sized files and (when `sortCols` is given) re-establishes
+    * the sorted/Z-ordered clustering that interleaved appends erode,
+    * i.e. the OPTIMIZE step of a lakehouse table maintenance loop.
+    *
+    * Only OVER-FRAGMENTED partitions are touched: a partition with
+    * `files > max(minFiles-1, ceil(bytes/targetBytes))` is read back
+    * (one packed scan of just those leaf directories via `basePath`,
+    * so untouched partitions are never opened) and rewritten through
+    * the same dynamic-overwrite path every writer here uses — re-
+    * running is a no-op and healthy partitions keep their exact
+    * files. With `sortCols` empty there is NO shuffle: the file scan
+    * itself packs small files into ~`maxPartitionBytes` splits and
+    * each split rewrites as one file. Concurrent writers to the SAME
+    * partition are out of scope (same contract as every overwrite
+    * here). Returns the compacted partition directories. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              partitionCols: Seq[String], sortCols: Seq[String] = Nil,
+              targetBytes: Long = 128L << 20, minFiles: Int = 2): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def leafDirs(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.contains("=")).flatMap(leafDirs(_, depth - 1))
+    val fragmented = leafDirs(root, partitionCols.size).filter { dir =>
+      val parts = fs.listStatus(dir).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = parts.map(_.getLen).sum
+      parts.size > math.max(minFiles - 1L, (bytes + targetBytes - 1) / targetBytes)
+    }
+    if (fragmented.nonEmpty) {
+      // pin split packing to the compaction target: by default Spark
+      // shrinks splits to totalBytes/defaultParallelism, which re-
+      // fragments the rewrite (a task per sliver, one file per task)
+      // and compaction never converges. openCost=0 packs by bytes
+      // alone; the advisory size steers the sorted branch's AQE
+      // coalesce to the same target.
+      val overrides = Seq(
+        "spark.sql.files.maxPartitionBytes" -> targetBytes.toString,
+        "spark.sql.files.minPartitionNum" -> "1",
+        "spark.sql.files.openCostInBytes" -> "0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> targetBytes.toString)
+      val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val read = spark.read.option("basePath", path)
+          .parquet(fragmented.map(_.toString): _*)
+        // unpartitioned: the read path IS the overwrite path — Spark
+        // (correctly) refuses that plan, so materialize first. Fine
+        // for the snapshot-sized tables an unpartitioned mart is for;
+        // the scale path is always the partitioned branch, which reads
+        // only leaf dirs and dynamic-overwrites them at commit time.
+        val frag = if (partitionCols.isEmpty) read.localCheckpoint() else read
+        if (sortCols.isEmpty) writePartitioned(frag, path, partitionCols)
+        else writePartitionedSorted(frag, path, partitionCols, sortCols)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    fragmented.map(_.toString)
+  }
+
   /** Exactly-once streaming leg of the JDBC load: a `foreachBatch`
     * body that tags every row with the micro-batch epoch and routes it
     * through `writeJdbc` with `DELETE WHERE _epoch = id` as the swap

@@ -37,6 +37,36 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("event_date") === "2024-01-02").collect().head.getAs[Long]("n") == 99L)
   }
 
+  test("compaction rewrites only over-fragmented partitions, keeps data and healthy files intact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact").toString
+    def files(day: String) =
+      new java.io.File(s"$out/event_date=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // day 1: one healthy file; day 2: a streaming-style accretion of 8
+    val day1 = spark.range(1000).select(col("id").as("user_id"),
+      lit("2024-01-01").as("event_date"), (col("id") * 2).as("n")).repartition(1)
+    val day2 = spark.range(1000, 1200).select(col("id").as("user_id"),
+      lit("2024-01-02").as("event_date"), (col("id") * 2).as("n")).repartition(8)
+    MartSink.writePartitioned(day1, out, Seq("event_date"))
+    MartSink.writePartitioned(day2, out, Seq("event_date"))
+    assert(files("2024-01-01").size == 1 && files("2024-01-02").size == 8)
+    val day1Files = files("2024-01-01")
+    val sumBefore = spark.read.parquet(out).agg(sum("n")).collect().head.getLong(0)
+
+    val compacted = MartSink.compact(spark, out, Seq("event_date"))
+    // only the fragmented partition was touched — by name and by file
+    assert(compacted.size == 1 && compacted.head.endsWith("event_date=2024-01-02"))
+    assert(files("2024-01-01") == day1Files, "healthy partition must keep its exact files")
+    // 8 tiny files pack into one scan split → one rewritten file
+    assert(files("2024-01-02").size < 8)
+    // data is byte-identical in aggregate
+    assert(spark.read.parquet(out).count() == 1200)
+    assert(spark.read.parquet(out).agg(sum("n")).collect().head.getLong(0) == sumBefore)
+    // idempotent: a second pass finds nothing over-fragmented
+    assert(MartSink.compact(spark, out, Seq("event_date")).isEmpty)
+  }
+
   test("JDBC mart load is date-idempotent: rerunning one date leaves other dates untouched") {
     import spark.implicits._
     // embedded Derby (bundled with Spark) stands in for the
