@@ -123,6 +123,29 @@ class ZOrderSpec extends SparkSpec {
     // out-of-range buckets clamp instead of colliding across columns
     assert(one("spread_bits(9, 2, 0, 3)") == one("spread_bits(7, 2, 0, 3)"))
     assert(one("spread_bits(-4, 2, 0, 3)") == 0L)
+    // interpreted vs codegen parity: the SQL constants above fold via
+    // interpreted eval, so drive each expression over a NON-foldable
+    // column (whole-stage codegen) and compare against direct eval
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val bounds = Seq(1.0, 3.0, 7.0)
+    val xs = Seq(0.5, 1.0, 2.9, 3.0, 7.0, 99.0, Double.NaN)
+    val codegenQb = xs.toDF("x")
+      .select(call_function("quantile_bucket", col("x"), lit(bounds.toArray)))
+      .collect().map(_.getInt(0)).toSeq
+    val interpQb = xs.map(x =>
+      graft.functions.QuantileBucket(Literal(x, DoubleType), bounds).eval(null))
+    assert(codegenQb == interpQb, "quantile_bucket interpreted vs codegen drift")
+    assert(xs.zip(interpQb).forall { case (x, b) => x.isNaN || b == bounds.count(_ <= x) },
+      "quantile_bucket HOF equivalence (count of bounds <= x)")
+    val vs = Seq(0, 3, 5, 7, 9, -4)
+    val codegenSb = vs.toDF("v")
+      .select(call_function("spread_bits", col("v"), lit(2), lit(1), lit(3)))
+      .collect().map(_.getLong(0)).toSeq
+    val interpSb = vs.map(v =>
+      graft.functions.SpreadBits(Literal(v, IntegerType), 2, 1, 3).eval(null))
+    assert(codegenSb == interpSb, "spread_bits interpreted vs codegen drift")
   }
 
   test("z-ordered layout keeps per-file min/max narrow on EVERY z column and skips row groups on either") {
