@@ -35,20 +35,28 @@ object Sessionize {
     * output row width against pathological single-user sessions. */
   val MaxSeqEvents = 100
 
-  /** One row per (user, session): ordered event sequence + stats. */
-  def sessionSequences(spark: SparkSession, dir: String): DataFrame =
-    sessionSequencesFrom(enriched(spark, dir))
-
-  def sessionSequencesFrom(e: DataFrame): DataFrame = {
+  /** Event-level sessionized frame (user_id, event_id, event_type,
+    * event_epoch, session_idx) — the shared base of every session
+    * query. One hash partitioning on user_id; every downstream window
+    * keyed on (user_id, session_idx) is satisfied by the subset rule
+    * and adds only a partition-local sort. */
+  private[graft] def sessionized(e: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_epoch", "event_id")
-    val withGap = e
-      .select("user_id", "event_id", "event_type", "event_epoch")
+    e.select("user_id", "event_id", "event_type", "event_epoch")
       .withColumn("prev_epoch", lag("event_epoch", 1).over(w))
       .withColumn("is_new",
         when(col("prev_epoch").isNull || col("event_epoch") - col("prev_epoch") > GapSeconds, 1)
           .otherwise(0))
       .withColumn("session_idx",
         sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** One row per (user, session): ordered event sequence + stats. */
+  def sessionSequences(spark: SparkSession, dir: String): DataFrame =
+    sessionSequencesFrom(enriched(spark, dir))
+
+  def sessionSequencesFrom(e: DataFrame): DataFrame = {
+    val withGap = sessionized(e)
       // same user_id hash partitioning satisfies the (user_id,
       // session_idx) clustering — only a local sort is added here
       .withColumn("seq_rank",
@@ -147,4 +155,123 @@ object Sessionize {
       |FROM sessions
       |GROUP BY event_sequence
       |ORDER BY session_count DESC, event_sequence ASC""".stripMargin
+
+  /** Shared oracle CTE prefix: gap-sessionized event rows (the SQL
+    * mirror of `sessionized`). */
+  private val sessionizedSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS event_epoch,
+      |    CASE WHEN LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w IS NULL
+      |           OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id)
+      |), sessioned AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_epoch, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |)""".stripMargin
+
+  /** Within-session event-type transition matrix (first-order Markov):
+    * how traffic flows step-to-step — `view -> click` vs `view ->
+    * error` — with per-origin transition rates. The micro-structure
+    * complement to the day-grain step funnel (funnel_conversion).
+    *
+    * Scale shape: consecutive pairs come from ONE `lead` window whose
+    * (user_id, session_idx) clustering the sessionize exchange already
+    * satisfies (local sort only); the pair rollup shuffles only
+    * (from_type, to_type) partial counts — at most |types|² groups
+    * regardless of event volume — and the rate window runs over that
+    * tiny aggregated frame. */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame =
+    sessionTransitionsFrom(enriched(spark, dir))
+
+  def sessionTransitionsFrom(e: DataFrame): DataFrame = {
+    val wSess = Window.partitionBy("user_id", "session_idx")
+      .orderBy("event_epoch", "event_id")
+    sessionized(e)
+      .withColumn("to_type", lead("event_type", 1).over(wSess))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transition_count"))
+      .withColumn("transition_rate",
+        col("transition_count").cast("double")
+          / sum(col("transition_count")).over(Window.partitionBy("from_type")).cast("double")
+          * lit(100))
+      .orderBy("from_type", "to_type")
+  }
+
+  val sessionTransitionsSql: String = sessionizedSql +
+    """, pairs AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id, session_idx
+      |                           ORDER BY event_epoch, event_id) AS to_type
+      |  FROM sessioned
+      |)
+      |SELECT from_type, to_type, COUNT(*) AS transition_count,
+      |  CAST(COUNT(*) AS DOUBLE)
+      |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS DOUBLE) * 100 AS transition_rate
+      |FROM pairs WHERE to_type IS NOT NULL
+      |GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** Daily session-grain mart (the GA-style headline table): sessions
+    * per day, average depth and duration, bounce rate (single-event
+    * sessions) and session conversion rate. Day grain is the SESSION
+    * START day (a session straddling midnight counts once, on the day
+    * it began). Distinct from mart_user_daily (user grain) and
+    * funnel_conversion (step grain, day-windowed).
+    *
+    * Scale shape: the per-session rollup rides the sessionize
+    * exchange (groupBy (user_id, session_idx) is subset-satisfied —
+    * no second shuffle of event rows); only per-session stat rows
+    * reach the final day rollup. The day is derived with pure integer
+    * epoch arithmetic (epoch // 86400), timezone-free on both the
+    * Spark and oracle sides. */
+  def sessionDaily(spark: SparkSession, dir: String): DataFrame =
+    sessionDailyFrom(enriched(spark, dir))
+
+  def sessionDailyFrom(e: DataFrame): DataFrame = {
+    val sessions = sessionized(e)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        min(col("event_epoch")).as("session_start_epoch"),
+        (max(col("event_epoch")) - min(col("event_epoch"))).as("duration_seconds"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
+    sessions
+      .groupBy(date_add(lit("1970-01-01").cast("date"),
+        (col("session_start_epoch") / lit(86400)).cast("int")).as("session_date"))
+      .agg(
+        count(lit(1)).as("sessions"),
+        (sum(col("event_count")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_events_per_session"),
+        (sum(col("duration_seconds")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_duration_sec"),
+        (sum(when(col("event_count") === 1, 1).otherwise(0)).cast("double")
+          / count(lit(1)).cast("double") * lit(100)).as("bounce_rate"),
+        (sum(col("has_purchase")).cast("double") / count(lit(1)).cast("double") * lit(100))
+          .as("conversion_rate"))
+      .orderBy("session_date")
+  }
+
+  val sessionDailySql: String = sessionizedSql +
+    """, sessions AS (
+      |  SELECT user_id, session_idx, COUNT(*) AS event_count,
+      |    MIN(event_epoch) AS session_start_epoch,
+      |    MAX(event_epoch) - MIN(event_epoch) AS duration_seconds,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      |  FROM sessioned GROUP BY user_id, session_idx
+      |)
+      |SELECT DATE '1970-01-01' + CAST(session_start_epoch // 86400 AS INT) AS session_date,
+      |  COUNT(*) AS sessions,
+      |  CAST(SUM(event_count) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events_per_session,
+      |  CAST(SUM(duration_seconds) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_duration_sec,
+      |  CAST(SUM(CASE WHEN event_count = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) * 100 AS bounce_rate,
+      |  CAST(SUM(has_purchase) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100 AS conversion_rate
+      |FROM sessions
+      |GROUP BY 1
+      |ORDER BY session_date""".stripMargin
 }

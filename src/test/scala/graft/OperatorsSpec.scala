@@ -299,6 +299,63 @@ class SessionizeSpec extends SparkSpec {
     // the cap keeps the FIRST events in order: id 0 is 'view', id 1 'cart'
     assert(seq.startsWith("view -> cart -> purchase"))
   }
+
+  test("session transitions: planted counts exact, rates sum to 100 per origin, no cross-session pair") {
+    import spark.implicits._
+    val e = Seq(
+      ("u1", "e1", "view", 1000L), ("u1", "e2", "click", 1010L),
+      ("u1", "e3", "view", 1020L), ("u1", "e4", "purchase", 1030L),
+      // second session (gap 8970s > 1800s): a lone view — contributes
+      // no transition, and purchase->view must NOT appear
+      ("u1", "e5", "view", 10000L))
+      .toDF("user_id", "event_id", "event_type", "event_epoch")
+    val rows = Sessionize.sessionTransitionsFrom(e).collect()
+    val m = rows.map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+      -> r.getAs[Long]("transition_count")).toMap
+    assert(m == Map(("view", "click") -> 1L, ("click", "view") -> 1L, ("view", "purchase") -> 1L))
+    val viewRates = rows.filter(_.getAs[String]("from_type") == "view")
+      .map(_.getAs[Double]("transition_rate"))
+    assert(viewRates.sorted.sameElements(Array(50.0, 50.0)))
+    assert(rows.filter(_.getAs[String]("from_type") == "click")
+      .map(_.getAs[Double]("transition_rate")).sameElements(Array(100.0)))
+  }
+
+  test("session daily: bounce/conversion rates and start-day attribution on planted sessions") {
+    import spark.implicits._
+    // day 1970-01-01: u1 a 2-event converting session, u2 a 1-event
+    // bounce; day 1970-01-02: u1 a lone view (session counted on its
+    // START day via integer epoch arithmetic)
+    val e = Seq(
+      ("u1", "e1", "view", 1000L), ("u1", "e2", "purchase", 1060L),
+      ("u2", "e3", "view", 2000L),
+      ("u1", "e4", "view", 86400L + 500L))
+      .toDF("user_id", "event_id", "event_type", "event_epoch")
+    val rows = Sessionize.sessionDailyFrom(e).collect()
+    assert(rows.length == 2)
+    val d0 = rows.head
+    assert(d0.getAs[java.sql.Date]("session_date").toString == "1970-01-01")
+    assert(d0.getAs[Long]("sessions") == 2L)
+    assert(d0.getAs[Double]("avg_events_per_session") == 1.5)
+    assert(d0.getAs[Double]("bounce_rate") == 50.0)
+    assert(d0.getAs[Double]("conversion_rate") == 50.0)
+    val d1 = rows(1)
+    assert(d1.getAs[java.sql.Date]("session_date").toString == "1970-01-02")
+    assert(d1.getAs[Long]("sessions") == 1L)
+    assert(d1.getAs[Double]("bounce_rate") == 100.0)
+    assert(d1.getAs[Double]("conversion_rate") == 0.0)
+  }
+
+  test("transition total = events - sessions; daily sessions sum = session count") {
+    // every k-event session contributes exactly k-1 transitions
+    val events = Tables.events(spark, Sf).count()
+    val sessions = Sessionize.sessionSequences(spark, Sf).count()
+    val trans = Sessionize.sessionTransitions(spark, Sf)
+      .agg(sum("transition_count")).collect().head.getLong(0)
+    assert(trans == events - sessions)
+    val daily = Sessionize.sessionDaily(spark, Sf)
+      .agg(sum("sessions")).collect().head.getLong(0)
+    assert(daily == sessions)
+  }
 }
 
 class QualitySpec extends SparkSpec {
