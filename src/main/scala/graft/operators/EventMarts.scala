@@ -424,6 +424,56 @@ object EventMarts {
       |GROUP BY cohort_date
       |ORDER BY cohort_date""".stripMargin
 
+  /** Daily new-vs-returning decomposition (day-grain acquisition
+    * mart): each active day's users split by whether it is their
+    * first-ever day. Complements retention_daily, which is COHORT
+    * grain (first-day → came-back); this is ACTIVITY grain (who made
+    * up today's traffic).
+    *
+    * Scale shape: same as retention_daily — the (user, day) distinct
+    * collapses event volume to at most users×days rows before
+    * anything else; the per-user first-day window and the day rollup
+    * then move only that reduced set. first-day is a min over a
+    * user's distinct days (bounded by the calendar), never over raw
+    * events. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame =
+    newVsReturningFrom(enriched(spark, dir))
+
+  def newVsReturningFrom(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    e.select("user_id", "event_date").distinct()
+      .withColumn("first_date", min("event_date").over(w))
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        sum(when(col("event_date") === col("first_date"), 1).otherwise(0)).cast("bigint")
+          .as("new_users"))
+      .withColumn("returning_users", (col("active_users") - col("new_users")).cast("bigint"))
+      .withColumn("new_user_share",
+        col("new_users").cast("double") / col("active_users").cast("double") * lit(100))
+      .orderBy("event_date")
+  }
+
+  val newVsReturningSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date FROM events
+      |), fd AS (
+      |  SELECT user_id, event_date,
+      |    MIN(event_date) OVER (PARTITION BY user_id) AS first_date
+      |  FROM ud
+      |)
+      |SELECT event_date,
+      |  COUNT(*) AS active_users,
+      |  CAST(SUM(CASE WHEN event_date = first_date THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      |  CAST(COUNT(*) - SUM(CASE WHEN event_date = first_date THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS returning_users,
+      |  CAST(SUM(CASE WHEN event_date = first_date THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) * 100 AS new_user_share
+      |FROM fd
+      |GROUP BY event_date
+      |ORDER BY event_date""".stripMargin
+
   /** Exact value percentiles per event type — the sort-based aggregate
     * family (no other query exercises it): p50/p90/p99 plus min/max.
     * Spark's `percentile` and DuckDB's `quantile_cont` both compute

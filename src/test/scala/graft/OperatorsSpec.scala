@@ -157,6 +157,28 @@ class EventMartsSpec extends SparkSpec {
     val users = Tables.events(spark, Sf).select("user_id").distinct().count()
     assert(total == users)
   }
+
+  test("new-vs-returning: planted days decompose exactly; totals tie out at sf") {
+    import spark.implicits._
+    // u1 active d0+d1, u2 d0 only, u3 d1 only
+    val e = Seq(
+      ("u1", "2024-01-01"), ("u1", "2024-01-01"), ("u1", "2024-01-02"),
+      ("u2", "2024-01-01"), ("u3", "2024-01-02"))
+      .toDF("user_id", "event_date").withColumn("event_date", col("event_date").cast("date"))
+    val rows = EventMarts.newVsReturningFrom(e).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("active_users") == 2 && rows(0).getAs[Long]("new_users") == 2
+      && rows(0).getAs[Long]("returning_users") == 0)
+    assert(rows(1).getAs[Long]("active_users") == 2 && rows(1).getAs[Long]("new_users") == 1
+      && rows(1).getAs[Long]("returning_users") == 1
+      && rows(1).getAs[Double]("new_user_share") == 50.0)
+    // sf invariants: sum(new) = distinct users; sum(active) = distinct user-days
+    val m = EventMarts.newVsReturning(spark, Sf)
+      .agg(sum("new_users"), sum("active_users")).collect().head
+    assert(m.getLong(0) == Tables.events(spark, Sf).select("user_id").distinct().count())
+    assert(m.getLong(1) == graft.operators.EventMarts.enriched(spark, Sf)
+      .select("user_id", "event_date").distinct().count())
+  }
 }
 
 class ApproxSpec extends SparkSpec {
