@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit key-salting for skewed shuffle joins (SURVEY.md §4).
+  *
+  * AQE's runtime skew handling splits oversized partitions of a
+  * sort-merge join, but it cannot act when the skewed side must first
+  * AGGREGATE or WINDOW on the hot key, when the join degenerates to a
+  * single straggler task inside a stage AQE has already planned, or
+  * when the engine runs with AQE off. Salting is the static fallback:
+  * append a fan-out key so one hot join key's rows spread over
+  * `numSalts` reducers, and replicate the other (small-but-not-
+  * broadcastable) side once per salt so every row still meets its
+  * match. The cost is explicit and bounded — the replicated side
+  * grows `numSalts`×, which is why the technique fits a mid-size dim
+  * (too big to broadcast, tiny next to the fact) and NOT a fact-fact
+  * join (bucket that instead: Bucketing.scala).
+  */
+object Skew {
+
+  val SaltCol = "__graft_salt"
+
+  /** Equi-join `fact` (skewed, large) with `dim` (non-broadcastable,
+    * replicated `numSalts`×) on `keys`, spreading each fact key over
+    * `numSalts` reducers.
+    *
+    * The fact-side salt is a deterministic hash of `saltBy` (default:
+    * every fact column), NOT a random number: identical runs produce
+    * identical task layouts, and retried tasks re-salt identically —
+    * `rand()` would still be correct here (the salt never reaches the
+    * output) but makes stage retries non-reproducible. Rows identical
+    * across ALL `saltBy` columns share a salt and do not spread;
+    * callers whose hot key carries fully-duplicated rows should pass
+    * a finer `saltBy` (e.g. a row-id column).
+    *
+    * Only `inner` and `left` joins are allowed: the dim side is
+    * replicated, so an outer side on DIM would emit its unmatched
+    * rows once per salt.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 numSalts: Int, joinType: String = "inner",
+                 saltBy: Seq[String] = Nil): DataFrame = {
+    require(numSalts > 1, s"numSalts must be > 1, got $numSalts")
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins only (dim side is replicated), got $joinType")
+    require(!fact.columns.contains(SaltCol) && !dim.columns.contains(SaltCol),
+      s"input already carries $SaltCol")
+    val saltSrc: Seq[Column] =
+      (if (saltBy.nonEmpty) saltBy else fact.columns.toSeq).map(fact.col)
+    val salted = fact.withColumn(SaltCol,
+      pmod(xxhash64(saltSrc: _*), lit(numSalts.toLong)).cast("int"))
+    val replicated = dim.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
+}

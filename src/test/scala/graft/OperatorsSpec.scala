@@ -126,6 +126,55 @@ class BucketingSpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewedFact = {
+    // 2000 rows on ONE hot key + a thin tail, distinct payloads so the
+    // deterministic salt can spread them
+    val hot = (0 until 2000).map(i => (1L, s"p$i"))
+    val tail = (0 until 50).map(i => (2L + i % 5, s"t$i"))
+    (hot ++ tail).toDF("k", "payload")
+  }
+  private def dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (99L, "unmatched"))
+    .toDF("k", "label")
+
+  test("salted inner/left joins match the plain join exactly") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (jt <- Seq("inner", "left")) {
+        val plain = skewedFact.join(dim, Seq("k"), jt)
+          .collect().map(_.toSeq).sortBy(_.toString).toSeq
+        val salted = Skew.saltedJoin(skewedFact, dim, Seq("k"), numSalts = 8, joinType = jt)
+          .collect().map(_.toSeq).sortBy(_.toString).toSeq
+        assert(salted == plain, s"$jt join mismatch")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("the hot key's rows actually spread over many salts") {
+    // recompute the implementation's salt expression over the hot key
+    val salts = skewedFact.filter(col("k") === 1L)
+      .select(pmod(xxhash64(col("k"), col("payload")), lit(8L)).cast("int").as("s"))
+      .distinct().count()
+    assert(salts == 8, s"expected all 8 salts on the hot key, got $salts")
+    // and the salted join's shuffle key includes the salt column
+    val plan = Skew.saltedJoin(skewedFact, dim, Seq("k"), numSalts = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(Skew.SaltCol), s"salt column missing from plan:\n$plan")
+  }
+
+  test("outer-on-dim join types are rejected (replicated side would duplicate)") {
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewedFact, dim, Seq("k"), numSalts = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewedFact, dim, Seq("k"), numSalts = 1)
+    }
+  }
+}
+
 class EventMartsSpec extends SparkSpec {
   test("mart_user_daily per-type counts sum to event_count") {
     val bad = EventMarts.martUserDaily(spark, Sf)
