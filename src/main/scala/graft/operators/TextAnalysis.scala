@@ -200,6 +200,46 @@ object TextAnalysis {
       |  COUNT(DISTINCT source) AS distinct_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Per-source corpus mix report — the token-budget table behind
+    * every data-mixing decision (how much of the training budget each
+    * source occupies, in docs AND in tokens; doc share and token
+    * share diverge whenever sources have different document lengths).
+    * Companion to sample_weighted_sources, which RESAMPLES to target
+    * shares; this op MEASURES the current shares.
+    *
+    * Scale shape: one scan, one map-side-combined aggregate to
+    * |sources| rows; the share window runs over that aggregated frame
+    * only (a single-partition exchange of a handful of rows — never
+    * of documents). */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame =
+    sourceMixFrom(Tables.documents(spark, dir))
+
+  def sourceMixFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    docs
+      .select(col("source"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("bigint").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("toks")).as("token_count"))
+      .withColumn("doc_share",
+        col("doc_count").cast("double") / sum(col("doc_count")).over(w).cast("double") * lit(100))
+      .withColumn("token_share",
+        col("token_count").cast("double") / sum(col("token_count")).over(w).cast("double") * lit(100))
+      .orderBy("source")
+  }
+
+  val sourceMixSql: String =
+    """WITH per_source AS (
+      |  SELECT source, COUNT(*) AS doc_count,
+      |    CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS token_count
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT source, doc_count, token_count,
+      |  CAST(doc_count AS DOUBLE) / CAST(SUM(doc_count) OVER () AS DOUBLE) * 100 AS doc_share,
+      |  CAST(token_count AS DOUBLE) / CAST(SUM(token_count) OVER () AS DOUBLE) * 100 AS token_share
+      |FROM per_source ORDER BY source""".stripMargin
+
   /** The end-to-end corpus-cleaning pass (the pipeline every
     * pre-training dataset runs): quality filter + language filter +
     * exact dedup composed in ONE plan — quality score and language ID

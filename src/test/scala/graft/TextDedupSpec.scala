@@ -31,6 +31,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.filter(col("predicted_lang").isNull).count() == 0)
   }
 
+  test("source mix: planted token budgets exact; shares sum to 100") {
+    import spark.implicits._
+    // a: 2 docs × (3, 1) tokens = 4; b: 1 doc × 4 tokens
+    val docs = Seq(
+      ("a", "one two three"), ("a", "solo"), ("b", "w x y z"))
+      .toDF("source", "text")
+    val rows = TextAnalysis.sourceMixFrom(docs).collect()
+    val m = rows.map(r => r.getAs[String]("source") ->
+      ((r.getAs[Long]("doc_count"), r.getAs[Long]("token_count"),
+        r.getAs[Double]("doc_share"), r.getAs[Double]("token_share")))).toMap
+    assert(m("a")._1 == 2 && m("a")._2 == 4L)
+    assert(m("b")._1 == 1 && m("b")._2 == 4L)
+    assert(m("a")._4 == 50.0 && m("b")._4 == 50.0)
+    assert(math.abs(m.values.map(_._3).sum - 100.0) < 1e-9)
+    // sf invariant: doc counts tie out to the corpus
+    val sf = TextAnalysis.sourceMix(spark, Sf)
+      .agg(sum("doc_count")).collect().head.getLong(0)
+    assert(sf == Tables.documents(spark, Sf).count())
+  }
+
   test("clean corpus composes quality+lang+dedup in one scan and one hash exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
