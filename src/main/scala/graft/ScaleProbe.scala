@@ -39,8 +39,10 @@ object ScaleProbe {
 
     val headline = Seq(
       "mart_user_daily", "mart_funnel_daily", "hourly_traffic", "session_sequences",
+      "session_daily", "session_transitions", "new_vs_returning",
       "product_top_n", "retention_curve",
-      "dedup_exact", "dedup_corpus", "dedup_minhash_lsh", "dedup_substring")
+      "dedup_exact", "dedup_corpus", "dedup_minhash_lsh", "dedup_substring",
+      "corpus_source_mix")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -38,6 +38,53 @@ object AsOfJoin {
       .drop("side")
   }
 
+  /** General backward as-of join: every left row keeps ALL its
+    * columns and gains `asof_<ts>` + `asof_<p>` for each right
+    * `payload` column — the values of the LATEST right row with the
+    * same `key` and ts ≤ the left row's ts (ties match). Left rows
+    * with no prior right row get nulls: as-of is left-total, never
+    * row-dropping.
+    *
+    * Row semantics, not last-non-null-per-column: the carried value
+    * is a STRUCT of the entire matched right row, so a right row
+    * whose payload is genuinely null yields null (a per-column
+    * `last(_, ignoreNulls)` would skip past it to an older row and
+    * stitch together a row that never existed).
+    *
+    * Same single-shuffle union+window plan as the core: both sides
+    * hash on `key` once; no pair materialization, state per key is
+    * one running struct. `tieBreak` columns (right-side, may be
+    * absent on left) make the choice among equal-ts right rows
+    * deterministic. */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                   payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(payload.nonEmpty, "asofBackward needs at least one payload column")
+    val side = "__graft_asof_side"
+    val carry = "__graft_asof_carry"
+    require(!(left.columns ++ right.columns).exists(c => c == side || c == carry),
+      s"inputs may not carry $side/$carry")
+    // a payload name shared with a left column would merge in the union
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: ${collisions.mkString(", ")} — rename one side")
+    val r = right.select((Seq(key, ts) ++ payload ++ tieBreak).distinct.map(col): _*)
+      .withColumn(side, lit(0))
+    val l = left.withColumn(side, lit(1))
+    // right (side 0) sorts before left (side 1) at equal ts → ties match
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts) +: col(side) +: tieBreak.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(
+      when(col(side) === 0, struct((Seq(ts) ++ payload).map(col): _*)),
+      ignoreNulls = true).over(w)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(carry, carried)
+      .filter(col(side) === 1)
+      .select(left.columns.map(col)
+        ++ Seq(col(s"$carry.$ts").as(s"asof_$ts"))
+        ++ payload.map(p => col(s"$carry.$p").as(s"asof_$p")): _*)
+  }
+
   /** View→purchase attribution: each purchase matched to the SAME
     * user's most recent view at or before it (seconds grain), plus the
     * attribution gap. Null-ts rows are excluded from both sides (they
@@ -58,6 +105,45 @@ object AsOfJoin {
         (col("event_epoch") - col("asof_ts")).as("gap_seconds"))
       .orderBy("purchase_id")
   }
+
+  /** Payload-carrying attribution through the GENERAL as-of join:
+    * each purchase gains the ID of its latest prior-or-equal view,
+    * not just its timestamp — the column a downstream "which
+    * impression converted" join actually needs. Views are
+    * pre-aggregated to one row per (user, epoch) (max event_id) so
+    * the as-of choice is deterministic in both engines — DuckDB's
+    * ASOF expects a right side unique on (key, ts). */
+  def attributedView(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventMarts.enriched(spark, dir).filter(col("ts").isNotNull)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_epoch"), col("event_id"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("event_epoch"))
+      .agg(max(col("event_id")).as("view_id"))
+    asofBackward(purchases, views, key = "user_id", ts = "event_epoch",
+        payload = Seq("view_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_epoch").as("purchase_epoch"),
+        col("asof_event_epoch").as("view_epoch"),
+        col("asof_view_id").as("view_id"),
+        (col("event_epoch") - col("asof_event_epoch")).as("gap_seconds"))
+      .orderBy("purchase_id")
+  }
+
+  val attributedViewSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |), v AS (
+      |  SELECT user_id AS v_user, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ev,
+      |    MAX(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+      |  GROUP BY v_user, ev
+      |)
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ep AS purchase_epoch,
+      |  v.ev AS view_epoch, v.view_id, p.ep - v.ev AS gap_seconds
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ep >= v.ev
+      |ORDER BY purchase_id""".stripMargin
 
   val viewPurchaseAsOfSql: String =
     """WITH p AS (

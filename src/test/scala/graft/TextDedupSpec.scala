@@ -211,6 +211,35 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("general as-of join carries the matched row's payload (row semantics, left-total)") {
+    import spark.implicits._
+    // price updates: sym A at t=10 (p=1.0), t=20 (p=null!), t=30 (p=3.0)
+    val quotes = Seq(
+      ("A", 10L, Option(1.0), 100L), ("A", 20L, None, 101L), ("A", 30L, Option(3.0), 102L),
+      ("B", 5L, Option(9.9), 103L))
+      .toDF("sym", "epoch", "price", "qid")
+    val orders = Seq(
+      ("A", 15L, "o1"), ("A", 25L, "o2"), ("A", 30L, "o3"), ("B", 1L, "o4"))
+      .toDF("sym", "epoch", "oid")
+    val out = operators.AsOfJoin.asofBackward(
+        orders, quotes, key = "sym", ts = "epoch",
+        payload = Seq("price"), tieBreak = Seq("qid"))
+      .collect().map(r => r.getAs[String]("oid") ->
+        ((Option(r.getAs[java.lang.Long]("asof_epoch")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("asof_price")).map(_.toDouble)))).toMap
+    assert(out("o1") == ((Some(10L), Some(1.0))))
+    // o2's match is the t=20 update whose price IS null — row
+    // semantics must yield null, not reach back to t=10's 1.0
+    assert(out("o2") == ((Some(20L), None)))
+    assert(out("o3") == ((Some(30L), Some(3.0)))) // equal-ts match
+    assert(out("o4") == ((None, None)))           // left-total: no prior quote
+    assert(out.size == 4)
+    // payload-name collision with a left column is rejected
+    intercept[IllegalArgumentException] {
+      operators.AsOfJoin.asofBackward(orders, quotes, "sym", "epoch", payload = Seq("oid"))
+    }
+  }
+
   test("corpus packing covers every doc once and fills packs near budget") {
     val packs = operators.TextAnalysis.corpusPack(spark, Sf).collect()
     val total = Tables.documents(spark, Sf).count()
