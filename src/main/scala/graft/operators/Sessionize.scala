@@ -256,6 +256,96 @@ object Sessionize {
       .orderBy("session_date")
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning curve
+    * ("how many sessions were live at once"). A session is active on
+    * the inclusive epoch range [first event, last event]; concurrency
+    * is evaluated after each boundary event with starts ordered before
+    * ends at the same epoch (a session ending at t and one starting at
+    * t overlap at t). Days with no session boundary carry concurrency
+    * silently and emit no row.
+    *
+    * Scale shape — a DISTRIBUTED sweep-line, not a global window:
+    * the classic running `sum(±1) over (order by epoch)` would move
+    * every boundary row to one partition. Instead boundary deltas get
+    * prefix sums WITHIN hour buckets (partition-parallel across
+    * buckets), buckets collapse to one (net, peak) row each, and the
+    * only unpartitioned window runs over that |hours| aggregate frame
+    * — the same two-level decomposition a prefix-scan uses. Per-day
+    * peak is max(bucket carry + bucket-local peak) vs the day's own
+    * carry-in (a day whose first boundary is an END peaked before it).
+    */
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame =
+    sessionConcurrencyFrom(enriched(spark, dir))
+
+  def sessionConcurrencyFrom(e: DataFrame): DataFrame = {
+    val sessions = sessionized(e)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("event_epoch")).as("start_epoch"),
+        max(col("event_epoch")).as("end_epoch"))
+    val deltas = sessions.select(col("start_epoch").as("epoch"), lit(1).as("delta"))
+      .unionAll(sessions.select(col("end_epoch").as("epoch"), lit(-1).as("delta")))
+      .withColumn("hour_bucket", floor(col("epoch") / lit(3600)))
+    // prefix sums are bucket-local: parallel across hour buckets; the
+    // +1-before-−1 tie order makes equal-epoch overlap inclusive, and
+    // reordering equal (epoch, delta) rows permutes prefix values
+    // without changing their multiset, so max is deterministic
+    val wBucket = Window.partitionBy("hour_bucket")
+      .orderBy(col("epoch").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = deltas
+      .withColumn("run_local", sum(col("delta")).over(wBucket))
+      .groupBy(col("hour_bucket"))
+      .agg(sum(col("delta")).as("net"),
+        max(col("run_local")).as("peak_local"),
+        sum(when(col("delta") === 1, 1).otherwise(0)).as("starts"),
+        sum(when(col("delta") === -1, 1).otherwise(0)).as("ends"))
+    // the ONLY unpartitioned window — over the |hour buckets| frame
+    val wCarry = Window.orderBy("hour_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = perBucket
+      .withColumn("carry", coalesce(sum(col("net")).over(wCarry), lit(0L)))
+      .withColumn("peak", col("carry") + col("peak_local"))
+    buckets
+      .groupBy(date_add(lit("1970-01-01").cast("date"),
+        floor(col("hour_bucket") / lit(24)).cast("int")).as("session_date"))
+      .agg(
+        greatest(max(col("peak")), min_by(col("carry"), col("hour_bucket")))
+          .as("peak_concurrent_sessions"),
+        sum(col("starts")).as("sessions_started"),
+        sum(col("ends")).as("sessions_ended"))
+      .orderBy("session_date")
+  }
+
+  val sessionConcurrencySql: String = sessionizedSql +
+    """, sessions AS (
+      |  SELECT user_id, session_idx,
+      |    MIN(event_epoch) AS start_epoch, MAX(event_epoch) AS end_epoch
+      |  FROM sessioned GROUP BY user_id, session_idx
+      |), deltas AS (
+      |  SELECT start_epoch AS epoch, 1 AS delta FROM sessions
+      |  UNION ALL
+      |  SELECT end_epoch AS epoch, -1 AS delta FROM sessions
+      |), run AS (
+      |  SELECT epoch, delta,
+      |    SUM(delta) OVER (ORDER BY epoch ASC, delta DESC
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM deltas
+      |), daily AS (
+      |  SELECT CAST(epoch // 86400 AS BIGINT) AS day_idx,
+      |    MAX(running) AS in_day_peak, SUM(delta) AS net,
+      |    SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS sessions_started,
+      |    SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS sessions_ended
+      |  FROM run GROUP BY 1
+      |)
+      |SELECT DATE '1970-01-01' + CAST(day_idx AS INT) AS session_date,
+      |  CAST(GREATEST(in_day_peak,
+      |    COALESCE(SUM(net) OVER (ORDER BY day_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS BIGINT) AS peak_concurrent_sessions,
+      |  CAST(sessions_started AS BIGINT) AS sessions_started,
+      |  CAST(sessions_ended AS BIGINT) AS sessions_ended
+      |FROM daily
+      |ORDER BY session_date""".stripMargin
+
   val sessionDailySql: String = sessionizedSql +
     """, sessions AS (
       |  SELECT user_id, session_idx, COUNT(*) AS event_count,

@@ -416,6 +416,35 @@ class SessionizeSpec extends SparkSpec {
     assert(d1.getAs[Double]("conversion_rate") == 0.0)
   }
 
+  test("session concurrency: inclusive-end overlap, midnight carry, carry-beats-in-day peak") {
+    import spark.implicits._
+    def sess(u: String, epochs: Seq[Long]): Seq[(String, String, String, Long)] =
+      epochs.zipWithIndex.map { case (ep, i) => (u, s"$u-$i", "view", ep) }
+    val e = (
+      // u1 spans hour buckets 0..2 (one session, gaps ≤ 1800)
+      sess("u1", Seq(100L, 1600L, 3100L, 4600L, 6100L, 7300L)) ++
+      sess("u3", Seq(200L)) ++          // single-event session: +1/−1 at same epoch
+      sess("u2", Seq(7300L, 7400L)) ++  // starts exactly as u1 ends → overlap at 7300
+      // u4 straddles midnight: starts day 0, ends day 1 at 90000
+      sess("u4", Seq(80000L, 81700L, 83400L, 85100L, 86800L, 88500L, 90000L))
+    ).toDF("user_id", "event_id", "event_type", "event_epoch")
+    val rows = Sessionize.sessionConcurrencyFrom(e).collect()
+    assert(rows.length == 2)
+    val d0 = rows.head
+    assert(d0.getAs[java.sql.Date]("session_date").toString == "1970-01-01")
+    // peak 2 twice: u1+u3 at 200 and u1+u2 at the shared epoch 7300
+    assert(d0.getAs[Long]("peak_concurrent_sessions") == 2L)
+    assert(d0.getAs[Long]("sessions_started") == 4L)
+    assert(d0.getAs[Long]("sessions_ended") == 3L)
+    val d1 = rows(1)
+    assert(d1.getAs[java.sql.Date]("session_date").toString == "1970-01-02")
+    // day 1's only boundary is u4's END: the in-day running value is 0,
+    // but the carry-in (u4 still live at midnight) is the true peak
+    assert(d1.getAs[Long]("peak_concurrent_sessions") == 1L)
+    assert(d1.getAs[Long]("sessions_started") == 0L)
+    assert(d1.getAs[Long]("sessions_ended") == 1L)
+  }
+
   test("transition total = events - sessions; daily sessions sum = session count") {
     // every k-event session contributes exactly k-1 transitions
     val events = Tables.events(spark, Sf).count()
