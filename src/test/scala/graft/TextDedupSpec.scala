@@ -240,6 +240,41 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("range join: bin-crossing intervals, inclusive ends, keyless bins, runaway guard") {
+    import spark.implicits._
+    // bins are 10 wide; interval i1 [5, 25] spans bins 0..2
+    val intervals = Seq(("k1", 5L, 25L, "i1"), ("k1", 40L, 41L, "i2"), ("k2", 5L, 25L, "i3"))
+      .toDF("k", "s", "e", "iid")
+    val points = Seq(
+      ("k1", 5L, "p1"),   // at interval start (inclusive)
+      ("k1", 10L, "p2"),  // exactly on a bin boundary inside i1
+      ("k1", 25L, "p3"),  // at interval end (inclusive)
+      ("k1", 26L, "p4"),  // same bin as i1's tail but outside → residual filter
+      ("k1", 40L, "p5"),  // i2; also proves p5 doesn't leak into i1
+      ("k2", 10L, "p6"))  // key isolation: matches i3 only
+      .toDF("k", "t", "pid")
+    val got = operators.RangeJoin.rangeJoin(points, intervals,
+        pointTs = "t", startTs = "s", endTs = "e", keys = Seq("k"), binSize = 10)
+      .select("pid", "iid").as[(String, String)].collect().sorted
+    // each pair appears EXACTLY once despite i1 living in 3 bins
+    assert(got.toSeq == Seq("p1" -> "i1", "p2" -> "i1", "p3" -> "i1",
+      "p5" -> "i2", "p6" -> "i3"))
+    // keyless: bins alone carry the join; p6 (t=10) now falls in BOTH
+    // k1's and k2's interval — multi-match is the point of range join
+    val keyless = operators.RangeJoin.rangeJoin(
+        points.drop("k"), intervals.drop("k"), "t", "s", "e", keys = Nil, binSize = 10)
+      .select("pid", "iid").as[(String, String)].collect()
+    assert(keyless.count(_._1 == "p6") == 2)
+    assert(keyless.length == 9) // p1,p2,p3,p6 × {i1,i3} + p5 × i2
+    // a runaway interval (2048 bins at width 10) fails the job loudly
+    val wide = Seq(("k1", 0L, 20479L, "huge")).toDF("k", "s", "e", "iid")
+    val err = intercept[Exception] {
+      operators.RangeJoin.rangeJoin(points, wide, "t", "s", "e", Seq("k"), binSize = 10)
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("corpus packing covers every doc once and fills packs near budget") {
     val packs = operators.TextAnalysis.corpusPack(spark, Sf).collect()
     val total = Tables.documents(spark, Sf).count()
