@@ -702,6 +702,62 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram-level corpus fluency signals — the deterministic stand-in
+    * for bigram-LM perplexity filtering (CCNet-style: score each doc
+    * against a model trained on the corpus itself). As with
+    * `rarityScore`, true log-probabilities would hash-mismatch the
+    * oracle at the ulp level (JVM Math.log vs DuckDB libm) AND a
+    * distributed sum of per-position doubles is order-unstable, so the
+    * signals are integer sums with ONE final division: mean corpus
+    * frequency of the doc's bigrams (low = unusual word order) and the
+    * fraction of bigram positions whose corpus count is below
+    * `minCount` (high = disfluent/noisy text). Docs with < 2 tokens
+    * have no bigram positions and emit no row.
+    *
+    * Plan shape mirrors rarityScore one level up: explode bigrams
+    * (narrow — consecutive pairs are built per-row from the token
+    * array, never via a self-join), one shuffle for the global bigram
+    * counts, one shuffle join back on the bigram (broadcast is wrong
+    * at scale — a 100 TB corpus's bigram vocabulary is huge), one
+    * shuffle to the doc grain. */
+  def bigramRarity(spark: SparkSession, dir: String, minCount: Int = 3): DataFrame = {
+    val ws = tokens(col("text"))
+    val bigramArr = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(bigramArr).as("bigram"))
+    val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+      .withColumnRenamed("bigram", "fbigram")
+    bg.join(freq, col("bigram") === col("fbigram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("freq") < minCount, 1)).as("n_rare"),
+        sum(col("freq")).as("freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams").cast("double")).as("rare_bigram_frac"),
+        (col("freq_sum").cast("double") / col("n_bigrams").cast("double")).as("mean_bigram_freq"))
+      .orderBy("doc_id")
+  }
+
+  val bigramRaritySql: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-1, 0) + 1),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+      |), freq AS (
+      |  SELECT bigram AS fbigram, COUNT(*) AS freq FROM bg GROUP BY bigram
+      |)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  COUNT(*) FILTER (WHERE freq < 3) AS n_rare,
+      |  CAST(COUNT(*) FILTER (WHERE freq < 3) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_bigram_frac,
+      |  CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bigram_freq
+      |FROM bg JOIN freq ON bigram = fbigram
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Gopher-style repetition signals (cf. Rae et al. 2021 §A1.1:
     * repeated-line / top-n-gram filters), word-based because the
     * testdata documents are single-line: per-doc top-word count (the

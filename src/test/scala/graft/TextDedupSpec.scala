@@ -112,6 +112,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bigram rarity matches a plain-Scala global-bigram recompute; <2-token docs emit no row") {
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq.sliding(2)
+          .filter(_.length == 2).map(_.mkString(" ")).toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (b, bs) => b -> bs.size }
+    val got = TextAnalysis.bigramRarity(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_rare"),
+          r.getAs[Double]("mean_bigram_freq")))).toMap
+    assert(got.size == docs.count(_._2.nonEmpty))
+    docs.filter(_._2.nonEmpty).foreach { case (id, bgs) =>
+      val (n, rare, mean) = got(id)
+      assert(n == bgs.length)
+      assert(rare == bgs.count(b => freq(b) < 3))
+      assert(mean == bgs.map(b => freq(b).toLong).sum.toDouble / bgs.length)
+    }
+  }
+
   test("contamination check matches a plain-Scala gram-overlap recompute") {
     val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") ->
