@@ -445,6 +445,36 @@ class SessionizeSpec extends SparkSpec {
     assert(d1.getAs[Long]("sessions_ended") == 1L)
   }
 
+  test("window funnel: greedy chain start, exact window edge, ties, out-of-order steps") {
+    import spark.implicits._
+    val e = Seq(
+      // u1: completes at exactly window span (86500-100 = 86400)
+      ("u1", "view", 100L), ("u1", "click", 200L), ("u1", "purchase", 86500L),
+      // u1's later purchase is out of window but the first one counts
+      ("u1", "purchase", 200000L),
+      // u2: the FIRST click has no prior view — the chain must route
+      // through the second click (max-over-carts, not last-cart)
+      ("u2", "click", 100L), ("u2", "view", 200L), ("u2", "click", 300L),
+      ("u2", "purchase", 400L),
+      // u3: view→click pair exceeds the window → stuck at level 1
+      ("u3", "view", 100L), ("u3", "click", 90000L),
+      // u4: no funnel step at all
+      ("u4", "error", 100L),
+      // u5: all three steps at the SAME epoch — ties are inclusive
+      ("u5", "view", 500L), ("u5", "click", 500L), ("u5", "purchase", 500L),
+      // u6: steps present but in reverse time order — no chain
+      ("u6", "purchase", 100L), ("u6", "click", 200L), ("u6", "view", 300L))
+      .toDF("user_id", "event_type", "event_epoch")
+    val got = FunnelWindow.windowFunnel(e, Seq("view", "click", "purchase"), 86400L)
+      .collect().map(r => r.getAs[String]("user_id") ->
+        ((r.getAs[Int]("funnel_level"),
+          Option(r.getAs[java.lang.Long]("first_completion_epoch")).map(_.toLong)))).toMap
+    assert(got == Map(
+      "u1" -> ((3, Some(86500L))), "u2" -> ((3, Some(400L))),
+      "u3" -> ((1, None)), "u4" -> ((0, None)),
+      "u5" -> ((3, Some(500L))), "u6" -> ((1, None))))
+  }
+
   test("transition total = events - sessions; daily sessions sum = session count") {
     // every k-event session contributes exactly k-1 transitions
     val events = Tables.events(spark, Sf).count()
