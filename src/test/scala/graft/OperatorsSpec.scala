@@ -97,6 +97,26 @@ class RelationalSpec extends SparkSpec {
   }
 }
 
+class BasketSpec extends SparkSpec {
+  test("basket pairs: canonical pair counts, support, lift, duplicate-line collapse") {
+    import spark.implicits._
+    // o3 lists part 2 twice — one basket membership, not two
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 2L), (3L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val rows = operators.Basket.basketPairsFrom(li).collect()
+    val got = rows.map(r => (r.getAs[Long]("part1"), r.getAs[Long]("part2")) ->
+      ((r.getAs[Long]("pair_orders"), r.getAs[Double]("support"), r.getAs[Double]("lift")))).toMap
+    // n_orders=3; part orders: p1→2, p2→3, p3→1
+    assert(got == Map(
+      (1L, 2L) -> ((2L, 2.0 / 3.0, (2.0 * 3.0) / (2.0 * 3.0))),
+      (1L, 3L) -> ((1L, 1.0 / 3.0, (1.0 * 3.0) / (2.0 * 1.0))),
+      (2L, 3L) -> ((1L, 1.0 / 3.0, (1.0 * 3.0) / (3.0 * 1.0)))))
+    // ordering: count desc, then canonical pair
+    assert(rows.map(r => (r.getAs[Long]("part1"), r.getAs[Long]("part2"))).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
+
 class BucketingSpec extends SparkSpec {
   test("bucketed fact-fact join is shuffle-free and matches the shuffled result") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString

@@ -30,6 +30,9 @@ class PlanAuditSpec extends SparkSpec {
     * types — the full grid IS the intended output). */
   private val IntendedBnlj = Set("ann_cosine_topk", "q22_untapped_segments",
     "q11_important_parts", "dq_anomaly",
+    // basket_pairs crosses the aggregated pair frame with its ONE-ROW
+    // broadcast order total (the same scalar-subquery pattern as q11/q22)
+    "basket_pairs",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")
