@@ -53,6 +53,65 @@ object Basket {
       .limit(topN)
   }
 
+  /** Cohort-LTV revenue triangle: customers grouped by FIRST-order
+    * month, revenue and active-customer counts laid out by months
+    * since acquisition — the table every retention-revenue model and
+    * payback-period analysis starts from.
+    *
+    * Scale shape: one custkey exchange for the first-order window
+    * (unordered running min — no sort), then the per-(cohort, offset,
+    * customer) pre-aggregate BEFORE the cell rollup, so the distinct
+    * customer count is a plain `count(*)` — the de-Expand trick the
+    * funnel marts use; a mixed countDistinct+sum here would Expand ×2
+    * every order row through the shuffle. Month arithmetic is pure
+    * integers (year·12+month), timezone-free; money sums as
+    * decimal(18,2) and casts back to double so partial-aggregation
+    * order can't move a bit. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtvFrom(Tables.orders(spark, dir))
+
+  def cohortLtvFrom(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val midx = year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")) - lit(1)
+    val base = orders.filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), midx.as("midx"), col("o_totalprice"))
+      .withColumn("cohort_idx", min(col("midx")).over(Window.partitionBy("o_custkey")))
+    base
+      .groupBy(col("cohort_idx"),
+        (col("midx") - col("cohort_idx")).cast("long").as("months_since"),
+        col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .groupBy(col("cohort_idx"), col("months_since"))
+      .agg(count(lit(1)).as("active_customers"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .select(
+        make_date((col("cohort_idx") / lit(12)).cast("int"),
+          (col("cohort_idx") % lit(12) + lit(1)).cast("int"), lit(1)).as("cohort_month"),
+        col("months_since"), col("active_customers"), col("revenue"))
+      .orderBy("cohort_month", "months_since")
+  }
+
+  val cohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) - 1 AS midx,
+      |    o_totalprice
+      |  FROM orders WHERE o_orderdate IS NOT NULL
+      |), c AS (
+      |  SELECT *, MIN(midx) OVER (PARTITION BY o_custkey) AS cohort_idx FROM o
+      |), per_cust AS (
+      |  SELECT cohort_idx, midx - cohort_idx AS months_since, o_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM c GROUP BY 1, 2, 3
+      |)
+      |SELECT make_date(CAST(cohort_idx // 12 AS INT), CAST(cohort_idx % 12 + 1 AS INT), 1) AS cohort_month,
+      |  CAST(months_since AS BIGINT) AS months_since,
+      |  COUNT(*) AS active_customers,
+      |  CAST(SUM(rev) AS DOUBLE) AS revenue
+      |FROM per_cust
+      |GROUP BY cohort_idx, months_since
+      |ORDER BY cohort_month, months_since""".stripMargin
+
   val basketPairsSql: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

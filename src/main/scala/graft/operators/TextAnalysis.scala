@@ -721,12 +721,18 @@ object TextAnalysis {
     * at scale — a 100 TB corpus's bigram vocabulary is huge), one
     * shuffle to the doc grain. */
   def bigramRarity(spark: SparkSession, dir: String, minCount: Int = 3): DataFrame = {
-    val ws = tokens(col("text"))
+    // materialize the token array ONCE before the per-position lambda:
+    // inlining `split` into the transform would re-tokenize the whole
+    // text at every element_at — O(words²) per doc (measured 29× on
+    // sf0.1; CollapseProject keeps this split un-inlined because the
+    // alias is referenced more than once and split is not cheap)
+    val ws = col("__graft_ws")
     val bigramArr = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => concat(element_at(ws, i), lit(" "), element_at(ws, i + lit(1)))))
       .otherwise(array().cast("array<string>"))
     val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("__graft_ws"))
       .select(col("doc_id"), explode(bigramArr).as("bigram"))
     val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
       .withColumnRenamed("bigram", "fbigram")

@@ -115,6 +115,25 @@ class BasketSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("part1"), r.getAs[Long]("part2"))).toSeq ==
       Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("cohort LTV: first-month cohorts, year-boundary offsets, decimal-exact revenue") {
+    import spark.implicits._
+    val o = Seq(
+      (1L, "2024-01-05", 100.0), (1L, "2024-03-20", 50.0),
+      (2L, "2024-01-10", 10.0), (2L, "2024-01-25", 20.0),
+      (3L, "2024-03-01", 5.0),
+      // year boundary: Dec 2023 cohort, next order Jan 2024 → offset 1
+      (4L, "2023-12-31", 7.0), (4L, "2024-01-01", 3.0))
+      .toDF("o_custkey", "od", "o_totalprice")
+      .select(col("o_custkey"), col("od").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val got = operators.Basket.cohortLtvFrom(o).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_month").toString, r.getAs[Long]("months_since")) ->
+        ((r.getAs[Long]("active_customers"), r.getAs[Double]("revenue")))).toMap
+    assert(got == Map(
+      ("2023-12-01", 0L) -> ((1L, 7.0)), ("2023-12-01", 1L) -> ((1L, 3.0)),
+      ("2024-01-01", 0L) -> ((2L, 130.0)), ("2024-01-01", 2L) -> ((1L, 50.0)),
+      ("2024-03-01", 0L) -> ((1L, 5.0))))
+  }
 }
 
 class BucketingSpec extends SparkSpec {
