@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -90,6 +90,89 @@ object Basket {
         col("months_since"), col("active_customers"), col("revenue"))
       .orderBy("cohort_month", "months_since")
   }
+
+  /** RFM segmentation: customers scored 1–5 on Recency (days since
+    * last order, lower = better), Frequency (order count) and Monetary
+    * (lifetime spend) against the customer base's own 20/40/60/80th
+    * percentiles, rolled up to the 125-cell segment grid with customer
+    * counts and revenue — the CRM targeting mart.
+    *
+    * Scale shape: one custkey shuffle to the customer grain; the
+    * percentile thresholds and the reference date are 1-row aggregates
+    * broadcast back (the q11/q22 scalar pattern). Exact `percentile`
+    * buffers the customer-grain values — at true 100 TB scale swap
+    * `approx_percentile` in, same plan (the value_percentiles pair
+    * documents the same trade). Money stays decimal until the final
+    * cast; scores are integer comparisons against shared-formula
+    * interpolated thresholds (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the value_percentiles-proven equivalence). */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsFrom(Tables.orders(spark, dir))
+
+  def rfmSegmentsFrom(orders: DataFrame): DataFrame = {
+    val o = orders.filter(col("o_orderdate").isNotNull)
+    val refDate = o.agg(max(col("o_orderdate")).as("ref_date"))
+    val users = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary_dec"))
+      .join(broadcast(refDate))
+      .withColumn("recency_days", datediff(col("ref_date"), col("last_order")))
+    val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    val th = users.agg(
+      expr(s"percentile(cast(recency_days as double), $qs)").as("rq"),
+      expr(s"percentile(cast(frequency as double), $qs)").as("fq"),
+      expr(s"percentile(cast(monetary_dec as double), $qs)").as("mq"))
+    def above(v: Column, q: String): Column =
+      (1 to 4).map(i => when(v > element_at(col(q), i), 1).otherwise(0))
+        .reduce(_ + _)
+    users.join(broadcast(th))
+      .select(col("o_custkey"), col("monetary_dec"),
+        (lit(5) - above(col("recency_days").cast("double"), "rq")).cast("int").as("r_score"),
+        (lit(1) + above(col("frequency").cast("double"), "fq")).cast("int").as("f_score"),
+        (lit(1) + above(col("monetary_dec").cast("double"), "mq")).cast("int").as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("customers"),
+        sum(col("monetary_dec")).cast("double").as("segment_revenue"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH o AS (
+      |  SELECT * FROM orders WHERE o_orderdate IS NOT NULL
+      |), u AS (
+      |  SELECT o_custkey,
+      |    DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+      |      (SELECT CAST(MAX(o_orderdate) AS DATE) FROM o)) AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+      |  FROM o GROUP BY o_custkey
+      |), t AS (
+      |  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rq,
+      |         quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fq,
+      |         quantile_cont(CAST(monetary_dec AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mq
+      |  FROM u
+      |), scored AS (
+      |  SELECT o_custkey, monetary_dec,
+      |    CAST(5 - ((CASE WHEN CAST(recency_days AS DOUBLE) > rq[1] THEN 1 ELSE 0 END)
+      |            + (CASE WHEN CAST(recency_days AS DOUBLE) > rq[2] THEN 1 ELSE 0 END)
+      |            + (CASE WHEN CAST(recency_days AS DOUBLE) > rq[3] THEN 1 ELSE 0 END)
+      |            + (CASE WHEN CAST(recency_days AS DOUBLE) > rq[4] THEN 1 ELSE 0 END)) AS INT) AS r_score,
+      |    CAST(1 + ((CASE WHEN CAST(frequency AS DOUBLE) > fq[1] THEN 1 ELSE 0 END)
+      |            + (CASE WHEN CAST(frequency AS DOUBLE) > fq[2] THEN 1 ELSE 0 END)
+      |            + (CASE WHEN CAST(frequency AS DOUBLE) > fq[3] THEN 1 ELSE 0 END)
+      |            + (CASE WHEN CAST(frequency AS DOUBLE) > fq[4] THEN 1 ELSE 0 END)) AS INT) AS f_score,
+      |    CAST(1 + ((CASE WHEN CAST(monetary_dec AS DOUBLE) > mq[1] THEN 1 ELSE 0 END)
+      |            + (CASE WHEN CAST(monetary_dec AS DOUBLE) > mq[2] THEN 1 ELSE 0 END)
+      |            + (CASE WHEN CAST(monetary_dec AS DOUBLE) > mq[3] THEN 1 ELSE 0 END)
+      |            + (CASE WHEN CAST(monetary_dec AS DOUBLE) > mq[4] THEN 1 ELSE 0 END)) AS INT) AS m_score
+      |  FROM u, t
+      |)
+      |SELECT r_score, f_score, m_score, COUNT(*) AS customers,
+      |  CAST(SUM(monetary_dec) AS DOUBLE) AS segment_revenue
+      |FROM scored
+      |GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
 
   val cohortLtvSql: String =
     """WITH o AS (

@@ -134,6 +134,25 @@ class BasketSpec extends SparkSpec {
       ("2024-01-01", 0L) -> ((2L, 130.0)), ("2024-01-01", 2L) -> ((1L, 50.0)),
       ("2024-03-01", 0L) -> ((1L, 5.0))))
   }
+
+  test("RFM segments: aligned planted customers land on the quintile diagonal") {
+    import spark.implicits._
+    // customer k: k orders of 100.0 on day d_k, so frequency=k,
+    // monetary=100k, and recency decreases with k — every dimension's
+    // 5 values straddle the .2/.4/.6/.8 interpolated thresholds the
+    // same way, putting customer k in cell (k, k, k)
+    val days = Map(1 -> "2024-01-01", 2 -> "2024-01-11", 3 -> "2024-01-21",
+      4 -> "2024-01-31", 5 -> "2024-02-10")
+    val o = (1 to 5).flatMap(k => Seq.fill(k)((k.toLong, days(k), 100.0)))
+      .toDF("o_custkey", "od", "o_totalprice")
+      .select(col("o_custkey"), col("od").cast("timestamp").as("o_orderdate"),
+        col("o_totalprice"))
+    val rows = operators.Basket.rfmSegmentsFrom(o).collect()
+    val got = rows.map(r => (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+      r.getAs[Int]("m_score")) ->
+      ((r.getAs[Long]("customers"), r.getAs[Double]("segment_revenue")))).toMap
+    assert(got == (1 to 5).map(k => (k, k, k) -> ((1L, 100.0 * k))).toMap)
+  }
 }
 
 class BucketingSpec extends SparkSpec {

@@ -33,6 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     // basket_pairs crosses the aggregated pair frame with its ONE-ROW
     // broadcast order total (the same scalar-subquery pattern as q11/q22)
     "basket_pairs",
+    // rfm_segments broadcasts TWO one-row frames (reference date and
+    // percentile thresholds) — the same scalar pattern
+    "rfm_segments",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")
