@@ -36,13 +36,35 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
         .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
     }
+    if (!new java.io.File(s"$big/orders.parquet").exists()) {
+      // ×10 replicas with order/customer keys remapped per replica:
+      // order sizes and per-customer frequencies are UNCHANGED (scale,
+      // not densification); part keys stay shared, so basket pair
+      // counts scale ×10 at constant support
+      val rep = explode(sequence(lit(0), lit(9))).as("rep")
+      Tables.orders(spark, small).withColumn("rep", rep)
+        .select(
+          (col("o_orderkey") + col("rep").cast("long") * 100000000L).as("o_orderkey"),
+          (col("o_custkey") + col("rep").cast("long") * 10000000L).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .repartition(32).write.mode("overwrite").parquet(s"$big/orders.parquet")
+      val li = Tables.lineitem(spark, small)
+      li.withColumn("rep", rep)
+        .select(
+          (col("l_orderkey") + col("rep").cast("long") * 100000000L).as("l_orderkey")
+            +: li.columns.filter(_ != "l_orderkey").map(col): _*)
+        .repartition(32).write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    }
 
     val headline = Seq(
       "mart_user_daily", "mart_funnel_daily", "hourly_traffic", "session_sequences",
       "session_daily", "session_transitions", "new_vs_returning",
+      "session_concurrency", "funnel_window", "attribution_window",
       "product_top_n", "retention_curve",
       "dedup_exact", "dedup_corpus", "dedup_minhash_lsh", "dedup_substring",
-      "corpus_source_mix")
+      "corpus_source_mix", "text_bigram_rarity",
+      "basket_pairs", "cohort_ltv", "rfm_segments")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -702,6 +702,44 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source token-length histogram on FIXED power-of-two bins —
+    * the length-distribution diagnostic a packing/filtering pipeline
+    * reads before picking context budgets and min-length gates. Fixed
+    * integer boundaries (not quantiles) keep bins comparable across
+    * runs and sources, and the whole thing is one narrow projection +
+    * one map-side-combined aggregate to |sources|·|bins| rows. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    tokenHistogramFrom(Tables.documents(spark, dir))
+
+  def tokenHistogramFrom(docs: DataFrame): DataFrame = {
+    val n = size(tokens(col("text")))
+    val binLo = Seq(1024, 512, 256, 128, 64, 32, 16)
+      .foldLeft(when(lit(false), 0)) { (acc, b) => acc.when(n >= b, b) }
+      .otherwise(0)
+    docs
+      .select(col("source"), binLo.as("bin_lo"), n.as("nt"))
+      .groupBy(col("source"), col("bin_lo"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("nt")).as("total_tokens"),
+        (sum(col("nt")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"))
+      .orderBy("source", "bin_lo")
+  }
+
+  val tokenHistogramSql: String = {
+    val n = "len(string_split_regex(trim(text), '\\s+'))"
+    s"""SELECT source,
+       |  CASE WHEN $n >= 1024 THEN 1024 WHEN $n >= 512 THEN 512
+       |       WHEN $n >= 256 THEN 256 WHEN $n >= 128 THEN 128
+       |       WHEN $n >= 64 THEN 64 WHEN $n >= 32 THEN 32
+       |       WHEN $n >= 16 THEN 16 ELSE 0 END AS bin_lo,
+       |  COUNT(*) AS docs,
+       |  CAST(SUM($n) AS BIGINT) AS total_tokens,
+       |  CAST(SUM($n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+       |FROM documents
+       |GROUP BY source, bin_lo
+       |ORDER BY source, bin_lo""".stripMargin
+  }
+
   /** Bigram-level corpus fluency signals — the deterministic stand-in
     * for bigram-LM perplexity filtering (CCNet-style: score each doc
     * against a model trained on the corpus itself). As with

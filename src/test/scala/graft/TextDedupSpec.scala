@@ -131,6 +131,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("token histogram: boundary words land in the right power-of-two bin") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("s1", words(15)), ("s1", words(16)), ("s1", words(17)),
+      ("s2", words(1024)), ("s2", words(1)))
+      .toDF("source", "text")
+    val got = TextAnalysis.tokenHistogramFrom(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("bin_lo")) ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("total_tokens")))).toMap
+    assert(got == Map(
+      ("s1", 0) -> ((1L, 15L)), ("s1", 16) -> ((2L, 33L)),
+      ("s2", 0) -> ((1L, 1L)), ("s2", 1024) -> ((1L, 1024L))))
+  }
+
   test("contamination check matches a plain-Scala gram-overlap recompute") {
     val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") ->
