@@ -20,7 +20,15 @@ import graft.Tables
   * The `p1 < p2` ordering halves the pairs and makes each undirected
   * pair a single canonical row. Final top-N is TakeOrdered (no global
   * sort materialization); ties at the cut break deterministically on
-  * (part1, part2). */
+  * (part1, part2).
+  *
+  * Measured dead end (do not retry): rewriting this as one
+  * collect_set-to-order-grain shuffle + a narrow nested-transform pair
+  * explode was 3.2x SLOWER at the 10x corpus (36.9 s vs 11.5 s,
+  * same-session A/B) — the O(k^2) array-of-struct allocation per order
+  * runs interpreted, while the "three-shuffle" self-join stays inside
+  * whole-stage codegen and reuses one exchange for both sides. Shuffle
+  * count is not the cost model here; codegen coverage is. */
 object Basket {
 
   def basketPairs(spark: SparkSession, dir: String, topN: Int = 100): DataFrame =
