@@ -384,6 +384,7 @@ object GraftFunctions {
     binary("sorted_intersect_count", SortedIntersectCount(_, _)),
     binary("sig_agree", SignatureAgreement(_, _)),
     unary("pca_moments", PcaMoments(_)),
+    unary("vec_sum", VecSumAgg(_)),
     ("pq_encode", { children: Seq[Expression] =>
       require(children.length == 3, "pq_encode expects (vec, books, m)")
       PqEncodeCodes(children(0), children(1), children(2))

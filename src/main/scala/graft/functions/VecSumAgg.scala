@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `vec_sum(array<double>) -> array<double>`: elementwise vector sum as
+  * a custom Catalyst aggregate (`TypedImperativeAggregate`) — ONE
+  * fixed-size D-element buffer per partial aggregate, merged
+  * associatively.
+  *
+  * This is the scale path for reducing per-row vectors (embedding
+  * component sums, PCA moment vectors): the posexplode + groupBy(pos)
+  * form multiplies every input row ×D before the partial aggregate —
+  * for PCA moments that is D(D+3)/2 ≈ 2k rows per input row, ~70M
+  * exploded rows at sf0.1 and 2000× the corpus at 100 TB — while this
+  * aggregate keeps the map side at one array-add per row and ships
+  * exactly one D-vector per partition through the shuffle.
+  *
+  * Ragged inputs (vectors of differing lengths) fail loudly rather
+  * than silently zero-extending — the posexplode form's equivalent
+  * guard was comparing per-position counts. Null vectors are skipped
+  * (SQL aggregate semantics); an all-null / empty group sums to NULL.
+  * Double addition is order-dependent in the last ulps, so partial
+  * partitioning can shift results by ~1e-16 relative — callers needing
+  * bit-identical results across partitionings (oracle-hashed queries)
+  * should pre-scale to integers as embedding_centroids does; the PCA
+  * moment path tolerates ulp drift by design (the eigensolve is
+  * iterative with its own convergence tolerance).
+  */
+case class VecSumAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<double>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // empty marker: length-0 array means "no rows seen yet" (a real
+  // zero-length vector input is rejected in update — summing nothing
+  // elementwise is meaningless)
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    require(n > 0, s"$prettyName: empty vector")
+    if (buf.isEmpty) {
+      val fresh = new Array[Double](n)
+      var i = 0
+      while (i < n) { fresh(i) = arr.getDouble(i); i += 1 }
+      fresh
+    } else {
+      require(buf.length == n,
+        s"$prettyName: ragged vectors (${buf.length} vs $n elements)")
+      var i = 0
+      while (i < n) { buf(i) += arr.getDouble(i); i += 1 }
+      buf
+    }
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    if (b2.isEmpty) return b1
+    if (b1.isEmpty) return b2
+    require(b1.length == b2.length,
+      s"$prettyName: ragged partials (${b1.length} vs ${b2.length} elements)")
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf.map(d => d: Any))
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    Array.fill(n)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecSumAgg =
+    copy(child = newChild)
+  override def prettyName: String = "vec_sum"
+}

@@ -94,13 +94,14 @@ class PlanAuditSpec extends SparkSpec {
     val fakeCents = (0 until 4).map(i => i -> Array.fill(64)(i.toFloat + 0.5f))
     val fakeBooks = (0 until 8).map(mi => (0 until 4).map(j => j -> Array.fill(8)(j * 0.1f + mi)).toSeq)
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    import org.apache.spark.sql.functions.{call_function, col, posexplode, sum => fsum}
+    import org.apache.spark.sql.functions.{call_function, col, count => fcount}
     // embedding_pca's returned frame is only the post-eigensolve
     // projection; its expensive subtree is the moment aggregation —
-    // audit that plan directly
+    // audit that plan directly (vec_sum fixed-state reduce, no explode)
     val momentPlan = Tables.embeddings(spark, Sf)
-      .select(posexplode(call_function("pca_moments", col("embedding"))).as(Seq("pos", "v")))
-      .groupBy(col("pos")).agg(fsum(col("v")))
+      .agg(
+        call_function("vec_sum", call_function("pca_moments", col("embedding"))).as("s"),
+        fcount(col("embedding")).as("cnt"))
     // semdedup: training and component collapse run eagerly; the
     // expensive subtree is the in-cell pair generation — audit it over
     // a literal-centroid cell assignment

@@ -617,6 +617,33 @@ class HashExpressionsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("vec_sum matches the exploded grouped sum, skips nulls, rejects ragged input") {
+    val s = withFns()
+    import s.implicits._
+    val df = Seq(
+      Tuple1(Array(1.0, 2.0, 3.0)),
+      Tuple1(Array(0.5, -1.0, 4.0)),
+      Tuple1(null.asInstanceOf[Array[Double]]),
+      Tuple1(Array(2.0, 2.0, 2.0))).toDF("v")
+      .repartition(3) // force a merge across partial buffers (incl. an all-null one)
+    val got = df.select(expr("vec_sum(v)")).collect().head.getSeq[Double](0)
+    assert(got == Seq(3.5, 3.0, 9.0))
+    // grouped: per-key fixed-state buffers
+    val grouped = Seq((1, Array(1.0, 1.0)), (1, Array(2.0, 3.0)), (2, Array(5.0, 7.0)))
+      .toDF("k", "v").groupBy("k").agg(expr("vec_sum(v)").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(grouped(1) == Seq(3.0, 4.0) && grouped(2) == Seq(5.0, 7.0))
+    // all-null group evaluates to NULL, not a zero vector
+    val nullOnly = Seq(Tuple1(null.asInstanceOf[Array[Double]])).toDF("v")
+      .select(expr("vec_sum(v)")).collect().head
+    assert(nullOnly.isNullAt(0))
+    // ragged vectors must fail loudly (silent zero-extension would
+    // mean a silently wrong covariance in the PCA path)
+    val ragged = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0, 2.0, 3.0))).toDF("v")
+      .coalesce(1).select(expr("vec_sum(v)"))
+    intercept[Exception] { ragged.collect() }
+  }
+
   test("sorted_intersect_count equals size(array_intersect(...))") {
     val s = withFns()
     val sh = expr("array_sort(array_distinct(transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))))")
