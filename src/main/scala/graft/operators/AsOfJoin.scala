@@ -145,6 +145,65 @@ object AsOfJoin {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ep >= v.ev
       |ORDER BY purchase_id""".stripMargin
 
+  /** Daily conversion-latency distribution: for purchases with a
+    * prior same-user view, seconds from the LAST view to the purchase,
+    * rolled up per purchase day as count / p50 / p90 / mean / max —
+    * the "how long does intent take to convert" mart funnel teams
+    * read next to funnel_conversion's step rates.
+    *
+    * Scale shape: inherits the as-of core's single key shuffle +
+    * running-max window (no pair materialization); the day rollup
+    * then moves only purchase-count rows. Exact percentiles per day
+    * sort one day's latencies on one reducer — bounded the same way
+    * value_percentiles is (group count is the calendar). Mean is
+    * integer-sum ÷ count, so partial-aggregation order can't move a
+    * bit; p50/p90 ride the proven percentile ≡ quantile_cont
+    * equivalence. Unconverted purchases (no prior view) are excluded
+    * here and counted by funnel/quality marts. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventMarts.enriched(spark, dir).filter(col("ts").isNotNull)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_epoch"), col("event_id"), col("event_date"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_epoch"), col("event_id").as("view_id"))
+    asofBackward(purchases, views, "user_id", "event_epoch",
+        payload = Seq("view_id"), tieBreak = Seq("view_id"))
+      .filter(col("asof_event_epoch").isNotNull)
+      .select(col("event_date"),
+        (col("event_epoch") - col("asof_event_epoch")).as("latency"))
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("conversions"),
+        expr("percentile(latency, 0.5)").as("p50_seconds"),
+        expr("percentile(latency, 0.9)").as("p90_seconds"),
+        (sum(col("latency")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_seconds"),
+        max(col("latency")).as("max_seconds"))
+      .orderBy("event_date")
+  }
+
+  val conversionLatencySql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep,
+      |    CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |), v AS (
+      |  SELECT DISTINCT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ev
+      |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+      |), lat AS (
+      |  SELECT p.event_date, p.ep - v.ev AS latency
+      |  FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ep >= v.ev
+      |)
+      |SELECT event_date,
+      |  COUNT(*) AS conversions,
+      |  quantile_cont(latency, 0.5) AS p50_seconds,
+      |  quantile_cont(latency, 0.9) AS p90_seconds,
+      |  CAST(SUM(latency) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_seconds,
+      |  MAX(latency) AS max_seconds
+      |FROM lat
+      |GROUP BY event_date
+      |ORDER BY event_date""".stripMargin
+
   val viewPurchaseAsOfSql: String =
     """WITH p AS (
       |  SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep

@@ -61,6 +61,89 @@ object Basket {
       .limit(topN)
   }
 
+  /** Item-to-item co-view affinity — the events-side sibling of
+    * basketPairs: products viewed by the same user on the same day,
+    * ranked by co-view frequency with a Jaccard affinity (the
+    * "customers who viewed X also viewed Y" recommender staple).
+    *
+    * Scale shape: the pair blow-up is bounded TWICE. First, event
+    * volume collapses to the distinct (user, day, product) frame.
+    * Second — unlike orders, where basket size is naturally small — a
+    * crawler or bot can "view" thousands of products in a day, so
+    * user-days outside [2, maxProductsPerDay] distinct products are
+    * dropped before pair enumeration (the LSH maxBucket guard's
+    * moral twin; singletons can't pair, oversized baskets are noise
+    * that would dominate the O(k²) work and poison affinity anyway).
+    * The self-join is co-located on (user, day) — one exchange,
+    * planned once for both sides (see the basketPairs header for why
+    * this beats a collect_set+explode rewrite). Product-day counts
+    * are computed over the SAME gated frame so the Jaccard
+    * denominator is consistent with the pair counts. */
+  def coviewPairs(spark: SparkSession, dir: String, topN: Int = 100,
+      maxProductsPerDay: Int = 50): DataFrame =
+    coviewPairsFrom(EventMarts.enriched(spark, dir), topN, maxProductsPerDay)
+
+  def coviewPairsFrom(e: DataFrame, topN: Int = 100,
+      maxProductsPerDay: Int = 50): DataFrame = {
+    val up = e.filter(col("event_type") === "view" && col("product_k").isNotNull)
+      .select(col("user_id"), col("event_date"), col("product_k"))
+      .distinct()
+    val eligible = up.groupBy(col("user_id"), col("event_date"))
+      .agg(count(lit(1)).as("n_products"))
+      .filter(col("n_products").between(2, maxProductsPerDay))
+      .select("user_id", "event_date")
+    val basket = up.join(eligible, Seq("user_id", "event_date"))
+    val pairs = basket.as("a")
+      .join(basket.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_date") === col("b.event_date") &&
+          col("a.product_k") < col("b.product_k"))
+      .groupBy(col("a.product_k").as("product1"), col("b.product_k").as("product2"))
+      .agg(count(lit(1)).as("coview_days"))
+    val prodDays = basket.groupBy(col("product_k"))
+      .agg(count(lit(1)).as("prod_days"))
+    pairs
+      .join(prodDays.withColumnRenamed("product_k", "pk1")
+        .withColumnRenamed("prod_days", "days1"), col("product1") === col("pk1"))
+      .join(prodDays.withColumnRenamed("product_k", "pk2")
+        .withColumnRenamed("prod_days", "days2"), col("product2") === col("pk2"))
+      .select(col("product1"), col("product2"), col("coview_days"),
+        (col("coview_days").cast("double")
+          / (col("days1") + col("days2") - col("coview_days")).cast("double")).as("jaccard"))
+      .orderBy(desc("coview_days"), asc("product1"), asc("product2"))
+      .limit(topN)
+  }
+
+  val coviewPairsSql: String =
+    """WITH up AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS product_k
+      |  FROM events
+      |  WHERE event_type = 'view' AND json_extract_string(props, '$.k') IS NOT NULL
+      |), eligible AS (
+      |  SELECT user_id, event_date FROM up
+      |  GROUP BY user_id, event_date
+      |  HAVING COUNT(*) BETWEEN 2 AND 50
+      |), basket AS (
+      |  SELECT up.* FROM up JOIN eligible USING (user_id, event_date)
+      |), pairs AS (
+      |  SELECT a.product_k AS product1, b.product_k AS product2, COUNT(*) AS coview_days
+      |  FROM basket a JOIN basket b
+      |    ON a.user_id = b.user_id AND a.event_date = b.event_date
+      |   AND a.product_k < b.product_k
+      |  GROUP BY 1, 2
+      |), pd AS (
+      |  SELECT product_k, COUNT(*) AS prod_days FROM basket GROUP BY 1
+      |)
+      |SELECT product1, product2, coview_days,
+      |  CAST(coview_days AS DOUBLE)
+      |    / CAST(d1.prod_days + d2.prod_days - coview_days AS DOUBLE) AS jaccard
+      |FROM pairs
+      |JOIN pd d1 ON product1 = d1.product_k
+      |JOIN pd d2 ON product2 = d2.product_k
+      |ORDER BY coview_days DESC, product1, product2
+      |LIMIT 100""".stripMargin
+
   /** Cohort-LTV revenue triangle: customers grouped by FIRST-order
     * month, revenue and active-customer counts laid out by months
     * since acquisition — the table every retention-revenue model and

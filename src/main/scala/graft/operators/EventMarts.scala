@@ -474,6 +474,66 @@ object EventMarts {
       |GROUP BY event_date
       |ORDER BY event_date""".stripMargin
 
+  /** Rolling DAU/WAU/MAU per day (trailing 1/7/28-day distinct actives,
+    * window inclusive of the day itself) plus the DAU/MAU stickiness
+    * ratio — the growth-analytics companion to new_vs_returning. Days
+    * earlier than 27 days after first data carry partial windows, the
+    * standard convention for rolling actives.
+    *
+    * Scale shape: event volume first collapses to the distinct
+    * (user, day) frame, so the ×28 offset explode multiplies at most
+    * users×days rows — bounded by the calendar, never by raw events.
+    * min(offset) at the (user, target-day) grain then makes each of
+    * DAU/WAU/MAU a plain conditional count at the day grain: one
+    * distinct shuffle + two bounded-frame shuffles, no countDistinct
+    * Expand, no per-user range window. Targets beyond a user's
+    * activity are pruned by a broadcast semi-join against the observed
+    * day list before the first wide aggregate moves. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    rollingActiveUsersFrom(enriched(spark, dir))
+
+  def rollingActiveUsersFrom(e: DataFrame): DataFrame = {
+    val ud = e.select("user_id", "event_date").distinct()
+    val days = ud.select(col("event_date").as("d")).distinct()
+    ud
+      .select(col("user_id"), col("event_date"),
+        explode(sequence(lit(0), lit(27))).as("off"))
+      .select(col("user_id"), date_add(col("event_date"), col("off")).as("d"), col("off"))
+      .join(broadcast(days), "d")
+      .groupBy(col("user_id"), col("d"))
+      .agg(min(col("off")).as("min_off"))
+      .groupBy(col("d").as("event_date"))
+      .agg(
+        count(when(col("min_off") === 0, 1)).as("dau"),
+        count(when(col("min_off") < 7, 1)).as("wau"),
+        count(lit(1)).as("mau"))
+      .withColumn("dau_mau_ratio",
+        col("dau").cast("double") / col("mau").cast("double") * lit(100))
+      .orderBy("event_date")
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date FROM events
+      |), days AS (
+      |  SELECT DISTINCT event_date AS d FROM ud
+      |), reach AS (
+      |  SELECT ud.user_id, ud.event_date + o.off AS d, MIN(o.off) AS min_off
+      |  FROM ud
+      |  CROSS JOIN (SELECT CAST(unnest(generate_series(0, 27)) AS INTEGER) AS off) o
+      |  JOIN days ON days.d = ud.event_date + o.off
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d AS event_date,
+      |  COUNT(CASE WHEN min_off = 0 THEN 1 END) AS dau,
+      |  COUNT(CASE WHEN min_off < 7 THEN 1 END) AS wau,
+      |  COUNT(*) AS mau,
+      |  CAST(COUNT(CASE WHEN min_off = 0 THEN 1 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) * 100 AS dau_mau_ratio
+      |FROM reach
+      |GROUP BY d
+      |ORDER BY d""".stripMargin
+
   /** Exact value percentiles per event type — the sort-based aggregate
     * family (no other query exercises it): p50/p90/p99 plus min/max.
     * Spark's `percentile` and DuckDB's `quantile_cont` both compute

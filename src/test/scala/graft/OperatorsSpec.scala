@@ -116,6 +116,32 @@ class BasketSpec extends SparkSpec {
       Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("coview pairs: same-day gating, bot-day exclusion, jaccard denominators") {
+    import spark.implicits._
+    def ev(u: Long, d: String, k: Int, t: String = "view") =
+      (u, s"$d 10:00:00", t, s"""{"k":$k}""")
+    // u1 views 1,2 on d1 (2 twice — one membership); u2 views 1,2,3 on d1;
+    // u1 views 1 alone on d2 (singleton day → no pairs, dropped);
+    // u3 is a bot: 51 products on d1 (dropped by the gate);
+    // u4 PURCHASES 1,2 on d1 (wrong event type, ignored)
+    val raw = (Seq(ev(1, "2024-01-01", 1), ev(1, "2024-01-01", 2), ev(1, "2024-01-01", 2),
+      ev(2, "2024-01-01", 1), ev(2, "2024-01-01", 2), ev(2, "2024-01-01", 3),
+      ev(1, "2024-01-02", 1),
+      ev(4, "2024-01-01", 1, "purchase"), ev(4, "2024-01-01", 2, "purchase")) ++
+      (1 to 51).map(k => ev(3, "2024-01-01", k)))
+      .toDF("user_id", "ts", "event_type", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val e = operators.EventMarts.enrich(raw)
+    val got = operators.Basket.coviewPairsFrom(e).collect()
+      .map(r => (r.getAs[Int]("product1"), r.getAs[Int]("product2")) ->
+        ((r.getAs[Long]("coview_days"), r.getAs[Double]("jaccard")))).toMap
+    // gated frame: u1-d1 {1,2}, u2-d1 {1,2,3} → prod_days 1→2, 2→2, 3→1
+    assert(got == Map(
+      (1, 2) -> ((2L, 2.0 / (2 + 2 - 2))),
+      (1, 3) -> ((1L, 1.0 / (2 + 1 - 1))),
+      (2, 3) -> ((1L, 1.0 / (2 + 1 - 1)))))
+  }
+
   test("cohort LTV: first-month cohorts, year-boundary offsets, decimal-exact revenue") {
     import spark.implicits._
     val o = Seq(
@@ -285,6 +311,36 @@ class EventMartsSpec extends SparkSpec {
     assert(m.getLong(0) == Tables.events(spark, Sf).select("user_id").distinct().count())
     assert(m.getLong(1) == graft.operators.EventMarts.enriched(spark, Sf)
       .select("user_id", "event_date").distinct().count())
+  }
+
+  test("rolling actives: planted windows roll off at 7 and 28 days; DAU ties out at sf") {
+    import spark.implicits._
+    // u1 active on day 0 only; u2 on day 0 and day 10; u3 on day 30.
+    // Observed days: 0, 10, 30.
+    val e = Seq(
+      ("u1", "2024-01-01"), ("u2", "2024-01-01"),
+      ("u2", "2024-01-11"), ("u3", "2024-01-31"))
+      .toDF("user_id", "event_date").withColumn("event_date", col("event_date").cast("date"))
+    val rows = EventMarts.rollingActiveUsersFrom(e).collect()
+      .map(r => r.getAs[java.sql.Date]("event_date").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau"))).toMap
+    // day 0: both u1+u2 in every window
+    assert(rows("2024-01-01") == ((2L, 2L, 2L)))
+    // day 10: u2 active today (dau 1); u1+u2's day-0 activity is out of
+    // the 7-day window but inside the 28-day one; u2 counted ONCE
+    assert(rows("2024-01-11") == ((1L, 1L, 2L)))
+    // day 30: day-0 activity has rolled off the 28-day window entirely,
+    // day-10 activity is still inside it
+    assert(rows("2024-01-31") == ((1L, 1L, 2L)))
+    // sf invariants: per-day DAU equals the exact per-day distinct user
+    // count, and WAU/MAU are monotone supersets of DAU
+    val got = EventMarts.rollingActiveUsers(spark, Sf)
+    val exact = graft.operators.EventMarts.enriched(spark, Sf)
+      .select("user_id", "event_date").distinct()
+      .groupBy("event_date").agg(count(lit(1)).as("exact_dau"))
+    assert(got.join(exact, "event_date")
+      .filter(col("dau") =!= col("exact_dau")).count() == 0)
+    assert(got.filter(col("wau") < col("dau") || col("mau") < col("wau")).count() == 0)
   }
 }
 

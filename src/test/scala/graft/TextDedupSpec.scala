@@ -245,6 +245,22 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("conversion latency: day grain, exact quantiles over gaps, unmatched excluded") {
+    val rows = operators.AsOfJoin.conversionLatency(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("p50_seconds"), r.getAs[Double]("p90_seconds"))
+      val (mean, mx) = (r.getAs[Double]("mean_seconds"), r.getAs[Long]("max_seconds"))
+      assert(p50 >= 0 && p50 <= p90 && p90 <= mx, s"quantile ordering broken: $r")
+      assert(mean >= 0 && mean <= mx)
+      assert(r.getAs[Long]("conversions") > 0)
+    }
+    // converted-purchase count ties out against the as-of attribution frame
+    val matched = operators.AsOfJoin.viewPurchaseAsOf(spark, Sf)
+      .filter(col("last_view_epoch").isNotNull).count()
+    assert(rows.map(_.getAs[Long]("conversions")).sum == matched)
+  }
+
   test("general as-of join carries the matched row's payload (row semantics, left-total)") {
     import spark.implicits._
     // price updates: sym A at t=10 (p=1.0), t=20 (p=null!), t=30 (p=3.0)
