@@ -36,6 +36,19 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
         .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
     }
+    if (!new java.io.File(s"$big/embeddings.parquet").exists()) {
+      // ×10 vec_id-remapped replicas, vectors unchanged: the PCA
+      // moment pass is duplicate-insensitive (timing scales with row
+      // count, the covariance is unchanged). Pair-enumerating ANN ops
+      // must NOT be probed on this table — exact replicas would
+      // densify every cell ×10 and measure pair blow-up, not scale.
+      val e = Tables.embeddings(spark, small)
+      e.withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id")
+            +: e.columns.filter(_ != "vec_id").map(col): _*)
+        .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    }
     if (!new java.io.File(s"$big/orders.parquet").exists()) {
       // ×10 replicas with order/customer keys remapped per replica:
       // order sizes and per-customer frequencies are UNCHANGED (scale,
@@ -64,7 +77,9 @@ object ScaleProbe {
       "product_top_n", "retention_curve",
       "dedup_exact", "dedup_corpus", "dedup_minhash_lsh", "dedup_substring",
       "corpus_source_mix", "text_bigram_rarity",
-      "basket_pairs", "cohort_ltv", "rfm_segments")
+      "basket_pairs", "cohort_ltv", "rfm_segments",
+      "rolling_active_users", "coview_pairs", "conversion_latency",
+      "embedding_pca")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -932,4 +932,50 @@ object Relational {
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation   ON s_nationkey = n_nationkey
       |ORDER BY n_dominated_parts DESC, s_name ASC""".stripMargin
+
+  /** Monthly shipping-latency distribution: days from order placement
+    * to line shipment, p50/p90/mean/max per order month — the
+    * fulfillment-SLA mart (the OLAP-side sibling of
+    * conversion_latency's behavioral gap).
+    *
+    * Scale shape: both fact sides project to two/three columns before
+    * the orderkey shuffle join; the month rollup then moves
+    * |lineitem| → |months| rows with exact per-month percentiles
+    * (bounded group count — the calendar again). Mean is integer
+    * day-sum ÷ count: partial-aggregation-order-proof. */
+  def shippingLatency(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(trunc(col("o_orderdate"), "month").as("order_month"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lat"))
+      .groupBy(col("order_month"))
+      .agg(
+        count(lit(1)).as("lines"),
+        expr("percentile(lat, 0.5)").as("p50_days"),
+        expr("percentile(lat, 0.9)").as("p90_days"),
+        (sum(col("lat")).cast("double") / count(lit(1)).cast("double")).as("mean_days"),
+        max(col("lat")).cast("bigint").as("max_days"))
+      .orderBy("order_month")
+  }
+
+  val shippingLatencySql: String =
+    """WITH lat AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate IS NOT NULL
+      |)
+      |SELECT order_month,
+      |  COUNT(*) AS lines,
+      |  quantile_cont(lat, 0.5) AS p50_days,
+      |  quantile_cont(lat, 0.9) AS p90_days,
+      |  CAST(SUM(lat) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_days,
+      |  CAST(MAX(lat) AS BIGINT) AS max_days
+      |FROM lat
+      |GROUP BY order_month
+      |ORDER BY order_month""".stripMargin
 }

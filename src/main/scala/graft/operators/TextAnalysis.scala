@@ -240,6 +240,58 @@ object TextAnalysis {
       |  CAST(token_count AS DOUBLE) / CAST(SUM(token_count) OVER () AS DOUBLE) * 100 AS token_share
       |FROM per_source ORDER BY source""".stripMargin
 
+  /** Quality-decile token budget per source — the curriculum /
+    * quality-mixing companion to sourceMix: how the corpus's token
+    * budget distributes across quality-score deciles WITHIN each
+    * source. This is the table behind threshold picking ("what
+    * fraction of tokens does quality ≥ 0.5 keep, per source?") and
+    * quality-curriculum schedules (sample high buckets late). Bucket
+    * = floor(score×10) clamped to 9; score doubles are bit-identical
+    * across engines (text_quality_score is hash-green), so the floor
+    * lands in the same bucket on both sides.
+    *
+    * Scale shape: identical to sourceMix — one scan, one map-side-
+    * combined aggregate to |sources|×10 rows; the share window moves
+    * only that aggregated frame. */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame =
+    qualityBucketsFrom(Tables.documents(spark, dir))
+
+  def qualityBucketsFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    docs
+      .select(col("source"),
+        least(floor(qualityScoreCol * 10).cast("int"), lit(9)).as("quality_bucket"),
+        size(tokens(col("text"))).cast("bigint").as("toks"))
+      .groupBy(col("source"), col("quality_bucket"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("toks")).as("token_count"))
+      .withColumn("token_share",
+        col("token_count").cast("double") / sum(col("token_count")).over(w).cast("double") * lit(100))
+      .orderBy("source", "quality_bucket")
+  }
+
+  val qualityBucketsSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    s"""WITH scored AS (
+       |  SELECT source,
+       |    CAST(LEAST(CAST(FLOOR((LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4 + ($stopR) * 0.3 +
+       |      (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3) * 10) AS INT), 9)
+       |      AS INTEGER) AS quality_bucket,
+       |    CAST($nWords AS BIGINT) AS toks
+       |  FROM documents
+       |), per AS (
+       |  SELECT source, quality_bucket, COUNT(*) AS doc_count,
+       |    CAST(SUM(toks) AS BIGINT) AS token_count
+       |  FROM scored GROUP BY 1, 2
+       |)
+       |SELECT source, quality_bucket, doc_count, token_count,
+       |  CAST(token_count AS DOUBLE) / CAST(SUM(token_count) OVER () AS DOUBLE) * 100
+       |    AS token_share
+       |FROM per ORDER BY source, quality_bucket""".stripMargin
+  }
+
   /** The end-to-end corpus-cleaning pass (the pipeline every
     * pre-training dataset runs): quality filter + language filter +
     * exact dedup composed in ONE plan — quality score and language ID
@@ -363,6 +415,41 @@ object TextAnalysis {
       |         ELSE 'test' END AS split
       |  FROM documents
       |) t GROUP BY split ORDER BY split""".stripMargin
+
+  /** Seeded deterministic corpus shuffle — the reproducible
+    * training-order primitive: every doc gets a shuffle key =
+    * md5(seed:doc_id) and a shard = the key's first hex nibble (16
+    * shards), so the epoch's global read order (shard, key) is a pure
+    * function of (seed, doc_id) — identical across runs, engines,
+    * partitionings, and appends, and a NEW seed ("epoch1") is a fresh
+    * independent permutation. This is what makes training runs
+    * resumable and ablations comparable; rand()-based shuffles
+    * reshuffle on every retry of a failed stage.
+    *
+    * Scale shape: key + shard assignment is a zero-shuffle narrow
+    * projection. The registered query materializes the full order for
+    * verification via one range exchange (sampled range partitioner —
+    * parallel, no single reducer); a production epoch write skips even
+    * that: `partitionBy(shard)` + `sortWithinPartitions(shuffle_key)`
+    * gives the same order shard-by-shard. */
+  def corpusShuffle(spark: SparkSession, dir: String, seed: String = "epoch0"): DataFrame =
+    corpusShuffleFrom(Tables.documents(spark, dir), seed)
+
+  def corpusShuffleFrom(docs: DataFrame, seed: String = "epoch0"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")).cast("binary"))
+          .as("shuffle_key"))
+      .select(substring(col("shuffle_key"), 1, 1).as("shard"),
+        col("doc_id"), col("shuffle_key"))
+      .orderBy("shard", "shuffle_key", "doc_id")
+
+  val corpusShuffleSql: String =
+    """SELECT substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |  doc_id,
+      |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |FROM documents
+      |ORDER BY shard, shuffle_key, doc_id""".stripMargin
 
   /** Domain mixing — per-source target sampling rates (in 1/16 units
     * for exactness) applied via a deterministic md5 bucket of the doc

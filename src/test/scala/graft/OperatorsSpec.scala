@@ -142,6 +142,18 @@ class BasketSpec extends SparkSpec {
       (2, 3) -> ((1L, 1.0 / (2 + 1 - 1)))))
   }
 
+  test("shipping latency: month grain, quantile ordering, line counts tie out") {
+    val rows = operators.Relational.shippingLatency(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("p50_days"), r.getAs[Double]("p90_days"))
+      assert(p50 <= p90 && p90 <= r.getAs[Long]("max_days"))
+      assert(r.getAs[Double]("mean_days") >= 0)
+    }
+    assert(rows.map(_.getAs[Long]("lines")).sum ==
+      Tables.lineitem(spark, Sf).filter(col("l_shipdate").isNotNull).count())
+  }
+
   test("cohort LTV: first-month cohorts, year-boundary offsets, decimal-exact revenue") {
     import spark.implicits._
     val o = Seq(

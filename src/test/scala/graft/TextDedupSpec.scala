@@ -196,6 +196,42 @@ class CorpusPrepSpec extends SparkSpec {
     assert(bySplit("train").toDouble / total > 0.55)
   }
 
+  test("corpus shuffle: total, seed-stable, epoch-independent, shard = key prefix") {
+    val docs = Tables.documents(spark, Sf)
+    val total = docs.count()
+    val e0 = operators.TextAnalysis.corpusShuffle(spark, Sf).collect()
+    // every doc appears exactly once, shard is the key's first nibble
+    assert(e0.length == total)
+    assert(e0.map(_.getAs[Long]("doc_id")).distinct.length == total)
+    e0.foreach(r => assert(
+      r.getAs[String]("shard") == r.getAs[String]("shuffle_key").substring(0, 1)))
+    // same seed → byte-identical order; new seed → a different permutation
+    val again = operators.TextAnalysis.corpusShuffle(spark, Sf).collect()
+    assert(e0.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val e1 = operators.TextAnalysis.corpusShuffle(spark, Sf, seed = "epoch1").collect()
+    assert(e0.map(_.getAs[Long]("doc_id")).toSeq != e1.map(_.getAs[Long]("doc_id")).toSeq)
+    // all 16 shards materialize and no shard hogs the corpus
+    val shards = e0.groupBy(_.getAs[String]("shard")).view.mapValues(_.length)
+    assert(shards.size == 16 && shards.values.max < total / 4)
+  }
+
+  test("quality buckets: per-source decile census ties out against the scored corpus") {
+    val rows = operators.TextAnalysis.qualityBuckets(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_count")).sum == Tables.documents(spark, Sf).count())
+    assert(rows.forall { r =>
+      val b = r.getAs[Int]("quality_bucket"); b >= 0 && b <= 9
+    })
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 100.0) < 1e-9)
+    // bucket census agrees with bucketing the per-doc scored frame
+    val perDoc = operators.TextAnalysis.qualityScore(spark, Sf)
+      .select(least(floor(col("quality_score") * 10).cast("int"), lit(9)).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getAs[Int]("b") -> r.getAs[Long]("count")).toMap
+    val byBucket = rows.groupBy(_.getAs[Int]("quality_bucket")).view
+      .mapValues(_.map(_.getAs[Long]("doc_count")).sum).toMap
+    assert(byBucket == perDoc)
+  }
+
   test("weighted source sampling realizes the 1/16-unit target rates deterministically") {
     val rows = operators.TextAnalysis.sampleWeightedSources(spark, Sf).collect()
     rows.foreach { r =>
