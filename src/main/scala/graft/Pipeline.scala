@@ -102,7 +102,8 @@ object Pipeline {
     *   failures in the result). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           failFast: Boolean = true, dates: Seq[String] = Nil,
-          checkLogDir: Option[String] = None): Result = {
+          checkLogDir: Option[String] = None,
+          checkLogJdbc: Option[(String, String)] = None): Result = {
     val base = EventMarts.enriched(spark, sfDir)
     val runDates = dates.map(java.sql.Date.valueOf)
     // persist scope = run dates ± one day (sessionize lookback and
@@ -128,15 +129,27 @@ object Pipeline {
         val r = e.agg(max(col("event_date"))).collect().head
         if (r.isNullAt(0)) None else Some(r.getDate(0).toString)
       }
+      // rows with a null ts have no run date to log under (they would
+      // land in a __HIVE_DEFAULT_PARTITION__ that trendFromLog counts
+      // as an extra "day"); they stay visible through the corpus-wide
+      // null/timestamp checks in the gate summary above
+      lazy val logFrame = Quality.perDateChecks(e)
+        .filter(col("event_date").isNotNull)
+        .withColumnRenamed("event_date", "run_date")
       checkLogDir.foreach { dir =>
-        // rows with a null ts have no run date to log under (they would
-        // land in a __HIVE_DEFAULT_PARTITION__ that trendFromLog counts
-        // as an extra "day"); they stay visible through the corpus-wide
-        // null/timestamp checks in the gate summary above
-        val log = Quality.perDateChecks(e)
-          .filter(col("event_date").isNotNull)
-          .withColumnRenamed("event_date", "run_date")
-        MartSink.writePartitioned(log, dir, Seq("run_date"))
+        MartSink.writePartitioned(logFrame, dir, Seq("run_date"))
+      }
+      checkLogJdbc.foreach { case (url, table) =>
+        // the DB leg of the log (the reference's quality_check_log in
+        // PostgreSQL): one staged-atomic upsert scoped to the run's
+        // dates — rerun-idempotent exactly like the parquet partition
+        // overwrite above
+        val ds = logFrame.select("run_date").distinct()
+          .collect().map(_.getDate(0).toString).sorted
+        if (ds.nonEmpty)
+          MartSink.writeJdbc(logFrame, url, table,
+            deletePredicate =
+              Some(ds.map(d => s"'$d'").mkString("\"run_date\" IN (", ", ", ")")))
       }
       val alert = Option.when(failed.nonEmpty)(
         Reporting.qualityAlertPayload(runDate.getOrElse("unknown"), checks))

@@ -377,13 +377,37 @@ object Quality {
   def writeCheckLog(summary: DataFrame, logDir: String, runDate: String): Unit =
     graft.sources.MartSink.writePartitioned(checkLog(summary, runDate), logDir, Seq("run_date"))
 
+  /** JDBC leg of the check log — the reference keeps
+    * quality_check_log in PostgreSQL (docker/init-db.sh;
+    * scripts/quality_dashboard.py:51 `load_from_db`) and the DAG's
+    * load task upserts per run. Same per-date idempotency as the
+    * parquet log: the run_date predicate delete + insert ride
+    * MartSink.writeJdbc's staged atomic swap, so re-running a date
+    * replaces exactly that date's 7 rows and readers never see a
+    * partial log. */
+  def writeCheckLogJdbc(summary: DataFrame, url: String, table: String,
+                        runDate: String): Unit = {
+    require(runDate.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"runDate must be ISO yyyy-MM-dd, got $runDate")
+    graft.sources.MartSink.writeJdbc(checkLog(summary, runDate), url, table,
+      deletePredicate = Some(s""""run_date" = '$runDate'"""))
+  }
+
+  /** Trend the DB-backed check log (the dashboard's `load_from_db`
+    * path) — same aggregation as the parquet-log trend. */
+  def trendFromJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    trendFrom(spark.read.jdbc(url, table, new java.util.Properties()))
+
   /** Trend per check across persisted runs — the log-backed variant of
     * `dailyTrend` (reads quality_check_log instead of recomputing from
     * raw events, exactly how the reference dashboard trends). The log
     * is tiny (7 rows/run), so this is driver-light work no matter the
     * corpus size behind it. */
   def trendFromLog(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.parquet(logDir)
+    trendFrom(spark.read.parquet(logDir))
+
+  private def trendFrom(log: DataFrame): DataFrame =
+    log
       .withColumn("day_pass_rate",
         (lit(1.0) - col("failed_records").cast("double") /
           greatest(col("total_records"), lit(1L)).cast("double")) * lit(100))

@@ -97,6 +97,32 @@ class SourcesSpec extends SparkSpec {
       assert(!names.exists(_.toLowerCase.contains("_stg_")), s"staging leak: $names")
     } finally conn.close()
   }
+
+  test("DB-backed check log: per-date idempotent upsert, trend matches the parquet path") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_derby_qlog").resolve("qlogdb")
+    val url = s"jdbc:derby:$db;create=true"
+    def summary(failed: Long) = Seq(
+      ("null_check", "null_check", 100L, failed),
+      ("duplicate_check", "duplicate_check", 100L, 0L))
+      .toDF("check_name", "check_type", "total_records", "failed_records")
+      .withColumn("pass_rate", (lit(1.0) - col("failed_records").cast("double") / lit(100.0)) * 100)
+      .withColumn("status", when(col("pass_rate") >= 99.0, "PASS").otherwise("FAIL"))
+    operators.Quality.writeCheckLogJdbc(summary(5L), url, "quality_check_log", "2024-01-01")
+    operators.Quality.writeCheckLogJdbc(summary(0L), url, "quality_check_log", "2024-01-02")
+    // re-run of day 1 with corrected counts replaces ONLY day 1's rows
+    operators.Quality.writeCheckLogJdbc(summary(1L), url, "quality_check_log", "2024-01-01")
+    val back = spark.read.jdbc(url, "quality_check_log", new java.util.Properties())
+    assert(back.count() == 4) // 2 checks x 2 run dates, no duplicates
+    val trend = operators.Quality.trendFromJdbc(spark, url, "quality_check_log")
+      .collect().map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("days"), r.getAs[Long]("failed_records")))).toMap
+    assert(trend == Map("null_check" -> ((2L, 1L)), "duplicate_check" -> ((2L, 0L))))
+    // malformed run dates are rejected before any SQL is built
+    intercept[IllegalArgumentException] {
+      operators.Quality.writeCheckLogJdbc(summary(0L), url, "quality_check_log", "Jan 1 2024")
+    }
+  }
 }
 
 class ZOrderSpec extends SparkSpec {
@@ -569,6 +595,23 @@ class PipelineSpec extends SparkSpec {
       assert(t.getAs[Long]("total_records") == rows.map(_.getAs[Long]("total_records")).sum)
       assert(t.getAs[Long]("failed_records") == rows.map(_.getAs[Long]("failed_records")).sum)
     }
+  }
+
+  test("pipeline writes the check log to JDBC per-date idempotently alongside parquet") {
+    val db = Files.createTempDirectory("graft_derby_pipe").resolve("pipedb")
+    val url = s"jdbc:derby:$db;create=true"
+    val out = Files.createTempDirectory("graft_pipe_jdbc_marts").toString
+    val dates = twoDates()
+    dates.foreach(d => Pipeline.run(spark, Sf, out, dates = Seq(d),
+      checkLogJdbc = Some((url, "quality_check_log"))))
+    val n = spark.read.jdbc(url, "quality_check_log", new java.util.Properties()).count()
+    assert(n == 14) // 7 checks x 2 run dates
+    // re-running a date upserts its rows instead of appending
+    Pipeline.run(spark, Sf, out, dates = Seq(dates(0)),
+      checkLogJdbc = Some((url, "quality_check_log")))
+    assert(spark.read.jdbc(url, "quality_check_log", new java.util.Properties()).count() == 14)
+    val trend = operators.Quality.trendFromJdbc(spark, url, "quality_check_log")
+    assert(trend.count() == 7)
   }
 
   test("dq_daily_trend covers all 7 checks with sane rates") {
