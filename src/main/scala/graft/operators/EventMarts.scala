@@ -632,6 +632,40 @@ object EventMarts {
       .orderBy("day", "day_offset")
   }
 
+  /** Rolling DAU/WAU/MAU from MERGEABLE per-day HLL sketches — the
+    * 100 TB form of `rollingActiveUsers`: the exact query's distinct
+    * (user, day) frame is user-scale; this one collapses each day to
+    * ONE fixed-size sketch (a few KB at lgK=12), and every trailing
+    * window is a sketch union over at most 28 rows. The ×28 offset
+    * explode here multiplies the |days|-row SKETCH table, never
+    * anything user- or event-scale — the same partial-mergeability
+    * argument as approx_retention_hll, pointed at sliding windows.
+    * Estimates carry the sketch's ~1.6% rsd (lgK=12); the spec bounds
+    * realized error against the exact rolling mart. */
+  def rollingActiveHll(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
+    val sketches = enriched(spark, dir)
+      .groupBy(col("event_date"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+      // one row per day; feeds the offset explode AND the observed-day
+      // pruning join — cut the lineage so the events scan runs once
+      .localCheckpoint()
+    val days = sketches.select(col("event_date").as("d"))
+    sketches
+      .select(col("event_date"), col("sk"), explode(sequence(lit(0), lit(27))).as("off"))
+      .select(date_add(col("event_date"), col("off")).as("d"), col("sk"), col("off"))
+      .join(broadcast(days), "d")
+      .groupBy(col("d"))
+      .agg(
+        round(hll_sketch_estimate(hll_union_agg(when(col("off") === 0, col("sk")))))
+          .cast("bigint").as("dau_est"),
+        round(hll_sketch_estimate(hll_union_agg(when(col("off") < 7, col("sk")))))
+          .cast("bigint").as("wau_est"),
+        round(hll_sketch_estimate(hll_union_agg(col("sk"))))
+          .cast("bigint").as("mau_est"))
+      .withColumnRenamed("d", "event_date")
+      .orderBy("event_date")
+  }
+
   /** Count-min-sketch point-frequency mart — the fourth sketch next
     * to HLL (distincts), Greenwald-Khanna (quantiles) and Misra-Gries
     * (top-k): CMS answers "how often did THIS key occur" from

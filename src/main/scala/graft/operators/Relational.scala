@@ -945,6 +945,7 @@ object Relational {
     * day-sum ÷ count: partial-aggregation-order-proof. */
   def shippingLatency(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
       .select(col("o_orderkey"), col("o_orderdate"))
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate").isNotNull)
@@ -967,7 +968,7 @@ object Relational {
       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
       |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |  WHERE l_shipdate IS NOT NULL
+      |  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
       |)
       |SELECT order_month,
       |  COUNT(*) AS lines,

@@ -393,6 +393,25 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("HLL rolling actives track the exact DAU/WAU/MAU within sketch error") {
+    val exact = EventMarts.rollingActiveUsers(spark, Sf).collect()
+      .map(r => r.getAs[java.sql.Date]("event_date").toString ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau")))).toMap
+    val est = EventMarts.rollingActiveHll(spark, Sf).collect()
+    assert(est.length == exact.size, "sketch mart must cover exactly the observed days")
+    est.foreach { r =>
+      val day = r.getAs[java.sql.Date]("event_date").toString
+      val (dau, wau, mau) = exact(day)
+      // lgK=12 → ~1.6% rsd; allow 3x plus an absolute floor
+      def ok(got: Long, want: Long, label: String): Unit =
+        assert(math.abs(got - want) <= math.max(3.0, 0.05 * want),
+          s"$day $label: est $got vs exact $want")
+      ok(r.getAs[Long]("dau_est"), dau, "dau")
+      ok(r.getAs[Long]("wau_est"), wau, "wau")
+      ok(r.getAs[Long]("mau_est"), mau, "mau")
+    }
+  }
+
   test("count-min estimates respect both sides of the CMS guarantee") {
     val eps = 0.001
     val exact = EventMarts.enriched(spark, Sf)
