@@ -85,9 +85,16 @@ object Basket {
 
   def coviewPairsFrom(e: DataFrame, topN: Int = 100,
       maxProductsPerDay: Int = 50): DataFrame = {
+    // the distinct view frame feeds the eligibility gate AND (through
+    // the gate join) both self-join sides and the product-day counts —
+    // four consumers whose branch-specific pruning would each replan
+    // the events scan. One localCheckpoint = one events scan total;
+    // everything downstream recomputes only over user-day-product rows
+    // (the dedup_substring / rolling_active_users pattern).
     val up = e.filter(col("event_type") === "view" && col("product_k").isNotNull)
       .select(col("user_id"), col("event_date"), col("product_k"))
       .distinct()
+      .localCheckpoint()
     val eligible = up.groupBy(col("user_id"), col("event_date"))
       .agg(count(lit(1)).as("n_products"))
       .filter(col("n_products").between(2, maxProductsPerDay))

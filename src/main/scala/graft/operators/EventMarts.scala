@@ -493,7 +493,13 @@ object EventMarts {
     rollingActiveUsersFrom(enriched(spark, dir))
 
   def rollingActiveUsersFrom(e: DataFrame): DataFrame = {
-    val ud = e.select("user_id", "event_date").distinct()
+    // the distinct (user, day) frame feeds BOTH the offset explode and
+    // the observed-day list; without a cut Spark replans the events
+    // scan + distinct shuffle for each consumer (branch-specific
+    // pruning defeats ReuseExchange — the dedup_substring finding).
+    // localCheckpoint materializes user-days once: tiny next to the
+    // events scan it saves at any scale.
+    val ud = e.select("user_id", "event_date").distinct().localCheckpoint()
     val days = ud.select(col("event_date").as("d")).distinct()
     ud
       .select(col("user_id"), col("event_date"),

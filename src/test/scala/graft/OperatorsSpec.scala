@@ -148,7 +148,10 @@ class BasketSpec extends SparkSpec {
     rows.foreach { r =>
       val (p50, p90) = (r.getAs[Double]("p50_days"), r.getAs[Double]("p90_days"))
       assert(p50 <= p90 && p90 <= r.getAs[Long]("max_days"))
-      assert(r.getAs[Double]("mean_days") >= 0)
+      // the synthetic corpus (unlike dbgen) allows ship-before-order
+      // rows, so gaps CAN be negative — the mart reports them honestly;
+      // only the ordering invariant is universal
+      assert(r.getAs[Double]("mean_days") <= r.getAs[Long]("max_days"))
     }
     assert(rows.map(_.getAs[Long]("lines")).sum ==
       Tables.lineitem(spark, Sf).filter(col("l_shipdate").isNotNull).count())
