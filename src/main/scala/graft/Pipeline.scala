@@ -201,8 +201,18 @@ object Pipeline {
     * distributed work is the single per-day traffic aggregate over
     * `e`. */
   def dashboardDays(spark: SparkSession, checkLogDir: String,
-                    e: DataFrame): Seq[Reporting.DashboardDay] = {
-    val byDate = spark.read.parquet(checkLogDir).collect()
+                    e: DataFrame): Seq[Reporting.DashboardDay] =
+    dashboardDaysFrom(spark.read.parquet(checkLogDir), e)
+
+  /** Same assembly over the DB-backed log (the reference dashboard's
+    * `load_from_db` path, quality_dashboard.py:51). */
+  def dashboardDaysJdbc(spark: SparkSession, url: String, table: String,
+                        e: DataFrame): Seq[Reporting.DashboardDay] =
+    dashboardDaysFrom(spark.read.jdbc(url, table, new java.util.Properties()), e)
+
+  private def dashboardDaysFrom(log: DataFrame,
+                                e: DataFrame): Seq[Reporting.DashboardDay] = {
+    val byDate = log.collect()
       .groupBy(_.getAs[java.sql.Date]("run_date").toString)
     // prune the traffic aggregate to the dashboard's dates — the log's
     // date set is known driver-side, so don't scan/shuffle the corpus'

@@ -612,6 +612,12 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "quality_check_log", new java.util.Properties()).count() == 14)
     val trend = operators.Quality.trendFromJdbc(spark, url, "quality_check_log")
     assert(trend.count() == 7)
+    // the DB log feeds the dashboard exactly like the parquet log
+    val days = Pipeline.dashboardDaysJdbc(spark, url, "quality_check_log",
+      operators.EventMarts.enriched(spark, Sf))
+    assert(days.map(_.date) == dates.sorted)
+    assert(days.forall(_.checks.length == 7))
+    assert(Reporting.qualityDashboard(days).contains(dates.head))
   }
 
   test("dq_daily_trend covers all 7 checks with sane rates") {
