@@ -46,7 +46,7 @@ object ScaleProbe {
       e.withColumn("rep", explode(sequence(lit(0), lit(9))))
         .select(
           (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id")
-            +: e.columns.filter(_ != "vec_id").map(col): _*)
+            +: e.columns.filter(_ != "vec_id").toIndexedSeq.map(col): _*)
         .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     }
     if (!new java.io.File(s"$big/orders.parquet").exists()) {
@@ -66,7 +66,7 @@ object ScaleProbe {
       li.withColumn("rep", rep)
         .select(
           (col("l_orderkey") + col("rep").cast("long") * 100000000L).as("l_orderkey")
-            +: li.columns.filter(_ != "l_orderkey").map(col): _*)
+            +: li.columns.filter(_ != "l_orderkey").toIndexedSeq.map(col): _*)
         .repartition(32).write.mode("overwrite").parquet(s"$big/lineitem.parquet")
     }
 

@@ -80,7 +80,7 @@ object AsOfJoin {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(carry, carried)
       .filter(col(side) === 1)
-      .select(left.columns.map(col)
+      .select(left.columns.toIndexedSeq.map(col)
         ++ Seq(col(s"$carry.$ts").as(s"asof_$ts"))
         ++ payload.map(p => col(s"$carry.$p").as(s"asof_$p")): _*)
   }

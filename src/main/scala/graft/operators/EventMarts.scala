@@ -689,7 +689,7 @@ object EventMarts {
     val bytes = enriched(spark, dir)
       .filter(col("product_k").isNotNull)
       .select(count_min_sketch(col("product_k"), lit(eps), lit(confidence), lit(42)).as("sk"))
-      .head.getAs[Array[Byte]]("sk")
+      .head().getAs[Array[Byte]]("sk")
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     import spark.implicits._

@@ -412,7 +412,7 @@ object Similarity {
       val offset = vec.zip(means).map { case (c, mu) => c * mu }.sum
       struct(lit(rank).as("component"),
         (graft.functions.VectorFunctions.dot(col("embedding"),
-          array(vec.map(lit(_)): _*)) - lit(offset)).as("value"))
+          array(vec.toIndexedSeq.map(lit(_)): _*)) - lit(offset)).as("value"))
     }: _*)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), explode(projections).as("p"))
