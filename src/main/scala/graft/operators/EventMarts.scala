@@ -648,13 +648,25 @@ object EventMarts {
     * argument as approx_retention_hll, pointed at sliding windows.
     * Estimates carry the sketch's ~1.6% rsd (lgK=12); the spec bounds
     * realized error against the exact rolling mart. */
-  def rollingActiveHll(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
-    val sketches = enriched(spark, dir)
-      .groupBy(col("event_date"))
-      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
-      // one row per day; feeds the offset explode AND the observed-day
-      // pruning join — cut the lineage so the events scan runs once
-      .localCheckpoint()
+  def rollingActiveHll(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame =
+    rollingActiveHllFrom(
+      enriched(spark, dir)
+        .groupBy(col("event_date"))
+        .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk")))
+
+  /** Core over ANY (event_date, sk) sketch table — the same day
+    * sketches can come from the batch aggregate above or from a
+    * STREAM that maintains them incrementally
+    * (`streaming.EventStream.dailyUserSketch`): HLL registers are a
+    * deterministic function of the input SET, so batch-built and
+    * stream-built sketches window to identical estimates. This split
+    * is the point of mergeability — the expensive corpus pass happens
+    * wherever the data already flows; the trailing-window set algebra
+    * stays a ≤28-row union. */
+  def rollingActiveHllFrom(daySketches: DataFrame): DataFrame = {
+    // one row per day; feeds the offset explode AND the observed-day
+    // pruning join — cut the lineage so the upstream runs once
+    val sketches = daySketches.localCheckpoint()
     val days = sketches.select(col("event_date").as("d"))
     sketches
       .select(col("event_date"), col("sk"), explode(sequence(lit(0), lit(27))).as("off"))

@@ -64,6 +64,22 @@ object EventStream {
         count(lit(1)).as("event_count"),
         approx_count_distinct(col("user_id")).as("unique_users_approx"))
 
+  /** Per-day user HLL sketch, maintained incrementally by the stream —
+    * the streaming builder for the batch sketch marts
+    * (`EventMarts.rollingActiveHllFrom`, approx_retention_hll's
+    * day-pair algebra): each closed day window emits ONE fixed-size
+    * sketch (binary), so the live pipeline keeps the rolling-actives /
+    * retention inputs current without ever re-scanning history. HLL
+    * registers depend only on the SET of users seen, so stream-built
+    * and batch-built sketches are interchangeable. */
+  def dailyUserSketch(events: DataFrame, watermark: String = "2 hours",
+                      lgConfigK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+      .select(col("window.start").cast("date").as("event_date"), col("sk"))
+
   /** Declarative gap-sessionization with the built-in `session_window`
     * (dynamic-gap windows merged by the engine; state evicted by the
     * watermark). The flatMapGroupsWithState variant

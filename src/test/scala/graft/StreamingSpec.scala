@@ -37,6 +37,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-built day sketches feed the batch rolling-actives window algebra") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def at(day: String) = java.sql.Timestamp.valueOf(s"$day 10:00:00")
+    // day 1: users 1,2; day 2: user 2; plus a far-future sentinel that
+    // pushes the watermark past both day windows so append mode emits
+    mem.addData(
+      (1L, at("2024-01-01"), 1L, "view", 1.0, "{}"),
+      (2L, at("2024-01-01"), 2L, "view", 1.0, "{}"),
+      (3L, at("2024-01-02"), 2L, "purchase", 5.0, "{}"),
+      (4L, at("2024-02-01"), 9L, "view", 1.0, "{}"))
+    val q = EventStream.dailyUserSketch(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("day_sketch_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val sketches = spark.table("day_sketch_test")
+    assert(sketches.count() == 2) // both closed days; the sentinel day stays open
+    // the stream-built sketch table drives the SAME window core as batch
+    val rolled = operators.EventMarts.rollingActiveHllFrom(sketches).collect()
+      .map(r => r.getAs[java.sql.Date]("event_date").toString ->
+        ((r.getAs[Long]("dau_est"), r.getAs[Long]("wau_est"), r.getAs[Long]("mau_est")))).toMap
+    // tiny cardinalities: HLL is exact here
+    assert(rolled == Map(
+      "2024-01-01" -> ((2L, 2L, 2L)),
+      "2024-01-02" -> ((1L, 2L, 2L))))
+  }
+
   test("foreachBatch JDBC epoch sink delivers exactly-once under micro-batch replay") {
     import org.apache.spark.sql.Encoders
     implicit val sqlCtx = spark.sqlContext
