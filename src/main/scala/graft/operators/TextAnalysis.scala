@@ -489,6 +489,136 @@ object TextAnalysis {
       |  FROM documents
       |) t GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic uniform k-sample — bottom-k by a seeded content-
+    * independent hash (md5(seed:doc_id)): every doc's rank key is a
+    * pure function of (seed, doc_id), so the SAME k docs come back
+    * across runs, engines, partitionings, and appends-that-don't-
+    * displace (a doc leaves the sample only when a lower-keyed doc
+    * arrives — bottom-k is a mergeable sketch). A new seed is a fresh
+    * independent sample; rand()-based sampling gives none of this.
+    *
+    * Scale shape: narrow key projection + TakeOrdered top-k (per-
+    * partition heaps, k rows to the driver) — no global sort, no
+    * shuffle of the corpus. */
+  def sampleUniformK(spark: SparkSession, dir: String, k: Int = 200,
+                     seed: String = "s0"): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")).cast("binary"))
+          .as("rank_key"))
+      .orderBy("rank_key", "doc_id")
+      .limit(k)
+
+  val sampleUniformKSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  md5('s0:' || CAST(doc_id AS VARCHAR)) AS rank_key
+      |FROM documents
+      |ORDER BY rank_key, doc_id
+      |LIMIT 200""".stripMargin
+
+  /** Temperature-scaled source mixing at τ = 2 (sqrt temperature —
+    * the standard flattening used to up-weight rare sources in
+    * pre-training mixtures): target share ∝ √(observed token share),
+    * realized by DOWN-sampling every source relative to the one that
+    * needs no trimming, through a deterministic 256-bucket md5 gate
+    * per doc. Census per source: kept docs/tokens, realized vs target
+    * token share.
+    *
+    * Cross-engine determinism is why τ is fixed at 2: sqrt is IEEE-
+    * correctly-rounded in both engines, so the derived rates, the
+    * floor to 256ths, and therefore the exact kept set are
+    * bit-identical; an arbitrary-τ `pow` is not correctly rounded and
+    * could flip a boundary bucket between engines. Two corpus passes
+    * by design (shares, then the gate) — at scale the shares come
+    * from a metadata table and the second pass is the only scan. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val toks = size(tokens(col("text"))).cast("bigint")
+    // √share is summed across sources to normalize — a DOUBLE sum
+    // whose accumulation order differs between engines, so fix the
+    // weights to a 1e15 integer grid first (the embedding_centroids
+    // trick): BIGINT sums are exact and order-free, and every derived
+    // double is then one identical IEEE expression on both sides.
+    val shares = Tables.documents(spark, dir)
+      .select(col("source"), toks.as("toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("tokens"))
+      .withColumn("share", col("tokens").cast("double") / sum(col("tokens")).over(w).cast("double"))
+      .withColumn("twf", round(sqrt(col("share")) * lit(1e15)).cast("bigint"))
+      .withColumn("target_share",
+        col("twf").cast("double") / sum(col("twf")).over(w).cast("double"))
+      .withColumn("ratio", col("target_share") / col("share"))
+      .withColumn("rate", col("ratio") / max(col("ratio")).over(w))
+      .withColumn("n256", floor(col("rate") * 256).cast("int"))
+      .select(col("source").as("src"), col("target_share"), col("n256"))
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    def nib(i: Int) = {
+      val c = substring(h, i, 1)
+      when(c <= "9", ascii(c) - 48).otherwise(ascii(c) - 87)
+    }
+    val bucket256 = nib(1) * 16 + nib(2)
+    Tables.documents(spark, dir)
+      .select(col("source"), toks.as("toks"), bucket256.as("b"))
+      .join(broadcast(shares), col("source") === col("src"))
+      .withColumn("kept", (col("b") < col("n256")).cast("int"))
+      .groupBy(col("source"), col("target_share"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("kept")).cast("bigint").as("n_kept"),
+        sum(when(col("kept") === 1, col("toks")).otherwise(lit(0L))).cast("bigint")
+          .as("tokens_kept"))
+      .withColumn("realized_token_share",
+        col("tokens_kept").cast("double") / sum(col("tokens_kept")).over(w).cast("double"))
+      .select(col("source"), col("n_total"), col("n_kept"), col("tokens_kept"),
+        col("target_share"), col("realized_token_share"))
+      .orderBy("source")
+  }
+
+  val sampleTemperatureSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val nib1 = "(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '9' " +
+      "THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48 " +
+      "ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87 END)"
+    val nib2 = "(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) <= '9' " +
+      "THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48 " +
+      "ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87 END)"
+    s"""WITH shares AS (
+       |  SELECT source, CAST(SUM($nWords) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source
+       |), sh AS (
+       |  SELECT source,
+       |    CAST(tokens AS DOUBLE) / CAST(SUM(tokens) OVER () AS DOUBLE) AS share
+       |  FROM shares
+       |), fixed AS (
+       |  SELECT source, share,
+       |    CAST(ROUND(SQRT(share) * 1e15) AS BIGINT) AS twf
+       |  FROM sh
+       |), rated AS (
+       |  SELECT source, share,
+       |    CAST(twf AS DOUBLE) / CAST(SUM(twf) OVER () AS DOUBLE) AS target_share
+       |  FROM fixed
+       |), gated AS (
+       |  SELECT source, target_share,
+       |    CAST(FLOOR((target_share / share) /
+       |      MAX(target_share / share) OVER () * 256) AS INT) AS n256
+       |  FROM rated
+       |), docs AS (
+       |  SELECT d.source, CAST($nWords AS BIGINT) AS toks, g.target_share,
+       |    CASE WHEN ($nib1 * 16 + $nib2) < g.n256 THEN 1 ELSE 0 END AS kept
+       |  FROM documents d JOIN gated g ON d.source = g.source
+       |), census AS (
+       |  SELECT source, target_share, COUNT(*) AS n_total,
+       |    CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN kept = 1 THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept
+       |  FROM docs GROUP BY source, target_share
+       |)
+       |SELECT source, n_total, n_kept, tokens_kept, target_share,
+       |  CAST(tokens_kept AS DOUBLE) / CAST(SUM(tokens_kept) OVER () AS DOUBLE)
+       |    AS realized_token_share
+       |FROM census ORDER BY source""".stripMargin
+  }
+
   /** Corpus-wide top-k word trigrams with document frequency — the
     * n-gram census behind contamination screening and boilerplate
     * detection. The explode-heavy plan family: flatMap each doc to its

@@ -232,6 +232,43 @@ class CorpusPrepSpec extends SparkSpec {
     assert(byBucket == perDoc)
   }
 
+  test("uniform k-sample: deterministic bottom-k, seed-independent resample, append stability") {
+    val s1 = operators.TextAnalysis.sampleUniformK(spark, Sf, k = 50).collect()
+    assert(s1.length == 50)
+    // determinism: identical rows on a second run
+    val again = operators.TextAnalysis.sampleUniformK(spark, Sf, k = 50).collect()
+    assert(s1.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // bottom-k nesting: the k=20 sample is a prefix of the k=50 sample
+    val s2 = operators.TextAnalysis.sampleUniformK(spark, Sf, k = 20).collect()
+    assert(s1.take(20).map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    // a different seed draws a different set
+    val other = operators.TextAnalysis.sampleUniformK(spark, Sf, k = 50, seed = "s1").collect()
+    assert(other.map(_.getAs[Long]("doc_id")).toSet != s1.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("temperature mixing flattens token shares toward the sqrt profile") {
+    val rows = operators.TextAnalysis.sampleTemperature(spark, Sf).collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_.getAs[Double]("target_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("realized_token_share")).sum - 1.0) < 1e-9)
+    // flattening: vs the observed shares, every source's target moves
+    // TOWARD the mean (rare sources up, dominant sources down)
+    val mix = operators.TextAnalysis.sourceMix(spark, Sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("token_share") / 100.0).toMap
+    rows.foreach { r =>
+      val (src, tgt) = (r.getAs[String]("source"), r.getAs[Double]("target_share"))
+      val obs = mix(src)
+      val mean = 1.0 / mix.size
+      assert((obs - mean) * (obs - tgt) >= 0,
+        s"$src: target $tgt did not move from $obs toward $mean")
+      // kept sets are subsets and realized shares land near targets
+      // (256-bucket quantization + finite docs → loose tolerance)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+      assert(math.abs(r.getAs[Double]("realized_token_share") - tgt) < 0.1,
+        s"$src: realized ${r.getAs[Double]("realized_token_share")} vs target $tgt")
+    }
+  }
+
   test("weighted source sampling realizes the 1/16-unit target rates deterministically") {
     val rows = operators.TextAnalysis.sampleWeightedSources(spark, Sf).collect()
     rows.foreach { r =>
