@@ -319,6 +319,17 @@ object Dedup {
   def nearDupCorpusFromPairs(docs: DataFrame, pairs: DataFrame,
                              maxRounds: Int = 20,
                              requireConvergence: Boolean = false): DataFrame = {
+    val labels = componentLabels(docs, pairs, maxRounds, requireConvergence)
+    docs.join(labels.filter(col("doc_id") === col("keeper")), Seq("doc_id"))
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+
+  /** The label-propagation core itself: (doc_id, keeper = component
+    * min id) for every doc — shared by the survivor filter above and
+    * the cluster-size census. */
+  private[graft] def componentLabels(docs: DataFrame, pairs: DataFrame,
+                                     maxRounds: Int = 20,
+                                     requireConvergence: Boolean = false): DataFrame = {
     // candidate generation is materialized ONCE, then the undirected
     // adjacency is a cheap narrow union over the checkpointed pairs —
     // checkpointing only the union would re-plan the (expensive)
@@ -352,8 +363,28 @@ object Dedup {
       if (requireConvergence) throw new IllegalStateException(msg)
       log.warn(msg)
     }
-    docs.join(labels.filter(col("doc_id") === col("keeper")), Seq("doc_id"))
-      .select(docs.columns.map(col).toSeq: _*)
+    labels
+  }
+
+  /** Near-dup cluster-size histogram — the redundancy profile of the
+    * corpus (how much of it is 1-of-N near-copies, and how large the
+    * worst N runs): component labels from the same MinHash-LSH pair
+    * graph the collapse uses, rolled to size → cluster count → doc
+    * count. The number every dedup decision cites ("X% of docs sit in
+    * clusters ≥ 2") falls straight out of the running totals.
+    * Rows-only: component labels are iterative, not SQL-expressible. */
+  def clusterSizes(spark: SparkSession, dir: String, estThreshold: Double = 0.4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val labels = componentLabels(docs,
+      minhashLshFrom(spark, Tables.documents(spark, dir), estThreshold, DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b")))
+    labels
+      .groupBy(col("keeper"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
   }
 
   /** 64-bit SimHash near-dup: token hashes vote per bit; candidates

@@ -522,6 +522,24 @@ class DedupSpec extends SparkSpec {
     assert(full.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
   }
 
+  test("cluster-size histogram counts planted components exactly") {
+    import spark.implicits._
+    // components: {1,2,3} (triangle via chain), {4,5}, {6}, {7} →
+    // histogram: size 1 × 2, size 2 × 1, size 3 × 1
+    val docs = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.componentLabels(docs, pairs)
+    val hist = labels.groupBy(col("keeper")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .collect().map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    assert(hist == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    // corpus-level invariants: docs tie out, survivors = cluster count
+    val rows = Dedup.clusterSizes(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, Sf).count())
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum ==
+      operators.Dedup.nearDupCorpus(spark, Sf).count())
+  }
+
   test("dropped-bucket diagnostics quantify what the skew guard lost") {
     import spark.implicits._
     // 5 members in one bucket, 2 in another; guard at 3 drops the big one
