@@ -809,6 +809,65 @@ object TextAnalysis {
       |  ) b
       |) t GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
+  /** Overlapping token-window chunking — the retrieval/embedding
+    * pipeline primitive (chunk → embed → index): each doc splits into
+    * windows of `chunkTokens` whitespace tokens advancing by
+    * `chunkTokens - overlap`, every chunk a row with its token span
+    * and text. Deterministic boundaries (pure token arithmetic), so
+    * chunk identity is stable across runs and engines — what makes
+    * re-embedding incremental.
+    *
+    * Scale shape: narrow — tokenize once per doc in its own
+    * projection BELOW the Generate (the text_bigram_rarity lesson:
+    * an inlined split() re-tokenizes per output row; expressions do
+    * not collapse through Generate, so the array computes once and
+    * rides the explode), then per-chunk slices. No shuffle except the
+    * presentation sort. */
+  def docChunks(spark: SparkSession, dir: String, chunkTokens: Int = 128,
+                overlap: Int = 32): DataFrame =
+    docChunksFrom(Tables.documents(spark, dir), chunkTokens, overlap)
+
+  def docChunksFrom(docs: DataFrame, chunkTokens: Int = 128,
+                    overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("n_chunks",
+        greatest(lit(1), ceil((col("n") - lit(overlap)).cast("double") / step).cast("int")))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * step).as("start_token"),
+        least(col("chunk_idx") * step + chunkTokens, col("n")).cast("int").as("end_token"),
+        array_join(
+          slice(col("t"), col("chunk_idx") * step + 1,
+            least(lit(chunkTokens), col("n") - col("chunk_idx") * step)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunksSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), sized AS (
+      |  SELECT doc_id, t, CAST(len(t) AS INT) AS n,
+      |    GREATEST(1, CAST(CEIL((len(t) - 32) / 96.0) AS INT)) AS n_chunks
+      |  FROM base
+      |), chunks AS (
+      |  SELECT doc_id, t, n, CAST(u.idx AS INT) AS chunk_idx
+      |  FROM sized, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS idx) u
+      |)
+      |SELECT doc_id, chunk_idx,
+      |  chunk_idx * 96 AS start_token,
+      |  CAST(LEAST(chunk_idx * 96 + 128, n) AS INTEGER) AS end_token,
+      |  array_to_string(list_slice(t, chunk_idx * 96 + 1, LEAST(chunk_idx * 96 + 128, n)), ' ')
+      |    AS chunk_text
+      |FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** The cleaning pass extended with the Gopher repetition filters
     * (Rae et al. 2021 §A1.1): minimum length, top-word-fraction and
     * duplicate-bigram caps, on top of cleanCorpus's quality/language/

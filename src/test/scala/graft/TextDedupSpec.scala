@@ -246,6 +246,33 @@ class CorpusPrepSpec extends SparkSpec {
     assert(other.map(_.getAs[Long]("doc_id")).toSet != s1.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("doc chunks: exact overlapping windows, short-doc single chunk, full coverage") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, overlap 1 → step 3, ceil((10-1)/3) = 3 chunks
+    val words = (1 to 10).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "tiny doc")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.docChunksFrom(docs, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+        r.getAs[String]("chunk_text")).toMap
+    assert(got == Map(
+      (1L, 0) -> "w1 w2 w3 w4", (1L, 1) -> "w4 w5 w6 w7", (1L, 2) -> "w7 w8 w9 w10",
+      (2L, 0) -> "tiny doc"))
+    // corpus-level invariants at the registered 128/32 settings
+    val rows = operators.TextAnalysis.docChunks(spark, Sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == Tables.documents(spark, Sf).count())
+    byDoc.values.foreach { cs =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // spans advance by the step and chunks stay within the budget
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("start_token") == i * 96)
+        assert(c.getAs[Int]("end_token") - c.getAs[Int]("start_token") <= 128)
+      }
+      // the last chunk reaches the end of the doc exactly once
+      assert(sorted.init.forall(c => c.getAs[Int]("end_token") - c.getAs[Int]("start_token") == 128))
+    }
+  }
+
   test("temperature mixing flattens token shares toward the sqrt profile") {
     val rows = operators.TextAnalysis.sampleTemperature(spark, Sf).collect()
     assert(rows.length > 1)
