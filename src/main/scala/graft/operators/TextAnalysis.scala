@@ -868,6 +868,53 @@ object TextAnalysis {
       |FROM chunks
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Chunk-grain exact-duplicate census — dedup at the retrieval
+    * unit: identical chunk texts across the corpus (boilerplate
+    * headers, licence blocks, templated passages) found by hashing
+    * `docChunks` output. Composes the two primitives: chunk spans
+    * from pure arithmetic, dup groups from one hash aggregate — the
+    * chunk-level complement to dedup_substring's gram census (grams
+    * find partial overlap; this finds whole duplicated retrieval
+    * units, the thing a RAG index actually stores twice).
+    *
+    * Scale shape: one scan through the chunker (narrow), one
+    * map-side-combined hash aggregate; output is |duplicated chunk
+    * texts| rows. Default granularity is 32-token passages (8-token
+    * overlap) — boilerplate shows at passage size long before whole
+    * 128-token retrieval windows match exactly. */
+  def chunkDedup(spark: SparkSession, dir: String, chunkTokens: Int = 32,
+                 overlap: Int = 8): DataFrame =
+    docChunksFrom(Tables.documents(spark, dir), chunkTokens, overlap)
+      .groupBy(md5(col("chunk_text").cast("binary")).as("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(desc("n_copies"), asc("chunk_hash"))
+
+  val chunkDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      |), sized AS (
+      |  SELECT doc_id, t, CAST(len(t) AS INT) AS n,
+      |    GREATEST(1, CAST(CEIL((len(t) - 8) / 24.0) AS INT)) AS n_chunks
+      |  FROM base
+      |), chunks AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(t, CAST(u.idx AS INT) * 24 + 1,
+      |      LEAST(CAST(u.idx AS INT) * 24 + 32, n)), ' ') AS chunk_text
+      |  FROM sized, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS idx) u
+      |)
+      |SELECT md5(chunk_text) AS chunk_hash,
+      |  COUNT(*) AS n_copies,
+      |  COUNT(DISTINCT doc_id) AS n_docs,
+      |  MIN(doc_id) AS first_doc
+      |FROM chunks
+      |GROUP BY chunk_text
+      |HAVING COUNT(*) > 1
+      |ORDER BY n_copies DESC, chunk_hash ASC""".stripMargin
+
   /** The cleaning pass extended with the Gopher repetition filters
     * (Rae et al. 2021 §A1.1): minimum length, top-word-fraction and
     * duplicate-bigram caps, on top of cleanCorpus's quality/language/

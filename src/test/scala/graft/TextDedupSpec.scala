@@ -273,6 +273,26 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup: planted duplicated chunk found across docs; corpus output sane") {
+    import spark.implicits._
+    // docs 1 and 2 share an identical 4-token chunk; doc 3 is unique
+    val shared = "a b c d"
+    val docs = Seq(
+      (1L, s"$shared x1 y1 z1"), (2L, s"$shared x2 y2 z2"), (3L, "p q r s t u v"))
+      .toDF("doc_id", "text")
+    val chunks = operators.TextAnalysis.docChunksFrom(docs, chunkTokens = 4, overlap = 0)
+    val dups = chunks.groupBy(col("chunk_text")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).collect()
+    assert(dups.map(_.getAs[String]("chunk_text")).toSeq == Seq(shared))
+    // registered corpus query: every reported group is a real dup and
+    // copies >= docs (a doc can repeat its own boilerplate)
+    val rows = operators.TextAnalysis.chunkDedup(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") > 1)
+      assert(r.getAs[Long]("n_copies") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("temperature mixing flattens token shares toward the sqrt profile") {
     val rows = operators.TextAnalysis.sampleTemperature(spark, Sf).collect()
     assert(rows.length > 1)
