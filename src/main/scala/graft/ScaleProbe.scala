@@ -79,7 +79,9 @@ object ScaleProbe {
       "corpus_source_mix", "text_bigram_rarity",
       "basket_pairs", "cohort_ltv", "rfm_segments",
       "rolling_active_users", "coview_pairs", "conversion_latency",
-      "embedding_pca")
+      "embedding_pca",
+      "doc_chunks", "chunk_dedup", "sample_temperature", "sample_uniform_k",
+      "dedup_cluster_sizes", "rolling_active_hll")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

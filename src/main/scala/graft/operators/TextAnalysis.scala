@@ -884,11 +884,16 @@ object TextAnalysis {
     * 128-token retrieval windows match exactly. */
   def chunkDedup(spark: SparkSession, dir: String, chunkTokens: Int = 32,
                  overlap: Int = 8): DataFrame =
+    // (hash, doc) pre-aggregate first, so the distinct doc count is a
+    // plain count — the de-Expand form (a mixed count+countDistinct
+    // would Expand ×2 every chunk row through the shuffle)
     docChunksFrom(Tables.documents(spark, dir), chunkTokens, overlap)
-      .groupBy(md5(col("chunk_text").cast("binary")).as("chunk_hash"))
+      .groupBy(md5(col("chunk_text").cast("binary")).as("chunk_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("copies_in_doc"))
+      .groupBy(col("chunk_hash"))
       .agg(
-        count(lit(1)).as("n_copies"),
-        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("copies_in_doc")).cast("bigint").as("n_copies"),
+        count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_copies") > 1)
       .orderBy(desc("n_copies"), asc("chunk_hash"))
