@@ -141,4 +141,45 @@ object Multimodal {
       }(enc)
       .orderBy("media_id", "frame_idx")
   }
+
+  /** Media near-dup pairs via a byte-shingle SimHash — the perceptual-
+    * hash shape without the codec: payload bytes hex-encode into
+    * fixed 8-char groups (the "patches"), group-shingle hashes vote
+    * per bit into one 64-bit fingerprint, candidates come from the
+    * same 16-bit band blocking the text SimHash uses, and pairs keep
+    * at Hamming ≤ maxHamming. A real image pipeline swaps the hex
+    * grouping for decoded patch features (pHash/dHash); everything
+    * else — fingerprint, banding, bounded bucket pair enumeration —
+    * is exactly this plan. Rows-only (iterative banding isn't SQL).
+    *
+    * Scale shape: fingerprint is a narrow map; one shuffle on
+    * (band, value); per-bucket expansion bounded by maxBucket with
+    * the same skew-guard semantics as the text family. */
+  def mediaNearDup(spark: SparkSession, dir: String, maxHamming: Int = 7,
+                   maxBucket: Int = 1024): DataFrame =
+    mediaNearDupFrom(mediaTable(spark, dir), maxHamming, maxBucket)
+
+  def mediaNearDupFrom(media: DataFrame, maxHamming: Int = 7,
+                       maxBucket: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(media.sparkSession)
+    val grouped = trim(regexp_replace(hex(col("payload")), "(.{8})", "$1 "))
+    val banded = media
+      .select(col("media_id"),
+        call_function("simhash64",
+          transform(split(grouped, " "), g => xxhash64(g))).as("phash"))
+      .select(col("media_id"), col("phash"),
+        expr("explode(transform(sequence(0, 3), b -> struct(b as band_idx, shiftright(phash, b * 16) & 65535 as band_val)))").as("band"))
+      .select(col("media_id"), col("phash"), col("band.band_idx"), col("band.band_val"))
+    val x = expr("element_at(members, p.i)")
+    val y = expr("element_at(members, p.j)")
+    Dedup.bucketPairs(banded, Seq("band_idx", "band_val"),
+        Seq("media_id", "phash"), maxBucket)
+      .select(
+        least(x.getField("media_id"), y.getField("media_id")).as("media_a"),
+        greatest(x.getField("media_id"), y.getField("media_id")).as("media_b"),
+        bit_count(x.getField("phash").bitwiseXOR(y.getField("phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("media_a", "media_b")
+  }
 }

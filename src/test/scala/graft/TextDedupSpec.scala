@@ -1150,6 +1150,28 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("media near-dup pairs planted byte-twins, skips unrelated payloads") {
+    import spark.implicits._
+    val base = ("A" * 400) + ("B" * 400) + ("C" * 400)
+    val media = Seq(
+      (1L, base),
+      (2L, base.updated(0, 'Z').toString),  // one byte-group perturbed
+      (3L, scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .alphanumeric.take(1200).mkString)) // unrelated
+      .toDF("media_id", "text")
+      .select(col("media_id"), encode(col("text"), "utf-8").as("payload"))
+    val pairs = Multimodal.mediaNearDupFrom(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"byte-twin pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated payload paired: $pairs")
+    // corpus run: pairs are canonical and within the hamming budget
+    val rows = Multimodal.mediaNearDup(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("media_a") < r.getAs[Long]("media_b"))
+      assert(r.getAs[Int]("hamming") <= 7)
+    }
+  }
+
   test("feature vectors are 16-wide and bins sum to char count") {
     val bad = Multimodal.featureExtract(spark, Sf)
       .filter(size(col("feature_vec")) =!= 16 ||
