@@ -544,6 +544,10 @@ object TextAnalysis {
       .select(col("source"), toks.as("toks"))
       .groupBy(col("source"))
       .agg(sum(col("toks")).as("tokens"))
+      // a zero-token source would make ratio = 0/0 = NaN, and NaN
+      // ordering in MAX differs between engines — such a source has
+      // nothing to sample anyway, so drop it before the shares
+      .filter(col("tokens") > 0)
       .withColumn("share", col("tokens").cast("double") / sum(col("tokens")).over(w).cast("double"))
       .withColumn("twf", round(sqrt(col("share")) * lit(1e15)).cast("bigint"))
       .withColumn("target_share",
@@ -586,6 +590,7 @@ object TextAnalysis {
     s"""WITH shares AS (
        |  SELECT source, CAST(SUM($nWords) AS BIGINT) AS tokens
        |  FROM documents GROUP BY source
+       |  HAVING SUM($nWords) > 0
        |), sh AS (
        |  SELECT source,
        |    CAST(tokens AS DOUBLE) / CAST(SUM(tokens) OVER () AS DOUBLE) AS share
