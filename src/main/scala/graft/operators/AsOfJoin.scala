@@ -182,6 +182,70 @@ object AsOfJoin {
       .orderBy("event_date")
   }
 
+  /** Step-to-step funnel timing: for each adjacent funnel pair
+    * (view→click, click→purchase), the per-day latency distribution
+    * from the LAST upstream event to the downstream one — where the
+    * funnel's time is actually spent, per day (conversionLatency is
+    * the end-to-end view→purchase collapse of this).
+    *
+    * Scale shape: one as-of union+window pass per step pair (each a
+    * single user_id shuffle over only that pair's filtered events);
+    * the day×step rollup moves event-count rows. Same determinism
+    * contract as conversionLatency. */
+  def stepLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventMarts.enriched(spark, dir).filter(col("ts").isNotNull)
+    def pair(fromType: String, toType: String, label: String): DataFrame = {
+      val to = e.filter(col("event_type") === toType)
+        .select(col("user_id"), col("event_epoch"), col("event_id"), col("event_date"))
+      val from = e.filter(col("event_type") === fromType)
+        .select(col("user_id"), col("event_epoch"), col("event_id").as("from_id"))
+      asofBackward(to, from, "user_id", "event_epoch",
+          payload = Seq("from_id"), tieBreak = Seq("from_id"))
+        .filter(col("asof_event_epoch").isNotNull)
+        .select(col("event_date"), lit(label).as("step"),
+          (col("event_epoch") - col("asof_event_epoch")).as("latency"))
+    }
+    pair("view", "click", "view_to_click")
+      .unionByName(pair("click", "purchase", "click_to_purchase"))
+      .groupBy(col("event_date"), col("step"))
+      .agg(
+        count(lit(1)).as("conversions"),
+        expr("percentile(latency, 0.5)").as("p50_seconds"),
+        expr("percentile(latency, 0.9)").as("p90_seconds"),
+        (sum(col("latency")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_seconds"),
+        max(col("latency")).as("max_seconds"))
+      .orderBy("event_date", "step")
+  }
+
+  val stepLatencySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep,
+      |    CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE ts IS NOT NULL
+      |), vc AS (
+      |  SELECT c.event_date, 'view_to_click' AS step, c.ep - v.ev AS latency
+      |  FROM (SELECT user_id, ep, event_date FROM ev WHERE event_type = 'click') c
+      |  ASOF JOIN (SELECT DISTINCT user_id, ep AS ev FROM ev WHERE event_type = 'view') v
+      |    ON c.user_id = v.user_id AND c.ep >= v.ev
+      |), cp AS (
+      |  SELECT p.event_date, 'click_to_purchase' AS step, p.ep - c.ec AS latency
+      |  FROM (SELECT user_id, ep, event_date FROM ev WHERE event_type = 'purchase') p
+      |  ASOF JOIN (SELECT DISTINCT user_id, ep AS ec FROM ev WHERE event_type = 'click') c
+      |    ON p.user_id = c.user_id AND p.ep >= c.ec
+      |), lat AS (
+      |  SELECT * FROM vc UNION ALL SELECT * FROM cp
+      |)
+      |SELECT event_date, step,
+      |  COUNT(*) AS conversions,
+      |  quantile_cont(latency, 0.5) AS p50_seconds,
+      |  quantile_cont(latency, 0.9) AS p90_seconds,
+      |  CAST(SUM(latency) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_seconds,
+      |  MAX(latency) AS max_seconds
+      |FROM lat
+      |GROUP BY event_date, step
+      |ORDER BY event_date, step""".stripMargin
+
   val conversionLatencySql: String =
     """WITH p AS (
       |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep,

@@ -381,6 +381,24 @@ class CorpusPrepSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("conversions")).sum == matched)
   }
 
+  test("funnel step latency: both steps present, quantiles ordered, totals tie to conversions") {
+    val rows = operators.AsOfJoin.stepLatency(spark, Sf).collect()
+    assert(rows.map(_.getAs[String]("step")).toSet ==
+      Set("view_to_click", "click_to_purchase"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50_seconds") <= r.getAs[Double]("p90_seconds"))
+      assert(r.getAs[Double]("p90_seconds") <= r.getAs[Long]("max_seconds"))
+      assert(r.getAs[Long]("conversions") > 0)
+    }
+    // end-to-end latency distribution is consistent with the collapsed
+    // view->purchase mart: same day set on the purchase side
+    val cl = operators.AsOfJoin.conversionLatency(spark, Sf).collect()
+      .map(_.getAs[java.sql.Date]("event_date").toString).toSet
+    val cp = rows.filter(_.getAs[String]("step") == "click_to_purchase")
+      .map(_.getAs[java.sql.Date]("event_date").toString).toSet
+    assert(cp.subsetOf(cl) || cl.subsetOf(cp))
+  }
+
   test("general as-of join carries the matched row's payload (row semantics, left-total)") {
     import spark.implicits._
     // price updates: sym A at t=10 (p=1.0), t=20 (p=null!), t=30 (p=3.0)
