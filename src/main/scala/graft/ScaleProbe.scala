@@ -81,7 +81,8 @@ object ScaleProbe {
       "rolling_active_users", "coview_pairs", "conversion_latency",
       "embedding_pca",
       "doc_chunks", "chunk_dedup", "sample_temperature", "sample_uniform_k",
-      "dedup_cluster_sizes", "rolling_active_hll")
+      "dedup_cluster_sizes", "rolling_active_hll",
+      "funnel_step_latency", "media_near_dup")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
