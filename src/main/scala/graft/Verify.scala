@@ -9,6 +9,10 @@ object Verify {
     // Optional trailing args restrict the dump to the named queries
     // (iteration aid; the driver's 2-arg invocation dumps everything).
     val wanted = args.drop(2).toSet
+    // A misspelled name would otherwise silently dump nothing and look
+    // like a hung/empty verify run — fail fast with the unknown names.
+    val unknown = wanted.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()

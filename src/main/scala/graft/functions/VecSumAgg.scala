@@ -26,7 +26,9 @@ import org.apache.spark.sql.types._
   * Ragged inputs (vectors of differing lengths) fail loudly rather
   * than silently zero-extending — the posexplode form's equivalent
   * guard was comparing per-position counts. Null vectors are skipped
-  * (SQL aggregate semantics); an all-null / empty group sums to NULL.
+  * (SQL aggregate semantics); an all-null / empty group sums to NULL;
+  * a null ELEMENT inside a vector fails loudly — silently treating it
+  * as 0 would corrupt sums for general SQL callers.
   * Double addition is order-dependent in the last ulps, so partial
   * partitioning can shift results by ~1e-16 relative — callers needing
   * bit-identical results across partitionings (oracle-hashed queries)
@@ -63,13 +65,19 @@ case class VecSumAgg(
     if (buf.isEmpty) {
       val fresh = new Array[Double](n)
       var i = 0
-      while (i < n) { fresh(i) = arr.getDouble(i); i += 1 }
+      while (i < n) {
+        require(!arr.isNullAt(i), s"$prettyName: null element at position $i")
+        fresh(i) = arr.getDouble(i); i += 1
+      }
       fresh
     } else {
       require(buf.length == n,
         s"$prettyName: ragged vectors (${buf.length} vs $n elements)")
       var i = 0
-      while (i < n) { buf(i) += arr.getDouble(i); i += 1 }
+      while (i < n) {
+        require(!arr.isNullAt(i), s"$prettyName: null element at position $i")
+        buf(i) += arr.getDouble(i); i += 1
+      }
       buf
     }
   }

@@ -44,10 +44,18 @@ object RangeJoin {
     val lo = floor(col(startTs) / lit(binSize))
     val hi = floor(col(endTs) / lit(binSize))
     val ivBinned = intervals
-      // the guard lives in the VALUE path (when/otherwise raise_error),
-      // not a side column — a side column would be pruned away, and a
-      // silent cap would under-report matches; a runaway interval must
-      // fail the job loudly
+      // null bounds can never match any point (`BETWEEN` over null is
+      // null → false), so drop them EXPLICITLY. Without this the span
+      // guard sees `hi - lo < maxBins` = NULL, falls into otherwise(),
+      // and misdiagnoses a null-bounds row as a runaway interval —
+      // whether that happens depends on constraint propagation pushing
+      // inferred IsNotNull below the Generate, which is not semantics
+      // to rely on.
+      .filter(col(startTs).isNotNull && col(endTs).isNotNull)
+      // the span guard lives in the VALUE path (when/otherwise
+      // raise_error), not a side column — a side column would be
+      // pruned away, and a silent cap would under-report matches; a
+      // runaway interval must fail the job loudly
       .withColumn(bin, explode(
         when(hi - lo < lit(maxBins.toLong), sequence(lo, hi))
           .otherwise(raise_error(

@@ -531,7 +531,10 @@ object TextAnalysis {
     * could flip a boundary bucket between engines. Two corpus passes
     * by design (shares, then the gate) — at scale the shares come
     * from a metadata table and the second pass is the only scan. */
-  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    sampleTemperatureFrom(Tables.documents(spark, dir))
+
+  def sampleTemperatureFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy()
     val toks = size(tokens(col("text"))).cast("bigint")
@@ -540,7 +543,7 @@ object TextAnalysis {
     // weights to a 1e15 integer grid first (the embedding_centroids
     // trick): BIGINT sums are exact and order-free, and every derived
     // double is then one identical IEEE expression on both sides.
-    val shares = Tables.documents(spark, dir)
+    val shares = docs
       .select(col("source"), toks.as("toks"))
       .groupBy(col("source"))
       .agg(sum(col("toks")).as("tokens"))
@@ -554,7 +557,11 @@ object TextAnalysis {
         col("twf").cast("double") / sum(col("twf")).over(w).cast("double"))
       .withColumn("ratio", col("target_share") / col("share"))
       .withColumn("rate", col("ratio") / max(col("ratio")).over(w))
-      .withColumn("n256", floor(col("rate") * 256).cast("int"))
+      // clamp to >= 1: a source whose share exceeds ~65536× the
+      // rarest source's would round to rate < 1/256 → n256 = 0 and be
+      // dropped ENTIRELY — the opposite of down-weighting. One bucket
+      // in 256 is the quantization floor, not a sampling statement.
+      .withColumn("n256", greatest(lit(1L), floor(col("rate") * 256)).cast("int"))
       .select(col("source").as("src"), col("target_share"), col("n256"))
     val h = md5(col("doc_id").cast("string").cast("binary"))
     def nib(i: Int) = {
@@ -562,7 +569,7 @@ object TextAnalysis {
       when(c <= "9", ascii(c) - 48).otherwise(ascii(c) - 87)
     }
     val bucket256 = nib(1) * 16 + nib(2)
-    Tables.documents(spark, dir)
+    docs
       .select(col("source"), toks.as("toks"), bucket256.as("b"))
       .join(broadcast(shares), col("source") === col("src"))
       .withColumn("kept", (col("b") < col("n256")).cast("int"))
@@ -605,8 +612,8 @@ object TextAnalysis {
        |  FROM fixed
        |), gated AS (
        |  SELECT source, target_share,
-       |    CAST(FLOOR((target_share / share) /
-       |      MAX(target_share / share) OVER () * 256) AS INT) AS n256
+       |    CAST(GREATEST(1, FLOOR((target_share / share) /
+       |      MAX(target_share / share) OVER () * 256)) AS INT) AS n256
        |  FROM rated
        |), docs AS (
        |  SELECT d.source, CAST($nWords AS BIGINT) AS toks, g.target_share,

@@ -316,6 +316,23 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixing never drops a source entirely (n256 quantization floor)") {
+    import spark.implicits._
+    // dominant's token share is > 65536× rare's, so its unclamped rate
+    // floor(sqrt(s_min/s_i) * 256) would be 0 — the clamp keeps bucket 0
+    val big = ("w " * 70000).trim
+    // md5("168") = 00… → doc 168 sits in bucket 0, the one bucket the
+    // clamped n256 = 1 keeps, so survival is deterministic
+    val docs = ((1L to 9L) :+ 168L).map(i => (i, "dominant", big))
+      .:+((0L, "rare", "w")).toDF("doc_id", "source", "text")
+    val rows = operators.TextAnalysis.sampleTemperatureFrom(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == Set("dominant", "rare"))
+    assert(rows("dominant").getAs[Long]("n_kept") >= 1,
+      s"dominant source dropped entirely: ${rows("dominant")}")
+    assert(rows("rare").getAs[Long]("n_kept") == 1)
+  }
+
   test("weighted source sampling realizes the 1/16-unit target rates deterministically") {
     val rows = operators.TextAnalysis.sampleWeightedSources(spark, Sf).collect()
     rows.foreach { r =>
@@ -461,6 +478,14 @@ class CorpusPrepSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage != null)
+    // null-bounds intervals are dropped explicitly (BETWEEN over null
+    // can never match), NOT misdiagnosed by the span-overflow guard —
+    // the huge-span diagnosis stays accurate alongside them
+    val mixed = Seq(("k1", Some(5L), Some(25L), "ok"),
+      ("k1", Some(0L), Option.empty[Long], "nb")).toDF("k", "s", "e", "iid")
+    val kept = operators.RangeJoin.rangeJoin(points, mixed, "t", "s", "e", Seq("k"), binSize = 10)
+      .select("pid", "iid").as[(String, String)].collect().sorted
+    assert(kept.toSeq == Seq("p1" -> "ok", "p2" -> "ok", "p3" -> "ok"))
   }
 
   test("corpus packing covers every doc once and fills packs near budget") {
@@ -814,6 +839,14 @@ class HashExpressionsSpec extends SparkSpec {
     val ragged = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(1.0, 2.0, 3.0))).toDF("v")
       .coalesce(1).select(expr("vec_sum(v)"))
     intercept[Exception] { ragged.collect() }
+    // a null ELEMENT inside a vector also fails loudly — vec_sum is a
+    // registered SQL function, so user arrays can carry nulls that
+    // must not silently sum as 0
+    val nullElem = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 3.0))).toDF("v")
+      .select(expr("vec_sum(v)"))
+    val e = intercept[Exception] { nullElem.collect() }
+    assert(e.getMessage.contains("null element") ||
+      Option(e.getCause).exists(_.getMessage.contains("null element")))
   }
 
   test("sorted_intersect_count equals size(array_intersect(...))") {
