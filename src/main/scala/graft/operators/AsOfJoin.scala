@@ -153,14 +153,33 @@ object AsOfJoin {
     *
     * Scale shape: inherits the as-of core's single key shuffle +
     * running-max window (no pair materialization); the day rollup
-    * then moves only purchase-count rows. Exact percentiles per day
-    * sort one day's latencies on one reducer — bounded the same way
-    * value_percentiles is (group count is the calendar). Mean is
-    * integer-sum ÷ count, so partial-aggregation order can't move a
-    * bit; p50/p90 ride the proven percentile ≡ quantile_cont
+    * then moves only purchase-count rows. Exact percentiles buffer
+    * ONE DAY'S latencies in one aggregation buffer — fine while days
+    * are small, a scale-killer when a day is billions of purchases,
+    * which is why `conversionLatencyApprox` below is the registered
+    * 100 TB form (this exact query stays as the oracle anchor). Mean
+    * is integer-sum ÷ count, so partial-aggregation order can't move
+    * a bit; p50/p90 ride the proven percentile ≡ quantile_cont
     * equivalence. Unconverted purchases (no prior view) are excluded
     * here and counted by funnel/quality marts. */
-  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame =
+    latencyRollup(conversionLatencies(spark, dir), Seq("event_date"), approx = false)
+
+  /** The 100 TB form: `approx_percentile` (Greenwald-Khanna) carries a
+    * FIXED-size sketch through map-side partial aggregation instead of
+    * buffering one day's every latency on one reducer — at 100 TB a
+    * single day's purchases are billions of values. Rows-only at the
+    * gate (DuckDB's approx algorithm differs); the spec bounds each
+    * answer by the exact values at q ± 0.01 (the value_percentiles /
+    * value_percentiles_approx pattern). The exact form stays
+    * registered as the oracle anchor. */
+  def conversionLatencyApprox(spark: SparkSession, dir: String): DataFrame =
+    latencyRollup(conversionLatencies(spark, dir), Seq("event_date"), approx = true)
+
+  /** Shared pre-aggregation frame: (event_date, latency) per converted
+    * purchase — the as-of core's single key shuffle + running-max
+    * window, no pair materialization. */
+  private[graft] def conversionLatencies(spark: SparkSession, dir: String): DataFrame = {
     val e = EventMarts.enriched(spark, dir).filter(col("ts").isNotNull)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_epoch"), col("event_id"), col("event_date"))
@@ -171,15 +190,26 @@ object AsOfJoin {
       .filter(col("asof_event_epoch").isNotNull)
       .select(col("event_date"),
         (col("event_epoch") - col("asof_event_epoch")).as("latency"))
-      .groupBy(col("event_date"))
+  }
+
+  /** One definition of the latency-distribution rollup, exact and
+    * approx: the two forms differ ONLY in the percentile aggregate
+    * (group-buffering sort vs fixed-state GK sketch at accuracy 1e-4),
+    * so the approx sibling can never drift from the mart's shape. */
+  private[graft] def latencyRollup(lat: DataFrame, keys: Seq[String],
+                                   approx: Boolean): DataFrame = {
+    def pct(q: Double, name: String) =
+      (if (approx) expr(s"approx_percentile(latency, $q, 10000)").cast("double")
+       else expr(s"percentile(latency, $q)")).as(name)
+    lat.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("conversions"),
-        expr("percentile(latency, 0.5)").as("p50_seconds"),
-        expr("percentile(latency, 0.9)").as("p90_seconds"),
+        pct(0.5, "p50_seconds"),
+        pct(0.9, "p90_seconds"),
         (sum(col("latency")).cast("double") / count(lit(1)).cast("double"))
           .as("mean_seconds"),
         max(col("latency")).as("max_seconds"))
-      .orderBy("event_date")
+      .orderBy(keys.map(col): _*)
   }
 
   /** Step-to-step funnel timing: for each adjacent funnel pair
@@ -192,7 +222,14 @@ object AsOfJoin {
     * single user_id shuffle over only that pair's filtered events);
     * the day×step rollup moves event-count rows. Same determinism
     * contract as conversionLatency. */
-  def stepLatency(spark: SparkSession, dir: String): DataFrame = {
+  def stepLatency(spark: SparkSession, dir: String): DataFrame =
+    latencyRollup(stepLatencies(spark, dir), Seq("event_date", "step"), approx = false)
+
+  /** Fixed-state sibling of `stepLatency` — see conversionLatencyApprox. */
+  def stepLatencyApprox(spark: SparkSession, dir: String): DataFrame =
+    latencyRollup(stepLatencies(spark, dir), Seq("event_date", "step"), approx = true)
+
+  private[graft] def stepLatencies(spark: SparkSession, dir: String): DataFrame = {
     val e = EventMarts.enriched(spark, dir).filter(col("ts").isNotNull)
     def pair(fromType: String, toType: String, label: String): DataFrame = {
       val to = e.filter(col("event_type") === toType)
@@ -207,15 +244,6 @@ object AsOfJoin {
     }
     pair("view", "click", "view_to_click")
       .unionByName(pair("click", "purchase", "click_to_purchase"))
-      .groupBy(col("event_date"), col("step"))
-      .agg(
-        count(lit(1)).as("conversions"),
-        expr("percentile(latency, 0.5)").as("p50_seconds"),
-        expr("percentile(latency, 0.9)").as("p90_seconds"),
-        (sum(col("latency")).cast("double") / count(lit(1)).cast("double"))
-          .as("mean_seconds"),
-        max(col("latency")).as("max_seconds"))
-      .orderBy("event_date", "step")
   }
 
   val stepLatencySql: String =

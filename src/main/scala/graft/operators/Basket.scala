@@ -198,29 +198,52 @@ object Basket {
     * Scale shape: one custkey shuffle to the customer grain; the
     * percentile thresholds and the reference date are 1-row aggregates
     * broadcast back (the q11/q22 scalar pattern). Exact `percentile`
-    * buffers the customer-grain values — at true 100 TB scale swap
-    * `approx_percentile` in, same plan (the value_percentiles pair
-    * documents the same trade). Money stays decimal until the final
+    * buffers the customer-grain values — `rfmSegmentsApprox` below is
+    * the registered 100 TB form, same plan with fixed-state threshold
+    * sketches. Money stays decimal until the final
     * cast; scores are integer comparisons against shared-formula
     * interpolated thresholds (Spark `percentile` ≡ DuckDB
     * `quantile_cont`, the value_percentiles-proven equivalence). */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame =
     rfmSegmentsFrom(Tables.orders(spark, dir))
 
-  def rfmSegmentsFrom(orders: DataFrame): DataFrame = {
+  /** The 100 TB form: the three quintile thresholds are SINGLE-group
+    * aggregates over every customer — exact `percentile` funnels the
+    * whole customer grain to one reducer's buffer, while
+    * `approx_percentile` (Greenwald-Khanna, accuracy 1e-4) reduces
+    * fixed-size sketches. Rows-only at the gate; the spec bounds each
+    * threshold by the exact values at q ± 0.01 and checks the grid's
+    * totals are preserved. The exact form stays registered as the
+    * oracle anchor. */
+  def rfmSegmentsApprox(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsFrom(Tables.orders(spark, dir), approx = true)
+
+  /** Customer grain: recency/frequency/monetary per customer. */
+  private[graft] def rfmUsers(orders: DataFrame): DataFrame = {
     val o = orders.filter(col("o_orderdate").isNotNull)
     val refDate = o.agg(max(col("o_orderdate")).as("ref_date"))
-    val users = o.groupBy(col("o_custkey"))
+    o.groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary_dec"))
       .join(broadcast(refDate))
       .withColumn("recency_days", datediff(col("ref_date"), col("last_order")))
+  }
+
+  /** 1-row quintile thresholds (rq/fq/mq arrays) over the customer
+    * grain — group-buffering exact sort or fixed-state GK sketch. */
+  private[graft] def rfmThresholds(users: DataFrame, approx: Boolean): DataFrame = {
     val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
-    val th = users.agg(
-      expr(s"percentile(cast(recency_days as double), $qs)").as("rq"),
-      expr(s"percentile(cast(frequency as double), $qs)").as("fq"),
-      expr(s"percentile(cast(monetary_dec as double), $qs)").as("mq"))
+    def pct(v: String, name: String) =
+      (if (approx) expr(s"approx_percentile(cast($v as double), $qs, 10000)")
+       else expr(s"percentile(cast($v as double), $qs)")).as(name)
+    users.agg(pct("recency_days", "rq"), pct("frequency", "fq"),
+      pct("monetary_dec", "mq"))
+  }
+
+  def rfmSegmentsFrom(orders: DataFrame, approx: Boolean = false): DataFrame = {
+    val users = rfmUsers(orders)
+    val th = rfmThresholds(users, approx)
     def above(v: Column, q: String): Column =
       (1 to 4).map(i => when(v > element_at(col(q), i), 1).otherwise(0))
         .reduce(_ + _)

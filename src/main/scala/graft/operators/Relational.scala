@@ -940,10 +940,27 @@ object Relational {
     *
     * Scale shape: both fact sides project to two/three columns before
     * the orderkey shuffle join; the month rollup then moves
-    * |lineitem| → |months| rows with exact per-month percentiles
-    * (bounded group count — the calendar again). Mean is integer
-    * day-sum ÷ count: partial-aggregation-order-proof. */
-  def shippingLatency(spark: SparkSession, dir: String): DataFrame = {
+    * |lineitem| → |months| rows. Exact per-month percentiles buffer a
+    * whole MONTH of latencies in one aggregation buffer — billions of
+    * values at 100 TB — so `shippingLatencyApprox` below is the
+    * registered 100 TB form (this exact query stays as the oracle
+    * anchor). Mean is integer day-sum ÷ count:
+    * partial-aggregation-order-proof. */
+  def shippingLatency(spark: SparkSession, dir: String): DataFrame =
+    shippingLatencyRollup(spark, dir, approx = false)
+
+  /** The 100 TB form: a month of a 100 TB lineitem is billions of
+    * latency values — exact `percentile` buffers them all in ONE
+    * aggregation buffer, while `approx_percentile` (Greenwald-Khanna,
+    * accuracy 1e-4) carries fixed-size state through map-side partial
+    * aggregation. Rows-only at the gate; the spec bounds p50/p90 by
+    * the exact values at q ± 0.01. The exact form stays registered as
+    * the oracle anchor. */
+  def shippingLatencyApprox(spark: SparkSession, dir: String): DataFrame =
+    shippingLatencyRollup(spark, dir, approx = true)
+
+  /** Shared pre-aggregation frame: (order_month, lat) per line. */
+  private[graft] def shippingLatencies(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate").isNotNull)
       .select(col("o_orderkey"), col("o_orderdate"))
@@ -953,11 +970,19 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(trunc(col("o_orderdate"), "month").as("order_month"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lat"))
+  }
+
+  private def shippingLatencyRollup(spark: SparkSession, dir: String,
+                                    approx: Boolean): DataFrame = {
+    def pct(q: Double, name: String) =
+      (if (approx) expr(s"approx_percentile(lat, $q, 10000)").cast("double")
+       else expr(s"percentile(lat, $q)")).as(name)
+    shippingLatencies(spark, dir)
       .groupBy(col("order_month"))
       .agg(
         count(lit(1)).as("lines"),
-        expr("percentile(lat, 0.5)").as("p50_days"),
-        expr("percentile(lat, 0.9)").as("p90_days"),
+        pct(0.5, "p50_days"),
+        pct(0.9, "p90_days"),
         (sum(col("lat")).cast("double") / count(lit(1)).cast("double")).as("mean_days"),
         max(col("lat")).cast("bigint").as("max_days"))
       .orderBy("order_month")

@@ -157,6 +157,84 @@ class BasketSpec extends SparkSpec {
       Tables.lineitem(spark, Sf).filter(col("l_shipdate").isNotNull).count())
   }
 
+  test("approx latency marts land inside the exact quantile neighborhood") {
+    // GK returns an order statistic; the exact mart interpolates. The
+    // correct bound is by RANK: the sketch's answer for quantile q must
+    // lie within the exact values at q ± 0.01 (sketch accuracy 1e-4 is
+    // far inside that band) — the value_percentiles_approx contract,
+    // applied to each formerly group-buffering latency mart.
+    // tiny-group quantization floor: at sf0.001 a group can hold only
+    // dozens of values, where ±0.01 of rank is LESS than one order
+    // statistic — so the band is q ± 0.01 of rank OR ± one order
+    // statistic, whichever is wider (at scale the rank band dominates)
+    def band(sorted: Array[Double], q: Double): (Double, Double) = {
+      val n = sorted.length
+      val loIdx = math.min((q - 0.01) * (n - 1), q * (n - 1) - 1).floor.toInt.max(0)
+      val hiIdx = math.max((q + 0.01) * (n - 1), q * (n - 1) + 1).ceil.toInt.min(n - 1)
+      (sorted(loIdx), sorted(hiIdx))
+    }
+    def check(lat: org.apache.spark.sql.DataFrame, keys: Seq[String],
+              approxRows: Array[org.apache.spark.sql.Row],
+              p50: String, p90: String): Unit = {
+      val groups = lat.collect()
+        .groupBy(r => keys.map(k => r.getAs[Any](k).toString))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Number]("lat").doubleValue).sorted }
+      assert(approxRows.nonEmpty && approxRows.length == groups.size)
+      approxRows.foreach { r =>
+        val sorted = groups(keys.map(k => r.getAs[Any](k).toString))
+        for ((q, c) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+          val (lo, hi) = band(sorted, q)
+          val got = r.getAs[Double](c)
+          assert(got >= lo && got <= hi,
+            s"$c = $got outside exact rank band $lo..$hi (n=${sorted.length}): $r")
+        }
+      }
+    }
+    check(operators.Relational.shippingLatencies(spark, Sf),
+      Seq("order_month"),
+      operators.Relational.shippingLatencyApprox(spark, Sf).collect(),
+      "p50_days", "p90_days")
+    check(operators.AsOfJoin.conversionLatencies(spark, Sf).withColumnRenamed("latency", "lat"),
+      Seq("event_date"),
+      operators.AsOfJoin.conversionLatencyApprox(spark, Sf).collect(),
+      "p50_seconds", "p90_seconds")
+    check(operators.AsOfJoin.stepLatencies(spark, Sf).withColumnRenamed("latency", "lat"),
+      Seq("event_date", "step"),
+      operators.AsOfJoin.stepLatencyApprox(spark, Sf).collect(),
+      "p50_seconds", "p90_seconds")
+  }
+
+  test("approx RFM thresholds stay in the exact neighborhood and the grid totals hold") {
+    val users = operators.Basket.rfmUsers(Tables.orders(spark, Sf))
+    val approxTh = operators.Basket.rfmThresholds(users, approx = true)
+      .collect().head
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val nbr = qs.flatMap(q => Seq(q - 0.01, q + 0.01))
+    val exactNbr = users.agg(
+      expr(s"percentile(cast(recency_days as double), array(${nbr.mkString(",")}))").as("r"),
+      expr(s"percentile(cast(frequency as double), array(${nbr.mkString(",")}))").as("f"),
+      expr(s"percentile(cast(monetary_dec as double), array(${nbr.mkString(",")}))").as("m"))
+      .collect().head
+    for ((dim, i) <- Seq("rq" -> 0, "fq" -> 1, "mq" -> 2); qi <- qs.indices) {
+      val got = approxTh.getSeq[Double](approxTh.fieldIndex(dim))(qi)
+      val b = exactNbr.getSeq[Double](i)
+      assert(got >= b(2 * qi) && got <= b(2 * qi + 1),
+        s"$dim[$qi] = $got outside exact ${b(2 * qi)}..${b(2 * qi + 1)}")
+    }
+    // the approx grid re-buckets the SAME customers: totals preserved
+    val exact = operators.Basket.rfmSegments(spark, Sf).collect()
+    val approx = operators.Basket.rfmSegmentsApprox(spark, Sf).collect()
+    assert(approx.map(_.getAs[Long]("customers")).sum ==
+      exact.map(_.getAs[Long]("customers")).sum)
+    val (er, ar) = (exact.map(_.getAs[Double]("segment_revenue")).sum,
+      approx.map(_.getAs[Double]("segment_revenue")).sum)
+    assert(math.abs(er - ar) / er < 1e-9, s"revenue drifted: $er vs $ar")
+    approx.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 5) }
+    }
+  }
+
   test("cohort LTV: first-month cohorts, year-boundary offsets, decimal-exact revenue") {
     import spark.implicits._
     val o = Seq(

@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "basket_pairs",
     // rfm_segments broadcasts TWO one-row frames (reference date and
     // percentile thresholds) — the same scalar pattern
-    "rfm_segments",
+    "rfm_segments", "rfm_segments_approx",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")
@@ -177,6 +177,21 @@ class PlanAuditSpec extends SparkSpec {
       .withColumn("cell", explode(operators.Similarity.nearestCellsCol(col("q_emb"), cents, 2)))
     operators.Similarity.adcRefineTopK(codes.join(broadcast(queries), "cell"),
       m = 8, k = 5, refine = 32)
+  }
+
+  test("approx latency marts plan fixed-state sketches, never the group-buffering exact percentile") {
+    // the whole point of the *_approx siblings: no aggregate in their
+    // plans may buffer a group's every value. Exact `percentile` is
+    // the one group-buffering aggregate this family ever used; its GK
+    // replacement prints as approx_percentile.
+    val approxQueries = Seq("conversion_latency_approx", "funnel_step_latency_approx",
+      "shipping_latency_approx", "rfm_segments_approx")
+    approxQueries.foreach { name =>
+      val plan = physical(SparkEntry.queries(name)(spark, Sf)).toString
+      assert(plan.contains("approx_percentile"), s"$name: no approx_percentile in plan")
+      val exactPct = "(?<!approx_)percentile\\(".r.findFirstIn(plan)
+      assert(exactPct.isEmpty, s"$name plans exact percentile:\n$plan")
+    }
   }
 
   test("funnel+product marts plan without an Expand (distinct pre-aggregate, not multi-countDistinct)") {
