@@ -7,15 +7,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalyst prune the aggregates away).
   *
   * Output protocol (timeout-proof): ONE flushed JSON line per query as
-  * it completes — `{"query":name,"sec":min,"max":max}` — followed by
-  * the legacy one-line total `{"metric":"total",...}`. A driver timeout
-  * (rc=124) then costs only the un-run tail, never the whole round's
-  * data: round 4 shipped with `parsed: null` because the old harness
-  * buffered all 98 results behind a single end-of-run println. */
+  * it completes — `{"query":name,"sec":min,"max":max}` — followed by a
+  * short total line (count + seconds only; the per-query lines carry
+  * the data, and a fat total line got truncated in the round-5
+  * capture). A driver timeout (rc=124) then costs only the un-run
+  * tail, never the whole round's data.
+  *
+  * Contention robustness:
+  *  - SPARK_GRAFT_BENCH_BUDGET (seconds, default 480): once the
+  *    measured wall exceeds it, remaining queries run SINGLE-run mode
+  *    (no fast-query repeat) so a 3×-contended sandbox still emits all
+  *    lines well inside the driver's timeout.
+  *  - End-of-run outlier re-measure: any best-of-ONE query whose
+  *    recorded time exceeds 5× the run median gets one re-run, and the
+  *    smaller reading is re-emitted (`"remeasured":true`, both
+  *    readings kept). Round 5's driver record carried four 12–22×
+  *    contention spikes as query numbers; a 1-second re-run corrects
+  *    that class without paying double wall clock for every query. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "480").toDouble
     val spark = GraftSession.builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,34 +48,52 @@ object Bench {
     // Optional args restrict to the named queries (iteration aid; the
     // driver's no-arg invocation still benches everything).
     val wanted = args.toSet
-    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val benchStart = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
+    def line(name: String, mn: Double, mx: Double, remeasured: Boolean = false): String =
+      "{\"query\":\"" + name + "\",\"sec\":" + f"$mn%.4f" + ",\"max\":" + f"$mx%.4f" +
+        (if (remeasured) ",\"remeasured\":true" else "") + "}"
+    val results = collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
+    def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
+    }
     for ((name, registered) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if wanted.isEmpty || wanted(name)) {
       val fn = overrides.getOrElse(name, registered)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
-      }
       // Adaptive repeat: fast queries get a second run (min damps the
-      // first-run per-plan codegen cost); queries already past 2 s keep
-      // their single timing — a repeat would double worst-case wall
-      // clock for little extra signal. min AND max are both reported so
-      // sandbox noise is distinguishable from regression without a rerun.
-      val t1 = once()
-      val times = if (t1 > 2.0) Seq(t1) else Seq(t1, once())
-      val (mn, mx) = (times.min, times.max)
-      results += ((name, mn, mx))
-      println("{\"query\":\"" + name + "\",\"sec\":" + f"$mn%.4f" + ",\"max\":" + f"$mx%.4f" + "}")
+      // first-run per-plan codegen cost); queries already past 2 s —
+      // or ANY query once the wall budget is spent — keep their single
+      // timing. min AND max are both reported so sandbox noise is
+      // distinguishable from regression without a rerun.
+      val t1 = once(name, fn)
+      val times = if (t1 > 2.0 || elapsed() > budgetSec) Seq(t1) else Seq(t1, once(name, fn))
+      results(name) = (times.min, times.max, times.size)
+      println(line(name, times.min, times.max))
       System.out.flush()
     }
-    val qs = results.map { case (k, mn, _) => "\"" + k + "\":" + f"$mn%.4f" }
-      .mkString("{", ",", "}")
-    val ranges = results.map { case (k, mn, mx) => "\"" + k + "\":[" + f"$mn%.4f" + "," + f"$mx%.4f" + "]" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ranges":$ranges,"sf":"$sfDir"}""")
+    // Outlier re-measure pass: a contention spike during a best-of-one
+    // query is indistinguishable from a regression in the record.
+    // Re-run (once) every single-run query that sits above 5× the run
+    // median and keep the better reading; bounded to 8 queries and the
+    // remaining budget so the pass can't itself blow the wall clock.
+    if (results.nonEmpty) {
+      val median = results.values.map(_._1).toSeq.sorted.apply(results.size / 2)
+      val outliers = results.toSeq
+        .filter { case (_, (mn, _, runs)) => runs == 1 && mn > 5.0 * median }
+        .sortBy(-_._2._1).take(8)
+      for ((name, (mn, mx, _)) <- outliers if elapsed() < 2.0 * budgetSec) {
+        val fn = overrides.getOrElse(name, SparkEntry.queries(name))
+        val t = once(name, fn)
+        results(name) = (math.min(mn, t), math.max(mx, t), 2)
+        println(line(name, math.min(mn, t), math.max(mx, t), remeasured = true))
+        System.out.flush()
+      }
+    }
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }
