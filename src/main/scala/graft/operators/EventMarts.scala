@@ -388,22 +388,24 @@ object EventMarts {
 
   /** D1 retention cohort: users grouped by first-seen day; retained =
     * came back the next day. ONE events scan: distinct user-days, the
-    * per-user cohort via a window on the user key, a per-user retained
-    * flag, then the cohort rollup — the join-based formulation scanned
-    * events twice (cohort aggregate + activity side) and shuffled the
-    * join. */
+    * per-user cohort via a window on the user key, then ONE cohort
+    * rollup — over the DISTINCT (user, day) set each user contributes
+    * exactly one day_offset=0 row (their cohort day) and at most one
+    * day_offset=1 row, so cohort_size and retained_d1 are plain
+    * conditional counts (the retention_curve form): no per-user
+    * intermediate aggregate, one fewer aggregation level. The
+    * join-based formulation scanned events twice; the two-level
+    * aggregate paid a user-grain flag pass this rollup doesn't need. */
   def retentionDaily(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id")
     enriched(spark, dir).select("user_id", "event_date").distinct()
       .withColumn("cohort_date", min("event_date").over(w))
-      .groupBy(col("user_id"), col("cohort_date"))
-      .agg(max(when(col("event_date") === date_add(col("cohort_date"), 1), 1)
-        .otherwise(0)).as("retained"))
+      .withColumn("day_offset", datediff(col("event_date"), col("cohort_date")))
       .groupBy(col("cohort_date"))
       .agg(
-        count(lit(1)).as("cohort_size"),
-        sum(col("retained")).as("retained_d1"))
+        count(when(col("day_offset") === 0, 1)).as("cohort_size"),
+        count(when(col("day_offset") === 1, 1)).as("retained_d1"))
       .withColumn("retention_rate",
         col("retained_d1").cast("double") / nullif(col("cohort_size"), lit(0)).cast("double") * lit(100))
       .orderBy("cohort_date")

@@ -58,8 +58,7 @@ class PlanAuditSpec extends SparkSpec {
   private val MaxShuffles = Map(
     "dq_daily_trend" -> 8,
     "session_patterns" -> 8,
-    "retention_curve" -> 7,
-    "retention_daily" -> 7)
+    "retention_curve" -> 7)
 
   private def physical(df: DataFrame): SparkPlan =
     df.queryExecution.executedPlan match {
