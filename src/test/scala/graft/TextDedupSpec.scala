@@ -1008,6 +1008,38 @@ class SimilaritySpec extends SparkSpec {
     assert(km >= ivf, s"kmeans-IVF recall $km below label-cell recall $ivf")
   }
 
+  test("tuned query-time dials (nProbe/refine) hold their recall floors") {
+    // RecallProbe's tuned settings are the production recommendation —
+    // pin them so a regression in the nProbe/refine plumbing is caught
+    // (the default-setting floors above can't see a dial that stopped
+    // doing anything). Two invariants per index: the tuned recall
+    // beats/matches its default-dial recall (the dial works in the
+    // right direction), and holds an absolute floor calibrated at
+    // measured-minus-margin on this corpus (deterministic given fixed
+    // data/centroids/codebooks).
+    val exact = topkSets(Similarity.bruteForceTopK(spark, Sf, numQueries = 10, k = 5))
+    def recallOf(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (q, ex) => (approx.getOrElse(q, Set.empty) & ex).size }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    def check(name: String, default: Double, tuned: Double, floor: Double): Unit = {
+      assert(tuned >= default - 1e-9, s"$name: tuned recall $tuned below default $default")
+      assert(tuned >= floor, s"$name: tuned recall $tuned below floor $floor")
+    }
+    check("ivf@nprobe=5",
+      recallOf(topkSets(Similarity.ivfTopK(spark, Sf))),
+      recallOf(topkSets(Similarity.ivfTopK(spark, Sf, nProbe = 5))), 0.5)
+    check("ivf_kmeans@nprobe=5",
+      recallOf(topkSets(Similarity.ivfTopKKmeans(spark, Sf))),
+      recallOf(topkSets(Similarity.ivfTopKKmeans(spark, Sf, nProbe = 5))), 0.5)
+    check("pq@refine=96",
+      recallOf(topkSets(Similarity.pqTopK(spark, Sf))),
+      recallOf(topkSets(Similarity.pqTopK(spark, Sf, refine = 96))), 0.5)
+    check("ivfpq@nprobe=6,refine=96",
+      recallOf(topkSets(Similarity.ivfpqTopK(spark, Sf))),
+      recallOf(topkSets(Similarity.ivfpqTopK(spark, Sf, nProbe = 6, refine = 96))), 0.5)
+  }
+
   test("ivf ann probes cells and returns ranked candidates per query") {
     val rows = Similarity.ivfTopK(spark, Sf, numQueries = 5, k = 3).collect()
     assert(rows.nonEmpty)
