@@ -85,6 +85,104 @@ object AsOfJoin {
         ++ payload.map(p => col(s"$carry.$p").as(s"asof_$p")): _*)
   }
 
+  /** Forward as-of join — the time-mirror of `asofBackward`: every
+    * left row gains the values of the EARLIEST right row with the same
+    * `key` and ts ≥ the left row's ts (ties match). Left-total; same
+    * single-shuffle union+window plan, with the frame reversed
+    * (currentRow → unboundedFollowing) and the LEFT side ordered first
+    * at equal ts so an equal-ts right row falls inside the frame.
+    * The "time to next X" primitive: activation latency, next-error
+    * lookup, replenishment-gap analyses. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(payload.nonEmpty, "asofForward needs at least one payload column")
+    val side = "__graft_asof_side"
+    val carry = "__graft_asof_carry"
+    require(!(left.columns ++ right.columns).exists(c => c == side || c == carry),
+      s"inputs may not carry $side/$carry")
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: ${collisions.mkString(", ")} — rename one side")
+    val r = right.select((Seq(key, ts) ++ payload ++ tieBreak).distinct.map(col): _*)
+      .withColumn(side, lit(1))
+    val l = left.withColumn(side, lit(0))
+    // left (side 0) sorts before right (side 1) at equal ts, so the
+    // forward frame starting at the left row includes equal-ts rights
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts) +: col(side) +: tieBreak.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = first(
+      when(col(side) === 1, struct((Seq(ts) ++ payload).map(col): _*)),
+      ignoreNulls = true).over(w)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(carry, carried)
+      .filter(col(side) === 0)
+      .select(left.columns.toIndexedSeq.map(col)
+        ++ Seq(col(s"$carry.$ts").as(s"asof_$ts"))
+        ++ payload.map(p => col(s"$carry.$p").as(s"asof_$p")): _*)
+  }
+
+  val ActivationWindowSeconds: Long = 7L * 86400
+
+  /** Signup→first-purchase activation mart: per signup day, how many
+    * signups reached their FIRST subsequent purchase within 7 days,
+    * the activation rate, and the integer-exact mean / max activation
+    * latency among the activated. The forward as-of finds each
+    * signup's next purchase in ONE user-key shuffle (no signup×
+    * purchase pair materialization); the day rollup moves signup-count
+    * rows. Mean is integer-sum ÷ count (partial-order-proof); no
+    * percentile aggregate, so the mart is exact at any scale. */
+  def signupActivation(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventMarts.enriched(spark, dir).filter(col("ts").isNotNull)
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_epoch"), col("event_id"), col("event_date"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_epoch"), col("event_id").as("purchase_id"))
+    val gap = col("asof_event_epoch") - col("event_epoch")
+    val activated = col("asof_event_epoch").isNotNull &&
+      gap <= lit(ActivationWindowSeconds)
+    asofForward(signups, purchases, "user_id", "event_epoch",
+        payload = Seq("purchase_id"), tieBreak = Seq("purchase_id"))
+      .select(col("event_date").as("signup_date"),
+        when(activated, gap).as("act_gap"))
+      .groupBy(col("signup_date"))
+      .agg(
+        count(lit(1)).as("signups"),
+        count(col("act_gap")).as("activated_7d"),
+        (count(col("act_gap")).cast("double") / count(lit(1)).cast("double"))
+          .as("activation_rate"),
+        (sum(col("act_gap")).cast("double") / count(col("act_gap")).cast("double"))
+          .as("mean_seconds"),
+        max(col("act_gap")).as("max_seconds"))
+      .orderBy("signup_date")
+  }
+
+  val signupActivationSql: String =
+    """WITH s AS (
+      |  SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep,
+      |    CAST(ts AS DATE) AS signup_date
+      |  FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+      |), p AS (
+      |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |), firstp AS (
+      |  SELECT s.event_id, s.signup_date,
+      |    MIN(p.ep) - s.ep AS gap
+      |  FROM s LEFT JOIN p ON s.user_id = p.user_id AND p.ep >= s.ep
+      |  GROUP BY s.event_id, s.signup_date, s.ep
+      |), act AS (
+      |  SELECT signup_date,
+      |    CASE WHEN gap IS NOT NULL AND gap <= 604800 THEN gap END AS act_gap
+      |  FROM firstp
+      |)
+      |SELECT signup_date,
+      |  COUNT(*) AS signups,
+      |  COUNT(act_gap) AS activated_7d,
+      |  CAST(COUNT(act_gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS activation_rate,
+      |  CAST(SUM(act_gap) AS DOUBLE) / CAST(COUNT(act_gap) AS DOUBLE) AS mean_seconds,
+      |  MAX(act_gap) AS max_seconds
+      |FROM act GROUP BY signup_date ORDER BY signup_date""".stripMargin
+
   /** View→purchase attribution: each purchase matched to the SAME
     * user's most recent view at or before it (seconds grain), plus the
     * attribution gap. Null-ts rows are excluded from both sides (they

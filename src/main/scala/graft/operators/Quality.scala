@@ -153,6 +153,41 @@ object Quality {
       |  FROM events GROUP BY user_id
       |) t""".stripMargin)
 
+  val FreshnessStaleSeconds = 7200L
+
+  /** 8 (graft extension, not in the reference's 7-check summary —
+    * dq_summary stays byte-parity with the reference suite):
+    * ingestion freshness. A day whose LAST event lands more than
+    * `FreshnessStaleSeconds` before day end means the feed stopped
+    * early / the backfill is partial — the staleness signal a
+    * scheduler's sensor would poll for. One scan to |days| rows, then
+    * the standard check shape over the day grain (a day is the unit
+    * that passes or fails, like sequence/consistency use user-days).
+    * Epoch arithmetic is integer and UTC-pinned on both engines. */
+  def freshnessCheck(spark: SparkSession, dir: String): DataFrame =
+    freshnessCheckFrom(enriched(spark, dir))
+
+  def freshnessCheckFrom(e: DataFrame): DataFrame =
+    e.filter(col("ts").isNotNull)
+      .groupBy(col("event_date"))
+      .agg(max(col("event_epoch")).as("last_epoch"))
+      .withColumn("lag_seconds",
+        unix_timestamp(date_add(col("event_date"), 1)) - col("last_epoch"))
+      .aggAll(result("freshness_check", "freshness_check",
+          count(lit(1)),
+          count(when(col("lag_seconds") > FreshnessStaleSeconds, 1))))
+
+  val freshnessCheckSql: String = sqlResult("freshness_check", "freshness_check",
+    "COUNT(*)",
+    s"COUNT(CASE WHEN lag_seconds > $FreshnessStaleSeconds THEN 1 END)",
+    """(
+      |  SELECT d, CAST(FLOOR(EPOCH(CAST(d AS TIMESTAMP))) AS BIGINT) + 86400 - last_epoch AS lag_seconds
+      |  FROM (
+      |    SELECT CAST(ts AS DATE) AS d, MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS last_epoch
+      |    FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
+      |  ) g
+      |) t""".stripMargin)
+
   /** Pass-rate trend for ALL 7 checks over days (reference:
     * scripts/quality_dashboard.py trends every check across the
     * check-log days). Each check is evaluated per event_date — a

@@ -89,6 +89,55 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Encoding-corruption ("garbage"/mojibake) detection — the
+    * orthogonal axis to qualityScore's LINGUISTIC signals: control
+    * characters (anything below 0x20 except tab/newline/CR), U+FFFD
+    * replacement characters (the tombstone a broken decode leaves),
+    * and a letter-ratio collapse (binary-as-text, OCR line noise).
+    * Narrow map, zero shuffle; every count is a length difference
+    * after deleting one character class (identical arithmetic in both
+    * engines — no engine-specific regex-count function), the ratios
+    * are single divisions of those integers. The flag is the standard
+    * pre-filter: any hard corruption marker, or <40% letters on a
+    * ≥20-char doc (short docs are exempt — "3x + 7 = 19" is fine). */
+  def garbageScore(spark: SparkSession, dir: String): DataFrame = {
+    def without(pattern: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), pattern, ""))
+    val nChars = length(col("text"))
+    val nCtrl = without("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    val nRepl = without("\uFFFD")
+    val nLetters = without("[A-Za-z]")
+    val letterRatio = nLetters.cast("double") / greatest(nChars, lit(1)).cast("double")
+    val garbage = nCtrl > 0 || nRepl > 0 ||
+      (nChars >= 20 && letterRatio < lit(0.4))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nCtrl.cast("int").as("n_ctrl"),
+        nRepl.cast("int").as("n_replacement"),
+        letterRatio.as("letter_ratio"),
+        garbage.cast("int").as("is_garbage"))
+      .orderBy("doc_id")
+  }
+
+  val garbageScoreSql: String = {
+    def without(pattern: String) =
+      s"length(text) - length(regexp_replace(text, '$pattern', '', 'g'))"
+    val nCtrl = without("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    val nRepl = without("\\x{fffd}")
+    val nLetters = without("[A-Za-z]")
+    val letterR = s"CAST(($nLetters) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE)"
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INT) AS n_chars,
+       |  CAST($nCtrl AS INT) AS n_ctrl,
+       |  CAST($nRepl AS INT) AS n_replacement,
+       |  $letterR AS letter_ratio,
+       |  CAST(CASE WHEN ($nCtrl) > 0 OR ($nRepl) > 0
+       |    OR (length(text) >= 20 AND $letterR < 0.4) THEN 1 ELSE 0 END AS INT) AS is_garbage
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private val Markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in"),
     "es" -> Seq("el", "la", "los", "que", "y"),

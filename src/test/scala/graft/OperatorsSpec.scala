@@ -733,6 +733,29 @@ class QualitySpec extends SparkSpec {
     assert(byName("timestamp_check") == "PASS")
   }
 
+  test("freshness check flags days whose feed stopped early, passes full days") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, 1L, "2024-01-01 00:10:00", "view", "{}"),
+      (2L, 1L, "2024-01-01 23:30:00", "view", "{}"),  // 1800s lag → fresh
+      (3L, 2L, "2024-01-02 01:00:00", "view", "{}"),
+      (4L, 2L, "2024-01-02 10:00:00", "view", "{}"))  // 50400s lag → stale
+      .toDF("event_id", "user_id", "ts", "event_type", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Quality.freshnessCheckFrom(operators.EventMarts.enrich(raw)).collect().head
+    assert(r.getAs[Long]("total_records") == 2)   // two days checked
+    assert(r.getAs[Long]("failed_records") == 1)  // only Jan 2 is stale
+    assert(r.getAs[String]("status") == "FAIL")   // 50% pass rate < 99
+    // corpus: denominator is the day count, rate well-formed (sparse
+    // sf0.001 days CAN legitimately be stale — no status assumption)
+    val sf = Quality.freshnessCheck(spark, Sf).collect().head
+    val days = Tables.events(spark, Sf).filter(col("ts").isNotNull)
+      .select(col("ts").cast("date")).distinct().count()
+    assert(sf.getAs[Long]("total_records") == days)
+    val pr = sf.getAs[Double]("pass_rate")
+    assert(pr >= 0.0 && pr <= 100.0)
+  }
+
   test("volume anomaly z-scores match a plain-Scala trailing-window recompute") {
     val daily = Tables.events(spark, Sf).filter(col("ts").isNotNull)
       .groupBy(col("ts").cast("date").as("d"), col("event_type"))

@@ -316,6 +316,38 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("garbage score flags control chars, replacement chars, and letter collapse") {
+    val rows = operators.TextAnalysis.garbageScore(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lr = r.getAs[Double]("letter_ratio")
+      assert(lr >= 0.0 && lr <= 1.0)
+      assert(r.getAs[Int]("n_ctrl") >= 0 && r.getAs[Int]("n_replacement") >= 0)
+    }
+    // planted corpus: each corruption class flags, clean text doesn't
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a perfectly ordinary clean sentence here"),
+      (2L, "binary sludge \u0001\u0002\u0003 in the middle"),
+      (3L, "lossy decode le\uFFFDt its tombstone"),
+      (4L, "0101010101 1010101010 0101010101 111"),     // letters collapse
+      (5L, "3x + 7 = 19"))                               // short doc exempt
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gs_docs")
+    def without(pattern: String) =
+      length(col("text")) - length(regexp_replace(col("text"), pattern, ""))
+    val nChars = length(col("text"))
+    val nCtrl = without("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    val nRepl = without("\uFFFD")
+    val letterRatio = without("[A-Za-z]").cast("double") /
+      greatest(nChars, lit(1)).cast("double")
+    val flag = (nCtrl > 0 || nRepl > 0 || (nChars >= 20 && letterRatio < lit(0.4)))
+      .cast("int")
+    val got = docs.select(col("doc_id"), flag.as("g")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("g")).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0))
+  }
+
   test("temperature mixing never drops a source entirely (n256 quantization floor)") {
     import spark.implicits._
     // dominant's token share is > 65536× rare's, so its unclamped rate
@@ -442,6 +474,43 @@ class CorpusPrepSpec extends SparkSpec {
     // payload-name collision with a left column is rejected
     intercept[IllegalArgumentException] {
       operators.AsOfJoin.asofBackward(orders, quotes, "sym", "epoch", payload = Seq("oid"))
+    }
+  }
+
+  test("forward as-of join finds the earliest at-or-after match; activation mart ties out") {
+    import spark.implicits._
+    val purchases = Seq(
+      ("u1", 20L, "p1"), ("u1", 40L, "p2"), ("u2", 5L, "p3"))
+      .toDF("user", "epoch", "pid")
+    val signups = Seq(
+      ("u1", 10L, "s1"),  // next purchase at 20
+      ("u1", 20L, "s2"),  // equal-ts tie matches (gap 0)
+      ("u1", 41L, "s3"),  // no later purchase → null
+      ("u3", 1L, "s4"))   // user with no purchases → null
+      .toDF("user", "epoch", "sid")
+    val out = operators.AsOfJoin.asofForward(
+        signups, purchases, key = "user", ts = "epoch",
+        payload = Seq("pid"), tieBreak = Seq("pid"))
+      .collect().map(r => r.getAs[String]("sid") ->
+        ((Option(r.getAs[java.lang.Long]("asof_epoch")).map(_.toLong),
+          Option(r.getAs[String]("asof_pid"))))).toMap
+    assert(out("s1") == ((Some(20L), Some("p1"))))
+    assert(out("s2") == ((Some(20L), Some("p1")))) // equal ts matches
+    assert(out("s3") == ((None, None)))            // left-total
+    assert(out("s4") == ((None, None)))
+    assert(out.size == 4)
+    // corpus mart: totals and bounds are internally consistent
+    val rows = operators.AsOfJoin.signupActivation(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, act) = (r.getAs[Long]("signups"), r.getAs[Long]("activated_7d"))
+      assert(act <= n && n > 0)
+      assert(math.abs(r.getAs[Double]("activation_rate") - act.toDouble / n) < 1e-12)
+      if (act > 0) {
+        assert(r.getAs[Long]("max_seconds") <= operators.AsOfJoin.ActivationWindowSeconds)
+        assert(r.getAs[Double]("mean_seconds") >= 0 &&
+          r.getAs[Double]("mean_seconds") <= r.getAs[Long]("max_seconds"))
+      } else assert(r.isNullAt(r.fieldIndex("max_seconds")))
     }
   }
 
