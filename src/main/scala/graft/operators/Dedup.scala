@@ -387,6 +387,58 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
+  /** Per-source near-dup redundancy profile — WHICH sources are
+    * feeding the corpus near-copies (the census a curation team reads
+    * before cutting a crawler or re-weighting a source): component
+    * labels from the shared MinHash-LSH pair graph, cluster sizes
+    * rolled back onto each doc, then one source rollup — n_docs,
+    * docs sitting in a ≥2 cluster, surviving keepers, and the
+    * near-dup rate. Components are GLOBAL (a cluster can span
+    * sources; its docs count against every source that contributed).
+    * Rows-only: iterative component labels, not SQL-expressible. */
+  def sourceProfile(spark: SparkSession, dir: String,
+                    estThreshold: Double = 0.4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val labels = componentLabels(docs.select(col("doc_id")),
+      minhashLshFrom(spark, Tables.documents(spark, dir), estThreshold, DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b")))
+    val sizes = labels.groupBy(col("keeper")).agg(count(lit(1)).as("cluster_size"))
+    docs.join(labels, "doc_id").join(sizes, "keeper")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("cluster_size") >= 2, 1)).as("near_dup_docs"),
+        count(when(col("doc_id") === col("keeper"), 1)).as("keepers"))
+      .withColumn("near_dup_rate",
+        col("near_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
+  /** Train/val/test leakage audit — the eval-hygiene census: every
+    * near-dup pair from the shared MinHash-LSH graph labeled with its
+    * endpoints' split assignments (the SAME deterministic md5-bucket
+    * assignment corpus_split ships), rolled to the split-pair grid
+    * with a leaked flag on cross-split cells. A nonzero
+    * (train, test) cell means test answers have training near-copies
+    * — the number a release gate pins to zero AFTER near-dup-aware
+    * splitting (naive random splits leave it positive). Rows-only. */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   estThreshold: Double = 0.4): DataFrame = {
+    val split = TextAnalysis.splitCol(col("doc_id"))
+    val a = Tables.documents(spark, dir)
+      .select(col("doc_id").as("doc_a"), split.as("sa"))
+    val b = Tables.documents(spark, dir)
+      .select(col("doc_id").as("doc_b"), split.as("sb"))
+    minhashLshFrom(spark, Tables.documents(spark, dir), estThreshold, DefaultMaxBucket)
+      .join(a, "doc_a").join(b, "doc_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("split_1"),
+        greatest(col("sa"), col("sb")).as("split_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", (col("split_1") =!= col("split_2")).cast("int"))
+      .orderBy("split_1", "split_2")
+  }
+
   /** 64-bit SimHash near-dup: token hashes vote per bit; candidates
     * from 16-bit band blocking; pairs kept at Hamming distance ≤ 7.
     * Oracle: rows-only. */

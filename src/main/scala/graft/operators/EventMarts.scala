@@ -293,6 +293,27 @@ object EventMarts {
       .orderBy(desc("revenue"), asc("product_k"))
       .limit(topN)
 
+  /** productTopN over the STREAM-built product-count log (see
+    * streaming.EventStream.productCounts/productLogSink): the stream
+    * appends finalized (window, product, event_type) partial counts +
+    * decimal value sums; this rollup re-ranks from that compact log —
+    * |windows|×|products| rows, never raw events — and matches the
+    * batch mart exactly on finalized windows (counts are additive,
+    * revenue stays decimal end-to-end). The continuous-top-products
+    * path: stream maintains the log, dashboards re-rank on demand. */
+  def productTopNFromLog(log: DataFrame, topN: Int = 20): DataFrame =
+    log
+      .groupBy(col("product_k"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "click", col("n_events"))), lit(0L))
+          .as("clicks"),
+        coalesce(sum(when(col("event_type") === "purchase", col("n_events"))), lit(0L))
+          .as("purchases"),
+        coalesce(sum(when(col("event_type") === "purchase", col("value_dec")))
+          .cast("double"), lit(0.0)).as("revenue"))
+      .orderBy(desc("revenue"), asc("product_k"))
+      .limit(topN)
+
   val productTopNSql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS product_k,
       |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,

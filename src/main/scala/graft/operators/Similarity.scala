@@ -42,6 +42,37 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for
+    * each query vector, the top-k most-similar candidates whose LABEL
+    * differs from the query's — the near-miss examples a triplet/
+    * InfoNCE loss learns the most from (easy negatives are already
+    * far; same-label hits are positives, not negatives). Same
+    * broadcast-query + partial-top-k plan as bruteForceTopK with the
+    * label-inequality predicate fused into the join; at corpus-×-
+    * corpus scale swap in the LSH/IVF blocking exactly as the ANN
+    * ladder does. Deterministic: similarity rounded to 6 dp, ties on
+    * cand_id. */
+  def hardNegatives(spark: SparkSession, dir: String, numQueries: Int = 10,
+                    k: Int = 5): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val candidates = e.filter(col("vec_id") >= numQueries)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("label").as("c_label"))
+    val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
+    val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
+    candidates.join(broadcast(queries), col("c_label") =!= col("q_label"))
+      .select(col("query_id"), col("cand_id"), col("c_label").as("neg_label"),
+        sim.as("similarity"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH tables × hyperplanes per table: multiple independent tables
     * trade compute for recall (a true neighbor only needs to collide in
     * ONE table). 6 tables × 6 bits → 64 buckets/table. */

@@ -366,6 +366,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The cleaning pass with decontamination: everything cleanCorpus
+    * gates PLUS exclusion of docs whose trigram overlap with the
+    * held-out benchmark set reaches `tau` (eval-set leakage — the
+    * filter every honest pre-training corpus runs so benchmark
+    * answers don't end up in the training mix). Benchmark member
+    * docs themselves are excluded too. Plan: the contamination pass
+    * (gram scan + broadcast benchmark grams) reduces to a SMALL
+    * contaminated-id set that anti-joins the cleaning plan broadcast —
+    * the corpus never reshuffles for the exclusion. */
+  def cleanCorpusDecontaminated(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5, langs: Seq[String] = Seq("en", "es", "de", "fr"),
+      modulus: Int = 97, tau: Double = 0.3): DataFrame = {
+    val contaminated = contaminationCheck(spark, dir, modulus)
+      .filter(col("contamination_frac") >= tau)
+      .select(col("doc_id").as("bad_id"))
+    cleanCorpus(spark, dir, minQuality, langs)
+      .filter(col("doc_id") % modulus =!= 0)
+      .join(broadcast(contaminated), col("doc_id") === col("bad_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val cleanCorpusDecontaminatedSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, greatest(len(words)-2, 0) + 1),
+       |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS gram
+       |  FROM w
+       |), bench AS (
+       |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+       |), corpus AS (
+       |  SELECT * FROM g WHERE doc_id % 97 <> 0
+       |), cont AS (
+       |  SELECT corpus.doc_id
+       |  FROM corpus LEFT JOIN bench ON corpus.gram = bench.gram
+       |  GROUP BY corpus.doc_id
+       |  HAVING CAST(COUNT(bench.gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 0.3
+       |), clean AS (
+       |  SELECT doc_id, lang, predicted_lang, quality_score, n_chars
+       |  FROM (
+       |    SELECT doc_id, lang, n_chars,
+       |      LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4 + ($stopR) * 0.3 +
+       |        (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality_score,
+       |      $sqlPredictedLang AS predicted_lang,
+       |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |    FROM documents
+       |  ) t
+       |  WHERE quality_score >= 0.5
+       |    AND predicted_lang IN ('en', 'es', 'de', 'fr')
+       |    AND doc_id = keeper
+       |)
+       |SELECT * FROM clean
+       |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val cleanCorpusSql: String = {
     val nWords = "len(string_split_regex(trim(text), '\\s+'))"
     val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"

@@ -193,6 +193,46 @@ object EventStream {
       }
       .start()
 
+  /** Watermark-finalized per-window PRODUCT counts — the streaming
+    * half of continuous top-product maintenance. The stream never
+    * holds a global top-k (a cross-window rank is not incrementally
+    * maintainable in append mode); it appends (window, product, count)
+    * rows — |windows|×|active products| per window, already aggregated
+    * — and the ranking is a cheap batch rollup over that compact log
+    * (`EventMarts.productTopNFromLog` below mirrors batch
+    * product_top_n; the fixed-state `freq_items_sketch` is the
+    * further-compressed alternative when even the product grain is too
+    * wide). Same log/sink contract as volumeCounts/volumeLogSink. */
+  def productCounts(events: DataFrame, windowLen: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("product_k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("product_k").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("product_k"), col("event_type"))
+      // value_dec stays decimal through every partial/merge so the
+      // final rollup is bit-identical to the batch mart's decimal sum
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("value_dec"))
+
+  def productLogSink(counts: DataFrame, logDir: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch.select(
+              col("window.start").as("window_start"),
+              col("product_k"), col("event_type"), col("n_events"), col("value_dec"))
+            .withColumn("run_date", to_date(col("window_start")))
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.MartSink.writePartitioned(rows, logDir, Seq("run_date", "batch_id"))
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream interval self-join: attribute each purchase to the
     * same user's views in the preceding hour. Both sides carry a
     * watermark and the join condition bounds event-time distance, so

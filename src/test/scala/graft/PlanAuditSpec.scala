@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     * the same scalar-threshold reason; dq_anomaly's dense-fill crosses
     * the bucket sequence with the distinct event types (buckets ×
     * types — the full grid IS the intended output). */
-  private val IntendedBnlj = Set("ann_cosine_topk", "q22_untapped_segments",
+  private val IntendedBnlj = Set("ann_cosine_topk", "ann_hard_negatives",
+    "q22_untapped_segments",
     "q11_important_parts", "dq_anomaly",
     // basket_pairs crosses the aggregated pair frame with its ONE-ROW
     // broadcast order total (the same scalar-subquery pattern as q11/q22)
@@ -48,7 +49,12 @@ class PlanAuditSpec extends SparkSpec {
     * subtrees are audited directly below instead. */
   private val AuditedViaSubplans =
     Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca", "semdedup",
-      "ann_pq_topk", "ann_ivfpq_topk", "product_freq_cms", "dedup_substring")
+      "ann_pq_topk", "ann_ivfpq_topk", "product_freq_cms", "dedup_substring",
+      // component labels run propagation jobs at construction; the
+      // expensive generation subtree is minhashLsh, audited directly
+      // (dedup_cluster_sizes keeps its direct audit — its returned
+      // tail is the two-level census, cheap to plan post-propagation)
+      "dedup_source_profile")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a

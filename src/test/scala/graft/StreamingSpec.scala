@@ -275,6 +275,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-built product log re-ranks to the exact batch product_top_n") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(hour: Int, idx: Int) = new java.sql.Timestamp(base.getTime + hour * 3600000L + idx * 1000L)
+    // product 1: 2 purchases (30.5 + 10.0), 1 click; product 2: 1
+    // purchase (25.25), 3 clicks; product 3: clicks only → revenue 0;
+    // a far-future sentinel finalizes every data window
+    var id = 0L
+    def ev(h: Int, i: Int, t: String, v: Double, k: Int) = {
+      id += 1; (id, at(h, i), i.toLong, t, v, s"""{"k": $k}""")
+    }
+    val rows = Seq(
+      ev(0, 1, "purchase", 30.5, 1), ev(1, 2, "purchase", 10.0, 1), ev(0, 3, "click", 1.0, 1),
+      ev(0, 4, "purchase", 25.25, 2), ev(1, 5, "click", 1.0, 2), ev(1, 6, "click", 1.0, 2),
+      ev(2, 7, "click", 1.0, 2), ev(2, 8, "click", 1.0, 3), ev(2, 9, "view", 1.0, 3),
+      { id += 1; (id, at(30, 0), 0L, "view", 1.0, """{"k": 9}""") })
+    mem.addData(rows: _*)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val log = java.nio.file.Files.createTempDirectory("graft_plog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pckpt").toString
+    val q = EventStream.productLogSink(
+      EventStream.productCounts(df, watermark = "1 hour"), log, ckpt)
+    try {
+      q.processAllAvailable()
+      val fromLog = operators.EventMarts.productTopNFromLog(spark.read.parquet(log))
+        .collect().map(r => (r.getAs[Int]("product_k"), r.getAs[Long]("clicks"),
+          r.getAs[Long]("purchases"), r.getAs[Double]("revenue"))).toSeq
+      // batch mart over the same events MINUS the sentinel: the
+      // sentinel's own window is still open when the stream stops, so
+      // the log (correctly) doesn't carry it — the parity contract is
+      // "exact on finalized windows"
+      import spark.implicits._
+      val batchEvents = rows.init.toSeq
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batch = operators.EventMarts.productTopNFrom(
+          operators.EventMarts.enrich(batchEvents))
+        .collect().map(r => (r.getAs[Int]("product_k"), r.getAs[Long]("clicks"),
+          r.getAs[Long]("purchases"), r.getAs[Double]("revenue"))).toSeq
+      assert(fromLog == batch, s"log rollup $fromLog != batch $batch")
+      assert(fromLog.head == ((1, 1L, 2L, 40.5)))
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to preceding views") {
     val (_, df) = eventsDf()
     // user 1: view @0min, purchase @2min → attributed (1 view in window)

@@ -316,6 +316,19 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("decontaminated corpus = clean corpus minus benchmark members and leaked docs") {
+    val clean = operators.TextAnalysis.cleanCorpus(spark, Sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val cont = operators.TextAnalysis.contaminationCheck(spark, Sf)
+      .filter(col("contamination_frac") >= 0.3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val got = operators.TextAnalysis.cleanCorpusDecontaminated(spark, Sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val expected = clean.filter(d => d % 97 != 0 && !cont(d))
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+    assert(got.nonEmpty && got.size < clean.size)
+  }
+
   test("garbage score flags control chars, replacement chars, and letter collapse") {
     val rows = operators.TextAnalysis.garbageScore(spark, Sf).collect()
     assert(rows.nonEmpty)
@@ -697,6 +710,35 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, Sf).count())
     assert(rows.map(_.getAs[Long]("n_clusters")).sum ==
       operators.Dedup.nearDupCorpus(spark, Sf).count())
+  }
+
+  test("source redundancy profile ties to the corpus and the cluster census") {
+    val rows = Dedup.sourceProfile(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // every doc counted exactly once across sources
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, Sf).count())
+    // near-dup docs across sources == docs in >=2 clusters from the census
+    val censusDups = Dedup.clusterSizes(spark, Sf).collect()
+      .filter(_.getAs[Long]("cluster_size") >= 2).map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("near_dup_docs")).sum == censusDups)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keepers") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("near_dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("split leakage grid covers every near-dup pair and flags only cross-split cells") {
+    val rows = Dedup.splitLeakage(spark, Sf).collect()
+    val totalPairs = Dedup.minhashLsh(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == totalPairs)
+    rows.foreach { r =>
+      val (s1, s2) = (r.getAs[String]("split_1"), r.getAs[String]("split_2"))
+      assert(Set("train", "val", "test")(s1) && Set("train", "val", "test")(s2))
+      assert(s1 <= s2) // canonicalized cells — no mirrored duplicates
+      assert(r.getAs[Int]("leaked") == (if (s1 == s2) 0 else 1))
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
   }
 
   test("dropped-bucket diagnostics quantify what the skew guard lost") {
@@ -1107,6 +1149,34 @@ class SimilaritySpec extends SparkSpec {
     check("ivfpq@nprobe=6,refine=96",
       recallOf(topkSets(Similarity.ivfpqTopK(spark, Sf))),
       recallOf(topkSets(Similarity.ivfpqTopK(spark, Sf, nProbe = 6, refine = 96))), 0.5)
+  }
+
+  test("hard negatives exclude the query's label and match a driver-side recompute") {
+    val e = Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray,
+        r.getAs[Int]("label")))
+    val queries = e.filter(_._1 < 10)
+    val cands = e.filter(_._1 >= 10)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val expected = queries.map { case (q, qe, ql) =>
+      q -> cands.filter(_._3 != ql)
+        .map { case (c, ce, _) => (c, BigDecimal(cos(qe, ce)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSeq
+    }.toMap
+    val rows = Similarity.hardNegatives(spark, Sf).collect()
+    val got = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cand_id")).toSeq }
+    assert(got == expected)
+    // every returned negative really differs from its query's label
+    val labelOf = e.map(t => t._1 -> t._3).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Int]("neg_label") != labelOf(r.getAs[Long]("query_id")))
+      assert(r.getAs[Int]("neg_label") == labelOf(r.getAs[Long]("cand_id")))
+    }
   }
 
   test("ivf ann probes cells and returns ranked candidates per query") {
