@@ -420,6 +420,14 @@ class PipelineSpec extends SparkSpec {
     assert(r2.kept == r1.kept)
     val ids2 = spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(ids2 == ids1)
+    // release gate closed loop: the near-dup collapse ran BEFORE the
+    // split assignment, so re-probing the WRITTEN corpus with the
+    // same MinHash graph finds no surviving near-dup pair at all —
+    // split leakage is zero by construction, not by luck
+    val residual = operators.Dedup.minhashLshFrom(spark,
+      spark.read.parquet(out).select(col("doc_id"), col("clean_text").as("text")),
+      estThreshold = 0.4, maxBucket = operators.Dedup.DefaultMaxBucket).count()
+    assert(residual == 0, s"$residual near-dup pairs survived the collapse")
   }
 
   test("sorted mart write lays out disjoint user_id ranges (row-group stats prunable)") {
