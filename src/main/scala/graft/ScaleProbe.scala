@@ -82,7 +82,16 @@ object ScaleProbe {
       "embedding_pca",
       "doc_chunks", "chunk_dedup", "sample_temperature", "sample_uniform_k",
       "dedup_cluster_sizes", "rolling_active_hll",
-      "funnel_step_latency", "media_near_dup")
+      "funnel_step_latency", "media_near_dup",
+      // round 6: the fixed-state approx siblings, the forward-asof
+      // mart, the new DQ/corpus passes, and the dedup censuses.
+      // ann_hard_negatives is safe on the replicated embeddings (it
+      // broadcast-SCORES linearly, never enumerates bucket pairs).
+      "conversion_latency_approx", "funnel_step_latency_approx",
+      "shipping_latency_approx", "rfm_segments_approx",
+      "signup_activation", "dq_freshness", "text_garbage_score",
+      "clean_corpus_decontaminated", "dedup_source_profile",
+      "split_leakage_check", "ann_hard_negatives")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
