@@ -424,13 +424,13 @@ object Dedup {
     * splitting (naive random splits leave it positive). Rows-only. */
   def splitLeakage(spark: SparkSession, dir: String,
                    estThreshold: Double = 0.4): DataFrame = {
-    val split = TextAnalysis.splitCol(col("doc_id"))
-    val a = Tables.documents(spark, dir)
-      .select(col("doc_id").as("doc_a"), split.as("sa"))
-    val b = Tables.documents(spark, dir)
-      .select(col("doc_id").as("doc_b"), split.as("sb"))
+    // the split is a PURE FUNCTION of doc_id (deterministic md5
+    // bucket), so both endpoints' assignments are derived arithmetically
+    // on the pair frame — no join back to the corpus, no extra scans;
+    // the only work beyond pair generation is a |pairs|-row projection
     minhashLshFrom(spark, Tables.documents(spark, dir), estThreshold, DefaultMaxBucket)
-      .join(a, "doc_a").join(b, "doc_b")
+      .select(TextAnalysis.splitCol(col("doc_a")).as("sa"),
+        TextAnalysis.splitCol(col("doc_b")).as("sb"))
       .groupBy(
         least(col("sa"), col("sb")).as("split_1"),
         greatest(col("sa"), col("sb")).as("split_2"))

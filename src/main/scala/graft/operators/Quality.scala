@@ -188,6 +188,30 @@ object Quality {
       |  ) g
       |) t""".stripMargin)
 
+  /** Schema-drift census over the semi-structured props column: per
+    * day, which JSON keys appear and in how many events — the table a
+    * pipeline owner diffs day-over-day to catch producers adding,
+    * renaming, or dropping fields (the silent mart-breaker structured
+    * schemas catch at write time but JSON never does). One scan,
+    * explode of the (tiny) per-event key list, one map-side-combined
+    * aggregate to |days|×|keys| rows. */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+      .filter(col("ts").isNotNull && col("props").isNotNull)
+      .select(col("event_date"), explode(json_object_keys(col("props"))).as("prop_key"))
+      .groupBy(col("event_date"), col("prop_key"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_date", "prop_key")
+
+  val schemaDriftSql: String =
+    """SELECT event_date, prop_key, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    unnest(json_keys(props)) AS prop_key
+      |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
+      |)
+      |GROUP BY 1, 2 ORDER BY event_date, prop_key""".stripMargin
+
   /** Pass-rate trend for ALL 7 checks over days (reference:
     * scripts/quality_dashboard.py trends every check across the
     * check-log days). Each check is evaluated per event_date — a

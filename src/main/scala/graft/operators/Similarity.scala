@@ -451,6 +451,35 @@ object Similarity {
       .orderBy("vec_id", "component")
   }
 
+  /** Whitened PCA projection — embeddingPca's components divided by
+    * √eigenvalue, so the output space has (approximately) unit
+    * variance per component and zero cross-covariance: the
+    * normalization ANN distance metrics and linear probes want when
+    * raw components differ by orders of magnitude. Same plan as
+    * embeddingPca (one fixed-state moment pass + a narrow projection
+    * against literals); whitening is a per-component scalar baked
+    * into the projection literals, zero added plan cost. Fails
+    * loudly on a near-zero-variance component (whitening would
+    * divide by ~0 and amplify noise unboundedly). */
+  def embeddingPcaWhitened(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val moments @ (n, sums, _) = momentSums(spark, dir)
+    val basis = basisFrom(moments, k)
+    val means = sums.map(_ / n)
+    val projections = array(basis.map { case (rank, eig, vec) =>
+      require(eig > 1e-9, s"component $rank variance $eig too small to whiten")
+      val offset = vec.zip(means).map { case (c, mu) => c * mu }.sum
+      val scale = 1.0 / math.sqrt(eig)
+      struct(lit(rank).as("component"),
+        ((graft.functions.VectorFunctions.dot(col("embedding"),
+          array(vec.toIndexedSeq.map(lit(_)): _*)) - lit(offset)) * lit(scale))
+          .as("value"))
+    }: _*)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), explode(projections).as("p"))
+      .select(col("vec_id"), col("p.component"), col("p.value"))
+      .orderBy("vec_id", "component")
+  }
+
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     val vmin = array_min(col("embedding")).cast("double")
     val vmax = array_max(col("embedding")).cast("double")

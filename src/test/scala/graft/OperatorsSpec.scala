@@ -756,6 +756,22 @@ class QualitySpec extends SparkSpec {
     assert(pr >= 0.0 && pr <= 100.0)
   }
 
+  test("schema drift census covers every non-null props row by (day, key)") {
+    val rows = Quality.schemaDrift(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // this corpus's props carry exactly one key; the census must tie
+    // out to the non-null row count day by day
+    assert(rows.forall(_.getAs[String]("prop_key") == "k"))
+    val perDay = Tables.events(spark, Sf)
+      .filter(col("ts").isNotNull && col("props").isNotNull)
+      .groupBy(col("ts").cast("date").as("d")).count().collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") ==
+        perDay(r.getAs[java.sql.Date]("event_date").toString))
+    }
+  }
+
   test("volume anomaly z-scores match a plain-Scala trailing-window recompute") {
     val daily = Tables.events(spark, Sf).filter(col("ts").isNotNull)
       .groupBy(col("ts").cast("date").as("d"), col("event_type"))

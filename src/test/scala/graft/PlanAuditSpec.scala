@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     * skip the expensive candidate-generation/probe subtrees. Those
     * subtrees are audited directly below instead. */
   private val AuditedViaSubplans =
-    Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca", "semdedup",
+    Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca",
+      "embedding_pca_whitened", "semdedup",
       "ann_pq_topk", "ann_ivfpq_topk", "product_freq_cms", "dedup_substring",
       // component labels run propagation jobs at construction; the
       // expensive generation subtree is minhashLsh, audited directly

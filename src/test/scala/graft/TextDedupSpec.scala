@@ -1151,6 +1151,23 @@ class SimilaritySpec extends SparkSpec {
       recallOf(topkSets(Similarity.ivfpqTopK(spark, Sf, nProbe = 6, refine = 96))), 0.5)
   }
 
+  test("whitened PCA projections have unit variance and zero cross-covariance") {
+    val rows = Similarity.embeddingPcaWhitened(spark, Sf).collect()
+    val k = rows.map(_.getAs[Int]("component")).max + 1
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+      .map { case (v, rs) => v -> rs.sortBy(_.getAs[Int]("component"))
+        .map(_.getAs[Double]("value")) }.values.toArray
+    val n = byVec.length
+    assert(n > 10 && k >= 2)
+    for (i <- 0 until k; j <- i until k) {
+      val mi = byVec.map(_(i)).sum / n
+      val mj = byVec.map(_(j)).sum / n
+      val cov = byVec.map(v => (v(i) - mi) * (v(j) - mj)).sum / (n - 1)
+      if (i == j) assert(math.abs(cov - 1.0) < 1e-6, s"var($i) = $cov, want 1")
+      else assert(math.abs(cov) < 1e-6, s"cov($i,$j) = $cov, want 0")
+    }
+  }
+
   test("hard negatives exclude the query's label and match a driver-side recompute") {
     val e = Tables.embeddings(spark, Sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray,
