@@ -134,6 +134,61 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — what Jaccard structurally
+    * misses: a short doc quoted verbatim inside a long one has
+    * containment ≈ 1 but Jaccard ≈ |short|/|long| ≈ 0, so excerpt/
+    * quotation dedup needs |A∩B|/|A| per direction, thresholded on
+    * the larger direction. Same lang-blocked broadcast join and
+    * one-merge-pass native intersect as ngramJaccard, but WITHOUT its
+    * length prefilter — that filter is exactly the pairs containment
+    * exists to keep (the smaller side can always be fully contained).
+    * Like the Jaccard verifier, this is the exact in-block form;
+    * unbounded corpora block through minhashLsh first. */
+  def ngramContainment(spark: SparkSession, dir: String, threshold: Double = 0.8,
+                       broadcastBuild: Boolean = true): DataFrame =
+    ngramContainmentFrom(spark, Tables.documents(spark, dir), threshold, broadcastBuild)
+
+  private[graft] def ngramContainmentFrom(spark: SparkSession, docs: DataFrame,
+      threshold: Double, broadcastBuild: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val d = docs
+      .repartition(nPart, col("doc_id"))
+      .select(col("doc_id"), col("lang"), shingleHashes(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val a = d.as("a")
+    val b = d.as("b")
+    val inter = expr("sorted_intersect_count(a.sh, b.sh)")
+    val ca = inter.cast("double") / col("a.n").cast("double")
+    val cb = inter.cast("double") / col("b.n").cast("double")
+    a.join(if (broadcastBuild) broadcast(b) else b,
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"),
+        ca.as("containment_a"), cb.as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramContainmentSql: String = {
+    val sh =
+      """list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+        |  THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |       i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1] || ' ' || string_split_regex(trim(text), '\s+')[i+2])
+        |  ELSE string_split_regex(trim(text), '\s+') END)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, lang, $sh AS sh FROM documents)
+       |SELECT doc_a, doc_b, lang, containment_a, containment_b
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE) AS containment_a,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(b.sh) AS DOUBLE) AS containment_b
+       |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |) t
+       |WHERE GREATEST(containment_a, containment_b) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Number of MinHash permutations / LSH bands (16 bands × 4 rows —
     * catches Jaccard ≳ 0.5 with high probability). Permutation
     * parameters live in the native expression

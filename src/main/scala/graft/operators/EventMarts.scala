@@ -593,6 +593,64 @@ object EventMarts {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-user consecutive-day activity streaks — the gaps-and-islands
+    * pattern (the one classic relational shape the mart family didn't
+    * yet exercise): over distinct user-days, island id = date − per-user
+    * row_number (constant within a consecutive run, strictly monotone
+    * across gaps), then two same-key rollups. Engagement teams read
+    * this as "how long do habits last"; the same shape computes
+    * sensor-uptime runs and inventory stockout spans.
+    *
+    * Plan: one distinct shuffle, one user-partitioned window, and the
+    * island + user aggregates both reuse the user hash partitioning
+    * (no further exchange). Longest-streak tie-break is the LATEST
+    * streak end, via a lexicographic struct max — deterministic with
+    * no extra pass. */
+  def userStreaks(spark: SparkSession, dir: String): DataFrame =
+    userStreaksFrom(enriched(spark, dir))
+
+  def userStreaksFrom(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_date")
+    e
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select("user_id", "event_date").distinct()
+      .withColumn("island", date_sub(col("event_date"), row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), max(col("event_date")).as("send"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), col("send"))).as("best"))
+      .select(col("user_id"), col("active_days"), col("n_streaks"),
+        col("best.len").as("longest_streak"),
+        col("best.send").as("longest_streak_end"))
+      .orderBy("user_id")
+  }
+
+  val userStreaksSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |), isl AS (
+      |  SELECT user_id, d,
+      |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+      |  FROM ud
+      |), s AS (
+      |  SELECT user_id, island, COUNT(*) AS len, MAX(d) AS send
+      |  FROM isl GROUP BY user_id, island
+      |), agg AS (
+      |  SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days, COUNT(*) AS n_streaks,
+      |    MAX(len) AS longest_streak
+      |  FROM s GROUP BY user_id
+      |)
+      |SELECT agg.user_id AS user_id, agg.active_days, agg.n_streaks,
+      |  agg.longest_streak, MAX(s.send) AS longest_streak_end
+      |FROM agg JOIN s ON s.user_id = agg.user_id AND s.len = agg.longest_streak
+      |GROUP BY agg.user_id, agg.active_days, agg.n_streaks, agg.longest_streak
+      |ORDER BY agg.user_id""".stripMargin
+
   /** Sketch-based variants of the exact distinct/percentile marts —
     * the 100 TB forms. `percentile()` materializes every value per
     * group through the shuffle and `countDistinct` shuffles the full

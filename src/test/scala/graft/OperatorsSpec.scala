@@ -406,6 +406,39 @@ class EventMartsSpec extends SparkSpec {
       .select("user_id", "event_date").distinct().count())
   }
 
+  test("user streaks: islands split on gaps, lexicographic tie-break, totals tie out") {
+    import spark.implicits._
+    // u1: 1-3 Jan (streak 3), 5 Jan (1), 10-11 Jan (2) → longest 3
+    // u2: two SEPARATE 2-day streaks → tie broken by LATEST end
+    // u3: single day
+    val raw = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-05"), (1L, "2024-01-10"), (1L, "2024-01-11"),
+      (2L, "2024-01-01"), (2L, "2024-01-02"), (2L, "2024-01-08"), (2L, "2024-01-09"),
+      (3L, "2024-02-01"),
+      (1L, "2024-01-02")) // duplicate day collapses in the distinct
+      .zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, u, s"$d 10:00:00", "view", "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = operators.EventMarts.userStreaksFrom(operators.EventMarts.enrich(raw))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("active_days"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"),
+          r.getAs[java.sql.Date]("longest_streak_end").toString))).toMap
+    assert(got(1L) == ((6L, 3L, 3L, "2024-01-03")))
+    assert(got(2L) == ((4L, 2L, 2L, "2024-01-09"))) // tie → latest end
+    assert(got(3L) == ((1L, 1L, 1L, "2024-02-01")))
+    // corpus invariants: active_days sums to |distinct user-days|
+    val rows = operators.EventMarts.userStreaks(spark, Sf).collect()
+    val userDays = Tables.events(spark, Sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date")).distinct().count()
+    assert(rows.map(_.getAs[Long]("active_days")).sum == userDays)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("active_days")) }
+  }
+
   test("rolling actives: planted windows roll off at 7 and 28 days; DAU ties out at sf") {
     import spark.implicits._
     // u1 active on day 0 only; u2 on day 0 and day 10; u3 on day 30.

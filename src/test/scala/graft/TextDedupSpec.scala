@@ -712,6 +712,32 @@ class DedupSpec extends SparkSpec {
       operators.Dedup.nearDupCorpus(spark, Sf).count())
   }
 
+  test("containment catches a verbatim excerpt that Jaccard structurally misses") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 17).map(i => s"w$i").mkString(" ") // 8 words of the 40
+    val docs = Seq((1L, "en", long), (2L, "en", quote), (3L, "en",
+      (100 to 120).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val pairs = Dedup.ngramContainmentFrom(spark, docs, threshold = 0.8,
+        broadcastBuild = true).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert((p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b")) == ((1L, 2L)))
+    // the quote is FULLY contained; the long side's containment is low
+    assert(p.getAs[Double]("containment_b") == 1.0)
+    assert(p.getAs[Double]("containment_a") < 0.2)
+    // Jaccard on the same pair is far below any dedup threshold — the
+    // asymmetric measure is the only one that sees the excerpt
+    val jac = 6.0 / (38 + 6 - 6) // shared trigrams / union
+    assert(jac < 0.2)
+    // corpus run: thresholds hold and directions are well-formed
+    Dedup.ngramContainment(spark, Sf).collect().foreach { r =>
+      val (ca, cb) = (r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"))
+      assert(math.max(ca, cb) >= 0.8 && ca >= 0 && cb <= 1.0)
+    }
+  }
+
   test("source redundancy profile ties to the corpus and the cluster census") {
     val rows = Dedup.sourceProfile(spark, Sf).collect()
     assert(rows.nonEmpty)
