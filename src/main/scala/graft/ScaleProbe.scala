@@ -91,7 +91,8 @@ object ScaleProbe {
       "shipping_latency_approx", "rfm_segments_approx",
       "signup_activation", "dq_freshness", "text_garbage_score",
       "clean_corpus_decontaminated", "dedup_source_profile",
-      "split_leakage_check", "ann_hard_negatives")
+      "split_leakage_check", "ann_hard_negatives",
+      "user_streaks", "dq_schema_drift")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
