@@ -212,6 +212,91 @@ object Quality {
       |)
       |GROUP BY 1, 2 ORDER BY event_date, prop_key""".stripMargin
 
+  /** Day-over-day value-DISTRIBUTION drift — the check that catches a
+    * producer silently changing units or truncating amounts while row
+    * counts stay normal (volume anomaly sees nothing): per day, the
+    * L1 distance between today's and yesterday's value histogram over
+    * FIXED power-of-two buckets (comparable across days, unlike
+    * quantile buckets). L1 ∈ [0, 2]; 0 = identical shape, 2 =
+    * disjoint support.
+    *
+    * Determinism at the oracle: the naive Σ|share_t − share_y| sums
+    * DOUBLES in aggregation order. Instead each term is the INTEGER
+    * |c_t·N_y − c_y·N_t| (exact, order-free bigint sum) and the
+    * single division by N_t·N_y happens once at the end — the same
+    * exact-integer trick dq_anomaly uses for its z-scores. The
+    * |days|×16 dense grid is a tiny intentional cross join (the
+    * dq_anomaly zero-fill pattern); everything upstream is one
+    * map-side-combined scan. */
+  def valueDrift(spark: SparkSession, dir: String): DataFrame =
+    valueDriftFrom(enriched(spark, dir))
+
+  /** Fixed bucket id: 0 for value < 1, then ⌊log2⌋+1 capped at 15 —
+    * expressed as comparison chains (no engine log2). */
+  private def bucketOf(v: Column): Column =
+    (1 to 14).foldLeft(when(v < 1, 0)) { (acc, b) =>
+      acc.when(v < math.pow(2, b), b)
+    }.otherwise(15)
+
+  private def sqlBucketOf(v: String): String = {
+    val cases = (1 to 14).map(b => s"WHEN $v < ${math.pow(2, b).toLong} THEN $b").mkString(" ")
+    s"(CASE WHEN $v < 1 THEN 0 $cases ELSE 15 END)"
+  }
+
+  private[graft] def valueDriftFrom(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = e
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_date"), bucketOf(col("value")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val days = counts.select(col("event_date")).distinct()
+    val buckets = counts.sparkSession.range(0, 16).select(col("id").cast("int").as("bucket"))
+    val dense = days.crossJoin(buckets)
+      .join(counts, Seq("event_date", "bucket"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wDay = Window.partitionBy("event_date")
+    val wBucket = Window.partitionBy("bucket").orderBy("event_date")
+    dense
+      .withColumn("n", sum(col("c")).over(wDay))
+      .withColumn("c_prev", lag(col("c"), 1).over(wBucket))
+      .withColumn("n_prev", lag(col("n"), 1).over(wBucket))
+      .filter(col("c_prev").isNotNull)
+      .groupBy(col("event_date"))
+      .agg(
+        max(col("n")).as("n_events"),
+        sum(abs(col("c") * col("n_prev") - col("c_prev") * col("n"))).as("num"),
+        max(col("n") * col("n_prev")).as("den"))
+      .select(col("event_date"), col("n_events"),
+        (col("num").cast("double") / col("den").cast("double")).as("l1_drift"))
+      .orderBy("event_date")
+  }
+
+  val valueDriftSql: String = {
+    val b = sqlBucketOf("value")
+    s"""WITH counts AS (
+       |  SELECT CAST(ts AS DATE) AS d, $b AS bucket, COUNT(*) AS c
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1, 2
+       |), dense AS (
+       |  SELECT days.d, bk.bucket, COALESCE(counts.c, 0) AS c
+       |  FROM (SELECT DISTINCT d FROM counts) days
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) bk
+       |  LEFT JOIN counts ON counts.d = days.d AND counts.bucket = bk.bucket
+       |), withn AS (
+       |  SELECT d, bucket, c, SUM(c) OVER (PARTITION BY d) AS n FROM dense
+       |), lagged AS (
+       |  SELECT d, bucket, c, n,
+       |    LAG(c) OVER (PARTITION BY bucket ORDER BY d) AS c_prev,
+       |    LAG(n) OVER (PARTITION BY bucket ORDER BY d) AS n_prev
+       |  FROM withn
+       |)
+       |SELECT d AS event_date, CAST(MAX(n) AS BIGINT) AS n_events,
+       |  CAST(CAST(SUM(ABS(c * n_prev - c_prev * n)) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(MAX(n * n_prev) AS BIGINT) AS DOUBLE) AS l1_drift
+       |FROM lagged WHERE c_prev IS NOT NULL
+       |GROUP BY d ORDER BY event_date""".stripMargin
+  }
+
   /** Pass-rate trend for ALL 7 checks over days (reference:
     * scripts/quality_dashboard.py trends every check across the
     * check-log days). Each check is evaluated per event_date — a

@@ -789,6 +789,32 @@ class QualitySpec extends SparkSpec {
     assert(pr >= 0.0 && pr <= 100.0)
   }
 
+  test("value drift: identical shapes score 0, a disjoint unit shift scores 2") {
+    import spark.implicits._
+    def day(d: String, scale: Double, n: Int, idBase: Long) =
+      (0 until n).map(i => (idBase + i, 1L, s"$d 10:0${i % 6}:00", "view",
+        (i % 4 + 1) * scale, "{}"))
+    // days 1-2: same shape at scale 1 → drift 0; day 3: values ×1000
+    // (a unit bug) → every event changes bucket → L1 = 2
+    val raw = (day("2024-01-01", 1.0, 12, 0) ++ day("2024-01-02", 1.0, 12, 100) ++
+        day("2024-01-03", 1000.0, 12, 200))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Quality.valueDriftFrom(operators.EventMarts.enrich(raw)).collect()
+      .map(r => r.getAs[java.sql.Date]("event_date").toString ->
+        r.getAs[Double]("l1_drift")).toMap
+    assert(got.keySet == Set("2024-01-02", "2024-01-03")) // first day has no prior
+    assert(got("2024-01-02") == 0.0, s"identical shape must score 0: $got")
+    assert(got("2024-01-03") == 2.0, s"disjoint support must score 2: $got")
+    // corpus: drift is bounded and every day after the first is scored
+    val sf = Quality.valueDrift(spark, Sf).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r =>
+      val d = r.getAs[Double]("l1_drift")
+      assert(d >= 0.0 && d <= 2.0)
+    }
+  }
+
   test("schema drift census covers every non-null props row by (day, key)") {
     val rows = Quality.schemaDrift(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -31,6 +31,9 @@ class PlanAuditSpec extends SparkSpec {
   private val IntendedBnlj = Set("ann_cosine_topk", "ann_hard_negatives",
     "q22_untapped_segments",
     "q11_important_parts", "dq_anomaly",
+    // dq_value_drift's dense day×16-bucket zero-fill is the same
+    // intended tiny-grid cross join as dq_anomaly's
+    "dq_value_drift",
     // basket_pairs crosses the aggregated pair frame with its ONE-ROW
     // broadcast order total (the same scalar-subquery pattern as q11/q22)
     "basket_pairs",
