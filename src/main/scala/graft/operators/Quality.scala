@@ -233,7 +233,7 @@ object Quality {
 
   /** Fixed bucket id: 0 for value < 1, then ⌊log2⌋+1 capped at 15 —
     * expressed as comparison chains (no engine log2). */
-  private def bucketOf(v: Column): Column =
+  private[graft] def bucketOf(v: Column): Column =
     (1 to 14).foldLeft(when(v < 1, 0)) { (acc, b) =>
       acc.when(v < math.pow(2, b), b)
     }.otherwise(15)
@@ -243,12 +243,17 @@ object Quality {
     s"(CASE WHEN $v < 1 THEN 0 $cases ELSE 15 END)"
   }
 
-  private[graft] def valueDriftFrom(e: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = e
+  private[graft] def valueDriftFrom(e: DataFrame): DataFrame =
+    valueDriftFromCounts(e
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .groupBy(col("event_date"), bucketOf(col("value")).as("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The drift rescore over ANY (event_date, bucket, c) count frame —
+    * shared by the batch query above and the streaming-log path
+    * (`valueDriftFromLog`), so the two can't diverge. */
+  private[graft] def valueDriftFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val days = counts.select(col("event_date")).distinct()
     val buckets = counts.sparkSession.range(0, 16).select(col("id").cast("int").as("bucket"))
     val dense = days.crossJoin(buckets)
@@ -657,6 +662,22 @@ object Quality {
     * idempotently, where a sum would double-count and fire false
     * spikes. The log is tiny (windows × types) regardless of the
     * event volume behind it. */
+  /** Value-distribution drift over the STREAM-built bucket log (see
+    * streaming.EventStream.valueBucketCounts/valueLogSink): the
+    * stream appends watermark-finalized per-window (bucket, count)
+    * rows; this rolls windows up to the day grain (max per window key
+    * absorbs any duplicate batch replay, like the volume path) and
+    * runs the SAME exact-integer L1 rescore as the batch query — the
+    * continuous unit-bug detector beside volumeAnomalyFromLog's
+    * traffic-spike detector. */
+  def valueDriftFromLog(spark: SparkSession, logDir: String): DataFrame =
+    valueDriftFromCounts(
+      spark.read.parquet(logDir)
+        .groupBy(col("window_start"), col("bucket"))
+        .agg(max(col("n_events")).as("wc"))
+        .groupBy(to_date(col("window_start")).as("event_date"), col("bucket"))
+        .agg(sum(col("wc")).as("c")))
+
   def volumeAnomalyFromLog(spark: SparkSession, logDir: String, zCut: Double = 3.0,
                            windowLen: String = "1 hour"): DataFrame =
     anomalyScores(

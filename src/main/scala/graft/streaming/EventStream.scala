@@ -233,6 +233,39 @@ object EventStream {
       }
       .start()
 
+  /** Watermark-finalized per-window VALUE-BUCKET counts — the
+    * streaming half of the continuous distribution-drift loop (the
+    * unit-bug detector beside volumeCounts' traffic-spike detector):
+    * fixed power-of-two buckets (Quality.bucketOf, the same column
+    * the batch dq_value_drift buckets on), counts appended to a tiny
+    * log, `Quality.valueDriftFromLog` rescores on the alerting
+    * cadence with the SAME exact-integer L1 core as batch. */
+  def valueBucketCounts(events: DataFrame, windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    events.filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen),
+        graft.operators.Quality.bucketOf(col("value")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+
+  def valueLogSink(counts: DataFrame, logDir: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch.select(
+              col("window.start").as("window_start"),
+              col("bucket"), col("n_events"))
+            .withColumn("run_date", to_date(col("window_start")))
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.MartSink.writePartitioned(rows, logDir, Seq("run_date", "batch_id"))
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream interval self-join: attribute each purchase to the
     * same user's views in the preceding hour. Both sides carry a
     * watermark and the join condition bounds event-time distance, so

@@ -275,6 +275,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming value log + batch rescore flags an injected unit shift") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(day: Int, idx: Int) = new java.sql.Timestamp(
+      base.getTime + day * 86400000L + (idx % 20) * 3600000L + idx * 1000L)
+    // days 0-1: values 1..4 (same shape); day 2: ×1000 (unit bug);
+    // day 4 sentinel finalizes everything before it
+    var id = 0L
+    def day(d: Int, scale: Double) = (0 until 12).map { i =>
+      id += 1; (id, at(d, i), i.toLong, "view", (i % 4 + 1) * scale, "{}")
+    }
+    val rows = (day(0, 1.0) ++ day(1, 1.0) ++ day(2, 1000.0)) :+
+      { id += 1; (id, at(4, 0), 0L, "view", 1.0, "{}") }
+    mem.addData(rows: _*)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val log = java.nio.file.Files.createTempDirectory("graft_dlog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dckpt").toString
+    val q = EventStream.valueLogSink(
+      EventStream.valueBucketCounts(df, watermark = "1 hour"), log, ckpt)
+    try {
+      q.processAllAvailable()
+      val scored = operators.Quality.valueDriftFromLog(spark, log).collect()
+        .map(r => r.getAs[java.sql.Date]("event_date").toString ->
+          r.getAs[Double]("l1_drift")).toMap
+      assert(scored("2024-01-02") == 0.0, s"same shape must score 0: $scored")
+      assert(scored("2024-01-03") == 2.0, s"unit shift must score 2: $scored")
+    } finally q.stop()
+  }
+
   test("stream-built product log re-ranks to the exact batch product_top_n") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
