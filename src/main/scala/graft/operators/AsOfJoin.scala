@@ -296,9 +296,7 @@ object AsOfJoin {
     * so the approx sibling can never drift from the mart's shape. */
   private[graft] def latencyRollup(lat: DataFrame, keys: Seq[String],
                                    approx: Boolean): DataFrame = {
-    def pct(q: Double, name: String) =
-      (if (approx) expr(s"approx_percentile(latency, $q, 10000)").cast("double")
-       else expr(s"percentile(latency, $q)")).as(name)
+    def pct(q: Double, name: String) = Pct.col("latency", q.toString, approx).as(name)
     lat.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("conversions"),

@@ -235,8 +235,7 @@ object Basket {
   private[graft] def rfmThresholds(users: DataFrame, approx: Boolean): DataFrame = {
     val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
     def pct(v: String, name: String) =
-      (if (approx) expr(s"approx_percentile(cast($v as double), $qs, 10000)")
-       else expr(s"percentile(cast($v as double), $qs)")).as(name)
+      Pct.col(s"cast($v as double)", qs, approx, castDouble = false).as(name)
     users.agg(pct("recency_days", "rq"), pct("frequency", "fq"),
       pct("monetary_dec", "mq"))
   }

@@ -120,12 +120,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The DuckDB trigram-shingle snippet — the oracle-parity contract
+    * for BOTH exact pair verifiers (Jaccard and containment); one
+    * definition so a tokenizer fix can't reach one oracle and miss
+    * the other. Mirrors the native `shingleHashes` fallback: <3 words
+    * → single tokens. */
+  private val sqlShingles: String =
+    """list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+      |  THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+      |       i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1] || ' ' || string_split_regex(trim(text), '\s+')[i+2])
+      |  ELSE string_split_regex(trim(text), '\s+') END)""".stripMargin
+
   val ngramJaccardSql: String = {
-    val sh =
-      """list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
-        |  THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
-        |       i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1] || ' ' || string_split_regex(trim(text), '\s+')[i+2])
-        |  ELSE string_split_regex(trim(text), '\s+') END)""".stripMargin
+    val sh = sqlShingles
     s"""WITH d AS (SELECT doc_id, lang, $sh AS sh FROM documents)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
@@ -172,11 +179,7 @@ object Dedup {
   }
 
   val ngramContainmentSql: String = {
-    val sh =
-      """list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
-        |  THEN list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
-        |       i -> string_split_regex(trim(text), '\s+')[i] || ' ' || string_split_regex(trim(text), '\s+')[i+1] || ' ' || string_split_regex(trim(text), '\s+')[i+2])
-        |  ELSE string_split_regex(trim(text), '\s+') END)""".stripMargin
+    val sh = sqlShingles
     s"""WITH d AS (SELECT doc_id, lang, $sh AS sh FROM documents)
        |SELECT doc_a, doc_b, lang, containment_a, containment_b
        |FROM (

@@ -303,6 +303,12 @@ object EventMarts {
     * path: stream maintains the log, dashboards re-rank on demand. */
   def productTopNFromLog(log: DataFrame, topN: Int = 20): DataFrame =
     log
+      // a replayed micro-batch appends the same finalized window under
+      // a second batch_id — max per (window, product, type) key absorbs
+      // the duplicate exactly like the volume/value-drift log paths
+      // (counts are identical across replays, so max == the true value)
+      .groupBy(col("window_start"), col("product_k"), col("event_type"))
+      .agg(max(col("n_events")).as("n_events"), max(col("value_dec")).as("value_dec"))
       .groupBy(col("product_k"))
       .agg(
         coalesce(sum(when(col("event_type") === "click", col("n_events"))), lit(0L))

@@ -261,6 +261,12 @@ object Quality {
       .withColumn("c", coalesce(col("c"), lit(0L)))
     val wDay = Window.partitionBy("event_date")
     val wBucket = Window.partitionBy("bucket").orderBy("event_date")
+    // count×count products overflow Long at ~3e9 events/day (exactly
+    // the scale this mart targets) — widen to decimal BEFORE the
+    // multiply, the same guard dq_anomaly's exact z-scores use; the
+    // oracle widens to HUGEINT. Both stay exact integers; the single
+    // final division converts to double identically on both engines.
+    def dec(c: Column) = c.cast("decimal(38,0)")
     dense
       .withColumn("n", sum(col("c")).over(wDay))
       .withColumn("c_prev", lag(col("c"), 1).over(wBucket))
@@ -269,8 +275,9 @@ object Quality {
       .groupBy(col("event_date"))
       .agg(
         max(col("n")).as("n_events"),
-        sum(abs(col("c") * col("n_prev") - col("c_prev") * col("n"))).as("num"),
-        max(col("n") * col("n_prev")).as("den"))
+        sum(abs(dec(col("c")) * dec(col("n_prev")) - dec(col("c_prev")) * dec(col("n"))))
+          .as("num"),
+        max(dec(col("n")) * dec(col("n_prev"))).as("den"))
       .select(col("event_date"), col("n_events"),
         (col("num").cast("double") / col("den").cast("double")).as("l1_drift"))
       .orderBy("event_date")
@@ -296,8 +303,9 @@ object Quality {
        |  FROM withn
        |)
        |SELECT d AS event_date, CAST(MAX(n) AS BIGINT) AS n_events,
-       |  CAST(CAST(SUM(ABS(c * n_prev - c_prev * n)) AS BIGINT) AS DOUBLE)
-       |    / CAST(CAST(MAX(n * n_prev) AS BIGINT) AS DOUBLE) AS l1_drift
+       |  CAST(SUM(ABS(CAST(c AS HUGEINT) * CAST(n_prev AS HUGEINT)
+       |      - CAST(c_prev AS HUGEINT) * CAST(n AS HUGEINT))) AS DOUBLE)
+       |    / CAST(MAX(CAST(n AS HUGEINT) * CAST(n_prev AS HUGEINT)) AS DOUBLE) AS l1_drift
        |FROM lagged WHERE c_prev IS NOT NULL
        |GROUP BY d ORDER BY event_date""".stripMargin
   }

@@ -974,9 +974,7 @@ object Relational {
 
   private def shippingLatencyRollup(spark: SparkSession, dir: String,
                                     approx: Boolean): DataFrame = {
-    def pct(q: Double, name: String) =
-      (if (approx) expr(s"approx_percentile(lat, $q, 10000)").cast("double")
-       else expr(s"percentile(lat, $q)")).as(name)
+    def pct(q: Double, name: String) = Pct.col("lat", q.toString, approx).as(name)
     shippingLatencies(spark, dir)
       .groupBy(col("order_month"))
       .agg(

@@ -348,6 +348,15 @@ class StreamingSpec extends SparkSpec {
           r.getAs[Long]("purchases"), r.getAs[Double]("revenue"))).toSeq
       assert(fromLog == batch, s"log rollup $fromLog != batch $batch")
       assert(fromLog.head == ((1, 1L, 2L, 40.5)))
+      // replay safety: the same finalized windows appended twice (a
+      // restarted stream re-emitting under a new batch_id) must not
+      // double-count — max per (window, product, type) absorbs it
+      val logDf = spark.read.parquet(log)
+      val replayed = operators.EventMarts.productTopNFromLog(
+          logDf.unionByName(logDf))
+        .collect().map(r => (r.getAs[Int]("product_k"), r.getAs[Long]("clicks"),
+          r.getAs[Long]("purchases"), r.getAs[Double]("revenue"))).toSeq
+      assert(replayed == fromLog, s"replayed log double-counted: $replayed")
     } finally q.stop()
   }
 
