@@ -625,6 +625,41 @@ object TextAnalysis {
       |ORDER BY rank_key, doc_id
       |LIMIT 200""".stripMargin
 
+  /** Deterministic WEIGHTED k-sampling without replacement — the
+    * Efraimidis–Spirakis one-pass scheme (priority sampling): each doc
+    * gets key = −ln(u)/w with u a seeded-hash uniform and w its token
+    * count; the k SMALLEST keys are a weight-proportional
+    * without-replacement sample (key ~ Exponential(w); the minimum of
+    * exponentials lands on doc i with probability w_i/Σw). The
+    * token-budget sampler pre-training mixtures actually want: long
+    * docs proportionally more likely, no doc twice, one pass, and the
+    * plan is the proven bottom-k TakeOrdered (per-partition heaps, no
+    * corpus shuffle), mergeable/append-stable like sampleUniformK.
+    * Rows-only: ln is not correctly-rounded cross-engine, so an
+    * oracle could flip ulp-adjacent ranks — the spec instead
+    * recomputes keys driver-side on the SAME JVM libm and asserts
+    * the exact sample. */
+  def sampleWeightedK(spark: SparkSession, dir: String, k: Int = 200,
+                      seed: String = "s0"): DataFrame =
+    sampleWeightedKFrom(Tables.documents(spark, dir), k, seed)
+
+  def sampleWeightedKFrom(docs: DataFrame, k: Int = 200,
+                          seed: String = "s0"): DataFrame = {
+    val w = size(tokens(col("text"))).cast("bigint")
+    docs
+      .select(col("doc_id"), col("source"), w.as("weight"))
+      .filter(col("weight") > 0)
+      // u ∈ (0,1): first 8 md5 hex digits as a 32-bit integer, +0.5
+      // offset so u is never 0 (ln(0) = −∞ would pin the doc first)
+      .withColumn("u",
+        (conv(substring(md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))
+            .cast("binary")), 1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0))
+      .withColumn("sample_key", -log(col("u")) / col("weight").cast("double"))
+      .drop("u")
+      .orderBy("sample_key", "doc_id")
+      .limit(k)
+  }
+
   /** Temperature-scaled source mixing at τ = 2 (sqrt temperature —
     * the standard flattening used to up-weight rare sources in
     * pre-training mixtures): target share ∝ √(observed token share),

@@ -378,6 +378,38 @@ class CorpusPrepSpec extends SparkSpec {
     assert(rows("rare").getAs[Long]("n_kept") == 1)
   }
 
+  test("weighted k-sample matches a driver-side exact recompute and favors heavy docs") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def key(seed: String, docId: Long, weight: Long): Double = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      // Spark's log expression evaluates via StrictMath — the JVM
+      // intrinsic Math.log can differ in the last ulp
+      -StrictMath.log(u) / weight.toDouble
+    }
+    // 5 heavy docs (10k tokens) among 200 light (2 tokens)
+    val docs = ((1L to 200L).map(i => (i, "light", ("w " * 2).trim)) ++
+        (1001L to 1005L).map(i => (i, "heavy", ("w " * 10000).trim)))
+      .toDF("doc_id", "source", "text")
+    val got = operators.TextAnalysis.sampleWeightedKFrom(docs, k = 10, seed = "s0")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("sample_key")))
+    // exact driver recompute on the same JVM libm
+    val expected = ((1L to 200L).map(d => d -> key("s0", d, 2)) ++
+        (1001L to 1005L).map(d => d -> key("s0", d, 10000)))
+      .sortBy { case (d, sk) => (sk, d) }.take(10)
+    assert(got.toSeq == expected, s"sample diverged:\n$got\nvs\n$expected")
+    // weight bias: expected min key ~ Exp(w); all 5 heavy docs
+    // (5000x the weight) must land in the top 10 for this seed
+    assert(got.count(_._1 >= 1001L) == 5)
+    // mergeability: top-k is a prefix of top-2k (append-stable nesting)
+    val top20 = operators.TextAnalysis.sampleWeightedKFrom(docs, k = 20, seed = "s0")
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(top20.take(10) == got.map(_._1).toSeq)
+  }
+
   test("weighted source sampling realizes the 1/16-unit target rates deterministically") {
     val rows = operators.TextAnalysis.sampleWeightedSources(spark, Sf).collect()
     rows.foreach { r =>
