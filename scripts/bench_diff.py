@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Per-query diff of two bench records — surfaces regressions in the
+round record without a manual A/B.
+
+Accepts either format for each side:
+  - a driver BENCH_r{N}.json ({"rc","tail","parsed",...}: per-query
+    times are pulled from parsed.queries if present, else regex-mined
+    from the captured tail: both the flushed {"query":...,"sec":...}
+    lines and the legacy "name":[min,max] map entries)
+  - a raw local bench log (one {"query":...} JSON line per query)
+
+Usage: bench_diff.py OLD NEW [--flag 2.0]
+Prints queries slower by more than the flag factor (default 2x),
+new/gone queries, and totals. Exit code 1 if anything was flagged —
+cron-able as a regression tripwire.
+"""
+import json
+import re
+import sys
+
+
+def parse(path):
+    times = {}
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+    except ValueError:
+        doc = None
+    if isinstance(doc, dict) and "tail" in doc:
+        parsed = doc.get("parsed") or {}
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            times.update({k: float(v) for k, v in parsed["queries"].items()})
+        blob = doc.get("tail") or ""
+    else:
+        blob = text
+    for m in re.finditer(r'\{"query":"([a-z0-9_]+)","sec":([0-9.]+)', blob):
+        times[m.group(1)] = float(m.group(2))
+    for m in re.finditer(r'"([a-z0-9_]+)":\[([0-9.]+),[0-9.]+\]', blob):
+        times.setdefault(m.group(1), float(m.group(2)))
+    return times
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flag = 2.0
+    if "--flag" in sys.argv:
+        flag = float(sys.argv[sys.argv.index("--flag") + 1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old, new = parse(args[0]), parse(args[1])
+    if not old or not new:
+        sys.exit(f"no per-query data (old={len(old)}, new={len(new)} queries)")
+    flagged = []
+    for q in sorted(set(old) & set(new)):
+        o, n = old[q], new[q]
+        # ignore sub-100ms noise: a 0.02->0.05s "regression" is jitter
+        if n > flag * o and n - o > 0.1:
+            flagged.append((q, o, n))
+            print(f"SLOWER  {q}: {o:.2f}s -> {n:.2f}s  (x{n / o:.1f})")
+    for q in sorted(set(new) - set(old)):
+        print(f"NEW     {q}: {new[q]:.2f}s")
+    for q in sorted(set(old) - set(new)):
+        print(f"GONE    {q} (was {old[q]:.2f}s)")
+    both = set(old) & set(new)
+    print(f"totals over {len(both)} shared queries: "
+          f"{sum(old[q] for q in both):.1f}s -> {sum(new[q] for q in both):.1f}s; "
+          f"{len(flagged)} flagged (>{flag}x and >0.1s)")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
