@@ -704,6 +704,66 @@ object Similarity {
     adcRefineTopK(codes.join(broadcast(queries), "cell"), m, k, refine)
   }
 
+  /** Persisted IVF-PQ index: train once, write three parquet tables
+    * (`centroids`, `codebooks`, `codes`), and serve every later probe
+    * from the artifact — the operational piece between the index
+    * builders (one-shot training) and the streaming delta encoder
+    * (which assumes exactly this metadata exists offline). At 100 TB
+    * the codes table is the 64×-compressed corpus; re-training per
+    * query session would re-scan the full embedding corpus every time.
+    * Training is seeded/deterministic, so probe-from-disk is
+    * byte-identical to probe-from-training (the spec asserts it). */
+  def saveIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
+                     numQueries: Int = 10, nlist: Int = 10, m: Int = 8,
+                     ksub: Int = 16, iters: Int = 2): Unit = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cands = e.filter(col("vec_id") >= numQueries)
+    val cents = kmeansCentroids(spark, dir, nlist, iters)
+    val books = pqCodebooks(cands, m, ksub, iters)
+    cents.toDF("cell", "c_vec")
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    books.zipWithIndex
+      .flatMap { case (book, mi) => book.map { case (c, v) => (mi, c, v) } }
+      .toDF("m_idx", "code", "v")
+      .write.mode("overwrite").parquet(s"$indexPath/codebooks")
+    pqEncode(cands, books)
+      .withColumn("cell", explode(nearestCellsCol(col("c_emb"), cents, 1)))
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+  }
+
+  private[graft] def loadIndexMeta(spark: SparkSession, indexPath: String)
+      : (Seq[(Int, Array[Float])], Seq[Seq[(Int, Array[Float])]]) = {
+    val cents = spark.read.parquet(s"$indexPath/centroids").collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getSeq[Float](r.fieldIndex("c_vec")).toArray)
+      .sortBy(_._1).toSeq
+    val books = spark.read.parquet(s"$indexPath/codebooks").collect()
+      .map(r => (r.getAs[Int]("m_idx"), r.getAs[Int]("code"),
+        r.getSeq[Float](r.fieldIndex("v")).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(t => t._2 -> t._3).toSeq }
+    (cents, books)
+  }
+
+  /** Probe the persisted index: query-side cell assignment + LUTs
+    * against the LOADED metadata, equi-join on the cell key against
+    * the stored codes — no training jobs, no full-corpus scan. */
+  def ivfpqTopKFromIndex(spark: SparkSession, dir: String, indexPath: String,
+                         numQueries: Int = 10, k: Int = 5, nProbe: Int = 3,
+                         refine: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val (cents, books) = loadIndexMeta(spark, indexPath)
+    val m = books.size
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val queries = pqQueryFrame(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < numQueries), books)
+      .withColumn("cell", explode(nearestCellsCol(col("q_emb"), cents, nProbe)))
+    adcRefineTopK(codes.join(broadcast(queries), "cell"), m, k, refine)
+  }
+
   /** Tiny ADC query side: (query_id, normalized q_emb, per-query LUT
     * of M × ksub squared-L2 partials against each codebook). Collected
     * to the driver — the query set is small by contract (it is

@@ -1226,6 +1226,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ index serves byte-identical probes without retraining") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Similarity.saveIvfPqIndex(spark, Sf, idx)
+    val fromIndex = Similarity.ivfpqTopKFromIndex(spark, Sf, idx)
+      .collect().map(_.toSeq).toSeq
+    // same params through the train-and-probe path: seeded training
+    // makes the persisted artifact reproduce it exactly
+    val trained = Similarity.ivfpqTopK(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex == trained,
+      s"index probe diverged from trained probe:\n$fromIndex\nvs\n$trained")
+    // the artifact is complete: every non-query vector is encoded once
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") >= 10).count())
+    assert(codes.select("cand_id").distinct().count() == codes.count())
+  }
+
   test("hard negatives exclude the query's label and match a driver-side recompute") {
     val e = Tables.embeddings(spark, Sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray,
