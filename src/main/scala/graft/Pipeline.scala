@@ -99,11 +99,21 @@ object Pipeline {
     *   per-day trend semantics if logged under one date).
     * @param failFast mirrors the reference's branch: true stops before
     *   building marts, false is the WARN path (build anyway, surface
-    *   failures in the result). */
+    *   failures in the result).
+    * @param quarantine the third branch the reference's WARN path
+    *   implies but never materializes: instead of building marts on
+    *   everything (failFast=false) or nothing (failFast=true), build
+    *   them on the CLEAN SESSIONS only — `Sessionize.cleanEvents`
+    *   drops rows failing null_check and whole sessions containing
+    *   any range/timestamp/integrity/duplicate/sequence violation.
+    *   The gate summary (and check log) still reports over the RAW
+    *   frame — quarantining is downstream of measurement, so the
+    *   trend/alert surface keeps seeing the defects. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           failFast: Boolean = true, dates: Seq[String] = Nil,
           checkLogDir: Option[String] = None,
-          checkLogJdbc: Option[(String, String)] = None): Result = {
+          checkLogJdbc: Option[(String, String)] = None,
+          quarantine: Boolean = false): Result = {
     val base = EventMarts.enriched(spark, sfDir)
     val runDates = dates.map(java.sql.Date.valueOf)
     // persist scope = run dates ± one day (sessionize lookback and
@@ -160,8 +170,13 @@ object Pipeline {
         // frame so cross-midnight chains assemble in BOTH directions,
         // then keeps only the scoped dates' partitions for the write
         // (see run() scaladoc)
-        val marts = martsFrom(e) ++ Option.when(dates.nonEmpty)(
-          "session_sequences" -> withSessionDate(Sessionize.sessionSequencesFrom(w))
+        // quarantine mode gates the mart input at session grain; the
+        // date-scoped session mart gates the widened frame the same
+        // way so cross-midnight chains assemble before the verdict
+        val martBase = if (quarantine) Sessionize.cleanEvents(e) else e
+        val sessionBase = if (quarantine) Sessionize.cleanEvents(w) else w
+        val marts = martsFrom(martBase) ++ Option.when(dates.nonEmpty)(
+          "session_sequences" -> withSessionDate(Sessionize.sessionSequencesFrom(sessionBase))
             .filter(col("session_date").isin(runDates: _*)))
         val written = marts.map { case (name, df) =>
           partitioned.get(name) match {

@@ -346,6 +346,187 @@ object Sessionize {
       |FROM daily
       |ORDER BY session_date""".stripMargin
 
+  /** Session-grain QUALITY GATE — the quarantine row the reference's
+    * WARN path implies but never materializes (validate_quality.py
+    * counts failures and logs a WARN; the failing rows still flow into
+    * the marts). Here the session is the quarantine unit: one failing
+    * event poisons its whole session, because a session containing a
+    * corrupt row is untrustworthy as a behavioral unit (its funnel,
+    * duration and conversion stats are all suspect), while the user's
+    * OTHER sessions remain fine — quarantining at event grain would
+    * leave poisoned session stats behind, at user grain would discard
+    * good data.
+    *
+    * Event-level flags mirror the check suite exactly (range_check,
+    * timestamp_check, integrity_check); rows failing null_check are
+    * quarantined before sessionization (a row without identity/time
+    * cannot join a session). Session-level flags: duplicate event_id
+    * inside the session (duplicate_check at the grain where replays
+    * actually land — a replayed event reappears next to its original)
+    * and the funnel-sequence invariant (purchase preceded by a
+    * view/click IN THE SAME SESSION — sharper than the user-day form).
+    *
+    * Scale shape: flags are narrow per-event projections computed
+    * BEFORE the sessionize exchange; the per-session rollup rides the
+    * one user_id hash partitioning (subset rule — zero extra
+    * exchanges); the single countDistinct plans as a two-level
+    * fixed-state aggregate, not an Expand; the day rollup sees only
+    * session rows. */
+  def sessionQualityGate(spark: SparkSession, dir: String): DataFrame =
+    sessionQualityGateFrom(enriched(spark, dir))
+
+  /** Per-event check flags + gap sessionization over the typed
+    * (null-free) rows; carries `cols` through the window. */
+  private def typedSessionized(e: DataFrame, cols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_epoch", "event_id")
+    e.filter(col("event_id").isNotNull && col("ts").isNotNull &&
+             col("user_id").isNotNull && col("event_type").isNotNull &&
+             col("value").isNotNull && col("props").isNotNull)
+      .select(cols.map(col) :+
+        (col("value") < 0 || col("value") > 1000000 ||
+          !col("event_type").isin("view", "click", "purchase", "signup", "error"))
+          .cast("int").as("f_range") :+
+        (year(col("ts")) < 2020 || year(col("ts")) > 2030).cast("int").as("f_ts") :+
+        (col("event_type") === "purchase" &&
+          (col("product_k").isNull || col("product_k") < 0 ||
+           col("product_k") > 99 || col("value") <= 0))
+          .cast("int").as("f_integrity"): _*)
+      .withColumn("prev_epoch", lag("event_epoch", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_epoch").isNull || col("event_epoch") - col("prev_epoch") > GapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_epoch", "is_new")
+  }
+
+  /** Session verdict rows: one row per session with per-reason flags
+    * and the overall `quarantined` bit. */
+  private[graft] def gatedSessions(e: DataFrame): DataFrame =
+    typedSessionized(e, Seq("user_id", "event_id", "event_type", "event_epoch"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("event_id")).as("distinct_ids"),
+        min(col("event_epoch")).as("session_start_epoch"),
+        max(col("f_range")).as("q_range"),
+        max(col("f_ts")).as("q_ts"),
+        max(col("f_integrity")).as("q_integrity"),
+        min(when(col("event_type") === "purchase", col("event_epoch"))).as("first_purchase"),
+        min(when(col("event_type").isin("view", "click"), col("event_epoch"))).as("first_touch"))
+      .withColumn("q_dup", (col("event_count") > col("distinct_ids")).cast("int"))
+      .withColumn("q_seq",
+        (col("first_purchase").isNotNull &&
+          (col("first_touch").isNull || col("first_touch") > col("first_purchase"))).cast("int"))
+      .withColumn("quarantined",
+        greatest(col("q_range"), col("q_ts"), col("q_integrity"), col("q_dup"), col("q_seq")))
+
+  def sessionQualityGateFrom(e: DataFrame): DataFrame =
+    gatedSessions(e)
+      .groupBy(date_add(lit("1970-01-01").cast("date"),
+        (col("session_start_epoch") / lit(86400)).cast("int")).as("session_date"))
+      .agg(
+        count(lit(1)).as("sessions_total"),
+        sum(col("quarantined")).cast("long").as("sessions_quarantined"),
+        sum(col("event_count")).cast("long").as("events_total"),
+        sum(col("event_count") * col("quarantined")).cast("long").as("events_quarantined"),
+        sum(col("q_range")).cast("long").as("q_range_sessions"),
+        sum(col("q_ts")).cast("long").as("q_ts_sessions"),
+        sum(col("q_integrity")).cast("long").as("q_integrity_sessions"),
+        sum(col("q_dup")).cast("long").as("q_dup_sessions"),
+        sum(col("q_seq")).cast("long").as("q_seq_sessions"))
+      .orderBy("session_date")
+
+  val sessionQualityGateSql: String =
+    """WITH typed AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS event_epoch,
+      |    CASE WHEN value < 0 OR value > 1000000
+      |           OR event_type NOT IN ('view','click','purchase','signup','error')
+      |         THEN 1 ELSE 0 END AS f_range,
+      |    CASE WHEN YEAR(ts) < 2020 OR YEAR(ts) > 2030 THEN 1 ELSE 0 END AS f_ts,
+      |    CASE WHEN event_type = 'purchase'
+      |           AND (CAST(json_extract_string(props, '$.k') AS INT) IS NULL
+      |                OR CAST(json_extract_string(props, '$.k') AS INT) < 0
+      |                OR CAST(json_extract_string(props, '$.k') AS INT) > 99
+      |                OR value <= 0)
+      |         THEN 1 ELSE 0 END AS f_integrity
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+      |), flagged AS (
+      |  SELECT *, CASE WHEN LAG(event_epoch) OVER w IS NULL
+      |                   OR event_epoch - LAG(event_epoch) OVER w > 1800
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM typed
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_epoch, event_id)
+      |), sessioned AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_epoch, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged
+      |), sessions AS (
+      |  SELECT user_id, session_idx,
+      |    COUNT(*) AS event_count,
+      |    COUNT(DISTINCT event_id) AS distinct_ids,
+      |    MIN(event_epoch) AS session_start_epoch,
+      |    MAX(f_range) AS q_range, MAX(f_ts) AS q_ts, MAX(f_integrity) AS q_integrity,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN event_epoch END) AS first_purchase,
+      |    MIN(CASE WHEN event_type IN ('view','click') THEN event_epoch END) AS first_touch
+      |  FROM sessioned GROUP BY user_id, session_idx
+      |), judged AS (
+      |  SELECT *,
+      |    CASE WHEN event_count > distinct_ids THEN 1 ELSE 0 END AS q_dup,
+      |    CASE WHEN first_purchase IS NOT NULL
+      |           AND (first_touch IS NULL OR first_touch > first_purchase)
+      |         THEN 1 ELSE 0 END AS q_seq
+      |  FROM sessions
+      |), verdicts AS (
+      |  SELECT *, GREATEST(q_range, q_ts, q_integrity, q_dup, q_seq) AS quarantined
+      |  FROM judged
+      |)
+      |SELECT DATE '1970-01-01' + CAST(session_start_epoch // 86400 AS INT) AS session_date,
+      |  COUNT(*) AS sessions_total,
+      |  CAST(SUM(quarantined) AS BIGINT) AS sessions_quarantined,
+      |  CAST(SUM(event_count) AS BIGINT) AS events_total,
+      |  CAST(SUM(event_count * quarantined) AS BIGINT) AS events_quarantined,
+      |  CAST(SUM(q_range) AS BIGINT) AS q_range_sessions,
+      |  CAST(SUM(q_ts) AS BIGINT) AS q_ts_sessions,
+      |  CAST(SUM(q_integrity) AS BIGINT) AS q_integrity_sessions,
+      |  CAST(SUM(q_dup) AS BIGINT) AS q_dup_sessions,
+      |  CAST(SUM(q_seq) AS BIGINT) AS q_seq_sessions
+      |FROM verdicts
+      |GROUP BY 1
+      |ORDER BY session_date""".stripMargin
+
+  /** The gate as a FILTER: the enriched event rows belonging to clean
+    * (non-quarantined) sessions — what downstream marts should consume
+    * when the pipeline runs in quarantine mode. Same flag semantics as
+    * `session_quality_gate`, expressed as window aggregates over the
+    * session partition so the verdict joins back to event rows for
+    * free (zero joins, zero extra exchanges: every window below is
+    * subset-satisfied by the one user_id hash partitioning). */
+  def cleanEvents(e: DataFrame): DataFrame = {
+    val wS = Window.partitionBy("user_id", "session_idx")
+    val wDup = Window.partitionBy("user_id", "session_idx", "event_id")
+    val cols = e.columns.toSeq
+    typedSessionized(e, cols)
+      .withColumn("f_dup", (count(lit(1)).over(wDup) > 1).cast("int"))
+      .withColumn("q_range", max(col("f_range")).over(wS))
+      .withColumn("q_ts", max(col("f_ts")).over(wS))
+      .withColumn("q_integrity", max(col("f_integrity")).over(wS))
+      .withColumn("q_dup", max(col("f_dup")).over(wS))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase", col("event_epoch"))).over(wS))
+      .withColumn("first_touch",
+        min(when(col("event_type").isin("view", "click"), col("event_epoch"))).over(wS))
+      .withColumn("q_seq",
+        (col("first_purchase").isNotNull &&
+          (col("first_touch").isNull || col("first_touch") > col("first_purchase"))).cast("int"))
+      .filter(greatest(col("q_range"), col("q_ts"), col("q_integrity"),
+        col("q_dup"), col("q_seq")) === 0)
+      .select(cols.map(col): _*)
+  }
+
   val sessionDailySql: String = sessionizedSql +
     """, sessions AS (
       |  SELECT user_id, session_idx, COUNT(*) AS event_count,

@@ -745,6 +745,89 @@ class SessionizeSpec extends SparkSpec {
       .agg(sum("sessions")).collect().head.getLong(0)
     assert(daily == sessions)
   }
+
+  test("quality gate quarantines exactly the crafted sessions, by reason") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val rows: Seq[(java.lang.Long, java.sql.Timestamp, java.lang.Long, String, java.lang.Double, String)] = Seq(
+      // u1: clean funnel session
+      (1L, t("2024-02-01 09:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-02-01 09:10:00"), 1L, "purchase", 10.0, """{"k":5}"""),
+      // u2: purchase with no prior touch in-session -> q_seq
+      (3L, t("2024-02-01 10:00:00"), 2L, "purchase", 10.0, """{"k":5}"""),
+      // u3: duplicated event_id inside one session -> q_dup
+      (4L, t("2024-02-01 09:00:00"), 3L, "view", 1.0, "{}"),
+      (4L, t("2024-02-01 09:00:10"), 3L, "view", 1.0, "{}"),
+      // u4: negative value mid-session -> q_range
+      (6L, t("2024-02-01 09:00:00"), 4L, "view", 1.0, "{}"),
+      (7L, t("2024-02-01 09:01:00"), 4L, "click", -5.0, "{}"),
+      (8L, t("2024-02-01 09:02:00"), 4L, "view", 1.0, "{}"),
+      // u5: timestamp outside [2020, 2030] -> q_ts
+      (9L, t("2035-02-01 09:00:00"), 5L, "view", 1.0, "{}"),
+      // u6: purchase with out-of-range product id -> q_integrity
+      (10L, t("2024-02-01 09:00:00"), 6L, "view", 1.0, "{}"),
+      (11L, t("2024-02-01 09:05:00"), 6L, "purchase", 10.0, """{"k":200}"""),
+      // u7: one clean session, then (>30min later) one bad-value session
+      (12L, t("2024-02-01 09:00:00"), 7L, "view", 1.0, "{}"),
+      (13L, t("2024-02-01 09:01:00"), 7L, "click", 1.0, "{}"),
+      (14L, t("2024-02-01 11:00:00"), 7L, "view", 1.0, "{}"),
+      (15L, t("2024-02-01 11:01:00"), 7L, "click", -5.0, "{}"),
+      // null user_id: dropped before sessionization (fails null_check)
+      (16L, t("2024-02-01 09:00:00"), null, "view", 1.0, "{}"))
+    val e = EventMarts.enrich(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val g = Sessionize.sessionQualityGateFrom(e).collect()
+    assert(g.length == 2) // 2024-02-01 plus the 2035 session's own day
+    val byDay = g.map(r => r.getAs[java.sql.Date]("session_date").toString -> r).toMap
+    val d = byDay("2024-02-01")
+    assert(d.getAs[Long]("sessions_total") == 7)
+    assert(d.getAs[Long]("sessions_quarantined") == 5)
+    assert(d.getAs[Long]("events_total") == 14)
+    assert(d.getAs[Long]("events_quarantined") == 10)
+    assert(d.getAs[Long]("q_range_sessions") == 2) // u4 + u7's second session
+    assert(d.getAs[Long]("q_dup_sessions") == 1)
+    assert(d.getAs[Long]("q_integrity_sessions") == 1)
+    assert(d.getAs[Long]("q_seq_sessions") == 1)
+    val d35 = byDay("2035-02-01")
+    assert(d35.getAs[Long]("q_ts_sessions") == 1 && d35.getAs[Long]("sessions_quarantined") == 1)
+    // the filter view is the exact complement: u1's session + u7's first
+    val kept = Sessionize.cleanEvents(e)
+    assert(kept.count() == 4)
+    assert(kept.select("event_id").as[Long].collect().sorted.sameElements(Array(1L, 2L, 12L, 13L)))
+    // gate columns do not leak into the cleaned frame
+    assert(kept.columns.sameElements(e.columns))
+  }
+
+  test("quality gate closed loop on generated sessions: clean passes whole, anomalies complement exactly") {
+    val clean = graft.sources.EventGenerator.sessionEvents(spark, 60L, 3)
+    val e = EventMarts.enrich(clean)
+    // pure generator output is violation-free: every event survives the gate
+    assert(Sessionize.cleanEvents(e).count() == clean.count())
+    assert(Sessionize.sessionQualityGateFrom(e)
+      .agg(sum("sessions_quarantined")).collect().head.getLong(0) == 0L)
+    val dirty = EventMarts.enrich(graft.sources.EventGenerator.withAnomalies(clean)).cache()
+    try {
+      val tot = Sessionize.sessionQualityGateFrom(dirty)
+        .agg(sum("sessions_quarantined").as("sq"), sum("events_total").as("et"),
+          sum("events_quarantined").as("eq"),
+          sum("q_range_sessions").as("qr"), sum("q_ts_sessions").as("qt"))
+        .collect().head
+      // injected bad-value and bad-ts classes must surface at session grain
+      assert(tot.getAs[Long]("sq") > 0 && tot.getAs[Long]("qr") > 0 && tot.getAs[Long]("qt") > 0)
+      // cleanEvents is the exact complement of quarantined events among typed rows
+      val kept = Sessionize.cleanEvents(dirty).cache()
+      assert(kept.count() == tot.getAs[Long]("et") - tot.getAs[Long]("eq"))
+      // and RE-GATING the kept rows quarantines nothing: dropping whole
+      // sessions only widens per-user gaps, so sessions re-derive
+      // identically and every one of them is clean
+      assert(Sessionize.sessionQualityGateFrom(kept)
+        .agg(sum("sessions_quarantined")).collect().head.getLong(0) == 0L)
+      kept.unpersist()
+    } finally {
+      dirty.unpersist()
+      ()
+    }
+  }
 }
 
 class QualitySpec extends SparkSpec {

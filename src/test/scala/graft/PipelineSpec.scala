@@ -401,6 +401,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quarantine run builds marts on clean sessions only; gate summary still sees the raw frame") {
+    val out = Files.createTempDirectory("graft_qrun").toString
+    val res = Pipeline.run(spark, Sf, out, failFast = false, quarantine = true)
+    assert(res.martsWritten.contains("mart_user_daily"))
+    val e = operators.EventMarts.enriched(spark, Sf)
+    val gated = operators.Sessionize.cleanEvents(e)
+    // the gate bites on this corpus (sessions open with purchases etc.)
+    val gatedEvents = gated.count()
+    assert(gatedEvents < e.count())
+    val expected = operators.EventMarts.martUserDailyFrom(gated)
+    val actual = spark.read.parquet(s"$out/mart_user_daily")
+      .select(expected.columns.map(col): _*)
+    assert(actual.count() == expected.count())
+    assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
+  }
+
   test("corpus pipeline cleans, collapses near-dups, and writes an idempotent split-partitioned corpus") {
     val out = Files.createTempDirectory("graft_corpus_pipe").toString
     val r1 = CorpusPipeline.run(spark, Sf, out)
