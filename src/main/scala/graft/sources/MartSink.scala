@@ -229,6 +229,143 @@ object MartSink {
         batchSize = batchSize)
   }
 
+  /** What a `mergeJdbc` run actually moved: `upserted` rows staged and
+    * swapped in (new + changed), `deleted` vanished-key rows removed,
+    * `total` rows in the incoming frame. `upserted == 0` means the
+    * replay cost zero DB writes beyond the current-state read. */
+  final case class MergeStats(upserted: Long, deleted: Long, total: Long)
+
+  /** Delta-aware incremental MERGE — the upsert sibling of
+    * `writeJdbc`. `writeJdbc` replays a whole date scope through the
+    * wire even when yesterday's backfill changed three rows; at the
+    * day grain of a 100 TB mart that is gigabytes of unchanged rows
+    * re-shipped to the warehouse per run. This computes the delta
+    * SPARK-SIDE first:
+    *
+    *   1. read the CURRENT target scope back through JDBC (one scan of
+    *      the rows `scopePredicate` selects — the warehouse mart is
+    *      orders of magnitude smaller than the fact table that built
+    *      `df`), cast to `df`'s exact schema so JDBC type drift can't
+    *      fake differences;
+    *   2. `upserts = df EXCEPT ALL current` — only new or changed rows
+    *      survive (a hash set-difference, one shuffle on the full row);
+    *      `vanished = current keys EXCEPT df keys` — rows the rebuild
+    *      no longer produces;
+    *   3. stage ONLY the upsert rows (the wire now carries the delta,
+    *      not the date), then ONE driver transaction: key-correlated
+    *      DELETE of the upserted keys + (optionally) the vanished
+    *      keys, INSERT from staging, commit — readers see the old or
+    *      the new mart, never a hole, exactly like `writeJdbc`.
+    *
+    * Rerunning the same build is a no-op upsert (0 rows staged) — the
+    * idempotency `writeJdbc` gets from delete+insert, this gets for
+    * free from the empty delta. Determinism caveat: a mart whose
+    * float columns aren't bit-reproducible would re-ship rows that
+    * only differ in ulps (never corrupts — the swap still lands the
+    * recomputed values); graft marts aggregate through exact decimal
+    * sums, so unchanged rows compare equal.
+    *
+    * @param keyCols        the mart's logical key (e.g. user_id +
+    *                       event_date); non-key columns are payload.
+    * @param scopePredicate target-dialect SQL restricting which
+    *                       current rows are read and which vanished
+    *                       rows may be deleted (e.g. the run's date
+    *                       window). None = whole table.
+    * @param deleteVanished also delete in-scope keys absent from `df`
+    *                       (full-scope rebuilds); leave false for
+    *                       partial/append-style builds. */
+  def mergeJdbc(df: DataFrame, url: String, table: String, keyCols: Seq[String],
+                scopePredicate: Option[String] = None,
+                deleteVanished: Boolean = false,
+                batchSize: Int = 10000): MergeStats = {
+    require(keyCols.nonEmpty, "mergeJdbc needs at least one key column")
+    val spark = df.sparkSession
+    val dialect = JdbcDialects.get(url)
+    def qid(s: String) = dialect.quoteIdentifier(s)
+    val exists = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+        try Iterator.continually(rs)
+          .takeWhile(_.next()).exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+        finally rs.close()
+      } finally conn.close()
+    }
+    if (!exists) {
+      // first load: everything is the delta
+      val n = df.count()
+      writeJdbc(df, url, table, deletePredicate = None, batchSize = batchSize)
+      return MergeStats(upserted = n, deleted = 0L, total = n)
+    }
+    val props = new java.util.Properties()
+    val cols = df.schema.fieldNames
+    val select = s"SELECT ${cols.map(qid).mkString(", ")} FROM $table" +
+      scopePredicate.map(p => s" WHERE $p").getOrElse("")
+    val current = spark.read.format("jdbc")
+      .option("url", url).option("query", select).load()
+      // JDBC round-trip type drift (VARCHAR/CLOB, DECIMAL scale) must
+      // not fake row differences — compare in df's exact types
+      .select(df.schema.fields.map(f => org.apache.spark.sql.functions
+        .col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = df.count()
+      val upserts = df.exceptAll(current)
+      val keyed = (d: DataFrame) => d.select(keyCols.map(d.col): _*)
+      val vanished =
+        if (deleteVanished) keyed(current).except(keyed(df)) else spark.emptyDataFrame
+      val staging = table + "_mrg_" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val vStaging = staging + "_del"
+      props.setProperty("batchsize", batchSize.toString)
+      upserts.write.mode(SaveMode.Append).jdbc(url, staging, props)
+      val doVanish = deleteVanished && !vanished.isEmpty
+      if (doVanish) vanished.write.mode(SaveMode.Append).jdbc(url, vStaging, props)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        def stagedCount(st: java.sql.Statement, t: String): Long = {
+          val rs = st.executeQuery(s"SELECT COUNT(*) FROM $t")
+          try { rs.next(); rs.getLong(1) } finally rs.close()
+        }
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        val (nUp, nDel) =
+          try {
+            val corr = keyCols.map(k => s"s.${qid(k)} = t.${qid(k)}").mkString(" AND ")
+            // key-correlated delete of rows being replaced, then the
+            // vanished keys, then the insert — one atomic swap
+            st.executeUpdate(
+              s"DELETE FROM $table t WHERE EXISTS (SELECT 1 FROM $staging s WHERE $corr)")
+            val nd =
+              if (doVanish)
+                st.executeUpdate(
+                  s"DELETE FROM $table t WHERE EXISTS (SELECT 1 FROM $vStaging s WHERE $corr)" +
+                    scopePredicate.map(p => s" AND $p").getOrElse(""))
+              else 0
+            val nu = stagedCount(st, staging)
+            st.executeUpdate(
+              s"INSERT INTO $table (${cols.map(qid).mkString(", ")}) " +
+                s"SELECT ${cols.map(qid).mkString(", ")} FROM $staging")
+            conn.commit()
+            (nu, nd.toLong)
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally st.close()
+        try {
+          conn.setAutoCommit(true)
+          val drop = conn.createStatement()
+          try {
+            drop.executeUpdate(s"DROP TABLE $staging")
+            if (doVanish) drop.executeUpdate(s"DROP TABLE $vStaging")
+          } finally drop.close()
+        } catch { case _: java.sql.SQLException => () }
+        MergeStats(upserted = nUp, deleted = nDel, total = total)
+      } finally conn.close()
+    } finally {
+      current.unpersist()
+      ()
+    }
+  }
+
   /** Idempotent JDBC mart load — the relational-warehouse counterpart
     * of `writePartitioned` (the reference loads its marts into
     * PostgreSQL with per-date DELETE + INSERT:

@@ -98,6 +98,58 @@ class SourcesSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("incremental JDBC MERGE ships only the delta: replay is a zero-write no-op") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_derby_mrg").resolve("mrgdb")
+    val url = s"jdbc:derby:$db;create=true"
+    def mart(rows: (Long, String, Long, Double)*) =
+      rows.toDF("user_id", "d", "n", "revenue")
+        .withColumn("event_date", col("d").cast("date")).drop("d")
+        .select("user_id", "event_date", "n", "revenue")
+    val keys = Seq("user_id", "event_date")
+    val day1 = mart((1L, "2024-01-01", 5L, 10.0), (2L, "2024-01-01", 7L, 20.0),
+      (3L, "2024-01-01", 2L, 5.0))
+    // first merge on an absent table = full load
+    val s1 = MartSink.mergeJdbc(day1, url, "mart_m", keys)
+    assert(s1 == MartSink.MergeStats(3, 0, 3))
+    // replaying the identical build stages NOTHING
+    val s2 = MartSink.mergeJdbc(day1, url, "mart_m", keys)
+    assert(s2 == MartSink.MergeStats(0, 0, 3))
+    // one changed row + one new row -> exactly 2 rows cross the wire
+    val day1b = mart((1L, "2024-01-01", 5L, 10.0), (2L, "2024-01-01", 9L, 25.0),
+      (3L, "2024-01-01", 2L, 5.0), (4L, "2024-01-01", 1L, 1.0))
+    val s3 = MartSink.mergeJdbc(day1b, url, "mart_m", keys)
+    assert(s3 == MartSink.MergeStats(2, 0, 4))
+    val back = spark.read.jdbc(url, "mart_m", new java.util.Properties())
+    assert(back.count() == 4)
+    assert(back.filter(col("user_id") === 2L).collect().map(_.getAs[Long]("n")).toSeq == Seq(9L))
+    // a second date merges independently; day 1 rows don't count as vanished
+    // outside the scope predicate
+    val day2 = mart((1L, "2024-01-02", 6L, 12.0))
+    assert(MartSink.mergeJdbc(day2, url, "mart_m", keys,
+      scopePredicate = Some("\"event_date\" = DATE('2024-01-02')"),
+      deleteVanished = true) == MartSink.MergeStats(1, 0, 1))
+    // scoped rebuild that drops user 4: only that key is deleted, day 2 untouched
+    val day1c = mart((1L, "2024-01-01", 5L, 10.0), (2L, "2024-01-01", 9L, 25.0),
+      (3L, "2024-01-01", 2L, 5.0))
+    val s4 = MartSink.mergeJdbc(day1c, url, "mart_m", keys,
+      scopePredicate = Some("\"event_date\" = DATE('2024-01-01')"),
+      deleteVanished = true)
+    assert(s4 == MartSink.MergeStats(0, 1, 3))
+    val fin = spark.read.jdbc(url, "mart_m", new java.util.Properties())
+    assert(fin.count() == 4) // 3 on day 1 + 1 on day 2
+    assert(fin.filter(col("user_id") === 4L).isEmpty)
+    assert(fin.filter(col("event_date") === "2024-01-02").count() == 1)
+    // no staging leftovers
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next()).map(_.getString("TABLE_NAME")).toList
+      rs.close()
+      assert(!names.exists(_.toLowerCase.contains("_mrg_")), s"staging leak: $names")
+    } finally conn.close()
+  }
+
   test("DB-backed check log: per-date idempotent upsert, trend matches the parquet path") {
     import spark.implicits._
     val db = Files.createTempDirectory("graft_derby_qlog").resolve("qlogdb")
