@@ -679,6 +679,113 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Span length (words) and cross-doc frequency threshold for
+    * `cleanDupSpans`. 8 words is small enough to catch template
+    * boilerplate on short documents while long enough that chance
+    * collisions are negligible (C4 uses 13-word spans at web scale;
+    * the mechanism is length-agnostic). */
+  val SpanWords = 8
+  val SpanMinDocs = 2
+
+  /** Duplicated-SPAN scrub — the REMOVE complement of
+    * `substringDup`'s census (that one measures verbatim cross-doc
+    * overlap; this one deletes it). The C4/RefinedWeb batch step:
+    * any `n`-word span occurring in ≥ `minDocs` distinct documents is
+    * boilerplate, and every word position covered by such a span is
+    * scrubbed from EVERY document, the survivors reassembled in
+    * order. Position-COVERAGE semantics make overlap resolution
+    * well-defined: a 9-word shared run is two overlapping 8-grams
+    * whose covered-position union is the 9 positions (not 16), and a
+    * span repeated twice inside one doc scrubs both occurrences.
+    *
+    * Plan shape: positioned grams come from ONE projection per doc
+    * (`transform(sequence)` over the split array — no per-gram
+    * re-split), localCheckpoint'ed ONCE because the frame feeds two
+    * consumers (the gram-frequency build and the coverage join) that
+    * neither ReuseExchange nor AQE dedups (same rationale as
+    * substringDup). Doc frequency is a two-level plain count — no
+    * countDistinct Expand. The coverage join keeps only grams whose
+    * key survives the ≥ minDocs filter (on a healthy corpus almost
+    * none), so the position explode is bounded by actual boilerplate
+    * mass, not corpus size. Totals come from kept + removed counts
+    * (full outer join) rather than a third corpus scan. The one
+    * per-doc `collect_list` buffers a single document's surviving
+    * words — the document is the unit of output, exactly like
+    * doc_chunks. */
+  def cleanDupSpans(spark: SparkSession, dir: String): DataFrame =
+    cleanDupSpansFrom(Tables.documents(spark, dir))
+
+  private[graft] def cleanDupSpansFrom(docs: DataFrame,
+                                       n: Int = SpanWords,
+                                       minDocs: Int = SpanMinDocs): DataFrame = {
+    val base = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val grams = base
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= n, expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), " +
+            s"s -> struct(s AS s, array_join(slice(w, s, $n), ' ') AS g))"))
+          .otherwise(expr("CAST(array() AS array<struct<s:int,g:string>>)"))).as("sg"))
+      .select(col("doc_id"), col("sg.s").as("s"), col("sg.g").as("g"))
+      .localCheckpoint()
+    val freq = grams
+      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("g"))
+    val covered = grams.join(freq, "g")
+      .select(col("doc_id"), explode(sequence(col("s"), col("s") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("word"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ").as("txt"))
+    val removed = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("removed"))
+    kept.join(removed, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("kept"), lit(0L)) + coalesce(col("removed"), lit(0L)))
+          .cast("long").as("total_words"),
+        coalesce(col("removed"), lit(0L)).cast("long").as("removed_words"),
+        coalesce(col("kept"), lit(0L)).cast("long").as("kept_words"),
+        coalesce(col("txt"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val cleanDupSpansSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), grams AS (
+      |  SELECT doc_id, s, array_to_string(w[s:s+7], ' ') AS g
+      |  FROM base, unnest(range(1, len(w) - 6)) AS t(s)
+      |  WHERE len(w) >= 8
+      |), pdg AS (
+      |  SELECT g, doc_id FROM grams GROUP BY 1, 2
+      |), freq AS (
+      |  SELECT g FROM pdg GROUP BY g HAVING COUNT(*) >= 2
+      |), covered AS (
+      |  SELECT DISTINCT gr.doc_id, t.pos
+      |  FROM grams gr JOIN freq USING (g), unnest(range(gr.s, gr.s + 8)) AS t(pos)
+      |), toks AS (
+      |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS word FROM base
+      |), kept AS (
+      |  SELECT t.doc_id, COUNT(*) AS kept,
+      |    string_agg(t.word, ' ' ORDER BY t.pos) AS txt
+      |  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  WHERE c.pos IS NULL
+      |  GROUP BY t.doc_id
+      |)
+      |SELECT b.doc_id,
+      |  CAST(len(b.w) AS BIGINT) AS total_words,
+      |  CAST(len(b.w) - COALESCE(k.kept, 0) AS BIGINT) AS removed_words,
+      |  CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept_words,
+      |  COALESCE(k.txt, '') AS clean_text
+      |FROM base b LEFT JOIN kept k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val substringDupSql: String =
     """WITH g AS (
       |  SELECT doc_id,

@@ -642,6 +642,38 @@ class DedupSpec extends SparkSpec {
     assert(total == Tables.documents(spark, Sf).count())
   }
 
+  test("dup-span scrub removes covered positions exactly: overlap union, double occurrence, sub-span grain") {
+    import spark.implicits._
+    val S = (1 to 8).map(i => s"s$i").mkString(" ")   // one exact 8-word span
+    val T = (1 to 9).map(i => s"t$i").mkString(" ")   // a 9-word run = 2 overlapping 8-grams
+    val docs = Seq(
+      (1L, s"a1 $S a2 $S"),        // span twice -> both occurrences scrubbed
+      (2L, s"$S b1 b2 b3"),
+      (3L, "c1 c2 c3 c4 c5"),      // unique -> untouched
+      (4L, "d1 d2 d3 d4 d5"),      // identical 5-word docs: below the
+      (5L, "d1 d2 d3 d4 d5"),      //   8-word grain -> untouched
+      (6L, S),                     // doc IS the span -> fully scrubbed
+      (7L, s"g0 $T g1"),
+      (8L, T)                      // overlap union: 9 removed, not 16
+    ).toDF("doc_id", "text")
+    val got = Dedup.cleanDupSpansFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_words"), r.getAs[Long]("removed_words"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((18L, 16L, "a1 a2")))
+    assert(got(2L) == ((11L, 8L, "b1 b2 b3")))
+    assert(got(3L) == ((5L, 0L, "c1 c2 c3 c4 c5")))
+    assert(got(4L) == ((5L, 0L, "d1 d2 d3 d4 d5")))
+    assert(got(5L) == ((5L, 0L, "d1 d2 d3 d4 d5")))
+    assert(got(6L) == ((8L, 8L, "")))
+    assert(got(7L) == ((11L, 9L, "g0 g1")), "9-word overlap must remove the union (9), not 2x8")
+    assert(got(8L) == ((9L, 9L, "")))
+    // idempotence: scrubbing the scrubbed corpus removes nothing more
+    val again = Dedup.cleanDupSpansFrom(
+      Dedup.cleanDupSpansFrom(docs).select(col("doc_id"), col("clean_text").as("text")))
+    assert(again.agg(sum("removed_words")).collect().head.getLong(0) == 0L)
+  }
+
   test("substring dup census counts cross-doc trigram positions, not within-doc repeats") {
     import spark.implicits._
     val docs = Seq(
