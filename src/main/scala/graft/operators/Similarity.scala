@@ -871,6 +871,78 @@ object Similarity {
         semDedupPairsFrom(assigned, threshold, maxBucket))
       .select(col("doc_id").as("vec_id"), col("cell"))
 
+  /** k-NN GRAPH over the whole embedding corpus — every vector gets
+    * its `k` approximate nearest neighbors. This is the all-to-all
+    * sibling of `ivfTopKKmeans` (there: a handful of external queries;
+    * here: every corpus vector plays the query role), and the
+    * substrate for graph-based curation — semantic-cluster discovery,
+    * connectivity-based dedup, diversity sampling, kNN classification.
+    *
+    * Plan: one trained coarse quantizer (seeded Lloyd — deterministic);
+    * every vector is INDEXED under its nearest cell and PROBES its
+    * `nProbe` nearest cells, both narrow literal-centroid projections
+    * off the same scan; the block join on `cell` generates only
+    * in-cell pairs (a candidate lives in exactly one cell, so a pair
+    * meets at most once — no distinct needed); per-query top-k is one
+    * window over the probed candidates. Quadratic only WITHIN a cell:
+    * at N vectors and nlist cells the pair count is ~N²·nProbe/nlist,
+    * so nlist scales with √N to hold per-cell work flat (the standard
+    * IVF sizing) — nothing here is all-pairs, and recall tunes with
+    * nProbe, never by re-indexing. Rows-only oracle (approximate);
+    * spec pins structure + recall vs exact brute-force. */
+  def annKnnGraph(spark: SparkSession, dir: String, k: Int = 5,
+                  nProbe: Int = 2, nlist: Int = 10, iters: Int = 3): DataFrame =
+    annKnnGraphWith(spark, Tables.embeddings(spark, dir),
+      kmeansCentroids(spark, dir, nlist, iters), k, nProbe)
+
+  private[graft] def annKnnGraphWith(spark: SparkSession, e: DataFrame,
+      cents: Seq[(Int, Array[Float])], k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      explode(nearestCellsCol(col("embedding"), cents, 1)).as("cell"))
+    val queries = e.select(col("vec_id"), col("embedding").as("q_emb"),
+      explode(nearestCellsCol(col("embedding"), cents, nProbe)).as("cell"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("similarity"), asc("neighbor_id"))
+    queries.join(cands, "cell")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(call_function("cosine_sim", col("q_emb"), col("c_emb")), 6).as("similarity"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Corpus TOPIC MIX — what a curation run reports before choosing
+    * sampling weights: k-means cells over the embeddings as emergent
+    * "topics", crossed with the documents' declared `source`. The
+    * (source, topic) grid shows which sources carry which semantic
+    * mass — the input to mixture rebalancing (sample_weighted_sources
+    * decides WEIGHTS; this shows what the weights act on).
+    *
+    * Plan: cell assignment is the usual narrow literal-centroid
+    * projection over the embeddings scan; one equi-join links vec_id
+    * to doc_id (the corpus convention: embeddings are row-aligned to
+    * documents); the rollup is a tiny (sources × nlist) aggregate and
+    * the share window runs over that aggregate frame only. Rows-only
+    * oracle (cell geometry is float-trained); spec pins the partition
+    * invariants and determinism. */
+  def corpusTopicMix(spark: SparkSession, dir: String, nlist: Int = 10,
+                     iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(spark, dir, nlist, iters)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val topics = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        explode(nearestCellsCol(col("embedding"), cents, 1)).as("topic"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(topics, "doc_id")
+      .groupBy(col("source"), col("topic"))
+      .agg(count(lit(1)).as("docs"))
+      .withColumn("source_share",
+        col("docs").cast("double")
+          / sum(col("docs")).over(Window.partitionBy("source")).cast("double") * lit(100))
+      .orderBy("source", "topic")
+  }
+
   /** In-cell over-threshold pair graph of `semDedup` — the expensive
     * candidate-generation subtree, exposed so the plan lint can audit
     * it directly (the survivor frame is a post-checkpoint tail). */

@@ -1456,6 +1456,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn graph: k edges per vector, no self edges, ranked; recall vs exact on sampled queries") {
+    val k = 5
+    val g = Similarity.annKnnGraph(spark, Sf, k = k).cache()
+    try {
+      val n = Tables.embeddings(spark, Sf).count()
+      assert(g.select("vec_id").distinct().count() == n, "every vector gets neighbors")
+      assert(g.filter(col("vec_id") === col("neighbor_id")).count() == 0)
+      val perVec = g.groupBy("vec_id").count().agg(min("count"), max("count")).collect().head
+      assert(perVec.getLong(0) == k && perVec.getLong(1) == k)
+      // ranks are 1..k and similarity is non-increasing in rank
+      val bad = g.withColumn("prev",
+          lag("similarity", 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id").orderBy("rank")))
+        .filter(col("prev").isNotNull && col("prev") < col("similarity")).count()
+      assert(bad == 0)
+      // recall vs EXACT graph neighbors, recomputed driver-side for a
+      // query sample (the whole corpus is candidate pool — unlike
+      // bruteForceTopK's query/candidate split)
+      val all = Tables.embeddings(spark, Sf).select("vec_id", "embedding").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+      }
+      val sample = all.keys.toSeq.sorted.take(20)
+      val exact = sample.map { q =>
+        q -> all.filterNot(_._1 == q).toSeq
+          .map { case (id, v) => (cos(all(q), v), id) }
+          .sortBy { case (s, id) => (-s, id) }.take(k).map(_._2).toSet
+      }.toMap
+      val approx = g.filter(col("vec_id").isin(sample: _*)).collect()
+        .groupBy(_.getAs[Long]("vec_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      val hits = exact.map { case (q, ex) => (approx.getOrElse(q, Set.empty) & ex).size }.sum
+      val recall = hits.toDouble / (sample.size * k)
+      assert(recall >= 0.25, s"knn-graph recall too low: $recall")
+    } finally {
+      g.unpersist()
+      ()
+    }
+  }
+
+  test("topic mix partitions the corpus and shares sum to 100 per source, deterministically") {
+    val m1 = Similarity.corpusTopicMix(spark, Sf).collect()
+    assert(m1.map(_.getAs[Long]("docs")).sum == Tables.documents(spark, Sf).count())
+    m1.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("source_share")).sum - 100.0) < 1e-9)
+    }
+    assert(m1.forall { r =>
+      val t = r.getAs[Int]("topic"); t >= 0 && t < 10
+    })
+    // seeded training: byte-identical across runs
+    val m2 = Similarity.corpusTopicMix(spark, Sf).collect()
+    assert(m1.map(_.toString).sameElements(m2.map(_.toString)))
+  }
+
   test("pca basis is orthonormal with descending eigenvalues matching projected variance") {
     val k = 4
     val basis = Similarity.pcaBasis(spark, Sf, k)
