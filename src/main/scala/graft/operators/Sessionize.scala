@@ -375,22 +375,32 @@ object Sessionize {
   def sessionQualityGate(spark: SparkSession, dir: String): DataFrame =
     sessionQualityGateFrom(enriched(spark, dir))
 
+  /** Event-level check-flag expressions — ONE definition shared by the
+    * batch gate and the streaming gate (SessionGateStream), so the two
+    * surfaces cannot drift. Each expects the enriched column set
+    * (ts, value, event_type, product_k) and mirrors the corresponding
+    * Quality check exactly. */
+  private[graft] def typedRowFilter: org.apache.spark.sql.Column =
+    col("event_id").isNotNull && col("ts").isNotNull &&
+      col("user_id").isNotNull && col("event_type").isNotNull &&
+      col("value").isNotNull && col("props").isNotNull
+  private[graft] def fRange: org.apache.spark.sql.Column =
+    (col("value") < 0 || col("value") > 1000000 ||
+      !col("event_type").isin("view", "click", "purchase", "signup", "error")).cast("int")
+  private[graft] def fTs: org.apache.spark.sql.Column =
+    (year(col("ts")) < 2020 || year(col("ts")) > 2030).cast("int")
+  private[graft] def fIntegrity: org.apache.spark.sql.Column =
+    (col("event_type") === "purchase" &&
+      (col("product_k").isNull || col("product_k") < 0 ||
+       col("product_k") > 99 || col("value") <= 0)).cast("int")
+
   /** Per-event check flags + gap sessionization over the typed
     * (null-free) rows; carries `cols` through the window. */
   private def typedSessionized(e: DataFrame, cols: Seq[String]): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_epoch", "event_id")
-    e.filter(col("event_id").isNotNull && col("ts").isNotNull &&
-             col("user_id").isNotNull && col("event_type").isNotNull &&
-             col("value").isNotNull && col("props").isNotNull)
-      .select(cols.map(col) :+
-        (col("value") < 0 || col("value") > 1000000 ||
-          !col("event_type").isin("view", "click", "purchase", "signup", "error"))
-          .cast("int").as("f_range") :+
-        (year(col("ts")) < 2020 || year(col("ts")) > 2030).cast("int").as("f_ts") :+
-        (col("event_type") === "purchase" &&
-          (col("product_k").isNull || col("product_k") < 0 ||
-           col("product_k") > 99 || col("value") <= 0))
-          .cast("int").as("f_integrity"): _*)
+    e.filter(typedRowFilter)
+      .select(cols.map(col) :+ fRange.as("f_range") :+ fTs.as("f_ts") :+
+        fIntegrity.as("f_integrity"): _*)
       .withColumn("prev_epoch", lag("event_epoch", 1).over(w))
       .withColumn("is_new",
         when(col("prev_epoch").isNull || col("event_epoch") - col("prev_epoch") > GapSeconds, 1)

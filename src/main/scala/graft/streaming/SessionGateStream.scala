@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Sessionize
+
+/** Streaming session QUALITY GATE — the continuous counterpart of
+  * `Sessionize.sessionQualityGate` (reference: validate_quality.py's
+  * WARN path, materialized per session as it closes instead of per
+  * batch run). Each closing session carries a verdict: the per-reason
+  * flags and the overall `quarantined` bit, so a downstream sink can
+  * route clean sessions into live marts and quarantined ones into a
+  * review log WITHOUT waiting for the nightly batch gate.
+  *
+  * The event-level flags are THE SAME column expressions the batch
+  * gate uses (Sessionize.fRange/fTs/fIntegrity — one definition, the
+  * surfaces cannot drift); rows failing null_check are dropped before
+  * keying, exactly like the batch gate. Session-level checks fold
+  * incrementally in O(1) state: epoch minima for the funnel-sequence
+  * invariant (order-independent — late events inside the watermark
+  * fold to the same minima), boolean ORs for the flag checks, and a
+  * BOUNDED recent-id window (`MaxDupWindow`) for in-session duplicate
+  * detection — a replayed event lands next to its original, which a
+  * window of 32 catches; the exact batch gate remains the authority
+  * for pathological far-apart replays. State per live user is O(1),
+  * so the operator survives an unbounded firehose; timeouts are
+  * event-time (watermark-driven) for deterministic replay, exactly
+  * like SessionizeStream. */
+object SessionGateStream {
+
+  case class GEv(user_id: Long, event_id: Long, event_type: String,
+                 epoch: Long, ts: java.sql.Timestamp,
+                 f_range: Int, f_ts: Int, f_integrity: Int)
+
+  case class GState(start: Long, last: Long, count: Int,
+                    qRange: Boolean, qTs: Boolean, qInteg: Boolean, qDup: Boolean,
+                    firstPurchase: Long, firstTouch: Long, // Long.MaxValue = none
+                    recentIds: List[Long])
+
+  case class GateOut(user_id: Long, session_start_epoch: Long,
+                     session_end_epoch: Long, event_count: Int,
+                     q_range: Boolean, q_ts: Boolean, q_integrity: Boolean,
+                     q_dup: Boolean, q_seq: Boolean, quarantined: Boolean)
+
+  val GapSeconds = 1800L
+  /** Recent event-id window for bounded in-session dup detection. */
+  val MaxDupWindow = 32
+  val WatermarkDelay = "30 minutes"
+
+  /** Typed gate-event stream from a raw events frame: drop rows
+    * failing null_check, compute the shared event-level flags. */
+  def asGateEvents(raw: DataFrame): Dataset[GEv] = {
+    import raw.sparkSession.implicits._
+    graft.operators.EventMarts.enrich(raw)
+      .filter(Sessionize.typedRowFilter)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("event_epoch").as("epoch"), col("ts"),
+        Sessionize.fRange.as("f_range"), Sessionize.fTs.as("f_ts"),
+        Sessionize.fIntegrity.as("f_integrity"))
+      .as[GEv]
+  }
+
+  def gateSessions(events: Dataset[GEv]): Dataset[GateOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GState, GateOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[GState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => finish(uid, s))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.epoch, e.event_id))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer.empty[GateOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.epoch - s.last <= GapSeconds =>
+                  cur = Some(fold(s, e))
+                case Some(s) =>
+                  closed += finish(uid, s)
+                  cur = Some(fresh(e))
+                case None =>
+                  cur = Some(fresh(e))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max((s.last + GapSeconds) * 1000L + 1,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  private def fresh(e: GEv): GState =
+    fold(GState(e.epoch, e.epoch, 0, qRange = false, qTs = false, qInteg = false,
+      qDup = false, Long.MaxValue, Long.MaxValue, Nil), e)
+
+  private def fold(s: GState, e: GEv): GState = {
+    val isTouch = e.event_type == "view" || e.event_type == "click"
+    val isPurchase = e.event_type == "purchase"
+    GState(
+      start = math.min(s.start, e.epoch),
+      last = math.max(s.last, e.epoch),
+      count = s.count + 1,
+      qRange = s.qRange || e.f_range == 1,
+      qTs = s.qTs || e.f_ts == 1,
+      qInteg = s.qInteg || e.f_integrity == 1,
+      qDup = s.qDup || s.recentIds.contains(e.event_id),
+      firstPurchase = if (isPurchase) math.min(s.firstPurchase, e.epoch) else s.firstPurchase,
+      firstTouch = if (isTouch) math.min(s.firstTouch, e.epoch) else s.firstTouch,
+      recentIds = (e.event_id :: s.recentIds).take(MaxDupWindow))
+  }
+
+  private def finish(uid: Long, s: GState): GateOut = {
+    val qSeq = s.firstPurchase != Long.MaxValue &&
+      (s.firstTouch == Long.MaxValue || s.firstTouch > s.firstPurchase)
+    GateOut(uid, s.start, s.last, s.count,
+      s.qRange, s.qTs, s.qInteg, s.qDup, qSeq,
+      s.qRange || s.qTs || s.qInteg || s.qDup || qSeq)
+  }
+}

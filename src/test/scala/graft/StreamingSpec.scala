@@ -471,4 +471,60 @@ class StreamingSpec extends SparkSpec {
       assert(rows2.map(_.getAs[Long]("session_start_epoch")).toSet == Set(1000L, 99999L))
     } finally q.stop()
   }
+
+  test("streaming session gate verdicts match the batch gate on finalized sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val sentinelUser = 999999L
+    // anomaly-injected session-structured events: bad values (range),
+    // 2035 timestamps (ts), collapsed event ids (dup) all in play;
+    // null-user rows are dropped identically by both gate surfaces
+    val dirty = sources.EventGenerator.withAnomalies(
+        sources.EventGenerator.sessionEvents(spark, 25L, 2))
+      .filter(col("user_id").isNotNull).cache()
+    try {
+      val batch = operators.Sessionize.gatedSessions(operators.EventMarts.enrich(dirty))
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("session_start_epoch"),
+          r.getAs[Long]("event_count"),
+          r.getAs[Int]("q_range"), r.getAs[Int]("q_ts"), r.getAs[Int]("q_integrity"),
+          r.getAs[Int]("q_dup"), r.getAs[Int]("q_seq"), r.getAs[Int]("quarantined")))
+        .toSet
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      mem.addData(dirty.collect().toSeq.map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[String]("props"))): _*)
+      // far-future sentinel closes every real session via the
+      // event-time timeout; its own (still-open) session never emits
+      mem.addData((0L, java.sql.Timestamp.valueOf("2090-01-01 00:00:00"),
+        sentinelUser, "view", 1.0, "{}"))
+      val out = SessionGateStream.gateSessions(SessionGateStream.asGateEvents(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+      val q = out.writeStream.format("memory").queryName("gate_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("gate_stream")
+          .filter(col("user_id") =!= sentinelUser).collect()
+          .map(r => (r.getAs[Long]("user_id"),
+            r.getAs[Long]("session_start_epoch"),
+            r.getAs[Int]("event_count").toLong,
+            if (r.getAs[Boolean]("q_range")) 1 else 0,
+            if (r.getAs[Boolean]("q_ts")) 1 else 0,
+            if (r.getAs[Boolean]("q_integrity")) 1 else 0,
+            if (r.getAs[Boolean]("q_dup")) 1 else 0,
+            if (r.getAs[Boolean]("q_seq")) 1 else 0,
+            if (r.getAs[Boolean]("quarantined")) 1 else 0))
+          .toSet
+        assert(streamed == batch,
+          s"stream/batch verdict drift:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+        // the anomalies actually exercised the gate
+        assert(streamed.exists(_._9 == 1) && streamed.exists(_._9 == 0))
+      } finally q.stop()
+    } finally {
+      dirty.unpersist()
+      ()
+    }
+  }
 }
