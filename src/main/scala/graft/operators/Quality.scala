@@ -310,6 +310,102 @@ object Quality {
        |GROUP BY d ORDER BY event_date""".stripMargin
   }
 
+  /** CROSS-TABLE reconciliation — the relational-warehouse DQ check
+    * the reference's event-only suite never runs: do the `orders` and
+    * `lineitem` tables agree? Three invariants in the standard check
+    * shape (same columns/formula as the 7-check suite, so they slot
+    * into the same check log / trend / alert machinery):
+    *
+    *   - orphan_lineitem_check: lineitems whose order key has no
+    *     `orders` row (referential integrity, child → parent);
+    *   - order_coverage_check: orders with zero lineitems (a priced
+    *     order with no detail rows);
+    *   - amount_reconcile_check: orders whose header total deviates
+    *     from the exact decimal sum of their lineitems'
+    *     extended·(1−disc)·(1+tax) by more than one cent.
+    *
+    * Scale shape: ONE aggregation of lineitem to order grain (the only
+    * fact-sized shuffle, map-side combined), ONE full-outer join with
+    * orders on the shared key, then a single 6-aggregate pass whose
+    * result explodes into the three check rows via `stack` — neither
+    * base table is scanned twice. Amounts go through per-row
+    * decimal(12,2) casts and exact decimal sums (the q1 determinism
+    * pattern), so the one-cent comparison is bit-stable on both
+    * engines. */
+  def ordersReconcile(spark: SparkSession, dir: String): DataFrame =
+    ordersReconcileFrom(graft.Tables.orders(spark, dir), graft.Tables.lineitem(spark, dir))
+
+  private[graft] def ordersReconcileFrom(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val comp = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).cast("decimal(12,2)")).as("computed_total"))
+    val joined = orders
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(12,2)").as("header_total"))
+      .join(comp, col("o_orderkey") === col("l_orderkey"), "full_outer")
+    val a = joined.agg(
+      sum(coalesce(col("n_items"), lit(0L))).cast("long").as("li_total"),
+      sum(when(col("o_orderkey").isNull, col("n_items")).otherwise(lit(0L)))
+        .cast("long").as("li_orphans"),
+      count(col("o_orderkey")).as("orders_total"),
+      count(when(col("o_orderkey").isNotNull && col("l_orderkey").isNull, 1))
+        .as("childless"),
+      count(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull, 1))
+        .as("matched"),
+      count(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull &&
+        abs(col("header_total") - col("computed_total")) > lit(0.01), 1))
+        .as("mismatched"))
+    a.selectExpr(
+      """stack(3,
+        |  'orphan_lineitem_check',  li_total,     li_orphans,
+        |  'order_coverage_check',   orders_total, childless,
+        |  'amount_reconcile_check', matched,      mismatched
+        |) AS (check_name, total_records, failed_records)""".stripMargin)
+      .select(
+        col("check_name"), lit("integrity_check").as("check_type"),
+        col("total_records"), col("failed_records"),
+        ((lit(1.0) - col("failed_records").cast("double")
+          / greatest(col("total_records"), lit(1L)).cast("double")) * lit(100))
+          .as("pass_rate"))
+      .withColumn("status", when(col("pass_rate") >= 99.0, "PASS").otherwise("FAIL"))
+      .orderBy("check_name")
+  }
+
+  val ordersReconcileSql: String =
+    """WITH comp AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_items,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(12,2))) AS computed_total
+      |  FROM lineitem GROUP BY 1
+      |), joined AS (
+      |  SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(12,2)) AS header_total,
+      |    c.l_orderkey, c.n_items, c.computed_total
+      |  FROM orders o FULL OUTER JOIN comp c ON o.o_orderkey = c.l_orderkey
+      |), a AS (
+      |  SELECT
+      |    CAST(SUM(COALESCE(n_items, 0)) AS BIGINT) AS li_total,
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN n_items ELSE 0 END) AS BIGINT) AS li_orphans,
+      |    COUNT(o_orderkey) AS orders_total,
+      |    COUNT(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NULL THEN 1 END) AS childless,
+      |    COUNT(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 1 END) AS matched,
+      |    COUNT(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+      |               AND ABS(header_total - computed_total) > 0.01 THEN 1 END) AS mismatched
+      |  FROM joined
+      |), rows3 AS (
+      |  SELECT 'orphan_lineitem_check' AS check_name, li_total AS total_records, li_orphans AS failed_records FROM a
+      |  UNION ALL
+      |  SELECT 'order_coverage_check', orders_total, childless FROM a
+      |  UNION ALL
+      |  SELECT 'amount_reconcile_check', matched, mismatched FROM a
+      |)
+      |SELECT check_name, 'integrity_check' AS check_type, total_records, failed_records,
+      |  (1.0 - CAST(failed_records AS DOUBLE) / CAST(GREATEST(total_records, 1) AS DOUBLE)) * 100 AS pass_rate,
+      |  CASE WHEN (1.0 - CAST(failed_records AS DOUBLE) / CAST(GREATEST(total_records, 1) AS DOUBLE)) * 100 >= 99.0
+      |       THEN 'PASS' ELSE 'FAIL' END AS status
+      |FROM rows3
+      |ORDER BY check_name""".stripMargin
+
   /** Pass-rate trend for ALL 7 checks over days (reference:
     * scripts/quality_dashboard.py trends every check across the
     * check-log days). Each check is evaluated per event_date — a

@@ -841,6 +841,39 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("orders reconcile counts exactly the crafted orphans, childless orders, and cent drifts") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 21.40),  // matches its lineitems exactly
+      (2L, 99.99),  // header drifts from the 21.40 detail sum
+      (3L, 10.00)   // childless
+    ).toDF("o_orderkey", "o_totalprice")
+    val lineitem = Seq(
+      // order 1: 10.00*(1-0.0)*(1+0.07)=10.70 twice -> 21.40
+      (1L, 10.00, 0.00, 0.07),
+      (1L, 10.00, 0.00, 0.07),
+      // order 2: same detail, mismatched header
+      (2L, 10.00, 0.00, 0.07),
+      (2L, 10.00, 0.00, 0.07),
+      // orphan: no order 9
+      (9L, 5.00, 0.10, 0.00)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val got = Quality.ordersReconcileFrom(orders, lineitem).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("total_records"), r.getAs[Long]("failed_records"),
+          r.getAs[String]("status")))).toMap
+    assert(got("orphan_lineitem_check") == ((5L, 1L, "FAIL")))
+    assert(got("order_coverage_check") == ((3L, 1L, "FAIL")))
+    assert(got("amount_reconcile_check") == ((2L, 1L, "FAIL")))
+    // corpus run: three rows, the standard check shape
+    val corpus = Quality.ordersReconcile(spark, Sf).collect()
+    assert(corpus.length == 3)
+    corpus.foreach { r =>
+      val pr = r.getAs[Double]("pass_rate")
+      assert(pr >= 0.0 && pr <= 100.0)
+    }
+  }
+
   test("clean synthetic data passes null/duplicate/timestamp checks") {
     val byName = Quality.summary(spark, Sf).collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap
