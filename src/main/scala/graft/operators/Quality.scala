@@ -406,6 +406,105 @@ object Quality {
       |FROM rows3
       |ORDER BY check_name""".stripMargin
 
+  /** Corpus ALIGNMENT check — the documents↔embeddings sibling of
+    * `ordersReconcile`, validating the invariant every embedding-based
+    * operator here relies on (ann_*, semdedup, corpus_topic_mix): the
+    * embedding table is row-aligned to the document table. Three rows
+    * in the standard check shape:
+    *
+    *   - embedding_coverage_check: documents with no embedding row
+    *     (they silently drop out of every vector-side operator);
+    *   - orphan_embedding_check: embeddings with no document (stale
+    *     vectors from a deleted/re-chunked doc);
+    *   - dim_uniformity_check: embeddings whose dimensionality differs
+    *     from the corpus' dominant dim (cosine against a mismatched
+    *     dim is null — a poisoned index cell). Dominant = largest
+    *     count, ties to the smaller dim; null/empty vectors count as
+    *     dim −1 (never dominant on a healthy corpus).
+    *
+    * Scale shape: one full-outer join on the id (the only fact-sized
+    * shuffle), a 4-aggregate pass stacked into two rows, and the dim
+    * census — a ≤|distinct dims| frame whose dominant-dim window is
+    * the repo's standard tiny-aggregate unpartitioned window. Neither
+    * table is scanned twice: the dim census reuses the embeddings
+    * projection of the join input. */
+  def corpusCoverage(spark: SparkSession, dir: String): DataFrame =
+    corpusCoverageFrom(graft.Tables.documents(spark, dir),
+      graft.Tables.embeddings(spark, dir))
+
+  private[graft] def corpusCoverageFrom(docs: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"))
+    // two consumers (the join and the dim census) — localCheckpoint so
+    // the embeddings scan runs once; the returned frame is lazy, so a
+    // persist here could never be unpersisted (substringDup rationale)
+    val e = emb.select(col("vec_id"), coalesce(size(col("embedding")), lit(-1)).as("dim"))
+      .localCheckpoint()
+    val joined = d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+    val cov = joined.agg(
+        count(col("doc_id")).as("docs_total"),
+        count(when(col("doc_id").isNotNull && col("vec_id").isNull, 1)).as("docs_missing"),
+        count(col("vec_id")).as("emb_total"),
+        count(when(col("vec_id").isNotNull && col("doc_id").isNull, 1)).as("emb_orphans"))
+      .selectExpr(
+        """stack(2,
+          |  'embedding_coverage_check', docs_total, docs_missing,
+          |  'orphan_embedding_check',   emb_total,  emb_orphans
+          |) AS (check_name, total_records, failed_records)""".stripMargin)
+    val dims = e.groupBy(col("dim")).agg(count(lit(1)).as("cnt"))
+    val wDom = Window.orderBy(desc("cnt"), asc("dim"))
+    val dimRow = dims
+      .withColumn("rn", row_number().over(wDom))
+      .agg(sum(col("cnt")).cast("long").as("total_records"),
+        sum(when(col("rn") > 1, col("cnt")).otherwise(lit(0L))).cast("long")
+          .as("failed_records"))
+      .select(lit("dim_uniformity_check").as("check_name"),
+        col("total_records"), col("failed_records"))
+    cov.unionByName(dimRow)
+      .select(
+        col("check_name"), lit("integrity_check").as("check_type"),
+        col("total_records"), col("failed_records"),
+        ((lit(1.0) - col("failed_records").cast("double")
+          / greatest(col("total_records"), lit(1L)).cast("double")) * lit(100))
+          .as("pass_rate"))
+      .withColumn("status", when(col("pass_rate") >= 99.0, "PASS").otherwise("FAIL"))
+      .orderBy("check_name")
+  }
+
+  val corpusCoverageSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, COALESCE(len(embedding), -1) AS dim FROM embeddings
+      |), joined AS (
+      |  SELECT d.doc_id, e.vec_id
+      |  FROM documents d FULL OUTER JOIN e ON d.doc_id = e.vec_id
+      |), cov AS (
+      |  SELECT
+      |    COUNT(doc_id) AS docs_total,
+      |    COUNT(CASE WHEN doc_id IS NOT NULL AND vec_id IS NULL THEN 1 END) AS docs_missing,
+      |    COUNT(vec_id) AS emb_total,
+      |    COUNT(CASE WHEN vec_id IS NOT NULL AND doc_id IS NULL THEN 1 END) AS emb_orphans
+      |  FROM joined
+      |), dims AS (
+      |  SELECT dim, COUNT(*) AS cnt FROM e GROUP BY 1
+      |), dom AS (
+      |  SELECT dim, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, dim ASC) AS rn FROM dims
+      |), rows3 AS (
+      |  SELECT 'embedding_coverage_check' AS check_name,
+      |    docs_total AS total_records, docs_missing AS failed_records FROM cov
+      |  UNION ALL
+      |  SELECT 'orphan_embedding_check', emb_total, emb_orphans FROM cov
+      |  UNION ALL
+      |  SELECT 'dim_uniformity_check',
+      |    CAST(SUM(cnt) AS BIGINT), CAST(SUM(CASE WHEN rn > 1 THEN cnt ELSE 0 END) AS BIGINT)
+      |  FROM dom
+      |)
+      |SELECT check_name, 'integrity_check' AS check_type, total_records, failed_records,
+      |  (1.0 - CAST(failed_records AS DOUBLE) / CAST(GREATEST(total_records, 1) AS DOUBLE)) * 100 AS pass_rate,
+      |  CASE WHEN (1.0 - CAST(failed_records AS DOUBLE) / CAST(GREATEST(total_records, 1) AS DOUBLE)) * 100 >= 99.0
+      |       THEN 'PASS' ELSE 'FAIL' END AS status
+      |FROM rows3
+      |ORDER BY check_name""".stripMargin
+
   /** Pass-rate trend for ALL 7 checks over days (reference:
     * scripts/quality_dashboard.py trends every check across the
     * check-log days). Each check is evaluated per event_date — a

@@ -943,6 +943,34 @@ object Similarity {
       .orderBy("source", "topic")
   }
 
+  /** TOPIC-BALANCED sampling — diversity sampling over the LEARNED
+    * strata: where `sample_stratified` balances over declared columns
+    * (lang, source), this balances over the k-means topic cells, the
+    * cluster-balanced draw semantic curation uses so one dominant
+    * topic cannot crowd the sample (the selection-side complement of
+    * semdedup's removal side). Per topic, a deterministic uniform draw
+    * of `perTopic` documents: the same salted-md5 bottom-k order as
+    * sample_uniform_k, ranked per topic by ONE window that rides the
+    * topic join's partitioning. Rows-only oracle (cell geometry is
+    * float-trained); spec pins per-topic caps, determinism, and
+    * exact-k for saturated topics. */
+  def sampleTopicBalanced(spark: SparkSession, dir: String, perTopic: Int = 20,
+                          nlist: Int = 10, iters: Int = 3): DataFrame = {
+    val cents = kmeansCentroids(spark, dir, nlist, iters)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val topics = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        explode(nearestCellsCol(col("embedding"), cents, 1)).as("topic"))
+    val w = Window.partitionBy("topic")
+      .orderBy(md5(concat_ws(":", lit("topicbal"), col("doc_id"))), col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+      .join(topics, "doc_id")
+      .withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= perTopic)
+      .select(col("doc_id"), col("topic"), col("source"), col("lang"), col("draw_rank"))
+      .orderBy("topic", "draw_rank")
+  }
+
   /** In-cell over-threshold pair graph of `semDedup` — the expensive
     * candidate-generation subtree, exposed so the plan lint can audit
     * it directly (the survivor frame is a post-checkpoint tail). */

@@ -874,6 +874,26 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("corpus coverage counts exactly the crafted gaps, orphans, and dim outliers") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1f, 2f)),   // aligned, dominant dim 2
+      (2L, Array(3f, 4f, 5f)), // aligned but dim 3 -> uniformity fail
+      (9L, Array(6f, 7f))    // orphan (no doc 9)
+    ).toDF("vec_id", "embedding")
+    val got = Quality.corpusCoverageFrom(docs, emb).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("total_records"), r.getAs[Long]("failed_records")))).toMap
+    assert(got("embedding_coverage_check") == ((3L, 1L))) // doc 3 has no vector
+    assert(got("orphan_embedding_check") == ((3L, 1L)))
+    assert(got("dim_uniformity_check") == ((3L, 1L)))     // dim 3 loses to dominant dim 2
+    // the driver corpus is perfectly aligned: all three checks pass clean
+    val corpus = Quality.corpusCoverage(spark, Sf).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("failed_records")).toMap
+    assert(corpus.values.forall(_ == 0L), s"testdata misaligned: $corpus")
+  }
+
   test("clean synthetic data passes null/duplicate/timestamp checks") {
     val byName = Quality.summary(spark, Sf).collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap

@@ -1513,6 +1513,24 @@ class SimilaritySpec extends SparkSpec {
     assert(m1.map(_.toString).sameElements(m2.map(_.toString)))
   }
 
+  test("topic-balanced sample: per-topic cap, exact-k on saturated topics, deterministic") {
+    val perTopic = 20
+    val s1 = Similarity.sampleTopicBalanced(spark, Sf, perTopic = perTopic).collect()
+    // every drawn doc is ranked within its topic's cap
+    assert(s1.forall(r => r.getAs[Int]("draw_rank") >= 1 && r.getAs[Int]("draw_rank") <= perTopic))
+    assert(s1.map(_.getAs[Long]("doc_id")).distinct.length == s1.length, "a doc drawn once")
+    // topics with >= perTopic docs contribute exactly perTopic
+    val mix = Similarity.corpusTopicMix(spark, Sf).collect()
+      .groupBy(_.getAs[Int]("topic")).map { case (t, rs) => t -> rs.map(_.getAs[Long]("docs")).sum }
+    val drawn = s1.groupBy(_.getAs[Int]("topic")).map { case (t, rs) => t -> rs.length }
+    drawn.foreach { case (t, n) =>
+      assert(n == math.min(perTopic.toLong, mix(t)), s"topic $t drew $n of ${mix(t)}")
+    }
+    // deterministic
+    val s2 = Similarity.sampleTopicBalanced(spark, Sf, perTopic = perTopic).collect()
+    assert(s1.map(_.toString).sameElements(s2.map(_.toString)))
+  }
+
   test("pca basis is orthonormal with descending eigenvalues matching projected variance") {
     val k = 4
     val basis = Similarity.pcaBasis(spark, Sf, k)
