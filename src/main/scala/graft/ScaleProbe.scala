@@ -92,7 +92,17 @@ object ScaleProbe {
       "signup_activation", "dq_freshness", "text_garbage_score",
       "clean_corpus_decontaminated", "dedup_source_profile",
       "split_leakage_check", "ann_hard_negatives",
-      "user_streaks", "dq_schema_drift")
+      "user_streaks", "dq_schema_drift",
+      // round 7: the session gate, the span scrub (disjoint replicas
+      // keep duplicated-span density constant), the two cross-table
+      // reconciliation checks (key remaps preserve alignment), and the
+      // topic queries (narrow assignment + equi-join — no pair
+      // enumeration). ann_knn_graph is EXCLUDED like the other
+      // in-cell pair enumerators: exact vector replicas densify every
+      // cell ×10 and would measure pair blow-up, not scale.
+      "session_quality_gate", "clean_dup_spans",
+      "dq_orders_reconcile", "dq_corpus_coverage",
+      "corpus_topic_mix", "sample_topic_balanced")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
