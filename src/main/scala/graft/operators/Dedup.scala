@@ -732,26 +732,27 @@ object Dedup {
       .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
       .select(col("g"))
+    // per-doc covered-position SETS (bounded by the doc's own length,
+    // like the output row) — the scrub then never shuffles at word
+    // grain: a token-exploded anti-join + rebuild aggregate would push
+    // every word of the corpus through two exchanges, where this plan
+    // shuffles only boilerplate positions (the covered explode) and
+    // one doc-grain join, with the reassembly a pure narrow array op
     val covered = grams.join(freq, "g")
       .select(col("doc_id"), explode(sequence(col("s"), col("s") + lit(n - 1))).as("pos"))
-      .distinct()
-    val toks = base
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
-      .select(col("doc_id"), (col("p") + 1).as("pos"), col("word"))
-    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-            x => x.getField("word")), " ").as("txt"))
-    val removed = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("removed"))
-    kept.join(removed, Seq("doc_id"), "full_outer")
+      .agg(collect_set(col("pos")).as("cov"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("cov"), expr("CAST(array() AS array<int>)")).as("cov"))
       .select(col("doc_id"),
-        (coalesce(col("kept"), lit(0L)) + coalesce(col("removed"), lit(0L)))
-          .cast("long").as("total_words"),
-        coalesce(col("removed"), lit(0L)).cast("long").as("removed_words"),
-        coalesce(col("kept"), lit(0L)).cast("long").as("kept_words"),
-        coalesce(col("txt"), lit("")).as("clean_text"))
+        size(col("w")).cast("long").as("total_words"),
+        size(col("cov")).cast("long").as("removed_words"),
+        (size(col("w")) - size(col("cov"))).cast("long").as("kept_words"),
+        array_join(
+          expr("transform(filter(transform(w, (x, i) -> struct(x AS word, i + 1 AS pos)), " +
+            "s -> NOT array_contains(cov, s.pos)), s -> s.word)"),
+          " ").as("clean_text"))
       .orderBy("doc_id")
   }
 
