@@ -943,6 +943,51 @@ object Similarity {
       .orderBy("source", "topic")
   }
 
+  /** Leave-one-out kNN label eval over the graph — the standard
+    * embedding-quality probe a curation pipeline runs before trusting
+    * vectors for dedup/sampling: if k nearest neighbors can't predict
+    * a vector's own label, the space doesn't cluster by label and
+    * every similarity-based decision downstream is suspect. Each
+    * vector is classified by the majority label of its `k` approximate
+    * neighbors (self excluded by the graph — proper leave-one-out),
+    * rolled to a per-label accuracy census.
+    *
+    * Plan: the kNN graph (see annKnnGraph) + one shuffle join to
+    * attach neighbor labels, a (vec, label) vote count, one window
+    * over the ≤k-row vote frame per vector (ties to the smaller
+    * label), one join back to the vector's own label, and a
+    * |labels|-row rollup. Rows-only oracle; spec pins the census
+    * partition, determinism, and 100% accuracy on crafted separated
+    * clusters. */
+  def annKnnClassify(spark: SparkSession, dir: String, k: Int = 5,
+                     nProbe: Int = 2, nlist: Int = 10, iters: Int = 3): DataFrame =
+    annKnnClassifyFrom(spark, Tables.embeddings(spark, dir),
+      kmeansCentroids(spark, dir, nlist, iters), k, nProbe)
+
+  private[graft] def annKnnClassifyFrom(spark: SparkSession, e: DataFrame,
+      cents: Seq[(Int, Array[Float])], k: Int, nProbe: Int): DataFrame = {
+    val graph = annKnnGraphWith(spark, e, cents, k, nProbe)
+    val labels = e.select(col("vec_id"), col("label"))
+    val votes = graph
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        "neighbor_id")
+      .groupBy(col("vec_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy("vec_id").orderBy(desc("votes"), asc("n_label"))
+    val predicted = votes
+      .withColumn("rk", row_number().over(wVote))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("n_label").as("predicted"))
+    predicted.join(labels, "vec_id")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L)).as("correct"))
+      .withColumn("accuracy_pct",
+        col("correct").cast("double") / col("n_vectors").cast("double") * lit(100))
+      .orderBy("label")
+  }
+
   /** TOPIC-BALANCED sampling — diversity sampling over the LEARNED
     * strata: where `sample_stratified` balances over declared columns
     * (lang, source), this balances over the k-means topic cells, the

@@ -1499,6 +1499,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn classify: perfect accuracy on separated clusters; census partitions the corpus") {
+    import spark.implicits._
+    // three well-separated orthogonal clusters, 6 vectors each with
+    // tiny within-cluster jitter -> leave-one-out kNN must be perfect
+    val vecs = (0 until 18).map { i =>
+      val label = i % 3
+      val base = Array.fill(6)(0f)
+      base(label * 2) = 10f
+      base(label * 2 + 1) = (i / 3).toFloat * 0.1f
+      (i.toLong, base, label)
+    }
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    // identity-ish quantizer: one centroid per cluster direction
+    val cents = (0 until 3).map { c =>
+      val v = Array.fill(6)(0f); v(c * 2) = 1f; c -> v
+    }
+    val got = Similarity.annKnnClassifyFrom(spark, e, cents, k = 3, nProbe = 1).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == 6L)
+      assert(r.getAs[Double]("accuracy_pct") == 100.0,
+        s"label ${r.getAs[Int]("label")}: ${r.getAs[Long]("correct")}/6")
+    }
+    // corpus run: census partitions the table; accuracy well-formed; deterministic
+    val c1 = Similarity.annKnnClassify(spark, Sf).collect()
+    assert(c1.map(_.getAs[Long]("n_vectors")).sum == Tables.embeddings(spark, Sf).count())
+    assert(c1.forall { r =>
+      val a = r.getAs[Double]("accuracy_pct"); a >= 0.0 && a <= 100.0
+    })
+    val c2 = Similarity.annKnnClassify(spark, Sf).collect()
+    assert(c1.map(_.toString).sameElements(c2.map(_.toString)))
+  }
+
   test("topic mix partitions the corpus and shares sum to 100 per source, deterministically") {
     val m1 = Similarity.corpusTopicMix(spark, Sf).collect()
     assert(m1.map(_.getAs[Long]("docs")).sum == Tables.documents(spark, Sf).count())
