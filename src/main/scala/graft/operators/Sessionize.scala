@@ -432,7 +432,16 @@ object Sessionize {
         greatest(col("q_range"), col("q_ts"), col("q_integrity"), col("q_dup"), col("q_seq")))
 
   def sessionQualityGateFrom(e: DataFrame): DataFrame =
-    gatedSessions(e)
+    gateDayRollup(gatedSessions(e))
+
+  /** Day rollup over session verdict rows — shared by the batch gate
+    * query and the streaming verdict log's rescore
+    * (SessionGateStream.gateDailyFromLog), so the two surfaces
+    * aggregate identically. Expects (session_start_epoch, event_count,
+    * q_range, q_ts, q_integrity, q_dup, q_seq, quarantined) with the
+    * flags as 0/1 ints. */
+  private[graft] def gateDayRollup(sessions: DataFrame): DataFrame =
+    sessions
       .groupBy(date_add(lit("1970-01-01").cast("date"),
         (col("session_start_epoch") / lit(86400)).cast("int")).as("session_date"))
       .agg(

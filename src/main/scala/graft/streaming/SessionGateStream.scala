@@ -119,6 +119,46 @@ object SessionGateStream {
       recentIds = (e.event_id :: s.recentIds).take(MaxDupWindow))
   }
 
+  /** Persist the verdict stream as a continuously-written session
+    * quarantine log: one row per CLOSED session with its per-reason
+    * flags. foreachBatch is at-least-once, so rows land under
+    * (session_date, batch_id) partitions via dynamic overwrite — a
+    * replayed batch rewrites exactly its own partitions
+    * (effectively-once, the qualityLogSink pattern). The log is the
+    * review queue quarantined sessions route into, and
+    * `gateDailyFromLog` rescores it with the batch gate's OWN day
+    * rollup. */
+  def gateLogSink(gated: Dataset[GateOut], logDir: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    gated.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch
+            .withColumn("session_date",
+              date_add(lit("1970-01-01").cast("date"),
+                (col("session_start_epoch") / lit(86400)).cast("int")))
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.MartSink.writePartitioned(rows, logDir, Seq("session_date", "batch_id"))
+        }
+        ()
+      }
+      .start()
+
+  /** Day-grain quarantine census from the persisted verdict log —
+    * byte-identical shape to the batch `session_quality_gate` query on
+    * finalized sessions, because it runs the SAME day rollup
+    * (Sessionize.gateDayRollup) over the logged verdicts. */
+  def gateDailyFromLog(spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame =
+    Sessionize.gateDayRollup(
+      spark.read.parquet(logDir).select(
+        col("session_start_epoch"), col("event_count").cast("long").as("event_count"),
+        col("q_range").cast("int").as("q_range"), col("q_ts").cast("int").as("q_ts"),
+        col("q_integrity").cast("int").as("q_integrity"),
+        col("q_dup").cast("int").as("q_dup"), col("q_seq").cast("int").as("q_seq"),
+        col("quarantined").cast("int").as("quarantined")))
+
   private def finish(uid: Long, s: GState): GateOut = {
     val qSeq = s.firstPurchase != Long.MaxValue &&
       (s.firstTouch == Long.MaxValue || s.firstTouch > s.firstPurchase)

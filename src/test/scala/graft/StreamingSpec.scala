@@ -522,6 +522,35 @@ class StreamingSpec extends SparkSpec {
         // the anomalies actually exercised the gate
         assert(streamed.exists(_._9 == 1) && streamed.exists(_._9 == 0))
       } finally q.stop()
+      // verdict LOG leg: a fresh memory source (the first query's
+      // commits purge the shared stream's buffer) re-fed the same
+      // data writes the (session_date, batch_id)-partitioned
+      // quarantine log; its rescore runs the batch gate's OWN day
+      // rollup and must equal the batch query exactly (sentinel
+      // session stays open -> absent from the log; it is absent from
+      // the batch input too)
+      val logDir = java.nio.file.Files.createTempDirectory("graft_gatelog").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_gatelog_ckpt").toString
+      val mem2 = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      mem2.addData(dirty.collect().toSeq.map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[String]("props"))): _*)
+      mem2.addData((0L, java.sql.Timestamp.valueOf("2090-01-01 00:00:00"),
+        sentinelUser, "view", 1.0, "{}"))
+      val q2 = SessionGateStream.gateLogSink(
+        SessionGateStream.gateSessions(SessionGateStream.asGateEvents(
+          mem2.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))),
+        logDir, ckpt)
+      try {
+        q2.processAllAvailable()
+        val fromLog = SessionGateStream.gateDailyFromLog(spark, logDir)
+          .collect().map(_.toString).sorted.toSeq
+        val batchDaily = operators.Sessionize
+          .sessionQualityGateFrom(operators.EventMarts.enrich(dirty))
+          .collect().map(_.toString).sorted.toSeq
+        assert(fromLog == batchDaily)
+      } finally q2.stop()
     } finally {
       dirty.unpersist()
       ()
