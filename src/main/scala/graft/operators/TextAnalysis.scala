@@ -919,6 +919,94 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  final case class BpeMerge(rank: Int, left: String, right: String,
+                            merged: String, pair_count: Long)
+
+  /** Distributed BPE VOCABULARY TRAINING — the trained counterpart of
+    * `bpeEstimate`'s literal merge list: learn the merge table from
+    * the corpus itself, the way a real tokenizer build does. Classic
+    * BPE trains on the WORD-FREQUENCY dictionary, not the raw corpus
+    * — so the corpus collapses to (word, count) in one shuffle
+    * (vocabulary-scale, the same honesty argument as
+    * text_rarity_score), each word becomes its character-symbol
+    * sequence + an end-of-word marker, and every merge round is a
+    * DataFrame aggregate over that frame (the ann_ivf_kmeans
+    * iterative-training pattern): adjacent symbol pairs explode into
+    * a count-weighted, map-side-combined rollup; the winning pair
+    * (count desc, pair asc — fully deterministic) is collected — ONE
+    * row per round, like a centroid set — and folded back into the
+    * symbol arrays by a pure HOF aggregate (left-to-right,
+    * non-overlapping, the BPE merge rule; no UDF). The vocab frame is
+    * re-checkpointed per round so k rounds build k shallow plans, not
+    * one k-deep plan.
+    *
+    * At 100 TB the word dictionary is millions of rows — far too big
+    * to collect, exactly right as a DataFrame; only k winner rows
+    * ever cross the driver. */
+  def trainBpeMerges(docs: DataFrame, numMerges: Int = 20): Seq[BpeMerge] = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(expr("concat(split(word, ''), array('</w>'))").as("s"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
+    var rank = 0
+    while (rank < numMerges) {
+      val top = vocab
+        .select(explode(when(size(col("s")) >= 2,
+            expr("transform(sequence(1, size(s) - 1), " +
+              "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"))
+          .otherwise(expr("CAST(array() AS array<struct<l:string,r:string>>)"))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), asc("l"), asc("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) rank = numMerges
+      else {
+        val (a, b, n) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"),
+          top.head.getAs[Long]("n"))
+        if (n < 2) rank = numMerges // nothing left worth merging
+        else {
+          merges += BpeMerge(merges.size, a, b, a + b, n)
+          // left-to-right non-overlapping merge of (a, b) in every
+          // symbol array — a fold carrying (out, skip-next)
+          val qa = a.replace("\\", "\\\\").replace("'", "\\'")
+          val qb = b.replace("\\", "\\\\").replace("'", "\\'")
+          val next = vocab.withColumn("s", expr(
+            s"""aggregate(
+               |  sequence(0, size(s) - 1),
+               |  named_struct('out', CAST(array() AS array<string>), 'skip', false),
+               |  (acc, i) -> CASE
+               |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+               |    WHEN i < size(s) - 1 AND element_at(s, i + 1) = '$qa'
+               |         AND element_at(s, i + 2) = '$qb'
+               |      THEN named_struct('out', concat(acc.out, array('$qa' || '$qb')), 'skip', true)
+               |    ELSE named_struct('out', concat(acc.out, array(element_at(s, i + 1))), 'skip', false)
+               |  END,
+               |  acc -> acc.out)""".stripMargin)).localCheckpoint()
+          vocab = next
+          rank += 1
+        }
+      }
+    }
+    merges.toList
+  }
+
+  /** Driver-contract form: the learned merge table as rows
+    * (rank-ordered — the artifact a tokenizer build ships). Rows-only
+    * oracle (iterative training isn't one SQL); the spec pins the
+    * exact merge sequence on a hand-computable corpus and the
+    * determinism of the full table. */
+  def bpeVocab(spark: SparkSession, dir: String, numMerges: Int = 20): DataFrame = {
+    import spark.implicits._
+    trainBpeMerges(Tables.documents(spark, dir), numMerges)
+      .toDF().orderBy("rank")
+  }
+
   /** Context-window packing census — the "pack documents into
     * fixed-token training sequences" step. Docs are sharded by id
     * (each shard packs independently — the embarrassingly parallel

@@ -437,6 +437,35 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("bpe training learns the exact merge sequence on a hand-computable corpus") {
+    import spark.implicits._
+    // vocab: ab x3, ac x1. Round 1: pairs (a,b)=3, (b,</w>)=3, (a,c)=1,
+    // (c,</w>)=1 -> tie broken pair-asc: merge "a"+"b". Round 2:
+    // (ab,</w>)=3 wins -> "ab</w>". Round 3: (a,c)=1 and (c,</w>)=1 are
+    // below the count-2 floor -> training stops at 2 merges.
+    val docs = Seq((1L, "ab ab ac"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = operators.TextAnalysis.trainBpeMerges(docs, numMerges = 5)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.merged, m.pair_count)) == Seq(
+      (0, "a", "b", "ab", 3L),
+      (1, "ab", "</w>", "ab</w>", 3L)))
+    // multi-round growth: "aaaa" x2. Round 1: (a,a) = 3 adjacent pairs
+    // x weight 2 = 6 -> "aa"; [a,a,a,a,</w>] folds LEFT-TO-RIGHT
+    // NON-OVERLAPPING to [aa,aa,</w>]. Round 2 ties (aa,aa)=2 with
+    // (aa,</w>)=2 -> r-asc picks "</w>" (ASCII '<' sorts before 'a').
+    // Round 3 chains onto the grown symbol.
+    val docs2 = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m2 = operators.TextAnalysis.trainBpeMerges(docs2, numMerges = 3)
+    assert(m2.map(m => (m.left, m.right, m.pair_count)) == Seq(
+      ("a", "a", 6L),
+      ("aa", "</w>", 2L),
+      ("aa", "aa</w>", 2L)))
+    // corpus run: deterministic table, ranks contiguous, counts non-increasing? not guaranteed
+    val v1 = operators.TextAnalysis.bpeVocab(spark, Sf, numMerges = 8).collect()
+    assert(v1.map(_.getAs[Int]("rank")).toSeq == (0 until v1.length))
+    val v2 = operators.TextAnalysis.bpeVocab(spark, Sf, numMerges = 8).collect()
+    assert(v1.map(_.toString).sameElements(v2.map(_.toString)))
+  }
+
   test("as-of join attributes each purchase to its latest prior-or-equal view") {
     import spark.implicits._
     val purchases = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
