@@ -102,7 +102,11 @@ object ScaleProbe {
       // cell ×10 and would measure pair blow-up, not scale.
       "session_quality_gate", "clean_dup_spans",
       "dq_orders_reconcile", "dq_corpus_coverage",
-      "corpus_topic_mix", "sample_topic_balanced")
+      "corpus_topic_mix", "sample_topic_balanced",
+      // BPE training/counting scale with the word DICTIONARY — the
+      // disjoint-replica corpus grows it ~10× (suffixed tokens), the
+      // honest axis for these two
+      "bpe_vocab", "text_bpe_tokens")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -972,23 +972,9 @@ object TextAnalysis {
         if (n < 2) rank = numMerges // nothing left worth merging
         else {
           merges += BpeMerge(merges.size, a, b, a + b, n)
-          // left-to-right non-overlapping merge of (a, b) in every
-          // symbol array — a fold carrying (out, skip-next)
-          val qa = a.replace("\\", "\\\\").replace("'", "\\'")
-          val qb = b.replace("\\", "\\\\").replace("'", "\\'")
-          val next = vocab.withColumn("s", expr(
-            s"""aggregate(
-               |  sequence(0, size(s) - 1),
-               |  named_struct('out', CAST(array() AS array<string>), 'skip', false),
-               |  (acc, i) -> CASE
-               |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
-               |    WHEN i < size(s) - 1 AND element_at(s, i + 1) = '$qa'
-               |         AND element_at(s, i + 2) = '$qb'
-               |      THEN named_struct('out', concat(acc.out, array('$qa' || '$qb')), 'skip', true)
-               |    ELSE named_struct('out', concat(acc.out, array(element_at(s, i + 1))), 'skip', false)
-               |  END,
-               |  acc -> acc.out)""".stripMargin)).localCheckpoint()
-          vocab = next
+          // fold the winner back into every symbol array (left-to-
+          // right non-overlapping — the BPE merge rule)
+          vocab = vocab.withColumn("s", mergeFoldExpr(a, b)).localCheckpoint()
           rank += 1
         }
       }
@@ -1005,6 +991,65 @@ object TextAnalysis {
     import spark.implicits._
     trainBpeMerges(Tables.documents(spark, dir), numMerges)
       .toDF().orderBy("rank")
+  }
+
+  /** The left-to-right non-overlapping merge of (a, b) in symbol
+    * column `s` — shared by the training loop (fold the winner back)
+    * and the tokenizer (apply the learned table). */
+  private def mergeFoldExpr(a: String, b: String): Column = {
+    val qa = a.replace("\\", "\\\\").replace("'", "\\'")
+    val qb = b.replace("\\", "\\\\").replace("'", "\\'")
+    expr(
+      s"""aggregate(
+         |  sequence(0, size(s) - 1),
+         |  named_struct('out', CAST(array() AS array<string>), 'skip', false),
+         |  (acc, i) -> CASE
+         |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+         |    WHEN i < size(s) - 1 AND element_at(s, i + 1) = '$qa'
+         |         AND element_at(s, i + 2) = '$qb'
+         |      THEN named_struct('out', concat(acc.out, array('$qa' || '$qb')), 'skip', true)
+         |    ELSE named_struct('out', concat(acc.out, array(element_at(s, i + 1))), 'skip', false)
+         |  END,
+         |  acc -> acc.out)""".stripMargin)
+  }
+
+  /** EXACT BPE token counts with a learned merge table — what
+    * `bpeEstimate` approximates, computed the way a tokenizer counts:
+    * apply the merges in rank order and count the surviving symbols.
+    * The scale move is tokenizing the WORD DICTIONARY, not the
+    * corpus: distinct words collapse in one shuffle (the same
+    * vocabulary-scale argument as trainBpeMerges), the merge table
+    * applies as a chain of `merges` narrow HOF folds over that frame
+    * — each word tokenized ONCE no matter how often it occurs — and
+    * per-doc counts come from one (doc, word) rollup joined back to
+    * the tokenized dictionary. At 100 TB the corpus never carries
+    * symbol arrays; only the dictionary does. */
+  def bpeTokensFrom(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
+    val docWords = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("occ"))
+    val dict0 = docWords.select(col("word")).distinct()
+      .withColumn("s", expr("concat(split(word, ''), array('</w>'))"))
+    val dict = merges.foldLeft(dict0) { (d, m) =>
+      d.withColumn("s", mergeFoldExpr(m.left, m.right))
+    }.select(col("word"), size(col("s")).cast("long").as("word_tokens"))
+    docWords.join(dict, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("occ")).cast("long").as("word_count"),
+        sum(col("occ") * col("word_tokens")).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract form: train on the corpus, then count with the
+    * learned table (train + apply in one call). Rows-only; spec pins
+    * exact counts on the hand-computed corpus and the ≥word-count /
+    * ≤char-count envelope corpus-wide. */
+  def bpeTokens(spark: SparkSession, dir: String, numMerges: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bpeTokensFrom(docs, trainBpeMerges(docs, numMerges))
   }
 
   /** Context-window packing census — the "pack documents into

