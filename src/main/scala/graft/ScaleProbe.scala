@@ -100,7 +100,7 @@ object ScaleProbe {
       // enumeration). ann_knn_graph is EXCLUDED like the other
       // in-cell pair enumerators: exact vector replicas densify every
       // cell ×10 and would measure pair blow-up, not scale.
-      "session_quality_gate", "clean_dup_spans",
+      "session_quality_gate", "session_funnel", "clean_dup_spans",
       "dq_orders_reconcile", "dq_corpus_coverage",
       "corpus_topic_mix", "sample_topic_balanced",
       // BPE training/counting scale with the word DICTIONARY — the

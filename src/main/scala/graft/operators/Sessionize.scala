@@ -346,6 +346,102 @@ object Sessionize {
       |FROM daily
       |ORDER BY session_date""".stripMargin
 
+  /** Funnel at TRUE session grain — the reference computes its funnel
+    * per day over raw events (mart_funnel_daily); this is the same
+    * view→click→purchase progression measured where it actually
+    * happens, inside one session, with ORDER enforced: a click counts
+    * only at-or-after the session's first view, a purchase only
+    * at-or-after that click (epoch comparisons only — same-second
+    * progression counts on both engines identically, no event-id tie
+    * ambiguity). Distinct from funnel_window (1-day user-grain window)
+    * and funnel_conversion (day-grain step counts, orderless).
+    *
+    * Scale shape: three chained conditional-min windows over the ONE
+    * (user_id, session_idx) clustering the sessionize exchange already
+    * provides (each consumes the previous one's column — same
+    * partition spec, the sort is reused, zero extra exchanges); the
+    * session rollup rides the same exchange; the day rollup sees only
+    * session rows. */
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame =
+    sessionFunnelFrom(enriched(spark, dir))
+
+  def sessionFunnelFrom(e: DataFrame): DataFrame = {
+    val wS = Window.partitionBy("user_id", "session_idx")
+    val staged = sessionized(e)
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("event_epoch"))).over(wS))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click" && col("first_view").isNotNull &&
+          col("event_epoch") >= col("first_view"), col("event_epoch"))).over(wS))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase" && col("first_click").isNotNull &&
+          col("event_epoch") >= col("first_click"), col("event_epoch"))).over(wS))
+    val sessions = staged
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("event_epoch")).as("start_epoch"),
+        max(when(col("first_view").isNotNull, 1).otherwise(0)).as("w_view"),
+        max(when(col("first_click").isNotNull, 1).otherwise(0)).as("w_click"),
+        max(when(col("first_purchase").isNotNull, 1).otherwise(0)).as("w_purchase"))
+    sessions
+      .groupBy(date_add(lit("1970-01-01").cast("date"),
+        (col("start_epoch") / lit(86400)).cast("int")).as("session_date"))
+      .agg(
+        count(lit(1)).as("sessions"),
+        sum(col("w_view")).cast("long").as("with_view"),
+        sum(col("w_click")).cast("long").as("with_click"),
+        sum(col("w_purchase")).cast("long").as("with_purchase"))
+      .withColumn("view_to_click_pct",
+        when(col("with_view") > 0,
+          col("with_click").cast("double") / col("with_view").cast("double") * lit(100))
+          .otherwise(lit(0.0)))
+      .withColumn("click_to_purchase_pct",
+        when(col("with_click") > 0,
+          col("with_purchase").cast("double") / col("with_click").cast("double") * lit(100))
+          .otherwise(lit(0.0)))
+      .withColumn("conversion_pct",
+        col("with_purchase").cast("double") / col("sessions").cast("double") * lit(100))
+      .orderBy("session_date")
+  }
+
+  val sessionFunnelSql: String = sessionizedSql +
+    """, fv AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN event_epoch END)
+      |    OVER (PARTITION BY user_id, session_idx) AS first_view
+      |  FROM sessioned
+      |), fc AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND first_view IS NOT NULL
+      |                      AND event_epoch >= first_view THEN event_epoch END)
+      |    OVER (PARTITION BY user_id, session_idx) AS first_click
+      |  FROM fv
+      |), fp AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND first_click IS NOT NULL
+      |                      AND event_epoch >= first_click THEN event_epoch END)
+      |    OVER (PARTITION BY user_id, session_idx) AS first_purchase
+      |  FROM fc
+      |), sess AS (
+      |  SELECT user_id, session_idx, MIN(event_epoch) AS start_epoch,
+      |    MAX(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS w_view,
+      |    MAX(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS w_click,
+      |    MAX(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS w_purchase
+      |  FROM fp GROUP BY user_id, session_idx
+      |)
+      |SELECT DATE '1970-01-01' + CAST(start_epoch // 86400 AS INT) AS session_date,
+      |  COUNT(*) AS sessions,
+      |  CAST(SUM(w_view) AS BIGINT) AS with_view,
+      |  CAST(SUM(w_click) AS BIGINT) AS with_click,
+      |  CAST(SUM(w_purchase) AS BIGINT) AS with_purchase,
+      |  CASE WHEN SUM(w_view) > 0
+      |       THEN CAST(SUM(w_click) AS DOUBLE) / CAST(SUM(w_view) AS DOUBLE) * 100
+      |       ELSE 0.0 END AS view_to_click_pct,
+      |  CASE WHEN SUM(w_click) > 0
+      |       THEN CAST(SUM(w_purchase) AS DOUBLE) / CAST(SUM(w_click) AS DOUBLE) * 100
+      |       ELSE 0.0 END AS click_to_purchase_pct,
+      |  CAST(SUM(w_purchase) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100 AS conversion_pct
+      |FROM sess
+      |GROUP BY 1
+      |ORDER BY session_date""".stripMargin
+
   /** Session-grain QUALITY GATE — the quarantine row the reference's
     * WARN path implies but never materializes (validate_quality.py
     * counts failures and logs a WARN; the failing rows still flow into

@@ -746,6 +746,41 @@ class SessionizeSpec extends SparkSpec {
     assert(daily == sessions)
   }
 
+  test("session funnel enforces within-session order: click before view doesn't count") {
+    import spark.implicits._
+    def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // u1: full ordered funnel in one session
+      (1L, t("2024-02-01 09:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, t("2024-02-01 09:01:00"), 1L, "click", 1.0, "{}"),
+      (3L, t("2024-02-01 09:02:00"), 1L, "purchase", 9.0, """{"k":1}"""),
+      // u2: click BEFORE the first view -> no click credit, no purchase chain
+      (4L, t("2024-02-01 09:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, t("2024-02-01 09:01:00"), 2L, "view", 1.0, "{}"),
+      (6L, t("2024-02-01 09:02:00"), 2L, "purchase", 9.0, """{"k":1}"""),
+      // u3: purchase before click -> view+click credit only
+      (7L, t("2024-02-01 09:00:00"), 3L, "view", 1.0, "{}"),
+      (8L, t("2024-02-01 09:01:00"), 3L, "purchase", 9.0, """{"k":1}"""),
+      (9L, t("2024-02-01 09:02:00"), 3L, "click", 1.0, "{}"),
+      // u4: same-second view+click+purchase all count (>= semantics)
+      (10L, t("2024-02-01 09:00:00"), 4L, "view", 1.0, "{}"),
+      (11L, t("2024-02-01 09:00:00"), 4L, "click", 1.0, "{}"),
+      (12L, t("2024-02-01 09:00:00"), 4L, "purchase", 9.0, """{"k":1}"""),
+      // u5: two sessions -- first view-only, second (>30min later) full
+      (13L, t("2024-02-01 09:00:00"), 5L, "view", 1.0, "{}"),
+      (14L, t("2024-02-01 11:00:00"), 5L, "view", 1.0, "{}"),
+      (15L, t("2024-02-01 11:01:00"), 5L, "click", 1.0, "{}"),
+      (16L, t("2024-02-01 11:02:00"), 5L, "purchase", 9.0, """{"k":1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Sessionize.sessionFunnelFrom(EventMarts.enrich(rows)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("sessions") == 6)
+    assert(r.getAs[Long]("with_view") == 6)      // every session has a view
+    assert(r.getAs[Long]("with_click") == 4)     // u1, u4, u5s2 + u3 (click after view)
+    assert(r.getAs[Long]("with_purchase") == 3)  // u1, u4, u5s2 (u3's purchase precedes its click)
+  }
+
   test("quality gate quarantines exactly the crafted sessions, by reason") {
     import spark.implicits._
     def t(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
