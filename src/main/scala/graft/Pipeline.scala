@@ -35,7 +35,8 @@ object Pipeline {
       failedChecks: Seq[String],
       martsWritten: Seq[String],
       runDate: Option[String] = None,
-      alertPayload: Option[String] = None)
+      alertPayload: Option[String] = None,
+      martMerges: Map[String, MartSink.MergeStats] = Map.empty)
 
   /** All marts built by the daily run, keyed by output name. */
   def marts(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
@@ -70,6 +71,16 @@ object Pipeline {
     "session_sequences"  -> Seq("session_date"),
     "hourly_traffic"     -> Seq("event_date"))
 
+  /** Logical key per mart — what the incremental JDBC MERGE upserts
+    * on (the warehouse table's natural primary key). */
+  private val martKeys = Map(
+    "mart_user_daily"    -> Seq("user_id", "event_date"),
+    "mart_funnel_daily"  -> Seq("event_date", "segment"),
+    "mart_product_daily" -> Seq("product_k", "event_date"),
+    "mart_orders"        -> Seq("order_id"),
+    "session_sequences"  -> Seq("user_id", "session_idx"),
+    "hourly_traffic"     -> Seq("event_date", "event_hour"))
+
   /** validate → gate → build. Returns what was written and why (or
     * why not), plus the quality-alert payload when the gate failed.
     *
@@ -100,6 +111,13 @@ object Pipeline {
     * @param failFast mirrors the reference's branch: true stops before
     *   building marts, false is the WARN path (build anyway, surface
     *   failures in the result).
+    * @param martJdbc when set, every built mart is ALSO loaded into
+    *   the warehouse at this JDBC url via `MartSink.mergeJdbc` — the
+    *   incremental leg of the reference's load task: only new/changed
+    *   rows cross the wire (an unchanged rerun ships zero rows), with
+    *   vanished keys deleted inside the run's date scope (or
+    *   table-wide on a full refresh). Per-mart MergeStats are
+    *   returned in `Result.martMerges`.
     * @param quarantine the third branch the reference's WARN path
     *   implies but never materializes: instead of building marts on
     *   everything (failFast=false) or nothing (failFast=true), build
@@ -113,7 +131,8 @@ object Pipeline {
           failFast: Boolean = true, dates: Seq[String] = Nil,
           checkLogDir: Option[String] = None,
           checkLogJdbc: Option[(String, String)] = None,
-          quarantine: Boolean = false): Result = {
+          quarantine: Boolean = false,
+          martJdbc: Option[String] = None): Result = {
     val base = EventMarts.enriched(spark, sfDir)
     val runDates = dates.map(java.sql.Date.valueOf)
     // persist scope = run dates ± one day (sessionize lookback and
@@ -185,7 +204,22 @@ object Pipeline {
           }
           name
         }.toSeq
-        Result(passed = failed.isEmpty, failed, written, runDate, alert)
+        // incremental warehouse leg: only the delta crosses the wire;
+        // vanished-key deletes stay inside the run's date scope (the
+        // dates are already java.sql.Date-validated above, so the
+        // predicate literals are safe ISO strings)
+        val merges = martJdbc.map { url =>
+          marts.map { case (name, df) =>
+            val dateCol = partitioned(name).head
+            val scope = Option.when(dates.nonEmpty)(
+              dates.sorted.map(d => s"DATE('$d')")
+                .mkString("\"" + dateCol + "\" IN (", ", ", ")"))
+            name -> MartSink.mergeJdbc(df, url, name, martKeys(name),
+              scopePredicate = scope, deleteVanished = true)
+          }
+        }.getOrElse(Map.empty[String, MartSink.MergeStats])
+        Result(passed = failed.isEmpty, failed, written, runDate, alert,
+          martMerges = merges.toMap)
       }
     } finally {
       w.unpersist()

@@ -453,6 +453,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pipeline mart JDBC leg is incremental: an identical rerun ships zero rows") {
+    val out = Files.createTempDirectory("graft_mjdbc").toString
+    val db = Files.createTempDirectory("graft_derby_mart").resolve("martsdb")
+    val url = s"jdbc:derby:$db;create=true"
+    val r1 = Pipeline.run(spark, Sf, out, failFast = false, martJdbc = Some(url))
+    assert(r1.martMerges.keySet == r1.martsWritten.toSet)
+    // first load ships every mart row
+    assert(r1.martMerges.values.forall(s => s.upserted == s.total && s.total > 0))
+    // warehouse state matches the mart exactly
+    val uCount = spark.read.jdbc(url, "mart_user_daily", new java.util.Properties()).count()
+    assert(uCount == operators.EventMarts.martUserDaily(spark, Sf).count())
+    // identical rerun: the delta is empty for EVERY mart — zero rows
+    // cross the wire, nothing is deleted (deterministic mart rebuilds)
+    val r2 = Pipeline.run(spark, Sf, out, failFast = false, martJdbc = Some(url))
+    r2.martMerges.foreach { case (name, s) =>
+      assert(s.upserted == 0 && s.deleted == 0, s"$name replay shipped $s")
+    }
+    assert(spark.read.jdbc(url, "mart_user_daily", new java.util.Properties()).count() == uCount)
+  }
+
   test("quarantine run builds marts on clean sessions only; gate summary still sees the raw frame") {
     val out = Files.createTempDirectory("graft_qrun").toString
     val res = Pipeline.run(spark, Sf, out, failFast = false, quarantine = true)
