@@ -41,10 +41,13 @@ def parse(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     flag = 2.0
-    if "--flag" in sys.argv:
-        flag = float(sys.argv[sys.argv.index("--flag") + 1])
+    if "--flag" in argv:
+        i = argv.index("--flag")
+        flag = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
+    args = [a for a in argv if not a.startswith("--")]
     if len(args) != 2:
         sys.exit(__doc__)
     old, new = parse(args[0]), parse(args[1])
