@@ -31,6 +31,17 @@ object CorpusPipeline {
       kept: Long,
       outPath: String)
 
+  /** What an incremental refresh moved: batch size, gate survivors,
+    * rows surviving the exact-vs-existing anti-join, and the final
+    * kept count after both near-dup passes. `kept == 0` on a replayed
+    * already-absorbed batch. */
+  final case class IncResult(
+      batchDocs: Long,
+      cleaned: Long,
+      newDocs: Long,
+      kept: Long,
+      outPath: String)
+
   /** @param maxRounds cap on near-dup label-propagation rounds.
     * @param requireConvergence true by default HERE (unlike the ad-hoc
     *   query surface): this pipeline persists a production artifact,
@@ -43,27 +54,8 @@ object CorpusPipeline {
           estThreshold: Double = 0.4,
           maxRounds: Int = 20,
           requireConvergence: Boolean = true): Result = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, inDir)
-    // Scrub + gates ride the scan projection. Gates come BEFORE the
-    // exact-dedup keeper window, and the window sees only gate-passing
-    // rows: the window key is the SCRUBBED content (so
-    // redaction-identical docs collapse) while the gates score the raw
-    // text — windowing first would let a gate-failing min-id copy
-    // knock out its whole content group even when a passing copy
-    // exists. The keeper window on the survivors is the only shuffle.
-    val w = Window.partitionBy(md5(col("clean_text").cast("binary")))
-    val cleanedDf = docs
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        TextAnalysis.piiScrubText(col("text")).as("clean_text"),
-        TextAnalysis.qualityScoreCol.as("quality_score"),
-        TextAnalysis.predictedLangCol.as("predicted_lang"))
-      .filter(col("quality_score") >= minQuality &&
-        col("predicted_lang").isin(langs.map(lit(_)): _*))
-      .withColumn("keeper", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keeper"))
-      .select(col("doc_id"), col("lang"), col("predicted_lang"),
-        col("quality_score"), col("n_chars"), col("clean_text"))
+    val cleanedDf = cleanedStage(docs, minQuality, langs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // parquet count() prunes to zero columns (footer metadata +
@@ -77,15 +69,123 @@ object CorpusPipeline {
       val kept = Dedup.nearDupCorpusFromPairs(cleanedDf, pairs,
           maxRounds, requireConvergence)
         .withColumn("split", TextAnalysis.splitCol(col("doc_id")))
+        .withColumn("batch", lit("full"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         // count the frame this run produced — re-reading outDir would
         // also count stale partitions dynamic overwrite didn't touch
         val keptCount = kept.count()
-        MartSink.writePartitioned(kept, outDir, Seq("split"))
+        MartSink.writePartitioned(kept, outDir, Seq("batch", "split"))
         Result(inputDocs, cleaned, keptCount, outDir)
       } finally {
         kept.unpersist()
+        ()
+      }
+    } finally {
+      cleanedDf.unpersist()
+      ()
+    }
+  }
+
+  /** Scrub + gates + exact-dedup keeper window — the shared cleaning
+    * stage. Gates come BEFORE the keeper window, and the window sees
+    * only gate-passing rows: the window key is the SCRUBBED content
+    * (so redaction-identical docs collapse) while the gates score the
+    * raw text — windowing first would let a gate-failing min-id copy
+    * knock out its whole content group even when a passing copy
+    * exists. The keeper window is the stage's only shuffle, sized to
+    * its input (the full corpus in `run`, just the batch in
+    * `runIncremental`). */
+  private def cleanedStage(docs: DataFrame, minQuality: Double,
+                           langs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("clean_text").cast("binary")))
+    docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.piiScrubText(col("text")).as("clean_text"),
+        TextAnalysis.qualityScoreCol.as("quality_score"),
+        TextAnalysis.predictedLangCol.as("predicted_lang"))
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang").isin(langs.map(lit(_)): _*))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("lang"), col("predicted_lang"),
+        col("quality_score"), col("n_chars"), col("clean_text"))
+  }
+
+  /** INCREMENTAL refresh — the daily-ingest form: only the incoming
+    * batch is processed; the existing corpus artifact is read but
+    * never reprocessed and never reshuffled. The 100 TB argument is
+    * the same as `MartSink.mergeJdbc`'s: a daily batch is orders of
+    * magnitude smaller than the corpus, so the refresh must cost
+    * O(batch), not O(corpus).
+    *
+    *   1. the batch runs the SAME cleaning stage as the full build
+    *      (one batch-sized shuffle);
+    *   2. exact-dedup vs existing: anti-join against the existing
+    *      corpus' content-HASH index — the corpus contributes 16
+    *      bytes/row, never its text (Dedup.incremental pattern);
+    *   3. near-dup vs existing: the batch's banded MinHash signatures
+    *      BROADCAST against the existing index
+    *      (Dedup.incrementalMinhashFrom — the corpus never
+    *      reshuffles); batch docs over the estimate threshold drop;
+    *   4. near-dup WITHIN the batch collapses via the same
+    *      component machinery as the full build;
+    *   5. survivors append under (batch=batchId, split) partitions —
+    *      dynamic overwrite makes a replayed batch rewrite exactly
+    *      its own partitions (idempotent), and split assignment is
+    *      the deterministic doc_id hash, so appended batches keep the
+    *      corpus split-stable.
+    */
+  def runIncremental(spark: SparkSession, incoming: DataFrame, outDir: String,
+                     batchId: String,
+                     minQuality: Double = 0.5,
+                     langs: Seq[String] = Seq("en", "es", "de", "fr"),
+                     estThreshold: Double = 0.4,
+                     maxRounds: Int = 20,
+                     requireConvergence: Boolean = true): IncResult = {
+    require(batchId.nonEmpty && batchId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'), s"unsafe batch id: $batchId")
+    val existing = spark.read.parquet(outDir)
+    val cleanedDf = cleanedStage(incoming, minQuality, langs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchDocs = incoming.count()
+      val cleaned = cleanedDf.count()
+      val exHashes = existing
+        .select(md5(col("clean_text").cast("binary")).as("h")).distinct()
+      val fresh = cleanedDf
+        .withColumn("h", md5(col("clean_text").cast("binary")))
+        .join(exHashes, Seq("h"), "left_anti")
+        .drop("h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val newDocs = fresh.count()
+        val nearExisting = Dedup.incrementalMinhashFrom(spark,
+            fresh.select(col("doc_id"), col("clean_text").as("text")),
+            existing.select(col("doc_id"), col("clean_text").as("text")),
+            estThreshold, Dedup.DefaultMaxBucket)
+          .select(col("doc_in").as("doc_id")).distinct()
+        val sansExisting = fresh.join(nearExisting, Seq("doc_id"), "left_anti")
+        val pairs = Dedup.minhashLshFrom(spark,
+            sansExisting.select(col("doc_id"), col("clean_text").as("text")),
+            estThreshold, Dedup.DefaultMaxBucket)
+          .select(col("doc_a"), col("doc_b"))
+        val kept = Dedup.nearDupCorpusFromPairs(sansExisting, pairs,
+            maxRounds, requireConvergence)
+          .withColumn("split", TextAnalysis.splitCol(col("doc_id")))
+          .withColumn("batch", lit(batchId))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val keptCount = kept.count()
+          MartSink.writePartitioned(kept, outDir, Seq("batch", "split"))
+          IncResult(batchDocs, cleaned, newDocs, keptCount, outDir)
+        } finally {
+          kept.unpersist()
+          ()
+        }
+      } finally {
+        fresh.unpersist()
         ()
       }
     } finally {

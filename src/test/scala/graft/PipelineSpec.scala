@@ -494,7 +494,10 @@ class PipelineSpec extends SparkSpec {
     val r1 = CorpusPipeline.run(spark, Sf, out)
     assert(r1.inputDocs > 0)
     assert(r1.cleaned <= r1.inputDocs && r1.kept <= r1.cleaned && r1.kept > 0)
-    val parts = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("split=")).toSet
+    val batchDirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(batchDirs == Set("batch=full"))
+    val parts = new java.io.File(s"$out/batch=full").listFiles().map(_.getName)
+      .filter(_.startsWith("split=")).toSet
     assert(parts.nonEmpty && parts.subsetOf(Set("split=train", "split=val", "split=test")))
     val rows = spark.read.parquet(out).collect()
     assert(rows.length == r1.kept)
@@ -516,6 +519,44 @@ class PipelineSpec extends SparkSpec {
       spark.read.parquet(out).select(col("doc_id"), col("clean_text").as("text")),
       estThreshold = 0.4, maxBucket = operators.Dedup.DefaultMaxBucket).count()
     assert(residual == 0, s"$residual near-dup pairs survived the collapse")
+  }
+
+  test("incremental corpus refresh absorbs only genuinely-new docs and replays idempotently") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_corpus_inc").toString
+    val r0 = CorpusPipeline.run(spark, Sf, out)
+    assert(r0.kept > 0)
+    val existing = spark.read.parquet(out).cache()
+    val exCount = existing.count()
+    // batch: one EXACT copy of an existing kept doc (absorbed), one
+    // genuinely new doc (kept) — new ids far above the corpus range
+    val copyText = existing.orderBy("doc_id").select("clean_text").head.getString(0)
+    val freshText = ("the quick brown fox jumps over the lazy dog and then " +
+      "walks slowly around the quiet garden while birds sing in the trees and " +
+      "the wind moves softly through the leaves near the old stone wall ") * 3
+    val batch = Seq(
+      (9000001L, copyText, "en", "srcX", copyText.length.toLong),
+      (9000002L, freshText, "en", "srcX", freshText.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = CorpusPipeline.runIncremental(spark, batch, out, batchId = "day1")
+    assert(r1.batchDocs == 2 && r1.cleaned == 2)
+    assert(r1.newDocs == 1 && r1.kept == 1, s"got $r1") // copy absorbed by the hash index
+    val after = spark.read.parquet(out)
+    assert(after.count() == exCount + 1)
+    assert(after.filter(col("doc_id") === 9000002L).count() == 1)
+    assert(after.filter(col("doc_id") === 9000001L).count() == 0)
+    // replay of the same batch: its survivor is now part of the
+    // existing corpus, so nothing new ships and nothing doubles
+    val r2 = CorpusPipeline.runIncremental(spark, batch, out, batchId = "day1")
+    assert(r2.kept == 0, s"replay shipped $r2")
+    assert(spark.read.parquet(out).count() == exCount + 1)
+    // the existing corpus rows are byte-identical after both refreshes
+    assert(spark.read.parquet(out).filter(col("batch") === "full").count() == exCount)
+    existing.unpersist()
+    // malformed batch ids are rejected before any write
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.runIncremental(spark, batch, out, batchId = "day 1'; DROP")
+    }
   }
 
   test("sorted mart write lays out disjoint user_id ranges (row-group stats prunable)") {
