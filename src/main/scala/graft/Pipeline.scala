@@ -293,16 +293,36 @@ object Pipeline {
   def qualityDashboardHtml(spark: SparkSession, checkLogDir: String, e: DataFrame): String =
     Reporting.qualityDashboardHtml(dashboardDays(spark, checkLogDir, e))
 
+  /** Cron entry: `runMain graft.Pipeline <dataDir> <martDir>
+    * [date[,date...]] [--quarantine] [--mart-jdbc=<url>]` — one
+    * invocation per execution date maps 1:1 onto a scheduler run.
+    * `--quarantine` builds marts on clean sessions only;
+    * `--mart-jdbc` adds the incremental warehouse leg (per-mart
+    * MergeStats echoed for the run log). */
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_marts"
-    val dates = if (args.length > 2) args(2).split(",").toSeq else Nil
+    val flags = args.filter(_.startsWith("--"))
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = if (pos.nonEmpty) pos(0) else "/root/testdata/sf0.001"
+    val outDir = if (pos.length > 1) pos(1) else "/tmp/graft_marts"
+    val dates = if (pos.length > 2) pos(2).split(",").toSeq else Nil
+    val quarantine = flags.contains("--quarantine")
+    val martJdbc = flags.collectFirst {
+      case f if f.startsWith("--mart-jdbc=") => f.stripPrefix("--mart-jdbc=")
+    }
     val spark = GraftSession.get()
+    // quarantine IS the alternative to fail-fast: the run proceeds and
+    // the marts consume clean sessions instead of stopping at the gate
     val r = run(spark, sfDir, outDir, dates = dates,
-      checkLogDir = Some(s"$outDir/quality_check_log"))
+      failFast = !quarantine,
+      checkLogDir = Some(s"$outDir/quality_check_log"),
+      quarantine = quarantine, martJdbc = martJdbc)
     println(s"passed=${r.passed} runDate=${r.runDate.getOrElse("-")} " +
       s"failedChecks=${r.failedChecks.mkString(",")} " +
-      s"martsWritten=${r.martsWritten.sorted.mkString(",")}")
+      s"martsWritten=${r.martsWritten.sorted.mkString(",")}" +
+      (if (r.martMerges.nonEmpty)
+        " martMerges=" + r.martMerges.toSeq.sortBy(_._1).map { case (n, s) =>
+          s"$n:${s.upserted}/${s.total}(-${s.deleted})" }.mkString(",")
+       else ""))
     spark.stop()
   }
 }
