@@ -521,6 +521,37 @@ class PipelineSpec extends SparkSpec {
     assert(residual == 0, s"$residual near-dup pairs survived the collapse")
   }
 
+  test("date-scoped quarantine run with the warehouse leg: scope isolation + zero-ship replay") {
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft_qscope").toString
+    sources.EventGenerator.withAnomalies(
+        sources.EventGenerator.events(spark, 20000, days = 3))
+      .write.mode("overwrite").parquet(s"$dataDir/events.parquet")
+    val allDates = operators.EventMarts.enriched(spark, dataDir)
+      .select(col("event_date")).filter(col("event_date").isNotNull).distinct()
+      .collect().map(_.getDate(0).toString).sorted
+    assert(allDates.length >= 3)
+    val d = allDates(1) // a middle date: both neighbors exist
+    val out = Files.createTempDirectory("graft_qscope_out").toString
+    val db = Files.createTempDirectory("graft_derby_qscope").resolve("qdb")
+    val url = s"jdbc:derby:$db;create=true"
+    val r1 = Pipeline.run(spark, dataDir, out, failFast = false,
+      dates = Seq(d), quarantine = true, martJdbc = Some(url))
+    assert(r1.martsWritten.nonEmpty && r1.martMerges.nonEmpty)
+    // the warehouse saw ONLY the scoped date
+    val loaded = spark.read.jdbc(url, "mart_user_daily", new java.util.Properties())
+    assert(loaded.select("event_date").distinct()
+      .collect().map(_.getDate(0).toString).toSeq == Seq(d))
+    assert(loaded.count() == r1.martMerges("mart_user_daily").total)
+    // identical scoped rerun: zero rows cross the wire for every mart
+    // (quarantine gating is deterministic too)
+    val r2 = Pipeline.run(spark, dataDir, out, failFast = false,
+      dates = Seq(d), quarantine = true, martJdbc = Some(url))
+    r2.martMerges.foreach { case (name, s) =>
+      assert(s.upserted == 0 && s.deleted == 0, s"$name scoped replay shipped $s")
+    }
+  }
+
   test("incremental corpus refresh absorbs only genuinely-new docs and replays idempotently") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_corpus_inc").toString
