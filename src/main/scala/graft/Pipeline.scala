@@ -72,13 +72,20 @@ object Pipeline {
     "hourly_traffic"     -> Seq("event_date"))
 
   /** Logical key per mart — what the incremental JDBC MERGE upserts
-    * on (the warehouse table's natural primary key). */
+    * on (the warehouse table's natural primary key). session_sequences
+    * MUST carry session_date in its key: session_idx is a per-user
+    * running index over the run's widened frame, so different
+    * execution dates legitimately assign the same (user_id,
+    * session_idx) to different sessions — only (user, idx, date) is
+    * stable under the per-date schedule, and it keeps every mart's
+    * scope (the date column) key-determined, which the scoped
+    * mergeJdbc DELETEs require. */
   private val martKeys = Map(
     "mart_user_daily"    -> Seq("user_id", "event_date"),
     "mart_funnel_daily"  -> Seq("event_date", "segment"),
     "mart_product_daily" -> Seq("product_k", "event_date"),
     "mart_orders"        -> Seq("order_id"),
-    "session_sequences"  -> Seq("user_id", "session_idx"),
+    "session_sequences"  -> Seq("user_id", "session_idx", "session_date"),
     "hourly_traffic"     -> Seq("event_date", "event_hour"))
 
   /** validate → gate → build. Returns what was written and why (or

@@ -268,28 +268,41 @@ object MartSink {
     * @param keyCols        the mart's logical key (e.g. user_id +
     *                       event_date); non-key columns are payload.
     * @param scopePredicate target-dialect SQL restricting which
-    *                       current rows are read and which vanished
-    *                       rows may be deleted (e.g. the run's date
-    *                       window). None = whole table.
+    *                       current rows are read and which target rows
+    *                       either DELETE may touch (e.g. the run's
+    *                       date window). None = whole table. CONTRACT:
+    *                       a row's scope membership must be determined
+    *                       by its key columns (a key never moves
+    *                       across scopes) — the upsert swap deletes
+    *                       only IN-SCOPE rows matching staged keys, so
+    *                       a scoped run can never destroy another
+    *                       scope's rows that happen to collide on the
+    *                       key (per-date schedules over a key that
+    *                       restarts per date would otherwise silently
+    *                       drop prior dates).
     * @param deleteVanished also delete in-scope keys absent from `df`
     *                       (full-scope rebuilds); leave false for
-    *                       partial/append-style builds. */
+    *                       partial/append-style builds.
+    * @param readPartitions fan-out of the current-state read-back:
+    *                       the target scope is ranged on the leading
+    *                       key column (boundaries sampled from `df`,
+    *                       which shares the key domain) so the JDBC
+    *                       read runs as N parallel partition scans
+    *                       instead of one connection funneling the
+    *                       whole scope — the leg that would serialize
+    *                       an unscoped merge of a year-deep mart. */
   def mergeJdbc(df: DataFrame, url: String, table: String, keyCols: Seq[String],
                 scopePredicate: Option[String] = None,
                 deleteVanished: Boolean = false,
-                batchSize: Int = 10000): MergeStats = {
+                batchSize: Int = 10000,
+                readPartitions: Int = 8): MergeStats = {
     require(keyCols.nonEmpty, "mergeJdbc needs at least one key column")
     val spark = df.sparkSession
     val dialect = JdbcDialects.get(url)
     def qid(s: String) = dialect.quoteIdentifier(s)
     val exists = {
       val conn = java.sql.DriverManager.getConnection(url)
-      try {
-        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-        try Iterator.continually(rs)
-          .takeWhile(_.next()).exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
-        finally rs.close()
-      } finally conn.close()
+      try tableExists(conn, table) finally conn.close()
     }
     if (!exists) {
       // first load: everything is the delta
@@ -301,8 +314,20 @@ object MartSink {
     val cols = df.schema.fieldNames
     val select = s"SELECT ${cols.map(qid).mkString(", ")} FROM $table" +
       scopePredicate.map(p => s" WHERE $p").getOrElse("")
-    val current = spark.read.format("jdbc")
-      .option("url", url).option("query", select).load()
+    // distribute the read-back: range the scope on the leading key
+    // (boundaries sampled from df — same key domain as the target;
+    // open-ended first/last predicates cover target keys outside the
+    // sampled range, the IS NULL arm covers null keys). Falls back to
+    // the single-query read when df has too few distinct keys to
+    // range on — at that size one connection IS the right plan.
+    val preds = rangePredicates(df, keyCols.head, url, readPartitions)
+      .map(p => scopePredicate.map(s => s"($p) AND ($s)").getOrElse(p))
+    val raw =
+      if (preds.isEmpty)
+        spark.read.format("jdbc")
+          .option("url", url).option("query", select).load()
+      else spark.read.jdbc(url, table, preds.toArray, props)
+    val current = raw
       // JDBC round-trip type drift (VARCHAR/CLOB, DECIMAL scale) must
       // not fake row differences — compare in df's exact types
       .select(df.schema.fields.map(f => org.apache.spark.sql.functions
@@ -332,9 +357,14 @@ object MartSink {
           try {
             val corr = keyCols.map(k => s"s.${qid(k)} = t.${qid(k)}").mkString(" AND ")
             // key-correlated delete of rows being replaced, then the
-            // vanished keys, then the insert — one atomic swap
+            // vanished keys, then the insert — one atomic swap. BOTH
+            // deletes stay inside the scope: without the AND, a key
+            // that restarts per scope (session_idx per date) would
+            // make a scoped run delete other scopes' colliding rows
+            // and never reinsert them — permanent warehouse loss.
             st.executeUpdate(
-              s"DELETE FROM $table t WHERE EXISTS (SELECT 1 FROM $staging s WHERE $corr)")
+              s"DELETE FROM $table t WHERE EXISTS (SELECT 1 FROM $staging s WHERE $corr)" +
+                scopePredicate.map(p => s" AND $p").getOrElse(""))
             val nd =
               if (doVanish)
                 st.executeUpdate(
@@ -363,6 +393,53 @@ object MartSink {
     } finally {
       current.unpersist()
       ()
+    }
+  }
+
+  /** Does `table` exist in the connection's CURRENT schema? Probing
+    * all schemas would let a same-named table elsewhere (another
+    * user's schema, a staging area) fake existence and route the
+    * merge/create against a name that doesn't resolve here. Drivers
+    * without getSchema support fall back to the all-schema probe. */
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val schemaPattern =
+      try Option(conn.getSchema).orNull
+      catch { case _: Throwable => null }
+    val rs = conn.getMetaData.getTables(null, schemaPattern, null, Array("TABLE"))
+    try Iterator.continually(rs)
+      .takeWhile(_.next()).exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+    finally rs.close()
+  }
+
+  /** Disjoint, complete range predicates over `keyCol` for a
+    * partitioned JDBC read of the merge target. Boundaries are
+    * sampled from the REBUILD frame (`df` shares the target's key
+    * domain), so this works for any orderable key type — string,
+    * date, numeric — without a dialect hash function: one tiny
+    * distinct+ntile job picks `parts` equi-depth cut points, and the
+    * first/last predicates are open-ended so target keys outside the
+    * sampled range (vanished keys) are still read. Literals render
+    * through the dialect's own `compileValue`. Empty when there are
+    * too few distinct keys to be worth ranging. */
+  private[graft] def rangePredicates(df: DataFrame, keyCol: String, url: String,
+                                     parts: Int): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    if (parts <= 1) return Nil
+    val dialect = JdbcDialects.get(url)
+    val k = dialect.quoteIdentifier(keyCol)
+    // the global-window sort is a mart-sized single-partition job on
+    // DISTINCT keys — the price of portability across key types
+    val bounds = df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+      .select(col(keyCol).as("__k"), ntile(parts).over(Window.orderBy(col(keyCol))).as("__t"))
+      .groupBy(col("__t")).agg(min(col("__k")).as("__lo"))
+      .orderBy(col("__t")).collect().iterator.drop(1).map(_.get(1)).toSeq
+    if (bounds.isEmpty) Nil
+    else {
+      val lits = bounds.map(v => String.valueOf(dialect.compileValue(v)))
+      val first = s"$k < ${lits.head} OR $k IS NULL"
+      val mids = lits.zip(lits.drop(1)).map { case (lo, hi) => s"$k >= $lo AND $k < $hi" }
+      (first +: mids) :+ s"$k >= ${lits.last}"
     }
   }
 
@@ -408,12 +485,7 @@ object MartSink {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val cols = df.schema.fieldNames.map(qid).mkString(", ")
-      val exists = {
-        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-        try Iterator.continually(rs)
-          .takeWhile(_.next()).exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
-        finally rs.close()
-      }
+      val exists = tableExists(conn, table)
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {

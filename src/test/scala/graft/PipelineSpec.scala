@@ -150,6 +150,71 @@ class SourcesSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("scoped MERGE with a per-scope-restarting key never deletes other scopes' rows") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_derby_scope").resolve("scopedb")
+    val url = s"jdbc:derby:$db;create=true"
+    // session_sequences shape: session_idx restarts per date, so BOTH
+    // dates carry (user=1, idx=0) — different sessions, same (user,
+    // idx). The key includes session_date; the scoped upsert DELETE
+    // must leave day 1's colliding row alone when day 2 merges.
+    def sessions(rows: (Long, Long, String, String)*) =
+      rows.toDF("user_id", "session_idx", "d", "seq")
+        .withColumn("session_date", col("d").cast("date")).drop("d")
+        .select("user_id", "session_idx", "session_date", "seq")
+    val keys = Seq("user_id", "session_idx", "session_date")
+    val d1 = sessions((1L, 0L, "2024-01-01", "view>purchase"), (2L, 0L, "2024-01-01", "view"))
+    assert(MartSink.mergeJdbc(d1, url, "session_sequences", keys,
+      scopePredicate = Some("\"session_date\" = DATE('2024-01-01')"),
+      deleteVanished = true) == MartSink.MergeStats(2, 0, 2))
+    val d2 = sessions((1L, 0L, "2024-01-02", "view>cart"), (3L, 0L, "2024-01-02", "view"))
+    assert(MartSink.mergeJdbc(d2, url, "session_sequences", keys,
+      scopePredicate = Some("\"session_date\" = DATE('2024-01-02')"),
+      deleteVanished = true) == MartSink.MergeStats(2, 0, 2))
+    val back = spark.read.jdbc(url, "session_sequences", new java.util.Properties())
+    // day 1's (1, 0) row SURVIVED day 2's merge of its colliding key
+    assert(back.count() == 4)
+    assert(back.filter(col("session_date") === "2024-01-01").count() == 2)
+    assert(back.filter(col("user_id") === 1L && col("session_date") === "2024-01-01")
+      .collect().map(_.getAs[String]("seq")).toSeq == Seq("view>purchase"))
+    // replaying day 2 ships nothing and still leaves day 1 intact
+    assert(MartSink.mergeJdbc(d2, url, "session_sequences", keys,
+      scopePredicate = Some("\"session_date\" = DATE('2024-01-02')"),
+      deleteVanished = true) == MartSink.MergeStats(0, 0, 2))
+    assert(spark.read.jdbc(url, "session_sequences", new java.util.Properties()).count() == 4)
+  }
+
+  test("merge read-back is partitioned: ranged predicates cover the target exactly") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_derby_pread").resolve("preaddb")
+    val url = s"jdbc:derby:$db;create=true"
+    val full = (1L to 200L).map(i => (i, s"2024-01-0${i % 3 + 1}", i * 2))
+      .toDF("user_id", "d", "n")
+      .withColumn("event_date", col("d").cast("date")).drop("d")
+      .select("user_id", "event_date", "n")
+    MartSink.mergeJdbc(full, url, "mart_pr", Seq("user_id", "event_date"))
+    // predicates sampled from the rebuild frame: disjoint + complete
+    val preds = MartSink.rangePredicates(full, "user_id", url, 4)
+    assert(preds.length == 4, s"want 4 ranged predicates, got $preds")
+    val ranged = spark.read.jdbc(url, "mart_pr", preds.toArray, new java.util.Properties())
+    assert(ranged.rdd.getNumPartitions == 4, "read-back must fan out, not funnel one connection")
+    val single = spark.read.jdbc(url, "mart_pr", new java.util.Properties())
+    assert(ranged.count() == 200 &&
+      ranged.exceptAll(single).isEmpty && single.exceptAll(ranged).isEmpty)
+    // open-ended first/last arms read target keys OUTSIDE the sampled
+    // frame (vanished keys beyond the rebuild's range): a rebuild
+    // missing the extremes still sees them in the read-back and a
+    // changed row still ships exactly one delta
+    val shrunk = full.filter(col("user_id") > 5L && col("user_id") < 195L)
+      .withColumn("n", when(col("user_id") === 100L, lit(999L)).otherwise(col("n")))
+    val stats = MartSink.mergeJdbc(shrunk, url, "mart_pr", Seq("user_id", "event_date"),
+      deleteVanished = true)
+    assert(stats.upserted == 1 && stats.deleted == 11, s"got $stats") // ids 1-5 and 195-200 vanished
+    val after = spark.read.jdbc(url, "mart_pr", new java.util.Properties())
+    assert(after.count() == 189)
+    assert(after.filter(col("user_id") === 100L).collect().head.getAs[Long]("n") == 999L)
+  }
+
   test("DB-backed check log: per-date idempotent upsert, trend matches the parquet path") {
     import spark.implicits._
     val db = Files.createTempDirectory("graft_derby_qlog").resolve("qlogdb")
@@ -549,6 +614,49 @@ class PipelineSpec extends SparkSpec {
       dates = Seq(d), quarantine = true, martJdbc = Some(url))
     r2.martMerges.foreach { case (name, s) =>
       assert(s.upserted == 0 && s.deleted == 0, s"$name scoped replay shipped $s")
+    }
+  }
+
+  test("sequential per-date warehouse runs accumulate all dates (no cross-date deletion)") {
+    val dataDir = Files.createTempDirectory("graft_seqdates").toString
+    sources.EventGenerator.events(spark, 20000, days = 3)
+      .write.mode("overwrite").parquet(s"$dataDir/events.parquet")
+    val allDates = operators.EventMarts.enriched(spark, dataDir)
+      .select(col("event_date")).filter(col("event_date").isNotNull).distinct()
+      .collect().map(_.getDate(0).toString).sorted
+    assert(allDates.length >= 3)
+    val out = Files.createTempDirectory("graft_seqdates_out").toString
+    val db = Files.createTempDirectory("graft_derby_seq").resolve("seqdb")
+    val url = s"jdbc:derby:$db;create=true"
+    // the documented cron schedule: one --mart-jdbc run per date
+    allDates.foreach { d =>
+      Pipeline.run(spark, dataDir, out, failFast = false,
+        dates = Seq(d), martJdbc = Some(url))
+    }
+    // the warehouse holds EVERY date the parquet mart holds — a later
+    // date's merge must not have deleted an earlier date's sessions
+    // (session_idx restarts per date, so keys collide across dates)
+    spark.catalog.refreshByPath(s"$out/session_sequences")
+    val parquetMart = spark.read.parquet(s"$out/session_sequences")
+    val wh = spark.read.jdbc(url, "session_sequences", new java.util.Properties())
+    assert(wh.count() == parquetMart.count(),
+      s"warehouse ${wh.count()} rows vs parquet mart ${parquetMart.count()}")
+    val whDates = wh.select("session_date").distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    val pqDates = parquetMart.select("session_date").distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    assert(whDates == pqDates, s"warehouse dates $whDates vs parquet $pqDates")
+    // row-level parity on the session mart
+    val whTyped = wh.select(parquetMart.columns.map(col): _*)
+    assert(whTyped.exceptAll(parquetMart).isEmpty && parquetMart.exceptAll(whTyped).isEmpty)
+    // every other mart also accumulated all its dates
+    Seq("mart_user_daily" -> "event_date", "hourly_traffic" -> "event_date",
+        "mart_orders" -> "order_date").foreach { case (m, dc) =>
+      spark.catalog.refreshByPath(s"$out/$m")
+      val pq = spark.read.parquet(s"$out/$m")
+      val w = spark.read.jdbc(url, m, new java.util.Properties())
+      assert(w.count() == pq.count(), s"$m warehouse ${w.count()} vs parquet ${pq.count()}")
+      assert(w.select(dc).distinct().count() == pq.select(dc).distinct().count(), m)
     }
   }
 
