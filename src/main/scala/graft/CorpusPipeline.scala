@@ -34,13 +34,18 @@ object CorpusPipeline {
   /** What an incremental refresh moved: batch size, gate survivors,
     * rows surviving the exact-vs-existing anti-join, and the final
     * kept count after both near-dup passes. `kept == 0` on a replayed
-    * already-absorbed batch. */
+    * already-absorbed batch. `idCollisions` counts content-NEW batch
+    * docs whose doc_id already exists in the corpus — they are
+    * excluded (landing them would break doc_id uniqueness and the
+    * id-hash split assignment downstream) and surfaced here so the
+    * ingest can alert instead of silently corrupting the artifact. */
   final case class IncResult(
       batchDocs: Long,
       cleaned: Long,
       newDocs: Long,
       kept: Long,
-      outPath: String)
+      outPath: String,
+      idCollisions: Long = 0L)
 
   /** @param maxRounds cap on near-dup label-propagation rounds.
     * @param requireConvergence true by default HERE (unlike the ad-hoc
@@ -146,27 +151,50 @@ object CorpusPipeline {
                      requireConvergence: Boolean = true): IncResult = {
     require(batchId.nonEmpty && batchId.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_'), s"unsafe batch id: $batchId")
-    val existing = spark.read.parquet(outDir)
+    // bootstrap: the very first batch has no corpus artifact to dedup
+    // against — it runs as a batch-sized full build under its own
+    // batch partition instead of throwing on the missing read
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val existingOpt =
+      if (fs.exists(outPath)) Some(spark.read.parquet(outDir)) else None
     val cleanedDf = cleanedStage(incoming, minQuality, langs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val batchDocs = incoming.count()
       val cleaned = cleanedDf.count()
-      val exHashes = existing
-        .select(md5(col("clean_text").cast("binary")).as("h")).distinct()
-      val fresh = cleanedDf
-        .withColumn("h", md5(col("clean_text").cast("binary")))
-        .join(exHashes, Seq("h"), "left_anti")
-        .drop("h")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (fresh, collisionsDf) = existingOpt match {
+        case None => (cleanedDf, None)
+        case Some(existing) =>
+          val exHashes = existing
+            .select(md5(col("clean_text").cast("binary")).as("h")).distinct()
+          // both guards ride the same corpus index scan: content-dup
+          // rows are ABSORBED (the normal replay/ingest-overlap path);
+          // content-NEW rows colliding on doc_id are EXCLUDED and
+          // counted — two corpus rows sharing a doc_id would break key
+          // uniqueness and the id-hash split downstream
+          val contentNew = cleanedDf
+            .withColumn("h", md5(col("clean_text").cast("binary")))
+            .join(exHashes, Seq("h"), "left_anti")
+            .drop("h")
+          val exIds = existing.select(col("doc_id")).distinct()
+          (contentNew.join(exIds, Seq("doc_id"), "left_anti"),
+            Some(contentNew.join(exIds, Seq("doc_id"), "left_semi")))
+      }
+      val freshP = fresh.persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val newDocs = fresh.count()
-        val nearExisting = Dedup.incrementalMinhashFrom(spark,
-            fresh.select(col("doc_id"), col("clean_text").as("text")),
-            existing.select(col("doc_id"), col("clean_text").as("text")),
-            estThreshold, Dedup.DefaultMaxBucket)
-          .select(col("doc_in").as("doc_id")).distinct()
-        val sansExisting = fresh.join(nearExisting, Seq("doc_id"), "left_anti")
+        val newDocs = freshP.count()
+        val idCollisions = collisionsDf.map(_.count()).getOrElse(0L)
+        val sansExisting = existingOpt match {
+          case None => freshP
+          case Some(existing) =>
+            val nearExisting = Dedup.incrementalMinhashFrom(spark,
+                freshP.select(col("doc_id"), col("clean_text").as("text")),
+                existing.select(col("doc_id"), col("clean_text").as("text")),
+                estThreshold, Dedup.DefaultMaxBucket)
+              .select(col("doc_in").as("doc_id")).distinct()
+            freshP.join(nearExisting, Seq("doc_id"), "left_anti")
+        }
         val pairs = Dedup.minhashLshFrom(spark,
             sansExisting.select(col("doc_id"), col("clean_text").as("text")),
             estThreshold, Dedup.DefaultMaxBucket)
@@ -179,13 +207,13 @@ object CorpusPipeline {
         try {
           val keptCount = kept.count()
           MartSink.writePartitioned(kept, outDir, Seq("batch", "split"))
-          IncResult(batchDocs, cleaned, newDocs, keptCount, outDir)
+          IncResult(batchDocs, cleaned, newDocs, keptCount, outDir, idCollisions)
         } finally {
           kept.unpersist()
           ()
         }
       } finally {
-        fresh.unpersist()
+        freshP.unpersist()
         ()
       }
     } finally {

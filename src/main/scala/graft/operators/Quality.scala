@@ -455,9 +455,13 @@ object Quality {
     val wDom = Window.orderBy(desc("cnt"), asc("dim"))
     val dimRow = dims
       .withColumn("rn", row_number().over(wDom))
-      .agg(sum(col("cnt")).cast("long").as("total_records"),
-        sum(when(col("rn") > 1, col("cnt")).otherwise(lit(0L))).cast("long")
-          .as("failed_records"))
+      // empty embeddings: SUM over zero rows is NULL, which would give
+      // the row a NULL pass_rate that falls into the FAIL branch —
+      // coalesce to the 0/0 → PASS shape the other checks get from the
+      // greatest(total, 1) guard (same coalesce in the oracle SQL)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("total_records"),
+        coalesce(sum(when(col("rn") > 1, col("cnt")).otherwise(lit(0L))), lit(0L))
+          .cast("long").as("failed_records"))
       .select(lit("dim_uniformity_check").as("check_name"),
         col("total_records"), col("failed_records"))
     cov.unionByName(dimRow)
@@ -495,7 +499,8 @@ object Quality {
       |  SELECT 'orphan_embedding_check', emb_total, emb_orphans FROM cov
       |  UNION ALL
       |  SELECT 'dim_uniformity_check',
-      |    CAST(SUM(cnt) AS BIGINT), CAST(SUM(CASE WHEN rn > 1 THEN cnt ELSE 0 END) AS BIGINT)
+      |    CAST(COALESCE(SUM(cnt), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN cnt ELSE 0 END), 0) AS BIGINT)
       |  FROM dom
       |)
       |SELECT check_name, 'integrity_check' AS check_type, total_records, failed_records,

@@ -927,6 +927,17 @@ class QualitySpec extends SparkSpec {
     val corpus = Quality.corpusCoverage(spark, Sf).collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("failed_records")).toMap
     assert(corpus.values.forall(_ == 0L), s"testdata misaligned: $corpus")
+    // EMPTY embeddings table: dim_uniformity aggregates over zero dim
+    // rows — must land 0/0 PASS like the other checks, never a NULL
+    // pass_rate read as FAIL
+    val emptyEmb = emb.limit(0)
+    val empty = Quality.corpusCoverageFrom(docs, emptyEmb).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("total_records"), r.getAs[Long]("failed_records"),
+          r.getAs[String]("status")))).toMap
+    assert(empty("dim_uniformity_check") == ((0L, 0L, "PASS")), s"got $empty")
+    assert(empty("orphan_embedding_check") == ((0L, 0L, "PASS")))
+    assert(empty("embedding_coverage_check") == ((3L, 3L, "FAIL")))
   }
 
   test("clean synthetic data passes null/duplicate/timestamp checks") {

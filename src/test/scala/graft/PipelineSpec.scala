@@ -698,6 +698,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental corpus refresh bootstraps an absent artifact and excludes doc_id collisions") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_corpus_boot").resolve("corpus").toString
+    def doc(id: Long, text: String) = (id, text, "en", "srcB", text.length.toLong)
+    val tA = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu the quick brown fox jumps over the lazy dog near the river ") * 3
+    val tB = ("one two three four five six seven the wind moves softly through " +
+      "the quiet garden while birds sing in the old stone courtyard today ") * 3
+    // FIRST batch: no corpus artifact exists yet — must bootstrap, not throw
+    val b1 = Seq(doc(1L, tA), doc(2L, tB)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = CorpusPipeline.runIncremental(spark, b1, out, batchId = "boot")
+    assert(r1.batchDocs == 2 && r1.newDocs == 2 && r1.kept == 2 && r1.idCollisions == 0)
+    assert(spark.read.parquet(out).count() == 2)
+    assert(new java.io.File(out).listFiles().map(_.getName).count(_ == "batch=boot") == 1)
+    // SECOND batch: doc_id 1 reused for genuinely NEW content — a key
+    // collision that would corrupt doc_id uniqueness; excluded + counted.
+    // doc 7 is clean and lands.
+    val tC = ("nine ten eleven twelve the ship sails slowly across the calm " +
+      "grey sea while distant mountains rise beyond the morning fog line ") * 3
+    val tD = ("red orange yellow green blue the painter mixes colors on an " +
+      "old wooden palette beside the tall open window every single morning ") * 3
+    val b2 = Seq(doc(1L, tC), doc(7L, tD)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r2 = CorpusPipeline.runIncremental(spark, b2, out, batchId = "day2")
+    assert(r2.idCollisions == 1, s"got $r2")
+    assert(r2.kept == 1)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3)
+    // doc_id stays unique; doc 1 kept its ORIGINAL content
+    assert(all.select("doc_id").distinct().count() == 3)
+    assert(all.filter(col("doc_id") === 1L).select("clean_text").head.getString(0)
+      .startsWith("alpha beta"))
+    assert(all.filter(col("doc_id") === 7L).count() == 1)
+  }
+
   test("sorted mart write lays out disjoint user_id ranges (row-group stats prunable)") {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
