@@ -166,4 +166,162 @@ object SessionGateStream {
       s.qRange, s.qTs, s.qInteg, s.qDup, qSeq,
       s.qRange || s.qTs || s.qInteg || s.qDup || qSeq)
   }
+
+  // ------------------- quarantine ROUTING leg -------------------
+  // The streaming mirror of `Pipeline.run(quarantine = true)` (the
+  // reference DAG's PASS/FAIL branch, dags/event_pipeline_dag.py):
+  // instead of only LOGGING verdicts, the EVENT rows themselves route
+  // as their session closes — clean sessions' events to the live-mart
+  // input, quarantined sessions' events to the review queue.
+
+  /** Cap on event payloads buffered per OPEN session. A session that
+    * exceeds it is bot-class by definition; its events flush to the
+    * review side IMMEDIATELY (no data is ever dropped) and the session
+    * stays review-routed to its end — the clean side is all-or-
+    * nothing, never a partial session. This keeps state strictly
+    * bounded per live user where a naive router would hold an
+    * unbounded session tail on a firehose. */
+  val MaxBufEvents = 512
+
+  /** Gate event + the payload columns the routed sinks carry. */
+  case class REv(user_id: Long, event_id: Long, event_type: String,
+                 epoch: Long, ts: java.sql.Timestamp, value: Double, props: String,
+                 f_range: Int, f_ts: Int, f_integrity: Int)
+
+  case class RState(gate: GState, buf: List[REv], bufN: Int, overflowed: Boolean)
+
+  /** One event row tagged with its finalized session's verdict. */
+  case class RoutedEvent(user_id: Long, event_id: Long, event_type: String,
+                         ts: java.sql.Timestamp, value: Double, props: String,
+                         session_start_epoch: Long, quarantined: Boolean)
+
+  /** Typed routing-event stream: null_check-failing rows drop before
+    * keying (exactly like the batch gate), flags are the shared
+    * Sessionize expressions, and the raw payload rides along. */
+  def asRouteEvents(raw: DataFrame): Dataset[REv] = {
+    import raw.sparkSession.implicits._
+    graft.operators.EventMarts.enrich(raw)
+      .filter(Sessionize.typedRowFilter)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("event_epoch").as("epoch"), col("ts"), col("value"), col("props"),
+        Sessionize.fRange.as("f_range"), Sessionize.fTs.as("f_ts"),
+        Sessionize.fIntegrity.as("f_integrity"))
+      .as[REv]
+  }
+
+  private def gev(e: REv): GEv =
+    GEv(e.user_id, e.event_id, e.event_type, e.epoch, e.ts,
+      e.f_range, e.f_ts, e.f_integrity)
+
+  private def routedRow(e: REv, start: Long, q: Boolean): RoutedEvent =
+    RoutedEvent(e.user_id, e.event_id, e.event_type, e.ts, e.value, e.props, start, q)
+
+  private def freshRoute(e: REv): RState =
+    RState(fold(GState(e.epoch, e.epoch, 0, qRange = false, qTs = false,
+      qInteg = false, qDup = false, Long.MaxValue, Long.MaxValue, Nil), gev(e)),
+      List(e), 1, overflowed = false)
+
+  private def closeRoute(uid: Long, s: RState): Iterator[RoutedEvent] = {
+    val v = finish(uid, s.gate)
+    val q = v.quarantined || s.overflowed
+    s.buf.reverse.iterator.map(e => routedRow(e, s.gate.start, q))
+  }
+
+  /** Per-session event routing: buffers a session's events in state
+    * (gate verdict folding in O(1) beside it) and emits EVERY event
+    * with the session's final `quarantined` bit when the session
+    * closes — the event-grain sibling of `gateSessions`. Verdict
+    * semantics match `Sessionize.cleanEvents`: one failing event
+    * poisons its whole session; clean output is all-or-nothing per
+    * session. Overflowing sessions (see `MaxBufEvents`) route to
+    * review in full, emitted incrementally so state stays bounded. */
+  def routeSessions(events: Dataset[REv]): Dataset[RoutedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RState, RoutedEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[RState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => closeRoute(uid, s))
+              .getOrElse(Iterator.empty)
+            state.remove()
+            out
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.epoch, e.event_id))
+            var cur = state.getOption
+            val emitted = scala.collection.mutable.ListBuffer.empty[RoutedEvent]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.epoch - s.gate.last <= GapSeconds =>
+                  val g = fold(s.gate, gev(e))
+                  if (s.overflowed) {
+                    // session already flushed to review — pass through
+                    emitted += routedRow(e, g.start, q = true)
+                    cur = Some(RState(g, Nil, 0, overflowed = true))
+                  } else if (s.bufN + 1 > MaxBufEvents) {
+                    // overflow: flush the WHOLE session to review now
+                    emitted ++= (e :: s.buf).reverse.map(x => routedRow(x, g.start, q = true))
+                    cur = Some(RState(g, Nil, 0, overflowed = true))
+                  } else cur = Some(RState(g, e :: s.buf, s.bufN + 1, overflowed = false))
+                case Some(s) =>
+                  emitted ++= closeRoute(uid, s)
+                  cur = Some(freshRoute(e))
+                case None =>
+                  cur = Some(freshRoute(e))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max((s.gate.last + GapSeconds) * 1000L + 1,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            emitted.iterator
+          }
+      }
+  }
+
+  /** One micro-batch of the routing sink: split the routed rows on
+    * the verdict and land each side under (event_date, batch_id)
+    * partitions via dynamic overwrite — a replayed micro-batch (same
+    * batchId) rewrites exactly its own partitions on BOTH sides, so
+    * at-least-once delivery becomes effectively-once table state (the
+    * qualityLogSink construction, applied twice). Exposed separately
+    * from `routingSink` so replay semantics are directly testable. */
+  def routeBatch(batch: DataFrame, batchId: Long,
+                 cleanDir: String, reviewDir: String): Unit = {
+    if (!batch.isEmpty) {
+      val rows = batch
+        .withColumn("event_date", to_date(col("ts")))
+        .withColumn("batch_id", lit(batchId))
+        .persist()
+      try {
+        val clean = rows.filter(!col("quarantined")).drop("quarantined")
+        val review = rows.filter(col("quarantined")).drop("quarantined")
+        if (!clean.isEmpty)
+          graft.sources.MartSink.writePartitioned(clean, cleanDir, Seq("event_date", "batch_id"))
+        if (!review.isEmpty)
+          graft.sources.MartSink.writePartitioned(review, reviewDir, Seq("event_date", "batch_id"))
+      } finally {
+        rows.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** Continuous quarantine routing: clean sessions' events accrete
+    * under `cleanDir` (the live-mart input), quarantined sessions'
+    * events under `reviewDir` (the review queue `gateLogSink`'s
+    * verdict log indexes). */
+  def routingSink(routed: Dataset[RoutedEvent], cleanDir: String, reviewDir: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    routed.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        routeBatch(batch, batchId, cleanDir, reviewDir)
+      }
+      .start()
 }

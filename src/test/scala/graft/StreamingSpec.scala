@@ -556,4 +556,84 @@ class StreamingSpec extends SparkSpec {
       ()
     }
   }
+
+  test("streaming quarantine routing: clean side equals the batch cleanEvents filter, review gets the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val sentinelUser = 999999L
+    val dirty = sources.EventGenerator.withAnomalies(
+        sources.EventGenerator.sessionEvents(spark, 25L, 2))
+      .filter(col("user_id").isNotNull).cache()
+    try {
+      val enriched = operators.EventMarts.enrich(dirty)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+        .collect().map(_.toSeq).toSeq // multiset: dup anomalies repeat rows
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val batchClean = keyed(operators.Sessionize.cleanEvents(enriched))
+      val totalTyped = enriched.filter(operators.Sessionize.typedRowFilter).count()
+      val cleanDir = java.nio.file.Files.createTempDirectory("graft_route_clean").toString
+      val reviewDir = java.nio.file.Files.createTempDirectory("graft_route_review").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_route_ckpt").toString
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      mem.addData(dirty.collect().toSeq.map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[String]("props"))): _*)
+      // far-future sentinel closes every real session (event-time
+      // timeout); its own open session is routed nowhere yet
+      mem.addData((0L, java.sql.Timestamp.valueOf("2090-01-01 00:00:00"),
+        sentinelUser, "view", 1.0, "{}"))
+      val q = SessionGateStream.routingSink(
+        SessionGateStream.routeSessions(SessionGateStream.asRouteEvents(
+          mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))),
+        cleanDir, reviewDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      val cleanRouted = spark.read.parquet(cleanDir)
+      val reviewRouted = spark.read.parquet(reviewDir)
+      // clean side == the batch gate's cleanEvents filter, row for row
+      assert(keyed(cleanRouted) == batchClean,
+        "routed clean events diverge from Sessionize.cleanEvents")
+      // nothing lost, nothing duplicated: every finalized session's
+      // event landed on exactly one side
+      assert(cleanRouted.count() + reviewRouted.count() == totalTyped)
+      // the anomalies exercised both sides
+      assert(cleanRouted.count() > 0 && reviewRouted.count() > 0)
+      // review rows carry the session key for the verdict-log join
+      assert(reviewRouted.columns.contains("session_start_epoch"))
+    } finally {
+      dirty.unpersist()
+      ()
+    }
+  }
+
+  test("routing sink replay: a re-delivered micro-batch duplicates nothing on either side") {
+    import spark.implicits._
+    val cleanDir = java.nio.file.Files.createTempDirectory("graft_replay_clean").toString
+    val reviewDir = java.nio.file.Files.createTempDirectory("graft_replay_review").toString
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq(
+      SessionGateStream.RoutedEvent(1L, 10L, "view", t("2024-05-01 10:00:00"), 1.0, "{}", 1000L, false),
+      SessionGateStream.RoutedEvent(1L, 11L, "purchase", t("2024-05-01 10:05:00"), 9.0, """{"k":3}""", 1000L, false),
+      SessionGateStream.RoutedEvent(2L, 12L, "purchase", t("2024-05-01 11:00:00"), -5.0, """{"k":3}""", 2000L, true)
+    ).toDF()
+    SessionGateStream.routeBatch(batch, batchId = 7L, cleanDir, reviewDir)
+    assert(spark.read.parquet(cleanDir).count() == 2)
+    assert(spark.read.parquet(reviewDir).count() == 1)
+    // at-least-once replay of the SAME micro-batch: dynamic overwrite
+    // rewrites its own (event_date, batch_id) partitions — no doubling
+    SessionGateStream.routeBatch(batch, batchId = 7L, cleanDir, reviewDir)
+    spark.catalog.refreshByPath(cleanDir)
+    spark.catalog.refreshByPath(reviewDir)
+    assert(spark.read.parquet(cleanDir).count() == 2)
+    assert(spark.read.parquet(reviewDir).count() == 1)
+    // a DIFFERENT batch appends (its own partitions), never clobbers
+    val b2 = Seq(SessionGateStream.RoutedEvent(3L, 13L, "view",
+      t("2024-05-01 12:00:00"), 1.0, "{}", 3000L, false)).toDF()
+    SessionGateStream.routeBatch(b2, batchId = 8L, cleanDir, reviewDir)
+    spark.catalog.refreshByPath(cleanDir)
+    assert(spark.read.parquet(cleanDir).count() == 3)
+    assert(spark.read.parquet(reviewDir).count() == 1)
+  }
 }
