@@ -15,8 +15,31 @@ new/gone queries, and totals. Exit code 1 if anything was flagged —
 cron-able as a regression tripwire.
 """
 import json
+import os
 import re
 import sys
+
+
+def full_record(path):
+    """For a driver BENCH_r{N}.json, find the matching complete
+    per-query sidecar (bench_full_r{N}.json) written by graft.Bench —
+    the driver record keeps only a truncated stdout tail, so without
+    the sidecar the diff covers a fraction of the suite."""
+    m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+    if not m:
+        return None
+    name = f"bench_full_r{m.group(1)}.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (os.path.join(os.path.dirname(os.path.abspath(path)), name),
+                 os.path.join(repo, name)):
+        if os.path.exists(cand):
+            try:
+                doc = json.load(open(cand))
+            except ValueError:
+                continue
+            if isinstance(doc.get("queries"), dict):
+                return {k: float(v) for k, v in doc["queries"].items()}
+    return None
 
 
 def parse(path):
@@ -27,6 +50,9 @@ def parse(path):
     except ValueError:
         doc = None
     if isinstance(doc, dict) and "tail" in doc:
+        full = full_record(path)
+        if full:
+            times.update(full)
         parsed = doc.get("parsed") or {}
         if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
             times.update({k: float(v) for k, v in parsed["queries"].items()})

@@ -95,6 +95,25 @@ object Bench {
     val total = results.values.map(_._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
+    // Full-record sidecar: the driver's BENCH_r{N}.json keeps only a
+    // truncated stdout tail, so the cross-round regression tripwire
+    // (scripts/bench_diff.py) would otherwise diff just the tail's
+    // queries. Write the COMPLETE per-query map to a local file the
+    // tripwire prefers (copied to bench_full_r{N}.json per round).
+    // Partial runs (named-query iteration aid) skip the write so they
+    // can't clobber a complete record; failure to write (read-only
+    // cwd) must never fail the bench itself.
+    if (wanted.isEmpty)
+      try {
+        val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+        def m(sel: ((Double, Double, Int)) => Double) =
+          results.map { case (n, v) => "\"" + n + "\":" + f"${sel(v)}%.4f" }.mkString(",")
+        val doc = "{\"queries\":{" + m(_._1) + "},\"max\":{" + m(_._2) + "}," +
+          f"""\"total\":$total%.4f,\"count\":${results.size},\"sf\":\"$sfDir\"}"""
+        java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+          doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
