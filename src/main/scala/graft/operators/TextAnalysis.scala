@@ -943,8 +943,35 @@ object TextAnalysis {
     * At 100 TB the word dictionary is millions of rows — far too big
     * to collect, exactly right as a DataFrame; only k winner rows
     * ever cross the driver. */
-  def trainBpeMerges(docs: DataFrame, numMerges: Int = 20): Seq[BpeMerge] = {
-    val spark = docs.sparkSession
+  def trainBpeMerges(docs: DataFrame, numMerges: Int = 20,
+                     maxPerRound: Int = 1): Seq[BpeMerge] =
+    trainBpeMergesCounted(docs, numMerges, maxPerRound)._1
+
+  /** Training with the driver-round count exposed — the multi-merge
+    * speedup's measurable quantity (each round is one pair-table
+    * aggregate + one collect + one checkpoint; at dictionary scale
+    * that ROUND LATENCY, not data volume, is the wall clock).
+    *
+    * MULTI-MERGE rounds (`maxPerRound` > 1) accept up to m winners
+    * from ONE pair table, provably equivalent to single-merge
+    * training: candidates are scanned in (count desc, pair asc) order
+    * and accepted while NON-INTERACTING with every already-accepted
+    * pair — interaction = `cand.left == acc.right || cand.right ==
+    * acc.left` (an occurrence of one can consume a symbol of the
+    * other) — stopping at the first interacting candidate. Soundness
+    * floor: pairs CREATED by an accepted merge (they contain the new
+    * symbol) can climb the next round's table, but every such pair's
+    * count is bounded by an old INTERACTING witness pair in this
+    * round's table (a new `(p, xy)` needs `(p, x)` adjacent, a
+    * `(xy, q)` needs `(y, q)`, a `(xy, xy)` needs `(y, x)`), so after
+    * the scan, accepted pairs at counts ≤ the stop/boundary count are
+    * dropped again — everything retained strictly dominates anything
+    * a prior accepted merge could have created or changed, including
+    * lex tie-breaks. Retained winners fold into the vocab as a chain
+    * of merge HOFs in rank order with ONE checkpoint per round. */
+  private[graft] def trainBpeMergesCounted(docs: DataFrame, numMerges: Int = 20,
+                                           maxPerRound: Int = 1): (Seq[BpeMerge], Int) = {
+    require(maxPerRound >= 1, "maxPerRound must be at least 1")
     var vocab = docs
       .select(explode(tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -952,8 +979,14 @@ object TextAnalysis {
       .select(expr("concat(split(word, ''), array('</w>'))").as("s"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
-    var rank = 0
-    while (rank < numMerges) {
+    var rounds = 0
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val want = math.min(maxPerRound, numMerges - merges.size)
+      // window big enough to find `want` non-interacting winners most
+      // rounds; a truncated window only costs batch width, never
+      // correctness (the floor below treats the boundary as unknown)
+      val k = math.max(want * 8, 16)
       val top = vocab
         .select(explode(when(size(col("s")) >= 2,
             expr("transform(sequence(1, size(s) - 1), " +
@@ -963,23 +996,35 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("n"))
         .orderBy(desc("n"), asc("l"), asc("r"))
-        .limit(1)
+        .limit(k)
         .collect()
-      if (top.isEmpty) rank = numMerges
+        .map(r => (r.getAs[String]("l"), r.getAs[String]("r"), r.getAs[Long]("n")))
+        .filter(_._3 >= 2) // below the merge floor — single-merge stops there too
+      rounds += 1
+      if (top.isEmpty) done = true
       else {
-        val (a, b, n) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"),
-          top.head.getAs[Long]("n"))
-        if (n < 2) rank = numMerges // nothing left worth merging
-        else {
-          merges += BpeMerge(merges.size, a, b, a + b, n)
-          // fold the winner back into every symbol array (left-to-
-          // right non-overlapping — the BPE merge rule)
-          vocab = vocab.withColumn("s", mergeFoldExpr(a, b)).localCheckpoint()
-          rank += 1
+        val accepted = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        var floor = -1L
+        var i = 0
+        while (i < top.length && floor < 0 && accepted.size < want) {
+          val c = top(i)
+          if (accepted.exists(a => c._1 == a._2 || c._2 == a._1)) floor = c._3
+          else { accepted += c; i += 1 }
         }
+        if (floor < 0 && i < top.length) floor = top(i)._3 // batch-full boundary
+        else if (floor < 0 && top.length == k) floor = top.last._3 // window may truncate
+        // the round's argmax is what single-merge picks unconditionally;
+        // later winners survive only strictly above the floor
+        val retained = accepted.head +: accepted.tail.filter(_._3 > floor).toSeq
+        retained.foreach { case (a, b, n) =>
+          merges += BpeMerge(merges.size, a, b, a + b, n)
+        }
+        vocab = retained.foldLeft(vocab) { case (v, (a, b, _)) =>
+          v.withColumn("s", mergeFoldExpr(a, b))
+        }.localCheckpoint()
       }
     }
-    merges.toList
+    (merges.toList, rounds)
   }
 
   /** Driver-contract form: the learned merge table as rows
@@ -987,9 +1032,12 @@ object TextAnalysis {
     * oracle (iterative training isn't one SQL); the spec pins the
     * exact merge sequence on a hand-computable corpus and the
     * determinism of the full table. */
-  def bpeVocab(spark: SparkSession, dir: String, numMerges: Int = 20): DataFrame = {
+  def bpeVocab(spark: SparkSession, dir: String, numMerges: Int = 20,
+               maxPerRound: Int = 4): DataFrame = {
     import spark.implicits._
-    trainBpeMerges(Tables.documents(spark, dir), numMerges)
+    // multi-merge rounds: identical table (equivalence spec-pinned),
+    // ~maxPerRound× fewer driver round-trips
+    trainBpeMerges(Tables.documents(spark, dir), numMerges, maxPerRound)
       .toDF().orderBy("rank")
   }
 
@@ -1047,9 +1095,10 @@ object TextAnalysis {
     * learned table (train + apply in one call). Rows-only; spec pins
     * exact counts on the hand-computed corpus and the ≥word-count /
     * ≤char-count envelope corpus-wide. */
-  def bpeTokens(spark: SparkSession, dir: String, numMerges: Int = 20): DataFrame = {
+  def bpeTokens(spark: SparkSession, dir: String, numMerges: Int = 20,
+                maxPerRound: Int = 4): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    bpeTokensFrom(docs, trainBpeMerges(docs, numMerges))
+    bpeTokensFrom(docs, trainBpeMerges(docs, numMerges, maxPerRound))
   }
 
   /** Context-window packing census — the "pack documents into

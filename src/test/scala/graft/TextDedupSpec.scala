@@ -466,6 +466,35 @@ class CorpusPrepSpec extends SparkSpec {
     assert(v1.map(_.toString).sameElements(v2.map(_.toString)))
   }
 
+  test("multi-merge BPE rounds produce the identical merge table in fewer driver rounds") {
+    import spark.implicits._
+    import operators.TextAnalysis.{trainBpeMerges, trainBpeMergesCounted}
+    def table(ms: Seq[operators.TextAnalysis.BpeMerge]) =
+      ms.map(m => (m.rank, m.left, m.right, m.merged, m.pair_count))
+    // hand corpus 1: interacting chain — (a,b) then (ab,</w>) CANNOT
+    // batch ((ab,</w>).l ends where... the chain only exists after the
+    // first fold), single- and multi-merge must agree including the
+    // count-2 training floor
+    val docs = Seq((1L, "ab ab ac"), (2L, "ab")).toDF("doc_id", "text")
+    assert(table(trainBpeMerges(docs, 5, maxPerRound = 4)) == table(trainBpeMerges(docs, 5)))
+    // hand corpus 2: tie-breaks + self-interaction ((a,a) consumes its
+    // own right symbol; (aa,*) pairs only exist post-fold)
+    val docs2 = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    assert(table(trainBpeMerges(docs2, 3, maxPerRound = 8)) == table(trainBpeMerges(docs2, 3)))
+    // hand corpus 3: genuinely batchable — disjoint alphabets in one
+    // round ((a,b) and (c,d) share no symbol), equal tables required
+    val docs3 = Seq((1L, "ab ab cd cd xy")).toDF("doc_id", "text")
+    assert(table(trainBpeMerges(docs3, 6, maxPerRound = 4)) == table(trainBpeMerges(docs3, 6)))
+    // the real corpus: full 20-merge table equality AND the measured
+    // round reduction the batching exists for
+    val corpus = Tables.documents(spark, Sf)
+    val (single, roundsSingle) = trainBpeMergesCounted(corpus, 20, maxPerRound = 1)
+    val (multi, roundsMulti) = trainBpeMergesCounted(corpus, 20, maxPerRound = 4)
+    assert(table(multi) == table(single), "multi-merge diverged from single-merge training")
+    assert(roundsSingle == 20)
+    assert(roundsMulti <= 10, s"expected ~4x fewer rounds, got $roundsMulti")
+  }
+
   test("trained-BPE token counts: exact on the hand corpus, inside the word/char envelope corpus-wide") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab ac"), (2L, "ab")).toDF("doc_id", "text")
