@@ -243,12 +243,17 @@ object Similarity {
     * same index metadata `ivfTopKWith` embeds as a literal; empty
     * cells keep their previous centroid. */
   def kmeansCentroids(spark: SparkSession, dir: String, nlist: Int = 10,
-                      iters: Int = 3): Seq[(Int, Array[Float])] = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
+                      iters: Int = 3): Seq[(Int, Array[Float])] =
+    kmeansCentroidsFrom(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), nlist, iters)
+
+  private[graft] def kmeansCentroidsFrom(e0: DataFrame, nlist: Int,
+                                         iters: Int): Seq[(Int, Array[Float])] = {
+    graft.functions.GraftFunctions.ensureRegistered(e0.sparkSession)
     // every Lloyd iteration re-reads the corpus projection — persist it
     // once for the training loop (at scale this cache is what makes an
     // iterative index build tolerable at all)
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val e = e0.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // deterministic seeding: the nlist rows with smallest hashed id
@@ -717,11 +722,30 @@ object Similarity {
                      numQueries: Int = 10, nlist: Int = 10, m: Int = 8,
                      ksub: Int = 16, iters: Int = 2): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    import spark.implicits._
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cands = e.filter(col("vec_id") >= numQueries)
-    val cents = kmeansCentroids(spark, dir, nlist, iters)
-    val books = pqCodebooks(cands, m, ksub, iters)
+    writeIndexArtifact(cands, indexPath,
+      kmeansCentroids(spark, dir, nlist, iters), pqCodebooks(cands, m, ksub, iters))
+  }
+
+  /** Index build from an arbitrary candidate frame — what the
+    * maintenance loop re-trains with when the LIVE corpus (original +
+    * appended deltas) has drifted off the trained cells. Centroids
+    * and codebooks both train on `cands` here (there is no separate
+    * query population at re-train time). */
+  def saveIvfPqIndexFrom(cands: DataFrame, indexPath: String, nlist: Int = 10,
+                         m: Int = 8, ksub: Int = 16, iters: Int = 2): Unit = {
+    graft.functions.GraftFunctions.ensureRegistered(cands.sparkSession)
+    val c = cands.select(col("vec_id"), col("embedding"))
+    writeIndexArtifact(c, indexPath,
+      kmeansCentroidsFrom(c, nlist, iters), pqCodebooks(c, m, ksub, iters))
+  }
+
+  private def writeIndexArtifact(cands: DataFrame, indexPath: String,
+                                 cents: Seq[(Int, Array[Float])],
+                                 books: Seq[Seq[(Int, Array[Float])]]): Unit = {
+    val spark = cands.sparkSession
+    import spark.implicits._
     cents.toDF("cell", "c_vec")
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
     books.zipWithIndex
@@ -731,6 +755,33 @@ object Similarity {
     pqEncode(cands, books)
       .withColumn("cell", explode(nearestCellsCol(col("c_emb"), cents, 1)))
       .write.mode("overwrite").parquet(s"$indexPath/codes")
+    // training-time drift baseline: per-cell occupancy AND mean
+    // quantization error (squared L2 of each vector to its assigned
+    // centroid). Occupancy catches mass shifts between cells; the
+    // error catches ORTHOGONAL drift — vectors off every trained cell
+    // scatter across cells by noise (occupancy barely moves) but sit
+    // far from whichever centroid they land on.
+    indexCellStats(spark, indexPath)
+      .withColumnRenamed("n", "n_train").withColumnRenamed("err", "err_train")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
+  /** Per-cell (n, mean squared-L2-to-centroid) over the live codes
+    * table — the drift detector's observable, computed the same way
+    * at train time (the baseline) and at each maintenance tick. One
+    * broadcast join of the nlist-row centroids table against the
+    * codes scan; output is nlist rows. */
+  private[graft] def indexCellStats(spark: SparkSession, indexPath: String): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    spark.read.parquet(s"$indexPath/codes")
+      .join(broadcast(cents), "cell")
+      .select(col("cell"),
+        aggregate(zip_with(col("c_emb"), col("c_vec"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, v) => a + v).as("d2"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), avg(col("d2")).as("err"))
   }
 
   private[graft] def loadIndexMeta(spark: SparkSession, indexPath: String)
@@ -752,14 +803,23 @@ object Similarity {
     * the stored codes — no training jobs, no full-corpus scan. */
   def ivfpqTopKFromIndex(spark: SparkSession, dir: String, indexPath: String,
                          numQueries: Int = 10, k: Int = 5, nProbe: Int = 3,
-                         refine: Int = 32): DataFrame = {
+                         refine: Int = 32): DataFrame =
+    ivfpqTopKFromIndexWith(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < numQueries),
+      indexPath, k, nProbe, refine)
+
+  /** Probe the persisted index with an ARBITRARY query frame
+    * (vec_id, embedding) — the serving entry the maintenance loop's
+    * recall checks use. */
+  def ivfpqTopKFromIndexWith(spark: SparkSession, queries0: DataFrame,
+                             indexPath: String, k: Int = 5, nProbe: Int = 3,
+                             refine: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val (cents, books) = loadIndexMeta(spark, indexPath)
     val m = books.size
     val codes = spark.read.parquet(s"$indexPath/codes")
-    val queries = pqQueryFrame(
-        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-          .filter(col("vec_id") < numQueries), books)
+    val queries = pqQueryFrame(queries0, books)
       .withColumn("cell", explode(nearestCellsCol(col("q_emb"), cents, nProbe)))
     adcRefineTopK(codes.join(broadcast(queries), "cell"), m, k, refine)
   }

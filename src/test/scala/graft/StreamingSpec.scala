@@ -608,6 +608,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming index delta sink appends encoded vectors once, replays append nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import operators.{IndexMaintenance, Similarity}
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.tabulate(8)(i =>
+      (if (i < 4) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val base = (0L until 32L).map(id => (id, vec()))
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_stream").toString
+    Similarity.saveIvfPqIndexFrom(base.toDF("vec_id", "embedding"), idx,
+      nlist = 2, m = 4, ksub = 16, iters = 1)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val delta = (100L until 110L).map(id => (id, t0, vec()))
+    def run(data: Seq[(Long, java.sql.Timestamp, Array[Float])]): Unit = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+      mem.addData(data: _*)
+      val q = IndexMaintenance.deltaSink(
+        mem.toDF.toDF("vec_id", "ts", "embedding"), idx,
+        java.nio.file.Files.createTempDirectory("graft_idx_ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(delta)
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == 42) // 32 trained + 10 streamed
+    assert(codes.select("cand_id").distinct().count() == 42)
+    // an at-least-once redelivery (fresh stream, fresh checkpoint —
+    // the same rows arrive again) appends NOTHING: the id anti-join
+    // is the idempotency boundary
+    run(delta)
+    spark.catalog.refreshByPath(s"$idx/codes")
+    assert(spark.read.parquet(s"$idx/codes").count() == 42)
+  }
+
   test("routing sink replay: a re-delivered micro-batch duplicates nothing on either side") {
     import spark.implicits._
     val cleanDir = java.nio.file.Files.createTempDirectory("graft_replay_clean").toString

@@ -1354,6 +1354,72 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.select("cand_id").distinct().count() == codes.count())
   }
 
+  test("index maintenance: drift trigger fires on off-cell deltas, re-training restores recall") {
+    import spark.implicits._
+    import operators.IndexMaintenance
+    val rnd = new scala.util.Random(42)
+    def axis(i: Int): Array[Float] = Array.tabulate(8)(j => if (j == i) 1f else 0f)
+    def noisy(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f)
+    // base corpus: 4 clusters on axes 0-3 (dims 4-7 quiet); the
+    // drifted delta + the queries live on axis 7 — a region the
+    // trained cells and codebooks never saw
+    val base = (0L until 64L).map(id => (id, noisy(axis((id % 4).toInt))))
+    val delta = (1000L until 1064L).map(id => (id, noisy(axis(7))))
+    val queries = (2000L until 2005L).map(id => (id, noisy(axis(7))))
+    val baseDf = base.toDF("vec_id", "embedding")
+    val deltaDf = delta.toDF("vec_id", "embedding")
+    val queriesDf = queries.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val union = base ++ delta
+    def recall(probe: org.apache.spark.sql.DataFrame): Double = {
+      val got = probe.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+      queries.map { case (qid, qv) =>
+        val exact = union.map { case (id, v) => (id, cos(qv, v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+        got.getOrElse(qid, Set.empty).count(exact).toDouble / 5.0
+      }.sum / queries.size
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_maint").toString
+    Similarity.saveIvfPqIndexFrom(baseDf, idx, nlist = 4, m = 4, ksub = 16, iters = 2)
+    // freshly trained: live occupancy IS the training histogram
+    val d0 = IndexMaintenance.drift(spark, idx)
+    assert(d0.tvDistance < 1e-9 && !d0.retrain)
+    // delta lands once; a replayed batch appends nothing (anti-join)
+    assert(IndexMaintenance.appendDelta(spark, idx, deltaDf) == 64L)
+    assert(IndexMaintenance.appendDelta(spark, idx, deltaDf) == 0L)
+    val d1 = IndexMaintenance.drift(spark, idx)
+    assert(d1.totalTrain == 64L && d1.totalNow == 128L)
+    // orthogonal drift scatters across stale cells by noise, so the
+    // occupancy TV stays small — the QUANTIZATION-ERROR signal is
+    // what must fire (every delta is far from whatever centroid the
+    // noise assigned it to)
+    assert(d1.errRatio >= 2.0, s"error signal must see the off-cell mass: $d1")
+    assert(d1.retrain, s"off-cell delta must trip the trigger: $d1")
+    // the stale index still SEES the deltas (they are appended) but
+    // mis-ranks them: stale codebooks quantize axis-7 variation to
+    // near-constant codes, so the ADC shortlist is effectively
+    // arbitrary within the delta cluster
+    val stale = recall(Similarity.ivfpqTopKFromIndexWith(
+      spark, queriesDf, idx, k = 5, nProbe = 2, refine = 16))
+    // maintenance tick: re-trains from the live corpus, resets stats
+    val res = IndexMaintenance.maintain(union.toDF("vec_id", "embedding"), idx,
+      threshold = 0.2, nlist = 4, m = 4, ksub = 16, iters = 3)
+    assert(res.retrained)
+    assert(!IndexMaintenance.drift(spark, idx).retrain, "stats baseline must reset")
+    val retrained = recall(Similarity.ivfpqTopKFromIndexWith(
+      spark, queriesDf, idx, k = 5, nProbe = 2, refine = 16))
+    assert(retrained > stale,
+      s"re-training must restore recall: stale=$stale retrained=$retrained")
+    assert(retrained >= 0.6, s"retrained recall floor: $retrained")
+  }
+
   test("hard negatives exclude the query's label and match a driver-side recompute") {
     val e = Tables.embeddings(spark, Sf).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray,
