@@ -300,6 +300,28 @@ object Pipeline {
   def qualityDashboardHtml(spark: SparkSession, checkLogDir: String, e: DataFrame): String =
     Reporting.qualityDashboardHtml(dashboardDays(spark, checkLogDir, e))
 
+  /** Gate-verdict dashboard days from the streaming verdict log
+    * (`SessionGateStream.gateLogSink`'s output): the shared day
+    * rollup runs distributed, and only the one-row-per-day census is
+    * collected — the same tiny-extract shape as `dashboardDays`. */
+  def gateDashboardDays(spark: SparkSession, gateLogDir: String): Seq[Reporting.GateDay] =
+    gateDashboardDaysFrom(streaming.SessionGateStream.gateDailyFromLog(spark, gateLogDir))
+
+  /** Same assembly over any frame in the `session_quality_gate` /
+    * `gateDayRollup` schema — the batch gate query renders through
+    * the identical path, so batch runs and the streaming verdict log
+    * produce byte-identical dashboards on the same sessions. */
+  def gateDashboardDaysFrom(daily: DataFrame): Seq[Reporting.GateDay] =
+    Reporting.gateDays(daily.collect().toIndexedSeq)
+
+  /** Terminal quarantine dashboard over the streaming verdict log. */
+  def gateDashboardText(spark: SparkSession, gateLogDir: String): String =
+    Reporting.gateDashboard(gateDashboardDays(spark, gateLogDir))
+
+  /** HTML quarantine dashboard over the streaming verdict log. */
+  def gateDashboardHtml(spark: SparkSession, gateLogDir: String): String =
+    Reporting.gateDashboardHtml(gateDashboardDays(spark, gateLogDir))
+
   /** Cron entry: `runMain graft.Pipeline <dataDir> <martDir>
     * [date[,date...]] [--quarantine] [--mart-jdbc=<url>]` — one
     * invocation per execution date maps 1:1 onto a scheduler run.

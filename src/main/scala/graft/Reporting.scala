@@ -286,4 +286,135 @@ object Reporting {
        |</body>
        |</html>""".stripMargin
   }
+
+  // ----------------- quarantine (gate verdict) dashboard -----------------
+  // The review-queue counterpart of the quality dashboard above: where
+  // qualityDashboard renders the CHECK log (did the corpus pass?), the
+  // gate dashboard renders the session VERDICT log (what got
+  // quarantined, why, and how big is the review backlog) — the
+  // observability surface for the WARN/quarantine branch. Input is the
+  // day-grain rollup both gate surfaces already produce
+  // (Sessionize.gateDayRollup / SessionGateStream.gateDailyFromLog),
+  // so batch runs and the streaming verdict log render identically.
+
+  /** One gate-dashboard row: a day's session/event quarantine census
+    * plus per-reason session counts (reason name -> sessions flagged). */
+  final case class GateDay(date: String, sessionsTotal: Long,
+      sessionsQuarantined: Long, eventsTotal: Long, eventsQuarantined: Long,
+      reasonSessions: Seq[(String, Long)])
+
+  /** Adapt collected day-rollup rows (the `session_quality_gate` /
+    * `gateDailyFromLog` schema) into dashboard days. */
+  def gateDays(rows: Seq[Row]): Seq[GateDay] = rows.map { r =>
+    GateDay(
+      String.valueOf(r.getAs[java.sql.Date]("session_date")),
+      r.getAs[Long]("sessions_total"), r.getAs[Long]("sessions_quarantined"),
+      r.getAs[Long]("events_total"), r.getAs[Long]("events_quarantined"),
+      Seq("range" -> r.getAs[Long]("q_range_sessions"),
+        "timestamp" -> r.getAs[Long]("q_ts_sessions"),
+        "integrity" -> r.getAs[Long]("q_integrity_sessions"),
+        "duplicate" -> r.getAs[Long]("q_dup_sessions"),
+        "sequence" -> r.getAs[Long]("q_seq_sessions")))
+  }
+
+  private def qRate(q: Long, total: Long): Double =
+    q.toDouble / math.max(total, 1L) * 100
+
+  /** Per-reason totals across the period: (reason, sessionsFlagged,
+    * shareOfQuarantinedPct) sorted worst-first. A session may carry
+    * several reasons, so shares can sum past 100%. */
+  private def reasonTotals(days: Seq[GateDay]): Seq[(String, Long, Double)] = {
+    val q = math.max(days.map(_.sessionsQuarantined).sum, 1L)
+    days.flatMap(_.reasonSessions).groupBy(_._1).toSeq
+      .map { case (name, xs) => (name, xs.map(_._2).sum) }
+      .sortBy { case (name, n) => (-n, name) }
+      .map { case (name, n) => (name, n, n.toDouble / q * 100) }
+  }
+
+  /** Terminal gate dashboard: daily quarantine table, period stats
+    * (including the review-queue event backlog), per-reason breakdown. */
+  def gateDashboard(days: Seq[GateDay]): String = {
+    if (days.isEmpty) return "[WARN] no gate verdict data"
+    val sep = "=" * 70
+    val sorted = days.sortBy(_.date)
+    val header = Seq(
+      sep, "session quarantine dashboard",
+      s"period: ${sorted.head.date} ~ ${sorted.last.date}",
+      s"${sorted.size} day(s) total", sep, "", "--- daily quarantine ---",
+      f"${"date"}%-12s ${"sessions"}%9s ${"quarant"}%8s ${"q-rate"}%7s ${"events"}%10s ${"review-q"}%9s",
+      "-" * 70)
+    val daily = sorted.map { d =>
+      f"${d.date}%-12s ${num(d.sessionsTotal)}%9s ${num(d.sessionsQuarantined)}%8s " +
+        f"${pct1(qRate(d.sessionsQuarantined, d.sessionsTotal))}%7s " +
+        f"${num(d.eventsTotal)}%10s ${num(d.eventsQuarantined)}%9s"
+    }
+    val sTot = sorted.map(_.sessionsTotal).sum
+    val sQ = sorted.map(_.sessionsQuarantined).sum
+    val stats = Seq("-" * 70, "", "--- period stats ---",
+      s"  sessions:        ${num(sTot)}",
+      s"  quarantined:     ${num(sQ)}",
+      s"  quarantine rate: ${pct1(qRate(sQ, sTot))}",
+      s"  review queue:    ${num(sorted.map(_.eventsQuarantined).sum)} event(s)")
+    val reasons = Seq("", "--- quarantine reasons (sessions flagged) ---") ++
+      reasonTotals(sorted).map { case (name, n, share) =>
+        f"  $name%-12s ${num(n)}%9s  ${pct1(share)}%6s of quarantined" +
+          (if (n > 0) "  <-- review" else "")
+      }
+    (header ++ daily ++ stats ++ reasons ++ Seq("", sep)).mkString("\n")
+  }
+
+  /** HTML gate dashboard: summary cards + the same two tables as the
+    * terminal form (self-contained inline CSS, no external assets). */
+  def gateDashboardHtml(days: Seq[GateDay]): String = {
+    val sorted = days.sortBy(_.date)
+    val sTot = sorted.map(_.sessionsTotal).sum
+    val sQ = sorted.map(_.sessionsQuarantined).sum
+    def card(label: String, value: String) =
+      s"""<div class="card"><div class="v">$value</div><div class="l">$label</div></div>"""
+    val dailyRows = sorted.map { d =>
+      val cls = if (d.sessionsQuarantined > 0) "fail" else "pass"
+      s"""<tr><td>${escHtml(d.date)}</td><td>${num(d.sessionsTotal)}</td>""" +
+        s"""<td class="$cls">${num(d.sessionsQuarantined)}</td>""" +
+        s"""<td>${pct1(qRate(d.sessionsQuarantined, d.sessionsTotal))}</td>""" +
+        s"""<td>${num(d.eventsTotal)}</td><td>${num(d.eventsQuarantined)}</td></tr>"""
+    }.mkString("\n")
+    val reasonRows = reasonTotals(sorted).map { case (name, n, share) =>
+      val cls = if (n > 0) "fail" else "pass"
+      s"""<tr><td>${escHtml(name)}</td><td class="$cls">${num(n)}</td><td>${pct1(share)}</td></tr>"""
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html lang="en">
+       |<head><meta charset="utf-8"><title>session quarantine dashboard</title>
+       |<style>
+       |  body { font-family: sans-serif; margin: 24px; }
+       |  .summary { display: flex; gap: 16px; margin: 20px 0; }
+       |  .card { border: 1px solid #ddd; border-radius: 6px; padding: 12px 20px; }
+       |  .card .v { font-size: 1.6em; font-weight: bold; }
+       |  table { border-collapse: collapse; margin: 12px 0; }
+       |  td, th { border: 1px solid #ccc; padding: 4px 10px; text-align: right; }
+       |  td:first-child, th:first-child { text-align: left; }
+       |  .pass { color: #1a7f37; } .fail { color: #cf222e; }
+       |</style></head>
+       |<body>
+       |<h1>session quarantine dashboard</h1>
+       |<div class="summary">
+       |${card("days", sorted.size.toString)}
+       |${card("sessions", num(sTot))}
+       |${card("quarantined", num(sQ))}
+       |${card("quarantine rate", pct1(qRate(sQ, sTot)))}
+       |${card("review queue", num(sorted.map(_.eventsQuarantined).sum))}
+       |</div>
+       |<h2>daily quarantine</h2>
+       |<table>
+       |<tr><th>date</th><th>sessions</th><th>quarantined</th><th>q-rate</th><th>events</th><th>review queue</th></tr>
+       |$dailyRows
+       |</table>
+       |<h2>quarantine reasons</h2>
+       |<table>
+       |<tr><th>reason</th><th>sessions flagged</th><th>share of quarantined</th></tr>
+       |$reasonRows
+       |</table>
+       |</body>
+       |</html>""".stripMargin
+  }
 }

@@ -15,40 +15,53 @@ import org.apache.spark.sql.functions._
   * in-bucket pair work, measuring densification, not scale. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
     val small = "/root/testdata/sf0.1"
-    val big = args.headOption.getOrElse("/tmp/graft_sf1")
+    val big = pos.headOption.getOrElse("/tmp/graft_sf1")
+    val deep = pos.lift(1).getOrElse("/tmp/graft_sf10")
     val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$big/events.parquet").exists()) {
-      sources.EventGenerator.events(spark, 1000000L, days = 30, users = 10000)
-        .repartition(32).write.mode("overwrite").parquet(s"$big/events.parquet")
-      Tables.documents(spark, small)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
-          explode(sequence(lit(0), lit(9))).as("rep"))
-        .select(
-          (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
-          when(col("rep") === 0, col("text"))
-            .otherwise(array_join(
-              transform(split(col("text"), " "), w => concat(w, lit("_"), col("rep"))), " "))
-            .as("text"),
-          col("lang"), col("source"), col("n_chars"))
-        .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
+    /** Disjoint-replica corpus builder, shared by the 10× and 100×
+      * (`--deep`) dirs: documents replicate with per-replica token
+      * suffixes (duplicate DENSITY unchanged — see the header note),
+      * embeddings replicate vec_id-remapped with vectors unchanged
+      * (linear-scoring ops only; pair enumerators are excluded from
+      * both probe lists), events come from the generator at n×100k. */
+    def buildCorpus(dir: String, reps: Int): Unit = {
+      if (!new java.io.File(s"$dir/events.parquet").exists()) {
+        sources.EventGenerator.events(spark, 100000L * reps, days = 30,
+            users = 1000L * reps)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+        Tables.documents(spark, small)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
+            explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+          .select(
+            (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
+            when(col("rep") === 0, col("text"))
+              .otherwise(array_join(
+                transform(split(col("text"), " "), w => concat(w, lit("_"), col("rep"))), " "))
+              .as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        // vec_id-remapped replicas, vectors unchanged: the PCA
+        // moment pass is duplicate-insensitive (timing scales with row
+        // count, the covariance is unchanged). Pair-enumerating ANN ops
+        // must NOT be probed on this table — exact replicas would
+        // densify every cell and measure pair blow-up, not scale.
+        val e = Tables.embeddings(spark, small)
+        e.withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+          .select(
+            (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id")
+              +: e.columns.filter(_ != "vec_id").toIndexedSeq.map(col): _*)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
     }
-    if (!new java.io.File(s"$big/embeddings.parquet").exists()) {
-      // ×10 vec_id-remapped replicas, vectors unchanged: the PCA
-      // moment pass is duplicate-insensitive (timing scales with row
-      // count, the covariance is unchanged). Pair-enumerating ANN ops
-      // must NOT be probed on this table — exact replicas would
-      // densify every cell ×10 and measure pair blow-up, not scale.
-      val e = Tables.embeddings(spark, small)
-      e.withColumn("rep", explode(sequence(lit(0), lit(9))))
-        .select(
-          (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id")
-            +: e.columns.filter(_ != "vec_id").toIndexedSeq.map(col): _*)
-        .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
-    }
+    buildCorpus(big, 10)
     if (!new java.io.File(s"$big/orders.parquet").exists()) {
       // ×10 replicas with order/customer keys remapped per replica:
       // order sizes and per-customer frequencies are UNCHANGED (scale,
@@ -115,10 +128,61 @@ object ScaleProbe {
     // warm both scan paths + codegen once
     Tables.events(spark, small).groupBy("event_type").count().write.format("noop").mode("overwrite").save()
     Tables.events(spark, big).groupBy("event_type").count().write.format("noop").mode("overwrite").save()
-    headline.foreach { name =>
-      val s = (1 to 2).map(_ => run(name, small)).min
-      val b = (1 to 2).map(_ => run(name, big)).min
-      println("{\"query\":\"" + name + "\",\"sf01_sec\":" + f"$s%.3f" +
+    if (!flags.contains("--deep-only") && !flags.contains("--composed-only"))
+      headline.foreach { name =>
+        val s = (1 to 2).map(_ => run(name, small)).min
+        val b = (1 to 2).map(_ => run(name, big)).min
+        println("{\"query\":\"" + name + "\",\"sf01_sec\":" + f"$s%.3f" +
+          ",\"sf1_sec\":" + f"$b%.3f" + ",\"factor\":" + f"${b / s}%.2f" + "}")
+        System.out.flush()
+      }
+
+    // ---- 100× deep leg (--deep): one more decade for the steepest
+    // 10× factors, to confirm their curves BEND (fixed overheads
+    // amortizing) rather than grow. Factors are reported per decade:
+    // f10 = sf1/sf0.1, f100 = sf10/sf1 — sub-linear means each stays
+    // well under 10.
+    if (flags.contains("--deep") || flags.contains("--deep-only")) {
+      buildCorpus(deep, 100)
+      Tables.events(spark, deep).groupBy("event_type").count()
+        .write.format("noop").mode("overwrite").save()
+      val steepest = Seq("dedup_exact", "dq_corpus_coverage", "clean_dup_spans",
+        "sample_topic_balanced", "corpus_topic_mix")
+      steepest.foreach { name =>
+        val s = (1 to 2).map(_ => run(name, small)).min
+        val b = (1 to 2).map(_ => run(name, big)).min
+        val d = (1 to 2).map(_ => run(name, deep)).min
+        println("{\"query\":\"" + name + "\",\"sf01_sec\":" + f"$s%.3f" +
+          ",\"sf1_sec\":" + f"$b%.3f" + ",\"sf10_sec\":" + f"$d%.3f" +
+          ",\"f10\":" + f"${b / s}%.2f" + ",\"f100\":" + f"${d / b}%.2f" + "}")
+        System.out.flush()
+      }
+    }
+
+    // ---- composed cron-path probe (--composed): the full per-date
+    // schedule — gate → clean-session marts → incremental JDBC merge —
+    // timed end-to-end at sf0.1 vs the 10× corpus, so the composition
+    // (not just each query) has a measured scale factor. Fresh Derby
+    // db + mart dir per measurement; per-dir the probed date is the
+    // 2nd distinct event date (a full day in both corpora).
+    if (flags.contains("--composed") || flags.contains("--composed-only")) {
+      def composedRun(dir: String): Double = {
+        val date = Tables.events(spark, dir)
+          .select(to_date(col("ts")).as("d")).where(col("d").isNotNull)
+          .distinct().orderBy("d").limit(2)
+          .collect().last.getDate(0).toString
+        val base = java.nio.file.Files.createTempDirectory("graft_composed")
+        val url = s"jdbc:derby:${base.resolve("db")};create=true"
+        val t0 = System.nanoTime()
+        Pipeline.run(spark, dir, base.resolve("marts").toString,
+          failFast = false, dates = Seq(date),
+          checkLogDir = Some(base.resolve("qlog").toString),
+          quarantine = true, martJdbc = Some(url))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s = (1 to 2).map(_ => composedRun(small)).min
+      val b = (1 to 2).map(_ => composedRun(big)).min
+      println("{\"query\":\"composed_quarantine_mart_jdbc\",\"sf01_sec\":" + f"$s%.3f" +
         ",\"sf1_sec\":" + f"$b%.3f" + ",\"factor\":" + f"${b / s}%.2f" + "}")
       System.out.flush()
     }

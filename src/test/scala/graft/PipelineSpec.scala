@@ -1028,6 +1028,49 @@ class ReportingSpec extends SparkSpec {
     assert(text.contains("null_check"))
   }
 
+  test("quarantine dashboard renders the gate verdict census from batch and log identically") {
+    // anomaly-injected sessions so every verdict class has mass
+    val dirty = sources.EventGenerator.withAnomalies(
+        sources.EventGenerator.sessionEvents(spark, 31L, 3))
+      .filter(col("user_id").isNotNull)
+    val enriched = operators.EventMarts.enrich(dirty)
+    val days = Pipeline.gateDashboardDaysFrom(
+      operators.Sessionize.sessionQualityGateFrom(enriched))
+    assert(days.nonEmpty)
+    val sQ = days.map(_.sessionsQuarantined).sum
+    assert(sQ > 0, "anomalies did not fire the gate")
+    assert(days.map(_.eventsQuarantined).sum > 0)
+    val text = Reporting.gateDashboard(days)
+    assert(text.contains("session quarantine dashboard"))
+    assert(text.contains("quarantine rate:"))
+    assert(text.contains("review queue:"))
+    assert(text.contains("<-- review"))
+    // reason rows sorted worst-first
+    val reasonOrder = Seq("range", "timestamp", "integrity", "duplicate", "sequence")
+      .map(r => r -> text.indexOf(s"  $r")).filter(_._2 >= 0)
+    val counts = days.flatMap(_.reasonSessions).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    assert(reasonOrder.map(_._1).map(counts) ==
+      reasonOrder.map(_._1).map(counts).sorted(Ordering[Long].reverse))
+    val html = Reporting.gateDashboardHtml(days)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("quarantine rate") && html.contains("review queue"))
+    assert(html.contains("<h2>quarantine reasons</h2>"))
+    assert(Reporting.gateDashboard(Nil).contains("no gate verdict data"))
+    // planted verdict log in gateLogSink's layout: the log-backed
+    // dashboard must equal the batch-backed one on the same sessions
+    val logDir = Files.createTempDirectory("graft_gate_dash").toString
+    sources.MartSink.writePartitioned(
+      operators.Sessionize.gatedSessions(enriched)
+        .withColumn("session_date",
+          date_add(lit("1970-01-01").cast("date"),
+            (col("session_start_epoch") / lit(86400)).cast("int")))
+        .withColumn("batch_id", lit(0L)),
+      logDir, Seq("session_date", "batch_id"))
+    assert(Pipeline.gateDashboardText(spark, logDir) == text)
+    assert(Pipeline.gateDashboardHtml(spark, logDir) == html)
+  }
+
   test("daily report assembles all mart sections for a real date") {
     val e = operators.EventMarts.enriched(spark, Sf)
     val date = e.select(max("event_date")).collect().head.getDate(0).toString
