@@ -338,4 +338,105 @@ object Basket {
       |JOIN pc p2 ON part2 = p2.l_partkey
       |ORDER BY pair_orders DESC, part1 ASC, part2 ASC
       |LIMIT 100""".stripMargin
+
+  /** Item-to-item collaborative filtering: for every product, its
+    * top-k nearest neighbors by COSINE over the binary user-purchase
+    * matrix (cooc/√(c_i·c_j)) — the "customers who bought X also
+    * bought Y" scorer proper, normalizing away item popularity where
+    * coviewPairs' Jaccard penalizes it and basketPairs' lift measures
+    * departure from independence. Purchase-based (all-time user-item
+    * matrix), not view-day based.
+    *
+    * Scale shape: identical bounds to coviewPairs — the distinct
+    * (user, product) matrix collapses event volume first; users
+    * outside [2, maxItemsPerUser] distinct purchased products are
+    * gated out before the pair self-join (singletons can't pair,
+    * whale/bot accounts would dominate the O(k²) in-user work); the
+    * self-join is co-located on user_id with one exchange planned for
+    * both sides. Item counts come from the SAME gated frame so the
+    * cosine denominator is consistent. The per-item top-k ranks the
+    * SYMMETRIZED pair frame (each undirected pair contributes to both
+    * endpoints' lists) — aggregated grain, 2×|pairs| rows, one
+    * product-keyed window. cooc·√-arithmetic is exact-int → single
+    * IEEE ops, so the oracle hashes exactly. */
+  def itemCfNeighbors(spark: SparkSession, dir: String, k: Int = 5,
+      maxItemsPerUser: Int = 50): DataFrame =
+    itemCfNeighborsFrom(EventMarts.enriched(spark, dir), k, maxItemsPerUser)
+
+  def itemCfNeighborsFrom(e: DataFrame, k: Int = 5,
+      maxItemsPerUser: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = e.filter(col("event_type") === "purchase" && col("product_k").isNotNull)
+      .select(col("user_id"), col("product_k"))
+      .distinct()
+      .localCheckpoint() // one events scan feeds gate, both join sides, counts
+    val eligible = ui.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items").between(2, maxItemsPerUser))
+      .select("user_id")
+    val basket = ui.join(eligible, Seq("user_id"))
+    val pairs = basket.as("a")
+      .join(basket.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.product_k") < col("b.product_k"))
+      .groupBy(col("a.product_k").as("p1"), col("b.product_k").as("p2"))
+      .agg(count(lit(1)).as("cooc_users"))
+    val itemUsers = basket.groupBy(col("product_k"))
+      .agg(count(lit(1)).as("item_users"))
+    // symmetrize so each endpoint ranks its own neighbor list
+    val sym = pairs.select(col("p1").as("product_k"), col("p2").as("neighbor_k"), col("cooc_users"))
+      .unionByName(pairs.select(col("p2").as("product_k"), col("p1").as("neighbor_k"), col("cooc_users")))
+    val w = Window.partitionBy("product_k").orderBy(desc("cosine"), asc("neighbor_k"))
+    sym
+      .join(itemUsers.withColumnRenamed("product_k", "pk").withColumnRenamed("item_users", "users_a"),
+        col("product_k") === col("pk"))
+      .join(itemUsers.withColumnRenamed("product_k", "nk").withColumnRenamed("item_users", "users_b"),
+        col("neighbor_k") === col("nk"))
+      .withColumn("cosine",
+        col("cooc_users").cast("double") /
+          sqrt((col("users_a") * col("users_b")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("product_k"), col("neighbor_k"), col("cooc_users"),
+        col("users_a"), col("users_b"), col("cosine"), col("rank"))
+      .orderBy("product_k", "rank")
+  }
+
+  val itemCfNeighborsSql: String =
+    """WITH ui AS (
+      |  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS product_k
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+      |), eligible AS (
+      |  SELECT user_id FROM ui GROUP BY user_id HAVING COUNT(*) BETWEEN 2 AND 50
+      |), basket AS (
+      |  SELECT ui.* FROM ui JOIN eligible USING (user_id)
+      |), pairs AS (
+      |  SELECT a.product_k AS p1, b.product_k AS p2, COUNT(*) AS cooc_users
+      |  FROM basket a JOIN basket b
+      |    ON a.user_id = b.user_id AND a.product_k < b.product_k
+      |  GROUP BY 1, 2
+      |), iu AS (
+      |  SELECT product_k, COUNT(*) AS item_users FROM basket GROUP BY 1
+      |), sym AS (
+      |  SELECT p1 AS product_k, p2 AS neighbor_k, cooc_users FROM pairs
+      |  UNION ALL
+      |  SELECT p2 AS product_k, p1 AS neighbor_k, cooc_users FROM pairs
+      |)
+      |SELECT product_k, neighbor_k, cooc_users, users_a, users_b, cosine,
+      |  CAST(rank AS INT) AS rank
+      |FROM (
+      |  SELECT sym.product_k, sym.neighbor_k, sym.cooc_users,
+      |    a.item_users AS users_a, b.item_users AS users_b,
+      |    CAST(sym.cooc_users AS DOUBLE)
+      |      / sqrt(CAST(a.item_users * b.item_users AS DOUBLE)) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY sym.product_k
+      |      ORDER BY CAST(sym.cooc_users AS DOUBLE)
+      |        / sqrt(CAST(a.item_users * b.item_users AS DOUBLE)) DESC,
+      |        sym.neighbor_k ASC) AS rank
+      |  FROM sym
+      |  JOIN iu a ON sym.product_k = a.product_k
+      |  JOIN iu b ON sym.neighbor_k = b.product_k
+      |) q WHERE rank <= 5
+      |ORDER BY product_k, rank""".stripMargin
 }

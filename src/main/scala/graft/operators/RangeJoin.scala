@@ -94,6 +94,81 @@ object RangeJoin {
       .orderBy("purchase_id", "view_epoch", "view_id")
   }
 
+  /** Multi-touch attribution: every view/click touch within the hour
+    * before each purchase, with LINEAR credit (value/n split evenly)
+    * and U-SHAPED positional credit (40% first touch, 40% last, the
+    * middle 20% split across interior touches; 50/50 at n=2, all at
+    * n=1) — the two standard credit models downstream of the same
+    * touch-set `attributionWindow` materializes.
+    *
+    * Plan shape: the binned range join pairs touches with purchases
+    * (same bounded fan-out as attributionWindow), then ONE window
+    * pass keyed (user_id, purchase_id) assigns positions and touch
+    * counts — the only shuffle after the join, at touch-pair grain.
+    * Credits are single IEEE ops on the double value in a pinned
+    * order (no credit SUMS in the output — the per-touch grain is the
+    * deliverable a warehouse aggregates later), so the oracle hashes
+    * exactly. */
+  def attributionMultitouch(spark: SparkSession, dir: String): DataFrame =
+    attributionMultitouchFrom(enriched(spark, dir).filter(col("ts").isNotNull))
+
+  def attributionMultitouchFrom(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_epoch").as("purchase_epoch"), col("value").as("purchase_value"))
+      .withColumn("win_start", col("purchase_epoch") - lit(WindowSeconds))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("event_epoch").as("touch_epoch"))
+    val w = Window.partitionBy("user_id", "purchase_id")
+    val pos = row_number().over(w.orderBy(col("touch_epoch"), col("touch_id")))
+    val n = count(lit(1)).over(w)
+    val pairs = rangeJoin(touches, purchases, pointTs = "touch_epoch",
+        startTs = "win_start", endTs = "purchase_epoch", keys = Seq("user_id"))
+      .withColumn("touch_pos", pos)
+      .withColumn("n_touches", n)
+    val uWeight =
+      when(col("n_touches") === 1, lit(1.0))
+        .when(col("n_touches") === 2, lit(0.5))
+        .when(col("touch_pos") === 1 || col("touch_pos") === col("n_touches"), lit(0.4))
+        .otherwise(lit(0.2) / (col("n_touches").cast("double") - lit(2.0)))
+    pairs
+      .select(col("purchase_id"), col("user_id"), col("touch_id"), col("touch_type"),
+        col("touch_pos"), col("n_touches"),
+        (col("purchase_epoch") - col("touch_epoch")).as("gap_seconds"),
+        (col("purchase_value") / col("n_touches").cast("double")).as("credit_linear"),
+        (col("purchase_value") * uWeight).as("credit_position"))
+      .orderBy("purchase_id", "touch_pos")
+  }
+
+  val attributionMultitouchSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS pep, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |), t AS (
+      |  SELECT event_id AS touch_id, event_type AS touch_type, user_id AS tu,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS tep
+      |  FROM events WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+      |), pairs AS (
+      |  SELECT p.purchase_id, p.user_id, t.touch_id, t.touch_type,
+      |    p.pep - t.tep AS gap_seconds, p.purchase_value,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY p.user_id, p.purchase_id
+      |      ORDER BY t.tep, t.touch_id) AS INT) AS touch_pos,
+      |    COUNT(*) OVER (PARTITION BY p.user_id, p.purchase_id) AS n_touches
+      |  FROM p JOIN t ON p.user_id = t.tu AND t.tep BETWEEN p.pep - 3600 AND p.pep
+      |)
+      |SELECT purchase_id, user_id, touch_id, touch_type, touch_pos, n_touches,
+      |  gap_seconds,
+      |  purchase_value / CAST(n_touches AS DOUBLE) AS credit_linear,
+      |  purchase_value * (CASE
+      |    WHEN n_touches = 1 THEN 1.0
+      |    WHEN n_touches = 2 THEN 0.5
+      |    WHEN touch_pos = 1 OR touch_pos = n_touches THEN 0.4
+      |    ELSE 0.2 / (CAST(n_touches AS DOUBLE) - 2.0) END) AS credit_position
+      |FROM pairs ORDER BY purchase_id, touch_pos""".stripMargin
+
   val attributionWindowSql: String =
     """WITH p AS (
       |  SELECT event_id AS purchase_id, user_id,

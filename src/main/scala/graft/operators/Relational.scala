@@ -1002,4 +1002,74 @@ object Relational {
       |FROM lat
       |GROUP BY order_month
       |ORDER BY order_month""".stripMargin
+
+  /** Revenue Pareto / ABC curve: the top-100 parts by discounted
+    * revenue with cumulative corpus share and the A/B/C inventory
+    * class (A up to 80% cumulative share, B to 95%, C beyond) — the
+    * 80/20 concentration analysis every assortment review starts
+    * from.
+    *
+    * Scale shape: the per-part revenue rollup is the only fact-sized
+    * shuffle; the curve itself ranks a TakeOrdered top-100 (no global
+    * sort materialization — the full-dimension prefix-sum would need
+    * a range-partitioned two-pass and is deliberately out of scope),
+    * then windows over those ≤100 rows with the 1-row broadcast grand
+    * total. Revenue accumulates in decimal; shares are single IEEE
+    * divisions, so the class thresholds compare identically in both
+    * engines. */
+  def revenuePareto(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    revenueParetoFrom(Tables.lineitem(spark, dir), k)
+
+  def revenueParetoFrom(lineitem: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    val partRev = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(rev).as("revenue_dec"))
+    val total = partRev.agg(sum(col("revenue_dec")).as("total_dec"))
+    val w = Window.orderBy(desc("revenue_dec"), asc("l_partkey"))
+    val cum = sum(col("revenue_dec"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    partRev
+      .orderBy(desc("revenue_dec"), asc("l_partkey")).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_share_pct",
+        cum.cast("double") / col("total_dec").cast("double") * lit(100.0))
+      .withColumn("abc_class",
+        when(col("cum_share_pct") <= 80.0, "A")
+          .when(col("cum_share_pct") <= 95.0, "B")
+          .otherwise("C"))
+      .select(col("rank"), col("l_partkey"),
+        col("revenue_dec").cast("double").as("revenue"),
+        (col("revenue_dec").cast("double") / col("total_dec").cast("double") * lit(100.0))
+          .as("share_pct"),
+        col("cum_share_pct"), col("abc_class"))
+      .orderBy("rank")
+  }
+
+  val revenueParetoSql: String =
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue_dec
+      |  FROM lineitem GROUP BY l_partkey
+      |), tot AS (SELECT SUM(revenue_dec) AS total_dec FROM pr),
+      |top AS (SELECT * FROM pr ORDER BY revenue_dec DESC, l_partkey ASC LIMIT 100)
+      |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, l_partkey,
+      |  CAST(revenue_dec AS DOUBLE) AS revenue,
+      |  CAST(revenue_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) * 100.0 AS share_pct,
+      |  cum_share_pct,
+      |  CASE WHEN cum_share_pct <= 80.0 THEN 'A'
+      |       WHEN cum_share_pct <= 95.0 THEN 'B' ELSE 'C' END AS abc_class
+      |FROM (
+      |  SELECT l_partkey, revenue_dec, total_dec,
+      |    CAST(SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC, l_partkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      / CAST(total_dec AS DOUBLE) * 100.0 AS cum_share_pct
+      |  FROM top CROSS JOIN tot
+      |) q
+      |WINDOW w AS (ORDER BY revenue_dec DESC, l_partkey ASC)
+      |ORDER BY rank""".stripMargin
 }

@@ -1578,4 +1578,240 @@ object TextAnalysis {
       |GROUP BY corpus.doc_id
       |HAVING COUNT(bench.gram) > 0
       |ORDER BY corpus.doc_id""".stripMargin
+
+  /** Zipf frequency curve: the corpus' top-k terms with rank,
+    * frequency, the rank×frequency product (Zipf's law predicts it
+    * near-constant), and per-term + cumulative corpus share — the
+    * first diagnostic plot of any tokenizer/corpus study.
+    *
+    * Scale shape: one explode→count term aggregate (map-side
+    * combined), a TakeOrdered top-k (never a global sort), and THEN
+    * the rank window — partitionless but over the ≤k-row frame the
+    * limit already bounded, the same post-limit pattern as
+    * product_top_n. The grand total joins as a 1-row broadcast. */
+  def zipfCurve(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    zipfCurveFrom(Tables.documents(spark, dir), k)
+
+  def zipfCurveFrom(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).cast("bigint").as("total_tokens"))
+    val top = counts.orderBy(desc("freq"), asc("term")).limit(k)
+    val w = Window.orderBy(desc("freq"), asc("term"))
+    top
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("rank_freq", col("rank").cast("bigint") * col("freq"))
+      .withColumn("share_pct",
+        col("freq").cast("double") / col("total_tokens").cast("double") * lit(100.0))
+      .withColumn("cum_share_pct",
+        sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("total_tokens").cast("double") * lit(100.0))
+      .select(col("rank"), col("term"), col("freq"), col("rank_freq"),
+        col("share_pct"), col("cum_share_pct"))
+      .orderBy("rank")
+  }
+
+  val zipfCurveSql: String =
+    """WITH c AS (
+      |  SELECT term, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+      |  ) t GROUP BY term
+      |), tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM c),
+      |top AS (SELECT term, freq FROM c ORDER BY freq DESC, term ASC LIMIT 100)
+      |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, term, freq,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) * freq AS rank_freq,
+      |  CAST(freq AS DOUBLE) / CAST(total_tokens AS DOUBLE) * 100.0 AS share_pct,
+      |  CAST(SUM(freq) OVER (ORDER BY freq DESC, term ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(total_tokens AS DOUBLE) * 100.0 AS cum_share_pct
+      |FROM top CROSS JOIN tot
+      |WINDOW w AS (ORDER BY freq DESC, term ASC)
+      |ORDER BY rank""".stripMargin
+
+  /** Vocabulary growth (Heaps' law): bucket the corpus into ten
+    * doc_id-range deciles and census tokens, DISTINCT words, and
+    * FIRST-SEEN words per decile, with cumulative vocabulary and the
+    * running type/token ratio — how much new vocabulary another slab
+    * of corpus buys, the diagnostic behind "is more data still adding
+    * words".
+    *
+    * Scale shape: the decile is pure arithmetic on doc_id against the
+    * 1-row broadcast max (no global NTILE sort); first-seen attributes
+    * each word to min(decile) — one word-grain shuffle; the final
+    * cumulative window runs over the 10-row census. Deciles are
+    * id-RANGE slabs (deterministic, ingestion-order-ish), not
+    * equal-count buckets — the honest reading for append-only corpora. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthFrom(Tables.documents(spark, dir))
+
+  def vocabGrowthFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val decile = least(floor(col("doc_id") * lit(10) / (col("max_id") + lit(1))), lit(9L))
+      .cast("int").as("decile")
+    val based = docs.crossJoin(broadcast(maxId))
+      .select(decile, col("doc_id"), tokens(col("text")).as("toks"))
+    val docCensus = based
+      .select(col("decile"), size(col("toks")).as("n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("bigint").as("n_tokens"))
+    val words = based
+      .select(col("decile"), explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(min(col("decile")).as("first_decile"))
+    val firstSeen = words.groupBy(col("first_decile").as("decile"))
+      .agg(count(lit(1)).as("new_words"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docCensus.join(firstSeen, Seq("decile"), "left")
+      .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+      .withColumn("cum_vocab", sum(col("new_words")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("type_token_ratio",
+        col("cum_vocab").cast("double") / col("cum_tokens").cast("double"))
+      .select(col("decile"), col("n_docs"), col("n_tokens"), col("new_words"),
+        col("cum_vocab"), col("cum_tokens"), col("type_token_ratio"))
+      .orderBy("decile")
+  }
+
+  val vocabGrowthSql: String =
+    """WITH m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+      |based AS (
+      |  SELECT CAST(LEAST(CAST(FLOOR(doc_id * 10 / (max_id + 1)) AS BIGINT), 9) AS INT) AS decile,
+      |    doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents CROSS JOIN m
+      |), dc AS (
+      |  SELECT decile, COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+      |  FROM based GROUP BY decile
+      |), fs AS (
+      |  SELECT first_decile AS decile, COUNT(*) AS new_words FROM (
+      |    SELECT word, MIN(decile) AS first_decile
+      |    FROM (SELECT decile, unnest(toks) AS word FROM based) t GROUP BY word
+      |  ) g GROUP BY first_decile
+      |)
+      |SELECT dc.decile, dc.n_docs, dc.n_tokens,
+      |  COALESCE(fs.new_words, 0) AS new_words,
+      |  CAST(SUM(COALESCE(fs.new_words, 0)) OVER cumw AS BIGINT) AS cum_vocab,
+      |  CAST(SUM(dc.n_tokens) OVER cumw AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(COALESCE(fs.new_words, 0)) OVER cumw AS DOUBLE)
+      |    / CAST(SUM(dc.n_tokens) OVER cumw AS DOUBLE) AS type_token_ratio
+      |FROM dc LEFT JOIN fs USING (decile)
+      |WINDOW cumw AS (ORDER BY dc.decile
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY dc.decile""".stripMargin
+
+  /** Per-document TF-IDF keyword extraction: the top-3 most
+    * characteristic terms of every document — the metadata tag a
+    * curation pipeline attaches for topical routing and dedup triage.
+    * The idf factor is the RAW rarity ratio N/df, not log(N/df): the
+    * per-document ranking log idf produces is identical (log is
+    * monotone and df is the only variable), and rational arithmetic
+    * keeps the oracle hash exact (the repo's libm rule — see
+    * rarityScore).
+    *
+    * Scale shape: one explode→(doc,term) count; document frequency is
+    * a term-grain rollup of the SAME postings frame joined back on
+    * term (term-partitioned, no broadcast assumption — vocabulary at
+    * corpus scale is large); doc length rides the postings (a
+    * doc-grain window subset-satisfied by the doc-term shuffle); the
+    * final top-3 window is keyed by doc_id. N is a 1-row broadcast. */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfKeywordsFrom(Tables.documents(spark, dir), k)
+
+  def tfidfKeywordsFrom(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val withDl = postings.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy("doc_id")).cast("bigint"))
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score = (col("tf").cast("double") / col("dl").cast("double")) *
+      (col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    withDl.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
+        col("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |    FROM documents
+      |  ) t GROUP BY doc_id, term
+      |), wd AS (
+      |  SELECT doc_id, term, tf,
+      |    CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+      |  FROM p
+      |), d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, term, tf, dl, df, score, CAST(rank AS INT) AS rank FROM (
+      |  SELECT wd.doc_id, wd.term, wd.tf, wd.dl, d.df,
+      |    (CAST(wd.tf AS DOUBLE) / CAST(wd.dl AS DOUBLE)) *
+      |      (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY wd.doc_id
+      |      ORDER BY (CAST(wd.tf AS DOUBLE) / CAST(wd.dl AS DOUBLE)) *
+      |        (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) DESC, wd.term ASC) AS rank
+      |  FROM wd JOIN d USING (term) CROSS JOIN n
+      |) q WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** Okapi BM25 ranking of the corpus against the shared literal
+    * query-term set — keywordSearch's scored sibling (that query
+    * ranks per-term postings by raw tf; this one fuses the terms into
+    * one relevance score with saturation and length normalization).
+    * True BM25 carries Math.log idf, so this is a ROWS-ONLY query
+    * (the libm rule); the exact-math spec pins it driver-side on the
+    * same JVM.
+    *
+    * Scale shape: the term filter lands BEFORE aggregation (only
+    * query-term postings survive the explode, as in keywordSearch);
+    * per-doc fusion is a FIXED-ORDER conditional aggregate over the
+    * term list — not a float sum over shuffle-ordered rows, so scores
+    * are bit-stable run to run; corpus stats (N, avgdl) are one tiny
+    * aggregate broadcast back; df is ≤|terms| rows broadcast; top-10
+    * is TakeOrdered. */
+  def searchBm25(spark: SparkSession, dir: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchBm25From(Tables.documents(spark, dir), k, k1, b)
+
+  def searchBm25From(docs: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = docs.select(size(tokens(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val postings = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(SearchTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val contrib = postings.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * tfNorm)
+    // fixed-order fusion: one conditional aggregate per query term,
+    // added in term-list order — never a shuffle-ordered float sum
+    val perTerm = SearchTerms.map(t =>
+      coalesce(max(when(col("term") === t, col("contrib"))), lit(0.0)))
+    contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        perTerm.reduce(_ + _).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.EventMarts.enriched
+
+/** User-level analytics beyond the daily marts: growth accounting
+  * (the new/retained/resurrected/lapsed state machine), the per-user
+  * feature matrix a training pipeline exports, and the hour-of-week
+  * seasonality profile.
+  *
+  * Reference anchor: scripts/spark_batch_processor.py's user
+  * aggregates and the retention family (EventMarts) — these extend
+  * the same grain with the standard product-analytics surfaces the
+  * reference's mart consumers compute downstream in SQL.
+  *
+  * Scale notes: every query here is one shuffle at user (or
+  * user-day) grain with map-side partial aggregation, plus window
+  * functions whose partition keys are subsets of the grouping keys —
+  * no whole-frame windows, no Expand plans. All output arithmetic is
+  * exact integers/decimals or single IEEE divisions of them, so the
+  * DuckDB oracle hashes bit-identically (the repo's libm rule:
+  * Math.log never reaches an oracle-checked column).
+  */
+object UserAnalytics {
+
+  /** Churn horizon for growth accounting: a returning gap ≤ 7 days
+    * counts as retained, > 7 days as resurrected. */
+  val ChurnDays = 7
+
+  /** Daily growth accounting over user active-days. For each user
+    * active-date: `new` (first activity ever), `retained` (previous
+    * active day within [[ChurnDays]]), `resurrected` (longer gap);
+    * `lapsed_after` marks active-days followed by a gap longer than
+    * the horizon (or no activity again) — the standard
+    * new/retained/resurrected/churned ledger (Growth Accounting),
+    * day-censused.
+    *
+    * Plan shape: distinct (user, date) — one shuffle with partial
+    * dedup — then lag/lead over the per-user date sequence (window
+    * subset-satisfied by a user_id exchange), then a tiny day-grain
+    * rollup. At 100 TB the distinct is the only fact-sized exchange
+    * and it carries two columns. */
+  def userLifecycle(spark: SparkSession, dir: String): DataFrame =
+    userLifecycleFrom(enriched(spark, dir))
+
+  def userLifecycleFrom(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_date")
+    val days = e.filter(col("user_id").isNotNull && col("event_date").isNotNull)
+      .select(col("user_id"), col("event_date")).distinct()
+      .withColumn("prev_gap", datediff(col("event_date"), lag("event_date", 1).over(w)))
+      .withColumn("next_gap", datediff(lead("event_date", 1).over(w), col("event_date")))
+    days
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        count(when(col("prev_gap").isNull, 1)).as("new_users"),
+        count(when(col("prev_gap") <= ChurnDays, 1)).as("retained_users"),
+        count(when(col("prev_gap") > ChurnDays, 1)).as("resurrected_users"),
+        count(when(col("next_gap").isNull || col("next_gap") > ChurnDays, 1))
+          .as("lapsed_after_users"))
+      .orderBy("event_date")
+  }
+
+  val userLifecycleSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |), seq AS (
+       |  SELECT user_id, event_date,
+       |    date_diff('day', LAG(event_date) OVER w, event_date) AS prev_gap,
+       |    date_diff('day', event_date, LEAD(event_date) OVER w) AS next_gap
+       |  FROM days WINDOW w AS (PARTITION BY user_id ORDER BY event_date)
+       |)
+       |SELECT event_date, COUNT(*) AS active_users,
+       |  COUNT(CASE WHEN prev_gap IS NULL THEN 1 END) AS new_users,
+       |  COUNT(CASE WHEN prev_gap <= $ChurnDays THEN 1 END) AS retained_users,
+       |  COUNT(CASE WHEN prev_gap > $ChurnDays THEN 1 END) AS resurrected_users,
+       |  COUNT(CASE WHEN next_gap IS NULL OR next_gap > $ChurnDays THEN 1 END)
+       |    AS lapsed_after_users
+       |FROM seq GROUP BY event_date ORDER BY event_date""".stripMargin
+
+  /** Per-user feature matrix — the row a training pipeline exports
+    * per user: type counts, activity span/recency, monetary value,
+    * and derived rates. One user-grain shuffle (the per-type counts
+    * are conditional aggregates, not an Expand); the corpus-max date
+    * for recency is a 1-row broadcast, never a whole-frame window.
+    * Derived columns are single IEEE divisions of exact ints/decimals
+    * (deterministic across engines); monetary sums in decimal. */
+  def userFeatureMatrix(spark: SparkSession, dir: String): DataFrame =
+    userFeatureMatrixFrom(enriched(spark, dir))
+
+  def userFeatureMatrixFrom(e: DataFrame): DataFrame = {
+    val typed = e.filter(col("user_id").isNotNull && col("event_date").isNotNull)
+    val maxDate = typed.agg(max(col("event_date")).as("corpus_max_date"))
+    typed
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        countDistinct(col("event_date")).as("active_days"),
+        min(col("event_date")).as("first_date"),
+        max(col("event_date")).as("last_date"),
+        coalesce(sum(when(col("event_type") === "purchase", col("value"))
+          .cast("decimal(12,2)")), lit(0).cast("decimal(12,2)")).as("monetary"))
+      .crossJoin(broadcast(maxDate))
+      .withColumn("tenure_days", datediff(col("last_date"), col("first_date")))
+      .withColumn("recency_days", datediff(col("corpus_max_date"), col("last_date")))
+      .withColumn("avg_purchase_value",
+        when(col("n_purchase") > 0,
+          col("monetary").cast("double") / col("n_purchase").cast("double")))
+      .withColumn("events_per_active_day",
+        col("n_events").cast("double") / col("active_days").cast("double"))
+      .withColumn("error_rate",
+        col("n_error").cast("double") / col("n_events").cast("double"))
+      .select(col("user_id"), col("n_events"), col("n_view"), col("n_click"),
+        col("n_purchase"), col("n_signup"), col("n_error"), col("active_days"),
+        col("first_date"), col("last_date"), col("tenure_days"), col("recency_days"),
+        col("monetary").cast("double").as("monetary"), col("avg_purchase_value"),
+        col("events_per_active_day"), col("error_rate"))
+      .orderBy("user_id")
+  }
+
+  val userFeatureMatrixSql: String =
+    """WITH typed AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS event_date, event_type, value
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), m AS (SELECT MAX(event_date) AS corpus_max_date FROM typed)
+      |SELECT user_id, n_events, n_view, n_click, n_purchase, n_signup, n_error,
+      |  active_days, first_date, last_date,
+      |  date_diff('day', first_date, last_date) AS tenure_days,
+      |  date_diff('day', last_date, corpus_max_date) AS recency_days,
+      |  CAST(monetary AS DOUBLE) AS monetary,
+      |  CASE WHEN n_purchase > 0
+      |    THEN CAST(monetary AS DOUBLE) / CAST(n_purchase AS DOUBLE) END
+      |    AS avg_purchase_value,
+      |  CAST(n_events AS DOUBLE) / CAST(active_days AS DOUBLE) AS events_per_active_day,
+      |  CAST(n_error AS DOUBLE) / CAST(n_events AS DOUBLE) AS error_rate
+      |FROM (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |    COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |    COUNT(DISTINCT event_date) AS active_days,
+      |    MIN(event_date) AS first_date, MAX(event_date) AS last_date,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(12,2)) END), 0) AS monetary
+      |  FROM typed GROUP BY user_id
+      |) u CROSS JOIN m
+      |ORDER BY user_id""".stripMargin
+
+  /** Hour-of-week traffic seasonality: for each (day-of-week, hour)
+    * slot, events per calendar day of that weekday with a
+    * zero-day-aware mean and standard deviation — the baseline an
+    * hour-grain traffic anomaly alert compares against (dq_anomaly's
+    * weekly-seasonal sibling).
+    *
+    * Zero-days matter: a slot that saw traffic on 3 of a weekday's 5
+    * calendar days must average over 5, so the per-dow calendar-day
+    * census joins in (a ≤7-row broadcast). Variance comes from exact
+    * integer sums (Σx, Σx², n) in one pass; mean/std are then single
+    * IEEE ops in a pinned order, so Spark and DuckDB agree
+    * bit-for-bit (sqrt is correctly-rounded in both). */
+  def trafficSeasonality(spark: SparkSession, dir: String): DataFrame =
+    trafficSeasonalityFrom(enriched(spark, dir))
+
+  def trafficSeasonalityFrom(e: DataFrame): DataFrame = {
+    val typed = e.filter(col("ts").isNotNull)
+      .select(col("event_date"), dayofweek(col("event_date")).as("dow"),
+        hour(col("ts")).as("event_hour"))
+    // one calendar-day census per weekday (≤7 rows, broadcast back)
+    val dowDays = typed.select(col("event_date"), col("dow")).distinct()
+      .groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
+    val slots = typed
+      .groupBy(col("event_date"), col("dow"), col("event_hour"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("dow"), col("event_hour"))
+      .agg(
+        count(lit(1)).as("days_active"),
+        sum(col("n")).as("total_events"),
+        sum(col("n") * col("n")).as("sum_sq"),
+        max(col("n")).as("max_day"))
+    val grand = slots.agg(sum(col("total_events")).as("grand_total"))
+    val mean = col("total_events").cast("double") / col("n_days").cast("double")
+    slots.join(broadcast(dowDays), "dow")
+      .crossJoin(broadcast(grand))
+      .withColumn("mean_per_day", mean)
+      .withColumn("std_per_day",
+        sqrt((col("sum_sq").cast("double") -
+          col("n_days").cast("double") * col("mean_per_day") * col("mean_per_day")) /
+          col("n_days").cast("double")))
+      .withColumn("share_pct",
+        col("total_events").cast("double") / col("grand_total").cast("double") * lit(100.0))
+      .select(col("dow"), col("event_hour"), col("n_days"), col("days_active"),
+        col("total_events"), col("max_day"), col("mean_per_day"),
+        col("std_per_day"), col("share_pct"))
+      .orderBy("dow", "event_hour")
+  }
+
+  val trafficSeasonalitySql: String =
+    """WITH typed AS (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    CAST(EXTRACT(dow FROM CAST(ts AS DATE)) AS INT) + 1 AS dow,
+      |    CAST(EXTRACT(hour FROM ts) AS INT) AS event_hour
+      |  FROM events WHERE ts IS NOT NULL
+      |), dow_days AS (
+      |  SELECT dow, COUNT(*) AS n_days FROM
+      |    (SELECT DISTINCT event_date, dow FROM typed) d GROUP BY dow
+      |), daily AS (
+      |  SELECT event_date, dow, event_hour, COUNT(*) AS n
+      |  FROM typed GROUP BY 1, 2, 3
+      |), slots AS (
+      |  SELECT dow, event_hour, COUNT(*) AS days_active,
+      |    CAST(SUM(n) AS BIGINT) AS total_events,
+      |    CAST(SUM(n * n) AS BIGINT) AS sum_sq, MAX(n) AS max_day
+      |  FROM daily GROUP BY 1, 2
+      |), g AS (SELECT CAST(SUM(total_events) AS BIGINT) AS grand_total FROM slots)
+      |SELECT s.dow, s.event_hour, d.n_days, s.days_active, s.total_events, s.max_day,
+      |  CAST(s.total_events AS DOUBLE) / CAST(d.n_days AS DOUBLE) AS mean_per_day,
+      |  sqrt((CAST(s.sum_sq AS DOUBLE) -
+      |    CAST(d.n_days AS DOUBLE) *
+      |      (CAST(s.total_events AS DOUBLE) / CAST(d.n_days AS DOUBLE)) *
+      |      (CAST(s.total_events AS DOUBLE) / CAST(d.n_days AS DOUBLE))) /
+      |    CAST(d.n_days AS DOUBLE)) AS std_per_day,
+      |  CAST(s.total_events AS DOUBLE) / CAST(g.grand_total AS DOUBLE) * 100.0 AS share_pct
+      |FROM slots s JOIN dow_days d USING (dow) CROSS JOIN g
+      |ORDER BY dow, event_hour""".stripMargin
+}

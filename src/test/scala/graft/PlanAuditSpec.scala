@@ -40,6 +40,17 @@ class PlanAuditSpec extends SparkSpec {
     // rfm_segments broadcasts TWO one-row frames (reference date and
     // percentile thresholds) — the same scalar pattern
     "rfm_segments", "rfm_segments_approx",
+    // user_feature_matrix crosses user rows with the ONE-ROW broadcast
+    // corpus-max date; traffic_seasonality crosses its ≤168 slot rows
+    // with the ONE-ROW grand total — both the scalar-subquery pattern
+    "user_feature_matrix", "traffic_seasonality",
+    // zipf_curve / vocab_growth / doc_tfidf_keywords / search_bm25
+    // each cross ONE-ROW broadcast corpus stats (total tokens, max id,
+    // doc count, N+avgdl) — the scalar-subquery pattern again
+    "zipf_curve", "vocab_growth", "doc_tfidf_keywords", "search_bm25",
+    // revenue_pareto crosses its post-limit ≤100 rows with the ONE-ROW
+    // broadcast grand total
+    "revenue_pareto",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")

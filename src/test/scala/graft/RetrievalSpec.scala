@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Basket, EventMarts, Relational, TextAnalysis}
+
+/** Specs for the retrieval/corpus-statistics family (BM25, TF-IDF
+  * keywords, Zipf/Heaps curves) and the affinity/Pareto queries. */
+class RetrievalSpec extends SparkSpec {
+
+  private def docs(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", s"src${i % 3}", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("zipf curve: planted frequencies rank deterministically with exact shares") {
+    val d = docs(Seq("a a a b b c", "b a"))
+    val rows = TextAnalysis.zipfCurveFrom(d, k = 2).collect()
+    assert(rows.map(_.getAs[String]("term")).toSeq == Seq("a", "b"))
+    val a = rows(0)
+    assert(a.getAs[Int]("rank") == 1 && a.getAs[Long]("freq") == 4 &&
+      a.getAs[Long]("rank_freq") == 4)
+    assert(a.getAs[Double]("share_pct") == 4.0 / 8.0 * 100.0)
+    val b = rows(1)
+    assert(b.getAs[Long]("freq") == 3 && b.getAs[Long]("rank_freq") == 6)
+    assert(b.getAs[Double]("cum_share_pct") == 7.0 / 8.0 * 100.0)
+  }
+
+  test("vocab growth: words attribute to their first decile; cumulative vocab is the corpus vocabulary") {
+    // 10 docs, ids 0..9 → one per decile. Words: "w" everywhere
+    // (first decile 0), each doc i also has unique word u_i.
+    val d = docs((0 until 10).map(i => s"w u$i"))
+    val rows = TextAnalysis.vocabGrowthFrom(d).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (0 until 10))
+    assert(rows.head.getAs[Long]("new_words") == 2) // w + u0
+    assert(rows.tail.forall(_.getAs[Long]("new_words") == 1))
+    assert(rows.last.getAs[Long]("cum_vocab") == 11)
+    assert(rows.last.getAs[Long]("cum_tokens") == 20)
+    assert(rows.last.getAs[Double]("type_token_ratio") == 11.0 / 20.0)
+    // sf invariant: final cum_vocab equals the corpus distinct-word count
+    val sf = TextAnalysis.vocabGrowth(spark, Sf).orderBy(desc("decile")).limit(1)
+      .collect().head.getAs[Long]("cum_vocab")
+    val vocab = Tables.documents(spark, Sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .distinct().count()
+    assert(sf == vocab)
+  }
+
+  test("tf-idf keywords: rarity dominates; common terms rank below distinctive ones") {
+    // "common" is in all 3 docs (idf 1); each doc has a distinctive
+    // term with idf 3 that must win rank 1 despite equal tf.
+    val d = docs(Seq(
+      "common alpha common", "common beta", "common gamma gamma"))
+    val rows = TextAnalysis.tfidfKeywordsFrom(d, k = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(rows(0L).head.getAs[String]("term") == "alpha")
+    assert(rows(1L).head.getAs[String]("term") == "beta")
+    assert(rows(2L).head.getAs[String]("term") == "gamma")
+    // doc 2: gamma tf=2 dl=3 df=1 n=3 → (2/3)*(3/1) = 2.0 exactly
+    assert(rows(2L).head.getAs[Double]("score") == (2.0 / 3.0) * (3.0 / 1.0))
+    assert(rows(2L).map(_.getAs[String]("term")).toSet == Set("gamma", "common"))
+  }
+
+  test("BM25 matches an exact driver-side recompute on the same JVM") {
+    val (k1, b) = (1.2, 0.75)
+    val terms = Seq("spark", "vector", "stream", "window")
+    val d = Tables.documents(spark, Sf)
+    val corpus = d.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size.toLong).sum.toDouble / n.toDouble
+    val df = terms.map(t => t -> corpus.values.count(_.contains(t))).toMap
+    def score(toks: Seq[String]): Double = {
+      val dl = toks.size
+      terms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0.0
+        else {
+          // Spark's log expression evaluates via StrictMath — the JVM
+          // intrinsic Math.log can differ in the last ulp
+          val idf = StrictMath.log(1.0 + (n.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5))
+          idf * ((tf.toDouble * (k1 + 1.0)) /
+            (tf.toDouble + k1 * ((1.0 - b) + (b * dl.toDouble) / avgdl)))
+        }
+      }.reduce(_ + _)
+    }
+    val expected = corpus.toSeq.map { case (id, toks) => (id, score(toks)) }
+      .filter(_._2 > 0.0)
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = TextAnalysis.searchBm25(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(got == expected, s"\ngot     =$got\nexpected=$expected")
+  }
+
+  test("item CF: cosine neighbors from planted purchases; whales and singletons gated out") {
+    import spark.implicits._
+    // u1:{1,2} u2:{1,2} u3:{1,3} u4:{9} (singleton — out)
+    // u5 buys 4 items with maxItemsPerUser=3 — out
+    val rows = Seq(
+      (1L, 1), (1L, 2), (2L, 1), (2L, 2), (3L, 1), (3L, 3), (4L, 9),
+      (5L, 1), (5L, 2), (5L, 3), (5L, 4))
+      .zipWithIndex.map { case ((u, p), i) =>
+        (i.toLong, u, "2024-01-01 10:00:00", "purchase", 5.0, s"""{"k": $p}""") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Basket.itemCfNeighborsFrom(EventMarts.enrich(rows),
+        k = 5, maxItemsPerUser = 3).collect()
+    val byItem = got.groupBy(_.getAs[Int]("product_k"))
+    assert(!byItem.contains(9)) // singleton's item never pairs
+    // item 1 users {u1,u2,u3}=3, item 2 users {u1,u2}=2, cooc(1,2)=2
+    val n12 = byItem(1).find(_.getAs[Int]("neighbor_k") == 2).get
+    assert(n12.getAs[Long]("cooc_users") == 2 &&
+      n12.getAs[Long]("users_a") == 3 && n12.getAs[Long]("users_b") == 2)
+    assert(n12.getAs[Double]("cosine") == 2.0 / math.sqrt(6.0))
+    // symmetric: item 2 lists item 1 with the same cosine
+    val n21 = byItem(2).find(_.getAs[Int]("neighbor_k") == 1).get
+    assert(n21.getAs[Double]("cosine") == n12.getAs[Double]("cosine"))
+    // rank 1 for item 1 is item 2 (cosine 2/√6 ≈ .816 > 1/√6 of item 3)
+    assert(byItem(1).minBy(_.getAs[Int]("rank")).getAs[Int]("neighbor_k") == 2)
+  }
+
+  test("revenue Pareto: planted concentration yields exact A/B/C classes") {
+    import spark.implicits._
+    // revenues: p1=800, p2=150, p3=50 → cum 80%/95%/100%
+    val li = Seq(
+      (1L, 1L, 800.0, 0.0), (2L, 2L, 150.0, 0.0), (3L, 3L, 50.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    val rows = Relational.revenueParetoFrom(li).collect()
+    assert(rows.map(r => (r.getAs[Long]("l_partkey"), r.getAs[String]("abc_class"))).toSeq ==
+      Seq((1L, "A"), (2L, "B"), (3L, "C")))
+    assert(rows.map(_.getAs[Double]("cum_share_pct")).toSeq == Seq(80.0, 95.0, 100.0))
+    assert(rows.head.getAs[Double]("revenue") == 800.0)
+    // discount applies: same part, 10% off second line
+    val li2 = Seq((1L, 1L, 100.0, 0.0), (2L, 1L, 100.0, 0.10))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    val r2 = Relational.revenueParetoFrom(li2).collect()
+    assert(r2.head.getAs[Double]("revenue") == 190.0)
+  }
+}

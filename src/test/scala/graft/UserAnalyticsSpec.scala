@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventMarts, RangeJoin, UserAnalytics}
+
+class UserAnalyticsSpec extends SparkSpec {
+
+  private def ev(rows: Seq[(Long, Long, String, String, Double)]) = {
+    import spark.implicits._
+    EventMarts.enrich(
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("props", lit("{}")))
+  }
+
+  test("user lifecycle: planted gaps classify new/retained/resurrected/lapsed exactly") {
+    // u1: d1, d3 (gap 2 → retained), d20 (gap 17 → resurrected)
+    // u2: d1 only (new, lapses after)
+    // u3: d3, d8 (gap 5 → retained), last day of corpus → lapsed_after
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-03 10:00:00", "view", 1.0),
+      (3L, 1L, "2024-01-20 10:00:00", "view", 1.0),
+      (4L, 2L, "2024-01-01 11:00:00", "click", 1.0),
+      (5L, 3L, "2024-01-03 09:00:00", "view", 1.0),
+      (6L, 3L, "2024-01-08 09:00:00", "view", 1.0),
+      (7L, 1L, "2024-01-01 12:00:00", "view", 1.0))) // same-day dup collapses
+    val got = UserAnalytics.userLifecycleFrom(e).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getAs[Long]("active_users"), r.getAs[Long]("new_users"),
+          r.getAs[Long]("retained_users"), r.getAs[Long]("resurrected_users"),
+          r.getAs[Long]("lapsed_after_users")))).toMap
+    assert(got("2024-01-01") == ((2L, 2L, 0L, 0L, 1L))) // u1 retained later, u2 lapses
+    assert(got("2024-01-03") == ((2L, 1L, 1L, 0L, 1L))) // u1's gap to Jan 20 lapses it
+    assert(got("2024-01-08") == ((1L, 0L, 1L, 0L, 1L))) // u3's last day
+    assert(got("2024-01-20") == ((1L, 0L, 0L, 1L, 1L))) // gap 17 resurrects u1
+    // conservation at sf: every (user, day) is exactly one of new/ret/res
+    val m = UserAnalytics.userLifecycle(spark, Sf)
+      .agg(sum("active_users"), sum("new_users"), sum("retained_users"),
+        sum("resurrected_users")).collect().head
+    assert(m.getLong(0) == m.getLong(1) + m.getLong(2) + m.getLong(3))
+    assert(m.getLong(1) == Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select("user_id").distinct().count())
+  }
+
+  test("user feature matrix: planted counts, monetary, recency, and rates") {
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
+      (2L, 1L, "2024-01-01 10:05:00", "purchase", 10.50),
+      (3L, 1L, "2024-01-03 10:00:00", "purchase", 4.25),
+      (4L, 1L, "2024-01-03 11:00:00", "error", 1.0),
+      (5L, 2L, "2024-01-05 10:00:00", "signup", 0.0)))
+    val got = UserAnalytics.userFeatureMatrixFrom(e).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getAs[Long]("n_events") == 4 && u1.getAs[Long]("n_view") == 1 &&
+      u1.getAs[Long]("n_purchase") == 2 && u1.getAs[Long]("n_error") == 1)
+    assert(u1.getAs[Long]("active_days") == 2)
+    assert(u1.getAs[Int]("tenure_days") == 2)
+    assert(u1.getAs[Int]("recency_days") == 2) // corpus max = Jan 5
+    assert(u1.getAs[Double]("monetary") == 14.75)
+    assert(u1.getAs[Double]("avg_purchase_value") == 14.75 / 2.0)
+    assert(u1.getAs[Double]("events_per_active_day") == 2.0)
+    assert(u1.getAs[Double]("error_rate") == 0.25)
+    val u2 = got(2L)
+    assert(u2.getAs[Double]("monetary") == 0.0)
+    assert(u2.isNullAt(u2.fieldIndex("avg_purchase_value"))) // no purchases
+    assert(u2.getAs[Int]("recency_days") == 0)
+  }
+
+  test("traffic seasonality: zero-days enter the mean, constant slots have zero std") {
+    // Two Mondays in corpus: slot (Mon, 10h) active BOTH at n=2 →
+    // mean 2, std 0. Slot (Mon, 11h) active on ONE Monday with n=4 →
+    // mean 4/2=2 (zero-day aware), std sqrt((16-2*4)/2)=2.
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0), // Mon week 1
+      (2L, 1L, "2024-01-01 10:30:00", "view", 1.0),
+      (3L, 2L, "2024-01-08 10:00:00", "view", 1.0), // Mon week 2
+      (4L, 2L, "2024-01-08 10:30:00", "view", 1.0),
+      (5L, 1L, "2024-01-01 11:00:00", "view", 1.0),
+      (6L, 1L, "2024-01-01 11:10:00", "view", 1.0),
+      (7L, 1L, "2024-01-01 11:20:00", "view", 1.0),
+      (8L, 1L, "2024-01-01 11:30:00", "view", 1.0)))
+    val got = UserAnalytics.trafficSeasonalityFrom(e).collect()
+      .map(r => (r.getAs[Int]("dow"), r.getAs[Int]("event_hour")) -> r).toMap
+    val mon = 2 // Spark dayofweek: Sunday=1
+    val s10 = got((mon, 10))
+    assert(s10.getAs[Long]("n_days") == 2 && s10.getAs[Long]("days_active") == 2)
+    assert(s10.getAs[Double]("mean_per_day") == 2.0)
+    assert(s10.getAs[Double]("std_per_day") == 0.0)
+    val s11 = got((mon, 11))
+    assert(s11.getAs[Long]("days_active") == 1)
+    assert(s11.getAs[Double]("mean_per_day") == 2.0) // 4 events over 2 Mondays
+    assert(s11.getAs[Double]("std_per_day") == 2.0)
+    assert(s11.getAs[Long]("max_day") == 4)
+    // shares sum to 100
+    val share = UserAnalytics.trafficSeasonality(spark, Sf)
+      .agg(sum("share_pct")).collect().head.getDouble(0)
+    assert(math.abs(share - 100.0) < 1e-9)
+  }
+
+  test("multi-touch attribution: linear and U-shaped credits decompose the purchase") {
+    // purchase by u1 at 12:00 value 9.0 with touches at 11:10 (view),
+    // 11:30 (click), 11:50 (view) → linear 3.0 each; U: 0.4/0.2/0.4.
+    // u2: single touch → full credit. u3: touch 2h before → excluded.
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 11:10:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 11:30:00", "click", 1.0),
+      (3L, 1L, "2024-01-01 11:50:00", "view", 1.0),
+      (4L, 1L, "2024-01-01 12:00:00", "purchase", 9.0),
+      (5L, 2L, "2024-01-01 09:40:00", "click", 1.0),
+      (6L, 2L, "2024-01-01 10:00:00", "purchase", 5.0),
+      (7L, 3L, "2024-01-01 08:00:00", "view", 1.0),
+      (8L, 3L, "2024-01-01 10:30:00", "purchase", 7.0)))
+    val rows = RangeJoin.attributionMultitouchFrom(e).collect()
+    val byPurchase = rows.groupBy(_.getAs[Long]("purchase_id"))
+    assert(!byPurchase.contains(8L)) // no touch in window
+    val p4 = byPurchase(4L).sortBy(_.getAs[Int]("touch_pos"))
+    assert(p4.map(_.getAs[Long]("touch_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(p4.forall(_.getAs[Long]("n_touches") == 3))
+    assert(p4.forall(r => r.getAs[Double]("credit_linear") == 3.0))
+    assert(p4.map(_.getAs[Double]("credit_position")).toSeq ==
+      Seq(9.0 * 0.4, 9.0 * (0.2 / 1.0), 9.0 * 0.4))
+    val p6 = byPurchase(6L)
+    assert(p6.length == 1 && p6.head.getAs[Double]("credit_linear") == 5.0 &&
+      p6.head.getAs[Double]("credit_position") == 5.0)
+    // credits conserve the purchase value (exact for these doubles)
+    byPurchase.foreach { case (_, ts) =>
+      val n = ts.head.getAs[Long]("n_touches").toDouble
+      assert(math.abs(ts.map(_.getAs[Double]("credit_linear")).sum -
+        ts.head.getAs[Double]("credit_linear") * n) < 1e-12)
+    }
+  }
+}
