@@ -1096,4 +1096,62 @@ object Similarity {
       .filter(col("similarity") >= threshold)
       .select(col("doc_a"), col("doc_b"))
   }
+
+  /** Embedding-space outlier detection: the corpus vectors FURTHEST
+    * from every trained k-means centroid — encoder failures, corrupt
+    * inputs, and out-of-domain docs surface here before they poison
+    * similarity decisions downstream (the vector-side sibling of the
+    * text garbage score). A vector's cohesion is its best cosine to
+    * ANY centroid; the outlier cut is the corpus' own 5th percentile
+    * of that cohesion (GK sketch — fixed state, 1-row broadcast), so
+    * the query needs no tuned threshold. Returns the worst `k`
+    * flagged vectors (TakeOrdered, cohesion asc).
+    *
+    * Scale shape: training is the shared Lloyd loop (kmeansCentroids);
+    * scoring is ONE narrow projection against the literal centroid
+    * array (array_max over the fused per-cell cosine — no exchange);
+    * the percentile is one fixed-state aggregate. rows-only: trained
+    * centroids + libm cosine make a SQL oracle meaningless; the spec
+    * plants far-off vectors among tight clusters and requires exactly
+    * those flagged worst. */
+  def embeddingOutliers(spark: SparkSession, dir: String, k: Int = 50,
+      nlist: Int = 10, iters: Int = 3): DataFrame =
+    embeddingOutliersFrom(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      k, nlist, iters)
+
+  private[graft] def embeddingOutliersFrom(e: DataFrame, k: Int = 50,
+      nlist: Int = 10, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    val cents = kmeansCentroidsFrom(e, nlist, iters)
+    // An outlier can CAPTURE its own k-means cell (it seeds or drags a
+    // centroid onto itself) and then score cohesion 1.0 against it —
+    // evading detection. Bulk-mass gate: cohesion only counts
+    // centroids whose cell holds at least 1/(10·nlist) of the corpus
+    // (an even split gives 1/nlist; a cell 10× under parity is
+    // representing noise, not the bulk). Occupancy is an nlist-row
+    // aggregate; the kept centroids go back as literals.
+    val assigned = e.select(col("vec_id"), col("embedding"),
+        explode(nearestCellsCol(col("embedding"), cents, 1)).as("cell"))
+      .localCheckpoint() // occupancy gate + scoring share one assignment pass
+    val occ = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = occ.values.sum
+    val floor = math.max(2L, total / (10L * nlist))
+    val kept = cents.filter { case (cell, _) => occ.getOrElse(cell, 0L) >= floor }
+    require(kept.nonEmpty, s"every cell under the $floor-row bulk floor")
+    val keptArr = array(kept.map { case (_, vec) =>
+      array(vec.toSeq.map(lit(_)): _*)
+    }: _*)
+    val cohesion = array_max(transform(keptArr,
+      c => call_function("cosine_sim", col("embedding"), c)))
+    val scored = assigned.select(col("vec_id"), col("cell"), cohesion.as("cohesion"))
+    val cut = scored.agg(
+      expr("approx_percentile(cohesion, 0.05, 10000)").as("p05"))
+    scored.crossJoin(broadcast(cut))
+      .filter(col("cohesion") < col("p05"))
+      .orderBy(asc("cohesion"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell"), col("cohesion"), col("p05"))
+  }
 }

@@ -74,7 +74,18 @@ class PlanAuditSpec extends SparkSpec {
       // construction (driver-local merge table / dictionary-join
       // tail); each round's plan is the pair-count two-level
       // aggregate audited via its own spec
-      "bpe_vocab", "text_bpe_tokens")
+      "bpe_vocab", "text_bpe_tokens",
+      // product_pagerank runs its power iterations at construction
+      // (checkpointed ranks per round); the fact-sized subtree is the
+      // edge aggregation, audited directly below — each iteration is
+      // an equi-join of two aggregated checkpointed frames
+      "product_pagerank",
+      // embedding_outliers trains the shared Lloyd loop at
+      // construction; its scoring tail (narrow centroid-literal
+      // projection + fixed-state percentile + intended 1-row-broadcast
+      // cross + TakeOrdered) is the cheap part and is exercised by its
+      // spec on crafted clusters
+      "embedding_outliers")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a
@@ -168,7 +179,11 @@ class PlanAuditSpec extends SparkSpec {
             col("product_k"),
             org.apache.spark.sql.functions.lit(0.001),
             org.apache.spark.sql.functions.lit(0.99),
-            org.apache.spark.sql.functions.lit(42))))
+            org.apache.spark.sql.functions.lit(42)))) ++
+      // product_pagerank's fact-sized subtree: the session-gap
+      // transition edge aggregation (one user window + one rollup)
+      offendersIn("product_pagerank[edges]",
+        operators.Graph.productEdgesFrom(operators.EventMarts.enriched(spark, Sf)))
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
 

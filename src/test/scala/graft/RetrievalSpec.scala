@@ -121,6 +121,55 @@ class RetrievalSpec extends SparkSpec {
     assert(byItem(1).minBy(_.getAs[Int]("rank")).getAs[Int]("neighbor_k") == 2)
   }
 
+  test("pagerank: distributed iterations match exact driver power iteration; edges respect the session gap") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // crafted graph: 1→2 (w2), 2→1 (w1), 1→3 (w1); 3 is dangling
+    val edges = Seq((1, 2, 2L), (2, 1, 1L), (1, 3, 1L))
+      .toDF("src", "dst", "weight")
+    val got = Graph.pagerankFrom(edges, iterations = 15).collect()
+      .map(r => r.getAs[Int]("product_k") -> r).toMap
+    // driver-exact power iteration with the same update rule
+    val d = 0.85; val n = 3.0
+    var r = Map(1 -> 1 / n, 2 -> 1 / n, 3 -> 1 / n)
+    for (_ <- 1 to 15) {
+      val dang = r(3)
+      val inflow = Map(
+        1 -> r(2) * 1.0 / 1.0,
+        2 -> r(1) * 2.0 / 3.0,
+        3 -> r(1) * 1.0 / 3.0)
+      r = r.map { case (k, _) =>
+        k -> ((1.0 - d) / n + d * (inflow(k) + dang / n)) }
+    }
+    Seq(1, 2, 3).foreach { k =>
+      assert(math.abs(got(k).getAs[Double]("pagerank") - r(k)) < 1e-9,
+        s"node $k: ${got(k).getAs[Double]("pagerank")} vs ${r(k)}")
+    }
+    assert(math.abs(got.values.map(_.getAs[Double]("pagerank")).sum - 1.0) < 1e-9)
+    assert(got(3).getAs[Double]("out_weight") == 0.0 &&
+      got(3).getAs[Long]("out_edges") == 0L)
+    assert(got(1).getAs[Long]("in_edges") == 1L && got(1).getAs[Long]("out_edges") == 2L)
+    // more-cited 2 (weight 2 from the hub) outranks 3 (weight 1)
+    assert(got(2).getAs[Double]("pagerank") > got(3).getAs[Double]("pagerank"))
+
+    // edge extraction: consecutive views within the gap, product change
+    val ev = Seq(
+      (1L, 7L, "2024-01-01 10:00:00", "view", "{\"k\": 1}"),
+      (2L, 7L, "2024-01-01 10:05:00", "view", "{\"k\": 2}"),  // 1→2
+      (3L, 7L, "2024-01-01 10:06:00", "view", "{\"k\": 2}"),  // same product — no edge
+      (4L, 7L, "2024-01-01 12:00:00", "view", "{\"k\": 3}"),  // gap > 30 min — no edge
+      (5L, 7L, "2024-01-01 12:10:00", "click", "{\"k\": 1}"), // non-view ignored
+      (6L, 7L, "2024-01-01 12:20:00", "view", "{\"k\": 1}"),  // 3→1
+      (7L, 8L, "2024-01-01 12:20:00", "view", "{\"k\": 9}"))  // other user
+      .toDF("event_id", "user_id", "ts", "event_type", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("value", lit(1.0))
+    val e2 = Graph.productEdgesFrom(EventMarts.enrich(ev)).collect()
+      .map(r => (r.getAs[Int]("src"), r.getAs[Int]("dst")) -> r.getAs[Long]("weight"))
+      .toMap
+    assert(e2 == Map((1, 2) -> 1L, (3, 1) -> 1L))
+  }
+
   test("revenue Pareto: planted concentration yields exact A/B/C classes") {
     import spark.implicits._
     // revenues: p1=800, p2=150, p3=50 → cum 80%/95%/100%

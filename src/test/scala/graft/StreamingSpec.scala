@@ -669,4 +669,75 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(cleanDir).count() == 3)
     assert(spark.read.parquet(reviewDir).count() == 1)
   }
+
+  test("trending decay: stream fold is bit-exact vs driver replication, closed-form batch parity, aged top-N") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val hl = 3600L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: product 1 viewed twice at 10:00, product 2 once;
+    // a click and a null-product view must be ignored
+    mem.addData(
+      (1L, at("2024-01-01 10:00:00"), 1L, "view", 1.0, "{\"k\": 1}"),
+      (2L, at("2024-01-01 10:00:00"), 2L, "view", 1.0, "{\"k\": 1}"),
+      (3L, at("2024-01-01 10:00:00"), 3L, "view", 1.0, "{\"k\": 2}"),
+      (4L, at("2024-01-01 10:10:00"), 1L, "click", 1.0, "{\"k\": 1}"),
+      (5L, at("2024-01-01 10:20:00"), 1L, "view", 1.0, "{}"))
+    val raw = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = TrendingStream.trendScores(TrendingStream.asTrendEvents(raw), halfLife = hl)
+      .toDF().writeStream.format("memory").queryName("trend_test")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: product 1 viewed again one half-life later
+      mem.addData((6L, at("2024-01-01 11:00:00"), 4L, "view", 1.0, "{\"k\": 1}"))
+      q.processAllAvailable()
+      val rows = spark.table("trend_test").collect()
+      val last = rows.groupBy(_.getAs[Int]("product_k")).view
+        .mapValues(_.maxBy(_.getAs[Long]("total_events"))).toMap
+      // driver replication through the SAME shared fold, same order
+      def epoch(s: String) = at(s).getTime / 1000L
+      val evs1 = Seq(
+        TrendingStream.TEv(1, 1L, epoch("2024-01-01 10:00:00")),
+        TrendingStream.TEv(1, 2L, epoch("2024-01-01 10:00:00")))
+      val s1b1 = evs1.foldLeft(TrendingStream.TState(0.0, evs1.head.epoch, 0L))(
+        (s, e) => TrendingStream.fold(s, e, hl))
+      val s1 = TrendingStream.fold(s1b1,
+        TrendingStream.TEv(1, 6L, epoch("2024-01-01 11:00:00")), hl)
+      assert(last(1).getAs[Double]("score") == s1.score) // bit-exact
+      assert(last(1).getAs[Long]("total_events") == 3L)
+      assert(last(2).getAs[Double]("score") == 1.0 &&
+        last(2).getAs[Long]("total_events") == 1L)
+      // one half-life decayed the 10:00 pair to ~0.5 each: 2·0.5+1 ≈ 2
+      assert(math.abs(s1.score - 2.0) < 1e-9)
+      // closed-form batch recompute at product 1's last epoch
+      import spark.implicits._
+      val staticE = Seq(
+        (1L, "2024-01-01 10:00:00", "view", "{\"k\": 1}"),
+        (2L, "2024-01-01 10:00:00", "view", "{\"k\": 1}"),
+        (6L, "2024-01-01 11:00:00", "view", "{\"k\": 1}"))
+        .toDF("event_id", "ts", "event_type", "props")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+      val closed = TrendingStream.decayedScoresBatchFrom(
+          operators.EventMarts.enrich(staticE), epoch("2024-01-01 11:00:00"), hl)
+        .collect().head
+      assert(closed.getAs[Int]("product_k") == 1)
+      assert(math.abs(closed.getAs[Double]("score") - s1.score) < 1e-9)
+      // log sink + aged top-N: plant the latest rows as a one-batch log
+      val logDir = java.nio.file.Files.createTempDirectory("graft_trend").toString
+      graft.sources.MartSink.writePartitioned(
+        spark.table("trend_test").withColumn("batch_id", lit(0L)),
+        logDir, Seq("batch_id"))
+      val top = TrendingStream.trendingTopNFromLog(spark, logDir,
+        asOfEpoch = epoch("2024-01-01 12:00:00"), n = 10, halfLife = hl)
+        .collect()
+      assert(top.map(_.getAs[Int]("product_k")).toSeq == Seq(1, 2))
+      // product 2's 10:00 view aged two half-lives by 12:00 → ~0.25
+      assert(math.abs(top(1).getAs[Double]("score_now") - 0.25) < 1e-9)
+      // product 1 aged one half-life from 11:00: ~2/2 = 1
+      assert(math.abs(top(0).getAs[Double]("score_now") - 1.0) < 1e-9)
+    } finally q.stop()
+  }
 }

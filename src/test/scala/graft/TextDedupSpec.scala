@@ -1257,6 +1257,36 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.functions.CosineSimilarity(litArr(1f), litArr(1f, 2f)).eval(null) == null)
   }
 
+  test("embedding outliers: planted far-off vectors flag worst; tight-cluster members stay clean") {
+    import spark.implicits._
+    // three tight clusters along distinct axes + two planted outliers
+    // pointing along a direction no cluster occupies
+    def jit(c: Int, i: Int, d: Int) = ((c * 31 + i * 7 + d * 3) % 5) * 0.01f
+    val dims = 8
+    val cluster = (c: Int, i: Int) =>
+      Array.tabulate(dims)(d => (if (d == c) 1.0f else 0.0f) + jit(c, i, d))
+    // 150 bulk vectors: the occupancy floor (N/(10·nlist) = 5) must
+    // exceed the 2-vector outlier clique so a captured cell is dropped
+    val vecs =
+      (for (c <- 0 until 3; i <- 0 until 50)
+        yield ((c * 50 + i).toLong, cluster(c, i))) ++
+      Seq((900L, Array.tabulate(dims)(d => if (d >= 6) -1.0f else 0.0f)),
+          (901L, Array.tabulate(dims)(d => if (d >= 5) -0.9f else 0.02f)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.embeddingOutliersFrom(e, k = 5, nlist = 3, iters = 3)
+      .collect()
+    assert(got.nonEmpty)
+    // the two planted vectors are the worst two, in cohesion order
+    assert(got.take(2).map(_.getAs[Long]("vec_id")).toSet == Set(900L, 901L))
+    // every flagged row is strictly below the corpus' own p05 cut
+    got.foreach(r => assert(r.getAs[Double]("cohesion") < r.getAs[Double]("p05")))
+    // ascending-cohesion ordering (worst first)
+    val cs = got.map(_.getAs[Double]("cohesion")).toSeq
+    assert(cs == cs.sorted)
+    // no tight-cluster member outranks the planted outliers
+    assert(got.take(2).forall(_.getAs[Double]("cohesion") < 0.5))
+  }
+
   test("lsh candidates are a subset of brute-force scoring domain and ranked") {
     val rows = Similarity.lshTopK(spark, Sf, numQueries = 5, k = 3).collect()
     rows.foreach { r =>
