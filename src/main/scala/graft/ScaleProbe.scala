@@ -119,7 +119,18 @@ object ScaleProbe {
       // BPE training/counting scale with the word DICTIONARY — the
       // disjoint-replica corpus grows it ~10× (suffixed tokens), the
       // honest axis for these two
-      "bpe_vocab", "text_bpe_tokens")
+      "bpe_vocab", "text_bpe_tokens",
+      // round 8: events-side analytics ride the generator corpus
+      // (never replicated); revenue_pareto's part keys stay shared
+      // (×10 revenue per part — scale, not densification); the text
+      // curves grow vocabulary ~10× with the suffixed replicas;
+      // embedding_outliers only scores linearly (no pair enumeration,
+      // safe on exact vector replicas); item_cf/pagerank pair work is
+      // bounded per user / per transition like coview_pairs
+      "user_lifecycle", "user_feature_matrix", "traffic_seasonality",
+      "attribution_multitouch", "item_cf_neighbors", "product_pagerank",
+      "revenue_pareto", "basket_rules", "zipf_curve", "vocab_growth",
+      "doc_tfidf_keywords", "search_bm25", "embedding_outliers")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -339,6 +339,91 @@ object Basket {
       |ORDER BY pair_orders DESC, part1 ASC, part2 ASC
       |LIMIT 100""".stripMargin
 
+  /** Association rules from the order-basket pair frame: directed
+    * confidence over the undirected co-occurrence — P(consequent |
+    * antecedent) = pair_orders / antecedent_orders, emitted BOTH ways
+    * per pair (confidence is asymmetric; lift is shared). The
+    * actionable form of basket_pairs ("of orders with A, x% also
+    * carry B" is what a recommender threshold reads), with a minimum
+    * pair-support floor so one-off coincidences never rank.
+    *
+    * Scale shape: identical to basket_pairs up to the pair frame
+    * (co-located in-order self-join, one exchange both sides), then
+    * pure aggregated-frame algebra — the symmetrize union doubles
+    * only |pairs| rows; ranking is TakeOrdered. Confidence/lift are
+    * single IEEE divisions of exact ints. */
+  def basketRules(spark: SparkSession, dir: String, topN: Int = 100,
+      minPairOrders: Int = 3): DataFrame =
+    basketRulesFrom(Tables.lineitem(spark, dir), topN, minPairOrders)
+
+  def basketRulesFrom(lineitem: DataFrame, topN: Int = 100,
+      minPairOrders: Int = 3): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .localCheckpoint() // one scan feeds both self-join sides + counts
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("pair_orders"))
+      .filter(col("pair_orders") >= minPairOrders)
+    val partOrders = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("part_orders"))
+    val total = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val directed = pairs
+      .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("pair_orders"))
+      .unionByName(pairs
+        .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("pair_orders")))
+    directed
+      .join(broadcast(total))
+      .join(partOrders.withColumnRenamed("l_partkey", "ak")
+        .withColumnRenamed("part_orders", "antecedent_orders"),
+        col("antecedent") === col("ak"))
+      .join(partOrders.withColumnRenamed("l_partkey", "ck")
+        .withColumnRenamed("part_orders", "consequent_orders"),
+        col("consequent") === col("ck"))
+      .select(col("antecedent"), col("consequent"), col("pair_orders"),
+        col("antecedent_orders"), col("consequent_orders"),
+        (col("pair_orders").cast("double") / col("antecedent_orders").cast("double"))
+          .as("confidence"),
+        ((col("pair_orders").cast("double") * col("n_orders").cast("double"))
+          / (col("antecedent_orders").cast("double") * col("consequent_orders").cast("double")))
+          .as("lift"))
+      .orderBy(desc("confidence"), desc("pair_orders"), asc("antecedent"), asc("consequent"))
+      .limit(topN)
+  }
+
+  val basketRulesSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS pair_orders
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3
+      |), po AS (
+      |  SELECT l_partkey, COUNT(*) AS part_orders FROM li GROUP BY 1
+      |), tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+      |directed AS (
+      |  SELECT p1 AS antecedent, p2 AS consequent, pair_orders FROM pairs
+      |  UNION ALL
+      |  SELECT p2 AS antecedent, p1 AS consequent, pair_orders FROM pairs
+      |)
+      |SELECT antecedent, consequent, pair_orders,
+      |  a.part_orders AS antecedent_orders, c.part_orders AS consequent_orders,
+      |  CAST(pair_orders AS DOUBLE) / CAST(a.part_orders AS DOUBLE) AS confidence,
+      |  CAST(pair_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)
+      |    / (CAST(a.part_orders AS DOUBLE) * CAST(c.part_orders AS DOUBLE)) AS lift
+      |FROM directed
+      |JOIN po a ON antecedent = a.l_partkey
+      |JOIN po c ON consequent = c.l_partkey
+      |CROSS JOIN tot
+      |ORDER BY confidence DESC, pair_orders DESC, antecedent ASC, consequent ASC
+      |LIMIT 100""".stripMargin
+
   /** Item-to-item collaborative filtering: for every product, its
     * top-k nearest neighbors by COSINE over the binary user-purchase
     * matrix (cooc/√(c_i·c_j)) — the "customers who bought X also

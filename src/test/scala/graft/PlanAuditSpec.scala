@@ -36,7 +36,7 @@ class PlanAuditSpec extends SparkSpec {
     "dq_value_drift",
     // basket_pairs crosses the aggregated pair frame with its ONE-ROW
     // broadcast order total (the same scalar-subquery pattern as q11/q22)
-    "basket_pairs",
+    "basket_pairs", "basket_rules",
     // rfm_segments broadcasts TWO one-row frames (reference date and
     // percentile thresholds) — the same scalar pattern
     "rfm_segments", "rfm_segments_approx",

@@ -170,6 +170,27 @@ class RetrievalSpec extends SparkSpec {
     assert(e2 == Map((1, 2) -> 1L, (3, 1) -> 1L))
   }
 
+  test("basket rules: directed confidence from planted baskets, support floor enforced") {
+    import spark.implicits._
+    // p1 in orders A,B,C,D; p2 in A,B,C → pair(1,2)=3; p3 only with p1
+    // once → pair below the floor of 3 never emits
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Basket.basketRulesFrom(li, topN = 10, minPairOrders = 3).collect()
+    assert(got.length == 2) // (1→2) and (2→1) only
+    val byDir = got.map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent")) -> r).toMap
+    val r12 = byDir((1L, 2L)); val r21 = byDir((2L, 1L))
+    assert(r12.getAs[Long]("pair_orders") == 3)
+    assert(r12.getAs[Double]("confidence") == 3.0 / 4.0) // p1 in 4 orders
+    assert(r21.getAs[Double]("confidence") == 1.0)       // p2 always with p1
+    assert(r12.getAs[Double]("lift") == 3.0 * 4.0 / (4.0 * 3.0))
+    assert(r21.getAs[Double]("lift") == r12.getAs[Double]("lift")) // lift symmetric
+    // confidence-desc ordering puts the certain rule first
+    assert(got.head.getAs[Long]("antecedent") == 2L)
+  }
+
   test("revenue Pareto: planted concentration yields exact A/B/C classes") {
     import spark.implicits._
     // revenues: p1=800, p2=150, p3=50 → cum 80%/95%/100%
