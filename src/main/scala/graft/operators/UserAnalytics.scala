@@ -81,6 +81,61 @@ object UserAnalytics {
        |    AS lapsed_after_users
        |FROM seq GROUP BY event_date ORDER BY event_date""".stripMargin
 
+  /** Weekly retention triangle: cohort week (user's first active
+    * week) × week offset → active users and retention rate — the full
+    * cohort matrix behind every retention heat-map, where
+    * retention_curve reads only the D1/D3/D7 slices at day grain.
+    *
+    * Plan shape: the distinct (user, week) frame is the only
+    * fact-sized exchange; cohort week rides a user-partitioned window
+    * (subset-satisfied); the (cohort, offset) cells are plain counts
+    * over already-distinct rows (no Expand), and the rate divides by
+    * the offset-0 cell via a cohort-partitioned window over the tiny
+    * triangle frame. */
+  def retentionTriangle(spark: SparkSession, dir: String): DataFrame =
+    retentionTriangleFrom(enriched(spark, dir))
+
+  def retentionTriangleFrom(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val cells = e.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("event_date")).cast("date").as("week"))
+      .distinct()
+      .withColumn("cohort_week", min("week").over(w))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / lit(7)).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val wc = Window.partitionBy("cohort_week")
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("active_users"))).over(wc))
+      .withColumn("retention_pct",
+        col("active_users").cast("double") / col("cohort_size").cast("double") * lit(100.0))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionTriangleSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |), f AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+      |), cells AS (
+      |  SELECT f.cohort_week,
+      |    CAST(date_diff('day', f.cohort_week, uw.week) / 7 AS INT) AS week_offset,
+      |    COUNT(*) AS active_users
+      |  FROM uw JOIN f ON uw.user_id = f.user_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cohort_week, week_offset, active_users,
+      |  MAX(CASE WHEN week_offset = 0 THEN active_users END)
+      |    OVER (PARTITION BY cohort_week) AS cohort_size,
+      |  CAST(active_users AS DOUBLE)
+      |    / CAST(MAX(CASE WHEN week_offset = 0 THEN active_users END)
+      |        OVER (PARTITION BY cohort_week) AS DOUBLE) * 100.0 AS retention_pct
+      |FROM cells
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Per-user feature matrix — the row a training pipeline exports
     * per user: type counts, activity span/recency, monetary value,
     * and derived rates. One user-grain shuffle (the per-type counts

@@ -509,4 +509,77 @@ object MartSink {
       } catch { case _: java.sql.SQLException => () }
     } finally conn.close()
   }
+
+  // ------------------------- key erasure (GDPR) -------------------------
+
+  final case class EraseStats(rowsErased: Long, partitionsRewritten: Seq[String],
+      partitionsDeleted: Seq[String])
+
+  /** Erase every row of the given keys from a date-partitioned parquet
+    * mart, rewriting ONLY the partitions that actually contain them —
+    * the right-to-be-forgotten pass a user-keyed mart needs.
+    *
+    * One locating scan finds per-partition hit counts (on a
+    * `writePartitionedSorted` layout the key predicate prunes row
+    * groups via min/max stats, so the locate touches a fraction of
+    * the bytes); affected partitions rewrite via the same dynamic
+    * overwrite as every backfill here. A partition whose EVERY row
+    * belonged to the erased keys would survive a dynamic overwrite
+    * untouched (an empty frame writes no partition), so fully-emptied
+    * partitions are deleted directly. Erasing already-erased keys is
+    * a no-op (stats report zero). */
+  def eraseKeys(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, keys: Seq[Long], partitionCol: String): EraseStats = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(path)
+    // one scan: per-partition (hit rows, total rows) for affected parts
+    val census = df
+      .groupBy(col(partitionCol).as("pv"))
+      .agg(count(when(col(keyCol).isin(keys: _*), 1)).as("hits"),
+        count(lit(1)).as("total"))
+      .filter(col("hits") > 0)
+      .collect()
+    if (census.isEmpty) return EraseStats(0L, Nil, Nil)
+    val rowsErased = census.map(_.getAs[Long]("hits")).sum
+    val (emptied, partial) = census.partition(r =>
+      r.getAs[Long]("hits") == r.getAs[Long]("total"))
+    val partialVals = partial.map(_.getAs[Any]("pv"))
+    if (partialVals.nonEmpty) {
+      val keep = df
+        .filter(col(partitionCol).isin(partialVals: _*) &&
+          !col(keyCol).isin(keys: _*))
+      writePartitioned(keep, path, Seq(partitionCol))
+    }
+    // fully-emptied partitions: dynamic overwrite can't touch them
+    // (no rows to write) — drop the partition directory itself
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val deleted = emptied.map { r =>
+      val dir = s"$path/$partitionCol=${r.getAs[Any]("pv")}"
+      fs.delete(new Path(dir), true)
+      dir
+    }
+    spark.catalog.refreshByPath(path)
+    EraseStats(rowsErased, partialVals.map(v => s"$partitionCol=$v").toSeq,
+      deleted.toSeq)
+  }
+
+  /** The warehouse leg of erasure: DELETE the keys from a JDBC mart
+    * table in one statement per chunk (keys ship as literals — an
+    * erasure list is human-scale; a bulk purge would stage a keys
+    * table and delete via join). Returns rows deleted. */
+  def eraseKeysJdbc(url: String, table: String, keyCol: String,
+      keys: Seq[Long], chunk: Int = 1000): Long = {
+    val qKey = JdbcDialects.get(url).quoteIdentifier(keyCol)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(true)
+      keys.grouped(chunk).map { g =>
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"DELETE FROM $table WHERE $qKey IN (${g.mkString(", ")})").toLong
+        finally st.close()
+      }.sum
+    } finally conn.close()
+  }
 }

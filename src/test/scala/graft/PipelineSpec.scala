@@ -37,6 +37,42 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("event_date") === "2024-01-02").collect().head.getAs[Long]("n") == 99L)
   }
 
+  test("key erasure rewrites only hit partitions, drops emptied ones, leaves the rest byte-identical") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_erase").toString
+    val mart = Seq(
+      (1L, "2024-01-01", 5L), (2L, "2024-01-01", 7L), // mixed partition
+      (2L, "2024-01-02", 9L),                          // fully user-2
+      (3L, "2024-01-03", 11L))                         // untouched
+      .toDF("user_id", "event_date", "n")
+    MartSink.writePartitioned(mart, out, Seq("event_date"))
+    def files(d: String) = new java.io.File(s"$out/event_date=$d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified))
+    val d3Before = files("2024-01-03").toSeq
+    val stats = MartSink.eraseKeys(spark, out, "user_id", Seq(2L), "event_date")
+    assert(stats.rowsErased == 2L)
+    assert(stats.partitionsRewritten == Seq("event_date=2024-01-01"))
+    assert(stats.partitionsDeleted == Seq(s"$out/event_date=2024-01-02"))
+    assert(!new java.io.File(s"$out/event_date=2024-01-02").exists())
+    assert(files("2024-01-03").toSeq == d3Before) // untouched partition intact
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("user_id") === 2L).count() == 0)
+    assert(back.count() == 2)
+    assert(back.filter(col("event_date") === "2024-01-01").collect()
+      .head.getAs[Long]("n") == 5L)
+    // idempotent: erasing again is a no-op
+    val again = MartSink.eraseKeys(spark, out, "user_id", Seq(2L), "event_date")
+    assert(again == MartSink.EraseStats(0L, Nil, Nil))
+    // warehouse leg: Derby DELETE removes only the erased keys
+    val db = Files.createTempDirectory("graft_erase_db").resolve("edb")
+    val url = s"jdbc:derby:$db;create=true"
+    mart.write.format("jdbc").option("url", url).option("dbtable", "m").save()
+    assert(MartSink.eraseKeysJdbc(url, "m", "user_id", Seq(2L)) == 2L)
+    val left = spark.read.format("jdbc").option("url", url).option("dbtable", "m")
+      .load().collect()
+    assert(left.length == 2 && left.forall(_.getAs[Long]("user_id") != 2L))
+  }
+
   test("compaction rewrites only over-fragmented partitions, keeps data and healthy files intact") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_compact").toString

@@ -44,6 +44,34 @@ class UserAnalyticsSpec extends SparkSpec {
       .select("user_id").distinct().count())
   }
 
+  test("retention triangle: planted cohorts fill exact cells; week-0 column equals cohort sizes") {
+    // weeks are Monday-anchored; 2024-01-01 is a Monday.
+    // u1: wk0, wk1, wk3. u2: wk0 only. u3: wk1 only (second cohort).
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-03 10:00:00", "view", 1.0), // same week dedups
+      (3L, 1L, "2024-01-10 10:00:00", "view", 1.0),
+      (4L, 1L, "2024-01-22 10:00:00", "view", 1.0),
+      (5L, 2L, "2024-01-02 10:00:00", "view", 1.0),
+      (6L, 3L, "2024-01-08 10:00:00", "view", 1.0)))
+    val got = UserAnalytics.retentionTriangleFrom(e).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Int]("week_offset")) ->
+        ((r.getAs[Long]("active_users"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention_pct")))).toMap
+    assert(got(("2024-01-01", 0)) == ((2L, 2L, 100.0)))
+    assert(got(("2024-01-01", 1)) == ((1L, 2L, 50.0)))
+    assert(got(("2024-01-01", 3)) == ((1L, 2L, 50.0)))
+    assert(!got.contains(("2024-01-01", 2))) // no activity → no cell
+    assert(got(("2024-01-08", 0)) == ((1L, 1L, 100.0)))
+    // sf invariant: week-0 cells partition the user base
+    val zeroSum = UserAnalytics.retentionTriangle(spark, Sf)
+      .filter(col("week_offset") === 0).agg(sum("active_users"))
+      .collect().head.getLong(0)
+    assert(zeroSum == Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select("user_id").distinct().count())
+  }
+
   test("user feature matrix: planted counts, monetary, recency, and rates") {
     val e = ev(Seq(
       (1L, 1L, "2024-01-01 10:00:00", "view", 5.0),
