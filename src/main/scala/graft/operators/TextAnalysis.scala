@@ -1579,6 +1579,76 @@ object TextAnalysis {
       |HAVING COUNT(bench.gram) > 0
       |ORDER BY corpus.doc_id""".stripMargin
 
+  /** Epoch/mixture plan for a token-budgeted training run — the
+    * "how many passes over each source" table data-constrained
+    * pre-training starts from: each source's target token allocation
+    * is the budget × its normalized mixture weight; epochs =
+    * target/available, CAPPED at `maxEpochs` (repeating data much
+    * past ~4 epochs stops buying loss — the data-constrained scaling
+    * result), and capped sources surrender the unmet remainder to the
+    * realized-share column so the gap is visible, not silently
+    * redistributed. Weights are the literal mixture
+    * `sampleWeightedSources` enforces row-wise; this is its
+    * PLANNING-side complement (that query subsamples to hit a ratio
+    * today; this one says how far the budget stretches per source).
+    *
+    * Scale shape: one source rollup (the only corpus-sized pass) +
+    * a 1-row broadcast total; everything after is per-source rational
+    * arithmetic in a pinned order, so the oracle hashes exactly. */
+  def corpusEpochPlan(spark: SparkSession, dir: String,
+      budgetTokens: Long = 100000L, maxEpochs: Double = 4.0,
+      sixteenths: Map[String, Int] = Map("src0" -> 16, "src1" -> 8, "src2" -> 4),
+      defaultSixteenths: Int = 2): DataFrame = {
+    val weight = sixteenths.foldLeft(lit(defaultSixteenths)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("bigint").as("tokens"))
+      .withColumn("weight", weight)
+    val totalW = perSource.agg(sum(col("weight")).cast("bigint").as("total_weight"))
+    perSource
+      .crossJoin(broadcast(totalW))
+      .withColumn("target_tokens",
+        lit(budgetTokens.toDouble) * col("weight").cast("double") /
+          col("total_weight").cast("double"))
+      .withColumn("epochs_unmet", col("target_tokens") / col("tokens").cast("double"))
+      .withColumn("epochs", least(col("epochs_unmet"), lit(maxEpochs)))
+      .withColumn("capped", (col("epochs_unmet") > lit(maxEpochs)).cast("int"))
+      .withColumn("planned_tokens", col("epochs") * col("tokens").cast("double"))
+      .withColumn("shortfall_tokens",
+        col("target_tokens") - col("planned_tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+        col("target_tokens"), col("epochs"), col("capped"),
+        col("planned_tokens"), col("shortfall_tokens"))
+      .orderBy("source")
+  }
+
+  val corpusEpochPlanSql: String = {
+    val nTok = "len(string_split_regex(trim(text), '\\s+'))"
+    """WITH ps AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(NTOK) AS BIGINT) AS tokens,
+      |    (CASE WHEN source = 'src0' THEN 16 WHEN source = 'src1' THEN 8
+      |          WHEN source = 'src2' THEN 4 ELSE 2 END) AS weight
+      |  FROM documents GROUP BY source
+      |), tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_weight FROM ps)
+      |SELECT source, n_docs, tokens, weight, target_tokens, epochs,
+      |  CASE WHEN epochs_unmet > 4.0 THEN 1 ELSE 0 END AS capped,
+      |  epochs * CAST(tokens AS DOUBLE) AS planned_tokens,
+      |  target_tokens - epochs * CAST(tokens AS DOUBLE) AS shortfall_tokens
+      |FROM (
+      |  SELECT source, n_docs, tokens, weight,
+      |    100000.0 * CAST(weight AS DOUBLE) / CAST(total_weight AS DOUBLE) AS target_tokens,
+      |    100000.0 * CAST(weight AS DOUBLE) / CAST(total_weight AS DOUBLE)
+      |      / CAST(tokens AS DOUBLE) AS epochs_unmet,
+      |    LEAST(100000.0 * CAST(weight AS DOUBLE) / CAST(total_weight AS DOUBLE)
+      |      / CAST(tokens AS DOUBLE), 4.0) AS epochs
+      |  FROM ps CROSS JOIN tw
+      |) q
+      |ORDER BY source""".stripMargin.replace("NTOK", nTok)
+  }
+
   /** Zipf frequency curve: the corpus' top-k terms with rank,
     * frequency, the rank×frequency product (Zipf's law predicts it
     * near-constant), and per-term + cumulative corpus share — the

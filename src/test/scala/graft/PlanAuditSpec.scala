@@ -49,8 +49,9 @@ class PlanAuditSpec extends SparkSpec {
     // doc count, N+avgdl) — the scalar-subquery pattern again
     "zipf_curve", "vocab_growth", "doc_tfidf_keywords", "search_bm25",
     // revenue_pareto crosses its post-limit ≤100 rows with the ONE-ROW
-    // broadcast grand total
-    "revenue_pareto",
+    // broadcast grand total; corpus_epoch_plan crosses its per-source
+    // rows with the ONE-ROW broadcast weight total
+    "revenue_pareto", "corpus_epoch_plan",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")

@@ -121,6 +121,34 @@ class RetrievalSpec extends SparkSpec {
     assert(byItem(1).minBy(_.getAs[Int]("rank")).getAs[Int]("neighbor_k") == 2)
   }
 
+  test("epoch plan: budget splits by weight, cap binds scarce sources, shortfall surfaces") {
+    // via the sf corpus: weights 16/8/4/2..., budget 100k over ~25k
+    // corpus tokens — heavy sources cap at 4 epochs
+    val rows = graft.operators.TextAnalysis
+      .corpusEpochPlan(spark, Sf, budgetTokens = 100000L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tokens = r.getAs[Long]("tokens").toDouble
+      val target = r.getAs[Double]("target_tokens")
+      val epochs = r.getAs[Double]("epochs")
+      assert(epochs <= 4.0 + 1e-12)
+      if (r.getAs[Int]("capped") == 1) {
+        assert(epochs == 4.0)
+        assert(r.getAs[Double]("shortfall_tokens") > 0.0)
+      } else {
+        // uncapped: planned tokens meet the target exactly
+        assert(math.abs(epochs * tokens - target) < 1e-6)
+        assert(math.abs(r.getAs[Double]("shortfall_tokens")) < 1e-6)
+      }
+    }
+    // targets decompose the budget exactly (shares sum to 1)
+    assert(math.abs(rows.map(_.getAs[Double]("target_tokens")).sum - 100000.0) < 1e-6)
+    // src0 (weight 16) gets 8x the default-weight (2) target
+    val byS = rows.map(r => r.getAs[String]("source") -> r).toMap
+    assert(math.abs(byS("src0").getAs[Double]("target_tokens") -
+      8.0 * byS("src3").getAs[Double]("target_tokens")) < 1e-6)
+  }
+
   test("pagerank: distributed iterations match exact driver power iteration; edges respect the session gap") {
     import spark.implicits._
     import graft.operators.Graph
