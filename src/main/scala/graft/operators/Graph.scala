@@ -16,9 +16,11 @@ import graft.operators.EventMarts.enriched
   * localCheckpoint-pinned — every iteration reuses it. One PageRank
   * iteration = ranks ⋈ edges on src (rank frame is node-dimension
   * scale, edges fact scale, both hash-partitioned on the join key) +
-  * one dst rollup; the dangling mass and the rank-sum invariant are
-  * 1-row aggregates (the centroid pattern: one scalar crosses the
-  * driver per round, never the frame). Ranks re-checkpoint per
+  * one dst rollup; the dangling mass rides the plan as a 1-row
+  * broadcast aggregate (the scalar-subquery pattern — ZERO driver
+  * round-trips per round; the checkpoint materialization is the only
+  * job, and the convergence delta is computed once at the end, not
+  * per round). Ranks re-checkpoint per
   * iteration to truncate lineage, exactly like the Lloyd loop in
   * ann_ivf_kmeans. Iteration count is fixed (power iteration
   * converges geometrically at damping rate); convergence delta is
@@ -76,24 +78,31 @@ object Graph {
     var ranks = base.select(col("node"), col("out_weight"),
       lit(1.0 / n.toDouble).as("rank"))
     var delta = Double.NaN
-    for (_ <- 1 to iterations) {
-      // one scalar crosses the driver per round: the dangling mass
-      val dangling = ranks.filter(col("out_weight").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).collect().head.getDouble(0)
+    for (i <- 1 to iterations) {
+      // the dangling mass rides the iteration plan as a ONE-ROW
+      // broadcast (scalar-subquery pattern) — zero driver round-trips
+      // per round; the checkpoint materialization is the only job
+      val dang = ranks.filter(col("out_weight").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling"))
       val contribs = ranks.filter(col("out_weight").isNotNull)
         .join(e, ranks("node") === e("src"))
         .select(col("dst").as("node"),
           (col("rank") * col("weight").cast("double") / col("out_weight")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
       val next = base.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"), col("out_weight"),
           (lit((1.0 - damping) / n.toDouble) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
-              lit(dangling / n.toDouble))).as("rank"))
+              col("dangling") / lit(n.toDouble))).as("rank"))
         .localCheckpoint()
-      delta = next.as("a").join(ranks.as("b"), "node")
-        .agg(coalesce(sum(abs(col("a.rank") - col("b.rank"))), lit(0.0)))
-        .collect().head.getDouble(0)
+      // the convergence reading is observability, not control flow —
+      // only the FINAL round pays its extra join+aggregate (computing
+      // it every round nearly doubled the per-iteration job count)
+      if (i == iterations)
+        delta = next.as("a").join(ranks.as("b"), "node")
+          .agg(coalesce(sum(abs(col("a.rank") - col("b.rank"))), lit(0.0)))
+          .collect().head.getDouble(0)
       ranks = next
     }
     val inDeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_edges"))
