@@ -49,6 +49,10 @@ def parse(path):
         doc = json.loads(text)
     except ValueError:
         doc = None
+    if isinstance(doc, dict) and isinstance(doc.get("queries"), dict) \
+            and "tail" not in doc:
+        # a bare bench_full sidecar passed directly
+        return {k: float(v) for k, v in doc["queries"].items()}
     if isinstance(doc, dict) and "tail" in doc:
         full = full_record(path)
         if full:
