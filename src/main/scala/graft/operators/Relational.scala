@@ -1049,6 +1049,102 @@ object Relational {
       .orderBy("rank")
   }
 
+  /** FULL-dimension ABC classification — every part classified, not
+    * just the top-100 curve: the distributed prefix-sum pattern
+    * revenue_pareto deliberately avoids. A global cumulative sum
+    * ordered by revenue cannot ride one window (single partition at
+    * dimension scale), so it splits into band-local prefix sums plus
+    * driver-side band offsets:
+    *
+    *  1. per-part decimal revenue (the only fact-sized shuffle);
+    *  2. ~`bands` revenue-range bands from one fixed-state
+    *     approx_percentile (band assignment is a monotone literal
+    *     when-chain — equal revenues always share a band, so band
+    *     order extends the global (revenue desc, key asc) order);
+    *  3. per-band EXACT decimal totals (≤ bands rows) collect; their
+    *     running sums become per-band offset literals — the classic
+    *     partition-offsets trick with the partitioning made explicit
+    *     and deterministic (no RangePartitioner sampling dependence);
+    *  4. one band-partitioned window computes the local prefix; the
+    *     global cumulative is offset + local — exact, because decimal
+    *     addition is associative.
+    *
+    * Each band holds ~|parts|/bands rows, so no task ever sees the
+    * whole dimension. Classes: A ≤ 80% cumulative share, B ≤ 95%, C
+    * beyond — identical to the oracle's single-window form because
+    * every sum is exact decimal. */
+  def revenueAbc(spark: SparkSession, dir: String, bands: Int = 16): DataFrame =
+    revenueAbcFrom(Tables.lineitem(spark, dir), bands)
+
+  def revenueAbcFrom(lineitem: DataFrame, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    val partRev = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(rev).as("revenue_dec"))
+      .localCheckpoint() // feeds thresholds, band totals, and the curve
+    // band thresholds: descending revenue quantiles (fixed-state GK)
+    val qs = (1 until bands).map(i => i.toDouble / bands)
+    val thresholds = partRev
+      .agg(expr(s"approx_percentile(CAST(revenue_dec AS DOUBLE), " +
+        s"array(${qs.mkString(", ")}), 10000)").as("ts"))
+      .collect().head.getSeq[Double](0)
+    // monotone when-chain: higher revenue → lower band id
+    val band = thresholds.reverse.zipWithIndex.foldLeft(lit(bands - 1)) {
+      case (acc, (t, i)) => when(col("revenue_dec").cast("double") > t, i).otherwise(acc)
+    }
+    val banded = partRev.withColumn("band", band)
+    // per-band exact totals → running offsets (≤ bands rows driver-side)
+    val bandTotals = banded.groupBy(col("band"))
+      .agg(sum(col("revenue_dec")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1)
+    val grand = bandTotals.map(_._2.asInstanceOf[java.math.BigDecimal])
+      .reduce(_.add(_))
+    val offsets = bandTotals.scanLeft(java.math.BigDecimal.ZERO) {
+      case (acc, (_, t)) => acc.add(t)
+    }.init
+    val offsetCol = bandTotals.map(_._1).zip(offsets).foldLeft(
+      lit(java.math.BigDecimal.ZERO)) { case (acc, (b, off)) =>
+        when(col("band") === b, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy("band")
+      .orderBy(desc("revenue_dec"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded
+      .withColumn("cum_dec", sum(col("revenue_dec")).over(w) + offsetCol)
+      .withColumn("cum_share_pct",
+        col("cum_dec").cast("double") / lit(grand).cast("double") * lit(100.0))
+      .withColumn("abc_class",
+        when(col("cum_share_pct") <= 80.0, "A")
+          .when(col("cum_share_pct") <= 95.0, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("revenue_dec").cast("double").as("revenue"),
+        col("cum_share_pct"), col("abc_class"))
+      .orderBy(desc("revenue"), asc("l_partkey"))
+  }
+
+  val revenueAbcSql: String =
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue_dec
+      |  FROM lineitem GROUP BY l_partkey
+      |), tot AS (SELECT SUM(revenue_dec) AS total_dec FROM pr)
+      |SELECT l_partkey, CAST(revenue_dec AS DOUBLE) AS revenue,
+      |  CAST(SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC, l_partkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(total_dec AS DOUBLE) * 100.0 AS cum_share_pct,
+      |  CASE WHEN CAST(SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC, l_partkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(total_dec AS DOUBLE) * 100.0 <= 80.0 THEN 'A'
+      |       WHEN CAST(SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC, l_partkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(total_dec AS DOUBLE) * 100.0 <= 95.0 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM pr CROSS JOIN tot
+      |ORDER BY revenue DESC, l_partkey ASC""".stripMargin
+
   val revenueParetoSql: String =
     """WITH pr AS (
       |  SELECT l_partkey,

