@@ -93,6 +93,32 @@ object Reporting {
       fieldsBlock(Seq(s"*job:* $jobId", s"*task:* $taskId", s"*date:* $executionDate")),
       textBlock(s"*error:*\n```${errorMessage.take(500)}```")))
 
+  /** Trending-change alert (the Slack-path shape for the decayed
+    * top-N loop): header + entered/left/moved counts + one detail
+    * line per change, in the order TrendingStream.topNChanges emits
+    * them (entered by current rank, movers by current rank, departures
+    * by previous rank). Callers fire this only when the top-N actually
+    * changed — `TrendingStream.trendingAlert` returns None otherwise. */
+  def trendingAlertPayload(asOf: String,
+      n: Int, changes: Seq[graft.streaming.TrendingStream.TrendChange]): String = {
+    val entered = changes.count(_.change == "entered")
+    val left = changes.count(_.change == "left")
+    val moved = changes.size - entered - left
+    def score(d: Double) = String.format(Locale.US, "%.2f", Double.box(d))
+    val lines = changes.map { c =>
+      c.change match {
+        case "entered" => s"- *product ${c.product_k}*: entered at #${c.cur_rank} (score ${score(c.score_now)})"
+        case "left"    => s"- *product ${c.product_k}*: left (was #${c.prev_rank}, score ${score(c.score_now)})"
+        case dir       => s"- *product ${c.product_k}*: #${c.prev_rank} -> #${c.cur_rank} ($dir, score ${score(c.score_now)})"
+      }
+    }
+    payload(Seq(
+      headerBlock(s"[TRENDING] top-$n changes ($asOf)"),
+      fieldsBlock(Seq(s"*entered:* $entered", s"*left:* $left",
+        s"*moved:* $moved", s"*as of:* $asOf")),
+      textBlock("*changes:*\n" + lines.mkString("\n"))))
+  }
+
   // ---- daily report (deterministic no-LLM template) ----
 
   private def nullablePct(r: Row, field: String): String =

@@ -101,28 +101,96 @@ object TrendingStream {
       }
       .start()
 
-  /** Trending top-N from the persisted score log: latest state row
-    * per product (max (last_epoch, batch_id) — later batches win),
-    * every score aged to the common `asOfEpoch` so products updated
-    * at different times compare fairly. Tiny-log batch rollup. */
-  def trendingTopNFromLog(spark: org.apache.spark.sql.SparkSession,
-      logDir: String, asOfEpoch: Long, n: Int = 10,
+  /** Full aged-score frame from the persisted log AS OF `asOfEpoch`:
+    * latest state row per product among rows written at or before the
+    * horizon (max (last_epoch, batch_id) — later batches win; rows
+    * past the horizon are excluded so a historical rescore really is
+    * the snapshot that existed then), every score aged to the common
+    * `asOfEpoch` so products updated at different times compare
+    * fairly. Product-dimension scale — one tiny-log rollup. */
+  def agedScoresFromLog(spark: org.apache.spark.sql.SparkSession,
+      logDir: String, asOfEpoch: Long,
       halfLife: Long = HalfLifeSeconds): DataFrame = {
     val lam = lambda(halfLife)
-    val latest = spark.read.parquet(logDir)
+    spark.read.parquet(logDir)
+      .filter(col("last_epoch") <= asOfEpoch)
       .groupBy(col("product_k"))
       .agg(max(struct(col("last_epoch"), col("batch_id"), col("score"),
         col("total_events"))).as("s"))
       .select(col("product_k"), col("s.score").as("score"),
         col("s.last_epoch").as("last_epoch"), col("s.total_events").as("total_events"))
-    latest
       .withColumn("score_now",
         col("score") * exp(lit(-lam) *
           greatest(lit(asOfEpoch) - col("last_epoch"), lit(0L)).cast("double")))
+  }
+
+  /** Trending top-N from the persisted score log — the aged frame
+    * above, ranked and cut. */
+  def trendingTopNFromLog(spark: org.apache.spark.sql.SparkSession,
+      logDir: String, asOfEpoch: Long, n: Int = 10,
+      halfLife: Long = HalfLifeSeconds): DataFrame =
+    agedScoresFromLog(spark, logDir, asOfEpoch, halfLife)
       .orderBy(desc("score_now"), asc("product_k"))
       .limit(n)
       .select(col("product_k"), col("score_now"), col("score"),
         col("last_epoch"), col("total_events"))
+
+  /** One top-N membership/rank change between two rescores. `change`
+    * ∈ {entered, left, up, down}; ranks are 1-based, 0 = not in the
+    * top-N on that side. */
+  case class TrendChange(product_k: Int, change: String, prev_rank: Int,
+                         cur_rank: Int, score_now: Double)
+
+  /** Top-N delta between two rescore horizons — the "what changed"
+    * signal the alert loop fires on. Both snapshots are tiny (n rows
+    * each, product-dimension rollups behind them), so the comparison
+    * is a driver-side zip — the same class as the report extracts.
+    * Ordered: entered (by cur rank), moved (by cur rank), left (by
+    * prev rank). */
+  def topNChanges(spark: org.apache.spark.sql.SparkSession, logDir: String,
+      prevEpoch: Long, curEpoch: Long, n: Int = 10,
+      halfLife: Long = HalfLifeSeconds): Seq[TrendChange] = {
+    def top(asOf: Long): Seq[(Int, Double)] =
+      trendingTopNFromLog(spark, logDir, asOf, n, halfLife)
+        .collect().toIndexedSeq
+        .map(r => (r.getAs[Int]("product_k"), r.getAs[Double]("score_now")))
+    val prev = top(prevEpoch)
+    val cur = top(curEpoch)
+    val prevRank = prev.zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    val curRank = cur.zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    val leftKeys = prev.map(_._1).filterNot(curRank.contains)
+    // current aged scores for products that LEFT the top-N (they are
+    // absent from the cur snapshot; a tiny keyed filter on the aged
+    // frame fills them in)
+    val leftScores: Map[Int, Double] =
+      if (leftKeys.isEmpty) Map.empty
+      else agedScoresFromLog(spark, logDir, curEpoch, halfLife)
+        .filter(col("product_k").isin(leftKeys.map(Int.box): _*))
+        .select(col("product_k"), col("score_now"))
+        .collect().map(r => r.getAs[Int](0) -> r.getAs[Double](1)).toMap
+    val entered = cur.collect { case (k, s) if !prevRank.contains(k) =>
+      TrendChange(k, "entered", 0, curRank(k), s) }
+    val moved = cur.collect {
+      case (k, s) if prevRank.contains(k) && prevRank(k) != curRank(k) =>
+        TrendChange(k, if (curRank(k) < prevRank(k)) "up" else "down",
+          prevRank(k), curRank(k), s)
+    }
+    val left = prev.collect { case (k, _) if !curRank.contains(k) =>
+      TrendChange(k, "left", prevRank(k), 0, leftScores.getOrElse(k, 0.0)) }
+    entered ++ moved ++ left
+  }
+
+  /** The alert-loop composition: rescore the log at two horizons and
+    * emit a Block Kit payload ONLY when the top-N actually changed —
+    * the "product entered/left trending" alert the reference's Slack
+    * path implies. None = stable, nothing to send. */
+  def trendingAlert(spark: org.apache.spark.sql.SparkSession, logDir: String,
+      prevEpoch: Long, curEpoch: Long, n: Int = 10,
+      halfLife: Long = HalfLifeSeconds): Option[String] = {
+    val changes = topNChanges(spark, logDir, prevEpoch, curEpoch, n, halfLife)
+    if (changes.isEmpty) None
+    else Some(graft.Reporting.trendingAlertPayload(
+      java.time.Instant.ofEpochSecond(curEpoch).toString, n, changes))
   }
 
   /** Closed-form batch recompute: the decayed score at `asOfEpoch`

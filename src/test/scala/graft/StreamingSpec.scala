@@ -740,4 +740,46 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(top(0).getAs[Double]("score_now") - 1.0) < 1e-9)
     } finally q.stop()
   }
+
+  test("trending alert loop: top-N delta between rescores fires entered/left/moved; stable fires nothing") {
+    import spark.implicits._
+    val hl = 3600L
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000L
+    val t1 = t0 + hl
+    val logDir = java.nio.file.Files.createTempDirectory("graft_trend_alert").toString
+    // batch 0 at t0: products 1,2,3 score 10/5/1; batch 1 at t1:
+    // product 4 enters hot (8), product 2 collapses to 1
+    graft.sources.MartSink.writePartitioned(
+      Seq((1, 10.0, t0, 10L, 0L), (2, 5.0, t0, 5L, 0L), (3, 1.0, t0, 1L, 0L))
+        .toDF("product_k", "score", "last_epoch", "total_events", "batch_id"),
+      logDir, Seq("batch_id"))
+    graft.sources.MartSink.writePartitioned(
+      Seq((4, 8.0, t1, 8L, 1L), (2, 1.0, t1, 6L, 1L))
+        .toDF("product_k", "score", "last_epoch", "total_events", "batch_id"),
+      logDir, Seq("batch_id"))
+    // prev snapshot must NOT see batch-1 rows (historical horizon)
+    val prevTop = TrendingStream.trendingTopNFromLog(spark, logDir, t0, n = 2, halfLife = hl)
+      .collect().map(_.getAs[Int]("product_k")).toSeq
+    assert(prevTop == Seq(1, 2))
+    val changes = TrendingStream.topNChanges(spark, logDir, t0, t1, n = 2, halfLife = hl)
+    // cur top-2 at t1: p4 = 8.0 (#1), p1 aged one half-life = 5.0 (#2);
+    // p2's latest row scores 1.0 — it LEFT from prev #2
+    assert(changes.map(c => (c.product_k, c.change, c.prev_rank, c.cur_rank)) ==
+      Seq((4, "entered", 0, 1), (1, "down", 1, 2), (2, "left", 2, 0)))
+    assert(math.abs(changes.head.score_now - 8.0) < 1e-9)
+    assert(math.abs(changes(1).score_now - 5.0) < 1e-9)
+    assert(math.abs(changes(2).score_now - 1.0) < 1e-9) // departure's CURRENT aged score
+    val alert = TrendingStream.trendingAlert(spark, logDir, t0, t1, n = 2, halfLife = hl)
+    assert(alert.isDefined)
+    val p = alert.get
+    val parsed = spark.read.json(Seq(p).toDS)
+    assert(!parsed.columns.contains("_corrupt_record") && parsed.columns.contains("blocks"))
+    assert(p.contains("[TRENDING] top-2 changes"))
+    assert(p.contains("*entered:* 1") && p.contains("*left:* 1") && p.contains("*moved:* 1"))
+    assert(p.contains("product 4*: entered at #1"))
+    assert(p.contains("product 1*: #1 -> #2 (down"))
+    assert(p.contains("product 2*: left (was #2"))
+    // identical horizons → stable → no alert to send
+    assert(TrendingStream.trendingAlert(spark, logDir, t1, t1, n = 2, halfLife = hl).isEmpty)
+  }
 }
