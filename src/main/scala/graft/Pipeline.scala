@@ -322,6 +322,60 @@ object Pipeline {
   def gateDashboardHtml(spark: SparkSession, gateLogDir: String): String =
     Reporting.gateDashboardHtml(gateDashboardDays(spark, gateLogDir))
 
+  // ---- right-to-be-forgotten (the operational GDPR pass) ----
+
+  /** The marts that carry user-keyed rows, with the partition column
+    * the erasure locate/rewrite prunes on. The other three marts
+    * (funnel/product/hourly) are aggregates with no per-user rows —
+    * erasure reports them as skipped rather than silently ignoring
+    * them, so the manifest documents the full surface audited. */
+  private val userKeyedMarts = Seq(
+    "mart_user_daily"   -> "event_date",
+    "mart_orders"       -> "order_date",
+    "session_sequences" -> "session_date")
+
+  private val aggregateMarts =
+    Seq("mart_funnel_daily", "mart_product_daily", "hourly_traffic")
+
+  /** What one erasure call touched — the audit record a deletion
+    * request needs. */
+  final case class EraseManifest(
+      userIds: Seq[Long],
+      martStats: Map[String, MartSink.EraseStats],
+      jdbcDeleted: Map[String, Long],
+      skipped: Seq[String])
+
+  /** Erase `userIds` from every built mart in one call — the
+    * partition-pruned parquet pass (`MartSink.eraseKeys`) over each
+    * user-keyed mart present under `outDir`, plus the warehouse leg
+    * (`eraseKeysJdbc`) for each of those tables that exists at
+    * `martJdbc`. Aggregate marts (no user-keyed rows) and absent
+    * directories/tables land in `skipped`, so the manifest states
+    * what was erased, what was checked-and-empty, and what was out of
+    * scope. Erasing already-erased users is a no-op (stats zero). */
+  def erase(spark: SparkSession, outDir: String, userIds: Seq[Long],
+      martJdbc: Option[String] = None): EraseManifest = {
+    val (present, absent) = userKeyedMarts.partition { case (m, _) =>
+      new java.io.File(s"$outDir/$m").exists() }
+    val stats = present.map { case (m, partCol) =>
+      m -> MartSink.eraseKeys(spark, s"$outDir/$m", "user_id", userIds, partCol)
+    }.toMap
+    val jdbc = martJdbc match {
+      case None => Map.empty[String, Long]
+      case Some(url) =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        val tables =
+          try userKeyedMarts.map(_._1).filter(MartSink.tableExists(conn, _))
+          finally conn.close()
+        tables.map(t => t -> MartSink.eraseKeysJdbc(url, t, "user_id", userIds)).toMap
+    }
+    val jdbcAbsent = martJdbc.toSeq.flatMap(_ =>
+      userKeyedMarts.map(_._1).filterNot(jdbc.contains).map(t => s"jdbc:$t (absent)"))
+    EraseManifest(userIds, stats, jdbc,
+      aggregateMarts.map(m => s"$m (aggregate, no user rows)") ++
+        absent.map { case (m, _) => s"$m (not built)" } ++ jdbcAbsent)
+  }
+
   /** Cron entry: `runMain graft.Pipeline <dataDir> <martDir>
     * [date[,date...]] [--quarantine] [--mart-jdbc=<url>]` — one
     * invocation per execution date maps 1:1 onto a scheduler run.
@@ -338,7 +392,27 @@ object Pipeline {
     val martJdbc = flags.collectFirst {
       case f if f.startsWith("--mart-jdbc=") => f.stripPrefix("--mart-jdbc=")
     }
+    val eraseIds = flags.collectFirst {
+      case f if f.startsWith("--erase=") =>
+        f.stripPrefix("--erase=").split(",").toSeq.map(_.trim.toLong)
+    }
     val spark = GraftSession.get()
+    // an erasure run is its own operation: touch the built marts (and
+    // the warehouse if given), print the manifest, and stop — no
+    // pipeline rebuild rides along with a deletion request
+    eraseIds.foreach { ids =>
+      val m = erase(spark, outDir, ids, martJdbc)
+      println(s"erased users=${ids.mkString(",")} " +
+        "marts=" + m.martStats.toSeq.sortBy(_._1).map { case (n, s) =>
+          s"$n:${s.rowsErased}" }.mkString(",") +
+        (if (m.jdbcDeleted.nonEmpty)
+          " jdbc=" + m.jdbcDeleted.toSeq.sortBy(_._1).map { case (n, c) =>
+            s"$n:$c" }.mkString(",")
+         else "") +
+        " skipped=" + m.skipped.mkString(";"))
+      spark.stop()
+      return
+    }
     // quarantine IS the alternative to fail-fast: the run proceeds and
     // the marts consume clean sessions instead of stopping at the gate
     val r = run(spark, sfDir, outDir, dates = dates,

@@ -401,7 +401,7 @@ object MartSink {
     * user's schema, a staging area) fake existence and route the
     * merge/create against a name that doesn't resolve here. Drivers
     * without getSchema support fall back to the all-schema probe. */
-  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+  private[graft] def tableExists(conn: java.sql.Connection, table: String): Boolean = {
     val schemaPattern =
       try Option(conn.getSchema).orNull
       catch { case _: Throwable => null }

@@ -574,6 +574,46 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "mart_user_daily", new java.util.Properties()).count() == uCount)
   }
 
+  test("Pipeline.erase removes a user from every user-keyed mart (parquet + warehouse) with a full manifest") {
+    val out = Files.createTempDirectory("graft_erasure").toString
+    val db = Files.createTempDirectory("graft_erase_wh").resolve("edb")
+    val url = s"jdbc:derby:$db;create=true"
+    Pipeline.run(spark, Sf, out, failFast = false, martJdbc = Some(url))
+    val props = new java.util.Properties()
+    val userMarts = Seq("mart_user_daily", "mart_orders", "session_sequences")
+    // a user with purchase activity hits all three user-keyed marts
+    val uid = spark.read.parquet(s"$out/mart_orders")
+      .select("user_id").limit(1).collect().head.getLong(0)
+    val before = userMarts.map { m =>
+      m -> spark.read.parquet(s"$out/$m").filter(col("user_id") === uid).count()
+    }.toMap
+    val totals = userMarts.map { m => m -> spark.read.parquet(s"$out/$m").count() }.toMap
+    assert(before.values.forall(_ > 0))
+    val man = Pipeline.erase(spark, out, Seq(uid), Some(url))
+    assert(man.martStats.keySet == userMarts.toSet)
+    // manifest counts are exactly the user's rows, per surface
+    userMarts.foreach { m =>
+      assert(man.martStats(m).rowsErased == before(m), s"$m parquet count")
+      assert(man.jdbcDeleted(m) == before(m), s"$m warehouse count")
+    }
+    // the rows are gone from both surfaces; nobody else's rows left with them
+    userMarts.foreach { m =>
+      spark.catalog.refreshByPath(s"$out/$m")
+      assert(spark.read.parquet(s"$out/$m").filter(col("user_id") === uid).count() == 0)
+      assert(spark.read.parquet(s"$out/$m").count() == totals(m) - before(m))
+      assert(spark.read.jdbc(url, m, props).filter(col("user_id") === uid).count() == 0)
+      assert(spark.read.jdbc(url, m, props).count() == totals(m) - before(m))
+    }
+    // aggregates are documented as out of scope, not silently ignored
+    Seq("mart_funnel_daily", "mart_product_daily", "hourly_traffic").foreach { m =>
+      assert(man.skipped.exists(_.startsWith(m)), s"$m in skipped")
+    }
+    // idempotent: a replayed deletion request touches nothing
+    val again = Pipeline.erase(spark, out, Seq(uid), Some(url))
+    assert(again.martStats.values.forall(_.rowsErased == 0))
+    assert(again.jdbcDeleted.values.forall(_ == 0))
+  }
+
   test("quarantine run builds marts on clean sessions only; gate summary still sees the raw frame") {
     val out = Files.createTempDirectory("graft_qrun").toString
     val res = Pipeline.run(spark, Sf, out, failFast = false, quarantine = true)
