@@ -55,15 +55,28 @@ object Graph {
   }
 
   def productPagerank(spark: SparkSession, dir: String,
-      iterations: Int = 15): DataFrame =
-    pagerankFrom(productEdgesFrom(enriched(spark, dir)), iterations)
+      iterations: Int = 15, tol: Double = 0.0, checkEvery: Int = 1): DataFrame =
+    pagerankFrom(productEdgesFrom(enriched(spark, dir)), iterations,
+      tol = tol, checkEvery = checkEvery)
 
   /** Weighted PageRank over an (src, dst, weight) edge frame.
     * Returns (node, pagerank, out_weight, in_edges, out_edges,
-    * last_delta) with Σ pagerank = 1 (dangling mass redistributed
-    * uniformly each round). */
+    * last_delta, iterations_run) with Σ pagerank = 1 (dangling mass
+    * redistributed uniformly each round).
+    *
+    * Convergence control: with `tol` = 0 (default) the loop runs a
+    * FIXED `iterations` rounds and the L1 delta is computed once at
+    * the end — pure observability, zero driver round-trips inside the
+    * loop. With `tol` > 0, `iterations` becomes the max-round guard
+    * and every `checkEvery`-th round pays one extra join+aggregate to
+    * read the delta (a driver scalar — control flow now, the same
+    * class as the Lloyd loop's convergence check); the loop stops as
+    * soon as delta < tol. Power iteration converges geometrically at
+    * the damping rate, so checkEvery > 1 amortizes the check against
+    * rounds that were almost certainly still needed. */
   def pagerankFrom(edges: DataFrame, iterations: Int = 15,
-      damping: Double = Damping): DataFrame = {
+      damping: Double = Damping, tol: Double = 0.0,
+      checkEvery: Int = 1): DataFrame = {
     val e = edges.localCheckpoint() // every iteration reuses the edge frame
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
@@ -75,10 +88,14 @@ object Graph {
       .agg(sum(col("weight")).cast("double").as("out_weight"))
     // node base frame: out_weight NULL marks a dangling node
     val base = nodes.join(outW, Seq("node"), "left").localCheckpoint()
+    require(checkEvery >= 1, "checkEvery must be >= 1")
     var ranks = base.select(col("node"), col("out_weight"),
       lit(1.0 / n.toDouble).as("rank"))
     var delta = Double.NaN
-    for (i <- 1 to iterations) {
+    var ranIterations = 0
+    var converged = false
+    var i = 1
+    while (i <= iterations && !converged) {
       // the dangling mass rides the iteration plan as a ONE-ROW
       // broadcast (scalar-subquery pattern) — zero driver round-trips
       // per round; the checkpoint materialization is the only job
@@ -96,14 +113,22 @@ object Graph {
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
               col("dangling") / lit(n.toDouble))).as("rank"))
         .localCheckpoint()
-      // the convergence reading is observability, not control flow —
-      // only the FINAL round pays its extra join+aggregate (computing
-      // it every round nearly doubled the per-iteration job count)
-      if (i == iterations)
+      // fixed mode (tol = 0): the convergence reading is observability,
+      // not control flow — only the FINAL round pays its extra
+      // join+aggregate (computing it every round nearly doubled the
+      // per-iteration job count). Tolerance mode: read it every
+      // checkEvery-th round and stop once it clears tol.
+      val readDelta = (tol > 0.0 && (i % checkEvery == 0 || i == iterations)) ||
+        (tol == 0.0 && i == iterations)
+      if (readDelta) {
         delta = next.as("a").join(ranks.as("b"), "node")
           .agg(coalesce(sum(abs(col("a.rank") - col("b.rank"))), lit(0.0)))
           .collect().head.getDouble(0)
+        if (tol > 0.0 && delta < tol) converged = true
+      }
       ranks = next
+      ranIterations = i
+      i += 1
     }
     val inDeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_edges"))
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_edges"))
@@ -112,7 +137,57 @@ object Graph {
         coalesce(col("out_weight"), lit(0.0)).as("out_weight"),
         coalesce(col("in_edges"), lit(0L)).as("in_edges"),
         coalesce(col("out_edges"), lit(0L)).as("out_edges"),
-        lit(delta).as("last_delta"))
+        lit(delta).as("last_delta"),
+        lit(ranIterations).as("iterations_run"))
       .orderBy(desc("pagerank"), asc("product_k"))
+  }
+
+  /** Product communities over the UNDIRECTED browse graph —
+    * synchronous weighted label propagation (Raghavan et al. 2007)
+    * with deterministic tie-breaking: each round every node adopts
+    * the label carrying the most incident edge weight among its
+    * neighbors, ties to the smallest label. Bounded rounds;
+    * deterministic by construction (no random visit order — the
+    * classic async LPA is order-dependent, this sync+min-tie variant
+    * trades a little convergence speed for reproducibility).
+    *
+    * The "what sells together browses together" clustering — distinct
+    * from connected components (one giant component on any real
+    * browse graph) because WEIGHT decides: a weak bridge between two
+    * dense cliques cannot flip either side.
+    *
+    * Scale shape: one round = labels ⋈ edges on the neighbor key +
+    * an argmax window over (node, label) partial sums — both at edge
+    * dimension, hash-partitioned; labels re-checkpoint per round to
+    * truncate lineage (the Lloyd/PageRank loop pattern). rows-only by
+    * design (iterative, no SQL re-expression); the spec pins exact
+    * convergence on a crafted barbell graph. */
+  def productCommunities(spark: SparkSession, dir: String,
+      iterations: Int = 8): DataFrame =
+    communitiesFrom(productEdgesFrom(enriched(spark, dir)), iterations)
+
+  def communitiesFrom(edges: DataFrame, iterations: Int = 8): DataFrame = {
+    // symmetrize: incident weight of (a,b) = both directions' sum
+    val und = edges.select(col("src").as("a"), col("dst").as("b"), col("weight"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b"), col("weight")))
+      .groupBy(col("a"), col("b")).agg(sum(col("weight")).as("w"))
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    val wArgmax = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(desc("lw"), asc("label"))
+    for (_ <- 1 to iterations) {
+      labels = und.join(labels, und("b") === labels("node"))
+        .groupBy(col("a"), col("label")).agg(sum(col("w")).as("lw"))
+        .withColumn("rk", row_number().over(wArgmax))
+        .filter(col("rk") === 1)
+        .select(col("a").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node").as("product_k"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(desc("community_size"), asc("community"), asc("product_k"))
   }
 }

@@ -660,4 +660,136 @@ object Sessionize {
       |FROM sessions
       |GROUP BY 1
       |ORDER BY session_date""".stripMargin
+
+  /** Error impact at session grain — what an `error` event costs in
+    * conversion: per session-start day, how many sessions hit at
+    * least one error, and the purchase-conversion rate of errored vs
+    * clean sessions side by side (the gap is the revenue case for
+    * fixing reliability — the question the reference's error_count
+    * column in mart_user_daily gestures at but never answers).
+    *
+    * Scale shape: the per-session flag rollup is subset-satisfied by
+    * the one sessionize exchange (groupBy (user_id, session_idx) on
+    * the user_id partitioning); only per-session flag rows reach the
+    * tiny day rollup. Conversion rates are NULL when a day has no
+    * sessions on that side (0/0), via the same CASE shape in both
+    * engines. Day = epoch // 86400, timezone-free. */
+  def errorImpact(spark: SparkSession, dir: String): DataFrame =
+    errorImpactFrom(enriched(spark, dir))
+
+  def errorImpactFrom(e: DataFrame): DataFrame = {
+    val sessions = sessionized(e)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("event_epoch")).as("start_epoch"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("has_error"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
+    def convOf(flagVal: Int): org.apache.spark.sql.Column = {
+      val n = sum(when(col("has_error") === flagVal, 1).otherwise(0))
+      val c = sum(when(col("has_error") === flagVal && col("has_purchase") === 1, 1)
+        .otherwise(0))
+      when(n > 0, c.cast("double") / n.cast("double") * lit(100))
+    }
+    sessions
+      .groupBy(date_add(lit("1970-01-01").cast("date"),
+        (col("start_epoch") / lit(86400)).cast("int")).as("session_date"))
+      .agg(
+        count(lit(1)).as("sessions_total"),
+        sum(col("has_error")).as("sessions_with_error"),
+        (sum(col("has_error")).cast("double") / count(lit(1)).cast("double") * lit(100))
+          .as("error_session_rate"),
+        convOf(1).as("conv_with_error"),
+        convOf(0).as("conv_without_error"))
+      .orderBy("session_date")
+  }
+
+  val errorImpactSql: String = sessionizedSql +
+    """, sessions AS (
+      |  SELECT user_id, session_idx, MIN(event_epoch) AS start_epoch,
+      |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      |  FROM sessioned GROUP BY user_id, session_idx
+      |)
+      |SELECT DATE '1970-01-01' + CAST(start_epoch // 86400 AS INT) AS session_date,
+      |  COUNT(*) AS sessions_total,
+      |  CAST(SUM(has_error) AS BIGINT) AS sessions_with_error,
+      |  CAST(SUM(has_error) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100 AS error_session_rate,
+      |  CASE WHEN SUM(CASE WHEN has_error = 1 THEN 1 ELSE 0 END) > 0 THEN
+      |    CAST(SUM(CASE WHEN has_error = 1 AND has_purchase = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN has_error = 1 THEN 1 ELSE 0 END) AS DOUBLE) * 100
+      |  END AS conv_with_error,
+      |  CASE WHEN SUM(CASE WHEN has_error = 0 THEN 1 ELSE 0 END) > 0 THEN
+      |    CAST(SUM(CASE WHEN has_error = 0 AND has_purchase = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(SUM(CASE WHEN has_error = 0 THEN 1 ELSE 0 END) AS DOUBLE) * 100
+      |  END AS conv_without_error
+      |FROM sessions
+      |GROUP BY 1
+      |ORDER BY session_date""".stripMargin
+
+  /** First-order Markov next-event evaluation — does the transition
+    * matrix actually predict? For every within-session transition,
+    * the model predicts the modal next type for its origin (ties
+    * break alphabetically); accuracy per origin is the share of real
+    * transitions that hit the mode. This is the eval closure of
+    * session_transitions: the rate matrix says what usually follows,
+    * this says how often "usually" is right.
+    *
+    * Scale shape: same one-exchange lead window as
+    * session_transitions; everything after the |types|²-row pair
+    * rollup (argmax window + the accuracy join) runs on the tiny
+    * aggregate frame. */
+  def markovNextEvent(spark: SparkSession, dir: String): DataFrame =
+    markovNextEventFrom(enriched(spark, dir))
+
+  def markovNextEventFrom(e: DataFrame): DataFrame = {
+    val wSess = Window.partitionBy("user_id", "session_idx")
+      .orderBy("event_epoch", "event_id")
+    val pairs = sessionized(e)
+      .withColumn("to_type", lead("event_type", 1).over(wSess))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("pair_count"))
+    val wArgmax = Window.partitionBy("from_type")
+      .orderBy(desc("pair_count"), asc("to_type"))
+    val modal = pairs
+      .withColumn("rk", row_number().over(wArgmax))
+      .filter(col("rk") === 1)
+      .select(col("from_type"), col("to_type").as("predicted_to"),
+        col("pair_count").as("correct_transitions"))
+    pairs
+      .groupBy(col("from_type"))
+      .agg(sum(col("pair_count")).as("transitions"))
+      .join(modal, Seq("from_type"))
+      .select(col("from_type"), col("predicted_to"), col("transitions"),
+        col("correct_transitions"),
+        (col("correct_transitions").cast("double") / col("transitions").cast("double")
+          * lit(100)).as("accuracy_pct"))
+      .orderBy("from_type")
+  }
+
+  val markovNextEventSql: String = sessionizedSql +
+    """, pairs AS (
+      |  SELECT from_type, to_type, COUNT(*) AS pair_count
+      |  FROM (
+      |    SELECT event_type AS from_type,
+      |      LEAD(event_type) OVER (PARTITION BY user_id, session_idx
+      |                             ORDER BY event_epoch, event_id) AS to_type
+      |    FROM sessioned
+      |  ) t WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type
+      |), modal AS (
+      |  SELECT from_type, to_type AS predicted_to, pair_count AS correct_transitions
+      |  FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+      |                                 ORDER BY pair_count DESC, to_type ASC) AS rk
+      |    FROM pairs
+      |  ) r WHERE rk = 1
+      |)
+      |SELECT p.from_type, m.predicted_to, CAST(SUM(p.pair_count) AS BIGINT) AS transitions,
+      |  m.correct_transitions,
+      |  CAST(m.correct_transitions AS DOUBLE) / CAST(SUM(p.pair_count) AS DOUBLE) * 100
+      |    AS accuracy_pct
+      |FROM pairs p JOIN modal m USING (from_type)
+      |GROUP BY p.from_type, m.predicted_to, m.correct_transitions
+      |ORDER BY from_type""".stripMargin
 }

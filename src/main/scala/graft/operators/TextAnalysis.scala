@@ -1884,4 +1884,117 @@ object TextAnalysis {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Collocation mining — word pairs that co-occur adjacently far
+    * more than their unigram frequencies predict (the "New York" /
+    * "machine learning" detector; the phrase inventory a tokenizer or
+    * topic model wants). Association strength is LIFT, the exact
+    * rational the repo's libm rule allows (PMI = log2(lift) orders
+    * identically, so ranking by lift IS ranking by PMI without an
+    * oracle-hostile log): lift = P(w1 w2) / (P(w1)·P(w2)) estimated
+    * as (pair·total)/(c1·c2) with the double products formed BEFORE
+    * the division (bigint products would overflow at corpus scale).
+    *
+    * Plan shape: adjacent pairs are built per-row from the token
+    * array (narrow — never a self-join), partial-aggregated into pair
+    * counts; unigram counts are a second explode-rollup; the two
+    * joins run at pair/vocab dimension (hash join — a web corpus'
+    * vocabulary outgrows broadcast), and the 1-row total rides as a
+    * broadcast. minCount prunes the pair tail BEFORE the joins. */
+  def wordCollocations(spark: SparkSession, dir: String, minCount: Int = 5,
+      k: Int = 100): DataFrame =
+    wordCollocationsFrom(Tables.documents(spark, dir), minCount, k)
+
+  def wordCollocationsFrom(docs: DataFrame, minCount: Int = 5,
+      k: Int = 100): DataFrame = {
+    val ws = col("__graft_ws")
+    val pairArr = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + lit(1)).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = docs
+      .select(tokens(col("text")).as("__graft_ws"))
+      .select(explode(pairArr).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val pairCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val total = pairs.agg(count(lit(1)).as("total_pairs"))
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    pairCounts
+      .join(uni.select(col("w").as("w1"), col("cnt").as("w1_count")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("w2_count")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("pair_count"), col("w1_count"),
+        col("w2_count"), col("total_pairs"),
+        ((col("pair_count").cast("double") * col("total_pairs").cast("double"))
+          / (col("w1_count").cast("double") * col("w2_count").cast("double"))).as("lift"),
+        (col("pair_count").cast("double") / col("w1_count").cast("double"))
+          .as("p_w2_given_w1"))
+      .orderBy(desc("lift"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
+
+  val wordCollocationsSql: String =
+    """WITH b AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents
+      |), pr AS (
+      |  SELECT unnest(list_transform(range(1, greatest(len(ws)-1, 0) + 1), i -> ws[i])) AS w1,
+      |    unnest(list_transform(range(1, greatest(len(ws)-1, 0) + 1), i -> ws[i+1])) AS w2
+      |  FROM b
+      |), pc AS (
+      |  SELECT w1, w2, COUNT(*) AS pair_count FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      |), total AS (SELECT COUNT(*) AS total_pairs FROM pr),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS cnt FROM (SELECT unnest(ws) AS w FROM b) u GROUP BY w
+      |)
+      |SELECT pc.w1, pc.w2, pc.pair_count, u1.cnt AS w1_count, u2.cnt AS w2_count,
+      |  total_pairs,
+      |  (CAST(pc.pair_count AS DOUBLE) * CAST(total_pairs AS DOUBLE))
+      |    / (CAST(u1.cnt AS DOUBLE) * CAST(u2.cnt AS DOUBLE)) AS lift,
+      |  CAST(pc.pair_count AS DOUBLE) / CAST(u1.cnt AS DOUBLE) AS p_w2_given_w1
+      |FROM pc
+      |JOIN uni u1 ON pc.w1 = u1.w
+      |JOIN uni u2 ON pc.w2 = u2.w
+      |CROSS JOIN total
+      |ORDER BY lift DESC, w1 ASC, w2 ASC
+      |LIMIT 100""".stripMargin
+
+  /** Per-doc unigram cross-entropy against the corpus' own add-one-
+    * smoothed unigram LM — the real (log-domain) form of the quality
+    * signal rarityScore approximates with integers: bits/token =
+    * −Σ c(w)·log2 p̂(w) / n, p̂(w) = (corpus_count(w)+1)/(N+V). The
+    * CCNet-style perplexity filter ("score each shard against an LM,
+    * keep the fluent head") with the corpus itself as the LM.
+    *
+    * rows-only by design: log2 is libm (JVM vs DuckDB differ at ulp)
+    * and the per-doc float sum is shuffle-order dependent — the spec
+    * pins a driver-side exact recompute on a crafted corpus (1e-9)
+    * and structural invariants at sf. Plan shape: per-doc word counts
+    * (one shuffle, map-side combined), vocab rollup from those SAME
+    * (word, doc) rows (no second corpus scan), a vocab-dimension hash
+    * join back (broadcast is wrong at scale), one doc rollup. */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame =
+    textPerplexityFrom(Tables.documents(spark, dir))
+
+  def textPerplexityFrom(docs: DataFrame): DataFrame = {
+    val docCounts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // one scan feeds the vocab rollup AND the join back
+    val vocab = docCounts.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val totals = vocab.agg(sum(col("cw")).as("n_corpus"),
+      count(lit(1)).as("v_vocab"))
+    docCounts.join(vocab, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("bits", col("c").cast("double") *
+        -log2((col("cw") + lit(1)).cast("double")
+          / (col("n_corpus") + col("v_vocab")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        (sum(col("bits")) / sum(col("c")).cast("double")).as("bits_per_token"))
+      .withColumn("perplexity", pow(lit(2.0), col("bits_per_token")))
+      .orderBy("doc_id")
+  }
 }

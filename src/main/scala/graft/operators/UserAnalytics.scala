@@ -287,4 +287,76 @@ object UserAnalytics {
       |  CAST(s.total_events AS DOUBLE) / CAST(g.grand_total AS DOUBLE) * 100.0 AS share_pct
       |FROM slots s JOIN dow_days d USING (dow) CROSS JOIN g
       |ORDER BY dow, event_hour""".stripMargin
+
+  /** Survival horizon for [[retentionSurvival]] — offsets beyond 30
+    * days read as flat tail at the test corpus' span. */
+  val SurvivalMaxOffset = 30
+
+  /** User survival curve (Kaplan-Meier under right-censoring at the
+    * corpus end): for each day offset k, the share of users still
+    * active at-or-after k days from their first activity, among users
+    * whose observation window actually extends k days (users first
+    * seen near the corpus end are censored out of the denominators
+    * they can't reach — the bias the naive "active after k days"
+    * curve has). The longitudinal complement of retention_curve's
+    * calendar-cohort grid.
+    *
+    * Scale shape — NO per-user-per-offset explode of the fact table:
+    * one user-grain rollup to (first_day, last_day), then two
+    * HISTOGRAMS (lifetime days, window days — at most corpus-span
+    * rows each) explode into their covered offsets. The fact table is
+    * touched once; everything after is span×offset-bounded. The
+    * corpus end rides the plan as a 1-row broadcast (scalar-subquery
+    * pattern, zero driver round-trips). */
+  def retentionSurvival(spark: SparkSession, dir: String): DataFrame =
+    retentionSurvivalFrom(enriched(spark, dir))
+
+  def retentionSurvivalFrom(e: DataFrame, maxOffset: Int = SurvivalMaxOffset): DataFrame = {
+    val spans = e.filter(col("user_id").isNotNull && col("event_date").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("first_day"), max(col("event_date")).as("last_day"))
+    val corpusEnd = spans.agg(max(col("last_day")).as("corpus_end"))
+    val u = spans.crossJoin(broadcast(corpusEnd))
+      .select(
+        datediff(col("last_day"), col("first_day")).as("lifetime"),
+        datediff(col("corpus_end"), col("first_day")).as("window"))
+    // histogram → suffix counts via covered-offset explode: a row
+    // (value v, n users) contributes n to every offset 0..min(v, max)
+    def suffixCounts(vals: DataFrame, valCol: String, out: String): DataFrame =
+      vals.groupBy(col(valCol).as("v")).agg(count(lit(1)).as("n"))
+        .select(explode(sequence(lit(0), least(col("v"), lit(maxOffset)))).as("day_offset"),
+          col("n"))
+        .groupBy(col("day_offset")).agg(sum(col("n")).as(out))
+    val surviving = suffixCounts(u, "lifetime", "surviving_users")
+    val atRisk = suffixCounts(u, "window", "at_risk_users")
+    atRisk.join(surviving, Seq("day_offset"), "left")
+      .select(col("day_offset"), col("at_risk_users"),
+        coalesce(col("surviving_users"), lit(0L)).as("surviving_users"),
+        (coalesce(col("surviving_users"), lit(0L)).cast("double")
+          / col("at_risk_users").cast("double") * lit(100)).as("survival_pct"))
+      .orderBy("day_offset")
+  }
+
+  val retentionSurvivalSql: String =
+    """WITH spans AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day, MAX(CAST(ts AS DATE)) AS last_day
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY user_id
+      |), u AS (
+      |  SELECT date_diff('day', first_day, last_day) AS lifetime,
+      |    date_diff('day', first_day, (SELECT MAX(last_day) FROM spans)) AS win
+      |  FROM spans
+      |), life AS (
+      |  SELECT CAST(o.day_offset AS INT) AS day_offset, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM u, LATERAL (SELECT UNNEST(range(0, LEAST(lifetime, 30) + 1)) AS day_offset) o
+      |  GROUP BY 1
+      |), risk AS (
+      |  SELECT CAST(o.day_offset AS INT) AS day_offset, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM u, LATERAL (SELECT UNNEST(range(0, LEAST(win, 30) + 1)) AS day_offset) o
+      |  GROUP BY 1
+      |)
+      |SELECT r.day_offset, r.n AS at_risk_users, COALESCE(l.n, 0) AS surviving_users,
+      |  CAST(COALESCE(l.n, 0) AS DOUBLE) / CAST(r.n AS DOUBLE) * 100 AS survival_pct
+      |FROM risk r LEFT JOIN life l USING (day_offset)
+      |ORDER BY day_offset""".stripMargin
 }

@@ -52,6 +52,11 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast grand total; corpus_epoch_plan crosses its per-source
     // rows with the ONE-ROW broadcast weight total
     "revenue_pareto", "corpus_epoch_plan",
+    // retention_survival crosses user spans with the ONE-ROW broadcast
+    // corpus end; word_collocations / text_perplexity cross pair/vocab
+    // rows with ONE-ROW broadcast corpus totals — all the scalar-
+    // subquery pattern
+    "retention_survival", "word_collocations", "text_perplexity",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")
@@ -81,6 +86,13 @@ class PlanAuditSpec extends SparkSpec {
       // edge aggregation, audited directly below — each iteration is
       // an equi-join of two aggregated checkpointed frames
       "product_pagerank",
+      // product_communities runs its label-propagation rounds at
+      // construction (checkpointed labels per round) over the same
+      // audited edge subtree; text_perplexity checkpoints its (word,
+      // doc) counts so one scan feeds both the vocab rollup and the
+      // join back — the audited tails are the cheap post-checkpoint
+      // rollups, exercised by their specs
+      "product_communities", "text_perplexity",
       // embedding_outliers trains the shared Lloyd loop at
       // construction; its scoring tail (narrow centroid-literal
       // projection + fixed-state percentile + intended 1-row-broadcast

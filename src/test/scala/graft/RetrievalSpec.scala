@@ -196,6 +196,47 @@ class RetrievalSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("src"), r.getAs[Int]("dst")) -> r.getAs[Long]("weight"))
       .toMap
     assert(e2 == Map((1, 2) -> 1L, (3, 1) -> 1L))
+    // fixed mode reports the full round count
+    assert(got(1).getAs[Int]("iterations_run") == 15)
+  }
+
+  test("pagerank convergence control: tol mode stops at the first passing check, matching the driver replica exactly") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val edges = Seq((1, 2, 2L), (2, 1, 1L), (1, 3, 1L))
+      .toDF("src", "dst", "weight")
+    val d = 0.85; val n = 3.0; val tol = 1e-6; val checkEvery = 3; val maxIter = 50
+    // driver replica of the SAME loop: delta read every checkEvery-th
+    // round (or the guard round), stop at the first passing check
+    var r = Map(1 -> 1 / n, 2 -> 1 / n, 3 -> 1 / n)
+    var stopRound = 0
+    var round = 1
+    while (round <= maxIter && stopRound == 0) {
+      val dang = r(3)
+      val inflow = Map(
+        1 -> r(2) * 1.0 / 1.0,
+        2 -> r(1) * 2.0 / 3.0,
+        3 -> r(1) * 1.0 / 3.0)
+      val next = r.map { case (k, _) =>
+        k -> ((1.0 - d) / n + d * (inflow(k) + dang / n)) }
+      if (round % checkEvery == 0 || round == maxIter) {
+        val delta = r.keys.map(k => math.abs(next(k) - r(k))).sum
+        if (delta < tol) stopRound = round
+      }
+      r = next
+      round += 1
+    }
+    assert(stopRound > 0 && stopRound < maxIter) // the guard never fired
+    val got = Graph.pagerankFrom(edges, iterations = maxIter, tol = tol,
+        checkEvery = checkEvery).collect()
+      .map(x => x.getAs[Int]("product_k") -> x).toMap
+    assert(got(1).getAs[Int]("iterations_run") == stopRound)
+    assert(got(1).getAs[Double]("last_delta") < tol)
+    Seq(1, 2, 3).foreach { k =>
+      assert(math.abs(got(k).getAs[Double]("pagerank") - r(k)) < 1e-12,
+        s"node $k: ${got(k).getAs[Double]("pagerank")} vs ${r(k)}")
+    }
+    assert(math.abs(got.values.map(_.getAs[Double]("pagerank")).sum - 1.0) < 1e-9)
   }
 
   test("basket rules: directed confidence from planted baskets, support floor enforced") {
@@ -274,5 +315,72 @@ class RetrievalSpec extends SparkSpec {
       full.take(100).map(_.getAs[Long]("l_partkey")).toSeq)
     assert(pareto.map(_.getAs[Double]("cum_share_pct")).toSeq ==
       full.take(100).map(_.getAs[Double]("cum_share_pct")).toSeq)
+  }
+
+  test("label propagation: a weighted barbell splits into its two cliques; the weak bridge cannot flip a side") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // cliques {1,2,3} and {4,5,6} at weight 10, bridged 3—4 at weight 1
+    val clique = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6))
+      .map { case (a, b) => (a, b, 10L) }
+    val edges = (clique :+ ((3, 4, 1L))).toDF("src", "dst", "weight")
+    val got = Graph.communitiesFrom(edges, iterations = 5).collect()
+      .map(r => r.getAs[Int]("product_k") ->
+        (r.getAs[Int]("community"), r.getAs[Long]("community_size"))).toMap
+    assert(Set(1, 2, 3).map(got(_)._1).size == 1, "left clique one community")
+    assert(Set(4, 5, 6).map(got(_)._1).size == 1, "right clique one community")
+    assert(got(1)._1 != got(4)._1, "bridge did not merge the cliques")
+    assert(got.values.forall(_._2 == 3L))
+    // at sf: every product labeled exactly once, sizes consistent
+    val full = Graph.productCommunities(spark, Sf).collect()
+    assert(full.map(_.getAs[Int]("product_k")).distinct.length == full.length)
+    val bySize = full.groupBy(_.getAs[Int]("community"))
+    bySize.foreach { case (_, rows) =>
+      assert(rows.forall(_.getAs[Long]("community_size") == rows.length.toLong))
+    }
+  }
+
+  test("unigram perplexity matches an exact driver recompute; repetitive text scores fewer bits than diverse text") {
+    // crafted corpus: doc 0 is one word repeated (low entropy), doc 1
+    // all-distinct words (high), doc 2 mixes both vocabularies
+    val d = docs(Seq("aa aa aa aa", "bb cc dd ee", "aa bb aa cc"))
+    val got = TextAnalysis.textPerplexityFrom(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("bits_per_token"),
+          r.getAs[Double]("perplexity"))).toMap
+    // driver recompute with the same smoothing: p(w) = (cw+1)/(N+V)
+    val corpus = Map(0L -> Seq("aa", "aa", "aa", "aa"), 1L -> Seq("bb", "cc", "dd", "ee"),
+      2L -> Seq("aa", "bb", "aa", "cc"))
+    val cw = corpus.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cw.values.sum; val v = cw.size.toLong
+    corpus.foreach { case (id, toks) =>
+      val bits = toks.map(w =>
+        -(Math.log((cw(w) + 1.0) / (n + v).toDouble) / Math.log(2.0))).sum / toks.size
+      assert(got(id)._1 == toks.size.toLong)
+      assert(math.abs(got(id)._2 - bits) < 1e-9, s"doc $id bits")
+      assert(math.abs(got(id)._3 - Math.pow(2.0, bits)) < 1e-9)
+    }
+    assert(got(0L)._2 < got(2L)._2 && got(2L)._2 < got(1L)._2)
+  }
+
+  test("collocations: the planted phrase tops the lift ranking with exact counts") {
+    // "new york" always adjacent (4×); "the" ubiquitous — high counts,
+    // no lift; pairs under the support floor are pruned
+    val d = docs(Seq(
+      "new york the city the lights",
+      "the new york the subway runs",
+      "new york a trip a day",
+      "a the new york the end"))
+    val got = TextAnalysis.wordCollocationsFrom(d, minCount = 3, k = 10).collect()
+    val top = got.head
+    assert(top.getAs[String]("w1") == "new" && top.getAs[String]("w2") == "york")
+    assert(top.getAs[Long]("pair_count") == 4L)
+    assert(top.getAs[Long]("w1_count") == 4L && top.getAs[Long]("w2_count") == 4L)
+    // 20 bigram positions total (4 docs × 5): lift = 4·20/(4·4) = 5
+    assert(top.getAs[Long]("total_pairs") == 20L)
+    assert(top.getAs[Double]("lift") == 5.0)
+    assert(top.getAs[Double]("p_w2_given_w1") == 1.0)
+    // every surviving pair cleared the floor
+    assert(got.forall(_.getAs[Long]("pair_count") >= 3L))
   }
 }
