@@ -61,27 +61,30 @@ object ScaleProbe {
           .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       }
     }
+    /** Relational replica builder (orders/lineitem), shared by the 10×
+      * and 100× dirs: order/customer keys remap per replica so order
+      * sizes and per-customer frequencies are UNCHANGED (scale, not
+      * densification); part keys stay shared, so basket pair counts
+      * scale n× at constant support. */
+    def buildRelational(dir: String, reps: Int): Unit =
+      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+        val rep = explode(sequence(lit(0), lit(reps - 1))).as("rep")
+        Tables.orders(spark, small).withColumn("rep", rep)
+          .select(
+            (col("o_orderkey") + col("rep").cast("long") * 100000000L).as("o_orderkey"),
+            (col("o_custkey") + col("rep").cast("long") * 10000000L).as("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        val li = Tables.lineitem(spark, small)
+        li.withColumn("rep", rep)
+          .select(
+            (col("l_orderkey") + col("rep").cast("long") * 100000000L).as("l_orderkey")
+              +: li.columns.filter(_ != "l_orderkey").toIndexedSeq.map(col): _*)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      }
     buildCorpus(big, 10)
-    if (!new java.io.File(s"$big/orders.parquet").exists()) {
-      // ×10 replicas with order/customer keys remapped per replica:
-      // order sizes and per-customer frequencies are UNCHANGED (scale,
-      // not densification); part keys stay shared, so basket pair
-      // counts scale ×10 at constant support
-      val rep = explode(sequence(lit(0), lit(9))).as("rep")
-      Tables.orders(spark, small).withColumn("rep", rep)
-        .select(
-          (col("o_orderkey") + col("rep").cast("long") * 100000000L).as("o_orderkey"),
-          (col("o_custkey") + col("rep").cast("long") * 10000000L).as("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-          col("o_orderpriority"))
-        .repartition(32).write.mode("overwrite").parquet(s"$big/orders.parquet")
-      val li = Tables.lineitem(spark, small)
-      li.withColumn("rep", rep)
-        .select(
-          (col("l_orderkey") + col("rep").cast("long") * 100000000L).as("l_orderkey")
-            +: li.columns.filter(_ != "l_orderkey").toIndexedSeq.map(col): _*)
-        .repartition(32).write.mode("overwrite").parquet(s"$big/lineitem.parquet")
-    }
+    buildRelational(big, 10)
 
     val headline = Seq(
       "mart_user_daily", "mart_funnel_daily", "hourly_traffic", "session_sequences",
@@ -155,10 +158,17 @@ object ScaleProbe {
     // well under 10.
     if (flags.contains("--deep") || flags.contains("--deep-only")) {
       buildCorpus(deep, 100)
+      buildRelational(deep, 100)
       Tables.events(spark, deep).groupBy("event_type").count()
         .write.format("noop").mode("overwrite").save()
+      // the steepest r7 10× factors, plus the round-8 heavy additions:
+      // basket_rules (60M-row lineitem self-pairing at constant
+      // support), product_pagerank (15 fixed rounds over the 10M-event
+      // transition graph), doc_tfidf_keywords (500k-doc vocabulary
+      // growth under the disjoint-replica suffixing)
       val steepest = Seq("dedup_exact", "dq_corpus_coverage", "clean_dup_spans",
-        "sample_topic_balanced", "corpus_topic_mix")
+        "sample_topic_balanced", "corpus_topic_mix",
+        "basket_rules", "product_pagerank", "doc_tfidf_keywords")
       steepest.foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min
