@@ -1154,4 +1154,67 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), col("cell"), col("cohesion"), col("p05"))
   }
+
+  /** Embedding-space class separability — the Fisher-style probe of
+    * "do the labels mean anything in this space": per label, the mean
+    * squared distance of its vectors to their own centroid
+    * (intra-class spread) against the squared distance to the NEAREST
+    * other centroid; separability = inter/intra (≫1 = clean clusters,
+    * ≈1 = the label boundary is inside the noise floor). The
+    * embedding-quality gate a training pipeline runs before trusting
+    * labels for kNN classification or topic-balanced sampling.
+    *
+    * Scale shape: per-label centroids come from the exact fixed-state
+    * component-mean rollup (one fact exchange); the |labels| centroids
+    * collect to the driver (tiny by construction — the IVF-literal
+    * pattern) and go back as a when-chain of array LITERALS, so
+    * own-centroid scoring is a NARROW projection (no join, no second
+    * shuffle beyond the label rollup); nearest-other distances are
+    * driver arithmetic over the |labels|² grid. rows-only (float
+    * distance sums); spec pins planted tight/far clusters. */
+  def embeddingSeparability(spark: SparkSession, dir: String): DataFrame =
+    embeddingSeparabilityFrom(Tables.embeddings(spark, dir))
+
+  private[graft] def embeddingSeparabilityFrom(e: DataFrame): DataFrame = {
+    val cents: Seq[(Int, Array[Double])] = {
+      val comps = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(round(col("x").cast("double") * lit(1e7)).cast("bigint")).cast("double") /
+          (count(lit(1)) * lit(1e7))).as("c"))
+        .collect()
+      comps.groupBy(_.getAs[Int]("label")).toSeq.map { case (l, rows) =>
+        l -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toArray
+      }.sortBy(_._1)
+    }
+    require(cents.nonEmpty, "no labels")
+    def sqDistTo(c: Array[Double]) = aggregate(
+      zip_with(col("embedding").cast("array<double>"),
+        array(c.toSeq.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val ownDist = cents.tail.foldLeft(
+      when(col("label") === cents.head._1, sqDistTo(cents.head._2))) {
+      case (acc, (l, c)) => acc.when(col("label") === l, sqDistTo(c))
+    }
+    val intra = e.filter(col("label").isin(cents.map(c => Int.box(c._1)): _*))
+      .select(col("label"), ownDist.as("d2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("d2")) / count(lit(1)).cast("double")).as("intra_mean_sq"))
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val nearest = cents.map { case (l, c) =>
+      val (ol, od) = cents.filter(_._1 != l)
+        .map { case (o, oc) => (o, sq(c, oc)) }
+        .minByOption(t => (t._2, t._1)).getOrElse((l, 0.0))
+      (l, ol, od)
+    }
+    import e.sparkSession.implicits._
+    intra.join(broadcast(
+        nearest.toDF("label", "nearest_label", "inter_centroid_sq")), "label")
+      .select(col("label"), col("n_vecs"), col("intra_mean_sq"),
+        col("nearest_label"), col("inter_centroid_sq"),
+        when(col("intra_mean_sq") > 0,
+          col("inter_centroid_sq") / col("intra_mean_sq")).as("separability"))
+      .orderBy("label")
+  }
 }

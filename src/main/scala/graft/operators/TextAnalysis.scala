@@ -184,6 +184,43 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-ID confusion matrix — declared label × heuristic
+    * prediction, with each cell's share of its declared-label row: the
+    * census that says WHERE to trust which label (a big en→und cell
+    * means short docs starve the marker heuristic; off-diagonal mass
+    * between related languages flags marker overlap). The evaluation
+    * closure of text_langid the way markov_next_event closes
+    * session_transitions.
+    *
+    * Scale shape: one narrow prediction projection (the same fused
+    * when-chain as text_langid), one |langs|²-bounded rollup, and the
+    * row-share window runs over that tiny frame. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("lang").as("actual_lang"), predictedLangCol.as("predicted_lang"),
+        col("n_chars"))
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("row_share_pct",
+        col("docs").cast("double")
+          / sum(col("docs")).over(Window.partitionBy("actual_lang")).cast("double")
+          * lit(100))
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
+  val langidConfusionSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang AS actual_lang, $sqlPredictedLang AS predicted_lang,
+       |    COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM documents GROUP BY 1, 2
+       |)
+       |SELECT actual_lang, predicted_lang, docs, total_chars,
+       |  CAST(docs AS DOUBLE)
+       |    / CAST(SUM(docs) OVER (PARTITION BY actual_lang) AS DOUBLE) * 100 AS row_share_pct
+       |FROM cells
+       |ORDER BY actual_lang, predicted_lang""".stripMargin
+
   /** Polynomial rolling-hash fingerprint over the document's characters
     * (mod 1e9+7) — a portable content fingerprint computed with
     * higher-order aggregate, identical in Spark and the oracle. */
@@ -486,6 +523,45 @@ object TextAnalysis {
        |     + len(regexp_extract_all(text, '$PhoneRe'))
        |     + len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_redactions
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-source PII census — the report BEFORE the scrub (where is
+    * the PII coming from; which ingest needs upstream fixing), per
+    * type: emails, phone numbers, IPs, documents carrying any, with
+    * the carrying-rate. Same three regexes as text_pii_scrub so the
+    * census and the scrub cannot disagree. A pure narrow projection
+    * into a \|sources\|-row rollup — embarrassingly parallel. */
+  def piiCensus(spark: SparkSession, dir: String): DataFrame = {
+    def hits(re: String) =
+      size(expr(s"regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)")).cast("bigint")
+    Tables.documents(spark, dir)
+      .select(col("source"), hits(EmailRe).as("e"), hits(PhoneRe).as("p"), hits(IpRe).as("i"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        count(when(col("e") + col("p") + col("i") > 0, 1)).as("docs_with_pii"),
+        sum(col("e")).as("emails"),
+        sum(col("p")).as("phones"),
+        sum(col("i")).as("ips"))
+      .withColumn("pii_doc_rate",
+        col("docs_with_pii").cast("double") / col("docs").cast("double") * lit(100))
+      .orderBy("source")
+  }
+
+  val piiCensusSql: String =
+    s"""WITH h AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS e,
+       |    CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS p,
+       |    CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS i
+       |  FROM documents
+       |)
+       |SELECT source, COUNT(*) AS docs,
+       |  COUNT(*) FILTER (WHERE e + p + i > 0) AS docs_with_pii,
+       |  CAST(SUM(e) AS BIGINT) AS emails, CAST(SUM(p) AS BIGINT) AS phones,
+       |  CAST(SUM(i) AS BIGINT) AS ips,
+       |  CAST(COUNT(*) FILTER (WHERE e + p + i > 0) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) * 100 AS pii_doc_rate
+       |FROM h GROUP BY source ORDER BY source""".stripMargin
 
   /** The split-assignment column — shared by `corpusSplit` and
     * `CorpusPipeline`'s partitioned write so the two can't drift. */
@@ -1100,6 +1176,94 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     bpeTokensFrom(docs, trainBpeMerges(docs, numMerges, maxPerRound))
   }
+
+  /** Vocabulary coverage curve — what share of all corpus tokens the
+    * top-N words cover (N = 100 / 1k / 10k): the budget question a
+    * tokenizer or stopword design starts from ("how big must the
+    * vocabulary be before OOV mass is negligible"), the cumulative
+    * complement of zipf_curve's per-rank shares.
+    *
+    * Scale shape: the vocab rollup is the one fact-sized exchange;
+    * the candidate set cuts to max(N) rows via TakeOrdered (never a
+    * full-dimension sort), so the rank/cumulative window runs
+    * single-partition over ≤10k rows BY CONSTRUCTION — the bounded
+    * case where a global window is the right plan; totals ride as a
+    * 1-row broadcast. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      thresholds: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("bigint").as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val w = Window.orderBy(desc("cnt"), asc("word"))
+    counts
+      .orderBy(desc("cnt"), asc("word")).limit(thresholds.max)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      // threshold rows, plus the 100%-coverage full-vocab row whenever
+      // the vocabulary fits under the cap (small corpora would
+      // otherwise emit nothing)
+      .filter(col("rank").isin(thresholds.map(Int.box): _*) ||
+        col("rank") === col("vocab_size"))
+      .select(col("rank").as("top_n"), col("cum").cast("bigint").as("tokens_covered"),
+        col("total_tokens"), col("vocab_size"),
+        (col("cum").cast("double") / col("total_tokens").cast("double") * lit(100))
+          .as("coverage_pct"))
+      .orderBy("top_n")
+  }
+
+  val vocabCoverageSql: String =
+    """WITH c AS (
+      |  SELECT word, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+      |  ) t WHERE word <> '' GROUP BY word
+      |), tot AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens, COUNT(*) AS vocab_size FROM c
+      |), r AS (
+      |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rank,
+      |    SUM(cnt) OVER (ORDER BY cnt DESC, word ASC
+      |                   ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c
+      |)
+      |SELECT CAST(rank AS INT) AS top_n, CAST(cum AS BIGINT) AS tokens_covered,
+      |  total_tokens, vocab_size,
+      |  CAST(cum AS DOUBLE) / CAST(total_tokens AS DOUBLE) * 100 AS coverage_pct
+      |FROM r CROSS JOIN tot
+      |WHERE (rank IN (10, 100, 1000, 10000) OR rank = vocab_size) AND rank <= 10000
+      |ORDER BY top_n""".stripMargin
+
+  /** Persist a trained merge table as a parquet artifact — the
+    * tokenizer-build product (train once on the corpus, ship the
+    * table, tokenize everywhere), the text-side sibling of
+    * `Similarity.saveIvfPqIndex`. Snapshot overwrite: retraining
+    * replaces the artifact atomically. */
+  def saveBpeVocab(spark: SparkSession, dir: String, outPath: String,
+      numMerges: Int = 20, maxPerRound: Int = 4): Seq[BpeMerge] = {
+    val merges = trainBpeMerges(Tables.documents(spark, dir), numMerges, maxPerRound)
+    import spark.implicits._
+    merges.toDF().coalesce(1).write.mode("overwrite").parquet(outPath)
+    merges
+  }
+
+  /** Load a persisted merge table, rank order restored. */
+  def loadBpeVocab(spark: SparkSession, path: String): Seq[BpeMerge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[BpeMerge].collect().toSeq.sortBy(_.rank)
+  }
+
+  /** Tokenize against a PERSISTED vocabulary — the production path:
+    * the corpus pays dictionary-tokenization only, never training;
+    * new batches tokenize with the shipped table so counts are
+    * comparable across ingests (retraining would silently change
+    * every historical count). */
+  def bpeTokensWithVocab(spark: SparkSession, dir: String,
+      vocabPath: String): DataFrame =
+    bpeTokensFrom(Tables.documents(spark, dir), loadBpeVocab(spark, vocabPath))
 
   /** Context-window packing census — the "pack documents into
     * fixed-token training sequences" step. Docs are sharded by id

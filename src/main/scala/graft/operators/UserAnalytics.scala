@@ -288,6 +288,89 @@ object UserAnalytics {
       |FROM slots s JOIN dow_days d USING (dow) CROSS JOIN g
       |ORDER BY dow, event_hour""".stripMargin
 
+  /** Seasonality-aware traffic anomaly detection — each (date, hour)
+    * cell scored against ITS OWN weekday-hour baseline (z-score vs
+    * the slot's zero-day-aware mean/std), where dq_anomaly scores
+    * whole days against the flat daily mean: a quiet Sunday 3am that
+    * would z-flag against the global curve is normal HERE, and a
+    * Monday-9am dip that the global curve absorbs is caught. The
+    * actionable composition of traffic_seasonality's baseline.
+    *
+    * Scale shape: ONE fact-sized exchange (the (date, dow, hour)
+    * rollup, checkpoint-pinned because both the baseline and the
+    * scored rows derive from it); the slot baseline, calendar census,
+    * and the join back all run at day×24 dimension. In-sample z by
+    * design (the baseline includes the scored day — the reference
+    * dq_anomaly convention); variance from exact Σ/Σ²/n sums with
+    * pinned-order IEEE ops, so the oracle hashes bit-identically. */
+  def trafficAnomalySeasonal(spark: SparkSession, dir: String): DataFrame =
+    trafficAnomalySeasonalFrom(enriched(spark, dir))
+
+  def trafficAnomalySeasonalFrom(e: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    val daily = e.filter(col("ts").isNotNull)
+      .select(col("event_date"), dayofweek(col("event_date")).as("dow"),
+        hour(col("ts")).as("event_hour"))
+      .groupBy(col("event_date"), col("dow"), col("event_hour"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // day×24 frame; feeds the baseline AND the scored rows
+    val dowDays = daily.select(col("event_date"), col("dow")).distinct()
+      .groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
+    val slots = daily.groupBy(col("dow"), col("event_hour"))
+      .agg(sum(col("n")).as("total_events"), sum(col("n") * col("n")).as("sum_sq"))
+      .join(broadcast(dowDays), "dow")
+    val mean = col("total_events").cast("double") / col("n_days").cast("double")
+    val baseline = slots
+      .withColumn("expected", mean)
+      .withColumn("std_per_day",
+        sqrt((col("sum_sq").cast("double") -
+          col("n_days").cast("double") * col("expected") * col("expected")) /
+          col("n_days").cast("double")))
+      .select(col("dow"), col("event_hour"), col("n_days"),
+        col("expected"), col("std_per_day"))
+    daily.join(baseline, Seq("dow", "event_hour"))
+      .withColumn("z_score",
+        when(col("std_per_day") > 0,
+          (col("n").cast("double") - col("expected")) / col("std_per_day")))
+      .select(col("event_date"), col("event_hour"), col("dow"),
+        col("n").as("observed"), col("n_days"), col("expected"),
+        col("std_per_day"), col("z_score"),
+        coalesce(abs(col("z_score")) >= zThreshold, lit(false)).as("is_anomaly"))
+      .orderBy("event_date", "event_hour")
+  }
+
+  val trafficAnomalySeasonalSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    CAST(EXTRACT(dow FROM CAST(ts AS DATE)) AS INT) + 1 AS dow,
+      |    CAST(EXTRACT(hour FROM ts) AS INT) AS event_hour, COUNT(*) AS n
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+      |), dow_days AS (
+      |  SELECT dow, COUNT(*) AS n_days
+      |  FROM (SELECT DISTINCT event_date, dow FROM daily) d GROUP BY dow
+      |), baseline AS (
+      |  SELECT s.dow, s.event_hour, d.n_days,
+      |    CAST(s.total_events AS DOUBLE) / CAST(d.n_days AS DOUBLE) AS expected,
+      |    sqrt((CAST(s.sum_sq AS DOUBLE) -
+      |      CAST(d.n_days AS DOUBLE) *
+      |        (CAST(s.total_events AS DOUBLE) / CAST(d.n_days AS DOUBLE)) *
+      |        (CAST(s.total_events AS DOUBLE) / CAST(d.n_days AS DOUBLE))) /
+      |      CAST(d.n_days AS DOUBLE)) AS std_per_day
+      |  FROM (
+      |    SELECT dow, event_hour, CAST(SUM(n) AS BIGINT) AS total_events,
+      |      CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      |    FROM daily GROUP BY 1, 2
+      |  ) s JOIN dow_days d USING (dow)
+      |)
+      |SELECT daily.event_date, daily.event_hour, daily.dow, daily.n AS observed,
+      |  b.n_days, b.expected, b.std_per_day,
+      |  CASE WHEN b.std_per_day > 0
+      |    THEN (CAST(daily.n AS DOUBLE) - b.expected) / b.std_per_day END AS z_score,
+      |  COALESCE(ABS(CASE WHEN b.std_per_day > 0
+      |    THEN (CAST(daily.n AS DOUBLE) - b.expected) / b.std_per_day END) >= 3.0,
+      |    FALSE) AS is_anomaly
+      |FROM daily JOIN baseline b ON daily.dow = b.dow AND daily.event_hour = b.event_hour
+      |ORDER BY daily.event_date, daily.event_hour""".stripMargin
+
   /** Survival horizon for [[retentionSurvival]] — offsets beyond 30
     * days read as flat tail at the test corpus' span. */
   val SurvivalMaxOffset = 30

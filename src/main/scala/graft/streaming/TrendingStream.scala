@@ -110,10 +110,12 @@ object TrendingStream {
     * fairly. Product-dimension scale — one tiny-log rollup. */
   def agedScoresFromLog(spark: org.apache.spark.sql.SparkSession,
       logDir: String, asOfEpoch: Long,
-      halfLife: Long = HalfLifeSeconds): DataFrame = {
+      halfLife: Long = HalfLifeSeconds,
+      maxBatchId: Option[Long] = None): DataFrame = {
     val lam = lambda(halfLife)
     spark.read.parquet(logDir)
-      .filter(col("last_epoch") <= asOfEpoch)
+      .filter(col("last_epoch") <= asOfEpoch &&
+        maxBatchId.map(col("batch_id") <= _).getOrElse(lit(true)))
       .groupBy(col("product_k"))
       .agg(max(struct(col("last_epoch"), col("batch_id"), col("score"),
         col("total_events"))).as("s"))
@@ -128,8 +130,9 @@ object TrendingStream {
     * above, ranked and cut. */
   def trendingTopNFromLog(spark: org.apache.spark.sql.SparkSession,
       logDir: String, asOfEpoch: Long, n: Int = 10,
-      halfLife: Long = HalfLifeSeconds): DataFrame =
-    agedScoresFromLog(spark, logDir, asOfEpoch, halfLife)
+      halfLife: Long = HalfLifeSeconds,
+      maxBatchId: Option[Long] = None): DataFrame =
+    agedScoresFromLog(spark, logDir, asOfEpoch, halfLife, maxBatchId)
       .orderBy(desc("score_now"), asc("product_k"))
       .limit(n)
       .select(col("product_k"), col("score_now"), col("score"),
@@ -149,22 +152,29 @@ object TrendingStream {
     * prev rank). */
   def topNChanges(spark: org.apache.spark.sql.SparkSession, logDir: String,
       prevEpoch: Long, curEpoch: Long, n: Int = 10,
-      halfLife: Long = HalfLifeSeconds): Seq[TrendChange] = {
-    def top(asOf: Long): Seq[(Int, Double)] =
-      trendingTopNFromLog(spark, logDir, asOf, n, halfLife)
+      halfLife: Long = HalfLifeSeconds): Seq[TrendChange] =
+    changesBetween(spark, logDir, n, halfLife,
+      prevEpoch, None, curEpoch, None)
+
+  /** Shared diff core: top-N snapshot at (epoch, optional batch
+    * horizon) on each side, driver-side rank diff, departures' current
+    * aged scores filled with one tiny keyed filter. */
+  private def changesBetween(spark: org.apache.spark.sql.SparkSession,
+      logDir: String, n: Int, halfLife: Long,
+      prevEpoch: Long, prevMaxBatch: Option[Long],
+      curEpoch: Long, curMaxBatch: Option[Long]): Seq[TrendChange] = {
+    def top(asOf: Long, mb: Option[Long]): Seq[(Int, Double)] =
+      trendingTopNFromLog(spark, logDir, asOf, n, halfLife, mb)
         .collect().toIndexedSeq
         .map(r => (r.getAs[Int]("product_k"), r.getAs[Double]("score_now")))
-    val prev = top(prevEpoch)
-    val cur = top(curEpoch)
+    val prev = top(prevEpoch, prevMaxBatch)
+    val cur = top(curEpoch, curMaxBatch)
     val prevRank = prev.zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
     val curRank = cur.zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
     val leftKeys = prev.map(_._1).filterNot(curRank.contains)
-    // current aged scores for products that LEFT the top-N (they are
-    // absent from the cur snapshot; a tiny keyed filter on the aged
-    // frame fills them in)
     val leftScores: Map[Int, Double] =
       if (leftKeys.isEmpty) Map.empty
-      else agedScoresFromLog(spark, logDir, curEpoch, halfLife)
+      else agedScoresFromLog(spark, logDir, curEpoch, halfLife, curMaxBatch)
         .filter(col("product_k").isin(leftKeys.map(Int.box): _*))
         .select(col("product_k"), col("score_now"))
         .collect().map(r => r.getAs[Int](0) -> r.getAs[Double](1)).toMap
@@ -192,6 +202,39 @@ object TrendingStream {
     else Some(graft.Reporting.trendingAlertPayload(
       java.time.Instant.ofEpochSecond(curEpoch).toString, n, changes))
   }
+
+  /** The stream-native alert loop: trendLogSink's idempotent
+    * batchId-keyed append, PLUS after each micro-batch a top-N diff of
+    * "the log without this batch" vs "the log with it" (both aged to
+    * the batch's own max last_epoch) — `onAlert` fires with the Block
+    * Kit payload ONLY when this batch changed top-N membership or
+    * order. Alerting is at-least-once under replay (the log write is
+    * idempotent, the alert callback is not — the reference's Slack
+    * POST has the same semantics); transport stays the caller's
+    * concern, matching the repo's payload/transport split. */
+  def alertingLogSink(scores: Dataset[TrendOut], logDir: String,
+      checkpointDir: String, n: Int = 10,
+      halfLife: Long = HalfLifeSeconds)(
+      onAlert: String => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    scores.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.sources.MartSink.writePartitioned(
+            batch.withColumn("batch_id", lit(batchId)), logDir, Seq("batch_id"))
+          spark.catalog.refreshByPath(logDir)
+          val asOf = batch.agg(max(col("last_epoch"))).collect().head.getLong(0)
+          val changes = changesBetween(spark, logDir, n, halfLife,
+            asOf, Some(batchId - 1), asOf, Some(batchId))
+          if (changes.nonEmpty)
+            onAlert(graft.Reporting.trendingAlertPayload(
+              java.time.Instant.ofEpochSecond(asOf).toString, n, changes))
+        }
+        ()
+      }
+      .start()
 
   /** Closed-form batch recompute: the decayed score at `asOfEpoch`
     * over a bounded event frame — Σ exp(−λ(T−t)) per product. The

@@ -52,6 +52,9 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast grand total; corpus_epoch_plan crosses its per-source
     // rows with the ONE-ROW broadcast weight total
     "revenue_pareto", "corpus_epoch_plan",
+    // vocab_coverage crosses its ≤10k post-TakeOrdered rows with the
+    // ONE-ROW broadcast corpus totals — the scalar-subquery pattern
+    "vocab_coverage",
     // retention_survival crosses user spans with the ONE-ROW broadcast
     // corpus end; word_collocations / text_perplexity cross pair/vocab
     // rows with ONE-ROW broadcast corpus totals — all the scalar-
@@ -93,6 +96,12 @@ class PlanAuditSpec extends SparkSpec {
       // join back — the audited tails are the cheap post-checkpoint
       // rollups, exercised by their specs
       "product_communities", "text_perplexity",
+      // embedding_separability collects its |labels| centroids at
+      // construction (the IVF-literal pattern) — scoring is a narrow
+      // literal projection; traffic_anomaly_seasonal checkpoints its
+      // day×24 rollup so the baseline and the scored rows share the
+      // one fact exchange
+      "embedding_separability", "traffic_anomaly_seasonal",
       // embedding_outliers trains the shared Lloyd loop at
       // construction; its scoring tail (narrow centroid-literal
       // projection + fixed-state percentile + intended 1-row-broadcast

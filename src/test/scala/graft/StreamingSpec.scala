@@ -782,4 +782,41 @@ class StreamingSpec extends SparkSpec {
     // identical horizons → stable → no alert to send
     assert(TrendingStream.trendingAlert(spark, logDir, t1, t1, n = 2, halfLife = hl).isEmpty)
   }
+
+  test("stream-native trending alert sink fires only on micro-batches that change the top-N") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val raw = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = at("2024-03-01 10:00:00")
+    val base = java.nio.file.Files.createTempDirectory("graft_trend_sink")
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = TrendingStream.alertingLogSink(
+      TrendingStream.trendScores(TrendingStream.asTrendEvents(raw), halfLife = 3600L),
+      base.resolve("log").toString, base.resolve("ck").toString,
+      n = 2, halfLife = 3600L)(alerts += _)
+    try {
+      // batch 1: p1 (2 views) and p2 (1) both ENTER the empty top-2
+      mem.addData(
+        (1L, t0, 1L, "view", 1.0, "{\"k\": 1}"),
+        (2L, t0, 2L, "view", 1.0, "{\"k\": 1}"),
+        (3L, t0, 3L, "view", 1.0, "{\"k\": 2}"))
+      q.processAllAvailable()
+      assert(alerts.size == 1)
+      assert(alerts(0).contains("*entered:* 2") && alerts(0).contains("product 1*: entered at #1"))
+      // batch 2: p2 gains 3 views → overtakes p1: both MOVE
+      mem.addData(
+        (4L, t0, 4L, "view", 1.0, "{\"k\": 2}"),
+        (5L, t0, 5L, "view", 1.0, "{\"k\": 2}"),
+        (6L, t0, 6L, "view", 1.0, "{\"k\": 2}"))
+      q.processAllAvailable()
+      assert(alerts.size == 2)
+      assert(alerts(1).contains("*moved:* 2") && alerts(1).contains("product 2*: #2 -> #1 (up"))
+      // batch 3: p1 gains 1 view (3 vs p2's 4) — order unchanged, silence
+      mem.addData((7L, t0, 7L, "view", 1.0, "{\"k\": 1}"))
+      q.processAllAvailable()
+      assert(alerts.size == 2)
+    } finally q.stop()
+  }
 }

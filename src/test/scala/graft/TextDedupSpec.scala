@@ -466,6 +466,24 @@ class CorpusPrepSpec extends SparkSpec {
     assert(v1.map(_.toString).sameElements(v2.map(_.toString)))
   }
 
+  test("persisted BPE vocabulary round-trips: tokenizing with the artifact equals train+apply") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bpe_vocab")
+    val path = base.resolve("vocab").toString
+    val saved = operators.TextAnalysis.saveBpeVocab(spark, Sf, path, numMerges = 8)
+    val loaded = operators.TextAnalysis.loadBpeVocab(spark, path)
+    assert(loaded == saved) // rank order + every field survive parquet
+    val direct = operators.TextAnalysis.bpeTokens(spark, Sf, numMerges = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaArtifact = operators.TextAnalysis.bpeTokensWithVocab(spark, Sf, path)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaArtifact == direct)
+    // retraining overwrites the artifact atomically (snapshot semantics)
+    val re = operators.TextAnalysis.saveBpeVocab(spark, Sf, path, numMerges = 4)
+    spark.catalog.refreshByPath(path)
+    assert(operators.TextAnalysis.loadBpeVocab(spark, path) == re)
+    assert(re.length <= 4)
+  }
+
   test("multi-merge BPE rounds produce the identical merge table in fewer driver rounds") {
     import spark.implicits._
     import operators.TextAnalysis.{trainBpeMerges, trainBpeMergesCounted}
@@ -1285,6 +1303,44 @@ class SimilaritySpec extends SparkSpec {
     assert(cs == cs.sorted)
     // no tight-cluster member outranks the planted outliers
     assert(got.take(2).forall(_.getAs[Double]("cohesion") < 0.5))
+  }
+
+  test("embedding separability: planted tight far clusters read as separable, matching a driver recompute") {
+    import spark.implicits._
+    val dims = 4
+    def jit(l: Int, i: Int, d: Int) = ((l * 13 + i * 7 + d * 3) % 5) * 0.01f
+    val vecs = for (l <- 0 until 2; i <- 0 until 20) yield
+      ((l * 20 + i).toLong,
+        Array.tabulate(dims)(d => (if (d == l) 1.0f else 0.0f) + jit(l, i, d)), l)
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingSeparabilityFrom(e).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(got.keySet == Set(0, 1))
+    // driver recompute with the SAME quantized centroid definition
+    val byLabel = vecs.groupBy(_._3)
+    val cents = byLabel.view.mapValues { vs =>
+      Array.tabulate(dims) { d =>
+        vs.map(v => Math.round(v._2(d).toDouble * 1e7)).sum.toDouble / (vs.size * 1e7)
+      }
+    }.toMap
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val inter = sq(cents(0), cents(1))
+    (0 until 2).foreach { l =>
+      val r = got(l)
+      assert(r.getAs[Long]("n_vecs") == 20L)
+      assert(r.getAs[Int]("nearest_label") == 1 - l)
+      assert(math.abs(r.getAs[Double]("inter_centroid_sq") - inter) < 1e-9)
+      val intra = byLabel(l).map(v =>
+        sq(v._2.map(_.toDouble), cents(l))).sum / 20.0
+      assert(math.abs(r.getAs[Double]("intra_mean_sq") - intra) < 1e-9)
+      // tight clusters two axes apart: clean separation
+      assert(r.getAs[Double]("separability") > 100.0)
+    }
+    // sf invariants: one row per label, inter distances positive
+    val full = Similarity.embeddingSeparability(spark, Sf).collect()
+    assert(full.map(_.getAs[Int]("label")).distinct.length == full.length)
+    full.foreach(r => assert(r.getAs[Double]("inter_centroid_sq") > 0.0))
   }
 
   test("lsh candidates are a subset of brute-force scoring domain and ranked") {
