@@ -190,4 +190,144 @@ object Graph {
         col("community_size"))
       .orderBy(desc("community_size"), asc("community"), asc("product_k"))
   }
+
+  /** Triangle census + local clustering coefficient over the
+    * UNDIRECTED co-view graph — the graph-density complement of
+    * coview_pairs (which ranks individual edges) and
+    * product_communities (which labels dense regions): a product in
+    * many triangles sits inside a browsing CLIQUE (accessory
+    * ecosystems, size runs), not just on popular edges.
+    *
+    * Scale technique — degree-ordered orientation (the MapReduce
+    * triangle-counting standard, Suri & Vassilvitskii WWW'11): every
+    * undirected edge is directed toward its (degree, id)-larger
+    * endpoint, so each triangle has exactly ONE node with two
+    * out-edges and is generated exactly once (no post-dedup), and
+    * wedge fan-out per node is bounded by out-degree ≤ O(√E) for ANY
+    * degree distribution — the hub that breaks the naive
+    * neighbor-join (a degree-10⁶ hub would generate 10¹² wedges)
+    * contributes only low-degree-endpoint wedges here. The edge
+    * frame is localCheckpoint-pinned for its three consumers (two
+    * wedge sides + the closure probe); everything downstream of the
+    * one basket self-join is edge/wedge-dimension, not fact-
+    * dimension. The co-view base reuses coviewPairs' [2, max]
+    * basket gate, which also caps per-basket pair fan-out.
+    *
+    * Exact integers until two final IEEE ops (the libm rule):
+    * coefficient = 2·triangles / degree·(degree−1). */
+  def coviewTriangles(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
+    trianglesFrom(coviewEdgesFrom(enriched(spark, dir)), topN)
+
+  /** Distinct undirected co-view edges (a < b): product pairs viewed
+    * by at least one (user, day) basket under the coviewPairs gate. */
+  def coviewEdgesFrom(e: DataFrame, maxProductsPerDay: Int = 50): DataFrame = {
+    val up = e.filter(col("event_type") === "view" && col("product_k").isNotNull)
+      .select(col("user_id"), col("event_date"), col("product_k"))
+      .distinct()
+    val eligible = up.groupBy("user_id", "event_date")
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k").between(2, maxProductsPerDay))
+      .select("user_id", "event_date")
+    val basket = up.join(eligible, Seq("user_id", "event_date"))
+    basket.as("x").join(basket.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_date") === col("y.event_date") &&
+          col("x.product_k") < col("y.product_k"))
+      .select(col("x.product_k").as("a"), col("y.product_k").as("b"))
+      .distinct()
+  }
+
+  /** Triangle count per node over a distinct undirected (a < b) edge
+    * frame. Returns (product_k, degree, triangles, clustering_coeff)
+    * for the topN nodes by triangle count. */
+  def trianglesFrom(edges: DataFrame, topN: Int = 50): DataFrame = {
+    val ed = edges.localCheckpoint() // feeds degrees AND orientation
+    val deg = ed.select(col("a").as("node"))
+      .unionByName(ed.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val withDeg = ed
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+        when(aLower, col("a")).otherwise(col("b")).as("src"),
+        when(aLower, col("b")).otherwise(col("a")).as("dst"),
+        when(aLower, col("db")).otherwise(col("da")).as("dst_deg"))
+      .localCheckpoint() // two wedge sides + the closure probe
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dst_deg") < col("e2.dst_deg") ||
+            (col("e1.dst_deg") === col("e2.dst_deg") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"),
+        col("e1.src").as("u"))
+    val tri = wedges
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("product_k"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy(desc("triangles"), desc("degree"), asc("product_k"))
+      .limit(topN)
+  }
+
+  val coviewTrianglesSql: String =
+    """WITH up AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS product_k
+      |  FROM events
+      |  WHERE event_type = 'view' AND json_extract_string(props, '$.k') IS NOT NULL
+      |), eligible AS (
+      |  SELECT user_id, event_date FROM up
+      |  GROUP BY user_id, event_date
+      |  HAVING COUNT(*) BETWEEN 2 AND 50
+      |), basket AS (
+      |  SELECT up.* FROM up JOIN eligible USING (user_id, event_date)
+      |), edges AS (
+      |  SELECT DISTINCT x.product_k AS a, y.product_k AS b
+      |  FROM basket x JOIN basket y
+      |    ON x.user_id = y.user_id AND x.event_date = y.event_date
+      |   AND x.product_k < y.product_k
+      |), deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges) t
+      |  GROUP BY node
+      |), o AS (
+      |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+      |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
+      |         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dst_deg
+      |  FROM (SELECT e.a, e.b, d1.degree AS da, d2.degree AS db
+      |        FROM edges e
+      |        JOIN deg d1 ON e.a = d1.node
+      |        JOIN deg d2 ON e.b = d2.node) w
+      |), tri AS (
+      |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+      |    AND (e1.dst_deg < e2.dst_deg
+      |         OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst))
+      |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+      |), pn AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+      |    SELECT u AS node FROM tri
+      |    UNION ALL SELECT v AS node FROM tri
+      |    UNION ALL SELECT w AS node FROM tri) t
+      |  GROUP BY node
+      |)
+      |SELECT d.node AS product_k, d.degree,
+      |  COALESCE(pn.triangles, 0) AS triangles,
+      |  CASE WHEN d.degree >= 2
+      |       THEN 2.0 * CAST(COALESCE(pn.triangles, 0) AS DOUBLE)
+      |            / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+      |       ELSE 0.0 END AS clustering_coeff
+      |FROM deg d LEFT JOIN pn ON d.node = pn.node
+      |ORDER BY triangles DESC, degree DESC, product_k
+      |LIMIT 50""".stripMargin
 }

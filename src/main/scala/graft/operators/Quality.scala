@@ -929,4 +929,74 @@ object Quality {
       |FROM scored
       |WHERE n_trail >= 3
       |ORDER BY event_date, event_type""".stripMargin
+
+  /** Shuffle-key skew census on the fact table's dominant join/group
+    * key (user_id) — the report you read BEFORE choosing a salting
+    * factor or AQE skew threshold (Skew.saltedJoin's planning input):
+    * the top-k heaviest keys with their share of all rows, cumulative
+    * concentration, and hot-key-to-mean ratio. A bot or null-ish
+    * sentinel user shows up here as a 100× ratio long before it
+    * shows up as a straggler task.
+    *
+    * Scale shape: one key-grain count (map-side combined — the frame
+    * after it is key-dimension, not fact-dimension), a TakeOrdered
+    * top-k (per-partition heaps, never a full sort of the key
+    * dimension), ONE-ROW broadcast totals (scalar-subquery pattern),
+    * and rank/cum windows single-partition over the ≤k post-limit
+    * rows BY CONSTRUCTION. Cumulative share stays an exact bigint
+    * running sum until ONE final division; ratio_to_avg is the
+    * product-before-division rational (the word_collocations rule).
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    keySkewFrom(enriched(spark, dir), topK = 20)
+
+  def keySkewFrom(e: DataFrame, keyCol: String = "user_id", topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = e.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"), sum(col("n_rows")).as("total_rows"))
+    val top = counts.orderBy(desc("n_rows"), asc("key_value")).limit(topK)
+    val w = Window.orderBy(desc("n_rows"), asc("key_value"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_rows", sum(col("n_rows")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("key_value"), col("n_rows"),
+        (col("n_rows").cast("double") / col("total_rows").cast("double") * 100)
+          .as("share_pct"),
+        (col("cum_rows").cast("double") / col("total_rows").cast("double") * 100)
+          .as("cum_share_pct"),
+        (col("n_rows").cast("double") * col("n_keys").cast("double")
+          / col("total_rows").cast("double")).as("ratio_to_avg"),
+        col("n_keys"), col("total_rows"))
+      .orderBy("rank")
+  }
+
+  val keySkewSql: String =
+    """WITH counts AS (
+      |  SELECT user_id AS key_value, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+      |), totals AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(n_rows) AS BIGINT) AS total_rows
+      |  FROM counts
+      |), top AS (
+      |  SELECT key_value, n_rows FROM counts
+      |  ORDER BY n_rows DESC, key_value LIMIT 20
+      |), ranked AS (
+      |  SELECT key_value, n_rows,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value) AS INT) AS rank,
+      |    SUM(n_rows) OVER (ORDER BY n_rows DESC, key_value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+      |  FROM top
+      |)
+      |SELECT rank, key_value, n_rows,
+      |  CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) * 100 AS share_pct,
+      |  CAST(cum_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) * 100 AS cum_share_pct,
+      |  CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+      |    / CAST(total_rows AS DOUBLE) AS ratio_to_avg,
+      |  n_keys, total_rows
+      |FROM ranked, totals
+      |ORDER BY rank""".stripMargin
 }

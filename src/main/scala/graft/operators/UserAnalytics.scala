@@ -442,4 +442,146 @@ object UserAnalytics {
       |  CAST(COALESCE(l.n, 0) AS DOUBLE) / CAST(r.n AS DOUBLE) * 100 AS survival_pct
       |FROM risk r LEFT JOIN life l USING (day_offset)
       |ORDER BY day_offset""".stripMargin
+
+  /** Inter-purchase interval census — the repeat-buy cadence curve
+    * (how long until a customer buys AGAIN), the input to
+    * replenishment-window and win-back timing decisions that
+    * cohort_ltv's revenue triangle doesn't expose.
+    *
+    * Per user, consecutive purchase gaps via one lag window; gaps
+    * bucket into power-of-two day bins (same fixed comparable bins as
+    * doc_token_histogram — quantile bins would shift with the data),
+    * then a ≤7-row rollup. share_of_gaps divides by the ONE-ROW
+    * broadcast gap total (scalar-subquery pattern).
+    *
+    * Scale shape: the purchase filter lands on the scan (purchases
+    * are a small fraction of events), one user_id exchange for the
+    * lag window, one tiny hash aggregate. `DIV` (not `/`) keeps the
+    * day arithmetic integer in both engines — DuckDB rounds
+    * double→BIGINT casts while Spark truncates, so a float division
+    * here would hash-mismatch on .5 boundaries. */
+  def purchaseIntervals(spark: SparkSession, dir: String): DataFrame =
+    purchaseIntervalsFrom(enriched(spark, dir))
+
+  def purchaseIntervalsFrom(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_epoch", "event_id")
+    val gaps = e
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_epoch"))
+      .withColumn("prev_epoch", lag("event_epoch", 1).over(w))
+      .filter(col("prev_epoch").isNotNull)
+      .withColumn("gap_days", expr("(event_epoch - prev_epoch) DIV 86400"))
+    val bucket = Seq(32, 16, 8, 4, 2, 1)
+      .foldLeft(when(lit(false), 0)) { (acc, b) => acc.when(col("gap_days") >= b, b) }
+      .otherwise(0)
+      .cast("int")
+    val hist = gaps.select(col("user_id"), bucket.as("gap_bucket_days"))
+      .groupBy("gap_bucket_days")
+      .agg(count(lit(1)).as("n_gaps"), countDistinct(col("user_id")).as("n_users"))
+    val total = hist.agg(sum(col("n_gaps")).as("total_gaps"))
+    hist.crossJoin(broadcast(total))
+      .select(col("gap_bucket_days"), col("n_gaps"), col("n_users"),
+        (col("n_gaps").cast("double") / col("total_gaps").cast("double"))
+          .as("share_of_gaps"))
+      .orderBy("gap_bucket_days")
+  }
+
+  val purchaseIntervalsSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS event_epoch
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |), g AS (
+      |  SELECT user_id,
+      |    (event_epoch - LAG(event_epoch) OVER (
+      |       PARTITION BY user_id ORDER BY event_epoch, event_id)) // 86400 AS gap_days
+      |  FROM p
+      |), h AS (
+      |  SELECT CAST(CASE WHEN gap_days >= 32 THEN 32 WHEN gap_days >= 16 THEN 16
+      |              WHEN gap_days >= 8 THEN 8 WHEN gap_days >= 4 THEN 4
+      |              WHEN gap_days >= 2 THEN 2 WHEN gap_days >= 1 THEN 1
+      |              ELSE 0 END AS INT) AS gap_bucket_days,
+      |    CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM g WHERE gap_days IS NOT NULL
+      |  GROUP BY 1
+      |)
+      |SELECT gap_bucket_days, n_gaps, n_users,
+      |  CAST(n_gaps AS DOUBLE) / CAST((SELECT SUM(n_gaps) FROM h) AS DOUBLE)
+      |    AS share_of_gaps
+      |FROM h ORDER BY gap_bucket_days""".stripMargin
+
+  /** Deterministic A/B experiment readout: users hash into
+    * control/treatment arms by md5 of a salted user key (the
+    * corpus_split assignment machinery turned on users — append-
+    * stable, reproducible, no assignment table to store or join), and
+    * each arm reports its view/purchase reach and conversion with
+    * lift vs the control arm. With no real traffic splitter behind
+    * the testdata the two arms are statistically identical — the
+    * HARNESS is the operator: assignment, per-arm funnel, and lift
+    * arithmetic are exactly what a real experiment reads out, and the
+    * A/A shape (lift ≈ 0) is itself the standard sanity check.
+    *
+    * Scale shape: one user-grain rollup (max-flag conditional
+    * aggregates ride the exchange map-side), a 2-row arm rollup, and
+    * the control rate joined back as a ONE-ROW broadcast (the
+    * scalar-subquery pattern). Rates are single IEEE divisions of
+    * exact counts; lift is a fixed two-op scalar chain on those —
+    * per-row arithmetic, never a shuffle-ordered float sum, so the
+    * DuckDB oracle hashes bit-identically. */
+  def abTestSummary(spark: SparkSession, dir: String): DataFrame =
+    abTestSummaryFrom(enriched(spark, dir))
+
+  def abTestSummaryFrom(e: DataFrame, experiment: String = "exp1"): DataFrame = {
+    val armCol = when(
+      substring(md5(concat(lit(experiment + ":"),
+        col("user_id").cast("string")).cast("binary")), 1, 1) >= "8",
+      "treatment").otherwise("control")
+    val u = e.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("has_view"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
+      .select(armCol.as("arm"), col("has_view"), col("has_purchase"))
+    val arms = u.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("has_view")).as("n_viewers"),
+        sum(col("has_purchase")).as("n_purchasers"))
+    val ctrl = arms.filter(col("arm") === "control")
+      .select((col("n_purchasers").cast("double") / col("n_users").cast("double"))
+        .as("ctrl_rate"))
+    arms.crossJoin(broadcast(ctrl))
+      .select(col("arm"), col("n_users"), col("n_viewers"), col("n_purchasers"),
+        (col("n_viewers").cast("double") / col("n_users").cast("double")).as("view_rate"),
+        (col("n_purchasers").cast("double") / col("n_users").cast("double")).as("conv_rate"),
+        ((col("n_purchasers").cast("double") / col("n_users").cast("double")
+          - col("ctrl_rate")) / col("ctrl_rate")).as("lift_vs_control"))
+      .orderBy("arm")
+  }
+
+  val abTestSummarySql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1) >= '8'
+      |         THEN 'treatment' ELSE 'control' END AS arm,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2
+      |), a AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(has_view) AS BIGINT) AS n_viewers,
+      |    CAST(SUM(has_purchase) AS BIGINT) AS n_purchasers
+      |  FROM u GROUP BY arm
+      |), c AS (
+      |  SELECT CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) AS ctrl_rate
+      |  FROM a WHERE arm = 'control'
+      |)
+      |SELECT arm, n_users, n_viewers, n_purchasers,
+      |  CAST(n_viewers AS DOUBLE) / CAST(n_users AS DOUBLE) AS view_rate,
+      |  CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+      |  (CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) - c.ctrl_rate)
+      |    / c.ctrl_rate AS lift_vs_control
+      |FROM a, c ORDER BY arm""".stripMargin
 }

@@ -1051,4 +1051,28 @@ class QualitySpec extends SparkSpec {
       assert(n == en && m == em && z == ez, s"$k: got ($n,$m,$z) expected ($en,$em,$ez)")
     }
   }
+
+  test("key skew census ranks planted hot keys with exact shares and ratios") {
+    import spark.implicits._
+    // key 1 → 60 rows, key 2 → 30, keys 3..12 → 1 each (total 100, 12 keys);
+    // a null key row must be excluded before counting
+    val rows = Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ (3L to 12L)
+    val e = rows.map(Option(_)).:+(None: Option[Long]).toDF("user_id")
+    val got = Quality.keySkewFrom(e).collect()
+    assert(got.length == 12) // fewer keys than topK → all surface
+    val r1 = got.head
+    assert(r1.getAs[Int]("rank") == 1 && r1.getAs[Long]("key_value") == 1L)
+    assert(r1.getAs[Long]("n_rows") == 60L)
+    assert(r1.getAs[Double]("share_pct") == 60.0)
+    assert(r1.getAs[Double]("cum_share_pct") == 60.0)
+    assert(r1.getAs[Double]("ratio_to_avg") == 60.0 * 12.0 / 100.0)
+    assert(r1.getAs[Long]("n_keys") == 12L && r1.getAs[Long]("total_rows") == 100L)
+    val r2 = got(1)
+    assert(r2.getAs[Long]("key_value") == 2L && r2.getAs[Double]("cum_share_pct") == 90.0)
+    // the singleton tail ranks by key ascending, cum share reaches 100
+    assert(got.drop(2).map(_.getAs[Long]("key_value")).toSeq == (3L to 12L))
+    assert(got.last.getAs[Double]("cum_share_pct") == 100.0)
+    // topK truncation: with topK=2 only the two hot keys surface
+    assert(Quality.keySkewFrom(e, topK = 2).collect().length == 2)
+  }
 }

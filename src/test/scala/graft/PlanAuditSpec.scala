@@ -60,6 +60,10 @@ class PlanAuditSpec extends SparkSpec {
     // rows with ONE-ROW broadcast corpus totals — all the scalar-
     // subquery pattern
     "retention_survival", "word_collocations", "text_perplexity",
+    // purchase_intervals / ab_test_summary / dq_key_skew each cross
+    // a tiny aggregate with its ONE-ROW broadcast total (gap total,
+    // control rate, key-census totals) — the scalar-subquery pattern
+    "purchase_intervals", "ab_test_summary", "dq_key_skew",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")
@@ -102,6 +106,11 @@ class PlanAuditSpec extends SparkSpec {
       // day×24 rollup so the baseline and the scored rows share the
       // one fact exchange
       "embedding_separability", "traffic_anomaly_seasonal",
+      // coview_triangles checkpoints its edge + oriented-edge frames
+      // at construction (each has multiple consumers); the fact-sized
+      // basket self-join subtree is the same shape audited via
+      // coview_pairs, and the wedge/closure joins are edge-dimension
+      "coview_triangles",
       // embedding_outliers trains the shared Lloyd loop at
       // construction; its scoring tail (narrow centroid-literal
       // projection + fixed-state percentile + intended 1-row-broadcast

@@ -383,4 +383,50 @@ class RetrievalSpec extends SparkSpec {
     // every surviving pair cleared the floor
     assert(got.forall(_.getAs[Long]("pair_count") >= 3L))
   }
+
+  test("triangle census: K4 counts each triangle once; coview base forms exact triangles") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // complete graph on 4 nodes: C(4,3)=4 triangles, every node in 3,
+    // clustering 1.0 everywhere; all degrees tie (3) so orientation
+    // falls back to node id — the double-count trap the degree-order
+    // construction must survive
+    val k4 = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)).toDF("a", "b")
+    val got = Graph.trianglesFrom(k4).collect()
+      .map(r => r.getAs[Int]("product_k") -> r).toMap
+    assert(got.size == 4)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("degree") == 3L)
+      assert(r.getAs[Long]("triangles") == 3L)
+      assert(r.getAs[Double]("clustering_coeff") == 1.0)
+    }
+
+    // coview base: user 10's {1,2,3} basket closes a triangle; user
+    // 11's {3,4} adds an open edge; user 12's singleton is gated out
+    val ev = Seq(
+      (1L, 10L, "view", "{\"k\": 1}"), (2L, 10L, "view", "{\"k\": 2}"),
+      (3L, 10L, "view", "{\"k\": 3}"),
+      (4L, 11L, "view", "{\"k\": 3}"), (5L, 11L, "view", "{\"k\": 4}"),
+      (6L, 12L, "view", "{\"k\": 5}"),
+      (7L, 10L, "click", "{\"k\": 9}")) // non-view never pairs
+      .toDF("event_id", "user_id", "event_type", "props")
+      .withColumn("ts", lit("2024-01-01 10:00:00").cast("timestamp"))
+      .withColumn("value", lit(1.0))
+    val e = EventMarts.enrich(ev)
+    val edges = Graph.coviewEdgesFrom(e).collect()
+      .map(r => (r.getAs[Int]("a"), r.getAs[Int]("b"))).toSet
+    assert(edges == Set((1, 2), (1, 3), (2, 3), (3, 4)))
+    val tri = Graph.trianglesFrom(Graph.coviewEdgesFrom(e)).collect()
+      .map(r => r.getAs[Int]("product_k") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("clustering_coeff")))).toMap
+    assert(tri(1) == ((2L, 1L, 1.0)))
+    assert(tri(2) == ((2L, 1L, 1.0)))
+    assert(tri(3) == ((3L, 1L, 2.0 * 1.0 / 6.0)))
+    assert(tri(4) == ((1L, 0L, 0.0)))
+    assert(!tri.contains(5)) // singleton basket gated out — no edges
+    // oversized-basket gate: with max 2, a 3-product basket is dropped
+    assert(Graph.coviewEdgesFrom(e, maxProductsPerDay = 2).collect()
+      .map(r => (r.getAs[Int]("a"), r.getAs[Int]("b"))).toSet == Set((3, 4)))
+  }
 }

@@ -160,4 +160,69 @@ class UserAnalyticsSpec extends SparkSpec {
         ts.head.getAs[Double]("credit_linear") * n) < 1e-12)
     }
   }
+
+  test("purchase intervals: planted gaps land in exact power-of-two day buckets") {
+    // u1: same-day repeat (6 h → bucket 0), then 66 h (2 full days → bucket 2)
+    // u2: 35 days → bucket 32; u3: single purchase — no gap
+    // the view event must not create a gap
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "purchase", 10.0),
+      (2L, 1L, "2024-01-01 16:00:00", "purchase", 10.0),
+      (3L, 1L, "2024-01-04 10:00:00", "purchase", 10.0),
+      (4L, 2L, "2024-01-01 09:00:00", "purchase", 10.0),
+      (5L, 2L, "2024-02-05 09:00:00", "purchase", 10.0),
+      (6L, 3L, "2024-01-02 09:00:00", "purchase", 10.0),
+      (7L, 1L, "2024-01-02 09:00:00", "view", 0.0)))
+    val got = UserAnalytics.purchaseIntervalsFrom(e).collect()
+      .map(r => r.getAs[Int]("gap_bucket_days") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("n_users"),
+          r.getAs[Double]("share_of_gaps")))).toMap
+    assert(got.keySet == Set(0, 2, 32))
+    assert(got(0) == ((1L, 1L, 1.0 / 3.0)))
+    assert(got(2) == ((1L, 1L, 1.0 / 3.0)))
+    assert(got(32) == ((1L, 1L, 1.0 / 3.0)))
+    // sf sanity: shares sum to 1, buckets are the fixed bin floors
+    val sf = UserAnalytics.purchaseIntervals(spark, Sf).collect()
+    assert(math.abs(sf.map(_.getAs[Double]("share_of_gaps")).sum - 1.0) < 1e-9)
+    assert(sf.map(_.getAs[Int]("gap_bucket_days")).toSet
+      .subsetOf(Set(0, 1, 2, 4, 8, 16, 32)))
+  }
+
+  test("ab test summary: md5 arms match a driver recompute; rates and lift are exact") {
+    import java.security.MessageDigest
+    def arm(u: Long): String = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    // users 1..40: all view; users with u % 4 == 0 purchase too
+    val rows = (1L to 40L).flatMap { u =>
+      val v = (u * 10, u, s"2024-01-0${(u % 5) + 1} 10:00:00", "view", 1.0)
+      if (u % 4 == 0) Seq(v, (u * 10 + 1, u, "2024-01-06 10:00:00", "purchase", 5.0))
+      else Seq(v)
+    }
+    val got = UserAnalytics.abTestSummaryFrom(ev(rows)).collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    val expected = (1L to 40L).groupBy(arm)
+    assert(got.keySet == Set("control", "treatment"))
+    Seq("control", "treatment").foreach { a =>
+      val us = expected(a)
+      val nU = us.size.toLong
+      val nP = us.count(_ % 4 == 0).toLong
+      assert(got(a).getAs[Long]("n_users") == nU, s"$a users")
+      assert(got(a).getAs[Long]("n_viewers") == nU) // everyone views
+      assert(got(a).getAs[Long]("n_purchasers") == nP, s"$a purchasers")
+      assert(got(a).getAs[Double]("conv_rate") == nP.toDouble / nU.toDouble)
+    }
+    // control lift is exactly zero; treatment lift matches the two-op chain
+    assert(got("control").getAs[Double]("lift_vs_control") == 0.0)
+    val cr = got("control").getAs[Double]("conv_rate")
+    val tr = got("treatment").getAs[Double]("conv_rate")
+    assert(got("treatment").getAs[Double]("lift_vs_control") == (tr - cr) / cr)
+    // assignment is deterministic: a rerun is byte-identical
+    val again = UserAnalytics.abTestSummaryFrom(ev(rows)).collect()
+      .map(r => r.getAs[String]("arm") -> r.getAs[Long]("n_users")).toMap
+    assert(again == got.view.mapValues(_.getAs[Long]("n_users")).toMap)
+  }
 }
