@@ -1217,4 +1217,148 @@ object Similarity {
           col("inter_centroid_sq") / col("intra_mean_sq")).as("separability"))
       .orderBy("label")
   }
+
+  /** nProbe→recall@k tuning curve for the IVF index, in ONE pass —
+    * the dial-setting table an index operator reads before fixing
+    * nProbe in production (RecallProbe measures single tuning points
+    * with one full run EACH; this derives the whole nested curve from
+    * one scoring pass, because probe sets are nested: the cells
+    * probed at nProbe=p are the first p of the probe ORDER).
+    *
+    * Construction: brute-force ground truth per query (broadcast
+    * queries — the eval runs on a query sample, like every recall
+    * eval) with each truth member's INDEX CELL carried along; its
+    * probe_rank = position of that cell in the query's centroid-
+    * distance order (a narrow literal projection). A truth member is
+    * retrieved at nProbe=p iff probe_rank ≤ p — it can never lose
+    * the in-probe top-k cut, because global top-k members outrank
+    * every other probed candidate by definition. So the full curve
+    * is a ≤ numQueries·k-row frame exploded over p = 1..nlist, all
+    * tiny-aggregate algebra after the one scoring pass.
+    *
+    * rows-only by design (float cosine); the spec pins the curve on
+    * crafted clusters against hand-derived recalls and asserts the
+    * structural invariants (monotone nondecreasing, exactly 1.0 at
+    * nProbe = nlist). */
+  def annRecallCurve(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 5, nlist: Int = 10, iters: Int = 3): DataFrame = {
+    annRecallCurveFrom(Tables.embeddings(spark, dir),
+      kmeansCentroids(spark, dir, nlist, iters), numQueries, k)
+  }
+
+  private[graft] def annRecallCurveFrom(e: DataFrame,
+      cents: Seq[(Int, Array[Float])], numQueries: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    val nlist = cents.size
+    val candidates = e.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        explode(nearestCellsCol(col("embedding"), cents, 1)).as("cand_cell"))
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        nearestCellsCol(col("embedding"), cents, nlist).as("probe_order"))
+    val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
+    val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
+    val truth = candidates.join(broadcast(queries))
+      .select(col("query_id"), col("cand_id"), sim.as("similarity"),
+        array_position(col("probe_order"), col("cand_cell")).as("probe_rank"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    // per-(query, nProbe) hit counts → curve; every frame from here is
+    // ≤ numQueries·k·nlist rows
+    val perQuery = truth
+      .select(col("query_id"), col("probe_rank"),
+        explode(sequence(lit(1), lit(nlist))).as("n_probe"))
+      .groupBy("query_id", "n_probe")
+      .agg((sum(when(col("probe_rank") <= col("n_probe"), 1).otherwise(0))
+        .cast("double") / lit(k.toDouble)).as("recall"))
+    perQuery.groupBy("n_probe")
+      .agg((sum(col("recall")) / count(lit(1)).cast("double")).as("mean_recall"),
+        min(col("recall")).as("min_recall"),
+        count(lit(1)).as("n_queries"))
+      .orderBy("n_probe")
+  }
+
+  /** MMR diverse top-k retrieval (Carbonell & Goldstein '98) — the
+    * redundancy-aware re-rank between ANN shortlist and consumer
+    * (RAG context assembly, few-shot example picking, dedup'd
+    * recommendations): greedily select k of a top-`poolSize`
+    * relevance pool, each pick maximizing
+    * λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s) — the second term
+    * charges a candidate for resembling something already picked, so
+    * two near-identical high-relevance docs can't both make the cut
+    * (plain top-k keeps both; dedup'ing the CORPUS can't help when
+    * the near-dups are legitimately distinct docs that happen to
+    * crowd one query).
+    *
+    * Scale shape: the pool comes from the standard broadcast-query +
+    * partial-top-k plan (swap in the IVF probe at corpus scale — the
+    * pool stage IS ann's output); the greedy fold runs per query ROW
+    * over its own ≤poolSize array via codegen'd HOFs (aggregate/
+    * filter/transform/zip_with — zero UDFs, zero driver round-trips,
+    * k·poolSize·k·D flops per query, trivially data-parallel across
+    * queries). The groupBy(query_id) collect rides the top-k
+    * window's existing exchange — no extra shuffle. Embeddings are
+    * L2-normalized BEFORE pooling so in-pool similarity is a plain
+    * dot fold.
+    *
+    * rows-only by design (float arithmetic); the spec replays the
+    * exact greedy on the driver (same fold order → bit-equal scores)
+    * and pins the planted near-dup demotion MMR exists for. */
+  def mmrDiverseTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 5, poolSize: Int = 30, lambda: Double = 0.7): DataFrame =
+    mmrDiverseFrom(Tables.embeddings(spark, dir), numQueries, k, poolSize, lambda)
+
+  private[graft] def mmrDiverseFrom(e0: DataFrame, numQueries: Int, k: Int,
+      poolSize: Int, lambda: Double): DataFrame = {
+    graft.functions.CosineSimilarity.ensureRegistered(e0.sparkSession)
+    val e = withNormalized(e0.select(col("vec_id"), col("embedding")),
+      "embedding", "nemb")
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("nemb").as("q_emb"))
+    val candidates = e.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cand_id"), col("nemb").as("c_emb"))
+    val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
+    val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
+    val pool = candidates.join(broadcast(queries))
+      .select(col("query_id"), col("cand_id"), sim.as("similarity"), col("c_emb"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= poolSize)
+      .groupBy("query_id") // reuses the window's hash partitioning
+      .agg(array_sort(collect_list(struct(
+        (-col("similarity")).as("neg_sim"), col("cand_id"),
+        col("similarity").as("sim"), col("c_emb").as("emb")))).as("pool"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val selType = "array<struct<cand_id:bigint,sim:double," +
+      "emb:array<float>,mmr_score:double,pick:int>>"
+    val selected = aggregate(
+      sequence(lit(1), least(lit(k), size(col("pool")))),
+      array().cast(selType),
+      (sel, i) => {
+        val scored = transform(
+          filter(col("pool"), c => !exists(sel,
+            s => s.getField("cand_id") === c.getField("cand_id"))),
+          c => struct(
+            (lit(lambda) * c.getField("sim") - lit(1.0 - lambda) * coalesce(
+              array_max(transform(sel, s => dot(c.getField("emb"), s.getField("emb")))),
+              lit(0.0))).as("score"),
+            (-c.getField("cand_id")).as("neg_id"),
+            c.getField("cand_id").as("cand_id"),
+            c.getField("sim").as("sim"),
+            c.getField("emb").as("emb")))
+        val best = array_max(scored) // max score, ties to the SMALLEST id
+        concat(sel, array(struct(
+          best.getField("cand_id").as("cand_id"),
+          best.getField("sim").as("sim"),
+          best.getField("emb").as("emb"),
+          best.getField("score").as("mmr_score"),
+          i.cast("int").as("pick"))))
+      })
+    pool.select(col("query_id"), explode(selected).as("s"))
+      .select(col("query_id"), col("s.pick").as("pick"),
+        col("s.cand_id").as("cand_id"), col("s.sim").as("similarity"),
+        col("s.mmr_score").as("mmr_score"))
+      .orderBy("query_id", "pick")
+  }
 }

@@ -29,6 +29,10 @@ class PlanAuditSpec extends SparkSpec {
     * the bucket sequence with the distinct event types (buckets ×
     * types — the full grid IS the intended output). */
   private val IntendedBnlj = Set("ann_cosine_topk", "ann_hard_negatives",
+    // ann_recall_curve / ann_mmr_diverse score the broadcast query
+    // sample against the corpus by design (the eval/pool stage is the
+    // brute baseline; swap in the IVF probe at corpus scale)
+    "ann_recall_curve", "ann_mmr_diverse",
     "q22_untapped_segments",
     "q11_important_parts", "dq_anomaly",
     // dq_value_drift's dense day×16-bucket zero-fill is the same
@@ -106,6 +110,10 @@ class PlanAuditSpec extends SparkSpec {
       // day×24 rollup so the baseline and the scored rows share the
       // one fact exchange
       "embedding_separability", "traffic_anomaly_seasonal",
+      // ann_recall_curve trains the shared Lloyd loop at construction
+      // (centroid literals); its scoring tail is the audited brute
+      // baseline + tiny-aggregate curve algebra
+      "ann_recall_curve",
       // coview_triangles checkpoints its edge + oriented-edge frames
       // at construction (each has multiple consumers); the fact-sized
       // basket self-join subtree is the same shape audited via

@@ -1405,6 +1405,72 @@ class SimilaritySpec extends SparkSpec {
       recallOf(topkSets(Similarity.ivfpqTopK(spark, Sf, nProbe = 6, refine = 96))), 0.5)
   }
 
+  test("recall curve: hand-derived recalls on crafted cells; monotone to exactly 1.0 at full probe") {
+    import spark.implicits._
+    // 3 literal cells on axes; 1 query, 3 candidates — one per cell,
+    // probe order 0,1,2 — so recall@3 steps 1/3 → 2/3 → 1 exactly
+    val cents = Seq(0 -> Array(1f, 0f), 1 -> Array(0f, 1f), 2 -> Array(-1f, 0f))
+    val e = Seq(
+      (0L, Array(1f, 0.05f)),   // query: nearest cells 0, 1, 2
+      (10L, Array(1f, 0.1f)),   // cell 0
+      (11L, Array(0.1f, 1f)),   // cell 1
+      (12L, Array(-1f, 0.1f)))  // cell 2
+      .toDF("vec_id", "embedding")
+    val got = Similarity.annRecallCurveFrom(e, cents, numQueries = 1, k = 3)
+      .collect().map(r => r.getAs[Int]("n_probe") ->
+        ((r.getAs[Double]("mean_recall"), r.getAs[Double]("min_recall"),
+          r.getAs[Long]("n_queries")))).toMap
+    assert(got(1) == ((1.0 / 3.0, 1.0 / 3.0, 1L)))
+    assert(got(2) == ((2.0 / 3.0, 2.0 / 3.0, 1L)))
+    assert(got(3) == ((1.0, 1.0, 1L)))
+    // sf: nested probe sets make the curve monotone, and probing every
+    // cell recovers the full ground truth for every query
+    val sf = Similarity.annRecallCurve(spark, Sf).collect().sortBy(_.getAs[Int]("n_probe"))
+    assert(sf.map(_.getAs[Double]("mean_recall")).sliding(2).forall(p => p(0) <= p(1)))
+    assert(sf.last.getAs[Double]("mean_recall") == 1.0 &&
+      sf.last.getAs[Double]("min_recall") == 1.0)
+    assert(sf.forall(_.getAs[Long]("n_queries") == 10L))
+  }
+
+  test("mmr rerank demotes a planted near-duplicate; lambda=1 degenerates to plain top-k") {
+    import spark.implicits._
+    // q = e1; 10/11 identical high-relevance near-dups, 12 mid-relevance
+    // diverse, 13 orthogonal
+    val e = Seq(
+      (0L, Array(1f, 0f)),
+      (10L, Array(0.95f, 0.31225f)),
+      (11L, Array(0.95f, 0.31225f)),
+      (12L, Array(0.31225f, 0.95f)),
+      (13L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    def picks(lambda: Double) =
+      Similarity.mmrDiverseFrom(e, numQueries = 1, k = 3, poolSize = 10, lambda)
+        .collect().sortBy(_.getAs[Int]("pick"))
+    // diversity-weighted: the duplicate 11 (penalty = cos(11,10) = 1)
+    // drops behind BOTH diverse candidates despite near-top relevance —
+    // pick 2 goes to the orthogonal 13 (score −0.7·0.312 beats 12's
+    // 0.3·0.312 − 0.7·0.593 and the dup's 0.3·0.95 − 0.7·1), pick 3
+    // to the dup only once every diverse option scores worse
+    val diverse = picks(0.3)
+    assert(diverse.map(_.getAs[Long]("cand_id")).toSeq == Seq(10L, 13L, 11L))
+    // first pick pays no penalty: score is exactly lambda * similarity
+    assert(diverse.head.getAs[Double]("mmr_score") ==
+      0.3 * diverse.head.getAs[Double]("similarity"))
+    // pure relevance: the duplicate is kept — plain top-k order (ties on id)
+    assert(picks(1.0).map(_.getAs[Long]("cand_id")).toSeq == Seq(10L, 11L, 12L))
+    // sf invariants: per-query picks distinct, full k selected, scores
+    // non-increasing in pick order (supersets of selected only add penalty)
+    val sf = Similarity.mmrDiverseTopK(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(sf.size == 10)
+    sf.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("cand_id")).distinct.length == 5)
+      val scores = rs.sortBy(_.getAs[Int]("pick")).map(_.getAs[Double]("mmr_score"))
+      assert(scores.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+        s"scores not non-increasing: ${scores.mkString(",")}")
+    }
+  }
+
   test("whitened PCA projections have unit variance and zero cross-covariance") {
     val rows = Similarity.embeddingPcaWhitened(spark, Sf).collect()
     val k = rows.map(_.getAs[Int]("component")).max + 1
