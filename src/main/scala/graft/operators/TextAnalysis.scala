@@ -2161,4 +2161,70 @@ object TextAnalysis {
       .withColumn("perplexity", pow(lit(2.0), col("bits_per_token")))
       .orderBy("doc_id")
   }
+
+  /** Per-doc BIGRAM cross-entropy (bits per bigram position) against
+    * the corpus' own Jelinek–Mercer-interpolated bigram LM — the word-
+    * order-aware upgrade of `textPerplexity` (a unigram model can't
+    * tell "the cat sat" from "sat the cat"; the CCNet-style filter
+    * this approximates is exactly an n-gram LM perplexity cut):
+    * P(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·(c(·w2)+1)/(N+V), with the
+    * unigram leg add-one-smoothed over second positions so the mixture
+    * never zeroes (the history leg alone would — and an unsmoothed
+    * interpolation of an in-corpus doc can't, but the guard keeps the
+    * operator correct on any LM/scoring corpus split).
+    *
+    * Scale shape: ONE fact-sized shuffle (the per-doc bigram count,
+    * checkpointed — it feeds the LM rollups and the scoring join);
+    * the LM assembles entirely at VOCAB dimension — history and
+    * second-unigram marginals are second-level rollups of the bigram
+    * vocab, joined vocab⋈vocab, totals a 1-row broadcast — and only
+    * then joins back to the doc frame ONCE on (w1, w2) (assembling on
+    * the fact frame instead would shuffle it three times; a broadcast
+    * is wrong at scale — a 100 TB bigram vocabulary is huge). Docs
+    * with < 2 tokens have no bigram positions and emit no row.
+    *
+    * rows-only (log2 is libm; per-doc float sums are shuffle-ordered);
+    * the spec replays the exact model on the driver within 1e-9 and
+    * pins the repetitive < mixed < diverse entropy ordering. */
+  def textPerplexityBigram(spark: SparkSession, dir: String,
+      lambda: Double = 0.75): DataFrame =
+    textPerplexityBigramFrom(Tables.documents(spark, dir), lambda)
+
+  def textPerplexityBigramFrom(docs: DataFrame,
+      lambda: Double = 0.75): DataFrame = {
+    // tokenize once before the per-position lambda (the bigramRarity
+    // O(words²) lesson)
+    val ws = col("__graft_ws")
+    val bigramArr = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"),
+          element_at(ws, i + lit(1)).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val docBg = docs
+      .select(col("doc_id"), tokens(col("text")).as("__graft_ws"))
+      .select(col("doc_id"), explode(bigramArr).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // one corpus scan: LM rollups + scoring join
+    val bgVocab = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+      .localCheckpoint() // history + unigram marginals + the LM frame
+    val hist = bgVocab.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
+    val uni = bgVocab.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
+    val totals = uni.agg(sum(col("cu")).as("n2"), count(lit(1)).as("v2"))
+    val lm = bgVocab
+      .join(hist, Seq("w1"))
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        (lit(lambda) * (col("cb").cast("double") / col("ch").cast("double")) +
+          lit(1.0 - lambda) * ((col("cu") + lit(1)).cast("double")
+            / (col("n2") + col("v2")).cast("double"))).as("p"))
+    docBg.join(lm, Seq("w1", "w2"))
+      .withColumn("bits", col("c").cast("double") * -log2(col("p")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (sum(col("bits")) / sum(col("c")).cast("double")).as("bits_per_token"))
+      .withColumn("perplexity", pow(lit(2.0), col("bits_per_token")))
+      .orderBy("doc_id")
+  }
 }

@@ -321,4 +321,36 @@ object EventStream {
     events
       .withColumn("product_k", get_json_object(col("props"), "$.k").cast("int"))
       .join(broadcast(dim), Seq("product_k"), "left")
+
+  /** Live A/B experiment monitor — the streaming readout of
+    * `UserAnalytics.abTestSummary`'s deterministic arms: per hourly
+    * window and arm, event volume, view/purchase reach, and
+    * approximate uniques. The arm is a STATELESS pure function of
+    * user_id (the same salted-md5 assignment as the batch readout, so
+    * stream and batch can never disagree about who is in which arm —
+    * no assignment table, no stream-static join), which means the
+    * only state is the windowed aggregate itself: O(windows × 2 arms)
+    * rows, evicted by the watermark. The stream's job is the RAMP
+    * WATCH — an arm's event share drifting off its design split
+    * mid-flight means a broken splitter or a ramp accident, caught
+    * hours before the batch readout runs; exact per-user conversion
+    * stays the batch job's call. */
+  def abArmCounts(events: DataFrame, experiment: String = "exp1",
+                  windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("user_id").isNotNull)
+      .withColumn("arm", when(
+        substring(md5(concat(lit(experiment + ":"),
+          col("user_id").cast("string")).cast("binary")), 1, 1) >= "8",
+        "treatment").otherwise("control"))
+      .groupBy(window(col("ts"), windowLen), col("arm"))
+      .agg(
+        count(lit(1)).as("events"),
+        approx_count_distinct(col("user_id")).as("users_approx"),
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        approx_count_distinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("purchasers_approx"))
 }

@@ -64,6 +64,7 @@ class PlanAuditSpec extends SparkSpec {
     // rows with ONE-ROW broadcast corpus totals — all the scalar-
     // subquery pattern
     "retention_survival", "word_collocations", "text_perplexity",
+    "text_perplexity_bigram",
     // purchase_intervals / ab_test_summary / dq_key_skew each cross
     // a tiny aggregate with its ONE-ROW broadcast total (gap total,
     // control rate, key-census totals) — the scalar-subquery pattern
@@ -103,7 +104,7 @@ class PlanAuditSpec extends SparkSpec {
       // doc) counts so one scan feeds both the vocab rollup and the
       // join back — the audited tails are the cheap post-checkpoint
       // rollups, exercised by their specs
-      "product_communities", "text_perplexity",
+      "product_communities", "text_perplexity", "text_perplexity_bigram",
       // embedding_separability collects its |labels| centroids at
       // construction (the IVF-literal pattern) — scoring is a narrow
       // literal projection; traffic_anomaly_seasonal checkpoints its

@@ -363,6 +363,47 @@ class RetrievalSpec extends SparkSpec {
     assert(got(0L)._2 < got(2L)._2 && got(2L)._2 < got(1L)._2)
   }
 
+  test("bigram perplexity matches an exact driver replay of the interpolated LM") {
+    // doc 0: one repeated bigram (predictable); doc 1: BRANCHING
+    // histories (bb → cc and bb → dd — what "unpredictable" means to
+    // a bigram model; all-singleton histories would score as
+    // perfectly predictable, the classic self-trained-LM overfit);
+    // doc 2: a rare continuation of a common history
+    val d = docs(Seq("aa aa aa aa", "bb cc bb dd", "aa aa bb cc"))
+    val got = TextAnalysis.textPerplexityBigramFrom(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("bits_per_token"),
+          r.getAs[Double]("perplexity")))).toMap
+    // driver replay: P(w2|w1) = λ·cb/ch + (1−λ)·(cu+1)/(N+V) over
+    // second positions, λ = 0.75
+    val corpus = Map(
+      0L -> Seq("aa", "aa", "aa", "aa"),
+      1L -> Seq("bb", "cc", "bb", "dd"),
+      2L -> Seq("aa", "aa", "bb", "cc"))
+    val bgs = corpus.view.mapValues(t => t.zip(t.tail)).toMap
+    val cb = bgs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ch = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cu = cb.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n2 = cu.values.sum; val v2 = cu.size.toLong
+    bgs.foreach { case (id, pairs) =>
+      val bits = pairs.map { case (w1, w2) =>
+        val p = 0.75 * (cb((w1, w2)).toDouble / ch(w1).toDouble) +
+          0.25 * ((cu(w2) + 1.0) / (n2 + v2).toDouble)
+        -(Math.log(p) / Math.log(2.0))
+      }.sum / pairs.size
+      assert(got(id)._1 == pairs.size.toLong)
+      assert(math.abs(got(id)._2 - bits) < 1e-9, s"doc $id bits")
+      assert(math.abs(got(id)._3 - Math.pow(2.0, bits)) < 1e-9)
+    }
+    // word order carries the signal: the doc of one repeated bigram
+    // scores the fewest bits of the three
+    assert(got(0L)._2 < got(1L)._2 && got(0L)._2 < got(2L)._2)
+    // a one-word doc has no bigram positions → no row
+    val single = TextAnalysis.textPerplexityBigramFrom(docs(Seq("aa aa", "zz")))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(single == Set(0L))
+  }
+
   test("collocations: the planted phrase tops the lift ranking with exact counts") {
     // "new york" always adjacent (4×); "the" ubiquitous — high counts,
     // no lift; pairs under the support floor are pruned

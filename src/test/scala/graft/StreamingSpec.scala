@@ -37,6 +37,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ab monitor assigns the batch arms statelessly and counts per window") {
+    import java.security.MessageDigest
+    def arm(u: Long): String = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // users 1..8 view in one window; evens purchase; a null user drops
+    val rows = (1L to 8L).map(u => (u, at(u.toInt), u, "view", 1.0, "{}")) ++
+      (2L to 8L by 2).map(u => (100L + u, at(30), u, "purchase", 9.0, "{}"))
+    mem.addData(rows: _*)
+    val q = EventStream.abArmCounts(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ab_arm_test").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ab_arm_test").collect()
+        .groupBy(_.getAs[String]("arm")).view.mapValues { rs =>
+          (rs.map(_.getAs[Long]("events")).sum, rs.map(_.getAs[Long]("views")).sum,
+            rs.map(_.getAs[Long]("purchases")).sum)
+        }.toMap
+      val expected = (1L to 8L).groupBy(arm).view.mapValues { us =>
+        val p = us.count(_ % 2 == 0).toLong
+        (us.size.toLong + p, us.size.toLong, p)
+      }.toMap
+      assert(got == expected, s"got $got expected $expected")
+    } finally q.stop()
+  }
+
   test("stream-built day sketches feed the batch rolling-actives window algebra") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
