@@ -133,7 +133,15 @@ object ScaleProbe {
       "user_lifecycle", "user_feature_matrix", "traffic_seasonality",
       "attribution_multitouch", "item_cf_neighbors", "product_pagerank",
       "revenue_pareto", "basket_rules", "zipf_curve", "vocab_growth",
-      "doc_tfidf_keywords", "search_bm25", "embedding_outliers")
+      "doc_tfidf_keywords", "search_bm25", "embedding_outliers",
+      // round-8 continuation: the events-side analytics ride the
+      // generator corpus like the rest; coview_triangles' wedge work
+      // is degree-bounded per node (same class as coview_pairs);
+      // bigram perplexity scales with the bigram VOCAB (~10× under
+      // suffixed replicas — the honest axis); minhash_calibration's
+      // pair frame is band-bounded like dedup_minhash_lsh
+      "purchase_intervals", "ab_test_summary", "dq_key_skew",
+      "coview_triangles", "text_perplexity_bigram", "minhash_calibration")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

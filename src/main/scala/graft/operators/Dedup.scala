@@ -813,4 +813,56 @@ object Dedup {
       |FROM pdg p JOIN gs USING (gram)
       |GROUP BY 1
       |ORDER BY doc_id""".stripMargin
+
+  /** Calibration census of the MinHash estimator — the eval closure
+    * of the near-dup family (what langid_confusion is to text_langid
+    * and ann_recall_curve to the IVF ladder): per estimated-Jaccard
+    * decile, how far est_jaccard sits from the EXACT trigram Jaccard
+    * of the same pairs — the table read before trusting an
+    * estThreshold (the S-curve says which pairs SURFACE; this says
+    * whether their scores can be believed, which decides how much
+    * exact verification the collapse stage still needs).
+    *
+    * Candidates come from the banding at estThreshold = 0 so the
+    * low-est region is evaluated too (an eval that only sees
+    * survivors can't measure the region where the cut happens).
+    * Exact Jaccard reuses the verifier's own machinery — shingle
+    * hashes + the one-merge-pass `sorted_intersect_count` — joined to
+    * the PAIR frame (two hash joins at candidate-pair dimension,
+    * bounded by the banding; never a second all-pairs pass). The
+    * rollup is a ≤10-row frame.
+    *
+    * rows-only (est and err are float means over shuffle-ordered
+    * sums); the spec plants identical docs (est = exact = 1, err = 0)
+    * and near-dup pairs with hand-computed exact Jaccard, and pins
+    * the 64-perm estimator's global error bound at sf. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame =
+    minhashCalibrationFrom(spark, Tables.documents(spark, dir))
+
+  private[graft] def minhashCalibrationFrom(spark: SparkSession, raw: DataFrame,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cand = minhashLshFrom(spark, raw, estThreshold = 0.0, maxBucket)
+    val sh = raw.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)")
+    val joined = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("a_sh"),
+        col("n").as("a_n")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("b_sh"),
+        col("n").as("b_n")), Seq("doc_b"))
+      .withColumn("exact_jaccard", inter.cast("double") /
+        (col("a_n") + col("b_n") - inter).cast("double"))
+    joined
+      .select(least(floor(col("est_jaccard") * 10).cast("int"), lit(9)).as("est_decile"),
+        col("est_jaccard"), col("exact_jaccard"))
+      .groupBy("est_decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("est_jaccard")) / count(lit(1)).cast("double")).as("mean_est"),
+        (sum(col("exact_jaccard")) / count(lit(1)).cast("double")).as("mean_exact"),
+        (sum(abs(col("est_jaccard") - col("exact_jaccard")))
+          / count(lit(1)).cast("double")).as("mean_abs_err"),
+        sum(when(col("exact_jaccard") >= 0.4, 1).otherwise(0)).as("n_exact_ge_04"))
+      .orderBy("est_decile")
+  }
 }

@@ -1168,4 +1168,136 @@ object Relational {
       |) q
       |WINDOW w AS (ORDER BY revenue_dec DESC, l_partkey ASC)
       |ORDER BY rank""".stripMargin
+
+  /** Daily fulfillment backlog — the operational time series the
+    * order/ship marts imply but never surface: lines placed vs lines
+    * shipped per day and the OPEN backlog between them (cumulative
+    * placed − cumulative shipped), the curve an ops team reads for
+    * fulfillment drift (backlog trending up = shipping falling behind
+    * intake; shipping_latency tells you how slow, this tells you how
+    * DEEP the hole is).
+    *
+    * Scale shape: two fact-sized day rollups (lineitem keyed to
+    * o_orderdate via one join, and to l_shipdate directly — both
+    * map-side combined to DAY dimension), then cumulative windows
+    * over the day frame. The day dimension is CALENDAR-bounded — it
+    * grows with elapsed time, not data volume (a decade is ~3.7k
+    * rows at any corpus size), so the single-partition cumulative
+    * window is bounded by construction, the same argument as
+    * vocab_coverage's capped frame. Counts stay exact bigints; no
+    * float leaves the engine. */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame =
+    orderBacklogFrom(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  def orderBacklogFrom(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val placed = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderdate").as("event_date"))
+      .agg(count(lit(1)).as("lines_placed"))
+    val shipped = lineitem
+      .groupBy(col("l_shipdate").as("event_date"))
+      .agg(count(lit(1)).as("lines_shipped"))
+    val days = placed.select("event_date")
+      .unionByName(shipped.select("event_date")).distinct()
+    val w = Window.orderBy("event_date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days
+      .join(placed, Seq("event_date"), "left")
+      .join(shipped, Seq("event_date"), "left")
+      .select(col("event_date"),
+        coalesce(col("lines_placed"), lit(0L)).as("lines_placed"),
+        coalesce(col("lines_shipped"), lit(0L)).as("lines_shipped"))
+      .withColumn("cum_placed", sum(col("lines_placed")).over(w))
+      .withColumn("cum_shipped", sum(col("lines_shipped")).over(w))
+      .withColumn("open_lines", col("cum_placed") - col("cum_shipped"))
+      .orderBy("event_date")
+  }
+
+  val orderBacklogSql: String =
+    """WITH placed AS (
+      |  SELECT o_orderdate AS event_date, CAST(COUNT(*) AS BIGINT) AS lines_placed
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY o_orderdate
+      |), shipped AS (
+      |  SELECT l_shipdate AS event_date, CAST(COUNT(*) AS BIGINT) AS lines_shipped
+      |  FROM lineitem GROUP BY l_shipdate
+      |), days AS (
+      |  SELECT event_date FROM placed
+      |  UNION SELECT event_date FROM shipped
+      |)
+      |SELECT d.event_date,
+      |  COALESCE(p.lines_placed, 0) AS lines_placed,
+      |  COALESCE(s.lines_shipped, 0) AS lines_shipped,
+      |  CAST(SUM(COALESCE(p.lines_placed, 0)) OVER w AS BIGINT) AS cum_placed,
+      |  CAST(SUM(COALESCE(s.lines_shipped, 0)) OVER w AS BIGINT) AS cum_shipped,
+      |  CAST(SUM(COALESCE(p.lines_placed, 0)) OVER w
+      |    - SUM(COALESCE(s.lines_shipped, 0)) OVER w AS BIGINT) AS open_lines
+      |FROM days d
+      |LEFT JOIN placed p ON d.event_date = p.event_date
+      |LEFT JOIN shipped s ON d.event_date = s.event_date
+      |WINDOW w AS (ORDER BY d.event_date
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY d.event_date""".stripMargin
+
+  /** Year-over-year revenue by nation — the board-level growth table
+    * over the q5/q7 join path: discounted revenue per (nation, year)
+    * with the previous year's revenue and growth percentage alongside
+    * (NULL for a nation's first year — no fabricated 0-baseline
+    * growth).
+    *
+    * Scale shape: one fact-sized aggregation to the (nation, year)
+    * grain — the customer/nation dims broadcast onto lineitem⋈orders
+    * exactly as q5 does — then a lag window partitioned by nation
+    * over the ≤ nations×years frame. Revenue sums stay decimal (the
+    * q1 determinism pattern); the YoY percentage is a fixed two-op
+    * IEEE chain on the exact sums. */
+  def nationRevenueYoy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    val base = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(sum(rev).as("revenue_dec"))
+    val w = Window.partitionBy("nation").orderBy("order_year")
+    base
+      .withColumn("prev_dec", lag(col("revenue_dec"), 1).over(w))
+      .select(col("nation"), col("order_year"),
+        col("revenue_dec").cast("double").as("revenue"),
+        col("prev_dec").cast("double").as("prev_revenue"),
+        ((col("revenue_dec").cast("double") - col("prev_dec").cast("double"))
+          / col("prev_dec").cast("double") * 100).as("yoy_pct"))
+      .orderBy("nation", "order_year")
+  }
+
+  val nationRevenueYoySql: String =
+    """WITH base AS (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue_dec
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT nation, order_year, revenue_dec,
+      |    LAG(revenue_dec) OVER (PARTITION BY nation ORDER BY order_year) AS prev_dec
+      |  FROM base
+      |)
+      |SELECT nation, order_year,
+      |  CAST(revenue_dec AS DOUBLE) AS revenue,
+      |  CAST(prev_dec AS DOUBLE) AS prev_revenue,
+      |  (CAST(revenue_dec AS DOUBLE) - CAST(prev_dec AS DOUBLE))
+      |    / CAST(prev_dec AS DOUBLE) * 100 AS yoy_pct
+      |FROM lagged
+      |ORDER BY nation, order_year""".stripMargin
 }

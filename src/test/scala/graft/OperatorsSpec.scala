@@ -95,6 +95,53 @@ class RelationalSpec extends SparkSpec {
     val nParts = Tables.part(spark, Sf).filter(col("p_type") === "SMALL").count()
     assert(rows.map(_.getAs[Long]("n_dominated_parts")).sum <= nParts)
   }
+
+  test("order backlog: planted placements and shipments net to an exact open curve") {
+    import spark.implicits._
+    val orders = Seq((1L, "2024-01-01"), (2L, "2024-01-02"))
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val lineitem = Seq(
+      (1L, "2024-01-02"), (1L, "2024-01-03"), // order 1: 2 lines
+      (2L, "2024-01-03"))                     // order 2: 1 line
+      .toDF("l_orderkey", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    val got = Relational.orderBacklogFrom(orders, lineitem).collect()
+      .map(r => r.getAs[java.sql.Date]("event_date").toString ->
+        ((r.getAs[Long]("lines_placed"), r.getAs[Long]("lines_shipped"),
+          r.getAs[Long]("cum_placed"), r.getAs[Long]("cum_shipped"),
+          r.getAs[Long]("open_lines")))).toMap
+    assert(got("2024-01-01") == ((2L, 0L, 2L, 0L, 2L)))
+    assert(got("2024-01-02") == ((1L, 1L, 3L, 1L, 2L)))
+    assert(got("2024-01-03") == ((0L, 2L, 3L, 3L, 0L)))
+    // sf conservation: every line both places and ships, so the final
+    // day closes the backlog at exactly zero (the testdata's random
+    // dates let lines "ship" before placement, so NO sign invariant —
+    // only conservation holds on any date distribution)
+    val sf = Relational.orderBacklog(spark, Sf).collect()
+    assert(sf.last.getAs[Long]("open_lines") == 0L)
+    assert(sf.last.getAs[Long]("cum_placed") == sf.last.getAs[Long]("cum_shipped"))
+    val total = Tables.lineitem(spark, Sf).count()
+    assert(sf.last.getAs[Long]("cum_placed") == total)
+  }
+
+  test("nation yoy: lagged revenue aligns per nation and the growth arithmetic is exact") {
+    val rows = Relational.nationRevenueYoy(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("nation")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("order_year"))
+      // a nation's first year has no baseline
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_revenue")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Double]("prev_revenue") == a.getAs[Double]("revenue"))
+          val expect = (b.getAs[Double]("revenue") - b.getAs[Double]("prev_revenue")) /
+            b.getAs[Double]("prev_revenue") * 100
+          assert(b.getAs[Double]("yoy_pct") == expect)
+        case _ => ()
+      }
+    }
+  }
 }
 
 class BasketSpec extends SparkSpec {

@@ -812,6 +812,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash calibration: identical pair reads exact; per-decile error bounded") {
+    import spark.implicits._
+    val c = (1 to 18).map(i => s"c$i").mkString(" ")
+    val d = Seq(
+      (1L, (1 to 12).map(i => s"x$i").mkString(" ")), // identical pair:
+      (2L, (1 to 12).map(i => s"x$i").mkString(" ")), //   est = exact = 1
+      (3L, s"$c a1 a2 a3"),  // near-dups: 16 shared of 22 distinct
+      (4L, s"$c b1 b2 b3"),  //   trigrams -> exact J = 16/22
+      (5L, (1 to 10).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCalibrationFrom(spark, d).collect()
+      .map(r => r.getAs[Int]("est_decile") -> r).toMap
+    // the identical pair lands alone in decile 9 with zero error
+    val top = got(9)
+    assert(top.getAs[Long]("n_pairs") == 1L)
+    assert(top.getAs[Double]("mean_est") == 1.0)
+    assert(top.getAs[Double]("mean_exact") == 1.0)
+    assert(top.getAs[Double]("mean_abs_err") == 0.0)
+    assert(top.getAs[Long]("n_exact_ge_04") == 1L)
+    // the near-dup pair surfaces below decile 9 with the hand-computed
+    // exact Jaccard and a 64-perm-sized estimation error
+    val nd = got.view.filterKeys(_ < 9).values
+    assert(nd.nonEmpty, "near-dup pair did not surface")
+    val ndRow = nd.maxBy(_.getAs[Double]("mean_exact"))
+    assert(math.abs(ndRow.getAs[Double]("mean_exact") - 16.0 / 22.0) < 1e-9)
+    assert(ndRow.getAs[Double]("mean_abs_err") < 0.2)
+    // sf invariants: deciles well-formed, pair-weighted error inside
+    // the same drift bound the estimate-vs-exact spec pins
+    val sf = Dedup.minhashCalibration(spark, Sf).collect()
+    assert(sf.forall { r =>
+      val dcl = r.getAs[Int]("est_decile"); dcl >= 0 && dcl <= 9 })
+    val tot = sf.map(_.getAs[Long]("n_pairs")).sum
+    assert(tot > 0)
+    val werr = sf.map(r => r.getAs[Double]("mean_abs_err") *
+      r.getAs[Long]("n_pairs")).sum / tot
+    assert(werr < 0.25, s"weighted calibration error too high: $werr")
+  }
+
   test("simhash pairs respect the hamming bound") {
     val bad = Dedup.simhash(spark, Sf).filter(col("hamming") > 7).count()
     assert(bad == 0)
