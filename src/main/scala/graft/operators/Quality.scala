@@ -930,6 +930,101 @@ object Quality {
       |WHERE n_trail >= 3
       |ORDER BY event_date, event_type""".stripMargin
 
+  /** Daily value-distribution histogram on dq_value_drift's FIXED
+    * power-of-two buckets — the MERGEABLE percentile partial: one
+    * (date, bucket, count) row set per day, and any day range's
+    * percentile bounds come from summing partials (histogram merge =
+    * integer addition — associative, commutative, exactly mergeable,
+    * the property GK/KLL sketches buy with far more machinery). Write
+    * this mart daily and `value_percentiles_merged` serves any window
+    * without ever rescanning raw events. One fact-sized day×16 rollup
+    * (map-side combined); same bucket function as the drift mart so
+    * the two surfaces can't disagree about shape. */
+  def valueHistogramDaily(spark: SparkSession, dir: String): DataFrame =
+    valueHistogramDailyFrom(enriched(spark, dir))
+
+  private[graft] def valueHistogramDailyFrom(e: DataFrame): DataFrame =
+    e.filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_date"), bucketOf(col("value")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_date", "bucket")
+
+  val valueHistogramDailySql: String = {
+    val b = sqlBucketOf("value")
+    s"""SELECT CAST(ts AS DATE) AS event_date, CAST($b AS INT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |GROUP BY 1, 2
+       |ORDER BY event_date, bucket""".stripMargin
+  }
+
+  /** Percentile SERVING from the daily histogram partials — the
+    * consumption side of `value_histogram_daily`: merge the partials
+    * (a 16-row bucket sum), walk the cumulative curve, and report
+    * each requested percentile's bucket with its [lo, hi) value
+    * bounds and exact target rank. Deterministic INTEGER arithmetic
+    * end to end (target rank = ⌈q·N⌉ via integer division; bounds
+    * are exact powers of two), so unlike GK this serving path is
+    * full-SQL-oracle checkable — the trade is bounded RELATIVE error
+    * (a factor-2 bucket) instead of rank error. Everything after the
+    * partial merge is ≤16-row algebra; the percentile probe is an
+    * intended tiny non-equi join (16 × |pcts|). */
+  def valuePercentilesMerged(spark: SparkSession, dir: String): DataFrame =
+    valuePercentilesMergedFrom(valueHistogramDailyFrom(enriched(spark, dir)))
+
+  private[graft] def valuePercentilesMergedFrom(hist: DataFrame,
+      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val byBucket = hist.groupBy(col("bucket")).agg(sum(col("n_events")).as("c"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byBucket.withColumn("cum", sum(col("c")).over(wc))
+    val total = byBucket.agg(sum(col("c")).as("n_total"))
+    val target = expr("(n_total * pct + 99) DIV 100")
+    cum.crossJoin(broadcast(total))
+      .join(broadcast(pcts.toDF("pct")), col("cum") >= target)
+      .groupBy(col("pct"))
+      .agg(min(col("bucket")).as("bucket"),
+        min(target).as("target_rank"),
+        min(col("n_total")).as("n_total"))
+      .select(col("pct"), col("target_rank"), col("n_total"), col("bucket"),
+        when(col("bucket") === 0, lit(0.0))
+          .otherwise(pow(lit(2.0), col("bucket") - 1)).as("bound_lo"),
+        when(col("bucket") === 15, lit(null).cast("double"))
+          .otherwise(pow(lit(2.0), col("bucket"))).as("bound_hi"))
+      .orderBy("pct")
+  }
+
+  val valuePercentilesMergedSql: String = {
+    val b = sqlBucketOf("value")
+    s"""WITH hist AS (
+       |  SELECT CAST(ts AS DATE) AS event_date, $b AS bucket, COUNT(*) AS n_events
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1, 2
+       |), byb AS (
+       |  SELECT bucket, CAST(SUM(n_events) AS BIGINT) AS c FROM hist GROUP BY bucket
+       |), cum AS (
+       |  SELECT bucket, CAST(SUM(c) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM byb
+       |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM byb),
+       |q(pct) AS (VALUES (50), (90), (99)),
+       |hit AS (
+       |  SELECT q.pct, (tot.n_total * q.pct + 99) // 100 AS target_rank,
+       |    tot.n_total, cum.bucket
+       |  FROM cum CROSS JOIN tot
+       |  JOIN q ON cum.cum >= (tot.n_total * q.pct + 99) // 100
+       |)
+       |SELECT pct, CAST(MIN(target_rank) AS BIGINT) AS target_rank,
+       |  CAST(MIN(n_total) AS BIGINT) AS n_total,
+       |  CAST(MIN(bucket) AS INT) AS bucket,
+       |  CASE WHEN MIN(bucket) = 0 THEN 0.0
+       |       ELSE power(2, MIN(bucket) - 1) END AS bound_lo,
+       |  CASE WHEN MIN(bucket) = 15 THEN NULL
+       |       ELSE power(2, MIN(bucket)) END AS bound_hi
+       |FROM hit GROUP BY pct ORDER BY pct""".stripMargin
+  }
+
   /** Shuffle-key skew census on the fact table's dominant join/group
     * key (user_id) — the report you read BEFORE choosing a salting
     * factor or AQE skew threshold (Skew.saltedJoin's planning input):

@@ -1099,6 +1099,48 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("merged histogram percentiles serve hand-computed bucket bounds from daily partials") {
+    import spark.implicits._
+    // day 1: 0.5, 3×3.0; day 2: 4×10.0, 2×100.0 — sorted corpus
+    // 0.5,3,3,3,10,10,10,10,100,100: p50→rank 5→10 (bucket 4, [8,16)),
+    // p90→rank 9→100 (bucket 7, [64,128)), p99→rank 10→100
+    val e = operators.EventMarts.enrich(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 0.5),
+      (2L, 1L, "2024-01-01 10:01:00", "view", 3.0),
+      (3L, 1L, "2024-01-01 10:02:00", "view", 3.0),
+      (4L, 1L, "2024-01-01 10:03:00", "view", 3.0),
+      (5L, 2L, "2024-01-02 10:00:00", "view", 10.0),
+      (6L, 2L, "2024-01-02 10:01:00", "view", 10.0),
+      (7L, 2L, "2024-01-02 10:02:00", "view", 10.0),
+      (8L, 2L, "2024-01-02 10:03:00", "view", 10.0),
+      (9L, 2L, "2024-01-02 10:04:00", "purchase", 100.0),
+      (10L, 2L, "2024-01-02 10:05:00", "purchase", 100.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}")))
+    val hist = Quality.valueHistogramDailyFrom(e)
+    val partials = hist.collect()
+      .map(r => (r.getAs[java.sql.Date]("event_date").toString, r.getAs[Int]("bucket")) ->
+        r.getAs[Long]("n_events")).toMap
+    assert(partials == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 3L,
+      ("2024-01-02", 4) -> 4L, ("2024-01-02", 7) -> 2L))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Int]("pct") ->
+        ((r.getAs[Long]("target_rank"), r.getAs[Long]("n_total"),
+          r.getAs[Int]("bucket"), r.getAs[Double]("bound_lo"),
+          Option(r.getAs[java.lang.Double]("bound_hi")).map(_.doubleValue)))).toMap
+    val got = asMap(Quality.valuePercentilesMergedFrom(hist))
+    assert(got(50) == ((5L, 10L, 4, 8.0, Some(16.0))))
+    assert(got(90) == ((9L, 10L, 7, 64.0, Some(128.0))))
+    assert(got(99) == ((10L, 10L, 7, 64.0, Some(128.0))))
+    // mergeability: the union of INDEPENDENTLY built daily partials
+    // serves identically — histogram merge is plain integer addition
+    val d1 = Quality.valueHistogramDailyFrom(e.filter(col("event_date") === "2024-01-01"))
+    val d2 = Quality.valueHistogramDailyFrom(e.filter(col("event_date") === "2024-01-02"))
+    assert(asMap(Quality.valuePercentilesMergedFrom(d1.unionByName(d2))) == got)
+  }
+
   test("key skew census ranks planted hot keys with exact shares and ratios") {
     import spark.implicits._
     // key 1 → 60 rows, key 2 → 30, keys 3..12 → 1 each (total 100, 12 keys);
