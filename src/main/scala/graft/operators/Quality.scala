@@ -1025,6 +1025,23 @@ object Quality {
        |FROM hit GROUP BY pct ORDER BY pct""".stripMargin
   }
 
+  /** Percentile serving straight from the STREAMING value-bucket log
+    * (`EventStream.valueBucketCounts` + `valueLogSink`): the same
+    * replay-dedup (max per (window_start, bucket) — an idempotent
+    * re-emit can only repeat a window, never split it) and daily
+    * rollup as `valueDriftFromLog`, feeding the shared serving core —
+    * so the LIVE pipeline keeps the percentile partials current and
+    * this query answers "p99 value over any window" without EVER
+    * rescanning raw events, batch or stream. */
+  def valuePercentilesFromLog(spark: SparkSession, logDir: String,
+      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    valuePercentilesMergedFrom(
+      spark.read.parquet(logDir)
+        .groupBy(col("window_start"), col("bucket"))
+        .agg(max(col("n_events")).as("wc"))
+        .groupBy(to_date(col("window_start")).as("event_date"), col("bucket"))
+        .agg(sum(col("wc")).as("n_events")), pcts)
+
   /** Shuffle-key skew census on the fact table's dominant join/group
     * key (user_id) — the report you read BEFORE choosing a salting
     * factor or AQE skew threshold (Skew.saltedJoin's planning input):

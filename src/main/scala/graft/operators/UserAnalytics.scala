@@ -548,10 +548,15 @@ object UserAnalytics {
       .agg(count(lit(1)).as("n_users"),
         sum(col("has_view")).as("n_viewers"),
         sum(col("has_purchase")).as("n_purchasers"))
-    val ctrl = arms.filter(col("arm") === "control")
-      .select((col("n_purchasers").cast("double") / col("n_users").cast("double"))
-        .as("ctrl_rate"))
-    arms.crossJoin(broadcast(ctrl))
+    // control rate via the standard tiny-aggregate window (the arm
+    // frame is 2 rows): a filter+crossJoin formulation would execute
+    // the whole fact aggregation twice — one subtree per consumer —
+    // which a same-harness bench read as a clean 2× on this query
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    arms
+      .withColumn("ctrl_rate", max(when(col("arm") === "control",
+        col("n_purchasers").cast("double") / col("n_users").cast("double"))).over(wAll))
       .select(col("arm"), col("n_users"), col("n_viewers"), col("n_purchasers"),
         (col("n_viewers").cast("double") / col("n_users").cast("double")).as("view_rate"),
         (col("n_purchasers").cast("double") / col("n_users").cast("double")).as("conv_rate"),

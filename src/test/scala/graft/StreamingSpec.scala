@@ -338,6 +338,22 @@ class StreamingSpec extends SparkSpec {
           r.getAs[Double]("l1_drift")).toMap
       assert(scored("2024-01-02") == 0.0, s"same shape must score 0: $scored")
       assert(scored("2024-01-03") == 2.0, s"unit shift must score 2: $scored")
+      // serving parity: percentiles from the STREAM-built partials
+      // equal a batch histogram build over the same events
+      def served(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Int]("pct") ->
+          ((r.getAs[Long]("target_rank"), r.getAs[Long]("n_total"),
+            r.getAs[Int]("bucket")))).toMap
+      val fromLog = served(operators.Quality.valuePercentilesFromLog(spark, log))
+      import spark.implicits._
+      // rows.init: the sentinel's own window never finalizes, so the
+      // log (correctly) excludes it — compare against the same set
+      val batchHist = operators.Quality.valueHistogramDailyFrom(
+        operators.EventMarts.enrich(rows.init.toDF(
+          "event_id", "ts", "user_id", "event_type", "value", "props")))
+      val fromBatch = served(operators.Quality.valuePercentilesMergedFrom(batchHist))
+      assert(fromLog == fromBatch && fromLog.nonEmpty,
+        s"stream-served $fromLog != batch-served $fromBatch")
     } finally q.stop()
   }
 
