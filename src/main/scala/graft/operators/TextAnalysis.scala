@@ -482,6 +482,99 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The cleaning pass as a FUNNEL — per-stage drop census over
+    * exactly `cleanCorpus`'s gates (same score columns, same keeper
+    * window, same thresholds), the observability table a production
+    * corpus pipeline alerts on: a langid regression shows up as the
+    * language_gate row doubling, an ingest feeding duplicates as
+    * exact_dup swelling, long before anyone inspects survivors. Each
+    * doc is attributed to its FIRST failing stage (quality →
+    * language → exact-dup), so the rows partition the corpus and
+    * sum to the input count by construction.
+    *
+    * Scale shape: identical to cleanCorpus — one scan + the one
+    * content-hash keeper exchange — then a ≤4-row stage rollup,
+    * zero-filled against the literal stage list (a stage with no
+    * drops must REPORT its zero: a silent missing row reads as "gate
+    * broken", not "gate clean"), with pct/remaining algebra on the
+    * tiny frame (1-row broadcast total). */
+  def corpusFunnel(spark: SparkSession, dir: String, minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame =
+    corpusFunnelFrom(Tables.documents(spark, dir), minQuality, langs)
+
+  private[graft] def corpusFunnelFrom(docs: DataFrame, minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    val classified = docs
+      .select(col("doc_id"), col("text"),
+        qualityScoreCol.as("q"), predictedLangCol.as("pl"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .select(
+        when(col("q") < minQuality, "1_quality_gate")
+          .when(!col("pl").isin(langs.map(lit(_)): _*), "2_language_gate")
+          .when(col("doc_id") =!= col("keeper"), "3_exact_dup")
+          .otherwise("4_survived").as("stage"))
+    val counts = classified.groupBy("stage").agg(count(lit(1)).as("n_docs"))
+    val spark2 = counts.sparkSession
+    import spark2.implicits._
+    val stages = Seq("1_quality_gate", "2_language_gate", "3_exact_dup",
+      "4_survived").toDF("stage")
+    val total = counts.agg(sum(col("n_docs")).as("n_input"))
+    val wCum = Window.orderBy("stage")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stages.join(counts, Seq("stage"), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("n_docs")).over(wCum))
+      .select(col("stage"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_input").cast("double") * 100)
+          .as("pct_of_input"),
+        // docs still alive after this stage's cut (for the survived
+        // row this equals its own count: input − all drops)
+        when(col("stage") === "4_survived", col("n_docs"))
+          .otherwise(col("n_input") - col("cum")).as("remaining_after"),
+        col("n_input"))
+      .orderBy("stage")
+  }
+
+  val corpusFunnelSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4 + ($stopR) * 0.3 +
+       |      (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality_score,
+       |    $sqlPredictedLang AS predicted_lang,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM documents
+       |), classified AS (
+       |  SELECT CASE WHEN quality_score < 0.5 THEN '1_quality_gate'
+       |              WHEN predicted_lang NOT IN ('en', 'es', 'de', 'fr') THEN '2_language_gate'
+       |              WHEN doc_id <> keeper THEN '3_exact_dup'
+       |              ELSE '4_survived' END AS stage
+       |  FROM scored
+       |), counts AS (
+       |  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM classified GROUP BY stage
+       |), stages(stage) AS (
+       |  VALUES ('1_quality_gate'), ('2_language_gate'), ('3_exact_dup'), ('4_survived')
+       |), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_input FROM counts),
+       |filled AS (
+       |  SELECT s.stage, COALESCE(c.n_docs, 0) AS n_docs
+       |  FROM stages s LEFT JOIN counts c ON s.stage = c.stage
+       |)
+       |SELECT stage, n_docs,
+       |  CAST(n_docs AS DOUBLE) / CAST(n_input AS DOUBLE) * 100 AS pct_of_input,
+       |  CASE WHEN stage = '4_survived' THEN n_docs
+       |       ELSE n_input - CAST(SUM(n_docs) OVER (ORDER BY stage
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) END
+       |    AS remaining_after,
+       |  n_input
+       |FROM filled CROSS JOIN tot
+       |ORDER BY stage""".stripMargin
+  }
+
   /** PII patterns shared by the Spark op and the oracle — kept to the
     * regex subset Java and RE2 agree on (no backrefs, no lookaround). */
   private[graft] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""

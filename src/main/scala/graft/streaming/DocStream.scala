@@ -53,4 +53,48 @@ object DocStream {
       .dropDuplicatesWithinWatermark("content_md5")
       .select(col("doc_id"), col("ts"), col("lang"), col("predicted_lang"),
         col("quality_score"), col("clean_text"))
+
+  /** Live token-budget accounting with the PERSISTED BPE artifact
+    * (`TextAnalysis.loadBpeVocab` — train once, ship the merge table):
+    * each micro-batch's docs are tokenized with the SAME merge chain
+    * batch counting uses (the dictionary-grain fold — distinct words
+    * pay the chain once per batch), rolled to per-source doc/word/
+    * token totals, and appended under a batch_id partition — the
+    * idempotent replay pattern every log sink here uses (a re-emitted
+    * batch rewrites only its own partition). This is the ingest-side
+    * half of `corpus_epoch_plan`: the planner decides the per-source
+    * token budget, this sink watches it fill in real time, in
+    * COMPARABLE units (same artifact ⇒ same token counts; retraining
+    * per batch would silently re-denominate the budget). */
+  def tokenLogSink(docs: DataFrame, merges: Seq[TextAnalysis.BpeMerge],
+      logDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = TextAnalysis.bpeTokensFrom(batch, merges)
+            .join(batch.select(col("doc_id"), col("source")), "doc_id")
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("word_count")).cast("long").as("word_count"),
+              sum(col("bpe_tokens")).cast("long").as("bpe_tokens"))
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.MartSink.writePartitioned(rows, logDir, Seq("batch_id"))
+        }
+        ()
+      }
+      .start()
+
+  /** Budget readout over the token log: per-source totals since the
+    * stream started — compared against `corpus_epoch_plan`'s target
+    * allocation, this is the live "how much of each source's budget
+    * has arrived" table. */
+  def tokenBudgetFromLog(spark: SparkSession, logDir: String): DataFrame =
+    spark.read.parquet(logDir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("word_count")).cast("long").as("word_count"),
+        sum(col("bpe_tokens")).cast("long").as("bpe_tokens"))
+      .orderBy("source")
 }

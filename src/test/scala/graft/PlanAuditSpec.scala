@@ -73,6 +73,9 @@ class PlanAuditSpec extends SparkSpec {
     // against the tiny percentile spec (16 × |pcts| non-equi) plus
     // the 1-row broadcast total — both intended tiny
     "value_percentiles_merged",
+    // corpus_funnel crosses its ≤4-row zero-filled stage frame with
+    // the ONE-ROW broadcast input total
+    "corpus_funnel",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")

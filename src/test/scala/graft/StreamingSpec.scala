@@ -157,6 +157,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token log counts with the persisted artifact exactly as batch counting") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, String, String, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val texts = Seq(
+      (1L, "s0", "low low lower lowest"),
+      (2L, "s0", "new newer newest low"),
+      (3L, "s1", "wider wide low low new"))
+    mem.addData(texts.zipWithIndex.map { case ((id, s, t), i) =>
+      (id, new java.sql.Timestamp(base.getTime + i * 60000L), "en", s, t)
+    }: _*)
+    import spark.implicits._
+    val batchDocs = texts.map { case (id, s, t) => (id, s, t) }
+      .toDF("doc_id", "source", "text")
+    // the shared artifact: train once on the batch corpus
+    val merges = TextAnalysis.trainBpeMerges(batchDocs, numMerges = 6)
+    val log = java.nio.file.Files.createTempDirectory("graft_tlog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tckpt").toString
+    val q = DocStream.tokenLogSink(
+      mem.toDF.toDF("doc_id", "ts", "lang", "source", "text"), merges, log, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def totals(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("word_count"),
+          r.getAs[Long]("bpe_tokens")))).toMap
+    val served = totals(DocStream.tokenBudgetFromLog(spark, log))
+    // batch recompute with the SAME artifact over the same docs
+    val batch = totals(TextAnalysis.bpeTokensFrom(batchDocs, merges)
+      .join(batchDocs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("word_count")).cast("long").as("word_count"),
+        sum(col("bpe_tokens")).cast("long").as("bpe_tokens")))
+    assert(served == batch && served.keySet == Set("s0", "s1"),
+      s"stream-counted $served != batch-counted $batch")
+    // tokens compress below characters and never undershoot words
+    served.values.foreach { case (_, wc, bt) => assert(bt >= wc) }
+  }
+
   test("streaming IVF-PQ encode matches the batch encoder and dedups replayed vectors") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Array[Float])]

@@ -51,6 +51,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sf == Tables.documents(spark, Sf).count())
   }
 
+  test("corpus funnel attributes each doc to its first failing gate and conserves the input") {
+    import spark.implicits._
+    // d1: too short → quality gate (first in priority, even though its
+    // lang is also und); d2/d3: identical good-English docs → keeper
+    // d2 survives, d3 drops as exact_dup; d4: 110 nonsense words —
+    // quality passes on length+awl, no markers → language gate
+    val good = Seq.fill(15)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val nonsense = (1 to 110).map(i => s"qq$i").mkString(" ")
+    val d = Seq((1L, "hi"), (2L, good), (3L, good), (4L, nonsense))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.corpusFunnelFrom(d).collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("pct_of_input"),
+          r.getAs[Long]("remaining_after"), r.getAs[Long]("n_input")))).toMap
+    assert(got("1_quality_gate") == ((1L, 25.0, 3L, 4L)))
+    assert(got("2_language_gate") == ((1L, 25.0, 2L, 4L)))
+    assert(got("3_exact_dup") == ((1L, 25.0, 1L, 4L)))
+    assert(got("4_survived") == ((1L, 25.0, 1L, 4L)))
+    // sf: the funnel partitions the corpus (stages sum to input) and
+    // its survived row is EXACTLY clean_corpus's output count
+    val sf = TextAnalysis.corpusFunnel(spark, Sf).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(sf.values.sum == Tables.documents(spark, Sf).count())
+    assert(sf("4_survived") == TextAnalysis.cleanCorpus(spark, Sf).count())
+  }
+
   test("clean corpus composes quality+lang+dedup in one scan and one hash exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
