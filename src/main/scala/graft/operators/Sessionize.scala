@@ -792,4 +792,75 @@ object Sessionize {
       |FROM pairs p JOIN modal m USING (from_type)
       |GROUP BY p.from_type, m.predicted_to, m.correct_transitions
       |ORDER BY from_type""".stripMargin
+
+  /** Inter-event gap histogram — the tuning table for [[GapSeconds]]
+    * itself (the closure pattern again: dq_key_skew decides the salt
+    * factor, ann_recall_curve the nProbe, THIS the session gap): all
+    * consecutive same-user gaps bucketed into power-of-two MINUTES.
+    * Real clickstreams are bimodal — in-session seconds-to-minutes
+    * mass, a valley, then hours-to-days return gaps — and the right
+    * cut sits in the valley; cum_share_pct at the 32-min bucket reads
+    * directly as "share of gaps the 30-min rule keeps in-session". A
+    * unimodal histogram here means gap sessionization is the wrong
+    * model for the traffic, which is also worth knowing.
+    *
+    * Scale shape: the SAME one user_id exchange as `sessionized` (the
+    * lag window), a ≤12-row rollup, 1-row broadcast total, cum window
+    * over the tiny frame. Integer seconds compare against integer
+    * thresholds — no division ambiguity to drift cross-engine. */
+  def sessionGapHistogram(spark: SparkSession, dir: String): DataFrame =
+    sessionGapHistogramFrom(enriched(spark, dir))
+
+  def sessionGapHistogramFrom(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_epoch", "event_id")
+    val gaps = e.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_epoch"))
+      .withColumn("prev_epoch", lag("event_epoch", 1).over(w))
+      .filter(col("prev_epoch").isNotNull)
+      .withColumn("gap_s", col("event_epoch") - col("prev_epoch"))
+    val bucket = Seq(1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+      .foldLeft(when(lit(false), 0)) { (acc, m) =>
+        acc.when(col("gap_s") >= m * 60L, m)
+      }
+      .otherwise(0)
+      .cast("int")
+    val hist = gaps.select(bucket.as("gap_bucket_min"))
+      .groupBy("gap_bucket_min").agg(count(lit(1)).as("n_gaps"))
+    val total = hist.agg(sum(col("n_gaps")).as("total_gaps"))
+    val wc = Window.orderBy("gap_bucket_min")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("n_gaps")).over(wc))
+      .select(col("gap_bucket_min"), col("n_gaps"),
+        (col("n_gaps").cast("double") / col("total_gaps").cast("double") * 100)
+          .as("share_pct"),
+        (col("cum").cast("double") / col("total_gaps").cast("double") * 100)
+          .as("cum_share_pct"))
+      .orderBy("gap_bucket_min")
+  }
+
+  val sessionGapHistogramSql: String = {
+    val cases = Seq(1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+      .map(m => s"WHEN gap_s >= ${m * 60L} THEN $m").mkString(" ")
+    s"""WITH g AS (
+       |  SELECT user_id,
+       |    CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+       |      - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (
+       |          PARTITION BY user_id
+       |          ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id) AS gap_s
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |), h AS (
+       |  SELECT CAST(CASE $cases ELSE 0 END AS INT) AS gap_bucket_min,
+       |    CAST(COUNT(*) AS BIGINT) AS n_gaps
+       |  FROM g WHERE gap_s IS NOT NULL
+       |  GROUP BY 1
+       |), tot AS (SELECT CAST(SUM(n_gaps) AS BIGINT) AS total_gaps FROM h)
+       |SELECT gap_bucket_min, n_gaps,
+       |  CAST(n_gaps AS DOUBLE) / CAST(total_gaps AS DOUBLE) * 100 AS share_pct,
+       |  CAST(CAST(SUM(n_gaps) OVER (ORDER BY gap_bucket_min
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+       |    / CAST(total_gaps AS DOUBLE) * 100 AS cum_share_pct
+       |FROM h CROSS JOIN tot
+       |ORDER BY gap_bucket_min""".stripMargin
+  }
 }

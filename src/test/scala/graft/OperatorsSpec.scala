@@ -654,6 +654,36 @@ class SessionizeSpec extends SparkSpec {
     assert(sCount == pSum)
   }
 
+  test("gap histogram lands planted gaps in exact minute buckets with cumulative shares") {
+    import spark.implicits._
+    // u1: 30 s (bucket 0), 9.5 min (bucket 8), 180 min (bucket 128);
+    // u2: single event — no gap
+    val e = EventMarts.enrich(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 10:00:30", "view", 1.0),
+      (3L, 1L, "2024-01-01 10:10:00", "view", 1.0),
+      (4L, 1L, "2024-01-01 13:10:00", "view", 1.0),
+      (5L, 2L, "2024-01-01 09:00:00", "view", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}")))
+    val got = Sessionize.sessionGapHistogramFrom(e).collect()
+      .map(r => r.getAs[Int]("gap_bucket_min") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Double]("share_pct"),
+          r.getAs[Double]("cum_share_pct")))).toMap
+    assert(got.keySet == Set(0, 8, 128))
+    assert(got(0) == ((1L, 1.0 / 3.0 * 100, 1.0 / 3.0 * 100)))
+    assert(got(8) == ((1L, 1.0 / 3.0 * 100, 2.0 / 3.0 * 100)))
+    assert(got(128) == ((1L, 1.0 / 3.0 * 100, 3.0 / 3.0 * 100)))
+    // sf: gap count conserves (events minus distinct users), cum ends at 100
+    val sf0 = Sessionize.sessionGapHistogram(spark, Sf).collect()
+    val ev = Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    assert(sf0.map(_.getAs[Long]("n_gaps")).sum ==
+      ev.count() - ev.select("user_id").distinct().count())
+    assert(math.abs(sf0.last.getAs[Double]("cum_share_pct") - 100.0) < 1e-9)
+  }
+
   test("a 100k-event bot session yields a bounded row: capped sequence + overflow count") {
     // one user firing an event per second for 10^5 seconds — a single
     // session (every gap 1s < 1800s) that would otherwise build a

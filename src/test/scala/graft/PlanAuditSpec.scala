@@ -69,6 +69,7 @@ class PlanAuditSpec extends SparkSpec {
     // a tiny aggregate with its ONE-ROW broadcast total (gap total,
     // control rate, key-census totals) — the scalar-subquery pattern
     "purchase_intervals", "ab_test_summary", "dq_key_skew",
+    "session_gap_histogram",
     // value_percentiles_merged probes its ≤16-row cumulative curve
     // against the tiny percentile spec (16 × |pcts| non-equi) plus
     // the 1-row broadcast total — both intended tiny
