@@ -443,4 +443,75 @@ object Reporting {
        |</body>
        |</html>""".stripMargin
   }
+
+  // ---- corpus daily report (documents-side sibling of dailyReport;
+  // ---- reference: scripts/llm_daily_report.py builds exactly this
+  // ---- summary text before handing it to an LLM — the transport is
+  // ---- out of scope here, the REPORT is the surface) ----
+
+  /** Render the corpus day: cleaning funnel, source mix, and live
+    * token-budget fill — all from already-computed query frames
+    * (`corpus_funnel`, `corpus_source_mix`,
+    * `DocStream.tokenBudgetFromLog`); the renderer adds zero scans.
+    * Any section tolerates an empty frame with "no data" — a report
+    * that throws on a quiet day never ships. */
+  def corpusReport(executionDate: String, funnel: Seq[Row],
+      sourceMix: Seq[Row], budget: Seq[Row]): String = {
+    val funnelText =
+      if (funnel.isEmpty) "no data"
+      else funnel.map { r =>
+        // stage keys are ordinal-prefixed (1_quality_gate …) for a
+        // stable sort; strip the prefix for display
+        val stage = r.getAs[String]("stage").dropWhile(_ != '_').drop(1)
+        s"- $stage: ${num(r.getAs[Long]("n_docs"))} docs " +
+          s"(${pct1(r.getAs[Double]("pct_of_input"))}) | " +
+          s"remaining ${num(r.getAs[Long]("remaining_after"))}"
+      }.mkString("\n")
+    val mixText =
+      if (sourceMix.isEmpty) "no data"
+      else sourceMix.map { r =>
+        s"- ${r.getAs[String]("source")}: " +
+          s"${num(r.getAs[Long]("doc_count"))} docs " +
+          s"(${pct1(r.getAs[Double]("doc_share"))}) | " +
+          s"${num(r.getAs[Long]("token_count"))} tokens " +
+          s"(${pct1(r.getAs[Double]("token_share"))})"
+      }.mkString("\n")
+    val budgetText =
+      if (budget.isEmpty) "no data"
+      else budget.map { r =>
+        s"- ${r.getAs[String]("source")}: " +
+          s"${num(r.getAs[Long]("bpe_tokens"))} bpe tokens ingested " +
+          s"(${num(r.getAs[Long]("n_docs"))} docs / " +
+          s"${num(r.getAs[Long]("word_count"))} words)"
+      }.mkString("\n")
+    s"""Corpus report ($executionDate)
+       |${"=" * 40}
+       |
+       |[cleaning funnel]
+       |$funnelText
+       |
+       |[source mix]
+       |$mixText
+       |
+       |[token budget fill]
+       |$budgetText
+       |""".stripMargin
+  }
+
+  /** The same corpus day as a Block Kit payload (the alert-channel
+    * form, byte-parity with the quality/trending payload family). */
+  def corpusReportPayload(executionDate: String, funnel: Seq[Row],
+      sourceMix: Seq[Row], budget: Seq[Row]): String = {
+    val survived = funnel.find(_.getAs[String]("stage") == "4_survived")
+    val input = funnel.headOption.map(_.getAs[Long]("n_input")).getOrElse(0L)
+    val head = headerBlock(s"Corpus report $executionDate")
+    val summary = fieldsBlock(Seq(
+      mrkdwn(s"*input docs:* ${num(input)}"),
+      mrkdwn(s"*survived:* ${survived.map(r => num(r.getAs[Long]("n_docs")))
+        .getOrElse("no data")}"),
+      mrkdwn(s"*sources:* ${sourceMix.size}"),
+      mrkdwn(s"*budget rows:* ${budget.size}")))
+    val body = textBlock(corpusReport(executionDate, funnel, sourceMix, budget))
+    payload(Seq(head, summary, body))
+  }
 }

@@ -1060,6 +1060,29 @@ class ReportingSpec extends SparkSpec {
     assert(p.contains("1,234,567") && p.contains("8,901") && p.contains("7/7 PASS"))
   }
 
+  test("corpus report renders the funnel/mix/budget frames; payload is valid Block Kit") {
+    // render straight from the REAL query frames at sf — the report
+    // must consume exactly what the queries emit, no reshaping
+    val funnel = operators.TextAnalysis.corpusFunnel(spark, Sf).collect().toSeq
+    val mix = operators.TextAnalysis.sourceMix(spark, Sf).collect().toSeq
+    val text = Reporting.corpusReport("2024-01-15", funnel, mix, Nil)
+    assert(text.contains("Corpus report (2024-01-15)"))
+    assert(text.contains("quality_gate") && text.contains("survived"))
+    // ordinal prefixes are stripped for display
+    assert(!text.contains("1_quality_gate"))
+    assert(mix.forall(r => text.contains(r.getAs[String]("source"))))
+    assert(text.contains("[token budget fill]\nno data"))
+    val p = Reporting.corpusReportPayload("2024-01-15", funnel, mix, Nil)
+    assertValidJson(p)
+    val survived = funnel.find(_.getAs[String]("stage") == "4_survived").get
+    assert(p.contains(s"*survived:* ${String.format(java.util.Locale.US, "%,d",
+      Long.box(survived.getAs[Long]("n_docs")))}"))
+    // empty frames degrade to "no data", never throw
+    val empty = Reporting.corpusReport("2024-01-15", Nil, Nil, Nil)
+    assert(empty.contains("no data"))
+    assertValidJson(Reporting.corpusReportPayload("2024-01-15", Nil, Nil, Nil))
+  }
+
   test("quality dashboard renders daily table, period stats, and per-check frequency") {
     val days = Seq(
       Reporting.DashboardDay("2024-01-01", Seq(
