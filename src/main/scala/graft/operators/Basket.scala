@@ -83,14 +83,17 @@ object Basket {
       maxProductsPerDay: Int = 50): DataFrame =
     coviewPairsFrom(EventMarts.enriched(spark, dir), topN, maxProductsPerDay)
 
-  def coviewPairsFrom(e: DataFrame, topN: Int = 100,
-      maxProductsPerDay: Int = 50): DataFrame = {
-    // the distinct view frame feeds the eligibility gate AND (through
-    // the gate join) both self-join sides and the product-day counts —
-    // four consumers whose branch-specific pruning would each replan
-    // the events scan. One localCheckpoint = one events scan total;
-    // everything downstream recomputes only over user-day-product rows
-    // (the dedup_substring / rolling_active_users pattern).
+  /** The gated co-view BASKET frame — distinct (user, day, product)
+    * view rows restricted to user-days with [2, maxProductsPerDay]
+    * distinct products — shared by `coviewPairsFrom` AND
+    * `Graph.coviewEdgesFrom` (triangle census) so the two co-view
+    * surfaces cannot disagree about which baskets exist. The distinct
+    * view frame feeds the eligibility gate AND (through the gate
+    * join) every downstream consumer — branch-specific pruning would
+    * each replan the events scan, so one localCheckpoint = one events
+    * scan total (the dedup_substring / rolling_active_users pattern). */
+  private[graft] def coviewBasketFrom(e: DataFrame,
+      maxProductsPerDay: Int): DataFrame = {
     val up = e.filter(col("event_type") === "view" && col("product_k").isNotNull)
       .select(col("user_id"), col("event_date"), col("product_k"))
       .distinct()
@@ -99,7 +102,12 @@ object Basket {
       .agg(count(lit(1)).as("n_products"))
       .filter(col("n_products").between(2, maxProductsPerDay))
       .select("user_id", "event_date")
-    val basket = up.join(eligible, Seq("user_id", "event_date"))
+    up.join(eligible, Seq("user_id", "event_date"))
+  }
+
+  def coviewPairsFrom(e: DataFrame, topN: Int = 100,
+      maxProductsPerDay: Int = 50): DataFrame = {
+    val basket = coviewBasketFrom(e, maxProductsPerDay)
     val pairs = basket.as("a")
       .join(basket.as("b"),
         col("a.user_id") === col("b.user_id") &&

@@ -843,16 +843,25 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val cand = minhashLshFrom(spark, raw, estThreshold = 0.0, maxBucket)
+    // checkpoint: the shingle projection (trigram_hashes — the
+    // dominant per-row CPU) feeds BOTH pair-side joins; without it
+    // each side replans the full-corpus shingling
     val sh = raw.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
+      .localCheckpoint()
     val inter = expr("sorted_intersect_count(a_sh, b_sh)")
     val joined = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("a_sh"),
         col("n").as("a_n")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("b_sh"),
         col("n").as("b_n")), Seq("doc_b"))
-      .withColumn("exact_jaccard", inter.cast("double") /
-        (col("a_n") + col("b_n") - inter).cast("double"))
+      // two EMPTY shingle sets are identical content (J = 1), not a
+      // NULL 0/0 — sum()/count() aggregation would silently skip the
+      // NULLs and bias the most-trusted decile's means low
+      .withColumn("exact_jaccard",
+        when(col("a_n") + col("b_n") - inter === 0, lit(1.0))
+          .otherwise(inter.cast("double") /
+            (col("a_n") + col("b_n") - inter).cast("double")))
     joined
       .select(least(floor(col("est_jaccard") * 10).cast("int"), lit(9)).as("est_decile"),
         col("est_jaccard"), col("exact_jaccard"))

@@ -219,16 +219,11 @@ object Graph {
     trianglesFrom(coviewEdgesFrom(enriched(spark, dir)), topN)
 
   /** Distinct undirected co-view edges (a < b): product pairs viewed
-    * by at least one (user, day) basket under the coviewPairs gate. */
+    * by at least one (user, day) basket under the coviewPairs gate —
+    * the basket frame IS `Basket.coviewBasketFrom` (shared, not
+    * copied, so the two co-view surfaces can't drift). */
   def coviewEdgesFrom(e: DataFrame, maxProductsPerDay: Int = 50): DataFrame = {
-    val up = e.filter(col("event_type") === "view" && col("product_k").isNotNull)
-      .select(col("user_id"), col("event_date"), col("product_k"))
-      .distinct()
-    val eligible = up.groupBy("user_id", "event_date")
-      .agg(count(lit(1)).as("k"))
-      .filter(col("k").between(2, maxProductsPerDay))
-      .select("user_id", "event_date")
-    val basket = up.join(eligible, Seq("user_id", "event_date"))
+    val basket = Basket.coviewBasketFrom(e, maxProductsPerDay)
     basket.as("x").join(basket.as("y"),
         col("x.user_id") === col("y.user_id") &&
           col("x.event_date") === col("y.event_date") &&
@@ -245,6 +240,7 @@ object Graph {
     val deg = ed.select(col("a").as("node"))
       .unionByName(ed.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
+      .localCheckpoint() // three consumers: both orientation joins + the final census
     val withDeg = ed
       .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))

@@ -1253,23 +1253,30 @@ object Relational {
     * over the ≤ nations×years frame. Revenue sums stay decimal (the
     * q1 determinism pattern); the YoY percentage is a fixed two-op
     * IEEE chain on the exact sums. */
-  def nationRevenueYoy(spark: SparkSession, dir: String): DataFrame = {
+  def nationRevenueYoy(spark: SparkSession, dir: String): DataFrame =
+    nationRevenueYoyFrom(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir))
+
+  private[graft] def nationRevenueYoyFrom(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rev = col("l_extendedprice").cast("decimal(12,2)") *
       (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
-    val base = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(spark, dir)),
-        col("c_nationkey") === col("n_nationkey"))
+    val base = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("order_year"))
       .agg(sum(rev).as("revenue_dec"))
     val w = Window.partitionBy("nation").orderBy("order_year")
     base
-      .withColumn("prev_dec", lag(col("revenue_dec"), 1).over(w))
+      // the baseline must be the ADJACENT year: a bare lag(1) over the
+      // present rows would label growth across a gap year (1994 → 1996
+      // with no 1995 orders) as one-year growth
+      .withColumn("prev_dec",
+        when(lag(col("order_year"), 1).over(w) === col("order_year") - 1,
+          lag(col("revenue_dec"), 1).over(w)))
       .select(col("nation"), col("order_year"),
         col("revenue_dec").cast("double").as("revenue"),
         col("prev_dec").cast("double").as("prev_revenue"),
@@ -1290,7 +1297,10 @@ object Relational {
       |  GROUP BY 1, 2
       |), lagged AS (
       |  SELECT nation, order_year, revenue_dec,
-      |    LAG(revenue_dec) OVER (PARTITION BY nation ORDER BY order_year) AS prev_dec
+      |    CASE WHEN LAG(order_year) OVER (PARTITION BY nation ORDER BY order_year)
+      |              = order_year - 1
+      |         THEN LAG(revenue_dec) OVER (PARTITION BY nation ORDER BY order_year)
+      |    END AS prev_dec
       |  FROM base
       |)
       |SELECT nation, order_year,

@@ -799,8 +799,11 @@ object Sessionize {
     * consecutive same-user gaps bucketed into power-of-two MINUTES.
     * Real clickstreams are bimodal — in-session seconds-to-minutes
     * mass, a valley, then hours-to-days return gaps — and the right
-    * cut sits in the valley; cum_share_pct at the 32-min bucket reads
-    * directly as "share of gaps the 30-min rule keeps in-session". A
+    * cut sits in the valley; cum_share_pct at the 16-min bucket (its
+    * row covers gaps in [16, 32) min, so the cum reads "gaps under 32
+    * minutes") approximates the share the 30-min rule keeps
+    * in-session — the 32 row's cum would overstate it by the whole
+    * [32, 64)-minute mass. A
     * unimodal histogram here means gap sessionization is the wrong
     * model for the traffic, which is also worth knowing.
     *

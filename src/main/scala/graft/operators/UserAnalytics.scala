@@ -533,17 +533,24 @@ object UserAnalytics {
   def abTestSummary(spark: SparkSession, dir: String): DataFrame =
     abTestSummaryFrom(enriched(spark, dir))
 
-  def abTestSummaryFrom(e: DataFrame, experiment: String = "exp1"): DataFrame = {
-    val armCol = when(
+  /** Deterministic experiment-arm assignment — the ONE definition the
+    * batch readout and the streaming ramp watch both use, so "stream
+    * and batch can never disagree on assignment" is structural, not
+    * copy-discipline (the specs' driver-side MD5 recomputes stay
+    * independent on purpose — they are the check ON this column). */
+  private[graft] def armCol(experiment: String): org.apache.spark.sql.Column =
+    when(
       substring(md5(concat(lit(experiment + ":"),
         col("user_id").cast("string")).cast("binary")), 1, 1) >= "8",
       "treatment").otherwise("control")
+
+  def abTestSummaryFrom(e: DataFrame, experiment: String = "exp1"): DataFrame = {
     val u = e.filter(col("user_id").isNotNull)
       .groupBy(col("user_id"))
       .agg(
         max(when(col("event_type") === "view", 1).otherwise(0)).as("has_view"),
         max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
-      .select(armCol.as("arm"), col("has_view"), col("has_purchase"))
+      .select(armCol(experiment).as("arm"), col("has_view"), col("has_purchase"))
     val arms = u.groupBy("arm")
       .agg(count(lit(1)).as("n_users"),
         sum(col("has_view")).as("n_viewers"),

@@ -73,12 +73,15 @@ object DocStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val rows = TextAnalysis.bpeTokensFrom(batch, merges)
-            .join(batch.select(col("doc_id"), col("source")), "doc_id")
+          // left join FROM the batch side: a doc that tokenizes to
+          // nothing still arrived — n_docs must count every ingested
+          // doc, not just the ones with token rows
+          val rows = batch.select(col("doc_id"), col("source"))
+            .join(TextAnalysis.bpeTokensFrom(batch, merges), Seq("doc_id"), "left")
             .groupBy(col("source"))
             .agg(count(lit(1)).as("n_docs"),
-              sum(col("word_count")).cast("long").as("word_count"),
-              sum(col("bpe_tokens")).cast("long").as("bpe_tokens"))
+              sum(coalesce(col("word_count"), lit(0L))).cast("long").as("word_count"),
+              sum(coalesce(col("bpe_tokens"), lit(0L))).cast("long").as("bpe_tokens"))
             .withColumn("batch_id", lit(batchId))
           graft.sources.MartSink.writePartitioned(rows, logDir, Seq("batch_id"))
         }

@@ -341,10 +341,9 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .filter(col("user_id").isNotNull)
-      .withColumn("arm", when(
-        substring(md5(concat(lit(experiment + ":"),
-          col("user_id").cast("string")).cast("binary")), 1, 1) >= "8",
-        "treatment").otherwise("control"))
+      // the SHARED assignment column (UserAnalytics.armCol) — stream
+      // and batch agreeing on arms is structural, not copy-discipline
+      .withColumn("arm", graft.operators.UserAnalytics.armCol(experiment))
       .groupBy(window(col("ts"), windowLen), col("arm"))
       .agg(
         count(lit(1)).as("events"),

@@ -125,7 +125,7 @@ class RelationalSpec extends SparkSpec {
     assert(sf.last.getAs[Long]("cum_placed") == total)
   }
 
-  test("nation yoy: lagged revenue aligns per nation and the growth arithmetic is exact") {
+  test("nation yoy: adjacent years lag exactly; a gap year yields no baseline") {
     val rows = Relational.nationRevenueYoy(spark, Sf).collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getAs[String]("nation")).foreach { case (_, rs) =>
@@ -133,14 +133,32 @@ class RelationalSpec extends SparkSpec {
       // a nation's first year has no baseline
       assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_revenue")))
       sorted.sliding(2).foreach {
-        case Array(a, b) =>
+        case Array(a, b) if b.getAs[Int]("order_year") == a.getAs[Int]("order_year") + 1 =>
           assert(b.getAs[Double]("prev_revenue") == a.getAs[Double]("revenue"))
           val expect = (b.getAs[Double]("revenue") - b.getAs[Double]("prev_revenue")) /
             b.getAs[Double]("prev_revenue") * 100
           assert(b.getAs[Double]("yoy_pct") == expect)
+        case Array(_, b) =>
+          // non-adjacent present years: the gap voids the baseline
+          assert(b.isNullAt(b.fieldIndex("prev_revenue")))
         case _ => ()
       }
     }
+    // crafted gap year: 1994 and 1996 rows with no 1995 — the 1996 row
+    // must NOT report two-year growth as YoY
+    import spark.implicits._
+    val li = Seq((1L, 100.0, 0.0), (2L, 150.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val ords = Seq((1L, 10L, "1994-06-01"), (2L, 10L, "1996-06-01"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val cust = Seq((10L, 7L)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((7L, "GAPLAND")).toDF("n_nationkey", "n_name")
+    val gap = Relational.nationRevenueYoyFrom(li, ords, cust, nat).collect()
+      .map(r => r.getAs[Int]("order_year") -> r).toMap
+    assert(gap(1994).isNullAt(gap(1994).fieldIndex("prev_revenue")))
+    assert(gap(1996).isNullAt(gap(1996).fieldIndex("prev_revenue")))
+    assert(gap(1996).isNullAt(gap(1996).fieldIndex("yoy_pct")))
   }
 }
 

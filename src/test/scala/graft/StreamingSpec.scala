@@ -166,7 +166,8 @@ class StreamingSpec extends SparkSpec {
     val texts = Seq(
       (1L, "s0", "low low lower lowest"),
       (2L, "s0", "new newer newest low"),
-      (3L, "s1", "wider wide low low new"))
+      (3L, "s1", "wider wide low low new"),
+      (4L, "s1", " ")) // tokenizes to nothing — must still count as a doc
     mem.addData(texts.zipWithIndex.map { case ((id, s, t), i) =>
       (id, new java.sql.Timestamp(base.getTime + i * 60000L), "en", s, t)
     }: _*)
@@ -185,15 +186,18 @@ class StreamingSpec extends SparkSpec {
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("word_count"),
           r.getAs[Long]("bpe_tokens")))).toMap
     val served = totals(DocStream.tokenBudgetFromLog(spark, log))
-    // batch recompute with the SAME artifact over the same docs
-    val batch = totals(TextAnalysis.bpeTokensFrom(batchDocs, merges)
-      .join(batchDocs.select(col("doc_id"), col("source")), "doc_id")
+    // batch recompute with the SAME artifact over the same docs (left
+    // join from the doc side — the sink's every-doc-counts semantics)
+    val batch = totals(batchDocs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.bpeTokensFrom(batchDocs, merges), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("word_count")).cast("long").as("word_count"),
-        sum(col("bpe_tokens")).cast("long").as("bpe_tokens")))
+        sum(coalesce(col("word_count"), lit(0L))).cast("long").as("word_count"),
+        sum(coalesce(col("bpe_tokens"), lit(0L))).cast("long").as("bpe_tokens")))
     assert(served == batch && served.keySet == Set("s0", "s1"),
       s"stream-counted $served != batch-counted $batch")
+    // the empty doc is IN the census (s1 has 2 docs), with zero tokens
+    assert(served("s1")._1 == 2L)
     // tokens compress below characters and never undershoot words
     served.values.foreach { case (_, wc, bt) => assert(bt >= wc) }
   }
