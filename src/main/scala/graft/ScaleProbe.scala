@@ -83,8 +83,26 @@ object ScaleProbe {
               +: li.columns.filter(_ != "l_orderkey").toIndexedSeq.map(col): _*)
           .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       }
+
+    /** Customer replicas remapped with the SAME custkey offset as the
+      * orders replicas (an unreplicated dim would inner-join away all
+      * rep>0 revenue and silently measure 1× work as 10×); nation
+      * copies verbatim — c_nationkey is untouched by the remap. */
+    def buildRelationalDims(dir: String, reps: Int): Unit =
+      if (!new java.io.File(s"$dir/customer.parquet").exists()) {
+        val rep = explode(sequence(lit(0), lit(reps - 1))).as("rep")
+        val cust = Tables.customer(spark, small)
+        cust.withColumn("rep", rep)
+          .select(
+            (col("c_custkey") + col("rep").cast("long") * 10000000L).as("c_custkey")
+              +: cust.columns.filter(_ != "c_custkey").toIndexedSeq.map(col): _*)
+          .repartition(8).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        Tables.nation(spark, small)
+          .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      }
     buildCorpus(big, 10)
     buildRelational(big, 10)
+    buildRelationalDims(big, 10)
 
     val headline = Seq(
       "mart_user_daily", "mart_funnel_daily", "hourly_traffic", "session_sequences",
@@ -141,7 +159,15 @@ object ScaleProbe {
       // suffixed replicas — the honest axis); minhash_calibration's
       // pair frame is band-bounded like dedup_minhash_lsh
       "purchase_intervals", "ab_test_summary", "dq_key_skew",
-      "coview_triangles", "text_perplexity_bigram", "minhash_calibration")
+      "coview_triangles", "text_perplexity_bigram", "minhash_calibration",
+      // closing additions: the funnel shares clean_corpus's plan; the
+      // gap histogram rides the sessionize exchange; the histogram/
+      // percentile pair and backlog are day-dimension rollups; yoy is
+      // the q5 join path; recall curve and MMR score the broadcast
+      // query sample linearly (no pair enumeration)
+      "corpus_funnel", "session_gap_histogram", "value_histogram_daily",
+      "value_percentiles_merged", "order_backlog", "nation_revenue_yoy",
+      "ann_recall_curve", "ann_mmr_diverse")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -575,6 +575,85 @@ object TextAnalysis {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Quality-threshold sweep — the tuning table for `minQuality`
+    * itself (closing the closure set: GapSeconds → gap histogram,
+    * salt → key skew, nProbe → recall curve, estThreshold → minhash
+    * calibration, minQuality → THIS): for every candidate cut
+    * t = b/10, how many docs and what token share survive `score ≥ t`
+    * — the cost curve read BEFORE moving the gate (quality_buckets
+    * shows where the mass sits per source; this shows what each cut
+    * keeps corpus-wide). Suffix-cumulative of the same decile
+    * histogram: one doc-grain rollup to ≤10 bucket rows, reverse
+    * running sums over that tiny frame, 1-row broadcast totals; exact
+    * bigints until the two share divisions. */
+  def qualityThresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    qualityThresholdCurveFrom(Tables.documents(spark, dir))
+
+  private[graft] def qualityThresholdCurveFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val hist = docs
+      .select(least(floor(qualityScoreCol * 10).cast("int"), lit(9)).as("b"),
+        size(tokens(col("text"))).cast("bigint").as("toks"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("toks"))
+    val buckets = (0 to 9).toDF("b")
+    val filled = buckets.join(hist, Seq("b"), "left")
+      .select(col("b"), coalesce(col("docs"), lit(0L)).as("docs"),
+        coalesce(col("toks"), lit(0L)).as("toks"))
+    val wSuffix = Window.orderBy(desc("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = filled.agg(sum(col("docs")).as("n_docs"), sum(col("toks")).as("n_toks"))
+    filled.crossJoin(broadcast(total))
+      .withColumn("surviving_docs", sum(col("docs")).over(wSuffix))
+      .withColumn("surviving_tokens", sum(col("toks")).over(wSuffix))
+      .select(col("b").as("threshold_decile"),
+        (col("b").cast("double") / 10.0).as("min_quality"),
+        col("surviving_docs"),
+        (col("surviving_docs").cast("double") / col("n_docs").cast("double") * 100)
+          .as("doc_pct"),
+        col("surviving_tokens"),
+        (col("surviving_tokens").cast("double") / col("n_toks").cast("double") * 100)
+          .as("token_pct"))
+      .orderBy("threshold_decile")
+  }
+
+  val qualityThresholdCurveSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    s"""WITH scored AS (
+       |  SELECT LEAST(CAST(FLOOR((LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + ($stopR) * 0.3
+       |      + (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3) * 10)
+       |      AS INT), 9) AS b,
+       |    $nWords AS toks
+       |  FROM documents
+       |), hist AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(toks) AS BIGINT) AS toks
+       |  FROM scored GROUP BY b
+       |), buckets(b) AS (SELECT unnest(range(0, 10))),
+       |filled AS (
+       |  SELECT CAST(buckets.b AS INT) AS b, COALESCE(hist.docs, 0) AS docs,
+       |    COALESCE(hist.toks, 0) AS toks
+       |  FROM buckets LEFT JOIN hist ON buckets.b = hist.b
+       |), tot AS (
+       |  SELECT CAST(SUM(docs) AS BIGINT) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_toks
+       |  FROM filled
+       |)
+       |SELECT b AS threshold_decile, CAST(b AS DOUBLE) / 10.0 AS min_quality,
+       |  CAST(SUM(docs) OVER ws AS BIGINT) AS surviving_docs,
+       |  CAST(CAST(SUM(docs) OVER ws AS BIGINT) AS DOUBLE)
+       |    / CAST(n_docs AS DOUBLE) * 100 AS doc_pct,
+       |  CAST(SUM(toks) OVER ws AS BIGINT) AS surviving_tokens,
+       |  CAST(CAST(SUM(toks) OVER ws AS BIGINT) AS DOUBLE)
+       |    / CAST(n_toks AS DOUBLE) * 100 AS token_pct
+       |FROM filled CROSS JOIN tot
+       |WINDOW ws AS (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY threshold_decile""".stripMargin
+  }
+
   /** PII patterns shared by the Spark op and the oracle — kept to the
     * regex subset Java and RE2 agree on (no backrefs, no lookaround). */
   private[graft] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""

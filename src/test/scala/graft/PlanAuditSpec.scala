@@ -76,7 +76,7 @@ class PlanAuditSpec extends SparkSpec {
     "value_percentiles_merged",
     // corpus_funnel crosses its ≤4-row zero-filled stage frame with
     // the ONE-ROW broadcast input total
-    "corpus_funnel",
+    "corpus_funnel", "quality_threshold_curve",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")

@@ -51,6 +51,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sf == Tables.documents(spark, Sf).count())
   }
 
+  test("quality threshold curve: suffix-cumulative cut costs, consistent with the bucket census") {
+    import spark.implicits._
+    // crafted: "hi" scores ~0.008 (bucket 0); the 135-word English doc
+    // scores 0.4 + 0.3·(30/135) + 0.3 ≈ 0.767 (bucket 7)
+    val good = Seq.fill(15)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val crafted = TextAnalysis.qualityThresholdCurveFrom(
+        Seq((1L, "hi"), (2L, good)).toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Int]("threshold_decile") -> r.getAs[Long]("surviving_docs")).toMap
+    assert(crafted(0) == 2L) // threshold 0 keeps everything
+    assert(crafted(1) == 1L) // the short doc dies at the first real cut
+    assert(crafted(7) == 1L) // the good doc survives its own decile
+    assert(crafted(8) == 0L) // and dies above it
+    // sf: full 10-row curve, non-increasing, anchored at 100%, and the
+    // 0.5 cut agrees with the quality_buckets census mass at ≥5
+    val curve = TextAnalysis.qualityThresholdCurve(spark, Sf).collect()
+      .sortBy(_.getAs[Int]("threshold_decile"))
+    assert(curve.length == 10)
+    assert(curve.head.getAs[Double]("doc_pct") == 100.0)
+    assert(curve.head.getAs[Long]("surviving_docs") ==
+      Tables.documents(spark, Sf).count())
+    assert(curve.map(_.getAs[Long]("surviving_docs")).sliding(2)
+      .forall(p => p(0) >= p(1)))
+    val ge5 = TextAnalysis.qualityBuckets(spark, Sf).collect()
+      .filter(_.getAs[Int]("quality_bucket") >= 5)
+      .map(_.getAs[Long]("doc_count")).sum
+    assert(curve(5).getAs[Long]("surviving_docs") == ge5)
+  }
+
   test("corpus funnel attributes each doc to its first failing gate and conserves the input") {
     import spark.implicits._
     // d1: too short → quality gate (first in priority, even though its
