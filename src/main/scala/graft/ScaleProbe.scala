@@ -202,7 +202,11 @@ object ScaleProbe {
       // growth under the disjoint-replica suffixing)
       val steepest = Seq("dedup_exact", "dq_corpus_coverage", "clean_dup_spans",
         "sample_topic_balanced", "corpus_topic_mix",
-        "basket_rules", "product_pagerank", "doc_tfidf_keywords")
+        "basket_rules", "product_pagerank", "doc_tfidf_keywords",
+        // continuation additions: the bigram LM (vocabulary grows
+        // ~100× under suffixed replicas — its honest axis) and the
+        // triangle census (degree-bounded wedges on the denser graph)
+        "text_perplexity_bigram", "coview_triangles")
       steepest.foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min
