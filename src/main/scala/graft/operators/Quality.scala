@@ -1025,6 +1025,79 @@ object Quality {
        |FROM hit GROUP BY pct ORDER BY pct""".stripMargin
   }
 
+  /** The value-histogram pattern generalized to fulfillment latency —
+    * per order MONTH, order→ship day gaps on the same fixed
+    * power-of-two buckets ([[bucketOf]], bucket = index): the
+    * mergeable partial that gives the SLA mart (`shipping_latency`)
+    * a rescan-free any-window percentile form. Negative gaps (lines
+    * "shipping" before their order — a data fault, present in the
+    * random-dated testdata) are EXCLUDED here by design: they are
+    * `dq_orders_reconcile` / sequence-check territory, and folding
+    * them into an SLA histogram would poison the latency curve the
+    * partial exists to serve. One fact join + one month×16 rollup. */
+  def shippingLatencyHistogram(spark: SparkSession, dir: String): DataFrame =
+    shippingLatencyHistogramFrom(graft.Tables.orders(spark, dir),
+      graft.Tables.lineitem(spark, dir))
+
+  private[graft] def shippingLatencyHistogramFrom(orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("gap_days", datediff(col("l_shipdate"), col("o_orderdate")))
+      .filter(col("gap_days") >= 0)
+      .groupBy(trunc(col("o_orderdate"), "month").as("order_month"),
+        bucketOf(col("gap_days")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("order_month", "bucket")
+
+  val shippingLatencyHistogramSql: String = {
+    val b = sqlBucketOf("date_diff('day', o_orderdate, l_shipdate)")
+    s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       |  CAST($b AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE date_diff('day', o_orderdate, l_shipdate) >= 0
+       |GROUP BY 1, 2
+       |ORDER BY order_month, bucket""".stripMargin
+  }
+
+  /** Latency percentiles served from the monthly partials via the
+    * SHARED serving core (`valuePercentilesMergedFrom` — bounds read
+    * in DAYS here): "p99 order→ship latency over any month range"
+    * without rescanning lineitem. */
+  def shippingLatencyPercentiles(spark: SparkSession, dir: String): DataFrame =
+    valuePercentilesMergedFrom(
+      shippingLatencyHistogram(spark, dir))
+
+  val shippingLatencyPercentilesSql: String = {
+    val b = sqlBucketOf("date_diff('day', o_orderdate, l_shipdate)")
+    s"""WITH hist AS (
+       |  SELECT $b AS bucket, COUNT(*) AS n_events
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE date_diff('day', o_orderdate, l_shipdate) >= 0
+       |  GROUP BY 1
+       |), byb AS (
+       |  SELECT bucket, CAST(SUM(n_events) AS BIGINT) AS c FROM hist GROUP BY bucket
+       |), cum AS (
+       |  SELECT bucket, CAST(SUM(c) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM byb
+       |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM byb),
+       |q(pct) AS (VALUES (50), (90), (99)),
+       |hit AS (
+       |  SELECT q.pct, (tot.n_total * q.pct + 99) // 100 AS target_rank,
+       |    tot.n_total, cum.bucket
+       |  FROM cum CROSS JOIN tot
+       |  JOIN q ON cum.cum >= (tot.n_total * q.pct + 99) // 100
+       |)
+       |SELECT pct, CAST(MIN(target_rank) AS BIGINT) AS target_rank,
+       |  CAST(MIN(n_total) AS BIGINT) AS n_total,
+       |  CAST(MIN(bucket) AS INT) AS bucket,
+       |  CASE WHEN MIN(bucket) = 0 THEN 0.0
+       |       ELSE power(2, MIN(bucket) - 1) END AS bound_lo,
+       |  CASE WHEN MIN(bucket) = 15 THEN NULL
+       |       ELSE power(2, MIN(bucket)) END AS bound_hi
+       |FROM hit GROUP BY pct ORDER BY pct""".stripMargin
+  }
+
   /** Percentile serving straight from the STREAMING value-bucket log
     * (`EventStream.valueBucketCounts` + `valueLogSink`): the same
     * replay-dedup (max per (window_start, bucket) — an idempotent

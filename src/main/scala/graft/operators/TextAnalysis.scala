@@ -502,19 +502,32 @@ object TextAnalysis {
       langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame =
     corpusFunnelFrom(Tables.documents(spark, dir), minQuality, langs)
 
-  private[graft] def corpusFunnelFrom(docs: DataFrame, minQuality: Double = 0.5,
-      langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame = {
+  /** The per-doc first-failing-stage classification shared by the
+    * corpus-wide and per-source funnels (one definition — the two
+    * census grains cannot disagree about a doc's fate). */
+  private def funnelStageFrom(docs: DataFrame, minQuality: Double,
+      langs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(md5(col("text").cast("binary")))
-    val classified = docs
-      .select(col("doc_id"), col("text"),
+    val src = if (docs.columns.contains("source")) col("source") else lit("all")
+    docs
+      .select(col("doc_id"), src.as("source"), col("text"),
         qualityScoreCol.as("q"), predictedLangCol.as("pl"))
       .withColumn("keeper", min(col("doc_id")).over(w))
-      .select(
+      .select(col("source"),
         when(col("q") < minQuality, "1_quality_gate")
           .when(!col("pl").isin(langs.map(lit(_)): _*), "2_language_gate")
           .when(col("doc_id") =!= col("keeper"), "3_exact_dup")
           .otherwise("4_survived").as("stage"))
+  }
+
+  private[graft] val FunnelStages =
+    Seq("1_quality_gate", "2_language_gate", "3_exact_dup", "4_survived")
+
+  private[graft] def corpusFunnelFrom(docs: DataFrame, minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classified = funnelStageFrom(docs, minQuality, langs).select("stage")
     val counts = classified.groupBy("stage").agg(count(lit(1)).as("n_docs"))
     val spark2 = counts.sparkSession
     import spark2.implicits._
@@ -536,6 +549,74 @@ object TextAnalysis {
           .otherwise(col("n_input") - col("cum")).as("remaining_after"),
         col("n_input"))
       .orderBy("stage")
+  }
+
+  /** The funnel at (source × stage) grain — WHICH ingest's
+    * quality/language/duplicate mix moved (the row an operator pages
+    * on; the corpus-wide funnel says something changed, this says
+    * whose feed). Same one-scan classification core as
+    * `corpus_funnel` (shared `funnelStageFrom` — the two grains
+    * cannot disagree about a doc's fate); the zero-filled
+    * |sources|×4 grid is the intended tiny cross join (a gate with
+    * no drops in a source must report its zero), per-source shares
+    * divide by per-source inputs carried on the grid. */
+  def corpusFunnelBySource(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame =
+    corpusFunnelBySourceFrom(Tables.documents(spark, dir), minQuality, langs)
+
+  private[graft] def corpusFunnelBySourceFrom(docs: DataFrame,
+      minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame = {
+    val classified = funnelStageFrom(docs, minQuality, langs)
+    val counts = classified.groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"))
+    val spark2 = counts.sparkSession
+    import spark2.implicits._
+    val perSource = counts.groupBy("source").agg(sum(col("n_docs")).as("source_input"))
+    val grid = perSource.crossJoin(broadcast(FunnelStages.toDF("stage")))
+    grid.join(counts, Seq("source", "stage"), "left")
+      .select(col("source"), col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        (coalesce(col("n_docs"), lit(0L)).cast("double")
+          / col("source_input").cast("double") * 100).as("pct_of_source"),
+        col("source_input"))
+      .orderBy("source", "stage")
+  }
+
+  val corpusFunnelBySourceSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4 + ($stopR) * 0.3 +
+       |      (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality_score,
+       |    $sqlPredictedLang AS predicted_lang,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+       |  FROM documents
+       |), classified AS (
+       |  SELECT source,
+       |    CASE WHEN quality_score < 0.5 THEN '1_quality_gate'
+       |         WHEN predicted_lang NOT IN ('en', 'es', 'de', 'fr') THEN '2_language_gate'
+       |         WHEN doc_id <> keeper THEN '3_exact_dup'
+       |         ELSE '4_survived' END AS stage
+       |  FROM scored
+       |), counts AS (
+       |  SELECT source, stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM classified GROUP BY source, stage
+       |), per_source AS (
+       |  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS source_input FROM counts GROUP BY source
+       |), stages(stage) AS (
+       |  VALUES ('1_quality_gate'), ('2_language_gate'), ('3_exact_dup'), ('4_survived')
+       |)
+       |SELECT p.source, s.stage, COALESCE(c.n_docs, 0) AS n_docs,
+       |  CAST(COALESCE(c.n_docs, 0) AS DOUBLE) / CAST(p.source_input AS DOUBLE) * 100
+       |    AS pct_of_source,
+       |  p.source_input
+       |FROM per_source p CROSS JOIN stages s
+       |LEFT JOIN counts c ON c.source = p.source AND c.stage = s.stage
+       |ORDER BY p.source, s.stage""".stripMargin
   }
 
   val corpusFunnelSql: String = {

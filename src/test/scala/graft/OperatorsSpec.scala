@@ -1189,6 +1189,43 @@ class QualitySpec extends SparkSpec {
     assert(asMap(Quality.valuePercentilesMergedFrom(d1.unionByName(d2))) == got)
   }
 
+  test("latency histogram excludes negative gaps; merged percentiles hit hand-computed buckets") {
+    import spark.implicits._
+    val orders = Seq((1L, "2024-01-05"), (2L, "2024-02-01"))
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val lineitem = Seq(
+      (1L, "2024-01-05"), // +0d  → bucket 0
+      (1L, "2024-01-06"), // +1d  → bucket 1
+      (1L, "2024-01-08"), // +3d  → bucket 2
+      (1L, "2024-01-15"), // +10d → bucket 4
+      (2L, "2024-01-27")) // −5d  → excluded (reconcile territory)
+      .toDF("l_orderkey", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    val hist = Quality.shippingLatencyHistogramFrom(orders, lineitem)
+    val h = hist.collect()
+      .map(r => (r.getAs[java.sql.Date]("order_month").toString, r.getAs[Int]("bucket")) ->
+        r.getAs[Long]("n_events")).toMap
+    assert(h == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 2) -> 1L, ("2024-01-01", 4) -> 1L))
+    // served: N=4 → p50 rank 2 → bucket 1 [1,2); p90/p99 rank 4 → bucket 4 [8,16)
+    val served = Quality.valuePercentilesMergedFrom(hist).collect()
+      .map(r => r.getAs[Int]("pct") ->
+        ((r.getAs[Long]("target_rank"), r.getAs[Int]("bucket"),
+          r.getAs[Double]("bound_lo"), r.getAs[Double]("bound_hi")))).toMap
+    assert(served(50) == ((2L, 1, 1.0, 2.0)))
+    assert(served(90) == ((4L, 4, 8.0, 16.0)))
+    assert(served(99) == ((4L, 4, 8.0, 16.0)))
+    // sf: the served total counts exactly the non-negative-gap lines
+    val n = Quality.shippingLatencyPercentiles(spark, Sf).collect()
+      .head.getAs[Long]("n_total")
+    val expected = Tables.lineitem(spark, Sf)
+      .join(Tables.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) >= 0).count()
+    assert(n == expected)
+  }
+
   test("key skew census ranks planted hot keys with exact shares and ratios") {
     import spark.implicits._
     // key 1 → 60 rows, key 2 → 30, keys 3..12 → 1 each (total 100, 12 keys);

@@ -77,6 +77,10 @@ class PlanAuditSpec extends SparkSpec {
     // corpus_funnel crosses its ≤4-row zero-filled stage frame with
     // the ONE-ROW broadcast input total
     "corpus_funnel", "quality_threshold_curve",
+    // corpus_funnel_by_source's |sources|×4 stage grid and
+    // shipping_latency_percentiles' 16×|pcts| probe are the same
+    // intended tiny shapes
+    "corpus_funnel_by_source", "shipping_latency_percentiles",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")

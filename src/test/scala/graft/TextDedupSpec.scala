@@ -105,6 +105,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sf("4_survived") == TextAnalysis.cleanCorpus(spark, Sf).count())
   }
 
+  test("per-source funnel zero-fills the stage grid and ties back to the corpus-wide funnel") {
+    import spark.implicits._
+    val goodA = Seq.fill(15)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val goodB = Seq.fill(15)("the small red hen walks to the old barn now").mkString(" ")
+    val d = Seq(
+      (1L, "s0", "hi"),   // quality gate
+      (2L, "s0", goodA),  // survives
+      (3L, "s1", goodB),  // keeper
+      (4L, "s1", goodB))  // in-source exact dup
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.corpusFunnelBySourceFrom(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("stage")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("pct_of_source"),
+          r.getAs[Long]("source_input")))).toMap
+    assert(got.size == 8) // 2 sources × 4 stages, zero rows included
+    assert(got(("s0", "1_quality_gate")) == ((1L, 50.0, 2L)))
+    assert(got(("s0", "3_exact_dup")) == ((0L, 0.0, 2L)))
+    assert(got(("s0", "4_survived")) == ((1L, 50.0, 2L)))
+    assert(got(("s1", "3_exact_dup")) == ((1L, 50.0, 2L)))
+    assert(got(("s1", "4_survived")) == ((1L, 50.0, 2L)))
+    // sf: summing sources per stage reproduces the corpus-wide funnel
+    val bySource = TextAnalysis.corpusFunnelBySource(spark, Sf).collect()
+      .groupBy(_.getAs[String]("stage")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val whole = TextAnalysis.corpusFunnel(spark, Sf).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(bySource == whole)
+  }
+
   test("clean corpus composes quality+lang+dedup in one scan and one hash exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
