@@ -1319,11 +1319,44 @@ object Similarity {
       .select(col("vec_id").as("cand_id"), col("nemb").as("c_emb"))
     val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
     val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
-    val pool = candidates.join(broadcast(queries))
+    val poolRows = candidates.join(broadcast(queries))
       .select(col("query_id"), col("cand_id"), sim.as("similarity"), col("c_emb"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= poolSize)
-      .groupBy("query_id") // reuses the window's hash partitioning
+    mmrRerank(poolRows, k, lambda)
+  }
+
+  /** MMR over the PERSISTED-index pool — the production composition:
+    * the shortlist comes from the IVF-PQ probe (cells bound the
+    * candidates, PQ bounds the bytes) instead of the brute baseline,
+    * so the diverse re-rank serves at index cost; pool recall then
+    * bounds MMR recall (tuned with nProbe/refine as ever — the
+    * re-rank is downstream of whatever the probe returned). One
+    * cand-dimension join attaches normalized embeddings to the pool
+    * (the probe returns ids + exact refined similarity; the fold
+    * needs vectors for the in-pool penalty). */
+  def mmrDiverseIndexed(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 5, poolSize: Int = 30, lambda: Double = 0.7,
+      nProbe: Int = 6, refine: Int = 96): DataFrame = {
+    val pool = ivfpqTopK(spark, dir, numQueries, k = poolSize,
+      nProbe = nProbe, refine = refine)
+    val e = withNormalized(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "embedding", "nemb")
+    mmrRerank(
+      pool.select(col("query_id"), col("cand_id"), col("similarity"))
+        .join(e.select(col("vec_id").as("cand_id"), col("nemb").as("c_emb")),
+          Seq("cand_id")),
+      k, lambda)
+  }
+
+  /** The greedy MMR fold over ANY (query_id, cand_id, similarity,
+    * c_emb) pool frame — shared by the brute and indexed variants so
+    * the selection rule cannot drift between them. */
+  private[graft] def mmrRerank(poolRows: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    val pool = poolRows
+      .groupBy("query_id") // reuses the pool stage's hash partitioning
       .agg(array_sort(collect_list(struct(
         (-col("similarity")).as("neg_sim"), col("cand_id"),
         col("similarity").as("sim"), col("c_emb").as("emb")))).as("pool"))

@@ -32,7 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     // ann_recall_curve / ann_mmr_diverse score the broadcast query
     // sample against the corpus by design (the eval/pool stage is the
     // brute baseline; swap in the IVF probe at corpus scale)
-    "ann_recall_curve", "ann_mmr_diverse",
+    "ann_recall_curve", "ann_mmr_diverse", "ann_mmr_diverse_indexed",
     "q22_untapped_segments",
     "q11_important_parts", "dq_anomaly",
     // dq_value_drift's dense day×16-bucket zero-fill is the same
@@ -94,7 +94,8 @@ class PlanAuditSpec extends SparkSpec {
   private val AuditedViaSubplans =
     Set("dedup_near_corpus", "ann_ivf_kmeans", "embedding_pca",
       "embedding_pca_whitened", "semdedup",
-      "ann_pq_topk", "ann_ivfpq_topk", "product_freq_cms", "dedup_substring",
+      "ann_pq_topk", "ann_ivfpq_topk", "ann_mmr_diverse_indexed",
+      "product_freq_cms", "dedup_substring",
       // component labels run propagation jobs at construction; the
       // expensive generation subtree is minhashLsh, audited directly
       // (dedup_cluster_sizes keeps its direct audit — its returned

@@ -1579,16 +1579,70 @@ class SimilaritySpec extends SparkSpec {
       0.3 * diverse.head.getAs[Double]("similarity"))
     // pure relevance: the duplicate is kept — plain top-k order (ties on id)
     assert(picks(1.0).map(_.getAs[Long]("cand_id")).toSeq == Seq(10L, 11L, 12L))
-    // sf invariants: per-query picks distinct, full k selected, scores
-    // non-increasing in pick order (supersets of selected only add penalty)
+    // sf invariants: per-query picks distinct, full k selected. (Score
+    // monotonicity in pick order is deliberately NOT asserted: an
+    // anti-correlated candidate carries a negative penalty and can
+    // legitimately outscore earlier picks — classic MMR has no clamp;
+    // the indexed-variant spec pins the exact greedy via driver replay.)
     val sf = Similarity.mmrDiverseTopK(spark, Sf).collect()
       .groupBy(_.getAs[Long]("query_id"))
     assert(sf.size == 10)
     sf.values.foreach { rs =>
       assert(rs.map(_.getAs[Long]("cand_id")).distinct.length == 5)
-      val scores = rs.sortBy(_.getAs[Int]("pick")).map(_.getAs[Double]("mmr_score"))
-      assert(scores.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
-        s"scores not non-increasing: ${scores.mkString(",")}")
+    }
+  }
+
+  test("indexed mmr re-ranks the ivfpq pool with the shared greedy rule") {
+    val pool = Similarity.ivfpqTopK(spark, Sf, numQueries = 10, k = 30,
+      nProbe = 6, refine = 96).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val got = Similarity.mmrDiverseIndexed(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(got.keySet == pool.keySet)
+    got.foreach { case (q, rs) =>
+      val poolIds = pool(q).map(_.getAs[Long]("cand_id")).toSet
+      val picks = rs.sortBy(_.getAs[Int]("pick"))
+      // picks come from the index pool only, no duplicates, full k
+      assert(picks.map(_.getAs[Long]("cand_id")).toSet.subsetOf(poolIds))
+      assert(picks.map(_.getAs[Long]("cand_id")).distinct.length == picks.length)
+      assert(picks.length == math.min(5, poolIds.size))
+      // pick 1 is the pool's relevance top-1 (no penalty yet)
+      val top1 = pool(q).minBy(r =>
+        (-r.getAs[Double]("similarity"), r.getAs[Long]("cand_id")))
+      assert(picks.head.getAs[Long]("cand_id") == top1.getAs[Long]("cand_id"))
+    }
+    // exact driver replay of the greedy over the same pool (note:
+    // scores are NOT monotone in pick order — a candidate
+    // anti-correlated with everything picked carries a NEGATIVE
+    // penalty and can legitimately outscore pick 1; classic MMR has
+    // no clamp, so the only correct check is the full replay)
+    val emb = Tables.embeddings(spark, Sf).collect().map { r =>
+      val raw = r.getSeq[Float](r.fieldIndex("embedding"))
+      val nrm = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      r.getAs[Long]("vec_id") ->
+        (if (nrm > 0) raw.map(x => (x.toDouble / nrm).toFloat) else raw)
+    }.toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    got.foreach { case (q, rs) =>
+      var sel = Vector.empty[(Long, Double)] // (cand, score)
+      var remaining = pool(q)
+        .map(r => (r.getAs[Long]("cand_id"), r.getAs[Double]("similarity"))).toVector
+      for (_ <- 1 to math.min(5, remaining.size)) {
+        val scored = remaining.filterNot(c => sel.exists(_._1 == c._1)).map { case (c, s) =>
+          val pen = if (sel.isEmpty) 0.0
+            else sel.map(p => dot(emb(c), emb(p._1))).max
+          (c, 0.7 * s - 0.3 * pen)
+        }
+        val best = scored.maxBy { case (c, sc) => (sc, -c) }
+        sel = sel :+ best
+      }
+      val picks = rs.sortBy(_.getAs[Int]("pick"))
+        .map(r => (r.getAs[Long]("cand_id"), r.getAs[Double]("mmr_score")))
+      sel.zip(picks).foreach { case ((ec, es), (gc, gs)) =>
+        assert(ec == gc, s"q=$q: replay picked $ec, engine $gc")
+        assert(math.abs(es - gs) < 1e-9, s"q=$q cand $gc: $es vs $gs")
+      }
     }
   }
 
