@@ -101,6 +101,25 @@ object CorpusPipeline {
     * exists. The keeper window is the stage's only shuffle, sized to
     * its input (the full corpus in `run`, just the batch in
     * `runIncremental`). */
+  /** One-call corpus daily report — the scheduled composition the
+    * reference's llm_daily_report.py cron runs (render only; the
+    * HTTP/LLM transport stays out of scope): funnel + source mix over
+    * the corpus dir, token-budget fill from the streaming log when
+    * one exists. Returns (text, blockKitPayload) from ONE pass over
+    * each query frame; an absent/empty token log degrades to the
+    * renderer's "no data" rather than failing the report job. */
+  def dailyReport(spark: SparkSession, dir: String, executionDate: String,
+      tokenLogDir: Option[String] = None): (String, String) = {
+    val funnel = operators.TextAnalysis.corpusFunnel(spark, dir).collect().toSeq
+    val mix = operators.TextAnalysis.sourceMix(spark, dir).collect().toSeq
+    val budget = tokenLogDir
+      .filter(d => new java.io.File(d).exists())
+      .map(d => streaming.DocStream.tokenBudgetFromLog(spark, d).collect().toSeq)
+      .getOrElse(Nil)
+    (Reporting.corpusReport(executionDate, funnel, mix, budget),
+      Reporting.corpusReportPayload(executionDate, funnel, mix, budget))
+  }
+
   private def cleanedStage(docs: DataFrame, minQuality: Double,
                            langs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1060,6 +1060,26 @@ class ReportingSpec extends SparkSpec {
     assert(p.contains("1,234,567") && p.contains("8,901") && p.contains("7/7 PASS"))
   }
 
+  test("one-call corpus daily report composes funnel, mix, and optional token log") {
+    // no token log → budget degrades to "no data", report still ships
+    val (text, payload) = CorpusPipeline.dailyReport(spark, Sf, "2024-01-15")
+    assert(text.contains("Corpus report (2024-01-15)"))
+    assert(text.contains("[token budget fill]\nno data"))
+    assertValidJson(payload)
+    // with a real token log the budget section lists its sources
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val log = java.nio.file.Files.createTempDirectory("graft_rep_tlog").toString
+    Seq(("s0", 3L, 40L, 55L), ("s1", 1L, 9L, 12L))
+      .toDF("source", "n_docs", "word_count", "bpe_tokens")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").parquet(log)
+    val (text2, payload2) = CorpusPipeline.dailyReport(spark, Sf, "2024-01-16", Some(log))
+    assert(text2.contains("- s0: 55 bpe tokens ingested (3 docs / 40 words)"))
+    assert(text2.contains("- s1: 12 bpe tokens ingested"))
+    assertValidJson(payload2)
+  }
+
   test("corpus report renders the funnel/mix/budget frames; payload is valid Block Kit") {
     // render straight from the REAL query frames at sf — the report
     // must consume exactly what the queries emit, no reshaping
