@@ -376,6 +376,32 @@ object Pipeline {
         absent.map { case (m, _) => s"$m (not built)" } ++ jdbcAbsent)
   }
 
+  /** Erase users from the user-keyed STREAMING artifacts — the gate
+    * verdict log and the routed clean/review event dirs — which live
+    * at caller-chosen paths OUTSIDE the mart tree, so [[erase]]
+    * cannot see them (the one erasure surface the mart pass misses:
+    * every other streaming log is aggregate-grain by construction —
+    * window×bucket / window×product counts carry no user key).
+    * Each is (date, batch_id)-partitioned; the same census →
+    * rewrite-partial / drop-emptied core applies
+    * (`MartSink.eraseKeysPartitioned`). Absent dirs are reported
+    * skipped, the manifest discipline of the mart pass. */
+  def eraseStreamLogs(spark: SparkSession,
+      logs: Seq[(String, Seq[String])], userIds: Seq[Long])
+    : (Map[String, MartSink.EraseStats], Seq[String]) = {
+    val (present, absent) = logs.partition { case (d, _) =>
+      new java.io.File(d).exists() }
+    (present.map { case (d, pcs) =>
+      d -> MartSink.eraseKeysPartitioned(spark, d, "user_id", userIds, pcs)
+    }.toMap,
+      absent.map { case (d, _) => s"$d (absent)" })
+  }
+
+  /** The standard partition layouts of the user-keyed streaming
+    * artifacts, for [[eraseStreamLogs]] callers. */
+  val GateLogPartitions: Seq[String] = Seq("session_date", "batch_id")
+  val RoutedEventPartitions: Seq[String] = Seq("event_date", "batch_id")
+
   /** Cron entry: `runMain graft.Pipeline <dataDir> <martDir>
     * [date[,date...]] [--quarantine] [--mart-jdbc=<url>]` — one
     * invocation per execution date maps 1:1 onto a scheduler run.

@@ -529,12 +529,24 @@ object MartSink {
     * partitions are deleted directly. Erasing already-erased keys is
     * a no-op (stats report zero). */
   def eraseKeys(spark: org.apache.spark.sql.SparkSession, path: String,
-      keyCol: String, keys: Seq[Long], partitionCol: String): EraseStats = {
+      keyCol: String, keys: Seq[Long], partitionCol: String): EraseStats =
+    eraseKeysPartitioned(spark, path, keyCol, keys, Seq(partitionCol))
+
+  /** The erasure core over an N-level partition layout (the streaming
+    * logs are (date, batch_id)-partitioned; the marts single-level):
+    * one census scan finds the affected partition COMBOS, partial
+    * combos rewrite their keep-rows under dynamic overwrite, fully
+    * emptied combos drop their directory (overwrite can't write zero
+    * rows), and the stats name every touched combo for the manifest. */
+  def eraseKeysPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String, keys: Seq[Long],
+      partitionCols: Seq[String]): EraseStats = {
+    require(partitionCols.nonEmpty, "at least one partition column")
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(path)
-    // one scan: per-partition (hit rows, total rows) for affected parts
+    // one scan: per-combo (hit rows, total rows) for affected combos
     val census = df
-      .groupBy(col(partitionCol).as("pv"))
+      .groupBy(partitionCols.map(col): _*)
       .agg(count(when(col(keyCol).isin(keys: _*), 1)).as("hits"),
         count(lit(1)).as("total"))
       .filter(col("hits") > 0)
@@ -543,25 +555,25 @@ object MartSink {
     val rowsErased = census.map(_.getAs[Long]("hits")).sum
     val (emptied, partial) = census.partition(r =>
       r.getAs[Long]("hits") == r.getAs[Long]("total"))
-    val partialVals = partial.map(_.getAs[Any]("pv"))
-    if (partialVals.nonEmpty) {
+    def comboFilter(r: org.apache.spark.sql.Row) =
+      partitionCols.map(c => col(c) === lit(r.getAs[Any](c))).reduce(_ && _)
+    def comboLabel(r: org.apache.spark.sql.Row) =
+      partitionCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/")
+    if (partial.nonEmpty) {
       val keep = df
-        .filter(col(partitionCol).isin(partialVals: _*) &&
+        .filter(partial.map(comboFilter).reduce(_ || _) &&
           !col(keyCol).isin(keys: _*))
-      writePartitioned(keep, path, Seq(partitionCol))
+      writePartitioned(keep, path, partitionCols)
     }
-    // fully-emptied partitions: dynamic overwrite can't touch them
-    // (no rows to write) — drop the partition directory itself
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val deleted = emptied.map { r =>
-      val dir = s"$path/$partitionCol=${r.getAs[Any]("pv")}"
+      val dir = s"$path/${comboLabel(r)}"
       fs.delete(new Path(dir), true)
       dir
     }
     spark.catalog.refreshByPath(path)
-    EraseStats(rowsErased, partialVals.map(v => s"$partitionCol=$v").toSeq,
-      deleted.toSeq)
+    EraseStats(rowsErased, partial.map(comboLabel).toSeq, deleted.toSeq)
   }
 
   /** The warehouse leg of erasure: DELETE the keys from a JDBC mart

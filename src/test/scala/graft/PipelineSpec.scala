@@ -1060,6 +1060,42 @@ class ReportingSpec extends SparkSpec {
     assert(p.contains("1,234,567") && p.contains("8,901") && p.contains("7/7 PASS"))
   }
 
+  test("stream-log erasure removes a user across date/batch partitions, drops emptied ones, replays as no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gate = java.nio.file.Files.createTempDirectory("graft_er_gate").toString
+    val routed = java.nio.file.Files.createTempDirectory("graft_er_route").toString
+    // gate verdict log shape: the d2/b1 combo holds ONLY user 1 — its
+    // directory must be dropped, not rewritten empty
+    sources.MartSink.writePartitioned(
+      Seq((1L, 100L, false, "2024-01-01", 0L), (2L, 200L, true, "2024-01-01", 0L),
+        (1L, 300L, false, "2024-01-02", 1L))
+        .toDF("user_id", "session_start_epoch", "quarantined", "session_date", "batch_id")
+        .withColumn("session_date", col("session_date").cast("date")),
+      gate, Seq("session_date", "batch_id"))
+    sources.MartSink.writePartitioned(
+      Seq((1L, 10L, "view", "2024-01-01", 0L), (3L, 11L, "click", "2024-01-01", 0L))
+        .toDF("user_id", "event_id", "event_type", "event_date", "batch_id")
+        .withColumn("event_date", col("event_date").cast("date")),
+      routed, Seq("event_date", "batch_id"))
+    val logs = Seq(gate -> Pipeline.GateLogPartitions,
+      routed -> Pipeline.RoutedEventPartitions,
+      "/tmp/graft_no_such_log" -> Pipeline.GateLogPartitions)
+    val (stats, skipped) = Pipeline.eraseStreamLogs(spark, logs, Seq(1L))
+    assert(stats(gate).rowsErased == 2L)
+    assert(stats(gate).partitionsDeleted.exists(_.contains("session_date=2024-01-02")))
+    assert(stats(routed).rowsErased == 1L)
+    assert(skipped == Seq("/tmp/graft_no_such_log (absent)"))
+    // survivors intact, erased user gone from BOTH artifacts
+    assert(spark.read.parquet(gate).select("user_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.read.parquet(routed).select("user_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // replay: erasing the already-erased user is a zero-row no-op
+    val (again, _) = Pipeline.eraseStreamLogs(spark, logs, Seq(1L))
+    assert(again.values.forall(_.rowsErased == 0L))
+  }
+
   test("one-call corpus daily report composes funnel, mix, and optional token log") {
     // no token log → budget degrades to "no data", report still ships
     val (text, payload) = CorpusPipeline.dailyReport(spark, Sf, "2024-01-15")
