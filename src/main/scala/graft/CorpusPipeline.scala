@@ -112,9 +112,13 @@ object CorpusPipeline {
       tokenLogDir: Option[String] = None): (String, String) = {
     val funnel = operators.TextAnalysis.corpusFunnel(spark, dir).collect().toSeq
     val mix = operators.TextAnalysis.sourceMix(spark, dir).collect().toSeq
+    // tokenLogSink creates the dir lazily on the first non-empty
+    // batch, so an existing-but-still-empty dir must read as "no
+    // data", not fail schema inference and kill the report job
     val budget = tokenLogDir
       .filter(d => new java.io.File(d).exists())
-      .map(d => streaming.DocStream.tokenBudgetFromLog(spark, d).collect().toSeq)
+      .flatMap(d => scala.util.Try(
+        streaming.DocStream.tokenBudgetFromLog(spark, d).collect().toSeq).toOption)
       .getOrElse(Nil)
     (Reporting.corpusReport(executionDate, funnel, mix, budget),
       Reporting.corpusReportPayload(executionDate, funnel, mix, budget))

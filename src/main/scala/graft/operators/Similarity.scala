@@ -1343,9 +1343,14 @@ object Similarity {
     val e = withNormalized(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
       "embedding", "nemb")
+    // BROADCAST the ~numQueries×poolSize pool against the corpus-sized
+    // embeddings side — the pool's size ESTIMATE derives from the
+    // corpus leaf, so without the hint static planning shuffles the
+    // whole embeddings table to attach a few hundred vectors
     mmrRerank(
-      pool.select(col("query_id"), col("cand_id"), col("similarity"))
-        .join(e.select(col("vec_id").as("cand_id"), col("nemb").as("c_emb")),
+      e.select(col("vec_id").as("cand_id"), col("nemb").as("c_emb"))
+        .join(broadcast(
+          pool.select(col("query_id"), col("cand_id"), col("similarity"))),
           Seq("cand_id")),
       k, lambda)
   }
@@ -1356,7 +1361,11 @@ object Similarity {
   private[graft] def mmrRerank(poolRows: DataFrame, k: Int,
       lambda: Double): DataFrame = {
     val pool = poolRows
-      .groupBy("query_id") // reuses the pool stage's hash partitioning
+      // on the brute path this groupBy reuses the top-k window's
+      // query_id partitioning (no extra exchange); the indexed path's
+      // cand_id join breaks that, but its pool is broadcast-tiny so
+      // the one query_id exchange moves ~numQueries×poolSize rows
+      .groupBy("query_id")
       .agg(array_sort(collect_list(struct(
         (-col("similarity")).as("neg_sim"), col("cand_id"),
         col("similarity").as("sim"), col("c_emb").as("emb")))).as("pool"))

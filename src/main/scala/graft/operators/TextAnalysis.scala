@@ -531,8 +531,7 @@ object TextAnalysis {
     val counts = classified.groupBy("stage").agg(count(lit(1)).as("n_docs"))
     val spark2 = counts.sparkSession
     import spark2.implicits._
-    val stages = Seq("1_quality_gate", "2_language_gate", "3_exact_dup",
-      "4_survived").toDF("stage")
+    val stages = FunnelStages.toDF("stage")
     val total = counts.agg(sum(col("n_docs")).as("n_input"))
     val wCum = Window.orderBy("stage")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -575,12 +574,18 @@ object TextAnalysis {
     import spark2.implicits._
     val perSource = counts.groupBy("source").agg(sum(col("n_docs")).as("source_input"))
     val grid = perSource.crossJoin(broadcast(FunnelStages.toDF("stage")))
-    grid.join(counts, Seq("source", "stage"), "left")
-      .select(col("source"), col("stage"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-        (coalesce(col("n_docs"), lit(0L)).cast("double")
-          / col("source_input").cast("double") * 100).as("pct_of_source"),
-        col("source_input"))
+    // null-SAFE source join: a NULL-source doc forms a real group in
+    // both rollups, and an equi-join would zero its stage rows while
+    // its source_input stayed positive — silently breaking the
+    // sums-to-the-corpus-wide-funnel invariant
+    grid.as("g").join(counts.as("c"),
+        col("g.source") <=> col("c.source") && col("g.stage") === col("c.stage"),
+        "left")
+      .select(col("g.source").as("source"), col("g.stage").as("stage"),
+        coalesce(col("c.n_docs"), lit(0L)).as("n_docs"),
+        (coalesce(col("c.n_docs"), lit(0L)).cast("double")
+          / col("g.source_input").cast("double") * 100).as("pct_of_source"),
+        col("g.source_input").as("source_input"))
       .orderBy("source", "stage")
   }
 
@@ -615,7 +620,8 @@ object TextAnalysis {
        |    AS pct_of_source,
        |  p.source_input
        |FROM per_source p CROSS JOIN stages s
-       |LEFT JOIN counts c ON c.source = p.source AND c.stage = s.stage
+       |LEFT JOIN counts c
+       |  ON c.source IS NOT DISTINCT FROM p.source AND c.stage = s.stage
        |ORDER BY p.source, s.stage""".stripMargin
   }
 

@@ -555,14 +555,19 @@ object MartSink {
     val rowsErased = census.map(_.getAs[Long]("hits")).sum
     val (emptied, partial) = census.partition(r =>
       r.getAs[Long]("hits") == r.getAs[Long]("total"))
-    def comboFilter(r: org.apache.spark.sql.Row) =
-      partitionCols.map(c => col(c) === lit(r.getAs[Any](c))).reduce(_ && _)
     def comboLabel(r: org.apache.spark.sql.Row) =
       partitionCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/")
     if (partial.nonEmpty) {
+      // combo membership as ONE flat In over a concatenated key (a
+      // per-combo OR chain would nest ~|combos| deep and blow up
+      // Catalyst on a long-lived user's thousand hit partitions —
+      // the single-level isin this generalizes was already flat)
+      val sep = "\u0001"
+      val comboKey = concat_ws(sep, partitionCols.map(col(_).cast("string")): _*)
+      val partialKeys = partial.map(r =>
+        partitionCols.map(c => String.valueOf(r.getAs[Any](c))).mkString(sep))
       val keep = df
-        .filter(partial.map(comboFilter).reduce(_ || _) &&
-          !col(keyCol).isin(keys: _*))
+        .filter(comboKey.isin(partialKeys: _*) && !col(keyCol).isin(keys: _*))
       writePartitioned(keep, path, partitionCols)
     }
     import org.apache.hadoop.fs.Path
@@ -571,6 +576,19 @@ object MartSink {
       val dir = s"$path/${comboLabel(r)}"
       fs.delete(new Path(dir), true)
       dir
+    }
+    // prune now-empty ANCESTOR partition dirs (deleting only the leaf
+    // combo would strand empty date dirs once every batch under a
+    // date is gone — residue the single-level path never left)
+    var parents = deleted.map(d => new Path(d).getParent).distinct
+    var level = partitionCols.size - 1
+    while (level > 0) {
+      parents = parents.flatMap { p =>
+        if (fs.exists(p) && fs.listStatus(p).isEmpty) {
+          fs.delete(p, false); Some(p.getParent)
+        } else None
+      }.distinct
+      level -= 1
     }
     spark.catalog.refreshByPath(path)
     EraseStats(rowsErased, partial.map(comboLabel).toSeq, deleted.toSeq)

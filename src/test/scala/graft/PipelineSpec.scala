@@ -1084,6 +1084,8 @@ class ReportingSpec extends SparkSpec {
     val (stats, skipped) = Pipeline.eraseStreamLogs(spark, logs, Seq(1L))
     assert(stats(gate).rowsErased == 2L)
     assert(stats(gate).partitionsDeleted.exists(_.contains("session_date=2024-01-02")))
+    // the emptied date's PARENT dir is pruned too, not left as residue
+    assert(!new java.io.File(s"$gate/session_date=2024-01-02").exists())
     assert(stats(routed).rowsErased == 1L)
     assert(skipped == Seq("/tmp/graft_no_such_log (absent)"))
     // survivors intact, erased user gone from BOTH artifacts
