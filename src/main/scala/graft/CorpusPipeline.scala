@@ -113,12 +113,20 @@ object CorpusPipeline {
     val funnel = operators.TextAnalysis.corpusFunnel(spark, dir).collect().toSeq
     val mix = operators.TextAnalysis.sourceMix(spark, dir).collect().toSeq
     // tokenLogSink creates the dir lazily on the first non-empty
-    // batch, so an existing-but-still-empty dir must read as "no
-    // data", not fail schema inference and kill the report job
+    // batch, so an absent or still-empty dir must read as "no data".
+    // Probe for parquet files FIRST rather than Try-swallowing every
+    // read failure: a corrupted or permission-broken log must surface
+    // as a failed report job, not silently render as "no data"
+    def hasParquet(d: String): Boolean = {
+      val root = new java.io.File(d)
+      def walk(f: java.io.File): Boolean =
+        if (f.isDirectory) Option(f.listFiles()).exists(_.exists(walk))
+        else f.getName.endsWith(".parquet")
+      root.exists() && walk(root)
+    }
     val budget = tokenLogDir
-      .filter(d => new java.io.File(d).exists())
-      .flatMap(d => scala.util.Try(
-        streaming.DocStream.tokenBudgetFromLog(spark, d).collect().toSeq).toOption)
+      .filter(hasParquet)
+      .map(d => streaming.DocStream.tokenBudgetFromLog(spark, d).collect().toSeq)
       .getOrElse(Nil)
     (Reporting.corpusReport(executionDate, funnel, mix, budget),
       Reporting.corpusReportPayload(executionDate, funnel, mix, budget))

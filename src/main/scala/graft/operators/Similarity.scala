@@ -1269,8 +1269,13 @@ object Similarity {
       .select(col("query_id"), col("probe_rank"),
         explode(sequence(lit(1), lit(nlist))).as("n_probe"))
       .groupBy("query_id", "n_probe")
+      // divide by the per-query TRUTH-SET size, not the literal k: a
+      // corpus smaller than numQueries+k yields <k ground-truth rows
+      // and a /k recall could never reach the documented 1.0 at full
+      // probe (count is constant across n_probe — one row per truth
+      // member per probe depth)
       .agg((sum(when(col("probe_rank") <= col("n_probe"), 1).otherwise(0))
-        .cast("double") / lit(k.toDouble)).as("recall"))
+        .cast("double") / count(lit(1)).cast("double")).as("recall"))
     perQuery.groupBy("n_probe")
       .agg((sum(col("recall")) / count(lit(1)).cast("double")).as("mean_recall"),
         min(col("recall")).as("min_recall"),

@@ -514,9 +514,15 @@ object TextAnalysis {
       .select(col("doc_id"), src.as("source"), col("text"),
         qualityScoreCol.as("q"), predictedLangCol.as("pl"))
       .withColumn("keeper", min(col("doc_id")).over(w))
+      // null-robust gates: a NULL text scores NULL, every `when`
+      // condition evaluates NULL and the doc would fall through to
+      // '4_survived' while cleanCorpus's conjunctive filter DROPS it —
+      // breaking the pinned survived == cleanCorpus-count invariant.
+      // A NULL score/lang fails its gate, exactly as the filter treats it.
       .select(col("source"),
-        when(col("q") < minQuality, "1_quality_gate")
-          .when(!col("pl").isin(langs.map(lit(_)): _*), "2_language_gate")
+        when(col("q").isNull || col("q") < minQuality, "1_quality_gate")
+          .when(col("pl").isNull ||
+            !col("pl").isin(langs.map(lit(_)): _*), "2_language_gate")
           .when(col("doc_id") =!= col("keeper"), "3_exact_dup")
           .otherwise("4_survived").as("stage"))
   }
@@ -602,8 +608,8 @@ object TextAnalysis {
        |  FROM documents
        |), classified AS (
        |  SELECT source,
-       |    CASE WHEN quality_score < 0.5 THEN '1_quality_gate'
-       |         WHEN predicted_lang NOT IN ('en', 'es', 'de', 'fr') THEN '2_language_gate'
+       |    CASE WHEN quality_score IS NULL OR quality_score < 0.5 THEN '1_quality_gate'
+       |         WHEN predicted_lang IS NULL OR predicted_lang NOT IN ('en', 'es', 'de', 'fr') THEN '2_language_gate'
        |         WHEN doc_id <> keeper THEN '3_exact_dup'
        |         ELSE '4_survived' END AS stage
        |  FROM scored
@@ -637,8 +643,8 @@ object TextAnalysis {
        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
        |  FROM documents
        |), classified AS (
-       |  SELECT CASE WHEN quality_score < 0.5 THEN '1_quality_gate'
-       |              WHEN predicted_lang NOT IN ('en', 'es', 'de', 'fr') THEN '2_language_gate'
+       |  SELECT CASE WHEN quality_score IS NULL OR quality_score < 0.5 THEN '1_quality_gate'
+       |              WHEN predicted_lang IS NULL OR predicted_lang NOT IN ('en', 'es', 'de', 'fr') THEN '2_language_gate'
        |              WHEN doc_id <> keeper THEN '3_exact_dup'
        |              ELSE '4_survived' END AS stage
        |  FROM scored

@@ -590,10 +590,13 @@ object UserAnalytics {
       |  SELECT CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) AS ctrl_rate
       |  FROM a WHERE arm = 'control'
       |)
+      |-- LEFT JOIN, not a cross join: with no control arm (skewed/small
+      |-- populations) arm rows must survive with NULL lift, matching the
+      |-- Scala path's windowed MAX over the arm frame
       |SELECT arm, n_users, n_viewers, n_purchasers,
       |  CAST(n_viewers AS DOUBLE) / CAST(n_users AS DOUBLE) AS view_rate,
       |  CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
       |  (CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) - c.ctrl_rate)
       |    / c.ctrl_rate AS lift_vs_control
-      |FROM a, c ORDER BY arm""".stripMargin
+      |FROM a LEFT JOIN c ON TRUE ORDER BY arm""".stripMargin
 }

@@ -415,25 +415,46 @@ object MartSink {
     * partitioned JDBC read of the merge target. Boundaries are
     * sampled from the REBUILD frame (`df` shares the target's key
     * domain), so this works for any orderable key type — string,
-    * date, numeric — without a dialect hash function: one tiny
-    * distinct+ntile job picks `parts` equi-depth cut points, and the
-    * first/last predicates are open-ended so target keys outside the
-    * sampled range (vanished keys) are still read. Literals render
-    * through the dialect's own `compileValue`. Empty when there are
-    * too few distinct keys to be worth ranging. */
+    * date, numeric — without a dialect hash function. The boundary
+    * job is fixed-state: a deterministic hash-ordered TakeOrdered
+    * sample of the distinct keys (per-partition top-N + driver
+    * merge — NO single-partition global sort, the RangePartitioner
+    * shape), sorted on the driver to pick equi-spaced cut points.
+    * Cut exactness is irrelevant: the predicates only need to be
+    * disjoint and complete, which driver-side dedup plus the
+    * open-ended first/last arms (and the NULL arm) already
+    * guarantee — target keys outside the sampled range (vanished
+    * keys) are still read. Literals render through the dialect's own
+    * `compileValue`. Empty when there are too few distinct keys to
+    * be worth ranging. */
+  /** The boundary job's frame, exposed for the plan lint: a
+    * hash-ordered TakeOrderedAndProject over the distinct keys —
+    * per-partition top-N merged on the driver; ~64 sample keys per
+    * target range keeps equi-depth error well under what a
+    * partitioned read tolerates. Deterministic (xxhash64 order, no
+    * RNG seed), so repeated merges pick the same cuts. */
+  private[graft] def boundarySample(df: DataFrame, keyCol: String,
+                                    parts: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sampleN = math.max(parts * 64, 512)
+    df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+      .orderBy(xxhash64(col(keyCol).cast("string")))
+      .limit(sampleN)
+      .select(col(keyCol))
+  }
+
   private[graft] def rangePredicates(df: DataFrame, keyCol: String, url: String,
                                      parts: Int): Seq[String] = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     if (parts <= 1) return Nil
     val dialect = JdbcDialects.get(url)
     val k = dialect.quoteIdentifier(keyCol)
-    // the global-window sort is a mart-sized single-partition job on
-    // DISTINCT keys — the price of portability across key types
-    val bounds = df.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
-      .select(col(keyCol).as("__k"), ntile(parts).over(Window.orderBy(col(keyCol))).as("__t"))
-      .groupBy(col("__t")).agg(min(col("__k")).as("__lo"))
-      .orderBy(col("__t")).collect().iterator.drop(1).map(_.get(1)).toSeq
+    val sampled = boundarySample(df, keyCol, parts).collect().map(_.get(0))
+    if (sampled.length < parts) return Nil
+    val sorted = sampled.sortWith((a, b) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+    val step = sorted.length.toDouble / parts
+    val bounds = (1 until parts).map(i => sorted((i * step).toInt)).distinct
     if (bounds.isEmpty) Nil
     else {
       val lits = bounds.map(v => String.valueOf(dialect.compileValue(v)))
@@ -555,19 +576,34 @@ object MartSink {
     val rowsErased = census.map(_.getAs[Long]("hits")).sum
     val (emptied, partial) = census.partition(r =>
       r.getAs[Long]("hits") == r.getAs[Long]("total"))
+    // a NULL partition value lands in Spark's default-partition dir,
+    // not a literal "null" path segment
+    def dirName(v: Any) =
+      if (v == null) "__HIVE_DEFAULT_PARTITION__" else String.valueOf(v)
     def comboLabel(r: org.apache.spark.sql.Row) =
-      partitionCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/")
+      partitionCols.map(c => s"$c=${dirName(r.getAs[Any](c))}").mkString("/")
     if (partial.nonEmpty) {
       // combo membership as ONE flat In over a concatenated key (a
       // per-combo OR chain would nest ~|combos| deep and blow up
       // Catalyst on a long-lived user's thousand hit partitions —
-      // the single-level isin this generalizes was already flat)
+      // the single-level isin this generalizes was already flat).
+      // NULL partition values encode as a sentinel on BOTH sides:
+      // concat_ws silently SKIPS a NULL column, so a (NULL, b) combo
+      // would collide with single-segment keys and the real combo
+      // would never match — i.e. stay unerased.
       val sep = "\u0001"
-      val comboKey = concat_ws(sep, partitionCols.map(col(_).cast("string")): _*)
+      val nullTag = "\u0002NULL\u0002"
+      val comboKey = concat_ws(sep,
+        partitionCols.map(c => coalesce(col(c).cast("string"), lit(nullTag))): _*)
       val partialKeys = partial.map(r =>
-        partitionCols.map(c => String.valueOf(r.getAs[Any](c))).mkString(sep))
-      val keep = df
-        .filter(comboKey.isin(partialKeys: _*) && !col(keyCol).isin(keys: _*))
+        partitionCols.map(c =>
+          Option(r.getAs[Any](c)).map(String.valueOf).getOrElse(nullTag))
+          .mkString(sep))
+      // keep-predicate must be null-safe: a NULL keyCol makes
+      // !isin(...) evaluate NULL and the row would silently vanish
+      // from the rewrite — erasure must never delete anonymous rows
+      val keep = df.filter(comboKey.isin(partialKeys: _*) &&
+        coalesce(!col(keyCol).isin(keys: _*), lit(true)))
       writePartitioned(keep, path, partitionCols)
     }
     import org.apache.hadoop.fs.Path

@@ -232,6 +232,18 @@ class SourcesSpec extends SparkSpec {
     // predicates sampled from the rebuild frame: disjoint + complete
     val preds = MartSink.rangePredicates(full, "user_id", url, 4)
     assert(preds.length == 4, s"want 4 ranged predicates, got $preds")
+    // the boundary job must be fixed-state: TakeOrdered sample, never
+    // a single-partition global sort (the ntile-window shape it
+    // replaced). Lint on a parquet-backed frame — a tiny local frame's
+    // known maxRows lets EliminateLimits drop the limit entirely,
+    // which hides the TakeOrdered collapse the real path gets
+    val boundaryPlan = MartSink.boundarySample(
+        Tables.events(spark, Sf), "user_id", 4)
+      .queryExecution.executedPlan.toString
+    assert(boundaryPlan.contains("TakeOrderedAndProject"),
+      s"boundary job must sample via TakeOrdered:\n$boundaryPlan")
+    assert(!boundaryPlan.contains("Window"),
+      s"boundary job must not run a global window sort:\n$boundaryPlan")
     val ranged = spark.read.jdbc(url, "mart_pr", preds.toArray, new java.util.Properties())
     assert(ranged.rdd.getNumPartitions == 4, "read-back must fan out, not funnel one connection")
     val single = spark.read.jdbc(url, "mart_pr", new java.util.Properties())
@@ -1096,6 +1108,34 @@ class ReportingSpec extends SparkSpec {
     // replay: erasing the already-erased user is a zero-row no-op
     val (again, _) = Pipeline.eraseStreamLogs(spark, logs, Seq(1L))
     assert(again.values.forall(_.rowsErased == 0L))
+  }
+
+  test("erasure is null-safe: anonymous rows survive rewrites, NULL partition combos erase") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_er_null").toString
+    val df = Seq(
+      (Option(1L), Option("2024-01-01"), 0L),  // erase target, partial combo
+      (None: Option[Long], Option("2024-01-01"), 0L), // anonymous row — must SURVIVE
+      (Option(2L), Option("2024-01-01"), 0L),  // survivor
+      (Option(1L), None: Option[String], 7L),  // erase target under a NULL date
+      (Option(3L), None: Option[String], 7L),  // NULL-date survivor
+      (Option(1L), None: Option[String], 9L))  // NULL date, combo fully emptied
+      .toDF("user_id", "d", "batch_id")
+      .withColumn("d", col("d").cast("date"))
+    sources.MartSink.writePartitioned(df, out, Seq("d", "batch_id"))
+    val stats = sources.MartSink.eraseKeysPartitioned(
+      spark, out, "user_id", Seq(1L), Seq("d", "batch_id"))
+    assert(stats.rowsErased == 3L, s"got $stats")
+    // the fully-emptied NULL-date combo drops its real on-disk dir
+    assert(stats.partitionsDeleted.map(_.split('/').takeRight(2).mkString("/")) ==
+      Seq("d=__HIVE_DEFAULT_PARTITION__/batch_id=9"), s"got $stats")
+    assert(!new java.io.File(s"$out/d=__HIVE_DEFAULT_PARTITION__/batch_id=9").exists())
+    val left = spark.read.parquet(out)
+      .select(col("user_id"), col("batch_id").cast("long")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet
+    // user 1 gone everywhere; the anonymous row and both survivors intact
+    assert(left == Set((-1L, 0L), (2L, 0L), (3L, 7L)), s"got $left")
   }
 
   test("one-call corpus daily report composes funnel, mix, and optional token log") {

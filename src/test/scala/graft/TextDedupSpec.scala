@@ -105,6 +105,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sf("4_survived") == TextAnalysis.cleanCorpus(spark, Sf).count())
   }
 
+  test("corpus funnel stays conserved on a nullable-text corpus (NULL fails its first gate)") {
+    import spark.implicits._
+    // a NULL text scores NULL quality and NULL lang; cleanCorpus's
+    // conjunctive filter drops it, so the funnel must classify it at
+    // the quality gate — never let it fall through to survived
+    val good = Seq.fill(15)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, good), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.corpusFunnelFrom(d).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(got("1_quality_gate") == 2L, s"NULL docs must fail the quality gate: $got")
+    // conservation: survived equals what the conjunctive clean filter
+    // keeps (NULL gates evaluate NULL there and the doc drops)
+    val cleaned = d
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScoreCol.as("q"), TextAnalysis.predictedLangCol.as("pl"))
+      .filter(col("q") >= 0.5 && col("pl").isin("en", "es", "de", "fr"))
+      .count()
+    assert(got("4_survived") == 1L && cleaned == 1L,
+      "survived must equal the conjunctive clean filter's count on nullable text")
+  }
+
   test("per-source funnel zero-fills the stage grid and ties back to the corpus-wide funnel") {
     import spark.implicits._
     val goodA = Seq.fill(15)("the quick brown fox jumps over the lazy dog").mkString(" ")
