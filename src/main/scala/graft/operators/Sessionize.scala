@@ -51,9 +51,151 @@ object Sessionize {
         sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Default bucket width for the hot-user-safe sessionize: one day.
+    * Any value works for correctness (boundary merges compare REAL
+    * epochs); wider buckets mean fewer merges, narrower buckets more
+    * spread for a pathological user. */
+  val BucketSeconds = 86400L
+
+  /** Hot-key-safe sessionization — identical (user_id, session_idx)
+    * assignment as `sessionized`, computed without ever funneling one
+    * user's full history through one task. The plain path's window
+    * partitions by user_id, so a bot/sentinel user with 10^8 events is
+    * a straggler task no salt can fix (salting a WINDOW would break
+    * the lag semantics; `Skew.saltedJoin` only treats joins). This is
+    * the segmented form:
+    *
+    *  1. bucket = floor(epoch / bucketSeconds); sessionize LOCALLY
+    *     within (user, bucket) — the hot user's years of traffic now
+    *     spread over #buckets tasks;
+    *  2. per (user, bucket) boundary frame (first/last epoch, local
+    *     session count) — KEY-dimension, ≤ active user-days rows; a
+    *     lag over it decides which bucket-initial sessions MERGE into
+    *     the previous bucket's last session (real epoch gap ≤
+    *     GapSeconds — empty buckets in between imply a gap > bucket >
+    *     gap threshold, so ordering by present buckets is sound when
+    *     bucketSeconds > GapSeconds, which is required);
+    *  3. global idx = base(b) + local_idx − merge(b), where base is
+    *     the running sum of post-merge session counts of earlier
+    *     buckets — joined back on (user, bucket), co-partitioned with
+    *     step 1's exchange (subset rule: no new shuffle on the fact).
+    *
+    * Exactness: merge uses the same `> GapSeconds` strictness as
+    * `is_new`, ties break on (epoch, event_id) in both paths, and the
+    * numbering telescopes to the plain cumsum — pinned by the
+    * planted-bot equivalence spec. */
+  private[graft] def sessionizedBucketed(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame = {
+    require(bucketSeconds > GapSeconds,
+      s"bucketSeconds ($bucketSeconds) must exceed GapSeconds ($GapSeconds): " +
+        "an empty bucket between events must imply a session break")
+    val wLocal = Window.partitionBy("user_id", "bucket")
+      .orderBy("event_epoch", "event_id")
+    val local = e
+      .select(col("user_id"), col("event_id"), col("event_type"), col("event_epoch"),
+        floor(col("event_epoch") / bucketSeconds).as("bucket"))
+      .withColumn("prev_epoch", lag("event_epoch", 1).over(wLocal))
+      .withColumn("is_new",
+        when(col("prev_epoch").isNull ||
+          col("event_epoch") - col("prev_epoch") > GapSeconds, 1).otherwise(0))
+      .withColumn("local_idx",
+        sum("is_new").over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // boundary resolution on the tiny (user, bucket) frame
+    val wUser = Window.partitionBy("user_id").orderBy("bucket")
+    val resolved = local.groupBy("user_id", "bucket")
+      .agg(min("event_epoch").as("first_epoch"),
+        max("event_epoch").as("last_epoch"),
+        max("local_idx").as("n_local"))
+      .withColumn("prev_last", lag("last_epoch", 1).over(wUser))
+      .withColumn("merge",
+        when(col("prev_last").isNotNull &&
+          col("first_epoch") - col("prev_last") <= GapSeconds, 1L).otherwise(0L))
+      .withColumn("base_idx",
+        coalesce(sum(col("n_local") - col("merge"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("user_id", "bucket", "base_idx", "merge")
+    local.join(resolved, Seq("user_id", "bucket"))
+      .withColumn("session_idx", col("base_idx") + col("local_idx") - col("merge"))
+      .select("user_id", "event_id", "event_type", "event_epoch",
+        "bucket", "session_idx")
+  }
+
   /** One row per (user, session): ordered event sequence + stats. */
   def sessionSequences(spark: SparkSession, dir: String): DataFrame =
     sessionSequencesFrom(enriched(spark, dir))
+
+  /** `sessionSequences` on the hot-key-safe base — identical output
+    * (same oracle SQL), no per-user funnel anywhere in the plan:
+    *
+    *  - the per-session prefix rank runs within (user, bucket,
+    *    session) — satisfied by the (user, bucket) exchange, local
+    *    sort only;
+    *  - phase A aggregates per (user, session, bucket) — again the
+    *    subset rule, NO new exchange — into bounded partials: the
+    *    bucket-local first-`MaxSeqEvents` structs + algebraic stats;
+    *  - phase B merges partials per (user, session): flatten + sort +
+    *    slice reconstructs the global prefix exactly (an event in the
+    *    session's first 100 is in its bucket's first 100 — the top-k
+    *    merge property). The hot task's state is now
+    *    O(session_span_buckets × MaxSeqEvents) structs — a years-long
+    *    continuous bot session costs ~100 structs per DAY instead of
+    *    its raw event count.
+    *
+    * Registered as `session_sequences_bucketed` against the SAME
+    * DuckDB oracle as the plain path — the equivalence is
+    * hash-checked, not claimed. */
+  def sessionSequencesBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionSequencesBucketedFrom(enriched(spark, dir))
+
+  def sessionSequencesBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame = {
+    val s = sessionizedBucketed(e, bucketSeconds)
+    val wRank = Window.partitionBy("user_id", "bucket", "session_idx")
+      .orderBy("event_epoch", "event_id")
+    val partials = s
+      .withColumn("r", row_number().over(wRank))
+      .groupBy("user_id", "session_idx", "bucket")
+      .agg(
+        collect_list(when(col("r") <= MaxSeqEvents,
+          struct(col("event_epoch"), col("event_id"), col("event_type"))))
+          .as("prefix"),
+        count(lit(1)).as("n"),
+        min("event_epoch").as("first_epoch"),
+        max("event_epoch").as("last_epoch"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_p"))
+    partials
+      .groupBy("user_id", "session_idx")
+      .agg(
+        array_join(
+          transform(
+            slice(array_sort(flatten(collect_list(col("prefix")))),
+              1, MaxSeqEvents),
+            x => x.getField("event_type")),
+          " -> ").as("event_sequence"),
+        sum(col("n")).as("event_count"),
+        min(col("first_epoch")).as("session_start_epoch"),
+        max(col("last_epoch")).as("session_end_epoch"),
+        (max(col("last_epoch")) - min(col("first_epoch"))).as("duration_seconds"),
+        max(col("has_p")).as("has_purchase"),
+        greatest(sum(col("n")) - lit(MaxSeqEvents), lit(0L)).as("overflow_events"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** The measured opt-in closing the loop end-to-end: census user_id
+    * with `Skew.measure` (bounded — one map-combined count + a
+    * TakeOrdered(1)) and take the bucketed base only when the hot-key
+    * ratio crosses `armThreshold`. The default threshold is higher
+    * than a join's (16 vs 4): the bucketed path costs an extra
+    * key-dimension window + co-partitioned join, worth paying only
+    * for a real bot/sentinel, not mild behavioral imbalance. Returns
+    * the plan so callers log what armed. */
+  def sessionSequencesAuto(e: DataFrame, armThreshold: Double = 16.0,
+      bucketSeconds: Long = BucketSeconds): (DataFrame, Skew.SkewPlan) = {
+    val plan = Skew.measure(e, "user_id", armThreshold)
+    val out = if (plan.armed) sessionSequencesBucketedFrom(e, bucketSeconds)
+              else sessionSequencesFrom(e)
+    (out, plan)
+  }
 
   def sessionSequencesFrom(e: DataFrame): DataFrame = {
     val withGap = sessionized(e)

@@ -55,4 +55,56 @@ object Skew {
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
   }
+
+  /** The measured arming decision closing the dq_key_skew → salting
+    * loop: how many salts the hottest key of `keyCol` needs, derived
+    * from the SAME census `dq_key_skew` reports (top-1 hot-key-to-mean
+    * ratio — the planning table a human would read is now the input
+    * the mechanism reads).
+    *
+    * - `hotRatio < armThreshold` → numSalts = 1 (don't salt: the dim
+    *   replication cost isn't worth a mild imbalance AQE already
+    *   absorbs);
+    * - otherwise numSalts = ceil(hotRatio) clamped to `saltCeiling` —
+    *   exactly enough fan-out to bring the hot key's heaviest reducer
+    *   back to the mean key load.
+    *
+    * Cost: ONE key-grain count over `df` (map-side combined) + a
+    * TakeOrdered(1) — the bounded census, no full sort, no collect of
+    * the key dimension. Worth paying before a big shuffle; skip for
+    * small frames. */
+  final case class SkewPlan(numSalts: Int, hotRatio: Double,
+                            nKeys: Long, totalRows: Long) {
+    def armed: Boolean = numSalts > 1
+  }
+
+  def measure(df: DataFrame, keyCol: String, armThreshold: Double = 4.0,
+              saltCeiling: Int = 64): SkewPlan = {
+    require(armThreshold > 1.0, s"armThreshold must exceed 1, got $armThreshold")
+    Quality.keySkewFrom(df, keyCol, topK = 1).collect().headOption match {
+      case None => SkewPlan(1, 0.0, 0L, 0L)
+      case Some(r) =>
+        val ratio = r.getAs[Double]("ratio_to_avg")
+        val n = if (ratio < armThreshold) 1
+                else math.min(saltCeiling.toLong, math.ceil(ratio).toLong).toInt
+        SkewPlan(n, ratio, r.getAs[Long]("n_keys"), r.getAs[Long]("total_rows"))
+    }
+  }
+
+  /** `saltedJoin` with the salt factor MEASURED instead of guessed:
+    * census the fact side's first join key, salt only when the hot-key
+    * ratio crosses `armThreshold`, with the factor sized to the ratio.
+    * Returns the plan alongside the frame so callers can log/assert
+    * what armed. Output is identical to the plain join either way
+    * (the salt never reaches the output). */
+  def autoSalted(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 joinType: String = "inner", saltBy: Seq[String] = Nil,
+                 armThreshold: Double = 4.0, saltCeiling: Int = 64)
+      : (DataFrame, SkewPlan) = {
+    val plan = measure(fact, keys.head, armThreshold, saltCeiling)
+    val joined =
+      if (plan.armed) saltedJoin(fact, dim, keys, plan.numSalts, joinType, saltBy)
+      else fact.join(dim, keys, joinType)
+    (joined, plan)
+  }
 }

@@ -415,6 +415,31 @@ class SkewSpec extends SparkSpec {
       Skew.saltedJoin(skewedFact, dim, Seq("k"), numSalts = 1)
     }
   }
+
+  test("autoSalted derives the salt factor from the measured hot-key ratio") {
+    // skewedFact: hot key 1 → 2000 rows; keys 2..6 → 10 each.
+    // n_keys=6, total=2050, mean≈341.7 → hot ratio ≈ 5.85 → 6 salts
+    val plan = Skew.measure(skewedFact, "k")
+    assert(plan.armed && plan.numSalts == 6,
+      s"expected ceil(5.85)=6 salts, got $plan")
+    assert(math.abs(plan.hotRatio - 2000.0 * 6 / 2050.0) < 1e-9)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = skewedFact.join(dim, Seq("k"), "inner")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val (auto, p2) = Skew.autoSalted(skewedFact, dim, Seq("k"))
+      assert(p2.numSalts == 6)
+      assert(auto.collect().map(_.toSeq).sortBy(_.toString).toSeq == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a uniform fact must NOT arm — the dim-replication cost is real
+    val uniform = (0 until 600).map(i => (1L + i % 6, s"u$i")).toDF("k", "payload")
+    val (flat, p3) = Skew.autoSalted(uniform, dim, Seq("k"))
+    assert(!p3.armed && p3.numSalts == 1, s"uniform data armed: $p3")
+    assert(flat.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      uniform.join(dim, Seq("k"), "inner")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
 }
 
 class EventMartsSpec extends SparkSpec {
@@ -723,6 +748,82 @@ class SessionizeSpec extends SparkSpec {
     assert(seq.length <= Sessionize.MaxSeqEvents * 12, s"row not bounded: ${seq.length} chars")
     // the cap keeps the FIRST events in order: id 0 is 'view', id 1 'cart'
     assert(seq.startsWith("view -> cart -> purchase"))
+  }
+
+  test("bucketed sessionize equals the plain path on a planted bot + boundary torture set") {
+    import spark.implicits._
+    val B = Sessionize.BucketSeconds
+    // bot: one event per 600 s for 3000 events — ONE ~21-day session
+    // crossing ~20 bucket boundaries, every boundary a merge
+    val bot = (0 until 3000).map(i =>
+      ("bot", f"b$i%05d", if (i % 2 == 0) "view" else "purchase", 80000L + i * 600L))
+    // u_edge: gap of exactly GapSeconds across a bucket boundary → merge
+    val edge = Seq(("u_edge", "e1", "view", B - 1L),
+      ("u_edge", "e2", "purchase", B - 1L + Sessionize.GapSeconds))
+    // u_break: gap of GapSeconds+1 across the boundary → new session
+    val break_ = Seq(("u_break", "k1", "view", B - 1L),
+      ("u_break", "k2", "view", B + Sessionize.GapSeconds))
+    // u_skip: two whole empty buckets between events → new session
+    val skip = Seq(("u_skip", "s1", "view", 100L),
+      ("u_skip", "s2", "cart", 3 * B + 100L))
+    // u_tie: same epoch, order decided by event_id in both paths
+    val tie = Seq(("u_tie", "t1", "view", 500L), ("u_tie", "t2", "cart", 500L),
+      ("u_tie", "t3", "purchase", 500L + Sessionize.GapSeconds + 1))
+    // u_multi: several sessions inside one bucket
+    val multi = (0 until 6).map(i =>
+      ("u_multi", s"m$i", "view", 10000L + i * (Sessionize.GapSeconds + 10L)))
+    val e = (bot ++ edge ++ break_ ++ skip ++ tie ++ multi)
+      .toDF("user_id", "event_id", "event_type", "event_epoch")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val plain = canon(Sessionize.sessionSequencesFrom(e))
+    val bucketed = canon(Sessionize.sessionSequencesBucketedFrom(e))
+    assert(bucketed == plain, {
+      val p = plain.toSet; val b = bucketed.toSet
+      s"only-plain=${(p -- b).take(3)} only-bucketed=${(b -- p).take(3)}"
+    })
+    // sanity: the torture set exercised what it claims
+    val seqs = Sessionize.sessionSequencesFrom(e).collect()
+      .map(r => r.getAs[String]("user_id") -> r.getAs[Long]("event_count")).toList
+    assert(seqs.count(_._1 == "bot") == 1 && seqs.find(_._1 == "bot").get._2 == 3000L)
+    assert(seqs.count(_._1 == "u_edge") == 1)   // merged across the boundary
+    assert(seqs.count(_._1 == "u_break") == 2)  // split at the boundary
+    assert(seqs.count(_._1 == "u_skip") == 2)
+    assert(seqs.count(_._1 == "u_multi") == 6)
+    // the spread collapse the bucketing buys: the heaviest
+    // (user, bucket) window partition carries a small slice of the
+    // bot's history, where the plain path's (user) partition holds ALL
+    // of it — the straggler task shrinks by the session's bucket span
+    val hotPlain = e.groupBy("user_id").count()
+      .agg(max("count")).collect().head.getLong(0)
+    val hotBucketed = e.groupBy(col("user_id"), floor(col("event_epoch") / B))
+      .count().agg(max("count")).collect().head.getLong(0)
+    assert(hotPlain == 3000L)
+    assert(hotBucketed * 10 <= hotPlain,
+      s"expected ≥10× per-partition collapse: $hotBucketed vs $hotPlain")
+  }
+
+  test("bucketed sessionize matches the plain path on real sf0.001 events") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(Sessionize.sessionSequencesBucketed(spark, Sf)) ==
+      canon(Sessionize.sessionSequences(spark, Sf)))
+  }
+
+  test("sessionSequencesAuto arms on a measured hot user and stays plain on uniform data") {
+    import spark.implicits._
+    // 1 bot (2000 rows) + 20 two-row users → ratio = 2000·21/2040 ≈ 20.6 > 16
+    val hot = ((0 until 2000).map(i => ("bot", s"h$i", "view", 1000L + i * 10L)) ++
+      (0 until 40).map(i => (s"u${i % 20}", s"n$i", "view", 1000L + i * 5000L)))
+      .toDF("user_id", "event_id", "event_type", "event_epoch")
+    val (armedDf, armedPlan) = Sessionize.sessionSequencesAuto(hot)
+    assert(armedPlan.armed, s"hot user must arm the bucketed path: $armedPlan")
+    assert(armedDf.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      Sessionize.sessionSequencesFrom(hot).collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    val uniform = (0 until 80).map(i => (s"u${i % 8}", s"n$i", "view", 1000L + i * 5000L))
+      .toDF("user_id", "event_id", "event_type", "event_epoch")
+    val (_, flatPlan) = Sessionize.sessionSequencesAuto(uniform)
+    assert(!flatPlan.armed, s"uniform data must not arm: $flatPlan")
   }
 
   test("session transitions: planted counts exact, rates sum to 100 per origin, no cross-session pair") {
