@@ -10,8 +10,15 @@ import graft.Tables
   * The testdata has no media table, so the corpus is derived
   * deterministically from `documents` (utf-8 bytes as the payload) —
   * the Spark-side schema / partitioning / batch shape is the real
-  * deliverable; the actual image/audio decode is STUBBED (no codec
-  * libraries in this environment) behind `decodeFrameStub`.
+  * deliverable. Since r9 the IMAGE leg is real JVM code
+  * (`ImageCodec`): `javax.imageio` decodes PNG/JPEG/GIF payloads
+  * inside mapPartitions batches, true width/height/frames come from
+  * the decoder, and near-dup fingerprints are a DCT perceptual hash
+  * (pHash) over the decoded pixels. Payloads no decoder claims
+  * (e.g. the documents-derived utf-8 corpus) fall back to the
+  * deterministic byte-level path, so every operator stays total.
+  * Only exotic codecs (video containers, audio) remain out of scope
+  * — nothing here is a stub anymore.
   */
 object Multimodal {
 
@@ -106,11 +113,11 @@ object Multimodal {
         length(col("payload")).as("orig_bytes"))
       .orderBy("media_id")
 
-  /** STUB — a real implementation would decode the media container and
-    * emit sampled frames; this deterministic fake slices the payload at
-    * fixed strides so the distributed plumbing (schema, batching,
-    * partition-local iteration) is real and testable. */
-  private def decodeFrameStub(payload: Array[Byte], frameIdx: Int, stride: Int): Array[Byte] = {
+  /** Fallback for payloads no installed decoder claims: slice the
+    * bytes at fixed strides — deterministic, keeps the frame operators
+    * total over arbitrary binary columns (the documents-derived
+    * corpus exercises exactly this arm). */
+  private def sliceFrameFallback(payload: Array[Byte], frameIdx: Int, stride: Int): Array[Byte] = {
     val start = frameIdx * stride
     java.util.Arrays.copyOfRange(payload, start, math.min(start + stride, payload.length))
   }
@@ -123,23 +130,74 @@ object Multimodal {
 
   /** Frame sampling over binary payloads via mapPartitions — the
     * batch-at-a-time shape a Pandas-UDF/Arrow pipeline would use, kept
-    * partition-local (no shuffle; each task decodes its own split). */
-  def frameSample(spark: SparkSession, dir: String, stride: Int = 100, maxFrames: Int = 8): DataFrame = {
+    * partition-local (no shuffle; each task decodes its own split).
+    * Payloads an installed `javax.imageio` reader claims (PNG, JPEG,
+    * GIF — including multi-frame animated GIFs) decode for REAL:
+    * frames come from the container, re-encoded as lossless PNG
+    * bytes. Anything else takes the deterministic byte-slice fallback,
+    * so the operator is total over arbitrary binary columns. */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 100, maxFrames: Int = 8): DataFrame =
+    frameSampleFrom(mediaTable(spark, dir), stride, maxFrames)
+
+  def frameSampleFrom(media: DataFrame, stride: Int = 100, maxFrames: Int = 8): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
-    mediaTable(spark, dir)
+    media
       .select("media_id", "payload")
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val n = math.min((payload.length + stride - 1) / stride, maxFrames)
-          (0 until n).iterator.map { i =>
-            val f = decodeFrameStub(payload, i, stride)
-            Row(id, i, f, f.length)
+          ImageCodec.decodeFrames(payload, maxFrames) match {
+            case Some(frames) =>
+              frames.iterator.zipWithIndex.map { case (img, i) =>
+                val f = ImageCodec.encodePng(img)
+                Row(id, i, f, f.length)
+              }
+            case None =>
+              val n = math.min((payload.length + stride - 1) / stride, maxFrames)
+              (0 until n).iterator.map { i =>
+                val f = sliceFrameFallback(payload, i, stride)
+                Row(id, i, f, f.length)
+              }
           }
         }
       }(enc)
       .orderBy("media_id", "frame_idx")
+  }
+
+  private val imageMetaSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true)))
+
+  /** TRUE image metadata from a real decode (vs `mediaMetadata`'s
+    * byte-derived report): width/height/frame-count straight from the
+    * container via `javax.imageio`, NULL + decode_ok=false for
+    * payloads no reader claims. mapPartitions so decoder machinery
+    * amortizes per task; pure projection, no shuffle. */
+  def imageMetadata(spark: SparkSession, dir: String, maxFrames: Int = 64): DataFrame =
+    imageMetadataFrom(mediaTable(spark, dir), maxFrames)
+
+  def imageMetadataFrom(media: DataFrame, maxFrames: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(imageMetaSchema)
+    media
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          ImageCodec.decodeFrames(payload, maxFrames) match {
+            case Some(frames) if frames.nonEmpty =>
+              Row(id, payload.length, true,
+                frames.head.getWidth, frames.head.getHeight, frames.length)
+            case _ => Row(id, payload.length, false, null, null, null)
+          }
+        }
+      }(enc)
+      .orderBy("media_id")
   }
 
   /** Media near-dup pairs via a byte-shingle SimHash — the perceptual-
@@ -163,10 +221,20 @@ object Multimodal {
                        maxBucket: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(media.sparkSession)
     val grouped = trim(regexp_replace(hex(col("payload")), "(.{8})", "$1 "))
-    val banded = media
+    val fp = media
       .select(col("media_id"),
         call_function("simhash64",
           transform(split(grouped, " "), g => xxhash64(g))).as("phash"))
+    fingerprintPairs(fp, maxHamming, maxBucket)
+  }
+
+  /** The shared banded near-dup join over any 64-bit fingerprint
+    * frame (media_id, phash): 4×16-bit bands (≤3 differing bits
+    * guarantee a shared band; up to maxHamming still near-certain),
+    * bucket-bounded pair enumeration, Hamming cut. */
+  private def fingerprintPairs(fp: DataFrame, maxHamming: Int,
+                               maxBucket: Int): DataFrame = {
+    val banded = fp
       .select(col("media_id"), col("phash"),
         expr("explode(transform(sequence(0, 3), b -> struct(b as band_idx, shiftright(phash, b * 16) & 65535 as band_val)))").as("band"))
       .select(col("media_id"), col("phash"), col("band.band_idx"), col("band.band_val"))
@@ -181,5 +249,50 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("media_a", "media_b")
+  }
+
+  /** PERCEPTUAL near-dup pairs — the real-image form of
+    * `media_near_dup`: payloads a JVM image reader claims are decoded
+    * and fingerprinted with the DCT pHash (`ImageCodec.pHash64` —
+    * re-encodes, format conversions, and mild compression noise land
+    * within a few bits, which raw byte hashing can NEVER see: a
+    * PNG→JPEG twin shares almost no bytes); everything else keeps the
+    * byte-shingle SimHash, so the operator is total and the
+    * documents-derived corpus still exercises the full banding path.
+    *
+    * Scale shape: ONE scan — the byte fingerprint is computed by
+    * codegen'd expressions first, then a mapPartitions pass decodes
+    * and overrides it where a real image sits (decoder + DCT tables
+    * amortize per task); banding/bucketing identical to the text
+    * SimHash family, maxBucket skew guard included. */
+  def phashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 7,
+                   maxBucket: Int = 1024): DataFrame =
+    phashNearDupFrom(mediaTable(spark, dir), maxHamming, maxBucket)
+
+  def phashNearDupFrom(media: DataFrame, maxHamming: Int = 7,
+                       maxBucket: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(media.sparkSession)
+    val fpSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(fpSchema)
+    val grouped = trim(regexp_replace(hex(col("payload")), "(.{8})", "$1 "))
+    val fp = media
+      .select(col("media_id"), col("payload"),
+        call_function("simhash64",
+          transform(split(grouped, " "), g => xxhash64(g))).as("byte_hash"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          ImageCodec.decode(payload) match {
+            case Some(img) => Row(id, ImageCodec.pHash64(img), true)
+            case None => Row(id, r.getLong(2), false)
+          }
+        }
+      }(enc)
+      .select("media_id", "phash")
+    fingerprintPairs(fp, maxHamming, maxBucket)
   }
 }

@@ -2141,4 +2141,130 @@ class MultimodalSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  // ---- real image codec (planted via BufferedImage — no external assets)
+
+  private def gradientImg(w: Int, h: Int, shift: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255 / w + shift) % 256
+      val g = y * 255 / h
+      val b = (x + y) * 255 / (w + h)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def checkerImg(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (((x / 4) + (y / 4)) % 2 == 0) 0xffffff else 0x000000)
+    img
+  }
+
+  private def encoded(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    import javax.imageio.{ImageIO, IIOImage}
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new IIOImage(f, null, null), writer.getDefaultWriteParam))
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("image metadata reads TRUE dimensions and frame counts from real decodes") {
+    import spark.implicits._
+    val png = encoded(gradientImg(96, 64, 0), "png")
+    val gif = animatedGif(Seq(gradientImg(40, 30, 0), gradientImg(40, 30, 60),
+      gradientImg(40, 30, 120)))
+    val media = Seq((1L, png), (2L, gif), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = Multimodal.imageMetadataFrom(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Boolean]("decode_ok"),
+          Option(r.getAs[Integer]("width")).map(_.toInt),
+          Option(r.getAs[Integer]("height")).map(_.toInt),
+          Option(r.getAs[Integer]("n_frames")).map(_.toInt)))).toMap
+    assert(got(1L) == ((true, Some(96), Some(64), Some(1))))
+    assert(got(2L) == ((true, Some(40), Some(30), Some(3))))
+    assert(got(3L) == ((false, None, None, None)))
+  }
+
+  test("frame sampling decodes a planted multi-frame GIF into its real frames") {
+    import spark.implicits._
+    val f0 = gradientImg(32, 24, 0); val f1 = gradientImg(32, 24, 80)
+    val gif = animatedGif(Seq(f0, f1))
+    val media = Seq((7L, gif), (8L, "plain bytes only".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.frameSampleFrom(media, stride = 4, maxFrames = 8).collect()
+    val gifFrames = rows.filter(_.getAs[Long]("media_id") == 7L)
+    assert(gifFrames.length == 2, s"want the GIF's 2 real frames, got ${gifFrames.length}")
+    // each emitted frame is a decodable PNG with the source dimensions
+    // and the right pixels (spot-check a corner pixel per frame)
+    gifFrames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
+      assert(img.getWidth == 32 && img.getHeight == 24)
+    }
+    // non-image payload takes the byte-slice fallback: ceil(16/4)=4 frames
+    assert(rows.count(_.getAs[Long]("media_id") == 8L) == 4)
+  }
+
+  test("perceptual near-dup: byte twins AND a PNG->JPEG re-encode pair; unrelated image doesn't") {
+    import spark.implicits._
+    val img = gradientImg(96, 64, 0)
+    val png = encoded(img, "png")
+    val jpg = encoded(img, "jpg") // lossy twin — shares almost no BYTES with the png
+    val other = encoded(checkerImg(96, 64), "png")
+    val media = Seq((1L, png), (2L, jpg), (3L, other), (4L, png.clone()),
+      (5L, "some text payload, the fallback arm".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.phashNearDupFrom(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs.get((1L, 4L)).contains(0), s"byte twins must hash identically: $pairs")
+    assert(pairs.contains((1L, 2L)), s"PNG->JPEG twins must pair perceptually: $pairs")
+    assert(pairs.contains((2L, 4L)), s"jpg must pair with the twin copy too: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated checkerboard paired: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L),
+      s"fallback text payload paired with images: $pairs")
+    // the corpus (non-image) leg stays total and canonical
+    val corpus = Multimodal.phashNearDup(spark, Sf).collect()
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("media_a") < r.getAs[Long]("media_b"))
+      assert(r.getAs[Int]("hamming") <= 7)
+    }
+  }
+
+  test("pHash is deterministic and resample/DCT behave on hand-built images") {
+    val img = gradientImg(128, 96, 10)
+    val h1 = operators.ImageCodec.pHash64(img)
+    val h2 = operators.ImageCodec.pHash64(gradientImg(128, 96, 10))
+    assert(h1 == h2, "same pixels must give the same hash")
+    // a resized copy of the same scene stays perceptually close
+    val small = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      small.setRGB(x, y, img.getRGB(x * 2, y * 2))
+    val hSmall = operators.ImageCodec.pHash64(small)
+    assert(java.lang.Long.bitCount(h1 ^ hSmall) <= 7,
+      s"downscaled twin drifted ${java.lang.Long.bitCount(h1 ^ hSmall)} bits")
+    // gray resample of a constant image is constant
+    val flat = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 10) flat.setRGB(x, y, 0x808080)
+    val g = operators.ImageCodec.grayResample(flat, 4)
+    assert(g.forall(v => math.abs(v - 128.0) < 1e-6))
+  }
 }
