@@ -402,12 +402,112 @@ object Pipeline {
   val GateLogPartitions: Seq[String] = Seq("session_date", "batch_id")
   val RoutedEventPartitions: Seq[String] = Seq("event_date", "batch_id")
 
+  // ---- backfill planner — the deterministic core of the reference
+  // DAG's catchup + sensor behavior (dags/event_pipeline_dag.py:
+  // schedule_interval/catchup decide WHICH dates run; this decides it
+  // from observed data state instead of wall-clock bookkeeping)
+
+  /** Which execution dates need (re)building, and why. `stale` is the
+    * actionable list: dates never recorded in the build manifest plus
+    * dates whose event content changed since their last build
+    * (late-arriving data). `vanished` names manifest dates whose
+    * events have since disappeared entirely (e.g. a GDPR purge of the
+    * raw feed) — reported, not replayed: a scoped rerun with zero
+    * input writes no partitions, so clearing those marts is a
+    * deliberate separate action, not an implicit side effect. */
+  final case class BackfillPlan(neverBuilt: Seq[String], changed: Seq[String],
+                                vanished: Seq[String]) {
+    def stale: Seq[String] = (neverBuilt ++ changed).sorted
+  }
+
+  /** Per-date content state of the events feed: row count + an
+    * order-independent fingerprint (bit_xor of a full-row hash — XOR
+    * is commutative/associative, so the fingerprint is independent of
+    * partition layout and scan order; an even number of IDENTICAL
+    * late rows would cancel in the xor but still move n_events, which
+    * is why the (count, fingerprint) PAIR is the comparison unit).
+    * One map-combined aggregation; output is date-dimension. */
+  private[graft] def datesState(e: DataFrame): DataFrame =
+    e.filter(col("event_date").isNotNull)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("bit_xor(xxhash64(event_id, ts, user_id, event_type, value, props))")
+          .as("fingerprint"))
+
+  private def readManifest(spark: SparkSession, manifestDir: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(manifestDir).exists())
+      spark.read.parquet(manifestDir)
+        .select(col("event_date").cast("date"), col("n_events"), col("fingerprint"))
+    else Seq.empty[(java.sql.Date, Long, Long)]
+      .toDF("event_date", "n_events", "fingerprint")
+  }
+
+  /** Compare the feed's current per-date state against the build
+    * manifest. Both sides are date-dimension frames; the full-outer
+    * join is tiny. */
+  def planBackfill(spark: SparkSession, sfDir: String,
+                   manifestDir: String): BackfillPlan = {
+    val current = datesState(EventMarts.enriched(spark, sfDir))
+      .withColumnRenamed("n_events", "cur_n")
+      .withColumnRenamed("fingerprint", "cur_fp")
+    val manifest = readManifest(spark, manifestDir)
+      .withColumnRenamed("n_events", "built_n")
+      .withColumnRenamed("fingerprint", "built_fp")
+    val joined = current.join(manifest, Seq("event_date"), "full_outer")
+      .select(col("event_date").cast("string").as("d"),
+        col("cur_n"), col("cur_fp"), col("built_n"), col("built_fp"))
+      .collect()
+    val neverBuilt = joined.filter(r => r.isNullAt(3)).map(_.getString(0))
+    val vanished = joined.filter(r => r.isNullAt(1) && !r.isNullAt(3)).map(_.getString(0))
+    val changed = joined.filter(r => !r.isNullAt(1) && !r.isNullAt(3) &&
+      (r.getLong(1) != r.getLong(3) || r.getLong(2) != r.getLong(4))).map(_.getString(0))
+    BackfillPlan(neverBuilt.sorted.toSeq, changed.sorted.toSeq, vanished.sorted.toSeq)
+  }
+
+  /** Record the feed state the (just-completed) build consumed, for
+    * the named dates — per-date dynamic partition overwrite, so
+    * scoped backfills update only their own manifest rows and reruns
+    * are idempotent. */
+  private[graft] def recordBuildManifest(spark: SparkSession, sfDir: String,
+      manifestDir: String, dates: Seq[String]): Unit = {
+    val ds = dates.map(java.sql.Date.valueOf)
+    val state = datesState(EventMarts.enriched(spark, sfDir))
+      .filter(col("event_date").isin(ds: _*))
+    MartSink.writePartitioned(state, manifestDir, Seq("event_date"))
+  }
+
+  /** Plan + replay + record: detect stale dates, drive the SAME
+    * scoped [[run]] a scheduler would, and stamp the manifest with
+    * the state each rebuilt date was built from. A converged feed
+    * no-ops (plan.stale empty → no run). The gate still applies —
+    * a failed gate (failFast) skips the manifest stamp so the dates
+    * stay stale and the next backfill retries them. */
+  def backfill(spark: SparkSession, sfDir: String, outDir: String,
+               manifestDir: String, failFast: Boolean = true,
+               quarantine: Boolean = false,
+               checkLogDir: Option[String] = None,
+               martJdbc: Option[String] = None): (BackfillPlan, Option[Result]) = {
+    val plan = planBackfill(spark, sfDir, manifestDir)
+    if (plan.stale.isEmpty) (plan, None)
+    else {
+      val result = run(spark, sfDir, outDir, failFast = failFast,
+        dates = plan.stale, checkLogDir = checkLogDir,
+        quarantine = quarantine, martJdbc = martJdbc)
+      if (result.martsWritten.nonEmpty)
+        recordBuildManifest(spark, sfDir, manifestDir, plan.stale)
+      (plan, Some(result))
+    }
+  }
+
   /** Cron entry: `runMain graft.Pipeline <dataDir> <martDir>
-    * [date[,date...]] [--quarantine] [--mart-jdbc=<url>]` — one
-    * invocation per execution date maps 1:1 onto a scheduler run.
-    * `--quarantine` builds marts on clean sessions only;
-    * `--mart-jdbc` adds the incremental warehouse leg (per-mart
-    * MergeStats echoed for the run log). */
+    * [date[,date...]] [--quarantine] [--mart-jdbc=<url>]
+    * [--backfill]` — one invocation per execution date maps 1:1 onto
+    * a scheduler run. `--quarantine` builds marts on clean sessions
+    * only; `--mart-jdbc` adds the incremental warehouse leg (per-mart
+    * MergeStats echoed for the run log); `--backfill` lets the
+    * planner pick the dates (never-built + late-data) instead of the
+    * positional list — Airflow catchup without Airflow. */
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--"))
     val pos = args.filterNot(_.startsWith("--"))
@@ -436,6 +536,22 @@ object Pipeline {
             s"$n:$c" }.mkString(",")
          else "") +
         " skipped=" + m.skipped.mkString(";"))
+      spark.stop()
+      return
+    }
+    // --backfill replaces the explicit date list with the planner's:
+    // catch-up + late-data detection against the build manifest, then
+    // the same scoped run a scheduler would issue
+    if (flags.contains("--backfill")) {
+      val (plan, res) = backfill(spark, sfDir, outDir,
+        manifestDir = s"$outDir/build_manifest",
+        failFast = !quarantine, quarantine = quarantine,
+        checkLogDir = Some(s"$outDir/quality_check_log"), martJdbc = martJdbc)
+      println(s"backfill neverBuilt=${plan.neverBuilt.mkString(",")} " +
+        s"changed=${plan.changed.mkString(",")} " +
+        s"vanished=${plan.vanished.mkString(",")} " +
+        res.map(r => s"passed=${r.passed} marts=${r.martsWritten.sorted.mkString(",")}")
+          .getOrElse("converged (no run)"))
       spark.stop()
       return
     }

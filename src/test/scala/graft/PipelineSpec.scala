@@ -1110,6 +1110,63 @@ class ReportingSpec extends SparkSpec {
     assert(again.values.forall(_.rowsErased == 0L))
   }
 
+  test("backfill planner: never-built dates, a late event, and byte-identical convergence") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, v, """{"k":1}""")
+    // users confined to one date each: the scoped session mart's
+    // per-user session_idx then matches a full rebuild's exactly
+    // (multi-date users renumber under per-date scheduling — the
+    // documented session_sequences edge, not what this spec pins)
+    val day1 = Seq(ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:05:00", 1, "purchase", 9.0))
+    val day2 = Seq(ev(3, "2024-01-02 11:00:00", 2, "view", 1.0),
+      ev(4, "2024-01-02 11:10:00", 2, "click", 0.0))
+    val day3 = Seq(ev(5, "2024-01-03 09:00:00", 3, "view", 1.0))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("graft_bf_src").toString
+    (day1 ++ day2 ++ day3).toDF(cols: _*).write.parquet(s"$dir/events.parquet")
+    val out = Files.createTempDirectory("graft_bf_out").toString
+    val mf = Files.createTempDirectory("graft_bf_mf").resolve("manifest").toString
+    // 1. nothing built yet → every date is stale (catchup)
+    val p1 = Pipeline.planBackfill(spark, dir, mf)
+    assert(p1.neverBuilt == Seq("2024-01-01", "2024-01-02", "2024-01-03") &&
+      p1.changed.isEmpty && p1.vanished.isEmpty, s"got $p1")
+    val (_, r1) = Pipeline.backfill(spark, dir, out, mf)
+    assert(r1.exists(_.martsWritten.nonEmpty))
+    // 2. converged feed no-ops
+    val p2 = Pipeline.planBackfill(spark, dir, mf)
+    assert(p2.stale.isEmpty, s"converged feed must be clean: $p2")
+    assert(Pipeline.backfill(spark, dir, out, mf)._2.isEmpty)
+    // 3. a late-arriving event lands in the already-built date 2
+    Seq(ev(6, "2024-01-02 23:00:00", 2, "purchase", 42.0))
+      .toDF(cols: _*).write.mode("append").parquet(s"$dir/events.parquet")
+    val p3 = Pipeline.planBackfill(spark, dir, mf)
+    assert(p3.changed == Seq("2024-01-02") && p3.neverBuilt.isEmpty,
+      s"planner must name exactly the late date: $p3")
+    val (_, r3) = Pipeline.backfill(spark, dir, out, mf)
+    assert(r3.isDefined)
+    assert(Pipeline.planBackfill(spark, dir, mf).stale.isEmpty)
+    // 4. the scoped replay CONVERGED the marts: byte-compare every
+    // mart against a from-scratch full rebuild
+    val out2 = Files.createTempDirectory("graft_bf_full").toString
+    Pipeline.run(spark, dir, out2)
+    for (m <- Seq("mart_user_daily", "mart_funnel_daily", "mart_product_daily",
+        "mart_orders", "session_sequences", "hourly_traffic")) {
+      def canon(p: String) = spark.read.parquet(p).collect()
+        .map(_.toSeq.map(String.valueOf).toList).sortBy(_.toString).toList
+      assert(canon(s"$out/$m") == canon(s"$out2/$m"),
+        s"mart $m diverged from the full rebuild after scoped backfill")
+    }
+    // 5. vanished dates are reported, never silently replayed
+    val pruned = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("ts").cast("date") =!= lit("2024-01-03").cast("date"))
+    val dir2 = Files.createTempDirectory("graft_bf_src2").toString
+    pruned.write.parquet(s"$dir2/events.parquet")
+    val p5 = Pipeline.planBackfill(spark, dir2, mf)
+    assert(p5.vanished == Seq("2024-01-03") && p5.stale.isEmpty, s"got $p5")
+  }
+
   test("erasure is null-safe: anonymous rows survive rewrites, NULL partition combos erase") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
