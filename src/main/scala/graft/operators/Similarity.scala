@@ -741,6 +741,19 @@ object Similarity {
       kmeansCentroidsFrom(c, nlist, iters), pqCodebooks(c, m, ksub, iters))
   }
 
+  /** Canonical fingerprint of an index's trained metadata (centroids
+    * + codebooks) — the manifest's content stamp. Float rendering via
+    * Float.toString is exact and platform-stable. */
+  private[graft] def indexMetaFp(cents: Seq[(Int, Array[Float])],
+                                 books: Seq[Seq[(Int, Array[Float])]]): String =
+    graft.sources.ArtifactManifest.fp(
+      cents.sortBy(_._1).map { case (c, v) => s"c$c:${v.mkString(",")}" }
+        .mkString("\n") + "\n--\n" +
+        books.zipWithIndex.map { case (book, mi) =>
+          book.sortBy(_._1).map { case (c, v) => s"b$mi.$c:${v.mkString(",")}" }
+            .mkString("\n")
+        }.mkString("\n"))
+
   private def writeIndexArtifact(cands: DataFrame, indexPath: String,
                                  cents: Seq[(Int, Array[Float])],
                                  books: Seq[Seq[(Int, Array[Float])]]): Unit = {
@@ -765,6 +778,16 @@ object Similarity {
       .withColumnRenamed("n", "n_train").withColumnRenamed("err", "err_train")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/stats")
+    // compatibility stamp, written LAST: content = the trained
+    // metadata the probes load, built-from = the candidate corpus
+    // state (order-independent xor) — a crash mid-write leaves a
+    // stale-or-absent stamp that loadIndexMeta flags, never a stamp
+    // blessing half-written tables
+    val corpus = cands.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(vec_id, embedding))")).collect().head
+    graft.sources.ArtifactManifest.write(indexPath,
+      graft.sources.ArtifactManifest.Stamp("ivfpq_index", indexMetaFp(cents, books),
+        s"embeddings:${corpus.getLong(0)}:${if (corpus.isNullAt(1)) 0L else corpus.getLong(1)}"))
   }
 
   /** Per-cell (n, mean squared-L2-to-centroid) over the live codes
@@ -795,6 +818,12 @@ object Similarity {
         r.getSeq[Float](r.fieldIndex("v")).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(t => t._2 -> t._3).toSeq }
+    // strict-on-presence: a stamped index whose loaded metadata no
+    // longer matches its manifest (half-replaced tables, a codes/
+    // codebooks mix from two training runs) must fail here, not
+    // return quiet garbage from the probe join
+    graft.sources.ArtifactManifest.verifyContent(indexPath, "ivfpq_index",
+      indexMetaFp(cents, books))
     (cents, books)
   }
 

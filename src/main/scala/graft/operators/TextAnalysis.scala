@@ -1509,16 +1509,39 @@ object TextAnalysis {
     * replaces the artifact atomically. */
   def saveBpeVocab(spark: SparkSession, dir: String, outPath: String,
       numMerges: Int = 20, maxPerRound: Int = 4): Seq[BpeMerge] = {
-    val merges = trainBpeMerges(Tables.documents(spark, dir), numMerges, maxPerRound)
+    val docs = Tables.documents(spark, dir)
+    val merges = trainBpeMerges(docs, numMerges, maxPerRound)
     import spark.implicits._
     merges.toDF().coalesce(1).write.mode("overwrite").parquet(outPath)
+    // compatibility stamp: content = the merge table itself, built-from
+    // = the training corpus state (order-independent xor fingerprint)
+    val corpus = docs.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(doc_id, text))")).collect().head
+    graft.sources.ArtifactManifest.write(outPath,
+      graft.sources.ArtifactManifest.Stamp("bpe_vocab", bpeVocabFp(merges),
+        s"documents:${corpus.getLong(0)}:${if (corpus.isNullAt(1)) 0L else corpus.getLong(1)}"))
     merges
   }
 
-  /** Load a persisted merge table, rank order restored. */
+  /** Canonical content fingerprint of a merge table — what the
+    * artifact manifest stamps and every vocab-derived log row carries
+    * (`DocStream.tokenLogSink`), so counts taken under different
+    * vocabularies can never silently mix. */
+  def bpeVocabFp(merges: Seq[BpeMerge]): String =
+    graft.sources.ArtifactManifest.fp(merges.sortBy(_.rank)
+      .map(m => Seq(m.rank, m.left, m.right, m.merged, m.pair_count)
+        .mkString("\u0001"))
+      .mkString("\n"))
+
+  /** Load a persisted merge table, rank order restored. A stamped
+    * artifact is verified against its own manifest (corruption /
+    * half-replacement fails loud); unstamped legacy artifacts load
+    * as before. */
   def loadBpeVocab(spark: SparkSession, path: String): Seq[BpeMerge] = {
     import spark.implicits._
-    spark.read.parquet(path).as[BpeMerge].collect().toSeq.sortBy(_.rank)
+    val merges = spark.read.parquet(path).as[BpeMerge].collect().toSeq.sortBy(_.rank)
+    graft.sources.ArtifactManifest.verifyContent(path, "bpe_vocab", bpeVocabFp(merges))
+    merges
   }
 
   /** Tokenize against a PERSISTED vocabulary — the production path:

@@ -67,7 +67,11 @@ object DocStream {
     * COMPARABLE units (same artifact ⇒ same token counts; retraining
     * per batch would silently re-denominate the budget). */
   def tokenLogSink(docs: DataFrame, merges: Seq[TextAnalysis.BpeMerge],
-      logDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      logDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // every log row carries the producing vocabulary's fingerprint —
+    // counts taken under different merge tables are different UNITS,
+    // and the readout refuses to sum across them
+    val vocabFp = TextAnalysis.bpeVocabFp(merges)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -82,22 +86,49 @@ object DocStream {
             .agg(count(lit(1)).as("n_docs"),
               sum(coalesce(col("word_count"), lit(0L))).cast("long").as("word_count"),
               sum(coalesce(col("bpe_tokens"), lit(0L))).cast("long").as("bpe_tokens"))
+            .withColumn("vocab_fp", lit(vocabFp))
             .withColumn("batch_id", lit(batchId))
           graft.sources.MartSink.writePartitioned(rows, logDir, Seq("batch_id"))
         }
         ()
       }
       .start()
+  }
 
   /** Budget readout over the token log: per-source totals since the
     * stream started — compared against `corpus_epoch_plan`'s target
     * allocation, this is the live "how much of each source's budget
-    * has arrived" table. */
-  def tokenBudgetFromLog(spark: SparkSession, logDir: String): DataFrame =
-    spark.read.parquet(logDir)
-      .groupBy(col("source"))
+    * has arrived" table.
+    *
+    * Unit safety: log rows stamped with a vocabulary fingerprint must
+    * all share ONE fingerprint (a mid-stream retrain re-denominates
+    * every count — summing across is silent drift), and when
+    * `vocabPath` names the shipped artifact, the log's fingerprint
+    * must match it (a retrained vocab with a stale log, or vice
+    * versa, refuses instead of reading plausible nonsense). Legacy
+    * logs without the stamp column read as before. */
+  def tokenBudgetFromLog(spark: SparkSession, logDir: String,
+      vocabPath: Option[String] = None): DataFrame = {
+    val log = spark.read.parquet(logDir)
+    if (log.columns.contains("vocab_fp")) {
+      val fps = log.select("vocab_fp").distinct().collect().map(_.getString(0)).sorted
+      if (fps.length > 1)
+        throw new IllegalStateException(
+          s"token log $logDir mixes ${fps.length} vocabularies " +
+            s"(${fps.map(_.take(12) + "…").mkString(", ")}) — counts are not comparable units")
+      vocabPath.foreach { vp =>
+        val current = TextAnalysis.bpeVocabFp(TextAnalysis.loadBpeVocab(spark, vp))
+        if (fps.nonEmpty && fps.head != current)
+          throw new IllegalStateException(
+            s"token log $logDir was counted under vocab ${fps.head.take(12)}… but the " +
+              s"artifact at $vp is ${current.take(12)}… — retrain drift; rebuild the log " +
+              "or restore the matching vocabulary")
+      }
+    }
+    log.groupBy(col("source"))
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("word_count")).cast("long").as("word_count"),
         sum(col("bpe_tokens")).cast("long").as("bpe_tokens"))
       .orderBy("source")
+  }
 }
