@@ -202,6 +202,83 @@ class StreamingSpec extends SparkSpec {
     served.values.foreach { case (_, wc, bt) => assert(bt >= wc) }
   }
 
+  test("artifact manifests: retrained vocab + stale log refuses; matching pair reads clean") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, String, String, String)]
+    import spark.implicits._
+    val docs = Seq((1L, "s0", "low low lower lowest"), (2L, "s0", "new newer newest low"))
+      .toDF("doc_id", "source", "text")
+    val v1 = TextAnalysis.trainBpeMerges(docs, numMerges = 4)
+    val log = java.nio.file.Files.createTempDirectory("graft_mfl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mfc").toString
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData((1L, base, "en", "s0", "low low lower lowest"))
+    val q = DocStream.tokenLogSink(
+      mem.toDF.toDF("doc_id", "ts", "lang", "source", "text"), v1, log, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // persist v1: the MATCHING pair reads clean (and the loader's own
+    // content verification passes on an honest artifact)
+    val vocabDir = java.nio.file.Files.createTempDirectory("graft_mfv").toString + "/vocab"
+    import org.apache.spark.sql.functions.lit
+    v1.toDF().coalesce(1).write.mode("overwrite").parquet(vocabDir)
+    graft.sources.ArtifactManifest.write(vocabDir,
+      graft.sources.ArtifactManifest.Stamp("bpe_vocab",
+        TextAnalysis.bpeVocabFp(v1), "documents:test"))
+    assert(DocStream.tokenBudgetFromLog(spark, log, Some(vocabDir)).count() == 1)
+    // retrain on a different corpus → different merge table → the
+    // STALE log must refuse, not silently re-denominate the budget
+    val docs2 = Seq((1L, "s0", "aa aa aab aab aab bba"), (2L, "s0", "ccc ccc ccd bba"))
+      .toDF("doc_id", "source", "text")
+    val v2 = TextAnalysis.trainBpeMerges(docs2, numMerges = 4)
+    assert(TextAnalysis.bpeVocabFp(v2) != TextAnalysis.bpeVocabFp(v1))
+    v2.toDF().coalesce(1).write.mode("overwrite").parquet(vocabDir)
+    graft.sources.ArtifactManifest.write(vocabDir,
+      graft.sources.ArtifactManifest.Stamp("bpe_vocab",
+        TextAnalysis.bpeVocabFp(v2), "documents:test2"))
+    val ex = intercept[IllegalStateException] {
+      DocStream.tokenBudgetFromLog(spark, log, Some(vocabDir)).count()
+    }
+    assert(ex.getMessage.contains("retrain drift"), ex.getMessage)
+    // a log MIXING two vocabularies refuses even without a vocabPath
+    val row = spark.read.parquet(log).limit(1)
+      .withColumn("vocab_fp", lit(TextAnalysis.bpeVocabFp(v2)))
+      .withColumn("batch_id", lit(99L))
+    graft.sources.MartSink.writePartitioned(row, log, Seq("batch_id"))
+    val mixed = intercept[IllegalStateException] {
+      DocStream.tokenBudgetFromLog(spark, log).count()
+    }
+    assert(mixed.getMessage.contains("not comparable units"), mixed.getMessage)
+    // a CORRUPTED stamped vocab artifact fails its own load
+    graft.sources.ArtifactManifest.write(vocabDir,
+      graft.sources.ArtifactManifest.Stamp("bpe_vocab", "deadbeef", "x"))
+    intercept[IllegalStateException] { TextAnalysis.loadBpeVocab(spark, vocabDir) }
+  }
+
+  test("index manifest: a stamped IVF-PQ artifact verifies on load and flags a metadata swap") {
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mfi").toString + "/index"
+    Similarity.saveIvfPqIndex(spark, Sf, idx, numQueries = 5, nlist = 4, m = 4, ksub = 8)
+    val stamp = graft.sources.ArtifactManifest.read(idx)
+    assert(stamp.exists(_.artifact == "ivfpq_index"), s"index must be stamped: $stamp")
+    // honest load verifies silently and the probe serves
+    assert(Similarity.ivfpqTopKFromIndex(spark, Sf, idx, numQueries = 5, k = 3).count() > 0)
+    // swap the codebooks for a different training run's → the loader
+    // must flag the mix instead of probing with mismatched metadata
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_mfi2").toString + "/index2"
+    Similarity.saveIvfPqIndex(spark, Sf, idx2, numQueries = 5, nlist = 4, m = 4, ksub = 4)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$idx/codebooks"), true)
+    fs.rename(new Path(s"$idx2/codebooks"), new Path(s"$idx/codebooks"))
+    spark.catalog.refreshByPath(idx)
+    intercept[IllegalStateException] {
+      Similarity.ivfpqTopKFromIndex(spark, Sf, idx, numQueries = 5, k = 3).count()
+    }
+  }
+
   test("streaming IVF-PQ encode matches the batch encoder and dedups replayed vectors") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Array[Float])]
@@ -698,6 +775,85 @@ class StreamingSpec extends SparkSpec {
       assert(cleanRouted.count() > 0 && reviewRouted.count() > 0)
       // review rows carry the session key for the verdict-log join
       assert(reviewRouted.columns.contains("session_start_epoch"))
+    } finally {
+      dirty.unpersist()
+      ()
+    }
+  }
+
+  test("routed streaming pipeline: clean-side funnel/traffic marts equal batch clean-session marts") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val sentinelUser = 999999L
+    val dirty = sources.EventGenerator.withAnomalies(
+        sources.EventGenerator.sessionEvents(spark, 25L, 2))
+      .filter(col("user_id").isNotNull).cache()
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft_routed_pipe").toString
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      mem.addData(dirty.collect().toSeq.map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[String]("props"))): _*)
+      // sentinel 1 closes every real session via the event-time
+      // timeout; its ts is IN the valid 2020-2030 range so its own
+      // session routes CLEAN — that clean 2030 row is what advances
+      // the second stage's watermark (an out-of-range sentinel would
+      // route to review and never reach the mart stage)
+      mem.addData((0L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+        sentinelUser, "view", 1.0, "{}"))
+      val queries = StreamingPipeline.startRoutedOn(spark,
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"), out)
+      try {
+        queries.head.processAllAvailable() // router: real sessions land clean/review
+        // sentinel 2 (same user, > gap later) closes sentinel 1's
+        // session so its clean 2030 row lands in clean_events and
+        // pushes the mart stage's watermark past every real window
+        mem.addData((0L, java.sql.Timestamp.valueOf("2030-03-01 00:00:00"),
+          sentinelUser, "view", 1.0, "{}"))
+        queries.head.processAllAvailable()
+        queries.tail.foreach(_.processAllAvailable())
+      } finally queries.foreach(_.stop())
+      // batch side: the nightly quarantine-mode marts — the SAME
+      // aggregations over Sessionize.cleanEvents (sentinel excluded:
+      // its session is still open on the stream side)
+      val cleanBatch = operators.Sessionize.cleanEvents(operators.EventMarts.enrich(dirty))
+        .filter(col("user_id") =!= sentinelUser)
+      def canonF(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("ws", col("window.start")).drop("window")
+        .filter(year(col("ws")) < 2029) // sentinel window never finalizes
+        .select(col("ws"), col("segment"), col("views"), col("clicks"),
+          col("purchases"), col("purchasers_approx"),
+          // double summation order differs between micro-batch partials
+          // and one batch pass — cents-rounding makes the compare exact
+          round(col("revenue"), 2).as("revenue"))
+        .collect().map(_.toString).sorted.toSeq
+      val streamFunnel = spark.read.parquet(s"$out/funnel_hourly_clean")
+        .withColumnRenamed("window_start", "ws")
+        .filter(year(col("ws")) < 2029)
+        .select(col("ws"), col("segment"), col("views"), col("clicks"),
+          col("purchases"), col("purchasers_approx"),
+          // double summation order differs between micro-batch partials
+          // and one batch pass — cents-rounding makes the compare exact
+          round(col("revenue"), 2).as("revenue"))
+        .collect().map(_.toString).sorted.toSeq
+      val batchFunnel = canonF(streaming.EventStream.funnelCountsOn(cleanBatch))
+      assert(streamFunnel.nonEmpty && streamFunnel == batchFunnel,
+        s"stream-built clean funnel mart diverges from the batch clean-session mart " +
+          s"(${streamFunnel.size} vs ${batchFunnel.size} windows)")
+      val streamTraffic = spark.read.parquet(s"$out/hourly_traffic_clean")
+        .withColumnRenamed("window_start", "ws").filter(year(col("ws")) < 2029)
+        .select(col("ws"), col("event_count"), col("unique_users_approx"))
+        .collect().map(_.toString).sorted.toSeq
+      val batchTraffic = streaming.EventStream.hourlyTrafficOn(cleanBatch)
+        .withColumn("ws", col("window.start")).filter(year(col("ws")) < 2029)
+        .select(col("ws"), col("event_count"), col("unique_users_approx"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamTraffic.nonEmpty && streamTraffic == batchTraffic,
+        "stream-built clean traffic mart diverges from the batch clean-session mart")
+      // and the gate actually fired: the review side is non-empty, so
+      // the parity above is parity UNDER quarantine, not vacuous
+      assert(spark.read.parquet(s"$out/review_events").count() > 0)
     } finally {
       dirty.unpersist()
       ()
