@@ -54,6 +54,11 @@ object Bench {
     // Optional args restrict to the named queries (iteration aid; the
     // driver's no-arg invocation still benches everything).
     val wanted = args.toSet
+    // SPARK_GRAFT_BENCH_REPEAT=k forces exactly k runs per query (min
+    // reported) regardless of the adaptive/budget logic — the
+    // adjudication mode scripts/bench_diff.py --adjudicate uses to
+    // decide REGRESSED vs NOISY on a stable min instead of one sample.
+    val forcedRepeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)
     val benchStart = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
     def line(name: String, mn: Double, mx: Double, remeasured: Boolean = false): String =
@@ -75,7 +80,11 @@ object Bench {
       // timing. min AND max are both reported so sandbox noise is
       // distinguishable from regression without a rerun.
       val t1 = once(name, fn)
-      val times = if (t1 > 2.0 || elapsed() > budgetSec) Seq(t1) else Seq(t1, once(name, fn))
+      val times = forcedRepeat match {
+        case Some(k) => t1 +: (2 to k).map(_ => once(name, fn))
+        case None if t1 > 2.0 || elapsed() > budgetSec => Seq(t1)
+        case None => Seq(t1, once(name, fn))
+      }
       results(name) = (times.min, times.max, times.size)
       println(line(name, times.min, times.max))
       System.out.flush()

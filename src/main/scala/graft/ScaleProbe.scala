@@ -176,7 +176,8 @@ object ScaleProbe {
     // warm both scan paths + codegen once
     Tables.events(spark, small).groupBy("event_type").count().write.format("noop").mode("overwrite").save()
     Tables.events(spark, big).groupBy("event_type").count().write.format("noop").mode("overwrite").save()
-    if (!flags.contains("--deep-only") && !flags.contains("--composed-only"))
+    if (!flags.contains("--deep-only") && !flags.contains("--composed-only") &&
+        !flags.contains("--partition-ab"))
       headline.foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min
@@ -214,6 +215,41 @@ object ScaleProbe {
         println("{\"query\":\"" + name + "\",\"sf01_sec\":" + f"$s%.3f" +
           ",\"sf1_sec\":" + f"$b%.3f" + ",\"sf10_sec\":" + f"$d%.3f" +
           ",\"f10\":" + f"${b / s}%.2f" + ",\"f100\":" + f"${d / b}%.2f" + "}")
+        System.out.flush()
+      }
+    }
+
+    // ---- shuffle-partition A/B (--partition-ab): tests the r8
+    // hypothesis that text_perplexity_bigram's f100 overshoot (13.95
+    // on its honest vocab-linear axis) is an artifact of pinning
+    // spark.sql.shuffle.partitions=32 while the bigram vocabulary
+    // grows ~10x per decade — i.e. the knob a real cluster WOULD turn
+    // (decade-proportional partitions, AQE coalescing the excess) but
+    // a fixed-32 probe can't. Each decade dir runs both ways: fixed 32
+    // vs decade-scaled (32/128/512 — x4 per decade, beyond the thread
+    // count so per-task state shrinks with the data). The conf is
+    // runtime-settable and read at plan time, so no session restart.
+    if (flags.contains("--partition-ab")) {
+      buildCorpus(deep, 100)
+      val legs = Seq((small, 32, "sf01"), (big, 128, "sf1"), (deep, 512, "sf10"))
+      for (name <- Seq("text_perplexity_bigram", "clean_dup_spans")) {
+        val readings = legs.map { case (dir, scaled, tag) =>
+          def at(parts: Int): Double = {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            try (1 to 2).map(_ => run(name, dir)).min
+            finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+          }
+          (tag, at(32), at(scaled), scaled)
+        }
+        val parts = readings.map { case (tag, fixed, scaled, n) =>
+          "\"" + tag + "_fixed32_sec\":" + f"$fixed%.3f" +
+            ",\"" + tag + s"_scaled${n}_sec" + "\":" + f"$scaled%.3f"
+        }.mkString(",")
+        val f100Fixed = readings(2)._2 / readings(1)._2
+        val f100Scaled = readings(2)._3 / readings(1)._3
+        println("{\"query\":\"" + name + "\"," + parts +
+          ",\"f100_fixed\":" + f"$f100Fixed%.2f" +
+          ",\"f100_scaled\":" + f"$f100Scaled%.2f" + "}")
         System.out.flush()
       }
     }
