@@ -235,6 +235,7 @@ object ScaleProbe {
       for (name <- Seq("text_perplexity_bigram", "clean_dup_spans")) {
         val readings = legs.map { case (dir, scaled, tag) =>
           def at(parts: Int): Double = {
+            System.err.println(s"[partition-ab] $name $tag parts=$parts")
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             try (1 to 2).map(_ => run(name, dir)).min
             finally spark.conf.set("spark.sql.shuffle.partitions", 32)

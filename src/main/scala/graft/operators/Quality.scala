@@ -1184,4 +1184,82 @@ object Quality {
       |  n_keys, total_rows
       |FROM ranked, totals
       |ORDER BY rank""".stripMargin
+
+  /** Benford's-law first-digit shares, hard-coded as the exact double
+    * literals log10(1+1/d) — LITERALS (not runtime log10 calls) so the
+    * oracle sees bit-identical constants (the repo's libm rule). */
+  val BenfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124, 3 -> 0.12493873660829992,
+    4 -> 0.09691001300805642, 5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129, 9 -> 0.04575749056067514)
+
+  /** First-digit (Benford) conformance census over positive event
+    * values — the unit-bug / synthetic-data / fraud smell beside
+    * `dq_value_drift`'s day-over-day histogram: organic multi-scale
+    * amounts lean toward log-uniform leading digits, so a sudden
+    * flattening (injected uniform values, a fixed-price bug, scripted
+    * traffic) moves this census even when the value RANGE stays legal.
+    * Reported per digit: observed vs expected share and the absolute
+    * gap — the judgment threshold is the consumer's (Benford is a
+    * smell, not a law, for bounded retail prices; dq_anomaly-style
+    * z-gating belongs downstream of a baseline, not hard-coded here).
+    *
+    * Scale/oracle shape: first digit of the CENTS integer via a fixed
+    * descending power-of-ten comparison ladder (integer DIV — no
+    * log10, no string rendering, so Spark and DuckDB agree bit-for-
+    * bit), one map-combined shuffle to the ≤9-row digit dimension, a
+    * 1-row broadcast total, exact integers until the final IEEE
+    * divisions of literals. Oracle-green. */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame =
+    dqBenfordFrom(enriched(spark, dir))
+
+  private[graft] def dqBenfordFrom(e: DataFrame): DataFrame = {
+    val powers = (0 to 17).map(i => BigInt(10).pow(i).toLong)
+    val digit = powers.foldLeft(lit(0L)) { (acc, p) =>
+      when(col("cents") >= p, expr(s"cents DIV ${p}L")).otherwise(acc)
+    }
+    val counts = e
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(round(col("value") * lit(100)).cast("bigint").as("cents"))
+      .filter(col("cents") > 0)
+      .select(digit.cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_values"))
+    val expected = BenfordExpected.foldLeft(lit(0.0)) { case (acc, (d, x)) =>
+      when(col("digit") === d, lit(x)).otherwise(acc)
+    }
+    val total = counts.agg(sum(col("n_values")).as("total_values"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_values"),
+        (col("n_values").cast("double") / col("total_values").cast("double"))
+          .as("observed_share"),
+        expected.as("expected_share"))
+      .withColumn("abs_dev", abs(col("observed_share") - col("expected_share")))
+      .orderBy("digit")
+  }
+
+  val dqBenfordSql: String = {
+    val powers = (0 until 18).map(i => BigInt(10).pow(i).toString)
+    val ladder = powers.reverse.map(p => s"WHEN cents >= $p THEN cents // $p")
+      .mkString(" ")
+    val expected = BenfordExpected.map { case (d, x) => s"WHEN $d THEN $x" }
+      .mkString(" ")
+    s"""WITH c AS (
+       |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE value IS NOT NULL AND value > 0
+       |), d AS (
+       |  SELECT CAST((CASE $ladder ELSE 0 END) AS INT) AS digit
+       |  FROM c WHERE cents > 0
+       |), g AS (
+       |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values FROM d GROUP BY digit
+       |)
+       |SELECT digit, n_values,
+       |  CAST(n_values AS DOUBLE) /
+       |    CAST((SELECT SUM(n_values) FROM g) AS DOUBLE) AS observed_share,
+       |  CAST((CASE digit $expected ELSE 0.0 END) AS DOUBLE) AS expected_share,
+       |  ABS(CAST(n_values AS DOUBLE) /
+       |    CAST((SELECT SUM(n_values) FROM g) AS DOUBLE) -
+       |    CAST((CASE digit $expected ELSE 0.0 END) AS DOUBLE)) AS abs_dev
+       |FROM g ORDER BY digit""".stripMargin
+  }
 }

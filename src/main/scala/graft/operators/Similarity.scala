@@ -1437,4 +1437,89 @@ object Similarity {
         col("s.mmr_score").as("mmr_score"))
       .orderBy("query_id", "pick")
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal) — the DIVERSITY sampler beside `sample_uniform_k`'s
+    * representative one and `ann_mmr_diverse`'s per-query re-ranker:
+    * pick k vectors that 2-approximate the minimal covering radius,
+    * the standard seed/anchor selection for curriculum buckets, eval
+    * probes, and annotation budgets over an embedding corpus.
+    *
+    * Scale split, same as kmeans init: the greedy itself is
+    * inherently sequential (each pick depends on all previous), so it
+    * runs on a deterministic hash-ordered candidate POOL (TakeOrdered
+    * — per-partition top-N, no global sort; k·poolSize flops on the
+    * driver, never corpus-sized). The corpus-sized work — assigning
+    * every vector to its nearest selected center and the per-center
+    * coverage census — is one narrow codegen'd projection against the
+    * literal center array (`cosine_sim` fold, the nearestCellsCol
+    * shape) plus one ≤k-row aggregation. Ties break to the earliest
+    * pool index, so the selection is bit-reproducible. rows-only (the
+    * census averages are float); spec pins planted-cluster hits,
+    * coverage improving with k, and determinism. */
+  def sampleKcenter(spark: SparkSession, dir: String, k: Int = 8,
+                    poolSize: Int = 256): DataFrame =
+    sampleKcenterFrom(graft.Tables.embeddings(spark, dir), k, poolSize)
+
+  def sampleKcenterFrom(e0: DataFrame, k: Int, poolSize: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(e0.sparkSession)
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val pool = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(poolSize)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    require(pool.nonEmpty, "sampleKcenter: empty embeddings input")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    // Gonzalez greedy over the pool: seed = first hash-ordered row,
+    // then repeatedly take the point FARTHEST from its nearest
+    // selected center (strict > keeps ties at the earliest index)
+    val kk = math.min(k, pool.length)
+    val selected = scala.collection.mutable.ArrayBuffer(pool.head)
+    val minDist = scala.collection.mutable.ArrayBuffer.tabulate(pool.length)(
+      i => 1.0 - cos(pool(i)._2, pool.head._2))
+    while (selected.length < kk) {
+      var best = 0; var bd = -1.0
+      var i = 0
+      while (i < pool.length) {
+        if (minDist(i) > bd) { bd = minDist(i); best = i }
+        i += 1
+      }
+      val c = pool(best)
+      selected += c
+      i = 0
+      while (i < pool.length) {
+        val d = 1.0 - cos(pool(i)._2, c._2)
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    // corpus-sized census: nearest-center assignment as a literal fold
+    val centArr = array(selected.toSeq.zipWithIndex.map { case ((_, vec), i) =>
+      struct(lit(i).as("c"), array(vec.toIndexedSeq.map(lit(_)): _*).as("vec"))
+    }: _*)
+    val scored = transform(centArr, c => struct(
+      (-call_function("cosine_sim", col("embedding"), c.getField("vec"))).as("neg"),
+      c.getField("c").as("c")))
+    val bestC = element_at(array_sort(scored), 1)
+    val centerVid = selected.toSeq.zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, ((vid, _), i)) => when(col("center_id") === i, lit(vid)).otherwise(acc)
+    }
+    e.select(col("vec_id"), bestC.getField("c").as("center_id"),
+        (-bestC.getField("neg")).as("sim"))
+      .groupBy(col("center_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        avg(col("sim")).as("mean_cos"),
+        min(col("sim")).as("coverage_min_cos"))
+      .withColumn("center_vec_id", centerVid)
+      .select(col("center_id"), col("center_vec_id"), col("n_assigned"),
+        col("mean_cos"), col("coverage_min_cos"))
+      .orderBy("center_id")
+  }
 }

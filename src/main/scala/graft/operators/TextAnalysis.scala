@@ -1229,6 +1229,18 @@ object TextAnalysis {
     * corpus-stats pass); occurrence counting is the portable
     * length-difference-after-replace, identical in Spark and DuckDB.
     * A pure narrow map. */
+  /** Shared estimator columns (also the per-language fertility
+    * rollup's input): whitespace word count and the merge-list BPE
+    * token estimate. */
+  private def wsWordsCol: Column = size(tokens(col("text")))
+  private def estBpeTokensCol: Column = {
+    val charsNoWs = length(regexp_replace(col("text"), "\\s+", ""))
+    val mergeHits = BpeMerges.map(m =>
+      (length(col("text")) - length(expr(s"replace(text, '$m', '')"))) / lit(2))
+      .reduce(_ + _)
+    greatest(wsWordsCol, charsNoWs - mergeHits)
+  }
+
   def bpeEstimate(spark: SparkSession, dir: String): DataFrame = {
     val charsNoWs = length(regexp_replace(col("text"), "\\s+", ""))
     val mergeHits = BpeMerges.map(m =>
@@ -1598,6 +1610,83 @@ object TextAnalysis {
       |    FROM documents
       |  ) b
       |) t GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+
+  /** Pack-budget tuning curve — the eval closure of `corpus_pack`
+    * (the same loop-closing pattern as session_gap_histogram →
+    * GapSeconds and ann_recall_curve → nProbe): for each candidate
+    * sequence budget, the realized packing efficiency — pack count,
+    * fill ratio against capacity, and the share of packs a
+    * boundary-straddling doc pushed past budget (truncation/padding
+    * waste the training run will actually pay). The whole curve rides
+    * ONE shared cumulative-token window (pack assignment for every
+    * budget is a pure function of the same running sum — floor((cum −
+    * n)/b)), one explode to the |budgets| grain, one map-combined
+    * rollup: adding a candidate budget costs no new scan or window.
+    * Oracle-green (exact integers until the final divisions). */
+  def packEfficiency(spark: SparkSession, dir: String,
+                     budgets: Seq[Int] = Seq(128, 256, 512, 1024),
+                     shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        pmod(col("doc_id"), lit(shards)).cast("int").as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col("n_tokens"), col("cum"),
+        explode(array(budgets.map(lit(_)): _*)).as("budget"))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / col("budget").cast("double")).cast("int"))
+      .groupBy(col("budget"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+    packs.groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("pack_tokens")).cast("bigint").as("total_tokens"),
+        sum(when(col("pack_tokens") > col("budget"), 1L).otherwise(0L))
+          .as("overflow_packs"))
+      .select(col("budget"), col("n_packs"), col("n_docs"), col("total_tokens"),
+        col("overflow_packs"),
+        (col("total_tokens").cast("double") /
+          (col("n_packs") * col("budget").cast("long")).cast("double")).as("fill_ratio"),
+        (col("overflow_packs").cast("double") / col("n_packs").cast("double"))
+          .as("overflow_share"))
+      .orderBy("budget")
+  }
+
+  val packEfficiencySql: String =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM b
+      |), e AS (
+      |  SELECT shard, n_tokens, cum, budget
+      |  FROM c CROSS JOIN (SELECT UNNEST([128, 256, 512, 1024]) AS budget) u
+      |), p AS (
+      |  SELECT budget, shard,
+      |    CAST(FLOOR((cum - n_tokens) / CAST(budget AS DOUBLE)) AS INT) AS pack_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      |  FROM e GROUP BY 1, 2, 3
+      |), a AS (
+      |  SELECT budget, CAST(COUNT(*) AS BIGINT) AS n_packs,
+      |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(CASE WHEN pack_tokens > budget THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS overflow_packs
+      |  FROM p GROUP BY budget
+      |)
+      |SELECT budget, n_packs, n_docs, total_tokens, overflow_packs,
+      |  CAST(total_tokens AS DOUBLE) /
+      |    CAST(n_packs * CAST(budget AS BIGINT) AS DOUBLE) AS fill_ratio,
+      |  CAST(overflow_packs AS DOUBLE) / CAST(n_packs AS DOUBLE) AS overflow_share
+      |FROM a ORDER BY budget""".stripMargin
 
   /** Overlapping token-window chunking — the retrieval/embedding
     * pipeline primitive (chunk → embed → index): each doc splits into
@@ -2513,6 +2602,100 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_bigrams"),
         (sum(col("bits")) / sum(col("c")).cast("double")).as("bits_per_token"))
       .withColumn("perplexity", pow(lit(2.0), col("bits_per_token")))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer fertility by language — tokens-per-word, the standard
+    * "how well does this tokenizer fit this language" dial (fertility
+    * near 1 = word-level efficiency; high fertility = the vocabulary
+    * fragments that language, so its token BUDGET buys fewer words —
+    * the per-language correction `corpus_epoch_plan`'s word budgets
+    * need). Pure eval closure of `text_bpe_estimate`: the SAME
+    * estimator columns roll up at language grain — one map-combined
+    * shuffle to the ≤|langs| dimension, exact longs until two final
+    * IEEE divisions. Oracle-green. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), wsWordsCol.cast("long").as("w"),
+        estBpeTokensCol.cast("long").as("t"), length(col("text")).cast("long").as("ch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("word_count"),
+        sum(col("t")).as("est_bpe_tokens"), sum(col("ch")).as("char_count"))
+      .select(col("lang"), col("n_docs"), col("word_count"), col("est_bpe_tokens"),
+        (col("est_bpe_tokens").cast("double") / col("word_count").cast("double"))
+          .as("fertility"),
+        (col("char_count").cast("double") / col("est_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+
+  val tokenizerFertilitySql: String = {
+    val occ = BpeMerges.map(m =>
+      s"(length(text) - length(replace(text, '$m', ''))) / 2").mkString(" + ")
+    val words = "len(string_split_regex(trim(text), '\\s+'))"
+    val est = s"GREATEST($words, length(regexp_replace(text, '\\s+', '', 'g')) - ($occ))"
+    s"""WITH d AS (
+       |  SELECT lang, CAST($words AS BIGINT) AS w, CAST($est AS BIGINT) AS t,
+       |    CAST(length(text) AS BIGINT) AS ch
+       |  FROM documents WHERE lang IS NOT NULL
+       |), a AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(w) AS BIGINT) AS word_count,
+       |    CAST(SUM(t) AS BIGINT) AS est_bpe_tokens,
+       |    CAST(SUM(ch) AS BIGINT) AS char_count
+       |  FROM d GROUP BY lang
+       |)
+       |SELECT lang, n_docs, word_count, est_bpe_tokens,
+       |  CAST(est_bpe_tokens AS DOUBLE) / CAST(word_count AS DOUBLE) AS fertility,
+       |  CAST(char_count AS DOUBLE) / CAST(est_bpe_tokens AS DOUBLE) AS chars_per_token
+       |FROM a ORDER BY lang""".stripMargin
+  }
+
+  /** Per-doc word-level Shannon entropy (bits/word) — the classic
+    * repetitiveness/quality signal beside `text_repetition`'s
+    * fraction rules: H = log2(n) − (Σ cᵢ·log2 cᵢ)/n over the doc's
+    * own word counts; `entropy_ratio` normalizes by the doc's
+    * attainable maximum log2(distinct) so 1.0 = every word
+    * equally-frequent and 0.0 = one word repeated (a spam/boilerplate
+    * detector that needs no corpus statistics at all).
+    *
+    * Plan shape — ZERO shuffle: the per-doc counts never materialize
+    * as rows. The words sort within their own array and a codegen'd
+    * `aggregate` fold walks the runs of equals, accumulating
+    * Σ run·log2(run) in one pass — the narrow-map alternative to the
+    * (doc, word)-exploded two-exchange plan `text_perplexity` needs
+    * (perplexity needs corpus-wide counts; within-doc entropy does
+    * not, so paying an exchange for it would be wrong at any scale).
+    * rows-only (log2 is libm); spec pins a driver-exact recompute +
+    * the constant-doc 0 / all-distinct log2(n) closed forms. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    textEntropyFrom(Tables.documents(spark, dir))
+
+  def textEntropyFrom(docs: DataFrame): DataFrame = {
+    val runFold = expr(
+      """aggregate(
+        |  array_sort(split(trim(text), '\\s+')),
+        |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0.0D AS acc),
+        |  (s, w) -> CASE WHEN s.prev IS NULL OR w != s.prev THEN
+        |      struct(w AS prev, 1L AS run,
+        |        s.acc + CASE WHEN s.run > 1 THEN CAST(s.run AS DOUBLE) * LOG2(CAST(s.run AS DOUBLE)) ELSE 0.0D END AS acc)
+        |    ELSE struct(s.prev AS prev, s.run + 1L AS run, s.acc AS acc) END,
+        |  s -> s.acc + CASE WHEN s.run > 1 THEN CAST(s.run AS DOUBLE) * LOG2(CAST(s.run AS DOUBLE)) ELSE 0.0D END)
+        |""".stripMargin)
+    docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+        runFold.as("sum_clogc"))
+      .withColumn("entropy_bits",
+        log2(col("n_words").cast("double")) -
+          col("sum_clogc") / col("n_words").cast("double"))
+      .withColumn("entropy_ratio",
+        when(col("n_distinct") > 1,
+          col("entropy_bits") / log2(col("n_distinct").cast("double")))
+          .otherwise(lit(0.0)))
+      .drop("sum_clogc")
       .orderBy("doc_id")
   }
 }

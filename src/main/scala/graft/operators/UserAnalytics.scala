@@ -599,4 +599,86 @@ object UserAnalytics {
       |  (CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) - c.ctrl_rate)
       |    / c.ctrl_rate AS lift_vs_control
       |FROM a LEFT JOIN c ON TRUE ORDER BY arm""".stripMargin
+
+  /** Activity-inequality census: the exact Gini coefficient over
+    * per-user event counts — ONE number answering "how concentrated
+    * is the traffic" (0 = everyone equally active, →1 = a handful of
+    * bots/power users generate everything). The operational dial next
+    * to `dq_key_skew`'s top-k table and `revenue_pareto`'s top-100:
+    * skew census names the heads, Gini tracks the whole distribution
+    * drifting (a bot ramp moves Gini before any single key tops the
+    * census).
+    *
+    * Exact global rank without a global sort — the banded distributed
+    * prefix-sum (the `revenue_abc` shape, reused on its third
+    * surface): GK quantiles band the user counts (fixed-state, one
+    * pass), per-band row counts collect (≤ bands driver rows), each
+    * band ranks LOCALLY (window subset-satisfied by the band
+    * exchange) and a literal per-band offset lifts local ranks to
+    * global ones. The rank-weighted sum Σ i·xᵢ is tie-order-invariant
+    * (equal xᵢ commute under any rank assignment), so band-local tie
+    * order cannot perturb the result, and the sorted-rank identity
+    * G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n is exact — decimal(38,0) keeps the
+    * weighted sum overflow-proof at 10⁹ users. A degenerate
+    * all-equal-counts corpus collapses to one band (still correct;
+    * the window is then population-wide — the documented worst case,
+    * which a real event corpus' long-tailed counts never hit).
+    *
+    * Oracle-green: the single IEEE division of exact integers at the
+    * end matches DuckDB's one-window form bit-for-bit. */
+  def userActivityGini(spark: SparkSession, dir: String, bands: Int = 16): DataFrame =
+    userActivityGiniFrom(enriched(spark, dir), bands)
+
+  def userActivityGiniFrom(e: DataFrame, bands: Int = 16): DataFrame = {
+    val counts = e.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .localCheckpoint() // feeds thresholds, band stats, and the ranked sum
+    val qs = (1 until bands).map(i => i.toDouble / bands)
+    val ts = counts
+      .agg(expr(s"approx_percentile(CAST(n_events AS DOUBLE), " +
+        s"array(${qs.mkString(", ")}), 10000)").as("ts"))
+      .collect().head.getSeq[Double](0)
+    // ascending monotone chain: band 0 = least active users
+    val band = ts.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, i)) =>
+      when(col("n_events").cast("double") > t, lit(i + 1)).otherwise(acc)
+    }
+    val banded = counts.withColumn("band", band)
+    val stats = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val totalN = stats.map(_._2).sum
+    val totalS = stats.map(_._3).sum
+    val rowOffsets = stats.scanLeft(0L) { case (acc, (_, n, _)) => acc + n }.init
+    val offCol = stats.map(_._1).zip(rowOffsets).foldLeft(lit(0L)) {
+      case (acc, (b, off)) => when(col("band") === b, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy("band").orderBy(asc("n_events"), asc("user_id"))
+    banded
+      .withColumn("rnk", row_number().over(w).cast("long") + offCol)
+      .agg(sum(col("rnk").cast("decimal(38,0)") *
+        col("n_events").cast("decimal(38,0)")).as("s_rank"))
+      .select(
+        lit(totalN).as("n_users"),
+        lit(totalS).as("total_events"),
+        (lit(2.0) * col("s_rank").cast("double") /
+          (lit(totalN.toDouble) * lit(totalS.toDouble)) -
+          lit((totalN + 1).toDouble) / lit(totalN.toDouble)).as("gini"))
+  }
+
+  val userActivityGiniSql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+      |), r AS (
+      |  SELECT n_events,
+      |    ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS rnk
+      |  FROM c
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+      |  2.0 * CAST(SUM(CAST(rnk AS DECIMAL(38,0)) *
+      |                 CAST(n_events AS DECIMAL(38,0))) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(n_events) AS DOUBLE)) -
+      |  CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gini
+      |FROM r""".stripMargin
 }

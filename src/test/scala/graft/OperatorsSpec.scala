@@ -1350,4 +1350,38 @@ class QualitySpec extends SparkSpec {
     // topK truncation: with topK=2 only the two hot keys surface
     assert(Quality.keySkewFrom(e, topK = 2).collect().length == 2)
   }
+
+  test("benford census: planted digits count exactly, expected shares are the fixed literals") {
+    import spark.implicits._
+    // cents: 123 (d1), 2500 (d2), 3 (d3), 99999900 (d9), plus drops:
+    // null, zero, negative
+    val e = Seq(
+      (1L, 1.23), (2L, 25.00), (3L, 0.03), (4L, 999999.00),
+      (5L, 1.77), (6L, 0.0), (7L, -8.0)
+    ).toDF("event_id", "value")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", lit("2024-01-01 10:00:00").cast("timestamp"))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("props", lit("{}"))
+    val got = Quality.dqBenfordFrom(EventMarts.enrich(e)).collect()
+      .map(r => r.getAs[Int]("digit") ->
+        ((r.getAs[Long]("n_values"), r.getAs[Double]("observed_share"),
+          r.getAs[Double]("expected_share")))).toMap
+    assert(got.keySet == Set(1, 2, 3, 9))
+    assert(got(1)._1 == 2L && got(2)._1 == 1L && got(3)._1 == 1L && got(9)._1 == 1L)
+    assert(got(1)._2 == 0.4 && got(2)._2 == 0.2)
+    // expected shares are the hard-coded Benford literals, verified
+    // against a runtime log10 within float tolerance (the literals
+    // exist so the ORACLE sees identical constants; they must still
+    // BE Benford)
+    Quality.BenfordExpected.foreach { case (d, x) =>
+      assert(math.abs(x - math.log10(1.0 + 1.0 / d)) < 1e-15)
+      if (got.contains(d)) assert(got(d)._3 == x)
+    }
+    // sf smoke: 9 digit rows, shares sum to 1
+    val sf = Quality.dqBenford(spark, Sf).collect()
+    assert(sf.length == 9)
+    assert(math.abs(sf.map(_.getAs[Double]("observed_share")).sum - 1.0) < 1e-9)
+  }
+
 }

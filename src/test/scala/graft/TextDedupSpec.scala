@@ -268,6 +268,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.nonEmpty, "the corpus should contain contaminated docs")
     assert(got == expected)
   }
+
+  test("tokenizer fertility: per-lang rollup matches a driver recompute of the shared estimator") {
+    import spark.implicits._
+    val got = TextAnalysis.tokenizerFertility(spark, Sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("word_count"),
+          r.getAs[Long]("est_bpe_tokens"), r.getAs[Double]("fertility")))).toMap
+    // driver recompute from the per-doc estimator the query claims to
+    // share (text_bpe_estimate is oracle-green, so est is trusted)
+    val perDoc = TextAnalysis.bpeEstimate(spark, Sf)
+      .join(Tables.documents(spark, Sf).select("doc_id", "lang"), "doc_id")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Int]("ws_token_count").toLong,
+        r.getAs[Int]("est_bpe_tokens").toLong))
+    val expected = perDoc.filter(_._1 != null).groupBy(_._1).map { case (l, rows) =>
+      val w = rows.map(_._2).sum; val t = rows.map(_._3).sum
+      l -> ((rows.size.toLong, w, t, t.toDouble / w.toDouble))
+    }
+    assert(got.nonEmpty && got == expected)
+    // fertility is >= 1 by construction (est = greatest(words, ...))
+    got.values.foreach { case (_, _, _, f) => assert(f >= 1.0) }
+  }
+
+  test("text entropy: closed forms, driver-exact recompute, zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),            // one word → H = 0, ratio 0
+      (2L, "alpha beta gamma delta"),         // all distinct → H = log2(4) = 2, ratio 1
+      (3L, "a a b b c c d d"),                // uniform over 4 → H = 2, ratio 1
+      (4L, "x x x y z"),                      // mixed — pinned by driver recompute
+      (5L, "   "), (6L, null.asInstanceOf[String]) // blank/null drop
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.textEntropyFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy_bits"), r.getAs[Double]("entropy_ratio")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._3 == 0.0 && got(1L)._4 == 0.0)
+    assert(math.abs(got(2L)._3 - 2.0) < 1e-12 && math.abs(got(2L)._4 - 1.0) < 1e-12)
+    assert(math.abs(got(3L)._3 - 2.0) < 1e-12 && math.abs(got(3L)._4 - 1.0) < 1e-12)
+    // driver-exact recompute for the mixed doc: counts {x:3, y:1, z:1}
+    def h(cs: Seq[Int]): Double = {
+      val n = cs.sum.toDouble
+      (math.log(n) - cs.map(c => c * math.log(c.toDouble)).sum / n) / math.log(2.0)
+    }
+    assert(math.abs(got(4L)._3 - h(Seq(3, 1, 1))) < 1e-9)
+    assert(got(4L)._1 == 5L && got(4L)._2 == 3L)
+    // the computation is a pure narrow map: the only exchange allowed
+    // is the presentation sort's rangepartitioning — no aggregation /
+    // join shuffle (hashpartitioning) anywhere
+    val plan = TextAnalysis.textEntropyFrom(docs.repartition(4))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), s"entropy must not shuffle:\n$plan")
+  }
 }
 
 class CorpusPrepSpec extends SparkSpec {
@@ -822,6 +875,32 @@ class CorpusPrepSpec extends SparkSpec {
         case _ =>
       }
     }
+  }
+
+  test("pack efficiency curve: one row per budget, conserves docs/tokens, agrees with corpus_pack at 512") {
+    val curve = operators.TextAnalysis.packEfficiency(spark, Sf).collect()
+      .map(r => r.getAs[Int]("budget") -> r).toMap
+    assert(curve.keySet == Set(128, 256, 512, 1024))
+    val totalDocs = Tables.documents(spark, Sf).count()
+    curve.values.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == totalDocs) // every budget packs every doc
+      val fill = r.getAs[Double]("fill_ratio")
+      assert(fill > 0.5 && fill < 1.5, s"implausible fill: $r")
+      assert(r.getAs[Double]("overflow_share") >= 0.0 &&
+        r.getAs[Double]("overflow_share") <= 1.0)
+    }
+    // token totals identical across budgets: packing never drops tokens
+    assert(curve.values.map(_.getAs[Long]("total_tokens")).toSet.size == 1)
+    // bigger budgets → no more packs (monotone non-increasing)
+    val byBudget = Seq(128, 256, 512, 1024).map(b => curve(b).getAs[Long]("n_packs"))
+    assert(byBudget.sliding(2).forall { case Seq(a, b) => b <= a })
+    // the 512 point equals the shipped corpus_pack rollup exactly
+    val packs512 = operators.TextAnalysis.corpusPack(spark, Sf).collect()
+    assert(curve(512).getAs[Long]("n_packs") == packs512.length.toLong)
+    assert(curve(512).getAs[Long]("total_tokens") ==
+      packs512.map(_.getAs[Long]("pack_tokens")).sum)
+    assert(curve(512).getAs[Long]("overflow_packs") ==
+      packs512.count(_.getAs[Long]("pack_tokens") > 512L).toLong)
   }
 
   test("int8 quantization stays in [0,255], hits both edges, and is monotone per vector") {
@@ -2083,6 +2162,38 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(varr - eig) / eig < 1e-6,
         s"component $c: projected variance $varr vs eigenvalue $eig")
     }
+  }
+
+  test("k-center coreset: planted clusters each get a center, coverage improves with k, deterministic") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // three well-separated clusters of different sizes on distinct axes
+    def jit(c: Int, i: Int, d: Int) = ((c * 31 + i * 7 + d * 3) % 5) * 0.01f
+    val vecs = (0 until 60).map { i =>
+      val c = if (i < 30) 0 else if (i < 50) 1 else 2
+      val base = Array.fill(8)(0.0f)
+      base(c) = 1.0f
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + jit(c, i, d) })
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val k3 = Similarity.sampleKcenterFrom(e, k = 3, poolSize = 32).collect()
+    assert(k3.length == 3)
+    // each planted cluster is covered by exactly one center: the
+    // assignment census recovers the planted sizes
+    assert(k3.map(_.getAs[Long]("n_assigned")).sorted.toSeq == Seq(10L, 20L, 30L))
+    // every member sits close to its center (intra-cluster cosine ~1)
+    k3.foreach(r => assert(r.getAs[Double]("coverage_min_cos") > 0.99,
+      s"cluster under-covered: $r"))
+    // k=1 cannot cover the orthogonal clusters: its worst assignment
+    // is near-orthogonal, so coverage improves strictly with k
+    val k1 = Similarity.sampleKcenterFrom(e, k = 1, poolSize = 32).collect()
+    assert(k1.length == 1 && k1.head.getAs[Long]("n_assigned") == 60L)
+    assert(k1.head.getAs[Double]("coverage_min_cos") < 0.2)
+    // centers are real corpus members and the greedy is bit-reproducible
+    val again = Similarity.sampleKcenterFrom(e, k = 3, poolSize = 32).collect()
+    assert(k3.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val ids = vecs.map(_._1).toSet
+    k3.foreach(r => assert(ids.contains(r.getAs[Long]("center_vec_id"))))
   }
 }
 

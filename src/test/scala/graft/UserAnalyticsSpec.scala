@@ -225,4 +225,45 @@ class UserAnalyticsSpec extends SparkSpec {
       .map(r => r.getAs[String]("arm") -> r.getAs[Long]("n_users")).toMap
     assert(again == got.view.mapValues(_.getAs[Long]("n_users")).toMap)
   }
+
+  test("user activity gini: closed forms, banded == one global window, sf sanity") {
+    def gini(rows: Seq[(Long, Long, String, String, Double)]): Double =
+      UserAnalytics.userActivityGiniFrom(ev(rows)).collect().head.getAs[Double]("gini")
+    def mk(countsByUser: Map[Long, Int]): Seq[(Long, Long, String, String, Double)] = {
+      var id = 0L
+      countsByUser.toSeq.flatMap { case (u, n) =>
+        (0 until n).map { i =>
+          id += 1
+          (id, u, f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d", "view", 1.0)
+        }
+      }
+    }
+    // all-equal activity → exactly 0 (the identity cancels)
+    assert(math.abs(gini(mk(Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3)))) < 1e-12)
+    // one user generates 97 of 100 events → driver closed form:
+    // sorted [1,1,1,97], ranks 1..4: G = 2*394/(4*100) - 5/4 = 0.72
+    assert(math.abs(gini(mk(Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 97))) - 0.72) < 1e-12)
+    // the banded prefix-sum must equal ONE global window (the oracle's
+    // plan) bit-for-bit: decimal addition is associative, the final
+    // division sees identical integers
+    val banded = UserAnalytics.userActivityGini(spark, Sf).collect().head
+    val counts = operators.EventMarts.enriched(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("n_events", "user_id")
+    val global = counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), sum("n_events").as("s"),
+        sum(col("rnk").cast("decimal(38,0)") *
+          col("n_events").cast("decimal(38,0)")).as("sr"))
+      .collect().head
+    val (n, s) = (global.getAs[Long]("n"), global.getAs[Long]("s"))
+    val expected = 2.0 * global.getAs[java.math.BigDecimal]("sr").doubleValue() /
+      (n.toDouble * s.toDouble) - (n + 1).toDouble / n.toDouble
+    assert(banded.getAs[Long]("n_users") == n &&
+      banded.getAs[Long]("total_events") == s)
+    assert(banded.getAs[Double]("gini") == expected,
+      s"banded ${banded.getAs[Double]("gini")} != global-window $expected")
+    assert(banded.getAs[Double]("gini") > 0.0 && banded.getAs[Double]("gini") < 1.0)
+  }
 }
