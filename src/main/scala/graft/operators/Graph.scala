@@ -166,7 +166,21 @@ object Graph {
       iterations: Int = 8): DataFrame =
     communitiesFrom(productEdgesFrom(enriched(spark, dir)), iterations)
 
-  def communitiesFrom(edges: DataFrame, iterations: Int = 8): DataFrame = {
+  /** `semiSync = true` switches the update schedule from fully
+    * synchronous to deterministic two-phase semi-synchronous: each
+    * round updates first the even-hashed nodes (odd frozen), then the
+    * odd-hashed ones. Sync LPA OSCILLATES on mutual-strongest pairs —
+    * two nodes whose top-weight neighbor is each other swap labels
+    * every round and never settle (the documented sync-LPA failure
+    * mode; a kNN graph over jittered clusters is full of such pairs,
+    * which is why `embedding_clusters` requires this schedule, while
+    * the co-view product graph's heavy shared-weight edges never
+    * exhibited it). The parity split is a 2-coloring by xxhash64, so
+    * within a sub-round no updating node reads another updating
+    * node's label — the Raghavan et al. async guarantee, made
+    * deterministic. */
+  def communitiesFrom(edges: DataFrame, iterations: Int = 8,
+                      semiSync: Boolean = false): DataFrame = {
     // symmetrize: incident weight of (a,b) = both directions' sum
     val und = edges.select(col("src").as("a"), col("dst").as("b"), col("weight"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b"), col("weight")))
@@ -176,13 +190,28 @@ object Graph {
     var labels = nodes.withColumn("label", col("node"))
     val wArgmax = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(desc("lw"), asc("label"))
-    for (_ <- 1 to iterations) {
-      labels = und.join(labels, und("b") === labels("node"))
+    def argmaxLabels(cur: DataFrame): DataFrame =
+      und.join(cur, und("b") === cur("node"))
         .groupBy(col("a"), col("label")).agg(sum(col("w")).as("lw"))
         .withColumn("rk", row_number().over(wArgmax))
         .filter(col("rk") === 1)
         .select(col("a").as("node"), col("label"))
-        .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      if (semiSync) {
+        for (par <- 0 to 1) {
+          val upd = argmaxLabels(labels)
+            .withColumnRenamed("label", "new_label")
+          labels = labels.join(upd, Seq("node"), "left")
+            .withColumn("label",
+              when(pmod(xxhash64(col("node")), lit(2)) === par &&
+                col("new_label").isNotNull, col("new_label"))
+                .otherwise(col("label")))
+            .select(col("node"), col("label"))
+            .localCheckpoint()
+        }
+      } else {
+        labels = argmaxLabels(labels).localCheckpoint()
+      }
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("label"))

@@ -909,6 +909,55 @@ object Sessionize {
       .orderBy("from_type")
   }
 
+  /** Session ANOMALY scoring against the corpus' own transition LM —
+    * the events-side sibling of `text_perplexity` and the eval closure
+    * of `markov_next_event` (which reports the LM's modal accuracy;
+    * this SCORES each session under the full distribution): every
+    * session with ≥1 transition gets bits/transition =
+    * mean −log2 P(to|from), P the corpus transition probabilities, and
+    * the topN most surprising sessions surface — scripted/bot flows
+    * take rare arcs (error→purchase, purchase→purchase chains) that
+    * organic browsing almost never walks, so they rank first even when
+    * every individual event passes the row-grain quality gate.
+    *
+    * Plan: the sessionized pair frame materializes ONCE
+    * (localCheckpoint) and feeds both the LM rollup (≤|types|² rows —
+    * broadcast-joined back, never a fact-side shuffle) and the
+    * per-session aggregation; the final surface is a TakeOrdered
+    * topN, not a global sort. Self-scoring needs no smoothing: every
+    * observed pair has corpus count ≥ 1 by construction. rows-only
+    * (log2 is libm); spec pins a driver-exact recompute and the
+    * rare-arc-ranks-first property. */
+  def sessionSurprise(spark: SparkSession, dir: String, topN: Int = 100): DataFrame =
+    sessionSurpriseFrom(enriched(spark, dir), topN)
+
+  def sessionSurpriseFrom(e: DataFrame, topN: Int = 100): DataFrame = {
+    val wSess = Window.partitionBy("user_id", "session_idx")
+      .orderBy("event_epoch", "event_id")
+    val pairs = sessionized(e)
+      .withColumn("to_type", lead("event_type", 1).over(wSess))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("session_idx"),
+        col("event_type").as("from_type"), col("to_type"))
+      .localCheckpoint()
+    val lm = pairs
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("pair_count"))
+      .withColumn("from_total",
+        sum(col("pair_count")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"),
+        (col("pair_count").cast("double") / col("from_total").cast("double"))
+          .as("p"))
+    pairs
+      .join(broadcast(lm), Seq("from_type", "to_type"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_transitions"),
+        (-sum(log2(col("p"))) / count(lit(1)).cast("double"))
+          .as("bits_per_transition"))
+      .orderBy(desc("bits_per_transition"), asc("user_id"), asc("session_idx"))
+      .limit(topN)
+  }
+
   val markovNextEventSql: String = sessionizedSql +
     """, pairs AS (
       |  SELECT from_type, to_type, COUNT(*) AS pair_count

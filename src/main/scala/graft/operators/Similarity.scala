@@ -1032,6 +1032,37 @@ object Similarity {
       .orderBy("source", "topic")
   }
 
+  /** Emergent corpus clusters — weighted label propagation over the
+    * approximate kNN graph: topic/near-community discovery WITHOUT
+    * choosing k (the count emerges; k-means' nlist here only shapes
+    * the ANN index that builds the graph, not the clustering). The
+    * embedding-space sibling of `product_communities`, sharing
+    * `Graph.communitiesFrom` so the LPA semantics (symmetrized
+    * weights, deterministic ties, checkpoint-per-round) cannot drift
+    * between the two surfaces — but on the SEMI-SYNC update schedule:
+    * a kNN graph over tight clusters is full of mutual-strongest
+    * pairs, and fully-synchronous LPA swaps their labels forever (the
+    * planted-cluster spec caught exactly this oscillation).
+    * Negative cosines clamp to 0 weight (anti-similarity is absence
+    * of affinity for community purposes, not repulsion — LPA has no
+    * meaningful negative-weight semantics). Edge count is ≤ k·|V| by
+    * the kNN construction, so LPA rounds are corpus-LINEAR, never
+    * pair-quadratic. rows-only; spec pins planted-cluster recovery
+    * and determinism. */
+  def embeddingClusters(spark: SparkSession, dir: String, k: Int = 5,
+                        nProbe: Int = 2, nlist: Int = 10, iters: Int = 3,
+                        lpaIters: Int = 8): DataFrame =
+    clustersFromGraph(annKnnGraph(spark, dir, k, nProbe, nlist, iters), lpaIters)
+
+  private[graft] def clustersFromGraph(knn: DataFrame, lpaIters: Int): DataFrame =
+    Graph.communitiesFrom(
+      knn.select(col("vec_id").as("src"), col("neighbor_id").as("dst"),
+        greatest(col("similarity"), lit(0.0)).as("weight")),
+      lpaIters, semiSync = true)
+      .withColumnRenamed("product_k", "vec_id")
+      .withColumnRenamed("community", "cluster")
+      .withColumnRenamed("community_size", "cluster_size")
+
   /** Leave-one-out kNN label eval over the graph — the standard
     * embedding-quality probe a curation pipeline runs before trusting
     * vectors for dedup/sampling: if k nearest neighbors can't predict

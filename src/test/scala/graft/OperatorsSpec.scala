@@ -691,6 +691,34 @@ class SessionizeSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("session surprise: rare transition ranks first, bits match a driver recompute") {
+    import spark.implicits._
+    def sess(u: Long, start: Int, types: Seq[String]) =
+      types.zipWithIndex.map { case (t, i) =>
+        (u * 100 + i, u, f"2024-01-01 ${10 + start}%02d:${i}%02d:00", t, 1.0)
+      }
+    // four organic sessions walk view->click->purchase; user 9 walks
+    // the rare view->error->purchase arc
+    val rows = (1L to 4L).flatMap(u => sess(u, 0, Seq("view", "click", "purchase"))) ++
+      sess(9L, 0, Seq("view", "error", "purchase"))
+    val e = EventMarts.enrich(rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}")))
+    val got = Sessionize.sessionSurpriseFrom(e).collect()
+    assert(got.length == 5)
+    val top = got.head
+    assert(top.getAs[Long]("user_id") == 9L, s"rare arc must rank first: ${got.toSeq}")
+    // driver recompute: P(view->error)=1/5, P(error->purchase)=1/1;
+    // bits = (-log2(0.2) + -log2(1)) / 2
+    val expTop = (-math.log(0.2) / math.log(2.0)) / 2.0
+    assert(math.abs(top.getAs[Double]("bits_per_transition") - expTop) < 1e-12)
+    // organic sessions: (-log2(4/5) + -log2(1)) / 2, all equal
+    val expOrg = (-math.log(0.8) / math.log(2.0)) / 2.0
+    got.tail.foreach(r =>
+      assert(math.abs(r.getAs[Double]("bits_per_transition") - expOrg) < 1e-12))
+    assert(got.forall(_.getAs[Long]("n_transitions") == 2L))
+  }
+
   test("patterns aggregate to the same session total") {
     val sCount = Sessionize.sessionSequences(spark, Sf).count()
     val pSum = Sessionize.sessionPatterns(spark, Sf).agg(sum("session_count")).collect().head.getLong(0)

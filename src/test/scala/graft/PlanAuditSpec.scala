@@ -70,6 +70,9 @@ class PlanAuditSpec extends SparkSpec {
     // control rate, key-census totals) — the scalar-subquery pattern
     "purchase_intervals", "ab_test_summary", "dq_key_skew",
     "session_gap_histogram",
+    // dq_benford crosses its ≤9-row digit census with the ONE-ROW
+    // broadcast value total — the scalar-subquery pattern
+    "dq_benford",
     // value_percentiles_merged probes its ≤16-row cumulative curve
     // against the tiny percentile spec (16 × |pcts| non-equi) plus
     // the 1-row broadcast total — both intended tiny

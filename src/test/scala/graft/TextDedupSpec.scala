@@ -2164,6 +2164,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding clusters: LPA over the kNN graph recovers planted clusters, deterministic") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // full-period jitter: unique per (i, d) so no two vectors are
+    // exact twins (twin sub-cliques would be genuine sub-communities)
+    def jit(c: Int, i: Int, d: Int) =
+      (((i * 2654435761L + d * 40503L + c) % 997L) / 997.0f) * 0.05f
+    def corpus(sizes: Seq[Int]): org.apache.spark.sql.DataFrame = {
+      val bounds = sizes.scanLeft(0)(_ + _)
+      (0 until sizes.sum).map { i =>
+        val c = bounds.indexWhere(_ > i) - 1
+        val base = Array.fill(8)(0.0f)
+        base(c) = 1.0f
+        (i.toLong, base.zipWithIndex.map { case (x, d) => x + jit(c, i, d) })
+      }.toDF("vec_id", "embedding")
+    }
+    def clusters(e: org.apache.spark.sql.DataFrame, nlist: Int, k: Int) = {
+      val cents = Similarity.kmeansCentroidsFrom(e, nlist, iters = 2)
+      Similarity.clustersFromGraph(
+        Similarity.annKnnGraphWith(spark, e, cents, k = k, nProbe = 2), lpaIters = 8)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    }
+    // RECOVERY REGIME — graph dense relative to the clusters (k ≥
+    // cluster size): the partition is recovered exactly, no k given
+    // to the clustering itself
+    val dense = corpus(Seq(8, 6, 6))
+    val got = clusters(dense, nlist = 3, k = 8)
+    assert(got.size == 20)
+    def planted(bounds: Seq[Int])(id: Long) = bounds.count(_ <= id) - 1
+    val pDense = planted(Seq(0, 8, 14))(_) // bounds: 0-7, 8-13, 14-19
+    val byPlanted = got.groupBy { case (id, _) => pDense(id) }
+      .map { case (pc, m) => pc -> m.values.toSet }
+    assert(byPlanted.values.forall(_.size == 1), s"split cluster: $byPlanted")
+    assert(byPlanted.values.flatten.toSet.size == 3, s"merged clusters: $byPlanted")
+    // SPARSE REGIME — clusters much larger than k: LPA resolves
+    // sub-communities INSIDE a planted cluster (community detection
+    // at the graph's own resolution, the operator's documented
+    // semantics), but labels stay PURE — no kNN edge crosses the
+    // orthogonal clusters, so no label may span two of them
+    val sparse = clusters(corpus(Seq(30, 20, 10)), nlist = 3, k = 5)
+    val pSparse = planted(Seq(0, 30, 50))(_)
+    val byLabel = sparse.groupBy(_._2).map { case (l, m) =>
+      l -> m.keys.map(pSparse).toSet }
+    assert(byLabel.values.forall(_.size == 1), s"impure label: $byLabel")
+    // deterministic: bit-identical on rerun
+    assert(clusters(dense, nlist = 3, k = 8) == got)
+  }
+
   test("k-center coreset: planted clusters each get a center, coverage improves with k, deterministic") {
     import spark.implicits._
     import graft.operators.Similarity
