@@ -167,7 +167,19 @@ object ScaleProbe {
       // query sample linearly (no pair enumeration)
       "corpus_funnel", "session_gap_histogram", "value_histogram_daily",
       "value_percentiles_merged", "order_backlog", "nation_revenue_yoy",
-      "ann_recall_curve", "ann_mmr_diverse")
+      "ann_recall_curve", "ann_mmr_diverse",
+      // round 9: gini rides the banded prefix sum (user dimension);
+      // benford is a narrow ladder + 9-row rollup; surprise rides the
+      // sessionize exchange; entropy is a zero-shuffle narrow map over
+      // the replicated docs; fertility/pack are doc-dimension rollups;
+      // kcenter scores linearly against a fixed pool (no pair
+      // enumeration — safe on exact vector replicas).
+      // embedding_clusters is EXCLUDED with the other in-cell pair
+      // enumerators (ann_knn_graph class): exact replicas densify
+      // every kNN cell and would measure pair blow-up, not scale.
+      "user_activity_gini", "dq_benford", "session_surprise",
+      "text_entropy", "tokenizer_fertility", "pack_efficiency",
+      "sample_kcenter")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

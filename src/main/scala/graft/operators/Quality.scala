@@ -1213,18 +1213,34 @@ object Quality {
   def dqBenford(spark: SparkSession, dir: String): DataFrame =
     dqBenfordFrom(enriched(spark, dir))
 
-  private[graft] def dqBenfordFrom(e: DataFrame): DataFrame = {
+  /** First significant digit of the `cents` column — the shared
+    * ladder (batch census AND the streaming digitCounts monitor, one
+    * definition so the surfaces cannot drift). */
+  private[graft] def firstDigitCol: Column = {
     val powers = (0 to 17).map(i => BigInt(10).pow(i).toLong)
-    val digit = powers.foldLeft(lit(0L)) { (acc, p) =>
+    powers.foldLeft(lit(0L)) { (acc, p) =>
       when(col("cents") >= p, expr(s"cents DIV ${p}L")).otherwise(acc)
-    }
-    val counts = e
-      .filter(col("value").isNotNull && col("value") > 0)
-      .select(round(col("value") * lit(100)).cast("bigint").as("cents"))
-      .filter(col("cents") > 0)
-      .select(digit.cast("int").as("digit"))
-      .groupBy(col("digit"))
-      .agg(count(lit(1)).as("n_values"))
+    }.cast("int")
+  }
+
+  /** Positive-value cents projection feeding the digit ladder. */
+  private[graft] def centsOf(e: DataFrame): DataFrame = e
+    .filter(col("value").isNotNull && col("value") > 0)
+    .select(round(col("value") * lit(100)).cast("bigint").as("cents"))
+    .filter(col("cents") > 0)
+
+  private[graft] def dqBenfordFrom(e: DataFrame): DataFrame =
+    benfordCensusFromCounts(
+      centsOf(e)
+        .select(firstDigitCol.as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n_values")))
+
+  /** Conformance readout over an already-aggregated (digit, n_values)
+    * frame — shared by the batch census and the streaming-log rescore
+    * (`benfordFromLog`), so live and nightly Benford tables are the
+    * same arithmetic on different inputs. */
+  private[graft] def benfordCensusFromCounts(counts: DataFrame): DataFrame = {
     val expected = BenfordExpected.foldLeft(lit(0.0)) { case (acc, (d, x)) =>
       when(col("digit") === d, lit(x)).otherwise(acc)
     }
@@ -1237,6 +1253,22 @@ object Quality {
       .withColumn("abs_dev", abs(col("observed_share") - col("expected_share")))
       .orderBy("digit")
   }
+
+  /** Benford rescore over the streaming digit log
+    * (`EventStream.digitCounts` + `digitLogSink`): replay-safe window
+    * dedup (max per (window, digit) — an at-least-once re-append of
+    * the same finalized window cannot double-count), then the SAME
+    * census core as the batch `dq_benford`. The third live drift
+    * detector beside volume z-scores and value-bucket L1: a mid-day
+    * flattening of leading digits (fixed-price bug, scripted traffic)
+    * moves this table hours before the nightly census. */
+  def benfordFromLog(spark: SparkSession, logDir: String): DataFrame =
+    benfordCensusFromCounts(
+      spark.read.parquet(logDir)
+        .groupBy(col("window_start"), col("digit"))
+        .agg(max(col("n_values")).as("n_values"))
+        .groupBy(col("digit"))
+        .agg(sum(col("n_values")).as("n_values")))
 
   val dqBenfordSql: String = {
     val powers = (0 until 18).map(i => BigInt(10).pow(i).toString)

@@ -266,6 +266,45 @@ object EventStream {
       }
       .start()
 
+  /** Watermark-finalized per-window FIRST-DIGIT counts — the streaming
+    * half of the Benford conformance loop (`Quality.dqBenford`'s live
+    * sibling; the third drift detector beside volumeCounts' traffic
+    * z-scores and valueBucketCounts' distribution L1). The digit is
+    * the SAME `Quality.firstDigitCol` integer-DIV ladder the batch
+    * census uses (one definition, no drift); state is O(windows × 9
+    * digits), watermark-evicted. */
+  def digitCounts(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events.filter(col("value").isNotNull && col("value") > 0)
+      .withColumn("cents", round(col("value") * lit(100)).cast("bigint"))
+      .filter(col("cents") > 0)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen),
+        graft.operators.Quality.firstDigitCol.as("digit"))
+      .agg(count(lit(1)).as("n_values"))
+
+  /** foreachBatch sink appending finalized digit windows to a tiny
+    * parquet log (idempotent per batch via the batch_id partition,
+    * the volumeLogSink pattern); `Quality.benfordFromLog` rescores it
+    * with the batch census' own arithmetic on the alerting cadence. */
+  def digitLogSink(counts: DataFrame, logDir: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch.select(
+              col("window.start").as("window_start"),
+              col("digit"), col("n_values"))
+            .withColumn("run_date", to_date(col("window_start")))
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.MartSink.writePartitioned(rows, logDir, Seq("run_date", "batch_id"))
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream interval self-join: attribute each purchase to the
     * same user's views in the preceding hour. Both sides carry a
     * watermark and the join condition bounds event-time distance, so

@@ -432,6 +432,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming digit log: benford rescore equals the batch census, replay double-counts nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // mixed leading digits across two hours + zero/negative drops;
+    // far-future sentinel finalizes the real windows
+    var id = 0L
+    def ev(hour: Int, v: Double) = {
+      id += 1
+      (id, new java.sql.Timestamp(base.getTime + hour * 3600000L + id * 1000L),
+        id % 5, "purchase", v, "{}")
+    }
+    val rows = Seq(ev(0, 1.23), ev(0, 17.0), ev(0, 92.5), ev(1, 1.0),
+      ev(1, 250.0), ev(1, 3.99), ev(1, 0.0), ev(1, -4.0)) :+ ev(30, 55.0)
+    mem.addData(rows: _*)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val log = java.nio.file.Files.createTempDirectory("graft_blog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bckpt").toString
+    val q = EventStream.digitLogSink(
+      EventStream.digitCounts(df, watermark = "1 hour"), log, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def census(df2: org.apache.spark.sql.DataFrame) = df2.collect()
+      .map(r => r.getAs[Int]("digit") ->
+        ((r.getAs[Long]("n_values"), r.getAs[Double]("observed_share"),
+          r.getAs[Double]("expected_share"), r.getAs[Double]("abs_dev")))).toMap
+    val fromLog = census(operators.Quality.benfordFromLog(spark, log))
+    // batch census over the SAME finalized rows (sentinel's window
+    // never finalizes — excluded on both sides)
+    import spark.implicits._
+    val batch = census(operators.Quality.dqBenfordFrom(
+      operators.EventMarts.enrich(rows.init.map(t => (t._1, t._2, t._3, t._4, t._5, t._6))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))))
+    assert(fromLog.nonEmpty && fromLog == batch,
+      s"stream-rescored benford diverges: $fromLog vs $batch")
+    assert(fromLog.keySet == Set(1, 2, 3, 9)) // 1.23,17,1.0,3.99 → 1,1,1,3; 92.5→9; 250→2
+    // an at-least-once replay of the same finalized windows (fresh
+    // stream+checkpoint, same data) appends rows, but the rescore's
+    // window dedup keeps counts identical
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    mem2.addData(rows: _*)
+    val q2 = EventStream.digitLogSink(
+      EventStream.digitCounts(
+        mem2.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        watermark = "1 hour"),
+      log, java.nio.file.Files.createTempDirectory("graft_bckpt2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    spark.catalog.refreshByPath(log)
+    assert(census(operators.Quality.benfordFromLog(spark, log)) == batch)
+  }
+
   test("streaming value log + batch rescore flags an injected unit shift") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
