@@ -188,9 +188,13 @@ object ScaleProbe {
     // warm both scan paths + codegen once
     Tables.events(spark, small).groupBy("event_type").count().write.format("noop").mode("overwrite").save()
     Tables.events(spark, big).groupBy("event_type").count().write.format("noop").mode("overwrite").save()
+    // --only=a,b,c restricts the headline leg to the named queries
+    // (iteration aid, mirrors graft.Bench's named-query args)
+    val only = flags.find(_.startsWith("--only="))
+      .map(_.stripPrefix("--only=").split(",").toSet)
     if (!flags.contains("--deep-only") && !flags.contains("--composed-only") &&
         !flags.contains("--partition-ab"))
-      headline.foreach { name =>
+      headline.filter(n => only.forall(_.contains(n))).foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min
         println("{\"query\":\"" + name + "\",\"sf01_sec\":" + f"$s%.3f" +

@@ -248,7 +248,10 @@ object Basket {
       pct("monetary_dec", "mq"))
   }
 
-  def rfmSegmentsFrom(orders: DataFrame, approx: Boolean = false): DataFrame = {
+  /** Per-customer RFM scores relative to the GIVEN order frame's own
+    * quintiles (period-relative scoring — the helper both the static
+    * grid and the transition matrix build on). */
+  private[graft] def rfmScoredFrom(orders: DataFrame, approx: Boolean = false): DataFrame = {
     val users = rfmUsers(orders)
     val th = rfmThresholds(users, approx)
     def above(v: Column, q: String): Column =
@@ -259,10 +262,118 @@ object Basket {
         (lit(5) - above(col("recency_days").cast("double"), "rq")).cast("int").as("r_score"),
         (lit(1) + above(col("frequency").cast("double"), "fq")).cast("int").as("f_score"),
         (lit(1) + above(col("monetary_dec").cast("double"), "mq")).cast("int").as("m_score"))
+  }
+
+  def rfmSegmentsFrom(orders: DataFrame, approx: Boolean = false): DataFrame =
+    rfmScoredFrom(orders, approx)
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("customers"),
         sum(col("monetary_dec")).cast("double").as("segment_revenue"))
       .orderBy("r_score", "f_score", "m_score")
+
+  /** Value tier from the three scores — coarse enough that the
+    * transition matrix stays readable (3×3 + the new/churned arms,
+    * not 125×125). Shared between the Scala path and the oracle by
+    * construction: pure integer comparisons. */
+  private def tierCol: Column =
+    when(col("r_score") + col("f_score") + col("m_score") >= 12, "high")
+      .when(col("r_score") + col("f_score") + col("m_score") >= 8, "mid")
+      .otherwise("low")
+
+  /** RFM segment MIGRATION matrix — the dynamics the static
+    * `rfm_segments` grid cannot show: split the order history at the
+    * midpoint of its date range, score each half against its OWN
+    * quintiles (RFM is period-relative by definition — re-using the
+    * first half's thresholds would conflate segment drift with
+    * corpus growth), and cross-tabulate each customer's value tier
+    * across the halves. Customers absent from a half take the `new` /
+    * `churned` arms, so the matrix row/column sums conserve the
+    * customer census of each half — the spec-pinned invariant.
+    *
+    * Plan shape: two instantiations of the shared scoring core (each
+    * one customer-grain shuffle + 1-row broadcast thresholds), one
+    * customer-grain full-outer join, a ≤(4×4)-row rollup and a 1-row
+    * broadcast total. Oracle-green: scores are integer comparisons
+    * against exact `percentile` thresholds (the rfm_segments
+    * machinery), the cutoff is integer date arithmetic, and the one
+    * division at the end is IEEE-exact on longs. */
+  def rfmTransitions(spark: SparkSession, dir: String): DataFrame =
+    rfmTransitionsFrom(Tables.orders(spark, dir))
+
+  def rfmTransitionsFrom(orders: DataFrame): DataFrame = {
+    val o = orders.filter(col("o_orderdate").isNotNull)
+    val bounds = o.agg(min(col("o_orderdate")).as("d0"), max(col("o_orderdate")).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))").as("cutoff"))
+    val withCutoff = o.join(broadcast(bounds))
+    val early = rfmScoredFrom(withCutoff.filter(col("o_orderdate") <= col("cutoff")))
+      .select(col("o_custkey"), tierCol.as("from_tier"))
+    val late = rfmScoredFrom(withCutoff.filter(col("o_orderdate") > col("cutoff")))
+      .select(col("o_custkey"), tierCol.as("to_tier"))
+    val matrix = early.join(late, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("from_tier"), lit("new")).as("from_tier"),
+        coalesce(col("to_tier"), lit("churned")).as("to_tier"))
+      .groupBy(col("from_tier"), col("to_tier"))
+      .agg(count(lit(1)).as("customers"))
+    val total = matrix.agg(sum(col("customers")).as("total_customers"))
+    matrix.crossJoin(broadcast(total))
+      .select(col("from_tier"), col("to_tier"), col("customers"),
+        (col("customers").cast("double") / col("total_customers").cast("double"))
+          .as("share"))
+      .orderBy("from_tier", "to_tier")
+  }
+
+  val rfmTransitionsSql: String = {
+    def above(v: String, q: String) = (1 to 4)
+      .map(i => s"(CASE WHEN CAST($v AS DOUBLE) > $q[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def half(src: String) =
+      s"""u$src AS (
+         |  SELECT o_custkey,
+         |    DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+         |      (SELECT CAST(MAX(o_orderdate) AS DATE) FROM $src)) AS recency_days,
+         |    COUNT(*) AS frequency,
+         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+         |  FROM $src GROUP BY o_custkey
+         |), t$src AS (
+         |  SELECT quantile_cont(CAST(recency_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rq,
+         |         quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fq,
+         |         quantile_cont(CAST(monetary_dec AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mq
+         |  FROM u$src
+         |), tier$src AS (
+         |  SELECT o_custkey,
+         |    CASE WHEN (5 - (${above("recency_days", "rq")}))
+         |            + (1 + (${above("frequency", "fq")}))
+         |            + (1 + (${above("monetary_dec", "mq")})) >= 12 THEN 'high'
+         |         WHEN (5 - (${above("recency_days", "rq")}))
+         |            + (1 + (${above("frequency", "fq")}))
+         |            + (1 + (${above("monetary_dec", "mq")})) >= 8 THEN 'mid'
+         |         ELSE 'low' END AS tier
+         |  FROM u$src, t$src
+         |)""".stripMargin
+    s"""WITH o0 AS (
+       |  SELECT * FROM orders WHERE o_orderdate IS NOT NULL
+       |), cut AS (
+       |  SELECT MIN(CAST(o_orderdate AS DATE)) +
+       |    CAST(DATE_DIFF('day', MIN(CAST(o_orderdate AS DATE)),
+       |      MAX(CAST(o_orderdate AS DATE))) // 2 AS INT) AS cutoff
+       |  FROM o0
+       |), oe AS (
+       |  SELECT o0.* FROM o0, cut WHERE CAST(o_orderdate AS DATE) <= cutoff
+       |), ol AS (
+       |  SELECT o0.* FROM o0, cut WHERE CAST(o_orderdate AS DATE) > cutoff
+       |), ${half("oe")},
+       |${half("ol")},
+       |m AS (
+       |  SELECT COALESCE(tieroe.tier, 'new') AS from_tier,
+       |    COALESCE(tierol.tier, 'churned') AS to_tier,
+       |    CAST(COUNT(*) AS BIGINT) AS customers
+       |  FROM tieroe FULL OUTER JOIN tierol USING (o_custkey)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT from_tier, to_tier, customers,
+       |  CAST(customers AS DOUBLE) /
+       |    CAST((SELECT SUM(customers) FROM m) AS DOUBLE) AS share
+       |FROM m ORDER BY from_tier, to_tier""".stripMargin
   }
 
   val rfmSegmentsSql: String =

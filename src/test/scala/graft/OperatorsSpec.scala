@@ -337,6 +337,44 @@ class BasketSpec extends SparkSpec {
       ((r.getAs[Long]("customers"), r.getAs[Double]("segment_revenue")))).toMap
     assert(got == (1 to 5).map(k => (k, k, k) -> ((1L, 100.0 * k))).toMap)
   }
+
+  test("RFM transitions: planted halves pin the exact matrix; sf census conserves") {
+    import spark.implicits._
+    // date span 2024-01-01..2024-01-10 → cutoff = Jan 1 + (9 DIV 2) =
+    // Jan 5. Uniform customers score (5,1,1) → tier 'low' on both
+    // sides, so the matrix is driven purely by membership:
+    // early {1,2,3,4}, late {3,4,5,6} → (low,low)=2 retained,
+    // (low,churned)=2, (new,low)=2
+    def o(ck: Long, d: String) = (ck, d, 100.0)
+    val orders = Seq(
+      o(1, "2024-01-01"), o(2, "2024-01-02"), o(3, "2024-01-03"), o(4, "2024-01-05"),
+      o(3, "2024-01-06"), o(4, "2024-01-07"), o(5, "2024-01-09"), o(6, "2024-01-10"))
+      .toDF("o_custkey", "od", "o_totalprice")
+      .select(col("o_custkey"), col("od").cast("timestamp").as("o_orderdate"),
+        col("o_totalprice"))
+    val got = operators.Basket.rfmTransitionsFrom(orders).collect()
+      .map(r => (r.getAs[String]("from_tier"), r.getAs[String]("to_tier")) ->
+        ((r.getAs[Long]("customers"), r.getAs[Double]("share")))).toMap
+    assert(got == Map(
+      ("low", "low") -> ((2L, 2.0 / 6.0)),
+      ("low", "churned") -> ((2L, 2.0 / 6.0)),
+      ("new", "low") -> ((2L, 2.0 / 6.0))), s"got $got")
+    // sf invariants: every customer appears exactly once in the
+    // matrix (row sums conserve the overall census), churned rows
+    // only come FROM real tiers, new rows only go TO real tiers
+    val sf = operators.Basket.rfmTransitions(spark, Sf).collect()
+    val totalCustomers = Tables.orders(spark, Sf)
+      .filter(col("o_orderdate").isNotNull)
+      .select("o_custkey").distinct().count()
+    assert(sf.map(_.getAs[Long]("customers")).sum == totalCustomers)
+    assert(math.abs(sf.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    sf.foreach { r =>
+      assert(r.getAs[String]("from_tier") != "churned" &&
+        r.getAs[String]("to_tier") != "new")
+      assert(!(r.getAs[String]("from_tier") == "new" &&
+        r.getAs[String]("to_tier") == "churned"))
+    }
+  }
 }
 
 class BucketingSpec extends SparkSpec {
