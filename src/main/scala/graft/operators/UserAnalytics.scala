@@ -259,6 +259,86 @@ object UserAnalytics {
       .orderBy("dow", "event_hour")
   }
 
+  /** Seasonal-naive next-day hourly forecast — the ACTION side of
+    * `traffic_seasonality` (the baseline says what a normal Tuesday
+    * 3pm looks like; this says what TOMORROW 3pm should bring, the
+    * number capacity planning and alert thresholds actually consume):
+    * predicted(hour) = hour-of-week baseline mean × recent LEVEL, the
+    * level being the last-7-calendar-day event rate against the
+    * corpus-wide daily rate — so a traffic ramp scales every hour's
+    * forecast while the weekly SHAPE stays the baseline's. Exact
+    * integer counts end-to-end; level and prediction are the only
+    * IEEE divisions (products grouped long-first so both engines see
+    * identical integers) — oracle-green. ≤24 output rows; everything
+    * after the one fact rollup is broadcast scalar algebra. */
+  def trafficForecast(spark: SparkSession, dir: String): DataFrame =
+    trafficForecastFrom(enriched(spark, dir))
+
+  def trafficForecastFrom(e: DataFrame): DataFrame = {
+    val typed = e.filter(col("ts").isNotNull)
+      .select(col("event_date"), dayofweek(col("event_date")).as("dow"),
+        hour(col("ts")).as("event_hour"))
+      .localCheckpoint() // feeds bounds, recent level, and the baseline
+    val bounds = typed.agg(max(col("event_date")).as("last_date"),
+      countDistinct(col("event_date")).as("n_dates"),
+      count(lit(1)).as("all_events"))
+    val recent = typed.join(broadcast(bounds))
+      .filter(datediff(col("last_date"), col("event_date")) < 7)
+      .agg(count(lit(1)).as("recent_events"))
+    val dowDays = typed.select(col("event_date"), col("dow")).distinct()
+      .groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
+    val baseline = typed
+      .groupBy(col("dow"), col("event_hour"))
+      .agg(count(lit(1)).as("total_events"))
+      .join(broadcast(dowDays), "dow")
+    baseline
+      .crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(recent))
+      .withColumn("forecast_date", date_add(col("last_date"), 1))
+      .filter(col("dow") === dayofweek(col("forecast_date")))
+      .withColumn("baseline_mean",
+        col("total_events").cast("double") / col("n_days").cast("double"))
+      .withColumn("level",
+        (col("recent_events") * col("n_dates")).cast("double") /
+          (col("all_events") * lit(7L)).cast("double"))
+      .select(col("forecast_date"), col("event_hour"), col("dow"),
+        col("baseline_mean"), col("level"),
+        (col("baseline_mean") * col("level")).as("predicted_events"))
+      .orderBy("event_hour")
+  }
+
+  val trafficForecastSql: String =
+    """WITH typed AS (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    CAST(EXTRACT(dow FROM CAST(ts AS DATE)) AS INT) + 1 AS dow,
+      |    CAST(EXTRACT(hour FROM ts) AS INT) AS event_hour
+      |  FROM events WHERE ts IS NOT NULL
+      |), b AS (
+      |  SELECT MAX(event_date) AS last_date,
+      |    CAST(COUNT(DISTINCT event_date) AS BIGINT) AS n_dates,
+      |    CAST(COUNT(*) AS BIGINT) AS all_events
+      |  FROM typed
+      |), r AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS recent_events
+      |  FROM typed, b WHERE DATE_DIFF('day', event_date, last_date) < 7
+      |), dd AS (
+      |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days FROM
+      |    (SELECT DISTINCT event_date, dow FROM typed) d GROUP BY dow
+      |), base AS (
+      |  SELECT dow, event_hour, CAST(COUNT(*) AS BIGINT) AS total_events
+      |  FROM typed GROUP BY dow, event_hour
+      |)
+      |SELECT CAST(last_date + 1 AS DATE) AS forecast_date, event_hour, dow,
+      |  CAST(total_events AS DOUBLE) / CAST(n_days AS DOUBLE) AS baseline_mean,
+      |  CAST(recent_events * n_dates AS DOUBLE) /
+      |    CAST(all_events * 7 AS DOUBLE) AS level,
+      |  (CAST(total_events AS DOUBLE) / CAST(n_days AS DOUBLE)) *
+      |    (CAST(recent_events * n_dates AS DOUBLE) /
+      |     CAST(all_events * 7 AS DOUBLE)) AS predicted_events
+      |FROM base JOIN dd USING (dow), b, r
+      |WHERE dow = CAST(EXTRACT(dow FROM CAST(last_date + 1 AS DATE)) AS INT) + 1
+      |ORDER BY event_hour""".stripMargin
+
   val trafficSeasonalitySql: String =
     """WITH typed AS (
       |  SELECT CAST(ts AS DATE) AS event_date,

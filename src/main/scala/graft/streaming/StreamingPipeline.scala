@@ -138,11 +138,19 @@ object StreamingPipeline {
   /** Standalone runner: `runMain graft.streaming.StreamingPipeline
     * <jsonlInDir> <outDir>` — starts the three sinks and blocks. */
   def main(args: Array[String]): Unit = {
-    val inDir = if (args.nonEmpty) args(0) else "/tmp/graft_stream_in"
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_stream_out"
+    val flags = args.filter(_.startsWith("--"))
+    val pos = args.filterNot(_.startsWith("--"))
+    val inDir = if (pos.nonEmpty) pos(0) else "/tmp/graft_stream_in"
+    val outDir = if (pos.length > 1) pos(1) else "/tmp/graft_stream_out"
     val spark = graft.GraftSession.get()
-    val queries = start(spark, inDir, outDir)
-    println(s"streaming pipeline up: ${queries.map(_.name).mkString(", ")} -> $outDir")
+    // --routed gates the live marts through the session quality
+    // router (clean-session marts, the streaming quarantine mode);
+    // the default maintains marts on the raw deduped stream
+    val queries =
+      if (flags.contains("--routed")) startRouted(spark, inDir, outDir)
+      else start(spark, inDir, outDir)
+    println(s"streaming pipeline up (${if (flags.contains("--routed")) "routed" else "raw"}): " +
+      s"${queries.map(_.name).mkString(", ")} -> $outDir")
     queries.foreach(_.awaitTermination())
   }
 }

@@ -226,6 +226,30 @@ class UserAnalyticsSpec extends SparkSpec {
     assert(again == got.view.mapValues(_.getAs[Long]("n_users")).toMap)
   }
 
+  test("traffic forecast: planted weeks pin baseline x level exactly") {
+    // Mondays Jan 1 / Jan 8, Sunday Jan 14 (last date) → forecast for
+    // Mon Jan 15. Mon-10h baseline: (2+4)/2 = 3; Mon-12h: 2/2 = 1.
+    // level = recent-7d (Jan 8..14: 6+3=9) vs daily rate (11 events /
+    // 3 dates) over 7 days: 9*3/(11*7) = 27/77.
+    var id = 0L
+    def at(d: String, h: Int, n: Int) = (0 until n).map { i =>
+      id += 1; (id, id, f"$d $h%02d:0$i:00", "view", 1.0)
+    }
+    val e = ev(at("2024-01-01", 10, 2) ++ at("2024-01-08", 10, 4) ++
+      at("2024-01-08", 12, 2) ++ at("2024-01-14", 9, 3))
+    val got = UserAnalytics.trafficForecastFrom(e).collect()
+    assert(got.length == 2, s"expected Mon hours 10 and 12: ${got.toSeq}")
+    val byHour = got.map(r => r.getAs[Int]("event_hour") ->
+      ((r.getAs[Double]("baseline_mean"), r.getAs[Double]("level"),
+        r.getAs[Double]("predicted_events")))).toMap
+    val level = 9.0 * 3.0 / (11.0 * 7.0)
+    assert(byHour(10)._1 == 3.0 && byHour(12)._1 == 1.0)
+    assert(math.abs(byHour(10)._2 - level) < 1e-15)
+    assert(math.abs(byHour(10)._3 - 3.0 * level) < 1e-15)
+    assert(math.abs(byHour(12)._3 - 1.0 * level) < 1e-15)
+    got.foreach(r => assert(r.getAs[java.sql.Date]("forecast_date").toString == "2024-01-15"))
+  }
+
   test("user activity gini: closed forms, banded == one global window, sf sanity") {
     def gini(rows: Seq[(Long, Long, String, String, Double)]): Double =
       UserAnalytics.userActivityGiniFrom(ev(rows)).collect().head.getAs[Double]("gini")
