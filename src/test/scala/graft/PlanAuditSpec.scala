@@ -73,6 +73,10 @@ class PlanAuditSpec extends SparkSpec {
     // dq_benford crosses its ≤9-row digit census with the ONE-ROW
     // broadcast value total — the scalar-subquery pattern
     "dq_benford",
+    // rfm_transitions broadcasts the 1-row cutoff + each half's 1-row
+    // thresholds + the 1-row matrix total; traffic_forecast broadcasts
+    // the 1-row bounds/recent-level scalars into its ≤24-row frame
+    "rfm_transitions", "traffic_forecast",
     // value_percentiles_merged probes its ≤16-row cumulative curve
     // against the tiny percentile spec (16 × |pcts| non-equi) plus
     // the 1-row broadcast total — both intended tiny
