@@ -193,7 +193,7 @@ object ScaleProbe {
     val only = flags.find(_.startsWith("--only="))
       .map(_.stripPrefix("--only=").split(",").toSet)
     if (!flags.contains("--deep-only") && !flags.contains("--composed-only") &&
-        !flags.contains("--partition-ab"))
+        !flags.contains("--partition-ab") && !flags.contains("--kmeans-init-ab"))
       headline.filter(n => only.forall(_.contains(n))).foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min
@@ -223,8 +223,12 @@ object ScaleProbe {
         // continuation additions: the bigram LM (vocabulary grows
         // ~100× under suffixed replicas — its honest axis) and the
         // triangle census (degree-bounded wedges on the denser graph)
-        "text_perplexity_bigram", "coview_triangles")
-      steepest.foreach { name =>
+        "text_perplexity_bigram", "coview_triangles",
+        // round 9: the steepest new addition (1.67 at 10×) — rides
+        // the sessionize exchange, so the deep leg tests whether the
+        // LM join stays vocab-dimension as sessions multiply
+        "session_surprise")
+      steepest.filter(n => only.forall(_.contains(n))).foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min
         val d = (1 to 2).map(_ => run(name, deep)).min
@@ -248,7 +252,9 @@ object ScaleProbe {
     if (flags.contains("--partition-ab")) {
       buildCorpus(deep, 100)
       val legs = Seq((small, 32, "sf01"), (big, 128, "sf1"), (deep, 512, "sf10"))
-      for (name <- Seq("text_perplexity_bigram", "clean_dup_spans")) {
+      val abQueries = only.map(_.toSeq.sorted)
+        .getOrElse(Seq("text_perplexity_bigram", "clean_dup_spans"))
+      for (name <- abQueries) {
         val readings = legs.map { case (dir, scaled, tag) =>
           def at(parts: Int): Double = {
             System.err.println(s"[partition-ab] $name $tag parts=$parts")
@@ -267,6 +273,45 @@ object ScaleProbe {
         println("{\"query\":\"" + name + "\"," + parts +
           ",\"f100_fixed\":" + f"$f100Fixed%.2f" +
           ",\"f100_scaled\":" + f"$f100Scaled%.2f" + "}")
+        System.out.flush()
+      }
+    }
+
+    // ---- k-means seeding A/B (--kmeans-init-ab): hash-sample seeds
+    // vs Gonzalez k-center picks (SURVEY §7o #6) — same Lloyd rounds,
+    // different starting spread. Read: lower mean cosine distance to
+    // the assigned centroid (cohesion) and a flatter max/mean cell
+    // occupancy both mean better-shaped IVF cells for the same
+    // training cost.
+    if (flags.contains("--kmeans-init-ab")) {
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      def centStats(cents: Seq[(Int, Array[Float])],
+                    e: org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val centArr = array(cents.map { case (cell, vec) =>
+          struct(lit(cell).as("cell"), array(vec.toIndexedSeq.map(lit(_)): _*).as("vec"))
+        }: _*)
+        val best = element_at(array_sort(transform(centArr, c => struct(
+          (-call_function("cosine_sim", col("embedding"), c.getField("vec"))).as("neg"),
+          c.getField("cell").as("cell")))), 1)
+        val df = e.select(best.getField("cell").as("cell"),
+          (-best.getField("neg")).as("sim"))
+        val coh = df.agg(avg(lit(1.0) - col("sim"))).collect().head.getDouble(0)
+        val occ = df.groupBy("cell").count()
+          .agg(max("count").cast("double"), avg("count")).collect().head
+        (coh, occ.getDouble(0) / occ.getDouble(1))
+      }
+      for ((dir, tag) <- Seq((small, "sf01"), (big, "sf1"));
+           init <- Seq("hash", "kcenter")) {
+        val e = Tables.embeddings(spark, dir)
+        val t0 = System.nanoTime()
+        val cents = operators.Similarity.kmeansCentroidsFrom(e, nlist = 10,
+          iters = 3, init = init)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        val (coh, imb) = centStats(cents, e)
+        println("{\"probe\":\"kmeans_init\",\"dir\":\"" + tag +
+          "\",\"init\":\"" + init + "\",\"cohesion\":" + f"$coh%.6f" +
+          ",\"occ_imbalance\":" + f"$imb%.3f" +
+          ",\"train_sec\":" + f"$trainSec%.2f" + "}")
         System.out.flush()
       }
     }

@@ -248,7 +248,8 @@ object Similarity {
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), nlist, iters)
 
   private[graft] def kmeansCentroidsFrom(e0: DataFrame, nlist: Int,
-                                         iters: Int): Seq[(Int, Array[Float])] = {
+                                         iters: Int,
+                                         init: String = "hash"): Seq[(Int, Array[Float])] = {
     graft.functions.GraftFunctions.ensureRegistered(e0.sparkSession)
     // every Lloyd iteration re-reads the corpus projection — persist it
     // once for the training loop (at scale this cache is what makes an
@@ -256,12 +257,20 @@ object Similarity {
     val e = e0.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // deterministic seeding: the nlist rows with smallest hashed id
-      var cents: Seq[(Int, Array[Float])] = e
-        .withColumn("h", xxhash64(col("vec_id")))
-        .orderBy("h", "vec_id").limit(nlist)
-        .collect().toSeq.zipWithIndex.map { case (r, i) =>
-          i -> r.getSeq[Float](r.fieldIndex("embedding")).toArray }
+      // deterministic seeding. "hash": the nlist smallest-hashed rows
+      // (a uniform sample — can seed two near-twins as separate cells).
+      // "kcenter": Gonzalez farthest-point picks over a hash-ordered
+      // pool (the sample_kcenter greedy, shared) — maximally-spread
+      // seeds, the deterministic cousin of k-means++'s D² weighting.
+      var cents: Seq[(Int, Array[Float])] =
+        if (init == "kcenter")
+          kcenterPicks(hashOrderedPool(e, math.max(256, nlist * 8)), nlist)
+            .zipWithIndex.map { case ((_, v), i) => i -> v }
+        else e
+          .withColumn("h", xxhash64(col("vec_id")))
+          .orderBy("h", "vec_id").limit(nlist)
+          .collect().toSeq.zipWithIndex.map { case (r, i) =>
+            i -> r.getSeq[Float](r.fieldIndex("embedding")).toArray }
       var it = 0
       while (it < iters) {
         val means = e
@@ -1492,29 +1501,36 @@ object Similarity {
                     poolSize: Int = 256): DataFrame =
     sampleKcenterFrom(graft.Tables.embeddings(spark, dir), k, poolSize)
 
-  def sampleKcenterFrom(e0: DataFrame, k: Int, poolSize: Int = 256): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(e0.sparkSession)
-    val e = e0.select(col("vec_id"), col("embedding"))
-    val pool = e.withColumn("h", xxhash64(col("vec_id")))
+  /** Deterministic hash-ordered candidate pool (TakeOrdered — no
+    * global sort), collected for driver-side greedy selection. */
+  private def hashOrderedPool(e: DataFrame, poolSize: Int): Array[(Long, Array[Float])] =
+    e.select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h", "vec_id").limit(poolSize)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    require(pool.nonEmpty, "sampleKcenter: empty embeddings input")
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+
+  private def cosDriver(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
     }
-    // Gonzalez greedy over the pool: seed = first hash-ordered row,
-    // then repeatedly take the point FARTHEST from its nearest
-    // selected center (strict > keeps ties at the earliest index)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Gonzalez greedy over a pool: seed = first row, then repeatedly
+    * take the point FARTHEST (cosine distance) from its nearest
+    * selected center; strict > keeps ties at the earliest index —
+    * bit-reproducible. Shared by `sample_kcenter` and the k-center
+    * k-means seeding (`kmeansCentroidsFrom(init = "kcenter")`). */
+  private[graft] def kcenterPicks(pool: Array[(Long, Array[Float])],
+                                  k: Int): Seq[(Long, Array[Float])] = {
+    require(pool.nonEmpty, "kcenterPicks: empty pool")
     val kk = math.min(k, pool.length)
     val selected = scala.collection.mutable.ArrayBuffer(pool.head)
     val minDist = scala.collection.mutable.ArrayBuffer.tabulate(pool.length)(
-      i => 1.0 - cos(pool(i)._2, pool.head._2))
+      i => 1.0 - cosDriver(pool(i)._2, pool.head._2))
     while (selected.length < kk) {
       var best = 0; var bd = -1.0
       var i = 0
@@ -1526,11 +1542,20 @@ object Similarity {
       selected += c
       i = 0
       while (i < pool.length) {
-        val d = 1.0 - cos(pool(i)._2, c._2)
+        val d = 1.0 - cosDriver(pool(i)._2, c._2)
         if (d < minDist(i)) minDist(i) = d
         i += 1
       }
     }
+    selected.toSeq
+  }
+
+  def sampleKcenterFrom(e0: DataFrame, k: Int, poolSize: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(e0.sparkSession)
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val pool = hashOrderedPool(e, poolSize)
+    require(pool.nonEmpty, "sampleKcenter: empty embeddings input")
+    val selected = scala.collection.mutable.ArrayBuffer(kcenterPicks(pool, k): _*)
     // corpus-sized census: nearest-center assignment as a literal fold
     val centArr = array(selected.toSeq.zipWithIndex.map { case ((_, vec), i) =>
       struct(lit(i).as("c"), array(vec.toIndexedSeq.map(lit(_)): _*).as("vec"))

@@ -2242,6 +2242,17 @@ class SimilaritySpec extends SparkSpec {
     assert(k3.map(_.toString).toSeq == again.map(_.toString).toSeq)
     val ids = vecs.map(_._1).toSet
     k3.foreach(r => assert(ids.contains(r.getAs[Long]("center_vec_id"))))
+    // the shared greedy also seeds k-means: kcenter init yields nlist
+    // distinct deterministic centroids with seeds spread across the
+    // planted clusters (one per cluster at k=3)
+    val seeded = Similarity.kmeansCentroidsFrom(e, nlist = 3, iters = 1,
+      init = "kcenter")
+    assert(seeded.map(_._1).toSet == Set(0, 1, 2))
+    assert(seeded.map { case (c, v) => (c, v.toSeq) } ==
+      Similarity.kmeansCentroidsFrom(e, nlist = 3, iters = 1, init = "kcenter")
+        .map { case (c, v) => (c, v.toSeq) })
+    val axes = seeded.map { case (_, v) => v.indexOf(v.max) }.toSet
+    assert(axes.size == 3, s"kcenter seeds must spread across clusters: $axes")
   }
 }
 
