@@ -252,4 +252,95 @@ object CorpusPipeline {
       ()
     }
   }
+
+  // ---- corpus backfill planner — the documents-side sibling of
+  // Pipeline.planBackfill/backfill: which ingest BATCHES (hive-style
+  // `batch=<id>` subdirs of the ingest dir) were never absorbed, and
+  // which changed after absorption (late/re-delivered documents).
+
+  /** `stale` is the actionable list; `vanished` batches are reported,
+    * never re-ingested (their absorbed survivors stay — removing them
+    * is an erasure decision, not an ingest side effect). */
+  final case class CorpusBackfillPlan(neverIngested: Seq[String],
+                                      changed: Seq[String],
+                                      vanished: Seq[String]) {
+    def stale: Seq[String] = (neverIngested ++ changed).sorted
+  }
+
+  /** Per-batch content state: row count + order-independent xor
+    * fingerprint (the Pipeline.datesState pair, on documents). One
+    * partition-discovering read of the whole ingest dir — the `batch`
+    * column comes from the directory layout, so the census is one
+    * map-combined aggregation, never a per-batch job loop. */
+  private def ingestState(spark: SparkSession, ingestDir: String): DataFrame =
+    spark.read.parquet(ingestDir)
+      .groupBy(col("batch").cast("string").as("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("fingerprint"))
+
+  private def readIngestManifest(spark: SparkSession, manifestDir: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(manifestDir).exists())
+      spark.read.parquet(manifestDir)
+        .select(col("batch").cast("string"), col("n_docs"),
+          col("fingerprint"), col("revision"))
+    else Seq.empty[(String, Long, Long, Int)]
+      .toDF("batch", "n_docs", "fingerprint", "revision")
+  }
+
+  def planCorpusBackfill(spark: SparkSession, ingestDir: String,
+                         manifestDir: String): CorpusBackfillPlan = {
+    val cur = ingestState(spark, ingestDir)
+      .withColumnRenamed("n_docs", "cur_n").withColumnRenamed("fingerprint", "cur_fp")
+    val man = readIngestManifest(spark, manifestDir)
+      .withColumnRenamed("n_docs", "man_n").withColumnRenamed("fingerprint", "man_fp")
+    val joined = cur.join(man, Seq("batch"), "full_outer")
+      .select(col("batch"), col("cur_n"), col("cur_fp"), col("man_n"), col("man_fp"))
+      .collect()
+    CorpusBackfillPlan(
+      joined.filter(r => r.isNullAt(3)).map(_.getString(0)).sorted.toSeq,
+      joined.filter(r => !r.isNullAt(1) && !r.isNullAt(3) &&
+        (r.getLong(1) != r.getLong(3) || r.getLong(2) != r.getLong(4)))
+        .map(_.getString(0)).sorted.toSeq,
+      joined.filter(r => r.isNullAt(1) && !r.isNullAt(3)).map(_.getString(0)).sorted.toSeq)
+  }
+
+  /** Plan + absorb + stamp. A CHANGED batch re-ingests under a
+    * REVISION-SUFFIXED id (`<batch>_r<n>`): the incremental writer's
+    * dynamic overwrite replaces exactly the partitions it writes, so
+    * re-landing a changed batch under its ORIGINAL id would clobber
+    * the batch's previously-absorbed survivors with only the delta —
+    * the revision id makes each absorption append-only while the
+    * exact/near-dup anti-joins still guarantee only genuinely new
+    * content lands. An identical replay ships zero rows (absorbed),
+    * and the manifest row (keyed by the SOURCE batch id) advances its
+    * fingerprint + revision only after the ingest returns. */
+  def corpusBackfill(spark: SparkSession, ingestDir: String, outDir: String,
+                     manifestDir: String,
+                     minQuality: Double = 0.5,
+                     langs: Seq[String] = Seq("en", "es", "de", "fr"),
+                     estThreshold: Double = 0.4):
+      (CorpusBackfillPlan, Seq[(String, IncResult)]) = {
+    import spark.implicits._
+    val plan = planCorpusBackfill(spark, ingestDir, manifestDir)
+    if (plan.stale.isEmpty) (plan, Nil)
+    else {
+      val revs = readIngestManifest(spark, manifestDir)
+        .select("batch", "revision").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      val results = plan.stale.map { b =>
+        val rev = revs.getOrElse(b, 0) + 1
+        val ingestId = if (rev == 1) b else s"${b}_r$rev"
+        val batchDf = spark.read.parquet(s"$ingestDir/batch=$b")
+        val r = runIncremental(spark, batchDf, outDir, ingestId,
+          minQuality = minQuality, langs = langs, estThreshold = estThreshold)
+        val stamp = ingestState(spark, ingestDir)
+          .filter(col("batch") === b)
+          .withColumn("revision", lit(rev))
+        MartSink.writePartitioned(stamp, manifestDir, Seq("batch"))
+        b -> r
+      }
+      (plan, results)
+    }
+  }
 }

@@ -820,6 +820,57 @@ class PipelineSpec extends SparkSpec {
     assert(all.filter(col("doc_id") === 7L).count() == 1)
   }
 
+  test("corpus backfill: never-ingested batches absorb, changed batches re-ingest append-only") {
+    import spark.implicits._
+    def doc(id: Long, text: String) = (id, text, "en", "srcI", text.length.toLong)
+    val t1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu the quick brown fox jumps over the lazy dog near the river ") * 3
+    val t2 = ("one two three four five six seven the wind moves softly through " +
+      "the quiet garden while birds sing in the old stone courtyard today ") * 3
+    val t3 = ("nine ten eleven twelve the ship sails slowly across the calm " +
+      "grey sea while distant mountains rise beyond the morning fog line ") * 3
+    val ingest = Files.createTempDirectory("graft_cbf_in").toString
+    val out = Files.createTempDirectory("graft_cbf_out").resolve("corpus").toString
+    val mf = Files.createTempDirectory("graft_cbf_mf").resolve("manifest").toString
+    Seq(doc(1L, t1)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$ingest/batch=b1")
+    Seq(doc(2L, t2)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$ingest/batch=b2")
+    // 1. nothing absorbed yet → both batches are stale
+    val p1 = CorpusPipeline.planCorpusBackfill(spark, ingest, mf)
+    assert(p1.neverIngested == Seq("b1", "b2") && p1.changed.isEmpty, s"got $p1")
+    val (_, r1) = CorpusPipeline.corpusBackfill(spark, ingest, out, mf)
+    assert(r1.map(_._1) == Seq("b1", "b2") && r1.forall(_._2.kept == 1))
+    assert(spark.read.parquet(out).count() == 2)
+    // 2. converged → no-op
+    assert(CorpusPipeline.planCorpusBackfill(spark, ingest, mf).stale.isEmpty)
+    assert(CorpusPipeline.corpusBackfill(spark, ingest, out, mf)._2.isEmpty)
+    // 3. a late document lands in already-absorbed b2 → only b2 stale;
+    // the re-ingest runs under the REVISION id so the original batch
+    // partition (and its survivor) is untouched — append-only
+    Seq(doc(3L, t3)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$ingest/batch=b2")
+    spark.catalog.refreshByPath(ingest)
+    val p3 = CorpusPipeline.planCorpusBackfill(spark, ingest, mf)
+    assert(p3.changed == Seq("b2") && p3.neverIngested.isEmpty, s"got $p3")
+    val (_, r3) = CorpusPipeline.corpusBackfill(spark, ingest, out, mf)
+    assert(r3.map(_._1) == Seq("b2") && r3.head._2.kept == 1, s"got $r3")
+    spark.catalog.refreshByPath(out)
+    val corpus = spark.read.parquet(out)
+    assert(corpus.count() == 3, "re-ingest must append, never clobber")
+    assert(corpus.filter(col("batch") === "b2").count() == 1) // original survivor intact
+    assert(corpus.filter(col("batch") === "b2_r2").count() == 1) // the late doc
+    assert(CorpusPipeline.planCorpusBackfill(spark, ingest, mf).stale.isEmpty)
+    // 4. a vanished batch is reported, its absorbed survivors stay
+    val fs = new org.apache.hadoop.fs.Path(ingest)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ingest/batch=b1"), true)
+    spark.catalog.refreshByPath(ingest)
+    val p4 = CorpusPipeline.planCorpusBackfill(spark, ingest, mf)
+    assert(p4.vanished == Seq("b1") && p4.stale.isEmpty, s"got $p4")
+    assert(spark.read.parquet(out).filter(col("batch") === "b1").count() == 1)
+  }
+
   test("sorted mart write lays out disjoint user_id ranges (row-group stats prunable)") {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
