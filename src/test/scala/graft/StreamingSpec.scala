@@ -432,6 +432,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream observability: progress listener logs batches, rescore reports per-query health") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val log = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    val listener = StreamObservability.attach(spark, log)
+    try {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((1L, base, 1L, "view", 1.0, "{}"),
+        (2L, base, 2L, "purchase", 5.0, "{}"))
+      val q = EventStream.hourlyTraffic(
+          mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .writeStream.format("memory").queryName("obs_probe").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        mem.addData((3L, new java.sql.Timestamp(base.getTime + 60000L), 1L, "view", 1.0, "{}"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // listener events are async on the bus — poll until rows land
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = 0L
+      while (rows < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        rows = try {
+          spark.catalog.refreshByPath(log)
+          spark.read.parquet(log).filter(col("query_name") === "obs_probe").count()
+        } catch { case _: Throwable => 0L }
+      }
+      assert(rows >= 2, s"expected >=2 progress rows, got $rows")
+      val health = StreamObservability.progressFromLog(spark, log)
+        .filter(col("query_name") === "obs_probe").collect()
+      assert(health.length == 1)
+      val h = health.head
+      assert(h.getAs[Long]("batches") >= 2)
+      assert(h.getAs[Long]("total_rows") == 3L) // 2 + 1 input rows
+      assert(h.getAs[Long]("max_trigger_ms") >= h.getAs[Double]("mean_trigger_ms").toLong)
+      // the windowed aggregate holds state: the latest reading sees it
+      assert(h.getAs[Long]("state_rows_latest") > 0)
+      assert(h.getAs[Long]("last_batch_id") >= 1L)
+    } finally StreamObservability.detach(spark, listener)
+  }
+
   test("streaming digit log: benford rescore equals the batch census, replay double-counts nothing") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
