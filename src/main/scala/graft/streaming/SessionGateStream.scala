@@ -311,6 +311,32 @@ object SessionGateStream {
     }
   }
 
+  /** Session INDEX over the routed output — the review-queue table of
+    * contents derived from data already on disk, with ZERO additional
+    * streaming state (the alternative — running `gateSessions` beside
+    * `routeSessions` — doubles per-user state on the firehose to
+    * produce rows the routed events already imply). One row per
+    * routed session: which side it landed, its event count and span.
+    * Per-REASON flags are deliberately absent here — they are
+    * session-grain verdict detail, and `gateLogSink` remains the
+    * full-fidelity path when the review workflow needs the why; this
+    * index answers the queue's operational questions (how many, how
+    * big, which side, when) from a plain batch read. */
+  def sessionIndexFromRouted(spark: org.apache.spark.sql.SparkSession,
+                             cleanDir: String, reviewDir: String): DataFrame = {
+    def side(dir: String, label: String): Option[DataFrame] =
+      if (new java.io.File(dir).exists())
+        Some(spark.read.parquet(dir).withColumn("side", lit(label)))
+      else None
+    val frames = Seq(side(cleanDir, "clean"), side(reviewDir, "review")).flatten
+    require(frames.nonEmpty, s"no routed output at $cleanDir or $reviewDir")
+    frames.reduce(_ unionByName _)
+      .groupBy(col("user_id"), col("session_start_epoch"), col("side"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .orderBy("user_id", "session_start_epoch")
+  }
+
   /** Continuous quarantine routing: clean sessions' events accrete
     * under `cleanDir` (the live-mart input), quarantined sessions'
     * events under `reviewDir` (the review queue `gateLogSink`'s

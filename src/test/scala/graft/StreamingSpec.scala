@@ -947,6 +947,21 @@ class StreamingSpec extends SparkSpec {
       // and the gate actually fired: the review side is non-empty, so
       // the parity above is parity UNDER quarantine, not vacuous
       assert(spark.read.parquet(s"$out/review_events").count() > 0)
+      // the session index reads the routed output alone (zero extra
+      // streaming state): every routed event accounted, each session
+      // on exactly one side, both sides present
+      val idx = SessionGateStream.sessionIndexFromRouted(spark,
+        s"$out/clean_events", s"$out/review_events").collect()
+      val keys = idx.map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start_epoch")))
+      assert(keys.distinct.length == keys.length, "a session landed on both sides")
+      assert(idx.map(_.getAs[Long]("n_events")).sum ==
+        spark.read.parquet(s"$out/clean_events").count() +
+          spark.read.parquet(s"$out/review_events").count())
+      assert(idx.exists(_.getAs[String]("side") == "clean") &&
+        idx.exists(_.getAs[String]("side") == "review"))
+      idx.foreach(r => assert(!r.getAs[java.sql.Timestamp]("first_ts")
+        .after(r.getAs[java.sql.Timestamp]("last_ts"))))
     } finally {
       dirty.unpersist()
       ()
