@@ -874,4 +874,58 @@ object Dedup {
         sum(when(col("exact_jaccard") >= 0.4, 1).otherwise(0)).as("n_exact_ge_04"))
       .orderBy("est_decile")
   }
+
+  /** Token-inflation readout of exact duplication, by source: how
+    * many tokens `dedupedCorpus`'s keeper rule (identical text, min
+    * doc_id kept GLOBALLY) would remove from each source, and what
+    * share of the source's token mass that is. The planning number a
+    * corpus owner reads before cutting a crawler: a source whose
+    * `dup_token_share` is high contributes mostly re-crawled copies,
+    * not new text. Removed copies are attributed to the source of the
+    * REMOVED document — a doc first crawled by src A and re-crawled
+    * by src B counts against B, matching which crawl you'd turn off.
+    *
+    * Scale shape: ONE shuffle on the 128-bit content hash (computed
+    * map-side — the exchange carries (hash, id, source, token_count),
+    * never the text), a keeper window over each tiny dup group, then
+    * a map-combined rollup to |sources| rows. Token counts reuse the
+    * `text_token_count` word tokenizer so the readout is in the same
+    * units as the corpus census. */
+  def dedupInflation(spark: SparkSession, dir: String): DataFrame =
+    dedupInflationFrom(Tables.documents(spark, dir))
+
+  def dedupInflationFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("tok"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("tok")).as("tokens_total"),
+        sum(when(col("doc_id") =!= col("keeper"), col("tok")).otherwise(lit(0L)))
+          .as("tokens_removed"))
+      .withColumn("dup_token_share",
+        col("tokens_removed").cast("double") / col("tokens_total").cast("double"))
+      .orderBy("source")
+  }
+
+  val dedupInflationSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(text, '[a-z0-9]+')) AS tok,
+      |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN doc_id <> keeper THEN tok ELSE 0 END) AS BIGINT) AS tokens_removed,
+      |  CAST(SUM(CASE WHEN doc_id <> keeper THEN tok ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(tok) AS DOUBLE) AS dup_token_share
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
 }

@@ -254,6 +254,81 @@ object Sessionize {
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Entry/exit census: where sessions START and where they END, by
+    * (first event_type, last event_type) — the landing/exit-page view
+    * of the session corpus, with per-cell session count, mean length
+    * and purchase rate. An (entry='view', exit='error') cell with a
+    * high count is the classic funnel-breakage signature that
+    * `error_impact` (session grain) doesn't localize to an entry
+    * point.
+    *
+    * Scale shape: rides the ONE user_id exchange of `sessionized` —
+    * both row_number ranks and the session rollup are (user_id,
+    * session_idx)-clustered (subset rule, local sorts only), and the
+    * final census is a map-combined rollup to ≤ |event_types|² rows. */
+  def sessionEntryExit(spark: SparkSession, dir: String): DataFrame =
+    sessionEntryExitFrom(enriched(spark, dir))
+
+  def sessionEntryExitFrom(e: DataFrame): DataFrame = {
+    val wAsc = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("event_epoch").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("event_epoch").desc, col("event_id").desc)
+    sessionized(e)
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        max(when(col("rn_a") === 1, col("event_type"))).as("entry_type"),
+        max(when(col("rn_d") === 1, col("event_type"))).as("exit_type"),
+        count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_p"))
+      .groupBy("entry_type", "exit_type")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        avg(col("n_events").cast("double")).as("avg_events"),
+        (sum(col("has_p")).cast("double") / count(lit(1)).cast("double"))
+          .as("purchase_rate"))
+      .orderBy("entry_type", "exit_type")
+  }
+
+  /** Same session CTE as `sessionSequencesSql`; entry/exit picked by
+    * symmetric row_numbers so ties break identically to the Scala
+    * path ((epoch, event_id) is unique per user). */
+  val sessionEntryExitSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS event_epoch,
+      |    CASE WHEN LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w IS NULL
+      |           OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id)
+      |), sessioned AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_epoch, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged
+      |), ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+      |                       ORDER BY event_epoch, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+      |                       ORDER BY event_epoch DESC, event_id DESC) AS rn_d
+      |  FROM sessioned
+      |), sessions AS (
+      |  SELECT user_id, session_idx,
+      |    MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+      |    MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+      |    COUNT(*) AS n_events,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+      |  FROM ranked GROUP BY user_id, session_idx
+      |)
+      |SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  AVG(CAST(n_events AS DOUBLE)) AS avg_events,
+      |  CAST(SUM(has_p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS purchase_rate
+      |FROM sessions GROUP BY entry_type, exit_type
+      |ORDER BY entry_type, exit_type""".stripMargin
+
   /** Frequency/duration/conversion per behavioral pattern.
     * Reference: spark_batch_processor.py:313-322 (pattern_summary). */
   def sessionPatterns(spark: SparkSession, dir: String): DataFrame =

@@ -1578,4 +1578,45 @@ object Similarity {
         col("mean_cos"), col("coverage_min_cos"))
       .orderBy("center_id")
   }
+
+  /** Per-dimension census of the embedding corpus: mean / min / max /
+    * mean-abs / RMS for each coordinate. The embedding-health panel a
+    * pipeline reads before trusting downstream cosine math — a dead
+    * dimension (rms ≈ 0), a runaway one (|mean| ≫ others), or a
+    * non-centered batch (means systematically ≠ 0) all show up here,
+    * and it's the diagnostic input `embedding_pca`'s whitening
+    * assumes. The ONE embedding query that is fully SQL-expressible
+    * (closed-form per-dim aggregates; sqrt is IEEE-correctly-rounded
+    * so the RMS survives the oracle hash, unlike log/exp — the libm
+    * rule).
+    *
+    * Scale shape: posexplode to (row × dim) then ONE map-combined
+    * rollup to |dims| rows — partials are fixed-state per dim, no
+    * vector ever crosses the shuffle whole. */
+  def embeddingDimStats(spark: SparkSession, dir: String): DataFrame =
+    embeddingDimStatsFrom(Tables.embeddings(spark, dir))
+
+  def embeddingDimStatsFrom(e: DataFrame): DataFrame =
+    e
+      .select(posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("dim"), col("f").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("v")).as("mean_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        avg(abs(col("v"))).as("mean_abs"),
+        sqrt(avg(col("v") * col("v"))).as("rms"))
+      .orderBy("dim")
+
+  val embeddingDimStatsSql: String =
+    """SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  AVG(v) AS mean_v, MIN(v) AS min_v, MAX(v) AS max_v,
+      |  AVG(ABS(v)) AS mean_abs, SQRT(AVG(v*v)) AS rms
+      |FROM (
+      |  SELECT CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings)
+      |GROUP BY dim ORDER BY dim""".stripMargin
 }

@@ -761,4 +761,58 @@ object UserAnalytics {
       |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(n_events) AS DOUBLE)) -
       |  CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gini
       |FROM r""".stripMargin
+
+  /** Weekly stickiness — the DAU/WAU ratio (what share of a week's
+    * active users show up on an average active day). The standard
+    * engagement readout between `retention_daily` (day grain) and
+    * `retention_curve` (cohort grain): 1.0 = every weekly user is in
+    * daily, ~1/7 = each user appears one day a week. `avg_dau`
+    * averages over the week's ACTIVE days (a partial trailing week at
+    * the corpus edge isn't diluted by absent days).
+    *
+    * Scale shape: BOTH rollups hang off one distinct (user_id,
+    * event_date) exchange — the fact table is touched once; DAU is a
+    * count per (week, day) and WAU a distinct-user count per week
+    * over that key-dimension frame, joined at |weeks| rows. */
+  def stickinessWeekly(spark: SparkSession, dir: String): DataFrame =
+    stickinessWeeklyFrom(enriched(spark, dir))
+
+  def stickinessWeeklyFrom(e: DataFrame): DataFrame = {
+    val ud = e
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_date")).distinct()
+      .withColumn("week", date_trunc("week", col("event_date")).cast("date"))
+      .localCheckpoint() // two rollups off the one fact-sized distinct
+    val daily = ud.groupBy("week", "event_date")
+      .agg(count(lit(1)).as("dau"))
+    val weekly = ud.select("week", "user_id").distinct()
+      .groupBy("week").agg(count(lit(1)).as("wau"))
+    weekly.join(daily, Seq("week"))
+      .groupBy(col("week"), col("wau"))
+      .agg(count(lit(1)).as("active_days"),
+        avg(col("dau").cast("double")).as("avg_dau"))
+      .select(col("week"), col("wau"), col("active_days"),
+        col("avg_dau"),
+        (col("avg_dau") / col("wau").cast("double")).as("stickiness"))
+      .orderBy("week")
+  }
+
+  val stickinessWeeklySql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), d AS (
+      |  SELECT date_trunc('week', event_date) AS week, event_date, COUNT(*) AS dau
+      |  FROM ud GROUP BY 1, 2
+      |), w AS (
+      |  SELECT date_trunc('week', event_date) AS week,
+      |    COUNT(DISTINCT user_id) AS wau
+      |  FROM ud GROUP BY 1
+      |)
+      |SELECT w.week, CAST(w.wau AS BIGINT) AS wau,
+      |  CAST(COUNT(*) AS BIGINT) AS active_days,
+      |  AVG(CAST(d.dau AS DOUBLE)) AS avg_dau,
+      |  AVG(CAST(d.dau AS DOUBLE)) / CAST(w.wau AS DOUBLE) AS stickiness
+      |FROM w JOIN d ON w.week = d.week
+      |GROUP BY w.week, w.wau ORDER BY w.week""".stripMargin
 }

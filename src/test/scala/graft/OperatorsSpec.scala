@@ -720,6 +720,33 @@ class ApproxSpec extends SparkSpec {
 }
 
 class SessionizeSpec extends SparkSpec {
+  test("entry/exit census: planted sessions land in the right cells; census conserves sessions") {
+    import spark.implicits._
+    // u1 session A: view → click → purchase; u1 session B (2h later):
+    // a lone error; u2: a lone signup
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:00:10", "click"),
+      (3L, 1L, "2024-01-01 10:00:20", "purchase"),
+      (4L, 1L, "2024-01-01 13:00:00", "error"),
+      (5L, 2L, "2024-01-01 09:00:00", "signup"))
+    val e = EventMarts.enrich(rows.toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}")))
+    val got = Sessionize.sessionEntryExitFrom(e).collect()
+      .map(r => (r.getAs[String]("entry_type"), r.getAs[String]("exit_type")) ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Double]("avg_events"),
+          r.getAs[Double]("purchase_rate")))).toMap
+    assert(got(("view", "purchase")) == ((1L, 3.0, 1.0)))
+    assert(got(("error", "error")) == ((1L, 1.0, 0.0)))
+    assert(got(("signup", "signup")) == ((1L, 1.0, 0.0)))
+    assert(got.size == 3)
+    // sf: cells partition the session set
+    val census = Sessionize.sessionEntryExit(spark, Sf)
+    assert(census.agg(sum("n_sessions")).collect().head.getLong(0) ==
+      Sessionize.sessionSequences(spark, Sf).count())
+  }
+
   test("session event counts sum to total events; gaps within a session ≤ 1800s") {
     val sessions = Sessionize.sessionSequences(spark, Sf)
     val sum1 = sessions.agg(sum("event_count")).collect().head.getLong(0)

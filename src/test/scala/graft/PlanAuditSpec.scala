@@ -145,7 +145,13 @@ class PlanAuditSpec extends SparkSpec {
       // projection + fixed-state percentile + intended 1-row-broadcast
       // cross + TakeOrdered) is the cheap part and is exercised by its
       // spec on crafted clusters
-      "embedding_outliers")
+      "embedding_outliers",
+      // graph_components runs its star-contraction rounds at
+      // construction (checkpointed edge frames per round); the
+      // fact-sized subtree is the same gated basket self-join audited
+      // via coview_pairs/coview_triangles, and each round is a
+      // groupBy-min + equi-join over the shrinking checkpointed edges
+      "graph_components")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a
@@ -243,7 +249,16 @@ class PlanAuditSpec extends SparkSpec {
       // product_pagerank's fact-sized subtree: the session-gap
       // transition edge aggregation (one user window + one rollup)
       offendersIn("product_pagerank[edges]",
-        operators.Graph.productEdgesFrom(operators.EventMarts.enriched(spark, Sf)))
+        operators.Graph.productEdgesFrom(operators.EventMarts.enriched(spark, Sf))) ++
+      // graph_components: the fact-sized subtree is the coview edge
+      // frame (same gated basket self-join as coview_pairs); each
+      // contraction round is two groupBy-mins + two equi-joins over
+      // the checkpointed, monotonically-shrinking edges — audit one
+      // round's full shape over the real edge frame
+      offendersIn("graph_components[round]",
+        operators.Graph.starRound(
+          operators.Graph.coviewEdgesFrom(operators.EventMarts.enriched(spark, Sf))
+            .select(col("a").as("u"), col("b").as("v"))))
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
 

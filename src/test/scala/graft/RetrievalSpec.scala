@@ -470,4 +470,87 @@ class RetrievalSpec extends SparkSpec {
     assert(Graph.coviewEdgesFrom(e, maxProductsPerDay = 2).collect()
       .map(r => (r.getAs[Int]("a"), r.getAs[Int]("b"))).toSet == Set((3, 4)))
   }
+
+  test("star-contraction CC: chain labels in far fewer rounds than its diameter") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // a 64-node path — min-label propagation would need 63 rounds;
+    // large-star/small-star is O(log^2 n): assert the speedup, don't claim it
+    val verts = (0L to 63L).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val (_, rounds) = Graph.starContract(edges, maxRounds = 25,
+      requireConvergence = true)
+    assert(rounds <= 10, s"chain-64 took $rounds rounds — not diameter-independent")
+    val labels = Graph.connectedComponentsFrom(verts, edges).collect()
+    assert(labels.forall(_.getAs[Long]("component") == 0L))
+    assert(labels.length == 64)
+  }
+
+  test("star-contraction CC: cliques, isolated vertices, and equivalence with min-label propagation") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two 5-cliques + an isolated vertex (in vertices, absent from edges)
+    val verts = ((0L to 4L) ++ (10L to 14L) ++ Seq(20L)).toDF("id")
+    val cl = for { c <- Seq(0L, 10L); i <- 0 to 4; j <- (i + 1) to 4 }
+      yield (c + i, c + j)
+    val got = Graph.connectedComponentsFrom(verts, cl.toDF("a", "b")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((10L to 14L).forall(got(_) == 10L))
+    assert(got(20L) == 20L) // isolated: labels itself
+    // seeded random graph: identical labels to Dedup.componentLabels
+    val rnd = new scala.util.Random(42)
+    val n = 150L
+    val redges = (1 to 120).map(_ => (rnd.nextLong(n), rnd.nextLong(n)))
+      .filter(p => p._1 != p._2)
+    val rverts = (0L until n).toDF("id")
+    val star = Graph.connectedComponentsFrom(rverts, redges.toDF("a", "b"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    val lp = graft.operators.Dedup.componentLabels(
+        rverts.select(col("id").as("doc_id")),
+        redges.toDF("doc_a", "doc_b"), maxRounds = 150)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper")).toMap
+    assert(star == lp)
+  }
+
+  test("graph_components census conserves the co-view node set") {
+    import graft.operators.Graph
+    val census = Graph.graphComponents(spark, Sf).collect()
+    assert(census.nonEmpty)
+    val totalNodes = census
+      .map(r => r.getAs[Long]("component_size") * r.getAs[Long]("n_components")).sum
+    val e = Graph.coviewEdgesFrom(EventMarts.enriched(spark, Sf))
+    val distinctNodes = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n"))).distinct().count()
+    assert(totalNodes == distinctNodes)
+  }
+
+  test("embedding dim stats: driver-exact on a planted frame; moment inequalities at sf") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, -2.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.embeddingDimStatsFrom(planted).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_v"), r.getAs[Double]("min_v"),
+          r.getAs[Double]("max_v"), r.getAs[Double]("mean_abs"),
+          r.getAs[Double]("rms")))).toMap
+    val d0 = got(0)
+    assert(d0._1 == 3L && d0._2 == 1.0 && d0._3 == -1.0 && d0._4 == 3.0)
+    assert(math.abs(d0._5 - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(d0._6 - math.sqrt(11.0 / 3.0)) < 1e-12)
+    val d1 = got(1)
+    assert(d1._2 == 0.0 && d1._3 == -2.0 && d1._4 == 2.0)
+    // sf: every dim has full support and the moment inequalities hold
+    // (|mean| <= mean_abs <= rms, min <= mean <= max)
+    val sf = graft.operators.Similarity.embeddingDimStats(spark, Sf).collect()
+    val corpus = Tables.embeddings(spark, Sf).count()
+    assert(sf.forall(_.getAs[Long]("n") == corpus))
+    sf.foreach { r =>
+      val (m, ma, rms) = (r.getAs[Double]("mean_v"), r.getAs[Double]("mean_abs"),
+        r.getAs[Double]("rms"))
+      assert(math.abs(m) <= ma + 1e-12 && ma <= rms + 1e-12)
+      assert(r.getAs[Double]("min_v") <= m && m <= r.getAs[Double]("max_v"))
+    }
+  }
 }

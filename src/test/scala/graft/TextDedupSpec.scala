@@ -922,6 +922,34 @@ class DedupSpec extends SparkSpec {
     assert(total == Tables.documents(spark, Sf).count())
   }
 
+  test("dedup inflation: removed copies attribute to their own source; keeper is global") {
+    import spark.implicits._
+    // "alpha beta gamma" first crawled by s1 (doc 1, the keeper),
+    // re-crawled by s2 (doc 2) and s1 again (doc 3); s2 also has a
+    // unique 1-token doc. Removal attributes to the REMOVED doc's
+    // source — doc 2 counts against s2 even though s1 owns the keeper.
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma"),
+      (2L, "s2", "alpha beta gamma"),
+      (3L, "s1", "alpha beta gamma"),
+      (4L, "s2", "delta")).toDF("doc_id", "source", "text")
+    val got = Dedup.dedupInflationFrom(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("dup_docs"),
+          r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_removed"),
+          r.getAs[Double]("dup_token_share")))).toMap
+    assert(got("s1") == ((2L, 1L, 6L, 3L, 0.5)))
+    assert(got("s2") == ((2L, 1L, 4L, 3L, 0.75)))
+    // sf: token mass ties out against the corpus-wide word tokenizer
+    val sf = Dedup.dedupInflation(spark, Sf).collect()
+    val totalTok = sf.map(_.getAs[Long]("tokens_total")).sum
+    val corpusTok = Tables.documents(spark, Sf)
+      .agg(sum(size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")))
+      .collect().head.getLong(0)
+    assert(totalTok == corpusTok)
+    assert(sf.map(_.getAs[Long]("docs")).sum == Tables.documents(spark, Sf).count())
+  }
+
   test("dup-span scrub removes covered positions exactly: overlap union, double occurrence, sub-span grain") {
     import spark.implicits._
     val S = (1 to 8).map(i => s"s$i").mkString(" ")   // one exact 8-word span

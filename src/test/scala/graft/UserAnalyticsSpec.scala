@@ -290,4 +290,31 @@ class UserAnalyticsSpec extends SparkSpec {
       s"banded ${banded.getAs[Double]("gini")} != global-window $expected")
     assert(banded.getAs[Double]("gini") > 0.0 && banded.getAs[Double]("gini") < 1.0)
   }
+
+  test("weekly stickiness: planted DAU/WAU exact; sf ratios bounded") {
+    // 2024-01-01 is a Monday. Week 1: u1 Mon+Tue, u2 Mon →
+    // DAU (2, 1), WAU 2, avg_dau 1.5, stickiness 0.75.
+    // Week 2: u3 on Wed only → stickiness exactly 1.0.
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 1L, "2024-01-01 11:00:00", "click", 1.0), // same-day dup collapses
+      (3L, 1L, "2024-01-02 10:00:00", "view", 1.0),
+      (4L, 2L, "2024-01-01 12:00:00", "view", 1.0),
+      (5L, 3L, "2024-01-10 09:00:00", "view", 1.0)))
+    val got = UserAnalytics.stickinessWeeklyFrom(e).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getAs[Long]("wau"), r.getAs[Long]("active_days"),
+          r.getAs[Double]("avg_dau"), r.getAs[Double]("stickiness")))).toMap
+    assert(got("2024-01-01") == ((2L, 2L, 1.5, 0.75)))
+    assert(got("2024-01-08") == ((1L, 1L, 1.0, 1.0)))
+    assert(got.size == 2)
+    // sf: stickiness in (0, 1], avg_dau never exceeds wau, weeks ordered
+    val sf = UserAnalytics.stickinessWeekly(spark, Sf).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r =>
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0 + 1e-12)
+      assert(r.getAs[Double]("avg_dau") <= r.getAs[Long]("wau").toDouble + 1e-9)
+    }
+  }
 }
