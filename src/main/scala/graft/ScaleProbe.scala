@@ -179,7 +179,14 @@ object ScaleProbe {
       // every kNN cell and would measure pair blow-up, not scale.
       "user_activity_gini", "dq_benford", "session_surprise",
       "text_entropy", "tokenizer_fertility", "pack_efficiency",
-      "sample_kcenter")
+      "sample_kcenter",
+      // round 9 batch 2: the CC census is safe on the generated events
+      // (graph shape, not replicas); dedup_inflation and
+      // embedding_dim_stats are linear passes over the replicated
+      // corpora (exact-dup groups stay size-1 per replica — suffixed
+      // texts; dim stats is duplicate-insensitive)
+      "graph_components", "dedup_inflation", "stickiness_weekly",
+      "session_entry_exit", "embedding_dim_stats")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -2698,4 +2698,149 @@ object TextAnalysis {
       .drop("sum_clogc")
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------------
+  // Quality classifier: distributed full-batch logistic regression
+  // distilling the Gopher rule CASCADE into one linear score.
+  // ------------------------------------------------------------------
+
+  /** Feature names for the LR quality classifier, in weight order. */
+  private[graft] val LrFeatureNames = Seq(
+    "n_words", "avg_word_len", "stopword_ratio", "top_word_frac", "dup_bigram_frac")
+
+  /** Shared feature/label frame: (doc_id, label = the Gopher per-doc
+    * text gates, f0..f4). The same five signals the rule cascade
+    * thresholds — the classifier learns a GRADED combination of them,
+    * which is what the cascade can't give you: a ranking for
+    * budget-constrained selection ("best 40% of the crawl"), not just
+    * a binary gate. All columns are native codegen'd expressions
+    * (word_rep_stats is the fused single-pass native fn) — zero UDFs,
+    * one corpus scan. */
+  private[graft] def qualityLrFeatures(docs: DataFrame,
+      minQuality: Double = 0.5, minWords: Int = 20,
+      maxTopWordFrac: Double = 0.2, maxDupBigramFrac: Double = 0.1): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val st = call_function("word_rep_stats", col("text"))
+    def f(i: Int) = element_at(st, i).cast("double")
+    val toks = tokens(col("text"))
+    val nWords = f(1)
+    val avgLen = length(col("text")).cast("double") / greatest(nWords, lit(1.0))
+    val stopR = countIn(toks, Stopwords).cast("double") / greatest(nWords, lit(1.0))
+    val topFrac = f(2) / greatest(f(1), lit(1.0))
+    val dupBi = (f(3) - f(4)) / greatest(f(3), lit(1.0))
+    docs.select(
+      col("doc_id"),
+      when(qualityScoreCol >= minQuality && nWords >= minWords &&
+          topFrac < maxTopWordFrac && dupBi < maxDupBigramFrac, 1.0)
+        .otherwise(0.0).as("label"),
+      nWords.as("f0"), avgLen.as("f1"), stopR.as("f2"),
+      topFrac.as("f3"), dupBi.as("f4"))
+  }
+
+  /** The trained model: standardized + raw-space weights per feature
+    * and the training-loss bookends (the `__intercept__` row carries
+    * loss0/lossF in the feature_mean/feature_std columns — the one
+    * place they'd otherwise be NULL). Full-batch gradient descent,
+    * `iters` fixed rounds at `step` on Z-SCORED features (exact
+    * moment standardization from one aggregate — without it the
+    * n_words axis drowns the ratios and GD crawls).
+    *
+    * Scale shape — the Lloyd/PageRank control-flow class: the feature
+    * frame is ONE corpus scan, localCheckpoint'ed; each round is one
+    * map-combined aggregate of (k+1) sums with the current weights
+    * riding the plan as literals, collected as a 1-row gradient (the
+    * only driver traffic — k+2 doubles per round, independent of
+    * corpus size). Nothing iterates over rows driver-side; 100 TB
+    * changes the scan cost, not the round structure. rows-only by
+    * design: iterated float sums (and the loss's log) are not
+    * bit-reproducible cross-engine; the spec pins exact separation on
+    * planted corpora and baseline-beating agreement at sf. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierFrom(spark, Tables.documents(spark, dir))
+
+  def qualityClassifierFrom(spark: SparkSession, docs: DataFrame,
+      iters: Int = 40, step: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val m = trainQualityLr(docs, iters, step)
+    val rows = LrFeatureNames.zipWithIndex.map { case (nme, j) =>
+      (nme, m.wStd(j), m.wStd(j) / m.std(j), m.mean(j), m.std(j))
+    } :+ (("__intercept__", m.bStd,
+      m.bStd - (0 until LrFeatureNames.size)
+        .map(j => m.wStd(j) * m.mean(j) / m.std(j)).sum,
+      m.loss0, m.lossF))
+    rows.toDF("feature", "weight_std", "weight_raw", "feature_mean", "feature_std")
+      .orderBy("feature")
+  }
+
+  private[graft] case class LrModel(wStd: Array[Double], bStd: Double,
+      mean: Array[Double], std: Array[Double], loss0: Double, lossF: Double,
+      features: DataFrame)
+
+  private[graft] def trainQualityLr(docs: DataFrame, iters: Int,
+      step: Double): LrModel = {
+    val k = LrFeatureNames.size
+    val raw = qualityLrFeatures(docs).localCheckpoint()
+    // exact-moment standardization in ONE aggregate
+    val mrow = raw.agg(
+      count(lit(1)).cast("double").as("n"),
+      (0 until k).flatMap(j => Seq(
+        sum(col(s"f$j")).as(s"s$j"),
+        sum(col(s"f$j") * col(s"f$j")).as(s"q$j"))): _*).collect().head
+    val n = mrow.getAs[Double]("n")
+    val mean = (0 until k).map(j => mrow.getAs[Double](s"s$j") / n).toArray
+    val std = (0 until k).map { j =>
+      val v = mrow.getAs[Double](s"q$j") / n - mean(j) * mean(j)
+      if (v > 1e-12) math.sqrt(v) else 1.0
+    }.toArray
+    val z = raw.select(
+      (col("doc_id") +: col("label") +:
+        (0 until k).map(j => ((col(s"f$j") - mean(j)) / std(j)).as(s"z$j"))): _*)
+      .localCheckpoint()
+    var w = Array.fill(k)(0.0)
+    var b = 0.0
+    var loss0 = 0.0
+    var lossF = 0.0
+    for (it <- 0 until iters) {
+      val zlin = (0 until k).map(j => col(s"z$j") * w(j)).reduce(_ + _) + lit(b)
+      val p = lit(1.0) / (lit(1.0) + exp(-zlin))
+      val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
+      val g = z.agg(
+        sum((p - col("label"))).as("gb"),
+        (0 until k).map(j => sum((p - col("label")) * col(s"z$j")).as(s"g$j")) :+
+          sum(-(col("label") * log(pc) +
+            (lit(1.0) - col("label")) * log(lit(1.0) - pc))).as("loss"): _*)
+        .collect().head
+      val loss = g.getAs[Double]("loss") / n
+      if (it == 0) loss0 = loss
+      lossF = loss
+      b -= step * g.getAs[Double]("gb") / n
+      w = (0 until k).map(j => w(j) - step * g.getAs[Double](s"g$j") / n).toArray
+    }
+    LrModel(w, b, mean, std, loss0, lossF, z)
+  }
+
+  /** Eval closure of `quality_classifier` (the langid_confusion
+    * pattern): the trained score against the rule label it distills —
+    * the 2×2 confusion census at the 0.5 cut with per-cell mean
+    * predicted probability. Read it before replacing the cascade with
+    * the score: the (pred 1, label 0) cell is what a score-based
+    * filter would ADMIT that the rules reject. One extra pass over
+    * the checkpointed standardized features with the weights as
+    * literals. */
+  def qualityClassifierEval(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierEvalFrom(spark, Tables.documents(spark, dir))
+
+  def qualityClassifierEvalFrom(spark: SparkSession, docs: DataFrame,
+      iters: Int = 40, step: Double = 1.0): DataFrame = {
+    val k = LrFeatureNames.size
+    val m = trainQualityLr(docs, iters, step)
+    val zlin = (0 until k).map(j => col(s"z$j") * m.wStd(j)).reduce(_ + _) + lit(m.bStd)
+    val p = lit(1.0) / (lit(1.0) + exp(-zlin))
+    m.features
+      .select(col("label").cast("long").as("label_pass"),
+        when(p >= 0.5, 1L).otherwise(0L).as("pred_pass"), p.as("p"))
+      .groupBy("pred_pass", "label_pass")
+      .agg(count(lit(1)).as("n_docs"), avg(col("p")).as("mean_p"))
+      .orderBy("pred_pass", "label_pass")
+  }
 }

@@ -151,7 +151,12 @@ class PlanAuditSpec extends SparkSpec {
       // fact-sized subtree is the same gated basket self-join audited
       // via coview_pairs/coview_triangles, and each round is a
       // groupBy-min + equi-join over the shrinking checkpointed edges
-      "graph_components")
+      "graph_components",
+      // quality_classifier[_eval] run their GD rounds at construction
+      // (1-row gradient aggregates over the checkpointed feature
+      // frame — the Lloyd control-flow class); the corpus-sized
+      // subtree is the single-scan feature projection, audited below
+      "quality_classifier", "quality_classifier_eval")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a
@@ -258,7 +263,11 @@ class PlanAuditSpec extends SparkSpec {
       offendersIn("graph_components[round]",
         operators.Graph.starRound(
           operators.Graph.coviewEdgesFrom(operators.EventMarts.enriched(spark, Sf))
-            .select(col("a").as("u"), col("b").as("v"))))
+            .select(col("a").as("u"), col("b").as("v")))) ++
+      // quality_classifier's corpus-sized subtree: the one-scan
+      // feature/label projection (native word_rep_stats, no shuffle)
+      offendersIn("quality_classifier[features]",
+        operators.TextAnalysis.qualityLrFeatures(Tables.documents(spark, Sf)))
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
 

@@ -323,6 +323,59 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class QualityClassifierSpec extends SparkSpec {
+  import graft.operators.TextAnalysis
+
+  private def corpus(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("LR quality classifier separates a planted clean/garbage corpus exactly") {
+    // 8 clean docs (100+ short varied words + stopwords → quality
+    // ≥ 0.5, every gate green) vs 8 garbage docs (short, one repeated
+    // token) — the Gopher label splits them and a linear scorer must too
+    val clean = (0 until 8).map { i =>
+      val words = (0 until 100).map(j => s"w${i}x$j")
+      (i.toLong, (words.take(50) ++ Seq("the", "a", "of", "in", "is") ++ words.drop(50)).mkString(" "))
+    }
+    val junk = (0 until 8).map(i => (100L + i, Seq.fill(10)(s"spam$i").mkString(" ")))
+    val docs = corpus(clean ++ junk)
+    val m = TextAnalysis.trainQualityLr(docs, iters = 60, step = 1.0)
+    assert(m.lossF < m.loss0, s"loss must fall: ${m.loss0} -> ${m.lossF}")
+    val cells = TextAnalysis.qualityClassifierEvalFrom(spark, docs, iters = 60)
+      .collect()
+      .map(r => (r.getAs[Long]("pred_pass"), r.getAs[Long]("label_pass")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(cells.getOrElse((1L, 1L), 0L) == 8L, s"clean docs must score pass: $cells")
+    assert(cells.getOrElse((0L, 0L), 0L) == 8L, s"garbage must score fail: $cells")
+    assert(!cells.contains((1L, 0L)) && !cells.contains((0L, 1L)))
+    // the model frame is well-formed: 5 features + intercept, finite
+    val model = TextAnalysis.qualityClassifierFrom(spark, docs, iters = 60)
+      .collect()
+    assert(model.length == TextAnalysis.LrFeatureNames.size + 1)
+    assert(model.forall(r => !r.getAs[Double]("weight_std").isNaN &&
+      !r.getAs[Double]("weight_raw").isNaN))
+  }
+
+  test("at sf the distilled score beats the majority-class baseline") {
+    val cells = TextAnalysis.qualityClassifierEval(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("pred_pass"), r.getAs[Long]("label_pass")) ->
+        r.getAs[Long]("n_docs")).toMap.withDefaultValue(0L)
+    val n = cells.values.sum.toDouble
+    val acc = (cells((1L, 1L)) + cells((0L, 0L))).toDouble / n
+    val passShare = (cells((1L, 1L)) + cells((0L, 1L))).toDouble / n
+    val baseline = math.max(passShare, 1.0 - passShare)
+    assert(acc >= baseline - 0.02,
+      s"accuracy $acc must not lose to the majority baseline $baseline")
+    // probabilities are proper: pass cells average above fail cells
+    val meanP = TextAnalysis.qualityClassifierEval(spark, Sf).collect()
+      .map(r => r.getAs[Long]("pred_pass") -> r.getAs[Double]("mean_p")).toMap
+    if (meanP.contains(1L) && meanP.contains(0L)) assert(meanP(1L) > meanP(0L))
+  }
+}
+
 class CorpusPrepSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
