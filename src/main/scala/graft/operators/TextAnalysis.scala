@@ -2716,25 +2716,39 @@ object TextAnalysis {
     * a binary gate. All columns are native codegen'd expressions
     * (word_rep_stats is the fused single-pass native fn) — zero UDFs,
     * one corpus scan. */
+  /** The five raw feature columns over `text`, in LrFeatureNames
+    * order — ONE definition shared by training, batch scoring and
+    * streaming scoring (the no-drift argument rests on this). */
+  private def lrRawFeatureCols: Seq[Column] = {
+    val st = call_function("word_rep_stats", col("text"))
+    def f(i: Int) = element_at(st, i).cast("double")
+    val nWords = f(1)
+    Seq(
+      nWords,
+      length(col("text")).cast("double") / greatest(nWords, lit(1.0)),
+      countIn(tokens(col("text")), Stopwords).cast("double") / greatest(nWords, lit(1.0)),
+      f(2) / greatest(f(1), lit(1.0)),
+      (f(3) - f(4)) / greatest(f(3), lit(1.0)))
+  }
+
+  /** The Gopher per-doc text gates as one boolean-ish label column. */
+  private def lrLabelCol(minQuality: Double = 0.5, minWords: Int = 20,
+      maxTopWordFrac: Double = 0.2, maxDupBigramFrac: Double = 0.1): Column = {
+    val fs = lrRawFeatureCols
+    when(qualityScoreCol >= minQuality && fs(0) >= minWords &&
+        fs(3) < maxTopWordFrac && fs(4) < maxDupBigramFrac, 1.0)
+      .otherwise(0.0)
+  }
+
   private[graft] def qualityLrFeatures(docs: DataFrame,
       minQuality: Double = 0.5, minWords: Int = 20,
       maxTopWordFrac: Double = 0.2, maxDupBigramFrac: Double = 0.1): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val st = call_function("word_rep_stats", col("text"))
-    def f(i: Int) = element_at(st, i).cast("double")
-    val toks = tokens(col("text"))
-    val nWords = f(1)
-    val avgLen = length(col("text")).cast("double") / greatest(nWords, lit(1.0))
-    val stopR = countIn(toks, Stopwords).cast("double") / greatest(nWords, lit(1.0))
-    val topFrac = f(2) / greatest(f(1), lit(1.0))
-    val dupBi = (f(3) - f(4)) / greatest(f(3), lit(1.0))
+    val fs = lrRawFeatureCols
     docs.select(
-      col("doc_id"),
-      when(qualityScoreCol >= minQuality && nWords >= minWords &&
-          topFrac < maxTopWordFrac && dupBi < maxDupBigramFrac, 1.0)
-        .otherwise(0.0).as("label"),
-      nWords.as("f0"), avgLen.as("f1"), stopR.as("f2"),
-      topFrac.as("f3"), dupBi.as("f4"))
+      (col("doc_id") +:
+        lrLabelCol(minQuality, minWords, maxTopWordFrac, maxDupBigramFrac).as("label") +:
+        fs.zipWithIndex.map { case (c, j) => c.as(s"f$j") }): _*)
   }
 
   /** The trained model: standardized + raw-space weights per feature
@@ -2842,5 +2856,83 @@ object TextAnalysis {
       .groupBy("pred_pass", "label_pass")
       .agg(count(lit(1)).as("n_docs"), avg(col("p")).as("mean_p"))
       .orderBy("pred_pass", "label_pass")
+  }
+
+  /** The shipped form of the trained classifier: per-feature
+    * standardized weight + the moments that standardized it, plus the
+    * intercept. Scoring needs exactly this — train once on the
+    * corpus, ship the weights, score everywhere (batches AND streams
+    * in identical units), the BPE-vocab lifecycle for the quality
+    * filter. */
+  final case class LrScorer(weights: Seq[(String, Double, Double, Double)],
+      intercept: Double)
+
+  /** Canonical content fingerprint of a scorer — Double.toString is
+    * an exact round-trip, so the stamp survives save/load bit-for-bit. */
+  private[graft] def qualityLrFp(s: LrScorer): String =
+    graft.sources.ArtifactManifest.fp(
+      (s.weights.sortBy(_._1).map { case (n, w, m, sd) =>
+        Seq(n, w.toString, m.toString, sd.toString).mkString("")
+      } :+ s.intercept.toString).mkString("\n"))
+
+  /** Train on `dir`'s corpus and persist the scorer as a stamped
+    * parquet artifact (snapshot overwrite — retraining replaces it
+    * atomically; built-from = the order-independent corpus
+    * fingerprint, the saveBpeVocab pattern). */
+  def saveQualityLr(spark: SparkSession, dir: String, outPath: String,
+      iters: Int = 40, step: Double = 1.0): LrScorer = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val m = trainQualityLr(docs, iters, step)
+    val scorer = LrScorer(
+      LrFeatureNames.zipWithIndex.map { case (nme, j) =>
+        (nme, m.wStd(j), m.mean(j), m.std(j)) }, m.bStd)
+    scorer.weights.toDF("feature", "weight_std", "feature_mean", "feature_std")
+      .withColumn("intercept", lit(scorer.intercept))
+      .coalesce(1).write.mode("overwrite").parquet(outPath)
+    val corpus = docs.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(doc_id, text))")).collect().head
+    graft.sources.ArtifactManifest.write(outPath,
+      graft.sources.ArtifactManifest.Stamp("quality_lr", qualityLrFp(scorer),
+        s"documents:${corpus.getLong(0)}:${if (corpus.isNullAt(1)) 0L else corpus.getLong(1)}"))
+    scorer
+  }
+
+  /** Load a persisted scorer; stamped artifacts verify against their
+    * own manifest (corruption / half-replacement fails loud). */
+  def loadQualityLr(spark: SparkSession, path: String): LrScorer = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"empty quality_lr artifact at $path")
+    val scorer = LrScorer(
+      rows.map(r => (r.getAs[String]("feature"), r.getAs[Double]("weight_std"),
+        r.getAs[Double]("feature_mean"), r.getAs[Double]("feature_std")))
+        .sortBy(w => LrFeatureNames.indexOf(w._1)).toSeq,
+      rows.head.getAs[Double]("intercept"))
+    graft.sources.ArtifactManifest.verifyContent(path, "quality_lr",
+      qualityLrFp(scorer))
+    scorer
+  }
+
+  /** The shipped score as a single COLUMN over `text`: the same
+    * feature expressions as training, Z-scored with the ARTIFACT's
+    * moments (not the scoring batch's — scores must be comparable
+    * across ingests), then the sigmoid. Pure stateless expression —
+    * no shuffle, no join: drops identically onto a static frame and a
+    * streaming one, which is the point — the live ingest filter and
+    * the nightly batch filter CANNOT drift when both are this column
+    * over the same artifact. */
+  def qualityPCol(scorer: LrScorer): Column = {
+    val z = scorer.weights.zip(lrRawFeatureCols).map { case ((_, w, m, sd), c) =>
+      (c - lit(m)) / lit(sd) * lit(w) }
+      .reduce(_ + _) + lit(scorer.intercept)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Score a doc frame with a shipped scorer: doc_id, the rule label,
+    * and the graded probability — one narrow projection. */
+  def scoreQualityWith(docs: DataFrame, scorer: LrScorer): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"), lrLabelCol().as("rule_pass"),
+      qualityPCol(scorer).as("quality_p"))
   }
 }

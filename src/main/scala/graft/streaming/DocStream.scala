@@ -54,6 +54,23 @@ object DocStream {
       .select(col("doc_id"), col("ts"), col("lang"), col("predicted_lang"),
         col("quality_score"), col("clean_text"))
 
+  /** Score-gated ingest with the PERSISTED LR scorer
+    * (`TextAnalysis.loadQualityLr` — train once, ship the weights):
+    * the graded replacement for `cleanDocs`' binary rule gate. Pure
+    * stateless projection over the stream — the SAME
+    * `scoreQualityWith` expressions the batch filter runs, Z-scored
+    * with the ARTIFACT's moments, so live and nightly admission
+    * thresholds are in identical units and cannot drift (the
+    * tokenLogSink comparability argument, applied to quality). Docs
+    * below `minP` are dropped; survivors carry the probability for
+    * downstream mixture/selection logic. */
+  def scoredDocs(docs: DataFrame, scorer: TextAnalysis.LrScorer,
+      minP: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.withColumn("quality_p", TextAnalysis.qualityPCol(scorer))
+      .filter(col("quality_p") >= minP)
+  }
+
   /** Live token-budget accounting with the PERSISTED BPE artifact
     * (`TextAnalysis.loadBpeVocab` — train once, ship the merge table):
     * each micro-batch's docs are tokenized with the SAME merge chain

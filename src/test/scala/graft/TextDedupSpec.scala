@@ -359,6 +359,56 @@ class QualityClassifierSpec extends SparkSpec {
       !r.getAs[Double]("weight_raw").isNaN))
   }
 
+  test("scorer artifact: save/load round-trip, batch == stream scores bit-for-bit, tamper fails loud") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qlr").toString
+    val path = s"$dir/quality_lr"
+    val saved = TextAnalysis.saveQualityLr(spark, Sf, path, iters = 20)
+    val loaded = TextAnalysis.loadQualityLr(spark, path)
+    assert(loaded == saved)
+    // batch scoring with the loaded artifact
+    val docsB = Tables.documents(spark, Sf)
+    val batch = TextAnalysis.scoreQualityWith(docsB, loaded).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_p")).toMap
+    assert(batch.values.forall(p => p > 0.0 && p < 1.0))
+    // streaming scoring: the same column over a memory stream must
+    // produce BIT-IDENTICAL probabilities (no drift between the live
+    // filter and the nightly one)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val texts = docsB.select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), base, r.getString(1), r.getString(2), r.getString(3)))
+    mem.addData(texts.toIndexedSeq: _*)
+    val q = graft.streaming.DocStream.scoredDocs(
+        mem.toDF.toDF("doc_id", "ts", "lang", "source", "text"),
+        loaded, minP = 0.0)
+      .writeStream.format("memory").queryName("qlr_scored").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("qlr_scored").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_p")).toMap
+      assert(stream.size == batch.size)
+      assert(stream.forall { case (id, p) => batch(id) == p },
+        "stream scores must equal batch scores bit-for-bit")
+    } finally q.stop()
+    // tamper: perturb a weight but keep the stale manifest → loader throws
+    val rows = spark.read.parquet(path).collect()
+    val tampered = rows.map(r => (r.getAs[String]("feature"),
+      r.getAs[Double]("weight_std") + 0.1, r.getAs[Double]("feature_mean"),
+      r.getAs[Double]("feature_std"), r.getAs[Double]("intercept")))
+    val manifest = new java.io.File(path, graft.sources.ArtifactManifest.FileName)
+    val keep = java.nio.file.Files.readAllBytes(manifest.toPath)
+    tampered.toIndexedSeq
+      .toDF("feature", "weight_std", "feature_mean", "feature_std", "intercept")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    java.nio.file.Files.write(manifest.toPath, keep)
+    intercept[IllegalStateException] {
+      TextAnalysis.loadQualityLr(spark, path)
+    }
+  }
+
   test("at sf the distilled score beats the majority-class baseline") {
     val cells = TextAnalysis.qualityClassifierEval(spark, Sf).collect()
       .map(r => (r.getAs[Long]("pred_pass"), r.getAs[Long]("label_pass")) ->
