@@ -457,6 +457,97 @@ object Graph {
         .unionByName(minsP.select(col("v").as("u"), col("m").as("v"))))
   }
 
+  /** Coreness of every node (the max k such that the node survives
+    * k-core peeling) via the ITERATED H-INDEX operator (Lü, Zhou,
+    * Zhang, Stanley, "The H-index of a network node and its relation
+    * to degree and coreness", Nature Communications 2016): init
+    * c(v) = degree, then c'(v) = H-index of the neighbors' current
+    * values, which converges monotonically from above to coreness —
+    * the decentralized form of k-core decomposition. Classic peeling
+    * is inherently SEQUENTIAL (remove min-degree nodes one k at a
+    * time — a driver loop over k with a mutating frontier); the
+    * h-operator is one bulk-synchronous round per step, the right
+    * shape for 100 TB.
+    *
+    * Per-round plan — NO per-node buffers anywhere: neighbor values
+    * cap at the node's own value (H(min(vals, c)) = min(H(vals), c),
+    * so the cap changes nothing at the fixpoint but bounds the bucket
+    * domain), roll to a (node, value) COUNT histogram — at most
+    * min(degree, current c) rows per node, edge-bounded overall —
+    * and the H-index is the largest t whose descending cumulative
+    * count ≥ t: a partition-local window over the tiny per-node
+    * histogram, never a collect_list of neighbors (a 10⁶-degree hub
+    * costs 10⁶ histogram ROWS spread across the sort, not a 10⁶-slot
+    * aggregation buffer). Values are non-increasing integers bounded
+    * below → exact convergence in finitely many rounds, detected by
+    * an empty changed-row probe on checkpointed frames.
+    *
+    * rows-only by design (iterative); the spec pins planted
+    * clique/chain/triangle corenesses and full equivalence with a
+    * driver-side exact peel on the sf co-view graph. */
+  def corenessFrom(edges: DataFrame, maxRounds: Int = 50,
+      requireConvergence: Boolean = true): DataFrame = {
+    val e = canon(edges.select(col(edges.columns(0)).as("u"),
+        col(edges.columns(1)).as("v")))
+      .localCheckpoint()
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("node"), col("v").as("nbr"))
+    var labels = sym.groupBy("node").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = labels.isEmpty
+    while (rounds < maxRounds && !converged) {
+      val next = hIndexRound(sym, labels).localCheckpoint()
+      converged = next.filter(col("c") =!= col("prev")).isEmpty
+      labels = next.select("node", "c")
+      rounds += 1
+    }
+    if (!converged) {
+      val msg = s"h-index iteration hit the $maxRounds-round cap before its " +
+        "fixpoint: coreness values may still be above their true core numbers"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
+    labels.withColumnRenamed("c", "coreness")
+  }
+
+  /** One h-operator round: (node, c, prev) — exposed so the plan lint
+    * audits the loop's real per-round shape (two equi-joins on the
+    * node id, a histogram rollup, one per-node window over ≤ c rows). */
+  private[graft] def hIndexRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val hist = sym
+      .join(labels.select(col("node").as("nbr"), col("c").as("c_nbr")), Seq("nbr"))
+      .join(labels, Seq("node"))
+      .select(col("node"), least(col("c_nbr"), col("c")).as("t"))
+      .groupBy("node", "t").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("t").desc)
+    // h = max over PRESENT t of min(t, cum(t)). The naive "max t with
+    // cum(t) >= t" is wrong whenever h falls between present values:
+    // capped values [4,4,1,1,1] have h = 2 (two values >= 2) but no
+    // present t satisfies cum >= t above t = 1. min(t, cum) at the
+    // smallest present t >= h equals exactly h (cum there = cum(h) >= h
+    // and <= cum(h+1) <= h when t > h), and every present t yields
+    // min(t, cum) <= h, so the max over the histogram is exact.
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .groupBy("node").agg(max(least(col("t"), col("cum"))).as("h"))
+    labels.withColumnRenamed("c", "prev")
+      .join(h, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("c"), col("prev"))
+  }
+
+  /** k-core census of the co-view graph: how many products sit at
+    * each coreness — the density ladder (max row = the degeneracy).
+    * The engagement-core view the component census (connectivity) and
+    * triangle census (local density) both miss: a product can be in
+    * the giant component with zero triangles yet sit deep in the
+    * core. Same gated edge frame as coview_triangles. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    corenessFrom(coviewEdgesFrom(enriched(spark, dir)))
+      .groupBy("coreness").agg(count(lit(1)).as("n_products"))
+      .orderBy(desc("coreness"))
+
   /** Component-size census of the co-view graph — how many components
     * of each size, over the SAME gated edge frame as
     * `coview_triangles`. One giant component = healthy browse graph;

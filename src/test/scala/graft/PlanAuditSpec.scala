@@ -152,6 +152,10 @@ class PlanAuditSpec extends SparkSpec {
       // via coview_pairs/coview_triangles, and each round is a
       // groupBy-min + equi-join over the shrinking checkpointed edges
       "graph_components",
+      // graph_kcore runs its h-index rounds at construction over the
+      // same audited edge subtree; each round is audited directly
+      // below via Graph.hIndexRound
+      "graph_kcore",
       // quality_classifier[_eval] run their GD rounds at construction
       // (1-row gradient aggregates over the checkpointed feature
       // frame — the Lloyd control-flow class); the corpus-sized
@@ -267,7 +271,17 @@ class PlanAuditSpec extends SparkSpec {
       // quality_classifier's corpus-sized subtree: the one-scan
       // feature/label projection (native word_rep_stats, no shuffle)
       offendersIn("quality_classifier[features]",
-        operators.TextAnalysis.qualityLrFeatures(Tables.documents(spark, Sf)))
+        operators.TextAnalysis.qualityLrFeatures(Tables.documents(spark, Sf))) ++
+      // graph_kcore's per-round shape over the real edge frame
+      offendersIn("graph_kcore[round]", {
+        val e = operators.Graph.coviewEdgesFrom(operators.EventMarts.enriched(spark, Sf))
+        val sym = e.select(col("a").as("node"), col("b").as("nbr"))
+          .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+        val labels = sym.groupBy("node")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("c"))
+        operators.Graph.hIndexRound(sym, labels)
+      })
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
 

@@ -513,6 +513,65 @@ class RetrievalSpec extends SparkSpec {
     assert(star == lp)
   }
 
+  test("coreness: planted clique/chain/triangle exact; sf equals a driver-side peel") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // K5 (coreness 4) with a pendant path 4-10-11-12 (coreness 1),
+    // plus a disjoint triangle 20-21-22 (coreness 2)
+    val k5 = for { i <- 0 to 4; j <- (i + 1) to 4 } yield (i.toLong, j.toLong)
+    val path = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val got = Graph.corenessFrom((k5 ++ path ++ tri).toDF("a", "b")).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("coreness")).toMap
+    (0L to 4L).foreach(v => assert(got(v) == 4L, s"K5 node $v: ${got(v)}"))
+    Seq(10L, 11L, 12L).foreach(v => assert(got(v) == 1L))
+    Seq(20L, 21L, 22L).foreach(v => assert(got(v) == 2L))
+    // Between-present-values H-index: X(30) sees two K4 nodes and three
+    // leaves — round-1 capped neighbor values [4,4,1,1,1] have h = 2,
+    // which is NOT a present histogram t (the "max t with cum >= t"
+    // shortcut returns 1 here and the monotone iteration never
+    // recovers). True coreness: K4 = 3, X = 2, leaves = 1.
+    val k4 = for { i <- 31 to 34; j <- (i + 1) to 34 } yield (i.toLong, j.toLong)
+    val bridge = Seq((30L, 31L), (30L, 32L), (30L, 40L), (30L, 41L), (30L, 42L))
+    val got2 = Graph.corenessFrom((k4 ++ bridge).toDF("a", "b")).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("coreness")).toMap
+    assert(got2(30L) == 2L, s"bridge node: ${got2(30L)}")
+    (31L to 34L).foreach(v => assert(got2(v) == 3L, s"K4 node $v: ${got2(v)}"))
+    Seq(40L, 41L, 42L).foreach(v => assert(got2(v) == 1L))
+    // sf co-view graph: every coreness equals the classic sequential
+    // peel run driver-side on the collected edges
+    val edges = Graph.coviewEdgesFrom(EventMarts.enriched(spark, Sf)).collect()
+      .map(r => (r.getAs[Int]("a").toLong, r.getAs[Int]("b").toLong))
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+    }
+    val deg = scala.collection.mutable.Map(adj.map { case (k, s) => k -> s.size }.toSeq: _*)
+    val remaining = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 0
+    while (remaining.nonEmpty) {
+      val peelable = remaining.filter(deg(_) <= k)
+      if (peelable.isEmpty) k += 1
+      else peelable.foreach { v =>
+        core(v) = k.toLong
+        remaining -= v
+        adj(v).foreach { u =>
+          if (remaining(u)) { deg(u) -= 1; adj(u) -= v }
+        }
+      }
+    }
+    val dist = Graph.corenessFrom(
+        Graph.coviewEdgesFrom(EventMarts.enriched(spark, Sf))).collect()
+      .map(r => r.getAs[Int]("node").toLong -> r.getAs[Long]("coreness")).toMap
+    assert(dist == core.toMap, "h-index fixpoint must equal the sequential peel")
+    // the census query rolls the same labels
+    val census = Graph.graphKcore(spark, Sf).collect()
+      .map(r => r.getAs[Long]("coreness") -> r.getAs[Long]("n_products")).toMap
+    assert(census == core.values.groupBy(identity).map { case (c, vs) => c -> vs.size.toLong })
+  }
+
   test("graph_components census conserves the co-view node set") {
     import graft.operators.Graph
     val census = Graph.graphComponents(spark, Sf).collect()
