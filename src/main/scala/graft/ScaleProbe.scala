@@ -186,7 +186,12 @@ object ScaleProbe {
       // corpora (exact-dup groups stay size-1 per replica — suffixed
       // texts; dim stats is duplicate-insensitive)
       "graph_components", "dedup_inflation", "stickiness_weekly",
-      "session_entry_exit", "embedding_dim_stats")
+      "session_entry_exit", "embedding_dim_stats",
+      // round 9 batch 4: kcore + degree census ride the same
+      // generated-events graph shape as graph_components (no replica
+      // densification); srm is one distinct-user exchange + a 1-row
+      // aggregate
+      "graph_kcore", "graph_degree_census", "ab_srm_check")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

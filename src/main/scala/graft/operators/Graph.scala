@@ -548,6 +548,51 @@ object Graph {
       .groupBy("coreness").agg(count(lit(1)).as("n_products"))
       .orderBy(desc("coreness"))
 
+  /** Degree census of the co-view graph — how many products have each
+    * co-view degree. The distribution PRIMITIVE under every other
+    * graph readout: the triangle coefficient, the coreness ladder and
+    * the component census all change meaning with the degree shape
+    * (a heavy power-law tail is why the orientation/histogram tricks
+    * exist at all), and a catalog change shows up here first — heads
+    * growing (a hub product coupling everything) or the body thinning
+    * (browse fragmentation) — before any downstream census moves.
+    * Two exchanges total (edges → per-node degree → histogram), both
+    * strictly shrinking; full SQL oracle over the same gated edge
+    * frame as `coview_triangles`/`graph_components`. */
+  def graphDegreeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coviewEdgesFrom(enriched(spark, dir))
+    edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_products"))
+      .orderBy(desc("degree"))
+  }
+
+  val graphDegreeCensusSql: String =
+    """WITH up AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS product_k
+      |  FROM events
+      |  WHERE event_type = 'view' AND json_extract_string(props, '$.k') IS NOT NULL
+      |), eligible AS (
+      |  SELECT user_id, event_date FROM up
+      |  GROUP BY user_id, event_date
+      |  HAVING COUNT(*) BETWEEN 2 AND 50
+      |), basket AS (
+      |  SELECT up.* FROM up JOIN eligible USING (user_id, event_date)
+      |), edges AS (
+      |  SELECT DISTINCT x.product_k AS a, y.product_k AS b
+      |  FROM basket x JOIN basket y
+      |    ON x.user_id = y.user_id AND x.event_date = y.event_date
+      |   AND x.product_k < y.product_k
+      |), deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+      |  ) GROUP BY node
+      |)
+      |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_products
+      |FROM deg GROUP BY degree ORDER BY degree DESC""".stripMargin
+
   /** Component-size census of the co-view graph — how many components
     * of each size, over the SAME gated edge frame as
     * `coview_triangles`. One giant component = healthy browse graph;

@@ -269,6 +269,34 @@ object Multimodal {
                    maxBucket: Int = 1024): DataFrame =
     phashNearDupFrom(mediaTable(spark, dir), maxHamming, maxBucket)
 
+  /** Perceptual near-dup CLUSTER census — the dedup unit the pair
+    * frame can't serve directly: re-encode chains link transitively
+    * (original ↔ JPEG ↔ JPEG-recompressed may pairwise clear
+    * maxHamming only adjacently), so keeper selection and inventory
+    * accounting need COMPONENTS over the pair graph, not pairs.
+    * Pairs come from `phashNearDup` (banded, bucket-bounded);
+    * clusters from the star-contraction CC core shared with
+    * `graph_components` (O(log² n) rounds regardless of chain
+    * length — a viral re-encode chain is exactly the high-diameter
+    * case min-label propagation handles worst); every media row is a
+    * vertex, so size-1 rows read off the UNIQUE share of the corpus
+    * directly. rows-only (JVM decode + iterative CC); the spec pins
+    * a planted original/re-encode/twin cluster exactly. */
+  def mediaPhashClusters(spark: SparkSession, dir: String, maxHamming: Int = 7,
+                         maxBucket: Int = 1024): DataFrame =
+    mediaPhashClustersFrom(mediaTable(spark, dir), maxHamming, maxBucket)
+
+  def mediaPhashClustersFrom(media: DataFrame, maxHamming: Int = 7,
+                             maxBucket: Int = 1024): DataFrame = {
+    val edges = phashNearDupFrom(media, maxHamming, maxBucket)
+      .select(col("media_a").as("a"), col("media_b").as("b"))
+      .localCheckpoint()
+    Graph.connectedComponentsFrom(media.select(col("media_id").as("id")), edges)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy(desc("cluster_size"))
+  }
+
   def phashNearDupFrom(media: DataFrame, maxHamming: Int = 7,
                        maxBucket: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(media.sparkSession)

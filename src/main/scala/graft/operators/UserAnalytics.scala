@@ -680,6 +680,65 @@ object UserAnalytics {
       |    / c.ctrl_rate AS lift_vs_control
       |FROM a LEFT JOIN c ON TRUE ORDER BY arm""".stripMargin
 
+  /** Sample-ratio-mismatch (SRM) guard on the hash-split experiment:
+    * the check every A/B readout must pass FIRST — if the md5 split
+    * doesn't deliver its designed 50/50 user ratio, every lift number
+    * in `ab_test_summary` is invalid (the classic silent killers: a
+    * bot cohort hashing into one arm, a gated logging path dropping
+    * one arm's events, a mid-flight assignment change). Shares
+    * `armCol` with the summary and the stream watch, so the three
+    * surfaces can't test different splits.
+    *
+    * Shape: ONE distinct-user exchange, then a 1-row conditional
+    * aggregate — nothing downstream of the user dimension. The
+    * chi-square statistic against the 50/50 design collapses to
+    * (n_c − n_t)²/n, and the 95% decision (3.84 at df = 1) is taken
+    * as the INTEGER comparison 100·(n_c − n_t)² > 384·n — exact in
+    * both engines, no libm in the verdict (the double statistic is
+    * reported for dashboards but never drives the flag). BIGINT
+    * arithmetic holds to an arm imbalance of ~3×10⁹ users. */
+  def abSrmCheck(spark: SparkSession, dir: String): DataFrame =
+    abSrmCheckFrom(enriched(spark, dir))
+
+  def abSrmCheckFrom(e: DataFrame, experiment: String = "exp1"): DataFrame = {
+    val diff = col("n_control") - col("n_treatment")
+    val total = col("n_control") + col("n_treatment")
+    e.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
+      .select(armCol(experiment).as("arm"))
+      .agg(
+        sum(when(col("arm") === "control", 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n_treatment"))
+      .select(
+        lit(experiment).as("experiment"),
+        col("n_control"), col("n_treatment"),
+        (diff * diff).as("sq_diff"),
+        when(total > 0, (diff * diff).cast("double") / total.cast("double"))
+          .as("chi_sq"),
+        (lit(100L) * diff * diff > lit(384L) * total).as("srm_flag"))
+  }
+
+  val abSrmCheckSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+      |), arms AS (
+      |  SELECT CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1) >= '8'
+      |              THEN 'treatment' ELSE 'control' END AS arm
+      |  FROM u
+      |), a AS (
+      |  SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+      |         CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment
+      |  FROM arms
+      |)
+      |SELECT 'exp1' AS experiment, n_control, n_treatment,
+      |  (n_control - n_treatment) * (n_control - n_treatment) AS sq_diff,
+      |  CASE WHEN n_control + n_treatment > 0 THEN
+      |    CAST((n_control - n_treatment) * (n_control - n_treatment) AS DOUBLE)
+      |      / CAST(n_control + n_treatment AS DOUBLE) END AS chi_sq,
+      |  100 * (n_control - n_treatment) * (n_control - n_treatment)
+      |    > 384 * (n_control + n_treatment) AS srm_flag
+      |FROM a""".stripMargin
+
   /** Activity-inequality census: the exact Gini coefficient over
     * per-user event counts — ONE number answering "how concentrated
     * is the traffic" (0 = everyone equally active, →1 = a handful of

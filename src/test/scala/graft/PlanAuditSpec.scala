@@ -156,6 +156,11 @@ class PlanAuditSpec extends SparkSpec {
       // same audited edge subtree; each round is audited directly
       // below via Graph.hIndexRound
       "graph_kcore",
+      // media_phash_clusters decodes + checkpoints its pair frame and
+      // runs star-contraction rounds at construction; the banded
+      // fingerprint pair subtree is the same shape audited via
+      // media_near_dup, and the CC rounds are graph_components' shape
+      "media_phash_clusters",
       // quality_classifier[_eval] run their GD rounds at construction
       // (1-row gradient aggregates over the checkpointed feature
       // frame — the Lloyd control-flow class); the corpus-sized

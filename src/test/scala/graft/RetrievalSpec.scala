@@ -584,6 +584,19 @@ class RetrievalSpec extends SparkSpec {
     assert(totalNodes == distinctNodes)
   }
 
+  test("graph_degree_census: mass identities vs the edge frame") {
+    import graft.operators.Graph
+    val census = Graph.graphDegreeCensus(spark, Sf).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_products")).toMap
+    val e = Graph.coviewEdgesFrom(EventMarts.enriched(spark, Sf))
+    // Σ n_products = |V|; Σ degree·n_products = 2|E| (handshake lemma)
+    val nodes = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n"))).distinct().count()
+    assert(census.values.sum == nodes)
+    assert(census.map { case (d, n) => d * n }.sum == 2 * e.count())
+    assert(census.keys.forall(_ >= 1L))
+  }
+
   test("embedding dim stats: driver-exact on a planted frame; moment inequalities at sf") {
     import spark.implicits._
     val planted = Seq(

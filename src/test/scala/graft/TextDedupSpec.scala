@@ -2548,6 +2548,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash clusters: re-encode chain rolls into ONE cluster; singletons counted") {
+    import spark.implicits._
+    val img = gradientImg(96, 64, 0)
+    // {png, jpeg re-encode, byte twin} must land in one size-3 cluster
+    // even if only adjacent pairs clear the Hamming cut (transitivity
+    // is the whole point of the CC rollup); checkerboard and the text
+    // fallback payload stay size-1
+    val media = Seq(
+      (1L, encoded(img, "png")), (2L, encoded(img, "jpg")),
+      (3L, encoded(checkerImg(96, 64), "png")), (4L, encoded(img, "png")),
+      (5L, "some text payload, the fallback arm".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val census = Multimodal.mediaPhashClustersFrom(media).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    assert(census == Map(3L -> 1L, 1L -> 2L), s"census: $census")
+    // sf corpus: cluster mass conserves the media row count
+    val sf = Multimodal.mediaPhashClusters(spark, Sf).collect()
+    val mass = sf.map(r => r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")).sum
+    assert(mass == Multimodal.mediaTable(spark, Sf).count())
+  }
+
   test("pHash is deterministic and resample/DCT behave on hand-built images") {
     val img = gradientImg(128, 96, 10)
     val h1 = operators.ImageCodec.pHash64(img)

@@ -226,6 +226,36 @@ class UserAnalyticsSpec extends SparkSpec {
     assert(again == got.view.mapValues(_.getAs[Long]("n_users")).toMap)
   }
 
+  test("srm check: counts match an md5 replica; broken split flags; users count once") {
+    def arm(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    // every user emits TWO events — SRM must count distinct users, not rows
+    val rows = (1L to 40L).flatMap(u => Seq(
+      (u * 10, u, "2024-01-02 10:00:00", "view", 1.0),
+      (u * 10 + 1, u, "2024-01-03 10:00:00", "view", 1.0)))
+    val r = UserAnalytics.abSrmCheckFrom(ev(rows)).collect()
+    assert(r.length == 1)
+    val nC = (1L to 40L).count(arm(_) == "control").toLong
+    val nT = 40L - nC
+    assert(r(0).getAs[Long]("n_control") == nC)
+    assert(r(0).getAs[Long]("n_treatment") == nT)
+    val sq = (nC - nT) * (nC - nT)
+    assert(r(0).getAs[Long]("sq_diff") == sq)
+    assert(r(0).getAs[Double]("chi_sq") == sq.toDouble / 40.0)
+    assert(r(0).getAs[Boolean]("srm_flag") == (100L * sq > 384L * 40L))
+    // a logging path that drops one arm entirely MUST flag: keep only
+    // control-hashing users (the classic gated-events SRM)
+    val ctrlUsers = (1L to 200L).filter(arm(_) == "control").take(30)
+    val broken = ctrlUsers.map(u => (u * 10, u, "2024-01-02 10:00:00", "view", 1.0))
+    val b = UserAnalytics.abSrmCheckFrom(ev(broken)).collect()(0)
+    assert(b.getAs[Long]("n_treatment") == 0L)
+    assert(b.getAs[Boolean]("srm_flag"), "one-arm split must trip the SRM guard")
+  }
+
   test("traffic forecast: planted weeks pin baseline x level exactly") {
     // Mondays Jan 1 / Jan 8, Sunday Jan 14 (last date) → forecast for
     // Mon Jan 15. Mon-10h baseline: (2+4)/2 = 3; Mon-12h: 2/2 = 1.
