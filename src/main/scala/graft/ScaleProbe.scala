@@ -191,7 +191,12 @@ object ScaleProbe {
       // generated-events graph shape as graph_components (no replica
       // densification); srm is one distinct-user exchange + a 1-row
       // aggregate
-      "graph_kcore", "graph_degree_census", "ab_srm_check")
+      "graph_kcore", "graph_degree_census", "ab_srm_check",
+      // round 9 batch 5: assortativity rides the same graph shape
+      // (degree joins are node-dimension); cuped is one user rollup +
+      // a 2-row arm frame; revenue_gini rides the banded prefix sum
+      // on the customer dimension (revenue_abc's class)
+      "graph_assortativity", "ab_cuped", "revenue_gini")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

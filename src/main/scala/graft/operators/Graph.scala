@@ -593,6 +593,106 @@ object Graph {
       |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_products
       |FROM deg GROUP BY degree ORDER BY degree DESC""".stripMargin
 
+  /** Degree assortativity of the co-view graph — the Pearson
+    * correlation of degrees across edge endpoints (Newman 2002): do
+    * hub products co-view with hubs (r > 0, a clustered "popular
+    * core") or with the long tail (r < 0, hub-and-spoke browsing)?
+    * The ONE-number mixing summary the degree census can't express
+    * (two graphs with identical degree histograms can sit at opposite
+    * ends of r), and the early detector for recommendation feedback
+    * loops — a recommender that routes all tail traffic through a few
+    * hub products drives r down before the census shape moves.
+    *
+    * Scale shape: degree frame (two strictly-shrinking exchanges),
+    * two node-keyed dim joins onto the symmetrized edge list, ONE
+    * 1-row global aggregate — no window, no sort. Exact
+    * decimal(38,0) sums of integer degrees through the shuffle; the
+    * Pearson r is then a FIXED scalar chain over the exact sums in
+    * MEAN form, r = (E[xy] − E[x]²)/(E[x²] − E[x]²) (symmetrized
+    * marginals are equal, so Σy-terms collapse) — mean form keeps
+    * every intermediate within double range at 10⁹-node scale, where
+    * the textbook m·Σxy − (Σx)² products would overflow even
+    * decimal(38). Identical op order in the DuckDB oracle → hashes
+    * bit-identically; a regular graph (zero degree variance)
+    * degenerates to NULL by guard in both engines. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityFrom(coviewEdgesFrom(enriched(spark, dir)))
+
+  def assortativityFrom(edges: DataFrame): DataFrame = {
+    val ed = edges.localCheckpoint() // feeds degrees AND the doubled edge list
+    val deg = ed.select(col("a").as("node"))
+      .unionByName(ed.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val both = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
+    val xy = both
+      .join(deg.select(col("node").as("src"),
+        col("degree").cast("decimal(19,0)").as("x")), Seq("src"))
+      .join(deg.select(col("node").as("dst"),
+        col("degree").cast("decimal(19,0)").as("y")), Seq("dst"))
+    val m = col("m").cast("double")
+    val mx = col("sx").cast("double") / m
+    val exy = col("sxy").cast("double") / m
+    val exx = col("sxx").cast("double") / m
+    xy.agg(
+        count(lit(1)).as("m"), // directed count = 2|E|
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        (col("m") / lit(2)).cast("long").as("n_edges"),
+        mx.as("mean_degree"),
+        when(exx - mx * mx =!= lit(0.0),
+          (exy - mx * mx) / (exx - mx * mx)).as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    """WITH up AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS product_k
+      |  FROM events
+      |  WHERE event_type = 'view' AND json_extract_string(props, '$.k') IS NOT NULL
+      |), eligible AS (
+      |  SELECT user_id, event_date FROM up
+      |  GROUP BY user_id, event_date
+      |  HAVING COUNT(*) BETWEEN 2 AND 50
+      |), basket AS (
+      |  SELECT up.* FROM up JOIN eligible USING (user_id, event_date)
+      |), edges AS (
+      |  SELECT DISTINCT x.product_k AS a, y.product_k AS b
+      |  FROM basket x JOIN basket y
+      |    ON x.user_id = y.user_id AND x.event_date = y.event_date
+      |   AND x.product_k < y.product_k
+      |), deg AS (
+      |  SELECT node, CAST(COUNT(*) AS DECIMAL(19,0)) AS degree FROM (
+      |    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+      |  ) GROUP BY node
+      |), both_dir AS (
+      |  SELECT a AS src, b AS dst FROM edges
+      |  UNION ALL SELECT b AS src, a AS dst FROM edges
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    SUM(dx.degree) AS sx,
+      |    SUM(dx.degree * dy.degree) AS sxy,
+      |    SUM(dx.degree * dx.degree) AS sxx
+      |  FROM both_dir e
+      |  JOIN deg dx ON e.src = dx.node
+      |  JOIN deg dy ON e.dst = dy.node
+      |)
+      |SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+      |  CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) AS mean_degree,
+      |  CASE WHEN CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE)
+      |         - (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+      |           * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)) <> 0.0
+      |    THEN (CAST(sxy AS DOUBLE) / CAST(m AS DOUBLE)
+      |            - (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+      |              * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+      |         / (CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE)
+      |            - (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+      |              * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+      |  END AS assortativity
+      |FROM s""".stripMargin
+
   /** Component-size census of the co-view graph — how many components
     * of each size, over the SAME gated edge frame as
     * `coview_triangles`. One giant component = healthy browse graph;

@@ -1145,6 +1145,81 @@ object Relational {
       |FROM pr CROSS JOIN tot
       |ORDER BY revenue DESC, l_partkey ASC""".stripMargin
 
+  /** Revenue-inequality readout: the exact Gini coefficient over
+    * per-customer order revenue — the whole-distribution concentration
+    * dial beside `revenue_pareto`'s top-100 heads and `revenue_abc`'s
+    * banded classes (Pareto names the heads, ABC buckets everyone,
+    * Gini is the ONE number that moves when the curve's shape drifts —
+    * the standard KPI for "are we becoming a whale shop"). Fourth
+    * surface of the banded distributed prefix-sum core
+    * (`revenue_abc` → `user_activity_gini` → `dq_key_skew`'s census →
+    * here): GK band thresholds, ≤bands driver rows, band-local
+    * row_number + literal offsets — exact global ranks with no global
+    * sort, and Σ i·vᵢ is tie-order-invariant so band-local tie order
+    * cannot perturb it. Money stays decimal end-to-end (the dsum
+    * rule); the final Gini is a fixed IEEE chain on exact decimals,
+    * so the DuckDB one-window oracle hashes bit-identically.
+    * Population = customers with ≥1 order (revenue Gini over
+    * purchasers; the zero-order tail is `user_lifecycle`'s job). */
+  def revenueGini(spark: SparkSession, dir: String, bands: Int = 16): DataFrame =
+    revenueGiniFrom(Tables.orders(spark, dir), bands)
+
+  def revenueGiniFrom(orders: DataFrame, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)").as("v"))
+      .localCheckpoint() // feeds thresholds, band stats, and the ranked sum
+    val qs = (1 until bands).map(i => i.toDouble / bands)
+    val ts = vals
+      .agg(expr(s"approx_percentile(CAST(v AS DOUBLE), " +
+        s"array(${qs.mkString(", ")}), 10000)").as("ts"))
+      .collect().head.getSeq[Double](0)
+    // ascending monotone chain: band 0 = lowest-revenue customers
+    val band = ts.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, i)) =>
+      when(col("v").cast("double") > t, lit(i + 1)).otherwise(acc)
+    }
+    val banded = vals.withColumn("band", band)
+    val stats = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getDecimal(2).asInstanceOf[java.math.BigDecimal])).sortBy(_._1)
+    val totalN = stats.map(_._2).sum
+    val totalS = stats.map(_._3).reduce(_.add(_))
+    val rowOffsets = stats.scanLeft(0L) { case (acc, (_, n, _)) => acc + n }.init
+    val offCol = stats.map(_._1).zip(rowOffsets).foldLeft(lit(0L)) {
+      case (acc, (b, off)) => when(col("band") === b, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy("band").orderBy(asc("v"), asc("o_custkey"))
+    banded
+      .withColumn("rnk", row_number().over(w).cast("long") + offCol)
+      .agg(sum(col("rnk").cast("decimal(20,0)") * col("v")).as("s_rank"))
+      .select(
+        lit(totalN).as("n_customers"),
+        lit(totalS).cast("double").as("total_revenue"),
+        (lit(2.0) * col("s_rank").cast("double") /
+          (lit(totalN.toDouble) * lit(totalS).cast("double")) -
+          lit((totalN + 1).toDouble) / lit(totalN.toDouble)).as("gini"))
+  }
+
+  val revenueGiniSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+      |  FROM orders GROUP BY o_custkey
+      |), r AS (
+      |  SELECT o_custkey, v,
+      |    ROW_NUMBER() OVER (ORDER BY v, o_custkey) AS rnk
+      |  FROM c
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(v) AS DOUBLE) AS total_revenue,
+      |  2.0 * CAST(SUM(CAST(rnk AS DECIMAL(20,0)) * v) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) -
+      |  CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gini
+      |FROM r""".stripMargin
+
   val revenueParetoSql: String =
     """WITH pr AS (
       |  SELECT l_partkey,

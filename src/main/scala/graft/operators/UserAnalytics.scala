@@ -739,6 +739,151 @@ object UserAnalytics {
       |    > 384 * (n_control + n_treatment) AS srm_flag
       |FROM a""".stripMargin
 
+  /** CUPED variance-reduced A/B readout (Deng–Xu–Kohavi–Walker,
+    * WSDM 2013) — the third leg of the experimentation suite:
+    * `ab_srm_check` validates the split, `ab_test_summary` reads the
+    * raw lift, and CUPED shrinks the lift's variance using
+    * pre-experiment behavior (the covariate a hash split guarantees
+    * is independent of assignment). Covariate X = the user's event
+    * count in the FIRST half of the observed window; outcome Y = the
+    * user's purchase count in the second half; the adjusted metric
+    * Y − θ(X − E[X]) with θ = Cov(X,Y)/Var(X) removes the
+    * pre-existing-activity component of the outcome noise — the
+    * variance_reduction column (= ρ²) reports how much experiment
+    * runtime the covariate buys.
+    *
+    * Scale shape: the window midpoint rides as a 1-ROW broadcast
+    * (the scalar-subquery pattern) onto ONE user-grain conditional
+    * rollup; per-arm sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²
+    * — all exact BIGINT) reduce to a ≤2-row arm frame, and every
+    * global moment is a window sum over THAT frame. Crucially the
+    * per-arm adjusted mean needs no per-user adjusted values:
+    * mean(Y_a) − θ(mean(X_a) − E[X]) is algebraically the mean of
+    * the adjusted scores, so nothing after the user rollup is
+    * fact-sized and no shuffle-ordered float sum exists. θ and ρ²
+    * are computed in MEAN form (E[xy] − E[x]E[y]…), a fixed scalar
+    * chain on exact integers — bit-identical in the DuckDB oracle;
+    * zero-variance degenerate corpora take θ = 0 (no adjustment) by
+    * guard in both engines. Epoch midpoint is (min+max) DIV 2 —
+    * integer in both engines (the purchase_intervals DIV rule). */
+  def abCuped(spark: SparkSession, dir: String): DataFrame =
+    abCupedFrom(enriched(spark, dir))
+
+  def abCupedFrom(e: DataFrame, experiment: String = "exp1"): DataFrame = {
+    val f = e.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val bounds = f.agg(min(col("event_epoch")).as("e0"),
+      max(col("event_epoch")).as("e1"))
+    val u = f.crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("(e0 + e1) div 2"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_epoch") <= col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_epoch") > col("mid") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select(armCol(experiment).as("arm"), col("x"), col("y"))
+    val arms = u.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = arms
+      .withColumn("gn", sum(col("n")).over(wAll))
+      .withColumn("gsx", sum(col("sx")).over(wAll))
+      .withColumn("gsy", sum(col("sy")).over(wAll))
+      .withColumn("gsxy", sum(col("sxy")).over(wAll))
+      .withColumn("gsxx", sum(col("sxx")).over(wAll))
+      .withColumn("gsyy", sum(col("syy")).over(wAll))
+    val gnD = col("gn").cast("double")
+    val gmx = col("gsx").cast("double") / gnD
+    val gmy = col("gsy").cast("double") / gnD
+    val cov = col("gsxy").cast("double") / gnD - gmx * gmy
+    val varx = col("gsxx").cast("double") / gnD - gmx * gmx
+    val vary = col("gsyy").cast("double") / gnD - gmy * gmy
+    val theta = when(varx =!= lit(0.0), cov / varx).otherwise(lit(0.0))
+    val meanPre = col("sx").cast("double") / col("n").cast("double")
+    val conv = col("sy").cast("double") / col("n").cast("double")
+    val adj = conv - theta * (meanPre - gmx)
+    val varRed = when(varx * vary =!= lit(0.0),
+      cov * cov / (varx * vary)).otherwise(lit(0.0))
+    g.select(col("arm"), col("n").as("n_users"),
+        meanPre.as("mean_pre"), conv.as("conv_rate"),
+        theta.as("theta"), adj.as("adj_conv_rate"),
+        varRed.as("var_reduction"))
+      .withColumn("ctrl_adj",
+        max(when(col("arm") === "control", col("adj_conv_rate"))).over(wAll))
+      .select(col("arm"), col("n_users"), col("mean_pre"), col("conv_rate"),
+        col("theta"), col("adj_conv_rate"),
+        when(col("ctrl_adj") =!= lit(0.0),
+          (col("adj_conv_rate") - col("ctrl_adj")) / col("ctrl_adj"))
+          .as("adj_lift_vs_control"),
+        col("var_reduction"))
+      .orderBy("arm")
+  }
+
+  val abCupedSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS e
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), b AS (
+      |  SELECT (MIN(e) + MAX(e)) // 2 AS mid FROM f
+      |), u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN e <= b.mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN e > b.mid AND event_type = 'purchase'
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM f, b GROUP BY user_id
+      |), a AS (
+      |  SELECT CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1) >= '8'
+      |              THEN 'treatment' ELSE 'control' END AS arm,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM u GROUP BY 1
+      |), g AS (
+      |  SELECT arm, n, sx, sy, sxy, sxx, syy,
+      |    SUM(n) OVER () AS gn, SUM(sx) OVER () AS gsx,
+      |    SUM(sy) OVER () AS gsy, SUM(sxy) OVER () AS gsxy,
+      |    SUM(sxx) OVER () AS gsxx, SUM(syy) OVER () AS gsyy
+      |  FROM a
+      |), s AS (
+      |  SELECT arm, n,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pre,
+      |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS conv_rate,
+      |    CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) AS gmx,
+      |    CAST(gsxy AS DOUBLE) / CAST(gn AS DOUBLE)
+      |      - (CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE))
+      |        * (CAST(gsy AS DOUBLE) / CAST(gn AS DOUBLE)) AS cov,
+      |    CAST(gsxx AS DOUBLE) / CAST(gn AS DOUBLE)
+      |      - (CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE))
+      |        * (CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE)) AS varx,
+      |    CAST(gsyy AS DOUBLE) / CAST(gn AS DOUBLE)
+      |      - (CAST(gsy AS DOUBLE) / CAST(gn AS DOUBLE))
+      |        * (CAST(gsy AS DOUBLE) / CAST(gn AS DOUBLE)) AS vary
+      |  FROM g
+      |), t AS (
+      |  SELECT arm, n AS n_users, mean_pre, conv_rate,
+      |    CASE WHEN varx <> 0.0 THEN cov / varx ELSE 0.0 END AS theta,
+      |    conv_rate - (CASE WHEN varx <> 0.0 THEN cov / varx ELSE 0.0 END)
+      |      * (mean_pre - gmx) AS adj_conv_rate,
+      |    CASE WHEN varx * vary <> 0.0 THEN cov * cov / (varx * vary)
+      |         ELSE 0.0 END AS var_reduction
+      |  FROM s
+      |), w AS (
+      |  SELECT *, MAX(CASE WHEN arm = 'control' THEN adj_conv_rate END)
+      |    OVER () AS ctrl_adj
+      |  FROM t
+      |)
+      |SELECT arm, n_users, mean_pre, conv_rate, theta, adj_conv_rate,
+      |  CASE WHEN ctrl_adj <> 0.0 THEN (adj_conv_rate - ctrl_adj) / ctrl_adj
+      |  END AS adj_lift_vs_control,
+      |  var_reduction
+      |FROM w ORDER BY arm""".stripMargin
+
   /** Activity-inequality census: the exact Gini coefficient over
     * per-user event counts — ONE number answering "how concentrated
     * is the traffic" (0 = everyone equally active, →1 = a handful of

@@ -391,4 +391,34 @@ object EventStream {
         count(when(col("event_type") === "purchase", 1)).as("purchases"),
         approx_count_distinct(when(col("event_type") === "purchase",
           col("user_id"))).as("purchasers_approx"))
+
+  /** Per-window SRM tripwire over `abArmCounts`' finalized rows — the
+    * streaming face of `UserAnalytics.abSrmCheck`, same integer-exact
+    * verdict arithmetic (100·(nc−nt)² > 384·n, the χ²₁ 95% line with
+    * no libm in the flag), applied per window to EVENT volume. The
+    * honest division of labor: events from one user aren't
+    * independent trials, so at stream grain this is a RAMP-ACCIDENT
+    * tripwire on traffic share (a splitter break or a one-arm logging
+    * outage slams volume share far past any dependence correction —
+    * the hours-earlier catch), while the statistically rigorous
+    * distinct-USER SRM stays the batch `ab_srm_check`. Expects
+    * finalized rows (append-mode sink or a compacted log): one row
+    * per (window, arm); missing arms read as zero, which is exactly
+    * the one-arm-outage shape the flag must trip on. */
+  def srmFromArmCounts(armCounts: DataFrame): DataFrame = {
+    val diff = col("n_control") - col("n_treatment")
+    val total = col("n_control") + col("n_treatment")
+    armCounts
+      .groupBy(col("window"))
+      .agg(
+        sum(when(col("arm") === "control", col("events")).otherwise(0L))
+          .as("n_control"),
+        sum(when(col("arm") === "treatment", col("events")).otherwise(0L))
+          .as("n_treatment"))
+      .select(col("window"), col("n_control"), col("n_treatment"),
+        when(total > 0, (diff * diff).cast("double") / total.cast("double"))
+          .as("chi_sq"),
+        (lit(100L) * diff * diff > lit(384L) * total).as("srm_flag"))
+      .orderBy("window")
+  }
 }

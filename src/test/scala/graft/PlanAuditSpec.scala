@@ -48,6 +48,9 @@ class PlanAuditSpec extends SparkSpec {
     // corpus-max date; traffic_seasonality crosses its ≤168 slot rows
     // with the ONE-ROW grand total — both the scalar-subquery pattern
     "user_feature_matrix", "traffic_seasonality",
+    // ab_cuped rides its ONE-ROW broadcast epoch midpoint onto the
+    // fact scan before the user rollup — the scalar-subquery pattern
+    "ab_cuped",
     // zipf_curve / vocab_growth / doc_tfidf_keywords / search_bm25
     // each cross ONE-ROW broadcast corpus stats (total tokens, max id,
     // doc count, N+avgdl) — the scalar-subquery pattern again
@@ -156,6 +159,12 @@ class PlanAuditSpec extends SparkSpec {
       // same audited edge subtree; each round is audited directly
       // below via Graph.hIndexRound
       "graph_kcore",
+      // graph_assortativity checkpoints the same gated edge frame at
+      // construction (two consumers: degrees + the doubled edge
+      // list); the fact-sized subtree is the basket self-join audited
+      // via coview_pairs, and the tail is two node-keyed dim joins +
+      // a 1-row aggregate (the degree-census shape, linted there)
+      "graph_assortativity",
       // media_phash_clusters decodes + checkpoints its pair frame and
       // runs star-contraction rounds at construction; the banded
       // fingerprint pair subtree is the same shape audited via

@@ -597,6 +597,74 @@ class RetrievalSpec extends SparkSpec {
     assert(census.keys.forall(_ >= 1L))
   }
 
+  test("assortativity: star pins -1, regular graph degenerates, sf matches a driver replica") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // star K1,3: center degree 3, leaves degree 1 → r = -1 exactly
+    val star = Seq((0, 1), (0, 2), (0, 3)).toDF("a", "b")
+    val s = Graph.assortativityFrom(star).collect().head
+    assert(s.getAs[Long]("n_edges") == 3L)
+    assert(s.getAs[Double]("mean_degree") == 2.0)
+    assert(s.getAs[Double]("assortativity") == -1.0)
+    // triangle: regular graph, zero degree variance → NULL by guard
+    val tri = Seq((1, 2), (2, 3), (1, 3)).toDF("a", "b")
+    val t = Graph.assortativityFrom(tri).collect().head
+    assert(t.isNullAt(t.fieldIndex("assortativity")))
+    // sf: bit-exact vs a driver replica of the same mean-form chain
+    val got = Graph.graphAssortativity(spark, Sf).collect().head
+    val edges = Graph.coviewEdgesFrom(EventMarts.enriched(spark, Sf))
+      .collect().map(r => (r.getAs[Int]("a"), r.getAs[Int]("b")))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dirs = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val m = dirs.length.toDouble
+    val sx = dirs.map(e => BigInt(deg(e._1))).sum
+    val sxy = dirs.map(e => BigInt(deg(e._1)) * BigInt(deg(e._2))).sum
+    val sxx = dirs.map(e => BigInt(deg(e._1)) * BigInt(deg(e._1))).sum
+    val mx = sx.toDouble / m
+    val r = (sxy.toDouble / m - mx * mx) / (sxx.toDouble / m - mx * mx)
+    assert(got.getAs[Long]("n_edges") == edges.length.toLong)
+    assert(got.getAs[Double]("assortativity") == r)
+    assert(r >= -1.0 && r <= 1.0)
+  }
+
+  test("revenue gini: whale concentration pins the closed form; banded == global ranks at sf") {
+    import spark.implicits._
+    def expected(vals: Seq[(Long, BigDecimal)]): Double = {
+      // the EXACT final IEEE chain the operator uses, on exact decimals
+      val sorted = vals.sortBy(v => (v._2, v._1))
+      val sRank = sorted.zipWithIndex
+        .map { case ((_, v), i) => v * BigDecimal(i + 1) }.sum
+      val n = sorted.length
+      val s = sorted.map(_._2).sum
+      2.0 * sRank.toDouble / (n.toDouble * s.toDouble) -
+        (n + 1).toDouble / n.toDouble
+    }
+    // all-equal → 0; one whale among minnows → the closed form
+    val equal = Seq((1L, 1L, 100.0), (2L, 2L, 100.0), (3L, 3L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    assert(Relational.revenueGiniFrom(equal).collect().head
+      .getAs[Double]("gini") == 0.0)
+    val whale = Seq((1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 3L, 998.0),
+      (4L, 3L, 0.0)) // multi-order customer sums before ranking
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val w = Relational.revenueGiniFrom(whale).collect().head
+    assert(w.getAs[Long]("n_customers") == 3L)
+    assert(w.getAs[Double]("total_revenue") == 1000.0)
+    assert(w.getAs[Double]("gini") ==
+      expected(Seq(1L -> BigDecimal(1), 2L -> BigDecimal(1), 3L -> BigDecimal(998))))
+    // sf: the banded ranks must reproduce the global-sort closed form
+    // bit-for-bit (Σ i·vᵢ is tie-order-invariant)
+    val sf = Relational.revenueGini(spark, Sf).collect().head
+    val driver = Tables.orders(spark, Sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)").as("v"))
+      .collect().map(r => (r.getAs[Long]("o_custkey"), BigDecimal(r.getDecimal(1))))
+    assert(sf.getAs[Double]("gini") == expected(driver.toSeq))
+    assert(sf.getAs[Double]("gini") >= 0.0 && sf.getAs[Double]("gini") < 1.0)
+  }
+
   test("embedding dim stats: driver-exact on a planted frame; moment inequalities at sf") {
     import spark.implicits._
     val planted = Seq(

@@ -72,6 +72,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("srm watch over arm counts: replica verdict on a split stream; one-arm outage flags") {
+    import java.security.MessageDigest
+    def arm(u: Long): String = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // healthy hash split: users 1..8, one view each in one window
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    mem.addData((1L to 8L).map(u => (u, at(u.toInt), u, "view", 1.0, "{}")): _*)
+    val q = EventStream.abArmCounts(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("srm_watch_ok").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val ok = EventStream.srmFromArmCounts(spark.table("srm_watch_ok")).collect()
+    assert(ok.length == 1)
+    val nc = (1L to 8L).count(arm(_) == "control").toLong
+    val nt = 8L - nc
+    assert(ok.head.getAs[Long]("n_control") == nc)
+    assert(ok.head.getAs[Long]("n_treatment") == nt)
+    assert(ok.head.getAs[Boolean]("srm_flag") ==
+      (100L * (nc - nt) * (nc - nt) > 384L * 8L))
+    // one-arm logging outage: only control-hashing users emit → the
+    // missing arm reads as ZERO through the conditional sum and the
+    // tripwire must fire on the closed window
+    val ctrl = (1L to 200L).filter(arm(_) == "control").take(30)
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    mem2.addData(ctrl.zipWithIndex.map { case (u, i) =>
+      (1000L + i, at(i % 50), u, "view", 1.0, "{}") }: _*)
+    val q2 = EventStream.abArmCounts(
+        mem2.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("srm_watch_broken").outputMode("update").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val broken = EventStream.srmFromArmCounts(spark.table("srm_watch_broken")).collect()
+    assert(broken.nonEmpty)
+    assert(broken.forall(_.getAs[Long]("n_treatment") == 0L))
+    assert(broken.head.getAs[Boolean]("srm_flag"),
+      "one-arm stream must trip the per-window SRM watch")
+  }
+
   test("stream-built day sketches feed the batch rolling-actives window algebra") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]

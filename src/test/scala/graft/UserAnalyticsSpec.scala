@@ -256,6 +256,84 @@ class UserAnalyticsSpec extends SparkSpec {
     assert(b.getAs[Boolean]("srm_flag"), "one-arm split must trip the SRM guard")
   }
 
+  test("cuped: driver replica pins the sufficient-statistic chain; explained outcome zeroes adj lift") {
+    def arm(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    // user u: (u%4+1) pre views on Jan 1; users u%3==0 make 2 post
+    // purchases on Jan 9 (mid = epoch midpoint ≈ Jan 5 splits them)
+    val users = (1L to 40L)
+    def xOf(u: Long) = u % 4 + 1
+    def yOf(u: Long) = if (u % 3 == 0) 2L else 0L
+    var id = 0L
+    val rows = users.flatMap { u =>
+      val pre = (1L to xOf(u)).map { i =>
+        id += 1; (id, u, s"2024-01-01 10:0${i % 6}:00", "view", 1.0)
+      }
+      val post = (1L to yOf(u)).map { i =>
+        id += 1; (id, u, "2024-01-09 10:00:00", "purchase", 9.0)
+      }
+      pre ++ post
+    }
+    val got = UserAnalytics.abCupedFrom(ev(rows)).collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    // driver replica of the EXACT mean-form chain
+    val byArm = users.groupBy(arm)
+    val gn = users.size.toDouble
+    val gsx = users.map(xOf).sum.toDouble
+    val gsy = users.map(yOf).sum.toDouble
+    val gmx = gsx / gn
+    val gmy = gsy / gn
+    val cov = users.map(u => xOf(u) * yOf(u)).sum.toDouble / gn - gmx * gmy
+    val varx = users.map(u => xOf(u) * xOf(u)).sum.toDouble / gn - gmx * gmx
+    val vary = users.map(u => yOf(u) * yOf(u)).sum.toDouble / gn - gmy * gmy
+    val theta = cov / varx
+    def adjOf(us: Iterable[Long]): Double = {
+      val n = us.size.toDouble
+      val conv = us.map(yOf).sum.toDouble / n
+      val meanPre = us.map(xOf).sum.toDouble / n
+      conv - theta * (meanPre - gmx)
+    }
+    for ((a, us) <- byArm) {
+      val r = got(a)
+      assert(r.getAs[Long]("n_users") == us.size.toLong)
+      assert(r.getAs[Double]("mean_pre") == us.map(xOf).sum.toDouble / us.size)
+      assert(r.getAs[Double]("conv_rate") == us.map(yOf).sum.toDouble / us.size)
+      assert(r.getAs[Double]("theta") == theta)
+      assert(r.getAs[Double]("adj_conv_rate") == adjOf(us))
+      assert(r.getAs[Double]("var_reduction") == cov * cov / (varx * vary))
+    }
+    val ctrlAdj = adjOf(byArm("control"))
+    assert(got("treatment").getAs[Double]("adj_lift_vs_control") ==
+      (adjOf(byArm("treatment")) - ctrlAdj) / ctrlAdj)
+    // perfectly covariate-explained outcome: y == x for every user →
+    // θ = 1 and both adjusted means collapse to E[x] (zero adj lift up
+    // to the a−(a−b) ulp), while RAW conv rates still differ by arm
+    id = 10000L
+    val explained = users.flatMap { u =>
+      val pre = (1L to xOf(u)).map { i =>
+        id += 1; (id, u, s"2024-01-01 10:0${i % 6}:00", "view", 1.0)
+      }
+      val post = (1L to xOf(u)).map { i =>
+        id += 1; (id, u, "2024-01-09 10:00:00", "purchase", 9.0)
+      }
+      pre ++ post
+    }
+    val ex = UserAnalytics.abCupedFrom(ev(explained)).collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    assert(ex("treatment").getAs[Double]("theta") == 1.0)
+    assert(math.abs(ex("treatment").getAs[Double]("adj_lift_vs_control")) < 1e-12)
+    assert(ex("treatment").getAs[Double]("var_reduction") == 1.0)
+    // sf sanity: θ finite, ρ² in [0,1], both arms present
+    val sf = UserAnalytics.abCuped(spark, Sf).collect()
+    assert(sf.map(_.getAs[String]("arm")).toSet == Set("control", "treatment"))
+    assert(sf.forall(r => r.getAs[Double]("var_reduction") >= 0.0 &&
+      r.getAs[Double]("var_reduction") <= 1.0))
+  }
+
   test("traffic forecast: planted weeks pin baseline x level exactly") {
     // Mondays Jan 1 / Jan 8, Sunday Jan 14 (last date) → forecast for
     // Mon Jan 15. Mon-10h baseline: (2+4)/2 = 3; Mon-12h: 2/2 = 1.
