@@ -196,7 +196,11 @@ object ScaleProbe {
       // (degree joins are node-dimension); cuped is one user rollup +
       // a 2-row arm frame; revenue_gini rides the banded prefix sum
       // on the customer dimension (revenue_abc's class)
-      "graph_assortativity", "ab_cuped", "revenue_gini")
+      "graph_assortativity", "ab_cuped", "revenue_gini",
+      // round 9 batch 6: changepoint is one day-grain rollup + tiny
+      // windows; the profile is six column-pruned passes; id gaps is
+      // one bucket exchange + TakeOrdered
+      "traffic_changepoint", "dq_column_profile", "dq_id_gaps")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -1185,6 +1185,110 @@ object Quality {
       |FROM ranked, totals
       |ORDER BY rank""".stripMargin
 
+  /** Per-column profile of the events table — the Deequ-class
+    * data-profiling primitive (row count, null count/share, EXACT
+    * distinct count/ratio per column) that every onboarding,
+    * schema-review, and constraint-suggestion flow starts from;
+    * `dq_null_check` asserts the null policy, this MEASURES the
+    * un-asserted columns so drift (a props column collapsing to one
+    * JSON shape, user_id cardinality jumping) is visible before any
+    * check exists for it.
+    *
+    * Scale shape: one aggregation PER COLUMN over a column-pruned
+    * scan, unioned — deliberately NOT one fused multi-countDistinct
+    * pass, which Catalyst plans as an Expand (row-multiplying the
+    * fact table ×columns — the shape the plan lint forbids on
+    * fixed-state paths); each per-column pass reads exactly one
+    * parquet column and its distinct is a two-stage hash aggregate.
+    * An HLL variant (approx_count_distinct per column, ONE scan, no
+    * Expand) is the 100-column-wide-table alternative; with 6
+    * columns the exact per-column passes win and stay oracle-exact.
+    * ts profiles at MICROSECOND grain in both engines (the oracle
+    * casts TIMESTAMP_NS to TIMESTAMP, matching Tables.events'
+    * nanos→micros read). */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    columnProfileFrom(graft.Tables.events(spark, dir))
+
+  def columnProfileFrom(e: DataFrame): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      .filter(e.columns.contains)
+    cols.map { c =>
+      e.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"),
+          (col("n_null").cast("double") / col("n_rows").cast("double"))
+            .as("null_share"),
+          (col("n_distinct").cast("double") / col("n_rows").cast("double"))
+            .as("distinct_ratio"))
+    }.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  val columnProfileSql: String = {
+    def one(name: String, ex: String) =
+      s"""SELECT '$name' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $ex) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS null_share,
+         |  CAST(COUNT(DISTINCT $ex) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS distinct_ratio
+         |FROM events""".stripMargin
+    Seq(
+      one("event_id", "event_id"),
+      one("ts", "CAST(ts AS TIMESTAMP)"),
+      one("user_id", "user_id"),
+      one("event_type", "event_type"),
+      one("value", "value"),
+      one("props", "props"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+  }
+
+  /** Event-id gap census — the data-COMPLETENESS check
+    * `dq_duplicate_check` mirrors from the other side: duplicates say
+    * rows arrived twice, id gaps say rows never arrived at all (a
+    * dropped producer batch, a failed partition load). Ids bucket by
+    * `event_id div bucket`; within each bucket the expected count is
+    * its own observed span (max−min+1), so the check needs NO global
+    * contract about the id range and one groupBy is the only
+    * fact-sized exchange — never a global sort or a lag over the full
+    * id sequence (the naive gap scan that single-partitions at 100
+    * TB). Gaps spanning whole missing buckets are invisible by
+    * construction (no rows → no bucket) — that's the documented
+    * boundary; cross-bucket coverage is the reconcile checks' row
+    *-count job. Distinct-counted so duplicate ids can't mask a gap.
+    * TakeOrdered top-k (missing desc, bucket asc): per-partition
+    * heaps, deterministic total order, ≤k driver rows. */
+  def idGaps(spark: SparkSession, dir: String, bucket: Long = 10000L,
+             topK: Int = 100): DataFrame =
+    idGapsFrom(graft.Tables.events(spark, dir), bucket, topK)
+
+  def idGapsFrom(e: DataFrame, bucket: Long = 10000L, topK: Int = 100): DataFrame =
+    e.filter(col("event_id").isNotNull)
+      .groupBy(expr(s"event_id div $bucket").as("bucket"))
+      .agg(
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"),
+        countDistinct(col("event_id")).as("n_present"))
+      .withColumn("n_missing",
+        col("last_id") - col("first_id") + lit(1L) - col("n_present"))
+      .filter(col("n_missing") > 0)
+      .orderBy(desc("n_missing"), asc("bucket"))
+      .limit(topK)
+
+  val idGapsSql: String =
+    """SELECT event_id // 10000 AS bucket,
+      |  MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_present,
+      |  MAX(event_id) - MIN(event_id) + 1 - COUNT(DISTINCT event_id) AS n_missing
+      |FROM events WHERE event_id IS NOT NULL
+      |GROUP BY 1
+      |HAVING MAX(event_id) - MIN(event_id) + 1 - COUNT(DISTINCT event_id) > 0
+      |ORDER BY n_missing DESC, bucket LIMIT 100""".stripMargin
+
   /** Benford's-law first-digit shares, hard-coded as the exact double
     * literals log10(1+1/d) — LITERALS (not runtime log10 calls) so the
     * oracle sees bit-identical constants (the repo's libm rule). */

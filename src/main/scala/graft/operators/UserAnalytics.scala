@@ -368,6 +368,95 @@ object UserAnalytics {
       |FROM slots s JOIN dow_days d USING (dow) CROSS JOIN g
       |ORDER BY dow, event_hour""".stripMargin
 
+  /** CUSUM changepoint detection over daily traffic — the LEVEL-SHIFT
+    * detector completing the time-series suite: `traffic_seasonality`
+    * says what normal looks like, `traffic_anomaly_seasonal` flags
+    * single outlier cells, `traffic_forecast` projects tomorrow — and
+    * this answers "did the level permanently move, and WHEN" (a
+    * tracking-tag drop, a bot ramp, a market launch), which pointwise
+    * z-scores structurally miss because after a shift every day is
+    * only mildly off its old mean. Classic Page/Brownian-bridge CUSUM:
+    * the maximum absolute cumulative residual, normalized, against
+    * the 5% bridge critical value 1.358 (Kolmogorov); argmax date =
+    * the estimated changepoint.
+    *
+    * Exactness trick: residuals vs the global daily mean are kept as
+    * SCALED integers u_d = n·c_d − T (Σu = 0 exactly), so the CUSUM
+    * prefix is an exact BIGINT window sum and Σu² an exact decimal —
+    * the statistic max|S|/√(Σu²) (algebraically max|S_r|/(σ√n) on the
+    * unscaled residuals) needs ONE sqrt and ONE division, both
+    * engines bit-identical (sqrt survives the oracle hash; log/exp
+    * would not). Scale shape: one fact exchange to the day grain;
+    * everything after is day-dimension windows (≤366 rows/year by
+    * construction — the documented tiny-window class) under a 1-row
+    * broadcast total. Weekday seasonality rides INSIDE the residual
+    * noise here by design — it inflates σ symmetrically and cannot
+    * fake a sustained drift; the weekday-adjusted pointwise score
+    * stays `traffic_anomaly_seasonal`'s job. */
+  def trafficChangepoint(spark: SparkSession, dir: String): DataFrame =
+    trafficChangepointFrom(enriched(spark, dir))
+
+  def trafficChangepointFrom(e: DataFrame): DataFrame = {
+    val daily = e.filter(col("ts").isNotNull)
+      .groupBy(col("event_date")).agg(count(lit(1)).as("n_events"))
+    val totals = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("n_events")).as("total"))
+    val wCum = Window.orderBy(asc("event_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPick = Window.orderBy(desc("abs_cusum"), asc("event_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sumU2 = col("sum_u2").cast("double")
+    val stat = when(sumU2 > lit(0.0), col("max_abs").cast("double") / sqrt(sumU2))
+    daily.crossJoin(broadcast(totals))
+      .withColumn("u", col("n_days") * col("n_events") - col("total"))
+      .withColumn("cusum", sum(col("u")).over(wCum))
+      .withColumn("abs_cusum", abs(col("cusum")))
+      .withColumn("sum_u2", sum(col("u").cast("decimal(19,0)") *
+        col("u").cast("decimal(19,0)")).over(wAll))
+      .withColumn("max_abs", max(col("abs_cusum")).over(wAll))
+      .withColumn("split_date", first(col("event_date")).over(wPick))
+      .select(col("event_date"), col("n_events"),
+        (col("u").cast("double") / col("n_days").cast("double")).as("residual"),
+        col("cusum"),
+        stat.as("stat"),
+        col("split_date"),
+        coalesce(stat > lit(1.358), lit(false)).as("changepoint_flag"))
+      .orderBy("event_date")
+  }
+
+  val trafficChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS event_date, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(n_events) AS BIGINT) AS total FROM daily
+      |), c AS (
+      |  SELECT event_date, n_events, n_days,
+      |    n_days * n_events - total AS u,
+      |    CAST(SUM(n_days * n_events - total) OVER (ORDER BY event_date
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+      |  FROM daily CROSS JOIN t
+      |), g AS (
+      |  SELECT *,
+      |    CAST(SUM(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0)))
+      |      OVER () AS DOUBLE) AS sum_u2,
+      |    CAST(MAX(ABS(cusum)) OVER () AS DOUBLE) AS max_abs,
+      |    FIRST_VALUE(event_date) OVER (ORDER BY ABS(cusum) DESC, event_date
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS split_date
+      |  FROM c
+      |)
+      |SELECT event_date, n_events,
+      |  CAST(u AS DOUBLE) / CAST(n_days AS DOUBLE) AS residual,
+      |  cusum,
+      |  CASE WHEN sum_u2 > 0.0 THEN max_abs / sqrt(sum_u2) END AS stat,
+      |  split_date,
+      |  COALESCE(CASE WHEN sum_u2 > 0.0 THEN max_abs / sqrt(sum_u2) END > 1.358,
+      |           FALSE) AS changepoint_flag
+      |FROM g ORDER BY event_date""".stripMargin
+
   /** Seasonality-aware traffic anomaly detection — each (date, hour)
     * cell scored against ITS OWN weekday-hour baseline (z-score vs
     * the slot's zero-day-aware mean/std), where dq_anomaly scores

@@ -1477,4 +1477,48 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(sf.map(_.getAs[Double]("observed_share")).sum - 1.0) < 1e-9)
   }
 
+  test("column profile: planted nulls/dups count exactly per column; absent columns skip") {
+    import spark.implicits._
+    val e = Seq(
+      (Some(1L), Some(1L), Some("view"), Some(1.0)),
+      (Some(2L), Some(1L), Some("view"), None),
+      (Some(3L), None: Option[Long], Some("click"), Some(2.0)),
+      (Some(3L), Some(2L), None: Option[String], Some(1.0))
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val rows = Quality.columnProfileFrom(e).collect()
+    val got = rows.map(r => r.getAs[String]("column_name") ->
+      ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"),
+        r.getAs[Long]("n_distinct")))).toMap
+    assert(got.keySet == Set("event_id", "user_id", "event_type", "value"))
+    assert(got("event_id") == ((4L, 0L, 3L))) // dup id 3
+    assert(got("user_id") == ((4L, 1L, 2L)))
+    assert(got("event_type") == ((4L, 1L, 2L)))
+    assert(got("value") == ((4L, 1L, 2L)))
+    val u = rows.find(_.getAs[String]("column_name") == "user_id").get
+    assert(u.getAs[Double]("null_share") == 0.25)
+    assert(u.getAs[Double]("distinct_ratio") == 0.5)
+    // sf: one row per events column, constant row count across columns
+    val sf = Quality.columnProfile(spark, Sf).collect()
+    assert(sf.map(_.getAs[String]("column_name")).toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(sf.map(_.getAs[Long]("n_rows")).distinct.length == 1)
+  }
+
+  test("id gaps: in-bucket holes count distinct-exact; contiguous buckets drop; top-k orders") {
+    import spark.implicits._
+    // bucket 0: ids 1,2,3,5 (+ dup 3) → span 5, present 4, missing 1
+    // bucket 1: 10001,10002 contiguous → no gap row
+    // bucket 2: 20000 + 20009 → missing 8 (ranks first)
+    val e = Seq(1L, 2L, 3L, 3L, 5L, 10001L, 10002L, 20000L, 20009L)
+      .toDF("event_id")
+    val got = Quality.idGapsFrom(e).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("first_id"),
+        r.getAs[Long]("last_id"), r.getAs[Long]("n_present"),
+        r.getAs[Long]("n_missing"))).toSeq
+    assert(got == Seq((2L, 20000L, 20009L, 2L, 8L), (0L, 1L, 5L, 4L, 1L)))
+    // sf: every surfaced bucket genuinely misses ids
+    val sf = Quality.idGaps(spark, Sf).collect()
+    assert(sf.forall(_.getAs[Long]("n_missing") > 0))
+  }
+
 }

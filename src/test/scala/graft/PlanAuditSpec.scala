@@ -51,6 +51,9 @@ class PlanAuditSpec extends SparkSpec {
     // ab_cuped rides its ONE-ROW broadcast epoch midpoint onto the
     // fact scan before the user rollup — the scalar-subquery pattern
     "ab_cuped",
+    // traffic_changepoint crosses the day frame with its ONE-ROW
+    // broadcast (n_days, total) — the scalar-subquery pattern
+    "traffic_changepoint",
     // zipf_curve / vocab_growth / doc_tfidf_keywords / search_bm25
     // each cross ONE-ROW broadcast corpus stats (total tokens, max id,
     // doc count, N+avgdl) — the scalar-subquery pattern again

@@ -334,6 +334,42 @@ class UserAnalyticsSpec extends SparkSpec {
       r.getAs[Double]("var_reduction") <= 1.0))
   }
 
+  test("changepoint: planted level shift pins date, statistic, flag; flat traffic stays quiet") {
+    // 6 days at 10/day then 6 days at 30/day: n=12, T=240,
+    // u_d = 12·c_d − 240 → −120 pre / +120 post; |cusum| peaks at 720
+    // on day 6; Σu² = 12·120² = 172800
+    var id = 0L
+    val rows = (1 to 12).flatMap { d =>
+      val n = if (d <= 6) 10 else 30
+      (1 to n).map { i =>
+        id += 1
+        (id, (d % 5).toLong + 1, f"2024-01-$d%02d 10:${i % 60}%02d:00", "view", 1.0)
+      }
+    }
+    val got = UserAnalytics.trafficChangepointFrom(ev(rows)).collect()
+    assert(got.length == 12)
+    val byDate = got.map(r => r.getDate(0).toString -> r).toMap
+    assert(byDate("2024-01-06").getAs[Long]("cusum") == -720L)
+    assert(byDate("2024-01-06").getAs[Double]("residual") == -10.0)
+    assert(got.forall(_.getAs[java.sql.Date]("split_date").toString == "2024-01-06"))
+    assert(got.head.getAs[Double]("stat") == 720.0 / math.sqrt(172800.0))
+    assert(got.forall(_.getAs[Boolean]("changepoint_flag"))) // 1.73 > 1.358
+    // flat traffic: zero residuals → zero cusum, NULL stat, no flag
+    var j = 10000L
+    val flat = (1 to 5).flatMap { d =>
+      (1 to 7).map { i => j += 1; (j, 1L, s"2024-02-0$d 10:0$i:00", "view", 1.0) }
+    }
+    val f = UserAnalytics.trafficChangepointFrom(ev(flat)).collect()
+    assert(f.length == 5)
+    assert(f.forall(_.getAs[Long]("cusum") == 0L))
+    assert(f.forall(r => r.isNullAt(r.fieldIndex("stat")) &&
+      !r.getAs[Boolean]("changepoint_flag")))
+    // sf: one row per active day, a single shared split date
+    val sf = UserAnalytics.trafficChangepoint(spark, Sf).collect()
+    assert(sf.nonEmpty && sf.map(_.getDate(0)).distinct.length == sf.length)
+    assert(sf.map(_.getAs[java.sql.Date]("split_date")).distinct.length == 1)
+  }
+
   test("traffic forecast: planted weeks pin baseline x level exactly") {
     // Mondays Jan 1 / Jan 8, Sunday Jan 14 (last date) → forecast for
     // Mon Jan 15. Mon-10h baseline: (2+4)/2 = 3; Mon-12h: 2/2 = 1.
