@@ -300,6 +300,30 @@ object Pipeline {
   def qualityDashboardHtml(spark: SparkSession, checkLogDir: String, e: DataFrame): String =
     Reporting.qualityDashboardHtml(dashboardDays(spark, checkLogDir, e))
 
+  /** One-call experiment readout over a corpus dir: the three A/B
+    * surfaces (`ab_srm_check` gate, `ab_test_summary` raw readout,
+    * `ab_cuped` variance-reduced readout) rendered in reading order.
+    * Three tiny extracts — each query reduces to ≤2 driver rows; the
+    * shared `armCol` guarantees all three describe the SAME split. */
+  def experimentReportText(spark: SparkSession, dir: String,
+                           asOf: String, experiment: String = "exp1"): String = {
+    val e = EventMarts.enriched(spark, dir)
+    Reporting.experimentReport(asOf,
+      srm = operators.UserAnalytics.abSrmCheckFrom(e, experiment).collect().headOption,
+      summary = operators.UserAnalytics.abTestSummaryFrom(e, experiment).collect().toSeq,
+      cuped = operators.UserAnalytics.abCupedFrom(e, experiment).collect().toSeq)
+  }
+
+  /** The Block Kit form of the same readout. */
+  def experimentReportPayload(spark: SparkSession, dir: String,
+                              asOf: String, experiment: String = "exp1"): String = {
+    val e = EventMarts.enriched(spark, dir)
+    Reporting.experimentReportPayload(asOf,
+      srm = operators.UserAnalytics.abSrmCheckFrom(e, experiment).collect().headOption,
+      summary = operators.UserAnalytics.abTestSummaryFrom(e, experiment).collect().toSeq,
+      cuped = operators.UserAnalytics.abCupedFrom(e, experiment).collect().toSeq)
+  }
+
   /** Gate-verdict dashboard days from the streaming verdict log
     * (`SessionGateStream.gateLogSink`'s output): the shared day
     * rollup runs distributed, and only the one-row-per-day census is

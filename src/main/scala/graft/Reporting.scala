@@ -498,6 +498,81 @@ object Reporting {
        |""".stripMargin
   }
 
+  /** Experiment readout report — the render of the A/B suite in its
+    * REQUIRED reading order: the SRM gate first (an invalid split
+    * voids everything below it), then the raw per-arm readout, then
+    * the CUPED-adjusted readout with its variance-reduction yield.
+    * Inputs are the collected rows of `ab_srm_check` (1 row),
+    * `ab_test_summary` (≤2 rows) and `ab_cuped` (≤2 rows) — tiny
+    * extracts, driver-side assembly like every report here. */
+  def experimentReport(asOf: String, srm: Option[Row],
+      summary: Seq[Row], cuped: Seq[Row]): String = {
+    def rate(d: Double) = pct2(d * 100.0)
+    def liftOf(r: Row, field: String) =
+      if (r.isNullAt(r.fieldIndex(field))) "n/a"
+      else String.format(Locale.US, "%+.2f%%", Double.box(r.getAs[Double](field) * 100.0))
+    val srmText = srm match {
+      case None => "no data"
+      case Some(r) =>
+        val verdict =
+          if (r.getAs[Boolean]("srm_flag"))
+            "SRM DETECTED — the split is broken; every readout below is INVALID"
+          else "split OK"
+        val chi =
+          if (r.isNullAt(r.fieldIndex("chi_sq"))) "n/a"
+          else String.format(Locale.US, "%.3f", Double.box(r.getAs[Double]("chi_sq")))
+        s"control ${num(r.getAs[Long]("n_control"))} / " +
+          s"treatment ${num(r.getAs[Long]("n_treatment"))} users | " +
+          s"chi_sq $chi -> $verdict"
+    }
+    val rawText =
+      if (summary.isEmpty) "no data"
+      else summary.map { r =>
+        s"- ${r.getAs[String]("arm")}: ${num(r.getAs[Long]("n_users"))} users | " +
+          s"view ${rate(r.getAs[Double]("view_rate"))} | " +
+          s"conv ${rate(r.getAs[Double]("conv_rate"))} | " +
+          s"lift ${liftOf(r, "lift_vs_control")}"
+      }.mkString("\n")
+    val cupedText =
+      if (cuped.isEmpty) "no data"
+      else cuped.map { r =>
+        s"- ${r.getAs[String]("arm")}: adj conv ${rate(r.getAs[Double]("adj_conv_rate"))} | " +
+          s"adj lift ${liftOf(r, "adj_lift_vs_control")} | " +
+          s"theta ${String.format(Locale.US, "%.4f", Double.box(r.getAs[Double]("theta")))} | " +
+          s"var reduction ${pct1(r.getAs[Double]("var_reduction") * 100.0)}"
+      }.mkString("\n")
+    s"""Experiment report ($asOf)
+       |${"=" * 40}
+       |
+       |[sample-ratio gate]
+       |$srmText
+       |
+       |[raw readout]
+       |$rawText
+       |
+       |[cuped readout]
+       |$cupedText
+       |""".stripMargin
+  }
+
+  /** The same experiment readout as a Block Kit payload (byte-parity
+    * with the quality/trending/corpus payload family). The header
+    * carries the SRM verdict so a broken split is visible in the
+    * channel before anyone reads a lift number. */
+  def experimentReportPayload(asOf: String, srm: Option[Row],
+      summary: Seq[Row], cuped: Seq[Row]): String = {
+    val flagged = srm.exists(_.getAs[Boolean]("srm_flag"))
+    val head = headerBlock(
+      if (flagged) s"Experiment report $asOf — SRM DETECTED"
+      else s"Experiment report $asOf")
+    val fields = fieldsBlock(Seq(
+      mrkdwn(s"*split:* ${if (flagged) "BROKEN" else "ok"}"),
+      mrkdwn(s"*arms:* ${summary.size}"),
+      mrkdwn(s"*users:* ${num(summary.map(_.getAs[Long]("n_users")).sum)}")))
+    payload(Seq(head, fields,
+      textBlock(experimentReport(asOf, srm, summary, cuped))))
+  }
+
   /** The same corpus day as a Block Kit payload (the alert-channel
     * form, byte-parity with the quality/trending payload family). */
   def corpusReportPayload(executionDate: String, funnel: Seq[Row],

@@ -736,8 +736,11 @@ object UserAnalytics {
       .select(col("arm"), col("n_users"), col("n_viewers"), col("n_purchasers"),
         (col("n_viewers").cast("double") / col("n_users").cast("double")).as("view_rate"),
         (col("n_purchasers").cast("double") / col("n_users").cast("double")).as("conv_rate"),
-        ((col("n_purchasers").cast("double") / col("n_users").cast("double")
-          - col("ctrl_rate")) / col("ctrl_rate")).as("lift_vs_control"))
+        // zero-conversion control (tiny/gated corpora) → NULL lift, not
+        // a divide-by-zero (ANSI) or an Infinity — mirrored in the SQL
+        when(col("ctrl_rate") =!= lit(0.0),
+          (col("n_purchasers").cast("double") / col("n_users").cast("double")
+            - col("ctrl_rate")) / col("ctrl_rate")).as("lift_vs_control"))
       .orderBy("arm")
   }
 
@@ -765,8 +768,9 @@ object UserAnalytics {
       |SELECT arm, n_users, n_viewers, n_purchasers,
       |  CAST(n_viewers AS DOUBLE) / CAST(n_users AS DOUBLE) AS view_rate,
       |  CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
-      |  (CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) - c.ctrl_rate)
-      |    / c.ctrl_rate AS lift_vs_control
+      |  CASE WHEN c.ctrl_rate <> 0.0 THEN
+      |    (CAST(n_purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) - c.ctrl_rate)
+      |      / c.ctrl_rate END AS lift_vs_control
       |FROM a LEFT JOIN c ON TRUE ORDER BY arm""".stripMargin
 
   /** Sample-ratio-mismatch (SRM) guard on the hash-split experiment:

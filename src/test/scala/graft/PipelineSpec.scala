@@ -1289,6 +1289,40 @@ class ReportingSpec extends SparkSpec {
     assertValidJson(Reporting.corpusReportPayload("2024-01-15", Nil, Nil, Nil))
   }
 
+  test("experiment report: SRM gate leads, raw + cuped readouts render the real query frames") {
+    // render straight from the REAL A/B frames at sf — the report must
+    // consume exactly what the three queries emit, no reshaping
+    val text = Pipeline.experimentReportText(spark, Sf, "2024-01-15")
+    assert(text.contains("Experiment report (2024-01-15)"))
+    assert(text.contains("[sample-ratio gate]"))
+    assert(text.contains("split OK")) // the md5 hash split cannot trip SRM at sf
+    assert(text.contains("[raw readout]") && text.contains("[cuped readout]"))
+    assert(text.contains("- control:") && text.contains("- treatment:"))
+    assert(text.contains("var reduction"))
+    val p = Pipeline.experimentReportPayload(spark, Sf, "2024-01-15")
+    assertValidJson(p)
+    assert(p.contains("*split:* ok"))
+    // a one-arm corpus (the gated-logging accident) flags BOTH renders
+    import spark.implicits._
+    def arm(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp_rep").toString
+    (1L to 400L).filter(arm(_) == "control").take(50).zipWithIndex
+      .map { case (u, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), u, "view", 1.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val broken = Pipeline.experimentReportText(spark, dir, "2024-01-15")
+    assert(broken.contains("SRM DETECTED"))
+    val bp = Pipeline.experimentReportPayload(spark, dir, "2024-01-15")
+    assertValidJson(bp)
+    assert(bp.contains("SRM DETECTED") && bp.contains("*split:* BROKEN"))
+  }
+
   test("quality dashboard renders daily table, period stats, and per-check frequency") {
     val days = Seq(
       Reporting.DashboardDay("2024-01-01", Seq(
