@@ -200,7 +200,10 @@ object ScaleProbe {
       // round 9 batch 6: changepoint is one day-grain rollup + tiny
       // windows; the profile is six column-pruned passes; id gaps is
       // one bucket exchange + TakeOrdered
-      "traffic_changepoint", "dq_column_profile", "dq_id_gaps")
+      "traffic_changepoint", "dq_column_profile", "dq_id_gaps",
+      // batch 8: suggestion rules ride the profile's pruned passes +
+      // a LIMIT-capped distinct collect
+      "dq_suggested_checks")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

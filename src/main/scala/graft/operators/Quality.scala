@@ -1227,25 +1227,106 @@ object Quality {
     }.reduce(_ unionByName _).orderBy("column_name")
   }
 
-  val columnProfileSql: String = {
-    def one(name: String, ex: String) =
-      s"""SELECT '$name' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(SUM(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-         |  CAST(COUNT(DISTINCT $ex) AS BIGINT) AS n_distinct,
-         |  CAST(SUM(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(COUNT(*) AS DOUBLE) AS null_share,
-         |  CAST(COUNT(DISTINCT $ex) AS DOUBLE)
-         |    / CAST(COUNT(*) AS DOUBLE) AS distinct_ratio
-         |FROM events""".stripMargin
-    Seq(
-      one("event_id", "event_id"),
-      one("ts", "CAST(ts AS TIMESTAMP)"),
-      one("user_id", "user_id"),
-      one("event_type", "event_type"),
-      one("value", "value"),
-      one("props", "props"))
-      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+  private def profileColumnSql(name: String, ex: String) =
+    s"""SELECT '$name' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  CAST(COUNT(DISTINCT $ex) AS BIGINT) AS n_distinct,
+       |  CAST(SUM(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS null_share,
+       |  CAST(COUNT(DISTINCT $ex) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS distinct_ratio
+       |FROM events""".stripMargin
+
+  private val profileUnionSql: String = Seq(
+    profileColumnSql("event_id", "event_id"),
+    profileColumnSql("ts", "CAST(ts AS TIMESTAMP)"),
+    profileColumnSql("user_id", "user_id"),
+    profileColumnSql("event_type", "event_type"),
+    profileColumnSql("value", "value"),
+    profileColumnSql("props", "props")).mkString("\nUNION ALL\n")
+
+  val columnProfileSql: String =
+    s"SELECT * FROM (\n$profileUnionSql\n) ORDER BY column_name"
+
+  /** Constraint suggestion over the column profile — the Deequ
+    * suggestion loop, and the repo's tuning-closure pattern once more
+    * (gap histogram → GapSeconds, recall curve → nProbe, skew census
+    * → salt factor; here: measured statistics → the check configs a
+    * team SHOULD be running). Rules, each full-SQL-mirrored:
+    * zero observed nulls → `not_null`; zero nulls AND distinct ==
+    * rows → `unique`; a ≤maxSet-cardinality categorical
+    * (event_type) → `isin` with the observed sorted value set; the
+    * numeric value column → `range` with observed [min, max].
+    *
+    * Scale shape: the profile's per-column pruned passes plus two
+    * fixed aggregates; the isin value set collects over a DISTINCT
+    * frame capped at maxSet+1 rows BY CONSTRUCTION (the limit runs
+    * before the collect, so a category column that exploded can
+    * never materialize more than maxSet+1 values — and the ≤maxSet
+    * filter then drops the suggestion entirely, which is the right
+    * answer for an exploded domain). Suggestions are data-derived
+    * floors, not proofs — the check runner enforcing them is what
+    * turns observation into contract. */
+  def suggestedChecks(spark: SparkSession, dir: String): DataFrame =
+    suggestedChecksFrom(graft.Tables.events(spark, dir))
+
+  def suggestedChecksFrom(e: DataFrame, maxSet: Int = 20): DataFrame = {
+    val noBounds = Seq(
+      lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"))
+    val noSet = lit(null).cast("string").as("value_set")
+    val prof = columnProfileFrom(e)
+    val notNull = prof.filter(col("n_null") === 0)
+      .select(Seq(col("column_name"), lit("not_null").as("check_type")) ++
+        noBounds :+ noSet: _*)
+    val unique = prof
+      .filter(col("n_null") === 0 && col("n_distinct") === col("n_rows"))
+      .select(Seq(col("column_name"), lit("unique").as("check_type")) ++
+        noBounds :+ noSet: _*)
+    val parts = Seq(notNull, unique) ++
+      (if (e.columns.contains("event_type"))
+        Seq(e.filter(col("event_type").isNotNull)
+          .select(col("event_type")).distinct().limit(maxSet + 1)
+          .agg(count(lit(1)).as("n"),
+            concat_ws(",", sort_array(collect_list(col("event_type")))).as("vs"))
+          .filter(col("n") > 0 && col("n") <= maxSet)
+          .select(Seq(lit("event_type").as("column_name"),
+            lit("isin").as("check_type")) ++ noBounds :+
+            col("vs").as("value_set"): _*))
+      else Nil) ++
+      (if (e.columns.contains("value"))
+        Seq(e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+          .select(lit("value").as("column_name"), lit("range").as("check_type"),
+            col("lo"), col("hi"), noSet))
+      else Nil)
+    parts.reduce(_ unionByName _).orderBy("column_name", "check_type")
   }
+
+  val suggestedChecksSql: String =
+    s"""WITH prof AS (
+       |$profileUnionSql
+       |)
+       |SELECT * FROM (
+       |  SELECT column_name, 'not_null' AS check_type,
+       |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+       |    CAST(NULL AS VARCHAR) AS value_set
+       |  FROM prof WHERE n_null = 0
+       |  UNION ALL
+       |  SELECT column_name, 'unique' AS check_type,
+       |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+       |    CAST(NULL AS VARCHAR) AS value_set
+       |  FROM prof WHERE n_null = 0 AND n_distinct = n_rows
+       |  UNION ALL
+       |  SELECT 'event_type' AS column_name, 'isin' AS check_type,
+       |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+       |    array_to_string(array_agg(x ORDER BY x), ',') AS value_set
+       |  FROM (SELECT DISTINCT event_type AS x FROM events
+       |        WHERE event_type IS NOT NULL)
+       |  HAVING COUNT(*) BETWEEN 1 AND 20
+       |  UNION ALL
+       |  SELECT 'value' AS column_name, 'range' AS check_type,
+       |    MIN(value) AS lo, MAX(value) AS hi, CAST(NULL AS VARCHAR) AS value_set
+       |  FROM events
+       |) ORDER BY column_name, check_type""".stripMargin
 
   /** Event-id gap census — the data-COMPLETENESS check
     * `dq_duplicate_check` mirrors from the other side: duplicates say

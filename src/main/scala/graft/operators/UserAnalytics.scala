@@ -396,9 +396,15 @@ object UserAnalytics {
   def trafficChangepoint(spark: SparkSession, dir: String): DataFrame =
     trafficChangepointFrom(enriched(spark, dir))
 
-  def trafficChangepointFrom(e: DataFrame): DataFrame = {
-    val daily = e.filter(col("ts").isNotNull)
-      .groupBy(col("event_date")).agg(count(lit(1)).as("n_events"))
+  def trafficChangepointFrom(e: DataFrame): DataFrame =
+    changepointFromDaily(e.filter(col("ts").isNotNull)
+      .groupBy(col("event_date")).agg(count(lit(1)).as("n_events")))
+
+  /** The CUSUM core over ANY (event_date, n_events) day frame — the
+    * one definition the batch query and the streaming traffic-log
+    * watch (`EventStream.changepointFromTrafficLog`) both run, so
+    * live and nightly level-shift verdicts cannot drift. */
+  def changepointFromDaily(daily: DataFrame): DataFrame = {
     val totals = daily.agg(count(lit(1)).as("n_days"),
       sum(col("n_events")).as("total"))
     val wCum = Window.orderBy(asc("event_date"))

@@ -64,6 +64,21 @@ object EventStream {
         count(lit(1)).as("event_count"),
         approx_count_distinct(col("user_id")).as("unique_users_approx"))
 
+  /** Live level-shift watch: `traffic_changepoint`'s scaled-integer
+    * CUSUM over the hourly-traffic log's finalized windows — the
+    * volumeAnomalyFromLog pattern (stream maintains the cheap
+    * windowed rollup; the batch rescore runs the full statistic on
+    * the log, never re-scanning events). Hours roll up to days here,
+    * then the SHARED `UserAnalytics.changepointFromDaily` core runs —
+    * live and nightly verdicts are structurally identical, so "the
+    * level moved at date X" alerts hours before the batch build.
+    * Expects finalized hourly rows (append-mode sink or compacted
+    * log). */
+  def changepointFromTrafficLog(hourly: DataFrame): DataFrame =
+    graft.operators.UserAnalytics.changepointFromDaily(
+      hourly.groupBy(col("window.start").cast("date").as("event_date"))
+        .agg(sum(col("event_count")).as("n_events")))
+
   /** Per-day user HLL sketch, maintained incrementally by the stream —
     * the streaming builder for the batch sketch marts
     * (`EventMarts.rollingActiveHllFrom`, approx_retention_hll's

@@ -1504,6 +1504,42 @@ class QualitySpec extends SparkSpec {
     assert(sf.map(_.getAs[Long]("n_rows")).distinct.length == 1)
   }
 
+  test("suggested checks: profile rules emit exactly the constraints the data supports") {
+    import spark.implicits._
+    // event_id: unique + complete → not_null AND unique
+    // user_id: one null → neither
+    // event_type: 2-value domain → isin with the sorted set
+    // value: observed [1.0, 9.5], duplicated → range but NOT unique
+    val e = Seq(
+      (1L, Some(1L), "view", 1.0),
+      (2L, Some(2L), "click", 9.5),
+      (3L, None: Option[Long], "view", 1.0)
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val got = Quality.suggestedChecksFrom(e).collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type")) ->
+        ((Option(r.getAs[java.lang.Double]("lo")), Option(r.getAs[java.lang.Double]("hi")),
+          Option(r.getAs[String]("value_set"))))).toMap
+    assert(got.keySet == Set(
+      ("event_id", "not_null"), ("event_id", "unique"),
+      ("event_type", "not_null"), ("value", "not_null"),
+      ("event_type", "isin"), ("value", "range")))
+    assert(got(("event_type", "isin"))._3.contains("click,view"))
+    assert(got(("value", "range"))._1.map(_.toDouble).contains(1.0))
+    assert(got(("value", "range"))._2.map(_.toDouble).contains(9.5))
+    // an exploded categorical domain must NOT suggest isin (and the
+    // limit caps what the collect can ever materialize)
+    val wide = (1 to 50).map(i => (i.toLong, Some(1L), s"t$i", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    assert(!Quality.suggestedChecksFrom(wide).collect()
+      .exists(_.getAs[String]("check_type") == "isin"))
+    // sf: suggestions agree with the hand-written checks' premises —
+    // the event_type domain matches dq_sequence_check's funnel world
+    val sf = Quality.suggestedChecks(spark, Sf).collect()
+    val isin = sf.find(r => r.getAs[String]("check_type") == "isin").get
+    val vs = isin.getAs[String]("value_set").split(",").toSet
+    assert(Set("view", "purchase").subsetOf(vs), s"got $vs")
+  }
+
   test("id gaps: in-bucket holes count distinct-exact; contiguous buckets drop; top-k orders") {
     import spark.implicits._
     // bucket 0: ids 1,2,3,5 (+ dup 3) → span 5, present 4, missing 1

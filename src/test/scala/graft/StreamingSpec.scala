@@ -118,6 +118,50 @@ class StreamingSpec extends SparkSpec {
       "one-arm stream must trip the per-window SRM watch")
   }
 
+  test("changepoint watch over the hourly log equals the batch CUSUM on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def at(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:30:00")
+    // 5 quiet days (2 events) then 5 loud days (6 events), split
+    // across two hours each; the midpoint-step bridge statistic is
+    // scale-invariant at √n/2, so n = 10 days → 1.581 > 1.358 (six
+    // days would sit at 1.22 and never flag regardless of shift
+    // size); plus a far-future sentinel to close all windows in
+    // append mode
+    var id = 0L
+    val rows = (1 to 10).flatMap { d =>
+      val n = if (d <= 5) 2 else 6
+      (1 to n).map { i => id += 1; (id, at(d, 9 + i % 2), d.toLong, "view", 1.0, "{}") }
+    } :+ (9999L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 9L, "view", 1.0, "{}")
+    mem.addData(rows: _*)
+    val q = EventStream.hourlyTraffic(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("cp_watch_log").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val live = EventStream.changepointFromTrafficLog(spark.table("cp_watch_log"))
+      .collect()
+    // the sentinel day stays open (append mode) — the watch sees days 1-10
+    assert(live.length == 10)
+    // batch core on the SAME closed days must agree row-for-row — the
+    // shared changepointFromDaily core makes this structural
+    import spark.implicits._
+    val batch = operators.UserAnalytics.trafficChangepointFrom(
+      operators.EventMarts.enrich(
+        rows.init.toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getAs[Long]("n_events"), r.getAs[Long]("cusum"),
+        r.getAs[Double]("stat"), r.getAs[java.sql.Date]("split_date").toString,
+        r.getAs[Boolean]("changepoint_flag"))
+    assert(live.map(key).toSeq == batch.map(key).toSeq)
+    // and the planted shift is actually caught at the boundary
+    assert(live.forall(_.getAs[java.sql.Date]("split_date").toString == "2024-01-05"))
+    assert(live.head.getAs[Boolean]("changepoint_flag"))
+  }
+
   test("stream-built day sketches feed the batch rolling-actives window algebra") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
