@@ -251,7 +251,12 @@ object ScaleProbe {
         // round 9: the steepest new addition (1.67 at 10×) — rides
         // the sessionize exchange, so the deep leg tests whether the
         // LM join stays vocab-dimension as sessions multiply
-        "session_surprise")
+        "session_surprise",
+        // round-9 close (§7p #3): the graph family's third decade —
+        // the co-view graph densifies with corpus scale, so confirm
+        // the 10× sub-linear factors bend rather than grow
+        "graph_components", "graph_kcore", "graph_assortativity",
+        "graph_degree_census")
       steepest.filter(n => only.forall(_.contains(n))).foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min

@@ -1209,9 +1209,16 @@ object Quality {
   def columnProfile(spark: SparkSession, dir: String): DataFrame =
     columnProfileFrom(graft.Tables.events(spark, dir))
 
-  def columnProfileFrom(e: DataFrame): DataFrame = {
-    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-      .filter(e.columns.contains)
+  def columnProfileFrom(e: DataFrame): DataFrame =
+    profileColumns(e, Seq("event_id", "ts", "user_id", "event_type",
+      "value", "props").filter(e.columns.contains))
+
+  /** The same profile over EVERY column of any frame — the
+    * documents/orders surfaces and injected-frame profiling. */
+  def profileAllFrom(df: DataFrame): DataFrame =
+    profileColumns(df, df.columns.toSeq)
+
+  private def profileColumns(e: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
       e.select(col(c))
         .agg(
@@ -1225,9 +1232,48 @@ object Quality {
           (col("n_distinct").cast("double") / col("n_rows").cast("double"))
             .as("distinct_ratio"))
     }.reduce(_ unionByName _).orderBy("column_name")
+
+  /** Documents-table profile (every column) — the corpus-side
+    * onboarding census beside `dq_corpus_coverage`'s cross-table
+    * reconcile; a text column's distinct_ratio IS the exact-dup rate
+    * read from the other end. */
+  def columnProfileDocuments(spark: SparkSession, dir: String): DataFrame =
+    profileAllFrom(graft.Tables.documents(spark, dir))
+
+  /** Orders-table profile (every column) — the relational-side
+    * sibling; o_custkey's distinct_ratio is orders-per-customer
+    * inverted, o_orderstatus cardinality is the domain check's
+    * premise. */
+  def columnProfileOrders(spark: SparkSession, dir: String): DataFrame =
+    profileAllFrom(graft.Tables.orders(spark, dir))
+
+  /** Profile drift between two profile frames (yesterday vs today,
+    * or table vs table after a migration) — `dq_schema_drift`'s
+    * sibling at the STATISTICS grain: the schema can be identical
+    * while null_share jumps or a categorical domain collapses. Full
+    * outer join on column_name so added/removed columns surface as
+    * drift rows too; deltas are plain double subtractions of the
+    * profiles' own ratios. */
+  def profileDrift(before: DataFrame, after: DataFrame,
+                   maxShareDelta: Double = 0.05): DataFrame = {
+    val b = before.select(col("column_name"), col("n_rows").as("rows_before"),
+      col("null_share").as("null_before"), col("distinct_ratio").as("dr_before"))
+    val a = after.select(col("column_name"), col("n_rows").as("rows_after"),
+      col("null_share").as("null_after"), col("distinct_ratio").as("dr_after"))
+    b.join(a, Seq("column_name"), "full_outer")
+      .select(col("column_name"), col("rows_before"), col("rows_after"),
+        col("null_before"), col("null_after"),
+        (col("null_after") - col("null_before")).as("null_share_delta"),
+        col("dr_before"), col("dr_after"),
+        (col("dr_after") - col("dr_before")).as("distinct_ratio_delta"),
+        (col("rows_before").isNull || col("rows_after").isNull ||
+          abs(col("null_after") - col("null_before")) > maxShareDelta ||
+          abs(col("dr_after") - col("dr_before")) > maxShareDelta)
+          .as("drift_flag"))
+      .orderBy("column_name")
   }
 
-  private def profileColumnSql(name: String, ex: String) =
+  private def profileColumnSql(table: String, name: String, ex: String) =
     s"""SELECT '$name' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
        |  CAST(SUM(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        |  CAST(COUNT(DISTINCT $ex) AS BIGINT) AS n_distinct,
@@ -1235,18 +1281,29 @@ object Quality {
        |    / CAST(COUNT(*) AS DOUBLE) AS null_share,
        |  CAST(COUNT(DISTINCT $ex) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE) AS distinct_ratio
-       |FROM events""".stripMargin
+       |FROM $table""".stripMargin
+
+  private def profileTableSql(table: String, cols: Seq[(String, String)]): String =
+    cols.map { case (n, ex) => profileColumnSql(table, n, ex) }
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
 
   private val profileUnionSql: String = Seq(
-    profileColumnSql("event_id", "event_id"),
-    profileColumnSql("ts", "CAST(ts AS TIMESTAMP)"),
-    profileColumnSql("user_id", "user_id"),
-    profileColumnSql("event_type", "event_type"),
-    profileColumnSql("value", "value"),
-    profileColumnSql("props", "props")).mkString("\nUNION ALL\n")
+    profileColumnSql("events", "event_id", "event_id"),
+    profileColumnSql("events", "ts", "CAST(ts AS TIMESTAMP)"),
+    profileColumnSql("events", "user_id", "user_id"),
+    profileColumnSql("events", "event_type", "event_type"),
+    profileColumnSql("events", "value", "value"),
+    profileColumnSql("events", "props", "props")).mkString("\nUNION ALL\n")
 
   val columnProfileSql: String =
     s"SELECT * FROM (\n$profileUnionSql\n) ORDER BY column_name"
+
+  val columnProfileDocumentsSql: String = profileTableSql("documents",
+    Seq("doc_id", "text", "lang", "source", "n_chars").map(c => c -> c))
+
+  val columnProfileOrdersSql: String = profileTableSql("orders",
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority").map(c => c -> c))
 
   /** Constraint suggestion over the column profile — the Deequ
     * suggestion loop, and the repo's tuning-closure pattern once more

@@ -1504,6 +1504,33 @@ class QualitySpec extends SparkSpec {
     assert(sf.map(_.getAs[Long]("n_rows")).distinct.length == 1)
   }
 
+  test("profile generalizes to any table; drift flags stat shifts the schema check misses") {
+    import spark.implicits._
+    val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")))
+      .toDF("id", "cat")
+    val after = Seq((1L, Some("a")), (2L, Some("a")),
+      (3L, None: Option[String]), (4L, Some("a"))).toDF("id", "cat")
+    val drift = Quality.profileDrift(
+        Quality.profileAllFrom(before), Quality.profileAllFrom(after))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    // cat: null 0 → 0.25 and domain collapse → flags; id stays clean
+    assert(drift("cat").getAs[Boolean]("drift_flag"))
+    assert(drift("cat").getAs[Double]("null_share_delta") == 0.25)
+    assert(!drift("id").getAs[Boolean]("drift_flag"))
+    // a column vanishing from the after side IS drift
+    val drop = Quality.profileDrift(
+        Quality.profileAllFrom(before), Quality.profileAllFrom(after.select("id")))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(drop("cat").getAs[Boolean]("drift_flag"))
+    // sf: the table profiles cover every column of their tables
+    val docs = Quality.columnProfileDocuments(spark, Sf).collect()
+    assert(docs.map(_.getAs[String]("column_name")).toSet ==
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    val orders = Quality.columnProfileOrders(spark, Sf).collect()
+    assert(orders.find(_.getAs[String]("column_name") == "o_orderkey").get
+      .getAs[Double]("distinct_ratio") == 1.0)
+  }
+
   test("suggested checks: profile rules emit exactly the constraints the data supports") {
     import spark.implicits._
     // event_id: unique + complete → not_null AND unique
