@@ -203,7 +203,11 @@ object ScaleProbe {
       "traffic_changepoint", "dq_column_profile", "dq_id_gaps",
       // batch 8: suggestion rules ride the profile's pruned passes +
       // a LIMIT-capped distinct collect
-      "dq_suggested_checks")
+      "dq_suggested_checks",
+      // batch 10: power/MDE and stratified CUPED are one user rollup
+      // + tiny arm frames; the backtest is the forecast's fact rollup
+      // twice (train + holdout legs off one checkpointed projection)
+      "ab_power_mde", "ab_cuped_stratified", "forecast_backtest")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -983,6 +983,376 @@ object UserAnalytics {
       |  var_reduction
       |FROM w ORDER BY arm""".stripMargin
 
+  /** Two-sided 95% normal quantile Φ⁻¹(0.975), hard-coded as a double
+    * LITERAL so Spark and the DuckDB oracle see the identical constant
+    * (the Benford-literal pattern — no libm inverse-erf in either
+    * engine; the spec documents the provenance). */
+  val ZAlpha975: Double = 1.959963984540054
+
+  /** 80%-power normal quantile Φ⁻¹(0.80), same literal discipline. */
+  val ZPower80: Double = 0.8416212335729143
+
+  /** Experiment power readout — the PLANNING closure of the A/B
+    * suite (the tuning-closure pattern once more: measured arm sizes
+    * and rates → the smallest lift this experiment could actually
+    * detect). `ab_srm_check` validates the split, `ab_test_summary`
+    * reads the lift, `ab_cuped` shrinks its variance — this row says
+    * whether the readout MEANS anything: the minimum detectable
+    * effect at α = 0.05 (two-sided) / 80% power for the
+    * two-proportion z-test, MDE = (z_{α/2} + z_β) ·
+    * √(p_c(1−p_c)/n_c + p_t(1−p_t)/n_t), against the observed
+    * |Δ|. `powered = false` with a "significant" lift is the classic
+    * underpowered-readout trap this row makes visible.
+    *
+    * Scale shape: the SAME single user-grain rollup as the summary,
+    * reduced to a 1-row conditional aggregate — nothing downstream of
+    * the user dimension. Rates are single IEEE divisions of exact
+    * BIGINT counts; the z constants are shared literals; √ is
+    * IEEE-correctly-rounded in both engines, so the chain hashes
+    * bit-identically. Degenerate arms (either n = 0) yield NULL
+    * mde/powered rather than a divide-by-zero. */
+  def abPowerMde(spark: SparkSession, dir: String): DataFrame =
+    abPowerMdeFrom(enriched(spark, dir))
+
+  def abPowerMdeFrom(e: DataFrame, experiment: String = "exp1"): DataFrame = {
+    val u = e.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("has_purchase"))
+      .select(armCol(experiment).as("arm"), col("has_purchase"))
+    val a = u.agg(
+      sum(when(col("arm") === "control", 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n_treatment"),
+      sum(when(col("arm") === "control", col("has_purchase")).otherwise(0L))
+        .as("p_control"),
+      sum(when(col("arm") === "treatment", col("has_purchase")).otherwise(0L))
+        .as("p_treatment"))
+    val rc = col("p_control").cast("double") / col("n_control").cast("double")
+    val rt = col("p_treatment").cast("double") / col("n_treatment").cast("double")
+    val bothArms = col("n_control") > 0 && col("n_treatment") > 0
+    val se = sqrt(
+      rc * (lit(1.0) - rc) / col("n_control").cast("double") +
+        rt * (lit(1.0) - rt) / col("n_treatment").cast("double"))
+    val mde = lit(ZAlpha975 + ZPower80) * se
+    a.select(
+      lit(experiment).as("experiment"),
+      col("n_control"), col("n_treatment"),
+      when(col("n_control") > 0, rc).as("rate_control"),
+      when(col("n_treatment") > 0, rt).as("rate_treatment"),
+      when(bothArms, se).as("se_delta"),
+      when(bothArms, mde).as("mde_abs"),
+      when(bothArms && rc =!= lit(0.0), mde / rc).as("mde_rel"),
+      when(bothArms, rt - rc).as("observed_delta"),
+      when(bothArms, abs(rt - rc) > mde).as("powered"))
+  }
+
+  val abPowerMdeSql: String =
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1) >= '8'
+      |         THEN 'treatment' ELSE 'control' END AS arm,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+      |), a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+      |    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+      |    CAST(SUM(CASE WHEN arm = 'control' THEN has_purchase ELSE 0 END) AS BIGINT) AS p_control,
+      |    CAST(SUM(CASE WHEN arm = 'treatment' THEN has_purchase ELSE 0 END) AS BIGINT) AS p_treatment
+      |  FROM u
+      |), s AS (
+      |  SELECT n_control, n_treatment,
+      |    CAST(p_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS rc,
+      |    CAST(p_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) AS rt
+      |  FROM a
+      |), t AS (
+      |  SELECT n_control, n_treatment, rc, rt,
+      |    SQRT(rc * (1.0 - rc) / CAST(n_control AS DOUBLE)
+      |       + rt * (1.0 - rt) / CAST(n_treatment AS DOUBLE)) AS se,
+      |    ${ZAlpha975 + ZPower80} *
+      |      SQRT(rc * (1.0 - rc) / CAST(n_control AS DOUBLE)
+      |         + rt * (1.0 - rt) / CAST(n_treatment AS DOUBLE)) AS mde
+      |  FROM s
+      |)
+      |SELECT 'exp1' AS experiment, n_control, n_treatment,
+      |  CASE WHEN n_control > 0 THEN rc END AS rate_control,
+      |  CASE WHEN n_treatment > 0 THEN rt END AS rate_treatment,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN se END AS se_delta,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN mde END AS mde_abs,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0 AND rc <> 0.0
+      |       THEN mde / rc END AS mde_rel,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN rt - rc END AS observed_delta,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0
+      |       THEN ABS(rt - rc) > mde END AS powered
+      |FROM t""".stripMargin
+
+  /** Stratified CUPED — per-stratum θ (post-stratification composed
+    * with CUPED, the standard production refinement of Deng–Xu–
+    * Kohavi–Walker): one pooled slope under-adjusts wherever the
+    * covariate–outcome relation differs by cohort (a heavy user's
+    * pre-activity predicts purchases very differently from a
+    * cold-start's), so θ is fit WITHIN each pre-activity stratum and
+    * adjustment happens stratum-locally. Strata come from the same
+    * covariate the slope uses — the user's pre-midpoint event count x
+    * (cold x = 0 / light x ≤ 3 / heavy) — which a hash split
+    * guarantees is assignment-independent, so stratifying on it is
+    * unbiased. The all-zero cold stratum has Var(x) = 0 and takes
+    * θ = 0 (raw readout) by the same guard as the pooled query —
+    * exercised by design, not an edge case.
+    *
+    * Scale shape: identical to `ab_cuped` with stratum added to the
+    * tiny dimension — ONE user-grain rollup (the midpoint rides as a
+    * 1-row broadcast), a ≤ 3·arms-row rollup of exact BIGINT
+    * sufficient statistics, and every stratum-global moment a window
+    * over THAT frame partitioned by stratum. Nothing after the user
+    * rollup is fact-sized. */
+  def abCupedStratified(spark: SparkSession, dir: String): DataFrame =
+    abCupedStratifiedFrom(enriched(spark, dir))
+
+  def abCupedStratifiedFrom(e: DataFrame, experiment: String = "exp1"): DataFrame = {
+    val f = e.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val bounds = f.agg(min(col("event_epoch")).as("e0"),
+      max(col("event_epoch")).as("e1"))
+    val u = f.crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("(e0 + e1) div 2"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_epoch") <= col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_epoch") > col("mid") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select(
+        when(col("x") === 0L, "s0_cold")
+          .when(col("x") <= 3L, "s1_light")
+          .otherwise("s2_heavy").as("stratum"),
+        armCol(experiment).as("arm"), col("x"), col("y"))
+    val arms = u.groupBy("stratum", "arm").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val wS = Window.partitionBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = arms
+      .withColumn("gn", sum(col("n")).over(wS))
+      .withColumn("gsx", sum(col("sx")).over(wS))
+      .withColumn("gsy", sum(col("sy")).over(wS))
+      .withColumn("gsxy", sum(col("sxy")).over(wS))
+      .withColumn("gsxx", sum(col("sxx")).over(wS))
+      .withColumn("gsyy", sum(col("syy")).over(wS))
+    val gnD = col("gn").cast("double")
+    val gmx = col("gsx").cast("double") / gnD
+    val gmy = col("gsy").cast("double") / gnD
+    val cov = col("gsxy").cast("double") / gnD - gmx * gmy
+    val varx = col("gsxx").cast("double") / gnD - gmx * gmx
+    val vary = col("gsyy").cast("double") / gnD - gmy * gmy
+    val theta = when(varx =!= lit(0.0), cov / varx).otherwise(lit(0.0))
+    val meanPre = col("sx").cast("double") / col("n").cast("double")
+    val conv = col("sy").cast("double") / col("n").cast("double")
+    val adj = conv - theta * (meanPre - gmx)
+    val varRed = when(varx * vary =!= lit(0.0),
+      cov * cov / (varx * vary)).otherwise(lit(0.0))
+    g.select(col("stratum"), col("arm"), col("n").as("n_users"),
+        meanPre.as("mean_pre"), conv.as("conv_rate"),
+        theta.as("theta"), adj.as("adj_conv_rate"),
+        varRed.as("var_reduction"))
+      .withColumn("ctrl_adj",
+        max(when(col("arm") === "control", col("adj_conv_rate"))).over(wS))
+      .select(col("stratum"), col("arm"), col("n_users"), col("mean_pre"),
+        col("conv_rate"), col("theta"), col("adj_conv_rate"),
+        when(col("ctrl_adj") =!= lit(0.0),
+          (col("adj_conv_rate") - col("ctrl_adj")) / col("ctrl_adj"))
+          .as("adj_lift_vs_control"),
+        col("var_reduction"))
+      .orderBy("stratum", "arm")
+  }
+
+  val abCupedStratifiedSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS e
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), b AS (
+      |  SELECT (MIN(e) + MAX(e)) // 2 AS mid FROM f
+      |), u0 AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN e <= b.mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN e > b.mid AND event_type = 'purchase'
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM f, b GROUP BY user_id
+      |), u AS (
+      |  SELECT CASE WHEN x = 0 THEN 's0_cold'
+      |              WHEN x <= 3 THEN 's1_light'
+      |              ELSE 's2_heavy' END AS stratum,
+      |    CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1) >= '8'
+      |         THEN 'treatment' ELSE 'control' END AS arm,
+      |    x, y
+      |  FROM u0
+      |), a AS (
+      |  SELECT stratum, arm,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM u GROUP BY 1, 2
+      |), g AS (
+      |  SELECT stratum, arm, n, sx, sy, sxy, sxx, syy,
+      |    SUM(n) OVER (PARTITION BY stratum) AS gn,
+      |    SUM(sx) OVER (PARTITION BY stratum) AS gsx,
+      |    SUM(sy) OVER (PARTITION BY stratum) AS gsy,
+      |    SUM(sxy) OVER (PARTITION BY stratum) AS gsxy,
+      |    SUM(sxx) OVER (PARTITION BY stratum) AS gsxx,
+      |    SUM(syy) OVER (PARTITION BY stratum) AS gsyy
+      |  FROM a
+      |), s AS (
+      |  SELECT stratum, arm, n,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pre,
+      |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS conv_rate,
+      |    CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) AS gmx,
+      |    CAST(gsxy AS DOUBLE) / CAST(gn AS DOUBLE)
+      |      - (CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE))
+      |        * (CAST(gsy AS DOUBLE) / CAST(gn AS DOUBLE)) AS cov,
+      |    CAST(gsxx AS DOUBLE) / CAST(gn AS DOUBLE)
+      |      - (CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE))
+      |        * (CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE)) AS varx,
+      |    CAST(gsyy AS DOUBLE) / CAST(gn AS DOUBLE)
+      |      - (CAST(gsy AS DOUBLE) / CAST(gn AS DOUBLE))
+      |        * (CAST(gsy AS DOUBLE) / CAST(gn AS DOUBLE)) AS vary
+      |  FROM g
+      |), t AS (
+      |  SELECT stratum, arm, n AS n_users, mean_pre, conv_rate,
+      |    CASE WHEN varx <> 0.0 THEN cov / varx ELSE 0.0 END AS theta,
+      |    conv_rate - (CASE WHEN varx <> 0.0 THEN cov / varx ELSE 0.0 END)
+      |      * (mean_pre - gmx) AS adj_conv_rate,
+      |    CASE WHEN varx * vary <> 0.0 THEN cov * cov / (varx * vary)
+      |         ELSE 0.0 END AS var_reduction
+      |  FROM s
+      |), w AS (
+      |  SELECT *, MAX(CASE WHEN arm = 'control' THEN adj_conv_rate END)
+      |    OVER (PARTITION BY stratum) AS ctrl_adj
+      |  FROM t
+      |)
+      |SELECT stratum, arm, n_users, mean_pre, conv_rate, theta,
+      |  adj_conv_rate,
+      |  CASE WHEN ctrl_adj <> 0.0 THEN (adj_conv_rate - ctrl_adj) / ctrl_adj
+      |  END AS adj_lift_vs_control,
+      |  var_reduction
+      |FROM w ORDER BY stratum, arm""".stripMargin
+
+  /** Forecast backtest — the EVAL closure of `traffic_forecast` (the
+    * tuning-closure pattern on the time-series leg: the forecast query
+    * says what tomorrow brings; this one says how wrong that recipe
+    * WAS, before anyone wires it to capacity planning). The last
+    * calendar day is held out, the identical seasonal-naive recipe
+    * (hour-of-week baseline × recent-7-day level) is fit on the days
+    * before it, and the held-out day's actual hourly counts score the
+    * prediction — per-hour absolute and relative error.
+    *
+    * Scale shape: the same one fact-grain rollup as the forecast
+    * (dow × hour counts), all scored rows ≤ 24; the holdout bound,
+    * train bounds and level ride as 1-row broadcasts. FULL OUTER on
+    * event_hour so both failure modes surface: an hour the model
+    * never saw (predicted 0) and a forecast hour that never realized
+    * (actual 0). Exact integer counts end-to-end; predictions and
+    * errors are the only IEEE arithmetic, identical chain shape in
+    * the oracle. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    forecastBacktestFrom(enriched(spark, dir))
+
+  def forecastBacktestFrom(e: DataFrame): DataFrame = {
+    val typed = e.filter(col("ts").isNotNull)
+      .select(col("event_date"), dayofweek(col("event_date")).as("dow"),
+        hour(col("ts")).as("event_hour"))
+      .localCheckpoint() // feeds the holdout bound, train legs, actuals
+    val target = typed.agg(max(col("event_date")).as("target_date"))
+    val train = typed.join(broadcast(target))
+      .filter(col("event_date") < col("target_date"))
+      .drop("target_date")
+    val tb = train.agg(max(col("event_date")).as("last_train"),
+      countDistinct(col("event_date")).as("n_dates"),
+      count(lit(1)).as("all_events"))
+    val recent = train.join(broadcast(tb))
+      .filter(datediff(col("last_train"), col("event_date")) < 7)
+      .agg(count(lit(1)).as("recent_events"))
+    val dowDays = train.select(col("event_date"), col("dow")).distinct()
+      .groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
+    val predicted = train
+      .groupBy(col("dow"), col("event_hour"))
+      .agg(count(lit(1)).as("total_events"))
+      .join(broadcast(dowDays), "dow")
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(recent))
+      .crossJoin(broadcast(target))
+      .filter(col("dow") === dayofweek(col("target_date")))
+      .select(col("event_hour"),
+        ((col("total_events").cast("double") / col("n_days").cast("double")) *
+          ((col("recent_events") * col("n_dates")).cast("double") /
+            (col("all_events") * lit(7L)).cast("double")))
+          .as("predicted_events"))
+    val actual = typed.join(broadcast(target))
+      .filter(col("event_date") === col("target_date"))
+      .groupBy(col("event_hour")).agg(count(lit(1)).as("actual_events"))
+    predicted.join(actual, Seq("event_hour"), "full_outer")
+      .crossJoin(broadcast(target))
+      .select(col("target_date"), col("event_hour"),
+        dayofweek(col("target_date")).as("dow"),
+        coalesce(col("actual_events"), lit(0L)).as("actual_events"),
+        coalesce(col("predicted_events"), lit(0.0)).as("predicted_events"))
+      .withColumn("abs_err",
+        abs(col("actual_events").cast("double") - col("predicted_events")))
+      .withColumn("pct_err", when(col("actual_events") > 0,
+        col("abs_err") / col("actual_events").cast("double")))
+      .orderBy("event_hour")
+  }
+
+  val forecastBacktestSql: String =
+    """WITH typed AS (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    CAST(EXTRACT(dow FROM CAST(ts AS DATE)) AS INT) + 1 AS dow,
+      |    CAST(EXTRACT(hour FROM ts) AS INT) AS event_hour
+      |  FROM events WHERE ts IS NOT NULL
+      |), tgt AS (
+      |  SELECT MAX(event_date) AS target_date FROM typed
+      |), train AS (
+      |  SELECT t.* FROM typed t, tgt WHERE t.event_date < tgt.target_date
+      |), tb AS (
+      |  SELECT MAX(event_date) AS last_train,
+      |    CAST(COUNT(DISTINCT event_date) AS BIGINT) AS n_dates,
+      |    CAST(COUNT(*) AS BIGINT) AS all_events
+      |  FROM train
+      |), r AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS recent_events
+      |  FROM train, tb WHERE DATE_DIFF('day', event_date, last_train) < 7
+      |), dd AS (
+      |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days FROM
+      |    (SELECT DISTINCT event_date, dow FROM train) d GROUP BY dow
+      |), pred AS (
+      |  SELECT event_hour,
+      |    (CAST(total_events AS DOUBLE) / CAST(n_days AS DOUBLE)) *
+      |      (CAST(recent_events * n_dates AS DOUBLE) /
+      |       CAST(all_events * 7 AS DOUBLE)) AS predicted_events
+      |  FROM (SELECT dow, event_hour, CAST(COUNT(*) AS BIGINT) AS total_events
+      |        FROM train GROUP BY dow, event_hour) base
+      |  JOIN dd USING (dow) CROSS JOIN tb CROSS JOIN r CROSS JOIN tgt
+      |  WHERE dow = CAST(EXTRACT(dow FROM tgt.target_date) AS INT) + 1
+      |), act AS (
+      |  SELECT event_hour, CAST(COUNT(*) AS BIGINT) AS actual_events
+      |  FROM typed t, tgt WHERE t.event_date = tgt.target_date
+      |  GROUP BY event_hour
+      |), j AS (
+      |  SELECT COALESCE(pred.event_hour, act.event_hour) AS event_hour,
+      |    CAST(COALESCE(act.actual_events, 0) AS BIGINT) AS actual_events,
+      |    COALESCE(pred.predicted_events, 0.0) AS predicted_events
+      |  FROM pred FULL OUTER JOIN act ON pred.event_hour = act.event_hour
+      |)
+      |SELECT tgt.target_date, event_hour,
+      |  CAST(EXTRACT(dow FROM tgt.target_date) AS INT) + 1 AS dow,
+      |  actual_events, predicted_events,
+      |  ABS(CAST(actual_events AS DOUBLE) - predicted_events) AS abs_err,
+      |  CASE WHEN actual_events > 0 THEN
+      |    ABS(CAST(actual_events AS DOUBLE) - predicted_events)
+      |      / CAST(actual_events AS DOUBLE) END AS pct_err
+      |FROM j CROSS JOIN tgt ORDER BY event_hour""".stripMargin
+
   /** Activity-inequality census: the exact Gini coefficient over
     * per-user event counts — ONE number answering "how concentrated
     * is the traffic" (0 = everyone equally active, →1 = a handful of

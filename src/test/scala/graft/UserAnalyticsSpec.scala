@@ -461,4 +461,173 @@ class UserAnalyticsSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_dau") <= r.getAs[Long]("wau").toDouble + 1e-9)
     }
   }
+
+  test("power/mde: driver replica pins the z-chain; one-arm corpus yields NULL mde") {
+    def arm(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    // z literals: Φ⁻¹(0.975)/Φ⁻¹(0.80) to double precision (Abramowitz
+    // & Stegun 26.2.23 refined by Newton on Φ; provenance documented)
+    // — sanity-bound them rather than re-derive libm in the spec
+    assert(math.abs(UserAnalytics.ZAlpha975 - 1.96) < 0.005)
+    assert(math.abs(UserAnalytics.ZPower80 - 0.8416) < 0.001)
+    // users 1..60: u%5==0 purchases; every user also views (two rows —
+    // the rollup must count users once)
+    val users = (1L to 60L)
+    var id = 0L
+    val rows = users.flatMap { u =>
+      val v = Seq { id += 1; (id, u, "2024-01-02 10:00:00", "view", 1.0) }
+      val p = if (u % 5 == 0) Seq { id += 1; (id, u, "2024-01-03 10:00:00", "purchase", 9.0) }
+              else Seq.empty
+      v ++ p
+    }
+    val r = UserAnalytics.abPowerMdeFrom(ev(rows)).collect()
+    assert(r.length == 1)
+    val g = r(0)
+    val byArm = users.groupBy(arm)
+    val nC = byArm("control").size.toDouble
+    val nT = byArm("treatment").size.toDouble
+    val rc = byArm("control").count(_ % 5 == 0) / nC
+    val rt = byArm("treatment").count(_ % 5 == 0) / nT
+    val se = math.sqrt(rc * (1.0 - rc) / nC + rt * (1.0 - rt) / nT)
+    val mde = (UserAnalytics.ZAlpha975 + UserAnalytics.ZPower80) * se
+    assert(g.getAs[Long]("n_control") == nC.toLong)
+    assert(g.getAs[Long]("n_treatment") == nT.toLong)
+    assert(g.getAs[Double]("rate_control") == rc)
+    assert(g.getAs[Double]("rate_treatment") == rt)
+    assert(g.getAs[Double]("se_delta") == se)
+    assert(g.getAs[Double]("mde_abs") == mde)
+    assert(g.getAs[Double]("mde_rel") == mde / rc)
+    assert(g.getAs[Double]("observed_delta") == rt - rc)
+    assert(g.getAs[Boolean]("powered") == (math.abs(rt - rc) > mde))
+    // a 60-user corpus with a ~5pp observed delta must read UNDERPOWERED
+    assert(!g.getAs[Boolean]("powered"), "tiny corpus cannot be powered")
+    // one-arm corpus: NULL se/mde/powered instead of a divide-by-zero
+    val ctrlOnly = (1L to 400L).filter(arm(_) == "control").take(20)
+      .map(u => (u * 100, u, "2024-01-02 10:00:00", "purchase", 9.0))
+    val b = UserAnalytics.abPowerMdeFrom(ev(ctrlOnly)).collect()(0)
+    assert(b.getAs[Long]("n_treatment") == 0L)
+    assert(b.isNullAt(b.fieldIndex("mde_abs")) && b.isNullAt(b.fieldIndex("powered")))
+    assert(b.getAs[Double]("rate_control") == 1.0)
+    // sf sanity: both arms present and the chain is non-null (at tiny
+    // sf every user purchases → p(1−p) = 0 → mde exactly 0 is correct)
+    val sf = UserAnalytics.abPowerMde(spark, Sf).collect()(0)
+    assert(sf.getAs[Long]("n_control") > 0 && sf.getAs[Long]("n_treatment") > 0)
+    assert(!sf.isNullAt(sf.fieldIndex("mde_abs")) &&
+      sf.getAs[Double]("mde_abs") >= 0.0)
+  }
+
+  test("stratified cuped: per-stratum theta matches replica; cold stratum takes theta 0") {
+    def arm(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    // users 1..30: pre views x = u%3 (0 → cold stratum, 1..2 → light);
+    // users 31..40: x = u%4+4 (heavy); purchases y = u%2 post-mid.
+    // Cold users still appear via their post purchase (x=0, y>0) or a
+    // post view so every user exists in the rollup.
+    val users = (1L to 40L)
+    def xOf(u: Long) = if (u <= 30) u % 3 else u % 4 + 4
+    def yOf(u: Long) = u % 2
+    var id = 0L
+    val rows = users.flatMap { u =>
+      val pre = (1L to xOf(u)).map { i =>
+        id += 1; (id, u, s"2024-01-01 10:0${i % 6}:00", "view", 1.0)
+      }
+      val postAnchor = Seq { id += 1; (id, u, "2024-01-09 09:00:00", "view", 1.0) }
+      val post = (1L to yOf(u)).map { _ =>
+        id += 1; (id, u, "2024-01-09 10:00:00", "purchase", 9.0)
+      }
+      pre ++ postAnchor ++ post
+    }
+    val got = UserAnalytics.abCupedStratifiedFrom(ev(rows)).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[String]("arm")) -> r).toMap
+    // NOTE: x in the operator counts ALL pre-mid events; the planted
+    // pre views land pre-mid (Jan 1 vs Jan 9 → mid ≈ Jan 5), the
+    // anchor view and purchases post-mid, so x == xOf(u), y == yOf(u)
+    def stratumOf(x: Long) = if (x == 0) "s0_cold" else if (x <= 3) "s1_light" else "s2_heavy"
+    val byStratum = users.groupBy(u => stratumOf(xOf(u)))
+    for ((s, su) <- byStratum) {
+      val gn = su.size.toDouble
+      val gmx = su.map(xOf).sum / gn
+      val gmy = su.map(yOf).sum / gn
+      val cov = su.map(u => xOf(u) * yOf(u)).sum / gn - gmx * gmy
+      val varx = su.map(u => xOf(u) * xOf(u)).sum / gn - gmx * gmx
+      val theta = if (varx != 0.0) cov / varx else 0.0
+      for ((a, au) <- su.groupBy(arm)) {
+        val r = got((s, a))
+        assert(r.getAs[Long]("n_users") == au.size.toLong, s"($s,$a) n")
+        assert(r.getAs[Double]("theta") == theta, s"($s,$a) theta")
+        val conv = au.map(yOf).sum.toDouble / au.size
+        val meanPre = au.map(xOf).sum.toDouble / au.size
+        assert(r.getAs[Double]("adj_conv_rate") == conv - theta * (meanPre - gmx))
+      }
+      // the all-zero-covariate cold stratum must take theta = 0 (raw)
+      if (s == "s0_cold") {
+        assert(theta == 0.0)
+        got.filter(_._1._1 == "s0_cold").values.foreach { r =>
+          assert(r.getAs[Double]("theta") == 0.0)
+          assert(r.getAs[Double]("adj_conv_rate") == r.getAs[Double]("conv_rate"))
+          assert(r.getAs[Double]("var_reduction") == 0.0)
+        }
+      }
+    }
+    // sf sanity: every (stratum, arm) row has ρ² in [0,1]; strata ordered
+    val sf = UserAnalytics.abCupedStratified(spark, Sf).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r =>
+      val v = r.getAs[Double]("var_reduction")
+      assert(v >= 0.0 && v <= 1.0 + 1e-12)
+    }
+    assert(sf.map(_.getAs[String]("stratum")).toSeq == sf.map(_.getAs[String]("stratum")).toSeq.sorted)
+  }
+
+  test("forecast backtest: held-out day scores the planted recipe exactly") {
+    // Mondays Jan 1 / Jan 8 train the Monday baseline; Monday Jan 15
+    // is the held-out target. Train: Mon-10h (2+4)/2 = 3, Mon-12h 2/2
+    // = 1; level = recent-7d (Jan 8: 6, Jan 14: 3 → 9) vs train daily
+    // rate (11/3) over 7 days → 27/77 (the traffic_forecast spec's
+    // own constants, now scored against actuals).
+    var id = 0L
+    def at(d: String, h: Int, n: Int) = (0 until n).map { i =>
+      id += 1; (id, id, f"$d $h%02d:0$i:00", "view", 1.0)
+    }
+    val e = ev(at("2024-01-01", 10, 2) ++ at("2024-01-08", 10, 4) ++
+      at("2024-01-08", 12, 2) ++ at("2024-01-14", 9, 3) ++
+      // the held-out Monday: 5 actual events at 10h, 2 at 13h (an hour
+      // the model never saw → predicted 0)
+      at("2024-01-15", 10, 5) ++ at("2024-01-15", 13, 2))
+    val got = UserAnalytics.forecastBacktestFrom(e).collect()
+      .map(r => r.getAs[Int]("event_hour") -> r).toMap
+    val level = 9.0 * 3.0 / (11.0 * 7.0)
+    // hour 10: actual 5, predicted 3·level
+    assert(got(10).getAs[Long]("actual_events") == 5L)
+    assert(math.abs(got(10).getAs[Double]("predicted_events") - 3.0 * level) < 1e-12)
+    assert(got(10).getAs[Double]("abs_err") ==
+      math.abs(5.0 - got(10).getAs[Double]("predicted_events")))
+    assert(got(10).getAs[Double]("pct_err") == got(10).getAs[Double]("abs_err") / 5.0)
+    // hour 12: forecast hour that never realized → actual 0, pct NULL
+    assert(got(12).getAs[Long]("actual_events") == 0L)
+    assert(math.abs(got(12).getAs[Double]("predicted_events") - 1.0 * level) < 1e-12)
+    assert(got(12).isNullAt(got(12).fieldIndex("pct_err")))
+    // hour 13: actual hour the model never saw → predicted 0, full miss
+    assert(got(13).getAs[Long]("actual_events") == 2L)
+    assert(got(13).getAs[Double]("predicted_events") == 0.0)
+    assert(got(13).getAs[Double]("abs_err") == 2.0)
+    assert(got(13).getAs[Double]("pct_err") == 1.0)
+    got.values.foreach { r =>
+      assert(r.getAs[java.sql.Date]("target_date").toString == "2024-01-15")
+      assert(r.getAs[Int]("dow") == 2)
+    }
+    assert(got.keySet == Set(10, 12, 13))
+    // sf sanity: ≤24 scored hours, errors finite and non-negative
+    val sf = UserAnalytics.forecastBacktest(spark, Sf).collect()
+    assert(sf.nonEmpty && sf.length <= 24)
+    sf.foreach(r => assert(r.getAs[Double]("abs_err") >= 0.0))
+  }
 }
