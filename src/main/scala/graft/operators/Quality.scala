@@ -1273,6 +1273,37 @@ object Quality {
       .orderBy("column_name")
   }
 
+  /** Batch rescore of the streaming profile log
+    * (`EventStream.profileLogSink`): each batch's profile diffed
+    * against the PREVIOUS batch's via a lag window per column — the
+    * live "which arriving batch moved the stats" readout, same delta
+    * columns and flag rule as the two-frame [[profileDrift]]. The
+    * first batch has no predecessor and never flags. The window
+    * partitions on column_name over the dimension-sized log
+    * (|columns| × |batches| rows) — nothing fact-sized. */
+  def profileDriftFromLog(spark: SparkSession, logDir: String,
+                          maxShareDelta: Double = 0.05): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column_name")).orderBy(col("batch_id"))
+    spark.read.parquet(logDir)
+      // the batch_id partition value reads back type-inferred (int) —
+      // pin it to long for a stable consumer schema
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("column_name"), col("n_rows"),
+        col("null_share"), col("distinct_ratio"))
+      .withColumn("prev_null", lag(col("null_share"), 1).over(w))
+      .withColumn("prev_dr", lag(col("distinct_ratio"), 1).over(w))
+      .select(col("batch_id"), col("column_name"), col("n_rows"),
+        col("null_share"), col("distinct_ratio"),
+        (col("null_share") - col("prev_null")).as("null_share_delta"),
+        (col("distinct_ratio") - col("prev_dr")).as("distinct_ratio_delta"),
+        coalesce(
+          abs(col("null_share") - col("prev_null")) > maxShareDelta ||
+            abs(col("distinct_ratio") - col("prev_dr")) > maxShareDelta,
+          lit(false)).as("drift_flag"))
+      .orderBy("batch_id", "column_name")
+  }
+
   private def profileColumnSql(table: String, name: String, ex: String) =
     s"""SELECT '$name' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
        |  CAST(SUM(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

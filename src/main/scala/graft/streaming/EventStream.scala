@@ -320,6 +320,42 @@ object EventStream {
       }
       .start()
 
+  /** Per-arrival-batch column profile appended to a tiny parquet log —
+    * the streaming half of the statistics-grain drift loop
+    * (`Quality.profileDrift` diffs two batch profiles; this keeps the
+    * live feed of profiles to diff). Unlike the windowed sinks above
+    * this profiles the RAW micro-batch (no watermark, no event-time
+    * window): the question is "did what just ARRIVED look different",
+    * which is arrival-batch-grain by nature — an upstream deploy that
+    * starts nulling a field shows in the very next batch's profile,
+    * hours before any event-time window finalizes.
+    *
+    * Scale shape: the profile passes are column-pruned scans of the
+    * one arriving batch (persisted once, O(batch) per trigger, no
+    * state); the log grows |columns| rows per batch — dimension-sized
+    * forever. Idempotent per batch via the batch_id partition (the
+    * volumeLogSink at-least-once pattern). */
+  def profileLogSink(events: DataFrame, logDir: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // the profile runs one pruned pass per column — persist the
+          // micro-batch so a re-readable source isn't re-scanned per
+          // column
+          val b = batch.persist()
+          try {
+            val rows = graft.operators.Quality.columnProfileFrom(b)
+              .withColumn("batch_id", lit(batchId))
+            graft.sources.MartSink.writePartitioned(rows, logDir, Seq("batch_id"))
+          } finally { b.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream interval self-join: attribute each purchase to the
     * same user's views in the preceding hour. Both sides carry a
     * watermark and the join condition bounds event-time distance, so

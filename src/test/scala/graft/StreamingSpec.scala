@@ -1269,4 +1269,43 @@ class StreamingSpec extends SparkSpec {
       assert(alerts.size == 2)
     } finally q.stop()
   }
+
+  test("streaming profile log: per-batch profiles; drift rescore names the batch that moved") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def row(i: Long, props: String) =
+      (i, new java.sql.Timestamp(base.getTime + i * 1000L), i % 10,
+        s"type$i", 1.0 * i, props)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val log = java.nio.file.Files.createTempDirectory("graft_plog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pckpt").toString
+    val q = EventStream.profileLogSink(df, log, ckpt)
+    try {
+      mem.addData((1L to 20L).map(i => row(i, "{}")): _*)
+      q.processAllAvailable()
+      // batch 1: an upstream deploy starts nulling props on half the rows
+      mem.addData((21L to 40L).map(i => row(i, if (i % 2 == 0) null else "{}")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshByPath(log)
+    val drift = operators.Quality.profileDriftFromLog(spark, log).collect()
+    val byKey = drift.map(r =>
+      (r.getAs[Long]("batch_id"), r.getAs[String]("column_name")) -> r).toMap
+    // batch 0 has no predecessor: NULL deltas, nothing flags
+    assert(drift.filter(_.getAs[Long]("batch_id") == 0L)
+      .forall(!_.getAs[Boolean]("drift_flag")))
+    assert(byKey((0L, "props")).isNullAt(
+      byKey((0L, "props")).fieldIndex("null_share_delta")))
+    // batch 1: props null_share 0 → 0.5 flags; untouched columns stay quiet
+    assert(byKey((1L, "props")).getAs[Double]("null_share_delta") == 0.5)
+    assert(byKey((1L, "props")).getAs[Boolean]("drift_flag"))
+    assert(!byKey((1L, "event_id")).getAs[Boolean]("drift_flag"))
+    assert(!byKey((1L, "user_id")).getAs[Boolean]("drift_flag"))
+    // profiles are batch-local (arrival grain): both batches read 20 rows
+    assert(drift.forall(_.getAs[Long]("n_rows") == 20L))
+    assert(drift.map(_.getAs[String]("column_name")).toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
 }
