@@ -207,7 +207,11 @@ object ScaleProbe {
       // batch 10: power/MDE and stratified CUPED are one user rollup
       // + tiny arm frames; the backtest is the forecast's fact rollup
       // twice (train + holdout legs off one checkpointed projection)
-      "ab_power_mde", "ab_cuped_stratified", "forecast_backtest")
+      "ab_power_mde", "ab_cuped_stratified", "forecast_backtest",
+      // batch 12: decompose is one day-grain rollup + day-dimension
+      // windows; rank shift is one product rollup + TakeOrdered;
+      // embedding drift rides the dim-stats posexplode rollup
+      "traffic_decompose", "product_rank_shift", "embedding_drift")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -331,6 +331,79 @@ object EventMarts {
       |ORDER BY revenue DESC, product_k ASC
       |LIMIT 20""".stripMargin
 
+  /** Period-over-period product rank movers — which products climbed
+    * or fell (the merchandising question `product_top_n`'s static
+    * snapshot can't answer). The corpus splits at its epoch midpoint
+    * (the ab_cuped 1-row-broadcast trick — deterministic halves, no
+    * period parameter to drift between engines) into period a / b;
+    * the top movers pool is the 100 products largest by COMBINED
+    * count, ranked within each period.
+    *
+    * Scale shape: ONE product-grain conditional rollup (map-side
+    * combined), then TakeOrdered top-100 (never a full
+    * product-dimension sort), then row_number windows over the ≤100-row
+    * pool BY CONSTRUCTION — the dq_key_skew discipline. Ranks are
+    * within-pool (documented), ties broken by product_k so both
+    * engines rank identically; pct_change is the one IEEE division,
+    * NULL-guarded for products absent from period a. */
+  def productRankShift(spark: SparkSession, dir: String, topK: Int = 100): DataFrame =
+    productRankShiftFrom(enriched(spark, dir), topK)
+
+  def productRankShiftFrom(e: DataFrame, topK: Int = 100): DataFrame = {
+    val f = e.filter(col("product_k").isNotNull && col("ts").isNotNull)
+    val bounds = f.agg(min(col("event_epoch")).as("e0"),
+      max(col("event_epoch")).as("e1"))
+    val pool = f.crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("(e0 + e1) div 2"))
+      .groupBy(col("product_k"))
+      .agg(
+        sum(when(col("event_epoch") <= col("mid"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("event_epoch") > col("mid"), 1L).otherwise(0L)).as("n_b"))
+      .orderBy((col("n_a") + col("n_b")).desc, col("product_k").asc)
+      .limit(topK)
+    val wa = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n_a"), asc("product_k"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n_b"), asc("product_k"))
+    pool
+      .withColumn("rank_a", row_number().over(wa))
+      .withColumn("rank_b", row_number().over(wb))
+      .select(col("product_k"), col("n_a"), col("n_b"),
+        col("rank_a"), col("rank_b"),
+        (col("rank_a") - col("rank_b")).as("rank_delta"),
+        when(col("n_a") > 0,
+          (col("n_b") - col("n_a")).cast("double") / col("n_a").cast("double"))
+          .as("pct_change"))
+      .orderBy("rank_b", "product_k")
+  }
+
+  val productRankShiftSql: String =
+    """WITH f AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS product_k,
+      |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS e
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL AND ts IS NOT NULL
+      |), b AS (
+      |  SELECT (MIN(e) + MAX(e)) // 2 AS mid FROM f
+      |), pool AS (
+      |  SELECT product_k,
+      |    CAST(SUM(CASE WHEN e <= b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN e > b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM f, b GROUP BY product_k
+      |  ORDER BY n_a + n_b DESC, product_k ASC
+      |  LIMIT 100
+      |), ranked AS (
+      |  SELECT *,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_a DESC, product_k ASC) AS INT) AS rank_a,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_b DESC, product_k ASC) AS INT) AS rank_b
+      |  FROM pool
+      |)
+      |SELECT product_k, n_a, n_b, rank_a, rank_b,
+      |  rank_a - rank_b AS rank_delta,
+      |  CASE WHEN n_a > 0 THEN
+      |    CAST(n_b - n_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS pct_change
+      |FROM ranked ORDER BY rank_b, product_k""".stripMargin
+
   /** Daily-report user summary (reference: llm_daily_report.py:225-255,
     * aggregate over the user mart). */
   def reportUserSummary(spark: SparkSession, dir: String): DataFrame =

@@ -1619,4 +1619,71 @@ object Similarity {
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings)
       |GROUP BY dim ORDER BY dim""".stripMargin
+
+  /** Per-dimension embedding DRIFT between two corpus cohorts — the
+    * `profileDrift` idea on the embedding axis (a re-trained or
+    * fine-tuned encoder shifts dimension means long before recall
+    * visibly degrades; `IndexMaintenance` detects drift at the CELL
+    * grain, this names the DIMENSIONS that moved). The normalized
+    * shift (mean_b − mean_a)/rms_a is a per-dim effect size; |shift| >
+    * 0.25 flags.
+    *
+    * The registry query instantiates the two cohorts by vec_id parity
+    * — a deterministic surrogate for snapshot A/B on a table with no
+    * time column (on real corpora pass the two snapshots to
+    * [[embeddingDriftBetween]]); on the synthetic embeddings the
+    * parity split is an A/A read, so near-zero shifts everywhere IS
+    * the check. Scale shape: posexplode to (row × dim), ONE
+    * map-combined conditional rollup to |dims| rows — the
+    * embeddingDimStats shape with a cohort flag; the flag rides the
+    * explode, so one pass covers both cohorts. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    embeddingDriftBetween(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 =!= 0))
+  }
+
+  def embeddingDriftBetween(a: DataFrame, b: DataFrame,
+                            threshold: Double = 0.25): DataFrame =
+    a.select(lit(true).as("is_a"), col("embedding"))
+      .unionByName(b.select(lit(false).as("is_a"), col("embedding")))
+      .select(col("is_a"), posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("is_a"), col("dim"), col("f").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(
+        count(when(col("is_a"), 1)).as("n_a"),
+        count(when(!col("is_a"), 1)).as("n_b"),
+        avg(when(col("is_a"), col("v"))).as("mean_a"),
+        avg(when(!col("is_a"), col("v"))).as("mean_b"),
+        sqrt(avg(when(col("is_a"), col("v") * col("v")))).as("rms_a"),
+        sqrt(avg(when(!col("is_a"), col("v") * col("v")))).as("rms_b"))
+      .withColumn("mean_delta", col("mean_b") - col("mean_a"))
+      .withColumn("shift", when(col("rms_a") =!= lit(0.0),
+        (col("mean_b") - col("mean_a")) / col("rms_a")))
+      .withColumn("drift_flag",
+        coalesce(abs(col("shift")) > lit(threshold), lit(false)))
+      .orderBy("dim")
+
+  val embeddingDriftSql: String =
+    """WITH v AS (
+      |  SELECT vec_id % 2 = 0 AS is_a,
+      |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |), g AS (
+      |  SELECT dim,
+      |    CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+      |    CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+      |    AVG(CASE WHEN is_a THEN v END) AS mean_a,
+      |    AVG(CASE WHEN NOT is_a THEN v END) AS mean_b,
+      |    SQRT(AVG(CASE WHEN is_a THEN v * v END)) AS rms_a,
+      |    SQRT(AVG(CASE WHEN NOT is_a THEN v * v END)) AS rms_b
+      |  FROM v GROUP BY dim
+      |)
+      |SELECT dim, n_a, n_b, mean_a, mean_b, rms_a, rms_b,
+      |  mean_b - mean_a AS mean_delta,
+      |  CASE WHEN rms_a <> 0.0 THEN (mean_b - mean_a) / rms_a END AS shift,
+      |  COALESCE(ABS(CASE WHEN rms_a <> 0.0 THEN (mean_b - mean_a) / rms_a END)
+      |    > 0.25, FALSE) AS drift_flag
+      |FROM g ORDER BY dim""".stripMargin
 }

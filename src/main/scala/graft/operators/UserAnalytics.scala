@@ -1353,6 +1353,86 @@ object UserAnalytics {
       |      / CAST(actual_events AS DOUBLE) END AS pct_err
       |FROM j CROSS JOIN tgt ORDER BY event_hour""".stripMargin
 
+  /** Classical additive time-series decomposition of daily traffic —
+    * trend + seasonal + residual (the moving-average decomposition
+    * every STL/forecast pipeline starts from): trend = centered 7-day
+    * moving average (NULL on edge days without a full window — honest
+    * incompleteness beats a shrinking-window bias), seasonal = the
+    * day-of-week mean of the detrended series, residual = what's
+    * left — the series the anomaly checks SHOULD score (a Monday spike
+    * is signal in the raw series and noise in the residual).
+    *
+    * Exactness trick (the CUSUM discipline): the detrended series is
+    * kept as SCALED integers 7·n_d − Σ₇ (exact BIGINT — no double
+    * subtraction order), so the seasonal means are single IEEE
+    * divisions of exact sums and trend/residual fixed scalar chains —
+    * bit-identical in the oracle. Scale shape: ONE fact exchange to
+    * day grain, then day-dimension windows (≤366 rows/year by
+    * construction) and a ≤7-row seasonal broadcast. The 7-day range
+    * frame counts CALENDAR days (rangeBetween on day number), so date
+    * gaps disqualify a window rather than silently shrinking it. */
+  def trafficDecompose(spark: SparkSession, dir: String): DataFrame =
+    trafficDecomposeFrom(enriched(spark, dir))
+
+  def trafficDecomposeFrom(e: DataFrame): DataFrame = {
+    val daily = e.filter(col("ts").isNotNull)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_num",
+        datediff(col("event_date"), to_date(lit("1970-01-01"))))
+      .withColumn("dow", dayofweek(col("event_date")))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-3, 3)
+    val det = daily
+      .withColumn("win_days", count(lit(1)).over(w))
+      .withColumn("win_sum", sum(col("n_events")).over(w))
+      .withColumn("det_scaled",
+        when(col("win_days") === 7, lit(7L) * col("n_events") - col("win_sum")))
+    val seas = det.filter(col("det_scaled").isNotNull)
+      .groupBy(col("dow"))
+      .agg(sum(col("det_scaled")).as("s_scaled"),
+        count(lit(1)).as("s_days"))
+    det.join(broadcast(seas), Seq("dow"), "left")
+      .select(col("event_date"), col("dow"), col("n_events"),
+        when(col("win_days") === 7,
+          col("win_sum").cast("double") / lit(7.0)).as("trend"),
+        (col("s_scaled").cast("double") /
+          (lit(7L) * col("s_days")).cast("double")).as("seasonal"))
+      .withColumn("residual",
+        col("n_events").cast("double") - col("trend") - col("seasonal"))
+      .orderBy("event_date")
+  }
+
+  val trafficDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS event_date,
+      |    CAST(EXTRACT(dow FROM CAST(ts AS DATE)) AS INT) + 1 AS dow,
+      |    DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+      |), t AS (
+      |  SELECT *,
+      |    COUNT(*) OVER win AS win_days,
+      |    CAST(SUM(n_events) OVER win AS BIGINT) AS win_sum
+      |  FROM daily
+      |  WINDOW win AS (ORDER BY day_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), det AS (
+      |  SELECT *, CASE WHEN win_days = 7 THEN 7 * n_events - win_sum END
+      |    AS det_scaled
+      |  FROM t
+      |), seas AS (
+      |  SELECT dow, CAST(SUM(det_scaled) AS BIGINT) AS s_scaled,
+      |    CAST(COUNT(*) AS BIGINT) AS s_days
+      |  FROM det WHERE det_scaled IS NOT NULL GROUP BY dow
+      |), j AS (
+      |  SELECT event_date, dow, n_events,
+      |    CASE WHEN win_days = 7 THEN CAST(win_sum AS DOUBLE) / 7.0 END AS trend,
+      |    CAST(s_scaled AS DOUBLE) / CAST(7 * s_days AS DOUBLE) AS seasonal
+      |  FROM det LEFT JOIN seas USING (dow)
+      |)
+      |SELECT event_date, dow, n_events, trend, seasonal,
+      |  CAST(n_events AS DOUBLE) - trend - seasonal AS residual
+      |FROM j ORDER BY event_date""".stripMargin
+
   /** Activity-inequality census: the exact Gini coefficient over
     * per-user event counts — ONE number answering "how concentrated
     * is the traffic" (0 = everyone equally active, →1 = a handful of

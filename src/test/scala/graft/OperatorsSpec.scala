@@ -598,6 +598,46 @@ class EventMartsSpec extends SparkSpec {
   }
 }
 
+class ProductRankShiftSpec extends SparkSpec {
+  private def ev(rows: Seq[(Long, Long, String, String, Double, String)]) = {
+    import spark.implicits._
+    EventMarts.enrich(
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp")))
+  }
+
+  test("rank shift: planted climbs/falls rank exactly; new product gets NULL pct") {
+    var id = 0L
+    def evs(day: String, k: Int, n: Int) = (0 until n).map { i =>
+      id += 1; (id, id, s"$day 10:0${i % 6}:00", "view", 1.0, s"""{"k":$k}""")
+    }
+    // period a = Jan 1 (pre-midpoint), b = Jan 9: p1 falls 5→1,
+    // p2 climbs 1→5, p3 steady 3→3, p4 appears 0→2
+    val e = ev(evs("2024-01-01", 1, 5) ++ evs("2024-01-09", 1, 1) ++
+      evs("2024-01-01", 2, 1) ++ evs("2024-01-09", 2, 5) ++
+      evs("2024-01-01", 3, 3) ++ evs("2024-01-09", 3, 3) ++
+      evs("2024-01-09", 4, 2))
+    val got = EventMarts.productRankShiftFrom(e).collect()
+      .map(r => r.getAs[Int]("product_k") -> r).toMap
+    assert(got.keySet == Set(1, 2, 3, 4))
+    def ranks(k: Int) = (got(k).getAs[Int]("rank_a"), got(k).getAs[Int]("rank_b"),
+      got(k).getAs[Int]("rank_delta"))
+    assert(ranks(1) == ((1, 4, -3)))
+    assert(ranks(2) == ((3, 1, 2)))
+    assert(ranks(3) == ((2, 2, 0)))
+    assert(ranks(4) == ((4, 3, 1)))
+    assert(got(1).getAs[Double]("pct_change") == -0.8)
+    assert(got(2).getAs[Double]("pct_change") == 4.0)
+    assert(got(3).getAs[Double]("pct_change") == 0.0)
+    assert(got(4).isNullAt(got(4).fieldIndex("pct_change")))
+    // sf: pool capped, within-pool ranks are a permutation of 1..n
+    val sf = EventMarts.productRankShift(spark, Sf).collect()
+    assert(sf.nonEmpty && sf.length <= 100)
+    assert(sf.map(_.getAs[Int]("rank_a")).sorted.toSeq == (1 to sf.length))
+    assert(sf.map(_.getAs[Int]("rank_b")).sorted.toSeq == (1 to sf.length))
+  }
+}
+
 class ApproxSpec extends SparkSpec {
   test("HLL distinct users lands within 3x the requested rsd of exact") {
     val rows = EventMarts.approxDistinctUsers(spark, Sf, rsd = 0.02).collect()

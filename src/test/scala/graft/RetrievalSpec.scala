@@ -693,4 +693,37 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Double]("min_v") <= m && m <= r.getAs[Double]("max_v"))
     }
   }
+
+  test("embedding drift: planted cohort shift flags the moved dim; parity split is A/A at sf") {
+    import spark.implicits._
+    // cohort a: dim0 centered at 1.0, dim1 at 0.0; cohort b: dim0
+    // unchanged, dim1 shifted to +0.5 → only dim1 drifts
+    val a = Seq((1L, Seq(1.0f, 0.1f)), (2L, Seq(1.0f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((3L, Seq(1.0f, 0.6f)), (4L, Seq(1.0f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.embeddingDriftBetween(a, b).collect()
+      .map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(got(0).getAs[Long]("n_a") == 2L && got(0).getAs[Long]("n_b") == 2L)
+    assert(got(0).getAs[Double]("mean_delta") == 0.0)
+    assert(got(0).getAs[Double]("shift") == 0.0)
+    assert(!got(0).getAs[Boolean]("drift_flag"))
+    // dim1: mean_a 0, mean_b 0.5; rms_a = 0.1 → shift = 5.0, flags
+    assert(math.abs(got(1).getAs[Double]("mean_delta") - 0.5) < 1e-7)
+    assert(math.abs(got(1).getAs[Double]("rms_a") - 0.1) < 1e-7)
+    assert(math.abs(got(1).getAs[Double]("shift") - 5.0) < 1e-5)
+    assert(got(1).getAs[Boolean]("drift_flag"))
+    // a zero-rms_a reference dim yields NULL shift, false flag (no NPE)
+    val z = graft.operators.Similarity.embeddingDriftBetween(
+      Seq((1L, Seq(0.0f))).toDF("vec_id", "embedding"),
+      Seq((2L, Seq(1.0f))).toDF("vec_id", "embedding")).collect()(0)
+    assert(z.isNullAt(z.fieldIndex("shift")) && !z.getAs[Boolean]("drift_flag"))
+    // sf: the vec_id-parity split is an A/A read — both cohorts
+    // populated, and no dimension should flag on iid halves
+    val sf = graft.operators.Similarity.embeddingDrift(spark, Sf).collect()
+    assert(sf.nonEmpty)
+    assert(sf.forall(r => r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0))
+    assert(sf.count(_.getAs[Boolean]("drift_flag")) == 0,
+      "A/A parity split must not drift")
+  }
 }

@@ -630,4 +630,55 @@ class UserAnalyticsSpec extends SparkSpec {
     assert(sf.nonEmpty && sf.length <= 24)
     sf.foreach(r => assert(r.getAs[Double]("abs_err") >= 0.0))
   }
+
+  test("traffic decompose: planted dow pattern recovers trend/seasonal exactly; gaps disqualify") {
+    // 21 dense days (Mon Jan 1 .. Sun Jan 21) with count = 10 + dow:
+    // every full 7-day window sums to Σ(10+d) = 98 → trend ≡ 14,
+    // det_scaled = 7(10+dow) − 98 = 7·dow − 28 → seasonal ≡ dow − 4,
+    // residual ≡ 0. Edge days (1-3, 19-21) have no full window.
+    var id = 0L
+    def day(d: Int, n: Int) = (1 to n).map { i =>
+      id += 1; (id, (i % 7).toLong + 1, f"2024-01-$d%02d 10:${i % 60}%02d:00", "view", 1.0)
+    }
+    // dayofweek(2024-01-01) = 2 (Monday, Spark's 1=Sunday convention)
+    val rows = (1 to 21).flatMap { d =>
+      val dow = (d % 7) + 1 // Jan 1 → 2 (Mon), Jan 6 → 7 (Sat), Jan 7 → 1 (Sun)
+      day(d, 10 + dow)
+    }
+    val got = UserAnalytics.trafficDecomposeFrom(ev(rows)).collect()
+    assert(got.length == 21)
+    val byDate = got.map(r => r.getDate(0).toString -> r).toMap
+    for (d <- 1 to 21) {
+      val r = byDate(f"2024-01-$d%02d")
+      val dow = (d % 7) + 1
+      assert(r.getAs[Int]("dow") == dow, s"day $d dow")
+      assert(r.getAs[Long]("n_events") == (10 + dow).toLong)
+      assert(math.abs(r.getAs[Double]("seasonal") - (dow - 4)) < 1e-12, s"day $d seasonal")
+      if (d >= 4 && d <= 18) {
+        assert(r.getAs[Double]("trend") == 14.0, s"day $d trend")
+        assert(math.abs(r.getAs[Double]("residual")) < 1e-12, s"day $d residual")
+      } else {
+        assert(r.isNullAt(r.fieldIndex("trend")), s"day $d edge trend")
+        assert(r.isNullAt(r.fieldIndex("residual")), s"day $d edge residual")
+      }
+    }
+    // a calendar gap disqualifies the windows that span it: 13 dense
+    // days with day 7 missing → no day has 7 calendar neighbors
+    var j = 100000L
+    val gapped = ((1 to 13).filterNot(_ == 7)).flatMap { d =>
+      (1 to 5).map { i => j += 1; (j, 1L, f"2024-03-$d%02d 10:0${i % 10}:00", "view", 1.0) }
+    }
+    val g = UserAnalytics.trafficDecomposeFrom(ev(gapped)).collect()
+    assert(g.length == 12)
+    assert(g.forall(_.isNullAt(g.head.fieldIndex("trend"))),
+      "every window spans the gap or an edge — no trend may fill")
+    // sf: decomposition reassembles the series wherever it's defined
+    val sf = UserAnalytics.trafficDecompose(spark, Sf).collect()
+    assert(sf.nonEmpty)
+    sf.filter(r => !r.isNullAt(r.fieldIndex("residual"))).foreach { r =>
+      val back = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(back - r.getAs[Long]("n_events").toDouble) < 1e-9)
+    }
+  }
 }
