@@ -94,6 +94,12 @@ class PlanAuditSpec extends SparkSpec {
     // shipping_latency_percentiles' 16×|pcts| probe are the same
     // intended tiny shapes
     "corpus_funnel_by_source", "shipping_latency_percentiles",
+    // ab_cuped_stratified rides the same ONE-ROW broadcast epoch
+    // midpoint as ab_cuped; forecast_backtest broadcasts the 1-row
+    // holdout/train/level scalars into its ≤24-row frame (the
+    // traffic_forecast shape); product_rank_shift rides the 1-row
+    // broadcast epoch midpoint onto the fact scan (the ab_cuped shape)
+    "ab_cuped_stratified", "forecast_backtest", "product_rank_shift",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")
