@@ -211,7 +211,11 @@ object ScaleProbe {
       // batch 12: decompose is one day-grain rollup + day-dimension
       // windows; rank shift is one product rollup + TakeOrdered;
       // embedding drift rides the dim-stats posexplode rollup
-      "traffic_decompose", "product_rank_shift", "embedding_drift")
+      "traffic_decompose", "product_rank_shift", "embedding_drift",
+      // batch 13: nearest as-of rides the same one-key-shuffle union
+      // window as the backward join; readability is a zero-shuffle
+      // narrow map; the lineitem profile is per-column pruned passes
+      "asof_nearest_view", "text_readability", "dq_profile_lineitem")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

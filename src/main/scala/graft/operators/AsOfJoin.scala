@@ -122,6 +122,57 @@ object AsOfJoin {
         ++ payload.map(p => col(s"$carry.$p").as(s"asof_$p")): _*)
   }
 
+  /** Nearest as-of join — the third direction (pandas
+    * merge_asof(direction='nearest'), kdb's wj midpoint cousin): every
+    * left row gains the right row whose `ts` is CLOSEST in either
+    * direction; equal distances resolve BACKWARD (the
+    * attribution-friendly convention: prefer the cause that already
+    * happened). Left-total like the other two.
+    *
+    * ONE shuffle, not two: both directional carries ride the same
+    * union + key exchange as separate frames over one window ordering
+    * (right side sorts first at equal ts, so an equal-ts right lands
+    * in the backward carry at distance 0 — the forward frame missing
+    * it is immaterial because ties go backward anyway). `ts` must be
+    * numeric (epoch) — nearest needs subtractable time. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(payload.nonEmpty, "asofNearest needs at least one payload column")
+    val side = "__graft_asof_side"
+    val bc = "__graft_asof_back"
+    val fc = "__graft_asof_fwd"
+    require(!(left.columns ++ right.columns).exists(c => c == side || c == bc || c == fc),
+      s"inputs may not carry $side/$bc/$fc")
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: ${collisions.mkString(", ")} — rename one side")
+    val r = right.select((Seq(key, ts) ++ payload ++ tieBreak).distinct.map(col): _*)
+      .withColumn(side, lit(0))
+    val l = left.withColumn(side, lit(1))
+    val order = col(ts) +: col(side) +: tieBreak.map(col)
+    val wb = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightRow = when(col(side) === 0, struct((Seq(ts) ++ payload).map(col): _*))
+    val chosen = {
+      val backGap = col(ts) - col(s"$bc.$ts")
+      val fwdGap = col(s"$fc.$ts") - col(ts)
+      when(col(bc).isNull, col(fc))
+        .when(col(fc).isNull, col(bc))
+        .when(backGap <= fwdGap, col(bc))
+        .otherwise(col(fc))
+    }
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(bc, last(rightRow, ignoreNulls = true).over(wb))
+      .withColumn(fc, first(rightRow, ignoreNulls = true).over(wf))
+      .filter(col(side) === 1)
+      .withColumn("__graft_asof_pick", chosen)
+      .select(left.columns.toIndexedSeq.map(col)
+        ++ Seq(col(s"__graft_asof_pick.$ts").as(s"asof_$ts"))
+        ++ payload.map(p => col(s"__graft_asof_pick.$p").as(s"asof_$p")): _*)
+  }
+
   val ActivationWindowSeconds: Long = 7L * 86400
 
   /** Signup→first-purchase activation mart: per signup day, how many
@@ -241,6 +292,55 @@ object AsOfJoin {
       |SELECT p.event_id AS purchase_id, p.user_id, p.ep AS purchase_epoch,
       |  v.ev AS view_epoch, v.view_id, p.ep - v.ev AS gap_seconds
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ep >= v.ev
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Nearest-view attribution through [[asofNearest]]: each purchase
+    * matched to the temporally CLOSEST same-user view in EITHER
+    * direction (ties backward) — the session-reconstruction question
+    * ("which impression belongs to this purchase") when instrumentation
+    * skew can put the view's timestamp after the purchase's, which the
+    * pure backward join silently mis-attributes to an older view.
+    * Views pre-aggregated unique per (user, epoch) like
+    * `asof_attributed_view`, so the choice is deterministic in both
+    * engines. Oracle: an independent DuckDB LATERAL nearest-1 probe
+    * (ORDER BY distance, direction, LIMIT 1) — a different algorithm
+    * for the same semantics. */
+  def nearestView(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventMarts.enriched(spark, dir).filter(col("ts").isNotNull)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_epoch"), col("event_id"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("event_epoch"))
+      .agg(max(col("event_id")).as("view_id"))
+    asofNearest(purchases, views, key = "user_id", ts = "event_epoch",
+        payload = Seq("view_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_epoch").as("purchase_epoch"),
+        col("asof_event_epoch").as("view_epoch"),
+        col("asof_view_id").as("view_id"),
+        abs(col("event_epoch") - col("asof_event_epoch")).as("gap_seconds"))
+      .orderBy("purchase_id")
+  }
+
+  val nearestViewSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |), v AS (
+      |  SELECT user_id AS v_user, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ev,
+      |    MAX(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+      |  GROUP BY v_user, ev
+      |)
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ep AS purchase_epoch,
+      |  n.ev AS view_epoch, n.view_id, ABS(p.ep - n.ev) AS gap_seconds
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT ev, view_id FROM v
+      |  WHERE v.v_user = p.user_id
+      |  ORDER BY ABS(v.ev - p.ep) ASC,
+      |    CASE WHEN v.ev <= p.ep THEN 0 ELSE 1 END ASC
+      |  LIMIT 1
+      |) n ON TRUE
       |ORDER BY purchase_id""".stripMargin
 
   /** Daily conversion-latency distribution: for purchases with a

@@ -1247,6 +1247,13 @@ object Quality {
   def columnProfileOrders(spark: SparkSession, dir: String): DataFrame =
     profileAllFrom(graft.Tables.orders(spark, dir))
 
+  /** Lineitem-table profile (every column) — the fact-side sibling
+    * completing the per-table family: l_linenumber's tiny domain and
+    * the [0,1] bounded discount/tax columns make this the table where
+    * range and cardinality premises live. */
+  def columnProfileLineitem(spark: SparkSession, dir: String): DataFrame =
+    profileAllFrom(graft.Tables.lineitem(spark, dir))
+
   /** Profile drift between two profile frames (yesterday vs today,
     * or table vs table after a migration) — `dq_schema_drift`'s
     * sibling at the STATISTICS grain: the schema can be identical
@@ -1335,6 +1342,11 @@ object Quality {
   val columnProfileOrdersSql: String = profileTableSql("orders",
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_orderdate", "o_orderpriority").map(c => c -> c))
+
+  val columnProfileLineitemSql: String = profileTableSql("lineitem",
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate").map(c => c -> c))
 
   /** Constraint suggestion over the column profile — the Deequ
     * suggestion loop, and the repo's tuning-closure pattern once more

@@ -47,6 +47,59 @@ object TextAnalysis {
       |  CAST(length(text) AS DOUBLE) / CAST(GREATEST(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Readability census — Flesch reading ease + Flesch–Kincaid grade
+    * per document (Kincaid et al. 1975), the classic pairing beside
+    * `text_quality_score`'s [0,1] cascade: quality says "keep or
+    * drop", readability says WHO the kept text is for (a corpus
+    * drifting toward grade-16 legalese or grade-2 listicles is a
+    * mixture problem quality ratios miss). Syllables estimated as
+    * vowel GROUPS (`[aeiouy]+` runs — the standard cheap estimator,
+    * exact for the regular phonotactics the formulas were fit on);
+    * sentences as terminal-punctuation runs, floored at 1 so
+    * punctuation-free docs read as one sentence rather than dividing
+    * by zero. Same lowercase-corpus word rule as `text_token_count`.
+    *
+    * Scale shape: a pure narrow map over documents — three
+    * regexp_extract_all counts per row, zero shuffles; the constants
+    * are shared literals and both formulas fixed left-associative
+    * IEEE chains, so the oracle hashes bit-identically. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    textReadabilityFrom(Tables.documents(spark, dir))
+
+  def textReadabilityFrom(d: DataFrame): DataFrame = {
+    val nWords = size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    val nSent = greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+    val nSyl = greatest(size(expr("regexp_extract_all(text, '[aeiouy]+', 0)")), lit(1))
+    val w = greatest(nWords, lit(1)).cast("double")
+    val wps = w / nSent.cast("double")
+    val spw = nSyl.cast("double") / w
+    d.select(col("doc_id"),
+        nWords.as("n_words"), nSent.as("n_sentences"), nSyl.as("n_syllables"),
+        wps.as("words_per_sentence"), spw.as("syllables_per_word"),
+        (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("reading_ease"))
+      .orderBy("doc_id")
+  }
+
+  val textReadabilitySql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_words,
+      |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,
+      |    CAST(GREATEST(len(regexp_extract_all(text, '[aeiouy]+')), 1) AS INT) AS n_syllables
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    CAST(GREATEST(n_words, 1) AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+      |    CAST(n_syllables AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS spw
+      |  FROM c
+      |)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  wps AS words_per_sentence, spw AS syllables_per_word,
+      |  0.39 * wps + 11.8 * spw - 15.59 AS fk_grade,
+      |  206.835 - 1.015 * wps - 84.6 * spw AS reading_ease
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** The [0,1] quality score as a reusable column over `text`. */
   private[graft] def qualityScoreCol: Column = {
     val toks = tokens(col("text"))

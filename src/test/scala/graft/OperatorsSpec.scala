@@ -1569,6 +1569,11 @@ class QualitySpec extends SparkSpec {
     val orders = Quality.columnProfileOrders(spark, Sf).collect()
     assert(orders.find(_.getAs[String]("column_name") == "o_orderkey").get
       .getAs[Double]("distinct_ratio") == 1.0)
+    // lineitem: 11 columns profiled; l_linenumber's domain is tiny
+    val li = Quality.columnProfileLineitem(spark, Sf).collect()
+    assert(li.length == 11)
+    val ln = li.find(_.getAs[String]("column_name") == "l_linenumber").get
+    assert(ln.getAs[Long]("n_distinct") <= 7L && ln.getAs[Long]("n_null") == 0L)
   }
 
   test("suggested checks: profile rules emit exactly the constraints the data supports") {

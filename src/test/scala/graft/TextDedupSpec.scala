@@ -31,6 +31,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.filter(col("predicted_lang").isNull).count() == 0)
   }
 
+  test("readability: planted counts pin the FK chain; punctuation-free floors at one sentence") {
+    import spark.implicits._
+    // "the cat sat. the dog ran!" → 6 words, 2 sentence runs,
+    // vowel groups: e,a,a,e,o,a = 6
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran!"),
+      (2L, "plain words only here"),       // no punctuation → 1 sentence
+      (3L, "zzz qqq"))                     // no vowels → syllables floor 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textReadabilityFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getAs[Int]("n_words") == 6)
+    assert(d1.getAs[Int]("n_sentences") == 2)
+    assert(d1.getAs[Int]("n_syllables") == 6)
+    assert(d1.getAs[Double]("words_per_sentence") == 3.0)
+    assert(d1.getAs[Double]("syllables_per_word") == 1.0)
+    assert(d1.getAs[Double]("fk_grade") == 0.39 * 3.0 + 11.8 * 1.0 - 15.59)
+    assert(d1.getAs[Double]("reading_ease") == 206.835 - 1.015 * 3.0 - 84.6 * 1.0)
+    assert(got(2L).getAs[Int]("n_sentences") == 1)
+    assert(got(2L).getAs[Double]("words_per_sentence") == 4.0)
+    assert(got(3L).getAs[Int]("n_syllables") == 1)
+    // sf: every doc scored, monotone identity — more words per
+    // sentence at fixed syllable rate can only raise the grade
+    val sf = TextAnalysis.textReadability(spark, Sf).collect()
+    assert(sf.length == Tables.documents(spark, Sf).count())
+    sf.foreach { r =>
+      assert(r.getAs[Int]("n_words") >= 0 && r.getAs[Int]("n_sentences") >= 1)
+      val reassembled = 0.39 * r.getAs[Double]("words_per_sentence") +
+        11.8 * r.getAs[Double]("syllables_per_word") - 15.59
+      assert(r.getAs[Double]("fk_grade") == reassembled)
+    }
+  }
+
   test("source mix: planted token budgets exact; shares sum to 100") {
     import spark.implicits._
     // a: 2 docs × (3, 1) tokens = 4; b: 1 doc × 4 tokens
@@ -913,6 +947,51 @@ class CorpusPrepSpec extends SparkSpec {
         assert(r.getAs[Double]("mean_seconds") >= 0 &&
           r.getAs[Double]("mean_seconds") <= r.getAs[Long]("max_seconds"))
       } else assert(r.isNullAt(r.fieldIndex("max_seconds")))
+    }
+  }
+
+  test("nearest as-of join picks the closer side, ties go backward, left-total") {
+    import spark.implicits._
+    val views = Seq(
+      ("u1", 10L, "v1"), ("u1", 100L, "v2"), ("u2", 50L, "v3"))
+      .toDF("user", "epoch", "vid")
+    val purchases = Seq(
+      ("u1", 40L, "p1"),   // gaps 30 back / 60 fwd → backward v1
+      ("u1", 70L, "p2"),   // gaps 60 back / 30 fwd → forward v2
+      ("u1", 55L, "p3"),   // gaps 45 / 45 → tie → backward v1
+      ("u1", 100L, "p4"),  // equal ts → gap 0 → v2
+      ("u1", 5L, "p5"),    // before every view → forward v1
+      ("u1", 120L, "p6"),  // after every view → backward v2
+      ("u3", 1L, "p7"))    // no views for user → null (left-total)
+      .toDF("user", "epoch", "pid")
+    val out = operators.AsOfJoin.asofNearest(
+        purchases, views, key = "user", ts = "epoch",
+        payload = Seq("vid"), tieBreak = Seq("vid"))
+      .collect().map(r => r.getAs[String]("pid") ->
+        Option(r.getAs[String]("asof_vid"))).toMap
+    assert(out("p1") == Some("v1"))
+    assert(out("p2") == Some("v2"))
+    assert(out("p3") == Some("v1"), "equal distance must resolve backward")
+    assert(out("p4") == Some("v2"))
+    assert(out("p5") == Some("v1"))
+    assert(out("p6") == Some("v2"))
+    assert(out("p7") == None)
+    assert(out.size == 7)
+    // key isolation: u2's view never attracts u1's purchases
+    assert(!out.values.flatten.exists(_ == "v3"))
+    // sf mart: gap is |purchase − view| and the nearest choice is
+    // never farther than the pure backward join's choice
+    val near = operators.AsOfJoin.nearestView(spark, Sf).collect()
+      .map(r => r.getAs[Long]("purchase_id") -> r).toMap
+    val back = operators.AsOfJoin.viewPurchaseAsOf(spark, Sf).collect()
+      .map(r => r.getAs[Long]("purchase_id") -> r).toMap
+    assert(near.keySet == back.keySet)
+    near.foreach { case (pid, r) =>
+      if (!r.isNullAt(r.fieldIndex("gap_seconds"))) {
+        val b = back(pid)
+        if (!b.isNullAt(b.fieldIndex("gap_seconds")))
+          assert(r.getAs[Long]("gap_seconds") <= b.getAs[Long]("gap_seconds"))
+      }
     }
   }
 
