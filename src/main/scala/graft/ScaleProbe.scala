@@ -215,7 +215,10 @@ object ScaleProbe {
       // batch 13: nearest as-of rides the same one-key-shuffle union
       // window as the backward join; readability is a zero-shuffle
       // narrow map; the lineitem profile is per-column pruned passes
-      "asof_nearest_view", "text_readability", "dq_profile_lineitem")
+      "asof_nearest_view", "text_readability", "dq_profile_lineitem",
+      // batch 14: the pooled-ratio source rollup is one source-grain
+      // exchange of integer sums
+      "readability_by_source")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

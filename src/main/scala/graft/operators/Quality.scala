@@ -1428,6 +1428,80 @@ object Quality {
        |  FROM events
        |) ORDER BY column_name, check_type""".stripMargin
 
+  /** Execute a suggestion frame's constraints against any target
+    * frame — the EXECUTION closure of `dq_suggested_checks` (suggest
+    * on yesterday's healthy table, RUN on today's arrival: a
+    * suggestion is only useful once something enforces it; running
+    * suggestions against their own source table is all-pass by
+    * construction, so the value is cross-date/cross-table).
+    *
+    * Shape: the suggestion frame is ≤ 2·|columns|+2 rows BY
+    * CONSTRUCTION (the profile emits at most not_null+unique per
+    * column plus one isin and one range), so collecting it is
+    * dimension-sized; per COLUMN the executor runs one column-pruned
+    * aggregation computing every violation count for that column's
+    * checks in a single pass (one countDistinct per pass at most —
+    * never the fused multi-distinct Expand the profile lint forbids),
+    * then stacks the ≤4 counts to check rows. A column the target
+    * frame lacks fails structurally (NULL violations, pass = false) —
+    * schema drift is a violation, not a skip. */
+  def runChecks(target: DataFrame, suggestions: DataFrame): DataFrame = {
+    val spark = target.sparkSession
+    import scala.jdk.CollectionConverters._
+    val sugg = suggestions
+      .select(col("column_name"), col("check_type"), col("lo"), col("hi"),
+        col("value_set"))
+      .collect()
+    val byCol = sugg.groupBy(_.getAs[String]("column_name")).toSeq.sortBy(_._1)
+    val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("column_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("check_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_violations",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("pass",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val frames = byCol.map { case (c, checks) =>
+      if (!target.columns.contains(c))
+        // structural failure: the suggested column vanished
+        spark.createDataFrame(
+          checks.toSeq.map(r => org.apache.spark.sql.Row(
+            c, r.getAs[String]("check_type"), null, false)).asJava,
+          resultSchema)
+      else {
+        val aggs = checks.toSeq.map { r =>
+          r.getAs[String]("check_type") match {
+            case "not_null" =>
+              count(when(col(c).isNull, 1)).as("v_not_null")
+            case "unique" =>
+              (count(when(col(c).isNotNull, 1)) - countDistinct(col(c)))
+                .as("v_unique")
+            case "range" =>
+              count(when(col(c) < lit(r.getAs[Double]("lo")) ||
+                col(c) > lit(r.getAs[Double]("hi")), 1)).as("v_range")
+            case "isin" =>
+              val allowed = r.getAs[String]("value_set").split(",").toSeq
+              count(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1))
+                .as("v_isin")
+            case other =>
+              throw new IllegalArgumentException(s"unknown check_type: $other")
+          }
+        }
+        val stack = checks.toSeq.map(r =>
+          s"'${r.getAs[String]("check_type")}', v_${r.getAs[String]("check_type")}")
+          .mkString(", ")
+        target.select(col(c))
+          .agg(aggs.head, aggs.drop(1): _*)
+          .select(expr(
+            s"stack(${checks.length}, $stack) as (check_type, n_violations)"))
+          .select(lit(c).as("column_name"), col("check_type"),
+            col("n_violations"), (col("n_violations") === 0).as("pass"))
+      }
+    }
+    frames.reduce(_ unionByName _).orderBy("column_name", "check_type")
+  }
+
   /** Event-id gap census — the data-COMPLETENESS check
     * `dq_duplicate_check` mirrors from the other side: duplicates say
     * rows arrived twice, id gaps say rows never arrived at all (a

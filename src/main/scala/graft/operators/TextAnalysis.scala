@@ -100,6 +100,66 @@ object TextAnalysis {
       |  206.835 - 1.015 * wps - 84.6 * spw AS reading_ease
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level readability per source — the MIXTURE readout of
+    * `text_readability` (the per-doc score says who one doc is for;
+    * this says which sources pull the corpus toward legalese or
+    * listicles — the input a mixture rebalance acts on). Pooled-ratio
+    * form, not mean-of-doc-scores: per-source INTEGER sums of the
+    * per-doc word/sentence/syllable counts (exact BIGINT through the
+    * one source-grain exchange — never a shuffle-ordered float sum),
+    * then the same fixed FK chains on the pooled ratios. Per-doc
+    * floors (sentences, syllables ≥ 1) apply BEFORE the sum, so both
+    * engines pool identical integers. */
+  def readabilityBySource(spark: SparkSession, dir: String): DataFrame =
+    readabilityBySourceFrom(Tables.documents(spark, dir))
+
+  def readabilityBySourceFrom(d: DataFrame): DataFrame = {
+    val nWords = size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    val nSent = greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+    val nSyl = greatest(size(expr("regexp_extract_all(text, '[aeiouy]+', 0)")), lit(1))
+    val agg = d
+      .select(col("source"), nWords.as("w"), nSent.as("s"), nSyl.as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast("long")).as("n_words"),
+        sum(col("s").cast("long")).as("n_sentences"),
+        sum(col("y").cast("long")).as("n_syllables"))
+    val w = greatest(col("n_words"), lit(1L)).cast("double")
+    val wps = w / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / w
+    agg.select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        wps.as("words_per_sentence"), spw.as("syllables_per_word"),
+        (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("reading_ease"))
+      .orderBy("source")
+  }
+
+  val readabilityBySourceSql: String =
+    """WITH c AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS w,
+      |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+      |    CAST(GREATEST(len(regexp_extract_all(text, '[aeiouy]+')), 1) AS BIGINT) AS y
+      |  FROM documents
+      |), a AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(w) AS BIGINT) AS n_words,
+      |    CAST(SUM(s) AS BIGINT) AS n_sentences,
+      |    CAST(SUM(y) AS BIGINT) AS n_syllables
+      |  FROM c GROUP BY source
+      |), s AS (
+      |  SELECT *,
+      |    CAST(GREATEST(n_words, 1) AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+      |    CAST(n_syllables AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS spw
+      |  FROM a
+      |)
+      |SELECT source, n_docs, n_words, n_sentences, n_syllables,
+      |  wps AS words_per_sentence, spw AS syllables_per_word,
+      |  0.39 * wps + 11.8 * spw - 15.59 AS fk_grade,
+      |  206.835 - 1.015 * wps - 84.6 * spw AS reading_ease
+      |FROM s ORDER BY source""".stripMargin
+
   /** The [0,1] quality score as a reusable column over `text`. */
   private[graft] def qualityScoreCol: Column = {
     val toks = tokens(col("text"))

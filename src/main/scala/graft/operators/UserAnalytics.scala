@@ -274,22 +274,34 @@ object UserAnalytics {
   def trafficForecast(spark: SparkSession, dir: String): DataFrame =
     trafficForecastFrom(enriched(spark, dir))
 
-  def trafficForecastFrom(e: DataFrame): DataFrame = {
-    val typed = e.filter(col("ts").isNotNull)
+  def trafficForecastFrom(e: DataFrame): DataFrame =
+    forecastFromSlots(e.filter(col("ts").isNotNull)
       .select(col("event_date"), dayofweek(col("event_date")).as("dow"),
         hour(col("ts")).as("event_hour"))
-      .localCheckpoint() // feeds bounds, recent level, and the baseline
-    val bounds = typed.agg(max(col("event_date")).as("last_date"),
+      .groupBy(col("event_date"), col("dow"), col("event_hour"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The forecast recipe over a pre-aggregated (event_date, dow,
+    * event_hour, n) slot frame — ONE fact exchange to slot grain,
+    * then every leg (bounds, recent level, baseline) is
+    * slot-dimension algebra; counts are additive so this is
+    * result-identical to the raw-row formulation while scanning the
+    * fact once. Shared by the batch query and the streaming-log
+    * rescore (`streaming.EventStream.forecastFromTrafficLog`), so
+    * live and nightly capacity numbers cannot drift. */
+  private[graft] def forecastFromSlots(slotsIn: DataFrame): DataFrame = {
+    val slots = slotsIn.localCheckpoint() // feeds bounds/recent/baseline
+    val bounds = slots.agg(max(col("event_date")).as("last_date"),
       countDistinct(col("event_date")).as("n_dates"),
-      count(lit(1)).as("all_events"))
-    val recent = typed.join(broadcast(bounds))
+      sum(col("n")).as("all_events"))
+    val recent = slots.join(broadcast(bounds))
       .filter(datediff(col("last_date"), col("event_date")) < 7)
-      .agg(count(lit(1)).as("recent_events"))
-    val dowDays = typed.select(col("event_date"), col("dow")).distinct()
+      .agg(sum(col("n")).as("recent_events"))
+    val dowDays = slots.select(col("event_date"), col("dow")).distinct()
       .groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
-    val baseline = typed
+    val baseline = slots
       .groupBy(col("dow"), col("event_hour"))
-      .agg(count(lit(1)).as("total_events"))
+      .agg(sum(col("n")).as("total_events"))
       .join(broadcast(dowDays), "dow")
     baseline
       .crossJoin(broadcast(bounds))

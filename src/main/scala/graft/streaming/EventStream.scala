@@ -76,8 +76,34 @@ object EventStream {
     * log). */
   def changepointFromTrafficLog(hourly: DataFrame): DataFrame =
     graft.operators.UserAnalytics.changepointFromDaily(
-      hourly.groupBy(col("window.start").cast("date").as("event_date"))
+      hourly
+        // max per window start first: an at-least-once parquet log
+        // (foreachBatch replay) appends the same finalized window
+        // twice with IDENTICAL counts — max absorbs it; on an
+        // exactly-once feed (memory/compacted log) this is a no-op
+        .groupBy(col("window.start").as("window_start"))
+        .agg(max(col("event_count")).as("event_count"))
+        .groupBy(col("window_start").cast("date").as("event_date"))
         .agg(sum(col("event_count")).as("n_events")))
+
+  /** Live next-day forecast from the hourly-traffic log — the
+    * capacity-planning rescore (`traffic_forecast`'s serving path):
+    * the stream maintains the cheap hourly rollup; this reruns the
+    * SHARED `UserAnalytics.forecastFromSlots` recipe on the log, so
+    * live and nightly forecasts are structurally identical and
+    * tomorrow's numbers refresh with every finalized hour instead of
+    * waiting for the nightly build. A replayed at-least-once batch
+    * appends the same finalized window again — max per window start
+    * absorbs the duplicate exactly (counts are identical across
+    * replays), the productTopNFromLog discipline. */
+  def forecastFromTrafficLog(hourly: DataFrame): DataFrame =
+    graft.operators.UserAnalytics.forecastFromSlots(
+      hourly
+        .groupBy(col("window.start").as("window_start"))
+        .agg(max(col("event_count")).as("n"))
+        .select(col("window_start").cast("date").as("event_date"),
+          dayofweek(col("window_start").cast("date")).as("dow"),
+          hour(col("window_start")).as("event_hour"), col("n")))
 
   /** Per-day user HLL sketch, maintained incrementally by the stream —
     * the streaming builder for the batch sketch marts

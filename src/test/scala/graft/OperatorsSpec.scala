@@ -1576,6 +1576,43 @@ class QualitySpec extends SparkSpec {
     assert(ln.getAs[Long]("n_distinct") <= 7L && ln.getAs[Long]("n_null") == 0L)
   }
 
+  test("run checks: suggestions trained on clean data catch planted violations; schema drift fails structurally") {
+    import spark.implicits._
+    def frame(rows: Seq[(java.lang.Long, String, java.lang.Double)]) =
+      rows.toDF("event_id", "event_type", "value")
+    // clean training table: unique non-null ids, {view,click} domain,
+    // values in [1, 4]
+    val clean = frame(Seq((1L, "view", 1.0), (2L, "click", 4.0), (3L, "view", 2.0)))
+    val sugg = Quality.suggestedChecksFrom(clean)
+    // self-run is all-pass by construction
+    val self = Quality.runChecks(clean, sugg).collect()
+    assert(self.nonEmpty && self.forall(_.getAs[Boolean]("pass")))
+    // dirty arrival: null id + dup id, novel event_type, out-of-range
+    // values both sides
+    val dirty = frame(Seq(
+      (null, "view", 1.0), (5L, "view", 2.0), (5L, "refund", 0.5),
+      (6L, "click", 9.0), (7L, null, 3.0)))
+    val got = Quality.runChecks(dirty, sugg).collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type")) ->
+        ((Option(r.getAs[java.lang.Long]("n_violations")).map(_.toLong),
+          r.getAs[Boolean]("pass")))).toMap
+    assert(got(("event_id", "not_null")) == ((Some(1L), false)))
+    assert(got(("event_id", "unique")) == ((Some(1L), false)))   // 4 non-null, 3 distinct
+    assert(got(("event_type", "isin")) == ((Some(1L), false)))   // refund; NULL is not_null's job
+    assert(got(("event_type", "not_null")) == ((Some(1L), false)))
+    assert(got(("value", "range")) == ((Some(2L), false)))       // 0.5 and 9.0
+    // a column the arrival dropped fails every suggested check structurally
+    val drifted = Quality.runChecks(dirty.drop("value"), sugg).collect()
+      .filter(_.getAs[String]("column_name") == "value")
+    assert(drifted.nonEmpty)
+    assert(drifted.forall(r => !r.getAs[Boolean]("pass") &&
+      r.isNullAt(r.fieldIndex("n_violations"))))
+    // sf loop: suggest on the sf events table, run on itself → all pass
+    val sfAll = Quality.runChecks(Tables.events(spark, Sf),
+      Quality.suggestedChecksFrom(Tables.events(spark, Sf))).collect()
+    assert(sfAll.nonEmpty && sfAll.forall(_.getAs[Boolean]("pass")))
+  }
+
   test("suggested checks: profile rules emit exactly the constraints the data supports") {
     import spark.implicits._
     // event_id: unique + complete → not_null AND unique

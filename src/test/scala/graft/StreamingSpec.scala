@@ -162,6 +162,46 @@ class StreamingSpec extends SparkSpec {
     assert(live.head.getAs[Boolean]("changepoint_flag"))
   }
 
+  test("forecast watch over the hourly log equals the batch forecast on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def at(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:30:00")
+    // two Mondays (Jan 1/8) + surrounding days, then a far-future
+    // sentinel to close every real window in append mode
+    var id = 0L
+    val rows = (1 to 9).flatMap { d =>
+      (1 to (if (d % 7 == 1) 6 else 3)).map { i =>
+        id += 1; (id, at(d, 9 + i % 3), d.toLong, "view", 1.0, "{}")
+      }
+    } :+ (9999L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 9L, "view", 1.0, "{}")
+    mem.addData(rows: _*)
+    val q = EventStream.hourlyTraffic(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("fc_watch_log").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val live = EventStream.forecastFromTrafficLog(spark.table("fc_watch_log")).collect()
+    import spark.implicits._
+    val batch = operators.UserAnalytics.trafficForecastFrom(
+      operators.EventMarts.enrich(
+        rows.init.toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Date]("forecast_date").toString, r.getAs[Int]("event_hour"),
+        r.getAs[Double]("baseline_mean"), r.getAs[Double]("level"),
+        r.getAs[Double]("predicted_events"))
+    assert(live.nonEmpty)
+    assert(live.map(key).toSeq == batch.map(key).toSeq,
+      s"live forecast diverges: ${live.toSeq} vs ${batch.toSeq}")
+    // a duplicated finalized window (at-least-once log replay) changes
+    // nothing: max-per-window absorbs identical replays
+    val dup = spark.table("fc_watch_log").unionAll(spark.table("fc_watch_log"))
+    assert(EventStream.forecastFromTrafficLog(dup).collect().map(key).toSeq ==
+      live.map(key).toSeq)
+  }
+
   test("stream-built day sketches feed the batch rolling-actives window algebra") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]

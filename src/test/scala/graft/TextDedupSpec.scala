@@ -65,6 +65,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("readability by source: pooled integer sums, not mean-of-scores; sf ties to per-doc") {
+    import spark.implicits._
+    // source a: "go on. stop!" (2w/2s/2syl) + "hi" (1w/1s/1syl floor);
+    // source b: "aeiou bcd" (2w/1s floor/2syl: aeiou=1 group, bcd→floor... )
+    val docs = Seq(
+      ("a", "go on. stop!"), ("a", "hi"), ("b", "aeiou bcd"))
+      .toDF("source", "text").withColumn("doc_id", monotonically_increasing_id())
+    val got = TextAnalysis.readabilityBySourceFrom(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Long]("n_words") == 4L)      // go, on, stop | hi
+    assert(a.getAs[Long]("n_sentences") == 3L)  // 2 runs + floored 1
+    // syllables: vowel groups o,o,o in doc1 + i in doc2 = 4
+    assert(a.getAs[Long]("n_syllables") == 4L)
+    assert(a.getAs[Double]("words_per_sentence") == 4.0 / 3.0)
+    assert(a.getAs[Double]("syllables_per_word") == 4.0 / 4.0)
+    val wps = 4.0 / 3.0; val spw = 1.0
+    assert(a.getAs[Double]("fk_grade") == 0.39 * wps + 11.8 * spw - 15.59)
+    // sf: per-source pooled counts equal the summed per-doc counts
+    val perDoc = TextAnalysis.textReadability(spark, Sf)
+      .join(Tables.documents(spark, Sf).select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(
+        sum(col("n_words").cast("long")).as("w"),
+        sum(col("n_sentences").cast("long")).as("s"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("w"), r.getAs[Long]("s")))).toMap
+    val sf = TextAnalysis.readabilityBySource(spark, Sf).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r =>
+      val (w, sct) = perDoc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_words") == w && r.getAs[Long]("n_sentences") == sct)
+    }
+  }
+
   test("source mix: planted token budgets exact; shares sum to 100") {
     import spark.implicits._
     // a: 2 docs × (3, 1) tokens = 4; b: 1 doc × 4 tokens
