@@ -218,7 +218,9 @@ object ScaleProbe {
       "asof_nearest_view", "text_readability", "dq_profile_lineitem",
       // batch 14: the pooled-ratio source rollup is one source-grain
       // exchange of integer sums
-      "readability_by_source")
+      "readability_by_source",
+      // batch 15: windowFunnel's one user exchange + tiny arm frames
+      "ab_funnel")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

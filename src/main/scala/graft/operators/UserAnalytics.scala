@@ -1098,6 +1098,141 @@ object UserAnalytics {
       |       THEN ABS(rt - rc) > mde END AS powered
       |FROM t""".stripMargin
 
+  /** Per-arm windowed-funnel readout with per-step significance — the
+    * experiment suite meets the funnel (the PM question behind most
+    * A/B tests: "did treatment move step-2, or just clicks?"). Funnel
+    * depth comes from the SHARED `FunnelWindow.windowFunnel` operator
+    * (view → click → purchase within a day, the greedy carry-forward
+    * chain — no self-join), arms from the SHARED `armCol`; per step,
+    * reach counts, rates, the observed Δ, and the pooled two-proportion
+    * z-statistic with the `ZAlpha975` literal deciding significance —
+    * the per-step readout `ab_test_summary`'s single conversion bit
+    * can't give.
+    *
+    * Scale shape: windowFunnel's one user exchange + k−1 local window
+    * passes, then a ≤2-row arm frame; steps unstack over THAT frame
+    * and re-pivot at ≤k rows — nothing after the user rollup is
+    * fact-sized. All counts exact BIGINT; rates/z a fixed IEEE chain
+    * mirrored in the oracle; a missing arm or degenerate pooled rate
+    * yields NULL z, not a divide-by-zero. */
+  def abFunnel(spark: SparkSession, dir: String): DataFrame =
+    abFunnelFrom(enriched(spark, dir))
+
+  def abFunnelFrom(e: DataFrame, experiment: String = "exp1"): DataFrame = {
+    val lvl = FunnelWindow.windowFunnel(
+        e.filter(col("ts").isNotNull && col("user_id").isNotNull),
+        steps = Seq("view", "click", "purchase"),
+        windowSeconds = FunnelWindow.FunnelWindowSeconds)
+      .select(armCol(experiment).as("arm"), col("funnel_level"))
+    val arms = lvl.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("funnel_level") >= 1, 1L).otherwise(0L)).as("x1"),
+      sum(when(col("funnel_level") >= 2, 1L).otherwise(0L)).as("x2"),
+      sum(when(col("funnel_level") >= 3, 1L).otherwise(0L)).as("x3"))
+    val wide = arms
+      .select(col("arm"), col("n"),
+        expr("stack(3, 1, x1, 2, x2, 3, x3) as (step, reach)"))
+      .groupBy("step").agg(
+        max(when(col("arm") === "control", col("n"))).as("n_control"),
+        max(when(col("arm") === "treatment", col("n"))).as("n_treatment"),
+        max(when(col("arm") === "control", col("reach"))).as("reach_control"),
+        max(when(col("arm") === "treatment", col("reach"))).as("reach_treatment"))
+    val rc = col("reach_control").cast("double") / col("n_control").cast("double")
+    val rt = col("reach_treatment").cast("double") / col("n_treatment").cast("double")
+    val pp = (col("reach_control") + col("reach_treatment")).cast("double") /
+      (col("n_control") + col("n_treatment")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_control").cast("double") +
+        lit(1.0) / col("n_treatment").cast("double")))
+    val bothArms = col("n_control") > 0 && col("n_treatment") > 0
+    val z = when(bothArms && se =!= lit(0.0), (rt - rc) / se)
+    wide.select(col("step"),
+        when(col("step") === 1, "view").when(col("step") === 2, "click")
+          .otherwise("purchase").as("step_name"),
+        col("n_control"), col("n_treatment"),
+        col("reach_control"), col("reach_treatment"),
+        when(col("n_control") > 0, rc).as("rate_control"),
+        when(col("n_treatment") > 0, rt).as("rate_treatment"),
+        when(bothArms, rt - rc).as("delta"),
+        z.as("z_score"),
+        when(z.isNotNull, abs(z) > lit(ZAlpha975)).as("significant"))
+      .orderBy("step")
+  }
+
+  val abFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |), u AS (
+      |  SELECT DISTINCT user_id FROM ev
+      |), arms AS (
+      |  SELECT user_id,
+      |    CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1) >= '8'
+      |         THEN 'treatment' ELSE 'control' END AS arm
+      |  FROM u
+      |), l1 AS (
+      |  SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'
+      |), l2 AS (
+      |  SELECT DISTINCT a.user_id
+      |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+      |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+      |    AND a.ep <= b.ep AND b.ep - a.ep <= 86400
+      |), l3 AS (
+      |  SELECT DISTINCT a.user_id
+      |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+      |             JOIN ev c ON a.user_id = c.user_id
+      |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+      |    AND c.event_type = 'purchase'
+      |    AND a.ep <= b.ep AND b.ep <= c.ep AND c.ep - a.ep <= 86400
+      |), base AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM arms GROUP BY arm
+      |), reach AS (
+      |  SELECT 1 AS step, arm, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM arms JOIN l1 USING (user_id) GROUP BY arm
+      |  UNION ALL
+      |  SELECT 2, arm, CAST(COUNT(*) AS BIGINT)
+      |  FROM arms JOIN l2 USING (user_id) GROUP BY arm
+      |  UNION ALL
+      |  SELECT 3, arm, CAST(COUNT(*) AS BIGINT)
+      |  FROM arms JOIN l3 USING (user_id) GROUP BY arm
+      |), grid AS (
+      |  SELECT s.step, b.arm, b.n, COALESCE(r.x, 0) AS x
+      |  FROM (SELECT UNNEST([1, 2, 3]) AS step) s
+      |  CROSS JOIN base b
+      |  LEFT JOIN reach r ON r.step = s.step AND r.arm = b.arm
+      |), wide AS (
+      |  SELECT step,
+      |    MAX(CASE WHEN arm = 'control' THEN n END) AS n_control,
+      |    MAX(CASE WHEN arm = 'treatment' THEN n END) AS n_treatment,
+      |    CAST(MAX(CASE WHEN arm = 'control' THEN x END) AS BIGINT) AS reach_control,
+      |    CAST(MAX(CASE WHEN arm = 'treatment' THEN x END) AS BIGINT) AS reach_treatment
+      |  FROM grid GROUP BY step
+      |), s AS (
+      |  SELECT *,
+      |    CAST(reach_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS rc,
+      |    CAST(reach_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) AS rt,
+      |    CAST(reach_control + reach_treatment AS DOUBLE)
+      |      / CAST(n_control + n_treatment AS DOUBLE) AS pp
+      |  FROM wide
+      |), t AS (
+      |  SELECT *,
+      |    SQRT(pp * (1.0 - pp) * (1.0 / CAST(n_control AS DOUBLE)
+      |      + 1.0 / CAST(n_treatment AS DOUBLE))) AS se
+      |  FROM s
+      |)
+      |SELECT step,
+      |  CASE WHEN step = 1 THEN 'view' WHEN step = 2 THEN 'click'
+      |       ELSE 'purchase' END AS step_name,
+      |  n_control, n_treatment, reach_control, reach_treatment,
+      |  CASE WHEN n_control > 0 THEN rc END AS rate_control,
+      |  CASE WHEN n_treatment > 0 THEN rt END AS rate_treatment,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0 THEN rt - rc END AS delta,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0 AND se <> 0.0
+      |       THEN (rt - rc) / se END AS z_score,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0 AND se <> 0.0
+      |       THEN ABS((rt - rc) / se) > 1.959963984540054 END AS significant
+      |FROM t ORDER BY step""".stripMargin
+
   /** Stratified CUPED — per-stratum θ (post-stratification composed
     * with CUPED, the standard production refinement of Deng–Xu–
     * Kohavi–Walker): one pooled slope under-adjusts wherever the

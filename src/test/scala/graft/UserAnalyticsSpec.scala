@@ -631,6 +631,71 @@ class UserAnalyticsSpec extends SparkSpec {
     sf.foreach(r => assert(r.getAs[Double]("abs_err") >= 0.0))
   }
 
+  test("ab funnel: per-arm depths and z-chain match a driver replica; one-arm yields NULL z") {
+    def arm(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    // depth(u) = u % 4: 0 → error only, 1 → view, 2 → +click, 3 → +purchase
+    val users = (1L to 40L)
+    def depth(u: Long) = u % 4
+    var id = 0L
+    val rows = users.flatMap { u =>
+      def ev(t: String, off: Int) = { id += 1; (id, u, s"2024-01-02 10:0$off:00", t, 1.0) }
+      depth(u) match {
+        case 0 => Seq(ev("error", 0))
+        case 1 => Seq(ev("view", 0))
+        case 2 => Seq(ev("view", 0), ev("click", 1))
+        case _ => Seq(ev("view", 0), ev("click", 1), ev("purchase", 2))
+      }
+    }
+    val got = UserAnalytics.abFunnelFrom(ev(rows)).collect()
+      .map(r => r.getAs[Int]("step") -> r).toMap
+    assert(got.keySet == Set(1, 2, 3))
+    val byArm = users.groupBy(arm)
+    for (step <- 1 to 3) {
+      val r = got(step)
+      val nC = byArm("control").size.toLong
+      val nT = byArm("treatment").size.toLong
+      val xC = byArm("control").count(depth(_) >= step).toLong
+      val xT = byArm("treatment").count(depth(_) >= step).toLong
+      assert(r.getAs[Long]("n_control") == nC && r.getAs[Long]("n_treatment") == nT)
+      assert(r.getAs[Long]("reach_control") == xC, s"step $step control reach")
+      assert(r.getAs[Long]("reach_treatment") == xT, s"step $step treatment reach")
+      val rc = xC.toDouble / nC
+      val rt = xT.toDouble / nT
+      val pp = (xC + xT).toDouble / (nC + nT).toDouble
+      val se = math.sqrt(pp * (1.0 - pp) * (1.0 / nC + 1.0 / nT))
+      assert(r.getAs[Double]("rate_control") == rc)
+      assert(r.getAs[Double]("delta") == rt - rc)
+      assert(r.getAs[Double]("z_score") == (rt - rc) / se, s"step $step z")
+      assert(r.getAs[Boolean]("significant") ==
+        (math.abs((rt - rc) / se) > UserAnalytics.ZAlpha975))
+    }
+    assert(got(1).getAs[String]("step_name") == "view" &&
+      got(3).getAs[String]("step_name") == "purchase")
+    // an A/A hash split on symmetric depths should not be significant
+    assert(!got(1).getAs[Boolean]("significant"))
+    // one-arm corpus: steps still emit, z NULL
+    val ctrlOnly = (1L to 400L).filter(arm(_) == "control").take(12)
+      .map(u => (u * 1000, u, "2024-01-02 10:00:00", "view", 1.0))
+    val one = UserAnalytics.abFunnelFrom(ev(ctrlOnly)).collect()
+    assert(one.length == 3)
+    one.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("z_score")))
+      assert(r.isNullAt(r.fieldIndex("n_treatment")))
+    }
+    // sf: funnel monotone per arm (reach can only shrink with depth)
+    val sf = UserAnalytics.abFunnel(spark, Sf).collect().sortBy(_.getAs[Int]("step"))
+    assert(sf.length == 3)
+    assert(sf.sliding(2).forall { case Array(a, b) =>
+      b.getAs[Long]("reach_control") <= a.getAs[Long]("reach_control") &&
+        b.getAs[Long]("reach_treatment") <= a.getAs[Long]("reach_treatment")
+    })
+  }
+
   test("traffic decompose: planted dow pattern recovers trend/seasonal exactly; gaps disqualify") {
     // 21 dense days (Mon Jan 1 .. Sun Jan 21) with count = 10 + dow:
     // every full 7-day window sums to Σ(10+d) = 98 → trend ≡ 14,
