@@ -1458,6 +1458,8 @@ object Quality {
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("check_type",
         org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = true),
       org.apache.spark.sql.types.StructField("n_violations",
         org.apache.spark.sql.types.LongType, nullable = true),
       org.apache.spark.sql.types.StructField("pass",
@@ -1467,7 +1469,7 @@ object Quality {
         // structural failure: the suggested column vanished
         spark.createDataFrame(
           checks.toSeq.map(r => org.apache.spark.sql.Row(
-            c, r.getAs[String]("check_type"), null, false)).asJava,
+            c, r.getAs[String]("check_type"), null, null, false)).asJava,
           resultSchema)
       else {
         val aggs = checks.toSeq.map { r =>
@@ -1492,14 +1494,40 @@ object Quality {
           s"'${r.getAs[String]("check_type")}', v_${r.getAs[String]("check_type")}")
           .mkString(", ")
         target.select(col(c))
-          .agg(aggs.head, aggs.drop(1): _*)
-          .select(expr(
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .select(col("n_rows"), expr(
             s"stack(${checks.length}, $stack) as (check_type, n_violations)"))
-          .select(lit(c).as("column_name"), col("check_type"),
+          .select(lit(c).as("column_name"), col("check_type"), col("n_rows"),
             col("n_violations"), (col("n_violations") === 0).as("pass"))
       }
     }
     frames.reduce(_ unionByName _).orderBy("column_name", "check_type")
+  }
+
+  /** [[runChecks]] results in the check-suite SUMMARY row shape
+    * (check_name, check_type, total_records, failed_records,
+    * pass_rate, status) — so suggested-check runs flow into the
+    * EXISTING persistence/reporting machinery unchanged:
+    * `writeCheckLog`/`writeCheckLogJdbc` persist them,
+    * `trendFromLog` trends them, and the dashboards/alert payloads
+    * render them beside the seven hand-written checks. The loop is
+    * closed end-to-end: profile → suggest → execute → log → trend.
+    * A structural failure (suggested column missing) renders as
+    * total 0 / failed 1 → 0% pass / FAIL, which no violation-free
+    * run can produce. */
+  def runChecksSummary(target: DataFrame, suggestions: DataFrame): DataFrame = {
+    val total = coalesce(col("n_rows"), lit(0L))
+    val failed = coalesce(col("n_violations"), lit(1L))
+    val rate = (lit(1.0) - failed.cast("double") /
+      greatest(total, lit(1L)).cast("double")) * lit(100)
+    runChecks(target, suggestions).select(
+      concat(lit("suggested_"), col("column_name"), lit("_"),
+        col("check_type")).as("check_name"),
+      lit("suggested").as("check_type"),
+      total.as("total_records"),
+      failed.as("failed_records"),
+      rate.as("pass_rate"),
+      when(rate >= 99.0, "PASS").otherwise("FAIL").as("status"))
   }
 
   /** Event-id gap census — the data-COMPLETENESS check

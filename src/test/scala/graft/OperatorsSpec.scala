@@ -1611,6 +1611,26 @@ class QualitySpec extends SparkSpec {
     val sfAll = Quality.runChecks(Tables.events(spark, Sf),
       Quality.suggestedChecksFrom(Tables.events(spark, Sf))).collect()
     assert(sfAll.nonEmpty && sfAll.forall(_.getAs[Boolean]("pass")))
+    // summary shape feeds the EXISTING check-log machinery end-to-end:
+    // clean day PASSes, dirty day FAILs, trend reads both runs
+    val log = java.nio.file.Files.createTempDirectory("graft_sclog").toString
+    Quality.writeCheckLog(Quality.runChecksSummary(clean, sugg), log, "2024-01-01")
+    Quality.writeCheckLog(Quality.runChecksSummary(dirty, sugg), log, "2024-01-02")
+    val trend = Quality.trendFromLog(spark, log).collect()
+      .map(r => r.getAs[String]("check_name") -> r).toMap
+    assert(trend.keySet.contains("suggested_event_id_unique"))
+    assert(trend("suggested_event_id_unique").getAs[Long]("days") == 2L)
+    val day2 = spark.read.parquet(log)
+      .filter(col("run_date") === "2024-01-02").collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap
+    assert(day2("suggested_event_id_not_null") == "FAIL")
+    assert(day2("suggested_value_range") == "FAIL")
+    // structural failure renders total 0 / failed 1 → FAIL at 0%
+    val struct = Quality.runChecksSummary(dirty.drop("value"), sugg)
+      .filter(col("check_name") === "suggested_value_range").collect()(0)
+    assert(struct.getAs[Long]("total_records") == 0L &&
+      struct.getAs[Long]("failed_records") == 1L &&
+      struct.getAs[String]("status") == "FAIL")
   }
 
   test("suggested checks: profile rules emit exactly the constraints the data supports") {
