@@ -220,7 +220,10 @@ object ScaleProbe {
       // exchange of integer sums
       "readability_by_source",
       // batch 15: windowFunnel's one user exchange + tiny arm frames
-      "ab_funnel")
+      "ab_funnel",
+      // batch 17: the CDC chunker is one codegen'd pass per doc (the
+      // census ships 8-byte hashes through one map-combined rollup)
+      "doc_chunks_cdc", "chunk_dedup_cdc")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

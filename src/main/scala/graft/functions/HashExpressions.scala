@@ -380,6 +380,7 @@ object GraftFunctions {
     unary("trigram_strings", TrigramStrings(_)),
     unary("word_rep_stats", WordRepStats(_)),
     unary("codepoint_hist16", CodepointHist16(_)),
+    unary("cdc_spans", CdcChunkSpans(_)),
     unary("hyperplane_bands", HyperplaneBands(_)),
     binary("sorted_intersect_count", SortedIntersectCount(_, _)),
     binary("sig_agree", SignatureAgreement(_, _)),

@@ -1912,6 +1912,74 @@ object TextAnalysis {
       |HAVING COUNT(*) > 1
       |ORDER BY n_copies DESC, chunk_hash ASC""".stripMargin
 
+  /** Content-defined chunking — `doc_chunks`' edit-robust sibling.
+    * Spans come from the gear-hash cut rule (see
+    * [[graft.functions.CdcChunkSpans]]): boundaries depend on the
+    * trailing ≤64 chars of CONTENT, not on position, so an insertion
+    * near a document's head shifts only the chunks up to the next
+    * boundary and everything after re-synchronizes — the property
+    * fixed windows lack and the one that makes chunk-grain dedup work
+    * on re-crawled/near-revision corpora. One chunk per output row
+    * with its char span and 64-bit content hash.
+    *
+    * Scale shape: narrow — the whole chunker is ONE codegen'd
+    * expression pass per document in a projection below the Generate
+    * (the array computes once and rides the explode); no shuffle
+    * except the presentation sort. No SQL oracle (the gear table is
+    * not SQL-expressible); the spec pins exact tiling, bound
+    * discipline and boundary re-synchronization under planted
+    * insertions. */
+  def docChunksCdc(spark: SparkSession, dir: String): DataFrame =
+    docChunksCdcFrom(spark, Tables.documents(spark, dir))
+
+  def docChunksCdcFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs
+      .select(col("doc_id"), call_function("cdc_spans", col("text")).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("chunk_idx", "sp")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("sp.start").as("start_char"), col("sp.end").as("end_char"),
+        (col("sp.end") - col("sp.start")).as("chunk_chars"),
+        col("sp.hash").as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Chunk-grain duplicate census at CONTENT-DEFINED boundaries —
+    * what `chunk_dedup` cannot see: a paragraph duplicated across
+    * documents at DIFFERENT offsets never aligns to the same fixed
+    * token windows, but its interior CDC chunks hash identically
+    * wherever it sits (boundaries re-derive from the paragraph's own
+    * content). This is the census production dedup actually runs on
+    * re-crawls: dup mass shows up even when every copy is embedded in
+    * different surroundings.
+    *
+    * Scale shape: the chunker is narrow; the census ships only
+    * (8-byte hash, length, doc_id) through one map-side-combined
+    * aggregate (the clean_dup_spans lesson — never chunk text);
+    * output is |duplicated chunks| rows. Grouping by (hash, length)
+    * keeps 64-bit collisions from merging unequal chunks of different
+    * sizes. */
+  def chunkDedupCdc(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupCdcFrom(spark, Tables.documents(spark, dir))
+
+  def chunkDedupCdcFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs
+      .select(col("doc_id"), explode(call_function("cdc_spans", col("text"))).as("sp"))
+      // (hash, len, doc) pre-aggregate first so the distinct-doc count
+      // is a plain count — the de-Expand form
+      .groupBy(col("sp.hash").as("chunk_hash"),
+        (col("sp.end") - col("sp.start")).as("chunk_chars"), col("doc_id"))
+      .agg(count(lit(1)).as("copies_in_doc"))
+      .groupBy(col("chunk_hash"), col("chunk_chars"))
+      .agg(
+        sum(col("copies_in_doc")).cast("bigint").as("n_copies"),
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(desc("n_copies"), asc("chunk_hash"))
+  }
+
   /** The cleaning pass extended with the Gopher repetition filters
     * (Rae et al. 2021 §A1.1): minimum length, top-word-fraction and
     * duplicate-bigram caps, on top of cleanCorpus's quality/language/

@@ -623,6 +623,91 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks: spans tile every doc exactly, bounds hold, output deterministic") {
+    val docsN = Tables.documents(spark, Sf).count()
+    val rows = operators.TextAnalysis.docChunksCdc(spark, Sf).collect()
+    val lens = Tables.documents(spark, Sf)
+      .select(col("doc_id"), length(col("text")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == docsN)
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // exact tiling: contiguous spans from 0 to the doc's char length
+      assert(sorted.head.getAs[Int]("start_char") == 0)
+      assert(sorted.last.getAs[Int]("end_char") == lens(id))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Int]("end_char") == b.getAs[Int]("start_char"))
+        case _ =>
+      }
+      // bound discipline: every chunk <= MaxLen; every non-final chunk
+      // either >= MinLen or was a forced-at-MaxLen remainder (only the
+      // final chunk may run short)
+      import graft.functions.CdcChunkSpans.{MinLen, MaxLen}
+      sorted.foreach(c => assert(c.getAs[Int]("chunk_chars") <= MaxLen))
+      sorted.init.foreach(c => assert(c.getAs[Int]("chunk_chars") >= MinLen))
+    }
+    // deterministic artifact: a second run reproduces spans and hashes
+    val again = operators.TextAnalysis.docChunksCdc(spark, Sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("cdc chunks re-synchronize after an insertion where fixed windows lose everything") {
+    import spark.implicits._
+    // deterministic pseudo-text: 400 words from a tiny LCG
+    def lcgWords(seed: Long, n: Int): String = {
+      var x = seed
+      (1 to n).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "w" + java.lang.Long.toHexString(x >>> 40)
+      }.mkString(" ")
+    }
+    val a = lcgWords(7L, 400)
+    val b = "three inserted tokens " + a // head edit shifts all positions
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val cdc = operators.TextAnalysis.docChunksCdcFrom(spark, docs).collect()
+    def keys(rs: Array[org.apache.spark.sql.Row], id: Long) =
+      rs.filter(_.getAs[Long]("doc_id") == id)
+        .map(r => (r.getAs[Long]("chunk_hash"), r.getAs[Int]("chunk_chars"))).toSeq
+    val ka = keys(cdc, 1L)
+    val shared = ka.toSet.intersect(keys(cdc, 2L).toSet)
+    // all but the chunks overlapping the edit itself survive
+    assert(shared.size >= (ka.size * 0.8).toInt,
+      s"cdc resync too weak: ${shared.size}/${ka.size}")
+    // the fixed-window chunker shares NOTHING under the same edit
+    val fixed = operators.TextAnalysis.docChunksFrom(docs).collect()
+    def texts(rs: Array[org.apache.spark.sql.Row], id: Long) =
+      rs.filter(_.getAs[Long]("doc_id") == id).map(_.getAs[String]("chunk_text")).toSet
+    assert(texts(fixed, 1L).intersect(texts(fixed, 2L)).isEmpty)
+  }
+
+  test("cdc chunk dedup: a paragraph planted at different offsets is found in all hosts") {
+    import spark.implicits._
+    def lcgWords(seed: Long, n: Int): String = {
+      var x = seed
+      (1 to n).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "w" + java.lang.Long.toHexString(x >>> 40)
+      }.mkString(" ")
+    }
+    val para = lcgWords(99L, 250) // ~1.5k chars: several interior cdc chunks
+    val docs = Seq(
+      (1L, lcgWords(1L, 60) + " " + para + " " + lcgWords(2L, 40)),
+      (2L, lcgWords(3L, 25) + " " + para),
+      (3L, para + " " + lcgWords(4L, 80)),
+      (4L, lcgWords(5L, 120))).toDF("doc_id", "text")
+    val census = operators.TextAnalysis.chunkDedupCdcFrom(spark, docs).collect()
+    // the paragraph's interior chunks hash identically in every host
+    assert(census.exists(_.getAs[Long]("n_docs") == 3),
+      "no chunk recovered across all three hosts")
+    // registered corpus query: every reported group is a real dup
+    val rows = operators.TextAnalysis.chunkDedupCdc(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") > 1)
+      assert(r.getAs[Long]("n_copies") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("temperature mixing flattens token shares toward the sqrt profile") {
     val rows = operators.TextAnalysis.sampleTemperature(spark, Sf).collect()
     assert(rows.length > 1)
