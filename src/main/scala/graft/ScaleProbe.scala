@@ -223,7 +223,9 @@ object ScaleProbe {
       "ab_funnel",
       // batch 17: the CDC chunker is one codegen'd pass per doc (the
       // census ships 8-byte hashes through one map-combined rollup)
-      "doc_chunks_cdc", "chunk_dedup_cdc")
+      "doc_chunks_cdc", "chunk_dedup_cdc",
+      // batch 18: index-side scan + two batch-bounded broadcasts
+      "dedup_incremental_cdc")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -605,6 +605,118 @@ object Dedup {
       |  AND NOT EXISTS (SELECT 1 FROM existing WHERE existing.h = incoming.h)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- content-defined chunk index + incremental containment ----
+
+  /** The corpus's chunk-grain fingerprint set: DISTINCT
+    * (chunk_hash, chunk_chars) over the CDC spans of `docs` (see
+    * [[graft.functions.CdcChunkSpans]]). This is the persistable
+    * artifact `incrementalCdcFrom` scores re-crawl batches against —
+    * at 100 TB it is computed ONCE over the corpus and amortized
+    * across daily batches (the `incrementalMinhashFrom` index
+    * argument, at chunk grain), growing only by each absorbed batch's
+    * novel chunks. (chunk_chars rides along so 64-bit collisions
+    * can't mark unequal-length chunks as covered.) */
+  def chunkIndexFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs
+      .select(explode(call_function("cdc_spans", col("text"))).as("sp"))
+      .select(col("sp.hash").as("chunk_hash"),
+        (col("sp.end") - col("sp.start")).as("chunk_chars"))
+      .distinct()
+  }
+
+  /** Order-independent content fingerprint of a chunk index — count,
+    * xor of hashes, total chars: any row added/removed/changed moves
+    * it, and it computes in one fixed-state aggregate regardless of
+    * index size (no sort, no collect of the membership). */
+  def chunkIndexFp(index: DataFrame): String = {
+    val r = index.agg(
+      count(lit(1)),
+      coalesce(expr("bit_xor(chunk_hash)"), lit(0L)),
+      coalesce(sum(col("chunk_chars")).cast("long"), lit(0L))).head()
+    graft.sources.ArtifactManifest.fp(
+      s"cdc_chunk_index:n=${r.getLong(0)},xor=${r.getLong(1)},chars=${r.getLong(2)}")
+  }
+
+  /** Persist the chunk index with its compatibility stamp (the
+    * `saveBpeVocab` lifecycle): WHAT it is, a fingerprint of its own
+    * content, and what it was built from. Containment scores taken
+    * under different indexes are different units — a revision log
+    * must not mix them (see `DocStream.revisionRateFromLog`). */
+  def saveChunkIndex(spark: SparkSession, docs: DataFrame, outPath: String,
+      builtFrom: String): Unit = {
+    chunkIndexFrom(spark, docs).repartition(8)
+      .write.mode("overwrite").parquet(outPath)
+    graft.sources.ArtifactManifest.write(outPath,
+      graft.sources.ArtifactManifest.Stamp("cdc_chunk_index",
+        chunkIndexFp(spark.read.parquet(outPath)), builtFrom))
+  }
+
+  /** Load + verify a stamped chunk index; returns the frame and its
+    * content fingerprint (for stamping rows derived from it). */
+  def loadChunkIndex(spark: SparkSession, path: String): (DataFrame, String) = {
+    val idx = spark.read.parquet(path)
+    val fp = chunkIndexFp(idx)
+    graft.sources.ArtifactManifest.verifyContent(path, "cdc_chunk_index", fp)
+    (idx, fp)
+  }
+
+  /** Incremental re-crawl/revision detection by CDC chunk CONTAINMENT:
+    * per incoming document, what fraction of its characters sit in
+    * chunks the existing corpus already has. An exact re-crawl reads
+    * 1.0; a lightly revised page reads high (boundaries re-synchronize
+    * around the edit, so untouched paragraphs still match — the
+    * property that makes this work where `incremental`'s whole-doc
+    * hash sees nothing); genuinely new text reads ~0. This is the
+    * at-ingest guard production re-crawl pipelines run: MinHash asks
+    * "is this similar to some EXISTING DOC"; containment asks "is this
+    * text ALREADY IN THE CORPUS", which also catches mashup pages
+    * assembled from known paragraphs that resemble no single document.
+    *
+    * Plan (asymmetric, the incremental contract): the index side
+    * scans ONCE and never reshuffles — the batch's distinct chunk
+    * keys broadcast into a semi-join against it, and the survivors
+    * (≤ the batch's own chunk count by construction) broadcast back
+    * onto the batch rollup. The batch's span frame is checkpointed
+    * once for its two consumers. Zero-length docs chunk to nothing
+    * and drop from the census (containment of no content is
+    * undefined); rows-only (the gear table is not SQL-expressible). */
+  def incrementalCdcFrom(spark: SparkSession, incoming: DataFrame, index: DataFrame,
+      flagThreshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val spans = incoming
+      .select(col("doc_id"), explode(call_function("cdc_spans", col("text"))).as("sp"))
+      .select(col("doc_id"), col("sp.hash").as("chunk_hash"),
+        (col("sp.end") - col("sp.start")).as("chunk_chars"))
+      .localCheckpoint()
+    val inChunks = spans.select("chunk_hash", "chunk_chars").distinct()
+    val matched = index
+      .join(broadcast(inChunks), Seq("chunk_hash", "chunk_chars"), "leftsemi")
+      .withColumn("covered", lit(1))
+    spans
+      .join(broadcast(matched), Seq("chunk_hash", "chunk_chars"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("covered"), lit(0))).cast("long").as("covered_chunks"),
+        sum(col("chunk_chars")).cast("long").as("total_chars"),
+        sum(when(col("covered") === 1, col("chunk_chars")).otherwise(lit(0)))
+          .cast("long").as("covered_chars"))
+      .withColumn("containment",
+        col("covered_chars").cast("double") / col("total_chars").cast("double"))
+      .withColumn("is_revision", col("containment") >= lit(flagThreshold))
+      .orderBy("doc_id")
+  }
+
+  /** Registry form: the 1/5-of-corpus batch scored against the other
+    * 4/5's chunk index (the `incremental` split). */
+  def incrementalCdc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalCdcFrom(spark,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      chunkIndexFrom(spark, docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)))
+  }
+
   /** The (doc_id, simhash, band_idx, band_val) SimHash banding frame —
     * shared by `simhash` and `simhashDroppedBuckets`. Bit b of the
     * simhash = majority vote of token-hash bit b — one fused pass in

@@ -148,4 +148,63 @@ object DocStream {
         sum(col("bpe_tokens")).cast("long").as("bpe_tokens"))
       .orderBy("source")
   }
+
+  /** Live re-crawl/revision flagging against the PERSISTED chunk
+    * index (`Dedup.saveChunkIndex` — build once over the corpus, ship
+    * it): each micro-batch's documents get the SAME CDC containment
+    * score the batch operator computes (`Dedup.incrementalCdcFrom` —
+    * one shared definition, so live and nightly revision verdicts
+    * cannot drift), appended under a batch_id partition (the
+    * idempotent-replay pattern every log sink here uses). Every row
+    * carries the scoring index's content fingerprint: containment
+    * against different indexes is a different unit, and the readout
+    * refuses to mix them. The index frame is read-only inside
+    * foreachBatch — the stream never reshuffles it. */
+  def revisionLogSink(docs: DataFrame, index: DataFrame, indexFp: String,
+      logDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = graft.operators.Dedup
+            .incrementalCdcFrom(batch.sparkSession, batch, index)
+            .withColumn("index_fp", lit(indexFp))
+            .withColumn("batch_id", lit(batchId))
+          graft.sources.MartSink.writePartitioned(rows, logDir, Seq("batch_id"))
+        }
+        ()
+      }
+      .start()
+
+  /** Per-batch revision-rate readout over the log — the live "how
+    * much of today's crawl is already in the corpus" dial. Unit
+    * safety mirrors `tokenBudgetFromLog`: rows must share ONE index
+    * fingerprint, and when `indexPath` names the shipped artifact the
+    * log's fingerprint must match it (a re-built index with a stale
+    * log refuses instead of reading plausible nonsense). */
+  def revisionRateFromLog(spark: SparkSession, logDir: String,
+      indexPath: Option[String] = None): DataFrame = {
+    val log = spark.read.parquet(logDir)
+    val fps = log.select("index_fp").distinct().collect().map(_.getString(0)).sorted
+    if (fps.length > 1)
+      throw new IllegalStateException(
+        s"revision log $logDir mixes ${fps.length} chunk indexes " +
+          s"(${fps.map(_.take(12) + "…").mkString(", ")}) — scores are not comparable units")
+    indexPath.foreach { p =>
+      val (_, current) = graft.operators.Dedup.loadChunkIndex(spark, p)
+      if (fps.nonEmpty && fps.head != current)
+        throw new IllegalStateException(
+          s"revision log $logDir was scored under index ${fps.head.take(12)}… but the " +
+            s"artifact at $p is ${current.take(12)}… — retrain drift; rebuild the log " +
+            "or restore the matching index")
+    }
+    log.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_revision"), 1L).otherwise(0L)).as("n_revisions"),
+        avg(col("containment")).as("mean_containment"))
+      .withColumn("revision_rate",
+        col("n_revisions").cast("double") / col("n_docs").cast("double"))
+      .orderBy("batch_id")
+  }
 }

@@ -1348,4 +1348,70 @@ class StreamingSpec extends SparkSpec {
     assert(drift.map(_.getAs[String]("column_name")).toSet ==
       Set("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
+
+  test("revision log sink: live containment equals batch scoring; stale index refuses") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, String, String, String)]
+    import spark.implicits._
+    def lcgWords(seed: Long, n: Int): String = {
+      var x = seed
+      (1 to n).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "w" + java.lang.Long.toHexString(x >>> 40)
+      }.mkString(" ")
+    }
+    val a = lcgWords(31L, 400)
+    val corpus = Seq((1L, a), (2L, lcgWords(32L, 400))).toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ridx").toString + "/idx"
+    Dedup.saveChunkIndex(spark, corpus, idxDir, builtFrom = "documents:test")
+    val (idx, fp) = Dedup.loadChunkIndex(spark, idxDir)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val log = java.nio.file.Files.createTempDirectory("graft_rlog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rckpt").toString
+    val q = DocStream.revisionLogSink(
+      mem.toDF.toDF("doc_id", "ts", "lang", "source", "text"), idx, fp, log, ckpt)
+    try {
+      // batch 0: one exact re-crawl + one fresh doc
+      mem.addData((10L, base, "en", "s0", a),
+        (11L, base, "en", "s0", lcgWords(33L, 400)))
+      q.processAllAvailable()
+      // batch 1: all fresh
+      mem.addData((12L, base, "en", "s1", lcgWords(34L, 400)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshByPath(log)
+    // per-doc rows carry the SAME verdicts the batch operator computes
+    val logged = spark.read.parquet(log).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(logged(10L).getAs[Double]("containment") == 1.0 &&
+      logged(10L).getAs[Boolean]("is_revision"))
+    assert(logged(11L).getAs[Double]("containment") == 0.0)
+    assert(logged.values.forall(_.getAs[String]("index_fp") == fp))
+    // the rate readout: batch 0 is half re-crawl, batch 1 clean
+    val rates = DocStream.revisionRateFromLog(spark, log, Some(idxDir)).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(rates(0L).getAs[Long]("n_docs") == 2L &&
+      rates(0L).getAs[Long]("n_revisions") == 1L &&
+      rates(0L).getAs[Double]("revision_rate") == 0.5)
+    assert(rates(1L).getAs[Long]("n_revisions") == 0L)
+    // re-build the index over a DIFFERENT corpus → the stale log must
+    // refuse against the shipped artifact, not re-denominate the rates
+    Dedup.saveChunkIndex(spark,
+      Seq((9L, lcgWords(35L, 300))).toDF("doc_id", "text"), idxDir, "documents:test2")
+    val ex = intercept[IllegalStateException] {
+      DocStream.revisionRateFromLog(spark, log, Some(idxDir)).count()
+    }
+    assert(ex.getMessage.contains("retrain drift"), ex.getMessage)
+    // a log mixing two index fingerprints refuses even without a path
+    val row = spark.read.parquet(log).limit(1)
+      .withColumn("index_fp", lit("feedfacefeedface"))
+      .withColumn("batch_id", lit(99L))
+    graft.sources.MartSink.writePartitioned(row, log, Seq("batch_id"))
+    val mixed = intercept[IllegalStateException] {
+      DocStream.revisionRateFromLog(spark, log).count()
+    }
+    assert(mixed.getMessage.contains("not comparable units"), mixed.getMessage)
+  }
 }

@@ -1530,6 +1530,78 @@ class DedupSpec extends SparkSpec {
     assert(plantedSources.subsetOf(plantedHits),
       s"missed planted dups: ${plantedSources -- plantedHits}")
   }
+
+  test("incremental cdc containment: copy reads 1.0, revision high, fresh text zero") {
+    import spark.implicits._
+    def lcgWords(seed: Long, n: Int): String = {
+      var x = seed
+      (1 to n).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "w" + java.lang.Long.toHexString(x >>> 40)
+      }.mkString(" ")
+    }
+    val a = lcgWords(11L, 400)
+    val b = lcgWords(12L, 400)
+    val existing = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, a),                                  // exact re-crawl
+      (11L, "updated intro tokens " + b),        // head revision of b
+      (12L, lcgWords(13L, 400))).toDF("doc_id", "text") // fresh
+    val idx = Dedup.chunkIndexFrom(spark, existing)
+    val rows = Dedup.incrementalCdcFrom(spark, incoming, idx).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(10L).getAs[Double]("containment") == 1.0 &&
+      rows(10L).getAs[Boolean]("is_revision"))
+    assert(rows(10L).getAs[Long]("covered_chars") == rows(10L).getAs[Long]("total_chars"))
+    // boundaries re-synchronize past the head edit: most of the
+    // revision's chars sit in chunks the index already has
+    assert(rows(11L).getAs[Double]("containment") >= 0.5 &&
+      rows(11L).getAs[Boolean]("is_revision"),
+      s"revision containment ${rows(11L).getAs[Double]("containment")}")
+    assert(rows(12L).getAs[Double]("containment") == 0.0 &&
+      !rows(12L).getAs[Boolean]("is_revision"))
+    // the registry query is a per-incoming-doc census with sane bounds
+    val reg = Dedup.incrementalCdc(spark, Sf).collect()
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("covered_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("covered_chars") <= r.getAs[Long]("total_chars"))
+    }
+  }
+
+  test("chunk index artifact: stamped save/load round-trips; corruption refuses") {
+    import spark.implicits._
+    def lcgWords(seed: Long, n: Int): String = {
+      var x = seed
+      (1 to n).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "w" + java.lang.Long.toHexString(x >>> 40)
+      }.mkString(" ")
+    }
+    val corpus = Seq((1L, lcgWords(21L, 300)), (2L, lcgWords(22L, 300)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString + "/idx"
+    Dedup.saveChunkIndex(spark, corpus, dir, builtFrom = "documents:test")
+    val (idx, fp) = Dedup.loadChunkIndex(spark, dir)
+    assert(fp == Dedup.chunkIndexFp(idx))
+    // scoring through the loaded artifact equals scoring inline
+    val incoming = Seq((9L, lcgWords(21L, 300))).toDF("doc_id", "text")
+    val viaArtifact = Dedup.incrementalCdcFrom(spark, incoming, idx).collect()
+    val inline = Dedup.incrementalCdcFrom(spark, incoming,
+      Dedup.chunkIndexFrom(spark, corpus)).collect()
+    assert(viaArtifact.map(_.toSeq).toSeq == inline.map(_.toSeq).toSeq)
+    assert(viaArtifact.head.getAs[Double]("containment") == 1.0)
+    // a half-replaced artifact (content no longer matches its own
+    // stamp) refuses — and a wrong-kind stamp refuses before that
+    graft.sources.ArtifactManifest.write(dir,
+      graft.sources.ArtifactManifest.Stamp("cdc_chunk_index", "deadbeef", "x"))
+    intercept[IllegalStateException] { Dedup.loadChunkIndex(spark, dir) }
+    graft.sources.ArtifactManifest.write(dir,
+      graft.sources.ArtifactManifest.Stamp("bpe_vocab", fp, "x"))
+    intercept[IllegalArgumentException] { Dedup.loadChunkIndex(spark, dir) }
+  }
 }
 
 class GraftExtensionsSpec extends SparkSpec {
