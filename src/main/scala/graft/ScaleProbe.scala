@@ -225,7 +225,9 @@ object ScaleProbe {
       // census ships 8-byte hashes through one map-combined rollup)
       "doc_chunks_cdc", "chunk_dedup_cdc",
       // batch 18: index-side scan + two batch-bounded broadcasts
-      "dedup_incremental_cdc")
+      "dedup_incremental_cdc",
+      // batch 19: two B-row LM rollups + a narrow literal-fold scan
+      "sample_dsir", "dsir_source_shift")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -1114,6 +1114,110 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * select candidate docs whose hashed-unigram distribution
+    * resembles a TARGET domain — here the corpus's own high-quality
+    * seed set (`quality_score ≥ targetQuality`), the practical
+    * bootstrap when no external target corpus ships with the
+    * pipeline. Per candidate, log importance weight
+    * log w(x) = Σ_b c_b(x)·(ln p_t[b] − ln p_r[b]) under add-one-
+    * smoothed bucket LMs (B hashed buckets), and selection is Gumbel
+    * top-k on log w + g (g = −ln(−ln u), u a seeded md5 uniform) —
+    * the exact sampling-without-replacement ∝ softmax(log w) rule,
+    * deterministic across runs like every sampler here.
+    *
+    * Scale shape — the IVF pattern, applied to data selection: the
+    * two LM rollups are map-side-combined fact scans whose OUTPUT is
+    * ≤ B rows each (B fixed at 4096 — state never grows with the
+    * corpus); the driver assembles the B-double log-ratio table and
+    * pushes it back as ONE array literal, so scoring is a pure
+    * codegen'd narrow fold per doc (token → bucket → ratio lookup —
+    * zero fact shuffle, zero join); the top-k is a TakeOrdered heap.
+    * The per-doc fold is a deterministic left fold in token order, so
+    * log_weight is bit-stable. rows-only (ln is libm); the spec
+    * replays one doc's weight driver-exactly and pins the planted
+    * preference ordering. */
+  def sampleDsir(spark: SparkSession, dir: String, k: Int = 200,
+                 targetQuality: Double = 0.6, numBuckets: Int = 4096,
+                 seed: String = "s0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("quality_score", qualityScoreCol)
+    sampleDsirFrom(
+      docs.filter(col("quality_score") >= targetQuality),
+      docs.filter(col("quality_score") < targetQuality),
+      k, numBuckets, seed)
+  }
+
+  /** Hashed-unigram bucket counts of a doc frame, rolled to ≤ B rows. */
+  private def dsirBucketCounts(docs: DataFrame, numBuckets: Int): Array[Long] = {
+    val counts = new Array[Long](numBuckets)
+    docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(pmod(xxhash64(col("w")), lit(numBuckets.toLong)).cast("int").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect() // ≤ numBuckets rows by construction
+      .foreach(r => counts(r.getAs[Int]("b")) = r.getAs[Long]("c"))
+    counts
+  }
+
+  def sampleDsirFrom(target: DataFrame, candidates: DataFrame, k: Int = 200,
+                     numBuckets: Int = 4096, seed: String = "s0"): DataFrame = {
+    val tc = dsirBucketCounts(target, numBuckets)
+    val rc = dsirBucketCounts(candidates, numBuckets)
+    val (tn, rn) = (tc.sum + numBuckets, rc.sum + numBuckets)
+    // add-one smoothing: no bucket zeroes either LM, so the ratio is
+    // finite everywhere — an unseen-in-target bucket penalizes, it
+    // doesn't veto
+    val ratio = Array.tabulate(numBuckets) { b =>
+      math.log((tc(b) + 1).toDouble / tn) - math.log((rc(b) + 1).toDouble / rn)
+    }
+    val ratioLit = typedLit(ratio.toIndexedSeq)
+    val bucketOf = (w: Column) => pmod(xxhash64(w), lit(numBuckets.toLong)).cast("int")
+    candidates
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("log_weight",
+        aggregate(col("toks"), lit(0.0),
+          (acc, w) => acc + element_at(ratioLit, bucketOf(w) + 1)))
+      .drop("toks")
+      .withColumn("u",
+        (conv(substring(md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))
+            .cast("binary")), 1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0))
+      .withColumn("gumbel_key", col("log_weight") - log(-log(col("u"))))
+      .drop("u")
+      .orderBy(desc("gumbel_key"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** The selection's per-source census — which domains DSIR favors:
+    * candidate pool vs selected counts, selection rate, and mean log
+    * weight per source. The diagnostic read before trusting the
+    * sample (a selection that collapses onto one source is measuring
+    * that source's quirks, not "quality"). Rides the same scored
+    * frame; the census is a ≤|sources| rollup of the k-row sample
+    * full-outer'd with the pool census. */
+  def dsirSourceShift(spark: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("quality_score", qualityScoreCol)
+    val candidates = docs.filter(col("quality_score") < 0.6)
+    val selected = sampleDsir(spark, dir, k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        avg(col("log_weight")).as("mean_log_weight"))
+    candidates
+      .groupBy(col("source")).agg(count(lit(1)).as("n_candidates"))
+      .join(selected, Seq("source"), "left")
+      .select(col("source"), col("n_candidates"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        (coalesce(col("n_selected"), lit(0L)).cast("double") /
+          col("n_candidates").cast("double")).as("selection_rate"),
+        col("mean_log_weight"))
+      .orderBy(desc("selection_rate"), asc("source"))
+  }
+
   /** Temperature-scaled source mixing at τ = 2 (sqrt temperature —
     * the standard flattening used to up-weight rare sources in
     * pre-training mixtures): target share ∝ √(observed token share),

@@ -708,6 +708,63 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("dsir resampling prefers target-like docs; one weight replays driver-exactly") {
+    import spark.implicits._
+    val B = 64
+    // target vocabulary {alpha..epsilon}, off-domain {zeta..kappa}
+    val tWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val rWords = Seq("zeta", "eta", "theta", "iota", "kappa")
+    def doc(ws: Seq[String], n: Int): String =
+      (0 until n).map(i => ws(i % ws.size)).mkString(" ")
+    val target = (1L to 6L).map(i => (i, "t", doc(tWords, 30))).toDF("doc_id", "source", "text")
+    val cands = Seq(
+      (101L, "a", doc(tWords, 24)),             // target-like
+      (102L, "a", doc(tWords.take(3), 24)),     // target-like, narrower
+      (103L, "b", doc(rWords, 24)),             // off-domain
+      (104L, "b", doc(rWords.reverse, 24)))     // off-domain
+      .toDF("doc_id", "source", "text")
+    val out = operators.TextAnalysis.sampleDsirFrom(target, cands, k = 4, numBuckets = B)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // target-like docs carry strictly higher log weights than off-domain
+    val lw = out.map { case (id, r) => id -> r.getAs[Double]("log_weight") }
+    assert(Seq(101L, 102L).map(lw).min > Seq(103L, 104L).map(lw).max, lw.toString)
+    // driver-exact replay of doc 101's weight: same buckets (via the
+    // same spark expression), same add-one LMs, same fold order
+    val bucketRows = target.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("w"), pmod(xxhash64(col("w")), lit(B.toLong)).cast("int").as("b"))
+      .distinct().collect().map(r => r.getAs[String]("w") -> r.getAs[Int]("b")).toMap
+    val candBuckets = cands.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("w"), pmod(xxhash64(col("w")), lit(B.toLong)).cast("int").as("b"))
+      .distinct().collect().map(r => r.getAs[String]("w") -> r.getAs[Int]("b")).toMap
+    val buckets = bucketRows ++ candBuckets
+    val tc = new Array[Long](B); val rc = new Array[Long](B)
+    target.select(col("text")).collect().foreach(_.getString(0).split("\\s+")
+      .foreach(w => tc(buckets(w)) += 1))
+    cands.select(col("text")).collect().foreach(_.getString(0).split("\\s+")
+      .foreach(w => rc(buckets(w)) += 1))
+    val (tn, rn) = (tc.sum + B, rc.sum + B)
+    val ratio = Array.tabulate(B)(b =>
+      math.log((tc(b) + 1).toDouble / tn) - math.log((rc(b) + 1).toDouble / rn))
+    val expected = doc(tWords, 24).split("\\s+").foldLeft(0.0)((a, w) => a + ratio(buckets(w)))
+    assert(out(101L).getAs[Double]("log_weight") == expected,
+      s"${out(101L).getAs[Double]("log_weight")} != $expected")
+    // determinism: a second run reproduces keys and order exactly
+    val again = operators.TextAnalysis.sampleDsirFrom(target, cands, k = 4, numBuckets = B)
+      .collect().map(_.toSeq).toSeq
+    assert(operators.TextAnalysis.sampleDsirFrom(target, cands, k = 4, numBuckets = B)
+      .collect().map(_.toSeq).toSeq == again)
+    // registry forms are sane at sf
+    val reg = operators.TextAnalysis.sampleDsir(spark, Sf, k = 50).collect()
+    assert(reg.length == 50 && reg.map(_.getAs[Long]("doc_id")).distinct.length == 50)
+    val shift = operators.TextAnalysis.dsirSourceShift(spark, Sf, k = 50).collect()
+    assert(shift.map(_.getAs[Long]("n_selected")).sum == 50L)
+    shift.foreach { r =>
+      val rate = r.getAs[Double]("selection_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_candidates"))
+    }
+  }
+
   test("temperature mixing flattens token shares toward the sqrt profile") {
     val rows = operators.TextAnalysis.sampleTemperature(spark, Sf).collect()
     assert(rows.length > 1)
