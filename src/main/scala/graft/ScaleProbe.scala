@@ -227,7 +227,9 @@ object ScaleProbe {
       // batch 18: index-side scan + two batch-bounded broadcasts
       "dedup_incremental_cdc",
       // batch 19: two B-row LM rollups + a narrow literal-fold scan
-      "sample_dsir", "dsir_source_shift")
+      "sample_dsir", "dsir_source_shift",
+      // batch 20: textPerplexity's fact pass + ≤16-row windows
+      "ppl_threshold_curve")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

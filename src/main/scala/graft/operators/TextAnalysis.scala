@@ -1162,27 +1162,45 @@ object TextAnalysis {
     counts
   }
 
-  def sampleDsirFrom(target: DataFrame, candidates: DataFrame, k: Int = 200,
-                     numBuckets: Int = 4096, seed: String = "s0"): DataFrame = {
+  /** Fit the B-double log-ratio table from a target seed and the
+    * candidate pool — the trainable half of DSIR, separated so it can
+    * persist as an artifact (`saveDsirModel`) and score streams. */
+  def trainDsirRatio(target: DataFrame, candidates: DataFrame,
+                     numBuckets: Int = 4096): Array[Double] = {
     val tc = dsirBucketCounts(target, numBuckets)
     val rc = dsirBucketCounts(candidates, numBuckets)
     val (tn, rn) = (tc.sum + numBuckets, rc.sum + numBuckets)
     // add-one smoothing: no bucket zeroes either LM, so the ratio is
     // finite everywhere — an unseen-in-target bucket penalizes, it
     // doesn't veto
-    val ratio = Array.tabulate(numBuckets) { b =>
+    Array.tabulate(numBuckets) { b =>
       math.log((tc(b) + 1).toDouble / tn) - math.log((rc(b) + 1).toDouble / rn)
     }
+  }
+
+  /** The shared scoring fold: log w(x) as a codegen'd narrow left
+    * fold of the doc's tokens against the ratio-table literal —
+    * batch sampling and the streaming admission gate score in
+    * IDENTICAL units through this one definition. */
+  def dsirLogWeightCol(ratio: Array[Double], text: Column): Column = {
     val ratioLit = typedLit(ratio.toIndexedSeq)
-    val bucketOf = (w: Column) => pmod(xxhash64(w), lit(numBuckets.toLong)).cast("int")
+    val bucketOf = (w: Column) => pmod(xxhash64(w), lit(ratio.length.toLong)).cast("int")
+    aggregate(tokens(text), lit(0.0),
+      (acc, w) => acc + element_at(ratioLit, bucketOf(w) + 1))
+  }
+
+  def sampleDsirFrom(target: DataFrame, candidates: DataFrame, k: Int = 200,
+                     numBuckets: Int = 4096, seed: String = "s0"): DataFrame =
+    sampleDsirWith(candidates, trainDsirRatio(target, candidates, numBuckets), k, seed)
+
+  /** Gumbel-top-k selection under an already-fitted ratio table. */
+  def sampleDsirWith(candidates: DataFrame, ratio: Array[Double], k: Int = 200,
+                     seed: String = "s0"): DataFrame =
     candidates
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+        dsirLogWeightCol(ratio, col("text")).as("log_weight"))
       .filter(col("n_tokens") > 0)
-      .withColumn("log_weight",
-        aggregate(col("toks"), lit(0.0),
-          (acc, w) => acc + element_at(ratioLit, bucketOf(w) + 1)))
-      .drop("toks")
       .withColumn("u",
         (conv(substring(md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))
             .cast("binary")), 1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0))
@@ -1190,6 +1208,37 @@ object TextAnalysis {
       .drop("u")
       .orderBy(desc("gumbel_key"), asc("doc_id"))
       .limit(k)
+
+  /** Order-canonical content fingerprint of a ratio table (bucket
+    * order, exact double bits). */
+  def dsirRatioFp(ratio: Array[Double]): String =
+    graft.sources.ArtifactManifest.fp(
+      "dsir_model:" + ratio.map(d =>
+        java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))).mkString(","))
+
+  /** Persist the fitted ratio table with its compatibility stamp (the
+    * saveBpeVocab lifecycle): selection thresholds tuned under one
+    * model are meaningless under another, so the gate refuses a
+    * swapped artifact rather than admitting with re-denominated
+    * scores. */
+  def saveDsirModel(spark: SparkSession, ratio: Array[Double], outPath: String,
+                    builtFrom: String): Unit = {
+    import spark.implicits._
+    ratio.zipWithIndex.map { case (r, b) => (b, r) }.toSeq
+      .toDF("bucket", "log_ratio").coalesce(1)
+      .write.mode("overwrite").parquet(outPath)
+    graft.sources.ArtifactManifest.write(outPath,
+      graft.sources.ArtifactManifest.Stamp("dsir_model", dsirRatioFp(ratio), builtFrom))
+  }
+
+  def loadDsirModel(spark: SparkSession, path: String): (Array[Double], String) = {
+    val rows = spark.read.parquet(path)
+      .select(col("bucket"), col("log_ratio")).collect() // ≤ B rows
+    val ratio = new Array[Double](rows.length)
+    rows.foreach(r => ratio(r.getAs[Int]("bucket")) = r.getAs[Double]("log_ratio"))
+    val fp = dsirRatioFp(ratio)
+    graft.sources.ArtifactManifest.verifyContent(path, "dsir_model", fp)
+    (ratio, fp)
   }
 
   /** The selection's per-source census — which domains DSIR favors:
@@ -2822,6 +2871,48 @@ object TextAnalysis {
         (sum(col("bits")) / sum(col("c")).cast("double")).as("bits_per_token"))
       .withColumn("perplexity", pow(lit(2.0), col("bits_per_token")))
       .orderBy("doc_id")
+  }
+
+  /** The tuning table for a PERPLEXITY cut — the CCNet-style "keep
+    * the model-familiar tail" filter's dial (the quality_threshold_
+    * curve pattern on the perplexity axis, completing the closure
+    * set): per candidate max-bits threshold t, the docs and token
+    * share `bits_per_token ≤ t` keeps. Perplexity filters cut from
+    * the HIGH side (gibberish and OCR noise score high; repetitive
+    * boilerplate scores low — read both ends before shipping a cut),
+    * so the curve is the PREFIX cumulative of the per-bit histogram.
+    * One ppl pass (textPerplexityFrom's fact shuffle) → ≤16-row
+    * histogram → windows over ≤16 rows + a 1-row broadcast total.
+    * rows-only (log2). */
+  def pplThresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    pplThresholdCurveFrom(textPerplexityFrom(Tables.documents(spark, dir)))
+
+  private[graft] def pplThresholdCurveFrom(ppl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark2 = ppl.sparkSession
+    import spark2.implicits._
+    val hist = ppl
+      .select(least(floor(col("bits_per_token")).cast("int"), lit(15)).as("b"),
+        col("n_tokens"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).cast("bigint").as("toks"))
+    val filled = (0 to 15).toDF("b").join(hist, Seq("b"), "left")
+      .select(col("b"), coalesce(col("docs"), lit(0L)).as("docs"),
+        coalesce(col("toks"), lit(0L)).as("toks"))
+    val wPrefix = Window.orderBy(asc("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = filled.agg(sum(col("docs")).as("n_docs"), sum(col("toks")).as("n_toks"))
+    filled.crossJoin(broadcast(total))
+      .withColumn("surviving_docs", sum(col("docs")).over(wPrefix))
+      .withColumn("surviving_tokens", sum(col("toks")).over(wPrefix))
+      .select((col("b") + 1).cast("int").as("max_bits"),
+        col("surviving_docs"),
+        (col("surviving_docs").cast("double") / col("n_docs").cast("double") * 100)
+          .as("doc_pct"),
+        col("surviving_tokens"),
+        (col("surviving_tokens").cast("double") / col("n_toks").cast("double") * 100)
+          .as("token_pct"))
+      .orderBy("max_bits")
   }
 
   /** Per-doc BIGRAM cross-entropy (bits per bigram position) against

@@ -71,6 +71,28 @@ object DocStream {
       .filter(col("quality_p") >= minP)
   }
 
+  /** Domain-resemblance ingest gate with the PERSISTED DSIR model
+    * (`TextAnalysis.saveDsirModel` — fit once against the target
+    * seed, ship the ratio table): each doc scores through the SAME
+    * `dsirLogWeightCol` fold batch selection uses, so live admission
+    * and nightly resampling judge content in identical units. The
+    * gate cuts on log weight PER TOKEN (a stream sees unbounded
+    * lengths — the raw sum would admit any long doc with a few
+    * on-domain tokens and reject short on-domain ones); survivors
+    * carry both columns for downstream selection. Pure stateless
+    * narrow projection — the ratio table rides the plan as one array
+    * literal, nothing joins, nothing shuffles. */
+  def dsirGatedDocs(docs: DataFrame, ratio: Array[Double],
+      minLwPerToken: Double = 0.0): DataFrame =
+    docs
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), "\\s+")).cast("bigint"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("log_weight", TextAnalysis.dsirLogWeightCol(ratio, col("text")))
+      .withColumn("lw_per_token",
+        col("log_weight") / col("n_tokens").cast("double"))
+      .filter(col("lw_per_token") >= minLwPerToken)
+
   /** Live token-budget accounting with the PERSISTED BPE artifact
     * (`TextAnalysis.loadBpeVocab` — train once, ship the merge table):
     * each micro-batch's docs are tokenized with the SAME merge chain

@@ -1414,4 +1414,43 @@ class StreamingSpec extends SparkSpec {
     }
     assert(mixed.getMessage.contains("not comparable units"), mixed.getMessage)
   }
+
+  test("dsir ingest gate: persisted model admits target-like docs in batch-identical units") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, String, String, String)]
+    import spark.implicits._
+    val B = 64
+    val tWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val rWords = Seq("zeta", "eta", "theta", "iota", "kappa")
+    def doc(ws: Seq[String], n: Int): String = (0 until n).map(i => ws(i % ws.size)).mkString(" ")
+    val target = (1L to 6L).map(i => (i, "t", doc(tWords, 30))).toDF("doc_id", "source", "text")
+    val pool = Seq((101L, "a", doc(tWords, 24)), (103L, "b", doc(rWords, 24)))
+      .toDF("doc_id", "source", "text")
+    val ratio = TextAnalysis.trainDsirRatio(target, pool, numBuckets = B)
+    // artifact round-trip: stamped save/load reproduces the table
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString + "/model"
+    TextAnalysis.saveDsirModel(spark, ratio, dir, builtFrom = "documents:test")
+    val (loaded, fp) = TextAnalysis.loadDsirModel(spark, dir)
+    assert(loaded.toSeq == ratio.toSeq && fp == TextAnalysis.dsirRatioFp(ratio))
+    graft.sources.ArtifactManifest.write(dir,
+      graft.sources.ArtifactManifest.Stamp("dsir_model", "deadbeef", "x"))
+    intercept[IllegalStateException] { TextAnalysis.loadDsirModel(spark, dir) }
+    // the stream gate admits the target-like doc, drops the off-domain
+    // one, and scores in BATCH-identical units (same fold definition)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData((101L, base, "en", "a", doc(tWords, 24)),
+      (103L, base, "en", "b", doc(rWords, 24)))
+    val gated = DocStream.dsirGatedDocs(
+      mem.toDF.toDF("doc_id", "ts", "lang", "source", "text"), loaded)
+    val sink = gated.writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try sink.processAllAvailable() finally sink.stop()
+    val admitted = spark.table("dsir_gate").collect()
+    assert(admitted.map(_.getAs[Long]("doc_id")).toSet == Set(101L))
+    val batchScores = TextAnalysis.sampleDsirWith(pool, ratio, k = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    assert(admitted.head.getAs[Double]("log_weight") == batchScores(101L))
+  }
 }

@@ -765,6 +765,38 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("ppl threshold curve: prefix-cumulative survival, monotone, full cut keeps all") {
+    import spark.implicits._
+    // three docs at known entropy bands: repetitive (low bits),
+    // mixed, diverse (high bits) — the curve must admit them in order
+    val docs = Seq(
+      (1L, Seq.fill(30)("aa").mkString(" ")),
+      (2L, (1 to 15).map(i => s"w$i").mkString(" ") + " " + Seq.fill(15)("aa").mkString(" ")),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val ppl = operators.TextAnalysis.textPerplexityFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bits_per_token")).toMap
+    assert(ppl(1L) < ppl(2L) && ppl(2L) < ppl(3L))
+    val curve = operators.TextAnalysis.pplThresholdCurveFrom(
+      operators.TextAnalysis.textPerplexityFrom(docs)).collect()
+    assert(curve.length == 16)
+    // monotone non-decreasing survival; the full cut keeps everything
+    curve.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("surviving_docs") <= b.getAs[Long]("surviving_docs"))
+      case _ =>
+    }
+    assert(curve.last.getAs[Long]("surviving_docs") == 3L)
+    assert(curve.last.getAs[Double]("doc_pct") == 100.0)
+    // the cut at each doc's own band admits exactly the docs below it
+    val cutAt = (bits: Double) => curve
+      .find(_.getAs[Int]("max_bits") == math.floor(bits).toInt + 1).get
+      .getAs[Long]("surviving_docs")
+    assert(cutAt(ppl(1L)) >= 1L && cutAt(ppl(3L)) == 3L)
+    // registry form: sane at sf
+    val reg = operators.TextAnalysis.pplThresholdCurve(spark, Sf).collect()
+    assert(reg.length == 16 && reg.last.getAs[Double]("token_pct") == 100.0)
+  }
+
   test("temperature mixing flattens token shares toward the sqrt profile") {
     val rows = operators.TextAnalysis.sampleTemperature(spark, Sf).collect()
     assert(rows.length > 1)
