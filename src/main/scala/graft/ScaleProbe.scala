@@ -229,7 +229,9 @@ object ScaleProbe {
       // batch 19: two B-row LM rollups + a narrow literal-fold scan
       "sample_dsir", "dsir_source_shift",
       // batch 20: textPerplexity's fact pass + ≤16-row windows
-      "ppl_threshold_curve")
+      "ppl_threshold_curve",
+      // batch 21: one (product,user) exchange; one orderkey join
+      "product_repeat_rate", "priority_shipping")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

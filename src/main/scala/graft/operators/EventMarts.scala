@@ -293,6 +293,60 @@ object EventMarts {
       .orderBy(desc("revenue"), asc("product_k"))
       .limit(topN)
 
+  /** Per-product repeat-purchase rate — replenishment products vs
+    * one-shot buys (the merchandising split `purchase_intervals`'
+    * user-grain cadence and `product_top_n`'s volume ranking both
+    * miss): per product, distinct purchasers, the share who bought it
+    * ≥ 2 times, and purchases per purchaser.
+    *
+    * Scale shape: the de-Expand form — a (product, user) purchase
+    * pre-aggregate (one map-combined exchange; no countDistinct
+    * Expand), then a plain product rollup; exact longs until the two
+    * final IEEE divisions. Ties in the rate ordering break on
+    * product_k so the presentation order is deterministic in both
+    * engines. */
+  def productRepeatRate(spark: SparkSession, dir: String): DataFrame =
+    productRepeatRateFrom(enriched(spark, dir))
+
+  def productRepeatRateFrom(e: DataFrame): DataFrame =
+    e.filter(col("product_k").isNotNull && col("event_type") === "purchase")
+      .groupBy(col("product_k"), col("user_id"))
+      .agg(count(lit(1)).as("user_purchases"))
+      .groupBy(col("product_k"))
+      .agg(
+        count(lit(1)).as("n_purchasers"),
+        sum(when(col("user_purchases") >= 2, 1L).otherwise(0L)).as("repeat_purchasers"),
+        sum(col("user_purchases")).cast("bigint").as("n_purchases"))
+      .select(col("product_k"), col("n_purchasers"), col("repeat_purchasers"),
+        col("n_purchases"),
+        (col("repeat_purchasers").cast("double") / col("n_purchasers").cast("double"))
+          .as("repeat_rate"),
+        (col("n_purchases").cast("double") / col("n_purchasers").cast("double"))
+          .as("purchases_per_purchaser"))
+      .orderBy(desc("repeat_rate"), asc("product_k"))
+
+  val productRepeatRateSql: String =
+    """WITH pu AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS product_k,
+      |    user_id, COUNT(*) AS user_purchases
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |    AND event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT product_k,
+      |  COUNT(*) AS n_purchasers,
+      |  CAST(SUM(CASE WHEN user_purchases >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS repeat_purchasers,
+      |  CAST(SUM(user_purchases) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN user_purchases >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS repeat_rate,
+      |  CAST(SUM(user_purchases) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS purchases_per_purchaser
+      |FROM pu
+      |GROUP BY product_k
+      |ORDER BY repeat_rate DESC, product_k ASC""".stripMargin
+
   /** productTopN over the STREAM-built product-count log (see
     * streaming.EventStream.productCounts/productLogSink): the stream
     * appends finalized (window, product, event_type) partial counts +

@@ -1264,6 +1264,56 @@ object Relational {
   def orderBacklog(spark: SparkSession, dir: String): DataFrame =
     orderBacklogFrom(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
 
+  /** Shipping latency by ORDER PRIORITY — does priority actually
+    * expedite fulfilment (the operational check q4's count census
+    * can't make): per o_orderpriority, line count, mean ship days and
+    * the >30-day late share. An inverted table (URGENT slower than
+    * LOW) is a routing bug upstream systems read off this mart.
+    *
+    * Scale shape: same one orderkey-join as `shipping_latency` (the
+    * priority column rides the orders side), rollup to ≤5 rows —
+    * exact long sums until the two final IEEE divisions, so the
+    * oracle hash holds. */
+  def priorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lat"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("lines"),
+        sum(col("lat")).cast("bigint").as("total_days"),
+        sum(when(col("lat") > 30, 1L).otherwise(0L)).as("late_lines"),
+        max(col("lat")).cast("int").as("max_days"))
+      .select(col("o_orderpriority"), col("lines"),
+        (col("total_days").cast("double") / col("lines").cast("double")).as("mean_days"),
+        (col("late_lines").cast("double") / col("lines").cast("double")).as("late_share"),
+        col("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  val priorityShippingSql: String =
+    """WITH lat AS (
+      |  SELECT o_orderpriority,
+      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+      |)
+      |SELECT o_orderpriority,
+      |  COUNT(*) AS lines,
+      |  CAST(SUM(lat) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_days,
+      |  CAST(SUM(CASE WHEN lat > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS late_share,
+      |  CAST(MAX(lat) AS INT) AS max_days
+      |FROM lat
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def orderBacklogFrom(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val placed = lineitem

@@ -4,6 +4,22 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 
 class RelationalSpec extends SparkSpec {
+  test("priority shipping: per-priority means reconcile against the month mart's total") {
+    val rows = Relational.priorityShipping(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("late_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("mean_days") <= r.getAs[Int]("max_days").toDouble)
+    }
+    // line totals across priorities equal the month mart's line total
+    // (same join, different dimension — the two marts must agree)
+    val byPriority = rows.map(_.getAs[Long]("lines")).sum
+    val byMonth = Relational.shippingLatency(spark, Sf).collect()
+      .map(_.getAs[Long]("lines")).sum
+    assert(byPriority == byMonth)
+  }
+
   test("q1 groups cover every (returnflag, linestatus) and counts add up") {
     val q1 = Relational.q1PricingSummary(spark, Sf).collect()
     assert(q1.nonEmpty)
@@ -481,6 +497,41 @@ class SkewSpec extends SparkSpec {
 }
 
 class EventMartsSpec extends SparkSpec {
+  test("product repeat rate: planted purchase histories count exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    // product 1: u1 buys twice, u2 once → 2 purchasers, 1 repeat
+    // product 2: u3 buys three times → 1 purchaser, 1 repeat
+    // product 3: u1 buys once → no repeats; views never count
+    val e = Seq(
+      (1L, t, 1L, "purchase", 5.0, """{"k": 1}"""),
+      (2L, t, 1L, "purchase", 5.0, """{"k": 1}"""),
+      (3L, t, 2L, "purchase", 5.0, """{"k": 1}"""),
+      (4L, t, 3L, "purchase", 5.0, """{"k": 2}"""),
+      (5L, t, 3L, "purchase", 5.0, """{"k": 2}"""),
+      (6L, t, 3L, "purchase", 5.0, """{"k": 2}"""),
+      (7L, t, 1L, "purchase", 5.0, """{"k": 3}"""),
+      (8L, t, 9L, "view", 0.0, """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("product_k",
+        get_json_object(col("props"), "$.k").cast("int"))
+    val rows = EventMarts.productRepeatRateFrom(e).collect()
+      .map(r => r.getAs[Int]("product_k") -> r).toMap
+    assert(rows(1).getAs[Long]("n_purchasers") == 2L &&
+      rows(1).getAs[Long]("repeat_purchasers") == 1L &&
+      rows(1).getAs[Double]("repeat_rate") == 0.5 &&
+      rows(1).getAs[Double]("purchases_per_purchaser") == 1.5)
+    assert(rows(2).getAs[Double]("repeat_rate") == 1.0 &&
+      rows(2).getAs[Long]("n_purchases") == 3L)
+    assert(rows(3).getAs[Long]("repeat_purchasers") == 0L &&
+      rows(3).getAs[Long]("n_purchasers") == 1L)
+    // ordering: repeat_rate desc, then product_k
+    val order = EventMarts.productRepeatRateFrom(e).collect()
+      .map(_.getAs[Int]("product_k")).toSeq
+    assert(order == Seq(2, 1, 3))
+  }
+
   test("mart_user_daily per-type counts sum to event_count") {
     val bad = EventMarts.martUserDaily(spark, Sf)
       .filter(col("view_count") + col("click_count") + col("purchase_count") +
