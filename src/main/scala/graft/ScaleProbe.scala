@@ -231,7 +231,10 @@ object ScaleProbe {
       // batch 20: textPerplexity's fact pass + ≤16-row windows
       "ppl_threshold_curve",
       // batch 21: one (product,user) exchange; one orderkey join
-      "product_repeat_rate", "priority_shipping")
+      "product_repeat_rate", "priority_shipping",
+      // batch 22: (hash,source) self-join fan-out ≤ |sources| per
+      // hash; the norm census is a narrow fold + |bins| rollup
+      "dedup_cross_source", "embedding_norm_census")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -605,6 +605,44 @@ object Dedup {
       |  AND NOT EXISTS (SELECT 1 FROM existing WHERE existing.h = incoming.h)
       |ORDER BY doc_id""".stripMargin
 
+  /** Cross-source content-overlap matrix — syndication/mirror
+    * detection at the SOURCE grain (which feeds republish each
+    * other's pages): per source pair, the count of distinct contents
+    * (exact md5) present in BOTH; diagonal rows carry each source's
+    * own distinct-content count — the normalizing denominator, so an
+    * overlap coefficient is one division downstream and the matrix is
+    * never empty on a dup-free corpus. A pair with high overlap means
+    * one side is redundant: drop it from the crawl budget BEFORE
+    * paying per-doc dedup on it.
+    *
+    * Scale shape: the (hash, source) DISTINCT frame is ≤ corpus-sized
+    * and the self-join's per-hash fan-out is bounded by |sources| (a
+    * content in s sources contributes ≤ s(s+1)/2 pairs — never a
+    * quadratic doc blow-up); output ≤ |sources|² rows. */
+  def crossSource(spark: SparkSession, dir: String): DataFrame =
+    crossSourceFrom(Tables.documents(spark, dir))
+
+  def crossSourceFrom(docs: DataFrame): DataFrame = {
+    val hs = docs
+      .select(md5(col("text").cast("binary")).as("h"), col("source"))
+      .distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_contents"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val crossSourceSql: String =
+    """WITH hs AS (
+      |  SELECT DISTINCT md5(text) AS h, source FROM documents
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  COUNT(*) AS shared_contents
+      |FROM hs a JOIN hs b ON a.h = b.h AND a.source <= b.source
+      |GROUP BY 1, 2
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ---- content-defined chunk index + incremental containment ----
 
   /** The corpus's chunk-grain fingerprint set: DISTINCT

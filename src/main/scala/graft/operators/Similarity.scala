@@ -1593,6 +1593,50 @@ object Similarity {
     * Scale shape: posexplode to (row × dim) then ONE map-combined
     * rollup to |dims| rows — partials are fixed-state per dim, no
     * vector ever crosses the shuffle whole. */
+  /** Per-VECTOR norm census on fixed quarter-unit bins — the
+    * unnormalized-batch detector (`embedding_dim_stats` reads
+    * per-DIMENSION health; this reads per-vector magnitude: a batch
+    * encoded without L2 normalization, or through the wrong
+    * pooling, lands in different norm bins than the corpus and
+    * poisons cosine-vs-dot assumptions downstream). ZERO shuffle on
+    * vector content: the squared-sum is a codegen'd left fold inside
+    * each row, sqrt is IEEE-correctly-rounded, bins are fixed
+    * power-free quarters (comparable across runs, the histogram
+    * rule), and only (int bin, count) crosses the one rollup
+    * exchange. Oracle-exact because the DuckDB side folds with
+    * list_reduce in the same left-to-right order — both engines
+    * compute bit-identical norms. */
+  def embeddingNormCensus(spark: SparkSession, dir: String): DataFrame =
+    embeddingNormCensusFrom(Tables.embeddings(spark, dir))
+
+  def embeddingNormCensusFrom(e: DataFrame): DataFrame = {
+    val ss = aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    val binned = e
+      .select(least(floor(sqrt(ss) * 4).cast("int"), lit(40)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_vectors"))
+    val total = binned.agg(sum(col("n_vectors")).as("n_total"))
+    binned.crossJoin(broadcast(total))
+      .select(col("bin"),
+        (col("bin").cast("double") / 4.0).as("norm_lo"),
+        col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total").cast("double")).as("share"))
+      .orderBy("bin")
+  }
+
+  val embeddingNormCensusSql: String =
+    """WITH n AS (
+      |  SELECT LEAST(CAST(FLOOR(SQRT(list_reduce(
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |      (a, b) -> a + b)) * 4) AS INT), 40) AS bin
+      |  FROM embeddings
+      |), h AS (
+      |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM n GROUP BY bin
+      |)
+      |SELECT CAST(bin AS INT) AS bin, CAST(bin AS DOUBLE) / 4.0 AS norm_lo, n_vectors,
+      |  CAST(n_vectors AS DOUBLE) / CAST(SUM(n_vectors) OVER () AS DOUBLE) AS share
+      |FROM h ORDER BY bin""".stripMargin
+
   def embeddingDimStats(spark: SparkSession, dir: String): DataFrame =
     embeddingDimStatsFrom(Tables.embeddings(spark, dir))
 

@@ -1620,6 +1620,30 @@ class DedupSpec extends SparkSpec {
       s"missed planted dups: ${plantedSources -- plantedHits}")
   }
 
+  test("cross-source overlap matrix: planted syndication counts exactly, diagonal normalizes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "shared wire story"),
+      (2L, "s2", "shared wire story"),   // syndicated into s2
+      (3L, "s2", "shared wire story"),   // twice — distinct collapses it
+      (4L, "s1", "s1 exclusive"),
+      (5L, "s2", "s2 exclusive"),
+      (6L, "s3", "s3 exclusive")).toDF("doc_id", "source", "text")
+    val m = Dedup.crossSourceFrom(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("shared_contents")).toMap
+    assert(m(("s1", "s2")) == 1L)            // the one syndicated content
+    assert(m(("s1", "s1")) == 2L)            // diagonal = distinct contents
+    assert(m(("s2", "s2")) == 2L)            // dup within s2 collapsed
+    assert(m(("s3", "s3")) == 1L)
+    assert(!m.contains(("s1", "s3")) && !m.contains(("s2", "s3")))
+    // sf census: diagonal present for every source, symmetric halves absent
+    val reg = Dedup.crossSource(spark, Sf).collect()
+    val srcs = Tables.documents(spark, Sf).select("source").distinct().count()
+    assert(reg.count(r => r.getAs[String]("source_a") == r.getAs[String]("source_b")) == srcs)
+    reg.foreach(r => assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b")))
+  }
+
   test("incremental cdc containment: copy reads 1.0, revision high, fresh text zero") {
     import spark.implicits._
     def lcgWords(seed: Long, n: Int): String = {
@@ -1939,6 +1963,28 @@ class HashExpressionsSpec extends SparkSpec {
 }
 
 class SimilaritySpec extends SparkSpec {
+  test("embedding norm census: planted norms land in exact bins, shares sum to one") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),                // norm 1.0   → bin 4
+      (2L, Array(0.6f, 0.8f)),                // norm 1.0   → bin 4
+      (3L, Array(0.3f, 0.4f)),                // norm 0.5   → bin 2
+      (4L, Array(30.0f, 40.0f)),              // norm 50 → capped bin 40
+      (5L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding") // norm 0 → bin 0
+    val rows = Similarity.embeddingNormCensusFrom(e).collect()
+      .map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(rows.keySet == Set(0, 2, 4, 40))
+    assert(rows(4).getAs[Long]("n_vectors") == 2L &&
+      rows(4).getAs[Double]("share") == 0.4)
+    assert(rows(2).getAs[Double]("norm_lo") == 0.5)
+    assert(rows(40).getAs[Long]("n_vectors") == 1L)
+    assert(rows.values.map(_.getAs[Double]("share")).sum == 1.0)
+    // sf: a healthy synthetic corpus is unit-ish — bins cover all rows
+    val reg = Similarity.embeddingNormCensus(spark, Sf).collect()
+    assert(reg.map(_.getAs[Long]("n_vectors")).sum ==
+      Tables.embeddings(spark, Sf).count())
+  }
+
   test("brute-force top-k returns k ranked rows per query, sims in [-1,1]") {
     val rows = Similarity.bruteForceTopK(spark, Sf, numQueries = 5, k = 3).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
