@@ -100,6 +100,11 @@ class PlanAuditSpec extends SparkSpec {
     // traffic_forecast shape); product_rank_shift rides the 1-row
     // broadcast epoch midpoint onto the fact scan (the ab_cuped shape)
     "ab_cuped_stratified", "forecast_backtest", "product_rank_shift",
+    // ppl_threshold_curve crosses its ≤16-row histogram with the
+    // ONE-ROW broadcast doc/token totals; embedding_norm_census
+    // crosses its ≤41-row bin frame with the ONE-ROW vector total —
+    // both the scalar-subquery pattern
+    "ppl_threshold_curve", "embedding_norm_census",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")
