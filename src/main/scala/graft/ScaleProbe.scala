@@ -234,7 +234,9 @@ object ScaleProbe {
       "product_repeat_rate", "priority_shipping",
       // batch 22: (hash,source) self-join fan-out ≤ |sources| per
       // hash; the norm census is a narrow fold + |bins| rollup
-      "dedup_cross_source", "embedding_norm_census")
+      "dedup_cross_source", "embedding_norm_census",
+      // batch 23: one map-combined rollup to ≤11 band rows
+      "discount_uplift")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

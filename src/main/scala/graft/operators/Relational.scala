@@ -1314,6 +1314,58 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Discount-effectiveness table — does a deeper discount actually
+    * move volume (the pricing read q19's revenue filter and q6's
+    * what-if can't give): per discount percentage band, line count,
+    * mean quantity, gross and discounted revenue, and the realized
+    * revenue give-up share. A flat mean-quantity column across bands
+    * says discounts are burning margin without lifting baskets.
+    *
+    * Scale shape: ONE map-side-combined rollup of the bare lineitem
+    * scan to ≤ 11 band rows; quantities/revenues sum as exact
+    * decimals, divisions happen once per band row. The band key
+    * `round(l_discount×100)` is exact in both engines (discounts are
+    * hundredths; round is half-away-from-zero for positives in
+    * both). */
+  def discountUplift(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(round(col("l_discount") * 100).cast("int").as("discount_pct"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(12,2)")).as("give_up"))
+      .groupBy(col("discount_pct"))
+      .agg(count(lit(1)).as("lines"),
+        sum(col("qty")).as("total_qty"),
+        sum(col("price")).as("gross_revenue"),
+        sum(col("give_up")).as("discount_given"))
+      .select(col("discount_pct"), col("lines"),
+        (col("total_qty").cast("double") / col("lines").cast("double"))
+          .as("mean_quantity"),
+        col("gross_revenue").cast("double").as("gross_revenue"),
+        col("discount_given").cast("double").as("discount_given"),
+        (col("discount_given").cast("double") /
+          col("gross_revenue").cast("double")).as("give_up_share"))
+      .orderBy("discount_pct")
+
+  val discountUpliftSql: String =
+    """WITH b AS (
+      |  SELECT CAST(ROUND(l_discount * 100) AS INT) AS discount_pct,
+      |    CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(l_discount AS DECIMAL(12,2)) AS give_up
+      |  FROM lineitem
+      |)
+      |SELECT discount_pct, COUNT(*) AS lines,
+      |  CAST(SUM(qty) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_quantity,
+      |  CAST(SUM(price) AS DOUBLE) AS gross_revenue,
+      |  CAST(SUM(give_up) AS DOUBLE) AS discount_given,
+      |  CAST(SUM(give_up) AS DOUBLE) / CAST(SUM(price) AS DOUBLE) AS give_up_share
+      |FROM b
+      |GROUP BY discount_pct
+      |ORDER BY discount_pct""".stripMargin
+
   def orderBacklogFrom(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val placed = lineitem

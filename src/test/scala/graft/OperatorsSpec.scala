@@ -4,6 +4,23 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 
 class RelationalSpec extends SparkSpec {
+  test("discount uplift: bands partition every line, revenue reconciles as decimal") {
+    val rows = Relational.discountUplift(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 11)
+    rows.foreach { r =>
+      val pct = r.getAs[Int]("discount_pct")
+      assert(pct >= 0 && pct <= 10)
+      val gus = r.getAs[Double]("give_up_share")
+      // the band's realized give-up share is the band's own rate
+      assert(math.abs(gus - pct / 100.0) < 1e-9, s"band $pct share $gus")
+    }
+    assert(rows.map(_.getAs[Long]("lines")).sum == Tables.lineitem(spark, Sf).count())
+    val gross = Tables.lineitem(spark, Sf)
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(rows.map(_.getAs[Double]("gross_revenue")).sum == gross)
+  }
+
   test("priority shipping: per-priority means reconcile against the month mart's total") {
     val rows = Relational.priorityShipping(spark, Sf).collect()
     assert(rows.nonEmpty && rows.length <= 5)

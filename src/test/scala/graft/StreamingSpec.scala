@@ -1415,6 +1415,43 @@ class StreamingSpec extends SparkSpec {
     assert(mixed.getMessage.contains("not comparable units"), mixed.getMessage)
   }
 
+  test("norm log sink: an unnormalized deploy flags on total-variation, quiet batches don't") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Array[Float])]
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Array[Float])]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // one-hot unit vectors: norm is EXACTLY 1.0, so the bin is exact
+    // (a float-normalized random vector sits ±ulps around 1.0 and
+    // could straddle the 4.0 boundary)
+    def unit(seed: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d == seed % 8) 1.0f else 0.0f)
+    val log = java.nio.file.Files.createTempDirectory("graft_nlog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nckpt").toString
+    val q = EmbeddingStream.normLogSink(
+      mem.toDF.toDF("vec_id", "ts", "embedding"), log, ckpt)
+    try {
+      // batches 0+1: healthy unit vectors; batch 2: the un-L2'd deploy
+      mem.addData((1L to 20L).map(i => (i, base, unit(i.toInt))): _*)
+      q.processAllAvailable()
+      mem.addData((21L to 40L).map(i => (i, base, unit(i.toInt))): _*)
+      q.processAllAvailable()
+      mem.addData((41L to 60L).map(i => (i, base, unit(i.toInt).map(_ * 50f))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshByPath(log)
+    val drift = EmbeddingStream.normDriftFromLog(spark, log).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(drift.keySet == Set(0L, 1L, 2L))
+    // batch 0 has no predecessor: NULL distance, no flag
+    assert(drift(0L).isNullAt(drift(0L).fieldIndex("tv_distance")) &&
+      !drift(0L).getAs[Boolean]("drift_flag"))
+    // identical-bin batches are quiet; the x50 deploy moves ALL mass
+    assert(drift(1L).getAs[Double]("tv_distance") == 0.0 &&
+      !drift(1L).getAs[Boolean]("drift_flag"))
+    assert(drift(2L).getAs[Double]("tv_distance") == 1.0 &&
+      drift(2L).getAs[Boolean]("drift_flag"))
+  }
+
   test("dsir ingest gate: persisted model admits target-like docs in batch-identical units") {
     import graft.operators.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
