@@ -289,7 +289,13 @@ object ScaleProbe {
         // the co-view graph densifies with corpus scale, so confirm
         // the 10× sub-linear factors bend rather than grow
         "graph_components", "graph_kcore", "graph_assortativity",
-        "graph_degree_census")
+        "graph_degree_census",
+        // round-9 closing: the new scan shapes — does the CDC
+        // containment stay flat as the INDEX side grows 100×; does
+        // the DSIR B-row rollup hold its near-flat curve; does the
+        // cross-source hash self-join stay |sources|²-bounded under
+        // disjoint replicas
+        "dedup_incremental_cdc", "sample_dsir", "dedup_cross_source")
       steepest.filter(n => only.forall(_.contains(n))).foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min

@@ -699,6 +699,35 @@ object Dedup {
     (idx, fp)
   }
 
+  /** Absorb a batch into the chunk index — the maintenance half of
+    * the incremental contract (build-once indexes go stale the moment
+    * ingest admits a doc; re-crawls of ADMITTED content must read 1.0
+    * next time, which only an appended index can deliver): the
+    * batch's NOVEL chunk keys append to the index files, the manifest
+    * re-stamps. The index is never rewritten — an append is
+    * batch-sized however big the corpus, and novelty is decided
+    * without reshuffling the index (semi-join under the broadcast
+    * batch keys marks the KNOWN keys; novel = batch − known, an
+    * except between two batch-bounded frames). Returns (novel-chunk
+    * count, new fingerprint); zero novel chunks appends nothing and
+    * leaves the fingerprint unchanged — absorbing the same batch
+    * twice is a no-op, which makes replay safe. */
+  def appendChunkIndex(spark: SparkSession, admitted: DataFrame,
+      indexPath: String, builtFrom: String): (Long, String) = {
+    val (idx, _) = loadChunkIndex(spark, indexPath)
+    val batchKeys = chunkIndexFrom(spark, admitted).localCheckpoint()
+    val known = idx.join(broadcast(batchKeys), Seq("chunk_hash", "chunk_chars"), "leftsemi")
+    val novel = batchKeys.except(known).localCheckpoint()
+    val n = novel.count()
+    if (n > 0) {
+      novel.coalesce(1).write.mode("append").parquet(indexPath)
+      val fp = chunkIndexFp(spark.read.parquet(indexPath))
+      graft.sources.ArtifactManifest.write(indexPath,
+        graft.sources.ArtifactManifest.Stamp("cdc_chunk_index", fp, builtFrom))
+      (n, fp)
+    } else (0L, chunkIndexFp(idx))
+  }
+
   /** Incremental re-crawl/revision detection by CDC chunk CONTAINMENT:
     * per incoming document, what fraction of its characters sit in
     * chunks the existing corpus already has. An exact re-crawl reads

@@ -124,4 +124,38 @@ object IndexMaintenance {
       Similarity.saveIvfPqIndexFrom(corpus, indexPath, nlist, m, ksub, iters)
     MaintainResult(d, d.retrain)
   }
+
+  /** The maintenance tick with the ENCODER-side trigger composed in:
+    * an un-L2'd deploy or a pooling change corrupts the feed BEFORE
+    * the index's own occupancy/error statistics accumulate enough
+    * drifted mass to fire — the live norm watch
+    * (`EmbeddingStream.normLogSink`) sees it within one micro-batch.
+    * Trigger = the index's own (occupancy-TV OR err-ratio) OR the
+    * norm log's LATEST batch flagging at `normTv` — one loop for
+    * index drift and encoder drift, so the two alarms can't be
+    * triaged separately into inaction. An absent or still-empty norm
+    * log contributes nothing (the dir is probed for parquet files
+    * FIRST — a corrupted log still fails loudly rather than reading
+    * as "no drift"). */
+  def maintainWithNormLog(corpus: DataFrame, indexPath: String, normLogDir: String,
+      threshold: Double = 0.2, errFactor: Double = 2.0, normTv: Double = 0.25,
+      nlist: Int = 10, m: Int = 8, ksub: Int = 16, iters: Int = 2): MaintainResult = {
+    val spark = corpus.sparkSession
+    def hasParquet(d: String): Boolean = {
+      val root = new java.io.File(d)
+      def walk(f: java.io.File): Boolean =
+        if (f.isDirectory) Option(f.listFiles()).exists(_.exists(walk))
+        else f.getName.endsWith(".parquet")
+      root.exists() && walk(root)
+    }
+    val encoderDrift = hasParquet(normLogDir) &&
+      graft.streaming.EmbeddingStream.normDriftFromLog(spark, normLogDir, normTv)
+        .orderBy(org.apache.spark.sql.functions.desc("batch_id")).limit(1)
+        .collect().exists(_.getAs[Boolean]("drift_flag"))
+    val d0 = drift(spark, indexPath, threshold, errFactor)
+    val d = d0.copy(retrain = d0.retrain || encoderDrift)
+    if (d.retrain)
+      Similarity.saveIvfPqIndexFrom(corpus, indexPath, nlist, m, ksub, iters)
+    MaintainResult(d, d.retrain)
+  }
 }

@@ -1684,6 +1684,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("chunk index absorb: appended batch serves 1.0 on re-crawl; replay is a no-op") {
+    import spark.implicits._
+    def lcgWords(seed: Long, n: Int): String = {
+      var x = seed
+      (1 to n).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "w" + java.lang.Long.toHexString(x >>> 40)
+      }.mkString(" ")
+    }
+    val corpus = Seq((1L, lcgWords(41L, 300))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_absorb").toString + "/idx"
+    Dedup.saveChunkIndex(spark, corpus, dir, builtFrom = "documents:b0")
+    val (_, fp0) = Dedup.loadChunkIndex(spark, dir)
+    // a new batch reads 0.0 against the stale index...
+    val batch = Seq((2L, lcgWords(42L, 300))).toDF("doc_id", "text")
+    val before = Dedup.incrementalCdcFrom(spark,
+      batch, Dedup.loadChunkIndex(spark, dir)._1).collect().head
+    assert(before.getAs[Double]("containment") == 0.0)
+    // ...absorb it: novel chunks append, the stamp moves
+    val (n1, fp1) = Dedup.appendChunkIndex(spark, batch, dir, "documents:b1")
+    assert(n1 > 0 && fp1 != fp0)
+    // the re-crawl of the ABSORBED content now reads 1.0 through the
+    // verified loader (stamp and content agree after the append)
+    val recrawl = Seq((9L, lcgWords(42L, 300))).toDF("doc_id", "text")
+    val (idx1, loadedFp) = Dedup.loadChunkIndex(spark, dir)
+    assert(loadedFp == fp1)
+    val after = Dedup.incrementalCdcFrom(spark, recrawl, idx1).collect().head
+    assert(after.getAs[Double]("containment") == 1.0 &&
+      after.getAs[Boolean]("is_revision"))
+    // replaying the same batch absorbs nothing and keeps the stamp
+    val (n2, fp2) = Dedup.appendChunkIndex(spark, batch, dir, "documents:b1")
+    assert(n2 == 0L && fp2 == fp1)
+    assert(Dedup.loadChunkIndex(spark, dir)._2 == fp1)
+  }
+
   test("chunk index artifact: stamped save/load round-trips; corruption refuses") {
     import spark.implicits._
     def lcgWords(seed: Long, n: Int): String = {
@@ -2383,6 +2418,41 @@ class SimilaritySpec extends SparkSpec {
     assert(retrained > stale,
       s"re-training must restore recall: stale=$stale retrained=$retrained")
     assert(retrained >= 0.6, s"retrained recall floor: $retrained")
+  }
+
+  test("norm-log trigger: an encoder deploy retrains a quiet index; quiet log doesn't") {
+    import spark.implicits._
+    // a healthy index whose own occupancy/error stats are quiet
+    val base = (0L until 64L).map { i =>
+      val v = new Array[Float](8); v((i % 4).toInt) = 1.0f; (i, v)
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_norm").toString
+    Similarity.saveIvfPqIndexFrom(base.toDF("vec_id", "embedding"), idx,
+      nlist = 4, m = 4, ksub = 16, iters = 2)
+    // a QUIET norm log: two identical unit batches
+    def census(vs: Seq[Array[Float]], b: Long) =
+      Similarity.embeddingNormCensusFrom(
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding"))
+        .withColumn("batch_id", lit(b))
+    val log = java.nio.file.Files.createTempDirectory("graft_normtrig").toString
+    val unit = base.map(_._2)
+    graft.sources.MartSink.writePartitioned(census(unit, 0L), log, Seq("batch_id"))
+    graft.sources.MartSink.writePartitioned(census(unit, 1L), log, Seq("batch_id"))
+    val quiet = IndexMaintenance.maintainWithNormLog(
+      base.toDF("vec_id", "embedding"), idx, log)
+    assert(!quiet.retrained && quiet.drift.tvDistance < 1e-9)
+    // the un-L2'd deploy lands in the log: the composed trigger fires
+    // even though the index's own statistics haven't moved
+    graft.sources.MartSink.writePartitioned(
+      census(unit.map(_.map(_ * 50f)), 2L), log, Seq("batch_id"))
+    val deployed = IndexMaintenance.maintainWithNormLog(
+      base.toDF("vec_id", "embedding"), idx, log)
+    assert(deployed.retrained, "encoder drift must trip the composed trigger")
+    assert(deployed.drift.tvDistance < 1e-9, "the index's own stats stayed quiet")
+    // an absent log dir contributes nothing
+    val none = IndexMaintenance.maintainWithNormLog(
+      base.toDF("vec_id", "embedding"), idx, log + "_absent")
+    assert(!none.retrained)
   }
 
   test("hard negatives exclude the query's label and match a driver-side recompute") {
