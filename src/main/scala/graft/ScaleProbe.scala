@@ -236,7 +236,9 @@ object ScaleProbe {
       // hash; the norm census is a narrow fold + |bins| rollup
       "dedup_cross_source", "embedding_norm_census",
       // batch 23: one map-combined rollup to ≤11 band rows
-      "discount_uplift")
+      "discount_uplift",
+      // batch 25: one TakeOrdered ranking, budgets are rank cuts
+      "dsir_budget_curve")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

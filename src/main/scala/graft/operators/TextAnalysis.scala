@@ -1241,6 +1241,51 @@ object TextAnalysis {
     (ratio, fp)
   }
 
+  /** DSIR against an EXTERNAL target corpus (the paper's actual
+    * deployment: the target is Wikipedia/books, not the raw pool's
+    * own quality tail) — same fitted-ratio machinery, the seed just
+    * comes from another documents directory. */
+  def sampleDsirAgainst(spark: SparkSession, dir: String, targetDir: String,
+                        k: Int = 200, numBuckets: Int = 4096,
+                        seed: String = "s0"): DataFrame =
+    sampleDsirFrom(Tables.documents(spark, targetDir),
+      Tables.documents(spark, dir), k, numBuckets, seed)
+
+  /** The k-vs-budget tuning curve — what each selection budget buys
+    * (the pack_efficiency pattern applied to data selection): per
+    * candidate k, the selected set's mean log weight, its token
+    * mass, and the ADMISSION BAR (the k-th Gumbel key — the score a
+    * doc must beat to make that budget). Read before fixing k: the
+    * knee where mean weight collapses toward the pool's is where the
+    * target's look-alikes run out and the budget starts buying
+    * ordinary docs.
+    *
+    * Scale shape: the whole curve derives from ONE scored ranking —
+    * the top-max(ks) frame comes off the same TakeOrdered heap the
+    * sampler uses (corpus-sized scan, ≤ max(ks)-row result), and
+    * every budget is a rank cut of those rows (windows over ≤
+    * max(ks) rows by construction; adding a budget costs nothing).
+    * rows-only (ln). */
+  def dsirBudgetCurve(spark: SparkSession, dir: String,
+                      ks: Seq[Int] = Seq(50, 100, 200, 400, 800),
+                      targetQuality: Double = 0.6, numBuckets: Int = 4096,
+                      seed: String = "s0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark2 = spark
+    import spark2.implicits._
+    val top = sampleDsir(spark, dir, ks.max, targetQuality, numBuckets, seed)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("gumbel_key"), asc("doc_id"))))
+    ranked
+      .join(broadcast(ks.toDF("k")), col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_selected"),
+        avg(col("log_weight")).as("mean_log_weight"),
+        sum(col("n_tokens")).cast("bigint").as("token_mass"),
+        min(col("gumbel_key")).as("admission_bar"))
+      .orderBy("k")
+  }
+
   /** The selection's per-source census — which domains DSIR favors:
     * candidate pool vs selected counts, selection rate, and mean log
     * weight per source. The diagnostic read before trusting the

@@ -105,6 +105,10 @@ class PlanAuditSpec extends SparkSpec {
     // crosses its ≤41-row bin frame with the ONE-ROW vector total —
     // both the scalar-subquery pattern
     "ppl_threshold_curve", "embedding_norm_census",
+    // dsir_budget_curve probes its ≤max(ks) post-TakeOrdered ranking
+    // against the |ks|-row budget frame (rank ≤ k non-equi) — the
+    // value_percentiles_merged tiny-probe shape
+    "dsir_budget_curve",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")

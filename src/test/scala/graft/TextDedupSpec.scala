@@ -765,6 +765,40 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("dsir budget curve: nested cuts of one ranking; external target shifts selection") {
+    import spark.implicits._
+    val curve = operators.TextAnalysis.dsirBudgetCurve(spark, Sf,
+      ks = Seq(10, 20, 40)).collect().map(r => r.getAs[Int]("k") -> r).toMap
+    assert(curve.keySet == Set(10, 20, 40))
+    // each budget fills (the sf pool is bigger than every k)
+    curve.foreach { case (k, r) => assert(r.getAs[Long]("n_selected") == k.toLong) }
+    // nesting: the admission bar falls and mean weight degrades as k grows
+    assert(curve(10).getAs[Double]("admission_bar") >=
+      curve(20).getAs[Double]("admission_bar"))
+    assert(curve(20).getAs[Double]("admission_bar") >=
+      curve(40).getAs[Double]("admission_bar"))
+    assert(curve(10).getAs[Double]("mean_log_weight") >=
+      curve(40).getAs[Double]("mean_log_weight"))
+    // the 40-budget's bar admits exactly the sampler's own top-40
+    val top40 = operators.TextAnalysis.sampleDsir(spark, Sf, k = 40).collect()
+    assert(curve(40).getAs[Double]("admission_bar") ==
+      top40.map(_.getAs[Double]("gumbel_key")).min)
+    assert(curve(40).getAs[Long]("token_mass") ==
+      top40.map(_.getAs[Long]("n_tokens")).sum)
+    // an EXTERNAL target (different domain) changes what gets selected
+    def doc(ws: Seq[String], n: Int): String = (0 until n).map(i => ws(i % ws.size)).mkString(" ")
+    val pool = Seq(
+      (1L, "a", doc(Seq("alpha", "beta", "gamma"), 24)),
+      (2L, "b", doc(Seq("zeta", "eta", "theta"), 24))).toDF("doc_id", "source", "text")
+    val tA = Seq((10L, "t", doc(Seq("alpha", "beta", "gamma"), 30))).toDF("doc_id", "source", "text")
+    val tB = Seq((11L, "t", doc(Seq("zeta", "eta", "theta"), 30))).toDF("doc_id", "source", "text")
+    val pickA = operators.TextAnalysis.sampleDsirFrom(tA, pool, k = 1, numBuckets = 64)
+      .collect().head.getAs[Long]("doc_id")
+    val pickB = operators.TextAnalysis.sampleDsirFrom(tB, pool, k = 1, numBuckets = 64)
+      .collect().head.getAs[Long]("doc_id")
+    assert(pickA == 1L && pickB == 2L)
+  }
+
   test("ppl threshold curve: prefix-cumulative survival, monotone, full cut keeps all") {
     import spark.implicits._
     // three docs at known entropy bands: repetitive (low bits),
