@@ -38,11 +38,19 @@ object EventSource {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** CSV batch with the same schema (header optional). */
+  /** CSV batch with the same schema (header optional). Same
+    * corrupt-row contract as `jsonl`: a malformed line (wrong arity,
+    * unparseable timestamp/number) lands whole in `_corrupt_record`
+    * with the typed columns NULL, instead of failing the batch or
+    * being silently dropped — the quality suite is the explicit
+    * gate, and a quarantine route keeps the bad line's full text for
+    * replay after the upstream fix. */
   def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
     spark.read
-      .schema(schema)
+      .schema(schema.add("_corrupt_record", StringType))
       .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 

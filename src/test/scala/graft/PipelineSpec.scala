@@ -22,6 +22,26 @@ class SourcesSpec extends SparkSpec {
     assert(purchase.getAs[Double]("value") == 9.5)
   }
 
+  test("csv ingest isolates malformed rows with their full text for replay") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "events.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("event_id,ts,user_id,event_type,value,props")
+    w.println("""1,2024-01-01 10:00:00,7,view,1.0,{}""")
+    w.println("""2,2024-01-01 10:01:00,7,purchase,9.5,""")
+    w.println("""3,not-a-timestamp,7,view,1.0,{}""")
+    w.close()
+    val df = EventSource.csv(spark, f.getAbsolutePath).cache()
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1)
+    // the malformed line survives whole for post-fix replay
+    assert(bad.head.getAs[String]("_corrupt_record").startsWith("3,not-a-timestamp"))
+    assert(bad.head.isNullAt(bad.head.fieldIndex("ts")))
+    val purchase = df.filter(col("event_type") === "purchase").collect().head
+    assert(purchase.getAs[Double]("value") == 9.5)
+  }
+
   test("dynamic partition overwrite only replaces recomputed dates") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_mart").toString
