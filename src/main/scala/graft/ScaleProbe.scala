@@ -238,7 +238,9 @@ object ScaleProbe {
       // batch 23: one map-combined rollup to ≤11 band rows
       "discount_uplift",
       // batch 25: one TakeOrdered ranking, budgets are rank cuts
-      "dsir_budget_curve")
+      "dsir_budget_curve",
+      // batch 26: one postings rollup + probe-bounded broadcasts
+      "search_selfrecall")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

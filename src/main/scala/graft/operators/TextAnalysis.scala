@@ -2805,6 +2805,96 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Self-retrieval evaluation of the BM25 ranker — the eval closure
+    * `search_bm25` was missing (the pattern again: langid has its
+    * confusion matrix, minhash its calibration, ANN its recall
+    * curve): for each probe doc, a PSEUDO-QUERY of its own two most
+    * distinctive terms (top tf·idf — the standard self-retrieval
+    * trick when no labeled query set ships with the corpus), BM25
+    * over the whole corpus, and the SOURCE doc's resulting rank. A
+    * healthy index ranks a doc first for its own distinctive terms;
+    * mass rank collapse means near-duplicate flooding or a
+    * tokenization/scoring bug. Per-probe rows (rank, reciprocal
+    * rank); MRR/recall@k are one rollup downstream.
+    *
+    * Scale shape: probes are a TakeOrdered sample; every probe-side
+    * frame (query terms, source scores) is probe-bounded and rides
+    * broadcast joins; the corpus pays ONE postings rollup filtered
+    * to the ≤2·|probes| query terms (broadcast semi-join — no giant
+    * isin literal), and the source's rank is computed by COUNTING
+    * strictly-better candidates per query (a join-aggregate) instead
+    * of a per-query ranking window whose partition width a hot term
+    * would dictate. Ties break on doc_id, so ranks are deterministic.
+    * rows-only (ln in idf). */
+  def searchSelfRecall(spark: SparkSession, dir: String, numQueries: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchSelfRecallFrom(Tables.documents(spark, dir), numQueries, k1, b)
+
+  def searchSelfRecallFrom(docs: DataFrame, numQueries: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs.select(size(tokens(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val postings = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df for probe terms AND candidate scoring
+    val probeIds = docs.select(col("doc_id")).orderBy("doc_id").limit(numQueries)
+    val probePostings = postings
+      .join(broadcast(probeIds), Seq("doc_id"))
+    // corpus-wide document frequency, but only for terms a probe uses
+    // (the probe vocabulary is probe-bounded — broadcast semi-join)
+    val probeTerms = probePostings.select(col("term")).distinct()
+    val df = postings
+      .join(broadcast(probeTerms), Seq("term"), "leftsemi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    // each probe's 2 most distinctive terms: tf·idf, ties on term —
+    // the ranking window is per-PROBE (bounded by its own vocabulary)
+    val wProbe = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), asc("term"))
+    val queryTerms = probePostings
+      .join(df, Seq("term")) // df frame is probe-vocab-sized
+      .crossJoin(broadcast(stats))
+      .withColumn("tfidf", col("tf").cast("double") * idf)
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= 2)
+      .select(col("doc_id").as("query_doc"), col("term"),
+        idf.as("term_idf"), col("avgdl"))
+    // candidates: every doc containing a query term, scored BM25 on
+    // the query's terms (≤ 2 per query — the sum is a 2-term
+    // conditional fold, never a wide float reduction)
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val cand = postings
+      .join(broadcast(queryTerms), Seq("term"))
+      .withColumn("contrib", col("term_idf") * tfNorm)
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"),
+        count(lit(1)).as("terms_matched"))
+      .localCheckpoint() // feeds the source extract AND the rank count
+    val src = cand.filter(col("query_doc") === col("doc_id"))
+      .select(col("query_doc"), col("score").as("src_score"),
+        col("terms_matched").as("src_terms"))
+    // rank without a per-query window: count strictly-better
+    // candidates (score, then doc_id for exact ties)
+    val better = cand.join(broadcast(src), Seq("query_doc"))
+      .filter(col("score") > col("src_score") ||
+        (col("score") === col("src_score") && col("doc_id") < col("query_doc")))
+      .groupBy(col("query_doc")).agg(count(lit(1)).as("n_better"))
+    src.join(better, Seq("query_doc"), "left")
+      .select(col("query_doc"), col("src_terms"),
+        (coalesce(col("n_better"), lit(0L)) + 1L).as("rank"))
+      .withColumn("reciprocal_rank", lit(1.0) / col("rank").cast("double"))
+      .orderBy("query_doc")
+  }
+
   /** Collocation mining — word pairs that co-occur adjacently far
     * more than their unigram frequencies predict (the "New York" /
     * "machine learning" detector; the phrase inventory a tokenizer or

@@ -94,6 +94,44 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expected, s"\ngot     =$got\nexpected=$expected")
   }
 
+  test("self-retrieval: unique-vocab docs rank first; an exact duplicate demotes the copy to 2") {
+    import spark.implicits._
+    // shared filler + one unique distinctive word per doc
+    def doc(word: String) =
+      s"the quick brown filler text common to all $word $word $word"
+    val docs = Seq(
+      (1L, doc("albatross")),
+      (2L, doc("barnacle")),
+      (3L, doc("cormorant")),
+      (4L, doc("albatross"))) // exact duplicate of doc 1's content
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.searchSelfRecallFrom(docs, numQueries = 4).collect()
+      .map(r => r.getAs[Long]("query_doc") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    // unique-vocab probes retrieve themselves first
+    assert(rows(2L).getAs[Long]("rank") == 1L &&
+      rows(2L).getAs[Double]("reciprocal_rank") == 1.0)
+    assert(rows(3L).getAs[Long]("rank") == 1L)
+    // the duplicated content ties on score; doc_id breaks the tie —
+    // the original ranks 1, the copy ranks 2 for the SAME query
+    assert(rows(1L).getAs[Long]("rank") == 1L)
+    assert(rows(4L).getAs[Long]("rank") == 2L &&
+      rows(4L).getAs[Double]("reciprocal_rank") == 0.5)
+    // every probe used two query terms
+    rows.values.foreach(r => assert(r.getAs[Long]("src_terms") == 2L))
+    // registry form at sf: every probe present, ranks deterministic
+    // and sane; a second run reproduces them exactly
+    val reg = TextAnalysis.searchSelfRecall(spark, Sf).collect()
+    assert(reg.length == 20)
+    reg.foreach { r =>
+      assert(r.getAs[Long]("rank") >= 1L)
+      val rr = r.getAs[Double]("reciprocal_rank")
+      assert(rr > 0.0 && rr <= 1.0)
+    }
+    val again = TextAnalysis.searchSelfRecall(spark, Sf).collect()
+    assert(reg.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("item CF: cosine neighbors from planted purchases; whales and singletons gated out") {
     import spark.implicits._
     // u1:{1,2} u2:{1,2} u3:{1,3} u4:{9} (singleton — out)
