@@ -240,7 +240,9 @@ object ScaleProbe {
       // batch 25: one TakeOrdered ranking, budgets are rank cuts
       "dsir_budget_curve",
       // batch 26: one postings rollup + probe-bounded broadcasts
-      "search_selfrecall")
+      "search_selfrecall",
+      // batch 27: one user rollup + ≤|days| cumulative windows
+      "ab_sequential")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -1233,6 +1233,151 @@ object UserAnalytics {
       |       THEN ABS((rt - rc) / se) > 1.959963984540054 END AS significant
       |FROM t ORDER BY step""".stripMargin
 
+  /** Sequential A/B monitoring — the daily-look boundary readout real
+    * experimentation platforms run between launch and the fixed-
+    * horizon readout (peeking at a plain z every day inflates the
+    * false-positive rate severalfold; a spending boundary is what
+    * makes daily looks legitimate). Looks are the observed event
+    * dates; at look k of K, cumulative enrolment (users whose first
+    * event ≤ d) and conversion (first purchase ≤ d) per arm feed the
+    * SAME pooled z as `ab_test_summary`'s family, compared against
+    * the O'Brien–Fleming-SHAPE boundary z·√(K/k) — early looks demand
+    * far stronger evidence, the final look relaxes to (approximately)
+    * the fixed-horizon 1.96 (the exact OBF constant varies with K by
+    * a few percent; this is the monitoring boundary's shape, stated
+    * as such, not an exact α guarantee).
+    *
+    * Scale shape: ONE user-grain rollup of the fact table (first
+    * event/purchase dates + the shared `armCol`), day-grain counts,
+    * then cumulative windows over ≤|days| rows per arm; z and the
+    * boundary are exact-int divisions and one sqrt — oracle-safe. */
+  def abSequential(spark: SparkSession, dir: String): DataFrame =
+    abSequentialFrom(enriched(spark, dir))
+
+  def abSequentialFrom(e: DataFrame, experiment: String = "exp1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = e.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("conv_day"))
+      .select(armCol(experiment).as("arm"), col("first_day"), col("conv_day"))
+    val enroll = users.groupBy(col("first_day").as("day"), col("arm"))
+      .agg(count(lit(1)).as("enrolled"))
+    val conv = users.filter(col("conv_day").isNotNull)
+      .groupBy(col("conv_day").as("day"), col("arm"))
+      .agg(count(lit(1)).as("converted"))
+    val wArm = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = enroll.join(conv, Seq("day", "arm"), "fullouter")
+      .select(col("day"), col("arm"),
+        coalesce(col("enrolled"), lit(0L)).as("e"),
+        coalesce(col("converted"), lit(0L)).as("c"))
+      .withColumn("n", sum(col("e")).over(wArm))
+      .withColumn("x", sum(col("c")).over(wArm))
+    val wide = daily.groupBy(col("day")).agg(
+      max(when(col("arm") === "control", col("n"))).as("n_control"),
+      max(when(col("arm") === "treatment", col("n"))).as("n_treatment"),
+      max(when(col("arm") === "control", col("x"))).as("x_control"),
+      max(when(col("arm") === "treatment", col("x"))).as("x_treatment"))
+    // a day with activity in only one arm still needs BOTH arms'
+    // cumulative state: carry the last known value forward over the
+    // ≤|days| frame
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = wide
+      .withColumn("n_control", last(col("n_control"), ignoreNulls = true).over(wAll))
+      .withColumn("n_treatment", last(col("n_treatment"), ignoreNulls = true).over(wAll))
+      .withColumn("x_control", last(col("x_control"), ignoreNulls = true).over(wAll))
+      .withColumn("x_treatment", last(col("x_treatment"), ignoreNulls = true).over(wAll))
+      .na.fill(0L, Seq("n_control", "n_treatment", "x_control", "x_treatment"))
+      .withColumn("look", row_number().over(Window.orderBy(col("day"))))
+    val total = filled.agg(max(col("look")).as("total_looks"))
+    val rc = col("x_control").cast("double") / col("n_control").cast("double")
+    val rt = col("x_treatment").cast("double") / col("n_treatment").cast("double")
+    val pp = (col("x_control") + col("x_treatment")).cast("double") /
+      (col("n_control") + col("n_treatment")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_control").cast("double") +
+        lit(1.0) / col("n_treatment").cast("double")))
+    val bothArms = col("n_control") > 0 && col("n_treatment") > 0
+    val z = when(bothArms && se =!= lit(0.0), (rt - rc) / se)
+    val bound = lit(ZAlpha975) *
+      sqrt(col("total_looks").cast("double") / col("look").cast("double"))
+    filled.crossJoin(broadcast(total))
+      .select(col("day"), col("look"), col("total_looks"),
+        col("n_control"), col("n_treatment"),
+        col("x_control"), col("x_treatment"),
+        z.as("z_score"), bound.as("z_boundary"),
+        when(z.isNotNull, abs(z) > bound).as("crossed"))
+      .orderBy("day")
+  }
+
+  val abSequentialSql: String =
+    """WITH u AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS conv_day
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id
+      |), a AS (
+      |  SELECT CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1) >= '8'
+      |              THEN 'treatment' ELSE 'control' END AS arm,
+      |    first_day, conv_day
+      |  FROM u
+      |), en AS (
+      |  SELECT first_day AS day, arm, COUNT(*) AS e FROM a GROUP BY 1, 2
+      |), cv AS (
+      |  SELECT conv_day AS day, arm, COUNT(*) AS c FROM a
+      |  WHERE conv_day IS NOT NULL GROUP BY 1, 2
+      |), d AS (
+      |  SELECT COALESCE(en.day, cv.day) AS day, COALESCE(en.arm, cv.arm) AS arm,
+      |    COALESCE(e, 0) AS e, COALESCE(c, 0) AS c
+      |  FROM en FULL OUTER JOIN cv ON en.day = cv.day AND en.arm = cv.arm
+      |), cum AS (
+      |  SELECT day, arm,
+      |    SUM(e) OVER (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING) AS n,
+      |    SUM(c) OVER (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING) AS x
+      |  FROM d
+      |), wide AS (
+      |  SELECT day,
+      |    MAX(CASE WHEN arm = 'control' THEN n END) AS n_control,
+      |    MAX(CASE WHEN arm = 'treatment' THEN n END) AS n_treatment,
+      |    MAX(CASE WHEN arm = 'control' THEN x END) AS x_control,
+      |    MAX(CASE WHEN arm = 'treatment' THEN x END) AS x_treatment
+      |  FROM cum GROUP BY day
+      |), filled AS (
+      |  SELECT day,
+      |    CAST(COALESCE(LAST_VALUE(n_control IGNORE NULLS) OVER w, 0) AS BIGINT) AS n_control,
+      |    CAST(COALESCE(LAST_VALUE(n_treatment IGNORE NULLS) OVER w, 0) AS BIGINT) AS n_treatment,
+      |    CAST(COALESCE(LAST_VALUE(x_control IGNORE NULLS) OVER w, 0) AS BIGINT) AS x_control,
+      |    CAST(COALESCE(LAST_VALUE(x_treatment IGNORE NULLS) OVER w, 0) AS BIGINT) AS x_treatment,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS look
+      |  FROM wide
+      |  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |), t AS (
+      |  SELECT f.*, (SELECT CAST(MAX(look) AS INT) FROM filled) AS total_looks,
+      |    CAST(x_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS rc,
+      |    CAST(x_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) AS rt,
+      |    CAST(x_control + x_treatment AS DOUBLE)
+      |      / CAST(n_control + n_treatment AS DOUBLE) AS pp
+      |  FROM filled f
+      |), s AS (
+      |  SELECT *, SQRT(pp * (1.0 - pp) * (1.0 / CAST(n_control AS DOUBLE)
+      |    + 1.0 / CAST(n_treatment AS DOUBLE))) AS se
+      |  FROM t
+      |)
+      |SELECT day, look, total_looks, n_control, n_treatment,
+      |  x_control, x_treatment,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0 AND se <> 0.0
+      |       THEN (rt - rc) / se END AS z_score,
+      |  1.959963984540054 * SQRT(CAST(total_looks AS DOUBLE)
+      |    / CAST(look AS DOUBLE)) AS z_boundary,
+      |  CASE WHEN n_control > 0 AND n_treatment > 0 AND se <> 0.0
+      |       THEN ABS((rt - rc) / se) > 1.959963984540054 *
+      |         SQRT(CAST(total_looks AS DOUBLE) / CAST(look AS DOUBLE))
+      |  END AS crossed
+      |FROM s ORDER BY day""".stripMargin
+
   /** Stratified CUPED — per-stratum θ (post-stratification composed
     * with CUPED, the standard production refinement of Deng–Xu–
     * Kohavi–Walker): one pooled slope under-adjusts wherever the

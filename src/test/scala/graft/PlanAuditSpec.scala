@@ -109,6 +109,9 @@ class PlanAuditSpec extends SparkSpec {
     // against the |ks|-row budget frame (rank ≤ k non-equi) — the
     // value_percentiles_merged tiny-probe shape
     "dsir_budget_curve",
+    // ab_sequential crosses its ≤|days| look frame with the ONE-ROW
+    // broadcast total-looks scalar — the scalar-subquery pattern
+    "ab_sequential",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")

@@ -188,6 +188,50 @@ class UserAnalyticsSpec extends SparkSpec {
       .subsetOf(Set(0, 1, 2, 4, 8, 16, 32)))
   }
 
+  test("sequential looks: cumulative enrolment is exact, the OBF-shape boundary relaxes to 1.96, a planted effect crosses") {
+    import java.security.MessageDigest
+    def arm(u: Long): String = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(s"exp1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) >= '8') "treatment" else "control"
+    }
+    // 200 users enrol over days 1-4 (u % 4); EVERY treatment user
+    // converts the day after enrolment, no control user ever does —
+    // the strongest possible effect, so the boundary must be crossed
+    // by the final look
+    val users = (1L to 200L)
+    val rows = users.flatMap { u =>
+      val d = (u % 4 + 1).toInt
+      val view = (u * 10, u, f"2024-01-0$d%d 10:00:00", "view", 1.0)
+      if (arm(u) == "treatment")
+        Seq(view, (u * 10 + 1, u, f"2024-01-0${d + 1}%d 10:00:00", "purchase", 5.0))
+      else Seq(view)
+    }
+    val got = UserAnalytics.abSequentialFrom(ev(rows)).collect()
+    val byLook = got.map(r => r.getAs[Int]("look") -> r).toMap
+    val k = got.length
+    assert(byLook.keySet == (1 to k).toSet && k == 5) // days 1..5
+    // cumulative enrolment: final look counts every user once
+    val last = byLook(k)
+    assert(last.getAs[Long]("n_control") + last.getAs[Long]("n_treatment") == 200L)
+    assert(last.getAs[Long]("x_control") == 0L)
+    assert(last.getAs[Long]("x_treatment") == users.count(arm(_) == "treatment").toLong)
+    // monotone enrolment, boundary strictly relaxing to exactly 1.96 at K
+    (2 to k).foreach { i =>
+      assert(byLook(i).getAs[Long]("n_control") >= byLook(i - 1).getAs[Long]("n_control"))
+      assert(byLook(i).getAs[Double]("z_boundary") < byLook(i - 1).getAs[Double]("z_boundary"))
+    }
+    assert(last.getAs[Double]("z_boundary") == UserAnalytics.ZAlpha975)
+    // the planted max-strength effect crosses by the final look, and
+    // once the z exists it is positive (treatment converts more)
+    assert(last.getAs[Boolean]("crossed"))
+    got.filter(!_.isNullAt(got.head.fieldIndex("z_score")))
+      .foreach(r => assert(r.getAs[Double]("z_score") > 0.0))
+    // day 1: nobody has converted yet → se = 0 → no z, no verdict
+    assert(byLook(1).isNullAt(byLook(1).fieldIndex("z_score")))
+  }
+
   test("ab test summary: md5 arms match a driver recompute; rates and lift are exact") {
     import java.security.MessageDigest
     def arm(u: Long): String = {
