@@ -242,7 +242,9 @@ object ScaleProbe {
       // batch 26: one postings rollup + probe-bounded broadcasts
       "search_selfrecall",
       // batch 27: one user rollup + ≤|days| cumulative windows
-      "ab_sequential")
+      "ab_sequential",
+      // batch 28: one chunker pass + a hash-dim semi-join back
+      "cdc_dup_mass_by_source")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

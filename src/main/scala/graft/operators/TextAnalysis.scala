@@ -2178,6 +2178,46 @@ object TextAnalysis {
       .orderBy(desc("n_copies"), asc("chunk_hash"))
   }
 
+  /** Per-source duplicated-chunk MASS at content-defined boundaries —
+    * which FEEDS carry the boilerplate (`chunk_dedup_cdc` names the
+    * duplicated chunks; this attributes their character mass to
+    * sources, the table that decides which feed gets a boilerplate
+    * scrub or a crawl-budget cut): per source, total CDC chars, chars
+    * sitting in chunks whose content occurs ≥ 2 times corpus-wide,
+    * and the dup share.
+    *
+    * Scale shape: one chunker pass (checkpointed for its two
+    * consumers), a (hash, len) dup-key rollup, one hash-dimension
+    * semi-join back (8-byte keys through the shuffle — never text),
+    * ≤|sources| rows out. rows-only (gear table). */
+  def cdcDupMassBySource(spark: SparkSession, dir: String): DataFrame =
+    cdcDupMassBySourceFrom(spark, Tables.documents(spark, dir))
+
+  def cdcDupMassBySourceFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val spans = docs
+      .select(col("source"), explode(call_function("cdc_spans", col("text"))).as("sp"))
+      .select(col("source"), col("sp.hash").as("chunk_hash"),
+        (col("sp.end") - col("sp.start")).as("chunk_chars"))
+      .localCheckpoint()
+    val dupKeys = spans
+      .groupBy(col("chunk_hash"), col("chunk_chars"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("chunk_hash"), col("chunk_chars"))
+    val marked = spans.join(dupKeys.withColumn("dup", lit(1)),
+      Seq("chunk_hash", "chunk_chars"), "left")
+    marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup") === 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(col("chunk_chars")).cast("bigint").as("total_chars"),
+        sum(when(col("dup") === 1, col("chunk_chars")).otherwise(lit(0)))
+          .cast("bigint").as("dup_chars"))
+      .withColumn("dup_share",
+        col("dup_chars").cast("double") / col("total_chars").cast("double"))
+      .orderBy(desc("dup_share"), asc("source"))
+  }
+
   /** The cleaning pass extended with the Gopher repetition filters
     * (Rae et al. 2021 §A1.1): minimum length, top-word-fraction and
     * duplicate-bigram caps, on top of cleanCorpus's quality/language/

@@ -171,6 +171,41 @@ object DocStream {
       .orderBy("source")
   }
 
+  /** One-call live corpus ingest — the streaming counterpart of
+    * `CorpusPipeline.run`'s batch DAG, every gate a shipped artifact:
+    * scrub/rule-gate/watermark-dedup (`cleanDocs`) → graded LR
+    * admission (`scoredDocs`, the persisted quality scorer) →
+    * domain-resemblance gate (`dsirGatedDocs`, the persisted DSIR
+    * model), admitted docs appended under batch_id partitions
+    * (idempotent replay). Survivors carry their audit columns
+    * (quality_score, quality_p, log_weight, lw_per_token), so the
+    * downstream mixer can re-weight without re-scoring. The only
+    * stateful stage is the watermark dedup; everything after is a
+    * stateless narrow projection — the chain adds no exchange. */
+  def ingestChain(docs: DataFrame, scorer: TextAnalysis.LrScorer,
+      ratio: Array[Double], outDir: String, checkpointDir: String,
+      watermark: String = "1 hour", minQuality: Double = 0.5,
+      minP: Double = 0.5, minLwPerToken: Double = 0.0,
+      langs: Seq[String] = Seq("en", "es", "de", "fr"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val admitted = dsirGatedDocs(
+      scoredDocs(
+        cleanDocs(docs, watermark, minQuality, langs)
+          .withColumnRenamed("clean_text", "text"),
+        scorer, minP),
+      ratio, minLwPerToken)
+    admitted.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.MartSink.writePartitioned(
+            batch.withColumn("batch_id", lit(batchId)), outDir, Seq("batch_id"))
+        ()
+      }
+      .start()
+  }
+
   /** Live re-crawl/revision flagging against the PERSISTED chunk
     * index (`Dedup.saveChunkIndex` — build once over the corpus, ship
     * it): each micro-batch's documents get the SAME CDC containment

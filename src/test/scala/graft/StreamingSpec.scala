@@ -1452,6 +1452,51 @@ class StreamingSpec extends SparkSpec {
       drift(2L).getAs[Boolean]("drift_flag"))
   }
 
+  test("ingest chain: rule gate, LR gate, dedup, and DSIR gate each drop their doc; one survivor") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, String, String, String)]
+    import spark.implicits._
+    // an LR scorer that admits everything (zero weights, intercept 3)
+    // — the rule gate inside cleanDocs is what must catch low quality
+    val permissive = TextAnalysis.LrScorer(
+      Seq(("n_words", 0.0, 0.0, 1.0), ("avg_word_len", 0.0, 0.0, 1.0),
+        ("stopword_ratio", 0.0, 0.0, 1.0), ("top_word_frac", 0.0, 0.0, 1.0),
+        ("distinct_frac", 0.0, 0.0, 1.0)), intercept = 3.0)
+    // texts chosen to pass the rule gate (stopword-rich, en): the
+    // off-domain one shares NO words with the DSIR target, so its
+    // every bucket ratio is negative
+    val good = "the and of to in the and of to in"
+    val offDomain = "was that this with from was that this with from was that"
+    val pool = Seq((100L, "s", good), (101L, "s", offDomain)).toDF("doc_id", "source", "text")
+    val target = Seq((1L, "t", good + " " + good)).toDF("doc_id", "source", "text")
+    val ratio = TextAnalysis.trainDsirRatio(target, pool, numBuckets = 64)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val out = java.nio.file.Files.createTempDirectory("graft_chain_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chain_ck").toString
+    val q = DocStream.ingestChain(
+      mem.toDF.toDF("doc_id", "ts", "lang", "source", "text"),
+      permissive, ratio, out, ckpt)
+    try {
+      mem.addData(
+        (10L, base, "en", "s", good),        // survives every gate
+        (11L, base, "en", "s", "x"),          // rule gate: too short/low quality
+        (12L, base, "en", "s", offDomain),    // DSIR gate: off-domain
+        (13L, base, "en", "s", good))         // watermark dedup: same content
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshByPath(out)
+    val admitted = spark.read.parquet(out).collect()
+    assert(admitted.map(_.getAs[Long]("doc_id")).toSet == Set(10L))
+    val row = admitted.head
+    // survivors carry every gate's audit column
+    assert(row.getAs[Double]("quality_score") >= 0.5)
+    assert(row.getAs[Double]("quality_p") >= 0.5)
+    assert(row.getAs[Double]("lw_per_token") >= 0.0)
+    assert(row.getAs[Long]("n_tokens") > 0L)
+  }
+
   test("dsir ingest gate: persisted model admits target-like docs in batch-identical units") {
     import graft.operators.TextAnalysis
     implicit val sqlCtx = spark.sqlContext

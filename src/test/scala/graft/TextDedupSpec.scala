@@ -681,6 +681,43 @@ class CorpusPrepSpec extends SparkSpec {
     assert(texts(fixed, 1L).intersect(texts(fixed, 2L)).isEmpty)
   }
 
+  test("cdc dup mass attributes planted boilerplate to its carrying sources only") {
+    import spark.implicits._
+    def lcgWords(seed: Long, n: Int): String = {
+      var x = seed
+      (1 to n).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "w" + java.lang.Long.toHexString(x >>> 40)
+      }.mkString(" ")
+    }
+    val boiler = lcgWords(77L, 250)
+    val docs = Seq(
+      (1L, "feedA", boiler + " " + lcgWords(1L, 60)),
+      (2L, "feedA", lcgWords(2L, 40) + " " + boiler),
+      (3L, "feedB", boiler + " " + lcgWords(3L, 80)),
+      (4L, "feedC", lcgWords(4L, 300))).toDF("doc_id", "source", "text")
+    val rows = operators.TextAnalysis.cdcDupMassBySourceFrom(spark, docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // the boilerplate carriers show dup mass; the clean feed shows none
+    assert(rows("feedA").getAs[Long]("dup_chars") > 0L)
+    assert(rows("feedB").getAs[Long]("dup_chars") > 0L)
+    assert(rows("feedC").getAs[Long]("dup_chars") == 0L &&
+      rows("feedC").getAs[Double]("dup_share") == 0.0)
+    // shares bounded; chunk counts bound dup chunks
+    rows.values.foreach { r =>
+      val s = r.getAs[Double]("dup_share")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Long]("dup_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("dup_chars") <= r.getAs[Long]("total_chars"))
+    }
+    // feedA carries the paragraph twice: roughly double feedB's mass
+    assert(rows("feedA").getAs[Long]("dup_chars") >
+      rows("feedB").getAs[Long]("dup_chars"))
+    // registry form sane at sf (the corpus has planted exact dups)
+    val reg = operators.TextAnalysis.cdcDupMassBySource(spark, Sf).collect()
+    assert(reg.nonEmpty && reg.exists(_.getAs[Long]("dup_chars") > 0L))
+  }
+
   test("cdc chunk dedup: a paragraph planted at different offsets is found in all hosts") {
     import spark.implicits._
     def lcgWords(seed: Long, n: Int): String = {
