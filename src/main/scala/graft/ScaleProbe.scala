@@ -245,6 +245,10 @@ object ScaleProbe {
       "ab_sequential",
       // batch 28: one chunker pass + a hash-dim semi-join back
       "cdc_dup_mass_by_source")
+      // batch 29's ann_ivf_filtered is NOT probed here: pair
+      // enumerators are excluded from the replica dirs by the header
+      // rule (exact replicas densify every cell) — it shares
+      // ann_ivf_topk's plan class plus one pushed conjunct
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -231,6 +231,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED vector search — top-k under a metadata predicate (the
+    * production vector-DB feature every retrieval stack ships: "top-k
+    * among label = L"; here the query's own label plays the filter,
+    * the deterministic in-corpus stand-in for an arbitrary metadata
+    * predicate). The filter is applied to the candidate side BEFORE
+    * scoring — a predicate pushed below the probe join, not a
+    * post-filter over-fetch that silently returns < k when the
+    * filter is selective. The standard caveat rides the operator:
+    * a selective filter empties probed cells, so filtered recall at
+    * fixed nProbe is LOWER than unfiltered — the nProbe dial (read
+    * `ann_recall_curve`) matters more, and at full probe the result
+    * is exactly the brute-filtered answer (spec-pinned).
+    *
+    * Scale shape: identical to `ivfTopK` (queries broadcast, cells
+    * equi-joined, per-query top-k windows over probed-cell members
+    * only) with one more pushed conjunct on the candidate scan. */
+  def ivfFilteredTopK(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cents = collectCentroids(
+      embeddingCentroids(spark, dir)
+        .select(col("label").as("cell"), col("centroid").as("c_vec")))
+    val e = Tables.embeddings(spark, dir)
+    val candidates = e.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+        col("embedding").as("c_emb"),
+        explode(nearestCellsCol(col("embedding"), cents, 1)).as("cell"))
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("filter_label"),
+        col("embedding").as("q_emb"),
+        explode(nearestCellsCol(col("embedding"), cents, nProbe)).as("cell"))
+    val sim = round(expr("cosine_sim(q_emb, c_emb)"), 6)
+    val w = Window.partitionBy("query_id").orderBy(desc("similarity"), asc("cand_id"))
+    candidates.join(broadcast(queries), Seq("cell"))
+      .filter(col("c_label") === col("filter_label")) // before scoring
+      .select(col("query_id"), col("filter_label"), col("cand_id"),
+        sim.as("similarity"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** K-means-trained IVF coarse quantizer (a few seeded Lloyd
     * iterations) executed as DataFrame aggregates — the trained
     * replacement for the label-cell quantizer, which on real corpora

@@ -2069,6 +2069,50 @@ class HashExpressionsSpec extends SparkSpec {
 }
 
 class SimilaritySpec extends SparkSpec {
+  test("filtered ann: every hit carries the filter label; full probe equals brute-filtered") {
+    val nlist = Tables.embeddings(spark, Sf).select("label").distinct().count().toInt
+    val res = Similarity.ivfFilteredTopK(spark, Sf, numQueries = 8, k = 5, nProbe = 2)
+      .collect()
+    assert(res.nonEmpty)
+    // the predicate holds on every returned row
+    val labels = Tables.embeddings(spark, Sf).select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    res.foreach { r =>
+      assert(r.getAs[Int]("filter_label") == labels(r.getAs[Long]("query_id")))
+      assert(labels(r.getAs[Long]("cand_id")) == r.getAs[Int]("filter_label"))
+      assert(r.getAs[Long]("cand_id") >= 8L)
+    }
+    // ranks dense per query
+    res.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.sameElements(1 to g.length))
+    }
+    // at FULL probe the filtered IVF answer IS the brute-filtered
+    // answer: same pairs, same order
+    val full = Similarity.ivfFilteredTopK(spark, Sf, numQueries = 8, k = 5,
+      nProbe = nlist).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("cand_id")))
+    val e = Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray, r.getAs[Int]("label")))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = e.filter(_._1 < 8).flatMap { case (qid, qv, ql) =>
+      e.filter(c => c._1 >= 8 && c._3 == ql)
+        .map { case (cid, cv, _) =>
+          (qid, cid, BigDecimal(cos(qv, cv)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (_, cid, s) => (-s, cid) }.take(5).zipWithIndex
+        .map { case ((q, c, _), i) => (q, i + 1, c) }
+    }.toSet
+    assert(full.toSet == brute, s"full-probe mismatch: ${full.toSet.diff(brute)}")
+  }
+
   test("embedding norm census: planted norms land in exact bins, shares sum to one") {
     import spark.implicits._
     val e = Seq(
