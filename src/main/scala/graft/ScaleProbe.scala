@@ -244,7 +244,10 @@ object ScaleProbe {
       // batch 27: one user rollup + ≤|days| cumulative windows
       "ab_sequential",
       // batch 28: one chunker pass + a hash-dim semi-join back
-      "cdc_dup_mass_by_source")
+      "cdc_dup_mass_by_source",
+      // batch 30: the rarity word shuffle + a doc-grain join to
+      // ≤100 cells
+      "quality_rarity_grid")
       // batch 29's ann_ivf_filtered is NOT probed here: pair
       // enumerators are excluded from the replica dirs by the header
       // rule (exact replicas densify every cell) — it shares

@@ -860,6 +860,71 @@ object TextAnalysis {
        |ORDER BY threshold_decile""".stripMargin
   }
 
+  /** Quality × rarity agreement grid — do the repo's two quality
+    * axes agree, and WHERE do they disagree (the manual-review-queue
+    * selector): the rule score judges FORM (length, stopwords, word
+    * shape), corpus rarity judges CONTENT-TYPICALITY (share of words
+    * the corpus rarely uses). The grid's off-diagonal corners are the
+    * interesting docs — high-form/high-rarity is novel content OR
+    * undetected garbage, low-form/low-rarity is common boilerplate
+    * the rule gate is about to throw away. Per (quality decile,
+    * rarity decile): doc count and corpus share.
+    *
+    * Scale shape: the rarity pass's one word-dimension shuffle (the
+    * rarityScore frame), the quality score a narrow map, one
+    * doc-grain join, rollup to ≤100 cells + a 1-row broadcast total.
+    * Exact: both bucket keys floor bit-identical doubles; only
+    * integers cross the cell rollup. */
+  def qualityRarityGrid(spark: SparkSession, dir: String,
+      minCount: Int = 5): DataFrame = {
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(floor(qualityScoreCol * 10).cast("int"), lit(9)).as("q_bucket"))
+    val r = rarityScore(spark, dir, minCount)
+      .select(col("doc_id"),
+        least(floor(col("rare_frac") * 10).cast("int"), lit(9)).as("r_bucket"))
+    val cells = q.join(r, Seq("doc_id"))
+      .groupBy(col("q_bucket"), col("r_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = cells.agg(sum(col("n_docs")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("q_bucket"), col("r_bucket"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double")).as("share"))
+      .orderBy("q_bucket", "r_bucket")
+  }
+
+  val qualityRarityGridSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    s"""WITH q AS (
+       |  SELECT doc_id, LEAST(CAST(FLOOR((LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + ($stopR) * 0.3
+       |      + (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3) * 10)
+       |      AS INT), 9) AS q_bucket
+       |  FROM documents
+       |), words AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+       |), freq AS (
+       |  SELECT word AS fword, COUNT(*) AS freq FROM words GROUP BY word
+       |), r AS (
+       |  SELECT doc_id, LEAST(CAST(FLOOR(
+       |      CAST(COUNT(*) FILTER (WHERE freq < 5) AS DOUBLE)
+       |        / CAST(COUNT(*) AS DOUBLE) * 10) AS INT), 9) AS r_bucket
+       |  FROM words JOIN freq ON word = fword
+       |  GROUP BY doc_id
+       |), cells AS (
+       |  SELECT q_bucket, r_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM q JOIN r USING (doc_id)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT CAST(q_bucket AS INT) AS q_bucket, CAST(r_bucket AS INT) AS r_bucket,
+       |  n_docs,
+       |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS share
+       |FROM cells
+       |ORDER BY q_bucket, r_bucket""".stripMargin
+  }
+
   /** PII patterns shared by the Spark op and the oracle — kept to the
     * regex subset Java and RE2 agree on (no backrefs, no lookaround). */
   private[graft] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""

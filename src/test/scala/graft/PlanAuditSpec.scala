@@ -112,6 +112,9 @@ class PlanAuditSpec extends SparkSpec {
     // ab_sequential crosses its ≤|days| look frame with the ONE-ROW
     // broadcast total-looks scalar — the scalar-subquery pattern
     "ab_sequential",
+    // quality_rarity_grid crosses its ≤100-cell frame with the
+    // ONE-ROW broadcast doc total — the scalar-subquery pattern
+    "quality_rarity_grid",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")

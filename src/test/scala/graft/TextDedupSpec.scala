@@ -802,6 +802,25 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("quality-rarity grid: cells partition the corpus; shares sum to one") {
+    val rows = operators.TextAnalysis.qualityRarityGrid(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val total = Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("q_bucket") >= 0 && r.getAs[Int]("q_bucket") <= 9)
+      assert(r.getAs[Int]("r_bucket") >= 0 && r.getAs[Int]("r_bucket") <= 9)
+    }
+    // marginals reconcile with the existing single-axis censuses
+    val qMarginal = rows.groupBy(_.getAs[Int]("q_bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val buckets = operators.TextAnalysis.qualityBuckets(spark, Sf).collect()
+      .groupBy(_.getAs[Int]("quality_bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_count")).sum).toMap
+    assert(qMarginal == buckets, s"$qMarginal vs $buckets")
+  }
+
   test("dsir budget curve: nested cuts of one ranking; external target shifts selection") {
     import spark.implicits._
     val curve = operators.TextAnalysis.dsirBudgetCurve(spark, Sf,
