@@ -157,9 +157,30 @@ object MartSink {
     * each split rewrites as one file. Concurrent writers to the SAME
     * partition are out of scope (same contract as every overwrite
     * here). Returns the compacted partition directories. */
-  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              partitionCols: Seq[String], sortCols: Seq[String] = Nil,
-              targetBytes: Long = 128L << 20, minFiles: Int = 2): Seq[String] = {
+  /** Dry-run census for `compact` — the table-maintenance dashboard
+    * row: per leaf partition, file count, bytes, the file count the
+    * target implies, and whether `compact` would rewrite it. Same
+    * fragmentation rule as `compact` (by construction: both call
+    * `fragmentedLeafDirs`), so the plan can never disagree with the
+    * action. Driver-side listing only — no partition is opened. */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCols: Seq[String], targetBytes: Long = 128L << 20,
+      minFiles: Int = 2): DataFrame = {
+    import spark.implicits._
+    val rows = leafPartitionStats(spark, path, partitionCols).map {
+      case (dir, files, bytes) =>
+        val target = math.max(minFiles - 1L, (bytes + targetBytes - 1) / targetBytes)
+        (dir, files, bytes, target, files > target)
+    }
+    import org.apache.spark.sql.functions.{asc, desc}
+    rows.toDF("partition_dir", "n_files", "bytes", "target_files", "fragmented")
+      .orderBy(desc("fragmented"), desc("n_files"), asc("partition_dir"))
+  }
+
+  /** (leaf dir, parquet file count, bytes) per partition — the one
+    * shared walk `compact` and `compactionPlan` both read. */
+  private def leafPartitionStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, partitionCols: Seq[String]): Seq[(String, Long, Long)] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -167,12 +188,20 @@ object MartSink {
       if (depth == 0) Seq(p)
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.contains("=")).flatMap(leafDirs(_, depth - 1))
-    val fragmented = leafDirs(root, partitionCols.size).filter { dir =>
+    leafDirs(root, partitionCols.size).map { dir =>
       val parts = fs.listStatus(dir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val bytes = parts.map(_.getLen).sum
-      parts.size > math.max(minFiles - 1L, (bytes + targetBytes - 1) / targetBytes)
+      (dir.toString, parts.size.toLong, parts.map(_.getLen).sum)
     }
+  }
+
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              partitionCols: Seq[String], sortCols: Seq[String] = Nil,
+              targetBytes: Long = 128L << 20, minFiles: Int = 2): Seq[String] = {
+    val fragmented = leafPartitionStats(spark, path, partitionCols)
+      .filter { case (_, files, bytes) =>
+        files > math.max(minFiles - 1L, (bytes + targetBytes - 1) / targetBytes)
+      }.map { case (dir, _, _) => new org.apache.hadoop.fs.Path(dir) }
     if (fragmented.nonEmpty) {
       // pin split packing to the compaction target: by default Spark
       // shrinks splits to totalBytes/defaultParallelism, which re-

@@ -123,6 +123,33 @@ class SourcesSpec extends SparkSpec {
     assert(MartSink.compact(spark, out, Seq("event_date")).isEmpty)
   }
 
+  test("compaction plan: dry-run names exactly what compact rewrites, then reads clean") {
+    import org.apache.spark.sql.functions.lit
+    val out = Files.createTempDirectory("graft_cplan").toString
+    val day1 = spark.range(500).select(col("id").as("user_id"),
+      lit("2024-02-01").as("event_date"), col("id").as("n")).repartition(1)
+    val day2 = spark.range(500, 700).select(col("id").as("user_id"),
+      lit("2024-02-02").as("event_date"), col("id").as("n")).repartition(6)
+    MartSink.writePartitioned(day1, out, Seq("event_date"))
+    MartSink.writePartitioned(day2, out, Seq("event_date"))
+    val plan = MartSink.compactionPlan(spark, out, Seq("event_date")).collect()
+    assert(plan.length == 2)
+    val byDir = plan.map(r => r.getAs[String]("partition_dir") -> r).toMap
+    val frag = byDir.keys.find(_.endsWith("event_date=2024-02-02")).get
+    val clean = byDir.keys.find(_.endsWith("event_date=2024-02-01")).get
+    assert(byDir(frag).getAs[Boolean]("fragmented") &&
+      byDir(frag).getAs[Long]("n_files") == 6L)
+    assert(!byDir(clean).getAs[Boolean]("fragmented") &&
+      byDir(clean).getAs[Long]("n_files") == 1L)
+    // the plan's fragmented set IS compact's rewrite set (shared walk)
+    val rewritten = MartSink.compact(spark, out, Seq("event_date"))
+    assert(rewritten.toSet ==
+      plan.filter(_.getAs[Boolean]("fragmented")).map(_.getAs[String]("partition_dir")).toSet)
+    // post-compaction the plan reads clean everywhere
+    assert(MartSink.compactionPlan(spark, out, Seq("event_date")).collect()
+      .forall(!_.getAs[Boolean]("fragmented")))
+  }
+
   test("JDBC mart load is date-idempotent: rerunning one date leaves other dates untouched") {
     import spark.implicits._
     // embedded Derby (bundled with Spark) stands in for the
