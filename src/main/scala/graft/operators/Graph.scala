@@ -61,6 +61,33 @@ object Graph {
     pagerankFrom(productEdgesFrom(enriched(spark, dir)), iterations,
       tol = tol, checkEvery = checkEvery)
 
+  /** Personalized PageRank from the corpus's most-viewed product —
+    * "related by random-walk proximity", the recommender signal the
+    * other two product rankings can't give (item_cf sees direct
+    * co-occurrence only; global pagerank scores popularity with no
+    * seed): restart AND dangling mass return to the seed, so scores
+    * decay with walk distance from it and nodes unreachable from the
+    * seed converge to exactly 0 (spec-pinned). The seed is the
+    * most-viewed product (ties to the smallest key) — a 1-row driver
+    * scalar of the kmeans-init class; swap in any seed set for a
+    * production "related to X" query. Same iteration plan as
+    * `product_pagerank` (the restart column is the only change). */
+  def productPpr(spark: SparkSession, dir: String,
+      iterations: Int = 15, tol: Double = 1e-6, checkEvery: Int = 3): DataFrame =
+    productPprFrom(enriched(spark, dir), iterations, tol, checkEvery)
+
+  def productPprFrom(e: DataFrame,
+      iterations: Int = 15, tol: Double = 1e-6, checkEvery: Int = 3): DataFrame = {
+    val seed = e.filter(col("product_k").isNotNull && col("event_type") === "view")
+      .groupBy(col("product_k")).agg(count(lit(1)).as("views"))
+      .orderBy(desc("views"), asc("product_k")).limit(1)
+      .collect().head.getAs[Int]("product_k") // 1-row control scalar
+    pagerankFrom(productEdgesFrom(e), iterations, tol = tol,
+      checkEvery = checkEvery, restart = Seq(seed))
+      .withColumnRenamed("pagerank", "ppr")
+      .withColumn("seed_product", lit(seed))
+  }
+
   /** Weighted PageRank over an (src, dst, weight) edge frame.
     * Returns (node, pagerank, out_weight, in_edges, out_edges,
     * last_delta, iterations_run) with Σ pagerank = 1 (dangling mass
@@ -78,7 +105,7 @@ object Graph {
     * rounds that were almost certainly still needed. */
   def pagerankFrom(edges: DataFrame, iterations: Int = 15,
       damping: Double = Damping, tol: Double = 0.0,
-      checkEvery: Int = 1): DataFrame = {
+      checkEvery: Int = 1, restart: Seq[Int] = Nil): DataFrame = {
     val e = edges.localCheckpoint() // every iteration reuses the edge frame
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
@@ -91,8 +118,14 @@ object Graph {
     // node base frame: out_weight NULL marks a dangling node
     val base = nodes.join(outW, Seq("node"), "left").localCheckpoint()
     require(checkEvery >= 1, "checkEvery must be >= 1")
-    var ranks = base.select(col("node"), col("out_weight"),
-      lit(1.0 / n.toDouble).as("rank"))
+    // the restart (teleport) distribution: uniform for global
+    // PageRank; concentrated on the seed set for the PERSONALIZED
+    // walk (restart mass AND dangling mass both return to the seeds,
+    // so nodes unreachable from them converge to exactly 0)
+    val r0 = if (restart.isEmpty) lit(1.0 / n.toDouble)
+      else when(col("node").isin(restart.map(Int.box): _*),
+        lit(1.0 / restart.size.toDouble)).otherwise(lit(0.0))
+    var ranks = base.select(col("node"), col("out_weight"), r0.as("rank"))
     var delta = Double.NaN
     var ranIterations = 0
     var converged = false
@@ -111,9 +144,9 @@ object Graph {
       val next = base.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"), col("out_weight"),
-          (lit((1.0 - damping) / n.toDouble) +
+          (lit(1.0 - damping) * r0 +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
-              col("dangling") / lit(n.toDouble))).as("rank"))
+              col("dangling") * r0)).as("rank"))
         .localCheckpoint()
       // fixed mode (tol = 0): the convergence reading is observability,
       // not control flow — only the FINAL round pays its extra

@@ -187,6 +187,58 @@ class RetrievalSpec extends SparkSpec {
       8.0 * byS("src3").getAs[Double]("target_tokens")) < 1e-6)
   }
 
+  test("personalized pagerank: seed-restart matches a driver replica; unreachable nodes are exactly 0") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // 1→2→3 (3 dangling), 4→1: node 4 is unreachable FROM the seed 1
+    val edges = Seq((1, 2, 1L), (2, 3, 1L), (4, 1, 1L))
+      .toDF("src", "dst", "weight")
+    val got = Graph.pagerankFrom(edges, iterations = 12, restart = Seq(1))
+      .collect().map(r => r.getAs[Int]("product_k") -> r).toMap
+    // driver replica: restart AND dangling mass return to the seed
+    val d = 0.85
+    def r0(v: Int) = if (v == 1) 1.0 else 0.0
+    var r = Map(1 -> r0(1), 2 -> r0(2), 3 -> r0(3), 4 -> r0(4))
+    for (_ <- 1 to 12) {
+      val dang = r(3)
+      val inflow = Map(1 -> r(4) * 1.0, 2 -> r(1) * 1.0, 3 -> r(2) * 1.0, 4 -> 0.0)
+      r = r.keys.map(v =>
+        v -> ((1.0 - d) * r0(v) + d * (inflow(v) + dang * r0(v)))).toMap
+    }
+    r.foreach { case (v, exp) =>
+      assert(math.abs(got(v).getAs[Double]("pagerank") - exp) < 1e-9,
+        s"node $v: ${got(v)}")
+    }
+    // unreachable-from-seed is EXACTLY 0, not merely small
+    assert(got(4).getAs[Double]("pagerank") == 0.0)
+    // the seed holds the walk's largest share on this chain
+    assert(got(1).getAs[Double]("pagerank") ==
+      got.values.map(_.getAs[Double]("pagerank")).max)
+    // registry-shape form on crafted browse sessions: u1 views 1→2→3,
+    // u2 views 1→2, u3 views 2→1 — product 2 is most-viewed? no:
+    // product 1 has 3 views, 2 has 3, tie → seed = 1 (smallest key)
+    import graft.operators.EventMarts
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1), (2L, 1L, "2024-01-01 10:01:00", 2),
+      (3L, 1L, "2024-01-01 10:02:00", 3),
+      (4L, 2L, "2024-01-01 11:00:00", 1), (5L, 2L, "2024-01-01 11:01:00", 2),
+      (6L, 3L, "2024-01-01 12:00:00", 2), (7L, 3L, "2024-01-01 12:01:00", 1))
+      .map { case (id, u, ts, k) => (id, u, ts, "view", 1.0, s"""{"k": $k}""") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val reg = Graph.productPprFrom(EventMarts.enrich(ev),
+      iterations = 8, tol = 0.0).collect()
+    assert(reg.nonEmpty)
+    val seed = reg.head.getAs[Int]("seed_product")
+    assert(reg.forall(_.getAs[Int]("seed_product") == seed))
+    assert(seed == 1)
+    val byK = reg.map(rr => rr.getAs[Int]("product_k") -> rr.getAs[Double]("ppr")).toMap
+    // mass conserves: Σ ppr = 1 (restart is a distribution too); the
+    // seed's direct successor 2 outranks the two-hop 3
+    assert(math.abs(byK.values.sum - 1.0) < 1e-6)
+    assert(byK(2) > byK(3))
+  }
+
   test("pagerank: distributed iterations match exact driver power iteration; edges respect the session gap") {
     import spark.implicits._
     import graft.operators.Graph
