@@ -247,7 +247,11 @@ object ScaleProbe {
       "cdc_dup_mass_by_source",
       // batch 30: the rarity word shuffle + a doc-grain join to
       // ≤100 cells
-      "quality_rarity_grid")
+      "quality_rarity_grid",
+      // batch 33: the simhash band enumeration + candidate-dim exact
+      // scores (suffixed doc replicas keep the pair space honest,
+      // unlike the embedding replicas)
+      "simhash_calibration")
       // batch 29's ann_ivf_filtered is NOT probed here: pair
       // enumerators are excluded from the replica dirs by the header
       // rule (exact replicas densify every cell) — it shares

@@ -1054,6 +1054,45 @@ object Dedup {
       .orderBy("est_decile")
   }
 
+  /** SimHash calibration — what a Hamming cut MEANS in Jaccard terms
+    * (the minhash_calibration pattern for the simhash family,
+    * completing the calibration set: every approximate-similarity
+    * surface now ships its own est-vs-exact table): per Hamming
+    * distance among banded candidates (enumerated at a LOOSE cut so
+    * the region around the shipped threshold is measured), pair
+    * count, mean exact trigram Jaccard, and the ≥ 0.4 share — the
+    * table that decides where `dedup_simhash`'s maxHamming belongs.
+    *
+    * Scale shape: the pair side is the same bounded band-bucket
+    * enumeration as `dedup_simhash`; exact scores reuse the shared
+    * shingle projection (checkpointed once — it feeds both pair-side
+    * joins) at candidate-pair dimension; output ≤ maxHamming+1 rows. */
+  def simhashCalibration(spark: SparkSession, dir: String, maxHamming: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cand = simhash(spark, dir, maxHamming, maxBucket)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint()
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("a_sh"),
+        col("n").as("a_n")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("b_sh"),
+        col("n").as("b_n")), Seq("doc_b"))
+      .withColumn("exact_jaccard",
+        when(col("a_n") + col("b_n") - inter === 0, lit(1.0))
+          .otherwise(inter.cast("double") /
+            (col("a_n") + col("b_n") - inter).cast("double")))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("exact_jaccard")) / count(lit(1)).cast("double")).as("mean_exact"),
+        (sum(when(col("exact_jaccard") >= 0.4, 1).otherwise(0)).cast("double")
+          / count(lit(1)).cast("double")).as("share_exact_ge_04"))
+      .orderBy("hamming")
+  }
+
   /** Token-inflation readout of exact duplication, by source: how
     * many tokens `dedupedCorpus`'s keeper rule (identical text, min
     * doc_id kept GLOBALLY) would remove from each source, and what

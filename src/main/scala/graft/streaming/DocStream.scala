@@ -171,6 +171,33 @@ object DocStream {
       .orderBy("source")
   }
 
+  /** The live budget-FILL table — `corpus_epoch_plan`'s targets
+    * joined with the token log's arrivals (the two halves the r8
+    * notes promised each other): per source, target tokens, arrived
+    * words/BPE tokens, fill share, and what's still missing. Units:
+    * the plan budgets in WORD tokens (the corpus census unit), so the
+    * fill share is word-based; the BPE column rides along for the
+    * tokenizer-budget view. Inherits `tokenBudgetFromLog`'s
+    * fingerprint discipline (stale/mixed vocab logs refuse). */
+  def budgetFillFromLog(spark: SparkSession, logDir: String, dir: String,
+      budgetTokens: Long, vocabPath: Option[String] = None): DataFrame = {
+    val arrived = tokenBudgetFromLog(spark, logDir, vocabPath)
+      .select(col("source"), col("word_count").as("arrived_words"),
+        col("bpe_tokens").as("arrived_bpe"))
+    TextAnalysis.corpusEpochPlan(spark, dir, budgetTokens)
+      .select(col("source"), col("target_tokens"))
+      .join(arrived, Seq("source"), "left")
+      .select(col("source"), col("target_tokens"),
+        coalesce(col("arrived_words"), lit(0L)).as("arrived_words"),
+        coalesce(col("arrived_bpe"), lit(0L)).as("arrived_bpe"),
+        (coalesce(col("arrived_words"), lit(0L)).cast("double") /
+          col("target_tokens")).as("fill_share"),
+        greatest(col("target_tokens") -
+          coalesce(col("arrived_words"), lit(0L)).cast("double"), lit(0.0))
+          .as("remaining_tokens"))
+      .orderBy("source")
+  }
+
   /** One-call live corpus ingest — the streaming counterpart of
     * `CorpusPipeline.run`'s batch DAG, every gate a shipped artifact:
     * scrub/rule-gate/watermark-dedup (`cleanDocs`) → graded LR

@@ -332,6 +332,40 @@ class StreamingSpec extends SparkSpec {
     served.values.foreach { case (_, wc, bt) => assert(bt >= wc) }
   }
 
+  test("budget fill: plan targets joined with live arrivals, exact shares, quiet sources zero") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, String, String, String)]
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val texts = Seq((1L, "src0", "low low lower lowest"),
+      (2L, "src0", "new newer newest low"))
+    val batchDocs = texts.map { case (id, s, t) => (id, s, t) }.toDF("doc_id", "source", "text")
+    val merges = TextAnalysis.trainBpeMerges(batchDocs, numMerges = 4)
+    val log = java.nio.file.Files.createTempDirectory("graft_bfill").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bfillck").toString
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    mem.addData(texts.zipWithIndex.map { case ((id, s, t), i) =>
+      (id, new java.sql.Timestamp(base.getTime + i * 1000L), "en", s, t) }: _*)
+    val q = DocStream.tokenLogSink(
+      mem.toDF.toDF("doc_id", "ts", "lang", "source", "text"), merges, log, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    spark.catalog.refreshByPath(log)
+    val fill = DocStream.budgetFillFromLog(spark, log, Sf, budgetTokens = 10000L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // every plan source appears; only src0 has arrivals
+    val plan = TextAnalysis.corpusEpochPlan(spark, Sf, budgetTokens = 10000L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("target_tokens")).toMap
+    assert(fill.keySet == plan.keySet)
+    assert(fill("src0").getAs[Long]("arrived_words") == 8L) // 2 docs × 4 words
+    assert(fill("src0").getAs[Double]("fill_share") == 8.0 / plan("src0"))
+    assert(fill("src0").getAs[Double]("remaining_tokens") == plan("src0") - 8.0)
+    fill.filterKeys(_ != "src0").values.foreach { r =>
+      assert(r.getAs[Long]("arrived_words") == 0L &&
+        r.getAs[Double]("fill_share") == 0.0)
+    }
+  }
+
   test("artifact manifests: retrained vocab + stale log refuses; matching pair reads clean") {
     import graft.operators.TextAnalysis
     implicit val sqlCtx = spark.sqlContext

@@ -1683,6 +1683,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash calibration: exact duplicates anchor hamming 0 at jaccard 1; bands bounded") {
+    val rows = Dedup.simhashCalibration(spark, Sf).collect()
+      .map(r => r.getAs[Int]("hamming") -> r).toMap
+    assert(rows.nonEmpty)
+    // the corpus's planted exact dups anchor a hamming-0 band; near-
+    // dup revisions can hash identically too, so the band's mean is
+    // near-1, not exactly 1 — which is precisely what the calibration
+    // is FOR (reading how much exact verification a cut still needs)
+    assert(rows.contains(0), s"no hamming-0 band: ${rows.keySet}")
+    assert(rows(0).getAs[Double]("mean_exact") >= 0.9)
+    assert(rows(0).getAs[Double]("share_exact_ge_04") >= 0.95)
+    rows.values.foreach { r =>
+      assert(r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 16)
+      val m = r.getAs[Double]("mean_exact")
+      assert(m >= 0.0 && m <= 1.0)
+      assert(r.getAs[Long]("n_pairs") >= 1L)
+    }
+    // similarity decays with distance: the nearest band beats the
+    // farthest observed band
+    if (rows.size > 1) {
+      val far = rows.keys.max
+      assert(rows(0).getAs[Double]("mean_exact") >=
+        rows(far).getAs[Double]("mean_exact"))
+    }
+  }
+
   test("incremental minhash finds planted cross-batch duplicates at est 1.0") {
     val docs = Tables.documents(spark, Sf)
     val existing = docs.filter(col("doc_id") % 5 =!= 0)
