@@ -143,8 +143,11 @@ class PlanAuditSpec extends SparkSpec {
       // product_pagerank runs its power iterations at construction
       // (checkpointed ranks per round); the fact-sized subtree is the
       // edge aggregation, audited directly below — each iteration is
-      // an equi-join of two aggregated checkpointed frames
-      "product_pagerank",
+      // an equi-join of two aggregated checkpointed frames.
+      // product_ppr is the same iteration plan (the restart column is
+      // the only change) over the SAME audited edge subtree — and its
+      // seed scalar + iterations run at construction too
+      "product_pagerank", "product_ppr",
       // product_communities runs its label-propagation rounds at
       // construction (checkpointed labels per round) over the same
       // audited edge subtree; text_perplexity checkpoints its (word,
