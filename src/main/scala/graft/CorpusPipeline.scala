@@ -92,6 +92,63 @@ object CorpusPipeline {
     }
   }
 
+  /** The full build + a DSIR selection stage — the batch mirror of
+    * `DocStream.ingestChain`'s final gate, with the artifact contract
+    * (`TextAnalysis.loadDsirModel` verifies the stamp; a swapped
+    * model refuses instead of silently re-denominating every score).
+    * Selection runs AFTER dedup, deliberately: selecting first would
+    * spend the budget on near-duplicate copies of the most
+    * target-like page (Gumbel keys differ per doc_id, so copies don't
+    * collapse). The survivors' top-k by the shared Gumbel rule —
+    * `TextAnalysis.sampleDsirWith`, the ONE selection definition live
+    * and nightly — lands under a `batch=selected` partition with each
+    * doc's log weight riding along for downstream mixing. Read
+    * `dsir_budget_curve` before fixing k. */
+  def runSelected(spark: SparkSession, inDir: String, outDir: String,
+      modelPath: String, k: Int,
+      minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en", "es", "de", "fr"),
+      estThreshold: Double = 0.4,
+      maxRounds: Int = 20,
+      requireConvergence: Boolean = true,
+      seed: String = "s0"): Result = {
+    val (ratio, _) = TextAnalysis.loadDsirModel(spark, modelPath)
+    val docs = Tables.documents(spark, inDir)
+    val cleanedDf = cleanedStage(docs, minQuality, langs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inputDocs = docs.count()
+      val cleaned = cleanedDf.count()
+      val pairs = Dedup.minhashLshFrom(spark,
+          cleanedDf.select(col("doc_id"), col("clean_text").as("text")),
+          estThreshold, Dedup.DefaultMaxBucket)
+        .select(col("doc_a"), col("doc_b"))
+      val kept = Dedup.nearDupCorpusFromPairs(cleanedDf, pairs,
+          maxRounds, requireConvergence)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val selected = TextAnalysis.sampleDsirWith(
+          kept.select(col("doc_id"), col("source"), col("clean_text").as("text")),
+          ratio, k, seed)
+        .select(col("doc_id"), col("log_weight"), col("gumbel_key"))
+      // the k-row selection broadcasts back onto the survivor frame
+      val out = kept.join(broadcast(selected), Seq("doc_id"))
+        .withColumn("split", TextAnalysis.splitCol(col("doc_id")))
+        .withColumn("batch", lit("selected"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keptCount = out.count()
+        MartSink.writePartitioned(out, outDir, Seq("batch", "split"))
+        Result(inputDocs, cleaned, keptCount, outDir)
+      } finally {
+        out.unpersist()
+        ()
+      }
+    } finally {
+      cleanedDf.unpersist()
+      ()
+    }
+  }
+
   /** Scrub + gates + exact-dedup keeper window — the shared cleaning
     * stage. Gates come BEFORE the keeper window, and the window sees
     * only gate-passing rows: the window key is the SCRUBBED content

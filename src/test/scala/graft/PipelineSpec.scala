@@ -689,6 +689,43 @@ class PipelineSpec extends SparkSpec {
     assert(actual.exceptAll(expected).isEmpty && expected.exceptAll(actual).isEmpty)
   }
 
+  test("selected corpus build: dedup-then-select subset of the full build, weights ride along") {
+    import graft.operators.TextAnalysis
+    // ship a DSIR model: first 10 docs as the target seed
+    val corpus = Tables.documents(spark, Sf)
+    val ratio = TextAnalysis.trainDsirRatio(
+      corpus.limit(10), corpus, numBuckets = 256)
+    val model = Files.createTempDirectory("graft_dsirm").toString + "/model"
+    TextAnalysis.saveDsirModel(spark, ratio, model, builtFrom = "documents:sf")
+    val outFull = Files.createTempDirectory("graft_csel_full").toString
+    val outSel = Files.createTempDirectory("graft_csel").toString
+    val full = CorpusPipeline.run(spark, Sf, outFull)
+    val k = math.max(1, (full.kept / 2).toInt)
+    val r = CorpusPipeline.runSelected(spark, Sf, outSel, model, k)
+    assert(r.inputDocs == full.inputDocs && r.cleaned == full.cleaned)
+    assert(r.kept == k.toLong)
+    val sel = spark.read.parquet(outSel).collect()
+    assert(sel.length == k)
+    // selection ⊆ the full build's survivors; audit columns present
+    val fullIds = spark.read.parquet(outFull).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    sel.foreach { row =>
+      assert(fullIds.contains(row.getAs[Long]("doc_id")))
+      assert(!row.isNullAt(row.fieldIndex("log_weight")))
+      assert(row.getAs[String]("batch") == "selected")
+    }
+    // the selection rule is THE shared one: exactly sampleDsirWith's
+    // top-k over the same survivor frame
+    val expect = TextAnalysis.sampleDsirWith(
+        spark.read.parquet(outFull).join(
+            Tables.documents(spark, Sf).select("doc_id", "source"), Seq("doc_id"))
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source"),
+            org.apache.spark.sql.functions.col("clean_text").as("text")),
+        ratio, k).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet == expect)
+  }
+
   test("corpus pipeline cleans, collapses near-dups, and writes an idempotent split-partitioned corpus") {
     val out = Files.createTempDirectory("graft_corpus_pipe").toString
     val r1 = CorpusPipeline.run(spark, Sf, out)
