@@ -251,7 +251,9 @@ object ScaleProbe {
       // batch 33: the simhash band enumeration + candidate-dim exact
       // scores (suffixed doc replicas keep the pair space honest,
       // unlike the embedding replicas)
-      "simhash_calibration")
+      "simhash_calibration",
+      // batch 35: one broadcast key join + a two-level rollup
+      "segment_order_profile")
       // batch 29's ann_ivf_filtered is NOT probed here: pair
       // enumerators are excluded from the replica dirs by the header
       // rule (exact replicas densify every cell) — it shares

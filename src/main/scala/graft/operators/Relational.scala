@@ -1314,6 +1314,70 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Per-market-segment order profile — the BI card for the customer
+    * dimension q3 only filters on: per c_mktsegment, customers who
+    * ordered, orders, revenue, average order value, orders per
+    * buying customer, and revenue share. A segment with high AOV but
+    * low orders-per-customer is an acquisition play; the reverse is
+    * a retention play — the split that decides where the next
+    * campaign goes.
+    *
+    * Scale shape: one orders⋈customer key join (customer is the
+    * small side — broadcast at any realistic scale), rollup to
+    * ≤|segments| rows, exact decimal revenue and long counts until
+    * the three final IEEE divisions + a 1-row broadcast total for
+    * the share. */
+  def segmentOrderProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // de-Expand: a countDistinct beside other aggregates plans an
+    // Expand (3x the fact rows through the exchange) — pre-aggregate
+    // at (segment, customer) instead, then a plain second-level rollup
+    val seg = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(count(lit(1)).as("cust_orders"), sum(col("price")).as("cust_revenue"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("buying_customers"),
+        sum(col("cust_orders")).cast("bigint").as("n_orders"),
+        sum(col("cust_revenue")).as("revenue"))
+    val total = seg.agg(sum(col("revenue")).as("total_revenue"))
+    seg.crossJoin(broadcast(total))
+      .select(col("c_mktsegment"), col("buying_customers"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"),
+        (col("revenue").cast("double") / col("n_orders").cast("double")).as("aov"),
+        (col("n_orders").cast("double") / col("buying_customers").cast("double"))
+          .as("orders_per_customer"),
+        (col("revenue").cast("double") / col("total_revenue").cast("double"))
+          .as("revenue_share"))
+      .orderBy("c_mktsegment")
+  }
+
+  val segmentOrderProfileSql: String =
+    """WITH per AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    COUNT(*) AS cust_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS cust_revenue
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), seg AS (
+      |  SELECT c_mktsegment,
+      |    COUNT(*) AS buying_customers,
+      |    CAST(SUM(cust_orders) AS BIGINT) AS n_orders,
+      |    SUM(cust_revenue) AS revenue
+      |  FROM per GROUP BY c_mktsegment
+      |)
+      |SELECT c_mktsegment, buying_customers, n_orders,
+      |  CAST(revenue AS DOUBLE) AS revenue,
+      |  CAST(revenue AS DOUBLE) / CAST(n_orders AS DOUBLE) AS aov,
+      |  CAST(n_orders AS DOUBLE) / CAST(buying_customers AS DOUBLE)
+      |    AS orders_per_customer,
+      |  CAST(revenue AS DOUBLE) / CAST(SUM(revenue) OVER () AS DOUBLE)
+      |    AS revenue_share
+      |FROM seg
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Discount-effectiveness table — does a deeper discount actually
     * move volume (the pricing read q19's revenue filter and q6's
     * what-if can't give): per discount percentage band, line count,

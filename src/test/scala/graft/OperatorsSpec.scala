@@ -4,6 +4,23 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 
 class RelationalSpec extends SparkSpec {
+  test("segment order profile: segments partition every order, shares sum to one") {
+    val rows = Relational.segmentOrderProfile(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, Sf).count())
+    assert(math.abs(rows.map(_.getAs[Double]("revenue_share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("buying_customers") <= r.getAs[Long]("n_orders"))
+      assert(r.getAs[Double]("orders_per_customer") >= 1.0)
+      assert(r.getAs[Double]("aov") > 0.0)
+    }
+    // buying customers across segments = distinct ordering customers
+    // (a customer has ONE segment)
+    assert(rows.map(_.getAs[Long]("buying_customers")).sum ==
+      Tables.orders(spark, Sf).select("o_custkey").distinct().count())
+  }
+
   test("discount uplift: bands partition every line, revenue reconciles as decimal") {
     val rows = Relational.discountUplift(spark, Sf).collect()
     assert(rows.nonEmpty && rows.length <= 11)

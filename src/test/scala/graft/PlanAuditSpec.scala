@@ -113,8 +113,10 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast total-looks scalar — the scalar-subquery pattern
     "ab_sequential",
     // quality_rarity_grid crosses its ≤100-cell frame with the
-    // ONE-ROW broadcast doc total — the scalar-subquery pattern
-    "quality_rarity_grid",
+    // ONE-ROW broadcast doc total — the scalar-subquery pattern;
+    // segment_order_profile crosses its ≤5-segment frame with the
+    // ONE-ROW broadcast revenue total — the same pattern
+    "quality_rarity_grid", "segment_order_profile",
     // PQ ADC scores every code row against the broadcast query LUTs
     // by design (the shortlist cut happens after the lookup-table sum)
     "ann_pq_topk[probe]")
