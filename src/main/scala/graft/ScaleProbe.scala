@@ -311,6 +311,10 @@ object ScaleProbe {
         // the 10× sub-linear factors bend rather than grow
         "graph_components", "graph_kcore", "graph_assortativity",
         "graph_degree_census",
+        // round-9 closing batch shapes at the third decade: the
+        // probe-bounded self-retrieval (one postings rollup) and the
+        // day-grain sequential looks (one user rollup)
+        "search_selfrecall", "ab_sequential",
         // round-9 closing: the new scan shapes — does the CDC
         // containment stay flat as the INDEX side grows 100×; does
         // the DSIR B-row rollup hold its near-flat curve; does the
