@@ -36,7 +36,8 @@ object Pipeline {
       martsWritten: Seq[String],
       runDate: Option[String] = None,
       alertPayload: Option[String] = None,
-      martMerges: Map[String, MartSink.MergeStats] = Map.empty)
+      martMerges: Map[String, MartSink.MergeStats] = Map.empty,
+      sessionSkew: Option[operators.Skew.SkewPlan] = None)
 
   /** All marts built by the daily run, keyed by output name. */
   def marts(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
@@ -54,13 +55,26 @@ object Pipeline {
     * session_sequences gains a session_date (= session start date)
     * partition column here so per-date reruns replace only their own
     * partitions, like every other mart. */
-  def martsFrom(e: DataFrame): Map[String, DataFrame] = Map(
-    "mart_user_daily"    -> EventMarts.martUserDailyFrom(e),
-    "mart_funnel_daily"  -> EventMarts.martFunnelDailyFrom(e),
-    "mart_product_daily" -> EventMarts.martProductDailyFrom(e),
-    "mart_orders"        -> EventMarts.martOrdersFrom(e),
-    "session_sequences"  -> withSessionDate(Sessionize.sessionSequencesFrom(e)),
-    "hourly_traffic"     -> EventMarts.hourlyTrafficFrom(e))
+  def martsFrom(e: DataFrame): Map[String, DataFrame] =
+    martsArmed(e)._1
+
+  /** `martsFrom` with the session mart on the ARMED path: the user_id
+    * census (memoized per frame by `Skew.measure`) decides whether
+    * sessionization takes the plain or the hot-key-safe bucketed base.
+    * Output is identical either way (the bucketed twin is hash-checked
+    * against the same oracle); what changes is the plan — a planted
+    * bot/sentinel user no longer funnels its whole history through one
+    * window task. Returns the plan so `run` can surface what armed. */
+  def martsArmed(e: DataFrame): (Map[String, DataFrame], operators.Skew.SkewPlan) = {
+    val (sessions, plan) = Sessionize.sessionSequencesAuto(e)
+    (Map(
+      "mart_user_daily"    -> EventMarts.martUserDailyFrom(e),
+      "mart_funnel_daily"  -> EventMarts.martFunnelDailyFrom(e),
+      "mart_product_daily" -> EventMarts.martProductDailyFrom(e),
+      "mart_orders"        -> EventMarts.martOrdersFrom(e),
+      "session_sequences"  -> withSessionDate(sessions),
+      "hourly_traffic"     -> EventMarts.hourlyTrafficFrom(e)), plan)
+  }
 
   /** Partition spec per mart (the backfill grain). */
   private val partitioned = Map(
@@ -201,8 +215,10 @@ object Pipeline {
         // way so cross-midnight chains assemble before the verdict
         val martBase = if (quarantine) Sessionize.cleanEvents(e) else e
         val sessionBase = if (quarantine) Sessionize.cleanEvents(w) else w
-        val marts = martsFrom(martBase) ++ Option.when(dates.nonEmpty)(
-          "session_sequences" -> withSessionDate(Sessionize.sessionSequencesFrom(sessionBase))
+        val (baseMarts, skewPlan) = martsArmed(martBase)
+        val marts = baseMarts ++ Option.when(dates.nonEmpty)(
+          "session_sequences" -> withSessionDate(
+            Sessionize.sessionSequencesAuto(sessionBase)._1)
             .filter(col("session_date").isin(runDates: _*)))
         val written = marts.map { case (name, df) =>
           partitioned.get(name) match {
@@ -226,7 +242,7 @@ object Pipeline {
           }
         }.getOrElse(Map.empty[String, MartSink.MergeStats])
         Result(passed = failed.isEmpty, failed, written, runDate, alert,
-          martMerges = merges.toMap)
+          martMerges = merges.toMap, sessionSkew = Some(skewPlan))
       }
     } finally {
       w.unpersist()

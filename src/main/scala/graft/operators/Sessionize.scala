@@ -85,6 +85,16 @@ object Sessionize {
     * numbering telescopes to the plain cumsum — pinned by the
     * planted-bot equivalence spec. */
   private[graft] def sessionizedBucketed(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame =
+    sessionizedBucketedCols(e,
+      Seq("user_id", "event_id", "event_type", "event_epoch"), bucketSeconds)
+
+  /** The same segmented sessionize carrying an arbitrary column set
+    * through the windows (the `typedSessionized` counterpart) — the
+    * quality-gate path needs its per-event check flags alongside the
+    * session assignment. `cols` must include user_id, event_id and
+    * event_epoch (the ordering keys). */
+  private[graft] def sessionizedBucketedCols(e: DataFrame, cols: Seq[String],
       bucketSeconds: Long = BucketSeconds): DataFrame = {
     require(bucketSeconds > GapSeconds,
       s"bucketSeconds ($bucketSeconds) must exceed GapSeconds ($GapSeconds): " +
@@ -92,8 +102,8 @@ object Sessionize {
     val wLocal = Window.partitionBy("user_id", "bucket")
       .orderBy("event_epoch", "event_id")
     val local = e
-      .select(col("user_id"), col("event_id"), col("event_type"), col("event_epoch"),
-        floor(col("event_epoch") / bucketSeconds).as("bucket"))
+      .select(cols.map(col) :+
+        floor(col("event_epoch") / bucketSeconds).as("bucket"): _*)
       .withColumn("prev_epoch", lag("event_epoch", 1).over(wLocal))
       .withColumn("is_new",
         when(col("prev_epoch").isNull ||
@@ -116,8 +126,7 @@ object Sessionize {
       .select("user_id", "bucket", "base_idx", "merge")
     local.join(resolved, Seq("user_id", "bucket"))
       .withColumn("session_idx", col("base_idx") + col("local_idx") - col("merge"))
-      .select("user_id", "event_id", "event_type", "event_epoch",
-        "bucket", "session_idx")
+      .select(cols.map(col) :+ col("bucket") :+ col("session_idx"): _*)
   }
 
   /** One row per (user, session): ordered event sequence + stats. */
@@ -190,11 +199,22 @@ object Sessionize {
     * for a real bot/sentinel, not mild behavioral imbalance. Returns
     * the plan so callers log what armed. */
   def sessionSequencesAuto(e: DataFrame, armThreshold: Double = 16.0,
-      bucketSeconds: Long = BucketSeconds): (DataFrame, Skew.SkewPlan) = {
+      bucketSeconds: Long = BucketSeconds): (DataFrame, Skew.SkewPlan) =
+    sessionAuto(e, armThreshold)(
+      sessionSequencesFrom, sessionSequencesBucketedFrom(_, bucketSeconds))
+
+  /** Generic armed chooser for the whole session family: census
+    * user_id once (memoized — `Skew.measure` caches the census per
+    * (frame, key), so a pipeline arming several session queries over
+    * one enriched frame pays ONE key count), take the bucketed form
+    * only past `armThreshold`. Every family query has a bucketed twin
+    * hash-checked against the same oracle, so the switch is
+    * output-invariant by construction. */
+  def sessionAuto(e: DataFrame, armThreshold: Double = 16.0)(
+      plain: DataFrame => DataFrame,
+      bucketed: DataFrame => DataFrame): (DataFrame, Skew.SkewPlan) = {
     val plan = Skew.measure(e, "user_id", armThreshold)
-    val out = if (plan.armed) sessionSequencesBucketedFrom(e, bucketSeconds)
-              else sessionSequencesFrom(e)
-    (out, plan)
+    (if (plan.armed) bucketed(e) else plain(e), plan)
   }
 
   def sessionSequencesFrom(e: DataFrame): DataFrame = {
@@ -274,7 +294,7 @@ object Sessionize {
       .orderBy(col("event_epoch").asc, col("event_id").asc)
     val wDesc = Window.partitionBy("user_id", "session_idx")
       .orderBy(col("event_epoch").desc, col("event_id").desc)
-    sessionized(e)
+    entryExitCensus(sessionized(e)
       .withColumn("rn_a", row_number().over(wAsc))
       .withColumn("rn_d", row_number().over(wDesc))
       .groupBy("user_id", "session_idx")
@@ -282,7 +302,38 @@ object Sessionize {
         max(when(col("rn_a") === 1, col("event_type"))).as("entry_type"),
         max(when(col("rn_d") === 1, col("event_type"))).as("exit_type"),
         count(lit(1)).as("n_events"),
-        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_p"))
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_p")))
+  }
+
+  /** session_entry_exit over the hot-key-safe base — same oracle. The
+    * per-session entry/exit picks become ALGEBRAIC min/max over
+    * (epoch, event_id, type) structs ((epoch, id) is unique per user,
+    * so struct ordering is total and tie-free): per-(user, session,
+    * bucket) partials ride the bucketed exchange, the session merge is
+    * a map-combined min/max of one struct per bucket — no row_number
+    * window over a whole hot session anywhere. */
+  def sessionEntryExitBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionEntryExitBucketedFrom(enriched(spark, dir))
+
+  def sessionEntryExitBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame = {
+    val ev = struct(col("event_epoch"), col("event_id"), col("event_type"))
+    val sessions = sessionizedBucketed(e, bucketSeconds)
+      .groupBy(col("user_id"), col("session_idx"), col("bucket"))
+      .agg(min(ev).as("first_ev"), max(ev).as("last_ev"),
+        count(lit(1)).as("n"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b_p"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("first_ev")).as("fe"), max(col("last_ev")).as("le"),
+        sum(col("n")).as("n_events"), max(col("b_p")).as("has_p"))
+      .select(col("fe.event_type").as("entry_type"),
+        col("le.event_type").as("exit_type"),
+        col("n_events"), col("has_p"))
+    entryExitCensus(sessions)
+  }
+
+  private def entryExitCensus(sessions: DataFrame): DataFrame =
+    sessions
       .groupBy("entry_type", "exit_type")
       .agg(
         count(lit(1)).as("n_sessions"),
@@ -290,7 +341,6 @@ object Sessionize {
         (sum(col("has_p")).cast("double") / count(lit(1)).cast("double"))
           .as("purchase_rate"))
       .orderBy("entry_type", "exit_type")
-  }
 
   /** Same session CTE as `sessionSequencesSql`; entry/exit picked by
     * symmetric row_numbers so ties break identically to the Scala
@@ -332,7 +382,21 @@ object Sessionize {
   /** Frequency/duration/conversion per behavioral pattern.
     * Reference: spark_batch_processor.py:313-322 (pattern_summary). */
   def sessionPatterns(spark: SparkSession, dir: String): DataFrame =
-    sessionSequences(spark, dir)
+    patternsRollup(sessionSequences(spark, dir))
+
+  /** session_patterns over the hot-key-safe session rows — same
+    * oracle. Rides [[sessionSequencesBucketedFrom]]'s bounded
+    * top-k-merged sequences; the pattern rollup itself shuffles only
+    * (sequence, partial-count) rows either way. */
+  def sessionPatternsBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionPatternsBucketedFrom(enriched(spark, dir))
+
+  def sessionPatternsBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame =
+    patternsRollup(sessionSequencesBucketedFrom(e, bucketSeconds))
+
+  private def patternsRollup(sessions: DataFrame): DataFrame =
+    sessions
       .groupBy(col("event_sequence"))
       .agg(
         count(lit(1)).as("session_count"),
@@ -404,20 +468,82 @@ object Sessionize {
   def sessionTransitions(spark: SparkSession, dir: String): DataFrame =
     sessionTransitionsFrom(enriched(spark, dir))
 
-  def sessionTransitionsFrom(e: DataFrame): DataFrame = {
+  /** Within-session consecutive (from_type, to_type) pairs at
+    * (user_id, session_idx) grain — the shared input of
+    * session_transitions / markov_next_event / session_surprise. */
+  private[graft] def sessionPairsFrom(e: DataFrame): DataFrame = {
     val wSess = Window.partitionBy("user_id", "session_idx")
       .orderBy("event_epoch", "event_id")
     sessionized(e)
       .withColumn("to_type", lead("event_type", 1).over(wSess))
       .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .select(col("user_id"), col("session_idx"),
+        col("event_type").as("from_type"), col("to_type"))
+  }
+
+  /** Hot-key-safe twin of [[sessionPairsFrom]] — the SAME pair multiset
+    * without a per-user (or per-session) window anywhere:
+    *
+    *  - WITHIN each (user, bucket): a `lead` scoped to (user, bucket,
+    *    session) — satisfied by the bucketed base's (user, bucket)
+    *    exchange, local sort only, partition height bounded by the
+    *    bucket, not the user history;
+    *  - ACROSS buckets: per (user, bucket) first/last event rows (an
+    *    algebraic min/max of (epoch, event_id)-ordered structs), lagged
+    *    on the KEY-dimension (user, bucket) frame — the pair
+    *    (last of b, first of b') is consecutive by construction (b' is
+    *    the next present bucket) and belongs in the output iff both
+    *    ends carry the same global session_idx.
+    *
+    * A session that never crosses a bucket boundary contributes only
+    * local pairs; one that does contributes exactly one boundary pair
+    * per crossing — the union telescopes to the plain path's pair list
+    * (pinned by the torture-set spec and the shared oracle hashes). */
+  private[graft] def sessionPairsBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame = {
+    val s = sessionizedBucketed(e, bucketSeconds)
+    val wLoc = Window.partitionBy("user_id", "bucket", "session_idx")
+      .orderBy("event_epoch", "event_id")
+    val local = s
+      .withColumn("to_type", lead("event_type", 1).over(wLoc))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("session_idx"),
+        col("event_type").as("from_type"), col("to_type"))
+    val ev = struct(col("event_epoch"), col("event_id"),
+      col("event_type"), col("session_idx"))
+    val bounds = s.groupBy(col("user_id"), col("bucket"))
+      .agg(min(ev).as("first_ev"), max(ev).as("last_ev"))
+    val wU = Window.partitionBy("user_id").orderBy("bucket")
+    val boundary = bounds
+      .withColumn("prev_last", lag("last_ev", 1).over(wU))
+      .filter(col("prev_last").isNotNull &&
+        col("prev_last.session_idx") === col("first_ev.session_idx"))
+      .select(col("user_id"), col("first_ev.session_idx").as("session_idx"),
+        col("prev_last.event_type").as("from_type"),
+        col("first_ev.event_type").as("to_type"))
+    local.unionByName(boundary)
+  }
+
+  def sessionTransitionsFrom(e: DataFrame): DataFrame =
+    transitionsRollup(sessionPairsFrom(e))
+
+  /** session_transitions over the hot-key-safe base — same oracle. */
+  def sessionTransitionsBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionTransitionsBucketedFrom(enriched(spark, dir))
+
+  def sessionTransitionsBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame =
+    transitionsRollup(sessionPairsBucketedFrom(e, bucketSeconds))
+
+  private def transitionsRollup(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("transition_count"))
       .withColumn("transition_rate",
         col("transition_count").cast("double")
           / sum(col("transition_count")).over(Window.partitionBy("from_type")).cast("double")
           * lit(100))
       .orderBy("from_type", "to_type")
-  }
 
   val sessionTransitionsSql: String = sessionizedSql +
     """, pairs AS (
@@ -449,15 +575,63 @@ object Sessionize {
   def sessionDaily(spark: SparkSession, dir: String): DataFrame =
     sessionDailyFrom(enriched(spark, dir))
 
-  def sessionDailyFrom(e: DataFrame): DataFrame = {
-    val sessions = sessionized(e)
+  /** Per-session stat frame shared by session_daily / error_impact /
+    * session_concurrency: (user_id, session_idx, event_count,
+    * session_start_epoch, session_end_epoch, has_purchase, has_error).
+    * Plain form: one groupBy riding the sessionize exchange (subset
+    * rule). Unused columns are pruned by Catalyst per consumer. */
+  private[graft] def sessionStatsFrom(e: DataFrame): DataFrame =
+    sessionized(e)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         count(lit(1)).as("event_count"),
         min(col("event_epoch")).as("session_start_epoch"),
-        (max(col("event_epoch")) - min(col("event_epoch"))).as("duration_seconds"),
-        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
+        max(col("event_epoch")).as("session_end_epoch"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("has_error"))
+
+  /** The hot-key-safe twin of [[sessionStatsFrom]] — identical rows,
+    * computed as per-(user, session, bucket) ALGEBRAIC partials riding
+    * the (user, bucket) exchange of [[sessionizedBucketed]], merged per
+    * session with map-combined sum/min/max. Nothing here ever holds one
+    * user's (or one session's) full event list in a task: the partial
+    * aggregation combines map-side BEFORE the session-grain shuffle, so
+    * a bot's 10^8-event session crosses the wire as one partial row per
+    * (bucket, map task), not 10^8 rows. */
+  private[graft] def sessionStatsBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame =
+    sessionizedBucketed(e, bucketSeconds)
+      .groupBy(col("user_id"), col("session_idx"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_epoch")).as("b_start"),
+        max(col("event_epoch")).as("b_end"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("b_p"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("b_e"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        sum(col("n")).as("event_count"),
+        min(col("b_start")).as("session_start_epoch"),
+        max(col("b_end")).as("session_end_epoch"),
+        max(col("b_p")).as("has_purchase"),
+        max(col("b_e")).as("has_error"))
+
+  def sessionDailyFrom(e: DataFrame): DataFrame =
+    sessionDailyRollup(sessionStatsFrom(e))
+
+  /** session_daily over the hot-key-safe base — same oracle SQL; the
+    * equivalence is hash-checked by the gate, not claimed. */
+  def sessionDailyBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionDailyBucketedFrom(enriched(spark, dir))
+
+  def sessionDailyBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame =
+    sessionDailyRollup(sessionStatsBucketedFrom(e, bucketSeconds))
+
+  private def sessionDailyRollup(sessions: DataFrame): DataFrame = {
     sessions
+      .withColumn("duration_seconds",
+        col("session_end_epoch") - col("session_start_epoch"))
       .groupBy(date_add(lit("1970-01-01").cast("date"),
         (col("session_start_epoch") / lit(86400)).cast("int")).as("session_date"))
       .agg(
@@ -494,11 +668,24 @@ object Sessionize {
   def sessionConcurrency(spark: SparkSession, dir: String): DataFrame =
     sessionConcurrencyFrom(enriched(spark, dir))
 
-  def sessionConcurrencyFrom(e: DataFrame): DataFrame = {
-    val sessions = sessionized(e)
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(min(col("event_epoch")).as("start_epoch"),
-        max(col("event_epoch")).as("end_epoch"))
+  def sessionConcurrencyFrom(e: DataFrame): DataFrame =
+    concurrencyRollup(sessionStatsFrom(e))
+
+  /** session_concurrency over the hot-key-safe base — same oracle SQL.
+    * The sweep-line itself was already key-dimension (session boundary
+    * rows, hour-bucketed prefix sums); only the per-session start/end
+    * rollup needed the bounded partial-merge form. */
+  def sessionConcurrencyBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionConcurrencyBucketedFrom(enriched(spark, dir))
+
+  def sessionConcurrencyBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame =
+    concurrencyRollup(sessionStatsBucketedFrom(e, bucketSeconds))
+
+  private def concurrencyRollup(stats: DataFrame): DataFrame = {
+    val sessions = stats.select(
+      col("session_start_epoch").as("start_epoch"),
+      col("session_end_epoch").as("end_epoch"))
     val deltas = sessions.select(col("start_epoch").as("epoch"), lit(1).as("delta"))
       .unionAll(sessions.select(col("end_epoch").as("epoch"), lit(-1).as("delta")))
       .withColumn("hour_bucket", floor(col("epoch") / lit(3600)))
@@ -600,6 +787,85 @@ object Sessionize {
         max(when(col("first_view").isNotNull, 1).otherwise(0)).as("w_view"),
         max(when(col("first_click").isNotNull, 1).otherwise(0)).as("w_click"),
         max(when(col("first_purchase").isNotNull, 1).otherwise(0)).as("w_purchase"))
+    funnelDayRollup(sessions)
+  }
+
+  /** session_funnel over the hot-key-safe base — same oracle. The
+    * chained conditional mins (first view V → first click ≥ V → first
+    * purchase ≥ that click) resolve in three grains, none of which
+    * funnels a hot session's events into one task:
+    *
+    *  1. per-(user, session, bucket) windows (bounded by the bucket,
+    *     satisfied by the bucketed exchange) compute the LOCAL
+    *     candidates: min view `mv`, min click (any / ≥ mv), min
+    *     purchase (any / ≥ each click candidate);
+    *  2. the KEY-dimension (user, session, bucket) partial frame
+    *     resolves the session-global chain with windows over ≤
+    *     session-span-buckets rows. The bucket arithmetic makes local
+    *     candidates exact: the session's first view V lands in bucket
+    *     floor(V/bs) whose local mv IS V; every event in a LATER
+    *     bucket has epoch ≥ bucket·bs > V, so its min-any is its
+    *     ≥-V min; earlier buckets hold only epochs < V. The same
+    *     argument chains to clicks→purchases, with floor(C/bs) ==
+    *     floor(V/bs) deciding which local purchase candidate applies;
+    *  3. the day rollup sees session rows only.
+    *
+    * Flags (not epochs) reach the output, matching the plain path. */
+  def sessionFunnelBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionFunnelBucketedFrom(enriched(spark, dir))
+
+  def sessionFunnelBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame = {
+    val wB = Window.partitionBy("user_id", "session_idx", "bucket")
+    val staged = sessionizedBucketed(e, bucketSeconds)
+      .withColumn("l_mv",
+        min(when(col("event_type") === "view", col("event_epoch"))).over(wB))
+      .withColumn("l_mc_any",
+        min(when(col("event_type") === "click", col("event_epoch"))).over(wB))
+      .withColumn("l_mc_ge",
+        min(when(col("event_type") === "click" && col("l_mv").isNotNull &&
+          col("event_epoch") >= col("l_mv"), col("event_epoch"))).over(wB))
+      .withColumn("l_mp_any",
+        min(when(col("event_type") === "purchase", col("event_epoch"))).over(wB))
+      .withColumn("l_mp_ge_c",
+        min(when(col("event_type") === "purchase" && col("l_mc_ge").isNotNull &&
+          col("event_epoch") >= col("l_mc_ge"), col("event_epoch"))).over(wB))
+      .withColumn("l_mp_ge_a",
+        min(when(col("event_type") === "purchase" && col("l_mc_any").isNotNull &&
+          col("event_epoch") >= col("l_mc_any"), col("event_epoch"))).over(wB))
+    val partials = staged
+      .groupBy(col("user_id"), col("session_idx"), col("bucket"))
+      .agg(min(col("event_epoch")).as("b_start"),
+        min(col("l_mv")).as("mv"),
+        min(col("l_mc_any")).as("mc_any"), min(col("l_mc_ge")).as("mc_ge"),
+        min(col("l_mp_any")).as("mp_any"),
+        min(col("l_mp_ge_c")).as("mp_ge_c"), min(col("l_mp_ge_a")).as("mp_ge_a"))
+    val wS = Window.partitionBy("user_id", "session_idx")
+    val bs = lit(bucketSeconds)
+    val resolved = partials
+      .withColumn("v", min(col("mv")).over(wS))
+      .withColumn("cand_c",
+        when(col("v").isNull, lit(null).cast("bigint"))
+          .when(col("bucket") === floor(col("v") / bs), col("mc_ge"))
+          .when(col("bucket") > floor(col("v") / bs), col("mc_any")))
+      .withColumn("c", min(col("cand_c")).over(wS))
+      .withColumn("cand_p",
+        when(col("c").isNull, lit(null).cast("bigint"))
+          .when(col("bucket") === floor(col("c") / bs),
+            when(floor(col("c") / bs) === floor(col("v") / bs),
+              col("mp_ge_c")).otherwise(col("mp_ge_a")))
+          .when(col("bucket") > floor(col("c") / bs), col("mp_any")))
+      .withColumn("p", min(col("cand_p")).over(wS))
+    val sessions = resolved
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("b_start")).as("start_epoch"),
+        max(when(col("v").isNotNull, 1).otherwise(0)).as("w_view"),
+        max(when(col("c").isNotNull, 1).otherwise(0)).as("w_click"),
+        max(when(col("p").isNotNull, 1).otherwise(0)).as("w_purchase"))
+    funnelDayRollup(sessions)
+  }
+
+  private def funnelDayRollup(sessions: DataFrame): DataFrame = {
     sessions
       .groupBy(date_add(lit("1970-01-01").cast("date"),
         (col("start_epoch") / lit(86400)).cast("int")).as("session_date"))
@@ -746,6 +1012,57 @@ object Sessionize {
 
   def sessionQualityGateFrom(e: DataFrame): DataFrame =
     gateDayRollup(gatedSessions(e))
+
+  /** session_quality_gate over the hot-key-safe base — same oracle.
+    * The flag rollup is per-(user, session, bucket) algebraic partials
+    * merged map-combined at session grain. The one non-algebraic piece
+    * — exact distinct event_id per session (the q_dup premise) — runs
+    * as a dedup keyed on (user, session, event_id): the exchange
+    * spreads a hot session over its distinct ids (high cardinality, no
+    * hot reducer), and the follow-up per-session COUNT map-combines,
+    * so only partial-count rows reach the session reducer. The stats ×
+    * distinct join is session-grain on both sides (1 row each for the
+    * hot session). The sessionize recomputes once per consumer branch
+    * — two scans, both funnel-free; callers wanting one scan can
+    * localCheckpoint upstream. */
+  def sessionQualityGateBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionQualityGateBucketedFrom(enriched(spark, dir))
+
+  def sessionQualityGateBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame = {
+    val typed = e.filter(typedRowFilter)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("event_epoch"),
+        fRange.as("f_range"), fTs.as("f_ts"), fIntegrity.as("f_integrity"))
+    val s = sessionizedBucketedCols(typed,
+      Seq("user_id", "event_id", "event_type", "event_epoch",
+        "f_range", "f_ts", "f_integrity"), bucketSeconds)
+    val stats = s
+      .groupBy(col("user_id"), col("session_idx"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_epoch")).as("b_start"),
+        max(col("f_range")).as("b_range"), max(col("f_ts")).as("b_ts"),
+        max(col("f_integrity")).as("b_integrity"),
+        min(when(col("event_type") === "purchase", col("event_epoch"))).as("b_fp"),
+        min(when(col("event_type").isin("view", "click"), col("event_epoch"))).as("b_ft"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sum(col("n")).as("event_count"),
+        min(col("b_start")).as("session_start_epoch"),
+        max(col("b_range")).as("q_range"), max(col("b_ts")).as("q_ts"),
+        max(col("b_integrity")).as("q_integrity"),
+        min(col("b_fp")).as("first_purchase"), min(col("b_ft")).as("first_touch"))
+    val distinctIds = s
+      .select("user_id", "session_idx", "event_id").distinct()
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("distinct_ids"))
+    val sessions = stats.join(distinctIds, Seq("user_id", "session_idx"))
+      .withColumn("q_dup", (col("event_count") > col("distinct_ids")).cast("int"))
+      .withColumn("q_seq",
+        (col("first_purchase").isNotNull &&
+          (col("first_touch").isNull || col("first_touch") > col("first_purchase"))).cast("int"))
+      .withColumn("quarantined",
+        greatest(col("q_range"), col("q_ts"), col("q_integrity"), col("q_dup"), col("q_seq")))
+    gateDayRollup(sessions)
+  }
 
   /** Day rollup over session verdict rows — shared by the batch gate
     * query and the streaming verdict log's rescore
@@ -894,13 +1211,21 @@ object Sessionize {
   def errorImpact(spark: SparkSession, dir: String): DataFrame =
     errorImpactFrom(enriched(spark, dir))
 
-  def errorImpactFrom(e: DataFrame): DataFrame = {
-    val sessions = sessionized(e)
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(
-        min(col("event_epoch")).as("start_epoch"),
-        max(when(col("event_type") === "error", 1).otherwise(0)).as("has_error"),
-        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"))
+  def errorImpactFrom(e: DataFrame): DataFrame =
+    errorImpactRollup(sessionStatsFrom(e))
+
+  /** error_impact over the hot-key-safe base — same oracle SQL. */
+  def errorImpactBucketed(spark: SparkSession, dir: String): DataFrame =
+    errorImpactBucketedFrom(enriched(spark, dir))
+
+  def errorImpactBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame =
+    errorImpactRollup(sessionStatsBucketedFrom(e, bucketSeconds))
+
+  private def errorImpactRollup(stats: DataFrame): DataFrame = {
+    val sessions = stats.select(
+      col("session_start_epoch").as("start_epoch"),
+      col("has_error"), col("has_purchase"))
     def convOf(flagVal: Int): org.apache.spark.sql.Column = {
       val n = sum(when(col("has_error") === flagVal, 1).otherwise(0))
       val c = sum(when(col("has_error") === flagVal && col("has_purchase") === 1, 1)
@@ -958,13 +1283,20 @@ object Sessionize {
   def markovNextEvent(spark: SparkSession, dir: String): DataFrame =
     markovNextEventFrom(enriched(spark, dir))
 
-  def markovNextEventFrom(e: DataFrame): DataFrame = {
-    val wSess = Window.partitionBy("user_id", "session_idx")
-      .orderBy("event_epoch", "event_id")
-    val pairs = sessionized(e)
-      .withColumn("to_type", lead("event_type", 1).over(wSess))
-      .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+  def markovNextEventFrom(e: DataFrame): DataFrame =
+    markovRollup(sessionPairsFrom(e))
+
+  /** markov_next_event over the hot-key-safe base — same oracle. */
+  def markovNextEventBucketed(spark: SparkSession, dir: String): DataFrame =
+    markovNextEventBucketedFrom(enriched(spark, dir))
+
+  def markovNextEventBucketedFrom(e: DataFrame,
+      bucketSeconds: Long = BucketSeconds): DataFrame =
+    markovRollup(sessionPairsBucketedFrom(e, bucketSeconds))
+
+  private def markovRollup(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("pair_count"))
     val wArgmax = Window.partitionBy("from_type")
       .orderBy(desc("pair_count"), asc("to_type"))
@@ -1006,15 +1338,23 @@ object Sessionize {
   def sessionSurprise(spark: SparkSession, dir: String, topN: Int = 100): DataFrame =
     sessionSurpriseFrom(enriched(spark, dir), topN)
 
-  def sessionSurpriseFrom(e: DataFrame, topN: Int = 100): DataFrame = {
-    val wSess = Window.partitionBy("user_id", "session_idx")
-      .orderBy("event_epoch", "event_id")
-    val pairs = sessionized(e)
-      .withColumn("to_type", lead("event_type", 1).over(wSess))
-      .filter(col("to_type").isNotNull)
-      .select(col("user_id"), col("session_idx"),
-        col("event_type").as("from_type"), col("to_type"))
-      .localCheckpoint()
+  def sessionSurpriseFrom(e: DataFrame, topN: Int = 100): DataFrame =
+    surpriseRollup(sessionPairsFrom(e), topN)
+
+  /** session_surprise over the hot-key-safe base — rows-only like the
+    * plain form (log2 is libm); the spec pins bit-equality of the two
+    * paths' outputs. The per-session score aggregation is algebraic
+    * (count + sum of log2 p), so it map-combines — the bot session's
+    * transitions reach the session-grain reducer as partial sums. */
+  def sessionSurpriseBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionSurpriseBucketedFrom(enriched(spark, dir))
+
+  def sessionSurpriseBucketedFrom(e: DataFrame, topN: Int = 100,
+      bucketSeconds: Long = BucketSeconds): DataFrame =
+    surpriseRollup(sessionPairsBucketedFrom(e, bucketSeconds), topN)
+
+  private def surpriseRollup(pairFrame: DataFrame, topN: Int = 100): DataFrame = {
+    val pairs = pairFrame.localCheckpoint()
     val lm = pairs
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("pair_count"))

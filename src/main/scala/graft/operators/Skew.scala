@@ -81,14 +81,43 @@ object Skew {
   def measure(df: DataFrame, keyCol: String, armThreshold: Double = 4.0,
               saltCeiling: Int = 64): SkewPlan = {
     require(armThreshold > 1.0, s"armThreshold must exceed 1, got $armThreshold")
-    Quality.keySkewFrom(df, keyCol, topK = 1).collect().headOption match {
+    censusOf(df, keyCol) match {
       case None => SkewPlan(1, 0.0, 0L, 0L)
-      case Some(r) =>
-        val ratio = r.getAs[Double]("ratio_to_avg")
+      case Some((ratio, nKeys, totalRows)) =>
         val n = if (ratio < armThreshold) 1
                 else math.min(saltCeiling.toLong, math.ceil(ratio).toLong).toInt
-        SkewPlan(n, ratio, r.getAs[Long]("n_keys"), r.getAs[Long]("total_rows"))
+        SkewPlan(n, ratio, nKeys, totalRows)
     }
+  }
+
+  /** Raw census: (hot-key ratio_to_avg, n_keys, total_rows) for the
+    * top-1 key of `keyCol` — memoized per (semantic plan, key), so a
+    * pipeline running several armed operators over the SAME enriched
+    * frame pays the key-grain count ONCE. The cache key is the
+    * analyzed plan's semantic hash: two DataFrames reading the same
+    * source through the same transformations share an entry; a
+    * different filter, column set or source dir misses. Threshold and
+    * ceiling are applied per `measure` call (they shape the plan, not
+    * the census), so one census serves consumers with different arming
+    * policies. Bounded: the map clears itself past `CensusCacheMax`
+    * entries (censuses are cheap enough that a rare re-run beats
+    * unbounded growth in a long-lived session). `censusRuns` counts
+    * ACTUAL censuses for the cache-effectiveness spec. */
+  private val CensusCacheMax = 256
+  private val censusCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Option[(Double, Long, Long)]]()
+  private[graft] val censusRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def censusOf(df: DataFrame, keyCol: String): Option[(Double, Long, Long)] = {
+    val key = (df.queryExecution.analyzed.semanticHash(), keyCol)
+    if (censusCache.size() > CensusCacheMax) censusCache.clear()
+    censusCache.computeIfAbsent(key, _ => {
+      censusRuns.incrementAndGet()
+      Quality.keySkewFrom(df, keyCol, topK = 1).collect().headOption.map { r =>
+        (r.getAs[Double]("ratio_to_avg"), r.getAs[Long]("n_keys"),
+          r.getAs[Long]("total_rows"))
+      }
+    })
   }
 
   /** `saltedJoin` with the salt factor MEASURED instead of guessed:

@@ -528,6 +528,28 @@ class SkewSpec extends SparkSpec {
       uniform.join(dim, Seq("k"), "inner")
         .collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
+
+  test("one census serves every armed consumer of the same frame (SkewPlan cache)") {
+    import spark.implicits._
+    // a frame no other test builds → guaranteed cache miss on first use
+    val hot = ((0 until 2000).map(i => ("census_bot", s"cc$i", "view", 1000L + i * 10L)) ++
+      (0 until 40).map(i => (s"cu${i % 20}", s"cn$i", "view", 1000L + i * 5000L)))
+      .toDF("user_id", "event_id", "event_type", "event_epoch")
+    val before = Skew.censusRuns.get()
+    // a pipeline running THREE armed session operators over one frame
+    val (_, p1) = Sessionize.sessionAuto(hot)(
+      Sessionize.sessionDailyFrom, Sessionize.sessionDailyBucketedFrom(_))
+    val (_, p2) = Sessionize.sessionAuto(hot)(
+      Sessionize.sessionTransitionsFrom, Sessionize.sessionTransitionsBucketedFrom(_))
+    val (_, p3) = Sessionize.sessionSequencesAuto(hot)
+    assert(Skew.censusRuns.get() - before == 1L,
+      s"expected ONE census for three armed consumers, got ${Skew.censusRuns.get() - before}")
+    assert(p1.armed && p1 == p2 && p2 == p3, s"plans diverged: $p1 / $p2 / $p3")
+    // a DIFFERENT frame (extra filter) must miss the cache
+    val (_, p4) = Sessionize.sessionSequencesAuto(hot.filter(col("event_epoch") > 0L))
+    assert(Skew.censusRuns.get() - before == 2L, "a semantically new frame must re-census")
+    assert(p4.armed)
+  }
 }
 
 class EventMartsSpec extends SparkSpec {
@@ -1026,6 +1048,146 @@ class SessionizeSpec extends SparkSpec {
       df.collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(canon(Sessionize.sessionSequencesBucketed(spark, Sf)) ==
       canon(Sessionize.sessionSequences(spark, Sf)))
+  }
+
+  /** The planted torture frame for whole-family plain↔bucketed
+    * equivalence: a bucket-crossing bot, boundary merges/breaks, empty
+    * buckets, epoch ties, multi-session buckets, and a funnel user
+    * whose view→click→purchase chain straddles a bucket boundary in
+    * ORDER-SENSITIVE ways (a click before the first view, a purchase
+    * before the first qualified click — both must not count). */
+  private def familyTorture = {
+    import spark.implicits._
+    val B = Sessionize.BucketSeconds
+    val G = Sessionize.GapSeconds
+    val bot = (0 until 3000).map(i =>
+      ("bot", f"b$i%05d",
+        Seq("view", "click", "purchase", "error")(i % 4), 80000L + i * 600L))
+    val edge = Seq(("u_edge", "e1", "view", B - 1L),
+      ("u_edge", "e2", "purchase", B - 1L + G))
+    val break_ = Seq(("u_break", "k1", "view", B - 1L),
+      ("u_break", "k2", "view", B + G))
+    val skip = Seq(("u_skip", "s1", "view", 100L),
+      ("u_skip", "s2", "click", 3 * B + 100L))
+    val tie = Seq(("u_tie", "t1", "view", 500L), ("u_tie", "t2", "click", 500L),
+      ("u_tie", "t3", "purchase", 500L + G + 1))
+    val multi = (0 until 6).map(i =>
+      ("u_multi", s"m$i", Seq("view", "error")(i % 2), 10000L + i * (G + 10L)))
+    // funnel torture: session crosses the boundary between its view
+    // (bucket 0) and its click+purchase (bucket 1)
+    val fx = Seq(("u_fx", "f1", "view", B - 900L), ("u_fx", "f2", "click", B + 100L),
+      ("u_fx", "f3", "purchase", B + 200L))
+    // click BEFORE the session's first view — must NOT start the chain;
+    // the qualified click is in the next bucket
+    val fpre = Seq(("u_fpre", "p1", "click", B - 800L), ("u_fpre", "p2", "view", B - 700L),
+      ("u_fpre", "p3", "click", B + 50L), ("u_fpre", "p4", "purchase", B + 60L))
+    // purchase between view and first qualified click — must NOT count
+    val fmid = Seq(("u_fmid", "q1", "view", B - 500L), ("u_fmid", "q2", "purchase", B - 400L),
+      ("u_fmid", "q3", "click", B + 10L))
+    (bot ++ edge ++ break_ ++ skip ++ tie ++ multi ++ fx ++ fpre ++ fmid)
+      .toDF("user_id", "event_id", "event_type", "event_epoch")
+  }
+
+  test("the whole bucketed session family equals its plain twin on the torture set") {
+    val e = familyTorture
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val pairs: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      ("daily", Sessionize.sessionDailyFrom(e), Sessionize.sessionDailyBucketedFrom(e)),
+      ("error_impact", Sessionize.errorImpactFrom(e), Sessionize.errorImpactBucketedFrom(e)),
+      ("concurrency", Sessionize.sessionConcurrencyFrom(e),
+        Sessionize.sessionConcurrencyBucketedFrom(e)),
+      ("transitions", Sessionize.sessionTransitionsFrom(e),
+        Sessionize.sessionTransitionsBucketedFrom(e)),
+      ("markov", Sessionize.markovNextEventFrom(e), Sessionize.markovNextEventBucketedFrom(e)),
+      ("entry_exit", Sessionize.sessionEntryExitFrom(e),
+        Sessionize.sessionEntryExitBucketedFrom(e)),
+      ("funnel", Sessionize.sessionFunnelFrom(e), Sessionize.sessionFunnelBucketedFrom(e)))
+    pairs.foreach { case (name, plain, bucketed) =>
+      assert(canon(plain) == canon(bucketed), s"$name diverged on the torture set")
+    }
+    // pair multiset equality (the transitions/markov/surprise base):
+    // boundary pairs really are recovered, not just aggregate-equal
+    val pPlain = canon(Sessionize.sessionPairsFrom(e))
+    val pBucketed = canon(Sessionize.sessionPairsBucketedFrom(e))
+    assert(pPlain == pBucketed, {
+      val a = pPlain.groupBy(identity).view.mapValues(_.size).toMap
+      val b = pBucketed.groupBy(identity).view.mapValues(_.size).toMap
+      s"pairs diverged: only-plain=${(a.toSet -- b.toSet).take(3)} " +
+        s"only-bucketed=${(b.toSet -- a.toSet).take(3)}"
+    })
+    // surprise: same sessions, same bits (sum order differs → tolerance)
+    val nSessions = Sessionize.sessionPairsFrom(e)
+      .select("user_id", "session_idx").distinct().count().toInt + 1
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Double]("bits_per_transition"))).toMap
+    val sp = bits(Sessionize.sessionSurpriseFrom(e, nSessions))
+    val sb = bits(Sessionize.sessionSurpriseBucketedFrom(e, nSessions))
+    assert(sp.keySet == sb.keySet)
+    sp.foreach { case (k, (n, b)) =>
+      assert(sb(k)._1 == n, s"surprise n_transitions diverged at $k")
+      assert(math.abs(sb(k)._2 - b) < 1e-9, s"surprise bits diverged at $k")
+    }
+    // the funnel torture cases landed where ordered semantics demand
+    val fDays = Sessionize.sessionFunnelFrom(
+      e.filter(col("user_id").startsWith("u_f"))).collect()
+    assert(fDays.map(_.getAs[Long]("with_purchase")).sum == 2L,
+      "u_fx and u_fpre convert; u_fmid's pre-click purchase must not")
+  }
+
+  test("the whole bucketed session family equals its plain twin on real sf0.001 events") {
+    val e = graft.operators.EventMarts.enriched(spark, Sf)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val pairs: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      ("daily", Sessionize.sessionDailyFrom(e), Sessionize.sessionDailyBucketedFrom(e)),
+      ("error_impact", Sessionize.errorImpactFrom(e), Sessionize.errorImpactBucketedFrom(e)),
+      ("concurrency", Sessionize.sessionConcurrencyFrom(e),
+        Sessionize.sessionConcurrencyBucketedFrom(e)),
+      ("transitions", Sessionize.sessionTransitionsFrom(e),
+        Sessionize.sessionTransitionsBucketedFrom(e)),
+      ("markov", Sessionize.markovNextEventFrom(e), Sessionize.markovNextEventBucketedFrom(e)),
+      ("entry_exit", Sessionize.sessionEntryExitFrom(e),
+        Sessionize.sessionEntryExitBucketedFrom(e)),
+      ("funnel", Sessionize.sessionFunnelFrom(e), Sessionize.sessionFunnelBucketedFrom(e)),
+      ("patterns", Sessionize.sessionPatterns(spark, Sf),
+        Sessionize.sessionPatternsBucketed(spark, Sf)),
+      ("quality_gate", Sessionize.sessionQualityGateFrom(e),
+        Sessionize.sessionQualityGateBucketedFrom(e)))
+    pairs.foreach { case (name, plain, bucketed) =>
+      assert(canon(plain) == canon(bucketed), s"$name diverged on sf0.001")
+    }
+  }
+
+  test("bucketed gate catches a duplicate event_id that CROSSES a bucket boundary") {
+    import spark.implicits._
+    // a bucket boundary inside the valid-timestamp range (2023) — the
+    // gate's f_ts check reads the year
+    val B = (1700000000L / Sessionize.BucketSeconds + 1) * Sessionize.BucketSeconds
+    // one session straddling the boundary; the replayed event_id 'dup'
+    // appears once per bucket — a per-bucket distinct would miss it
+    val rows = Seq(
+      ("u1", "dup", "view", B - 100L),
+      ("u1", "a2", "click", B - 50L),
+      ("u1", "dup", "view", B + 20L),
+      // control user: clean session, same shape
+      ("u2", "c1", "view", B - 100L),
+      ("u2", "c2", "click", B + 20L))
+    val e = rows.toDF("user_id", "event_id", "event_type", "event_epoch")
+      .withColumn("ts", timestamp_seconds(col("event_epoch")))
+      .withColumn("value", lit(10.0))
+      .withColumn("props", lit("""{"k":1}"""))
+      .withColumn("product_k", lit(1))
+    val out = Sessionize.sessionQualityGateBucketedFrom(e).collect()
+    assert(out.map(_.getAs[Long]("sessions_total")).sum == 2L)
+    assert(out.map(_.getAs[Long]("q_dup_sessions")).sum == 1L,
+      "cross-bucket duplicate must quarantine exactly the replayed session")
+    assert(out.map(_.getAs[Long]("sessions_quarantined")).sum == 1L)
+    // and the plain gate agrees
+    val plain = Sessionize.sessionQualityGateFrom(e).collect()
+    assert(plain.map(_.toSeq).sortBy(_.toString).toSeq ==
+      out.map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
   test("sessionSequencesAuto arms on a measured hot user and stays plain on uniform data") {

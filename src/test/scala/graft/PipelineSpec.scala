@@ -598,6 +598,39 @@ class QualityUnitSpec extends SparkSpec {
 }
 
 class PipelineSpec extends SparkSpec {
+  test("pipeline run takes the ARMED session path on a planted bot — same mart rows") {
+    val dataDir = Files.createTempDirectory("graft_armed").toString
+    val base = sources.EventGenerator.events(spark, 5000, days = 3, users = 50)
+    // a sentinel firing every 30 s for 33 h: one user owns 4000 of
+    // 9000 rows → hot ratio ≈ 4000·51/9000 ≈ 22.7 > the 16 threshold
+    val bot = spark.range(4000).selectExpr(
+      "100000 + id AS event_id",
+      "timestamp_seconds(unix_timestamp(DATE'2024-01-01') + id * 30) AS ts",
+      "CAST(7 AS BIGINT) AS user_id",
+      "'view' AS event_type", "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+    base.unionByName(bot).write.mode("overwrite")
+      .parquet(s"$dataDir/events.parquet")
+    val out = Files.createTempDirectory("graft_armed_out").toString
+    val r = Pipeline.run(spark, dataDir, out, failFast = false)
+    assert(r.sessionSkew.exists(_.armed),
+      s"planted bot must arm the bucketed sessionize: ${r.sessionSkew}")
+    assert(r.martsWritten.contains("session_sequences"))
+    // the armed mart is row-identical to the plain path's
+    val plain = operators.Sessionize.sessionSequencesFrom(
+        operators.EventMarts.enriched(spark, dataDir))
+      .withColumn("session_date",
+        to_date(timestamp_seconds(col("session_start_epoch"))))
+    val cols = plain.columns.sorted.toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(spark.read.parquet(s"$out/session_sequences")) == canon(plain))
+    // the bot's mega-session survived intact through the bucketed path
+    val botRow = spark.read.parquet(s"$out/session_sequences")
+      .filter(col("user_id") === 7L).collect()
+    assert(botRow.exists(_.getAs[Long]("event_count") >= 4000L),
+      "the bot's single long session must assemble across buckets")
+  }
+
   test("pipeline validates, gates, and writes idempotent marts") {
     val out = Files.createTempDirectory("graft_pipeline").toString
     val r1 = Pipeline.run(spark, Sf, out)
