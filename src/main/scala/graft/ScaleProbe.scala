@@ -253,7 +253,19 @@ object ScaleProbe {
       // unlike the embedding replicas)
       "simhash_calibration",
       // batch 35: one broadcast key join + a two-level rollup
-      "segment_order_profile")
+      "segment_order_profile",
+      // round 10 batch 1: the bucketed session family — each form's
+      // point is the bounded partial shapes, so the probe measures
+      // them beside their plain twins (same generator corpus)
+      "session_daily_bucketed", "session_transitions_bucketed",
+      "session_funnel_bucketed", "session_quality_gate_bucketed",
+      "session_entry_exit_bucketed", "session_concurrency_bucketed",
+      "markov_next_event_bucketed",
+      // round 10 batch 2: per-table suggestions ride the profiles'
+      // pruned passes; the serving table is N walks on one pinned
+      // edge checkpoint (graph shape, not replicas)
+      "dq_suggested_lineitem", "dq_suggested_documents",
+      "ppr_related_products")
       // batch 29's ann_ivf_filtered is NOT probed here: pair
       // enumerators are excluded from the replica dirs by the header
       // rule (exact replicas densify every cell) — it shares

@@ -377,7 +377,11 @@ object Dedup {
   def nearDupCorpusFromPairs(docs: DataFrame, pairs: DataFrame,
                              maxRounds: Int = 20,
                              requireConvergence: Boolean = false): DataFrame = {
-    val labels = componentLabels(docs, pairs, maxRounds, requireConvergence)
+    // the measured chooser: near-dup graphs converge inside the probe
+    // and stay on min-label; a pathological deep component (chained
+    // near-copies from a template mill) switches to star contraction
+    val (labels, _) = componentLabelsAuto(docs, pairs,
+      maxRounds = maxRounds, requireConvergence = requireConvergence)
     docs.join(labels.filter(col("doc_id") === col("keeper")), Seq("doc_id"))
       .select(docs.columns.map(col).toSeq: _*)
   }
@@ -401,16 +405,7 @@ object Dedup {
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_b") === col("nbr"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("keeper")).as("nbr_keeper"))
-      val next = labels.withColumnRenamed("keeper", "prev_keeper")
-        .join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("prev_keeper"), coalesce(col("nbr_keeper"), col("prev_keeper"))).as("keeper"),
-          col("prev_keeper"))
-        .localCheckpoint()
+      val next = minLabelRound(edges, labels).localCheckpoint()
       converged = next.filter(col("keeper") =!= col("prev_keeper")).isEmpty
       labels = next.select(col("doc_id"), col("keeper"))
       r += 1
@@ -422,6 +417,89 @@ object Dedup {
       log.warn(msg)
     }
     labels
+  }
+
+  /** One min-label propagation round (keeper, prev_keeper per doc) —
+    * shared by [[componentLabels]] and the probe loop below. */
+  private def minLabelRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val viaNeighbors = edges
+      .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_b") === col("nbr"))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("keeper")).as("nbr_keeper"))
+    labels.withColumnRenamed("keeper", "prev_keeper")
+      .join(viaNeighbors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("prev_keeper"), coalesce(col("nbr_keeper"), col("prev_keeper"))).as("keeper"),
+        col("prev_keeper"))
+  }
+
+  /** The MEASURED chooser between the repo's two component cores —
+    * the tuning-closure pattern applied to its own graph machinery
+    * (gap histogram → GapSeconds, skew census → salt factor; here:
+    * observed label-flow → which CC algorithm). Min-label propagation
+    * needs one round per hop of a component's eccentricity from its
+    * min id — ideal for near-dup graphs (stars/cliques, diameter ≤ 3,
+    * converges inside the probe), fatal for a long chain — while
+    * `Graph.connectedComponentsFrom`'s star contraction is O(log² n)
+    * rounds regardless of diameter but pays two groupBy-mins + two
+    * joins per round. The rule is measured, not guessed: run
+    * min-label `probeRounds` rounds counting changed rows; if the
+    * count hasn't at least HALVED relative to round 1 (a deep
+    * component keeps labels flowing at full rate), switch to star
+    * contraction — otherwise finish min-label's remaining budget.
+    * Labels are identical either way (both converge to the component
+    * min id — spec-pinned); only the plan changes. Probe cost is one
+    * count per probe round, the same class as the convergence probe
+    * the plain loop already pays. Returns the chosen path for logs. */
+  private[graft] def componentLabelsAuto(docs: DataFrame, pairs: DataFrame,
+      probeRounds: Int = 3, maxRounds: Int = 20,
+      requireConvergence: Boolean = false): (DataFrame, String) = {
+    require(probeRounds >= 1 && maxRounds >= 2,
+      s"need probeRounds >= 1 and maxRounds >= 2, got $probeRounds/$maxRounds")
+    val probe = math.min(probeRounds, maxRounds - 1)
+    val p = pairs.localCheckpoint()
+    val edges = p.unionByName(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("keeper"))
+      .localCheckpoint()
+    var firstChanged = -1L
+    var lastChanged = -1L
+    var r = 0
+    while (r < probe && lastChanged != 0L) {
+      val next = minLabelRound(edges, labels).localCheckpoint()
+      lastChanged = next.filter(col("keeper") =!= col("prev_keeper")).count()
+      if (r == 0) firstChanged = lastChanged
+      labels = next.select(col("doc_id"), col("keeper"))
+      r += 1
+    }
+    if (lastChanged == 0L) (labels, "min_label") // converged inside the probe
+    else if (lastChanged * 2L > firstChanged) {
+      // label flow has not collapsed — a deep component; the star
+      // path re-labels from scratch (its rounds don't compose with
+      // the probe's partial labels), O(log² n) regardless of depth
+      log.info(s"componentLabelsAuto: switching to star contraction " +
+        s"(changed $firstChanged -> $lastChanged after $probe rounds)")
+      val vertices = docs.select(col("doc_id"))
+      (Graph.connectedComponentsFrom(vertices, p,
+          requireConvergence = requireConvergence)
+        .select(col("id").as("doc_id"), col("component").as("keeper")), "star")
+    } else {
+      // collapsing geometrically — finish min-label's budget
+      var converged = false
+      while (r < maxRounds && !converged) {
+        val next = minLabelRound(edges, labels).localCheckpoint()
+        converged = next.filter(col("keeper") =!= col("prev_keeper")).isEmpty
+        labels = next.select(col("doc_id"), col("keeper"))
+        r += 1
+      }
+      if (!converged) {
+        val msg = s"near-dup label propagation hit the $maxRounds-round cap " +
+          "without converging after a collapsing probe"
+        if (requireConvergence) throw new IllegalStateException(msg)
+        log.warn(msg)
+      }
+      (labels, "min_label")
+    }
   }
 
   /** Near-dup cluster-size histogram — the redundancy profile of the

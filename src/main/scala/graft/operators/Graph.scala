@@ -88,6 +88,55 @@ object Graph {
       .withColumn("seed_product", lit(seed))
   }
 
+  /** The PPR SERVING table — "related to X" rows a product page or a
+    * recommender candidate-generator actually reads: top-`k` random-
+    * walk neighbors for each of the `numSeeds` most-viewed products.
+    * One row per (seed, related product) with the walk score and rank;
+    * the seed itself and unreachable (exactly-0) nodes are excluded.
+    *
+    * Scale shape: the expensive inputs are shared, not repeated — the
+    * edge frame builds and localCheckpoints ONCE and all N walks run
+    * on the pinned copy (`pagerankPrepared`); seeds are a bounded
+    * driver scalar (TakeOrdered-N of the view census, the kmeans-init
+    * class); each walk's output is node-dimension and its top-k is a
+    * TakeOrdered, so the final table is N·k rows. N is a SERVING
+    * choice (the heads everyone asks about), not a coverage claim —
+    * full-catalog related-items at 100 TB would batch seeds per walk
+    * with a seed-keyed rank vector instead. rows-only by design
+    * (iterated float walks); the spec pins bit-identity of each
+    * seed's rows against a standalone single-seed run. */
+  def pprServingTable(spark: SparkSession, dir: String, numSeeds: Int = 3,
+      k: Int = 10, iterations: Int = 15, tol: Double = 1e-6,
+      checkEvery: Int = 3): DataFrame =
+    pprServingTableFrom(enriched(spark, dir), numSeeds, k, iterations,
+      tol, checkEvery)
+
+  def pprServingTableFrom(e: DataFrame, numSeeds: Int = 3, k: Int = 10,
+      iterations: Int = 15, tol: Double = 1e-6,
+      checkEvery: Int = 3): DataFrame = {
+    val seeds = e.filter(col("product_k").isNotNull && col("event_type") === "view")
+      .groupBy(col("product_k")).agg(count(lit(1)).as("views"))
+      .orderBy(desc("views"), asc("product_k")).limit(numSeeds)
+      .collect().map(_.getAs[Int]("product_k")).toSeq // bounded driver scalar
+    require(seeds.nonEmpty, "no viewed products to seed from")
+    val edges = productEdgesFrom(e).localCheckpoint() // ONE build, N walks
+    val perSeed = seeds.map { s =>
+      pagerankPrepared(edges, iterations, tol = tol,
+        checkEvery = checkEvery, restart = Seq(s))
+        .filter(col("product_k") =!= s && col("pagerank") > 0.0)
+        .orderBy(desc("pagerank"), asc("product_k")).limit(k)
+        .select(lit(s).as("seed_product"),
+          col("product_k").as("related_product"),
+          col("pagerank").as("ppr"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seed_product"))
+      .orderBy(desc("ppr"), asc("related_product"))
+    perSeed.reduce(_ unionByName _) // N·k rows — the window below is tiny
+      .withColumn("rank", row_number().over(w))
+      .orderBy("seed_product", "rank")
+  }
+
   /** Weighted PageRank over an (src, dst, weight) edge frame.
     * Returns (node, pagerank, out_weight, in_edges, out_edges,
     * last_delta, iterations_run) with Σ pagerank = 1 (dangling mass
@@ -105,8 +154,18 @@ object Graph {
     * rounds that were almost certainly still needed. */
   def pagerankFrom(edges: DataFrame, iterations: Int = 15,
       damping: Double = Damping, tol: Double = 0.0,
+      checkEvery: Int = 1, restart: Seq[Int] = Nil): DataFrame =
+    pagerankPrepared(edges.localCheckpoint(), iterations, damping, tol,
+      checkEvery, restart)
+
+  /** The iteration core over an ALREADY-PINNED edge frame — callers
+    * running SEVERAL walks on one graph (the PPR serving table's N
+    * seeds) pay the edge build + checkpoint once and share it here;
+    * `pagerankFrom` remains the single-walk door. */
+  private[graft] def pagerankPrepared(edges: DataFrame, iterations: Int = 15,
+      damping: Double = Damping, tol: Double = 0.0,
       checkEvery: Int = 1, restart: Seq[Int] = Nil): DataFrame = {
-    val e = edges.localCheckpoint() // every iteration reuses the edge frame
+    val e = edges // pinned by the caller — every iteration reuses it
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()

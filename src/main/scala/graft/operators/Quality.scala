@@ -1428,6 +1428,118 @@ object Quality {
        |  FROM events
        |) ORDER BY column_name, check_type""".stripMargin
 
+  /** The suggestion loop GENERALIZED to any frame — the relational/
+    * corpus-side Deequ loop the r9 VERDICT asked for (`profileAllFrom`
+    * already profiles documents/orders/lineitem; this turns those
+    * profiles into runnable check configs for `runChecks`). Rules are
+    * type-driven: zero observed nulls → `not_null`; zero nulls AND
+    * distinct == rows → `unique`; any STRING column whose domain fits
+    * `maxSet` → `isin` with the observed sorted set (a text column's
+    * exploded domain is dropped by the post-limit filter — the right
+    * answer, and the absence of `unique` on it is itself the
+    * duplicate-rate signal); any NUMERIC column → `range` with
+    * observed [min, max] cast to double in BOTH engines. The events
+    * table keeps its hand-shaped [[suggestedChecksFrom]] (fixed
+    * column semantics, fixed oracle); this is the every-table door.
+    *
+    * Scale shape: inherits the profile's per-column pruned passes;
+    * each isin candidate's distinct is LIMIT-capped at maxSet+1
+    * before any collect; each range is one min/max aggregate. */
+  def suggestedChecksAllFrom(df: DataFrame, maxSet: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val noBounds = Seq(
+      lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"))
+    val noSet = lit(null).cast("string").as("value_set")
+    val prof = profileAllFrom(df)
+    val notNull = prof.filter(col("n_null") === 0)
+      .select(Seq(col("column_name"), lit("not_null").as("check_type")) ++
+        noBounds :+ noSet: _*)
+    val unique = prof
+      .filter(col("n_null") === 0 && col("n_distinct") === col("n_rows"))
+      .select(Seq(col("column_name"), lit("unique").as("check_type")) ++
+        noBounds :+ noSet: _*)
+    val isin = df.schema.fields.toSeq
+      .filter(_.dataType == StringType).map(_.name).map { c =>
+        df.filter(col(c).isNotNull).select(col(c)).distinct().limit(maxSet + 1)
+          .agg(count(lit(1)).as("n"),
+            concat_ws(",", sort_array(collect_list(col(c)))).as("vs"))
+          .filter(col("n") > 0 && col("n") <= maxSet)
+          .select(Seq(lit(c).as("column_name"), lit("isin").as("check_type")) ++
+            noBounds :+ col("vs").as("value_set"): _*)
+      }
+    val range = df.schema.fields.toSeq
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).map { c =>
+        df.agg(min(col(c)).cast("double").as("lo"),
+            max(col(c)).cast("double").as("hi"))
+          .filter(col("lo").isNotNull)
+          .select(Seq(lit(c).as("column_name"), lit("range").as("check_type"),
+            col("lo"), col("hi")) :+ noSet: _*)
+      }
+    (Seq(notNull, unique) ++ isin ++ range).reduce(_ unionByName _)
+      .orderBy("column_name", "check_type")
+  }
+
+  def suggestedChecksDocuments(spark: SparkSession, dir: String): DataFrame =
+    suggestedChecksAllFrom(graft.Tables.documents(spark, dir))
+
+  def suggestedChecksOrders(spark: SparkSession, dir: String): DataFrame =
+    suggestedChecksAllFrom(graft.Tables.orders(spark, dir))
+
+  def suggestedChecksLineitem(spark: SparkSession, dir: String): DataFrame =
+    suggestedChecksAllFrom(graft.Tables.lineitem(spark, dir))
+
+  /** Oracle mirror of [[suggestedChecksAllFrom]] for one table. */
+  private def suggestedAllSql(table: String, cols: Seq[String],
+      stringCols: Seq[String], numericCols: Seq[String]): String = {
+    val prof = cols.map(c => profileColumnSql(table, c, c))
+      .mkString("\nUNION ALL\n")
+    val isin = stringCols.map(c =>
+      s"""  SELECT '$c' AS column_name, 'isin' AS check_type,
+         |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+         |    array_to_string(array_agg(x ORDER BY x), ',') AS value_set
+         |  FROM (SELECT DISTINCT $c AS x FROM $table WHERE $c IS NOT NULL)
+         |  HAVING COUNT(*) BETWEEN 1 AND 20""".stripMargin)
+    val range = numericCols.map(c =>
+      s"""  SELECT '$c' AS column_name, 'range' AS check_type,
+         |    CAST(MIN($c) AS DOUBLE) AS lo, CAST(MAX($c) AS DOUBLE) AS hi,
+         |    CAST(NULL AS VARCHAR) AS value_set
+         |  FROM $table HAVING MIN($c) IS NOT NULL""".stripMargin)
+    val heads = Seq(
+      s"""  SELECT column_name, 'not_null' AS check_type,
+         |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+         |    CAST(NULL AS VARCHAR) AS value_set
+         |  FROM prof WHERE n_null = 0""".stripMargin,
+      s"""  SELECT column_name, 'unique' AS check_type,
+         |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+         |    CAST(NULL AS VARCHAR) AS value_set
+         |  FROM prof WHERE n_null = 0 AND n_distinct = n_rows""".stripMargin)
+    s"""WITH prof AS (
+       |$prof
+       |)
+       |SELECT * FROM (
+       |${(heads ++ isin ++ range).mkString("\n  UNION ALL\n")}
+       |) ORDER BY column_name, check_type""".stripMargin
+  }
+
+  val suggestedChecksDocumentsSql: String = suggestedAllSql("documents",
+    Seq("doc_id", "text", "lang", "source", "n_chars"),
+    stringCols = Seq("text", "lang", "source"),
+    numericCols = Seq("doc_id", "n_chars"))
+
+  val suggestedChecksOrdersSql: String = suggestedAllSql("orders",
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    stringCols = Seq("o_orderstatus", "o_orderpriority"),
+    numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
+  val suggestedChecksLineitemSql: String = suggestedAllSql("lineitem",
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+    stringCols = Seq("l_returnflag", "l_linestatus"),
+    numericCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   /** Execute a suggestion frame's constraints against any target
     * frame — the EXECUTION closure of `dq_suggested_checks` (suggest
     * on yesterday's healthy table, RUN on today's arrival: a

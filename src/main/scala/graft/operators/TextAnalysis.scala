@@ -3000,6 +3000,36 @@ object TextAnalysis {
       .orderBy("query_doc")
   }
 
+  /** Persist one self-retrieval run's per-probe rows to the retrieval
+    * health log — the FromLog pattern applied to `search_selfrecall`
+    * (the way the quality/volume/profile logs feed their rescores):
+    * each pipeline run appends its probe ranks under a `run_id`
+    * partition via the dynamic-overwrite mart writer, so a RERUN of
+    * the same run_id replaces its own partition idempotently instead
+    * of double-counting. The log is probe-grain (numQueries rows per
+    * run) — it grows with runs, not corpus size. */
+  def selfRecallLogAppend(recall: DataFrame, logDir: String, runId: String): Unit =
+    graft.sources.MartSink.writePartitioned(
+      recall.withColumn("run_id", lit(runId)), logDir, Seq("run_id"))
+
+  /** The retrieval-health dial over the run log: per run, MRR,
+    * recall@k and the rank-1 hit count — the trend a corpus swap, an
+    * index regression or near-duplicate flooding bends downward hours
+    * or days before anyone reads a per-run table. Sits beside the
+    * other log-fed rescores (volume anomaly, profile drift, norm
+    * drift) as the search-side health row. Tiny frame: |runs| rows. */
+  def selfRecallTrendFromLog(spark: SparkSession, logDir: String,
+      k: Int = 10): DataFrame =
+    spark.read.parquet(logDir)
+      .groupBy(col("run_id"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        avg(col("reciprocal_rank")).as("mrr"),
+        (sum(when(col("rank") <= k, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("recall_at_k"),
+        sum(when(col("rank") === 1, 1L).otherwise(0L)).as("rank1_hits"))
+      .orderBy("run_id")
+
   /** Collocation mining — word pairs that co-occur adjacently far
     * more than their unigram frequencies predict (the "New York" /
     * "machine learning" detector; the phrase inventory a tokenizer or

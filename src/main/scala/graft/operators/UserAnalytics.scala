@@ -1267,12 +1267,23 @@ object UserAnalytics {
     val conv = users.filter(col("conv_day").isNotNull)
       .groupBy(col("conv_day").as("day"), col("arm"))
       .agg(count(lit(1)).as("converted"))
-    val wArm = Window.partitionBy(col("arm")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val daily = enroll.join(conv, Seq("day", "arm"), "fullouter")
+    sequentialFromDaily(enroll.join(conv, Seq("day", "arm"), "fullouter")
       .select(col("day"), col("arm"),
         coalesce(col("enrolled"), lit(0L)).as("e"),
-        coalesce(col("converted"), lit(0L)).as("c"))
+        coalesce(col("converted"), lit(0L)).as("c")))
+  }
+
+  /** The look-table core shared by the batch query and the streaming
+    * first-touch log rescore (`streaming.AbSequentialStream
+    * .sequentialFromLog`): takes per-(day, arm) NEW enrolments `e` and
+    * NEW conversions `c`, returns the boundary look table. Keeping one
+    * recipe means live peeks and the nightly readout can never apply
+    * different statistics to the same experiment. */
+  private[graft] def sequentialFromDaily(newDaily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wArm = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = newDaily
       .withColumn("n", sum(col("e")).over(wArm))
       .withColumn("x", sum(col("c")).over(wArm))
     val wide = daily.groupBy(col("day")).agg(

@@ -1916,6 +1916,63 @@ class QualitySpec extends SparkSpec {
     assert(Set("view", "purchase").subsetOf(vs), s"got $vs")
   }
 
+  test("per-table suggestions cover the reconcile premises; text flags non-unique; runChecks closes the loop") {
+    // lineitem: the reconcile checks' premises must be SUGGESTED from
+    // the data alone — non-null join keys and the bounded discount
+    val li = Quality.suggestedChecksLineitem(spark, Sf).collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type")) -> r)
+      .toMap
+    assert(li.contains(("l_orderkey", "not_null")))
+    assert(li.contains(("l_partkey", "not_null")))
+    assert(li.contains(("l_suppkey", "not_null")))
+    val disc = li(("l_discount", "range"))
+    assert(disc.getAs[Double]("lo") >= 0.0 && disc.getAs[Double]("hi") <= 0.1 + 1e-12,
+      s"discount bounds must reflect the generated [0, 0.1] domain: $disc")
+    // the tiny string domains become isin with the observed sets
+    assert(li(("l_returnflag", "isin")).getAs[String]("value_set").split(",").toSet ==
+      Tables.lineitem(spark, Sf).select("l_returnflag").distinct()
+        .collect().map(_.getString(0)).toSet)
+    // documents: doc_id suggests unique, the small lang/source domains
+    // suggest isin, and the text column's exploded domain must not
+    val docs = Quality.suggestedChecksDocuments(spark, Sf).collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type")))
+      .toSet
+    assert(docs.contains(("doc_id", "unique")))
+    assert(!docs.contains(("text", "isin")), "an exploded text domain must not isin")
+    assert(docs.contains(("lang", "isin")) && docs.contains(("source", "isin")))
+    // a re-crawl that plants an exact duplicate text SUPPRESSES the
+    // text uniqueness suggestion (the dedup family's premise read from
+    // the suggestion side); doc_id stays unique
+    locally {
+      import spark.implicits._
+      val dup = Seq(
+        (1L, "alpha beta gamma", "en", "web", 16L),
+        (2L, "alpha beta gamma", "en", "web", 16L),
+        (3L, "delta epsilon", "en", "web", 13L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val s2 = Quality.suggestedChecksAllFrom(dup).collect()
+        .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type")))
+        .toSet
+      assert(!s2.contains(("text", "unique")),
+        "a duplicated text must suppress the uniqueness suggestion")
+      assert(s2.contains(("doc_id", "unique")))
+      assert(s2.contains(("text", "not_null")))
+    }
+    // the loop CLOSES: lineitem suggestions run green against their
+    // own source (all-pass by construction) and catch a violating
+    // arrival (a discount outside the observed range)
+    val suggestions = Quality.suggestedChecksLineitem(spark, Sf)
+    val self = Quality.runChecks(Tables.lineitem(spark, Sf), suggestions).collect()
+    assert(self.nonEmpty && self.forall(_.getAs[Boolean]("pass")))
+    val bad = Tables.lineitem(spark, Sf).limit(5)
+      .withColumn("l_discount", lit(0.75))
+    val caught = Quality.runChecks(bad, suggestions).collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type")) -> r)
+      .toMap
+    assert(!caught(("l_discount", "range")).getAs[Boolean]("pass"))
+    assert(caught(("l_discount", "range")).getAs[Long]("n_violations") == 5L)
+  }
+
   test("id gaps: in-bucket holes count distinct-exact; contiguous buckets drop; top-k orders") {
     import spark.implicits._
     // bucket 0: ids 1,2,3,5 (+ dup 3) → span 5, present 4, missing 1

@@ -150,6 +150,10 @@ class PlanAuditSpec extends SparkSpec {
       // the only change) over the SAME audited edge subtree — and its
       // seed scalar + iterations run at construction too
       "product_pagerank", "product_ppr",
+      // ppr_related_products runs N seeded walks at construction over
+      // the ONE pinned edge frame (the same audited edge subtree);
+      // its returned tail is the N·k-row union + rank window
+      "ppr_related_products",
       // product_communities runs its label-propagation rounds at
       // construction (checkpointed labels per round) over the same
       // audited edge subtree; text_perplexity checkpoints its (word,

@@ -132,6 +132,45 @@ class RetrievalSpec extends SparkSpec {
     assert(reg.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("retrieval-health log: a corpus swap planting duplicate flooding bends the MRR trend down") {
+    import spark.implicits._
+    def doc(word: String) =
+      s"the quick brown filler text common to all $word $word $word"
+    // run 1: healthy corpus — every probe retrieves itself first
+    val healthy = Seq(
+      (11L, doc("albatross")), (12L, doc("barnacle")),
+      (13L, doc("cormorant")), (14L, doc("dugong")))
+      .toDF("doc_id", "text")
+    // run 2: a re-crawl slipped in a clone of every doc with a LOWER
+    // doc_id — the clone ties on score and wins the tie, so every
+    // original's self-rank degrades to 2 (near-duplicate flooding)
+    val flooded = healthy.unionByName(
+      healthy.select((col("doc_id") - 1000L).as("doc_id"), col("text")))
+    val logDir = java.nio.file.Files.createTempDirectory("graft_srl").toString
+    TextAnalysis.selfRecallLogAppend(
+      TextAnalysis.searchSelfRecallFrom(healthy, numQueries = 4), logDir, "r1")
+    TextAnalysis.selfRecallLogAppend(
+      TextAnalysis.searchSelfRecallFrom(flooded, numQueries = 4), logDir, "r2")
+    val trend = TextAnalysis.selfRecallTrendFromLog(spark, logDir, k = 1).collect()
+    assert(trend.map(_.getAs[String]("run_id")).toSeq == Seq("r1", "r2"))
+    val r1 = trend(0); val r2 = trend(1)
+    assert(r1.getAs[Double]("mrr") == 1.0 && r1.getAs[Long]("rank1_hits") == 4L)
+    // run 2's probes are the 4 lowest doc_ids = the clones; each clone
+    // ties its original and wins on id → rank 1; the plant is visible
+    // through the ORIGINALS' probes only if probes sample them — so
+    // probe count 4 samples the clones. Probe at 8 to cover both:
+    val wide = TextAnalysis.searchSelfRecallFrom(flooded, numQueries = 8)
+    TextAnalysis.selfRecallLogAppend(wide, logDir, "r2")
+    val t2 = TextAnalysis.selfRecallTrendFromLog(spark, logDir, k = 1).collect()
+      .map(r => r.getAs[String]("run_id") -> r).toMap
+    assert(t2("r2").getAs[Long]("n_probes") == 8L,
+      "same run_id re-append must REPLACE, not double-count")
+    assert(t2("r2").getAs[Double]("mrr") < t2("r1").getAs[Double]("mrr"),
+      s"flooding must bend MRR down: ${t2("r2").getAs[Double]("mrr")}")
+    assert(t2("r2").getAs[Double]("recall_at_k") == 0.5,
+      "exactly the 4 original docs lose rank 1 to their clones")
+  }
+
   test("item CF: cosine neighbors from planted purchases; whales and singletons gated out") {
     import spark.implicits._
     // u1:{1,2} u2:{1,2} u3:{1,3} u4:{9} (singleton — out)
@@ -237,6 +276,44 @@ class RetrievalSpec extends SparkSpec {
     // seed's direct successor 2 outranks the two-hop 3
     assert(math.abs(byK.values.sum - 1.0) < 1e-6)
     assert(byK(2) > byK(3))
+  }
+
+  test("ppr serving table: N seeds bit-match standalone single-seed runs off one edge build") {
+    import spark.implicits._
+    import graft.operators.{EventMarts, Graph}
+    // browse sessions over 4 products so three seeds emerge: views
+    // 1:4×, 2:3×, 3:2×, 4:1× with rich transitions
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1), (2L, 1L, "2024-01-01 10:01:00", 2),
+      (3L, 1L, "2024-01-01 10:02:00", 3), (4L, 1L, "2024-01-01 10:03:00", 1),
+      (5L, 2L, "2024-01-01 11:00:00", 2), (6L, 2L, "2024-01-01 11:01:00", 1),
+      (7L, 2L, "2024-01-01 11:02:00", 4),
+      (8L, 3L, "2024-01-01 12:00:00", 3), (9L, 3L, "2024-01-01 12:01:00", 2),
+      (10L, 3L, "2024-01-01 12:02:00", 1))
+      .map { case (id, u, ts, k) => (id, u, ts, "view", 1.0, s"""{"k": $k}""") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val e = EventMarts.enrich(ev)
+    val table = Graph.pprServingTableFrom(e, numSeeds = 3, k = 5).collect()
+    val seeds = table.map(_.getAs[Int]("seed_product")).distinct.sorted.toSeq
+    assert(seeds == Seq(1, 2, 3), s"view census must pick seeds 1,2,3: $seeds")
+    // each seed's block bit-matches a STANDALONE single-seed run
+    seeds.foreach { s =>
+      val standalone = Graph.pagerankFrom(Graph.productEdgesFrom(e),
+          iterations = 15, tol = 1e-6, checkEvery = 3, restart = Seq(s))
+        .filter(col("product_k") =!= s && col("pagerank") > 0.0)
+        .orderBy(desc("pagerank"), asc("product_k")).limit(5)
+        .collect().map(r => (r.getAs[Int]("product_k"), r.getAs[Double]("pagerank")))
+        .toSeq
+      val block = table.filter(_.getAs[Int]("seed_product") == s).sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Int]("related_product"), r.getAs[Double]("ppr"))).toSeq
+      assert(block == standalone, s"seed $s diverged:\n$block\nvs\n$standalone")
+    }
+    // ranks are 1..k contiguous per seed; the seed never relates to itself
+    table.groupBy(_.getAs[Int]("seed_product")).foreach { case (s, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length).toSeq)
+      assert(!rows.exists(_.getAs[Int]("related_product") == s))
+    }
   }
 
   test("pagerank: distributed iterations match exact driver power iteration; edges respect the session gap") {

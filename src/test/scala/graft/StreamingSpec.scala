@@ -1569,4 +1569,67 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
     assert(admitted.head.getAs[Double]("log_weight") == batchScores(101L))
   }
+
+  test("live sequential A/B: log reproduces the batch look table; replay dedups; crossing fires once") {
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def at(day: Int, min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-0$day%d 10:$min%02d:00")
+    // 40 users enrol across 3 days (first event = a view); every third
+    // user purchases, some on a LATER day than enrolment, one user
+    // purchases twice (only the first conversion may count)
+    val rows = (1L to 40L).flatMap { u =>
+      val d = (u % 3).toInt + 1
+      val enroll = Seq((u, at(d, u.toInt), u, "view", 1.0, "{}"))
+      val buys =
+        if (u % 3 == 0) Seq((100L + u, at(math.min(d + 1, 3), u.toInt), u, "purchase", 9.0, "{}"))
+        else Nil
+      val again = if (u == 6L) Seq((200L, at(3, 59), u, "purchase", 9.0, "{}")) else Nil
+      enroll ++ buys ++ again
+    }
+    val logDir = Files.createTempDirectory("graft_ab_log").toString
+    val ck1 = Files.createTempDirectory("graft_ab_ck1").toString
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    mem.addData(rows: _*)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = AbSequentialStream.touchLogSink(
+      AbSequentialStream.firstTouches(df), logDir, ck1)
+    try q.processAllAvailable() finally q.stop()
+    // 1. the log-fed look table IS the batch look table
+    val batch = operators.UserAnalytics.abSequentialFrom(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val live = AbSequentialStream.sequentialFromLog(spark, logDir)
+    assert(canon(live) == canon(batch), "live look table diverged from batch")
+    // sanity: the double-purchaser converted once
+    assert(spark.read.parquet(logDir)
+      .filter(col("user_id") === 6L && col("kind") === "convert").count() == 1L)
+    // 2. an at-least-once REPLAY (same data, fresh checkpoint → the
+    // whole log appends again) leaves the rescore unchanged
+    val ck2 = Files.createTempDirectory("graft_ab_ck2").toString
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    mem2.addData(rows: _*)
+    val df2 = mem2.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q2 = AbSequentialStream.touchLogSink(
+      AbSequentialStream.firstTouches(df2), logDir, ck2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(canon(AbSequentialStream.sequentialFromLog(spark, logDir)) == canon(batch),
+      "replayed log must rescore identically")
+    // 3. the boundary verdict fires ONCE: plant a daily table whose z
+    // crosses at look 2 AND look 3 — the verdict is the look-2 row only
+    val daily = Seq(
+      ("2024-02-01", "control", 50L, 25L), ("2024-02-01", "treatment", 50L, 25L),
+      ("2024-02-02", "control", 50L, 5L), ("2024-02-02", "treatment", 50L, 45L),
+      ("2024-02-03", "control", 50L, 5L), ("2024-02-03", "treatment", 50L, 45L))
+      .toDF("day", "arm", "e", "c").withColumn("day", col("day").cast("date"))
+    val looks = operators.UserAnalytics.sequentialFromDaily(daily)
+    val crossedLooks = looks.filter(col("crossed")).count()
+    assert(crossedLooks >= 2, s"the plant must cross at 2+ looks, got $crossedLooks")
+    val verdict = AbSequentialStream.firstCrossing(looks).collect()
+    assert(verdict.length == 1 && verdict.head.getAs[Int]("look") == 2,
+      s"verdict must be the FIRST crossing only: ${verdict.toSeq}")
+  }
 }

@@ -1570,17 +1570,23 @@ class DedupSpec extends SparkSpec {
 
   test("label propagation surfaces non-convergence at the round cap") {
     import spark.implicits._
-    // a 10-deep chain needs 9 rounds to collapse to doc 1; cap at 2
+    // a 10-deep chain needs 9 rounds to collapse to doc 1; cap at 2.
+    // The RAW min-label core keeps the strict/warn cap contract…
     val docs = (1L to 10L).toDF("doc_id")
     val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      Dedup.nearDupCorpusFromPairs(docs, pairs, maxRounds = 2,
+      Dedup.componentLabels(docs, pairs, maxRounds = 2,
         requireConvergence = true).collect()
     }
-    // non-strict: the capped run completes (and WARNs) instead of
-    // throwing — the keep-set may be partially collapsed
-    assert(Dedup.nearDupCorpusFromPairs(docs, pairs, maxRounds = 2).count() >= 1)
-    // enough rounds: the chain collapses to its min id
+    // …while the ARMED door (nearDupCorpusFromPairs) turns this exact
+    // failure mode into a win: the probe sees label flow not
+    // collapsing and switches to star contraction, which converges
+    // regardless of the min-label cap — strict mode no longer throws,
+    // it returns the EXACT keep-set
+    assert(Dedup.nearDupCorpusFromPairs(docs, pairs, maxRounds = 2,
+      requireConvergence = true).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    // enough rounds: same answer
     val full = Dedup.nearDupCorpusFromPairs(docs, pairs, maxRounds = 15).collect()
     assert(full.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
   }
@@ -1601,6 +1607,41 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, Sf).count())
     assert(rows.map(_.getAs[Long]("n_clusters")).sum ==
       operators.Dedup.nearDupCorpus(spark, Sf).count())
+  }
+
+  test("CC auto-switch: a 64-chain takes the star path, near-dup shapes stay min-label, labels identical") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper")))
+        .sortBy(_._1).toSeq
+    // the high-diameter complement: a 64-link chain — min-label needs
+    // 63 rounds, label flow never collapses inside the probe
+    val chainDocs = (1L to 64L).toDF("doc_id")
+    val chainPairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (chainLabels, chainPath) = Dedup.componentLabelsAuto(chainDocs, chainPairs)
+    assert(chainPath == "star", "a deep chain must switch to star contraction")
+    assert(chainLabels.select("keeper").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // labels identical to a min-label run given enough rounds
+    assert(canon(chainLabels) ==
+      canon(Dedup.componentLabels(chainDocs, chainPairs, maxRounds = 70)))
+    // near-dup shapes (stars, cliques, isolated docs): converge inside
+    // the probe → stay on min-label; labels identical to the star core
+    val clDocs = (1L to 12L).toDF("doc_id")
+    val clPairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L),
+      (7L, 8L), (7L, 9L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val (clLabels, clPath) = Dedup.componentLabelsAuto(clDocs, clPairs)
+    assert(clPath == "min_label", "shallow near-dup clusters must not pay star rounds")
+    assert(canon(clLabels) == canon(
+      graft.operators.Graph.connectedComponentsFrom(
+          clDocs, clPairs)
+        .select(col("id").as("doc_id"), col("component").as("keeper"))))
+    // isolated docs self-label on the chosen path
+    assert(canon(clLabels).filter(_._1 >= 10L).forall(p => p._1 == p._2))
+    // the armed survivor filter returns the same keep-set either way
+    val chainDocsFull = chainDocs.withColumn("text", concat(lit("d"), col("doc_id")))
+    assert(Dedup.nearDupCorpusFromPairs(chainDocsFull, chainPairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
   }
 
   test("containment catches a verbatim excerpt that Jaccard structurally misses") {
