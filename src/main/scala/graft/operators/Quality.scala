@@ -1642,6 +1642,56 @@ object Quality {
       when(rate >= 99.0, "PASS").otherwise("FAIL").as("status"))
   }
 
+  /** Persist a suggestion frame as the CHECK-CONTRACT artifact — the
+    * missing half of "suggest on yesterday's healthy table, run on
+    * today's arrival": the suggestions have to OUTLIVE the run that
+    * derived them to gate anything. Dimension-sized (≤ a few rows per
+    * column), written as one parquet file and stamped with the
+    * manifest pattern every other shipped artifact uses (BPE vocab,
+    * IVF index, DSIR model) — a half-replaced or hand-edited contract
+    * refuses to load instead of silently gating with someone else's
+    * bounds. `builtFrom` records the source table/run for the audit
+    * trail. */
+  def writeSuggestions(suggestions: DataFrame, path: String,
+                       builtFrom: String = ""): Unit = {
+    val frame = suggestions
+      .select(col("column_name"), col("check_type"), col("lo"), col("hi"),
+        col("value_set"))
+    val fp = suggestionsFp(frame)
+    frame.coalesce(1).write.mode("overwrite").parquet(path)
+    graft.sources.ArtifactManifest.write(path,
+      graft.sources.ArtifactManifest.Stamp("dq_suggestions", fp, builtFrom))
+  }
+
+  /** Load + verify a persisted suggestion contract (strict on a
+    * present manifest, like every loader in the artifact family). */
+  def loadSuggestions(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+      .select(col("column_name"), col("check_type"), col("lo"), col("hi"),
+        col("value_set"))
+    graft.sources.ArtifactManifest.verifyContent(path, "dq_suggestions",
+      suggestionsFp(df))
+    df
+  }
+
+  private def suggestionsFp(suggestions: DataFrame): String = {
+    val canonical = suggestions.collect()
+      .map { r =>
+        def d(i: Int) = if (r.isNullAt(i)) "null" else r.getDouble(i).toString
+        Seq(r.getString(0), r.getString(1), d(2), d(3),
+          if (r.isNullAt(4)) "null" else r.getString(4)).mkString("|")
+      }
+      .sorted.mkString("\n")
+    graft.sources.ArtifactManifest.fp(canonical)
+  }
+
+  /** The gate itself: run a PERSISTED suggestion contract against an
+    * arriving frame, in the check-suite summary shape — one call from
+    * artifact to PASS/FAIL rows that flow into the existing check-log
+    * / trend / alert machinery. */
+  def suggestionGate(target: DataFrame, suggestionsPath: String): DataFrame =
+    runChecksSummary(target, loadSuggestions(target.sparkSession, suggestionsPath))
+
   /** Event-id gap census — the data-COMPLETENESS check
     * `dq_duplicate_check` mirrors from the other side: duplicates say
     * rows arrived twice, id gaps say rows never arrived at all (a

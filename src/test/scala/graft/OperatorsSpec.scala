@@ -1973,6 +1973,33 @@ class QualitySpec extends SparkSpec {
     assert(caught(("l_discount", "range")).getAs[Long]("n_violations") == 5L)
   }
 
+  test("suggestion contract: persists, verifies, gates a drifted arrival; tampering refuses to load") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sugg").toString + "/contract"
+    val suggestions = Quality.suggestedChecksLineitem(spark, Sf)
+    Quality.writeSuggestions(suggestions, path, builtFrom = s"lineitem@$Sf")
+    // loads verified; self-gate is all-PASS in summary shape
+    val self = Quality.suggestionGate(Tables.lineitem(spark, Sf), path).collect()
+    assert(self.nonEmpty && self.forall(_.getAs[String]("status") == "PASS"))
+    // a drifted arrival (discount beyond the contract's bound AND a
+    // vanished column) FAILs through the same summary surface
+    val drifted = Tables.lineitem(spark, Sf).limit(10)
+      .withColumn("l_discount", lit(0.9)).drop("l_returnflag")
+    val gated = Quality.suggestionGate(drifted, path).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[String]("status")).toMap
+    assert(gated("suggested_l_discount_range") == "FAIL")
+    assert(gated("suggested_l_returnflag_isin") == "FAIL",
+      "a vanished column must fail structurally")
+    // tampering: replace the parquet under the ORIGINAL stamp → the
+    // loader refuses (content fingerprint mismatch)
+    val stamp = graft.sources.ArtifactManifest.read(path).get
+    Quality.suggestedChecksDocuments(spark, Sf)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.sources.ArtifactManifest.write(path, stamp)
+    intercept[IllegalStateException] {
+      Quality.loadSuggestions(spark, path)
+    }
+  }
+
   test("id gaps: in-bucket holes count distinct-exact; contiguous buckets drop; top-k orders") {
     import spark.implicits._
     // bucket 0: ids 1,2,3,5 (+ dup 3) → span 5, present 4, missing 1
