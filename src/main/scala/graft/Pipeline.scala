@@ -327,7 +327,9 @@ object Pipeline {
     Reporting.experimentReport(asOf,
       srm = operators.UserAnalytics.abSrmCheckFrom(e, experiment).collect().headOption,
       summary = operators.UserAnalytics.abTestSummaryFrom(e, experiment).collect().toSeq,
-      cuped = operators.UserAnalytics.abCupedFrom(e, experiment).collect().toSeq)
+      cuped = operators.UserAnalytics.abCupedFrom(e, experiment).collect().toSeq,
+      sequential = operators.UserAnalytics.abSequentialFrom(e, experiment)
+        .collect().toSeq)
   }
 
   /** The Block Kit form of the same readout. */
@@ -337,7 +339,9 @@ object Pipeline {
     Reporting.experimentReportPayload(asOf,
       srm = operators.UserAnalytics.abSrmCheckFrom(e, experiment).collect().headOption,
       summary = operators.UserAnalytics.abTestSummaryFrom(e, experiment).collect().toSeq,
-      cuped = operators.UserAnalytics.abCupedFrom(e, experiment).collect().toSeq)
+      cuped = operators.UserAnalytics.abCupedFrom(e, experiment).collect().toSeq,
+      sequential = operators.UserAnalytics.abSequentialFrom(e, experiment)
+        .collect().toSeq)
   }
 
   /** Gate-verdict dashboard days from the streaming verdict log

@@ -506,8 +506,39 @@ object Reporting {
     * `ab_test_summary` (≤2 rows) and `ab_cuped` (≤2 rows) — tiny
     * extracts, driver-side assembly like every report here. */
   def experimentReport(asOf: String, srm: Option[Row],
-      summary: Seq[Row], cuped: Seq[Row]): String = {
+      summary: Seq[Row], cuped: Seq[Row],
+      sequential: Seq[Row] = Nil): String = {
     def rate(d: Double) = pct2(d * 100.0)
+    // sequential monitor: reads between the gate and the readouts —
+    // if no look crossed its boundary, the raw/cuped numbers below are
+    // PROGRESS, not verdicts (unguarded daily peeks inflate false
+    // positives); if one did, the experiment stopped there and the
+    // readouts are its confirmation. Rows are `ab_sequential`'s (or
+    // `AbSequentialStream.sequentialFromLog`'s — same shape by
+    // construction).
+    val seqText =
+      if (sequential.isEmpty) "no data"
+      else {
+        def d2(x: Double) = String.format(Locale.US, "%.2f", Double.box(x))
+        val latest = sequential.maxBy(_.getAs[Int]("look"))
+        val z = if (latest.isNullAt(latest.fieldIndex("z_score"))) "n/a"
+                else d2(latest.getAs[Double]("z_score"))
+        val crossings = sequential.filter(r =>
+          !r.isNullAt(r.fieldIndex("crossed")) && r.getAs[Boolean]("crossed"))
+        val verdict = crossings.sortBy(_.getAs[java.sql.Date]("day").toString)
+          .headOption match {
+          case Some(c) =>
+            s"BOUNDARY CROSSED on ${c.getAs[java.sql.Date]("day")} " +
+              s"(look ${c.getAs[Int]("look")}) — experiment stopped there; " +
+              "readouts below are the confirmation"
+          case None =>
+            "no crossing — keep collecting; readouts below are progress, " +
+              "not verdicts"
+        }
+        s"look ${latest.getAs[Int]("look")}/${latest.getAs[Int]("total_looks")} " +
+          s"(${latest.getAs[java.sql.Date]("day")}) | z $z vs boundary " +
+          s"${d2(latest.getAs[Double]("z_boundary"))} -> $verdict"
+      }
     def liftOf(r: Row, field: String) =
       if (r.isNullAt(r.fieldIndex(field))) "n/a"
       else String.format(Locale.US, "%+.2f%%", Double.box(r.getAs[Double](field) * 100.0))
@@ -547,6 +578,9 @@ object Reporting {
        |[sample-ratio gate]
        |$srmText
        |
+       |[sequential monitor]
+       |$seqText
+       |
        |[raw readout]
        |$rawText
        |
@@ -560,7 +594,8 @@ object Reporting {
     * carries the SRM verdict so a broken split is visible in the
     * channel before anyone reads a lift number. */
   def experimentReportPayload(asOf: String, srm: Option[Row],
-      summary: Seq[Row], cuped: Seq[Row]): String = {
+      summary: Seq[Row], cuped: Seq[Row],
+      sequential: Seq[Row] = Nil): String = {
     val flagged = srm.exists(_.getAs[Boolean]("srm_flag"))
     val head = headerBlock(
       if (flagged) s"Experiment report $asOf — SRM DETECTED"
@@ -570,7 +605,7 @@ object Reporting {
       mrkdwn(s"*arms:* ${summary.size}"),
       mrkdwn(s"*users:* ${num(summary.map(_.getAs[Long]("n_users")).sum)}")))
     payload(Seq(head, fields,
-      textBlock(experimentReport(asOf, srm, summary, cuped))))
+      textBlock(experimentReport(asOf, srm, summary, cuped, sequential))))
   }
 
   /** The same corpus day as a Block Kit payload (the alert-channel

@@ -265,7 +265,12 @@ object ScaleProbe {
       // pruned passes; the serving table is N walks on one pinned
       // edge checkpoint (graph shape, not replicas)
       "dq_suggested_lineitem", "dq_suggested_documents",
-      "ppr_related_products")
+      "ppr_related_products",
+      // round 10 batch 4: end-anchored equality blocking keeps the
+      // pair space key-joined (suffixed replicas have disjoint
+      // anchors, so the block structure is per-replica — scale, not
+      // densification); the banded distance is O(len*maxD) per pair
+      "dedup_edit_distance")
       // batch 29's ann_ivf_filtered is NOT probed here: pair
       // enumerators are excluded from the replica dirs by the header
       // rule (exact replicas densify every cell) — it shares
@@ -333,7 +338,13 @@ object ScaleProbe {
         // the DSIR B-row rollup hold its near-flat curve; does the
         // cross-source hash self-join stay |sources|²-bounded under
         // disjoint replicas
-        "dedup_incremental_cdc", "sample_dsir", "dedup_cross_source")
+        "dedup_incremental_cdc", "sample_dsir", "dedup_cross_source",
+        // round 10: the round's steepest 10x factors — does the
+        // anchored-block pair space stay linear at the third decade
+        // (7.87 at 10x), do the gate's two-phase partials and the
+        // 11-column profile passes keep amortizing (2.13 / 3.82)
+        "dedup_edit_distance", "session_quality_gate_bucketed",
+        "dq_suggested_lineitem")
       steepest.filter(n => only.forall(_.contains(n))).foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min

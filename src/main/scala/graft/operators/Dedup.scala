@@ -502,6 +502,80 @@ object Dedup {
     }
   }
 
+  /** Character-grain near-dup pairs by EXACT edit distance — the
+    * modality the shingle family can't give: Jaccard/MinHash measure
+    * token-SET overlap, so two docs differing by a few character
+    * typos, a changed number, or an inserted word score near-1 but
+    * the family never says "3 edits apart", while a doc with the same
+    * vocabulary reshuffled scores high without being an edit-twin.
+    * This reports the exact Levenshtein distance for candidate pairs
+    * — the dedup evidence a takedown/canonicalization pipeline wants.
+    *
+    * Scale shape — never all-pairs: candidates come from END-ANCHORED
+    * equality blocking (two hash self-joins on the first / last
+    * `anchor` chars, unioned and deduped at pair grain — key-dim
+    * joins, no cartesian), so a pair is considered iff its edits
+    * avoid at least one end. That recall boundary is documented, not
+    * hidden: arbitrary-position fuzziness is `dedup_minhash_lsh`'s
+    * job; this operator's value is the EXACT character distance on
+    * the candidates it admits. The distance itself is computed with
+    * the threshold form (banded DP, O(len·maxD) per pair, early
+    * exit) after an integer length-band prefilter (|len_a − len_b| ≤
+    * maxD is a necessary condition — free pruning in both engines).
+    * Full SQL: blocking, band and distance are engine-identical
+    * integers (DuckDB levenshtein ≡ Spark levenshtein). */
+  def editDistancePairs(spark: SparkSession, dir: String,
+      maxD: Int = 16, anchor: Int = 16): DataFrame =
+    editDistancePairsFrom(Tables.documents(spark, dir), maxD, anchor)
+
+  def editDistancePairsFrom(docs: DataFrame, maxD: Int = 16,
+      anchor: Int = 16): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull && length(col("text")) >= anchor)
+    def keyed(key: org.apache.spark.sql.Column) = {
+      val a = t.select(col("doc_id").as("doc_a"), key.as("k"))
+      val b = t.select(col("doc_id").as("doc_b"), key.as("k"))
+      a.join(b, Seq("k")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }
+    val cand = keyed(substring(col("text"), 1, anchor))
+      .unionByName(keyed(substring(col("text"), -anchor, anchor)))
+      .distinct()
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxD)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), maxD).as("edit_distance"))
+      .filter(col("edit_distance") >= 0 && col("edit_distance") <= maxD)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def editDistancePairsSql(maxD: Int = 16, anchor: Int = 16): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(text) >= $anchor
+       |), k AS (
+       |  SELECT doc_id, text,
+       |    substring(text, 1, $anchor) AS pre,
+       |    substring(text, LENGTH(text) - ${anchor - 1}, $anchor) AS suf
+       |  FROM t
+       |), cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM k x JOIN k y ON x.pre = y.pre AND x.doc_id < y.doc_id
+       |  UNION
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM k x JOIN k y ON x.suf = y.suf AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+       |FROM cand
+       |JOIN t a ON a.doc_id = cand.doc_a
+       |JOIN t b ON b.doc_id = cand.doc_b
+       |WHERE ABS(LENGTH(a.text) - LENGTH(b.text)) <= $maxD
+       |  AND levenshtein(a.text, b.text) <= $maxD
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup cluster-size histogram — the redundancy profile of the
     * corpus (how much of it is 1-of-N near-copies, and how large the
     * worst N runs): component labels from the same MinHash-LSH pair

@@ -1413,6 +1413,25 @@ class ReportingSpec extends SparkSpec {
     assert(text.contains("Experiment report (2024-01-15)"))
     assert(text.contains("[sample-ratio gate]"))
     assert(text.contains("split OK")) // the md5 hash split cannot trip SRM at sf
+    // the sequential monitor reads between the gate and the readouts;
+    // the sf A/A split must NOT cross its boundary
+    assert(text.contains("[sequential monitor]"))
+    assert(text.contains("no crossing — keep collecting"),
+      s"an A/A hash split crossing an OBF boundary would be a bug:\n$text")
+    // a planted crossing renders the group-sequential STOP verdict at
+    // the FIRST crossing look
+    locally {
+      import spark.implicits._
+      val daily = Seq(
+        ("2024-02-01", "control", 50L, 25L), ("2024-02-01", "treatment", 50L, 25L),
+        ("2024-02-02", "control", 50L, 5L), ("2024-02-02", "treatment", 50L, 45L),
+        ("2024-02-03", "control", 50L, 5L), ("2024-02-03", "treatment", 50L, 45L))
+        .toDF("day", "arm", "e", "c").withColumn("day", col("day").cast("date"))
+      val looks = operators.UserAnalytics.sequentialFromDaily(daily).collect().toSeq
+      val crossed = Reporting.experimentReport("2024-02-03", None, Nil, Nil, looks)
+      assert(crossed.contains("BOUNDARY CROSSED on 2024-02-02 (look 2)"),
+        s"must report the FIRST crossing:\n$crossed")
+    }
     assert(text.contains("[raw readout]") && text.contains("[cuped readout]"))
     assert(text.contains("- control:") && text.contains("- treatment:"))
     assert(text.contains("var reduction"))

@@ -1609,6 +1609,39 @@ class DedupSpec extends SparkSpec {
       operators.Dedup.nearDupCorpus(spark, Sf).count())
   }
 
+  test("edit-distance pairs: exact distances on planted edits; anchored recall boundary is real") {
+    import spark.implicits._
+    val head = "anchor head text"   // 16 chars — the shared prefix key
+    val tail = "shared tail chars"  // >16 chars
+    val mid = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // 1↔2: three substitutions mid-document, both ends intact
+      (1L, s"$head $mid $tail"),
+      (2L, s"$head ${mid.replace("w2 ", "x2 ").replace("w5 ", "y5 ").replace("w9 ", "z9 ")} $tail"),
+      // 3: shares doc 1's prefix but the edit mass exceeds maxD
+      (3L, s"$head ${(1 to 30).map(i => s"q$i").mkString(" ")} different end!!"),
+      // 4: distance 2 from doc 1 but BOTH ends edited → blocked away
+      // (the documented recall boundary: edits touching both anchors)
+      (4L, s"Xnchor head text $mid shared tail charZ"),
+      // 5: singleton
+      (5L, "completely unrelated content with its own beginning and end"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairsFrom(docs, maxD = 16, anchor = 16).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("edit_distance")).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    // exact distance: three 1-char substitutions
+    assert(got((1L, 2L)) == 3)
+    // the both-ends-edited pair (1,4) is ABSENT by blocking, not by
+    // distance — asserted by the exact keySet above; its true distance
+    // is small, which is precisely the documented recall boundary
+    // registry form: pairs exist at sf, all within the bound, ordered
+    val sf = Dedup.editDistancePairs(spark, Sf).collect()
+    assert(sf.forall(r => r.getAs[Int]("edit_distance") >= 0 &&
+      r.getAs[Int]("edit_distance") <= 16))
+    assert(sf.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
   test("CC auto-switch: a 64-chain takes the star path, near-dup shapes stay min-label, labels identical") {
     import spark.implicits._
     def canon(df: org.apache.spark.sql.DataFrame) =
