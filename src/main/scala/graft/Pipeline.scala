@@ -148,12 +148,21 @@ object Pipeline {
     *   The gate summary (and check log) still reports over the RAW
     *   frame — quarantining is downstream of measurement, so the
     *   trend/alert surface keeps seeing the defects. */
+  /** @param suggestionsPath when set, the persisted suggestion
+    *   CONTRACT at this path (`Quality.writeSuggestions` — bounds and
+    *   domains observed on a known-healthy run) is executed against
+    *   the run's events alongside the seven hand-written checks: its
+    *   summary rows union into the gate (same shape), so a
+    *   contract violation fails the gate, rides the alert payload and
+    *   trips failFast exactly like a built-in check. The data-derived
+    *   contract becomes part of the daily gate, not a side report. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           failFast: Boolean = true, dates: Seq[String] = Nil,
           checkLogDir: Option[String] = None,
           checkLogJdbc: Option[(String, String)] = None,
           quarantine: Boolean = false,
-          martJdbc: Option[String] = None): Result = {
+          martJdbc: Option[String] = None,
+          suggestionsPath: Option[String] = None): Result = {
     val base = EventMarts.enriched(spark, sfDir)
     val runDates = dates.map(java.sql.Date.valueOf)
     // persist scope = run dates ± one day (sessionize lookback and
@@ -171,7 +180,9 @@ object Pipeline {
     val w = widened.persist(StorageLevel.MEMORY_AND_DISK)
     val e = if (dates.isEmpty) w else w.filter(col("event_date").isin(runDates: _*))
     try {
-      val summaryDf = Quality.summaryFrom(e)
+      val summaryDf = suggestionsPath.foldLeft(Quality.summaryFrom(e)) {
+        (acc, path) => acc.unionByName(Quality.suggestionGate(e, path))
+      }
       val summary = summaryDf.collect().toSeq
       val checks = Reporting.checkResults(summary)
       val failed = checks.filter(_.status == "FAIL").map(_.checkName)

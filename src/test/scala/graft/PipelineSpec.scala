@@ -631,6 +631,36 @@ class PipelineSpec extends SparkSpec {
       "the bot's single long session must assemble across buckets")
   }
 
+  test("pipeline gate enforces a persisted suggestion contract like a built-in check") {
+    import spark.implicits._
+    val healthyDir = Files.createTempDirectory("graft_sugg_h").toString
+    sources.EventGenerator.events(spark, 5000, days = 2)
+      .write.mode("overwrite").parquet(s"$healthyDir/events.parquet")
+    val path = Files.createTempDirectory("graft_sugg_c").toString + "/contract"
+    operators.Quality.writeSuggestions(
+      operators.Quality.suggestedChecksFrom(Tables.events(spark, healthyDir)),
+      path, builtFrom = s"events@$healthyDir")
+    // the healthy dir passes its own contract (the i.i.d. generator
+    // organically fails the funnel-order built-ins — the contract rows
+    // are what this test scopes to)
+    val okOut = Files.createTempDirectory("graft_sugg_ok").toString
+    val ok = Pipeline.run(spark, healthyDir, okOut, failFast = false,
+      suggestionsPath = Some(path))
+    assert(!ok.failedChecks.exists(_.startsWith("suggested_")), ok.failedChecks)
+    // a drifted arrival (values far beyond the observed range) FAILS
+    // the gate through the contract row and trips failFast
+    val driftDir = Files.createTempDirectory("graft_sugg_d").toString
+    Tables.events(spark, healthyDir)
+      .withColumn("value",
+        when(col("event_id") % 50 === 0, lit(9.9e8)).otherwise(col("value")))
+      .write.mode("overwrite").parquet(s"$driftDir/events.parquet")
+    val badOut = Files.createTempDirectory("graft_sugg_bad").toString
+    val bad = Pipeline.run(spark, driftDir, badOut, suggestionsPath = Some(path))
+    assert(!bad.passed && bad.martsWritten.isEmpty)
+    assert(bad.failedChecks.contains("suggested_value_range"), bad.failedChecks)
+    assert(bad.alertPayload.exists(_.contains("suggested_value_range")))
+  }
+
   test("pipeline validates, gates, and writes idempotent marts") {
     val out = Files.createTempDirectory("graft_pipeline").toString
     val r1 = Pipeline.run(spark, Sf, out)
