@@ -1692,6 +1692,56 @@ object Quality {
   def suggestionGate(target: DataFrame, suggestionsPath: String): DataFrame =
     runChecksSummary(target, loadSuggestions(target.sparkSession, suggestionsPath))
 
+  /** The contract as ROW-LOCAL flag expressions — the streaming
+    * mirror of [[suggestionGate]]: not_null / range / isin verdicts
+    * are pure per-row predicates, so the SAME persisted artifact that
+    * fails the nightly gate can flag a live stream with zero state
+    * (the armCol discipline: one definition, two surfaces). `unique`
+    * is deliberately NOT evaluated here — uniqueness is a cross-row
+    * property needing keyed state or the batch pass; it stays the
+    * nightly gate's job, and this returns the list of checks it
+    * SKIPPED so callers can't mistake partial coverage for full.
+    *
+    * Returns (frame + `contract_violations` array<string> +
+    * `contract_ok` boolean, skipped check names). A suggested column
+    * the frame lacks fails every row structurally (schema drift is a
+    * violation, not a skip — matching `runChecks`). */
+  def contractFlags(frame: DataFrame, suggestions: DataFrame)
+      : (DataFrame, Seq[String]) = {
+    val sugg = suggestions
+      .select(col("column_name"), col("check_type"), col("lo"), col("hi"),
+        col("value_set")).collect().toSeq
+    val (rowLocal, skipped) = sugg.partition(
+      _.getAs[String]("check_type") != "unique")
+    val flags: Seq[org.apache.spark.sql.Column] = rowLocal.map { r =>
+      val c = r.getAs[String]("column_name")
+      val kind = r.getAs[String]("check_type")
+      val name = lit(s"${c}_$kind")
+      if (!frame.columns.contains(c)) name // structural: every row fails
+      else kind match {
+        case "not_null" => when(col(c).isNull, name)
+        case "range" => when(col(c) < lit(r.getAs[Double]("lo")) ||
+          col(c) > lit(r.getAs[Double]("hi")), name)
+        case "isin" =>
+          val allowed = r.getAs[String]("value_set").split(",").toSeq
+          when(col(c).isNotNull && !col(c).isin(allowed: _*), name)
+        case other =>
+          throw new IllegalArgumentException(s"unknown check_type: $other")
+      }
+    }
+    val out = frame
+      .withColumn("contract_violations",
+        if (flags.isEmpty) array().cast("array<string>")
+        else array_compact(array(flags: _*)))
+      .withColumn("contract_ok", size(col("contract_violations")) === 0)
+    (out, skipped.map(r => s"${r.getAs[String]("column_name")}_unique"))
+  }
+
+  /** [[contractFlags]] from the persisted artifact (verified load). */
+  def contractFlagsFrom(frame: DataFrame, suggestionsPath: String)
+      : (DataFrame, Seq[String]) =
+    contractFlags(frame, loadSuggestions(frame.sparkSession, suggestionsPath))
+
   /** Event-id gap census — the data-COMPLETENESS check
     * `dq_duplicate_check` mirrors from the other side: duplicates say
     * rows arrived twice, id gaps say rows never arrived at all (a

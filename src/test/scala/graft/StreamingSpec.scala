@@ -1632,4 +1632,49 @@ class StreamingSpec extends SparkSpec {
     assert(verdict.length == 1 && verdict.head.getAs[Int]("look") == 2,
       s"verdict must be the FIRST crossing only: ${verdict.toSeq}")
   }
+
+  test("live contract gate: the persisted artifact's row-local checks flag a stream; batch parity") {
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    // contract observed on a healthy mini-corpus: value in [1, 10],
+    // event_type in {view, purchase}, ids complete
+    val healthy = (1L to 40L).map(i =>
+      (i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), i % 7,
+        if (i % 4 == 0L) "purchase" else "view", 1.0 + (i % 10), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val path = Files.createTempDirectory("graft_live_c").toString + "/contract"
+    operators.Quality.writeSuggestions(
+      operators.Quality.suggestedChecksFrom(healthy), path, builtFrom = "spec")
+    // live rows: clean / out-of-range value / alien event_type
+    val rows = Seq(
+      (100L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "view", 10.0, "{}"),
+      (101L, java.sql.Timestamp.valueOf("2024-01-02 10:01:00"), 2L, "view", 999.0, "{}"),
+      (102L, java.sql.Timestamp.valueOf("2024-01-02 10:02:00"), 3L, "refund", 10.0, "{}"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    mem.addData(rows: _*)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val (flagged, skipped) = operators.Quality.contractFlagsFrom(df, path)
+    // uniqueness is honestly declared out of streaming scope
+    assert(skipped == Seq("event_id_unique"))
+    val q = flagged.writeStream.format("memory")
+      .queryName("contract_gate_live").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val live = spark.table("contract_gate_live").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Boolean]("contract_ok"),
+          r.getAs[scala.collection.Seq[String]]("contract_violations").toSeq))).toMap
+    assert(live(100L) == ((true, Seq.empty[String])))
+    assert(live(101L) == ((false, Seq("value_range"))))
+    assert(live(102L) == ((false, Seq("event_type_isin"))))
+    // batch parity: the SAME artifact over the same rows, batch-side
+    val (batch, skipped2) = operators.Quality.contractFlagsFrom(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"), path)
+    assert(skipped2 == skipped)
+    val b = batch.collect().map(r => r.getAs[Long]("event_id") ->
+      ((r.getAs[Boolean]("contract_ok"),
+        r.getAs[scala.collection.Seq[String]]("contract_violations").toSeq))).toMap
+    assert(b == live, "live and nightly verdicts must be the one definition")
+  }
 }
