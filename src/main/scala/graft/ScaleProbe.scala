@@ -270,7 +270,10 @@ object ScaleProbe {
       // pair space key-joined (suffixed replicas have disjoint
       // anchors, so the block structure is per-replica — scale, not
       // densification); the banded distance is O(len*maxD) per pair
-      "dedup_edit_distance")
+      "dedup_edit_distance",
+      // round 10 batch 7: the batched serving walks — one job stream
+      // for N seeds over the same graph shape
+      "ppr_related_products_batched")
       // batch 29's ann_ivf_filtered is NOT probed here: pair
       // enumerators are excluded from the replica dirs by the header
       // rule (exact replicas densify every cell) — it shares

@@ -111,6 +111,111 @@ object Graph {
     pprServingTableFrom(enriched(spark, dir), numSeeds, k, iterations,
       tol, checkEvery)
 
+  /** All N personalized walks in ONE iteration loop — the batched
+    * core behind `ppr_related_products_batched`: ranks live at
+    * (node, seed) grain (seed is a broadcast ≤N-row dimension), so
+    * each round is ONE join + ONE rollup + ONE checkpoint regardless
+    * of N, where the sequential form pays that per seed. Per-seed
+    * dangling mass is an ≤N-row broadcast aggregate; the restart
+    * column concentrates each walk's teleport on its own seed, so
+    * every (·, seed) slice computes exactly the single-seed walk.
+    * Convergence (tol > 0) reads the MAX per-seed L1 delta — all
+    * walks stop at the same round, which is what makes the batch one
+    * job stream; the spec therefore compares against sequential walks
+    * run with the SAME fixed round count (per-seed arithmetic is
+    * independent and identical; only partial-sum ORDER inside each
+    * (node, seed) rollup may differ, so equality is pinned to 1e-12,
+    * not bitwise). Scale: rows are |nodes|·N — N is a serving choice
+    * (the heads everyone asks about); for catalog-wide N the same
+    * frame shape holds, partitioned on (node, seed). */
+  def pagerankBatched(edges: DataFrame, restarts: Seq[Int],
+      iterations: Int = 15, damping: Double = Damping,
+      tol: Double = 0.0, checkEvery: Int = 3): DataFrame = {
+    require(restarts.nonEmpty, "need at least one seed")
+    require(checkEvery >= 1, "checkEvery must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outW = e.groupBy(col("src").as("node"))
+      .agg(sum(col("weight")).cast("double").as("out_weight"))
+    val base = nodes.join(outW, Seq("node"), "left")
+      .crossJoin(broadcast(restarts.toDF("seed")))
+      .localCheckpoint()
+    val r0 = when(col("node") === col("seed"), lit(1.0)).otherwise(lit(0.0))
+    var ranks = base.select(col("node"), col("seed"), col("out_weight"),
+      r0.as("rank"))
+    var delta = Double.NaN
+    var ranIterations = 0
+    var converged = false
+    var i = 1
+    while (i <= iterations && !converged) {
+      val dang = ranks.filter(col("out_weight").isNull)
+        .groupBy(col("seed"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling"))
+      val contribs = ranks.filter(col("out_weight").isNotNull)
+        .join(e, ranks("node") === e("src"))
+        .select(col("dst").as("node"), col("seed"),
+          (col("rank") * col("weight").cast("double") / col("out_weight")).as("c"))
+        .groupBy(col("node"), col("seed")).agg(sum(col("c")).as("inflow"))
+      val next = base.join(contribs, Seq("node", "seed"), "left")
+        .join(broadcast(dang), Seq("seed"), "left")
+        .select(col("node"), col("seed"), col("out_weight"),
+          (lit(1.0 - damping) * r0 +
+            lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
+              coalesce(col("dangling"), lit(0.0)) * r0)).as("rank"))
+        .localCheckpoint()
+      val readDelta = (tol > 0.0 && (i % checkEvery == 0 || i == iterations)) ||
+        (tol == 0.0 && i == iterations)
+      if (readDelta) {
+        delta = next.as("a")
+          .join(ranks.as("b"), Seq("node", "seed"))
+          .groupBy(col("seed"))
+          .agg(coalesce(sum(abs(col("a.rank") - col("b.rank"))), lit(0.0)).as("d"))
+          .agg(coalesce(max(col("d")), lit(0.0)))
+          .collect().head.getDouble(0)
+        if (tol > 0.0 && delta < tol) converged = true
+      }
+      ranks = next
+      ranIterations = i
+      i += 1
+    }
+    ranks.select(col("seed").as("seed_product"), col("node").as("product_k"),
+      col("rank").as("ppr"),
+      lit(delta).as("last_delta"), lit(ranIterations).as("iterations_run"))
+  }
+
+  /** The serving table off the batched core — same output shape as
+    * [[pprServingTableFrom]], one job stream for all N seeds. */
+  def pprServingTableBatched(spark: SparkSession, dir: String,
+      numSeeds: Int = 3, k: Int = 10, iterations: Int = 15,
+      tol: Double = 1e-6, checkEvery: Int = 3): DataFrame =
+    pprServingTableBatchedFrom(enriched(spark, dir), numSeeds, k,
+      iterations, tol, checkEvery)
+
+  def pprServingTableBatchedFrom(e: DataFrame, numSeeds: Int = 3, k: Int = 10,
+      iterations: Int = 15, tol: Double = 1e-6,
+      checkEvery: Int = 3): DataFrame = {
+    val seeds = e.filter(col("product_k").isNotNull && col("event_type") === "view")
+      .groupBy(col("product_k")).agg(count(lit(1)).as("views"))
+      .orderBy(desc("views"), asc("product_k")).limit(numSeeds)
+      .collect().map(_.getAs[Int]("product_k")).toSeq
+    require(seeds.nonEmpty, "no viewed products to seed from")
+    val ranks = pagerankBatched(productEdgesFrom(e), seeds,
+      iterations, tol = tol, checkEvery = checkEvery)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seed_product"))
+      .orderBy(desc("ppr"), asc("product_k"))
+    ranks
+      .filter(col("product_k") =!= col("seed_product") && col("ppr") > 0.0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("seed_product"), col("product_k").as("related_product"),
+        col("ppr"), col("rank"))
+      .orderBy("seed_product", "rank")
+  }
+
   def pprServingTableFrom(e: DataFrame, numSeeds: Int = 3, k: Int = 10,
       iterations: Int = 15, tol: Double = 1e-6,
       checkEvery: Int = 3): DataFrame = {

@@ -153,7 +153,7 @@ class PlanAuditSpec extends SparkSpec {
       // ppr_related_products runs N seeded walks at construction over
       // the ONE pinned edge frame (the same audited edge subtree);
       // its returned tail is the N·k-row union + rank window
-      "ppr_related_products",
+      "ppr_related_products", "ppr_related_products_batched",
       // product_communities runs its label-propagation rounds at
       // construction (checkpointed labels per round) over the same
       // audited edge subtree; text_perplexity checkpoints its (word,

@@ -314,6 +314,29 @@ class RetrievalSpec extends SparkSpec {
       assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length).toSeq)
       assert(!rows.exists(_.getAs[Int]("related_product") == s))
     }
+    // the BATCHED core (one iteration loop for all N seeds) serves the
+    // same table at the same fixed round count — rank tuples exact,
+    // scores to 1e-12 (per-seed arithmetic is independent; only
+    // partial-sum order inside each (node, seed) rollup may differ)
+    val seq12 = Graph.pprServingTableFrom(e, numSeeds = 3, k = 5,
+        iterations = 12, tol = 0.0).collect()
+      .map(r => (r.getAs[Int]("seed_product"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Int]("related_product"), r.getAs[Double]("ppr")))).toMap
+    val bat12 = Graph.pprServingTableBatchedFrom(e, numSeeds = 3, k = 5,
+        iterations = 12, tol = 0.0).collect()
+      .map(r => (r.getAs[Int]("seed_product"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Int]("related_product"), r.getAs[Double]("ppr")))).toMap
+    assert(bat12.keySet == seq12.keySet)
+    seq12.foreach { case (key, (rel, ppr)) =>
+      assert(bat12(key)._1 == rel, s"related diverged at $key")
+      assert(math.abs(bat12(key)._2 - ppr) < 1e-12, s"ppr diverged at $key")
+    }
+    // per-seed mass conserves in the raw batched ranks (restart is a
+    // distribution per walk)
+    val mass = Graph.pagerankBatched(Graph.productEdgesFrom(e), Seq(1, 2, 3),
+        iterations = 12)
+      .groupBy("seed_product").agg(sum(col("ppr")).as("m")).collect()
+    mass.foreach(r => assert(math.abs(r.getAs[Double]("m") - 1.0) < 1e-6, r.toString))
   }
 
   test("pagerank: distributed iterations match exact driver power iteration; edges respect the session gap") {
