@@ -97,8 +97,18 @@ object AbSequentialStream {
     * (user, kind) grain — min day wins — absorbs sink replays; arms
     * are a pure function of user_id, so any replica carries the same
     * arm. */
-  def sequentialFromLog(spark: SparkSession, logDir: String): DataFrame = {
-    val touches = spark.read.parquet(logDir)
+  def sequentialFromLog(spark: SparkSession, logDir: String): DataFrame =
+    sequentialFromLogs(spark, Seq(logDir))
+
+  /** The same rescore over a COMPACTED BASE plus live tail(s) — the
+    * log-maintenance read path (see [[compactTouchLog]]): the
+    * (user, kind) dedup runs across every segment, so a base that
+    * already absorbed a user's enrolment and a tail that replays it
+    * agree on min day. */
+  def sequentialFromLogs(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val touches = dirs.map(spark.read.parquet(_)
+        .select("user_id", "arm", "day", "kind"))
+      .reduce(_ unionByName _)
       .groupBy(col("user_id"), col("kind"))
       .agg(min(col("day")).as("day"), max(col("arm")).as("arm"))
     val daily = touches
@@ -107,6 +117,38 @@ object AbSequentialStream {
         sum(when(col("kind") === "enroll", 1L).otherwise(0L)).as("e"),
         sum(when(col("kind") === "convert", 1L).otherwise(0L)).as("c"))
     graft.operators.UserAnalytics.sequentialFromDaily(daily)
+  }
+
+  /** Log MAINTENANCE — the rotate-and-absorb pattern
+    * (`appendChunkIndex`'s discipline applied to the first-touch log):
+    * the append log grows one file per micro-batch and re-accumulates
+    * replay duplicates forever; this absorbs one or more rotated log
+    * segments (plus any existing base) into ONE deduped
+    * (user, kind)-grain base snapshot, written compact. Run it with
+    * the producing sink STOPPED or after rotating it to a fresh
+    * logDir + checkpoint — a file-sink segment must never be edited
+    * under its own `_spark_metadata` manifest, which is why this
+    * absorbs INTO a separate base rather than rewriting in place.
+    * Returns (rows read, rows in the compacted base). */
+  def compactTouchLog(spark: SparkSession, segments: Seq[String],
+                      baseDir: String): (Long, Long) = {
+    val existing = segments.filter(d => new java.io.File(d).exists()) ++
+      Option.when(new java.io.File(baseDir).exists())(baseDir)
+    require(existing.nonEmpty, "nothing to compact")
+    val raw = existing.map(spark.read.parquet(_)
+        .select("user_id", "arm", "day", "kind"))
+      .reduce(_ unionByName _)
+    val before = raw.count()
+    // materialize the dedup BEFORE overwriting baseDir (it may be one
+    // of the inputs — the localCheckpoint cuts the read-write cycle)
+    val compacted = raw
+      .groupBy(col("user_id"), col("kind"))
+      .agg(min(col("day")).as("day"), max(col("arm")).as("arm"))
+      .select(col("user_id"), col("arm"), col("day"), col("kind"))
+      .localCheckpoint()
+    val after = compacted.count()
+    compacted.coalesce(1).write.mode("overwrite").parquet(baseDir)
+    (before, after)
   }
 
   /** The fires-once verdict: the EARLIEST look whose |z| crossed its

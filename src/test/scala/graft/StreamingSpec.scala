@@ -1677,4 +1677,53 @@ class StreamingSpec extends SparkSpec {
         r.getAs[scala.collection.Seq[String]]("contract_violations").toSeq))).toMap
     assert(b == live, "live and nightly verdicts must be the one definition")
   }
+
+  test("first-touch log maintenance: rotate-and-absorb compaction preserves the look table") {
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def at(day: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day%d 09:$min%02d:00")
+    // segment 1: users 1..10 enrol day 1, evens convert day 1
+    val seg1 = (1L to 10L).map(u => (u, at(1, u.toInt), u, "view", 1.0, "{}")) ++
+      (2L to 10L by 2).map(u => (50L + u, at(1, 40 + u.toInt / 2), u, "purchase", 5.0, "{}"))
+    // segment 2 (a rotated fresh sink): REPLAYS all of segment 1's
+    // enrolments (fresh state re-emits them), plus new users 11..15 on
+    // day 2 and user 3's first conversion on day 2
+    val seg2 = (1L to 10L).map(u => (u, at(1, u.toInt), u, "view", 1.0, "{}")) ++
+      (11L to 15L).map(u => (u, at(2, u.toInt), u, "view", 1.0, "{}")) ++
+      Seq((99L, at(2, 50), 3L, "purchase", 5.0, "{}"))
+    def sink(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)],
+             logDir: String): Unit = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      mem.addData(rows: _*)
+      val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val q = AbSequentialStream.touchLogSink(AbSequentialStream.firstTouches(df),
+        logDir, Files.createTempDirectory("graft_tl_ck").toString)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val log1 = Files.createTempDirectory("graft_tl").toString + "/seg1"
+    val log2 = Files.createTempDirectory("graft_tl").toString + "/seg2"
+    val base = Files.createTempDirectory("graft_tl").toString + "/base"
+    sink(seg1, log1)
+    sink(seg2, log2)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val truth = canon(operators.UserAnalytics.abSequentialFrom(
+      (seg1 ++ seg2).distinct
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    // absorb segment 1 into the base; the live read is base + tail
+    val (read1, kept1) = AbSequentialStream.compactTouchLog(spark, Seq(log1), base)
+    assert(kept1 == 15L, s"10 enrolls + 5 converts expected, got $kept1") // seg1 first-touches
+    assert(canon(AbSequentialStream.sequentialFromLogs(spark, Seq(base, log2))) == truth,
+      "base + tail must serve the batch look table")
+    // absorb the tail too: ONE base serves the whole table, replays gone
+    val (read2, kept2) = AbSequentialStream.compactTouchLog(spark, Seq(log2), base)
+    assert(read2 > kept2, "replayed enrolments must compact away")
+    assert(kept2 == 21L, s"15 enrolls + 6 converts expected, got $kept2")
+    assert(canon(AbSequentialStream.sequentialFromLogs(spark, Seq(base))) == truth)
+    // the compacted base is a single file (plus metadata)
+    val files = new java.io.File(base).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected one compacted file, got $files")
+  }
 }
