@@ -1357,6 +1357,11 @@ object Quality {
     * rows → `unique`; a ≤maxSet-cardinality categorical
     * (event_type) → `isin` with the observed sorted value set; the
     * numeric value column → `range` with observed [min, max].
+    * `value_set` is comma-joined, so a domain containing the `,`
+    * delimiter is UNSUGGESTABLE under this encoding and the isin
+    * suggestion is dropped for that column (like an exploded
+    * domain) — never emitted with a corrupted allowed-set that
+    * would false-fail rows of the very table it was built from.
     *
     * Scale shape: the profile's per-column pruned passes plus two
     * fixed aggregates; the isin value set collects over a DISTINCT
@@ -1387,8 +1392,11 @@ object Quality {
         Seq(e.filter(col("event_type").isNotNull)
           .select(col("event_type")).distinct().limit(maxSet + 1)
           .agg(count(lit(1)).as("n"),
+            max(when(col("event_type").contains(","), 1).otherwise(0))
+              .as("has_delim"),
             concat_ws(",", sort_array(collect_list(col("event_type")))).as("vs"))
-          .filter(col("n") > 0 && col("n") <= maxSet)
+          .filter(col("n") > 0 && col("n") <= maxSet &&
+            col("has_delim") === 0)
           .select(Seq(lit("event_type").as("column_name"),
             lit("isin").as("check_type")) ++ noBounds :+
             col("vs").as("value_set"): _*))
@@ -1422,6 +1430,7 @@ object Quality {
        |  FROM (SELECT DISTINCT event_type AS x FROM events
        |        WHERE event_type IS NOT NULL)
        |  HAVING COUNT(*) BETWEEN 1 AND 20
+       |     AND COUNT(*) FILTER (WHERE contains(x, ',')) = 0
        |  UNION ALL
        |  SELECT 'value' AS column_name, 'range' AS check_type,
        |    MIN(value) AS lo, MAX(value) AS hi, CAST(NULL AS VARCHAR) AS value_set
@@ -1437,7 +1446,11 @@ object Quality {
     * `maxSet` → `isin` with the observed sorted set (a text column's
     * exploded domain is dropped by the post-limit filter — the right
     * answer, and the absence of `unique` on it is itself the
-    * duplicate-rate signal); any NUMERIC column → `range` with
+    * duplicate-rate signal; a domain containing the `,` join
+    * delimiter is likewise dropped rather than emitted ambiguously —
+    * `runChecks`/`contractFlags` split on `,`, so a comma-bearing
+    * value would corrupt the allowed-set and false-fail the source
+    * table itself); any NUMERIC column → `range` with
     * observed [min, max] cast to double in BOTH engines. The events
     * table keeps its hand-shaped [[suggestedChecksFrom]] (fixed
     * column semantics, fixed oracle); this is the every-table door.
@@ -1462,8 +1475,10 @@ object Quality {
       .filter(_.dataType == StringType).map(_.name).map { c =>
         df.filter(col(c).isNotNull).select(col(c)).distinct().limit(maxSet + 1)
           .agg(count(lit(1)).as("n"),
+            max(when(col(c).contains(","), 1).otherwise(0)).as("has_delim"),
             concat_ws(",", sort_array(collect_list(col(c)))).as("vs"))
-          .filter(col("n") > 0 && col("n") <= maxSet)
+          .filter(col("n") > 0 && col("n") <= maxSet &&
+            col("has_delim") === 0)
           .select(Seq(lit(c).as("column_name"), lit("isin").as("check_type")) ++
             noBounds :+ col("vs").as("value_set"): _*)
       }
@@ -1498,7 +1513,8 @@ object Quality {
          |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
          |    array_to_string(array_agg(x ORDER BY x), ',') AS value_set
          |  FROM (SELECT DISTINCT $c AS x FROM $table WHERE $c IS NOT NULL)
-         |  HAVING COUNT(*) BETWEEN 1 AND 20""".stripMargin)
+         |  HAVING COUNT(*) BETWEEN 1 AND 20
+         |     AND COUNT(*) FILTER (WHERE contains(x, ',')) = 0""".stripMargin)
     val range = numericCols.map(c =>
       s"""  SELECT '$c' AS column_name, 'range' AS check_type,
          |    CAST(MIN($c) AS DOUBLE) AS lo, CAST(MAX($c) AS DOUBLE) AS hi,

@@ -1958,6 +1958,32 @@ class QualitySpec extends SparkSpec {
       assert(s2.contains(("doc_id", "unique")))
       assert(s2.contains(("text", "not_null")))
     }
+    // a small domain CONTAINING the ',' join delimiter must not emit
+    // an isin suggestion (a comma-joined value_set would split into a
+    // corrupted allowed-set and false-fail the source table itself);
+    // the contract built from that table still all-passes it
+    locally {
+      import spark.implicits._
+      val commas = Seq(
+        (1L, "alpha, beta", "en", "acme, inc", 11L),
+        (2L, "gamma", "en", "acme, inc", 5L),
+        (3L, "delta", "ko", "plain", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val sugg = Quality.suggestedChecksAllFrom(commas)
+      val kinds = sugg.collect()
+        .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type")))
+        .toSet
+      assert(!kinds.contains(("source", "isin")),
+        "a comma-bearing domain must not be encoded as a comma-joined isin set")
+      assert(!kinds.contains(("text", "isin")))
+      assert(kinds.contains(("lang", "isin")), "clean domains still suggest")
+      val self = Quality.runChecks(commas, sugg).collect()
+      assert(self.nonEmpty && self.forall(_.getAs[Boolean]("pass")),
+        "the contract must all-pass its own source table")
+      val (flagged, _) = Quality.contractFlags(commas, sugg)
+      assert(flagged.filter(!col("contract_ok")).count() == 0,
+        "the streaming mirror must agree: zero violations on the source")
+    }
     // the loop CLOSES: lineitem suggestions run green against their
     // own source (all-pass by construction) and catch a violating
     // arrival (a discount outside the observed range)
