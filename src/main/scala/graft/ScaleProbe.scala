@@ -266,10 +266,11 @@ object ScaleProbe {
       // edge checkpoint (graph shape, not replicas)
       "dq_suggested_lineitem", "dq_suggested_documents",
       "ppr_related_products",
-      // round 10 batch 4: end-anchored equality blocking keeps the
-      // pair space key-joined (suffixed replicas have disjoint
-      // anchors, so the block structure is per-replica — scale, not
-      // densification); the banded distance is O(len*maxD) per pair
+      // round 10 batch 4 (re-blocked round 11): PassJoin pigeonhole
+      // segments keep the pair space key-joined (word-suffixed
+      // replicas sit far beyond maxD of each other, so the block
+      // structure is per-replica — scale, not densification); the
+      // banded distance is O(len*maxD) per pair
       "dedup_edit_distance",
       // round 10 batch 7: the batched serving walks — one job stream
       // for N seeds over the same graph shape

@@ -511,70 +511,160 @@ object Dedup {
     * This reports the exact Levenshtein distance for candidate pairs
     * — the dedup evidence a takedown/canonicalization pipeline wants.
     *
-    * Scale shape — never all-pairs: candidates come from END-ANCHORED
-    * equality blocking (two hash self-joins on the first / last
-    * `anchor` chars, unioned and deduped at pair grain — key-dim
-    * joins, no cartesian), so a pair is considered iff its edits
-    * avoid at least one end. That recall boundary is documented, not
-    * hidden: arbitrary-position fuzziness is `dedup_minhash_lsh`'s
-    * job; this operator's value is the EXACT character distance on
-    * the candidates it admits. The distance itself is computed with
-    * the threshold form (banded DP, O(len·maxD) per pair, early
-    * exit) after an integer length-band prefilter (|len_a − len_b| ≤
-    * maxD is a necessary condition — free pruning in both engines).
-    * Full SQL: blocking, band and distance are engine-identical
-    * integers (DuckDB levenshtein ≡ Spark levenshtein). */
+    * Scale shape — never all-pairs: candidates come from PassJoin
+    * pigeonhole blocking (Li, Deng, Feng — "PASS-JOIN: a
+    * partition-based method for similarity joins", VLDB 2011, §3-4,
+    * re-derived here for the equi-join formulation). Each doc is
+    * partitioned into maxD+1 DISJOINT fixed-width segments of width
+    * w = len div (maxD+1) at p_i = i·w + 1 (0-based i; the ≤ maxD-char
+    * tail past the last segment is deliberately uncovered — the
+    * pigeonhole argument needs the segments disjoint, not covering:
+    * ≤ maxD edits each touch at most one of the maxD+1 disjoint
+    * segments, so some segment of `s` survives untouched and appears
+    * VERBATIM in any `r` within distance maxD). Its landing position
+    * σ obeys the paper's two multi-match-aware bounds: |σ − p_i| ≤ i
+    * (edits at or before p_i shift the image by ≤ 1 each) and
+    * |σ − p_i − Δ| ≤ maxD − i with Δ = len_r − len_s (the suffix
+    * after the image absorbs the remaining edits). Existence of an
+    * untouched segment satisfying BOTH: f(j) = (edits before p_j) − j
+    * is ≥ 0 at the first untouched segment (all earlier segments
+    * carry ≥ 1 edit), ≤ e − maxD at the last (all later segments
+    * carry ≥ 1 edit), and descends by at most 1 between consecutive
+    * untouched segments — so f = 0 is hit at an untouched segment,
+    * where both bounds follow. The SHORTER doc is always the indexed
+    * side (ties by id) — the lemma holds for either role, so fixing
+    * one halves the join. The probe side emits substrings of width
+    * w−1/w only (the shorter partner's width never exceeds the
+    * probe's) over the two-bound window, with Δ known at emission to
+    * the width bucket and applied exactly post-join. RECALL IS
+    * COMPLETE for pairs with both lengths ≥
+    * maxD+1 — the only boundary left is sub-(maxD+1)-char docs, where
+    * "within 16 edits" is vacuous anyway. Probe emission is the
+    * published O(maxD²) substrings per doc (≈(maxD+1)(2maxD+1)·3
+    * short rows) — bounded per row, shuffle-friendly, never
+    * all-pairs. The distance itself is the threshold form (banded
+    * DP, O(len·maxD) per pair, early exit) after the integer
+    * length-band prefilter. Full SQL: segmentation, windows, band
+    * and distance are engine-identical integers (DuckDB levenshtein
+    * ≡ Spark levenshtein; generate_series ≡ sequence). */
   def editDistancePairs(spark: SparkSession, dir: String,
-      maxD: Int = 16, anchor: Int = 16): DataFrame =
-    editDistancePairsFrom(Tables.documents(spark, dir), maxD, anchor)
+      maxD: Int = 16): DataFrame =
+    editDistancePairsFrom(Tables.documents(spark, dir), maxD)
 
-  def editDistancePairsFrom(docs: DataFrame, maxD: Int = 16,
-      anchor: Int = 16): DataFrame = {
+  def editDistancePairsFrom(docs: DataFrame, maxD: Int = 16): DataFrame = {
+    val n = maxD + 1
     val t = docs.select(col("doc_id"), col("text"))
-      .filter(col("text").isNotNull && length(col("text")) >= anchor)
-    def keyed(key: org.apache.spark.sql.Column) = {
-      val a = t.select(col("doc_id").as("doc_a"), key.as("k"))
-      val b = t.select(col("doc_id").as("doc_b"), key.as("k"))
-      a.join(b, Seq("k")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-    }
-    val cand = keyed(substring(col("text"), 1, anchor))
-      .unionByName(keyed(substring(col("text"), -anchor, anchor)))
+      .filter(col("text").isNotNull && length(col("text")) >= n)
+      .withColumn("len", length(col("text")))
+      .withColumn("w", (col("len") / n).cast("int"))
+    val idx = t
+      .select(col("doc_id"), col("len"), col("w"),
+        posexplode(expr(
+          s"transform(sequence(0, ${n - 1}), i -> substring(text, i * w + 1, w))")))
+      .toDF("doc_s", "len_s", "w_s", "i", "seg")
+    // probe windows: the join key pins the partner's width (w_s = wp),
+    // so p_i = i·wp + 1 exactly; the prefix bound gives |σ − p_i| ≤ i
+    // and the suffix (multi-match-aware) bound gives
+    // |σ − p_i − Δ| ≤ maxD − i with Δ = len_r − len_s known at
+    // emission only to the wp bucket (len_s ∈ [n·wp, n·wp + maxD])
+    val probe = t
+      .select(col("doc_id").as("doc_r"), col("len").as("len_r"),
+        col("w"), col("text"),
+        explode(expr(s"sequence(0, ${n - 1})")).as("i"))
+      .select(col("doc_r"), col("len_r"), col("i"), col("text"),
+        explode(expr("sequence(greatest(w - 1, 1), w)")).as("wp"))
+      .withColumn("p", col("i") * col("wp") + lit(1))
+      .withColumn("dmin",
+        greatest(col("len_r") - lit(n) * col("wp") - lit(maxD), lit(0)))
+      .withColumn("dmax",
+        least(col("len_r") - lit(n) * col("wp"), lit(maxD)))
+      .withColumn("lo", greatest(lit(1), col("p") - col("i"),
+        col("p") + col("dmin") - (lit(maxD) - col("i"))))
+      .withColumn("hi", least(col("len_r") - col("wp") + lit(1),
+        col("p") + col("i"),
+        col("p") + col("dmax") + (lit(maxD) - col("i"))))
+      .filter(col("lo") <= col("hi"))
+      .select(col("doc_r"), col("len_r"), col("i"), col("wp"),
+        col("text"), explode(expr("sequence(lo, hi)")).as("sigma"))
+      .select(col("doc_r"), col("len_r"), col("i").as("pi"), col("wp"),
+        col("sigma"), col("text").substr(col("sigma"), col("wp")).as("sub"))
+    // role convention halves the join: the SHORTER doc (ties by id) is
+    // always the indexed side — the lemma holds for either role, so
+    // fixing one loses nothing and removes the mirrored duplicates
+    val cand = idx
+      .join(probe,
+        col("i") === col("pi") && col("w_s") === col("wp") &&
+        col("seg") === col("sub") &&
+        (col("len_s") < col("len_r") ||
+          (col("len_s") === col("len_r") && col("doc_s") < col("doc_r"))) &&
+        col("len_r") - col("len_s") <= maxD &&
+        abs(col("sigma") - (col("i") * col("w_s") + lit(1))) <= col("i") &&
+        abs(col("sigma") - (col("i") * col("w_s") + lit(1)) -
+          (col("len_r") - col("len_s"))) <= lit(maxD) - col("i"))
+      .select(least(col("doc_s"), col("doc_r")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_r")).as("doc_b"))
       .distinct()
     cand
       .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxD)
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("ta"), col("tb"), maxD).as("edit_distance"))
       .filter(col("edit_distance") >= 0 && col("edit_distance") <= maxD)
       .orderBy("doc_a", "doc_b")
   }
 
-  def editDistancePairsSql(maxD: Int = 16, anchor: Int = 16): String =
+  def editDistancePairsSql(maxD: Int = 16): String = {
+    val n = maxD + 1
     s"""WITH t AS (
-       |  SELECT doc_id, text FROM documents
-       |  WHERE text IS NOT NULL AND LENGTH(text) >= $anchor
-       |), k AS (
-       |  SELECT doc_id, text,
-       |    substring(text, 1, $anchor) AS pre,
-       |    substring(text, LENGTH(text) - ${anchor - 1}, $anchor) AS suf
+       |  SELECT doc_id, text, LENGTH(text) AS len, LENGTH(text) // $n AS w
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND LENGTH(text) >= $n
+       |), idx AS (
+       |  SELECT doc_s, len_s, w_s, i, substring(text, i * w_s + 1, w_s) AS seg
+       |  FROM (
+       |    SELECT doc_id AS doc_s, len AS len_s, w AS w_s, text,
+       |      unnest(generate_series(0, ${n - 1})) AS i
+       |    FROM t)
+       |), probe0 AS (
+       |  SELECT doc_id AS doc_r, len AS len_r, w, text,
+       |    unnest(generate_series(0, ${n - 1})) AS i
        |  FROM t
+       |), probe1 AS (
+       |  SELECT doc_r, len_r, text, i, wp, i * wp + 1 AS p,
+       |    GREATEST(len_r - $n * wp - $maxD, 0) AS dmin,
+       |    LEAST(len_r - $n * wp, $maxD) AS dmax
+       |  FROM (
+       |    SELECT doc_r, len_r, text, i,
+       |      unnest(generate_series(GREATEST(w - 1, 1), w)) AS wp
+       |    FROM probe0)
+       |), probe AS (
+       |  SELECT doc_r, len_r, i, wp, sigma, substring(text, sigma, wp) AS sub
+       |  FROM (
+       |    SELECT doc_r, len_r, text, i, wp,
+       |      unnest(generate_series(
+       |        GREATEST(1, p - i, p + dmin - ($maxD - i)),
+       |        LEAST(len_r - wp + 1, p + i, p + dmax + ($maxD - i)))) AS sigma
+       |    FROM probe1)
        |), cand AS (
-       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM k x JOIN k y ON x.pre = y.pre AND x.doc_id < y.doc_id
-       |  UNION
-       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM k x JOIN k y ON x.suf = y.suf AND x.doc_id < y.doc_id
+       |  SELECT DISTINCT LEAST(doc_s, doc_r) AS doc_a,
+       |    GREATEST(doc_s, doc_r) AS doc_b
+       |  FROM idx JOIN probe
+       |    ON idx.i = probe.i AND idx.w_s = probe.wp AND idx.seg = probe.sub
+       |   AND (idx.len_s < probe.len_r
+       |        OR (idx.len_s = probe.len_r AND idx.doc_s < probe.doc_r))
+       |   AND probe.len_r - idx.len_s <= $maxD
+       |   AND ABS(probe.sigma - (idx.i * idx.w_s + 1)) <= idx.i
+       |   AND ABS(probe.sigma - (idx.i * idx.w_s + 1)
+       |           - (probe.len_r - idx.len_s)) <= $maxD - idx.i
        |)
        |SELECT doc_a, doc_b,
        |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
        |FROM cand
        |JOIN t a ON a.doc_id = cand.doc_a
        |JOIN t b ON b.doc_id = cand.doc_b
-       |WHERE ABS(LENGTH(a.text) - LENGTH(b.text)) <= $maxD
-       |  AND levenshtein(a.text, b.text) <= $maxD
+       |WHERE levenshtein(a.text, b.text) <= $maxD
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Near-dup cluster-size histogram — the redundancy profile of the
     * corpus (how much of it is 1-of-N near-copies, and how large the

@@ -1609,9 +1609,9 @@ class DedupSpec extends SparkSpec {
       operators.Dedup.nearDupCorpus(spark, Sf).count())
   }
 
-  test("edit-distance pairs: exact distances on planted edits; anchored recall boundary is real") {
+  test("edit-distance pairs: exact distances on planted edits; PassJoin recall is complete") {
     import spark.implicits._
-    val head = "anchor head text"   // 16 chars — the shared prefix key
+    val head = "anchor head text"   // 16 chars — a shared prefix
     val tail = "shared tail chars"  // >16 chars
     val mid = (1 to 30).map(i => s"w$i").mkString(" ")
     val docs = Seq(
@@ -1620,21 +1620,60 @@ class DedupSpec extends SparkSpec {
       (2L, s"$head ${mid.replace("w2 ", "x2 ").replace("w5 ", "y5 ").replace("w9 ", "z9 ")} $tail"),
       // 3: shares doc 1's prefix but the edit mass exceeds maxD
       (3L, s"$head ${(1 to 30).map(i => s"q$i").mkString(" ")} different end!!"),
-      // 4: distance 2 from doc 1 but BOTH ends edited → blocked away
-      // (the documented recall boundary: edits touching both anchors)
+      // 4: distance 2 from doc 1 with BOTH ends edited — the pair the
+      // retired end-anchored blocking MISSED; PassJoin must admit it
       (4L, s"Xnchor head text $mid shared tail charZ"),
       // 5: singleton
       (5L, "completely unrelated content with its own beginning and end"))
       .toDF("doc_id", "text")
-    val got = Dedup.editDistancePairsFrom(docs, maxD = 16, anchor = 16).collect()
+    val got = Dedup.editDistancePairsFrom(docs, maxD = 16).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
         r.getAs[Int]("edit_distance")).toMap
-    assert(got.keySet == Set((1L, 2L)), s"got $got")
-    // exact distance: three 1-char substitutions
+    // the old blocking's boundary pair (1,4) is now ADMITTED, with its
+    // exact distance; 2↔4 also sits within 16 (3 subs + both ends)
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $got")
     assert(got((1L, 2L)) == 3)
-    // the both-ends-edited pair (1,4) is ABSENT by blocking, not by
-    // distance — asserted by the exact keySet above; its true distance
-    // is small, which is precisely the documented recall boundary
+    assert(got((1L, 4L)) == 2)
+    // RECALL COMPLETENESS against brute force: random edits at random
+    // positions (seeded) — every true pair within maxD must surface
+    locally {
+      val rnd = new scala.util.Random(421L)
+      val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+      def mutate(s: String, edits: Int): String = {
+        var cur = s
+        (1 to edits).foreach { _ =>
+          val p = rnd.nextInt(cur.length)
+          cur = rnd.nextInt(3) match {
+            case 0 => cur.substring(0, p) + ('a' + rnd.nextInt(26)).toChar +
+              cur.substring(math.min(p + 1, cur.length)) // substitute
+            case 1 => cur.substring(0, p) + ('a' + rnd.nextInt(26)).toChar +
+              cur.substring(p) // insert
+            case _ => if (cur.length > 20)
+              cur.substring(0, p) + cur.substring(math.min(p + 1, cur.length))
+              else cur // delete
+          }
+        }
+        cur
+      }
+      val fuzz = (1L to 24L).map(id =>
+        (id, mutate(base, rnd.nextInt(25)))).toDF("doc_id", "text")
+      val gotF = Dedup.editDistancePairsFrom(fuzz, maxD = 16).collect()
+        .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+          r.getAs[Int]("edit_distance"))).toMap
+      val brute = fuzz.as("a").crossJoin(fuzz.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id") &&
+          length(col("a.text")) >= 17 && length(col("b.text")) >= 17)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text"), 16).as("d"))
+        .filter(col("d") >= 0 && col("d") <= 16)
+        .collect()
+        .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+          r.getAs[Int]("d"))).toMap
+      assert(brute.nonEmpty, "fuzz corpus must contain true near pairs")
+      assert(gotF == brute,
+        s"PassJoin recall must be complete: missing ${brute.keySet -- gotF.keySet}, " +
+          s"extra ${gotF.keySet -- brute.keySet}")
+    }
     // registry form: pairs exist at sf, all within the bound, ordered
     val sf = Dedup.editDistancePairs(spark, Sf).collect()
     assert(sf.forall(r => r.getAs[Int]("edit_distance") >= 0 &&
