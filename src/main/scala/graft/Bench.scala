@@ -50,7 +50,15 @@ object Bench {
       // always paying the fixed 15 — the honest bench form now that
       // pagerankFrom supports iterate-until-converged
       "product_pagerank" -> ((s, d) =>
-        operators.Graph.productPagerank(s, d, iterations = 15, tol = 1e-6, checkEvery = 5)))
+        operators.Graph.productPagerank(s, d, iterations = 15, tol = 1e-6, checkEvery = 5)),
+      // the batched (node, seed)-grain walk is the production serving
+      // shape (one join + one rollup per round regardless of seed
+      // count, 3.1× at N=3); the sequential form stays REGISTERED and
+      // Verify-checked as the bit-identity reference the batched spec
+      // leans on — paying its 10.5 s in every bench run re-proves a
+      // spec, not a plan (r10 VERDICT "what's wrong" #2)
+      "ppr_related_products" -> ((s, d) =>
+        operators.Graph.pprServingTableBatched(s, d)))
     // Optional args restrict to the named queries (iteration aid; the
     // driver's no-arg invocation still benches everything).
     val wanted = args.toSet
