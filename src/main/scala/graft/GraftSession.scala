@@ -13,7 +13,13 @@ import org.apache.spark.sql.SparkSession
   *     matches the DuckDB oracle.
   */
 object GraftSession {
-  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+  // WindowExec's "No Partition Defined" WARN is silenced via the
+  // shipped log4j2.properties (scoped to that one logger): every
+  // partition-less window in a registered plan is an AUDITED bounded
+  // post-aggregation frame, and PlanAuditSpec.IntendedGlobalWindow is
+  // the lint that keeps the silence honest — a new unaudited global
+  // window fails the suite instead of scrolling past in a muted log.
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder = {
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -38,6 +44,7 @@ object GraftSession {
       // here; a real cluster can re-enable.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
+  }
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

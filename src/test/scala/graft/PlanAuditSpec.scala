@@ -28,6 +28,30 @@ class PlanAuditSpec extends SparkSpec {
     * the same scalar-threshold reason; dq_anomaly's dense-fill crosses
     * the bucket sequence with the distinct event types (buckets ×
     * types — the full grid IS the intended output). */
+  // every member audited (r10 VERDICT "what's wrong" #4 walk + this
+  // lint's first run): the window input is a bounded post-aggregation
+  // frame — top-k-limited, day/hour-grain, quantile/bucket-grain, or
+  // ≤a-few-hundred rows by construction — so the single partition is
+  // intentional. The runtime WARN is silenced in GraftSession; this
+  // set is the receipt. Anything NOT here that plans a partition-less
+  // window fails the lint.
+  private val IntendedGlobalWindow: Set[String] = Set(
+    // cumulative curves over day-grain rollups
+    "ab_cuped", "ab_sequential", "ab_test_summary", "product_rank_shift",
+    "traffic_changepoint", "traffic_decompose", "order_backlog",
+    // funnel/coverage stages over ≤|stages| or ≤|sources| rows
+    "corpus_funnel", "corpus_source_mix", "dq_corpus_coverage",
+    "quality_buckets", "sample_temperature",
+    // threshold/budget curves over ≤|grid| rows
+    "dsir_budget_curve", "ppl_threshold_curve", "quality_threshold_curve",
+    // top-k-limited rankings and histograms
+    "dq_key_skew", "revenue_pareto", "zipf_curve", "vocab_growth",
+    "vocab_coverage", "session_gap_histogram",
+    // merged-sketch percentile frames (≤|quantiles| rows)
+    "shipping_latency_percentiles", "value_percentiles_merged",
+    // the sweep-line net-carry over the |hour buckets| frame
+    "session_concurrency", "session_concurrency_bucketed")
+
   private val IntendedBnlj = Set("ann_cosine_topk", "ann_hard_negatives",
     // ann_recall_curve / ann_mmr_diverse score the broadcast query
     // sample against the corpus by design (the eval/pool stage is the
@@ -230,9 +254,24 @@ class PlanAuditSpec extends SparkSpec {
     val cartesian = plan.collect { case c: CartesianProductExec => c }
     val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }.size
-    val cap = MaxShuffles.getOrElse(name.takeWhile(_ != '['), DefaultMaxShuffles)
+    // partition-less windows single-partition their input; each one in
+    // a registered plan must be an AUDITED bounded post-aggregation
+    // frame (top-k-limited / day-grain / ≤k rows). The runtime WARN for
+    // the audited set is silenced in GraftSession — THIS lint is what
+    // keeps the silence honest: a new unintentional global window fails
+    // here instead of scrolling past in a muted log.
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => w
+    }
+    val base = name.takeWhile(_ != '[')
+    val cap = MaxShuffles.getOrElse(base, DefaultMaxShuffles)
     (if (cartesian.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
       (if (bnlj.nonEmpty && !IntendedBnlj(name)) Seq(s"$name: BroadcastNestedLoopJoin") else Nil) ++
+      (if (globalWindows.nonEmpty && !IntendedGlobalWindow(base))
+        Seq(s"$name: partition-less Window over an unaudited frame") else Nil) ++
       (if (shuffles > cap) Seq(s"$name: $shuffles shuffle exchanges (cap $cap)") else Nil)
   }
 
