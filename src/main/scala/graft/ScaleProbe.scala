@@ -266,6 +266,9 @@ object ScaleProbe {
       // edge checkpoint (graph shape, not replicas)
       "dq_suggested_lineitem", "dq_suggested_documents",
       "ppr_related_products",
+      // round 11 batch 5: two suggestion passes (pre-max-date slice +
+      // full frame) + one dimension-sized full-outer diff
+      "dq_contract_drift",
       // round 10 batch 4 (re-blocked round 11): PassJoin pigeonhole
       // segments keep the pair space key-joined (word-suffixed
       // replicas sit far beyond maxD of each other, so the block

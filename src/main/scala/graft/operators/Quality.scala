@@ -1409,9 +1409,19 @@ object Quality {
     parts.reduce(_ unionByName _).orderBy("column_name", "check_type")
   }
 
-  val suggestedChecksSql: String =
+  /** The events suggestion oracle parameterized on the source relation
+    * (the plain table, or a date-filtered subquery for the
+    * contract-drift pinned side). */
+  private def suggestedEventsSqlFor(rel: String): String = {
+    val prof = Seq(
+      profileColumnSql(rel, "event_id", "event_id"),
+      profileColumnSql(rel, "ts", "CAST(ts AS TIMESTAMP)"),
+      profileColumnSql(rel, "user_id", "user_id"),
+      profileColumnSql(rel, "event_type", "event_type"),
+      profileColumnSql(rel, "value", "value"),
+      profileColumnSql(rel, "props", "props")).mkString("\nUNION ALL\n")
     s"""WITH prof AS (
-       |$profileUnionSql
+       |$prof
        |)
        |SELECT * FROM (
        |  SELECT column_name, 'not_null' AS check_type,
@@ -1427,15 +1437,18 @@ object Quality {
        |  SELECT 'event_type' AS column_name, 'isin' AS check_type,
        |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
        |    array_to_string(array_agg(x ORDER BY x), ',') AS value_set
-       |  FROM (SELECT DISTINCT event_type AS x FROM events
+       |  FROM (SELECT DISTINCT event_type AS x FROM $rel
        |        WHERE event_type IS NOT NULL)
        |  HAVING COUNT(*) BETWEEN 1 AND 20
        |     AND COUNT(*) FILTER (WHERE contains(x, ',')) = 0
        |  UNION ALL
        |  SELECT 'value' AS column_name, 'range' AS check_type,
        |    MIN(value) AS lo, MAX(value) AS hi, CAST(NULL AS VARCHAR) AS value_set
-       |  FROM events
+       |  FROM $rel
        |) ORDER BY column_name, check_type""".stripMargin
+  }
+
+  val suggestedChecksSql: String = suggestedEventsSqlFor("events")
 
   /** The suggestion loop GENERALIZED to any frame — the relational/
     * corpus-side Deequ loop the r9 VERDICT asked for (`profileAllFrom`
@@ -1757,6 +1770,145 @@ object Quality {
   def contractFlagsFrom(frame: DataFrame, suggestionsPath: String)
       : (DataFrame, Seq[String]) =
     contractFlags(frame, loadSuggestions(frame.sparkSession, suggestionsPath))
+
+  /** Contract drift — [[profileDrift]]'s sibling at the CONTRACT
+    * grain: diff a PINNED suggestion contract against a freshly
+    * re-suggested one from a later healthy run. A bound that keeps
+    * widening run over run is a data-quality trend nobody sees from
+    * the gate alone (the gate only fires once the pinned bound
+    * BREAKS); this surfaces the approach BEFORE any check fails.
+    * The gate keeps enforcing the pinned contract — drift is a
+    * report, promotion ([[promoteSuggestions]]) is the explicit act.
+    *
+    * Per (column_name, check_type): `added`/`removed` for suggestions
+    * that appear/vanish (nulls arrived → not_null gone; domain
+    * exploded → isin gone; a dup landed → unique gone); range rows
+    * classify `widened` (any bound moved outward) / `narrowed` /
+    * `shifted` (both); isin rows `domain_grew` / `domain_shrank` /
+    * `domain_changed` with the exact value diffs (sorted,
+    * comma-joined — sound because the suggesters drop comma-bearing
+    * domains). Dimension-sized on both sides; one full-outer join. */
+  def contractDrift(pinned: DataFrame, refreshed: DataFrame): DataFrame = {
+    val p = pinned.select(col("column_name"), col("check_type"),
+      col("lo").as("lo_pinned"), col("hi").as("hi_pinned"),
+      col("value_set").as("set_pinned"), lit(true).as("in_pinned"))
+    val f = refreshed.select(col("column_name"), col("check_type"),
+      col("lo").as("lo_fresh"), col("hi").as("hi_fresh"),
+      col("value_set").as("set_fresh"), lit(true).as("in_fresh"))
+    val setAdded = nullif(array_join(array_except(
+      split(col("set_fresh"), ","), split(col("set_pinned"), ",")), ","), lit(""))
+    val setRemoved = nullif(array_join(array_except(
+      split(col("set_pinned"), ","), split(col("set_fresh"), ",")), ","), lit(""))
+    val out = col("lo_fresh") < col("lo_pinned") || col("hi_fresh") > col("hi_pinned")
+    val in_ = col("lo_fresh") > col("lo_pinned") || col("hi_fresh") < col("hi_pinned")
+    p.join(f, Seq("column_name", "check_type"), "full_outer")
+      .withColumn("set_added", setAdded)
+      .withColumn("set_removed", setRemoved)
+      .select(col("column_name"), col("check_type"),
+        when(coalesce(col("in_pinned"), lit(false)) === false, "added")
+          .when(coalesce(col("in_fresh"), lit(false)) === false, "removed")
+          .when(col("check_type") === "range",
+            when(out && in_, "shifted").when(out, "widened")
+              .when(in_, "narrowed").otherwise("unchanged"))
+          .when(col("check_type") === "isin",
+            when(col("set_added").isNotNull && col("set_removed").isNotNull,
+              "domain_changed")
+              .when(col("set_added").isNotNull, "domain_grew")
+              .when(col("set_removed").isNotNull, "domain_shrank")
+              .otherwise("unchanged"))
+          .otherwise("unchanged").as("change"),
+        col("lo_pinned"), col("hi_pinned"), col("lo_fresh"), col("hi_fresh"),
+        col("set_added"), col("set_removed"))
+      .withColumn("drift", col("change") =!= "unchanged")
+      .orderBy("column_name", "check_type")
+  }
+
+  /** The registry form: pinned = suggestions on events STRICTLY BEFORE
+    * the corpus max date, fresh = on the full frame — "what did the
+    * last day's arrival change about the data-derived contract".
+    * The max date rides a one-row broadcast (the scalar-subquery
+    * pattern). Full SQL: min/max/count/distinct rules + integer CASE
+    * classification, engine-identical. */
+  def contractDriftEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+    val maxDay = e.agg(max(col("ts").cast("date")).as("maxd"))
+    val pinnedEvents = e.crossJoin(broadcast(maxDay))
+      .filter(col("ts").cast("date") < col("maxd")).drop("maxd")
+    contractDrift(suggestedChecksFrom(pinnedEvents), suggestedChecksFrom(e))
+  }
+
+  val contractDriftSql: String = {
+    val pinnedRel = "(SELECT * FROM events WHERE CAST(ts AS DATE) < " +
+      "(SELECT MAX(CAST(ts AS DATE)) FROM events))"
+    s"""WITH pinned AS (
+       |${suggestedEventsSqlFor(pinnedRel)}
+       |), fresh AS (
+       |${suggestedEventsSqlFor("events")}
+       |), p AS (
+       |  SELECT column_name, check_type, lo AS lo_pinned, hi AS hi_pinned,
+       |    value_set AS set_pinned, TRUE AS in_pinned FROM pinned
+       |), f AS (
+       |  SELECT column_name, check_type, lo AS lo_fresh, hi AS hi_fresh,
+       |    value_set AS set_fresh, TRUE AS in_fresh FROM fresh
+       |), j AS (
+       |  SELECT COALESCE(p.column_name, f.column_name) AS column_name,
+       |    COALESCE(p.check_type, f.check_type) AS check_type,
+       |    lo_pinned, hi_pinned, set_pinned, lo_fresh, hi_fresh, set_fresh,
+       |    COALESCE(in_pinned, FALSE) AS in_pinned,
+       |    COALESCE(in_fresh, FALSE) AS in_fresh
+       |  FROM p FULL OUTER JOIN f
+       |    ON p.column_name = f.column_name AND p.check_type = f.check_type
+       |), d AS (
+       |  SELECT *,
+       |    NULLIF(array_to_string(list_filter(string_split(set_fresh, ','),
+       |      x -> NOT list_contains(string_split(set_pinned, ','), x)), ','), '')
+       |      AS set_added,
+       |    NULLIF(array_to_string(list_filter(string_split(set_pinned, ','),
+       |      x -> NOT list_contains(string_split(set_fresh, ','), x)), ','), '')
+       |      AS set_removed
+       |  FROM j
+       |)
+       |SELECT column_name, check_type, change,
+       |  lo_pinned, hi_pinned, lo_fresh, hi_fresh, set_added, set_removed,
+       |  change <> 'unchanged' AS drift
+       |FROM (
+       |  SELECT *,
+       |    CASE
+       |      WHEN NOT in_pinned THEN 'added'
+       |      WHEN NOT in_fresh THEN 'removed'
+       |      WHEN check_type = 'range' THEN
+       |        CASE
+       |          WHEN (lo_fresh < lo_pinned OR hi_fresh > hi_pinned)
+       |           AND (lo_fresh > lo_pinned OR hi_fresh < hi_pinned) THEN 'shifted'
+       |          WHEN lo_fresh < lo_pinned OR hi_fresh > hi_pinned THEN 'widened'
+       |          WHEN lo_fresh > lo_pinned OR hi_fresh < hi_pinned THEN 'narrowed'
+       |          ELSE 'unchanged' END
+       |      WHEN check_type = 'isin' THEN
+       |        CASE
+       |          WHEN set_added IS NOT NULL AND set_removed IS NOT NULL
+       |            THEN 'domain_changed'
+       |          WHEN set_added IS NOT NULL THEN 'domain_grew'
+       |          WHEN set_removed IS NOT NULL THEN 'domain_shrank'
+       |          ELSE 'unchanged' END
+       |      ELSE 'unchanged' END AS change
+       |  FROM d
+       |)
+       |ORDER BY column_name, check_type""".stripMargin
+  }
+
+  /** Promote a refreshed contract to the pinned artifact — the
+    * EXPLICIT act that moves the gate to new bounds (drift alone
+    * never does). The new stamp's builtFrom records the lineage:
+    * the prior contract's fingerprint plus the caller's source tag,
+    * so a promoted contract answers "refreshed from what, built on
+    * what" without a side channel. */
+  def promoteSuggestions(fresh: DataFrame, path: String,
+                         builtFrom: String = ""): Unit = {
+    val prior = graft.sources.ArtifactManifest.read(path)
+      .map(s => s"refreshed-from:${s.contentFp}").getOrElse("initial")
+    writeSuggestions(fresh, path,
+      builtFrom = if (builtFrom.isEmpty) prior else s"$prior;$builtFrom")
+  }
 
   /** Event-id gap census — the data-COMPLETENESS check
     * `dq_duplicate_check` mirrors from the other side: duplicates say

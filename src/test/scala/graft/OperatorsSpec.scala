@@ -2026,6 +2026,90 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("contract drift: a widening range surfaces BEFORE any check fails; gate stays pinned until promoted") {
+    import spark.implicits._
+    def frame(rows: Seq[(Long, Option[Long], String, Double)]) =
+      rows.toDF("event_id", "user_id", "event_type", "value")
+    // pinned contract observed on a wide known-healthy baseline
+    val baseline = frame(Seq(
+      (1L, Some(1L), "view", 0.0), (2L, Some(2L), "click", 100.0),
+      (3L, Some(3L), "purchase", 50.0)))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_drift").toString + "/contract"
+    val pinned = Quality.suggestedChecksFrom(baseline)
+    Quality.writeSuggestions(pinned, path, builtFrom = "baseline")
+    // two later runs, BOTH healthy against the pinned gate, whose own
+    // observed range widens run over run: [10,60] → [5,80]
+    val run1 = frame(Seq(
+      (10L, Some(1L), "view", 10.0), (11L, Some(2L), "click", 60.0)))
+    val run2 = frame(Seq(
+      (20L, Some(1L), "view", 5.0), (21L, Some(2L), "click", 80.0),
+      (22L, Some(3L), "purchase", 40.0)))
+    for (r <- Seq(run1, run2))
+      assert(Quality.suggestionGate(r, path).collect()
+        .forall(_.getAs[String]("status") == "PASS"),
+        "both runs must be healthy vs the pinned contract")
+    // the drift between the two healthy runs' refreshed contracts
+    // reads 'widened' — the trend the gate alone can never show
+    val d12 = Quality.contractDrift(
+      Quality.suggestedChecksFrom(run1), Quality.suggestedChecksFrom(run2))
+      .collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type"))
+        -> r).toMap
+    assert(d12(("value", "range")).getAs[String]("change") == "widened")
+    assert(d12(("value", "range")).getAs[Boolean]("drift"))
+    // the new event_type grows the isin domain with the exact value
+    assert(d12(("event_type", "isin")).getAs[String]("change") == "domain_grew")
+    assert(d12(("event_type", "isin")).getAs[String]("set_added") == "purchase")
+    assert(d12(("event_id", "not_null")).getAs[String]("change") == "unchanged")
+    // vs the pinned baseline, run2's range sits strictly inside
+    val dp = Quality.contractDrift(pinned, Quality.suggestedChecksFrom(run2))
+      .collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type"))
+        -> r).toMap
+    assert(dp(("value", "range")).getAs[String]("change") == "narrowed")
+    // a vanished suggestion reads 'removed' (a null user_id arrived)
+    val run3 = frame(Seq((30L, None, "view", 20.0), (31L, Some(2L), "click", 30.0)))
+    val d23 = Quality.contractDrift(
+      Quality.suggestedChecksFrom(run2), Quality.suggestedChecksFrom(run3))
+      .collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type"))
+        -> r).toMap
+    assert(d23(("user_id", "not_null")).getAs[String]("change") == "removed")
+    // both bounds moving the same direction reads 'shifted'
+    val run4 = frame(Seq((40L, Some(1L), "view", 1.0), (41L, Some(2L), "click", 55.0)))
+    val d14 = Quality.contractDrift(
+      Quality.suggestedChecksFrom(run1), Quality.suggestedChecksFrom(run4))
+      .collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type"))
+        -> r).toMap
+    assert(d14(("value", "range")).getAs[String]("change") == "shifted")
+    // the gate enforces the PINNED bounds throughout: an arrival past
+    // the baseline max still fails even though every refresh happened
+    val bad = frame(Seq((50L, Some(1L), "view", 101.0)))
+    assert(Quality.suggestionGate(bad, path).collect()
+      .exists(r => r.getAs[String]("check_name") == "suggested_value_range" &&
+        r.getAs[String]("status") == "FAIL"))
+    // promotion is the explicit act, and it records lineage
+    val oldFp = graft.sources.ArtifactManifest.read(path).get.contentFp
+    Quality.promoteSuggestions(Quality.suggestedChecksFrom(run2), path,
+      builtFrom = "run2")
+    val stamp = graft.sources.ArtifactManifest.read(path).get
+    assert(stamp.builtFrom == s"refreshed-from:$oldFp;run2")
+    val promoted = Quality.loadSuggestions(spark, path).collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("check_type"))
+        -> r).toMap
+    assert(promoted(("value", "range")).getAs[Double]("lo") == 5.0)
+    assert(promoted(("value", "range")).getAs[Double]("hi") == 80.0)
+    // registry form runs at sf: pinned = pre-max-date events, fresh =
+    // full frame; rows exist for every suggestion with a change label
+    val reg = Quality.contractDriftEvents(spark, Sf).collect()
+    assert(reg.nonEmpty)
+    assert(reg.forall(r => Set("added", "removed", "widened", "narrowed",
+      "shifted", "domain_grew", "domain_shrank", "domain_changed",
+      "unchanged")(r.getAs[String]("change"))))
+  }
+
   test("id gaps: in-bucket holes count distinct-exact; contiguous buckets drop; top-k orders") {
     import spark.implicits._
     // bucket 0: ids 1,2,3,5 (+ dup 3) → span 5, present 4, missing 1

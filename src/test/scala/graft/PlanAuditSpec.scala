@@ -75,6 +75,9 @@ class PlanAuditSpec extends SparkSpec {
     // ab_cuped rides its ONE-ROW broadcast epoch midpoint onto the
     // fact scan before the user rollup — the scalar-subquery pattern
     "ab_cuped",
+    // dq_contract_drift rides its ONE-ROW broadcast corpus max date
+    // onto the pinned-side scan — the scalar-subquery pattern
+    "dq_contract_drift",
     // traffic_changepoint crosses the day frame with its ONE-ROW
     // broadcast (n_days, total) — the scalar-subquery pattern
     "traffic_changepoint",
