@@ -415,6 +415,93 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** State for [[uniqueViolations]]: the first-seen event time of a
+    * key, kept until the watermark passes it by the horizon. */
+  final case class UniqueSeen(firstTsMs: Long)
+
+  final case class UniqueViolation(value: String,
+      first_ts: java.sql.Timestamp, dup_ts: java.sql.Timestamp)
+
+  private[streaming] def horizonMillis(watermark: String): Long = {
+    val parts = watermark.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"expected '<n> <unit>': $watermark")
+    val n = parts(0).toLong
+    parts(1).stripSuffix("s") match {
+      case "millisecond" => n
+      case "second"      => n * 1000L
+      case "minute"      => n * 60000L
+      case "hour"        => n * 3600000L
+      case "day"         => n * 86400000L
+      case other => throw new IllegalArgumentException(s"unknown unit: $other")
+    }
+  }
+
+  /** The CHECK mirror of [[dedupEvents]] — the watermark-bounded
+    * `unique` leg the live contract can honestly have. `contractFlags`
+    * deliberately skips `unique` (a cross-row property has no row-local
+    * predicate); this closes that gap with the SAME bounded-state
+    * machinery dropDuplicatesWithinWatermark uses, inverted: instead of
+    * silently dropping re-arrivals, it EMITS them as violation rows.
+    * Per key: first-seen event time in state, every later arrival
+    * within the horizon flagged with (first_ts, dup_ts); state released
+    * once the watermark passes the last arrival by the horizon — so a
+    * duplicate landing later than the horizon is NOT flagged, exactly
+    * dropDuplicatesWithinWatermark's bound, and the output carries the
+    * declared `horizon` so no consumer can mistake the bounded verdict
+    * for the batch one. The nightly batch `unique` check stays the
+    * unbounded source of truth; this is the live approximation with
+    * its approximation printed on the row. */
+  def uniqueViolations(events: DataFrame, column: String,
+      watermark: String = "2 hours", tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizon = horizonMillis(watermark)
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(column).cast("string").as("k"), col(tsCol).as("ts"))
+      .filter(col("k").isNotNull)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UniqueSeen, UniqueViolation](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (k, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            val firstMs = state.getOption.map(_.firstTsMs)
+              .getOrElse(sorted.head._2.getTime)
+            val dups =
+              (if (state.exists) sorted else sorted.tail).map(r =>
+                UniqueViolation(k, new java.sql.Timestamp(firstMs), r._2))
+            state.update(UniqueSeen(firstMs))
+            state.setTimeoutTimestamp(math.max(
+              sorted.last._2.getTime + horizon,
+              state.getCurrentWatermarkMs() + 1))
+            dups.iterator
+          }
+      }
+      .toDF()
+      .select(lit(column).as("column_name"), col("value"),
+        col("first_ts"), col("dup_ts"), lit(watermark).as("horizon"))
+  }
+
+  /** One [[uniqueViolations]] leg per `unique` suggestion in a
+    * persisted contract — the other half of
+    * `Quality.contractFlagsFrom`'s (flags, skipped) pair: `skipped`
+    * names exactly the checks these legs cover, so the live contract
+    * now spans all four rule types (not_null/range/isin row-local,
+    * unique watermark-bounded with the declared horizon). */
+  def contractUniqueLegs(frame: DataFrame, suggestionsPath: String,
+      watermark: String = "2 hours", tsCol: String = "ts")
+      : Map[String, DataFrame] = {
+    val sugg = graft.operators.Quality
+      .loadSuggestions(frame.sparkSession, suggestionsPath)
+      .filter(col("check_type") === "unique")
+      .select(col("column_name")).collect().map(_.getString(0)).toSeq
+    sugg.map(c => c -> uniqueViolations(frame, c, watermark, tsCol)).toMap
+  }
+
   /** The product dimension at the events' product_k grain, derived
     * from the part table (p_partkey mod 100 is the testdata's product
     * id space): one deterministic row per product id. */

@@ -1678,6 +1678,65 @@ class StreamingSpec extends SparkSpec {
     assert(b == live, "live and nightly verdicts must be the one definition")
   }
 
+  test("live contract unique leg: an in-watermark duplicate flags and matches the batch verdict; the horizon is real") {
+    import java.nio.file.Files
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // contract on a healthy mini-corpus: event_id suggests unique
+    val healthy = (1L to 20L).map(i =>
+      (i, ts("2024-01-01 09:00:00"), i % 5, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val path = Files.createTempDirectory("graft_uniq").toString + "/contract"
+    operators.Quality.writeSuggestions(
+      operators.Quality.suggestedChecksFrom(healthy), path, builtFrom = "spec")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // the legs map covers exactly what contractFlags SKIPS
+    val legs = EventStream.contractUniqueLegs(df, path)
+    val (_, skipped) = operators.Quality.contractFlagsFrom(df, path)
+    assert(legs.keySet.map(_ + "_unique") == skipped.toSet,
+      "the unique legs must cover exactly the row-local surface's skips")
+    val q = legs("event_id").writeStream.format("memory")
+      .queryName("uniq_leg").outputMode("append").start()
+    try {
+      // batch 1: ids 1,2 then 1 again five minutes later — in-horizon
+      val b1 = Seq(
+        (1L, ts("2024-01-02 10:00:00"), 1L, "view", 1.0, "{}"),
+        (2L, ts("2024-01-02 10:01:00"), 2L, "view", 1.0, "{}"),
+        (1L, ts("2024-01-02 10:05:00"), 3L, "view", 1.0, "{}"))
+      mem.addData(b1: _*); q.processAllAvailable()
+      val flagged = spark.table("uniq_leg").collect()
+      assert(flagged.length == 1)
+      assert(flagged.head.getAs[String]("value") == "1")
+      assert(flagged.head.getAs[java.sql.Timestamp]("first_ts") == ts("2024-01-02 10:00:00"))
+      assert(flagged.head.getAs[java.sql.Timestamp]("dup_ts") == ts("2024-01-02 10:05:00"))
+      assert(flagged.head.getAs[String]("horizon") == "2 hours")
+      // batch parity on the same window: the nightly unique check
+      // counts the same single violation
+      val batchVerdict = operators.Quality.runChecks(
+        b1.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        operators.Quality.loadSuggestions(spark, path)).collect()
+        .find(r => r.getAs[String]("column_name") == "event_id" &&
+          r.getAs[String]("check_type") == "unique").get
+      assert(batchVerdict.getAs[Long]("n_violations") == 1L,
+        "stream and batch must agree on the in-window duplicate count")
+      // advance the watermark far past id 1's horizon (two batches:
+      // eviction reads the PREVIOUS batch's watermark)
+      mem.addData((99L, ts("2024-01-02 15:00:00"), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      mem.addData((100L, ts("2024-01-02 15:01:00"), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // id 1 re-arrives BEYOND the horizon: state is gone, not flagged
+      // — the declared bound, exactly dropDuplicatesWithinWatermark's
+      mem.addData((1L, ts("2024-01-02 14:00:00"), 1L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("uniq_leg").count() == 1L,
+        "a beyond-horizon duplicate must NOT flag (the declared bound)")
+    } finally q.stop()
+  }
+
   test("first-touch log maintenance: rotate-and-absorb compaction preserves the look table") {
     import java.nio.file.Files
     import spark.implicits._
