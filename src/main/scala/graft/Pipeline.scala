@@ -54,9 +54,24 @@ object Pipeline {
   /** The mart set over one shared enriched-events projection.
     * session_sequences gains a session_date (= session start date)
     * partition column here so per-date reruns replace only their own
-    * partitions, like every other mart. */
+    * partitions, like every other mart.
+    *
+    * NOTE: constructing this map runs the user_id skew census as an
+    * eager Spark job (the session mart's armed-path decision must pick
+    * a plan before the DataFrame exists). The census is memoized per
+    * (plan, inputs), so repeated map construction over the same frame
+    * pays once; callers that want full laziness (or already measured)
+    * pass a plan to [[martsArmed]] and no job runs. */
   def martsFrom(e: DataFrame): Map[String, DataFrame] =
     martsArmed(e)._1
+
+  /** The five non-session marts — no census, fully lazy. */
+  private def martsPlain(e: DataFrame): Map[String, DataFrame] = Map(
+    "mart_user_daily"    -> EventMarts.martUserDailyFrom(e),
+    "mart_funnel_daily"  -> EventMarts.martFunnelDailyFrom(e),
+    "mart_product_daily" -> EventMarts.martProductDailyFrom(e),
+    "mart_orders"        -> EventMarts.martOrdersFrom(e),
+    "hourly_traffic"     -> EventMarts.hourlyTrafficFrom(e))
 
   /** `martsFrom` with the session mart on the ARMED path: the user_id
     * census (memoized per frame by `Skew.measure`) decides whether
@@ -64,16 +79,14 @@ object Pipeline {
     * Output is identical either way (the bucketed twin is hash-checked
     * against the same oracle); what changes is the plan — a planted
     * bot/sentinel user no longer funnels its whole history through one
-    * window task. Returns the plan so `run` can surface what armed. */
-  def martsArmed(e: DataFrame): (Map[String, DataFrame], operators.Skew.SkewPlan) = {
-    val (sessions, plan) = Sessionize.sessionSequencesAuto(e)
-    (Map(
-      "mart_user_daily"    -> EventMarts.martUserDailyFrom(e),
-      "mart_funnel_daily"  -> EventMarts.martFunnelDailyFrom(e),
-      "mart_product_daily" -> EventMarts.martProductDailyFrom(e),
-      "mart_orders"        -> EventMarts.martOrdersFrom(e),
-      "session_sequences"  -> withSessionDate(sessions),
-      "hourly_traffic"     -> EventMarts.hourlyTrafficFrom(e)), plan)
+    * window task. Returns the plan so `run` can surface what armed.
+    * `sessionPlan` skips the census with a caller-measured plan (the
+    * backfill-scope carry). */
+  def martsArmed(e: DataFrame,
+      sessionPlan: Option[operators.Skew.SkewPlan] = None)
+      : (Map[String, DataFrame], operators.Skew.SkewPlan) = {
+    val (sessions, plan) = Sessionize.sessionSequencesAuto(e, preplanned = sessionPlan)
+    (martsPlain(e) + ("session_sequences" -> withSessionDate(sessions)), plan)
   }
 
   /** Partition spec per mart (the backfill grain). */
@@ -156,13 +169,19 @@ object Pipeline {
     *   contract violation fails the gate, rides the alert payload and
     *   trips failFast exactly like a built-in check. The data-derived
     *   contract becomes part of the daily gate, not a side report. */
+  /** @param sessionPlan a caller-measured skew plan for the session
+    *   mart's armed-path decision — the backfill-scope carry: a
+    *   multi-date replay measures its widest frame ONCE and drives
+    *   every scoped run with that plan instead of re-censusing each
+    *   date's widened frame. None (the default) measures here. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           failFast: Boolean = true, dates: Seq[String] = Nil,
           checkLogDir: Option[String] = None,
           checkLogJdbc: Option[(String, String)] = None,
           quarantine: Boolean = false,
           martJdbc: Option[String] = None,
-          suggestionsPath: Option[String] = None): Result = {
+          suggestionsPath: Option[String] = None,
+          sessionPlan: Option[operators.Skew.SkewPlan] = None): Result = {
     val base = EventMarts.enriched(spark, sfDir)
     val runDates = dates.map(java.sql.Date.valueOf)
     // persist scope = run dates ± one day (sessionize lookback and
@@ -226,11 +245,19 @@ object Pipeline {
         // way so cross-midnight chains assemble before the verdict
         val martBase = if (quarantine) Sessionize.cleanEvents(e) else e
         val sessionBase = if (quarantine) Sessionize.cleanEvents(w) else w
-        val (baseMarts, skewPlan) = martsArmed(martBase)
-        val marts = baseMarts ++ Option.when(dates.nonEmpty)(
-          "session_sequences" -> withSessionDate(
-            Sessionize.sessionSequencesAuto(sessionBase)._1)
-            .filter(col("session_date").isin(runDates: _*)))
+        // the session mart is ALWAYS built from sessionBase (the ±1-day
+        // widened frame on dated runs, = martBase on full runs), so the
+        // census runs on — and the reported plan describes — the frame
+        // the mart is actually written from; dated runs no longer pay a
+        // martBase census only to discard its session frame.
+        // `sessionPlan` (the backfill-scope carry) short-circuits it.
+        val (sessions, skewPlan) =
+          Sessionize.sessionSequencesAuto(sessionBase, preplanned = sessionPlan)
+        val sessionMart =
+          if (dates.isEmpty) withSessionDate(sessions)
+          else withSessionDate(sessions)
+            .filter(col("session_date").isin(runDates: _*))
+        val marts = martsPlain(martBase) + ("session_sequences" -> sessionMart)
         val written = marts.map { case (name, df) =>
           partitioned.get(name) match {
             case Some(cols) => MartSink.writePartitioned(df, s"$outDir/$name", cols)
@@ -546,9 +573,31 @@ object Pipeline {
     val plan = planBackfill(spark, sfDir, manifestDir)
     if (plan.stale.isEmpty) (plan, None)
     else {
+      // ONE census per backfill, not per date: measure the user_id
+      // skew once over the full stale scope (± the sessionize
+      // neighbor days — the widest frame any scoped run will
+      // sessionize) and carry the plan through every run. Per-date
+      // widened frames differ semantically, so without the carry the
+      // memo misses on every date of a driver that loops run() per
+      // date; arming on the widest scope is also the conservative
+      // choice (a bot hot on any stale date arms the whole replay,
+      // and the bucketed twin is output-identical by construction).
+      val staleDates = plan.stale.map(java.sql.Date.valueOf)
+      val neighbors = plan.stale.flatMap { d =>
+        val ld = java.sql.Date.valueOf(d).toLocalDate
+        Seq(ld.minusDays(1).toString, ld.plusDays(1).toString)
+      }
+      val scope = (plan.stale ++ neighbors).distinct.map(java.sql.Date.valueOf)
+      val scopeFrame = EventMarts.enriched(spark, sfDir)
+        .filter(col("event_date").isin(scope: _*))
+      val sessionBase = if (quarantine) Sessionize.cleanEvents(scopeFrame)
+                        else scopeFrame
+      val carried = operators.Skew.measure(sessionBase, "user_id",
+        armThreshold = 16.0)
       val result = run(spark, sfDir, outDir, failFast = failFast,
         dates = plan.stale, checkLogDir = checkLogDir,
-        quarantine = quarantine, martJdbc = martJdbc)
+        quarantine = quarantine, martJdbc = martJdbc,
+        sessionPlan = Some(carried))
       if (result.martsWritten.nonEmpty)
         recordBuildManifest(spark, sfDir, manifestDir, plan.stale)
       (plan, Some(result))

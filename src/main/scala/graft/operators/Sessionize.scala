@@ -199,8 +199,9 @@ object Sessionize {
     * for a real bot/sentinel, not mild behavioral imbalance. Returns
     * the plan so callers log what armed. */
   def sessionSequencesAuto(e: DataFrame, armThreshold: Double = 16.0,
-      bucketSeconds: Long = BucketSeconds): (DataFrame, Skew.SkewPlan) =
-    sessionAuto(e, armThreshold)(
+      bucketSeconds: Long = BucketSeconds,
+      preplanned: Option[Skew.SkewPlan] = None): (DataFrame, Skew.SkewPlan) =
+    sessionAuto(e, armThreshold, preplanned)(
       sessionSequencesFrom, sessionSequencesBucketedFrom(_, bucketSeconds))
 
   /** Generic armed chooser for the whole session family: census
@@ -209,11 +210,17 @@ object Sessionize {
     * one enriched frame pays ONE key count), take the bucketed form
     * only past `armThreshold`. Every family query has a bucketed twin
     * hash-checked against the same oracle, so the switch is
-    * output-invariant by construction. */
-  def sessionAuto(e: DataFrame, armThreshold: Double = 16.0)(
+    * output-invariant by construction. `preplanned` short-circuits
+    * the census entirely with a plan the CALLER measured — the
+    * backfill-scope carry: a multi-date replay measures its widest
+    * frame once and drives every scoped run with that plan (the
+    * output is plan-invariant either way; only the census cost and
+    * the arming evidence move). */
+  def sessionAuto(e: DataFrame, armThreshold: Double = 16.0,
+      preplanned: Option[Skew.SkewPlan] = None)(
       plain: DataFrame => DataFrame,
       bucketed: DataFrame => DataFrame): (DataFrame, Skew.SkewPlan) = {
-    val plan = Skew.measure(e, "user_id", armThreshold)
+    val plan = preplanned.getOrElse(Skew.measure(e, "user_id", armThreshold))
     (if (plan.armed) bucketed(e) else plain(e), plan)
   }
 

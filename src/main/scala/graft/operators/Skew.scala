@@ -91,25 +91,57 @@ object Skew {
   }
 
   /** Raw census: (hot-key ratio_to_avg, n_keys, total_rows) for the
-    * top-1 key of `keyCol` — memoized per (semantic plan, key), so a
-    * pipeline running several armed operators over the SAME enriched
-    * frame pays the key-grain count ONCE. The cache key is the
-    * analyzed plan's semantic hash: two DataFrames reading the same
-    * source through the same transformations share an entry; a
-    * different filter, column set or source dir misses. Threshold and
-    * ceiling are applied per `measure` call (they shape the plan, not
-    * the census), so one census serves consumers with different arming
-    * policies. Bounded: the map clears itself past `CensusCacheMax`
-    * entries (censuses are cheap enough that a rare re-run beats
-    * unbounded growth in a long-lived session). `censusRuns` counts
-    * ACTUAL censuses for the cache-effectiveness spec. */
+    * top-1 key of `keyCol` — memoized per (canonicalized plan, input
+    * files, key), so a pipeline running several armed operators over
+    * the SAME enriched frame pays the key-grain count ONCE. The cache
+    * key is an md5 over the analyzed plan's CANONICALIZED form (full
+    * plan text, not a 32-bit hash — two distinct frames cannot
+    * silently share a census by Int collision) plus the sorted input
+    * file listing (a rewrite of the same path mints new part-file
+    * names, so re-reading a path after new data lands MISSES instead
+    * of serving a stale census; both signals are plan inspection only
+    * — no job). Threshold and ceiling are applied per `measure` call
+    * (they shape the plan, not the census), so one census serves
+    * consumers with different arming policies. Bounded: the map
+    * clears itself past `CensusCacheMax` entries, and
+    * [[clearCensusCache]] is the explicit invalidation hook.
+    * `censusRuns` counts ACTUAL censuses for the
+    * cache-effectiveness spec. */
   private val CensusCacheMax = 256
   private val censusCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Option[(Double, Long, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[(Double, Long, Long)]]()
   private[graft] val censusRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Explicit cache invalidation (e.g. after rewriting a source a
+    * long-lived session will re-read through the same plan). */
+  def clearCensusCache(): Unit = censusCache.clear()
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private def censusOf(df: DataFrame, keyCol: String): Option[(Double, Long, Long)] = {
-    val key = (df.queryExecution.analyzed.semanticHash(), keyCol)
+    // the canonicalized plan elides relation LOCATIONS (two frames
+    // reading different dirs through the same shape print identically)
+    // and inputFiles is empty once a frame is persist()ed — so the key
+    // collects locations straight from the ANALYZED plan (unaffected
+    // by caching) plus local-relation data identity, with the file
+    // listing as the freshness signal where available
+    val analyzed = df.queryExecution.analyzed
+    val locs = analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case o => o.toString
+        }
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        s"local:${loc.output.map(_.name).mkString(",")}:${loc.data.hashCode}"
+    }.mkString("\n")
+    val fp = md5(analyzed.canonicalized.toString +
+      "\n#loc\n" + locs +
+      "\n#files\n" + df.inputFiles.sorted.mkString("\n"))
+    val key = (fp, keyCol)
     if (censusCache.size() > CensusCacheMax) censusCache.clear()
     censusCache.computeIfAbsent(key, _ => {
       censusRuns.incrementAndGet()

@@ -1308,6 +1308,62 @@ class ReportingSpec extends SparkSpec {
     assert(again.values.forall(_.rowsErased == 0L))
   }
 
+  test("backfill-scope census carry: one census drives a 3-date replay; marts identical to uncarried runs") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, v, """{"k":1}""")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // a bot hot across all three days so the armed path is real
+    val rows = (1 to 3).flatMap { d =>
+      (0 until 400).map(i =>
+        ev(d * 10000L + i, f"2024-02-0$d%d 10:${i % 60}%02d:${i % 60}%02d", 777L,
+          if (i % 40 == 0) "purchase" else "view", 1.0)) ++
+      (0 until 30).map(i =>
+        ev(d * 10000L + 5000 + i, f"2024-02-0$d%d 12:${i % 60}%02d:00", 100L + i, "view", 1.0))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_carry_src").toString
+    rows.toDF(cols: _*).write.parquet(s"$dir/events.parquet")
+    val dates = Seq("2024-02-01", "2024-02-02", "2024-02-03")
+    // 1. backfill pays ONE census for the whole stale scope
+    val out1 = java.nio.file.Files.createTempDirectory("graft_carry_bf").toString
+    val mf = java.nio.file.Files.createTempDirectory("graft_carry_mf")
+      .resolve("manifest").toString
+    val before1 = operators.Skew.censusRuns.get()
+    val (_, r1) = Pipeline.backfill(spark, dir, out1, mf)
+    assert(r1.exists(_.martsWritten.nonEmpty))
+    assert(operators.Skew.censusRuns.get() - before1 == 1L,
+      s"a backfill must census ONCE, got ${operators.Skew.censusRuns.get() - before1}")
+    assert(r1.flatMap(_.sessionSkew).exists(_.armed),
+      "the planted bot must arm the carried plan")
+    // 2. a per-date scheduler loop WITH the carry censuses once…
+    val out2 = java.nio.file.Files.createTempDirectory("graft_carry_loop").toString
+    val before2 = operators.Skew.censusRuns.get()
+    val carried = operators.Skew.measure(
+      operators.EventMarts.enriched(spark, dir), "user_id", armThreshold = 16.0)
+    dates.foreach { d =>
+      val r = Pipeline.run(spark, dir, out2, dates = Seq(d),
+        sessionPlan = Some(carried))
+      assert(r.passed && r.sessionSkew.contains(carried),
+        "each scoped run must surface the carried plan it was driven by")
+    }
+    assert(operators.Skew.censusRuns.get() - before2 == 1L,
+      s"carried loop must census once, got ${operators.Skew.censusRuns.get() - before2}")
+    // …3. and an UNCARRIED loop pays one census per date (the cost the
+    // carry removes), with row-identical marts either way
+    val out3 = java.nio.file.Files.createTempDirectory("graft_carry_base").toString
+    val before3 = operators.Skew.censusRuns.get()
+    dates.foreach(d => Pipeline.run(spark, dir, out3, dates = Seq(d)))
+    assert(operators.Skew.censusRuns.get() - before3 == 3L,
+      s"uncarried per-date loop pays per-date censuses, got ${operators.Skew.censusRuns.get() - before3}")
+    for (m <- Seq("mart_user_daily", "mart_funnel_daily", "mart_product_daily",
+        "mart_orders", "session_sequences", "hourly_traffic")) {
+      def canon(p: String) = spark.read.parquet(p).collect()
+        .map(_.toSeq.map(String.valueOf).toList).sortBy(_.toString).toList
+      assert(canon(s"$out2/$m") == canon(s"$out3/$m"),
+        s"mart $m must be identical with and without the census carry")
+    }
+  }
+
   test("backfill planner: never-built dates, a late event, and byte-identical convergence") {
     import spark.implicits._
     def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
