@@ -269,6 +269,9 @@ object ScaleProbe {
       // round 11 batch 5: two suggestion passes (pre-max-date slice +
       // full frame) + one dimension-sized full-outer diff
       "dq_contract_drift",
+      // round 11 batch 8: one corpus pass + the exact-dup keeper
+      // window, rolled to a 14-counter aggregate
+      "filter_ablation",
       // round 10 batch 4 (re-blocked round 11): PassJoin pigeonhole
       // segments keep the pair space key-joined (word-suffixed
       // replicas sit far beyond maxD of each other, so the block
@@ -296,7 +299,7 @@ object ScaleProbe {
       .map(_.stripPrefix("--only=").split(",").toSet)
     if (!flags.contains("--deep-only") && !flags.contains("--composed-only") &&
         !flags.contains("--partition-ab") && !flags.contains("--kmeans-init-ab") &&
-        !flags.contains("--bot-ab"))
+        !flags.contains("--bot-ab") && !flags.contains("--bot-ab-deep"))
       headline.filter(n => only.forall(_.contains(n))).foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min
@@ -495,6 +498,59 @@ object ScaleProbe {
           val ps = (1 to 2).map(_ => timed(plainF())).min
           val bs = (1 to 2).map(_ => timed(bucketedF())).min
           println("{\"probe\":\"bot_ab\",\"query\":\"" + name + "\"" +
+            ",\"plain_sec\":" + f"$ps%.3f" + ",\"bucketed_sec\":" + f"$bs%.3f" +
+            ",\"speedup\":" + f"${ps / bs}%.2f" +
+            ",\"hot_ratio\":" + f"${armPlan.hotRatio}%.1f" +
+            ",\"armed\":" + armPlan.armed + "}")
+          System.out.flush()
+      }
+    }
+
+    // ---- third-decade bot A/B (--bot-ab-deep): the 100× leg the
+    // session family's 100 TB claim actually rests on — a 10^7-row
+    // SINGLE-USER sentinel (the r10 crossover curve had two points,
+    // 37%: 0.77× and 75%: 2.71×; this pins where the plain path's
+    // one-task sort/window stops being merely slow and starts
+    // spilling). 10M organic rows over 100k users/35 days + one
+    // sentinel firing 3×/sec for ~39 days ≈ 10.08M rows, ~50% of the
+    // corpus. k=1 per form (the walls here are tens of seconds — the
+    // signal is the ratio and the spill, not ±5% noise); the arming
+    // census is printed so the record carries the ratio the Auto door
+    // would read at this scale.
+    if (flags.contains("--bot-ab-deep")) {
+      val dir = "/tmp/graft_botskew_deep"
+      if (!new java.io.File(s"$dir/events.parquet").exists()) {
+        val base = sources.EventGenerator.events(spark, 10000000L,
+          days = 35, users = 100000L)
+        val bot = spark.range(10080000L).selectExpr(
+          "100000000 + id AS event_id",
+          "timestamp_seconds(unix_timestamp(DATE'2024-01-01') + id DIV 3) AS ts",
+          "CAST(424242 AS BIGINT) AS user_id",
+          "CASE WHEN id % 3 = 0 THEN 'view' WHEN id % 3 = 1 THEN 'click' " +
+            "ELSE 'purchase' END AS event_type",
+          "CAST(1.0 AS DOUBLE) AS value", "'{}' AS props")
+        base.unionByName(bot).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
+      val e = operators.EventMarts.enriched(spark, dir)
+      val armPlan = operators.Skew.measure(e, "user_id", 16.0)
+      def timedDeep(f: => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      import operators.Sessionize
+      val deepPairs: Seq[(String, () => org.apache.spark.sql.DataFrame,
+          () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("session_sequences", () => Sessionize.sessionSequencesFrom(e),
+          () => Sessionize.sessionSequencesBucketedFrom(e)),
+        ("session_daily", () => Sessionize.sessionDailyFrom(e),
+          () => Sessionize.sessionDailyBucketedFrom(e)))
+      deepPairs.filter(p => only.forall(_.contains(p._1))).foreach {
+        case (name, plainF, bucketedF) =>
+          val bs = timedDeep(bucketedF())
+          val ps = timedDeep(plainF())
+          println("{\"probe\":\"bot_ab_deep\",\"query\":\"" + name + "\"" +
             ",\"plain_sec\":" + f"$ps%.3f" + ",\"bucketed_sec\":" + f"$bs%.3f" +
             ",\"speedup\":" + f"${ps / bs}%.2f" +
             ",\"hot_ratio\":" + f"${armPlan.hotRatio}%.1f" +

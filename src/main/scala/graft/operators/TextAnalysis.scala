@@ -2317,13 +2317,14 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val cleanCorpusGopherSql: String = {
+  /** The shared Gopher-stats inner relation (per-doc scores, keeper,
+    * rep-stats) — one SQL definition serving both the cascade filter
+    * oracle and the ablation oracle, so the two cannot drift. */
+  private val gopherInnerSql: String = {
     val nWords = "len(string_split_regex(trim(text), '\\s+'))"
     val stopR = s"CAST(${sqlCountIn(Stopwords)} AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
     val awl = s"CAST(length(text) AS DOUBLE) / CAST(GREATEST($nWords, 1) AS DOUBLE)"
-    s"""SELECT doc_id, lang, predicted_lang, quality_score, n_words, top_word_frac, dup_bigram_frac
-       |FROM (
-       |  SELECT doc_id, lang,
+    s"""  SELECT doc_id, lang,
        |    LEAST(CAST($nWords AS DOUBLE) / 100.0, 1.0) * 0.4 + ($stopR) * 0.3 +
        |      (CASE WHEN $awl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.3 AS quality_score,
        |    $sqlPredictedLang AS predicted_lang,
@@ -2336,7 +2337,13 @@ object TextAnalysis {
        |      list_max(list_transform(list_distinct(words), x -> len(list_filter(words, y -> y = x)))) AS top,
        |      list_transform(range(1, greatest(len(words)-1, 0) + 1), i -> words[i] || ' ' || words[i+1]) AS g2
        |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS words)
-       |  ) rs
+       |  ) rs""".stripMargin
+  }
+
+  val cleanCorpusGopherSql: String =
+    s"""SELECT doc_id, lang, predicted_lang, quality_score, n_words, top_word_frac, dup_bigram_frac
+       |FROM (
+       |$gopherInnerSql
        |) t
        |WHERE quality_score >= 0.5
        |  AND predicted_lang IN ('en', 'es', 'de', 'fr')
@@ -2345,6 +2352,109 @@ object TextAnalysis {
        |  AND top_word_frac < 0.2
        |  AND dup_bigram_frac < 0.1
        |ORDER BY doc_id""".stripMargin
+
+  /** Per-rule MARGINAL attribution for the Gopher cascade —
+    * `corpus_funnel` answers "which stage killed this doc FIRST"
+    * (sequential waterfall); this answers the filter-TUNING questions
+    * the waterfall can't: how many docs does each rule reject at all
+    * (`n_fail`, order-independent), and how many does ONLY that rule
+    * reject (`n_unique_kill` — exactly the docs recovered by dropping
+    * the rule; the standard ablation a filter-cascade owner reads
+    * before loosening anything). Rules share their defining
+    * expressions with [[cleanCorpusGopher]] (and the oracle shares
+    * [[gopherInnerSql]]), so filter and ablation cannot drift. NULL
+    * inputs count as failing their gate — matching the conjunctive
+    * filter, which drops them. One corpus pass + the exact-dup keeper
+    * window; the aggregate is a single 14-counter rollup, unpivoted
+    * to rule rows. */
+  def filterAblation(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en", "es", "de", "fr"),
+      minWords: Int = 20, maxTopWordFrac: Double = 0.2,
+      maxDupBigramFrac: Double = 0.1): DataFrame =
+    filterAblationFrom(Tables.documents(spark, dir), minQuality, langs,
+      minWords, maxTopWordFrac, maxDupBigramFrac)
+
+  def filterAblationFrom(docs: DataFrame,
+      minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en", "es", "de", "fr"),
+      minWords: Int = 20, maxTopWordFrac: Double = 0.2,
+      maxDupBigramFrac: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val st = call_function("word_rep_stats", col("text"))
+    def f(i: Int) = element_at(st, i).cast("double")
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    val flags = docs
+      .select(col("doc_id"), col("text"),
+        qualityScoreCol.as("q"), predictedLangCol.as("pl"),
+        element_at(st, 1).as("n_words"),
+        (f(2) / greatest(f(1), lit(1.0))).as("top_word_frac"),
+        ((f(3) - f(4)) / greatest(f(3), lit(1.0))).as("dup_bigram_frac"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .select(
+        (col("q").isNull || col("q") < minQuality).as("f_quality"),
+        (col("pl").isNull ||
+          !col("pl").isin(langs.map(lit(_)): _*)).as("f_language"),
+        (col("doc_id") =!= col("keeper")).as("f_exact_dup"),
+        (col("n_words").isNull || col("n_words") < minWords).as("f_min_words"),
+        (col("top_word_frac").isNull ||
+          col("top_word_frac") >= maxTopWordFrac).as("f_top_word"),
+        (col("dup_bigram_frac").isNull ||
+          col("dup_bigram_frac") >= maxDupBigramFrac).as("f_dup_bigram"))
+    val rules = Seq("quality", "language", "exact_dup", "min_words",
+      "top_word", "dup_bigram")
+    def fl(r: String) = col(s"f_$r")
+    val allPass = rules.map(r => !fl(r)).reduce(_ && _)
+    val aggs = rules.flatMap { r =>
+      val others = rules.filter(_ != r).map(o => !fl(o)).reduce(_ && _)
+      Seq(sum(when(fl(r), 1L).otherwise(0L)).as(s"fail_$r"),
+        sum(when(fl(r) && others, 1L).otherwise(0L)).as(s"uniq_$r"))
+    } ++ Seq(count(lit(1)).as("n_docs"),
+      sum(when(allPass, 1L).otherwise(0L)).as("n_survived"))
+    val stackExpr = rules
+      .map(r => s"'$r', fail_$r, uniq_$r").mkString(", ")
+    flags.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${rules.length}, $stackExpr) " +
+        "as (rule, n_fail, n_unique_kill)"),
+        col("n_docs"), col("n_survived"))
+      .orderBy("rule")
+  }
+
+  val filterAblationSql: String = {
+    val rules = Seq(
+      "quality" -> "(quality_score IS NULL OR quality_score < 0.5)",
+      "language" -> "(predicted_lang IS NULL OR predicted_lang NOT IN ('en', 'es', 'de', 'fr'))",
+      "exact_dup" -> "(doc_id <> keeper)",
+      "min_words" -> "(n_words IS NULL OR n_words < 20)",
+      "top_word" -> "(top_word_frac IS NULL OR top_word_frac >= 0.2)",
+      "dup_bigram" -> "(dup_bigram_frac IS NULL OR dup_bigram_frac >= 0.1)")
+    val flagCols = rules.map { case (n, e) => s"    $e AS f_$n" }.mkString(",\n")
+    val allPass = rules.map(r => s"NOT f_${r._1}").mkString(" AND ")
+    val counters = rules.map { case (n, _) =>
+      val others = rules.filter(_._1 != n).map(o => s"NOT f_${o._1}").mkString(" AND ")
+      s"""    CAST(SUM(CASE WHEN f_$n THEN 1 ELSE 0 END) AS BIGINT) AS fail_$n,
+         |    CAST(SUM(CASE WHEN f_$n AND $others THEN 1 ELSE 0 END) AS BIGINT) AS uniq_$n""".stripMargin
+    }.mkString(",\n")
+    val unpivot = rules.map { case (n, _) =>
+      s"  SELECT '$n' AS rule, fail_$n AS n_fail, uniq_$n AS n_unique_kill, n_docs, n_survived FROM agg"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH t AS (
+       |$gopherInnerSql
+       |), flags AS (
+       |  SELECT
+       |$flagCols
+       |  FROM t
+       |), agg AS (
+       |  SELECT
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN $allPass THEN 1 ELSE 0 END) AS BIGINT) AS n_survived,
+       |$counters
+       |  FROM flags
+       |)
+       |SELECT * FROM (
+       |$unpivot
+       |) ORDER BY rule""".stripMargin
   }
 
   /** Corpus-relative word-rarity scoring — the deterministic stand-in

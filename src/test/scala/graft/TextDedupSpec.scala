@@ -174,6 +174,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sf("4_survived") == TextAnalysis.cleanCorpus(spark, Sf).count())
   }
 
+  test("filter ablation: per-rule fail mass and unique kills on planted docs; survivors match the cascade") {
+    import spark.implicits._
+    // 100 distinct fillers + one 'the': en marker hit, top-word share
+    // 1/101, all bigrams distinct — passes every gate
+    val good = ((1 to 100).map(i => s"w$i") :+ "the").mkString(" ")
+    val nonsense = (1 to 110).map(i => s"qq$i").mkString(" ")
+    val d = Seq(
+      (1L, good),              // survives every gate (the keeper)
+      (2L, good),              // fails ONLY exact_dup → its unique kill
+      (3L, nonsense),          // fails ONLY language (quality passes on
+                               // length+awl; 110 distinct words)
+      (4L, "hi"),              // fails quality AND min_words → unique
+                               // kill for NEITHER
+      (5L, null.asInstanceOf[String])) // NULL fails every content gate
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.filterAblationFrom(d).collect()
+      .map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Long]("n_fail"), r.getAs[Long]("n_unique_kill"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_survived")))).toMap
+    assert(got.keySet == Set("quality", "language", "exact_dup",
+      "min_words", "top_word", "dup_bigram"))
+    assert(got.values.forall { case (_, _, n, s) => n == 5L && s == 1L })
+    assert(got("exact_dup") == ((1L, 1L, 5L, 1L)),
+      s"the planted dup is the rule's only and unique kill: $got")
+    assert(got("language")._2 == 1L,
+      s"the nonsense doc must be language's unique kill: $got")
+    assert(got("quality")._1 >= 2L && got("quality")._2 == 0L,
+      s"short+null docs fail quality but not uniquely: $got")
+    assert(got("min_words")._2 == 0L)
+    assert(got.values.forall { case (f, u, _, _) => u <= f },
+      "a unique kill is always a fail")
+    // sf invariant: survivors == the conjunctive cascade's output
+    val sf = TextAnalysis.filterAblation(spark, Sf).collect()
+    assert(sf.map(_.getAs[Long]("n_survived")).distinct.toSeq ==
+      Seq(TextAnalysis.cleanCorpusGopher(spark, Sf).count()),
+      "ablation survivors must equal clean_corpus_gopher's count")
+  }
+
   test("corpus funnel stays conserved on a nullable-text corpus (NULL fails its first gate)") {
     import spark.implicits._
     // a NULL text scores NULL quality and NULL lang; cleanCorpus's
