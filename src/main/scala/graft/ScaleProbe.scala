@@ -272,6 +272,9 @@ object ScaleProbe {
       // round 11 batch 8: one corpus pass + the exact-dup keeper
       // window, rolled to a 14-counter aggregate
       "filter_ablation",
+      // round 11 batch 9: one corpus pass to source grain + bounded
+      // windows; and the PassJoin pairs + auto CC composition
+      "corpus_mix_plan", "dedup_edit_clusters",
       // round 10 batch 4 (re-blocked round 11): PassJoin pigeonhole
       // segments keep the pair space key-joined (word-suffixed
       // replicas sit far beyond maxD of each other, so the block

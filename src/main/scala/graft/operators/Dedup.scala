@@ -666,6 +666,32 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Edit-distance CANONICALIZATION — the consumer the PassJoin pairs
+    * exist for: docs within `maxD` edits collapse transitively into
+    * clusters labeled by their min doc_id (the keeper a takedown /
+    * canonical-version pipeline keeps), via the same auto-switching
+    * component core the MinHash collapse uses (min-label probe →
+    * geometric-collapse test → star contraction on deep chains).
+    * Because pair recall is COMPLETE (PassJoin), a cluster here is a
+    * guarantee: every member is reachable from the keeper through
+    * ≤maxD-edit steps — not "the pairs the blocking happened to
+    * admit". Docs shorter than maxD+1 chars have no pairs by the
+    * documented gate and stay singletons. Rows-only: component labels
+    * are iterative, not SQL-expressible; ScalaTest-pinned. */
+  def editClusters(spark: SparkSession, dir: String, maxD: Int = 16): DataFrame =
+    editClustersFrom(Tables.documents(spark, dir), maxD)
+
+  def editClustersFrom(docs: DataFrame, maxD: Int = 16): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val pairs = editDistancePairsFrom(docs, maxD).select("doc_a", "doc_b")
+    val (labels, _) = componentLabelsAuto(ids, pairs)
+    val sizes = labels.groupBy("keeper").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("keeper"))
+      .select(col("doc_id"), col("keeper"), col("cluster_size"),
+        (col("doc_id") === col("keeper")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup cluster-size histogram — the redundancy profile of the
     * corpus (how much of it is 1-of-N near-copies, and how large the
     * worst N runs): component labels from the same MinHash-LSH pair

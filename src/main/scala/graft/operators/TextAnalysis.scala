@@ -1085,6 +1085,87 @@ object TextAnalysis {
     * ratios" step of pre-training data prep. Like `corpusSplit` the
     * keep decision is a pure per-row function (no shuffle, no seed
     * drift); the census reports realized vs target rates per source. */
+  /** Greedy token-budget mix plan across sources — the allocation
+    * mechanics of data mixing: rank sources by a deterministic prose
+    * proxy (stopword share — exact integer counts divided once at the
+    * end; a real LM quality rank is libm territory and stays with the
+    * rows-only scorers), then fill a token budget (default: half the
+    * corpus) best-source-first, taking each source whole until the
+    * budget clips the marginal one (the fractional knapsack solution
+    * under a single budget constraint). `alloc_frac` is the per-source
+    * sampling rate a downstream `sample_weighted_sources`-style pass
+    * would apply. One corpus pass to source grain; the rank/cumsum
+    * windows run on the |sources| frame (bounded — lint-allowlisted).
+    * Full SQL: counts, integer cumsum, one exact division per source. */
+  def corpusMixPlan(spark: SparkSession, dir: String,
+      budgetFrac: Double = 0.5): DataFrame =
+    corpusMixPlanFrom(Tables.documents(spark, dir), budgetFrac)
+
+  def corpusMixPlanFrom(docs: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val perSource = docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), size(toks).as("nw"),
+        countIn(toks, Stopwords).as("st"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).cast("long").as("n_tokens"),
+        sum(col("st")).cast("long").as("stop_tokens"))
+      .withColumn("stop_share",
+        col("stop_tokens").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("stop_share").desc, col("source").asc)
+    perSource
+      .withColumn("budget",
+        floor(sum(col("n_tokens")).over(wAll).cast("double") * lit(budgetFrac))
+          .cast("long"))
+      .withColumn("mix_rank", row_number().over(wRank))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("alloc_tokens",
+        least(col("n_tokens"),
+          greatest(col("budget") - col("cum_before"), lit(0L))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("stop_share"), col("mix_rank"), col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("alloc_frac"))
+      .orderBy("mix_rank")
+  }
+
+  def corpusMixPlanSql(budgetFrac: Double = 0.5): String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    s"""WITH s AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM($nWords) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(${sqlCountIn(Stopwords)}) AS BIGINT) AS stop_tokens
+       |  FROM documents WHERE text IS NOT NULL
+       |  GROUP BY source
+       |), r AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(stop_tokens AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE)
+       |      AS stop_share,
+       |    CAST(FLOOR(CAST(SUM(n_tokens) OVER () AS DOUBLE) * $budgetFrac)
+       |      AS BIGINT) AS budget
+       |  FROM s
+       |), k AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER w AS INT) AS mix_rank,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM r
+       |  WINDOW w AS (ORDER BY stop_share DESC, source ASC)
+       |)
+       |SELECT source, n_docs, n_tokens, stop_share, mix_rank,
+       |  LEAST(n_tokens, GREATEST(budget - cum_before, 0)) AS alloc_tokens,
+       |  CAST(LEAST(n_tokens, GREATEST(budget - cum_before, 0)) AS DOUBLE)
+       |    / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS alloc_frac
+       |FROM k ORDER BY mix_rank""".stripMargin
+  }
+
   def sampleWeightedSources(spark: SparkSession, dir: String,
                             sixteenths: Map[String, Int] = Map("src0" -> 16, "src1" -> 8, "src2" -> 4),
                             defaultSixteenths: Int = 2): DataFrame = {

@@ -42,6 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     // funnel/coverage stages over ≤|stages| or ≤|sources| rows
     "corpus_funnel", "corpus_source_mix", "dq_corpus_coverage",
     "quality_buckets", "sample_temperature",
+    // r11: the greedy mix rank/cumsum over the |sources| frame (a
+    // constant partitionBy(lit(1)) folds away — by design)
+    "corpus_mix_plan",
     // threshold/budget curves over ≤|grid| rows
     "dsir_budget_curve", "ppl_threshold_curve", "quality_threshold_curve",
     // top-k-limited rankings and histograms

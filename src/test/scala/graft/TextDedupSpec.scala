@@ -212,6 +212,44 @@ class TextAnalysisSpec extends SparkSpec {
       "ablation survivors must equal clean_corpus_gopher's count")
   }
 
+  test("corpus mix plan: budget fills best-source-first and clips the marginal source exactly") {
+    import spark.implicits._
+    // three sources: prose-heavy (high stopword share), mixed, junk —
+    // 40 / 30 / 30 tokens; budget 50% of 100 = 50 → prose taken whole
+    // (40), mixed clipped to 10 (frac 1/3), junk gets 0
+    val prose = "the cat is on the mat and the dog is in the den" +
+      " of the old barn and a bird is on a twig"       // mostly stopwords
+    val mixed = ("the quick brown fox " + (1 to 26).map(i => s"m$i").mkString(" "))
+    val junk = (1 to 30).map(i => s"j$i").mkString(" ")
+    val docs = Seq(
+      (1L, prose, "en", "prose", 0L),
+      (2L, "the a of in is on and or an to the a of in", "en", "prose", 0L),
+      (3L, mixed, "en", "mixed", 0L),
+      (4L, junk, "en", "junk", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.corpusMixPlanFrom(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Int]("mix_rank"),
+          r.getAs[Long]("alloc_tokens"), r.getAs[Double]("alloc_frac")))).toMap
+    val total = got.values.map(_._1).sum
+    val budget = total / 2
+    assert(got("prose")._2 == 1, s"prose ranks first: $got")
+    assert(got("prose")._3 == got("prose")._1, "the best source is taken whole")
+    assert(got("mixed")._3 == budget - got("prose")._1,
+      s"the marginal source is clipped to the remaining budget: $got")
+    assert(got("junk")._3 == 0L, "past-budget sources get zero")
+    assert(math.abs(got("mixed")._4 -
+      got("mixed")._3.toDouble / got("mixed")._1) < 1e-15)
+    // registry form at sf: allocations conserve the budget and never
+    // exceed a source's own mass
+    val sf = TextAnalysis.corpusMixPlan(spark, Sf).collect()
+    val sfTotal = sf.map(_.getAs[Long]("n_tokens")).sum
+    assert(sf.map(_.getAs[Long]("alloc_tokens")).sum ==
+      math.min(sfTotal / 2, sfTotal))
+    assert(sf.forall(r =>
+      r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("n_tokens")))
+  }
+
   test("corpus funnel stays conserved on a nullable-text corpus (NULL fails its first gate)") {
     import spark.implicits._
     // a NULL text scores NULL quality and NULL lang; cleanCorpus's
@@ -1717,6 +1755,43 @@ class DedupSpec extends SparkSpec {
     assert(sf.forall(r => r.getAs[Int]("edit_distance") >= 0 &&
       r.getAs[Int]("edit_distance") <= 16))
     assert(sf.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("edit clusters: transitive collapse to the min-id keeper; short docs stay singletons") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                       // keeper of the chain
+      (2L, base.replace("tok7 ", "tok7x ")),   // 1 edit from doc 1
+      (3L, base.replace("tok7 ", "tok7x ")
+        .replace("tok40 ", "zzz40xx ")),      // ≤16 from doc 2; the
+                                              // chain is transitive
+      (4L, (1 to 60).map(i => s"unrel$i").mkString(" ")), // singleton
+      (5L, "tiny doc"))                  // < 17 chars → gated singleton
+      .toDF("doc_id", "text")
+    val got = Dedup.editClustersFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keeper"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_keeper")))).toMap
+    assert(got(1L) == ((1L, 3L, true)))
+    assert(got(2L) == ((1L, 3L, false)))
+    assert(got(3L) == ((1L, 3L, false)), s"transitive chain must collapse: $got")
+    assert(got(4L) == ((4L, 1L, true)))
+    assert(got(5L) == ((5L, 1L, true)), "a sub-gate doc stays a singleton")
+    // sf registry form: labels partition the corpus, keeper ≤ member,
+    // sizes tie out to the doc count
+    val sf = Dedup.editClusters(spark, Sf).collect()
+    assert(sf.length == Tables.documents(spark, Sf).count())
+    assert(sf.forall(r => r.getAs[Long]("keeper") <= r.getAs[Long]("doc_id")))
+    val byKeeper = sf.groupBy(_.getAs[Long]("keeper"))
+    assert(byKeeper.forall { case (_, rows) =>
+      rows.forall(_.getAs[Long]("cluster_size") == rows.length) })
+    // the clusters are the pair graph's components: every admitted
+    // pair shares a keeper
+    val pairs = Dedup.editDistancePairs(spark, Sf).collect()
+    val keeperOf = sf.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper")).toMap
+    assert(pairs.forall(p =>
+      keeperOf(p.getAs[Long]("doc_a")) == keeperOf(p.getAs[Long]("doc_b"))))
   }
 
   test("CC auto-switch: a 64-chain takes the star path, near-dup shapes stay min-label, labels identical") {
