@@ -37,7 +37,12 @@ object Pipeline {
       runDate: Option[String] = None,
       alertPayload: Option[String] = None,
       martMerges: Map[String, MartSink.MergeStats] = Map.empty,
-      sessionSkew: Option[operators.Skew.SkewPlan] = None)
+      sessionSkew: Option[operators.Skew.SkewPlan] = None,
+      // (column, check_type, change) rows where a healthy run's
+      // re-suggested contract drifted from the pinned one — the
+      // pre-failure trend surface; empty when the gate failed, no
+      // contract is wired, or nothing moved
+      contractDrift: Seq[(String, String, String)] = Nil)
 
   /** All marts built by the daily run, keyed by output name. */
   def marts(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
@@ -205,6 +210,26 @@ object Pipeline {
       val summary = summaryDf.collect().toSeq
       val checks = Reporting.checkResults(summary)
       val failed = checks.filter(_.status == "FAIL").map(_.checkName)
+      // the auto-refresh half of the contract loop: on a HEALTHY run
+      // (gate green), re-suggest from this run's events and DIFF
+      // against the pinned contract — a bound drifting toward the
+      // contract edge surfaces here run after run, BEFORE the day it
+      // breaks and fails the gate. The gate above enforced the PINNED
+      // artifact regardless; promotion stays an explicit
+      // `Quality.promoteSuggestions` call. Dimension-sized collect
+      // (≤ a few rows per column), drift rows only.
+      val contractDrift: Seq[(String, String, String)] =
+        if (failed.nonEmpty) Nil
+        else suggestionsPath.toSeq.flatMap { path =>
+          Quality.contractDrift(
+              Quality.loadSuggestions(spark, path),
+              Quality.suggestedChecksFrom(e))
+            .filter(col("drift"))
+            .select(col("column_name"), col("check_type"), col("change"))
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+            .toSeq
+        }
       val runDate = dates.sorted.lastOption.orElse {
         val r = e.agg(max(col("event_date"))).collect().head
         if (r.isNullAt(0)) None else Some(r.getDate(0).toString)
@@ -280,7 +305,8 @@ object Pipeline {
           }
         }.getOrElse(Map.empty[String, MartSink.MergeStats])
         Result(passed = failed.isEmpty, failed, written, runDate, alert,
-          martMerges = merges.toMap, sessionSkew = Some(skewPlan))
+          martMerges = merges.toMap, sessionSkew = Some(skewPlan),
+          contractDrift = contractDrift)
       }
     } finally {
       w.unpersist()

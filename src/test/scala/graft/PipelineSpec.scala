@@ -661,6 +661,44 @@ class PipelineSpec extends SparkSpec {
     assert(bad.alertPayload.exists(_.contains("suggested_value_range")))
   }
 
+  test("healthy runs surface contract drift in the result; failed gates don't refresh") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, v, """{"k":1}""")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def mkDir(vLo: Double, vHi: Double): String = {
+      val dir = Files.createTempDirectory("graft_cd_src").toString
+      ((1 to 30).map(i =>
+        ev(i.toLong, f"2024-03-01 10:${i % 60}%02d:00", 100L + i, "view",
+          vLo + (vHi - vLo) * (i % 2))) :+
+        ev(99L, "2024-03-01 11:00:00", 101L, "purchase", vHi))
+        .toDF(cols: _*).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // pinned contract observed on the wide baseline [1, 100]
+    val baseDir = mkDir(1.0, 100.0)
+    val path = Files.createTempDirectory("graft_cd_c").toString + "/contract"
+    operators.Quality.writeSuggestions(
+      operators.Quality.suggestedChecksFrom(Tables.events(spark, baseDir)),
+      path, builtFrom = "baseline")
+    // a later HEALTHY run sits strictly inside the pinned range: the
+    // gate passes AND the result carries the narrowed-range drift row
+    val runDir = mkDir(10.0, 60.0)
+    val out = Files.createTempDirectory("graft_cd_out").toString
+    val r = Pipeline.run(spark, runDir, out, failFast = false,
+      suggestionsPath = Some(path))
+    assert(r.passed, s"the fixture must pass the gate: ${r.failedChecks}")
+    assert(r.contractDrift.contains(("value", "range", "narrowed")),
+      s"drift must surface on the healthy run: ${r.contractDrift}")
+    // a run that BREAKS the contract fails the gate and does NOT
+    // refresh (no drift rows computed from a sick frame)
+    val badDir = mkDir(10.0, 9.9e8)
+    val badOut = Files.createTempDirectory("graft_cd_bad").toString
+    val bad = Pipeline.run(spark, badDir, badOut, suggestionsPath = Some(path))
+    assert(!bad.passed && bad.contractDrift.isEmpty,
+      s"a failed gate must not refresh: ${bad.contractDrift}")
+  }
+
   test("pipeline validates, gates, and writes idempotent marts") {
     val out = Files.createTempDirectory("graft_pipeline").toString
     val r1 = Pipeline.run(spark, Sf, out)
