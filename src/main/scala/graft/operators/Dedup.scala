@@ -557,11 +557,19 @@ object Dedup {
       .filter(col("text").isNotNull && length(col("text")) >= n)
       .withColumn("len", length(col("text")))
       .withColumn("w", (col("len") / n).cast("int"))
+    // join keys are 64-bit HASHES of the segment/substring, not the
+    // strings: a collision only adds a candidate the exact distance
+    // filter kills, and blocking completeness means every true pair is
+    // in BOTH engines' candidate sets regardless — final rows are
+    // engine-identical while the probe shuffle carries 8 bytes per key
+    // instead of a ~w-char string (the third-decade shuffle diet)
     val idx = t
       .select(col("doc_id"), col("len"), col("w"),
         posexplode(expr(
           s"transform(sequence(0, ${n - 1}), i -> substring(text, i * w + 1, w))")))
       .toDF("doc_s", "len_s", "w_s", "i", "seg")
+      .select(col("doc_s"), col("len_s"), col("w_s"), col("i"),
+        xxhash64(col("seg")).as("hseg"))
     // probe windows: the join key pins the partner's width (w_s = wp),
     // so p_i = i·wp + 1 exactly; the prefix bound gives |σ − p_i| ≤ i
     // and the suffix (multi-match-aware) bound gives
@@ -587,14 +595,15 @@ object Dedup {
       .select(col("doc_r"), col("len_r"), col("i"), col("wp"),
         col("text"), explode(expr("sequence(lo, hi)")).as("sigma"))
       .select(col("doc_r"), col("len_r"), col("i").as("pi"), col("wp"),
-        col("sigma"), col("text").substr(col("sigma"), col("wp")).as("sub"))
+        col("sigma"),
+        xxhash64(col("text").substr(col("sigma"), col("wp"))).as("hsub"))
     // role convention halves the join: the SHORTER doc (ties by id) is
     // always the indexed side — the lemma holds for either role, so
     // fixing one loses nothing and removes the mirrored duplicates
     val cand = idx
       .join(probe,
         col("i") === col("pi") && col("w_s") === col("wp") &&
-        col("seg") === col("sub") &&
+        col("hseg") === col("hsub") &&
         (col("len_s") < col("len_r") ||
           (col("len_s") === col("len_r") && col("doc_s") < col("doc_r"))) &&
         col("len_r") - col("len_s") <= maxD &&
@@ -665,6 +674,96 @@ object Dedup {
        |WHERE levenshtein(a.text, b.text) <= $maxD
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Method-agreement census over the three EXACT pair generators —
+    * the calibration table a dedup owner reads before picking a
+    * modality: token-set Jaccard, asymmetric containment, and
+    * character-grain edit distance each admit a different pair
+    * population (a reshuffled doc is Jaccard's pair but never edit's;
+    * an excerpt is containment's but not Jaccard's; a typo-twin is
+    * edit's and the shingle family barely moves). Per method pair:
+    * both/only-a/only-b masses and the set-level Jaccard agreement.
+    * All three generators are deterministic and full-SQL, so the
+    * agreement census is too (exact integer counts, one final
+    * division). One membership-flag rollup at pair grain — the
+    * generators' own blocking does the heavy lifting; nothing here
+    * is all-pairs. */
+  def methodAgreement(spark: SparkSession, dir: String,
+      jaccardThreshold: Double = 0.2, containThreshold: Double = 0.8,
+      maxD: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val j = ngramJaccard(spark, dir, jaccardThreshold)
+      .select("doc_a", "doc_b").withColumn("m", lit("jaccard"))
+    val c = ngramContainment(spark, dir, containThreshold)
+      .select("doc_a", "doc_b").withColumn("m", lit("containment"))
+    val ed = editDistancePairsFrom(docs, maxD)
+      .select("doc_a", "doc_b").withColumn("m", lit("edit"))
+    val flags = j.unionByName(c).unionByName(ed)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        max(when(col("m") === "jaccard", 1L).otherwise(0L)).as("in_j"),
+        max(when(col("m") === "containment", 1L).otherwise(0L)).as("in_c"),
+        max(when(col("m") === "edit", 1L).otherwise(0L)).as("in_e"))
+    val agg = flags.agg(
+      sum(col("in_j")).as("n_j"), sum(col("in_c")).as("n_c"),
+      sum(col("in_e")).as("n_e"),
+      sum(col("in_j") * col("in_c")).as("n_jc"),
+      sum(col("in_j") * col("in_e")).as("n_je"),
+      sum(col("in_c") * col("in_e")).as("n_ce"))
+    agg
+      .select(expr(
+        "stack(3, 'containment', 'edit', n_c, n_e, n_ce, " +
+          "'jaccard', 'containment', n_j, n_c, n_jc, " +
+          "'jaccard', 'edit', n_j, n_e, n_je) " +
+          "as (method_a, method_b, n_pairs_a, n_pairs_b, n_both)"))
+      .select(col("method_a"), col("method_b"),
+        col("n_pairs_a"), col("n_pairs_b"), col("n_both"),
+        (col("n_pairs_a") - col("n_both")).as("n_only_a"),
+        (col("n_pairs_b") - col("n_both")).as("n_only_b"),
+        (col("n_both").cast("double") /
+          greatest(col("n_pairs_a") + col("n_pairs_b") - col("n_both"),
+            lit(1L)).cast("double")).as("agreement"))
+      .orderBy("method_a", "method_b")
+  }
+
+  def methodAgreementSql(maxD: Int = 16): String =
+    s"""WITH jp AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql)),
+       |cp AS (SELECT doc_a, doc_b FROM ($ngramContainmentSql)),
+       |ep AS (SELECT doc_a, doc_b FROM (${editDistancePairsSql(maxD)})),
+       |flags AS (
+       |  SELECT doc_a, doc_b,
+       |    MAX(CASE WHEN m = 'jaccard' THEN 1 ELSE 0 END) AS in_j,
+       |    MAX(CASE WHEN m = 'containment' THEN 1 ELSE 0 END) AS in_c,
+       |    MAX(CASE WHEN m = 'edit' THEN 1 ELSE 0 END) AS in_e
+       |  FROM (
+       |    SELECT doc_a, doc_b, 'jaccard' AS m FROM jp
+       |    UNION ALL SELECT doc_a, doc_b, 'containment' AS m FROM cp
+       |    UNION ALL SELECT doc_a, doc_b, 'edit' AS m FROM ep)
+       |  GROUP BY doc_a, doc_b
+       |), agg AS (
+       |  SELECT CAST(SUM(in_j) AS BIGINT) AS n_j,
+       |    CAST(SUM(in_c) AS BIGINT) AS n_c,
+       |    CAST(SUM(in_e) AS BIGINT) AS n_e,
+       |    CAST(SUM(in_j * in_c) AS BIGINT) AS n_jc,
+       |    CAST(SUM(in_j * in_e) AS BIGINT) AS n_je,
+       |    CAST(SUM(in_c * in_e) AS BIGINT) AS n_ce
+       |  FROM flags
+       |)
+       |SELECT method_a, method_b, n_pairs_a, n_pairs_b, n_both,
+       |  n_pairs_a - n_both AS n_only_a,
+       |  n_pairs_b - n_both AS n_only_b,
+       |  CAST(n_both AS DOUBLE) /
+       |    CAST(GREATEST(n_pairs_a + n_pairs_b - n_both, 1) AS DOUBLE)
+       |    AS agreement
+       |FROM (
+       |  SELECT 'containment' AS method_a, 'edit' AS method_b,
+       |    n_c AS n_pairs_a, n_e AS n_pairs_b, n_ce AS n_both FROM agg
+       |  UNION ALL
+       |  SELECT 'jaccard', 'containment', n_j, n_c, n_jc FROM agg
+       |  UNION ALL
+       |  SELECT 'jaccard', 'edit', n_j, n_e, n_je FROM agg
+       |)
+       |ORDER BY method_a, method_b""".stripMargin
 
   /** Edit-distance CANONICALIZATION — the consumer the PassJoin pairs
     * exist for: docs within `maxD` edits collapse transitively into

@@ -1395,6 +1395,53 @@ object Similarity {
       .orderBy("n_probe")
   }
 
+  /** Truncated-dimension recall — the Matryoshka-representation
+    * question (Kusupati et al., MRL, NeurIPS 2022) asked of the
+    * corpus's OWN embeddings: if retrieval ran on only the first d
+    * dimensions (the memory/latency knob a serving tier actually
+    * turns), what fraction of the full-dim top-k survives? Per dim d:
+    * brute top-k under cosine over `slice(embedding, 1, d)` compared
+    * against the full-dim truth set, recall averaged over the query
+    * sample. The same broadcast-query/bounded-pool shape as
+    * `ann_recall_curve` (the eval stage is brute by design — IVF is
+    * the serving path); every post-scan frame is ≤ numQueries·k·|dims|
+    * rows. Rows-only: float dot products (libm rule). */
+  def recallVsDim(spark: SparkSession, dir: String, numQueries: Int = 10,
+      k: Int = 5, dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val candidates = e.filter(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = candidates.join(broadcast(queries))
+      .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"),
+        explode(typedlit(dims)).as("dim"))
+      .select(col("query_id"), col("cand_id"), col("dim"),
+        round(expr("cosine_sim(slice(q_emb, 1, dim), slice(c_emb, 1, dim))"), 6)
+          .as("similarity"))
+    val w = Window.partitionBy("query_id", "dim")
+      .orderBy(desc("similarity"), asc("cand_id"))
+    val topk = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint()
+    val fullDim = dims.max
+    val truth = topk.filter(col("dim") === fullDim)
+      .select(col("query_id"), col("cand_id"))
+    val perQuery = topk
+      .join(truth.withColumn("in_truth", lit(1)),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id", "dim")
+      .agg((sum(coalesce(col("in_truth"), lit(0))).cast("double") /
+        count(lit(1)).cast("double")).as("recall"))
+    perQuery.groupBy("dim")
+      .agg((sum(col("recall")) / count(lit(1)).cast("double")).as("mean_recall"),
+        min(col("recall")).as("min_recall"),
+        count(lit(1)).as("n_queries"))
+      .orderBy("dim")
+  }
+
   /** MMR diverse top-k retrieval (Carbonell & Goldstein '98) — the
     * redundancy-aware re-rank between ANN shortlist and consumer
     * (RAG context assembly, few-shot example picking, dedup'd

@@ -60,6 +60,9 @@ class PlanAuditSpec extends SparkSpec {
     // sample against the corpus by design (the eval/pool stage is the
     // brute baseline; swap in the IVF probe at corpus scale)
     "ann_recall_curve", "ann_mmr_diverse", "ann_mmr_diverse_indexed",
+    // r11: the truncated-dim eval scores the same broadcast query
+    // sample against the corpus (the eval stage is brute by design)
+    "embedding_recall_vs_dim",
     "q22_untapped_segments",
     "q11_important_parts", "dq_anomaly",
     // dq_value_drift's dense day×16-bucket zero-fill is the same

@@ -1757,6 +1757,92 @@ class DedupSpec extends SparkSpec {
     assert(sf.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("recall vs dim: a prefix-identical decoy wins at low dim, the true neighbor at full dim") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrl").toString
+    // query 0; cand 10 = decoy (identical first-2-dim direction, wrong
+    // tail, smaller id wins the low-dim tie), cand 11 = true neighbor
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (10L, Array(1f, 0f, -1f, 0f), 0),
+      (11L, Array(1f, 0f, 0.5f, 0f), 0),
+      (12L, Array(-1f, 1f, 0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    rows.write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.recallVsDim(spark, dir, numQueries = 1, k = 1,
+      dims = Seq(2, 4)).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Double]("mean_recall"), r.getAs[Long]("n_queries")))).toMap
+    assert(got(4) == ((1.0, 1L)), s"full dim is its own truth: $got")
+    assert(got(2) == ((0.0, 1L)),
+      s"the prefix decoy must displace the true neighbor at dim 2: $got")
+    // registry form at sf: recall non-decreasing toward full dim at
+    // the mean level would be too strong (truncation is lossy, not
+    // monotone per query) — pin the invariants that must hold: full
+    // dim reads exactly 1.0, every recall is within [0,1], and the
+    // query sample is the declared size
+    val sf = Similarity.recallVsDim(spark, Sf).collect()
+    val byDim = sf.map(r => r.getAs[Int]("dim") -> r.getAs[Double]("mean_recall")).toMap
+    assert(byDim(64) == 1.0, s"full-dim recall must be exactly 1: $byDim")
+    assert(byDim.values.forall(r => r >= 0.0 && r <= 1.0))
+    assert(sf.forall(_.getAs[Long]("n_queries") == 10L))
+  }
+
+  test("method agreement: each exact modality owns its planted pair; set algebra ties out") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"word$i")
+    val docs = Seq(
+      // 1↔2: BLOCK ROTATION — shingles mostly preserved (Jaccard pair)
+      // but the character edit mass is the moved block (never edit's)
+      (1L, w.mkString(" ")),
+      (2L, (w.drop(20) ++ w.take(20)).mkString(" ")),
+      // 3↔4: sparse single-char edits across the doc — character
+      // distance 8 (edit pair) but every third shingle is killed
+      (3L, (1 to 24).map(i => s"tok$i").mkString(" ")),
+      (4L, (1 to 24).map(i => if (i % 3 == 0) s"tok${i}x" else s"tok$i").mkString(" ")),
+      // 5↔6: a short doc quoted inside a long one — containment pair,
+      // Jaccard diluted far below threshold, edit mass = the suffix
+      (5L, (1 to 6).map(i => s"quote$i").mkString(" ")),
+      (6L, ((1 to 6).map(i => s"quote$i") ++ (1 to 60).map(i => s"fill$i")).mkString(" ")),
+      // 7: unrelated singleton
+      (7L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_agree").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    // ground truth from the generators themselves
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jp = pairs(Dedup.ngramJaccard(spark, dir))
+    val cp = pairs(Dedup.ngramContainment(spark, dir))
+    val ep = pairs(Dedup.editDistancePairs(spark, dir))
+    assert(jp.contains((1L, 2L)) && !ep.contains((1L, 2L)),
+      s"rotation must be Jaccard's pair, not edit's: j=$jp e=$ep")
+    assert(ep.contains((3L, 4L)) && !jp.contains((3L, 4L)),
+      s"sparse edits must be edit's pair, not Jaccard's: j=$jp e=$ep")
+    assert(cp.contains((5L, 6L)) && !jp.contains((5L, 6L)) && !ep.contains((5L, 6L)),
+      s"the quote must be containment's alone: c=$cp")
+    // the census reproduces the set algebra exactly
+    val got = Dedup.methodAgreement(spark, dir).collect()
+      .map(r => (r.getAs[String]("method_a"), r.getAs[String]("method_b")) -> r)
+      .toMap
+    def check(a: String, b: String, sa: Set[(Long, Long)], sb: Set[(Long, Long)]): Unit = {
+      val r = got((a, b))
+      assert(r.getAs[Long]("n_pairs_a") == sa.size.toLong)
+      assert(r.getAs[Long]("n_pairs_b") == sb.size.toLong)
+      assert(r.getAs[Long]("n_both") == (sa intersect sb).size.toLong)
+      assert(r.getAs[Long]("n_only_a") == (sa diff sb).size.toLong)
+      assert(r.getAs[Long]("n_only_b") == (sb diff sa).size.toLong)
+      val union = (sa union sb).size
+      assert(r.getAs[Double]("agreement") ==
+        (sa intersect sb).size.toDouble / math.max(union, 1))
+    }
+    check("jaccard", "containment", jp, cp)
+    check("jaccard", "edit", jp, ep)
+    check("containment", "edit", cp, ep)
+  }
+
   test("edit clusters: transitive collapse to the min-id keeper; short docs stay singletons") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
