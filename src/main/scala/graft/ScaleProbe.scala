@@ -275,6 +275,9 @@ object ScaleProbe {
       // round 11 batch 9: one corpus pass to source grain + bounded
       // windows; and the PassJoin pairs + auto CC composition
       "corpus_mix_plan", "dedup_edit_clusters",
+      // round 11 batch 11: the grid sweep shares the mix pass; the
+      // calibration rides the one-scan LR feature projection
+      "mix_budget_curve", "quality_classifier_calibration",
       // round 10 batch 4 (re-blocked round 11): PassJoin pigeonhole
       // segments keep the pair space key-joined (word-suffixed
       // replicas sit far beyond maxD of each other, so the block

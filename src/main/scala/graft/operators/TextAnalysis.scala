@@ -1166,6 +1166,87 @@ object TextAnalysis {
        |FROM k ORDER BY mix_rank""".stripMargin
   }
 
+  /** [[corpusMixPlan]] swept over a budget GRID — the threshold-curve
+    * sibling (ppl_threshold_curve / quality_threshold_curve pattern)
+    * for data mixing: per (budget_pct ∈ 10..90 step 10, source), the
+    * allocation the greedy fill gives, so the "how much junk enters at
+    * what budget" conversation reads one table instead of nine runs.
+    * Same single corpus pass to source grain; the grid explode is
+    * 9×|sources| rows. Budget per row = floor(total · pct / 100) in
+    * EXACT integer arithmetic (no double rounding anywhere on the
+    * grid). Full SQL. */
+  def mixBudgetCurve(spark: SparkSession, dir: String): DataFrame =
+    mixBudgetCurveFrom(Tables.documents(spark, dir))
+
+  def mixBudgetCurveFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val perSource = docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), size(toks).as("nw"),
+        countIn(toks, Stopwords).as("st"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).cast("long").as("n_tokens"),
+        sum(col("st")).cast("long").as("stop_tokens"))
+      .withColumn("stop_share",
+        col("stop_tokens").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("stop_share").desc, col("source").asc)
+    perSource
+      .withColumn("total", sum(col("n_tokens")).over(wAll))
+      .withColumn("mix_rank", row_number().over(wRank))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("n_tokens"), col("mix_rank"),
+        col("total"), col("cum_before"),
+        explode(expr("sequence(10, 90, 10)")).as("budget_pct"))
+      .withColumn("budget",
+        expr("(total * CAST(budget_pct AS BIGINT)) div 100"))
+      .withColumn("alloc_tokens",
+        least(col("n_tokens"),
+          greatest(col("budget") - col("cum_before"), lit(0L))))
+      .select(col("budget_pct"), col("source"), col("mix_rank"),
+        col("n_tokens"), col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("alloc_frac"))
+      .orderBy("budget_pct", "mix_rank")
+  }
+
+  val mixBudgetCurveSql: String = {
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    s"""WITH s AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM($nWords) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(${sqlCountIn(Stopwords)}) AS BIGINT) AS stop_tokens
+       |  FROM documents WHERE text IS NOT NULL
+       |  GROUP BY source
+       |), k AS (
+       |  SELECT source, n_tokens,
+       |    CAST(ROW_NUMBER() OVER w AS INT) AS mix_rank,
+       |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM (
+       |    SELECT *, CAST(stop_tokens AS DOUBLE)
+       |      / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stop_share
+       |    FROM s)
+       |  WINDOW w AS (ORDER BY stop_share DESC, source ASC)
+       |), g AS (
+       |  SELECT k.*, CAST(gp.budget_pct AS INT) AS budget_pct,
+       |    (total * gp.budget_pct) // 100 AS budget
+       |  FROM k, (SELECT unnest(generate_series(10, 90, 10)) AS budget_pct) gp
+       |)
+       |SELECT budget_pct, source, mix_rank, n_tokens,
+       |  LEAST(n_tokens, GREATEST(budget - cum_before, 0)) AS alloc_tokens,
+       |  CAST(LEAST(n_tokens, GREATEST(budget - cum_before, 0)) AS DOUBLE)
+       |    / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS alloc_frac
+       |FROM g ORDER BY budget_pct, mix_rank""".stripMargin
+  }
+
   def sampleWeightedSources(spark: SparkSession, dir: String,
                             sixteenths: Map[String, Int] = Map("src0" -> 16, "src1" -> 8, "src2" -> 4),
                             defaultSixteenths: Int = 2): DataFrame = {
@@ -3693,6 +3774,36 @@ object TextAnalysis {
       .groupBy("pred_pass", "label_pass")
       .agg(count(lit(1)).as("n_docs"), avg(col("p")).as("mean_p"))
       .orderBy("pred_pass", "label_pass")
+  }
+
+  /** Reliability diagram of the quality classifier — the calibration
+    * view the confusion cells (`quality_classifier_eval`) can't give:
+    * a scorer can have fine accuracy while its probabilities lie (a
+    * 0.9 bucket passing 60% of the time means downstream threshold
+    * picks are miscalibrated). Predicted probabilities bin into ten
+    * fixed deciles; per bin: doc mass, mean predicted p, and the
+    * EMPIRICAL pass rate of the Gopher-proxy label — a calibrated
+    * scorer tracks the diagonal, and the signed gap
+    * (mean_p − label_rate) is the per-bin overconfidence. Rows-only
+    * (sigmoid = exp); same one-scan feature projection as the eval. */
+  def qualityClassifierCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierCalibrationFrom(spark, Tables.documents(spark, dir))
+
+  def qualityClassifierCalibrationFrom(spark: SparkSession, docs: DataFrame,
+      iters: Int = 40, step: Double = 1.0): DataFrame = {
+    val k = LrFeatureNames.size
+    val m = trainQualityLr(docs, iters, step)
+    val zlin = (0 until k).map(j => col(s"z$j") * m.wStd(j)).reduce(_ + _) + lit(m.bStd)
+    val p = lit(1.0) / (lit(1.0) + exp(-zlin))
+    m.features
+      .select(col("label").cast("long").as("label"), p.as("p"))
+      .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("p")).as("mean_p"),
+        avg(col("label").cast("double")).as("label_rate"))
+      .withColumn("gap", col("mean_p") - col("label_rate"))
+      .orderBy("bin")
   }
 
   /** The shipped form of the trained classifier: per-feature

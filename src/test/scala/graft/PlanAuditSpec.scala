@@ -43,8 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     "corpus_funnel", "corpus_source_mix", "dq_corpus_coverage",
     "quality_buckets", "sample_temperature",
     // r11: the greedy mix rank/cumsum over the |sources| frame (a
-    // constant partitionBy(lit(1)) folds away — by design)
-    "corpus_mix_plan",
+    // constant partitionBy(lit(1)) folds away — by design); the
+    // budget-grid sweep shares the same bounded frame ×9 grid rows
+    "corpus_mix_plan", "mix_budget_curve",
     // threshold/budget curves over ≤|grid| rows
     "dsir_budget_curve", "ppl_threshold_curve", "quality_threshold_curve",
     // top-k-limited rankings and histograms

@@ -248,6 +248,58 @@ class TextAnalysisSpec extends SparkSpec {
       math.min(sfTotal / 2, sfTotal))
     assert(sf.forall(r =>
       r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("n_tokens")))
+    // the budget CURVE: per pct the allocations conserve exactly the
+    // integer budget, grow monotonically with pct per source, and the
+    // 50% row reproduces the single-point plan bit-for-bit
+    val curve = TextAnalysis.mixBudgetCurve(spark, Sf).collect()
+    val byPct = curve.groupBy(_.getAs[Int]("budget_pct"))
+    assert(byPct.keySet == (10 to 90 by 10).toSet)
+    byPct.foreach { case (pct, rows) =>
+      assert(rows.map(_.getAs[Long]("alloc_tokens")).sum ==
+        sfTotal * pct / 100, s"pct $pct must conserve its budget")
+    }
+    val at50 = byPct(50)
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(sf.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("alloc_tokens")).toMap == at50,
+      "the curve's 50% slice is the plan")
+    val bySource = curve.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rows) =>
+      val allocs = rows.sortBy(_.getAs[Int]("budget_pct"))
+        .map(_.getAs[Long]("alloc_tokens"))
+      assert(allocs.zip(allocs.tail).forall { case (a, b) => a <= b },
+        "per-source allocation must grow with the budget")
+    }
+  }
+
+  test("classifier calibration: mass conserves, extreme bins read the separable labels") {
+    import spark.implicits._
+    // the separable corpus from the classifier spec: long clean docs
+    // with stopwords vs short repeated junk
+    val clean = (0 until 8).map { i =>
+      val words = (0 until 100).map(j => s"w${i}x$j")
+      (i.toLong, (words.take(50) ++ Seq("the", "a", "of", "in", "is") ++ words.drop(50)).mkString(" "))
+    }
+    val junk = (0 until 8).map(i => (100L + i, Seq.fill(10)(s"spam$i").mkString(" ")))
+    val docs = (clean ++ junk).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.qualityClassifierCalibrationFrom(spark, docs, iters = 60)
+      .collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 16L, "mass conserves")
+    assert(got.forall(r => r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") <= 9))
+    val top = got.maxBy(_.getAs[Int]("bin"))
+    val bottom = got.minBy(_.getAs[Int]("bin"))
+    assert(top.getAs[Double]("label_rate") == 1.0,
+      s"the top bin must hold only passing docs: ${got.mkString(";")}")
+    assert(bottom.getAs[Double]("label_rate") == 0.0,
+      s"the bottom bin must hold only junk: ${got.mkString(";")}")
+    assert(got.forall(r => math.abs(r.getAs[Double]("gap") -
+      (r.getAs[Double]("mean_p") - r.getAs[Double]("label_rate"))) < 1e-12))
+    // registry form runs at sf
+    val sf = TextAnalysis.qualityClassifierCalibration(spark, Sf).collect()
+    assert(sf.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, Sf).count())
   }
 
   test("corpus funnel stays conserved on a nullable-text corpus (NULL fails its first gate)") {
