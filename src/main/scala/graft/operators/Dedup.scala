@@ -1421,6 +1421,41 @@ object Dedup {
       .orderBy("est_decile")
   }
 
+  /** Empirical LSH RECALL against exact ground truth — the side
+    * `minhash_calibration` cannot see: calibration grades the
+    * estimates on pairs the banding FOUND; this grades what it
+    * MISSED. Ground truth = the exact shingle-Jaccard pairs (complete
+    * within their threshold); found = the production
+    * `dedup_minhash_lsh` output; per exact-Jaccard decile: truth
+    * mass, found mass, recall — the banding S-curve measured on the
+    * corpus's own pairs instead of assumed from the (1-(1-s^r)^b)
+    * formula. The number that justifies "minhash-block first, exact
+    * verify per block" at 100 TB: recall ≈ 1 above the knee, and the
+    * knee is VISIBLE. EVAL-grade, not a production-path op: the truth
+    * side is the exact in-block verifier (quadratic within a lang
+    * block by design — the same class as dedup_ngram_jaccard, and
+    * excluded from the replica scale probes for the same reason); at
+    * corpus scale you run it on a sampled slice, exactly like
+    * ann_recall_curve's brute truth stage. Rows-only (seeded
+    * minhash). */
+  def lshRecall(spark: SparkSession, dir: String,
+      truthThreshold: Double = 0.2, estThreshold: Double = 0.4): DataFrame = {
+    val truth = ngramJaccard(spark, dir, truthThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val found = minhashLshFrom(spark, Tables.documents(spark, dir),
+        estThreshold, DefaultMaxBucket)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
+        .as("jaccard_decile"), coalesce(col("found"), lit(0L)).as("found"))
+      .groupBy("jaccard_decile")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(col("found")).as("n_found"),
+        (sum(col("found")).cast("double") / count(lit(1)).cast("double"))
+          .as("recall"))
+      .orderBy("jaccard_decile")
+  }
+
   /** SimHash calibration — what a Hamming cut MEANS in Jaccard terms
     * (the minhash_calibration pattern for the simhash family,
     * completing the calibration set: every approximate-similarity

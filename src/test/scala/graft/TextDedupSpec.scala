@@ -1840,6 +1840,25 @@ class DedupSpec extends SparkSpec {
     assert(sf.forall(_.getAs[Long]("n_queries") == 10L))
   }
 
+  test("LSH recall: the top decile is never missed; recall is what the left join says") {
+    // sf ground truth: exact Jaccard pairs vs the production LSH path
+    val got = Dedup.lshRecall(spark, Sf).collect()
+      .map(r => r.getAs[Int]("jaccard_decile") ->
+        ((r.getAs[Long]("n_truth"), r.getAs[Long]("n_found"),
+          r.getAs[Double]("recall")))).toMap
+    assert(got.nonEmpty)
+    // recall ties out arithmetically and stays in [0,1]
+    assert(got.values.forall { case (t, f, r) =>
+      f <= t && r == f.toDouble / t })
+    // near-identical pairs (decile 9: exact jaccard ≥ 0.9) must not be
+    // missed by the banding — the S-curve's flat top
+    got.get(9).foreach { case (t, f, _) =>
+      assert(f == t, s"the banding must catch every >=0.9 pair: $got") }
+    // the truth mass matches the exact generator's own census
+    val truthTotal = Dedup.ngramJaccard(spark, Sf).count()
+    assert(got.values.map(_._1).sum == truthTotal)
+  }
+
   test("method agreement: each exact modality owns its planted pair; set algebra ties out") {
     import spark.implicits._
     val w = (1 to 40).map(i => s"word$i")
