@@ -129,9 +129,18 @@ object Reporting {
     * reportOrderSummary / reportPaymentDist rows for one date) —
     * sectioned exactly like llm_daily_report's formatted summary, with
     * the fallback's "data summary only" determinism. */
+  /** @param contractDrift optional (column, check_type, change) rows
+    *   from `Pipeline.Result.contractDrift` — the healthy-run
+    *   re-suggest diff against the pinned contract. Nonempty appends a
+    *   "[contract drift]" section (the pre-failure trend beside the
+    *   business numbers: a bound drifting toward its contract edge
+    *   reads here BEFORE the day it breaks the gate); empty omits the
+    *   section entirely, keeping byte-parity for reports without a
+    *   wired contract. */
   def dailyReport(executionDate: String,
       userSummary: Option[Row], funnel: Seq[Row], topProducts: Seq[Row],
-      orderSummary: Option[Row], payments: Seq[Row]): String = {
+      orderSummary: Option[Row], payments: Seq[Row],
+      contractDrift: Seq[(String, String, String)] = Nil): String = {
     val user = userSummary.map { r =>
       Seq(
         s"- active users: ${num(r.getAs[Long]("active_users"))}",
@@ -182,6 +191,12 @@ object Reporting {
       (base ++ dist).mkString("\n")
     }.getOrElse("no data")
 
+    val driftSection =
+      if (contractDrift.isEmpty) ""
+      else "\n[contract drift]\n" + contractDrift.sorted.map {
+        case (c, k, ch) => s"- $c ($k): $ch"
+      }.mkString("\n") + "\n"
+
     s"""Daily report ($executionDate)
        |${"=" * 40}
        |
@@ -196,7 +211,7 @@ object Reporting {
        |
        |[orders]
        |$ordersText
-       |""".stripMargin
+       |""".stripMargin + driftSection
   }
 
   // ---- quality dashboard (terminal + HTML renderings of the check

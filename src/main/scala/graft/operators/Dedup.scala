@@ -84,7 +84,11 @@ object Dedup {
     *   (then the caller must ensure block-key cardinality ≫ cores,
     *   e.g. LSH band buckets, or parallelism collapses). */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2,
-                   broadcastBuild: Boolean = true): DataFrame = {
+                   broadcastBuild: Boolean = true): DataFrame =
+    ngramJaccardFrom(spark, Tables.documents(spark, dir), threshold, broadcastBuild)
+
+  private[graft] def ngramJaccardFrom(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.2, broadcastBuild: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     // repartition before the heavy per-row work: the corpus may arrive
     // in a handful of splits (here: one parquet file), which would run
@@ -92,7 +96,7 @@ object Dedup {
     // The shuffle moves only raw text; the pair scoring downstream is
     // orders of magnitude heavier.
     val nPart = spark.sessionState.conf.numShufflePartitions
-    val d = Tables.documents(spark, dir)
+    val d = docs
       .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), col("lang"), shingleHashes(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
@@ -1439,11 +1443,23 @@ object Dedup {
     * ann_recall_curve's brute truth stage. Rows-only (seeded
     * minhash). */
   def lshRecall(spark: SparkSession, dir: String,
-      truthThreshold: Double = 0.2, estThreshold: Double = 0.4): DataFrame = {
-    val truth = ngramJaccard(spark, dir, truthThreshold)
+      truthThreshold: Double = 0.2, estThreshold: Double = 0.4,
+      sampleMod: Int = 1): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    // corpus-scale discipline BY CONSTRUCTION: sampleMod = k keeps the
+    // deterministic 1/k doc slice (xxhash64 mod k — stable across
+    // runs, not a seeded rand), so the quadratic truth stage runs on
+    // a bounded sample instead of relying on the caller remembering
+    // to cut one. Recall estimated on the slice's pairs — both sides
+    // see the SAME slice, so the ratio is unbiased for within-slice
+    // pairs.
+    val docs =
+      if (sampleMod == 1) Tables.documents(spark, dir)
+      else Tables.documents(spark, dir)
+        .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
+    val truth = ngramJaccardFrom(spark, docs, truthThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val found = minhashLshFrom(spark, Tables.documents(spark, dir),
-        estThreshold, DefaultMaxBucket)
+    val found = minhashLshFrom(spark, docs, estThreshold, DefaultMaxBucket)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
     truth.join(found, Seq("doc_a", "doc_b"), "left")
       .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))

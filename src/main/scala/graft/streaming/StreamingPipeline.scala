@@ -52,14 +52,26 @@ object StreamingPipeline {
     // the watermark is defined ONCE, upstream of the dedup (a query
     // may not redefine it past a stateful operator) — the downstream
     // marts consume the already-watermarked deduped stream
-    val events = EventStream.dedupEvents(EventStream.readJsonl(spark, inDir), watermark)
+    val raw = EventStream.readJsonl(spark, inDir)
+    val events = EventStream.dedupEvents(raw, watermark)
     Seq(
       windowedMartSink(EventStream.funnelCountsOn(events),
         s"$outDir/funnel_hourly", s"$outDir/_checkpoints/funnel"),
       windowedMartSink(EventStream.hourlyTrafficOn(events),
         s"$outDir/hourly_traffic", s"$outDir/_checkpoints/traffic"),
       EventStream.qualityLogSink(EventStream.qualityCountsOn(events),
-        s"$outDir/quality_check_log", s"$outDir/_checkpoints/quality"))
+        s"$outDir/quality_check_log", s"$outDir/_checkpoints/quality"),
+      // the dedup's EVIDENCE leg: dedupEvents silently drops in-horizon
+      // re-arrivals from the mart path; this sink RECORDS each drop as
+      // a violation row (the at-least-once delivery audit the batch
+      // dq_duplicate_check gives the nightly side). Reads the RAW
+      // stream — the deduped one no longer contains what it dropped.
+      // Exactly-once: the parquet file sink's manifest.
+      EventStream.uniqueViolations(raw, "event_id", watermark)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$outDir/_checkpoints/unique")
+        .format("parquet").option("path", s"$outDir/unique_violations")
+        .start())
   }
 
   // ---------------- routed (gated) flavor ----------------

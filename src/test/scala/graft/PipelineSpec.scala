@@ -1679,5 +1679,15 @@ class ReportingSpec extends SparkSpec {
       .foreach(s => assert(report.contains(s), s"missing section $s"))
     assert(report.contains("active users:"))
     assert(report.contains("revenue:"))
+    // no wired contract -> no drift section (byte-parity for the
+    // reference-shaped report)
+    assert(!report.contains("[contract drift]"))
+    // drift rows from a healthy run's Result append the section
+    val withDrift = Reporting.dailyReport(date, None, Nil, Nil, None, Nil,
+      contractDrift = Seq(("value", "range", "widened"),
+        ("event_type", "isin", "domain_grew")))
+    assert(withDrift.contains("[contract drift]"))
+    assert(withDrift.contains("- value (range): widened"))
+    assert(withDrift.contains("- event_type (isin): domain_grew"))
   }
 }

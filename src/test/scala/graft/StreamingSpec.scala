@@ -847,7 +847,11 @@ class StreamingSpec extends SparkSpec {
       val t = f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00"
       val et = if (m % 7 == 0) "purchase" else "view"
       s"""{"event_id":$m,"ts":"$t","user_id":${m % 5},"event_type":"$et","value":${m % 90 + 1}.0,"props":"{}"}"""
-    } :+ """{"event_id":999,"ts":"2024-01-01 14:00:00","user_id":1,"event_type":"view","value":1.0,"props":"{}"}"""
+    } ++ Seq(
+      // an in-watermark DUPLICATE of event 5: dropped from the marts,
+      // recorded by the violation leg
+      """{"event_id":5,"ts":"2024-01-01 10:06:00","user_id":0,"event_type":"view","value":6.0,"props":"{}"}""",
+      """{"event_id":999,"ts":"2024-01-01 14:00:00","user_id":1,"event_type":"view","value":1.0,"props":"{}"}""")
     val w = new java.io.PrintWriter(s"$in/events.jsonl")
     lines.foreach(w.println)
     w.close()
@@ -865,6 +869,11 @@ class StreamingSpec extends SparkSpec {
       assert(qlog.select("check_name").distinct().count() == 3)
       // the log feeds the same trender as the batch check log
       assert(operators.Quality.trendFromLog(spark, s"$out/quality_check_log").count() == 3)
+      // the violation leg RECORDED the drop the marts never saw
+      val viols = spark.read.parquet(s"$out/unique_violations").collect()
+      assert(viols.length == 1, s"exactly the planted duplicate: ${viols.toSeq}")
+      assert(viols.head.getAs[String]("value") == "5")
+      assert(viols.head.getAs[String]("horizon") == "10 minutes")
     } finally queries.foreach(_.stop())
   }
 

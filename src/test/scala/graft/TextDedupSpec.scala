@@ -1857,6 +1857,12 @@ class DedupSpec extends SparkSpec {
     // the truth mass matches the exact generator's own census
     val truthTotal = Dedup.ngramJaccard(spark, Sf).count()
     assert(got.values.map(_._1).sum == truthTotal)
+    // the corpus-scale sample cap: a 1/2 slice bounds the quadratic
+    // truth stage by construction; the slice's own arithmetic still
+    // ties out and its truth mass can only shrink
+    val sampled = Dedup.lshRecall(spark, Sf, sampleMod = 2).collect()
+    assert(sampled.forall(r => r.getAs[Long]("n_found") <= r.getAs[Long]("n_truth")))
+    assert(sampled.map(_.getAs[Long]("n_truth")).sum <= truthTotal)
   }
 
   test("method agreement: each exact modality owns its planted pair; set algebra ties out") {
