@@ -551,7 +551,11 @@ object ScaleProbe {
         ("session_sequences", () => Sessionize.sessionSequencesFrom(e),
           () => Sessionize.sessionSequencesBucketedFrom(e)),
         ("session_daily", () => Sessionize.sessionDailyFrom(e),
-          () => Sessionize.sessionDailyBucketedFrom(e)))
+          () => Sessionize.sessionDailyBucketedFrom(e)),
+        ("session_funnel", () => Sessionize.sessionFunnelFrom(e),
+          () => Sessionize.sessionFunnelBucketedFrom(e)),
+        ("session_transitions", () => Sessionize.sessionTransitionsFrom(e),
+          () => Sessionize.sessionTransitionsBucketedFrom(e)))
       deepPairs.filter(p => only.forall(_.contains(p._1))).foreach {
         case (name, plainF, bucketedF) =>
           val bs = timedDeep(bucketedF())
