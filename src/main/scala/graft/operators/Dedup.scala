@@ -1425,6 +1425,56 @@ object Dedup {
       .orderBy("est_decile")
   }
 
+  /** [[methodAgreement]] extended to the SEEDED families — the same
+    * pairwise set algebra over all five pair generators (the three
+    * exact verifiers plus minhash-LSH and simhash banding), so the
+    * calibration table covers the SCALE path, not just the verifiers:
+    * minhash↔jaccard reads banding recall+precision in one row,
+    * simhash↔edit reads what a Hamming cut means in character terms.
+    * Ten method-pair rows from one membership-flag rollup. Rows-only
+    * (the seeded families' hashes are engine-local); the exact
+    * 3-method sub-census stays the full-SQL `dedup_method_agreement`,
+    * and the spec pins this one's exact rows AGAINST it. */
+  def methodAgreementFull(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sets: Seq[(String, DataFrame)] = Seq(
+      "containment" -> ngramContainment(spark, dir),
+      "edit" -> editDistancePairsFrom(docs),
+      "jaccard" -> ngramJaccard(spark, dir),
+      "minhash" -> minhashLsh(spark, dir),
+      "simhash" -> simhash(spark, dir))
+    val names = sets.map(_._1)
+    val tagged = sets.map { case (n, df) =>
+      df.select(col("doc_a"), col("doc_b")).withColumn("m", lit(n))
+    }.reduce(_ unionByName _)
+    val flagCols = names.map(n =>
+      max(when(col("m") === n, 1L).otherwise(0L)).as(s"in_$n"))
+    val flags = tagged.groupBy(col("doc_a"), col("doc_b"))
+      .agg(flagCols.head, flagCols.tail: _*)
+    val methodPairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val counters =
+      names.map(n => sum(col(s"in_$n")).as(s"n_$n")) ++
+      methodPairs.map { case (a, b) =>
+        sum(col(s"in_$a") * col(s"in_$b")).as(s"n_${a}_$b") }
+    val one = flags.agg(counters.head, counters.tail: _*)
+    val stackExpr = methodPairs
+      .map { case (a, b) => s"'$a', '$b', n_$a, n_$b, n_${a}_$b" }
+      .mkString(", ")
+    one
+      .select(expr(s"stack(${methodPairs.size}, $stackExpr) " +
+        "as (method_a, method_b, n_pairs_a, n_pairs_b, n_both)"))
+      .select(col("method_a"), col("method_b"),
+        col("n_pairs_a"), col("n_pairs_b"), col("n_both"),
+        (col("n_pairs_a") - col("n_both")).as("n_only_a"),
+        (col("n_pairs_b") - col("n_both")).as("n_only_b"),
+        (col("n_both").cast("double") /
+          greatest(col("n_pairs_a") + col("n_pairs_b") - col("n_both"),
+            lit(1L)).cast("double")).as("agreement"))
+      .orderBy("method_a", "method_b")
+  }
+
   /** Empirical LSH RECALL against exact ground truth — the side
     * `minhash_calibration` cannot see: calibration grades the
     * estimates on pairs the banding FOUND; this grades what it

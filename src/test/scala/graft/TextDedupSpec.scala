@@ -1920,6 +1920,43 @@ class DedupSpec extends SparkSpec {
     check("containment", "edit", cp, ep)
   }
 
+  test("full method agreement: exact sub-census matches the full-SQL form; seeded columns are sane") {
+    val full = Dedup.methodAgreementFull(spark, Sf).collect()
+      .map(r => (r.getAs[String]("method_a"), r.getAs[String]("method_b")) -> r)
+      .toMap
+    assert(full.size == 10, s"5 methods -> 10 pairs: ${full.keys}")
+    // the three exact methods' rows must be BIT-IDENTICAL to the
+    // full-SQL census (one membership rollup, two surfaces)
+    val exact = Dedup.methodAgreement(spark, Sf).collect()
+      .map(r => (r.getAs[String]("method_a"), r.getAs[String]("method_b")) -> r)
+      .toMap
+    exact.foreach { case ((a, b), e) =>
+      // orientation may differ between the two forms; compare the
+      // unordered pair with sides swapped when reversed
+      val (f, swapped) = full.get((a, b)).map(_ -> false)
+        .getOrElse(full((b, a)) -> true)
+      def fa(c: String, cSwap: String) =
+        if (swapped) f.getAs[Long](cSwap) else f.getAs[Long](c)
+      assert(e.getAs[Long]("n_pairs_a") == fa("n_pairs_a", "n_pairs_b") &&
+        e.getAs[Long]("n_pairs_b") == fa("n_pairs_b", "n_pairs_a") &&
+        e.getAs[Long]("n_both") == f.getAs[Long]("n_both") &&
+        e.getAs[Long]("n_only_a") == fa("n_only_a", "n_only_b") &&
+        e.getAs[Long]("n_only_b") == fa("n_only_b", "n_only_a") &&
+        e.getAs[Double]("agreement") == f.getAs[Double]("agreement"),
+        s"exact sub-census drifted at ($a,$b)")
+    }
+    // seeded families: set algebra stays consistent
+    assert(full.values.forall { r =>
+      val (a, b, both) = (r.getAs[Long]("n_pairs_a"),
+        r.getAs[Long]("n_pairs_b"), r.getAs[Long]("n_both"))
+      both <= math.min(a, b) && r.getAs[Double]("agreement") >= 0.0 &&
+        r.getAs[Double]("agreement") <= 1.0
+    })
+    // minhash exists to approximate jaccard: on the sf corpus their
+    // overlap is nonempty (the near-dup plants are caught by both)
+    assert(full(("jaccard", "minhash")).getAs[Long]("n_both") > 0L)
+  }
+
   test("edit clusters: transitive collapse to the min-id keeper; short docs stay singletons") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
