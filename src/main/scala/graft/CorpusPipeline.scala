@@ -164,11 +164,20 @@ object CorpusPipeline {
     * the corpus dir, token-budget fill from the streaming log when
     * one exists. Returns (text, blockKitPayload) from ONE pass over
     * each query frame; an absent/empty token log degrades to the
-    * renderer's "no data" rather than failing the report job. */
+    * renderer's "no data" rather than failing the report job.
+    * `includeAgreement` adds the dedup method-agreement census
+    * (`dedup_method_agreement_full`) as a "[dedup method agreement]"
+    * section — opt-in because the census costs the member-generator
+    * sweep on a cold session (it rides the shared member-pair frame,
+    * so a session that already ran the dedup family pays ~nothing). */
   def dailyReport(spark: SparkSession, dir: String, executionDate: String,
-      tokenLogDir: Option[String] = None): (String, String) = {
+      tokenLogDir: Option[String] = None,
+      includeAgreement: Boolean = false): (String, String) = {
     val funnel = operators.TextAnalysis.corpusFunnel(spark, dir).collect().toSeq
     val mix = operators.TextAnalysis.sourceMix(spark, dir).collect().toSeq
+    val agreement =
+      if (!includeAgreement) Nil
+      else operators.Dedup.methodAgreementFull(spark, dir).collect().toSeq
     // tokenLogSink creates the dir lazily on the first non-empty
     // batch, so an absent or still-empty dir must read as "no data".
     // Probe for parquet files FIRST rather than Try-swallowing every
@@ -185,8 +194,8 @@ object CorpusPipeline {
       .filter(hasParquet)
       .map(d => streaming.DocStream.tokenBudgetFromLog(spark, d).collect().toSeq)
       .getOrElse(Nil)
-    (Reporting.corpusReport(executionDate, funnel, mix, budget),
-      Reporting.corpusReportPayload(executionDate, funnel, mix, budget))
+    (Reporting.corpusReport(executionDate, funnel, mix, budget, agreement),
+      Reporting.corpusReportPayload(executionDate, funnel, mix, budget, agreement))
   }
 
   private def cleanedStage(docs: DataFrame, minQuality: Double,

@@ -42,7 +42,11 @@ object Pipeline {
       // re-suggested contract drifted from the pinned one — the
       // pre-failure trend surface; empty when the gate failed, no
       // contract is wired, or nothing moved
-      contractDrift: Seq[(String, String, String)] = Nil)
+      contractDrift: Seq[(String, String, String)] = Nil,
+      // content fingerprint of the NEWLY pinned contract when the
+      // opt-in auto-promotion policy fired this run (None otherwise:
+      // policy off, gate failed, no drift, or streak below N)
+      contractPromoted: Option[String] = None)
 
   /** All marts built by the daily run, keyed by output name. */
   def marts(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
@@ -186,7 +190,10 @@ object Pipeline {
           quarantine: Boolean = false,
           martJdbc: Option[String] = None,
           suggestionsPath: Option[String] = None,
-          sessionPlan: Option[operators.Skew.SkewPlan] = None): Result = {
+          sessionPlan: Option[operators.Skew.SkewPlan] = None,
+          autoPromoteAfter: Option[Int] = None): Result = {
+    autoPromoteAfter.foreach(n => require(n >= 1,
+      s"autoPromoteAfter must be >= 1, got $n"))
     val base = EventMarts.enriched(spark, sfDir)
     val runDates = dates.map(java.sql.Date.valueOf)
     // persist scope = run dates ± one day (sessionize lookback and
@@ -218,17 +225,72 @@ object Pipeline {
       // artifact regardless; promotion stays an explicit
       // `Quality.promoteSuggestions` call. Dimension-sized collect
       // (≤ a few rows per column), drift rows only.
-      val contractDrift: Seq[(String, String, String)] =
-        if (failed.nonEmpty) Nil
-        else suggestionsPath.toSeq.flatMap { path =>
-          Quality.contractDrift(
-              Quality.loadSuggestions(spark, path),
-              Quality.suggestedChecksFrom(e))
+      val (contractDrift, contractPromoted):
+          (Seq[(String, String, String)], Option[String]) =
+        if (failed.nonEmpty || suggestionsPath.isEmpty) (Nil, None)
+        else {
+          val path = suggestionsPath.get
+          // Refresh from the SAME scope the pinned contract was built
+          // from — full history up to this run's date — never the
+          // run-date slice: a one-day slice almost always has a
+          // narrower observed range and a smaller domain, so diffing
+          // it against a full-history contract would report spurious
+          // narrowed/domain_shrank rows on every healthy dated run
+          // and bury the widening trend this feature exists to
+          // surface. Cost: one profile-grain aggregate pass over
+          // history per HEALTHY run (≤ columns × check-types rows
+          // out), same order as the pin itself.
+          val refreshScope =
+            if (dates.isEmpty) e
+            else base.filter(col("event_date") <=
+              lit(java.sql.Date.valueOf(dates.max)))
+          // the refreshed profile feeds the drift diff AND (policy
+          // firing) the promotion write — pin it so the two surfaces
+          // cannot see different profiles of the same run
+          val refreshed = Quality.suggestedChecksFrom(refreshScope)
+            .localCheckpoint()
+          val drift = Quality.contractDrift(
+              Quality.loadSuggestions(spark, path), refreshed)
             .filter(col("drift"))
             .select(col("column_name"), col("check_type"), col("change"))
             .collect()
             .map(r => (r.getString(0), r.getString(1), r.getString(2)))
             .toSeq
+          // OPT-IN auto-promotion: the gate always enforced the PINNED
+          // artifact above; only after `autoPromoteAfter` CONSECUTIVE
+          // healthy runs observe drift against the same pinned
+          // fingerprint does the refreshed profile replace it (with
+          // `refreshed-from:<fp>` lineage + the policy tag). A failed
+          // gate never reaches this branch — a sick run can never
+          // promote — and a healthy drift-free run resets the streak
+          // (the contract matches reality; stale evidence expires).
+          val promoted = autoPromoteAfter.flatMap { n =>
+            val pinnedFp = graft.sources.ArtifactManifest.read(path)
+              .map(_.contentFp).getOrElse("")
+            if (drift.isEmpty) {
+              Quality.writePromotionStreak(path,
+                Quality.PromotionStreak(0, pinnedFp))
+              None
+            } else {
+              val streak = Quality.readPromotionStreak(path)
+                .filter(_.againstFp == pinnedFp)
+                .map(_.streak).getOrElse(0) + 1
+              if (streak >= n) {
+                Quality.promoteSuggestions(refreshed, path,
+                  builtFrom = s"auto-promote:healthy-drift-streak=$streak")
+                val newFp = graft.sources.ArtifactManifest.read(path)
+                  .map(_.contentFp).getOrElse("")
+                Quality.writePromotionStreak(path,
+                  Quality.PromotionStreak(0, newFp))
+                Some(newFp)
+              } else {
+                Quality.writePromotionStreak(path,
+                  Quality.PromotionStreak(streak, pinnedFp))
+                None
+              }
+            }
+          }
+          (drift, promoted)
         }
       val runDate = dates.sorted.lastOption.orElse {
         val r = e.agg(max(col("event_date"))).collect().head
@@ -306,7 +368,7 @@ object Pipeline {
         }.getOrElse(Map.empty[String, MartSink.MergeStats])
         Result(passed = failed.isEmpty, failed, written, runDate, alert,
           martMerges = merges.toMap, sessionSkew = Some(skewPlan),
-          contractDrift = contractDrift)
+          contractDrift = contractDrift, contractPromoted = contractPromoted)
       }
     } finally {
       w.unpersist()
@@ -608,7 +670,6 @@ object Pipeline {
       // date; arming on the widest scope is also the conservative
       // choice (a bot hot on any stale date arms the whole replay,
       // and the bucketed twin is output-identical by construction).
-      val staleDates = plan.stale.map(java.sql.Date.valueOf)
       val neighbors = plan.stale.flatMap { d =>
         val ld = java.sql.Date.valueOf(d).toLocalDate
         Seq(ld.minusDays(1).toString, ld.plusDays(1).toString)

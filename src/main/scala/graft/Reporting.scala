@@ -471,7 +471,8 @@ object Reporting {
     * Any section tolerates an empty frame with "no data" — a report
     * that throws on a quiet day never ships. */
   def corpusReport(executionDate: String, funnel: Seq[Row],
-      sourceMix: Seq[Row], budget: Seq[Row]): String = {
+      sourceMix: Seq[Row], budget: Seq[Row],
+      agreement: Seq[Row] = Nil): String = {
     val funnelText =
       if (funnel.isEmpty) "no data"
       else funnel.map { r =>
@@ -499,6 +500,20 @@ object Reporting {
           s"(${num(r.getAs[Long]("n_docs"))} docs / " +
           s"${num(r.getAs[Long]("word_count"))} words)"
       }.mkString("\n")
+    // dedup method-agreement census (rows of `dedup_method_agreement
+    // _full`): the calibration trend is only useful if someone SEES
+    // it move — a seeded family drifting away from its exact
+    // counterpart (re-hashed shingles, a changed band count, corpus
+    // mix shift) shows up here as an agreement drop day over day,
+    // the contract-drift precedent applied to dedup
+    val agreementText =
+      if (agreement.isEmpty) ""
+      else "\n[dedup method agreement]\n" + agreement.map { r =>
+        s"- ${r.getAs[String]("method_a")} vs ${r.getAs[String]("method_b")}: " +
+          s"${num(r.getAs[Long]("n_pairs_a"))} / ${num(r.getAs[Long]("n_pairs_b"))} pairs | " +
+          s"both ${num(r.getAs[Long]("n_both"))} | " +
+          s"agreement ${pct1(r.getAs[Double]("agreement") * 100.0)}"
+      }.mkString("\n") + "\n"
     s"""Corpus report ($executionDate)
        |${"=" * 40}
        |
@@ -510,7 +525,7 @@ object Reporting {
        |
        |[token budget fill]
        |$budgetText
-       |""".stripMargin
+       |$agreementText""".stripMargin
   }
 
   /** Experiment readout report — the render of the A/B suite in its
@@ -626,7 +641,8 @@ object Reporting {
   /** The same corpus day as a Block Kit payload (the alert-channel
     * form, byte-parity with the quality/trending payload family). */
   def corpusReportPayload(executionDate: String, funnel: Seq[Row],
-      sourceMix: Seq[Row], budget: Seq[Row]): String = {
+      sourceMix: Seq[Row], budget: Seq[Row],
+      agreement: Seq[Row] = Nil): String = {
     val survived = funnel.find(_.getAs[String]("stage") == "4_survived")
     val input = funnel.headOption.map(_.getAs[Long]("n_input")).getOrElse(0L)
     val head = headerBlock(s"Corpus report $executionDate")
@@ -636,7 +652,8 @@ object Reporting {
         .getOrElse("no data")}"),
       mrkdwn(s"*sources:* ${sourceMix.size}"),
       mrkdwn(s"*budget rows:* ${budget.size}")))
-    val body = textBlock(corpusReport(executionDate, funnel, sourceMix, budget))
+    val body = textBlock(
+      corpusReport(executionDate, funnel, sourceMix, budget, agreement))
     payload(Seq(head, summary, body))
   }
 }

@@ -3,16 +3,19 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Scale proof-point: generate a ~10× corpus (1M events via
-  * EventGenerator; 50k documents by replicating sf0.1 docs with a
-  * per-replica token remap) and time the headline marts + dedup
+  * EventGenerator; 50k documents by replicating sf0.1 docs under a
+  * per-replica character cipher) and time the headline marts + dedup
   * family at sf0.1 vs the generated sf~1, emitting per-query flushed
   * JSON lines with the scaling factor.
   *
-  * The document replicas are made pairwise-DISJOINT across replicas
-  * (every token suffixed with the replica id), so the duplicate
-  * DENSITY of the corpus is unchanged — a naive ×10 copy would give
-  * every doc 10 exact near-twins and quadratically inflate the
-  * in-bucket pair work, measuring densification, not scale. */
+  * The document replicas are made pairwise-disjoint across replicas
+  * (a seeded bijective a-z permutation per replica — see
+  * `cipherAlphabets` for why this replaced the r8-r11 token
+  * suffixes), so the duplicate DENSITY of the corpus is unchanged —
+  * a naive ×10 copy would give every doc 10 exact near-twins and
+  * quadratically inflate the in-bucket pair work, measuring
+  * densification, not scale; the cipher preserves each replica's
+  * token-level AND character-level pair structure exactly. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
@@ -25,24 +28,84 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     /** Disjoint-replica corpus builder, shared by the 10× and 100×
-      * (`--deep`) dirs: documents replicate with per-replica token
-      * suffixes (duplicate DENSITY unchanged — see the header note),
-      * embeddings replicate vec_id-remapped with vectors unchanged
-      * (linear-scoring ops only; pair enumerators are excluded from
-      * both probe lists), events come from the generator at n×100k. */
+      * (`--deep`) dirs: documents replicate under a PER-REPLICA
+      * CHARACTER CIPHER (a deterministic seeded a-z permutation per
+      * rep, space fixed, rep 0 identity), embeddings replicate
+      * vec_id-remapped with vectors unchanged (linear-scoring ops
+      * only; pair enumerators are excluded from both probe lists),
+      * events come from the generator at n×100k.
+      *
+      * Why a cipher and not the r8-r11 per-token `_rep` suffixes: a
+      * bijective char map preserves EVERY within-replica structure
+      * the dedup family measures — token equality (jaccard/minhash
+      * axes), document lengths AND exact character edit distances
+      * (the PassJoin axis) — so each replica carries exactly the base
+      * corpus's pair structure: duplicate density is unchanged BY
+      * CONSTRUCTION, not approximately. The suffixes preserved only
+      * the token-level part; at the character grain they injected a
+      * shared `_k` substring into every token, so PassJoin candidates
+      * densified ~1.9× at 10 reps and ~8.9× at 100 (measured r12:
+      * 53k → 990k → 47.2M bounded candidates where linear structure
+      * gives 53k → 530k → 5.3M) — the "third-decade constant" the
+      * r10/r11 records chased was mostly this corpus artifact.
+      * Cross-replica token collisions (cipher_j(t) = cipher_k(u))
+      * would re-couple replicas — and rep PAIRS grow quadratically,
+      * so even rare coincidences compound (first cipher draft: 74k
+      * cross-rep candidates at 10 reps, ~17% of the pair space). The
+      * builder therefore REJECTS colliding alphabets by construction:
+      * the corpus vocabulary is a small fixed set (collected once),
+      * and each replica's alphabet is re-seeded until its ciphered
+      * vocab image is disjoint from every earlier replica's — token-
+      * level cross-rep disjointness is then exact, and a ≥17-char
+      * cross-rep segment match (which must contain a full equal
+      * token) is excluded with it. Disjointness is enforced for words
+      * of length ≥ 3 only — a 1-char word has 26 possible images
+      * total (the corpus vocab contains "a", which exhausts them at
+      * rep 26), and a shared ≤2-char token across two reps is
+      * sub-threshold noise on every measured axis (1 of ~40 tokens
+      * for jaccard; far too short to carry a ≥17-char segment match
+      * for PassJoin). The vocabulary still grows ~reps× (each rep
+      * mints its own token images), keeping the tfidf / perplexity /
+      * vocab-growth axes honest. */
+    val cipherBase = "abcdefghijklmnopqrstuvwxyz"
+    def cipherAlphabets(reps: Int, vocab0: Set[String]): Seq[String] = {
+      val vocab = vocab0.filter(_.length >= 3)
+      val out = scala.collection.mutable.ArrayBuffer(cipherBase)
+      val seen = scala.collection.mutable.Set[String]() ++ vocab
+      for (r <- 1 until reps) {
+        var attempt = 0
+        var alpha = ""
+        var mapped = Set.empty[String]
+        do {
+          alpha = new scala.util.Random(7919L * r + 17 + attempt * 1000003L)
+            .shuffle(cipherBase.toList).mkString
+          val m = cipherBase.zip(alpha).toMap
+          mapped = vocab.map(_.map(c => m.getOrElse(c, c)))
+          attempt += 1
+        } while (mapped.exists(seen.contains) && attempt < 1000)
+        require(!mapped.exists(seen.contains),
+          s"no collision-free cipher found for rep $r")
+        seen ++= mapped
+        out += alpha
+      }
+      out.toSeq
+    }
     def buildCorpus(dir: String, reps: Int): Unit = {
       if (!new java.io.File(s"$dir/events.parquet").exists()) {
         sources.EventGenerator.events(spark, 100000L * reps, days = 30,
             users = 1000L * reps)
           .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+        val vocab = Tables.documents(spark, small)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+          .collect().map(_.getString(0)).toSet // small fixed generator vocab
         Tables.documents(spark, small)
           .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
             explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+          .withColumn("alphas", typedlit(cipherAlphabets(reps, vocab)))
           .select(
             (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
-            when(col("rep") === 0, col("text"))
-              .otherwise(array_join(
-                transform(split(col("text"), " "), w => concat(w, lit("_"), col("rep"))), " "))
+            expr(s"translate(text, '$cipherBase', element_at(alphas, rep + 1))")
               .as("text"),
             col("lang"), col("source"), col("n_chars"))
           .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -138,13 +201,13 @@ object ScaleProbe {
       "dq_orders_reconcile", "dq_corpus_coverage",
       "corpus_topic_mix", "sample_topic_balanced",
       // BPE training/counting scale with the word DICTIONARY — the
-      // disjoint-replica corpus grows it ~10× (suffixed tokens), the
+      // disjoint-replica corpus grows it ~10× (ciphered token images), the
       // honest axis for these two
       "bpe_vocab", "text_bpe_tokens",
       // round 8: events-side analytics ride the generator corpus
       // (never replicated); revenue_pareto's part keys stay shared
       // (×10 revenue per part — scale, not densification); the text
-      // curves grow vocabulary ~10× with the suffixed replicas;
+      // curves grow vocabulary ~10× with the ciphered replicas;
       // embedding_outliers only scores linearly (no pair enumeration,
       // safe on exact vector replicas); item_cf/pagerank pair work is
       // bounded per user / per transition like coview_pairs
@@ -156,7 +219,7 @@ object ScaleProbe {
       // generator corpus like the rest; coview_triangles' wedge work
       // is degree-bounded per node (same class as coview_pairs);
       // bigram perplexity scales with the bigram VOCAB (~10× under
-      // suffixed replicas — the honest axis); minhash_calibration's
+      // ciphered replicas — the honest axis); minhash_calibration's
       // pair frame is band-bounded like dedup_minhash_lsh
       "purchase_intervals", "ab_test_summary", "dq_key_skew",
       "coview_triangles", "text_perplexity_bigram", "minhash_calibration",
@@ -183,7 +246,7 @@ object ScaleProbe {
       // round 9 batch 2: the CC census is safe on the generated events
       // (graph shape, not replicas); dedup_inflation and
       // embedding_dim_stats are linear passes over the replicated
-      // corpora (exact-dup groups stay size-1 per replica — suffixed
+      // corpora (exact-dup groups stay size-1 per replica — ciphered
       // texts; dim stats is duplicate-insensitive)
       "graph_components", "dedup_inflation", "stickiness_weekly",
       "session_entry_exit", "embedding_dim_stats",
@@ -249,7 +312,7 @@ object ScaleProbe {
       // ≤100 cells
       "quality_rarity_grid",
       // batch 33: the simhash band enumeration + candidate-dim exact
-      // scores (suffixed doc replicas keep the pair space honest,
+      // scores (ciphered doc replicas keep the pair space honest,
       // unlike the embedding replicas)
       "simhash_calibration",
       // batch 35: one broadcast key join + a two-level rollup
@@ -279,7 +342,7 @@ object ScaleProbe {
       // calibration rides the one-scan LR feature projection
       "mix_budget_curve", "quality_classifier_calibration",
       // round 10 batch 4 (re-blocked round 11): PassJoin pigeonhole
-      // segments keep the pair space key-joined (word-suffixed
+      // segments keep the pair space key-joined (cipher-disjoint
       // replicas sit far beyond maxD of each other, so the block
       // structure is per-replica — scale, not densification); the
       // banded distance is O(len*maxD) per pair
@@ -328,12 +391,12 @@ object ScaleProbe {
       // basket_rules (60M-row lineitem self-pairing at constant
       // support), product_pagerank (15 fixed rounds over the 10M-event
       // transition graph), doc_tfidf_keywords (500k-doc vocabulary
-      // growth under the disjoint-replica suffixing)
+      // growth under the disjoint-replica cipher)
       val steepest = Seq("dedup_exact", "dq_corpus_coverage", "clean_dup_spans",
         "sample_topic_balanced", "corpus_topic_mix",
         "basket_rules", "product_pagerank", "doc_tfidf_keywords",
         // continuation additions: the bigram LM (vocabulary grows
-        // ~100× under suffixed replicas — its honest axis) and the
+        // ~100× under ciphered replicas — its honest axis) and the
         // triangle census (degree-bounded wedges on the denser graph)
         "text_perplexity_bigram", "coview_triangles",
         // round 9: the steepest new addition (1.67 at 10×) — rides
@@ -555,7 +618,20 @@ object ScaleProbe {
         ("session_funnel", () => Sessionize.sessionFunnelFrom(e),
           () => Sessionize.sessionFunnelBucketedFrom(e)),
         ("session_transitions", () => Sessionize.sessionTransitionsFrom(e),
-          () => Sessionize.sessionTransitionsBucketedFrom(e)))
+          () => Sessionize.sessionTransitionsBucketedFrom(e)),
+        // round 12: the rest of the family at the same sentinel — the
+        // members sharing the partial shapes but with no deep-leg
+        // rows until now (VERDICT r11 next-round #5)
+        ("session_patterns", () => Sessionize.sessionPatternsFrom(e),
+          () => Sessionize.sessionPatternsBucketedFrom(e)),
+        ("session_entry_exit", () => Sessionize.sessionEntryExitFrom(e),
+          () => Sessionize.sessionEntryExitBucketedFrom(e)),
+        ("session_concurrency", () => Sessionize.sessionConcurrencyFrom(e),
+          () => Sessionize.sessionConcurrencyBucketedFrom(e)),
+        ("session_quality_gate", () => Sessionize.sessionQualityGateFrom(e),
+          () => Sessionize.sessionQualityGateBucketedFrom(e)),
+        ("session_surprise", () => Sessionize.sessionSurpriseFrom(e),
+          () => Sessionize.sessionSurpriseBucketedFrom(e)))
       deepPairs.filter(p => only.forall(_.contains(p._1))).foreach {
         case (name, plainF, bucketedF) =>
           val bs = timedDeep(bucketedF())

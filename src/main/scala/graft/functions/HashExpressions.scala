@@ -409,6 +409,21 @@ object GraftFunctions {
       }
       QuantileBucket(children.head, bs)
     }),
+    ("bloom_contains_long", { children: Seq[Expression] =>
+      require(children.length == 3, "bloom_contains_long expects (bits, k, hash)")
+      require(children(0).foldable, "bloom_contains_long bits must be foldable")
+      val bits = children(0).eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toLongArray()
+        case other => throw new IllegalArgumentException(
+          s"bloom_contains_long bits must be array<bigint>, got $other")
+      }
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"bloom_contains_long k must be an integer literal, got $other")
+      }
+      BloomContainsLong(children(2), bits, k)
+    }),
     ("spread_bits", { children: Seq[Expression] =>
       require(children.length == 4, "spread_bits expects (bucket, stride, offset, bits)")
       def intLit(e: Expression, what: String): Int = e match {

@@ -555,8 +555,32 @@ object Dedup {
       maxD: Int = 16): DataFrame =
     editDistancePairsFrom(Tables.documents(spark, dir), maxD)
 
-  def editDistancePairsFrom(docs: DataFrame, maxD: Int = 16): DataFrame = {
+  /** Experiment knob for the candidate join's physical strategy —
+    * package-private; the shipped default is whatever the measured
+    * A/B picked (see SURVEY §7v). Empty string = no hint (planner
+    * default, SMJ at this shape). */
+  @volatile private[graft] var candJoinHint: String = "shuffle_hash"
+
+  /** Bloom prune fpp for the probe side (0 disables), and the doc
+    * count below which the prune is skipped (the adaptive floor; the
+    * recall spec zeroes it to exercise the bloomed path on its fuzz
+    * corpus). See the filter construction below for the rationale. */
+  @volatile private[graft] var candBloomFpp: Double = 0.02
+  @volatile private[graft] var candBloomMinDocs: Long = 20000L
+
+  def editDistancePairsFrom(docs: DataFrame, maxD: Int = 16): DataFrame =
+    editDistanceParts(docs, maxD).result
+
+  /** The pipeline's intermediate frames, exposed for the stage-grain
+    * scale diagnostics (EditAb --stages) — one construction, every
+    * consumer sees the same plan. */
+  private[graft] final case class EditParts(t: DataFrame, idx: DataFrame,
+      probe: DataFrame, probeSide: DataFrame, cand: DataFrame,
+      result: DataFrame)
+
+  private[graft] def editDistanceParts(docs: DataFrame, maxD: Int = 16): EditParts = {
     val n = maxD + 1
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val t = docs.select(col("doc_id"), col("text"))
       .filter(col("text").isNotNull && length(col("text")) >= n)
       .withColumn("len", length(col("text")))
@@ -601,11 +625,36 @@ object Dedup {
       .select(col("doc_r"), col("len_r"), col("i").as("pi"), col("wp"),
         col("sigma"),
         xxhash64(col("text").substr(col("sigma"), col("wp"))).as("hsub"))
+    // map-side shuffle diet: most probe substrings match NO indexed
+    // segment anywhere in the corpus (~75% at the probe corpora), yet
+    // each used to ride the full exchange just to miss a hash lookup.
+    // A driver-built Bloom over the segment hashes kills them INSIDE
+    // the probe's generate pipeline, before the exchange. No false
+    // negatives by construction — candidate recall and the SQL-oracle
+    // final-row parity are untouched; false positives (fpp 2%) ride
+    // the join and lose there. Cost: one segment-dimension
+    // treeAggregate (linear, no shuffle) + |bits| per task binary;
+    // sizing comes from the pre-filter doc count (metadata-cheap on a
+    // bare table), so the filter never under-sizes.
+    // adaptive: below ~20k docs the probe side is exchange-cheap and
+    // the filter's build pass + count cost more than they save (~8%
+    // at the 5k-doc bench corpus); above it the prune wins decisively
+    val nDocs = if (candBloomFpp <= 0) 0L else docs.count()
+    val probeSide =
+      if (candBloomFpp <= 0 || nDocs < candBloomMinDocs) probe
+      else {
+        val nSegs = math.max(1024L, nDocs * n)
+        val (bits, k) = graft.functions.LongBloom.build(idx, "hseg",
+          nSegs, candBloomFpp)
+        probe.filter(call_function("bloom_contains_long",
+          typedlit(bits.toSeq), lit(k), col("hsub")))
+      }
     // role convention halves the join: the SHORTER doc (ties by id) is
     // always the indexed side — the lemma holds for either role, so
     // fixing one loses nothing and removes the mirrored duplicates
-    val cand = idx
-      .join(probe,
+    val idxSide = if (candJoinHint.isEmpty) idx else idx.hint(candJoinHint)
+    val cand = idxSide
+      .join(probeSide,
         col("i") === col("pi") && col("w_s") === col("wp") &&
         col("hseg") === col("hsub") &&
         (col("len_s") < col("len_r") ||
@@ -617,13 +666,14 @@ object Dedup {
       .select(least(col("doc_s"), col("doc_r")).as("doc_a"),
         greatest(col("doc_s"), col("doc_r")).as("doc_b"))
       .distinct()
-    cand
+    val result = cand
       .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("ta"), col("tb"), maxD).as("edit_distance"))
       .filter(col("edit_distance") >= 0 && col("edit_distance") <= maxD)
       .orderBy("doc_a", "doc_b")
+    EditParts(t, idx, probe, probeSide, cand, result)
   }
 
   def editDistancePairsSql(maxD: Int = 16): String = {
@@ -692,17 +742,78 @@ object Dedup {
     * division). One membership-flag rollup at pair grain — the
     * generators' own blocking does the heavy lifting; nothing here
     * is all-pairs. */
+  /** Memoized member-pair frame for the dedup EVAL composites — the
+    * five generators at their registry defaults, tagged and
+    * localCheckpointed ONCE per (session, corpus): `doc_a, doc_b, m,
+    * score` where `score` carries the jaccard member's exact value
+    * (the lsh-recall decile axis) and is null elsewhere. The
+    * agreement censuses, the LSH recall eval, and the edit-cluster
+    * collapse each used to re-run their member generators from
+    * scratch (the 4-5 s PassJoin pairs ran in THREE registry entries
+    * per cold session); now the first composite pays the build and
+    * the rest filter the pinned frame — byte-identical outputs, the
+    * generators' semantics untouched. Cache discipline mirrors the
+    * Skew census memo: keyed by the documents table's dir + sorted
+    * input-file listing (a rewrite mints new part names → MISS, never
+    * a stale frame) + the SparkContext identity (checkpoint blocks
+    * die with their context), bounded, with an explicit clear hook.
+    * Off-default thresholds bypass the cache entirely. */
+  private val MemberPairCacheMax = 8
+  private val memberPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private[graft] val memberPairBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def clearMemberPairCache(): Unit = memberPairCache.clear()
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private[graft] def memberPairFrame(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = md5Hex(dir + "\n" + docs.inputFiles.sorted.mkString("\n"))
+    val key = (spark.sparkContext.applicationId, fp)
+    if (memberPairCache.size() > MemberPairCacheMax) memberPairCache.clear()
+    memberPairCache.computeIfAbsent(key, _ => {
+      memberPairBuilds.incrementAndGet()
+      val nul = lit(null).cast("double")
+      Seq(
+        ngramContainment(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit("containment").as("m"), nul.as("score")),
+        editDistancePairsFrom(docs)
+          .select(col("doc_a"), col("doc_b"), lit("edit").as("m"), nul.as("score")),
+        ngramJaccard(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit("jaccard").as("m"),
+            col("jaccard").cast("double").as("score")),
+        minhashLsh(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit("minhash").as("m"), nul.as("score")),
+        simhash(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit("simhash").as("m"), nul.as("score")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+    })
+  }
+
   def methodAgreement(spark: SparkSession, dir: String,
       jaccardThreshold: Double = 0.2, containThreshold: Double = 0.8,
       maxD: Int = 16): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val j = ngramJaccard(spark, dir, jaccardThreshold)
-      .select("doc_a", "doc_b").withColumn("m", lit("jaccard"))
-    val c = ngramContainment(spark, dir, containThreshold)
-      .select("doc_a", "doc_b").withColumn("m", lit("containment"))
-    val ed = editDistancePairsFrom(docs, maxD)
-      .select("doc_a", "doc_b").withColumn("m", lit("edit"))
-    val flags = j.unionByName(c).unionByName(ed)
+    val defaults = jaccardThreshold == 0.2 && containThreshold == 0.8 && maxD == 16
+    val tagged =
+      if (defaults)
+        memberPairFrame(spark, dir)
+          .filter(col("m").isin("jaccard", "containment", "edit"))
+          .select("doc_a", "doc_b", "m")
+      else {
+        val docs = Tables.documents(spark, dir)
+        ngramJaccard(spark, dir, jaccardThreshold)
+          .select("doc_a", "doc_b").withColumn("m", lit("jaccard"))
+          .unionByName(ngramContainment(spark, dir, containThreshold)
+            .select("doc_a", "doc_b").withColumn("m", lit("containment")))
+          .unionByName(editDistancePairsFrom(docs, maxD)
+            .select("doc_a", "doc_b").withColumn("m", lit("edit")))
+      }
+    val flags = tagged
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(
         max(when(col("m") === "jaccard", 1L).otherwise(0L)).as("in_j"),
@@ -782,11 +893,21 @@ object Dedup {
     * documented gate and stay singletons. Rows-only: component labels
     * are iterative, not SQL-expressible; ScalaTest-pinned. */
   def editClusters(spark: SparkSession, dir: String, maxD: Int = 16): DataFrame =
-    editClustersFrom(Tables.documents(spark, dir), maxD)
+    if (maxD == 16)
+      // registry default: the complete PassJoin pairs are already in
+      // the shared member-pair frame — collapse those instead of
+      // re-running the generator
+      editClustersFromPairs(
+        Tables.documents(spark, dir).select(col("doc_id")),
+        memberPairFrame(spark, dir).filter(col("m") === "edit")
+          .select("doc_a", "doc_b"))
+    else editClustersFrom(Tables.documents(spark, dir), maxD)
 
-  def editClustersFrom(docs: DataFrame, maxD: Int = 16): DataFrame = {
-    val ids = docs.select(col("doc_id"))
-    val pairs = editDistancePairsFrom(docs, maxD).select("doc_a", "doc_b")
+  def editClustersFrom(docs: DataFrame, maxD: Int = 16): DataFrame =
+    editClustersFromPairs(docs.select(col("doc_id")),
+      editDistancePairsFrom(docs, maxD).select("doc_a", "doc_b"))
+
+  private def editClustersFromPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
     val (labels, _) = componentLabelsAuto(ids, pairs)
     val sizes = labels.groupBy("keeper").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("keeper"))
@@ -1436,17 +1557,8 @@ object Dedup {
     * 3-method sub-census stays the full-SQL `dedup_method_agreement`,
     * and the spec pins this one's exact rows AGAINST it. */
   def methodAgreementFull(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sets: Seq[(String, DataFrame)] = Seq(
-      "containment" -> ngramContainment(spark, dir),
-      "edit" -> editDistancePairsFrom(docs),
-      "jaccard" -> ngramJaccard(spark, dir),
-      "minhash" -> minhashLsh(spark, dir),
-      "simhash" -> simhash(spark, dir))
-    val names = sets.map(_._1)
-    val tagged = sets.map { case (n, df) =>
-      df.select(col("doc_a"), col("doc_b")).withColumn("m", lit(n))
-    }.reduce(_ unionByName _)
+    val names = Seq("containment", "edit", "jaccard", "minhash", "simhash")
+    val tagged = memberPairFrame(spark, dir).select("doc_a", "doc_b", "m")
     val flagCols = names.map(n =>
       max(when(col("m") === n, 1L).otherwise(0L)).as(s"in_$n"))
     val flags = tagged.groupBy(col("doc_a"), col("doc_b"))
@@ -1503,14 +1615,26 @@ object Dedup {
     // to cut one. Recall estimated on the slice's pairs — both sides
     // see the SAME slice, so the ratio is unbiased for within-slice
     // pairs.
-    val docs =
-      if (sampleMod == 1) Tables.documents(spark, dir)
-      else Tables.documents(spark, dir)
-        .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
-    val truth = ngramJaccardFrom(spark, docs, truthThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val found = minhashLshFrom(spark, docs, estThreshold, DefaultMaxBucket)
-      .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
+    val (truth, found) =
+      if (sampleMod == 1 && truthThreshold == 0.2 && estThreshold == 0.4) {
+        // default-threshold full-corpus form: both sides are already
+        // in the shared member-pair frame — filter it instead of
+        // re-running the exact verifier and the banding
+        val m = memberPairFrame(spark, dir)
+        (m.filter(col("m") === "jaccard")
+           .select(col("doc_a"), col("doc_b"), col("score").as("jaccard")),
+         m.filter(col("m") === "minhash")
+           .select(col("doc_a"), col("doc_b"), lit(1L).as("found")))
+      } else {
+        val docs =
+          if (sampleMod == 1) Tables.documents(spark, dir)
+          else Tables.documents(spark, dir)
+            .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod.toLong)) === 0)
+        (ngramJaccardFrom(spark, docs, truthThreshold)
+           .select(col("doc_a"), col("doc_b"), col("jaccard")),
+         minhashLshFrom(spark, docs, estThreshold, DefaultMaxBucket)
+           .select(col("doc_a"), col("doc_b"), lit(1L).as("found")))
+      }
     truth.join(found, Seq("doc_a", "doc_b"), "left")
       .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
         .as("jaccard_decile"), coalesce(col("found"), lit(0L)).as("found"))
@@ -1520,6 +1644,25 @@ object Dedup {
         (sum(col("found")).cast("double") / count(lit(1)).cast("double"))
           .as("recall"))
       .orderBy("jaccard_decile")
+  }
+
+  /** The REGISTERED form of [[lshRecall]]: `sampleMod` scale-tied to
+    * the corpus instead of defaulting to the full quadratic truth
+    * stage — `max(1, ceil(n_docs / targetDocs))`, so the eval's truth
+    * slice is ≤ ~targetDocs docs at EVERY scale factor by
+    * construction (at the gate/bench corpora the auto pick is 1 and
+    * the output is the exhaustive form bit-for-bit; at 10×/100× the
+    * deterministic 1/k doc slice bounds the quadratic stage the way
+    * ann_recall_curve's brute truth stage is bounded). The count is
+    * a parquet-metadata read, not a scan. The exhaustive form stays
+    * callable as `lshRecall(sampleMod = 1)` — the spec pins both. */
+  def lshRecallAuto(spark: SparkSession, dir: String,
+      truthThreshold: Double = 0.2, estThreshold: Double = 0.4,
+      targetDocs: Long = 5000L): DataFrame = {
+    require(targetDocs >= 1, s"targetDocs must be >= 1, got $targetDocs")
+    val n = Tables.documents(spark, dir).count()
+    val mod = math.max(1L, (n + targetDocs - 1) / targetDocs).toInt
+    lshRecall(spark, dir, truthThreshold, estThreshold, sampleMod = mod)
   }
 
   /** SimHash calibration — what a Hamming cut MEANS in Jaccard terms

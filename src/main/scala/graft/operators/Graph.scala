@@ -90,21 +90,51 @@ object Graph {
 
   /** The PPR SERVING table — "related to X" rows a product page or a
     * recommender candidate-generator actually reads: top-`k` random-
-    * walk neighbors for each of the `numSeeds` most-viewed products.
-    * One row per (seed, related product) with the walk score and rank;
-    * the seed itself and unreachable (exactly-0) nodes are excluded.
+    * walk neighbors for each of the `numSeeds` most-transitioned-FROM
+    * products (top outgoing weight in the session-transition graph,
+    * ties to the smallest key). Seeding from the GRAPH rather than the
+    * raw view census matters twice over: a walk from a product that
+    * never co-occurs inside a session has no nonzero neighbors by
+    * construction (every non-seed converges to exactly 0 — the vacuous
+    * table two gate rounds recorded at sf0.01), and the products whose
+    * pages need "related" rows most are exactly the ones users
+    * navigate AWAY from. One row per (seed, related product) with the
+    * walk score and rank; the seed itself and unreachable (exactly-0)
+    * nodes are excluded.
     *
     * Scale shape: the expensive inputs are shared, not repeated — the
-    * edge frame builds and localCheckpoints ONCE and all N walks run
-    * on the pinned copy (`pagerankPrepared`); seeds are a bounded
-    * driver scalar (TakeOrdered-N of the view census, the kmeans-init
-    * class); each walk's output is node-dimension and its top-k is a
-    * TakeOrdered, so the final table is N·k rows. N is a SERVING
-    * choice (the heads everyone asks about), not a coverage claim —
-    * full-catalog related-items at 100 TB would batch seeds per walk
-    * with a seed-keyed rank vector instead. rows-only by design
-    * (iterated float walks); the spec pins bit-identity of each
-    * seed's rows against a standalone single-seed run. */
+    * edge frame builds and localCheckpoints ONCE and feeds both the
+    * seed census (a TakeOrdered-N over the |edges| frame, the
+    * kmeans-init class of driver scalar) and all N walks
+    * (`pagerankPrepared`); each walk's output is node-dimension and
+    * its top-k is a TakeOrdered, so the final table is N·k rows. N is
+    * a SERVING choice (the heads everyone asks about), not a coverage
+    * claim — full-catalog related-items at 100 TB would batch seeds
+    * per walk with a seed-keyed rank vector instead. rows-only by
+    * design (iterated float walks); the spec pins bit-identity of
+    * each seed's rows against a standalone single-seed run. */
+  /** Seed census for the serving tables: top-N nodes by total
+    * outgoing edge weight (ties to the smallest key) — every chosen
+    * seed has ≥1 outgoing transition, so its walk has ≥1 nonzero
+    * neighbor and the serving table is never vacuously empty. */
+  private def topSeeds(edges: DataFrame, numSeeds: Int): Seq[Int] =
+    edges.groupBy(col("src")).agg(sum(col("weight")).as("w"))
+      .orderBy(desc("w"), asc("src")).limit(numSeeds)
+      .collect().map(_.getAs[Int]("src")).toSeq
+
+  /** A transitionless corpus has nothing to relate: the serving
+    * table is honestly EMPTY (correct shape), never an error — tiny
+    * dev slices and cold-start corpora flow through. */
+  private def emptyServingTable(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("seed_product", IntegerType),
+        StructField("related_product", IntegerType),
+        StructField("ppr", DoubleType),
+        StructField("rank", IntegerType))))
+  }
+
   def pprServingTable(spark: SparkSession, dir: String, numSeeds: Int = 3,
       k: Int = 10, iterations: Int = 15, tol: Double = 1e-6,
       checkEvery: Int = 3): DataFrame =
@@ -197,12 +227,10 @@ object Graph {
   def pprServingTableBatchedFrom(e: DataFrame, numSeeds: Int = 3, k: Int = 10,
       iterations: Int = 15, tol: Double = 1e-6,
       checkEvery: Int = 3): DataFrame = {
-    val seeds = e.filter(col("product_k").isNotNull && col("event_type") === "view")
-      .groupBy(col("product_k")).agg(count(lit(1)).as("views"))
-      .orderBy(desc("views"), asc("product_k")).limit(numSeeds)
-      .collect().map(_.getAs[Int]("product_k")).toSeq
-    require(seeds.nonEmpty, "no viewed products to seed from")
-    val ranks = pagerankBatched(productEdgesFrom(e), seeds,
+    val edges = productEdgesFrom(e).localCheckpoint()
+    val seeds = topSeeds(edges, numSeeds)
+    if (seeds.isEmpty) return emptyServingTable(e.sparkSession)
+    val ranks = pagerankBatched(edges, seeds,
       iterations, tol = tol, checkEvery = checkEvery)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seed_product"))
@@ -219,12 +247,9 @@ object Graph {
   def pprServingTableFrom(e: DataFrame, numSeeds: Int = 3, k: Int = 10,
       iterations: Int = 15, tol: Double = 1e-6,
       checkEvery: Int = 3): DataFrame = {
-    val seeds = e.filter(col("product_k").isNotNull && col("event_type") === "view")
-      .groupBy(col("product_k")).agg(count(lit(1)).as("views"))
-      .orderBy(desc("views"), asc("product_k")).limit(numSeeds)
-      .collect().map(_.getAs[Int]("product_k")).toSeq // bounded driver scalar
-    require(seeds.nonEmpty, "no viewed products to seed from")
     val edges = productEdgesFrom(e).localCheckpoint() // ONE build, N walks
+    val seeds = topSeeds(edges, numSeeds) // bounded driver scalar
+    if (seeds.isEmpty) return emptyServingTable(e.sparkSession)
     val perSeed = seeds.map { s =>
       pagerankPrepared(edges, iterations, tol = tol,
         checkEvery = checkEvery, restart = Seq(s))

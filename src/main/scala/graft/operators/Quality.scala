@@ -1910,6 +1910,40 @@ object Quality {
       builtFrom = if (builtFrom.isEmpty) prior else s"$prior;$builtFrom")
   }
 
+  /** Persisted healthy-drift streak for Pipeline's OPT-IN
+    * auto-promotion policy: how many CONSECUTIVE healthy runs have
+    * observed contract drift against the currently pinned artifact.
+    * Stored as an underscore-prefixed sidecar inside the contract dir
+    * (invisible to the parquet reader, the `_SUCCESS` convention) and
+    * keyed to the pinned content fingerprint it was counted AGAINST —
+    * if the artifact changes under the streak (a manual promotion, a
+    * rebuild), the count is void and reads as 0 rather than crediting
+    * evidence gathered against a different contract. */
+  final case class PromotionStreak(streak: Int, againstFp: String)
+
+  private val PromotionStreakFile = "_graft_promotion_streak.json"
+
+  def readPromotionStreak(path: String): Option[PromotionStreak] = {
+    val f = new java.io.File(path, PromotionStreakFile)
+    if (!f.exists()) None
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val json = try src.mkString finally src.close()
+      val field = """"([a-z_]+)"\s*:\s*"([^"]*)"""".r
+      val m = field.findAllMatchIn(json).map(mm => mm.group(1) -> mm.group(2)).toMap
+      for (s <- m.get("streak"); fp <- m.get("against_fp");
+           n <- s.toIntOption)
+        yield PromotionStreak(n, fp)
+    }
+  }
+
+  def writePromotionStreak(path: String, s: PromotionStreak): Unit = {
+    val f = new java.io.File(path, PromotionStreakFile)
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.print(s"""{"streak": "${s.streak}", "against_fp": "${s.againstFp}"}""")
+    finally w.close()
+  }
+
   /** Event-id gap census — the data-COMPLETENESS check
     * `dq_duplicate_check` mirrors from the other side: duplicates say
     * rows arrived twice, id gaps say rows never arrived at all (a

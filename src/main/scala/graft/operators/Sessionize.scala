@@ -398,6 +398,12 @@ object Sessionize {
   def sessionPatternsBucketed(spark: SparkSession, dir: String): DataFrame =
     sessionPatternsBucketedFrom(enriched(spark, dir))
 
+  /** Frame-input plain form — the A/B counterpart of
+    * [[sessionPatternsBucketedFrom]] (the scale probes time both legs
+    * of the pair on the same enriched frame). */
+  def sessionPatternsFrom(e: DataFrame): DataFrame =
+    patternsRollup(sessionSequencesFrom(e))
+
   def sessionPatternsBucketedFrom(e: DataFrame,
       bucketSeconds: Long = BucketSeconds): DataFrame =
     patternsRollup(sessionSequencesBucketedFrom(e, bucketSeconds))

@@ -1401,8 +1401,13 @@ object Similarity {
     * dimensions (the memory/latency knob a serving tier actually
     * turns), what fraction of the full-dim top-k survives? Per dim d:
     * brute top-k under cosine over `slice(embedding, 1, d)` compared
-    * against the full-dim truth set, recall averaged over the query
-    * sample. The same broadcast-query/bounded-pool shape as
+    * against the UNTRUNCATED-embedding truth set (computed from the
+    * full vector, not `slice(..., dims.max)` — so a dims list whose
+    * max falls short of the real embedding dimension is graded
+    * against real truth, and the max(dims) row reads as genuine
+    * truncation recall rather than a trivial 1.0), recall averaged
+    * over the query sample. The same broadcast-query/bounded-pool
+    * shape as
     * `ann_recall_curve` (the eval stage is brute by design — IVF is
     * the serving path); every post-scan frame is ≤ numQueries·k·|dims|
     * rows. Rows-only: float dot products (libm rule). */
@@ -1414,7 +1419,12 @@ object Similarity {
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
     val queries = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = candidates.join(broadcast(queries))
+    // two bounded plans over the same broadcast join (truncated grid
+    // + full-dim truth); NOT checkpointed — materializing the
+    // |corpus|·numQueries pair frame with both vectors would cost
+    // more than the extra scan at corpus scale
+    val pairs = candidates.join(broadcast(queries))
+    val scored = pairs
       .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"),
         explode(typedlit(dims)).as("dim"))
       .select(col("query_id"), col("cand_id"), col("dim"),
@@ -1425,9 +1435,14 @@ object Similarity {
     val topk = scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .localCheckpoint()
-    val fullDim = dims.max
-    val truth = topk.filter(col("dim") === fullDim)
+    // truth from the UNTRUNCATED embedding — independent of dims.max
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(desc("similarity"), asc("cand_id"))
+    val truth = pairs
+      .select(col("query_id"), col("cand_id"),
+        round(expr("cosine_sim(q_emb, c_emb)"), 6).as("similarity"))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"))
     val perQuery = topk
       .join(truth.withColumn("in_truth", lit(1)),

@@ -1103,6 +1103,16 @@ object TextAnalysis {
 
   def corpusMixPlanFrom(docs: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // budgetFrac is interpreted at basis-point precision and the
+    // budget computed as (total · bps) div 10000 in EXACT integer
+    // arithmetic — floor(double(total) · frac) loses ulps past 2^53
+    // tokens and could disagree with mixBudgetCurve's integer grid at
+    // the 50% point on a very large corpus. Long multiply is safe to
+    // ~9.2e14 total tokens (≫ any corpus this runs on; 100 TB of text
+    // is ~2.5e13 tokens).
+    val bps: Long = math.round(budgetFrac * 10000)
+    require(bps >= 0L && bps <= 10000L,
+      s"budgetFrac must be in [0, 1]: $budgetFrac")
     val toks = tokens(col("text"))
     val perSource = docs
       .filter(col("text").isNotNull)
@@ -1119,9 +1129,9 @@ object TextAnalysis {
     val wRank = Window.partitionBy(lit(1))
       .orderBy(col("stop_share").desc, col("source").asc)
     perSource
-      .withColumn("budget",
-        floor(sum(col("n_tokens")).over(wAll).cast("double") * lit(budgetFrac))
-          .cast("long"))
+      .withColumn("total", sum(col("n_tokens")).over(wAll))
+      .withColumn("budget", expr(s"(total * ${bps}L) div 10000"))
+      .drop("total")
       .withColumn("mix_rank", row_number().over(wRank))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(
@@ -1137,6 +1147,7 @@ object TextAnalysis {
   }
 
   def corpusMixPlanSql(budgetFrac: Double = 0.5): String = {
+    val bps: Long = math.round(budgetFrac * 10000)
     val nWords = "len(string_split_regex(trim(text), '\\s+'))"
     s"""WITH s AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1148,8 +1159,7 @@ object TextAnalysis {
        |  SELECT source, n_docs, n_tokens,
        |    CAST(stop_tokens AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE)
        |      AS stop_share,
-       |    CAST(FLOOR(CAST(SUM(n_tokens) OVER () AS DOUBLE) * $budgetFrac)
-       |      AS BIGINT) AS budget
+       |    (CAST(SUM(n_tokens) OVER () AS BIGINT) * $bps) // 10000 AS budget
        |  FROM s
        |), k AS (
        |  SELECT *,

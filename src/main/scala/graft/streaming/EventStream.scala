@@ -448,9 +448,19 @@ object EventStream {
     * duplicate landing later than the horizon is NOT flagged, exactly
     * dropDuplicatesWithinWatermark's bound, and the output carries the
     * declared `horizon` so no consumer can mistake the bounded verdict
-    * for the batch one. The nightly batch `unique` check stays the
-    * unbounded source of truth; this is the live approximation with
-    * its approximation printed on the row. */
+    * for the batch one. State expires from the FIRST-seen event time +
+    * horizon (not the latest arrival) — the exact state lifetime
+    * dropDuplicatesWithinWatermark uses, so the two legs agree on
+    * which re-arrivals are duplicates: a dup within the horizon of a
+    * previous dup but past the horizon of the first is passed through
+    * by BOTH. "First" means first-SEEN: under out-of-order delivery,
+    * if the true earliest event arrives second (within the watermark),
+    * it is emitted as the violation and the stored `first_ts` stays
+    * the later-but-first-seen one — again matching
+    * dropDuplicatesWithinWatermark's keep-first-arrival semantics.
+    * The nightly batch `unique` check stays the unbounded source of
+    * truth; this is the live approximation with its approximation
+    * printed on the row. */
   def uniqueViolations(events: DataFrame, column: String,
       watermark: String = "2 hours", tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -475,8 +485,12 @@ object EventStream {
               (if (state.exists) sorted else sorted.tail).map(r =>
                 UniqueViolation(k, new java.sql.Timestamp(firstMs), r._2))
             state.update(UniqueSeen(firstMs))
+            // expire from first-seen + horizon, NOT the latest
+            // arrival: extending on re-arrival would keep flagging
+            // dups that dropDuplicatesWithinWatermark (state lifetime
+            // = firstSeen + delay) already lets through
             state.setTimeoutTimestamp(math.max(
-              sorted.last._2.getTime + horizon,
+              firstMs + horizon,
               state.getCurrentWatermarkMs() + 1))
             dups.iterator
           }

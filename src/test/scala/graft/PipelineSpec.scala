@@ -699,6 +699,103 @@ class PipelineSpec extends SparkSpec {
       s"a failed gate must not refresh: ${bad.contractDrift}")
   }
 
+  test("auto-promotion: N healthy drifts promote with chained lineage; sick runs and drift-free runs never do") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, v, """{"k":1}""")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def mkDir(vLo: Double, vHi: Double): String = {
+      val dir = Files.createTempDirectory("graft_ap_src").toString
+      ((1 to 30).map(i =>
+        ev(i.toLong, f"2024-03-01 10:${i % 60}%02d:00", 100L + i, "view",
+          vLo + (vHi - vLo) * (i % 2))) :+
+        ev(99L, "2024-03-01 11:00:00", 101L, "purchase", vHi))
+        .toDF(cols: _*).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    def manifest(path: String) = graft.sources.ArtifactManifest.read(path).get
+    // pin on the wide baseline [1, 100]
+    val baseDir = mkDir(1.0, 100.0)
+    val path = Files.createTempDirectory("graft_ap_c").toString + "/contract"
+    operators.Quality.writeSuggestions(
+      operators.Quality.suggestedChecksFrom(Tables.events(spark, baseDir)),
+      path, builtFrom = "baseline")
+    val fp0 = manifest(path).contentFp
+    def out() = Files.createTempDirectory("graft_ap_out").toString
+    val driftDir = mkDir(10.0, 60.0) // healthy, strictly inside → 'narrowed' drift
+    // run 1: healthy drift — streak 1 of 2, NO promotion
+    val r1 = Pipeline.run(spark, driftDir, out(), failFast = false,
+      suggestionsPath = Some(path), autoPromoteAfter = Some(2))
+    assert(r1.passed && r1.contractDrift.nonEmpty && r1.contractPromoted.isEmpty)
+    assert(manifest(path).contentFp == fp0, "streak 1 must not touch the pin")
+    // a SICK run between the healthy drifts: the pinned artifact and
+    // the streak survive untouched — a failed gate can never promote
+    val badDir = mkDir(10.0, 9.9e8)
+    val bad = Pipeline.run(spark, badDir, out(), suggestionsPath = Some(path),
+      autoPromoteAfter = Some(2))
+    assert(!bad.passed && bad.contractPromoted.isEmpty)
+    assert(manifest(path).contentFp == fp0)
+    // run 2: second consecutive healthy drift — the policy fires;
+    // lineage carries the replaced fingerprint AND the policy tag
+    val r2 = Pipeline.run(spark, driftDir, out(), failFast = false,
+      suggestionsPath = Some(path), autoPromoteAfter = Some(2))
+    assert(r2.passed && r2.contractPromoted.nonEmpty,
+      s"streak 2 must promote: drift=${r2.contractDrift}")
+    val m1 = manifest(path)
+    assert(m1.contentFp == r2.contractPromoted.get && m1.contentFp != fp0)
+    assert(m1.builtFrom.contains(s"refreshed-from:$fp0") &&
+      m1.builtFrom.contains("auto-promote:healthy-drift-streak=2"), m1.builtFrom)
+    // run 3: same data against the NEW pin — no drift, streak resets,
+    // nothing promotes
+    val r3 = Pipeline.run(spark, driftDir, out(), failFast = false,
+      suggestionsPath = Some(path), autoPromoteAfter = Some(2))
+    assert(r3.passed && r3.contractDrift.isEmpty && r3.contractPromoted.isEmpty)
+    assert(manifest(path).contentFp == m1.contentFp)
+    // a SECOND promotion cycle chains the lineage two deep
+    val narrower = mkDir(20.0, 50.0)
+    Pipeline.run(spark, narrower, out(), failFast = false,
+      suggestionsPath = Some(path), autoPromoteAfter = Some(2))
+    val r5 = Pipeline.run(spark, narrower, out(), failFast = false,
+      suggestionsPath = Some(path), autoPromoteAfter = Some(2))
+    assert(r5.contractPromoted.nonEmpty)
+    val m2 = manifest(path)
+    assert(m2.builtFrom.contains(s"refreshed-from:${m1.contentFp}"),
+      s"the chain must link pin N to pin N-1: ${m2.builtFrom}")
+    assert(m1.builtFrom.contains(s"refreshed-from:$fp0"),
+      "and pin N-1 to the original — two links deep")
+  }
+
+  test("dated runs refresh drift from full history, not the run-date slice") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, user: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), user, "view", v, """{"k":1}""")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // day 1 spans the wide range [1, 100]; day 2 sits inside [10, 60]
+    val dir = Files.createTempDirectory("graft_cdd_src").toString
+    val day1 = (1 to 30).map(i =>
+      ev(i.toLong, f"2024-03-01 10:${i % 60}%02d:00", 100L + i,
+        1.0 + 99.0 * (i % 2)))
+    val day2 = (31 to 60).map(i =>
+      ev(i.toLong, f"2024-03-02 10:${i % 60}%02d:00", 100L + i,
+        10.0 + 50.0 * (i % 2)))
+    (day1 ++ day2).toDF(cols: _*).write.parquet(s"$dir/events.parquet")
+    // pin from FULL history — observed value range [1, 100]
+    val path = Files.createTempDirectory("graft_cdd_c").toString + "/contract"
+    operators.Quality.writeSuggestions(
+      operators.Quality.suggestedChecksFrom(Tables.events(spark, dir)),
+      path, builtFrom = "baseline")
+    // a healthy DATED run on day 2: the one-day slice observes only
+    // [10, 60], so a slice-scoped refresh would report a spurious
+    // 'narrowed' on every healthy daily run; full-history refresh
+    // (up to the run date = all data here) must report NO drift
+    val out = Files.createTempDirectory("graft_cdd_out").toString
+    val r = Pipeline.run(spark, dir, out, failFast = false,
+      dates = Seq("2024-03-02"), suggestionsPath = Some(path))
+    assert(r.passed, s"the dated run must pass the gate: ${r.failedChecks}")
+    assert(r.contractDrift.isEmpty,
+      s"an unchanged history must report zero drift on a dated run: ${r.contractDrift}")
+  }
+
   test("pipeline validates, gates, and writes idempotent marts") {
     val out = Files.createTempDirectory("graft_pipeline").toString
     val r1 = Pipeline.run(spark, Sf, out)
@@ -1505,6 +1602,41 @@ class ReportingSpec extends SparkSpec {
     assert(text2.contains("- s0: 55 bpe tokens ingested (3 docs / 40 words)"))
     assert(text2.contains("- s1: 12 bpe tokens ingested"))
     assertValidJson(payload2)
+  }
+
+  test("corpus report surfaces the dedup method-agreement census; a planted shift moves the line") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"word$i")
+    def mkCorpus(partner: Seq[String]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rep_agree").toString
+      Seq((1L, w.mkString(" ")), (2L, partner.mkString(" ")),
+        (3L, (1 to 30).map(i => s"other$i").mkString(" ")))
+        .map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // day 1: the near-pair is an edit TWIN (1 char) — jaccard and
+    // edit both own it, their agreement line reads 100%
+    val twinDir = mkCorpus(w.updated(5, "word6x"))
+    val (t1, p1) = CorpusPipeline.dailyReport(spark, twinDir, "2024-01-15",
+      includeAgreement = true)
+    assert(t1.contains("[dedup method agreement]"), t1)
+    assert(t1.contains("- edit vs jaccard: 1 / 1 pairs | both 1 | agreement 100.0%"),
+      s"twin corpus must read full edit/jaccard agreement:\n$t1")
+    assertValidJson(p1)
+    // day 2 (the planted SHIFT): the pair becomes a block ROTATION —
+    // shingles survive (jaccard keeps it) but the character edit mass
+    // explodes (edit drops it): the agreement line falls to 0 and the
+    // report is where a reader SEES the modalities diverge
+    val rotDir = mkCorpus(w.drop(20) ++ w.take(20))
+    val (t2, _) = CorpusPipeline.dailyReport(spark, rotDir, "2024-01-16",
+      includeAgreement = true)
+    assert(t2.contains("- edit vs jaccard: 0 / 1 pairs | both 0 | agreement 0.0%"),
+      s"rotation corpus must show the agreement drop:\n$t2")
+    // the section is opt-in: the default report carries no census
+    val (t3, _) = CorpusPipeline.dailyReport(spark, twinDir, "2024-01-17")
+    assert(!t3.contains("[dedup method agreement]"))
   }
 
   test("corpus report renders the funnel/mix/budget frames; payload is valid Block Kit") {

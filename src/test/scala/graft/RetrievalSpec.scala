@@ -296,7 +296,21 @@ class RetrievalSpec extends SparkSpec {
     val e = EventMarts.enrich(ev)
     val table = Graph.pprServingTableFrom(e, numSeeds = 3, k = 5).collect()
     val seeds = table.map(_.getAs[Int]("seed_product")).distinct.sorted.toSeq
-    assert(seeds == Seq(1, 2, 3), s"view census must pick seeds 1,2,3: $seeds")
+    assert(seeds == Seq(1, 2, 3),
+      s"out-weight census must pick seeds 1,2,3 (weights 2,3,2): $seeds")
+    // graph-derived seeds make the table non-vacuous BY CONSTRUCTION
+    // wherever transitions exist: every seed has ≥1 outgoing edge, so
+    // ≥1 nonzero neighbor — the registered forms must produce rows at
+    // GATE scale (sf0.01, where the view-census seeds sat at
+    // spark_rows 0 for two rounds); the transitionless sf0.001 slice
+    // returns the honest EMPTY table, not an error
+    val gate = "/root/testdata/sf0.01"
+    assert(Graph.pprServingTable(spark, gate).count() > 0,
+      "ppr_related_products must exercise rows at gate scale")
+    assert(Graph.pprServingTableBatched(spark, gate).count() > 0,
+      "ppr_related_products_batched must exercise rows at gate scale")
+    assert(Graph.pprServingTable(spark, Sf).count() == 0,
+      "a transitionless corpus reads as an empty serving table")
     // each seed's block bit-matches a STANDALONE single-seed run
     seeds.foreach { s =>
       val standalone = Graph.pagerankFrom(Graph.productEdgesFrom(e),

@@ -1746,6 +1746,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unique leg state expires from FIRST-seen + horizon and keeps first-SEEN under out-of-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF.toDF("event_id", "ts")
+    val q = EventStream.uniqueViolations(df, "event_id")
+      .writeStream.format("memory").queryName("uniq_exp")
+      .outputMode("append").start()
+    try {
+      // key 7: first 10:00, dup 11:30 — flagged (within 2 h of first)
+      mem.addData((7L, ts("2024-01-02 10:00:00")), (7L, ts("2024-01-02 11:30:00")))
+      q.processAllAvailable()
+      // key 8 arrives at 10:30 FIRST; its true-earlier 10:10 event
+      // lands in a later batch (in-watermark): first-SEEN wins — the
+      // stored first_ts stays 10:30 and the 10:10 arrival is the
+      // violation, exactly dropDuplicatesWithinWatermark's keep-first
+      mem.addData((8L, ts("2024-01-02 10:30:00")))
+      q.processAllAvailable()
+      mem.addData((8L, ts("2024-01-02 10:10:00")))
+      q.processAllAvailable()
+      val early = spark.table("uniq_exp").collect()
+        .filter(_.getAs[String]("value") == "8")
+      assert(early.length == 1)
+      assert(early.head.getAs[java.sql.Timestamp]("first_ts") == ts("2024-01-02 10:30:00"))
+      assert(early.head.getAs[java.sql.Timestamp]("dup_ts") == ts("2024-01-02 10:10:00"))
+      // advance the watermark past key 7's FIRST + horizon (12:00)
+      // but NOT past its last dup + horizon (13:30): two filler
+      // batches (eviction reads the previous batch's watermark)
+      mem.addData((90L, ts("2024-01-02 14:30:00"))); q.processAllAvailable()
+      mem.addData((91L, ts("2024-01-02 14:31:00"))); q.processAllAvailable()
+      // key 7 re-arrives at 12:40 — within 2 h of the PREVIOUS dup
+      // (11:30) but past the horizon of the FIRST (10:00): state has
+      // expired from first+horizon, so this is a NEW first, not a
+      // violation; dropDuplicatesWithinWatermark passes it through
+      // identically, which is the correspondence this leg claims
+      mem.addData((7L, ts("2024-01-02 12:40:00"))); q.processAllAvailable()
+      val k7 = spark.table("uniq_exp").collect()
+        .filter(_.getAs[String]("value") == "7")
+      assert(k7.length == 1,
+        s"a dup past first+horizon must NOT flag even if within last-dup+horizon: ${k7.toSeq}")
+      assert(k7.head.getAs[java.sql.Timestamp]("dup_ts") == ts("2024-01-02 11:30:00"))
+    } finally q.stop()
+  }
+
   test("first-touch log maintenance: rotate-and-absorb compaction preserves the look table") {
     import java.nio.file.Files
     import spark.implicits._

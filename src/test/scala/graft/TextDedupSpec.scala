@@ -1801,6 +1801,17 @@ class DedupSpec extends SparkSpec {
       assert(gotF == brute,
         s"PassJoin recall must be complete: missing ${brute.keySet -- gotF.keySet}, " +
           s"extra ${gotF.keySet -- brute.keySet}")
+      // the Bloom-pruned probe path (normally armed only past the
+      // adaptive doc floor) must be pair-for-pair identical — a bloom
+      // has no false negatives by construction, and this pins it
+      val floor = Dedup.candBloomMinDocs
+      try {
+        Dedup.candBloomMinDocs = 0L
+        val gotB = Dedup.editDistancePairsFrom(fuzz, maxD = 16).collect()
+          .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+            r.getAs[Int]("edit_distance"))).toMap
+        assert(gotB == brute, "the bloomed probe path must keep complete recall")
+      } finally Dedup.candBloomMinDocs = floor
     }
     // registry form: pairs exist at sf, all within the bound, ordered
     val sf = Dedup.editDistancePairs(spark, Sf).collect()
@@ -1828,6 +1839,15 @@ class DedupSpec extends SparkSpec {
     assert(got(4) == ((1.0, 1L)), s"full dim is its own truth: $got")
     assert(got(2) == ((0.0, 1L)),
       s"the prefix decoy must displace the true neighbor at dim 2: $got")
+    // truth comes from the UNTRUNCATED embedding: a dims list whose
+    // max (2) falls short of the real dimension (4) must still grade
+    // against full-vector truth — the max(dims) row reads 0.0 here,
+    // not the trivial 1.0 the old topk-derived truth would report
+    val gotShort = Similarity.recallVsDim(spark, dir, numQueries = 1,
+      k = 1, dims = Seq(2)).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("mean_recall")).toMap
+    assert(gotShort(2) == 0.0,
+      s"max(dims) below the real dimension must not self-grade: $gotShort")
     // registry form at sf: recall non-decreasing toward full dim at
     // the mean level would be too strong (truncation is lossy, not
     // monotone per query) — pin the invariants that must hold: full
@@ -1955,6 +1975,60 @@ class DedupSpec extends SparkSpec {
     // minhash exists to approximate jaccard: on the sf corpus their
     // overlap is nonempty (the near-dup plants are caught by both)
     assert(full(("jaccard", "minhash")).getAs[Long]("n_both") > 0L)
+  }
+
+  test("member-pair cache: one build serves the eval family, outputs match fresh generators, rewrites miss") {
+    import spark.implicits._
+    // ONE generator sweep serves all four composites in a session
+    Dedup.clearMemberPairCache()
+    val before = Dedup.memberPairBuilds.get()
+    Dedup.methodAgreementFull(spark, Sf).collect()
+    Dedup.methodAgreement(spark, Sf).collect()
+    val recall = Dedup.lshRecall(spark, Sf).collect()
+    Dedup.editClusters(spark, Sf).count()
+    assert(Dedup.memberPairBuilds.get() == before + 1,
+      "the eval family must share ONE member-pair build")
+    // the cached lshRecall is bit-identical to deciles recomputed
+    // from the FRESH generators (zero semantic change)
+    val truthPairs = Dedup.ngramJaccard(spark, Sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val foundPairs = Dedup.minhashLsh(spark, Sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = truthPairs.groupBy { case (_, j) => math.min((j * 10).toInt, 9) }
+      .map { case (d, m) =>
+        d -> ((m.size.toLong, m.keys.count(foundPairs).toLong)) }
+    val got = recall.map(r => r.getAs[Int]("jaccard_decile") ->
+      ((r.getAs[Long]("n_truth"), r.getAs[Long]("n_found")))).toMap
+    assert(got == expected, s"cached recall drifted from fresh generators:\n$got\nvs\n$expected")
+    // the auto (registered) form picks mod 1 at gate scale -> the
+    // exhaustive rows bit-for-bit; a corpus past the target picks a
+    // real slice (strictly fewer truth docs than the exhaustive form)
+    val auto = Dedup.lshRecallAuto(spark, Sf).collect()
+    assert(auto.map(_.toSeq).toSeq == recall.map(_.toSeq).toSeq)
+    val autoCapped = Dedup.lshRecallAuto(spark, Sf, targetDocs = 100L).collect()
+    assert(autoCapped.map(_.getAs[Long]("n_truth")).sum <
+      recall.map(_.getAs[Long]("n_truth")).sum,
+      "a sub-corpus target must engage the deterministic slice")
+    // freshness: REWRITING the corpus under the same dir must MISS
+    // (new part-file names), never serve the previous corpus's pairs
+    def mk(tag: String) = (1 to 12).map(i =>
+      (i.toLong, (1 to 40).map(j => s"${tag}_w${j}_${i % 3}").mkString(" "),
+        "en", "spec", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mpc").toString
+    mk("v1").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v1 = Dedup.methodAgreementFull(spark, dir).collect()
+      .map(r => r.toSeq).toSeq
+    val builds = Dedup.memberPairBuilds.get()
+    mk("v2").limit(6).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.methodAgreementFull(spark, dir).collect()
+    assert(Dedup.memberPairBuilds.get() == builds + 1,
+      "a rewritten corpus must rebuild, not serve the stale frame")
+    // and an unchanged dir HITS
+    Dedup.methodAgreement(spark, dir).collect()
+    assert(Dedup.memberPairBuilds.get() == builds + 1)
+    assert(v1.nonEmpty)
   }
 
   test("edit clusters: transitive collapse to the min-id keeper; short docs stay singletons") {
@@ -2259,6 +2333,26 @@ class DedupSpec extends SparkSpec {
     val (n2, fp2) = Dedup.appendChunkIndex(spark, batch, dir, "documents:b1")
     assert(n2 == 0L && fp2 == fp1)
     assert(Dedup.loadChunkIndex(spark, dir)._2 == fp1)
+  }
+
+  test("LongBloom: zero false negatives by construction; fpp in the designed band; build matches insert") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val keys = Array.fill(20000)(rnd.nextLong())
+    val (bits, k) = graft.functions.LongBloom.sized(keys.length.toLong, 0.01)
+    keys.foreach(graft.functions.LongBloom.insert(bits, k, _))
+    // NO false negative is possible — every inserted key answers true
+    assert(keys.forall(graft.functions.LongBloom.contains(bits, k, _)))
+    // false-positive rate on fresh keys stays near the designed 1%
+    val fresh = Array.fill(20000)(rnd.nextLong()).filterNot(keys.contains)
+    val fp = fresh.count(graft.functions.LongBloom.contains(bits, k, _))
+    assert(fp < fresh.length * 0.03, s"fp rate ${fp.toDouble / fresh.length}")
+    // the distributed build (treeAggregate) produces the same filter
+    // as driver-side inserts — lookup arithmetic is build arithmetic
+    val (built, k2) = graft.functions.LongBloom.build(
+      keys.toSeq.toDF("h"), "h", keys.length.toLong, 0.01)
+    assert(k2 == k && java.util.Arrays.equals(built, bits),
+      "distributed and local builds must be bit-identical")
   }
 
   test("chunk index artifact: stamped save/load round-trips; corruption refuses") {
