@@ -137,10 +137,16 @@ object Reporting {
     *   reads here BEFORE the day it breaks the gate); empty omits the
     *   section entirely, keeping byte-parity for reports without a
     *   wired contract. */
+  /** @param contractPromoted the new pinned contract fingerprint when
+    *   the run's opt-in auto-promotion fired (`Result
+    *   .contractPromoted`) — an operational event the report reader
+    *   must SEE (the gate's reference just changed under them), so it
+    *   leads the drift section when present. */
   def dailyReport(executionDate: String,
       userSummary: Option[Row], funnel: Seq[Row], topProducts: Seq[Row],
       orderSummary: Option[Row], payments: Seq[Row],
-      contractDrift: Seq[(String, String, String)] = Nil): String = {
+      contractDrift: Seq[(String, String, String)] = Nil,
+      contractPromoted: Option[String] = None): String = {
     val user = userSummary.map { r =>
       Seq(
         s"- active users: ${num(r.getAs[Long]("active_users"))}",
@@ -191,9 +197,12 @@ object Reporting {
       (base ++ dist).mkString("\n")
     }.getOrElse("no data")
 
+    val promotedLine = contractPromoted.map(fp =>
+      s"- CONTRACT AUTO-PROMOTED: pinned contract refreshed to " +
+        s"${fp.take(12)}… this run (healthy-drift streak policy)\n").getOrElse("")
     val driftSection =
-      if (contractDrift.isEmpty) ""
-      else "\n[contract drift]\n" + contractDrift.sorted.map {
+      if (contractDrift.isEmpty && contractPromoted.isEmpty) ""
+      else "\n[contract drift]\n" + promotedLine + contractDrift.sorted.map {
         case (c, k, ch) => s"- $c ($k): $ch"
       }.mkString("\n") + "\n"
 

@@ -56,9 +56,14 @@ object ScaleProbe {
       * the corpus vocabulary is a small fixed set (collected once),
       * and each replica's alphabet is re-seeded until its ciphered
       * vocab image is disjoint from every earlier replica's — token-
-      * level cross-rep disjointness is then exact, and a ≥17-char
-      * cross-rep segment match (which must contain a full equal
-      * token) is excluded with it. Disjointness is enforced for words
+      * level cross-rep disjointness is then exact, and a wide (≥3
+      * chars per segment) cross-rep PassJoin segment match, which
+      * must contain a full equal token, is excluded with it. (The
+      * short-DOC tier — len ≲ 3·maxD, width-1/2 segments — still
+      * matches across reps; that is PassJoin's inherent density
+      * boundary for near-vacuous bounds, present on ANY corpus with
+      * short docs, ~16% of sf1 candidates — see the operator's
+      * scaladoc.) Disjointness is enforced for words
       * of length ≥ 3 only — a 1-char word has 26 possible images
       * total (the corpus vocab contains "a", which exhausts them at
       * rep 26), and a shared ≤2-char token across two reps is

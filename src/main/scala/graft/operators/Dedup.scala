@@ -543,7 +543,16 @@ object Dedup {
     * the width bucket and applied exactly post-join. RECALL IS
     * COMPLETE for pairs with both lengths ≥
     * maxD+1 — the only boundary left is sub-(maxD+1)-char docs, where
-    * "within 16 edits" is vacuous anyway. Probe emission is the
+    * "within 16 edits" is vacuous anyway. One DENSITY boundary is
+    * inherent rather than a blocking defect: docs with len ≲ 3·maxD
+    * get width-1/2 segments that match broadly — but ANY exact
+    * blocking degrades there ("within maxD edits" barely constrains
+    * strings ~2·maxD long, so the short tier is near-all-pairs within
+    * its length band information-theoretically; its candidate mass
+    * grows quadratically in its own doc count). At true corpus scale
+    * either gate it (a ≤50-char "document" is rarely dedup-worthy at
+    * d=16) or shard it into its own length-band join; the measured
+    * probe corpora carry it fine (~16% of candidates). Probe emission is the
     * published O(maxD²) substrings per doc (≈(maxD+1)(2maxD+1)·3
     * short rows) — bounded per row, shuffle-friendly, never
     * all-pairs. The distance itself is the threshold form (banded

@@ -1821,5 +1821,13 @@ class ReportingSpec extends SparkSpec {
     assert(withDrift.contains("[contract drift]"))
     assert(withDrift.contains("- value (range): widened"))
     assert(withDrift.contains("- event_type (isin): domain_grew"))
+    // an auto-promotion leads the drift section — the reader must see
+    // that the gate's reference changed under them this run
+    val promoted = Reporting.dailyReport(date, None, Nil, Nil, None, Nil,
+      contractDrift = Seq(("value", "range", "widened")),
+      contractPromoted = Some("abcdef0123456789"))
+    assert(promoted.contains("CONTRACT AUTO-PROMOTED"))
+    assert(promoted.contains("abcdef012345"))
+    assert(promoted.indexOf("AUTO-PROMOTED") < promoted.indexOf("- value (range)"))
   }
 }
