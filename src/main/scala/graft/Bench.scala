@@ -23,7 +23,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    smaller reading is re-emitted (`"remeasured":true`, both
   *    readings kept). Round 5's driver record carried four 12–22×
   *    contention spikes as query numbers; a 1-second re-run corrects
-  *    that class without paying double wall clock for every query. */
+  *    that class without paying double wall clock for every query.
+  *
+  * Memoized families (the Dedup member-pair frame, the quality-LR
+  * trained model): the bench runs every query in ONE session, so the
+  * first family member to run pays the shared build and the rest read
+  * it warm — by design, because that is the session-grain cost a real
+  * consumer pays. Consequence for the record: the payer's `min` can
+  * be a warm re-run (repeat or outlier legs) while its `max` keeps
+  * the cold build cost; read family cold cost from `max`, amortized
+  * cost from `min`. A fresh-JVM per-query harness would re-pay the
+  * build N times and overstate the family by (N-1) builds. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3698,12 +3698,14 @@ object TextAnalysis {
     * bit-reproducible cross-engine; the spec pins exact separation on
     * planted corpora and baseline-beating agreement at sf. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    qualityClassifierFrom(spark, Tables.documents(spark, dir))
+    renderQualityLr(spark, trainedQualityLr(spark, dir))
 
   def qualityClassifierFrom(spark: SparkSession, docs: DataFrame,
-      iters: Int = 40, step: Double = 1.0): DataFrame = {
+      iters: Int = 40, step: Double = 1.0): DataFrame =
+    renderQualityLr(spark, trainQualityLr(docs, iters, step))
+
+  private def renderQualityLr(spark: SparkSession, m: LrModel): DataFrame = {
     import spark.implicits._
-    val m = trainQualityLr(docs, iters, step)
     val rows = LrFeatureNames.zipWithIndex.map { case (nme, j) =>
       (nme, m.wStd(j), m.wStd(j) / m.std(j), m.mean(j), m.std(j))
     } :+ (("__intercept__", m.bStd,
@@ -3712,6 +3714,41 @@ object TextAnalysis {
       m.loss0, m.lossF))
     rows.toDF("feature", "weight_std", "weight_raw", "feature_mean", "feature_std")
       .orderBy("feature")
+  }
+
+  // ---- shared trained-model memo for the classifier family ----
+  // quality_classifier / _eval / _calibration (and saveQualityLr) all
+  // consume the SAME trained model at registry defaults; training is
+  // deterministic given the corpus and (iters, step) — a fixed round
+  // count of exact map-combined aggregates, no RNG — so three
+  // trainings in one session are pure waste (~5-6 s apiece at sf0.1,
+  // three of the seven slowest bench entries). The memo is the
+  // Dedup.memberPairFrame discipline verbatim: keyed by
+  // (applicationId, fp(dir + sorted input files + hyperparams)) so a
+  // rewritten corpus or a new SparkContext always MISSES (the held
+  // LrModel carries a localCheckpointed feature frame valid only
+  // within its own context), bounded, explicitly clearable. `*From`
+  // forms (arbitrary frames — no cheap identity) stay uncached.
+  private val QualityLrCacheMax = 8
+  private val qualityLrCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), LrModel]()
+  private[graft] val qualityLrTrainings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def clearQualityLrCache(): Unit = qualityLrCache.clear()
+
+  private[graft] def trainedQualityLr(spark: SparkSession, dir: String,
+      iters: Int = 40, step: Double = 1.0): LrModel = {
+    val docs = Tables.documents(spark, dir)
+    val fp = graft.sources.ArtifactManifest.fp(
+      (dir +: docs.inputFiles.sorted :+ s"iters=$iters" :+ s"step=$step")
+        .mkString("\n"))
+    val key = (spark.sparkContext.applicationId, fp)
+    if (qualityLrCache.size() > QualityLrCacheMax) qualityLrCache.clear()
+    qualityLrCache.computeIfAbsent(key, _ => {
+      qualityLrTrainings.incrementAndGet()
+      trainQualityLr(docs, iters, step)
+    })
   }
 
   private[graft] case class LrModel(wStd: Array[Double], bStd: Double,
@@ -3770,12 +3807,14 @@ object TextAnalysis {
     * the checkpointed standardized features with the weights as
     * literals. */
   def qualityClassifierEval(spark: SparkSession, dir: String): DataFrame =
-    qualityClassifierEvalFrom(spark, Tables.documents(spark, dir))
+    renderQualityLrEval(trainedQualityLr(spark, dir))
 
   def qualityClassifierEvalFrom(spark: SparkSession, docs: DataFrame,
-      iters: Int = 40, step: Double = 1.0): DataFrame = {
+      iters: Int = 40, step: Double = 1.0): DataFrame =
+    renderQualityLrEval(trainQualityLr(docs, iters, step))
+
+  private def renderQualityLrEval(m: LrModel): DataFrame = {
     val k = LrFeatureNames.size
-    val m = trainQualityLr(docs, iters, step)
     val zlin = (0 until k).map(j => col(s"z$j") * m.wStd(j)).reduce(_ + _) + lit(m.bStd)
     val p = lit(1.0) / (lit(1.0) + exp(-zlin))
     m.features
@@ -3797,12 +3836,14 @@ object TextAnalysis {
     * (mean_p − label_rate) is the per-bin overconfidence. Rows-only
     * (sigmoid = exp); same one-scan feature projection as the eval. */
   def qualityClassifierCalibration(spark: SparkSession, dir: String): DataFrame =
-    qualityClassifierCalibrationFrom(spark, Tables.documents(spark, dir))
+    renderQualityLrCalibration(trainedQualityLr(spark, dir))
 
   def qualityClassifierCalibrationFrom(spark: SparkSession, docs: DataFrame,
-      iters: Int = 40, step: Double = 1.0): DataFrame = {
+      iters: Int = 40, step: Double = 1.0): DataFrame =
+    renderQualityLrCalibration(trainQualityLr(docs, iters, step))
+
+  private def renderQualityLrCalibration(m: LrModel): DataFrame = {
     val k = LrFeatureNames.size
-    val m = trainQualityLr(docs, iters, step)
     val zlin = (0 until k).map(j => col(s"z$j") * m.wStd(j)).reduce(_ + _) + lit(m.bStd)
     val p = lit(1.0) / (lit(1.0) + exp(-zlin))
     m.features
@@ -3841,7 +3882,7 @@ object TextAnalysis {
       iters: Int = 40, step: Double = 1.0): LrScorer = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val m = trainQualityLr(docs, iters, step)
+    val m = trainedQualityLr(spark, dir, iters, step)
     val scorer = LrScorer(
       LrFeatureNames.zipWithIndex.map { case (nme, j) =>
         (nme, m.wStd(j), m.mean(j), m.std(j)) }, m.bStd)

@@ -556,6 +556,61 @@ class QualityClassifierSpec extends SparkSpec {
       !r.getAs[Double]("weight_raw").isNaN))
   }
 
+  test("trained-model memo: one training serves the family, outputs match fresh, rewrites miss") {
+    import spark.implicits._
+    def close(a: Double, b: Double): Boolean =
+      (a - b).abs <= 1e-9 * math.max(1.0, math.max(a.abs, b.abs))
+    TextAnalysis.clearQualityLrCache()
+    val before = TextAnalysis.qualityLrTrainings.get()
+    val model = TextAnalysis.qualityClassifier(spark, Sf).collect()
+    val eval = TextAnalysis.qualityClassifierEval(spark, Sf).collect()
+    val calib = TextAnalysis.qualityClassifierCalibration(spark, Sf).collect()
+    assert(TextAnalysis.qualityLrTrainings.get() == before + 1,
+      "the classifier family must share ONE training per corpus")
+    // cached outputs match a FRESH training at registry defaults
+    // (training is a fixed round count of exact aggregates; fresh
+    // partial-sum merge order can differ at the last ulp, so doubles
+    // compare at tolerance, structure and counts exactly)
+    val docs = Tables.documents(spark, Sf)
+    val fresh = TextAnalysis.qualityClassifierFrom(spark, docs).collect()
+    assert(model.map(_.getString(0)).toSeq == fresh.map(_.getString(0)).toSeq)
+    assert(model.zip(fresh).forall { case (a, b) =>
+      (1 to 4).forall(j => close(a.getDouble(j), b.getDouble(j))) },
+      "cached model drifted from a fresh training")
+    val freshEval = TextAnalysis.qualityClassifierEvalFrom(spark, docs).collect()
+    assert(eval.map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_docs"))).toSeq ==
+      freshEval.map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_docs"))).toSeq)
+    val freshCalib = TextAnalysis.qualityClassifierCalibrationFrom(spark, docs).collect()
+    assert(calib.map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_docs"))).toSeq ==
+      freshCalib.map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_docs"))).toSeq)
+    // non-default hyperparams key separately: a iters=20 save must
+    // train its own model, never serve the iters=40 one
+    val trained = TextAnalysis.qualityLrTrainings.get()
+    val dir0 = java.nio.file.Files.createTempDirectory("graft_qlrm").toString
+    TextAnalysis.saveQualityLr(spark, Sf, s"$dir0/qlr", iters = 20)
+    assert(TextAnalysis.qualityLrTrainings.get() == trained + 1)
+    // ...and a repeat save at the same hyperparams HITS
+    TextAnalysis.saveQualityLr(spark, Sf, s"$dir0/qlr", iters = 20)
+    assert(TextAnalysis.qualityLrTrainings.get() == trained + 1)
+    // freshness: REWRITING the corpus under the same dir must MISS
+    // (new part-file names), never serve the previous corpus's model
+    def mk(tag: String, n: Int) = (1 to n).map(i =>
+      (i.toLong, (1 to 40).map(j => s"${tag}_w${j}_$i").mkString(" "),
+        "en", "spec", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qlrf").toString
+    mk("v1", 12).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextAnalysis.qualityClassifier(spark, dir).collect()
+    val builds = TextAnalysis.qualityLrTrainings.get()
+    mk("v2", 6).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextAnalysis.qualityClassifier(spark, dir).collect()
+    assert(TextAnalysis.qualityLrTrainings.get() == builds + 1,
+      "a rewritten corpus must retrain, not serve the stale model")
+    // and an unchanged dir HITS across family members
+    TextAnalysis.qualityClassifierEval(spark, dir).collect()
+    assert(TextAnalysis.qualityLrTrainings.get() == builds + 1)
+  }
+
   test("scorer artifact: save/load round-trip, batch == stream scores bit-for-bit, tamper fails loud") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_qlr").toString
