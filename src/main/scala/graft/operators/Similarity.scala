@@ -285,10 +285,40 @@ object Similarity {
     * nlist centroid vectors cross the driver between iterations — the
     * same index metadata `ivfTopKWith` embeds as a literal; empty
     * cells keep their previous centroid. */
+  // ---- shared trained-quantizer memo ----
+  // Nine registry queries (ivf_kmeans, pq/ivfpq, semdedup, knn graph/
+  // classify, topic mix, topic-balanced sampling, recall curve) train
+  // the SAME k-means quantizer at registry defaults; training is
+  // bit-deterministic (hash-ordered seeding, per-dim sums as rounded
+  // bigints — order-independent exact aggregates), so per-query
+  // retraining in one session is pure waste. Same memo discipline as
+  // Dedup.memberPairFrame / TextAnalysis.trainedQualityLr: keyed by
+  // (applicationId, fp(dir + sorted input files + hyperparams)) so a
+  // rewritten corpus or a new context always misses; bounded;
+  // explicitly clearable. The value is a driver-side Seq (no
+  // context-bound resources). `kmeansCentroidsFrom` (arbitrary
+  // frames, custom init) stays uncached.
+  private val KmeansCacheMax = 16
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Int, Array[Float])]]()
+  private[graft] val kmeansTrainings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def clearKmeansCache(): Unit = kmeansCache.clear()
+
   def kmeansCentroids(spark: SparkSession, dir: String, nlist: Int = 10,
-                      iters: Int = 3): Seq[(Int, Array[Float])] =
-    kmeansCentroidsFrom(
-      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), nlist, iters)
+                      iters: Int = 3): Seq[(Int, Array[Float])] = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val fp = graft.sources.ArtifactManifest.fp(
+      (dir +: e.inputFiles.sorted :+ s"nlist=$nlist" :+ s"iters=$iters")
+        .mkString("\n"))
+    val key = (spark.sparkContext.applicationId, fp)
+    if (kmeansCache.size() > KmeansCacheMax) kmeansCache.clear()
+    kmeansCache.computeIfAbsent(key, _ => {
+      kmeansTrainings.incrementAndGet()
+      kmeansCentroidsFrom(e, nlist, iters)
+    })
+  }
 
   private[graft] def kmeansCentroidsFrom(e0: DataFrame, nlist: Int,
                                          iters: Int,
@@ -1031,10 +1061,37 @@ object Similarity {
     * IVF sizing) — nothing here is all-pairs, and recall tunes with
     * nProbe, never by re-indexing. Rows-only oracle (approximate);
     * spec pins structure + recall vs exact brute-force. */
+  // The dir-grain graph is shared downstream (ann_knn_graph,
+  // embedding_clusters' LPA, ann_knn_classify's vote join) and is
+  // deterministic end-to-end (memoized quantizer, similarity rounded
+  // to 6 decimals, id tiebreaks), so one session builds it ONCE —
+  // the memberPairFrame discipline: localCheckpointed, keyed by
+  // (applicationId, fp(dir + files + params)), bounded, clearable.
+  // `annKnnGraphWith` (arbitrary frames/centroids) stays uncached.
+  private val KnnGraphCacheMax = 8
+  private val knnGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private[graft] val knnGraphBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def clearKnnGraphCache(): Unit = knnGraphCache.clear()
+
   def annKnnGraph(spark: SparkSession, dir: String, k: Int = 5,
-                  nProbe: Int = 2, nlist: Int = 10, iters: Int = 3): DataFrame =
-    annKnnGraphWith(spark, Tables.embeddings(spark, dir),
-      kmeansCentroids(spark, dir, nlist, iters), k, nProbe)
+                  nProbe: Int = 2, nlist: Int = 10, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val fp = graft.sources.ArtifactManifest.fp(
+      (dir +: e.inputFiles.sorted :+
+        s"k=$k" :+ s"nProbe=$nProbe" :+ s"nlist=$nlist" :+ s"iters=$iters")
+        .mkString("\n"))
+    val key = (spark.sparkContext.applicationId, fp)
+    if (knnGraphCache.size() > KnnGraphCacheMax) knnGraphCache.clear()
+    knnGraphCache.computeIfAbsent(key, _ => {
+      knnGraphBuilds.incrementAndGet()
+      annKnnGraphWith(spark, e,
+        kmeansCentroids(spark, dir, nlist, iters), k, nProbe)
+        .localCheckpoint()
+    })
+  }
 
   private[graft] def annKnnGraphWith(spark: SparkSession, e: DataFrame,
       cents: Seq[(Int, Array[Float])], k: Int, nProbe: Int): DataFrame = {
@@ -1133,13 +1190,15 @@ object Similarity {
     * clusters. */
   def annKnnClassify(spark: SparkSession, dir: String, k: Int = 5,
                      nProbe: Int = 2, nlist: Int = 10, iters: Int = 3): DataFrame =
-    annKnnClassifyFrom(spark, Tables.embeddings(spark, dir),
-      kmeansCentroids(spark, dir, nlist, iters), k, nProbe)
+    classifyFromGraph(annKnnGraph(spark, dir, k, nProbe, nlist, iters),
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label")))
 
   private[graft] def annKnnClassifyFrom(spark: SparkSession, e: DataFrame,
-      cents: Seq[(Int, Array[Float])], k: Int, nProbe: Int): DataFrame = {
-    val graph = annKnnGraphWith(spark, e, cents, k, nProbe)
-    val labels = e.select(col("vec_id"), col("label"))
+      cents: Seq[(Int, Array[Float])], k: Int, nProbe: Int): DataFrame =
+    classifyFromGraph(annKnnGraphWith(spark, e, cents, k, nProbe),
+      e.select(col("vec_id"), col("label")))
+
+  private def classifyFromGraph(graph: DataFrame, labels: DataFrame): DataFrame = {
     val votes = graph
       .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
         "neighbor_id")

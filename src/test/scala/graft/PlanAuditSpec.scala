@@ -241,7 +241,14 @@ class PlanAuditSpec extends SparkSpec {
       // (1-row gradient aggregates over the checkpointed feature
       // frame — the Lloyd control-flow class); the corpus-sized
       // subtree is the single-scan feature projection, audited below
-      "quality_classifier", "quality_classifier_eval")
+      "quality_classifier", "quality_classifier_eval",
+      // ann_knn_graph memoizes its localCheckpointed build (r12), so
+      // the registered plan is a bare checkpoint scan; the build
+      // subtree is audited directly below over literal centroids.
+      // embedding_clusters / ann_knn_classify stay in the main lint —
+      // their tails (LPA rounds / vote join) over the checkpoint scan
+      // are still real plans worth holding to the invariants
+      "ann_knn_graph")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a
@@ -368,6 +375,12 @@ class PlanAuditSpec extends SparkSpec {
       // feature/label projection (native word_rep_stats, no shuffle)
       offendersIn("quality_classifier[features]",
         operators.TextAnalysis.qualityLrFeatures(Tables.documents(spark, Sf))) ++
+      // ann_knn_graph's memoized build: cell-assigned candidates
+      // equi-joined to nProbe-assigned queries over literal centroids
+      // (training only varies the literals), one per-vector window
+      offendersIn("ann_knn_graph[build]",
+        operators.Similarity.annKnnGraphWith(spark,
+          Tables.embeddings(spark, Sf), fakeCents, k = 5, nProbe = 2)) ++
       // graph_kcore's per-round shape over the real edge frame
       offendersIn("graph_kcore[round]", {
         val e = operators.Graph.coviewEdgesFrom(operators.EventMarts.enriched(spark, Sf))

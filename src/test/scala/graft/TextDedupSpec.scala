@@ -2689,6 +2689,64 @@ class HashExpressionsSpec extends SparkSpec {
 }
 
 class SimilaritySpec extends SparkSpec {
+  test("quantizer memo: one training serves the ann family, matches fresh exactly, rewrites miss") {
+    import spark.implicits._
+    Similarity.clearKmeansCache()
+    val before = Similarity.kmeansTrainings.get()
+    val cached = Similarity.kmeansCentroids(spark, Sf)
+    Similarity.ivfTopKKmeans(spark, Sf, numQueries = 4, k = 3).collect()
+    Similarity.annKnnGraph(spark, Sf, k = 3).count()
+    assert(Similarity.kmeansTrainings.get() == before + 1,
+      "default-hyperparam queries must share ONE quantizer training")
+    // training is bit-deterministic (rounded-bigint sums), so the
+    // cached quantizer equals a FRESH one exactly
+    val fresh = Similarity.kmeansCentroidsFrom(
+      Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding")),
+      nlist = 10, iters = 3)
+    assert(cached.map { case (i, v) => i -> v.toSeq } ==
+      fresh.map { case (i, v) => i -> v.toSeq },
+      "cached quantizer drifted from a fresh training")
+    // hyperparams key separately
+    Similarity.kmeansCentroids(spark, Sf, nlist = 4)
+    assert(Similarity.kmeansTrainings.get() == before + 2)
+    // freshness: rewriting the corpus under the same dir must MISS
+    def mk(tag: Int, n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 31 + d * 7 + tag).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmm").toString
+    mk(1, 40).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val v1 = Similarity.kmeansCentroids(spark, dir)
+    val builds = Similarity.kmeansTrainings.get()
+    mk(2, 24).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.kmeansCentroids(spark, dir)
+    assert(Similarity.kmeansTrainings.get() == builds + 1,
+      "a rewritten corpus must retrain, not serve the stale quantizer")
+    // and an unchanged dir HITS
+    Similarity.kmeansCentroids(spark, dir)
+    assert(Similarity.kmeansTrainings.get() == builds + 1)
+    assert(v1.nonEmpty)
+    // the kNN graph memoizes at the same grain: the registered graph,
+    // embedding_clusters' LPA input, and classify's vote join at
+    // identical params share ONE localCheckpointed build
+    Similarity.clearKnnGraphCache()
+    val gBefore = Similarity.knnGraphBuilds.get()
+    val g1 = Similarity.annKnnGraph(spark, Sf).collect()
+    Similarity.embeddingClusters(spark, Sf).count()
+    Similarity.annKnnClassify(spark, Sf).count()
+    assert(Similarity.knnGraphBuilds.get() == gBefore + 1,
+      "default-param graph consumers must share ONE build")
+    // cached graph equals an uncached fresh build exactly (rounded
+    // similarities, id tiebreaks — bit-deterministic)
+    val gFresh = Similarity.annKnnGraphWith(spark,
+      Tables.embeddings(spark, Sf),
+      Similarity.kmeansCentroidsFrom(
+        Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding")),
+        nlist = 10, iters = 3),
+      k = 5, nProbe = 2).collect()
+    assert(g1.map(_.toSeq).toSeq == gFresh.map(_.toSeq).toSeq,
+      "cached graph drifted from a fresh build")
+  }
+
   test("filtered ann: every hit carries the filter label; full probe equals brute-filtered") {
     val nlist = Tables.embeddings(spark, Sf).select("label").distinct().count().toInt
     val res = Similarity.ivfFilteredTopK(spark, Sf, numQueries = 8, k = 5, nProbe = 2)
