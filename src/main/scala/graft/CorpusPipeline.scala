@@ -169,15 +169,26 @@ object CorpusPipeline {
     * (`dedup_method_agreement_full`) as a "[dedup method agreement]"
     * section — opt-in because the census costs the member-generator
     * sweep on a cold session (it rides the shared member-pair frame,
-    * so a session that already ran the dedup family pays ~nothing). */
+    * so a session that already ran the dedup family pays ~nothing).
+    * When `calibrationLogDir` is also set, the same census rows
+    * append to the calibration run log under the execution date
+    * (idempotent per date — a report rerun replaces its own rows),
+    * so the one-off report number becomes a
+    * `Dedup.calibrationTrendFromLog` trend for free. */
   def dailyReport(spark: SparkSession, dir: String, executionDate: String,
       tokenLogDir: Option[String] = None,
-      includeAgreement: Boolean = false): (String, String) = {
+      includeAgreement: Boolean = false,
+      calibrationLogDir: Option[String] = None): (String, String) = {
     val funnel = operators.TextAnalysis.corpusFunnel(spark, dir).collect().toSeq
     val mix = operators.TextAnalysis.sourceMix(spark, dir).collect().toSeq
     val agreement =
       if (!includeAgreement) Nil
-      else operators.Dedup.methodAgreementFull(spark, dir).collect().toSeq
+      else {
+        val census = operators.Dedup.methodAgreementFull(spark, dir)
+        calibrationLogDir.foreach(ld =>
+          operators.Dedup.calibrationLogAppend(census, ld, executionDate))
+        census.collect().toSeq
+      }
     // tokenLogSink creates the dir lazily on the first non-empty
     // batch, so an absent or still-empty dir must read as "no data".
     // Probe for parquet files FIRST rather than Try-swallowing every
@@ -394,15 +405,24 @@ object CorpusPipeline {
       val revs = readIngestManifest(spark, manifestDir)
         .select("batch", "revision").collect()
         .map(r => r.getString(0) -> r.getInt(1)).toMap
+      // ONE ingest-dir census serves every stamp (the events-side
+      // Pipeline.backfill census-carry discipline): the absorb loop
+      // never mutates the ingest dir, so re-scanning the WHOLE dir
+      // once per stale batch (B full scans for B batches) bought
+      // nothing but I/O. |stale| rows collected.
+      val census = ingestState(spark, ingestDir)
+        .filter(col("batch").isin(plan.stale: _*))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val results = plan.stale.map { b =>
         val rev = revs.getOrElse(b, 0) + 1
         val ingestId = if (rev == 1) b else s"${b}_r$rev"
         val batchDf = spark.read.parquet(s"$ingestDir/batch=$b")
         val r = runIncremental(spark, batchDf, outDir, ingestId,
           minQuality = minQuality, langs = langs, estThreshold = estThreshold)
-        val stamp = ingestState(spark, ingestDir)
-          .filter(col("batch") === b)
-          .withColumn("revision", lit(rev))
+        val (nDocs, fp) = census(b)
+        val stamp = Seq((b, nDocs, fp, rev))
+          .toDF("batch", "n_docs", "fingerprint", "revision")
         MartSink.writePartitioned(stamp, manifestDir, Seq("batch"))
         b -> r
       }

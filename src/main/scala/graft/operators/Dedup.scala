@@ -1596,6 +1596,34 @@ object Dedup {
       .orderBy("method_a", "method_b")
   }
 
+  /** Persist one agreement census to the calibration log — the
+    * FromLog pattern (selfRecallLogAppend's twin on the dedup side):
+    * per-run rows land under a `run_id` partition via the
+    * dynamic-overwrite mart writer, so a rerun of the same run_id
+    * replaces its own partition idempotently. Method-pair grain:
+    * 10 rows per run — the log grows with runs, never corpus size. */
+  def calibrationLogAppend(agreement: DataFrame, logDir: String,
+                           runId: String): Unit =
+    graft.sources.MartSink.writePartitioned(
+      agreement.withColumn("run_id", lit(runId)), logDir, Seq("run_id"))
+
+  /** The dedup-calibration dial over the run log: per (method pair,
+    * run), agreement plus its delta vs the SAME pair's previous run —
+    * the trend a tokenizer change, a banding retune, or a corpus mix
+    * shift bends before anyone reads a one-off census. A one-run log
+    * has no previous row, so delta is null there, never 0 (a real 0
+    * means "measured, unchanged"). Tiny frame: |runs| × 10 rows. */
+  def calibrationTrendFromLog(spark: SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("method_a", "method_b").orderBy("run_id")
+    spark.read.parquet(logDir)
+      .select(col("run_id").cast("string").as("run_id"),
+        col("method_a"), col("method_b"), col("n_both"), col("agreement"))
+      .withColumn("prev_agreement", lag(col("agreement"), 1).over(w))
+      .withColumn("delta", col("agreement") - col("prev_agreement"))
+      .orderBy("run_id", "method_a", "method_b")
+  }
+
   /** Empirical LSH RECALL against exact ground truth — the side
     * `minhash_calibration` cannot see: calibration grades the
     * estimates on pairs the banding FOUND; this grades what it

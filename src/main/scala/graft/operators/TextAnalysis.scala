@@ -3495,8 +3495,20 @@ object TextAnalysis {
       lambda: Double = 0.75): DataFrame =
     textPerplexityBigramFrom(Tables.documents(spark, dir), lambda)
 
+  /** Vocab-row bound above which the LM-side joins pin SHUFFLE_HASH.
+    * Below it the planner's broadcast choice is right (the marginals
+    * are small); above it, stats can mislead — a checkpointed frame
+    * carries no catalog estimate, so AQE can elect a broadcast build
+    * over a multi-million-row marginal and OOM the driver (the §7v
+    * vocab-×100 deep leg did exactly that at an 8 GiB driver). The
+    * count is MEASURED, not guessed: bgVocab is already eagerly
+    * checkpointed, so counting it is one cheap job over cached
+    * blocks — the bot-census arming discipline. */
+  private[graft] val BigramBroadcastMaxVocab = 4000000L
+
   def textPerplexityBigramFrom(docs: DataFrame,
-      lambda: Double = 0.75): DataFrame = {
+      lambda: Double = 0.75,
+      broadcastMaxVocab: Long = BigramBroadcastMaxVocab): DataFrame = {
     // tokenize once before the per-position lambda (the bigramRarity
     // O(words²) lesson)
     val ws = col("__graft_ws")
@@ -3513,18 +3525,24 @@ object TextAnalysis {
       .localCheckpoint() // one corpus scan: LM rollups + scoring join
     val bgVocab = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
       .localCheckpoint() // history + unigram marginals + the LM frame
+    // measured arming: past the vocab bound, pin the marginal joins
+    // (and the fact-side scoring join's LM leg) to SHUFFLE_HASH so no
+    // stats misestimate can elect a driver-killing broadcast build
+    val bigVocab = bgVocab.count() > broadcastMaxVocab
+    def lmSide(df: DataFrame): DataFrame =
+      if (bigVocab) df.hint("shuffle_hash") else df
     val hist = bgVocab.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
     val uni = bgVocab.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
     val totals = uni.agg(sum(col("cu")).as("n2"), count(lit(1)).as("v2"))
     val lm = bgVocab
-      .join(hist, Seq("w1"))
-      .join(uni, Seq("w2"))
+      .join(lmSide(hist), Seq("w1"))
+      .join(lmSide(uni), Seq("w2"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"),
         (lit(lambda) * (col("cb").cast("double") / col("ch").cast("double")) +
           lit(1.0 - lambda) * ((col("cu") + lit(1)).cast("double")
             / (col("n2") + col("v2")).cast("double"))).as("p"))
-    docBg.join(lm, Seq("w1", "w2"))
+    docBg.join(lmSide(lm), Seq("w1", "w2"))
       .withColumn("bits", col("c").cast("double") * -log2(col("p")))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),

@@ -1618,9 +1618,10 @@ class ReportingSpec extends SparkSpec {
     }
     // day 1: the near-pair is an edit TWIN (1 char) — jaccard and
     // edit both own it, their agreement line reads 100%
+    val calLog = java.nio.file.Files.createTempDirectory("graft_rep_callog").toString
     val twinDir = mkCorpus(w.updated(5, "word6x"))
     val (t1, p1) = CorpusPipeline.dailyReport(spark, twinDir, "2024-01-15",
-      includeAgreement = true)
+      includeAgreement = true, calibrationLogDir = Some(calLog))
     assert(t1.contains("[dedup method agreement]"), t1)
     assert(t1.contains("- edit vs jaccard: 1 / 1 pairs | both 1 | agreement 100.0%"),
       s"twin corpus must read full edit/jaccard agreement:\n$t1")
@@ -1631,9 +1632,21 @@ class ReportingSpec extends SparkSpec {
     // report is where a reader SEES the modalities diverge
     val rotDir = mkCorpus(w.drop(20) ++ w.take(20))
     val (t2, _) = CorpusPipeline.dailyReport(spark, rotDir, "2024-01-16",
-      includeAgreement = true)
+      includeAgreement = true, calibrationLogDir = Some(calLog))
     assert(t2.contains("- edit vs jaccard: 0 / 1 pairs | both 0 | agreement 0.0%"),
       s"rotation corpus must show the agreement drop:\n$t2")
+    // ...and the same two report runs left a calibration TREND: the
+    // day-2 edit/jaccard row carries the -1.0 delta the report lines
+    // showed as 100% → 0%
+    val trend = operators.Dedup.calibrationTrendFromLog(spark, calLog)
+      .filter(org.apache.spark.sql.functions.col("method_a") === "edit")
+      .filter(org.apache.spark.sql.functions.col("method_b") === "jaccard")
+      .collect()
+    assert(trend.map(_.getAs[String]("run_id")).toSeq ==
+      Seq("2024-01-15", "2024-01-16"))
+    assert(trend(0).isNullAt(trend(0).fieldIndex("delta")))
+    assert(trend(1).getAs[Double]("delta") == -1.0,
+      "the report's agreement drop must land in the trend log")
     // the section is opt-in: the default report carries no census
     val (t3, _) = CorpusPipeline.dailyReport(spark, twinDir, "2024-01-17")
     assert(!t3.contains("[dedup method agreement]"))

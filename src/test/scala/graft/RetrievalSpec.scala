@@ -606,6 +606,24 @@ class RetrievalSpec extends SparkSpec {
     val single = TextAnalysis.textPerplexityBigramFrom(docs(Seq("aa aa", "zz")))
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(single == Set(0L))
+    // measured broadcast arming: past the vocab bound the LM joins
+    // pin SHUFFLE_HASH — no hash-broadcast build anywhere in the plan
+    // (the 1-row totals cross stays the intended broadcast NLJ) —
+    // and the scores are unchanged
+    val armed = TextAnalysis.textPerplexityBigramFrom(d, broadcastMaxVocab = 0L)
+    val armedPlan = armed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    assert(armedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.isEmpty, "armed LM joins must never plan a broadcast hash build")
+    val armedGot = armed.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("bits_per_token")).toMap
+    got.foreach { case (id, (_, bits, _)) =>
+      assert(math.abs(armedGot(id) - bits) < 1e-9, s"armed path drifted at doc $id")
+    }
   }
 
   test("collocations: the planted phrase tops the lift ranking with exact counts") {

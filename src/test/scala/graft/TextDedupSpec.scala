@@ -2086,6 +2086,48 @@ class DedupSpec extends SparkSpec {
     assert(v1.nonEmpty)
   }
 
+  test("calibration log: per-pair deltas trend across runs; reruns replace idempotently") {
+    import spark.implicits._
+    def frame(editJac: Double, mhSh: Double) = Seq(
+      ("edit", "jaccard", 10L, 12L, 8L, 2L, 4L, editJac),
+      ("minhash", "simhash", 5L, 6L, 3L, 2L, 3L, mhSh))
+      .toDF("method_a", "method_b", "n_pairs_a", "n_pairs_b", "n_both",
+        "n_only_a", "n_only_b", "agreement")
+    val logDir = java.nio.file.Files.createTempDirectory("graft_cal").toString
+    Dedup.calibrationLogAppend(frame(0.8, 0.5), logDir, "r1")
+    Dedup.calibrationLogAppend(frame(0.6, 0.5), logDir, "r2")
+    val trend = Dedup.calibrationTrendFromLog(spark, logDir).collect()
+    def row(run: String, a: String) = trend.find(r =>
+      r.getAs[String]("run_id") == run && r.getAs[String]("method_a") == a).get
+    // a pair's first run has no previous row: delta is NULL, never 0
+    assert(row("r1", "edit").isNullAt(row("r1", "edit").fieldIndex("delta")))
+    // the shifted pair reads its drop; the untouched pair reads a
+    // REAL measured 0
+    assert(math.abs(row("r2", "edit").getAs[Double]("delta") + 0.2) < 1e-12)
+    assert(row("r2", "minhash").getAs[Double]("delta") == 0.0)
+    // rerunning a run_id REPLACES its partition — no double-counting
+    Dedup.calibrationLogAppend(frame(0.7, 0.5), logDir, "r2")
+    val again = Dedup.calibrationTrendFromLog(spark, logDir).collect()
+    assert(again.length == 4, s"rerun must replace, got ${again.length} rows")
+    assert(math.abs(again.find(r => r.getAs[String]("run_id") == "r2" &&
+      r.getAs[String]("method_a") == "edit").get
+      .getAs[Double]("delta") + 0.1) < 1e-12)
+    // the real census round-trips through the log unchanged
+    val real = Dedup.methodAgreementFull(spark, Sf)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cal2").toString
+    Dedup.calibrationLogAppend(real, dir2, "c1")
+    val back = Dedup.calibrationTrendFromLog(spark, dir2).collect()
+    val want = real.collect().map(r =>
+      (r.getAs[String]("method_a"), r.getAs[String]("method_b")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Double]("agreement")))).toMap
+    assert(back.length == want.size)
+    back.foreach { r =>
+      val k = (r.getAs[String]("method_a"), r.getAs[String]("method_b"))
+      assert(want(k) == ((r.getAs[Long]("n_both"), r.getAs[Double]("agreement"))),
+        s"log round-trip drifted at $k")
+    }
+  }
+
   test("edit clusters: transitive collapse to the min-id keeper; short docs stay singletons") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
