@@ -3495,15 +3495,17 @@ object TextAnalysis {
       lambda: Double = 0.75): DataFrame =
     textPerplexityBigramFrom(Tables.documents(spark, dir), lambda)
 
-  /** Vocab-row bound above which the LM-side joins pin SHUFFLE_HASH.
-    * Below it the planner's broadcast choice is right (the marginals
-    * are small); above it, stats can mislead — a checkpointed frame
-    * carries no catalog estimate, so AQE can elect a broadcast build
-    * over a multi-million-row marginal and OOM the driver (the §7v
-    * vocab-×100 deep leg did exactly that at an 8 GiB driver). The
-    * count is MEASURED, not guessed: bgVocab is already eagerly
+  /** Vocab-row bound choosing the LM legs' join strategy: below it
+    * every LM-side frame broadcasts EXPLICITLY (vocab-grain builds,
+    * the right plan — and explicit, because checkpointed frames
+    * carry misleading stats and the planner was observed electing
+    * the corpus-sized FACT frame as the broadcast build instead, a
+    * 3.7 GiB hash table that killed an 8 GiB driver at the ×100
+    * deep leg); above it they pin SHUFFLE_HASH. The bound is
+    * MEASURED, not guessed: bgVocab is already eagerly
     * checkpointed, so counting it is one cheap job over cached
-    * blocks — the bot-census arming discipline. */
+    * blocks — the bot-census arming discipline. 4M vocab rows
+    * ≈ low hundreds of MB broadcast, the sane ceiling. */
   private[graft] val BigramBroadcastMaxVocab = 4000000L
 
   def textPerplexityBigramFrom(docs: DataFrame,
@@ -3525,12 +3527,17 @@ object TextAnalysis {
       .localCheckpoint() // one corpus scan: LM rollups + scoring join
     val bgVocab = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
       .localCheckpoint() // history + unigram marginals + the LM frame
-    // measured arming: past the vocab bound, pin the marginal joins
-    // (and the fact-side scoring join's LM leg) to SHUFFLE_HASH so no
-    // stats misestimate can elect a driver-killing broadcast build
+    // measured arming: the scoring join's build side must ALWAYS be
+    // the LM — checkpointed frames carry misleading stats, and the
+    // planner was observed electing the FACT frame (docBg) as a
+    // BuildLeft broadcast (3.7 GiB at the ×100 deep leg, an 8 GiB
+    // driver kill). Below the vocab bound the LM broadcasts
+    // EXPLICITLY (the correct plan — vocab-grain build, fact side
+    // streams); past it the LM pins SHUFFLE_HASH, as do the marginal
+    // joins, so no stats misestimate can elect a broadcast anywhere
     val bigVocab = bgVocab.count() > broadcastMaxVocab
     def lmSide(df: DataFrame): DataFrame =
-      if (bigVocab) df.hint("shuffle_hash") else df
+      if (bigVocab) df.hint("shuffle_hash") else broadcast(df)
     val hist = bgVocab.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
     val uni = bgVocab.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
     val totals = uni.agg(sum(col("cu")).as("n2"), count(lit(1)).as("v2"))

@@ -610,13 +610,14 @@ class RetrievalSpec extends SparkSpec {
     // pin SHUFFLE_HASH — no hash-broadcast build anywhere in the plan
     // (the 1-row totals cross stays the intended broadcast NLJ) —
     // and the scores are unchanged
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
     val armed = TextAnalysis.textPerplexityBigramFrom(d, broadcastMaxVocab = 0L)
-    val armedPlan = armed.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.inputPlan
-      case p => p
-    }
-    assert(armedPlan.collect {
+    assert(plan(armed).collect {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
     }.isEmpty, "armed LM joins must never plan a broadcast hash build")
     val armedGot = armed.collect().map(r => r.getAs[Long]("doc_id") ->
@@ -624,6 +625,16 @@ class RetrievalSpec extends SparkSpec {
     got.foreach { case (id, (_, bits, _)) =>
       assert(math.abs(armedGot(id) - bits) < 1e-9, s"armed path drifted at doc $id")
     }
+    // unarmed, every hash-broadcast build is an LM-side (BuildRight)
+    // frame — the FACT frame can never be the build (the stats
+    // accident that broadcast a 3.7 GiB hash table at the deep leg)
+    val unarmedJoins = plan(TextAnalysis.textPerplexityBigramFrom(d)).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(unarmedJoins.nonEmpty, "unarmed small-vocab LM must broadcast")
+    assert(unarmedJoins.forall(_.buildSide ==
+      org.apache.spark.sql.catalyst.optimizer.BuildRight),
+      "the broadcast build must always be the vocab-grain LM side")
   }
 
   test("collocations: the planted phrase tops the lift ranking with exact counts") {
