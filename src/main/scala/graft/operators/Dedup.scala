@@ -1392,6 +1392,11 @@ object Dedup {
     * per-doc `collect_list` buffers a single document's surviving
     * words — the document is the unit of output, exactly like
     * doc_chunks. */
+  /** Arming knobs for [[cleanDupSpansFrom]]'s covered-join bloom
+    * prune — the candBloom pair's twin (fpp ≤ 0 disables). */
+  @volatile private[graft] var spanBloomFpp: Double = 0.01
+  @volatile private[graft] var spanBloomMinDocs: Long = 20000L
+
   def cleanDupSpans(spark: SparkSession, dir: String): DataFrame =
     cleanDupSpansFrom(Tables.documents(spark, dir))
 
@@ -1414,18 +1419,40 @@ object Dedup {
           .otherwise(expr("CAST(array() AS array<struct<s:int,g:binary>>)"))).as("sg"))
       .select(col("doc_id"), col("sg.s").as("s"), col("sg.g").as("g"))
       .localCheckpoint()
-    val freq = grams
+    val freq0 = grams
       .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
       .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
       .select(col("g"))
+    // adaptive probe prune (the PassJoin LongBloom pattern): most
+    // grams are corpus-UNIQUE, yet each used to ride the covered
+    // join's full exchange just to miss the repeated-gram set (sf10
+    // stage grain: 23.6M gram rows vs 1.05M repeated grams). A
+    // driver-built bloom over the repeated grams' 64-bit hashes kills
+    // unique grams pre-exchange; the join key stays the exact 16-byte
+    // md5, so bloom false positives only ride the join and lose
+    // there — never a false negative, output and oracle parity
+    // untouched. Below the arming bound the corpus is exchange-cheap
+    // and the extra freq materialization costs more than it saves.
+    val armBloom = spanBloomFpp > 0 && docs.count() >= spanBloomMinDocs
+    val (freq, probeGrams) =
+      if (!armBloom) (freq0, grams)
+      else {
+        graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+        val f = freq0.withColumn("hg", xxhash64(col("g"))).localCheckpoint()
+        val (bits, k) = graft.functions.LongBloom.build(
+          f.select(col("hg")), "hg", math.max(1024L, f.count()), spanBloomFpp)
+        (f.select(col("g")),
+          grams.filter(call_function("bloom_contains_long",
+            typedlit(bits.toSeq), lit(k), xxhash64(col("g")))))
+      }
     // per-doc covered-position SETS (bounded by the doc's own length,
     // like the output row) — the scrub then never shuffles at word
     // grain: a token-exploded anti-join + rebuild aggregate would push
     // every word of the corpus through two exchanges, where this plan
     // shuffles only boilerplate positions (the covered explode) and
     // one doc-grain join, with the reassembly a pure narrow array op
-    val covered = grams.join(freq, "g")
+    val covered = probeGrams.join(freq, "g")
       .select(col("doc_id"), explode(sequence(col("s"), col("s") + lit(n - 1))).as("pos"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("pos")).as("cov"))

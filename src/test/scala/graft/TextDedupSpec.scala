@@ -1644,6 +1644,17 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.cleanDupSpansFrom(
       Dedup.cleanDupSpansFrom(docs).select(col("doc_id"), col("clean_text").as("text")))
     assert(again.agg(sum("removed_words")).collect().head.getLong(0) == 0L)
+    // the armed (bloomed) covered join is row-identical — the bloom
+    // prunes only provable non-matches, the exact md5 join decides
+    val saved = Dedup.spanBloomMinDocs
+    Dedup.spanBloomMinDocs = 0L
+    try {
+      val armed = Dedup.cleanDupSpansFrom(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("total_words"), r.getAs[Long]("removed_words"),
+            r.getAs[String]("clean_text")))).toMap
+      assert(armed == got, "bloomed scrub drifted from the exact path")
+    } finally Dedup.spanBloomMinDocs = saved
   }
 
   test("substring dup census counts cross-doc trigram positions, not within-doc repeats") {
