@@ -56,9 +56,46 @@ object Graph {
       .agg(count(lit(1)).as("weight"))
   }
 
+  // ---- dir-grain edge memos ----
+  // Ten registry queries build one of TWO edge frames from the same
+  // events table (product transitions: pagerank/ppr/serving tables/
+  // communities; co-view: triangles/kcore/degree census/assortativity/
+  // components) — each paid its own window + rollup + checkpoint per
+  // call. Both frames are deterministic aggregates, so one session
+  // builds each ONCE: the memberPairFrame discipline — keyed by
+  // (applicationId, fp(kind + dir + events files)), localCheckpointed,
+  // bounded, clearable. `*From` forms (arbitrary event frames) stay
+  // uncached.
+  private val EdgeCacheMax = 8
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private[graft] val edgeBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def clearEdgeCache(): Unit = edgeCache.clear()
+
+  private def edgeMemo(spark: SparkSession, dir: String, kind: String)
+      (build: => DataFrame): DataFrame = {
+    val files = graft.Tables.events(spark, dir).inputFiles.sorted
+    val fp = graft.sources.ArtifactManifest.fp(
+      (kind +: dir +: files).mkString("\n"))
+    val key = (spark.sparkContext.applicationId, fp)
+    if (edgeCache.size() > EdgeCacheMax) edgeCache.clear()
+    edgeCache.computeIfAbsent(key, _ => {
+      edgeBuilds.incrementAndGet()
+      build.localCheckpoint()
+    })
+  }
+
+  private[graft] def productEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeMemo(spark, dir, "product")(productEdgesFrom(enriched(spark, dir)))
+
+  private[graft] def coviewEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeMemo(spark, dir, "coview")(coviewEdgesFrom(enriched(spark, dir)))
+
   def productPagerank(spark: SparkSession, dir: String,
       iterations: Int = 15, tol: Double = 0.0, checkEvery: Int = 1): DataFrame =
-    pagerankFrom(productEdgesFrom(enriched(spark, dir)), iterations,
+    pagerankPrepared(productEdges(spark, dir), iterations,
       tol = tol, checkEvery = checkEvery)
 
   /** Personalized PageRank from the corpus's most-viewed product —
@@ -74,15 +111,21 @@ object Graph {
     * `product_pagerank` (the restart column is the only change). */
   def productPpr(spark: SparkSession, dir: String,
       iterations: Int = 15, tol: Double = 1e-6, checkEvery: Int = 3): DataFrame =
-    productPprFrom(enriched(spark, dir), iterations, tol, checkEvery)
+    productPprWith(enriched(spark, dir), productEdges(spark, dir),
+      iterations, tol, checkEvery)
 
   def productPprFrom(e: DataFrame,
-      iterations: Int = 15, tol: Double = 1e-6, checkEvery: Int = 3): DataFrame = {
+      iterations: Int = 15, tol: Double = 1e-6, checkEvery: Int = 3): DataFrame =
+    productPprWith(e, productEdgesFrom(e).localCheckpoint(),
+      iterations, tol, checkEvery)
+
+  private def productPprWith(e: DataFrame, edges: DataFrame,
+      iterations: Int, tol: Double, checkEvery: Int): DataFrame = {
     val seed = e.filter(col("product_k").isNotNull && col("event_type") === "view")
       .groupBy(col("product_k")).agg(count(lit(1)).as("views"))
       .orderBy(desc("views"), asc("product_k")).limit(1)
       .collect().head.getAs[Int]("product_k") // 1-row control scalar
-    pagerankFrom(productEdgesFrom(e), iterations, tol = tol,
+    pagerankPrepared(edges, iterations, tol = tol,
       checkEvery = checkEvery, restart = Seq(seed))
       .withColumnRenamed("pagerank", "ppr")
       .withColumn("seed_product", lit(seed))
@@ -138,8 +181,8 @@ object Graph {
   def pprServingTable(spark: SparkSession, dir: String, numSeeds: Int = 3,
       k: Int = 10, iterations: Int = 15, tol: Double = 1e-6,
       checkEvery: Int = 3): DataFrame =
-    pprServingTableFrom(enriched(spark, dir), numSeeds, k, iterations,
-      tol, checkEvery)
+    pprServingTableWith(spark, productEdges(spark, dir), numSeeds, k,
+      iterations, tol, checkEvery)
 
   /** All N personalized walks in ONE iteration loop — the batched
     * core behind `ppr_related_products_batched`: ranks live at
@@ -221,15 +264,21 @@ object Graph {
   def pprServingTableBatched(spark: SparkSession, dir: String,
       numSeeds: Int = 3, k: Int = 10, iterations: Int = 15,
       tol: Double = 1e-6, checkEvery: Int = 3): DataFrame =
-    pprServingTableBatchedFrom(enriched(spark, dir), numSeeds, k,
-      iterations, tol, checkEvery)
+    pprServingTableBatchedWith(spark, productEdges(spark, dir), numSeeds,
+      k, iterations, tol, checkEvery)
 
   def pprServingTableBatchedFrom(e: DataFrame, numSeeds: Int = 3, k: Int = 10,
       iterations: Int = 15, tol: Double = 1e-6,
-      checkEvery: Int = 3): DataFrame = {
-    val edges = productEdgesFrom(e).localCheckpoint()
+      checkEvery: Int = 3): DataFrame =
+    pprServingTableBatchedWith(e.sparkSession,
+      productEdgesFrom(e).localCheckpoint(), numSeeds, k, iterations,
+      tol, checkEvery)
+
+  private def pprServingTableBatchedWith(spark: SparkSession,
+      edges: DataFrame, numSeeds: Int, k: Int, iterations: Int,
+      tol: Double, checkEvery: Int): DataFrame = {
     val seeds = topSeeds(edges, numSeeds)
-    if (seeds.isEmpty) return emptyServingTable(e.sparkSession)
+    if (seeds.isEmpty) return emptyServingTable(spark)
     val ranks = pagerankBatched(edges, seeds,
       iterations, tol = tol, checkEvery = checkEvery)
     val w = org.apache.spark.sql.expressions.Window
@@ -246,10 +295,16 @@ object Graph {
 
   def pprServingTableFrom(e: DataFrame, numSeeds: Int = 3, k: Int = 10,
       iterations: Int = 15, tol: Double = 1e-6,
-      checkEvery: Int = 3): DataFrame = {
-    val edges = productEdgesFrom(e).localCheckpoint() // ONE build, N walks
+      checkEvery: Int = 3): DataFrame =
+    pprServingTableWith(e.sparkSession,
+      productEdgesFrom(e).localCheckpoint(), // ONE build, N walks
+      numSeeds, k, iterations, tol, checkEvery)
+
+  private def pprServingTableWith(spark: SparkSession, edges: DataFrame,
+      numSeeds: Int, k: Int, iterations: Int, tol: Double,
+      checkEvery: Int): DataFrame = {
     val seeds = topSeeds(edges, numSeeds) // bounded driver scalar
-    if (seeds.isEmpty) return emptyServingTable(e.sparkSession)
+    if (seeds.isEmpty) return emptyServingTable(spark)
     val perSeed = seeds.map { s =>
       pagerankPrepared(edges, iterations, tol = tol,
         checkEvery = checkEvery, restart = Seq(s))
@@ -388,7 +443,7 @@ object Graph {
     * convergence on a crafted barbell graph. */
   def productCommunities(spark: SparkSession, dir: String,
       iterations: Int = 8): DataFrame =
-    communitiesFrom(productEdgesFrom(enriched(spark, dir)), iterations)
+    communitiesFrom(productEdges(spark, dir), iterations)
 
   /** `semiSync = true` switches the update schedule from fully
     * synchronous to deterministic two-phase semi-synchronous: each
@@ -469,7 +524,7 @@ object Graph {
     * Exact integers until two final IEEE ops (the libm rule):
     * coefficient = 2·triangles / degree·(degree−1). */
   def coviewTriangles(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
-    trianglesFrom(coviewEdgesFrom(enriched(spark, dir)), topN)
+    trianglesFrom(coviewEdges(spark, dir), topN)
 
   /** Distinct undirected co-view edges (a < b): product pairs viewed
     * by at least one (user, day) basket under the coviewPairs gate —
@@ -766,7 +821,7 @@ object Graph {
     * the giant component with zero triangles yet sit deep in the
     * core. Same gated edge frame as coview_triangles. */
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
-    corenessFrom(coviewEdgesFrom(enriched(spark, dir)))
+    corenessFrom(coviewEdges(spark, dir))
       .groupBy("coreness").agg(count(lit(1)).as("n_products"))
       .orderBy(desc("coreness"))
 
@@ -782,7 +837,7 @@ object Graph {
     * strictly shrinking; full SQL oracle over the same gated edge
     * frame as `coview_triangles`/`graph_components`. */
   def graphDegreeCensus(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coviewEdgesFrom(enriched(spark, dir))
+    val edges = coviewEdges(spark, dir)
     edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -838,7 +893,7 @@ object Graph {
     * bit-identically; a regular graph (zero degree variance)
     * degenerates to NULL by guard in both engines. */
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
-    assortativityFrom(coviewEdgesFrom(enriched(spark, dir)))
+    assortativityFrom(coviewEdges(spark, dir))
 
   def assortativityFrom(edges: DataFrame): DataFrame = {
     val ed = edges.localCheckpoint() // feeds degrees AND the doubled edge list
@@ -925,7 +980,7 @@ object Graph {
     * the only place the oracle runs; the Spark path stays
     * O(E · log² n) for 100 TB). */
   def graphComponents(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coviewEdgesFrom(enriched(spark, dir)).localCheckpoint()
+    val edges = coviewEdges(spark, dir)
     val vertices = edges.select(col("a").as("id"))
       .unionByName(edges.select(col("b").as("id"))).distinct()
     connectedComponentsFrom(vertices, edges)
