@@ -1651,6 +1651,34 @@ object Dedup {
       .orderBy("run_id", "method_a", "method_b")
   }
 
+  /** Persist one banding-recall eval (`dedup_lsh_recall` rows) to its
+    * run log — the agreement log's twin at Jaccard-decile grain
+    * (≤10 rows per run, same run_id-partitioned idempotent append).
+    * The two logs stay separate because their grains differ: the
+    * agreement census watches the method FAMILY, this one watches
+    * the banding S-curve's KNEE — the scale-path regression the
+    * family census can't see (banding can lose a decile of recall
+    * while every method-pair agreement barely moves). */
+  def lshRecallLogAppend(recall: DataFrame, logDir: String,
+                         runId: String): Unit =
+    graft.sources.MartSink.writePartitioned(
+      recall.withColumn("run_id", lit(runId)), logDir, Seq("run_id"))
+
+  /** Banding-recall trend over the run log: per (decile, run),
+    * recall plus its delta vs the SAME decile's previous run. First
+    * run reads NULL delta, never 0 — a real 0 means "measured,
+    * unchanged". Tiny frame: |runs| × ≤10 rows. */
+  def lshRecallTrendFromLog(spark: SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("jaccard_decile").orderBy("run_id")
+    spark.read.parquet(logDir)
+      .select(col("run_id").cast("string").as("run_id"),
+        col("jaccard_decile"), col("n_truth"), col("n_found"), col("recall"))
+      .withColumn("prev_recall", lag(col("recall"), 1).over(w))
+      .withColumn("delta", col("recall") - col("prev_recall"))
+      .orderBy("run_id", "jaccard_decile")
+  }
+
   /** Empirical LSH RECALL against exact ground truth — the side
     * `minhash_calibration` cannot see: calibration grades the
     * estimates on pairs the banding FOUND; this grades what it

@@ -2137,6 +2137,31 @@ class DedupSpec extends SparkSpec {
       assert(want(k) == ((r.getAs[Long]("n_both"), r.getAs[Double]("agreement"))),
         s"log round-trip drifted at $k")
     }
+    // the banding-recall twin: per-decile deltas trend the same way
+    def rframe(rec9: Double) = Seq((4, 10L, 5L, 0.5), (9, 20L, (rec9 * 20).toLong, rec9))
+      .toDF("jaccard_decile", "n_truth", "n_found", "recall")
+    val rlog = java.nio.file.Files.createTempDirectory("graft_rcal").toString
+    Dedup.lshRecallLogAppend(rframe(1.0), rlog, "r1")
+    Dedup.lshRecallLogAppend(rframe(0.8), rlog, "r2")
+    val rtrend = Dedup.lshRecallTrendFromLog(spark, rlog).collect()
+    def rrow(run: String, d: Int) = rtrend.find(r =>
+      r.getAs[String]("run_id") == run && r.getAs[Int]("jaccard_decile") == d).get
+    assert(rrow("r1", 9).isNullAt(rrow("r1", 9).fieldIndex("delta")))
+    assert(math.abs(rrow("r2", 9).getAs[Double]("delta") + 0.2) < 1e-12,
+      "a top-decile recall drop must land as its delta")
+    assert(rrow("r2", 4).getAs[Double]("delta") == 0.0)
+    // and the real eval rows round-trip unchanged
+    val realR = Dedup.lshRecallAuto(spark, Sf)
+    val rlog2 = java.nio.file.Files.createTempDirectory("graft_rcal2").toString
+    Dedup.lshRecallLogAppend(realR, rlog2, "c1")
+    val rback = Dedup.lshRecallTrendFromLog(spark, rlog2).collect()
+    val rwant = realR.collect().map(r => r.getAs[Int]("jaccard_decile") ->
+      ((r.getAs[Long]("n_truth"), r.getAs[Long]("n_found")))).toMap
+    assert(rback.length == rwant.size)
+    rback.foreach { r =>
+      assert(rwant(r.getAs[Int]("jaccard_decile")) ==
+        ((r.getAs[Long]("n_truth"), r.getAs[Long]("n_found"))))
+    }
   }
 
   test("edit clusters: transitive collapse to the min-id keeper; short docs stay singletons") {
