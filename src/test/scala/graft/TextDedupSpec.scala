@@ -2164,6 +2164,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("Caches.clearAll drops every session memo: warmed families rebuild") {
+    // warm three cheap memo families at Sf, clearAll, re-touch each:
+    // every build counter must advance (a stale frame surviving the
+    // aggregate clear would serve the wrong corpus to the next tenant)
+    Dedup.memberPairFrame(spark, Sf).count()
+    TextAnalysis.trainedQualityLr(spark, Sf)
+    Similarity.kmeansCentroids(spark, Sf)
+    val (p0, q0, k0) = (Dedup.memberPairBuilds.get(),
+      TextAnalysis.qualityLrTrainings.get(), Similarity.kmeansTrainings.get())
+    // warm hits: no rebuilds
+    Dedup.memberPairFrame(spark, Sf).count()
+    TextAnalysis.trainedQualityLr(spark, Sf)
+    Similarity.kmeansCentroids(spark, Sf)
+    assert((Dedup.memberPairBuilds.get(), TextAnalysis.qualityLrTrainings.get(),
+      Similarity.kmeansTrainings.get()) == ((p0, q0, k0)))
+    graft.Caches.clearAll()
+    Dedup.memberPairFrame(spark, Sf).count()
+    TextAnalysis.trainedQualityLr(spark, Sf)
+    Similarity.kmeansCentroids(spark, Sf)
+    assert(Dedup.memberPairBuilds.get() == p0 + 1, "member pairs must rebuild")
+    assert(TextAnalysis.qualityLrTrainings.get() == q0 + 1, "LR must retrain")
+    assert(Similarity.kmeansTrainings.get() == k0 + 1, "quantizer must retrain")
+  }
+
   test("edit clusters: transitive collapse to the min-id keeper; short docs stay singletons") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
