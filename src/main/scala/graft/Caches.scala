@@ -2,10 +2,11 @@ package graft
 
 /** One switch for every session-grain memo in the library.
   *
-  * Six operator families memoize a shared deterministic artifact per
+  * The operator families memoize shared deterministic artifacts per
   * (SparkContext, corpus fingerprint): the dedup member-pair frame,
-  * the quality-LR trained model, the k-means quantizer, the ANN kNN
-  * graph, the two graph edge frames, and the skew census. Each memo
+  * the quality-LR trained model, the k-means quantizer and PQ
+  * codebooks, the ANN kNN graph, the two graph edge frames, and the
+  * skew census. Each memo
   * is bounded, keyed so corpus rewrites and new contexts always MISS
   * (dir + sorted input files + hyperparams + applicationId), and
   * individually clearable next to its family. This aggregate clear
@@ -19,6 +20,7 @@ object Caches {
     operators.TextAnalysis.clearQualityLrCache()
     operators.Similarity.clearKmeansCache()
     operators.Similarity.clearKnnGraphCache()
+    operators.Similarity.clearPqBooksCache()
     operators.Graph.clearEdgeCache()
     operators.Skew.clearCensusCache()
   }

@@ -684,6 +684,34 @@ object Similarity {
   private[graft] def flatBooksLit(books: Seq[Seq[(Int, Array[Float])]]): Column =
     array(books.flatMap(_.flatMap(_._2.toSeq)).map(lit(_)): _*)
 
+  // PQ codebooks are the quantizer memo's sibling: pq_topk,
+  // ivfpq_topk and saveIvfPqIndex all train the identical books at
+  // dir grain (deterministic — hash-seeded init, integer-quantized
+  // sums, id tiebreaks). Same discipline, driver-side value.
+  private val PqBooksCacheMax = 8
+  private val pqBooksCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[Seq[(Int, Array[Float])]]]()
+  private[graft] val pqBookTrainings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def clearPqBooksCache(): Unit = pqBooksCache.clear()
+
+  private[graft] def pqBooks(spark: SparkSession, dir: String,
+      numQueries: Int, m: Int, ksub: Int,
+      iters: Int): Seq[Seq[(Int, Array[Float])]] = {
+    val e = Tables.embeddings(spark, dir)
+    val fp = graft.sources.ArtifactManifest.fp(
+      (dir +: e.inputFiles.sorted :+ s"nq=$numQueries" :+ s"m=$m" :+
+        s"ksub=$ksub" :+ s"iters=$iters").mkString("\n"))
+    val key = (spark.sparkContext.applicationId, fp)
+    if (pqBooksCache.size() > PqBooksCacheMax) pqBooksCache.clear()
+    pqBooksCache.computeIfAbsent(key, _ => {
+      pqBookTrainings.incrementAndGet()
+      pqCodebooks(e.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") >= numQueries), m, ksub, iters)
+    })
+  }
+
   /** PQ codebook training: M subspaces × ksub codewords via seeded
     * Lloyd iterations. Each iteration is ONE distributed job: the
     * native `pq_encode` assigns all M subspaces in a single narrow
@@ -759,7 +787,7 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, iters: Int = 2, refine: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val books = pqCodebooks(e.filter(col("vec_id") >= numQueries), m, ksub, iters)
+    val books = pqBooks(spark, dir, numQueries, m, ksub, iters)
     val codes = pqEncode(e.filter(col("vec_id") >= numQueries), books)
     val queries = pqQueryFrame(e.filter(col("vec_id") < numQueries), books)
     adcRefineTopK(codes.crossJoin(broadcast(queries)), m, k, refine)
@@ -781,7 +809,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cands = e.filter(col("vec_id") >= numQueries)
     val cents = kmeansCentroids(spark, dir, nlist, iters)
-    val books = pqCodebooks(cands, m, ksub, iters)
+    val books = pqBooks(spark, dir, numQueries, m, ksub, iters)
     val codes = pqEncode(cands, books)
       .withColumn("cell", explode(nearestCellsCol(col("c_emb"), cents, 1)))
     val queries = pqQueryFrame(e.filter(col("vec_id") < numQueries), books)
@@ -807,7 +835,8 @@ object Similarity {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cands = e.filter(col("vec_id") >= numQueries)
     writeIndexArtifact(cands, indexPath,
-      kmeansCentroids(spark, dir, nlist, iters), pqCodebooks(cands, m, ksub, iters))
+      kmeansCentroids(spark, dir, nlist, iters),
+      pqBooks(spark, dir, numQueries, m, ksub, iters))
   }
 
   /** Index build from an arbitrary candidate frame — what the

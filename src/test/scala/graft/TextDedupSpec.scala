@@ -2827,6 +2827,23 @@ class SimilaritySpec extends SparkSpec {
     Similarity.kmeansCentroids(spark, dir)
     assert(Similarity.kmeansTrainings.get() == builds + 1)
     assert(v1.nonEmpty)
+    // PQ codebooks memoize the same way: pq_topk and ivfpq_topk at
+    // identical params share ONE training, and the cached books
+    // equal a fresh uncached training exactly
+    Similarity.clearPqBooksCache()
+    val pqBefore = Similarity.pqBookTrainings.get()
+    Similarity.pqTopK(spark, Sf, numQueries = 4, k = 3).count()
+    Similarity.ivfpqTopK(spark, Sf, numQueries = 4, k = 3).count()
+    assert(Similarity.pqBookTrainings.get() == pqBefore + 1,
+      "PQ consumers at identical params must share ONE codebook training")
+    val cachedBooks = Similarity.pqBooks(spark, Sf, 4, 8, 16, 2)
+    val freshBooks = Similarity.pqCodebooks(
+      Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") >= 4), m = 8, ksub = 16, iters = 2)
+    assert(cachedBooks.map(_.map { case (c, v) => c -> v.toSeq }) ==
+      freshBooks.map(_.map { case (c, v) => c -> v.toSeq }),
+      "cached codebooks drifted from a fresh training")
+    assert(Similarity.pqBookTrainings.get() == pqBefore + 1)
     // the kNN graph memoizes at the same grain: the registered graph,
     // embedding_clusters' LPA input, and classify's vote join at
     // identical params share ONE localCheckpointed build
