@@ -22,6 +22,7 @@ object Caches {
     operators.Similarity.clearKnnGraphCache()
     operators.Similarity.clearPqBooksCache()
     operators.Graph.clearEdgeCache()
+    operators.Sessionize.clearSessionCache()
     operators.Skew.clearCensusCache()
   }
 }

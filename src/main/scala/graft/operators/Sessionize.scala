@@ -130,8 +130,42 @@ object Sessionize {
   }
 
   /** One row per (user, session): ordered event sequence + stats. */
+  // ---- dir-grain session memos (the Graph edge-memo discipline) ----
+  // Two shared intermediates rebuild per call at dir grain: the
+  // session-sequences frame (feeds session_sequences AND
+  // session_patterns' rollup) and the per-session stats frame (feeds
+  // session_daily, session_concurrency, error_impact). Both are
+  // deterministic (window tiebreaks on (epoch, event_id), exact
+  // longs), so one session builds each ONCE — keyed by
+  // (applicationId, fp(kind + dir + events files)), localCheckpointed,
+  // bounded, clearable. `*From` forms stay uncached.
+  private val SessionCacheMax = 8
+  private val sessionCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private[graft] val sessionBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def clearSessionCache(): Unit = sessionCache.clear()
+
+  private def sessionMemo(spark: SparkSession, dir: String, kind: String)
+      (build: => DataFrame): DataFrame = {
+    val files = graft.Tables.events(spark, dir).inputFiles.sorted
+    val fp = graft.sources.ArtifactManifest.fp(
+      (kind +: dir +: files).mkString("\n"))
+    val key = (spark.sparkContext.applicationId, fp)
+    if (sessionCache.size() > SessionCacheMax) sessionCache.clear()
+    sessionCache.computeIfAbsent(key, _ => {
+      sessionBuilds.incrementAndGet()
+      build.localCheckpoint()
+    })
+  }
+
+  private[graft] def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionMemo(spark, dir, "stats")(sessionStatsFrom(enriched(spark, dir)))
+
   def sessionSequences(spark: SparkSession, dir: String): DataFrame =
-    sessionSequencesFrom(enriched(spark, dir))
+    sessionMemo(spark, dir, "sequences")(
+      sessionSequencesFrom(enriched(spark, dir)))
 
   /** `sessionSequences` on the hot-key-safe base — identical output
     * (same oracle SQL), no per-user funnel anywhere in the plan:
@@ -586,7 +620,7 @@ object Sessionize {
     * epoch arithmetic (epoch // 86400), timezone-free on both the
     * Spark and oracle sides. */
   def sessionDaily(spark: SparkSession, dir: String): DataFrame =
-    sessionDailyFrom(enriched(spark, dir))
+    sessionDailyRollup(sessionStats(spark, dir))
 
   /** Per-session stat frame shared by session_daily / error_impact /
     * session_concurrency: (user_id, session_idx, event_count,
@@ -679,7 +713,7 @@ object Sessionize {
     * carry-in (a day whose first boundary is an END peaked before it).
     */
   def sessionConcurrency(spark: SparkSession, dir: String): DataFrame =
-    sessionConcurrencyFrom(enriched(spark, dir))
+    concurrencyRollup(sessionStats(spark, dir))
 
   def sessionConcurrencyFrom(e: DataFrame): DataFrame =
     concurrencyRollup(sessionStatsFrom(e))
@@ -1222,7 +1256,7 @@ object Sessionize {
     * sessions on that side (0/0), via the same CASE shape in both
     * engines. Day = epoch // 86400, timezone-free. */
   def errorImpact(spark: SparkSession, dir: String): DataFrame =
-    errorImpactFrom(enriched(spark, dir))
+    errorImpactRollup(sessionStats(spark, dir))
 
   def errorImpactFrom(e: DataFrame): DataFrame =
     errorImpactRollup(sessionStatsFrom(e))

@@ -901,6 +901,29 @@ class SessionizeSpec extends SparkSpec {
       Sessionize.sessionSequences(spark, Sf).count())
   }
 
+  test("session memos: one sequences build serves patterns, one stats build serves three rollups, both match fresh") {
+    Sessionize.clearSessionCache()
+    val before = Sessionize.sessionBuilds.get()
+    val seq = Sessionize.sessionSequences(spark, Sf).collect()
+    Sessionize.sessionPatterns(spark, Sf).count()
+    assert(Sessionize.sessionBuilds.get() == before + 1,
+      "patterns must roll over the memoized sequences frame")
+    val daily = Sessionize.sessionDaily(spark, Sf).collect()
+    Sessionize.sessionConcurrency(spark, Sf).count()
+    Sessionize.errorImpact(spark, Sf).count()
+    assert(Sessionize.sessionBuilds.get() == before + 2,
+      "daily/concurrency/error_impact must share ONE stats build")
+    // memoized outputs equal fresh uncached builds exactly
+    val e = EventMarts.enriched(spark, Sf)
+    assert(seq.map(_.toSeq).toSet ==
+      Sessionize.sessionSequencesFrom(e).collect().map(_.toSeq).toSet,
+      "memoized sequences drifted from a fresh build")
+    assert(daily.map(_.toSeq).toSet ==
+      Sessionize.sessionDailyFrom(e).collect().map(_.toSeq).toSet,
+      "memoized daily drifted from a fresh build")
+    assert(Sessionize.sessionBuilds.get() == before + 2, "re-reads must HIT")
+  }
+
   test("session event counts sum to total events; gaps within a session ≤ 1800s") {
     val sessions = Sessionize.sessionSequences(spark, Sf)
     val sum1 = sessions.agg(sum("event_count")).collect().head.getLong(0)

@@ -248,7 +248,13 @@ class PlanAuditSpec extends SparkSpec {
       // embedding_clusters / ann_knn_classify stay in the main lint —
       // their tails (LPA rounds / vote join) over the checkpoint scan
       // are still real plans worth holding to the invariants
-      "ann_knn_graph")
+      "ann_knn_graph",
+      // session_sequences memoizes its localCheckpointed frame the
+      // same way (session_patterns rolls over it warm); the build
+      // subtree is audited directly below, as is the shared
+      // session-stats build behind daily/concurrency/error_impact
+      // (whose registered rollup tails stay in the main lint)
+      "session_sequences")
 
   /** Shuffle-exchange budget per query (pre-AQE plan). The default
     * bound catches shuffle explosions; queries listed here carry a
@@ -381,6 +387,16 @@ class PlanAuditSpec extends SparkSpec {
       offendersIn("ann_knn_graph[build]",
         operators.Similarity.annKnnGraphWith(spark,
           Tables.embeddings(spark, Sf), fakeCents, k = 5, nProbe = 2)) ++
+      // the memoized session frames' builds: the sequences frame
+      // (user window + per-session rank + rollup) and the shared
+      // per-session stats frame (one rollup riding the sessionize
+      // exchange)
+      offendersIn("session_sequences[build]",
+        operators.Sessionize.sessionSequencesFrom(
+          operators.EventMarts.enriched(spark, Sf))) ++
+      offendersIn("session_daily[stats]",
+        operators.Sessionize.sessionStatsFrom(
+          operators.EventMarts.enriched(spark, Sf))) ++
       // graph_kcore's per-round shape over the real edge frame
       offendersIn("graph_kcore[round]", {
         val e = operators.Graph.coviewEdgesFrom(operators.EventMarts.enriched(spark, Sf))
