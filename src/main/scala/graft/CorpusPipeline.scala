@@ -184,10 +184,18 @@ object CorpusPipeline {
     val agreement =
       if (!includeAgreement) Nil
       else {
+        // ONE execution feeds both the log append and the report:
+        // collect the (≤10-row) census first and rebuild the log
+        // frame from the driver rows — appending the live frame
+        // would re-run the member-generator sweep a second time.
         val census = operators.Dedup.methodAgreementFull(spark, dir)
-        calibrationLogDir.foreach(ld =>
-          operators.Dedup.calibrationLogAppend(census, ld, executionDate))
-        census.collect().toSeq
+        val rows = census.collect().toSeq
+        calibrationLogDir.foreach { ld =>
+          import scala.jdk.CollectionConverters._
+          val frame = spark.createDataFrame(rows.asJava, census.schema)
+          operators.Dedup.calibrationLogAppend(frame, ld, executionDate)
+        }
+        rows
       }
     // tokenLogSink creates the dir lazily on the first non-empty
     // batch, so an absent or still-empty dir must read as "no data".

@@ -773,7 +773,8 @@ object Dedup {
   private[graft] val memberPairBuilds =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def clearMemberPairCache(): Unit = memberPairCache.clear()
+  def clearMemberPairCache(): Unit =
+    graft.Caches.drainFrameCache(memberPairCache)
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -783,6 +784,12 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val fp = md5Hex(dir + "\n" + docs.inputFiles.sorted.mkString("\n"))
     val key = (spark.sparkContext.applicationId, fp)
+    // clear-all at the bound, NOT LRU: a session cycling > Max corpora
+    // thrashes every family, an accepted trade — Max is generous and
+    // real sessions touch a handful of corpora. Eviction drops ONLY
+    // the driver references (no unpersist), so in-flight consumers of
+    // an evicted frame keep working; the ContextCleaner reclaims the
+    // blocks after GC. The explicit clear hooks are the eager path.
     if (memberPairCache.size() > MemberPairCacheMax) memberPairCache.clear()
     memberPairCache.computeIfAbsent(key, _ => {
       memberPairBuilds.incrementAndGet()
@@ -1434,7 +1441,17 @@ object Dedup {
     // there — never a false negative, output and oracle parity
     // untouched. Below the arming bound the corpus is exchange-cheap
     // and the extra freq materialization costs more than it saves.
-    val armBloom = spanBloomFpp > 0 && docs.count() >= spanBloomMinDocs
+    // arming count comes from the ALREADY-CHECKPOINTED grams frame,
+    // not docs.count() — the input may carry an arbitrarily expensive
+    // un-cached lineage (this op composes over other operators'
+    // output), and arming is a performance heuristic, so an approx
+    // distinct over the checkpoint is the right price. Docs shorter
+    // than n words emit no grams and are invisible here; they also
+    // contribute no join rows, so under-counting them only delays
+    // arming — never correctness.
+    val armBloom = spanBloomFpp > 0 &&
+      grams.agg(approx_count_distinct(col("doc_id")).as("n"))
+        .head().getLong(0) >= spanBloomMinDocs
     val (freq, probeGrams) =
       if (!armBloom) (freq0, grams)
       else {
@@ -1628,7 +1645,13 @@ object Dedup {
     * per-run rows land under a `run_id` partition via the
     * dynamic-overwrite mart writer, so a rerun of the same run_id
     * replaces its own partition idempotently. Method-pair grain:
-    * 10 rows per run — the log grows with runs, never corpus size. */
+    * 10 rows per run — the log grows with runs, never corpus size.
+    * run_id CONTRACT: the trend readers order runs by run_id AS A
+    * STRING, so ids must sort lexicographically in chronological
+    * order — ISO dates (`2026-08-16`, what dailyReport stamps) or
+    * zero-padded counters (`run_0042`). Bare counters like `r10`
+    * sort before `r2` and make the trend's deltas compare against
+    * the wrong previous run. */
   def calibrationLogAppend(agreement: DataFrame, logDir: String,
                            runId: String): Unit =
     graft.sources.MartSink.writePartitioned(
@@ -1639,7 +1662,9 @@ object Dedup {
     * the trend a tokenizer change, a banding retune, or a corpus mix
     * shift bends before anyone reads a one-off census. A one-run log
     * has no previous row, so delta is null there, never 0 (a real 0
-    * means "measured, unchanged"). Tiny frame: |runs| × 10 rows. */
+    * means "measured, unchanged"). Tiny frame: |runs| × 10 rows.
+    * "Previous" = the lexicographically preceding run_id — see the
+    * run_id contract on [[calibrationLogAppend]]. */
   def calibrationTrendFromLog(spark: SparkSession, logDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("method_a", "method_b").orderBy("run_id")
@@ -1658,7 +1683,9 @@ object Dedup {
     * agreement census watches the method FAMILY, this one watches
     * the banding S-curve's KNEE — the scale-path regression the
     * family census can't see (banding can lose a decile of recall
-    * while every method-pair agreement barely moves). */
+    * while every method-pair agreement barely moves). Same run_id
+    * contract as [[calibrationLogAppend]]: ids must sort
+    * lexicographically in chronological order. */
   def lshRecallLogAppend(recall: DataFrame, logDir: String,
                          runId: String): Unit =
     graft.sources.MartSink.writePartitioned(
@@ -1667,7 +1694,9 @@ object Dedup {
   /** Banding-recall trend over the run log: per (decile, run),
     * recall plus its delta vs the SAME decile's previous run. First
     * run reads NULL delta, never 0 — a real 0 means "measured,
-    * unchanged". Tiny frame: |runs| × ≤10 rows. */
+    * unchanged". Tiny frame: |runs| × ≤10 rows. "Previous" = the
+    * lexicographically preceding run_id — see the run_id contract on
+    * [[calibrationLogAppend]]. */
   def lshRecallTrendFromLog(spark: SparkSession, logDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("jaccard_decile").orderBy("run_id")

@@ -65,14 +65,18 @@ object Graph {
   // builds each ONCE: the memberPairFrame discipline — keyed by
   // (applicationId, fp(kind + dir + events files)), localCheckpointed,
   // bounded, clearable. `*From` forms (arbitrary event frames) stay
-  // uncached.
+  // uncached. Checkpointed memos have NO lineage: after an executor
+  // loss the blocks are unrecoverable and the entry keeps failing
+  // until dropped — services that survive executor churn should call
+  // graft.Caches.clearAll() from their loss handling (see Caches
+  // scaladoc; moot in local mode).
   private val EdgeCacheMax = 8
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private[graft] val edgeBuilds =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def clearEdgeCache(): Unit = edgeCache.clear()
+  def clearEdgeCache(): Unit = graft.Caches.drainFrameCache(edgeCache)
 
   private def edgeMemo(spark: SparkSession, dir: String, kind: String)
       (build: => DataFrame): DataFrame = {
@@ -80,6 +84,8 @@ object Graph {
     val fp = graft.sources.ArtifactManifest.fp(
       (kind +: dir +: files).mkString("\n"))
     val key = (spark.sparkContext.applicationId, fp)
+    // clear-all at the bound, not LRU (reference-drop only) — trade
+    // documented at Dedup.memberPairFrame
     if (edgeCache.size() > EdgeCacheMax) edgeCache.clear()
     edgeCache.computeIfAbsent(key, _ => {
       edgeBuilds.incrementAndGet()

@@ -145,7 +145,7 @@ object Sessionize {
   private[graft] val sessionBuilds =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def clearSessionCache(): Unit = sessionCache.clear()
+  def clearSessionCache(): Unit = graft.Caches.drainFrameCache(sessionCache)
 
   private def sessionMemo(spark: SparkSession, dir: String, kind: String)
       (build: => DataFrame): DataFrame = {
@@ -153,6 +153,9 @@ object Sessionize {
     val fp = graft.sources.ArtifactManifest.fp(
       (kind +: dir +: files).mkString("\n"))
     val key = (spark.sparkContext.applicationId, fp)
+    // clear-all at the bound, not LRU (reference-drop only, so
+    // in-flight consumers survive) — trade documented at
+    // Dedup.memberPairFrame
     if (sessionCache.size() > SessionCacheMax) sessionCache.clear()
     sessionCache.computeIfAbsent(key, _ => {
       sessionBuilds.incrementAndGet()

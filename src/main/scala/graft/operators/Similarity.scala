@@ -1103,7 +1103,7 @@ object Similarity {
   private[graft] val knnGraphBuilds =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def clearKnnGraphCache(): Unit = knnGraphCache.clear()
+  def clearKnnGraphCache(): Unit = graft.Caches.drainFrameCache(knnGraphCache)
 
   def annKnnGraph(spark: SparkSession, dir: String, k: Int = 5,
                   nProbe: Int = 2, nlist: Int = 10, iters: Int = 3): DataFrame = {
@@ -1113,6 +1113,8 @@ object Similarity {
         s"k=$k" :+ s"nProbe=$nProbe" :+ s"nlist=$nlist" :+ s"iters=$iters")
         .mkString("\n"))
     val key = (spark.sparkContext.applicationId, fp)
+    // clear-all at the bound, not LRU (reference-drop only) — trade
+    // documented at Dedup.memberPairFrame
     if (knnGraphCache.size() > KnnGraphCacheMax) knnGraphCache.clear()
     knnGraphCache.computeIfAbsent(key, _ => {
       knnGraphBuilds.incrementAndGet()

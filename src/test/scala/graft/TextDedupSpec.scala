@@ -2188,6 +2188,25 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.kmeansTrainings.get() == k0 + 1, "quantizer must retrain")
   }
 
+  test("explicit memo clear unpersists checkpoint blocks eagerly") {
+    // the Caches scaladoc's storage contract: clearAll / the family
+    // clears return the localCheckpoint blocks AT the call, not at
+    // some later GC — the frame's backing RDD must read StorageLevel
+    // NONE the moment the clear returns
+    import org.apache.spark.storage.StorageLevel
+    val f = Dedup.memberPairFrame(spark, Sf)
+    f.count()
+    val rdds = f.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(rdds.nonEmpty, "memoized frame must be checkpoint-backed")
+    assert(rdds.forall(_.getStorageLevel != StorageLevel.NONE),
+      "blocks must be persisted while cached")
+    Dedup.clearMemberPairCache()
+    assert(rdds.forall(_.getStorageLevel == StorageLevel.NONE),
+      "explicit clear must unpersist eagerly")
+  }
+
   test("edit clusters: transitive collapse to the min-id keeper; short docs stay singletons") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
