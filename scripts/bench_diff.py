@@ -14,6 +14,19 @@ Prints queries slower by more than the flag factor (default 2x),
 new/gone queries, and totals. Exit code 1 if anything was flagged —
 cron-able as a regression tripwire.
 
+Host-health canary: graft.Bench emits a constant CPU-bound probe's
+wall time at record start and end ("canary"/"canary_end" in the total
+line and the bench_full sidecar). This sandbox throttles progressively
+under sustained load (r12: four same-code full benches read
+189->308s with DISJOINT mover sets), so when BOTH records carry a
+canary and they differ by more than CANARY_FACTOR (2x), the records
+were taken in different host states and a per-query diff is NOT a
+regression signal: the flags are printed as advisory and the exit
+code is 0 (downgraded) — unless --adjudicate is given, in which case
+the fresh k=3 rerun supplies current-host evidence and adjudication
+proceeds as usual. A >2x start-vs-end divergence WITHIN one record
+marks that record as taken on a degrading host (warning only).
+
 --adjudicate makes the tripwire self-adjudicating: every flagged
 query is re-run k=3 times in ONE fresh in-session JVM
 (graft.Bench with SPARK_GRAFT_BENCH_REPEAT=3 against SF_DIR,
@@ -22,12 +35,20 @@ REGRESSED if the re-measured min still exceeds flag x old,
 NOISY otherwise (a contended-run artifact, not a code regression).
 Exit code 1 only for REGRESSED queries, so a cron invocation no
 longer needs a human to adjudicate sandbox contention spikes.
+
+--smoke runs a planted-pair self-test of the canary logic (no Spark):
+a >2x mover under mismatched canaries must downgrade to exit 0, the
+same mover under matching canaries must flag with exit 1, and a
+degrading-host record must print its warning. Exit 0 iff all hold.
 """
 import json
 import os
 import re
 import subprocess
 import sys
+import tempfile
+
+CANARY_FACTOR = 2.0
 
 
 def full_record(path):
@@ -48,11 +69,36 @@ def full_record(path):
             except ValueError:
                 continue
             if isinstance(doc.get("queries"), dict):
-                return {k: float(v) for k, v in doc["queries"].items()}
+                return doc
     return None
 
 
+def canary_of(doc, blob):
+    """(start, end) canary seconds from a parsed doc and/or raw text —
+    either may be None (records predating the canary)."""
+    start = end = None
+    if isinstance(doc, dict):
+        if isinstance(doc.get("canary"), (int, float)):
+            start = float(doc["canary"])
+        if isinstance(doc.get("canary_end"), (int, float)):
+            end = float(doc["canary_end"])
+    if start is None:
+        m = re.search(r'"canary":([0-9.]+)', blob)
+        if m:
+            start = float(m.group(1))
+        else:
+            m = re.search(r'"canary_start":([0-9.]+)', blob)
+            if m:
+                start = float(m.group(1))
+    if end is None:
+        m = re.search(r'"canary_end":([0-9.]+)', blob)
+        if m:
+            end = float(m.group(1))
+    return start, end
+
+
 def parse(path):
+    """-> (per-query min seconds, (canary_start, canary_end))."""
     times = {}
     text = open(path).read()
     try:
@@ -62,22 +108,27 @@ def parse(path):
     if isinstance(doc, dict) and isinstance(doc.get("queries"), dict) \
             and "tail" not in doc:
         # a bare bench_full sidecar passed directly
-        return {k: float(v) for k, v in doc["queries"].items()}
+        return ({k: float(v) for k, v in doc["queries"].items()},
+                canary_of(doc, text))
+    canary = (None, None)
     if isinstance(doc, dict) and "tail" in doc:
         full = full_record(path)
         if full:
-            times.update(full)
+            times.update({k: float(v) for k, v in full["queries"].items()})
+            canary = canary_of(full, "")
         parsed = doc.get("parsed") or {}
         if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
             times.update({k: float(v) for k, v in parsed["queries"].items()})
         blob = doc.get("tail") or ""
     else:
         blob = text
+    if canary == (None, None):
+        canary = canary_of(doc if isinstance(doc, dict) else None, blob)
     for m in re.finditer(r'\{"query":"([a-z0-9_]+)","sec":([0-9.]+)', blob):
         times[m.group(1)] = float(m.group(2))
     for m in re.finditer(r'"([a-z0-9_]+)":\[([0-9.]+),[0-9.]+\]', blob):
         times.setdefault(m.group(1), float(m.group(2)))
-    return times
+    return times, canary
 
 
 def adjudicate(flagged, sf_dir, repeat=3):
@@ -102,8 +153,106 @@ def adjudicate(flagged, sf_dir, repeat=3):
     return remeasured
 
 
+def compare(old_path, new_path, flag, adj_dir, out=print):
+    """The diff-and-classify core; returns the intended exit code."""
+    (old, old_canary), (new, new_canary) = parse(old_path), parse(new_path)
+    if not old or not new:
+        sys.exit(f"no per-query data (old={len(old)}, new={len(new)} queries)")
+    for label, (cs, ce) in (("old", old_canary), ("new", new_canary)):
+        if cs and ce and max(cs, ce) > CANARY_FACTOR * min(cs, ce):
+            out(f"WARNING {label} record's own canaries diverge "
+                f"(start {cs:.2f}s, end {ce:.2f}s): host was degrading "
+                f"DURING that run; its slow entries are suspect")
+    mismatch = (old_canary[0] and new_canary[0] and
+                max(old_canary[0], new_canary[0]) >
+                CANARY_FACTOR * min(old_canary[0], new_canary[0]))
+    if mismatch:
+        out(f"CANARY MISMATCH old={old_canary[0]:.2f}s "
+            f"new={new_canary[0]:.2f}s (> {CANARY_FACTOR}x): records taken "
+            "in different host states — per-query flags are ADVISORY"
+            + (", adjudicating with fresh current-host reruns"
+               if adj_dir else "; rerun on a quiet host or use --adjudicate"))
+    flagged = []
+    for q in sorted(set(old) & set(new)):
+        o, n = old[q], new[q]
+        # ignore sub-100ms noise: a 0.02->0.05s "regression" is jitter
+        if n > flag * o and n - o > 0.1:
+            flagged.append((q, o, n))
+            out(f"SLOWER  {q}: {o:.2f}s -> {n:.2f}s  (x{n / o:.1f})")
+    for q in sorted(set(new) - set(old)):
+        out(f"NEW     {q}: {new[q]:.2f}s")
+    for q in sorted(set(old) - set(new)):
+        out(f"GONE    {q} (was {old[q]:.2f}s)")
+    both = set(old) & set(new)
+    out(f"totals over {len(both)} shared queries: "
+        f"{sum(old[q] for q in both):.1f}s -> {sum(new[q] for q in both):.1f}s; "
+        f"{len(flagged)} flagged (>{flag}x and >0.1s)")
+    if flagged and adj_dir:
+        out(f"adjudicating {len(flagged)} flagged queries: "
+            f"k=3 fresh-JVM reruns against {adj_dir} ...")
+        remeasured = adjudicate(flagged, adj_dir)
+        regressed = []
+        for q, o, n in flagged:
+            r = remeasured.get(q)
+            if r is not None and (r <= flag * o or r - o <= 0.1):
+                out(f"NOISY     {q}: {o:.2f}s -> {n:.2f}s, "
+                    f"stable min {r:.2f}s (within {flag}x)")
+            else:
+                regressed.append(q)
+                shown = "absent from rerun" if r is None else f"{r:.2f}s"
+                out(f"REGRESSED {q}: {o:.2f}s -> {n:.2f}s, "
+                    f"stable min {shown} (still >{flag}x)")
+        out(f"adjudication: {len(regressed)} REGRESSED, "
+            f"{len(flagged) - len(regressed)} NOISY")
+        return 1 if regressed else 0
+    if flagged and mismatch:
+        out("exit 0 (downgraded): canary mismatch means these flags are "
+            "host-state artifacts until a comparable-canary record or an "
+            "--adjudicate rerun says otherwise")
+        return 0
+    return 1 if flagged else 0
+
+
+def smoke():
+    """Planted-pair self-test of the canary downgrade (no Spark)."""
+    def record(path, q1_sec, canary, canary_end=None):
+        doc = {"queries": {"q1": q1_sec, "q2": 0.5},
+               "total": q1_sec + 0.5, "count": 2, "sf": "planted",
+               "canary": canary}
+        if canary_end is not None:
+            doc["canary_end"] = canary_end
+        json.dump(doc, open(path, "w"))
+    with tempfile.TemporaryDirectory() as d:
+        base = os.path.join(d, "old.json")
+        hot = os.path.join(d, "new_hot.json")       # mover, canary 4x
+        quiet = os.path.join(d, "new_quiet.json")   # mover, canary flat
+        record(base, 1.0, 0.5)
+        record(hot, 5.0, 2.0)
+        record(quiet, 5.0, 0.55, canary_end=1.8)    # also degrades in-run
+        lines = []
+        rc_hot = compare(base, hot, 2.0, None, out=lines.append)
+        assert rc_hot == 0, f"mismatched canary must downgrade, got {rc_hot}"
+        assert any(l.startswith("CANARY MISMATCH") for l in lines), lines
+        assert any(l.startswith("SLOWER  q1") for l in lines), lines
+        lines = []
+        rc_quiet = compare(base, quiet, 2.0, None, out=lines.append)
+        assert rc_quiet == 1, f"matching canary must flag, got {rc_quiet}"
+        assert not any(l.startswith("CANARY MISMATCH") for l in lines), lines
+        assert any("degrading DURING" in l for l in lines), lines
+        # records predating the canary must keep the legacy contract
+        legacy = os.path.join(d, "legacy.json")
+        json.dump({"queries": {"q1": 5.0, "q2": 0.5}}, open(legacy, "w"))
+        rc_legacy = compare(base, legacy, 2.0, None, out=lambda *_: None)
+        assert rc_legacy == 1, f"canary-less record must still flag, got {rc_legacy}"
+    print("canary smoke: 3/3 planted cases OK "
+          "(mismatch downgrades, quiet flags, legacy flags)")
+    return 0
+
+
 def main():
     argv = sys.argv[1:]
+    if "--smoke" in argv:
+        sys.exit(smoke())
     flag = 2.0
     if "--flag" in argv:
         i = argv.index("--flag")
@@ -119,43 +268,7 @@ def main():
     args = [a for a in argv if not a.startswith("--")]
     if len(args) != 2:
         sys.exit(__doc__)
-    old, new = parse(args[0]), parse(args[1])
-    if not old or not new:
-        sys.exit(f"no per-query data (old={len(old)}, new={len(new)} queries)")
-    flagged = []
-    for q in sorted(set(old) & set(new)):
-        o, n = old[q], new[q]
-        # ignore sub-100ms noise: a 0.02->0.05s "regression" is jitter
-        if n > flag * o and n - o > 0.1:
-            flagged.append((q, o, n))
-            print(f"SLOWER  {q}: {o:.2f}s -> {n:.2f}s  (x{n / o:.1f})")
-    for q in sorted(set(new) - set(old)):
-        print(f"NEW     {q}: {new[q]:.2f}s")
-    for q in sorted(set(old) - set(new)):
-        print(f"GONE    {q} (was {old[q]:.2f}s)")
-    both = set(old) & set(new)
-    print(f"totals over {len(both)} shared queries: "
-          f"{sum(old[q] for q in both):.1f}s -> {sum(new[q] for q in both):.1f}s; "
-          f"{len(flagged)} flagged (>{flag}x and >0.1s)")
-    if flagged and adj_dir:
-        print(f"adjudicating {len(flagged)} flagged queries: "
-              f"k=3 fresh-JVM reruns against {adj_dir} ...")
-        remeasured = adjudicate(flagged, adj_dir)
-        regressed = []
-        for q, o, n in flagged:
-            r = remeasured.get(q)
-            if r is not None and (r <= flag * o or r - o <= 0.1):
-                print(f"NOISY     {q}: {o:.2f}s -> {n:.2f}s, "
-                      f"stable min {r:.2f}s (within {flag}x)")
-            else:
-                regressed.append(q)
-                shown = "absent from rerun" if r is None else f"{r:.2f}s"
-                print(f"REGRESSED {q}: {o:.2f}s -> {n:.2f}s, "
-                      f"stable min {shown} (still >{flag}x)")
-        print(f"adjudication: {len(regressed)} REGRESSED, "
-              f"{len(flagged) - len(regressed)} NOISY")
-        sys.exit(1 if regressed else 0)
-    sys.exit(1 if flagged else 0)
+    sys.exit(compare(args[0], args[1], flag, adj_dir))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,26 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     Tables.events(spark, sfDir).groupBy("event_type").count()
       .write.format("noop").mode("overwrite").save()
+    // Host-health canary: a CONSTANT CPU-bound probe (fixed row count,
+    // scan-free, data-independent) whose wall time moves only with the
+    // host's effective CPU throughput. This sandbox throttles
+    // progressively under sustained load (r12: four same-code full
+    // benches read 189→308 s with disjoint mover sets), so every
+    // record carries the probe at start AND end — bench_diff.py
+    // refuses to treat a cross-record per-query diff as a regression
+    // signal when the canaries differ >2×, and a start/end divergence
+    // marks the record as taken on a degrading host. min of two runs
+    // damps residual JIT on the probe's own codegen.
+    def canaryProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1024000000L, 1L, cpus.toInt)
+        .selectExpr("max(xxhash64(id)) AS s") // max: ANSI-safe (a 256M-row sum of 64-bit hashes overflows)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryStart = Seq(canaryProbe(), canaryProbe()).min
+    println(f"""{"canary_start":$canaryStart%.4f}""")
+    System.out.flush()
     // Bench-scale variants for iterative-training queries: identical plan
     // shape, fewer Lloyd iterations (each iteration pays fresh
     // literal-centroid codegen — at bench scale that latency IS the wall
@@ -125,8 +145,10 @@ object Bench {
         System.out.flush()
       }
     }
+    val canaryEnd = Seq(canaryProbe(), canaryProbe()).min
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},"sf":"$sfDir",""" +
+      f""""canary":$canaryStart%.4f,"canary_end":$canaryEnd%.4f}""")
     System.out.flush()
     // Full-record sidecar: the driver's BENCH_r{N}.json keeps only a
     // truncated stdout tail, so the cross-round regression tripwire
@@ -142,7 +164,8 @@ object Bench {
         def m(sel: ((Double, Double, Int)) => Double) =
           results.map { case (n, v) => "\"" + n + "\":" + f"${sel(v)}%.4f" }.mkString(",")
         val doc = "{\"queries\":{" + m(_._1) + "},\"max\":{" + m(_._2) + "}," +
-          f"""\"total\":$total%.4f,\"count\":${results.size},\"sf\":\"$sfDir\"}"""
+          f"""\"total\":$total%.4f,\"count\":${results.size},\"sf\":\"$sfDir\",""" +
+          f"""\"canary\":$canaryStart%.4f,\"canary_end\":$canaryEnd%.4f}"""
         java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
           doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         ()
