@@ -3285,6 +3285,108 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.select("cand_id").distinct().count() == codes.count())
   }
 
+  test("persisted quantizer: load equals trained, disk-served probe byte-identical, tamper refuses") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_kmeans_art").toString
+    val saved = Similarity.saveKmeansCentroids(spark, Sf, path)
+    val loaded = Similarity.loadKmeansCentroids(spark, path)
+    assert(loaded.map { case (i, v) => (i, v.toSeq) } ==
+      saved.map { case (i, v) => (i, v.toSeq) },
+      "loaded quantizer must equal the trained one exactly")
+    // disk-served registry form ≡ trained registry form
+    val served = Similarity.ivfTopKKmeansFromArtifact(spark, Sf, path)
+      .collect().map(_.toSeq).toSeq
+    val trained = Similarity.ivfTopKKmeans(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(served == trained, "disk-served IVF probe must be byte-identical")
+    // wrong-artifact refuse: the stamp names what it is
+    intercept[IllegalArgumentException] {
+      Similarity.loadPqBooks(spark, path)
+    }
+    // tamper: perturb one centroid component, keep the stale manifest
+    val rows = spark.read.parquet(path).collect().map(r =>
+      (r.getAs[Int]("cell"),
+        r.getSeq[Float](r.fieldIndex("c_vec")).toArray match {
+          case v => v(0) += 0.25f; v.toSeq }))
+    val manifest = new java.io.File(path, graft.sources.ArtifactManifest.FileName)
+    val keep = java.nio.file.Files.readAllBytes(manifest.toPath)
+    rows.toIndexedSeq.toDF("cell", "c_vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    java.nio.file.Files.write(manifest.toPath, keep)
+    intercept[IllegalStateException] {
+      Similarity.loadKmeansCentroids(spark, path)
+    }
+  }
+
+  test("persisted PQ codebooks: load equals trained, disk-served pq_topk byte-identical, tamper refuses") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pqbooks_art").toString
+    val saved = Similarity.savePqBooks(spark, Sf, path)
+    val loaded = Similarity.loadPqBooks(spark, path)
+    assert(loaded.map(_.map { case (c, v) => (c, v.toSeq) }) ==
+      saved.map(_.map { case (c, v) => (c, v.toSeq) }),
+      "loaded codebooks must equal the trained ones exactly")
+    val served = Similarity.pqTopKFromBooks(spark, Sf, path)
+      .collect().map(_.toSeq).toSeq
+    val trained = Similarity.pqTopK(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(served == trained, "disk-served PQ probe must be byte-identical")
+    intercept[IllegalArgumentException] {
+      Similarity.loadKmeansCentroids(spark, path)
+    }
+    // tamper one codeword component under the stale manifest
+    val rows = spark.read.parquet(path).collect().map(r =>
+      (r.getAs[Int]("m_idx"), r.getAs[Int]("code"),
+        r.getSeq[Float](r.fieldIndex("v")).toArray match {
+          case v => v(0) += 0.25f; v.toSeq }))
+    val manifest = new java.io.File(path, graft.sources.ArtifactManifest.FileName)
+    val keep = java.nio.file.Files.readAllBytes(manifest.toPath)
+    rows.toIndexedSeq.toDF("m_idx", "code", "v")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    java.nio.file.Files.write(manifest.toPath, keep)
+    intercept[IllegalStateException] {
+      Similarity.loadPqBooks(spark, path)
+    }
+  }
+
+  test("persisted kNN graph: disk-served clusters and classify byte-identical, tamper refuses") {
+    val path = java.nio.file.Files.createTempDirectory("graft_knn_art").toString
+    Similarity.saveKnnGraph(spark, Sf, path)
+    // loaded graph rows = memoized graph rows (unordered set compare —
+    // the artifact persists distributed, unsorted)
+    val loadedRows = Similarity.loadKnnGraph(spark, path)
+      .collect().map(_.toSeq).toSet
+    val builtRows = Similarity.annKnnGraph(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(loadedRows == builtRows, "loaded graph must equal the built one")
+    // both disk-served query forms ≡ their trained registry forms
+    val clustersServed = Similarity.embeddingClustersFromArtifact(spark, path)
+      .collect().map(_.toSeq).toSeq
+    val clustersTrained = Similarity.embeddingClusters(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(clustersServed == clustersTrained,
+      "disk-served embedding_clusters must be byte-identical")
+    val classifyServed = Similarity.annKnnClassifyFromArtifact(spark, Sf, path)
+      .collect().map(_.toSeq).toSeq
+    val classifyTrained = Similarity.annKnnClassify(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(classifyServed == classifyTrained,
+      "disk-served ann_knn_classify must be byte-identical")
+    intercept[IllegalArgumentException] {
+      Similarity.loadKmeansCentroids(spark, path)
+    }
+    // tamper: drop one row under the stale manifest — the content
+    // fingerprint covers every row, so a half-replaced graph refuses
+    val g = spark.read.parquet(path)
+    val manifest = new java.io.File(path, graft.sources.ArtifactManifest.FileName)
+    val keep = java.nio.file.Files.readAllBytes(manifest.toPath)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_knn_tamper").toString
+    g.limit((g.count() - 1).toInt).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    java.nio.file.Files.write(manifest.toPath, keep)
+    intercept[IllegalStateException] {
+      Similarity.loadKnnGraph(spark, path)
+    }
+  }
+
   test("index maintenance: drift trigger fires on off-cell deltas, re-training restores recall") {
     import spark.implicits._
     import operators.IndexMaintenance
