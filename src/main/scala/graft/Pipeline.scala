@@ -183,6 +183,13 @@ object Pipeline {
     *   multi-date replay measures its widest frame ONCE and drives
     *   every scoped run with that plan instead of re-censusing each
     *   date's widened frame. None (the default) measures here. */
+  /** @param driftLogDir when set (and a contract is wired), every
+    *   healthy run appends its FULL contract diff to the drift run
+    *   log under the run date (idempotent per date) —
+    *   `Quality.driftTrendFromLog` then reads drift VELOCITY off the
+    *   log and `widenStreaksLatest` feeds the daily report's
+    *   velocity section. No contract or a failed gate logs nothing
+    *   (a sick run's re-suggest would poison the trend). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           failFast: Boolean = true, dates: Seq[String] = Nil,
           checkLogDir: Option[String] = None,
@@ -191,7 +198,8 @@ object Pipeline {
           martJdbc: Option[String] = None,
           suggestionsPath: Option[String] = None,
           sessionPlan: Option[operators.Skew.SkewPlan] = None,
-          autoPromoteAfter: Option[Int] = None): Result = {
+          autoPromoteAfter: Option[Int] = None,
+          driftLogDir: Option[String] = None): Result = {
     autoPromoteAfter.foreach(n => require(n >= 1,
       s"autoPromoteAfter must be >= 1, got $n"))
     val base = EventMarts.enriched(spark, sfDir)
@@ -217,6 +225,10 @@ object Pipeline {
       val summary = summaryDf.collect().toSeq
       val checks = Reporting.checkResults(summary)
       val failed = checks.filter(_.status == "FAIL").map(_.checkName)
+      val runDate = dates.sorted.lastOption.orElse {
+        val r = e.agg(max(col("event_date"))).collect().head
+        if (r.isNullAt(0)) None else Some(r.getDate(0).toString)
+      }
       // the auto-refresh half of the contract loop: on a HEALTHY run
       // (gate green), re-suggest from this run's events and DIFF
       // against the pinned contract — a bound drifting toward the
@@ -249,13 +261,21 @@ object Pipeline {
           // cannot see different profiles of the same run
           val refreshed = Quality.suggestedChecksFrom(refreshScope)
             .localCheckpoint()
-          val drift = Quality.contractDrift(
-              Quality.loadSuggestions(spark, path), refreshed)
-            .filter(col("drift"))
-            .select(col("column_name"), col("check_type"), col("change"))
-            .collect()
-            .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-            .toSeq
+          // ONE execution of the dimension-sized diff feeds both the
+          // velocity log (FULL rows — the trend needs each run's
+          // bounds even when unchanged) and the result's drift rows
+          val diff = Quality.contractDrift(
+            Quality.loadSuggestions(spark, path), refreshed)
+          val diffRows = diff.collect().toSeq
+          driftLogDir.foreach { ld =>
+            import scala.jdk.CollectionConverters._
+            Quality.driftLogAppend(
+              spark.createDataFrame(diffRows.asJava, diff.schema),
+              ld, runDate.getOrElse("unknown"))
+          }
+          val drift = diffRows.filter(_.getAs[Boolean]("drift"))
+            .map(r => (r.getAs[String]("column_name"),
+              r.getAs[String]("check_type"), r.getAs[String]("change")))
           // OPT-IN auto-promotion: the gate always enforced the PINNED
           // artifact above; only after `autoPromoteAfter` CONSECUTIVE
           // healthy runs observe drift against the same pinned
@@ -292,10 +312,6 @@ object Pipeline {
           }
           (drift, promoted)
         }
-      val runDate = dates.sorted.lastOption.orElse {
-        val r = e.agg(max(col("event_date"))).collect().head
-        if (r.isNullAt(0)) None else Some(r.getDate(0).toString)
-      }
       // rows with a null ts have no run date to log under (they would
       // land in a __HIVE_DEFAULT_PARTITION__ that trendFromLog counts
       // as an extra "day"); they stay visible through the corpus-wide
@@ -381,7 +397,8 @@ object Pipeline {
     * path; graft.Reporting renders the deterministic fallback
     * template). All five aggregates are tiny; `e` should be the
     * shared persisted projection when called inside a run. */
-  def dailyReportText(e: DataFrame, executionDate: String): String = {
+  def dailyReportText(e: DataFrame, executionDate: String,
+                      driftLogDir: Option[String] = None): String = {
     val day = e.filter(col("event_date") === java.sql.Date.valueOf(executionDate))
     Reporting.dailyReport(
       executionDate,
@@ -389,7 +406,14 @@ object Pipeline {
       funnel = EventMarts.martFunnelDailyFrom(day).collect().toSeq,
       topProducts = EventMarts.productTopNFrom(day, 10).collect().toSeq,
       orderSummary = EventMarts.reportOrderSummaryFrom(day).collect().headOption,
-      payments = EventMarts.reportPaymentDistFrom(day).collect().toSeq)
+      payments = EventMarts.reportPaymentDistFrom(day).collect().toSeq,
+      // velocity section: streaks from the persisted drift log (the
+      // run() side writes it under driftLogDir) — absent/empty log
+      // keeps byte-parity with a report that never wired one
+      driftStreaks = driftLogDir
+        .filter(d => new java.io.File(d).exists())
+        .map(d => operators.Quality.widenStreaksLatest(e.sparkSession, d))
+        .getOrElse(Nil))
   }
 
   /** Assemble dashboard rows from a persisted quality_check_log plus

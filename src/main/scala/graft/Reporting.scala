@@ -142,11 +142,19 @@ object Reporting {
     *   .contractPromoted`) — an operational event the report reader
     *   must SEE (the gate's reference just changed under them), so it
     *   leads the drift section when present. */
+  /** @param driftStreaks (column, check_type, consecutive-run count)
+    *   rows from `Quality.widenStreaksLatest` — drift VELOCITY: checks
+    *   whose bound has now re-widened N healthy runs in a row per the
+    *   persisted drift log. A single day's "widened" is routine; the
+    *   same bound widening for a week is the approach-trend this
+    *   section exists to surface. Empty omits the section (byte-parity
+    *   for reports without a wired drift log). */
   def dailyReport(executionDate: String,
       userSummary: Option[Row], funnel: Seq[Row], topProducts: Seq[Row],
       orderSummary: Option[Row], payments: Seq[Row],
       contractDrift: Seq[(String, String, String)] = Nil,
-      contractPromoted: Option[String] = None): String = {
+      contractPromoted: Option[String] = None,
+      driftStreaks: Seq[(String, String, Long)] = Nil): String = {
     val user = userSummary.map { r =>
       Seq(
         s"- active users: ${num(r.getAs[Long]("active_users"))}",
@@ -205,6 +213,11 @@ object Reporting {
       else "\n[contract drift]\n" + promotedLine + contractDrift.sorted.map {
         case (c, k, ch) => s"- $c ($k): $ch"
       }.mkString("\n") + "\n"
+    val velocitySection =
+      if (driftStreaks.isEmpty) ""
+      else "\n[contract drift velocity]\n" + driftStreaks.sorted.map {
+        case (c, k, n) => s"- $c ($k): bound widening $n consecutive healthy runs"
+      }.mkString("\n") + "\n"
 
     s"""Daily report ($executionDate)
        |${"=" * 40}
@@ -220,7 +233,7 @@ object Reporting {
        |
        |[orders]
        |$ordersText
-       |""".stripMargin + driftSection
+       |""".stripMargin + driftSection + velocitySection
   }
 
   // ---- quality dashboard (terminal + HTML renderings of the check

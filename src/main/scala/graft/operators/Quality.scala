@@ -1910,6 +1910,73 @@ object Quality {
       builtFrom = if (builtFrom.isEmpty) prior else s"$prior;$builtFrom")
   }
 
+  /** Persist one contract-drift diff (the FULL [[contractDrift]]
+    * frame, unchanged rows included — velocity needs each run's
+    * bounds, not just the runs that moved) to its run log —
+    * `Dedup.calibrationLogAppend`'s twin on the §2B side: per-run
+    * rows land under a `run_id` partition via the dynamic-overwrite
+    * mart writer, so a rerun of the same run_id replaces its own
+    * partition idempotently. (column, check) grain: the log grows
+    * with runs × contract dimension, never data size. Same run_id
+    * contract as the calibration log: ids must sort lexicographically
+    * in chronological order (ISO dates, zero-padded counters). */
+  def driftLogAppend(drift: DataFrame, logDir: String, runId: String): Unit =
+    graft.sources.MartSink.writePartitioned(
+      drift.withColumn("run_id", lit(runId)), logDir, Seq("run_id"))
+
+  /** Drift VELOCITY over the run log — what neither a one-off
+    * `dq_contract_drift` nor the promotion streak can see: per
+    * (column, check, run), the change label, the fresh bounds, their
+    * deltas vs the SAME check's previous run (null on the first run,
+    * never 0 — a real 0 means "measured, unchanged"), and
+    * `widen_streak` — how many CONSECUTIVE runs ending at this one
+    * re-widened the bound (or re-grew the domain). A bound that
+    * widens a little every run for a month reads `widen_streak = 30`
+    * here while each daily drift report only ever said "widened";
+    * that approach-trend is the §2B gap this log closes. Tiny frame:
+    * |runs| × contract dimension. "Previous" = the lexicographically
+    * preceding run_id — see the contract on [[driftLogAppend]]. */
+  def driftTrendFromLog(spark: SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("column_name", "check_type").orderBy("run_id")
+    val widening = col("change")
+      .isin("widened", "shifted", "domain_grew", "domain_changed")
+    spark.read.parquet(logDir)
+      .select(col("run_id").cast("string").as("run_id"),
+        col("column_name"), col("check_type"), col("change"),
+        col("lo_fresh"), col("hi_fresh"))
+      .withColumn("d_lo", col("lo_fresh") - lag(col("lo_fresh"), 1).over(w))
+      .withColumn("d_hi", col("hi_fresh") - lag(col("hi_fresh"), 1).over(w))
+      // gaps-and-islands: every non-widening run opens a new group, so
+      // widening runs count their distance from the last reset
+      .withColumn("grp",
+        sum(when(widening, 0).otherwise(1)).over(w))
+      .withColumn("widen_streak",
+        sum(when(widening, 1L).otherwise(0L)).over(
+          Window.partitionBy(col("column_name"), col("check_type"), col("grp"))
+            .orderBy("run_id")))
+      .drop("grp")
+      .orderBy("run_id", "column_name", "check_type")
+  }
+
+  /** The daily report's velocity extract: (column, check, streak)
+    * for the LATEST run in the log, keeping only streaks ≥
+    * `minStreak` — one line per check that has now widened several
+    * healthy runs in a row. Empty log / no streaks → Nil (the report
+    * omits the section). */
+  def widenStreaksLatest(spark: SparkSession, logDir: String,
+                         minStreak: Long = 2L): Seq[(String, String, Long)] = {
+    val trend = driftTrendFromLog(spark, logDir)
+    val latest = trend.agg(max(col("run_id"))).collect().head
+    if (latest.isNullAt(0)) Nil
+    else trend
+      .filter(col("run_id") === latest.getString(0) &&
+        col("widen_streak") >= minStreak)
+      .select(col("column_name"), col("check_type"), col("widen_streak"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
   /** Persisted healthy-drift streak for Pipeline's OPT-IN
     * auto-promotion policy: how many CONSECUTIVE healthy runs have
     * observed contract drift against the currently pinned artifact.

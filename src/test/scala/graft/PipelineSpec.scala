@@ -1843,4 +1843,102 @@ class ReportingSpec extends SparkSpec {
     assert(promoted.contains("abcdef012345"))
     assert(promoted.indexOf("AUTO-PROMOTED") < promoted.indexOf("- value (range)"))
   }
+
+  test("drift log persists velocity: a bound widening across runs reads as a growing streak") {
+    import spark.implicits._
+    // planted contract diffs for five runs: the `value` range bound
+    // widens on runs 2-4 (hi +10 each), holds on run 5; `event_type`'s
+    // domain grows once on run 3. Schema = contractDrift's columns.
+    def diff(change: String, lo: Double, hi: Double,
+             col2: String = "unchanged") = Seq(
+      ("value", "range", change, 0.0, hi - 10.0, lo, hi,
+        null.asInstanceOf[String], null.asInstanceOf[String], change != "unchanged"),
+      ("event_type", "isin", col2, 0.0, 0.0, 0.0, 0.0,
+        if (col2 == "domain_grew") "refund" else null.asInstanceOf[String],
+        null.asInstanceOf[String], col2 != "unchanged"))
+      .toDF("column_name", "check_type", "change", "lo_pinned", "hi_pinned",
+        "lo_fresh", "hi_fresh", "set_added", "set_removed", "drift")
+    val log = java.nio.file.Files.createTempDirectory("graft_driftlog").toString
+    operators.Quality.driftLogAppend(diff("unchanged", 0.0, 100.0), log, "2024-03-01")
+    operators.Quality.driftLogAppend(diff("widened", 0.0, 110.0), log, "2024-03-02")
+    operators.Quality.driftLogAppend(diff("widened", 0.0, 120.0, "domain_grew"), log, "2024-03-03")
+    operators.Quality.driftLogAppend(diff("widened", 0.0, 130.0), log, "2024-03-04")
+    val trend = () => operators.Quality.driftTrendFromLog(spark, log)
+      .filter(col("column_name") === "value").collect()
+      .map(r => r.getAs[String]("run_id") ->
+        ((Option(r.getAs[java.lang.Double]("d_hi")).map(_.toDouble),
+          r.getAs[Long]("widen_streak")))).toMap
+    val t = trend()
+    assert(t("2024-03-01") == ((None, 0L)), s"first run: null delta, no streak: $t")
+    assert(t("2024-03-02") == ((Some(10.0), 1L)), t.toString)
+    assert(t("2024-03-03") == ((Some(10.0), 2L)), t.toString)
+    assert(t("2024-03-04") == ((Some(10.0), 3L)),
+      s"three consecutive widenings must read streak 3: $t")
+    // the latest-run extract feeds the report: value is on a streak,
+    // event_type's one-off domain growth two runs ago is not
+    val streaks = operators.Quality.widenStreaksLatest(spark, log)
+    assert(streaks == Seq(("value", "range", 3L)), streaks.toString)
+    val report = Reporting.dailyReport("2024-03-04", None, Nil, Nil, None, Nil,
+      driftStreaks = streaks)
+    assert(report.contains("[contract drift velocity]"))
+    assert(report.contains("- value (range): bound widening 3 consecutive healthy runs"))
+    // a run that holds the bound RESETS the streak; the velocity
+    // section disappears from that day's report
+    operators.Quality.driftLogAppend(diff("unchanged", 0.0, 130.0), log, "2024-03-05")
+    val t5 = trend()
+    assert(t5("2024-03-05") == ((Some(0.0), 0L)),
+      s"unchanged run: measured-zero delta, streak reset: $t5")
+    assert(operators.Quality.widenStreaksLatest(spark, log).isEmpty)
+    assert(!Reporting.dailyReport("2024-03-05", None, Nil, Nil, None, Nil,
+      driftStreaks = Nil).contains("velocity"))
+    // idempotent rerun: re-appending a run_id replaces its partition
+    operators.Quality.driftLogAppend(diff("unchanged", 0.0, 130.0), log, "2024-03-05")
+    assert(operators.Quality.driftTrendFromLog(spark, log)
+      .filter(col("run_id") === "2024-03-05").count() == 2L)
+  }
+
+  test("pipeline run appends the drift log; trend reads across two healthy runs") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, v, """{"k":1}""")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def mkDir(day: String, vLo: Double, vHi: Double): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dl_src").toString
+      ((1 to 30).map(i =>
+        ev(i.toLong, f"$day 10:${i % 60}%02d:00", 100L + i, "view",
+          vLo + (vHi - vLo) * (i % 2))) :+
+        ev(99L, s"$day 11:00:00", 101L, "purchase", vHi))
+        .toDF(cols: _*).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // pin on the wide baseline; two later healthy runs sit inside it
+    val baseDir = mkDir("2024-03-01", 1.0, 100.0)
+    val path = java.nio.file.Files.createTempDirectory("graft_dl_c").toString + "/contract"
+    operators.Quality.writeSuggestions(
+      operators.Quality.suggestedChecksFrom(Tables.events(spark, baseDir)),
+      path, builtFrom = "baseline")
+    val log = java.nio.file.Files.createTempDirectory("graft_dl_log").toString
+    def out() = java.nio.file.Files.createTempDirectory("graft_dl_out").toString
+    val r1 = Pipeline.run(spark, mkDir("2024-03-02", 10.0, 60.0), out(),
+      failFast = false, suggestionsPath = Some(path), driftLogDir = Some(log))
+    val r2 = Pipeline.run(spark, mkDir("2024-03-03", 12.0, 55.0), out(),
+      failFast = false, suggestionsPath = Some(path), driftLogDir = Some(log))
+    assert(r1.passed && r2.passed)
+    val trend = operators.Quality.driftTrendFromLog(spark, log)
+    assert(trend.select("run_id").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("2024-03-02", "2024-03-03"),
+      "each healthy run logs under its run date")
+    // the value range narrowed both runs — velocity reads the deltas
+    val v = trend.filter(col("column_name") === "value" &&
+        col("check_type") === "range" &&
+        col("run_id") === "2024-03-03").collect().head
+    assert(v.getAs[String]("change") == "narrowed")
+    assert(v.getAs[Long]("widen_streak") == 0L)
+    // a FAILED gate logs nothing (its re-suggest would poison the trend)
+    val bad = Pipeline.run(spark, mkDir("2024-03-04", 10.0, 9.9e8), out(),
+      suggestionsPath = Some(path), driftLogDir = Some(log))
+    assert(!bad.passed)
+    assert(operators.Quality.driftTrendFromLog(spark, log)
+      .filter(col("run_id") === "2024-03-04").count() == 0L)
+  }
 }
