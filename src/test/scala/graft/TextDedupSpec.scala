@@ -3820,10 +3820,14 @@ class SimilaritySpec extends SparkSpec {
         (i.toLong, base.zipWithIndex.map { case (x, d) => x + jit(c, i, d) })
       }.toDF("vec_id", "embedding")
     }
+    // lpaIters = 4 pins the SHIPPED budget (embeddingClusters'
+    // default): LpaProbe measured recovery from round 3 and stability
+    // 3-8, so the spec holding at 4 is the margin claim — a default
+    // change that breaks recovery fails here, not in production
     def clusters(e: org.apache.spark.sql.DataFrame, nlist: Int, k: Int) = {
       val cents = Similarity.kmeansCentroidsFrom(e, nlist, iters = 2)
       Similarity.clustersFromGraph(
-        Similarity.annKnnGraphWith(spark, e, cents, k = k, nProbe = 2), lpaIters = 8)
+        Similarity.annKnnGraphWith(spark, e, cents, k = k, nProbe = 2), lpaIters = 4)
         .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
     }
     // RECOVERY REGIME — graph dense relative to the clusters (k ≥
