@@ -28,11 +28,14 @@ object EditAb {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // warm scans + codegen once per dir
-    Seq(small, big, deep).foreach { d =>
-      Tables.documents(spark, d).groupBy("lang").count()
-        .write.format("noop").mode("overwrite").save()
-    }
+    // warm scans + codegen once per dir (replica dirs may not exist
+    // in a fresh session — diagnostics modes run on what's there)
+    Seq(small, big, deep).distinct
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists)
+      .foreach { d =>
+        Tables.documents(spark, d).groupBy("lang").count()
+          .write.format("noop").mode("overwrite").save()
+      }
     // --stages: time the sub-plans of the PassJoin pipeline at the
     // deep dir to localize the third-decade constant
     if (args.contains("--stages")) {
@@ -50,6 +53,69 @@ object EditAb {
       stage("probe_bloomed", parts.probeSide.count())
       stage("cand", parts.cand.count())
       stage("full", parts.result.count())
+      spark.stop()
+      return
+    }
+    // --shape [dir via positional]: one-off volume diagnostics for the
+    // candidate-join diet — duplicate structure of the probe side
+    // (how many rows share a (doc_r, i, wp, hsub) join key) and the
+    // join's PRE-distinct output volume, the two numbers that decide
+    // whether per-key sigma-set aggregation can pay
+    if (args.contains("--shape")) {
+      val d = operators.Dedup
+      for (dir <- Seq(small) ++ (if (new java.io.File(big).exists) Seq(big) else Nil)) {
+        val parts = d.editDistanceParts(Tables.documents(spark, dir))
+        val probeN = parts.probe.count()
+        val probeKeys = parts.probe
+          .select("doc_r", "pi", "wp", "hsub").distinct().count()
+        val idxN = parts.idx.count()
+        // pre-distinct join output (same condition as cand, no dedup)
+        val preDistinct = parts.idx.join(parts.probe,
+          col("i") === col("pi") && col("w_s") === col("wp") &&
+          col("hseg") === col("hsub") &&
+          (col("len_s") < col("len_r") ||
+            (col("len_s") === col("len_r") && col("doc_s") < col("doc_r"))) &&
+          col("len_r") - col("len_s") <= 16 &&
+          abs(col("sigma") - (col("i") * col("w_s") + lit(1))) <= col("i") &&
+          abs(col("sigma") - (col("i") * col("w_s") + lit(1)) -
+            (col("len_r") - col("len_s"))) <= lit(16) - col("i")).count()
+        val cand = parts.cand.count()
+        println(s"""{"dir":"$dir","idx":$idxN,"probe":$probeN,""" +
+          s""""probe_keys":$probeKeys,"join_pre_distinct":$preDistinct,""" +
+          s""""cand":$cand}""")
+        System.out.flush()
+        // cost anatomy: count() prunes hsub (substring+hash never run),
+        // so time (a) the pruned count, (b) hsub forced, (c) the join
+        // with the probe pre-materialized — isolating generation vs
+        // hashing vs join proper
+        def t(f: => Any): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tCount = (1 to 2).map(_ => t(parts.probe.count())).min
+        val tHsub = (1 to 2).map(_ =>
+          t(parts.probe.agg(expr("bit_xor(hsub)")).collect())).min
+        val tIdxH = (1 to 2).map(_ =>
+          t(parts.idx.agg(expr("bit_xor(hseg)")).collect())).min
+        val probeCk = parts.probe.localCheckpoint()
+        val idxCk = parts.idx.localCheckpoint()
+        val joined = idxCk.hint("shuffle_hash").join(probeCk,
+          col("i") === col("pi") && col("w_s") === col("wp") &&
+          col("hseg") === col("hsub") &&
+          (col("len_s") < col("len_r") ||
+            (col("len_s") === col("len_r") && col("doc_s") < col("doc_r"))) &&
+          col("len_r") - col("len_s") <= 16 &&
+          abs(col("sigma") - (col("i") * col("w_s") + lit(1))) <= col("i") &&
+          abs(col("sigma") - (col("i") * col("w_s") + lit(1)) -
+            (col("len_r") - col("len_s"))) <= lit(16) - col("i"))
+          .select(least(col("doc_s"), col("doc_r")).as("doc_a"),
+            greatest(col("doc_s"), col("doc_r")).as("doc_b"))
+          .distinct()
+        val tJoin = (1 to 2).map(_ => t(joined.count())).min
+        println(f"""{"dir":"$dir","probe_count_sec":$tCount%.3f,""" +
+          f""""probe_hsub_sec":$tHsub%.3f,"idx_hseg_sec":$tIdxH%.3f,""" +
+          f""""join_on_checkpointed_sec":$tJoin%.3f}""")
+        System.out.flush()
+      }
       spark.stop()
       return
     }

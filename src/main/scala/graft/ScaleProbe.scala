@@ -478,6 +478,44 @@ object ScaleProbe {
       }
     }
 
+    // ---- memoized-family COLD cost at depth (--memo-cold, r13
+    // VERDICT #6): the 10× records price the WARM path (memo hits);
+    // this prices what the payer pays — the quality-LR training, the
+    // k-means quantizer, the kNN graph build, and the dedup
+    // member-pair frame — fresh per decade, cache cleared between
+    // runs. The kNN graph is measured on its HONEST axis: exact
+    // vector replicas densify every cell, so the graph scales nlist
+    // with the corpus (the operator's own √N sizing — per-cell work
+    // flat) instead of pretending fixed nlist=10 survives 100×; the
+    // registry-default graph stays excluded from replica probes for
+    // the documented densification reason.
+    if (flags.contains("--memo-cold")) {
+      buildCorpus(deep, 100)
+      def cold(tag: String, dir: String, nlistGraph: Int): Unit = {
+        def t(f: => Any): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        operators.TextAnalysis.clearQualityLrCache()
+        val lr = t(operators.TextAnalysis.trainedQualityLr(spark, dir))
+        operators.Similarity.clearKmeansCache()
+        val km = t(operators.Similarity.kmeansCentroids(spark, dir))
+        operators.Similarity.clearKnnGraphCache()
+        operators.Similarity.clearKmeansCache()
+        val knn = t(operators.Similarity.annKnnGraph(spark, dir,
+          nlist = nlistGraph).count())
+        operators.Dedup.clearMemberPairCache()
+        val mp = t(operators.Dedup.memberPairFrame(spark, dir).count())
+        println("{\"probe\":\"memo_cold\",\"dir\":\"" + tag + "\"" +
+          f""","quality_lr_sec":$lr%.2f,"kmeans_sec":$km%.2f""" +
+          f""","knn_graph_nlist$nlistGraph%d_sec":$knn%.2f""" +
+          f""","member_pair_sec":$mp%.2f}""")
+        System.out.flush()
+      }
+      cold("sf01", small, 10)
+      cold("sf1", big, 32)
+      cold("sf10", deep, 100)
+    }
+
     // ---- k-means seeding A/B (--kmeans-init-ab): hash-sample seeds
     // vs Gonzalez k-center picks (SURVEY §7o #6) — same Lloyd rounds,
     // different starting spread. Read: lower mean cosine distance to

@@ -409,6 +409,24 @@ object GraftFunctions {
       }
       QuantileBucket(children.head, bs)
     }),
+    ("pass_join_segments", { children: Seq[Expression] =>
+      require(children.length == 2, "pass_join_segments expects (text, maxD)")
+      val d = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"pass_join_segments maxD must be an integer literal, got $other")
+      }
+      PassJoinSegmentHashes(children.head, d)
+    }),
+    ("pass_join_probe", { children: Seq[Expression] =>
+      require(children.length == 2, "pass_join_probe expects (text, maxD)")
+      val d = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"pass_join_probe maxD must be an integer literal, got $other")
+      }
+      PassJoinProbeHashes(children.head, d)
+    }),
     ("bloom_contains_long", { children: Seq[Expression] =>
       require(children.length == 3, "bloom_contains_long expects (bits, k, hash)")
       require(children(0).foldable, "bloom_contains_long bits must be foldable")

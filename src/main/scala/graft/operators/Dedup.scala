@@ -599,41 +599,31 @@ object Dedup {
     // filter kills, and blocking completeness means every true pair is
     // in BOTH engines' candidate sets regardless — final rows are
     // engine-identical while the probe shuffle carries 8 bytes per key
-    // instead of a ~w-char string (the third-decade shuffle diet)
+    // instead of a ~w-char string (the third-decade shuffle diet).
+    // r13 diet (docs/passjoin-candidate-diet.md): both sides' hashes
+    // come from ONE native rolling-hash expression per document —
+    // the r13 stage anatomy put ~1.5 s of the sf0.1 candidate stage
+    // in per-σ substring copies + xxhash64 (windows overlap in all
+    // but one codepoint) with the full text riding the generate
+    // pipeline; now each (i, wp) window rolls in O(window + wp) and
+    // text never leaves the expression. The probe's window bounds
+    // (the VLDB'11 multi-match-aware two-bound derivation — see the
+    // operator scaladoc) are transcribed verbatim inside
+    // functions.PassJoinProbeHashes.
     val idx = t
-      .select(col("doc_id"), col("len"), col("w"),
-        posexplode(expr(
-          s"transform(sequence(0, ${n - 1}), i -> substring(text, i * w + 1, w))")))
-      .toDF("doc_s", "len_s", "w_s", "i", "seg")
-      .select(col("doc_s"), col("len_s"), col("w_s"), col("i"),
-        xxhash64(col("seg")).as("hseg"))
-    // probe windows: the join key pins the partner's width (w_s = wp),
-    // so p_i = i·wp + 1 exactly; the prefix bound gives |σ − p_i| ≤ i
-    // and the suffix (multi-match-aware) bound gives
-    // |σ − p_i − Δ| ≤ maxD − i with Δ = len_r − len_s known at
-    // emission only to the wp bucket (len_s ∈ [n·wp, n·wp + maxD])
+      .select(col("doc_id").as("doc_s"), col("len").as("len_s"),
+        col("w").as("w_s"),
+        posexplode(call_function("pass_join_segments",
+          col("text"), lit(maxD))))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "hseg")
     val probe = t
       .select(col("doc_id").as("doc_r"), col("len").as("len_r"),
-        col("w"), col("text"),
-        explode(expr(s"sequence(0, ${n - 1})")).as("i"))
-      .select(col("doc_r"), col("len_r"), col("i"), col("text"),
-        explode(expr("sequence(greatest(w - 1, 1), w)")).as("wp"))
-      .withColumn("p", col("i") * col("wp") + lit(1))
-      .withColumn("dmin",
-        greatest(col("len_r") - lit(n) * col("wp") - lit(maxD), lit(0)))
-      .withColumn("dmax",
-        least(col("len_r") - lit(n) * col("wp"), lit(maxD)))
-      .withColumn("lo", greatest(lit(1), col("p") - col("i"),
-        col("p") + col("dmin") - (lit(maxD) - col("i"))))
-      .withColumn("hi", least(col("len_r") - col("wp") + lit(1),
-        col("p") + col("i"),
-        col("p") + col("dmax") + (lit(maxD) - col("i"))))
-      .filter(col("lo") <= col("hi"))
-      .select(col("doc_r"), col("len_r"), col("i"), col("wp"),
-        col("text"), explode(expr("sequence(lo, hi)")).as("sigma"))
-      .select(col("doc_r"), col("len_r"), col("i").as("pi"), col("wp"),
-        col("sigma"),
-        xxhash64(col("text").substr(col("sigma"), col("wp"))).as("hsub"))
+        explode(call_function("pass_join_probe",
+          col("text"), lit(maxD))).as("e"))
+      .select(col("doc_r"), col("len_r"), col("e.pi").as("pi"),
+        col("e.wp").as("wp"), col("e.sigma").as("sigma"),
+        col("e.h").as("hsub"))
     // map-side shuffle diet: most probe substrings match NO indexed
     // segment anywhere in the corpus (~75% at the probe corpora), yet
     // each used to ride the full exchange just to miss a hash lookup.
