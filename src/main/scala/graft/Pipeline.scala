@@ -681,7 +681,10 @@ object Pipeline {
                manifestDir: String, failFast: Boolean = true,
                quarantine: Boolean = false,
                checkLogDir: Option[String] = None,
-               martJdbc: Option[String] = None): (BackfillPlan, Option[Result]) = {
+               martJdbc: Option[String] = None,
+               suggestionsPath: Option[String] = None,
+               autoPromoteAfter: Option[Int] = None,
+               driftLogDir: Option[String] = None): (BackfillPlan, Option[Result]) = {
     val plan = planBackfill(spark, sfDir, manifestDir)
     if (plan.stale.isEmpty) (plan, None)
     else {
@@ -708,7 +711,9 @@ object Pipeline {
       val result = run(spark, sfDir, outDir, failFast = failFast,
         dates = plan.stale, checkLogDir = checkLogDir,
         quarantine = quarantine, martJdbc = martJdbc,
-        sessionPlan = Some(carried))
+        suggestionsPath = suggestionsPath,
+        sessionPlan = Some(carried),
+        autoPromoteAfter = autoPromoteAfter, driftLogDir = driftLogDir)
       if (result.martsWritten.nonEmpty)
         recordBuildManifest(spark, sfDir, manifestDir, plan.stale)
       (plan, Some(result))
@@ -717,12 +722,18 @@ object Pipeline {
 
   /** Cron entry: `runMain graft.Pipeline <dataDir> <martDir>
     * [date[,date...]] [--quarantine] [--mart-jdbc=<url>]
-    * [--backfill]` — one invocation per execution date maps 1:1 onto
-    * a scheduler run. `--quarantine` builds marts on clean sessions
-    * only; `--mart-jdbc` adds the incremental warehouse leg (per-mart
-    * MergeStats echoed for the run log); `--backfill` lets the
-    * planner pick the dates (never-built + late-data) instead of the
-    * positional list — Airflow catchup without Airflow. */
+    * [--backfill] [--contract=<path>] [--auto-promote=<n>]
+    * [--drift-log=<dir>]` — one invocation per execution date maps
+    * 1:1 onto a scheduler run. `--quarantine` builds marts on clean
+    * sessions only; `--mart-jdbc` adds the incremental warehouse leg
+    * (per-mart MergeStats echoed for the run log); `--backfill` lets
+    * the planner pick the dates (never-built + late-data) instead of
+    * the positional list — Airflow catchup without Airflow.
+    * `--contract` wires the persisted suggestion contract into the
+    * gate; with it, drift logging defaults to
+    * `<martDir>/contract_drift_log` (override with `--drift-log`,
+    * the velocity-trend input) and `--auto-promote=n` turns on the
+    * n-consecutive-healthy-drifts promotion policy. */
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--"))
     val pos = args.filterNot(_.startsWith("--"))
@@ -737,6 +748,19 @@ object Pipeline {
       case f if f.startsWith("--erase=") =>
         f.stripPrefix("--erase=").split(",").toSeq.map(_.trim.toLong)
     }
+    val contract = flags.collectFirst {
+      case f if f.startsWith("--contract=") => f.stripPrefix("--contract=")
+    }
+    val autoPromote = flags.collectFirst {
+      case f if f.startsWith("--auto-promote=") =>
+        f.stripPrefix("--auto-promote=").toInt
+    }
+    // drift velocity logging rides along whenever a contract is wired
+    // (the trend is only as good as its run coverage); --drift-log
+    // overrides the default location next to the other run logs
+    val driftLog = flags.collectFirst {
+      case f if f.startsWith("--drift-log=") => f.stripPrefix("--drift-log=")
+    }.orElse(contract.map(_ => s"$outDir/contract_drift_log"))
     val spark = GraftSession.get()
     // an erasure run is its own operation: touch the built marts (and
     // the warehouse if given), print the manifest, and stop — no
@@ -761,7 +785,9 @@ object Pipeline {
       val (plan, res) = backfill(spark, sfDir, outDir,
         manifestDir = s"$outDir/build_manifest",
         failFast = !quarantine, quarantine = quarantine,
-        checkLogDir = Some(s"$outDir/quality_check_log"), martJdbc = martJdbc)
+        checkLogDir = Some(s"$outDir/quality_check_log"), martJdbc = martJdbc,
+        suggestionsPath = contract, autoPromoteAfter = autoPromote,
+        driftLogDir = driftLog)
       println(s"backfill neverBuilt=${plan.neverBuilt.mkString(",")} " +
         s"changed=${plan.changed.mkString(",")} " +
         s"vanished=${plan.vanished.mkString(",")} " +
@@ -775,13 +801,18 @@ object Pipeline {
     val r = run(spark, sfDir, outDir, dates = dates,
       failFast = !quarantine,
       checkLogDir = Some(s"$outDir/quality_check_log"),
-      quarantine = quarantine, martJdbc = martJdbc)
+      quarantine = quarantine, martJdbc = martJdbc,
+      suggestionsPath = contract, autoPromoteAfter = autoPromote,
+      driftLogDir = driftLog)
     println(s"passed=${r.passed} runDate=${r.runDate.getOrElse("-")} " +
       s"failedChecks=${r.failedChecks.mkString(",")} " +
       s"martsWritten=${r.martsWritten.sorted.mkString(",")}" +
       (if (r.martMerges.nonEmpty)
         " martMerges=" + r.martMerges.toSeq.sortBy(_._1).map { case (n, s) =>
           s"$n:${s.upserted}/${s.total}(-${s.deleted})" }.mkString(",")
+       else "") +
+      (if (contract.nonEmpty) s" contractDrift=${r.contractDrift.size}" +
+        r.contractPromoted.map(fp => s" promoted=${fp.take(12)}").getOrElse("")
        else ""))
     spark.stop()
   }

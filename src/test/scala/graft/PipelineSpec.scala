@@ -1897,6 +1897,36 @@ class ReportingSpec extends SparkSpec {
       .filter(col("run_id") === "2024-03-05").count() == 2L)
   }
 
+  test("backfill threads the contract: gate + drift log reachable from the cron path") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, v, """{"k":1}""")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfc_src").toString
+    (Seq("2024-03-01", "2024-03-02").zipWithIndex.flatMap { case (d, di) =>
+      (1 to 15).map(i =>
+        ev(di * 50L + i, f"$d 10:${i % 60}%02d:00", 100L + i, "view",
+          1.0 + 99.0 * (i % 2))) :+
+        ev(di * 50L + 49, s"$d 11:00:00", 101L, "purchase", 100.0)
+    }).toDF(cols: _*).write.parquet(s"$dir/events.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_bfc_c").toString + "/contract"
+    operators.Quality.writeSuggestions(
+      operators.Quality.suggestedChecksFrom(Tables.events(spark, dir)),
+      path, builtFrom = "baseline")
+    val out = java.nio.file.Files.createTempDirectory("graft_bfc_out").toString
+    val mf = java.nio.file.Files.createTempDirectory("graft_bfc_mf")
+      .resolve("manifest").toString
+    val log = java.nio.file.Files.createTempDirectory("graft_bfc_log").toString
+    val (plan, res) = Pipeline.backfill(spark, dir, out, mf,
+      failFast = false, suggestionsPath = Some(path), driftLogDir = Some(log))
+    assert(plan.stale.nonEmpty && res.exists(_.passed))
+    // the drift diff logged under the backfill's run date
+    val trend = operators.Quality.driftTrendFromLog(spark, log)
+    assert(trend.select("run_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(plan.stale.max),
+      "backfill must log its drift under the replay's run date")
+  }
+
   test("pipeline run appends the drift log; trend reads across two healthy runs") {
     import spark.implicits._
     def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
