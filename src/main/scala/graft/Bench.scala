@@ -75,12 +75,11 @@ object Bench {
     // Verify/production default).
     val overrides: Map[String, (SparkSession, String) => DataFrame] = Map(
       "ann_ivf_kmeans" -> ((s, d) => operators.Similarity.ivfTopKKmeans(s, d, iters = 2)),
-      // convergence-controlled: stop as soon as the L1 delta clears
-      // 1e-6 (checked every 5th round, 15-round guard) instead of
-      // always paying the fixed 15 — the honest bench form now that
-      // pagerankFrom supports iterate-until-converged
-      "product_pagerank" -> ((s, d) =>
-        operators.Graph.productPagerank(s, d, iterations = 15, tol = 1e-6, checkEvery = 5)),
+      // (the r9-r12 product_pagerank tolerance override is GONE: the
+      // r13 --ppr-ab probe showed 1e-6 never fires within 15 rounds —
+      // L1 delta 1.05e-4 at round 15 — so the override only added
+      // futile delta jobs; the registry's fixed-round form IS the
+      // honest bench form)
       // the batched (node, seed)-grain walk is the production serving
       // shape (one join + one rollup per round regardless of seed
       // count, 3.1× at N=3); the sequential form stays REGISTERED and

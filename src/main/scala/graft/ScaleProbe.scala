@@ -374,7 +374,7 @@ object ScaleProbe {
     if (!flags.contains("--deep-only") && !flags.contains("--composed-only") &&
         !flags.contains("--partition-ab") && !flags.contains("--kmeans-init-ab") &&
         !flags.contains("--bot-ab") && !flags.contains("--bot-ab-deep") &&
-        !flags.contains("--memo-cold"))
+        !flags.contains("--memo-cold") && !flags.contains("--ppr-ab"))
       headline.filter(n => only.forall(_.contains(n))).foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min
@@ -528,6 +528,58 @@ object ScaleProbe {
       cold("sf01", small, 10, memberPair = true)
       cold("sf1", big, 32, memberPair = true)
       cold("sf10", deep, 100, memberPair = false)
+    }
+
+    // ---- PPR/pagerank round-budget probe (--ppr-ab, r13): the
+    // family's per-round cost is N-independent (one join + rollup +
+    // checkpoint), so wall time ∝ rounds run. The frames carry
+    // iterations_run/last_delta, so this reads where the tolerance
+    // ACTUALLY fires at registry defaults, what each form costs, and
+    // how stable the serving table's top-k is at reduced budgets —
+    // the evidence for (or against) an LPA-style budget re-pin.
+    if (flags.contains("--ppr-ab")) {
+      def t(f: => Any): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def meta(df: org.apache.spark.sql.DataFrame): (Int, Double) = {
+        val r = df.select("iterations_run", "last_delta").head()
+        (r.getInt(0), r.getDouble(1))
+      }
+      for ((name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "ppr_reg_15_tol1e6" -> (() => operators.Graph.productPpr(spark, small)),
+        "ppr_fixed15" -> (() =>
+          operators.Graph.productPpr(spark, small, tol = 0.0)),
+        "ppr_30_tol1e6" -> (() =>
+          operators.Graph.productPpr(spark, small, iterations = 30)),
+        "pagerank_reg_fixed15" -> (() =>
+          operators.Graph.productPagerank(spark, small)),
+        "pagerank_30_tol1e6" -> (() => operators.Graph.productPagerank(
+          spark, small, iterations = 30, tol = 1e-6, checkEvery = 3)))) {
+        val df = mk()
+        val sec = (1 to 2).map(_ => t(
+          df.write.format("noop").mode("overwrite").save())).min
+        val (it, dl) = meta(mk())
+        println(f"""{"probe":"ppr_ab","form":"$name","sec":$sec%.2f,""" +
+          f""""iterations_run":$it,"last_delta":$dl%.2e}""")
+        System.out.flush()
+      }
+      // serving-table ranking stability vs budget: overlap + exact
+      // rank agreement of (seed, related, rank) triples at reduced
+      // round budgets against the 15-round reference
+      val ref = operators.Graph.pprServingTableBatched(spark, small)
+        .select("seed_product", "related_product", "rank").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      for (iters <- Seq(12, 10, 8, 6)) {
+        val sec = t(operators.Graph.pprServingTableBatched(spark, small,
+          iterations = iters).write.format("noop").mode("overwrite").save())
+        val got = operators.Graph.pprServingTableBatched(spark, small,
+          iterations = iters)
+          .select("seed_product", "related_product", "rank").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+        println(f"""{"probe":"ppr_serving","iters":$iters,"sec":$sec%.2f,""" +
+          f""""exact_triples":${(got & ref).size},"of":${ref.size}}""")
+        System.out.flush()
+      }
     }
 
     // ---- k-means seeding A/B (--kmeans-init-ab): hash-sample seeds

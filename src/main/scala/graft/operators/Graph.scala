@@ -114,14 +114,28 @@ object Graph {
     * most-viewed product (ties to the smallest key) — a 1-row driver
     * scalar of the kmeans-init class; swap in any seed set for a
     * production "related to X" query. Same iteration plan as
-    * `product_pagerank` (the restart column is the only change). */
+    * `product_pagerank` (the restart column is the only change).
+    *
+    * Round budget (r13, ScaleProbe --ppr-ab): the registry forms run
+    * FIXED rounds (tol = 0 — one delta read at the final round, for
+    * observability). A 1e-6 tolerance is unreachable inside any sane
+    * budget — power iteration contracts at the damping rate, and the
+    * measured L1 delta reads 5.9e-3 at round 15 and still 1.4e-5 at
+    * round 30 — so tolerance-mode defaults paid 5 futile N-scale
+    * delta jobs per walk that could never fire. Reducing the budget
+    * below 15 was measured-and-rejected separately: the serving
+    * table's top-k is NOT stable mid-flight (26/30 exact triples at
+    * 12 rounds, 20/30 at 10 — no knee, just decay). Tolerance mode
+    * stays available for long-budget convergence runs
+    * (iterations = 50+, where the spec pins the stop-round against a
+    * driver replica). */
   def productPpr(spark: SparkSession, dir: String,
-      iterations: Int = 15, tol: Double = 1e-6, checkEvery: Int = 3): DataFrame =
+      iterations: Int = 15, tol: Double = 0.0, checkEvery: Int = 3): DataFrame =
     productPprWith(enriched(spark, dir), productEdges(spark, dir),
       iterations, tol, checkEvery)
 
   def productPprFrom(e: DataFrame,
-      iterations: Int = 15, tol: Double = 1e-6, checkEvery: Int = 3): DataFrame =
+      iterations: Int = 15, tol: Double = 0.0, checkEvery: Int = 3): DataFrame =
     productPprWith(e, productEdgesFrom(e).localCheckpoint(),
       iterations, tol, checkEvery)
 
@@ -185,7 +199,7 @@ object Graph {
   }
 
   def pprServingTable(spark: SparkSession, dir: String, numSeeds: Int = 3,
-      k: Int = 10, iterations: Int = 15, tol: Double = 1e-6,
+      k: Int = 10, iterations: Int = 15, tol: Double = 0.0,
       checkEvery: Int = 3): DataFrame =
     pprServingTableWith(spark, productEdges(spark, dir), numSeeds, k,
       iterations, tol, checkEvery)
@@ -269,12 +283,12 @@ object Graph {
     * [[pprServingTableFrom]], one job stream for all N seeds. */
   def pprServingTableBatched(spark: SparkSession, dir: String,
       numSeeds: Int = 3, k: Int = 10, iterations: Int = 15,
-      tol: Double = 1e-6, checkEvery: Int = 3): DataFrame =
+      tol: Double = 0.0, checkEvery: Int = 3): DataFrame =
     pprServingTableBatchedWith(spark, productEdges(spark, dir), numSeeds,
       k, iterations, tol, checkEvery)
 
   def pprServingTableBatchedFrom(e: DataFrame, numSeeds: Int = 3, k: Int = 10,
-      iterations: Int = 15, tol: Double = 1e-6,
+      iterations: Int = 15, tol: Double = 0.0,
       checkEvery: Int = 3): DataFrame =
     pprServingTableBatchedWith(e.sparkSession,
       productEdgesFrom(e).localCheckpoint(), numSeeds, k, iterations,
@@ -300,7 +314,7 @@ object Graph {
   }
 
   def pprServingTableFrom(e: DataFrame, numSeeds: Int = 3, k: Int = 10,
-      iterations: Int = 15, tol: Double = 1e-6,
+      iterations: Int = 15, tol: Double = 0.0,
       checkEvery: Int = 3): DataFrame =
     pprServingTableWith(e.sparkSession,
       productEdgesFrom(e).localCheckpoint(), // ONE build, N walks

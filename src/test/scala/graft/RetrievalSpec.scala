@@ -314,7 +314,7 @@ class RetrievalSpec extends SparkSpec {
     // each seed's block bit-matches a STANDALONE single-seed run
     seeds.foreach { s =>
       val standalone = Graph.pagerankFrom(Graph.productEdgesFrom(e),
-          iterations = 15, tol = 1e-6, checkEvery = 3, restart = Seq(s))
+          iterations = 15, tol = 0.0, checkEvery = 3, restart = Seq(s))
         .filter(col("product_k") =!= s && col("pagerank") > 0.0)
         .orderBy(desc("pagerank"), asc("product_k")).limit(5)
         .collect().map(r => (r.getAs[Int]("product_k"), r.getAs[Double]("pagerank")))
