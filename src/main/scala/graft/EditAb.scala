@@ -119,6 +119,23 @@ object EditAb {
       spark.stop()
       return
     }
+    // --bloom-floor-ab: arm-vs-skip the probe bloom at the small dir
+    // (r13: the 20k-doc arming floor was tuned when probe hashing
+    // cost ~1.5 s; the rolling-hash diet moved the economics)
+    if (args.contains("--bloom-floor-ab")) {
+      run(small) // warm
+      // interleaved k=3 per arm (ABBA order) so neither side rides a
+      // warmer JVM
+      for (floor <- Seq(20000L, 0L, 0L, 20000L)) {
+        operators.Dedup.candBloomMinDocs = floor
+        val t = try (1 to 3).map(_ => run(small)).min
+                finally operators.Dedup.candBloomMinDocs = 20000L
+        println(f"""{"dir":"$small","bloom_floor":$floor,"sec":$t%.3f}""")
+        System.out.flush()
+      }
+      spark.stop()
+      return
+    }
     val parts = args.find(_.startsWith("--parts="))
       .map(_.stripPrefix("--parts=").split(",").toSeq.map(_.toInt))
       .getOrElse(Seq(32))

@@ -575,7 +575,14 @@ object Dedup {
     * recall spec zeroes it to exercise the bloomed path on its fuzz
     * corpus). See the filter construction below for the rationale. */
   @volatile private[graft] var candBloomFpp: Double = 0.02
-  @volatile private[graft] var candBloomMinDocs: Long = 20000L
+  // floor re-tuned r13 (EditAb --bloom-floor-ab): the 20k floor dated
+  // from the substring-hash era, when the bloom's build pass cost ~8%
+  // at the 5k-doc bench corpus; the rolling-hash diet made probe rows
+  // cheap to MAKE but they still ride the exchange, so the prune now
+  // wins at 5k docs too (interleaved k=3: armed 2.36-2.47 s vs
+  // unarmed 2.80-3.09 s at sf0.1). 2000 keeps gate-scale corpora
+  // (~500 docs, exchange-trivial) unarmed.
+  @volatile private[graft] var candBloomMinDocs: Long = 2000L
 
   def editDistancePairsFrom(docs: DataFrame, maxD: Int = 16): DataFrame =
     editDistanceParts(docs, maxD).result
