@@ -808,6 +808,55 @@ object Dedup {
     })
   }
 
+  /** Canonical fingerprint of a member-pair frame's CONTENT —
+    * distributed (count + order-independent xor), never a collect:
+    * the frame is pair-dimension. Exact by determinism: every member
+    * generator is seeded/exact, and the jaccard score is an exact
+    * integer ratio cast once. */
+  private[graft] def memberPairsFp(pairs: DataFrame): String = {
+    val r = pairs.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(doc_a, doc_b, m, coalesce(score, cast(-1.0 as double))))"))
+      .collect().head
+    graft.sources.ArtifactManifest.fp(
+      s"member_pairs:${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}")
+  }
+
+  /** Persist the five-generator member-pair frame as a stamped
+    * artifact (the saveKnnGraph treatment, r13 §7z #3): its cold
+    * build is the dedup-eval family's payer (9.4 s at sf0.1, 168 s at
+    * sf1 — §7y cold table), paid once per JVM by the session memo; a
+    * nightly eval pipeline amortizes it ACROSS JVMs from here.
+    * built-from = the documents corpus state, content fp over every
+    * row so a half-replaced frame refuses to serve. */
+  def saveMemberPairs(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val pairs = memberPairFrame(spark, dir)
+    pairs.write.mode("overwrite").parquet(outPath)
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(doc_id, text))")).collect().head
+    graft.sources.ArtifactManifest.write(outPath,
+      graft.sources.ArtifactManifest.Stamp("member_pairs",
+        memberPairsFp(spark.read.parquet(outPath)),
+        s"documents:${corpus.getLong(0)}:${if (corpus.isNullAt(1)) 0L else corpus.getLong(1)}"))
+  }
+
+  /** Load the persisted member-pair frame; strict-on-presence
+    * verification scans the artifact once (pair-dimension — the
+    * price of never serving a half-replaced frame to a census). */
+  def loadMemberPairs(spark: SparkSession, path: String): DataFrame = {
+    val pairs = spark.read.parquet(path)
+    graft.sources.ArtifactManifest.verifyContent(path, "member_pairs",
+      memberPairsFp(pairs))
+    pairs
+  }
+
+  /** Serve `dedup_method_agreement_full` from the persisted frame —
+    * zero generator runs; byte-identical to the fresh census by the
+    * generators' determinism. */
+  def methodAgreementFullFromArtifact(spark: SparkSession,
+      pairsPath: String): DataFrame =
+    methodAgreementFullFromPairs(loadMemberPairs(spark, pairsPath))
+
   def methodAgreement(spark: SparkSession, dir: String,
       jaccardThreshold: Double = 0.2, containThreshold: Double = 0.8,
       maxD: Int = 16): DataFrame = {
@@ -1606,9 +1655,14 @@ object Dedup {
     * (the seeded families' hashes are engine-local); the exact
     * 3-method sub-census stays the full-SQL `dedup_method_agreement`,
     * and the spec pins this one's exact rows AGAINST it. */
-  def methodAgreementFull(spark: SparkSession, dir: String): DataFrame = {
+  def methodAgreementFull(spark: SparkSession, dir: String): DataFrame =
+    methodAgreementFullFromPairs(memberPairFrame(spark, dir))
+
+  /** The census body over an explicit member-pair frame — what the
+    * disk-served path feeds with [[loadMemberPairs]]. */
+  private[graft] def methodAgreementFullFromPairs(pairs: DataFrame): DataFrame = {
     val names = Seq("containment", "edit", "jaccard", "minhash", "simhash")
-    val tagged = memberPairFrame(spark, dir).select("doc_a", "doc_b", "m")
+    val tagged = pairs.select("doc_a", "doc_b", "m")
     val flagCols = names.map(n =>
       max(when(col("m") === n, 1L).otherwise(0L)).as(s"in_$n"))
     val flags = tagged.groupBy(col("doc_a"), col("doc_b"))

@@ -2188,6 +2188,37 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.kmeansTrainings.get() == k0 + 1, "quantizer must retrain")
   }
 
+  test("persisted member pairs: disk-served census byte-identical, tamper refuses") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mp_art").toString
+    Dedup.saveMemberPairs(spark, Sf, path)
+    // loaded rows = memoized rows (set compare — persists unsorted)
+    val loaded = Dedup.loadMemberPairs(spark, path)
+      .collect().map(_.toSeq).toSet
+    val memo = Dedup.memberPairFrame(spark, Sf).collect().map(_.toSeq).toSet
+    assert(loaded == memo, "loaded member pairs must equal the memo frame")
+    // disk-served census ≡ fresh census
+    val served = Dedup.methodAgreementFullFromArtifact(spark, path)
+      .collect().map(_.toSeq).toSeq
+    val fresh = Dedup.methodAgreementFull(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(served == fresh, "disk-served agreement census must be byte-identical")
+    // wrong-artifact refuse
+    intercept[IllegalArgumentException] {
+      operators.Similarity.loadKmeansCentroids(spark, path)
+    }
+    // tamper: drop one row under the stale manifest — the content fp
+    // covers every row
+    val g = spark.read.parquet(path)
+    val manifest = new java.io.File(path, graft.sources.ArtifactManifest.FileName)
+    val keep = java.nio.file.Files.readAllBytes(manifest.toPath)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mp_tamper").toString
+    g.limit((g.count() - 1).toInt).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    java.nio.file.Files.write(manifest.toPath, keep)
+    intercept[IllegalStateException] {
+      Dedup.loadMemberPairs(spark, path)
+    }
+  }
+
   test("explicit memo clear unpersists checkpoint blocks eagerly") {
     // the Caches scaladoc's storage contract: clearAll / the family
     // clears return the localCheckpoint blocks AT the call, not at
