@@ -374,7 +374,8 @@ object ScaleProbe {
     if (!flags.contains("--deep-only") && !flags.contains("--composed-only") &&
         !flags.contains("--partition-ab") && !flags.contains("--kmeans-init-ab") &&
         !flags.contains("--bot-ab") && !flags.contains("--bot-ab-deep") &&
-        !flags.contains("--memo-cold") && !flags.contains("--ppr-ab"))
+        !flags.contains("--memo-cold") && !flags.contains("--ppr-ab") &&
+        !flags.contains("--ann-deep"))
       headline.filter(n => only.forall(_.contains(n))).foreach { name =>
         val s = (1 to 2).map(_ => run(name, small)).min
         val b = (1 to 2).map(_ => run(name, big)).min
@@ -528,6 +529,59 @@ object ScaleProbe {
       cold("sf01", small, 10, memberPair = true)
       cold("sf1", big, 32, memberPair = true)
       cold("sf10", deep, 100, memberPair = false)
+    }
+
+    // ---- honest ANN third decade (--ann-deep, r13): the replica
+    // corpora were NEVER a valid axis for the in-cell pair
+    // enumerators (exact vector copies densify every cell — the
+    // documented exclusion since r7). This probe builds the axis the
+    // ANN family actually claims to scale on: corpora whose CLUSTER
+    // COUNT grows with the data (C = 10·R clusters of ~200 vectors,
+    // deterministic hash-placed centers ± small jitter in the real
+    // table's 64-dim geometry), with nlist ∝ C per the IVF sizing —
+    // per-cell size constant, so the kNN graph's pair work should
+    // scale ~linearly. Measures the cold quantizer + graph build and
+    // the LPA clustering per decade; any super-linear constant it
+    // finds (e.g. the literal-centroid codegen at four-digit nlist)
+    // gets named rather than guessed at.
+    if (flags.contains("--ann-deep")) {
+      def buildClustered(dir: String, reps: Int): Unit =
+        if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+          val n = 2000L * reps
+          val c = 10 * reps
+          spark.range(0L, n, 1L, 32)
+            .select(col("id").as("vec_id"),
+              expr(s"""transform(sequence(0, 63), d -> cast(
+                (pmod(xxhash64(id % $c, d, 1), 2001) - 1000) / 1000.0 +
+                (pmod(xxhash64(id, d, 2), 101) - 50) / 2500.0 AS float))""")
+                .as("embedding"),
+              (col("id") % 10).cast("int").as("label"))
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        }
+      def t(f: => Any): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val decades = Seq(1, 10, 100).takeWhile(r =>
+        !flags.contains("--ann-deep-skip100") || r <= 10)
+      for (reps <- decades) {
+        val dir = s"/tmp/graft_ann$reps"
+        buildClustered(dir, reps)
+        val nlist = 10 * reps
+        operators.Similarity.clearKmeansCache()
+        val km = t(operators.Similarity.kmeansCentroids(spark, dir,
+          nlist = nlist, iters = 3))
+        operators.Similarity.clearKnnGraphCache()
+        val graph = t(operators.Similarity.annKnnGraph(spark, dir,
+          k = 5, nProbe = 2, nlist = nlist, iters = 3).count())
+        val lpa = t(operators.Similarity.embeddingClusters(spark, dir,
+          nlist = nlist).write.format("noop").mode("overwrite").save())
+        val clusters = operators.Similarity.embeddingClusters(spark, dir,
+          nlist = nlist).select("cluster").distinct().count()
+        println(f"""{"probe":"ann_deep","reps":$reps,"nlist":$nlist,""" +
+          f""""kmeans_sec":$km%.2f,"knn_graph_sec":$graph%.2f,""" +
+          f""""lpa_sec":$lpa%.2f,"clusters_found":$clusters}""")
+        System.out.flush()
+      }
     }
 
     // ---- PPR/pagerank round-budget probe (--ppr-ab, r13): the
