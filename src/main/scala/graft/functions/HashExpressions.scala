@@ -409,6 +409,28 @@ object GraftFunctions {
       }
       QuantileBucket(children.head, bs)
     }),
+    ("nearest_cells", { children: Seq[Expression] =>
+      require(children.length == 4,
+        "nearest_cells expects (emb, flat_cents, cell_ids, probes)")
+      require(children(1).foldable && children(2).foldable,
+        "nearest_cells centroid matrix and cell ids must be foldable")
+      val flat = children(1).eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toFloatArray()
+        case other => throw new IllegalArgumentException(
+          s"nearest_cells flat_cents must be array<float>, got $other")
+      }
+      val cells = children(2).eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toIntArray()
+        case other => throw new IllegalArgumentException(
+          s"nearest_cells cell_ids must be array<int>, got $other")
+      }
+      val probes = children(3) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"nearest_cells probes must be an integer literal, got $other")
+      }
+      NearestCells(children.head, flat, cells, probes)
+    }),
     ("pass_join_segments", { children: Seq[Expression] =>
       require(children.length == 2, "pass_join_segments expects (text, maxD)")
       val d = children(1) match {

@@ -180,7 +180,25 @@ object Similarity {
     * struct sort on (neg_sim, cell), keep the first `probes`. Zero
     * exchanges between the embeddings scan and whatever consumes the
     * cell ids. */
+  /** Cell assignment: `probes` nearest centroids by cosine, ordered
+    * ascending (−cos, cell id). Native since r13 — the HOF form
+    * (literal struct array + array_sort + slice) allocated and sorted
+    * nlist scored structs PER ROW, measured at 53 s quantizer / 51 s
+    * graph for (200k rows, nlist=1000) on the --ann-deep axis;
+    * `nearest_cells` binds the centroid matrix once and runs a
+    * zero-allocation probes-pass argmin, bit-identical output
+    * (parity spec incl. ties and zero-norm cells). Callers must have
+    * run GraftFunctions.ensureRegistered (they all do — analysis
+    * fails loudly otherwise). */
   private[graft] def nearestCellsCol(emb: org.apache.spark.sql.Column,
+      cents: Seq[(Int, Array[Float])], probes: Int): org.apache.spark.sql.Column =
+    call_function("nearest_cells", emb,
+      typedlit(cents.flatMap(_._2.toSeq)), typedlit(cents.map(_._1)),
+      lit(probes))
+
+  /** The pre-r13 HOF formulation, kept as the parity spec's
+    * independent reference implementation of the ordering contract. */
+  private[graft] def nearestCellsColHof(emb: org.apache.spark.sql.Column,
       cents: Seq[(Int, Array[Float])], probes: Int): org.apache.spark.sql.Column = {
     val centArr = array(cents.map { case (cell, vec) =>
       struct(lit(cell).as("cell"), array(vec.toSeq.map(lit(_)): _*).as("vec"))

@@ -3316,6 +3316,52 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.select("cand_id").distinct().count() == codes.count())
   }
 
+  test("nearest_cells native assignment is bit-identical to the HOF ordering contract") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // centroids exercising every ordering edge: two EXACT twins under
+    // different ids (tie → smaller cell id), a zero-norm cell
+    // (cosine 0 by convention, never NaN), and ordinary axes
+    val cents: Seq[(Int, Array[Float])] = Seq(
+      7 -> Array(1f, 0f, 0f, 0f),
+      3 -> Array(0f, 1f, 0f, 0f),
+      9 -> Array(0f, 1f, 0f, 0f),   // twin of 3 under a larger id
+      5 -> Array(0f, 0f, 0f, 0f),   // zero norm
+      1 -> Array(0f, 0f, 1f, 1f))
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),          // axis hit
+      (1L, Array(0f, 1f, 0f, 0f)),          // tie between cells 3 and 9
+      (2L, Array(0f, 0f, 0f, 0f)),          // zero query: all cosines 0
+      (3L, Array(0.5f, 0.5f, 0.1f, 0.9f)),  // mixed
+      (4L, Array(Float.NaN, 1f, 0f, 0f)))   // NaN component
+      .toDF("vec_id", "embedding")
+    for (probes <- Seq(1, 2, 5)) {
+      val native = vecs.select(col("vec_id"),
+          operators.Similarity.nearestCellsCol(col("embedding"), cents, probes).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val hof = vecs.select(col("vec_id"),
+          operators.Similarity.nearestCellsColHof(col("embedding"), cents, probes).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(native == hof, s"probes=$probes: $native vs $hof")
+    }
+    // tie resolution is the smaller cell id first
+    val one = vecs.filter(col("vec_id") === 1L)
+      .select(operators.Similarity.nearestCellsCol(col("embedding"), cents, 2))
+      .head().getSeq[Int](0)
+    assert(one == Seq(3, 9), s"tie must break to the smaller cell id: $one")
+    // real-corpus identity: every vector's full assignment order
+    // matches the HOF reference on the trained quantizer
+    val trained = operators.Similarity.kmeansCentroids(spark, Sf)
+    val e = Tables.embeddings(spark, Sf)
+    val n = e.select(col("vec_id"),
+        operators.Similarity.nearestCellsCol(col("embedding"), trained, 3).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val h = e.select(col("vec_id"),
+        operators.Similarity.nearestCellsColHof(col("embedding"), trained, 3).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(n == h, "trained-quantizer assignments must be bit-identical")
+  }
+
   test("persisted quantizer: load equals trained, disk-served probe byte-identical, tamper refuses") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_kmeans_art").toString
