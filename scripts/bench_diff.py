@@ -49,6 +49,9 @@ import sys
 import tempfile
 
 CANARY_FACTOR = 2.0
+# Fallback quiet band for records predating r14 (which emit their own
+# "canary_band" field — the record's band always wins this default).
+DEFAULT_BAND = (0.21, 0.27)
 
 
 def full_record(path):
@@ -97,8 +100,22 @@ def canary_of(doc, blob):
     return start, end
 
 
+def band_of(doc, blob):
+    """The record's own quiet band ([lo, hi] seconds), emitted by
+    graft.Bench since r14 so nobody re-derives it from prose; None for
+    older records (caller falls back to DEFAULT_BAND)."""
+    if isinstance(doc, dict):
+        b = doc.get("canary_band")
+        if isinstance(b, list) and len(b) == 2:
+            return float(b[0]), float(b[1])
+    m = re.search(r'"canary_band":\[([0-9.]+),([0-9.]+)\]', blob)
+    if m:
+        return float(m.group(1)), float(m.group(2))
+    return None
+
+
 def parse(path):
-    """-> (per-query min seconds, (canary_start, canary_end))."""
+    """-> (per-query min seconds, (canary_start, canary_end), band)."""
     times = {}
     text = open(path).read()
     try:
@@ -109,13 +126,15 @@ def parse(path):
             and "tail" not in doc:
         # a bare bench_full sidecar passed directly
         return ({k: float(v) for k, v in doc["queries"].items()},
-                canary_of(doc, text))
+                canary_of(doc, text), band_of(doc, text))
     canary = (None, None)
+    band = None
     if isinstance(doc, dict) and "tail" in doc:
         full = full_record(path)
         if full:
             times.update({k: float(v) for k, v in full["queries"].items()})
             canary = canary_of(full, "")
+            band = band_of(full, "")
         parsed = doc.get("parsed") or {}
         if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
             times.update({k: float(v) for k, v in parsed["queries"].items()})
@@ -124,11 +143,13 @@ def parse(path):
         blob = text
     if canary == (None, None):
         canary = canary_of(doc if isinstance(doc, dict) else None, blob)
+    if band is None:
+        band = band_of(doc if isinstance(doc, dict) else None, blob)
     for m in re.finditer(r'\{"query":"([a-z0-9_]+)","sec":([0-9.]+)', blob):
         times[m.group(1)] = float(m.group(2))
     for m in re.finditer(r'"([a-z0-9_]+)":\[([0-9.]+),[0-9.]+\]', blob):
         times.setdefault(m.group(1), float(m.group(2)))
-    return times, canary
+    return times, canary, band
 
 
 def adjudicate(flagged, sf_dir, repeat=3):
@@ -155,14 +176,23 @@ def adjudicate(flagged, sf_dir, repeat=3):
 
 def compare(old_path, new_path, flag, adj_dir, out=print):
     """The diff-and-classify core; returns the intended exit code."""
-    (old, old_canary), (new, new_canary) = parse(old_path), parse(new_path)
+    old_parsed, new_parsed = parse(old_path), parse(new_path)
+    (old, old_canary, old_band) = old_parsed
+    (new, new_canary, new_band) = new_parsed
     if not old or not new:
         sys.exit(f"no per-query data (old={len(old)}, new={len(new)} queries)")
+    # the quiet band is read from the records themselves (r14+) — the
+    # newer record's band wins; DEFAULT_BAND only covers pre-r14 pairs
+    band = new_band or old_band or DEFAULT_BAND
     for label, (cs, ce) in (("old", old_canary), ("new", new_canary)):
         if cs and ce and max(cs, ce) > CANARY_FACTOR * min(cs, ce):
             out(f"WARNING {label} record's own canaries diverge "
                 f"(start {cs:.2f}s, end {ce:.2f}s): host was degrading "
                 f"DURING that run; its slow entries are suspect")
+        if cs and cs > band[1]:
+            out(f"WARNING {label} record started on a throttled host "
+                f"(canary {cs:.2f}s above quiet band "
+                f"[{band[0]:.2f}, {band[1]:.2f}]): its times are inflated")
     mismatch = (old_canary[0] and new_canary[0] and
                 max(old_canary[0], new_canary[0]) >
                 CANARY_FACTOR * min(old_canary[0], new_canary[0]))
@@ -215,12 +245,14 @@ def compare(old_path, new_path, flag, adj_dir, out=print):
 
 def smoke():
     """Planted-pair self-test of the canary downgrade (no Spark)."""
-    def record(path, q1_sec, canary, canary_end=None):
+    def record(path, q1_sec, canary, canary_end=None, band=None):
         doc = {"queries": {"q1": q1_sec, "q2": 0.5},
                "total": q1_sec + 0.5, "count": 2, "sf": "planted",
                "canary": canary}
         if canary_end is not None:
             doc["canary_end"] = canary_end
+        if band is not None:
+            doc["canary_band"] = list(band)
         json.dump(doc, open(path, "w"))
     with tempfile.TemporaryDirectory() as d:
         base = os.path.join(d, "old.json")
@@ -234,6 +266,7 @@ def smoke():
         assert rc_hot == 0, f"mismatched canary must downgrade, got {rc_hot}"
         assert any(l.startswith("CANARY MISMATCH") for l in lines), lines
         assert any(l.startswith("SLOWER  q1") for l in lines), lines
+        assert any("throttled host" in l for l in lines), lines
         lines = []
         rc_quiet = compare(base, quiet, 2.0, None, out=lines.append)
         assert rc_quiet == 1, f"matching canary must flag, got {rc_quiet}"
@@ -244,8 +277,17 @@ def smoke():
         json.dump({"queries": {"q1": 5.0, "q2": 0.5}}, open(legacy, "w"))
         rc_legacy = compare(base, legacy, 2.0, None, out=lambda *_: None)
         assert rc_legacy == 1, f"canary-less record must still flag, got {rc_legacy}"
-    print("canary smoke: 3/3 planted cases OK "
-          "(mismatch downgrades, quiet flags, legacy flags)")
+        # a record carrying its OWN band overrides the default: canary
+        # 0.55 is hot under DEFAULT_BAND but in-band under [0.5, 1.0]
+        banded_old = os.path.join(d, "banded_old.json")
+        banded_new = os.path.join(d, "banded_new.json")
+        record(banded_old, 1.0, 0.52, band=(0.5, 1.0))
+        record(banded_new, 1.1, 0.55, band=(0.5, 1.0))
+        lines = []
+        compare(banded_old, banded_new, 2.0, None, out=lines.append)
+        assert not any("throttled host" in l for l in lines), lines
+    print("canary smoke: 4/4 planted cases OK (mismatch downgrades, "
+          "quiet flags, legacy flags, record band overrides default)")
     return 0
 
 

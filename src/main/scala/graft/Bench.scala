@@ -58,15 +58,51 @@ object Bench {
     // signal when the canaries differ >2×, and a start/end divergence
     // marks the record as taken on a degrading host. min of two runs
     // damps residual JIT on the probe's own codegen.
+    //
+    // The quiet band is DATA, not lore: [lo, hi] measured across the
+    // r11–r13 quiet-window records, emitted into every record
+    // (stdout line + sidecar) so bench_diff and future judges read it
+    // from the record itself instead of re-deriving it from SURVEY
+    // prose. Retune HERE if the probe or the host class changes.
+    val CanaryRows = 1024000000L // 1.024B rows ≈ 0.21–0.27 s on a quiet host
+    val CanaryBandLo = 0.21
+    val CanaryBandHi = 0.27
     def canaryProbe(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 1024000000L, 1L, cpus.toInt)
-        .selectExpr("max(xxhash64(id)) AS s") // max: ANSI-safe (a 256M-row sum of 64-bit hashes overflows)
+      spark.range(0L, CanaryRows, 1L, cpus.toInt)
+        .selectExpr("max(xxhash64(id)) AS s") // max: ANSI-safe (a 1.024B-row sum of 64-bit hashes overflows)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val canaryStart = Seq(canaryProbe(), canaryProbe()).min
-    println(f"""{"canary_start":$canaryStart%.4f}""")
+    // Cooldown gate (r13 VERDICT #1): two driver rounds running
+    // (BENCH_r12 235 s, BENCH_r13 311 s) were throttled-host records —
+    // the host was still hot from whatever ran before the bench, every
+    // query read inflated, and each record cost a full adjudication
+    // pass to dismiss. Instead of stamping a bad record and
+    // adjudicating later, WAIT for the host: re-probe every 30 s until
+    // the canary is in-band, bounded by SPARK_GRAFT_CANARY_WAIT
+    // seconds (default 300; 0 disables). If the budget exhausts the
+    // bench still runs — a late record beats no record — but the
+    // record says so machine-readably (canary_wait_exhausted), so no
+    // one mistakes it for a clean measurement.
+    // named-query iteration runs aren't records (they skip the sidecar
+    // write below) — don't make them pay the cooldown
+    val waitBudget =
+      if (args.nonEmpty) 0.0
+      else sys.env.getOrElse("SPARK_GRAFT_CANARY_WAIT", "300").toDouble
+    var canaryStart = Seq(canaryProbe(), canaryProbe()).min
+    val waitT0 = System.nanoTime()
+    def waited(): Double = (System.nanoTime() - waitT0) / 1e9
+    while (canaryStart > CanaryBandHi && waited() < waitBudget) {
+      Thread.sleep(30000L)
+      canaryStart = Seq(canaryProbe(), canaryProbe()).min
+    }
+    val canaryWait = waited()
+    val canaryExhausted = canaryStart > CanaryBandHi
+    def canaryFields: String =
+      f""""canary_band":[$CanaryBandLo%.2f,$CanaryBandHi%.2f],""" +
+        f""""canary_wait_sec":$canaryWait%.1f,"canary_wait_exhausted":$canaryExhausted"""
+    println(f"""{"canary_start":$canaryStart%.4f,$canaryFields}""")
     System.out.flush()
     // Bench-scale variants for iterative-training queries: identical plan
     // shape, fewer Lloyd iterations (each iteration pays fresh
@@ -147,7 +183,7 @@ object Bench {
     val canaryEnd = Seq(canaryProbe(), canaryProbe()).min
     val total = results.values.map(_._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},"sf":"$sfDir",""" +
-      f""""canary":$canaryStart%.4f,"canary_end":$canaryEnd%.4f}""")
+      f""""canary":$canaryStart%.4f,"canary_end":$canaryEnd%.4f,$canaryFields}""")
     System.out.flush()
     // Full-record sidecar: the driver's BENCH_r{N}.json keeps only a
     // truncated stdout tail, so the cross-round regression tripwire
@@ -164,7 +200,7 @@ object Bench {
           results.map { case (n, v) => "\"" + n + "\":" + f"${sel(v)}%.4f" }.mkString(",")
         val doc = "{\"queries\":{" + m(_._1) + "},\"max\":{" + m(_._2) + "}," +
           f"""\"total\":$total%.4f,\"count\":${results.size},\"sf\":\"$sfDir\",""" +
-          f"""\"canary\":$canaryStart%.4f,\"canary_end\":$canaryEnd%.4f}"""
+          f"""\"canary\":$canaryStart%.4f,\"canary_end\":$canaryEnd%.4f,$canaryFields}"""
         java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
           doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         ()

@@ -125,11 +125,15 @@ object EditAb {
     if (args.contains("--bloom-floor-ab")) {
       run(small) // warm
       // interleaved k=3 per arm (ABBA order) so neither side rides a
-      // warmer JVM
+      // warmer JVM; restore the SAVED prior floor, not a constant —
+      // the shipped default has already been retuned once (20k→2k)
+      // and a stale hardcoded restore would silently undo that for
+      // any code that runs after the probe
+      val prevFloor = operators.Dedup.candBloomMinDocs
       for (floor <- Seq(20000L, 0L, 0L, 20000L)) {
         operators.Dedup.candBloomMinDocs = floor
         val t = try (1 to 3).map(_ => run(small)).min
-                finally operators.Dedup.candBloomMinDocs = 20000L
+                finally operators.Dedup.candBloomMinDocs = prevFloor
         println(f"""{"dir":"$small","bloom_floor":$floor,"sec":$t%.3f}""")
         System.out.flush()
       }

@@ -267,11 +267,16 @@ object Pipeline {
           val diff = Quality.contractDrift(
             Quality.loadSuggestions(spark, path), refreshed)
           val diffRows = diff.collect().toSeq
-          driftLogDir.foreach { ld =>
+          // no derivable run date (empty corpus, no --dates) → skip
+          // the append rather than stamp a sentinel: "unknown" sorts
+          // after every ISO date, so one such partition would
+          // permanently win max(run_id) in widenStreaksLatest and
+          // freeze the velocity section on it (mirrors the
+          // check-log's null-date handling)
+          for (ld <- driftLogDir; rd <- runDate) {
             import scala.jdk.CollectionConverters._
             Quality.driftLogAppend(
-              spark.createDataFrame(diffRows.asJava, diff.schema),
-              ld, runDate.getOrElse("unknown"))
+              spark.createDataFrame(diffRows.asJava, diff.schema), ld, rd)
           }
           val drift = diffRows.filter(_.getAs[Boolean]("drift"))
             .map(r => (r.getAs[String]("column_name"),
@@ -409,9 +414,11 @@ object Pipeline {
       payments = EventMarts.reportPaymentDistFrom(day).collect().toSeq,
       // velocity section: streaks from the persisted drift log (the
       // run() side writes it under driftLogDir) — absent/empty log
-      // keeps byte-parity with a report that never wired one
+      // keeps byte-parity with a report that never wired one. The
+      // guard lives in widenStreaksLatest itself (parquet read, not
+      // java.io.File), so an ops-precreated empty dir returns Nil
+      // and a non-local log URI still renders the section
       driftStreaks = driftLogDir
-        .filter(d => new java.io.File(d).exists())
         .map(d => operators.Quality.widenStreaksLatest(e.sparkSession, d))
         .getOrElse(Nil))
   }

@@ -154,7 +154,7 @@ object Reporting {
       orderSummary: Option[Row], payments: Seq[Row],
       contractDrift: Seq[(String, String, String)] = Nil,
       contractPromoted: Option[String] = None,
-      driftStreaks: Seq[(String, String, Long)] = Nil): String = {
+      driftStreaks: Seq[(String, String, String, Long)] = Nil): String = {
     val user = userSummary.map { r =>
       Seq(
         s"- active users: ${num(r.getAs[Long]("active_users"))}",
@@ -213,10 +213,22 @@ object Reporting {
       else "\n[contract drift]\n" + promotedLine + contractDrift.sorted.map {
         case (c, k, ch) => s"- $c ($k): $ch"
       }.mkString("\n") + "\n"
+    // the streak counts ALL drifting change types (widened, shifted,
+    // domain_grew, domain_changed — driftTrendFromLog's predicate), so
+    // the line words the LATEST run's label and keeps the count
+    // neutral: a domain-growth streak must not read "bound widening"
     val velocitySection =
       if (driftStreaks.isEmpty) ""
       else "\n[contract drift velocity]\n" + driftStreaks.sorted.map {
-        case (c, k, n) => s"- $c ($k): bound widening $n consecutive healthy runs"
+        case (c, k, ch, n) =>
+          val what = ch match {
+            case "widened" => "bound widened"
+            case "shifted" => "bound shifted"
+            case "domain_grew" => "domain grew"
+            case "domain_changed" => "domain changed"
+            case other => other
+          }
+          s"- $c ($k): $what; drifting $n consecutive healthy runs"
       }.mkString("\n") + "\n"
 
     s"""Daily report ($executionDate)

@@ -1701,8 +1701,10 @@ object Dedup {
     * STRING, so ids must sort lexicographically in chronological
     * order — ISO dates (`2026-08-16`, what dailyReport stamps) or
     * zero-padded counters (`run_0042`). Bare counters like `r10`
-    * sort before `r2` and make the trend's deltas compare against
-    * the wrong previous run. */
+    * sort before `r2` and would make the trend's deltas compare
+    * against the wrong previous run — ENFORCED since r14: every
+    * trend reader rejects a log whose ids sort differently under
+    * string vs numeric-aware order ([[RunLog.requireChronological]]). */
   def calibrationLogAppend(agreement: DataFrame, logDir: String,
                            runId: String): Unit =
     graft.sources.MartSink.writePartitioned(
@@ -1719,7 +1721,9 @@ object Dedup {
   def calibrationTrendFromLog(spark: SparkSession, logDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("method_a", "method_b").orderBy("run_id")
-    spark.read.parquet(logDir)
+    val log = spark.read.parquet(logDir)
+    RunLog.requireChronological(log)
+    log
       .select(col("run_id").cast("string").as("run_id"),
         col("method_a"), col("method_b"), col("n_both"), col("agreement"))
       .withColumn("prev_agreement", lag(col("agreement"), 1).over(w))
@@ -1751,7 +1755,9 @@ object Dedup {
   def lshRecallTrendFromLog(spark: SparkSession, logDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("jaccard_decile").orderBy("run_id")
-    spark.read.parquet(logDir)
+    val log = spark.read.parquet(logDir)
+    RunLog.requireChronological(log)
+    log
       .select(col("run_id").cast("string").as("run_id"),
         col("jaccard_decile"), col("n_truth"), col("n_found"), col("recall"))
       .withColumn("prev_recall", lag(col("recall"), 1).over(w))

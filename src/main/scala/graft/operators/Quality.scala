@@ -1941,7 +1941,9 @@ object Quality {
     val w = Window.partitionBy("column_name", "check_type").orderBy("run_id")
     val widening = col("change")
       .isin("widened", "shifted", "domain_grew", "domain_changed")
-    spark.read.parquet(logDir)
+    val log = spark.read.parquet(logDir)
+    RunLog.requireChronological(log)
+    log
       .select(col("run_id").cast("string").as("run_id"),
         col("column_name"), col("check_type"), col("change"),
         col("lo_fresh"), col("hi_fresh"))
@@ -1959,22 +1961,36 @@ object Quality {
       .orderBy("run_id", "column_name", "check_type")
   }
 
-  /** The daily report's velocity extract: (column, check, streak)
-    * for the LATEST run in the log, keeping only streaks ≥
-    * `minStreak` — one line per check that has now widened several
-    * healthy runs in a row. Empty log / no streaks → Nil (the report
-    * omits the section). */
+  /** The daily report's velocity extract: (column, check, latest
+    * change label, streak) for the LATEST run in the log, keeping
+    * only streaks ≥ `minStreak` — one line per check that has now
+    * drifted several healthy runs in a row. The change label is the
+    * latest run's (a streak may mix widened/shifted/domain_grew
+    * runs; the label says what happened TODAY, the streak says for
+    * how long). Missing, empty, or schema-less log → Nil (the report
+    * omits the section) — an ops-precreated empty directory must not
+    * crash the daily report, and a non-local log URI that
+    * `java.io.File` can't see must still be readable, so the guard
+    * is the parquet read itself, not a filesystem stat. */
   def widenStreaksLatest(spark: SparkSession, logDir: String,
-                         minStreak: Long = 2L): Seq[(String, String, Long)] = {
-    val trend = driftTrendFromLog(spark, logDir)
+      minStreak: Long = 2L): Seq[(String, String, String, Long)] = {
+    val trend =
+      try driftTrendFromLog(spark, logDir)
+      catch {
+        // missing path or unreadable/empty dir (no parquet footers to
+        // infer a schema from); a run_id contract violation is a real
+        // error and propagates
+        case _: org.apache.spark.sql.AnalysisException => return Nil
+      }
     val latest = trend.agg(max(col("run_id"))).collect().head
     if (latest.isNullAt(0)) Nil
     else trend
       .filter(col("run_id") === latest.getString(0) &&
         col("widen_streak") >= minStreak)
-      .select(col("column_name"), col("check_type"), col("widen_streak"))
+      .select(col("column_name"), col("check_type"), col("change"),
+        col("widen_streak"))
       .collect().toSeq
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
   }
 
   /** Persisted healthy-drift streak for Pipeline's OPT-IN

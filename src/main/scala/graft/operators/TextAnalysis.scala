@@ -3320,10 +3320,16 @@ object TextAnalysis {
     * index regression or near-duplicate flooding bends downward hours
     * or days before anyone reads a per-run table. Sits beside the
     * other log-fed rescores (volume anomaly, profile drift, norm
-    * drift) as the search-side health row. Tiny frame: |runs| rows. */
+    * drift) as the search-side health row. Tiny frame: |runs| rows.
+    * Same run_id contract as the other run logs (ids must sort
+    * chronologically as strings — enforced, see
+    * [[RunLog.requireChronological]]): this reader has no lag window,
+    * but its row order IS the trend a human reads. */
   def selfRecallTrendFromLog(spark: SparkSession, logDir: String,
-      k: Int = 10): DataFrame =
-    spark.read.parquet(logDir)
+      k: Int = 10): DataFrame = {
+    val log = spark.read.parquet(logDir)
+    RunLog.requireChronological(log)
+    log
       .groupBy(col("run_id"))
       .agg(
         count(lit(1)).as("n_probes"),
@@ -3332,6 +3338,7 @@ object TextAnalysis {
           / count(lit(1)).cast("double")).as("recall_at_k"),
         sum(when(col("rank") === 1, 1L).otherwise(0L)).as("rank1_hits"))
       .orderBy("run_id")
+  }
 
   /** Collocation mining — word pairs that co-occur adjacently far
     * more than their unigram frequencies predict (the "New York" /

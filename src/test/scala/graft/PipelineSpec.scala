@@ -1877,11 +1877,17 @@ class ReportingSpec extends SparkSpec {
     // the latest-run extract feeds the report: value is on a streak,
     // event_type's one-off domain growth two runs ago is not
     val streaks = operators.Quality.widenStreaksLatest(spark, log)
-    assert(streaks == Seq(("value", "range", 3L)), streaks.toString)
+    assert(streaks == Seq(("value", "range", "widened", 3L)), streaks.toString)
     val report = Reporting.dailyReport("2024-03-04", None, Nil, Nil, None, Nil,
       driftStreaks = streaks)
     assert(report.contains("[contract drift velocity]"))
-    assert(report.contains("- value (range): bound widening 3 consecutive healthy runs"))
+    assert(report.contains("- value (range): bound widened; drifting 3 consecutive healthy runs"))
+    // a streak whose LATEST change is domain growth must not read
+    // "bound widened" — the label travels with the streak tuple
+    val domainReport = Reporting.dailyReport("2024-03-04", None, Nil, Nil, None, Nil,
+      driftStreaks = Seq(("event_type", "isin", "domain_grew", 2L)))
+    assert(domainReport.contains(
+      "- event_type (isin): domain grew; drifting 2 consecutive healthy runs"))
     // a run that holds the bound RESETS the streak; the velocity
     // section disappears from that day's report
     operators.Quality.driftLogAppend(diff("unchanged", 0.0, 130.0), log, "2024-03-05")
@@ -1895,6 +1901,61 @@ class ReportingSpec extends SparkSpec {
     operators.Quality.driftLogAppend(diff("unchanged", 0.0, 130.0), log, "2024-03-05")
     assert(operators.Quality.driftTrendFromLog(spark, log)
       .filter(col("run_id") === "2024-03-05").count() == 2L)
+  }
+
+  test("run_id contract is enforced: non-chronological ids reject, padded/ISO ids pass") {
+    import spark.implicits._
+    def diff(hi: Double) = Seq(
+      ("value", "range", "widened", 0.0, hi - 10.0, 0.0, hi,
+        null.asInstanceOf[String], null.asInstanceOf[String], true))
+      .toDF("column_name", "check_type", "change", "lo_pinned", "hi_pinned",
+        "lo_fresh", "hi_fresh", "set_added", "set_removed", "drift")
+    // bare counters: string order puts r10 before r2 — every trend
+    // reader must REJECT rather than silently lag against the wrong
+    // previous run
+    val bad = java.nio.file.Files.createTempDirectory("graft_runid_bad").toString
+    Seq("r1", "r2", "r10").zipWithIndex.foreach { case (id, i) =>
+      operators.Quality.driftLogAppend(diff(100.0 + i * 10), bad, id)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      operators.Quality.driftTrendFromLog(spark, bad).collect()
+    }
+    assert(ex.getMessage.contains("chronological"), ex.getMessage)
+    // the same violation propagates out of widenStreaksLatest (a bad
+    // log is a real error, not an empty-section case)
+    intercept[IllegalArgumentException] {
+      operators.Quality.widenStreaksLatest(spark, bad)
+    }
+    // zero-padded counters and ISO dates are consistent under both
+    // orders and pass untouched
+    val good = java.nio.file.Files.createTempDirectory("graft_runid_good").toString
+    Seq("run_0001", "run_0002", "run_0010").zipWithIndex.foreach { case (id, i) =>
+      operators.Quality.driftLogAppend(diff(100.0 + i * 10), good, id)
+    }
+    val trend = operators.Quality.driftTrendFromLog(spark, good)
+      .select("run_id", "widen_streak").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trend("run_0010") == 3L, trend.toString)
+    // the dedup-side readers share the guard
+    val calBad = java.nio.file.Files.createTempDirectory("graft_runid_cal").toString
+    def agree(a: Double) = Seq(("minhash", "jaccard", 10L, 10L, 8L, a))
+      .toDF("method_a", "method_b", "n_a", "n_b", "n_both", "agreement")
+    operators.Dedup.calibrationLogAppend(agree(0.8), calBad, "r2")
+    operators.Dedup.calibrationLogAppend(agree(0.9), calBad, "r10")
+    intercept[IllegalArgumentException] {
+      operators.Dedup.calibrationTrendFromLog(spark, calBad).collect()
+    }
+  }
+
+  test("widenStreaksLatest returns Nil on a missing or empty drift-log dir") {
+    // ops pre-creates the directory before any run has appended: the
+    // daily report must omit the velocity section, not crash on
+    // parquet schema inference
+    val empty = java.nio.file.Files.createTempDirectory("graft_driftlog_empty").toString
+    assert(operators.Quality.widenStreaksLatest(spark, empty).isEmpty)
+    // and a path that does not exist at all behaves the same
+    assert(operators.Quality.widenStreaksLatest(
+      spark, s"$empty/never_written").isEmpty)
   }
 
   test("backfill threads the contract: gate + drift log reachable from the cron path") {
