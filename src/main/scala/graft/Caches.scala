@@ -27,12 +27,16 @@ import org.apache.spark.sql.DataFrame
   * consumers of an evicted frame keep working.
   *
   * Executor loss. A lost executor takes its checkpoint blocks with
-  * it, and a no-lineage frame then fails PERMANENTLY on read — and
-  * keeps being served from the memo until something drops it. A
-  * service that survives executor churn should call `clearAll()`
-  * (or the owning family's clear) from its executor-loss handling
-  * so the next call rebuilds. Irrelevant in local mode, where
-  * executor death is JVM death. */
+  * it, and a no-lineage frame then fails PERMANENTLY on read. The
+  * two highest-traffic frame memos (the kNN graph and the member-pair
+  * frame) SELF-HEAL since r14: they serve through [[serveChecked]],
+  * which verifies the cached frame's blocks are all still registered
+  * (a driver-side storage-registry read, zero jobs) and invalidates +
+  * rebuilds on loss. The remaining memos keep the manual contract: a
+  * service that survives executor churn should call `clearAll()` (or
+  * the owning family's clear) from its executor-loss handling so the
+  * next call rebuilds. Irrelevant in local mode, where executor death
+  * is JVM death. */
 object Caches {
   def clearAll(): Unit = {
     operators.Dedup.clearMemberPairCache()
@@ -69,5 +73,40 @@ object Caches {
     val it = cache.values().iterator()
     while (it.hasNext) unpersistCheckpointed(it.next())
     cache.clear()
+  }
+
+  /** True iff every checkpoint-backed leaf of `df` still has ALL its
+    * blocks in executor storage. A localCheckpointed frame has no
+    * lineage — once an executor takes its blocks down, every read
+    * fails PERMANENTLY — so serving one from a memo without this
+    * check turns one executor loss into an unbounded failure streak.
+    * Driver-side only (persistentRdds + block-manager status via the
+    * public getRDDStorageInfo), no Spark job. Frames with no
+    * LogicalRDD leaf (never checkpointed) are trivially healthy. */
+  private[graft] def checkpointHealthy(df: DataFrame): Boolean = {
+    val sc = df.sparkSession.sparkContext
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    rdds.isEmpty || {
+      val info = sc.getRDDStorageInfo
+      rdds.forall(r => info.exists(i =>
+        i.id == r.id && i.numCachedPartitions == r.getNumPartitions))
+    }
+  }
+
+  /** Memo serve with invalidate-on-block-loss: a cached frame whose
+    * checkpoint blocks are gone (executor churn, an external
+    * unpersist) is dropped and rebuilt instead of served as a
+    * permanent failure. The remove is key+value conditional, so a
+    * concurrent rebuild that already replaced the entry is never
+    * clobbered. Healthy entries serve with zero jobs (the check is a
+    * driver-side storage-registry read). */
+  private[graft] def serveChecked(
+      cache: java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame],
+      key: (String, String))(build: => DataFrame): DataFrame = {
+    val cached = cache.get(key)
+    if (cached != null && !checkpointHealthy(cached)) cache.remove(key, cached)
+    cache.computeIfAbsent(key, _ => build)
   }
 }

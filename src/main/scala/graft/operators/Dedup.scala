@@ -788,7 +788,10 @@ object Dedup {
     // an evicted frame keep working; the ContextCleaner reclaims the
     // blocks after GC. The explicit clear hooks are the eager path.
     if (memberPairCache.size() > MemberPairCacheMax) memberPairCache.clear()
-    memberPairCache.computeIfAbsent(key, _ => {
+    // serveChecked (r14): a cached frame whose checkpoint blocks died
+    // with an executor invalidates and rebuilds instead of serving a
+    // permanent read failure to the whole agreement/census family
+    graft.Caches.serveChecked(memberPairCache, key) {
       memberPairBuilds.incrementAndGet()
       val nul = lit(null).cast("double")
       Seq(
@@ -805,7 +808,7 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"), lit("simhash").as("m"), nul.as("score")))
         .reduce(_ unionByName _)
         .localCheckpoint()
-    })
+    }
   }
 
   /** Canonical fingerprint of a member-pair frame's CONTENT —

@@ -1382,8 +1382,11 @@ object Sessionize {
     * broadcast-joined back, never a fact-side shuffle) and the
     * per-session aggregation; the final surface is a TakeOrdered
     * topN, not a global sort. Self-scoring needs no smoothing: every
-    * observed pair has corpus count ≥ 1 by construction. rows-only
-    * (log2 is libm); spec pins a driver-exact recompute and the
+    * observed pair has corpus count ≥ 1 by construction. Full SQL
+    * since r14 (was rows-only): the per-arc −log2 P quantizes to a
+    * 1e-5-bit integer at LM grain before the exact per-session BIGINT
+    * rollup (TextAnalysis.textEntropy's Scaladoc has the LibmProbe
+    * measurement); spec pins a driver-exact recompute and the
     * rare-arc-ranks-first property. */
   def sessionSurprise(spark: SparkSession, dir: String, topN: Int = 100): DataFrame =
     sessionSurpriseFrom(enriched(spark, dir), topN)
@@ -1391,11 +1394,13 @@ object Sessionize {
   def sessionSurpriseFrom(e: DataFrame, topN: Int = 100): DataFrame =
     surpriseRollup(sessionPairsFrom(e), topN)
 
-  /** session_surprise over the hot-key-safe base — rows-only like the
-    * plain form (log2 is libm); the spec pins bit-equality of the two
-    * paths' outputs. The per-session score aggregation is algebraic
-    * (count + sum of log2 p), so it map-combines — the bot session's
-    * transitions reach the session-grain reducer as partial sums. */
+  /** session_surprise over the hot-key-safe base — full SQL like the
+    * plain form since r14 (same oracle: the spec pins bit-equality of
+    * the two paths' outputs, and the quantized-integer arc bits make
+    * that equality exact by construction). The per-session score
+    * aggregation is algebraic (count + sum of integer bits), so it
+    * map-combines — the bot session's transitions reach the
+    * session-grain reducer as partial sums. */
   def sessionSurpriseBucketed(spark: SparkSession, dir: String): DataFrame =
     sessionSurpriseBucketedFrom(enriched(spark, dir))
 
@@ -1405,20 +1410,28 @@ object Sessionize {
 
   private def surpriseRollup(pairFrame: DataFrame, topN: Int = 100): DataFrame = {
     val pairs = pairFrame.localCheckpoint()
+    // r14 determinism model (TextAnalysis.textEntropy's Scaladoc has
+    // the LibmProbe measurement): the per-arc −log2 P quantizes to a
+    // 1e-5-bit integer at LM grain (≤|types|² values), so the
+    // per-session rollup sums exact BIGINTs — shuffle-order
+    // independent AND exactly reproducible by the DuckDB oracle.
     val lm = pairs
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("pair_count"))
       .withColumn("from_total",
         sum(col("pair_count")).over(Window.partitionBy("from_type")))
-      .select(col("from_type"), col("to_type"),
-        (col("pair_count").cast("double") / col("from_total").cast("double"))
-          .as("p"))
+      .select(col("from_type"), col("to_type"), expr(
+        "CAST(ROUND(-LOG2(CAST(pair_count AS DOUBLE) / CAST(from_total AS DOUBLE)) * 100000.0D) AS BIGINT)")
+        .as("bits_q"))
     pairs
       .join(broadcast(lm), Seq("from_type", "to_type"))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_transitions"),
-        (-sum(log2(col("p"))) / count(lit(1)).cast("double"))
-          .as("bits_per_transition"))
+        sum(col("bits_q")).as("sq"))
+      .withColumn("bits_per_transition",
+        col("sq").cast("double") / col("n_transitions").cast("double")
+          / lit(100000.0))
+      .drop("sq")
       .orderBy(desc("bits_per_transition"), asc("user_id"), asc("session_idx"))
       .limit(topN)
   }
@@ -1448,6 +1461,40 @@ object Sessionize {
       |FROM pairs p JOIN modal m USING (from_type)
       |GROUP BY p.from_type, m.predicted_to, m.correct_transitions
       |ORDER BY from_type""".stripMargin
+
+  /** DuckDB oracle for [[sessionSurprise]] (and, by the spec-pinned
+    * bit-equality of the two paths, [[sessionSurpriseBucketed]]) —
+    * the same sessionized pair base as markov_next_event, the same
+    * quantized-integer arc bits as the Spark side, the same
+    * deterministic (bits DESC, user, session) top-100 cut. */
+  val sessionSurpriseSql: String = sessionizedSql +
+    """, trs AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, session_idx, event_type AS from_type,
+      |      LEAD(event_type) OVER (PARTITION BY user_id, session_idx
+      |                             ORDER BY event_epoch, event_id) AS to_type
+      |    FROM sessioned
+      |  ) t WHERE to_type IS NOT NULL
+      |), lm AS (
+      |  SELECT from_type, to_type,
+      |    CAST(ROUND(-log2(CAST(pair_count AS DOUBLE) / CAST(from_total AS DOUBLE)) * 100000.0) AS BIGINT) AS bits_q
+      |  FROM (
+      |    SELECT from_type, to_type, COUNT(*) AS pair_count,
+      |      SUM(COUNT(*)) OVER (PARTITION BY from_type) AS from_total
+      |    FROM trs GROUP BY from_type, to_type
+      |  ) c
+      |), agg AS (
+      |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |    CAST(COUNT(*) AS BIGINT) AS n_transitions,
+      |    CAST(SUM(bits_q) AS BIGINT) AS sq
+      |  FROM trs JOIN lm USING (from_type, to_type)
+      |  GROUP BY user_id, session_idx
+      |)
+      |SELECT user_id, session_idx, n_transitions,
+      |  CAST(sq AS DOUBLE) / CAST(n_transitions AS DOUBLE) / 100000.0 AS bits_per_transition
+      |FROM agg
+      |ORDER BY bits_per_transition DESC, user_id ASC, session_idx ASC
+      |LIMIT 100""".stripMargin
 
   /** Inter-event gap histogram — the tuning table for [[GapSeconds]]
     * itself (the closure pattern again: dq_key_skew decides the salt

@@ -1314,12 +1314,15 @@ object Similarity {
     // clear-all at the bound, not LRU (reference-drop only) — trade
     // documented at Dedup.memberPairFrame
     if (knnGraphCache.size() > KnnGraphCacheMax) knnGraphCache.clear()
-    knnGraphCache.computeIfAbsent(key, _ => {
+    // serveChecked (r14): a cached graph whose checkpoint blocks died
+    // with an executor invalidates and rebuilds instead of serving a
+    // permanent read failure to every downstream consumer
+    graft.Caches.serveChecked(knnGraphCache, key) {
       knnGraphBuilds.incrementAndGet()
       annKnnGraphWith(spark, e,
         kmeansCentroids(spark, dir, nlist, iters), k, nProbe)
         .localCheckpoint()
-    })
+    }
   }
 
   private[graft] def annKnnGraphWith(spark: SparkSession, e: DataFrame,

@@ -3146,9 +3146,10 @@ object TextAnalysis {
     * query-term set — keywordSearch's scored sibling (that query
     * ranks per-term postings by raw tf; this one fuses the terms into
     * one relevance score with saturation and length normalization).
-    * True BM25 carries Math.log idf, so this is a ROWS-ONLY query
-    * (the libm rule); the exact-math spec pins it driver-side on the
-    * same JVM.
+    * Full SQL since r14 (was rows-only): the idf's LN quantizes to a
+    * 1e-7 integer grid at term grain, and everything else in the
+    * score is exact-literal IEEE arithmetic — see textEntropy's
+    * Scaladoc for the LibmProbe measurement behind the pattern.
     *
     * Scale shape: the term filter lands BEFORE aggregation (only
     * query-term postings survive the explode, as in keywordSearch);
@@ -3172,9 +3173,15 @@ object TextAnalysis {
       .filter(col("term").isin(SearchTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
+    // r14 determinism model (see textEntropy's Scaladoc / LibmProbe):
+    // the ONE libm call (LN in the idf) quantizes to a 1e-7 integer
+    // grid at TERM grain (≤|SearchTerms| values — negligible boundary
+    // exposure); the saturation/length-norm chain is pure IEEE
+    // arithmetic over integer counts with exact-decimal literals, so
+    // the whole score is bit-identical cross-engine → full SQL oracle.
+    val idf = expr(
+      "CAST(CAST(ROUND(LN(1.0D + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5D)" +
+        " / (CAST(df AS DOUBLE) + 0.5D)) * 10000000.0D) AS BIGINT) AS DOUBLE) / 10000000.0D")
     val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
@@ -3190,6 +3197,45 @@ object TextAnalysis {
         perTerm.reduce(_ + _).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** DuckDB oracle for [[searchBm25From]] at the default k1/b —
+    * identical quantized idf, identical literal shapes ((1.2 + 1.0),
+    * (1.0 - 0.75) mirror the Scala-side lit(k1 + 1.0)/lit(1.0 - b)
+    * double computations bit-for-bit), identical fixed-order
+    * term-fusion sum, identical (score DESC, doc_id ASC) cut. */
+  val searchBm25Sql: String = {
+    val termFusion = SearchTerms.map(t =>
+      s"COALESCE(MAX(CASE WHEN term = '$t' THEN contrib END), 0.0)")
+      .mkString("\n  + ")
+    val termList = SearchTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM documents
+       |), postings AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl,
+       |      unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |    FROM documents
+       |  ) WHERE term IN ($termList)
+       |  GROUP BY doc_id, dl, term
+       |), dfreq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term
+       |), contrib AS (
+       |  SELECT doc_id, term,
+       |    (CAST(CAST(ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |        / (CAST(df AS DOUBLE) + 0.5)) * 10000000.0) AS BIGINT) AS DOUBLE) / 10000000.0)
+       |    * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+       |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib
+       |  FROM postings JOIN dfreq USING (term), stats
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       |  $termFusion AS score
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT 10""".stripMargin
   }
 
   /** Self-retrieval evaluation of the BM25 ranker — the eval closure
@@ -3423,13 +3469,15 @@ object TextAnalysis {
     * CCNet-style perplexity filter ("score each shard against an LM,
     * keep the fluent head") with the corpus itself as the LM.
     *
-    * rows-only by design: log2 is libm (JVM vs DuckDB differ at ulp)
-    * and the per-doc float sum is shuffle-order dependent — the spec
-    * pins a driver-side exact recompute on a crafted corpus (1e-9)
-    * and structural invariants at sf. Plan shape: per-doc word counts
-    * (one shuffle, map-side combined), vocab rollup from those SAME
-    * (word, doc) rows (no second corpus scan), a vocab-dimension hash
-    * join back (broadcast is wrong at scale), one doc rollup. */
+    * Full SQL since r14 (was rows-only): the per-word log-prob
+    * quantizes to a 1e-5-bit integer at vocab grain, so the per-doc
+    * rollup sums exact BIGINTs — shuffle-order independence AND an
+    * exact DuckDB hash in one move (see textEntropy's Scaladoc for
+    * the LibmProbe measurement behind the grain). Plan shape: per-doc
+    * word counts (one shuffle, map-side combined), vocab rollup from
+    * those SAME (word, doc) rows (no second corpus scan), a
+    * vocab-dimension hash join back (broadcast is wrong at scale),
+    * one doc rollup. */
   def textPerplexity(spark: SparkSession, dir: String): DataFrame =
     textPerplexityFrom(Tables.documents(spark, dir))
 
@@ -3441,17 +3489,53 @@ object TextAnalysis {
     val vocab = docCounts.groupBy(col("w")).agg(sum(col("c")).as("cw"))
     val totals = vocab.agg(sum(col("cw")).as("n_corpus"),
       count(lit(1)).as("v_vocab"))
-    docCounts.join(vocab, Seq("w"))
-      .crossJoin(broadcast(totals))
-      .withColumn("bits", col("c").cast("double") *
-        -log2((col("cw") + lit(1)).cast("double")
-          / (col("n_corpus") + col("v_vocab")).cast("double")))
+    // r14 determinism model (shared with textEntropy — see its
+    // Scaladoc and LibmProbe): the per-word log-prob quantizes to a
+    // 1e-5-bit integer at VOCAB grain (one LOG2 per word, not per
+    // (doc, word) — also strictly cheaper than the old fact-grain
+    // log), so the per-doc rollup sums exact BIGINTs: bit-stable at
+    // any partitioning and exactly reproducible by the DuckDB oracle.
+    // perplexity = 2^bpt re-enters libm, so it re-quantizes at 1e-4.
+    val lm = vocab.crossJoin(broadcast(totals))
+      .select(col("w"), expr(
+        "CAST(ROUND(-LOG2(CAST(cw + 1 AS DOUBLE) / CAST(n_corpus + v_vocab AS DOUBLE)) * 100000.0D) AS BIGINT)")
+        .as("lp_q"))
+    docCounts.join(lm, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
-        (sum(col("bits")) / sum(col("c")).cast("double")).as("bits_per_token"))
-      .withColumn("perplexity", pow(lit(2.0), col("bits_per_token")))
+        sum(col("c") * col("lp_q")).as("bits_q"))
+      .withColumn("bits_per_token",
+        col("bits_q").cast("double") / col("n_tokens").cast("double")
+          / lit(100000.0))
+      .withColumn("perplexity",
+        expr("CAST(ROUND(POWER(2.0D, bits_per_token) * 10000.0D) AS BIGINT)")
+          .cast("double") / lit(10000.0))
+      .drop("bits_q")
       .orderBy("doc_id")
   }
+
+  /** DuckDB oracle for [[textPerplexityFrom]] — identical quantized
+    * pipeline, identical operation order in every float expression. */
+  val textPerplexitySql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+      |), dc AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+      |), vocab AS (
+      |  SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM dc GROUP BY w
+      |), tot AS (
+      |  SELECT CAST(SUM(cw) AS BIGINT) AS n_corpus, CAST(COUNT(*) AS BIGINT) AS v_vocab FROM vocab
+      |), lm AS (
+      |  SELECT w, CAST(ROUND(-log2(CAST(cw + 1 AS DOUBLE) / CAST(n_corpus + v_vocab AS DOUBLE)) * 100000.0) AS BIGINT) AS lp_q
+      |  FROM vocab, tot
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(SUM(c * lp_q) AS BIGINT) AS bits_q
+      |  FROM dc JOIN lm USING (w) GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens,
+      |  CAST(bits_q AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 100000.0 AS bits_per_token,
+      |  CAST(CAST(ROUND(power(2.0, CAST(bits_q AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 100000.0) * 10000.0) AS BIGINT) AS DOUBLE) / 10000.0 AS perplexity
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** The tuning table for a PERPLEXITY cut — the CCNet-style "keep
     * the model-familiar tail" filter's dial (the quality_threshold_
@@ -3463,9 +3547,52 @@ object TextAnalysis {
     * so the curve is the PREFIX cumulative of the per-bit histogram.
     * One ppl pass (textPerplexityFrom's fact shuffle) → ≤16-row
     * histogram → windows over ≤16 rows + a 1-row broadcast total.
-    * rows-only (log2). */
+    * Full SQL since r14: bits_per_token is an exact integer ratio
+    * under the quantized LM (see textPerplexityFrom), so the FLOOR
+    * binning, the integer prefix sums, and the two share divisions
+    * are bit-identical cross-engine. */
   def pplThresholdCurve(spark: SparkSession, dir: String): DataFrame =
     pplThresholdCurveFrom(textPerplexityFrom(Tables.documents(spark, dir)))
+
+  /** DuckDB oracle for [[pplThresholdCurve]] — the perplexity CTE
+    * chain (shared shape with [[textPerplexitySql]]) reduced to the
+    * filled 16-bin prefix-cumulative. */
+  val pplThresholdCurveSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+      |), dc AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+      |), vocab AS (
+      |  SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM dc GROUP BY w
+      |), tot AS (
+      |  SELECT CAST(SUM(cw) AS BIGINT) AS n_corpus, CAST(COUNT(*) AS BIGINT) AS v_vocab FROM vocab
+      |), lm AS (
+      |  SELECT w, CAST(ROUND(-log2(CAST(cw + 1 AS DOUBLE) / CAST(n_corpus + v_vocab AS DOUBLE)) * 100000.0) AS BIGINT) AS lp_q
+      |  FROM vocab, tot
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(SUM(c * lp_q) AS BIGINT) AS bits_q
+      |  FROM dc JOIN lm USING (w) GROUP BY doc_id
+      |), hist AS (
+      |  SELECT LEAST(CAST(FLOOR(CAST(bits_q AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 100000.0) AS INT), 15) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS toks
+      |  FROM agg GROUP BY 1
+      |), filled AS (
+      |  SELECT CAST(r.range AS INT) AS b, COALESCE(docs, CAST(0 AS BIGINT)) AS docs,
+      |    COALESCE(toks, CAST(0 AS BIGINT)) AS toks
+      |  FROM range(16) r LEFT JOIN hist ON hist.b = r.range
+      |), cum AS (
+      |  SELECT b,
+      |    CAST(SUM(docs) OVER (ORDER BY b) AS BIGINT) AS surviving_docs,
+      |    CAST(SUM(toks) OVER (ORDER BY b) AS BIGINT) AS surviving_tokens,
+      |    CAST(SUM(docs) OVER () AS BIGINT) AS n_docs,
+      |    CAST(SUM(toks) OVER () AS BIGINT) AS n_toks
+      |  FROM filled
+      |)
+      |SELECT CAST(b + 1 AS INT) AS max_bits, surviving_docs,
+      |  CAST(surviving_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) * 100 AS doc_pct,
+      |  surviving_tokens,
+      |  CAST(surviving_tokens AS DOUBLE) / CAST(n_toks AS DOUBLE) * 100 AS token_pct
+      |FROM cum ORDER BY max_bits""".stripMargin
 
   private[graft] def pplThresholdCurveFrom(ppl: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3516,9 +3643,13 @@ object TextAnalysis {
     * is wrong at scale — a 100 TB bigram vocabulary is huge). Docs
     * with < 2 tokens have no bigram positions and emit no row.
     *
-    * rows-only (log2 is libm; per-doc float sums are shuffle-ordered);
-    * the spec replays the exact model on the driver within 1e-9 and
-    * pins the repetitive < mixed < diverse entropy ordering. */
+    * Full SQL since r14 (was rows-only): the interpolated mixture is
+    * pure IEEE arithmetic over integer counts, and the one libm call
+    * (LOG2) quantizes to a 1e-5-bit integer at LM grain before the
+    * per-doc BIGINT rollup — shuffle-order independent and
+    * exact-hash reproducible in DuckDB (textEntropy's Scaladoc has
+    * the LibmProbe measurement). The spec replays the exact model on
+    * the driver and pins the repetitive < mixed < diverse ordering. */
   def textPerplexityBigram(spark: SparkSession, dir: String,
       lambda: Double = 0.75): DataFrame =
     textPerplexityBigramFrom(Tables.documents(spark, dir), lambda)
@@ -3569,22 +3700,70 @@ object TextAnalysis {
     val hist = bgVocab.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
     val uni = bgVocab.groupBy(col("w2")).agg(sum(col("cb")).as("cu"))
     val totals = uni.agg(sum(col("cu")).as("n2"), count(lit(1)).as("v2"))
+    // r14 determinism model (shared with textPerplexity): the mixture
+    // itself is pure IEEE arithmetic over integer counts (identical
+    // bits in both engines — λ = 0.75 and 1−λ = 0.25 are exact binary
+    // literals), only the LOG2 is libm, so the per-bigram log-prob
+    // quantizes to a 1e-5-bit integer at LM grain and the per-doc
+    // rollup sums exact BIGINTs.
     val lm = bgVocab
       .join(lmSide(hist), Seq("w1"))
       .join(lmSide(uni), Seq("w2"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"),
-        (lit(lambda) * (col("cb").cast("double") / col("ch").cast("double")) +
-          lit(1.0 - lambda) * ((col("cu") + lit(1)).cast("double")
-            / (col("n2") + col("v2")).cast("double"))).as("p"))
+        expr(s"""CAST(ROUND(-LOG2(
+          |  ${lambda}D * (CAST(cb AS DOUBLE) / CAST(ch AS DOUBLE)) +
+          |  ${1.0 - lambda}D * (CAST(cu + 1 AS DOUBLE) / CAST(n2 + v2 AS DOUBLE))
+          |) * 100000.0D) AS BIGINT)""".stripMargin).as("lp_q"))
     docBg.join(lmSide(lm), Seq("w1", "w2"))
-      .withColumn("bits", col("c").cast("double") * -log2(col("p")))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
-        (sum(col("bits")) / sum(col("c")).cast("double")).as("bits_per_token"))
-      .withColumn("perplexity", pow(lit(2.0), col("bits_per_token")))
+        sum(col("c") * col("lp_q")).as("bits_q"))
+      .withColumn("bits_per_token",
+        col("bits_q").cast("double") / col("n_bigrams").cast("double")
+          / lit(100000.0))
+      .withColumn("perplexity",
+        expr("CAST(ROUND(POWER(2.0D, bits_per_token) * 10000.0D) AS BIGINT)")
+          .cast("double") / lit(10000.0))
+      .drop("bits_q")
       .orderBy("doc_id")
   }
+
+  /** DuckDB oracle for [[textPerplexityBigramFrom]] at the default
+    * λ = 0.75 — identical quantized pipeline, identical float
+    * operation order (the mixture's literals are exact binary). */
+  val textPerplexityBigramSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents WHERE text IS NOT NULL
+      |), pos AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+      |  FROM d WHERE len(ws) >= 2
+      |), dbg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS c
+      |  FROM pos GROUP BY doc_id, w1, w2
+      |), bgv AS (
+      |  SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb FROM dbg GROUP BY w1, w2
+      |), hist AS (
+      |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS ch FROM bgv GROUP BY w1
+      |), uni AS (
+      |  SELECT w2, CAST(SUM(cb) AS BIGINT) AS cu FROM bgv GROUP BY w2
+      |), tot AS (
+      |  SELECT CAST(SUM(cu) AS BIGINT) AS n2, CAST(COUNT(*) AS BIGINT) AS v2 FROM uni
+      |), lm AS (
+      |  SELECT w1, w2, CAST(ROUND(-log2(
+      |    0.75 * (CAST(cb AS DOUBLE) / CAST(ch AS DOUBLE)) +
+      |    0.25 * (CAST(cu + 1 AS DOUBLE) / CAST(n2 + v2 AS DOUBLE))
+      |  ) * 100000.0) AS BIGINT) AS lp_q
+      |  FROM bgv JOIN hist USING (w1) JOIN uni USING (w2), tot
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, CAST(SUM(c * lp_q) AS BIGINT) AS bits_q
+      |  FROM dbg JOIN lm USING (w1, w2) GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_bigrams,
+      |  CAST(bits_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 100000.0 AS bits_per_token,
+      |  CAST(CAST(ROUND(power(2.0, CAST(bits_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 100000.0) * 10000.0) AS BIGINT) AS DOUBLE) / 10000.0 AS perplexity
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Tokenizer fertility by language — tokens-per-word, the standard
     * "how well does this tokenizer fit this language" dial (fertility
@@ -3647,38 +3826,89 @@ object TextAnalysis {
     * (doc, word)-exploded two-exchange plan `text_perplexity` needs
     * (perplexity needs corpus-wide counts; within-doc entropy does
     * not, so paying an exchange for it would be wrong at any scale).
-    * rows-only (log2 is libm); spec pins a driver-exact recompute +
-    * the constant-doc 0 / all-distinct log2(n) closed forms. */
+    *
+    * Determinism / oracle (r14): every libm output is quantized to an
+    * INTEGER at the point of use — each run's c·log2(c) term and the
+    * two log2(n) terms round at 1e-4-bit grain before any arithmetic
+    * combines them, so the result is a pure function of integer
+    * counts: bit-stable at any partitioning AND exactly reproducible
+    * by the DuckDB oracle (the LibmProbe measurement: raw LOG2
+    * disagrees cross-engine on up to 24% of inputs at the ulp, but
+    * the engines' values differ ≤ 4e-15 — a 1e-4 grid flips with
+    * probability ~1e-11 per term). The 1e-4 grain is invisible for a
+    * quality signal measured in whole bits; the GREATEST(…, 0) clamp
+    * absorbs the ±1e-4 quantization residue that could otherwise push
+    * a constant-ish doc's entropy microscopically negative. */
   def textEntropy(spark: SparkSession, dir: String): DataFrame =
     textEntropyFrom(Tables.documents(spark, dir))
 
+  /** round(x·1e4) as BIGINT — the shared quantization grain (SQL
+    * fragment used inside the fold, mirrored verbatim in the oracle). */
+  private def q4(inner: String): String =
+    s"CAST(ROUND(($inner) * 10000.0D) AS BIGINT)"
+
   def textEntropyFrom(docs: DataFrame): DataFrame = {
+    val term =
+      q4("CAST(s.run AS DOUBLE) * LOG2(CAST(s.run AS DOUBLE))")
     val runFold = expr(
-      """aggregate(
-        |  array_sort(split(trim(text), '\\s+')),
-        |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0.0D AS acc),
-        |  (s, w) -> CASE WHEN s.prev IS NULL OR w != s.prev THEN
-        |      struct(w AS prev, 1L AS run,
-        |        s.acc + CASE WHEN s.run > 1 THEN CAST(s.run AS DOUBLE) * LOG2(CAST(s.run AS DOUBLE)) ELSE 0.0D END AS acc)
-        |    ELSE struct(s.prev AS prev, s.run + 1L AS run, s.acc AS acc) END,
-        |  s -> s.acc + CASE WHEN s.run > 1 THEN CAST(s.run AS DOUBLE) * LOG2(CAST(s.run AS DOUBLE)) ELSE 0.0D END)
-        |""".stripMargin)
+      s"""aggregate(
+         |  array_sort(split(trim(text), '\\\\s+')),
+         |  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS acc),
+         |  (s, w) -> CASE WHEN s.prev IS NULL OR w != s.prev THEN
+         |      struct(w AS prev, 1L AS run,
+         |        s.acc + CASE WHEN s.run > 1 THEN $term ELSE 0L END AS acc)
+         |    ELSE struct(s.prev AS prev, s.run + 1L AS run, s.acc AS acc) END,
+         |  s -> s.acc + CASE WHEN s.run > 1 THEN $term ELSE 0L END)
+         |""".stripMargin)
     docs
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_words"),
         size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
-        runFold.as("sum_clogc"))
+        runFold.as("sum_clogc_q"))
       .withColumn("entropy_bits",
-        log2(col("n_words").cast("double")) -
-          col("sum_clogc") / col("n_words").cast("double"))
+        greatest(
+          (expr(q4("LOG2(CAST(n_words AS DOUBLE))")).cast("double") -
+            col("sum_clogc_q").cast("double") / col("n_words").cast("double"))
+            / lit(10000.0),
+          lit(0.0)))
       .withColumn("entropy_ratio",
         when(col("n_distinct") > 1,
-          col("entropy_bits") / log2(col("n_distinct").cast("double")))
+          col("entropy_bits") /
+            (expr(q4("LOG2(CAST(n_distinct AS DOUBLE))")).cast("double")
+              / lit(10000.0)))
           .otherwise(lit(0.0)))
-      .drop("sum_clogc")
+      .drop("sum_clogc_q")
       .orderBy("doc_id")
   }
+
+  /** DuckDB oracle for [[textEntropyFrom]] — the identical quantized
+    * integer pipeline ((doc, word) counts stand in for the fold's
+    * runs; Σ of per-run BIGINTs is order-free, so the grouped rollup
+    * matches the array fold exactly). */
+  val textEntropySql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      |), wc AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_words,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(CASE WHEN c > 1 THEN CAST(ROUND(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) * 10000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sumq
+      |  FROM wc GROUP BY doc_id
+      |), e AS (
+      |  SELECT doc_id, n_words, n_distinct,
+      |    GREATEST((CAST(CAST(ROUND(log2(CAST(n_words AS DOUBLE)) * 10000.0) AS BIGINT) AS DOUBLE)
+      |      - CAST(sumq AS DOUBLE) / CAST(n_words AS DOUBLE)) / 10000.0, 0.0) AS entropy_bits
+      |  FROM agg
+      |)
+      |SELECT doc_id, n_words, n_distinct, entropy_bits,
+      |  CASE WHEN n_distinct > 1 THEN entropy_bits /
+      |    (CAST(CAST(ROUND(log2(CAST(n_distinct AS DOUBLE)) * 10000.0) AS BIGINT) AS DOUBLE) / 10000.0)
+      |  ELSE 0.0 END AS entropy_ratio
+      |FROM e ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Quality classifier: distributed full-batch logistic regression

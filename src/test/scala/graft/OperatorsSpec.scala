@@ -951,11 +951,13 @@ class SessionizeSpec extends SparkSpec {
     val top = got.head
     assert(top.getAs[Long]("user_id") == 9L, s"rare arc must rank first: ${got.toSeq}")
     // driver recompute: P(view->error)=1/5, P(error->purchase)=1/1;
-    // bits = (-log2(0.2) + -log2(1)) / 2
-    val expTop = (-math.log(0.2) / math.log(2.0)) / 2.0
+    // bits = (q(-log2(0.2)) + q(-log2(1))) / 2 under the r14 model
+    // (per-arc bits quantize to a 1e-5 integer grid at LM grain)
+    def q(p: Double): Long = math.round(-(math.log(p) / math.log(2.0)) * 100000.0)
+    val expTop = (q(0.2) + q(1.0)).toDouble / 2.0 / 100000.0
     assert(math.abs(top.getAs[Double]("bits_per_transition") - expTop) < 1e-12)
-    // organic sessions: (-log2(4/5) + -log2(1)) / 2, all equal
-    val expOrg = (-math.log(0.8) / math.log(2.0)) / 2.0
+    // organic sessions: (q(-log2(4/5)) + q(-log2(1))) / 2, all equal
+    val expOrg = (q(0.8) + q(1.0)).toDouble / 2.0 / 100000.0
     got.tail.foreach(r =>
       assert(math.abs(r.getAs[Double]("bits_per_transition") - expOrg) < 1e-12))
     assert(got.forall(_.getAs[Long]("n_transitions") == 2L))

@@ -1947,6 +1947,58 @@ class ReportingSpec extends SparkSpec {
     }
   }
 
+  test("version log: manifest snapshots trend added/changed/rebuilt; the latest diff sees removals") {
+    import graft.sources.{ArtifactManifest, VersionLog}
+    def art(stamp: Option[ArtifactManifest.Stamp]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_vlog_art").toString
+      stamp.foreach(s => ArtifactManifest.write(d, s))
+      d
+    }
+    def stamp(tpe: String, fp: String, from: String) =
+      Some(ArtifactManifest.Stamp(tpe, fp, from))
+    val log = java.nio.file.Files.createTempDirectory("graft_vlog").toString
+    // run 1: A and B stamped, E stamped
+    VersionLog.snapshotAndAppend(spark, Seq(
+      "a" -> art(stamp("bpe_vocab", "fpA1", "corpus1")),
+      "b" -> art(stamp("kmeans", "fpB", "corpus1")),
+      "e" -> art(stamp("knn_graph", "fpE", "corpus1"))),
+      log, "2024-01-01")
+    // run 2: A's content moved (same lineage), B unchanged, C appears,
+    // D has no manifest, E kept its bytes but changed declared inputs
+    VersionLog.snapshotAndAppend(spark, Seq(
+      "a" -> art(stamp("bpe_vocab", "fpA2", "corpus1")),
+      "b" -> art(stamp("kmeans", "fpB", "corpus1")),
+      "c" -> art(stamp("pq_books", "fpC", "corpus1")),
+      "d" -> art(None),
+      "e" -> art(stamp("knn_graph", "fpE", "corpus2"))),
+      log, "2024-01-02")
+    val trend = VersionLog.versionTrendFromLog(spark, log).collect()
+      .map(r => (r.getAs[String]("run_id"), r.getAs[String]("artifact_name")) ->
+        r.getAs[String]("change")).toMap
+    assert(trend(("2024-01-01", "a")) == "added")
+    assert(trend(("2024-01-02", "a")) == "content_changed")
+    assert(trend(("2024-01-02", "b")) == "unchanged")
+    assert(trend(("2024-01-02", "c")) == "added")
+    assert(trend(("2024-01-02", "d")) == "unstamped")
+    assert(trend(("2024-01-02", "e")) == "lineage_changed")
+    // run 3 snapshots ONLY a, rebuilt outright
+    VersionLog.snapshotAndAppend(spark, Seq(
+      "a" -> art(stamp("bpe_vocab", "fpA3", "corpus2"))), log, "2024-01-03")
+    val diff = VersionLog.versionDiffLatest(spark, log).collect()
+      .map(r => r.getAs[String]("artifact_name") ->
+        ((r.getAs[String]("change"), r.getAs[String]("vs_run")))).toMap
+    assert(diff("a") == (("rebuilt", "2024-01-02")))
+    assert(diff("b") == (("removed", "2024-01-02")))
+    assert(diff("c") == (("removed", "2024-01-02")))
+    assert(diff("e") == (("removed", "2024-01-02")))
+    assert(diff.size == 5 && diff("d")._1 == "removed")
+    // idempotent rerun: re-appending run 3 replaces its partition
+    VersionLog.snapshotAndAppend(spark, Seq(
+      "a" -> art(stamp("bpe_vocab", "fpA3", "corpus2"))), log, "2024-01-03")
+    assert(VersionLog.versionTrendFromLog(spark, log)
+      .filter(col("run_id") === "2024-01-03").count() == 1L)
+  }
+
   test("widenStreaksLatest returns Nil on a missing or empty drift-log dir") {
     // ops pre-creates the directory before any run has appended: the
     // daily report must omit the velocity section, not crash on

@@ -79,8 +79,12 @@ class RetrievalSpec extends SparkSpec {
         if (tf == 0) 0.0
         else {
           // Spark's log expression evaluates via StrictMath — the JVM
-          // intrinsic Math.log can differ in the last ulp
-          val idf = StrictMath.log(1.0 + (n.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5))
+          // intrinsic Math.log can differ in the last ulp; since r14
+          // the idf additionally quantizes to the 1e-7 grid (the
+          // oracle-parity model — see LibmProbe)
+          val idf = math.round(StrictMath.log(1.0 +
+            (n.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5))
+            * 10000000.0).toDouble / 10000000.0
           idf * ((tf.toDouble * (k1 + 1.0)) /
             (tf.toDouble + k1 * ((1.0 - b) + (b * dl.toDouble) / avgdl)))
         }
@@ -589,12 +593,18 @@ class RetrievalSpec extends SparkSpec {
       2L -> Seq("aa", "bb", "aa", "cc"))
     val cw = corpus.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val n = cw.values.sum; val v = cw.size.toLong
+    // r14 quantized model: per-word log-prob rounds to a 1e-5-bit
+    // integer at vocab grain, per-doc sum is exact, 2^bpt rounds 1e-4
     corpus.foreach { case (id, toks) =>
-      val bits = toks.map(w =>
-        -(Math.log((cw(w) + 1.0) / (n + v).toDouble) / Math.log(2.0))).sum / toks.size
+      def lpq(w: String): Long = math.round(
+        -(Math.log((cw(w) + 1.0) / (n + v).toDouble) / Math.log(2.0)) * 100000.0)
+      val bitsQ = toks.groupBy(identity)
+        .map { case (w, ws) => ws.size.toLong * lpq(w) }.sum
+      val bits = bitsQ.toDouble / toks.size.toDouble / 100000.0
       assert(got(id)._1 == toks.size.toLong)
       assert(math.abs(got(id)._2 - bits) < 1e-9, s"doc $id bits")
-      assert(math.abs(got(id)._3 - Math.pow(2.0, bits)) < 1e-9)
+      assert(math.abs(got(id)._3 -
+        math.round(Math.pow(2.0, bits) * 10000.0) / 10000.0) < 1e-9)
     }
     assert(got(0L)._2 < got(2L)._2 && got(2L)._2 < got(1L)._2)
   }
@@ -621,15 +631,19 @@ class RetrievalSpec extends SparkSpec {
     val ch = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
     val cu = cb.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
     val n2 = cu.values.sum; val v2 = cu.size.toLong
+    // r14 quantized model: per-bigram log-prob rounds to a 1e-5-bit
+    // integer at LM grain, per-doc sum is exact, 2^bpt rounds 1e-4
     bgs.foreach { case (id, pairs) =>
-      val bits = pairs.map { case (w1, w2) =>
+      val bitsQ = pairs.groupBy(identity).map { case ((w1, w2), ps) =>
         val p = 0.75 * (cb((w1, w2)).toDouble / ch(w1).toDouble) +
           0.25 * ((cu(w2) + 1.0) / (n2 + v2).toDouble)
-        -(Math.log(p) / Math.log(2.0))
-      }.sum / pairs.size
+        ps.size.toLong * math.round(-(Math.log(p) / Math.log(2.0)) * 100000.0)
+      }.sum
+      val bits = bitsQ.toDouble / pairs.size.toDouble / 100000.0
       assert(got(id)._1 == pairs.size.toLong)
       assert(math.abs(got(id)._2 - bits) < 1e-9, s"doc $id bits")
-      assert(math.abs(got(id)._3 - Math.pow(2.0, bits)) < 1e-9)
+      assert(math.abs(got(id)._3 -
+        math.round(Math.pow(2.0, bits) * 10000.0) / 10000.0) < 1e-9)
     }
     // word order carries the signal: the doc of one repeated bigram
     // scores the fewest bits of the three

@@ -505,9 +505,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(2L)._3 - 2.0) < 1e-12 && math.abs(got(2L)._4 - 1.0) < 1e-12)
     assert(math.abs(got(3L)._3 - 2.0) < 1e-12 && math.abs(got(3L)._4 - 1.0) < 1e-12)
     // driver-exact recompute for the mixed doc: counts {x:3, y:1, z:1}
+    // — replicating the r14 quantized-term model (each c·log2(c) and
+    // log2(n) rounds to a 1e-4-bit integer grid before combining)
     def h(cs: Seq[Int]): Double = {
-      val n = cs.sum.toDouble
-      (math.log(n) - cs.map(c => c * math.log(c.toDouble)).sum / n) / math.log(2.0)
+      val n = cs.sum
+      def lg2(x: Double) = math.log(x) / math.log(2.0)
+      val sumq = cs.filter(_ > 1).map(c => math.round(c * lg2(c.toDouble) * 10000.0)).sum
+      val nq = math.round(lg2(n.toDouble) * 10000.0)
+      math.max((nq.toDouble - sumq.toDouble / n) / 10000.0, 0.0)
     }
     assert(math.abs(got(4L)._3 - h(Seq(3, 1, 1))) < 1e-9)
     assert(got(4L)._1 == 5L && got(4L)._2 == 3L)
@@ -2186,6 +2191,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.memberPairBuilds.get() == p0 + 1, "member pairs must rebuild")
     assert(TextAnalysis.qualityLrTrainings.get() == q0 + 1, "LR must retrain")
     assert(Similarity.kmeansTrainings.get() == k0 + 1, "quantizer must retrain")
+  }
+
+  test("memo self-heal: killed checkpoint blocks invalidate and rebuild instead of failing forever") {
+    // member-pair memo: serve, verify a warm hit, then kill the
+    // backing blocks (executor-loss simulation — the frame has no
+    // lineage, so a read would fail permanently) and observe a
+    // rebuild that serves the same corpus
+    Dedup.clearMemberPairCache()
+    val served = Dedup.memberPairFrame(spark, Sf)
+    val rows = served.count()
+    val p0 = Dedup.memberPairBuilds.get()
+    assert(Dedup.memberPairFrame(spark, Sf).count() == rows)
+    assert(Dedup.memberPairBuilds.get() == p0, "healthy re-serve must not rebuild")
+    graft.Caches.unpersistCheckpointed(served)
+    val healed = Dedup.memberPairFrame(spark, Sf)
+    assert(Dedup.memberPairBuilds.get() == p0 + 1, "block loss must rebuild")
+    assert(healed.count() == rows, "the healed frame must serve the same corpus")
+    // kNN-graph memo: the same contract
+    Similarity.clearKnnGraphCache()
+    val g = Similarity.annKnnGraph(spark, Sf)
+    val gn = g.count()
+    val k0 = Similarity.knnGraphBuilds.get()
+    assert(Similarity.annKnnGraph(spark, Sf).count() == gn)
+    assert(Similarity.knnGraphBuilds.get() == k0, "healthy re-serve must not rebuild")
+    graft.Caches.unpersistCheckpointed(g)
+    assert(Similarity.annKnnGraph(spark, Sf).count() == gn)
+    assert(Similarity.knnGraphBuilds.get() == k0 + 1,
+      "block loss must rebuild the graph")
   }
 
   test("persisted member pairs: disk-served census byte-identical, tamper refuses") {
