@@ -27,16 +27,16 @@ import org.apache.spark.sql.DataFrame
   * consumers of an evicted frame keep working.
   *
   * Executor loss. A lost executor takes its checkpoint blocks with
-  * it, and a no-lineage frame then fails PERMANENTLY on read. The
-  * two highest-traffic frame memos (the kNN graph and the member-pair
-  * frame) SELF-HEAL since r14: they serve through [[serveChecked]],
+  * it, and a no-lineage frame then fails PERMANENTLY on read. Every
+  * FRAME-valued memo (kNN graph, member pairs, graph edges, session
+  * frames) SELF-HEALS since r14: they serve through [[serveChecked]],
   * which verifies the cached frame's blocks are all still registered
   * (a driver-side storage-registry read, zero jobs) and invalidates +
-  * rebuilds on loss. The remaining memos keep the manual contract: a
-  * service that survives executor churn should call `clearAll()` (or
-  * the owning family's clear) from its executor-loss handling so the
-  * next call rebuilds. Irrelevant in local mode, where executor death
-  * is JVM death. */
+  * rebuilds on loss. The value-typed memos (k-means centroids, PQ
+  * codebooks, LR weights, skew census) hold driver-side collected
+  * values — no blocks to lose. `clearAll()` remains the eager
+  * between-tenants hook. Irrelevant in local mode, where executor
+  * death is JVM death. */
 object Caches {
   def clearAll(): Unit = {
     operators.Dedup.clearMemberPairCache()

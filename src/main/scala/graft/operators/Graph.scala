@@ -65,11 +65,10 @@ object Graph {
   // builds each ONCE: the memberPairFrame discipline — keyed by
   // (applicationId, fp(kind + dir + events files)), localCheckpointed,
   // bounded, clearable. `*From` forms (arbitrary event frames) stay
-  // uncached. Checkpointed memos have NO lineage: after an executor
-  // loss the blocks are unrecoverable and the entry keeps failing
-  // until dropped — services that survive executor churn should call
-  // graft.Caches.clearAll() from their loss handling (see Caches
-  // scaladoc; moot in local mode).
+  // uncached. Checkpointed memos have NO lineage, so entries serve
+  // through Caches.serveChecked (r14): blocks lost to executor churn
+  // invalidate the entry and the next call rebuilds (moot in local
+  // mode, where executor death is JVM death).
   private val EdgeCacheMax = 8
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
@@ -87,10 +86,11 @@ object Graph {
     // clear-all at the bound, not LRU (reference-drop only) — trade
     // documented at Dedup.memberPairFrame
     if (edgeCache.size() > EdgeCacheMax) edgeCache.clear()
-    edgeCache.computeIfAbsent(key, _ => {
+    // serveChecked (r14): dead checkpoint blocks invalidate + rebuild
+    graft.Caches.serveChecked(edgeCache, key) {
       edgeBuilds.incrementAndGet()
       build.localCheckpoint()
-    })
+    }
   }
 
   private[graft] def productEdges(spark: SparkSession, dir: String): DataFrame =

@@ -157,10 +157,11 @@ object Sessionize {
     // in-flight consumers survive) — trade documented at
     // Dedup.memberPairFrame
     if (sessionCache.size() > SessionCacheMax) sessionCache.clear()
-    sessionCache.computeIfAbsent(key, _ => {
+    // serveChecked (r14): dead checkpoint blocks invalidate + rebuild
+    graft.Caches.serveChecked(sessionCache, key) {
       sessionBuilds.incrementAndGet()
       build.localCheckpoint()
-    })
+    }
   }
 
   private[graft] def sessionStats(spark: SparkSession, dir: String): DataFrame =

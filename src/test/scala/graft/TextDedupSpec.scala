@@ -2219,6 +2219,23 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.annKnnGraph(spark, Sf).count() == gn)
     assert(Similarity.knnGraphBuilds.get() == k0 + 1,
       "block loss must rebuild the graph")
+    // the session and graph-edge frame memos carry the same contract
+    operators.Sessionize.clearSessionCache()
+    val seq = operators.Sessionize.sessionSequences(spark, Sf)
+    val sn = seq.count()
+    val s0 = operators.Sessionize.sessionBuilds.get()
+    graft.Caches.unpersistCheckpointed(seq)
+    assert(operators.Sessionize.sessionSequences(spark, Sf).count() == sn)
+    assert(operators.Sessionize.sessionBuilds.get() == s0 + 1,
+      "block loss must rebuild the session frame")
+    operators.Graph.clearEdgeCache()
+    val edges = operators.Graph.productEdges(spark, Sf)
+    val en = edges.count()
+    val e0 = operators.Graph.edgeBuilds.get()
+    graft.Caches.unpersistCheckpointed(edges)
+    assert(operators.Graph.productEdges(spark, Sf).count() == en)
+    assert(operators.Graph.edgeBuilds.get() == e0 + 1,
+      "block loss must rebuild the edge frame")
   }
 
   test("persisted member pairs: disk-served census byte-identical, tamper refuses") {
