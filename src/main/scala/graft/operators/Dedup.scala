@@ -955,8 +955,12 @@ object Dedup {
     * guarantee: every member is reachable from the keeper through
     * ≤maxD-edit steps — not "the pairs the blocking happened to
     * admit". Docs shorter than maxD+1 chars have no pairs by the
-    * documented gate and stay singletons. Rows-only: component labels
-    * are iterative, not SQL-expressible; ScalaTest-pinned. */
+    * documented gate and stay singletons. Full SQL since r14: the
+    * OUTPUT is algorithm-independent — components of a deterministic
+    * pair graph have one answer however you label them — so the
+    * oracle computes the same clusters by recursive-CTE transitive
+    * closure over [[editDistancePairsSql]]'s pair set while Spark
+    * keeps the scalable propagation/star-contraction core. */
   def editClusters(spark: SparkSession, dir: String, maxD: Int = 16): DataFrame =
     if (maxD == 16)
       // registry default: the complete PassJoin pairs are already in
@@ -980,6 +984,34 @@ object Dedup {
         (col("doc_id") === col("keeper")).as("is_keeper"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB oracle for [[editClusters]]: the same complete-recall
+    * PassJoin pair set ([[editDistancePairsSql]]), components by
+    * recursive-CTE transitive closure (UNION dedup bounds the state
+    * at |component|² pairs — fine at oracle scale, which is exactly
+    * why Spark runs the propagation core instead), keeper = MIN
+    * reachable id. Output-equivalent to any component labeling. */
+  def editClustersSql(maxD: Int = 16): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${editDistancePairsSql(maxD)})
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs
+       |), reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+       |), lab AS (
+       |  SELECT node AS doc_id, MIN(src) AS keeper FROM reach GROUP BY node
+       |), sizes AS (
+       |  SELECT keeper, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM lab GROUP BY keeper
+       |)
+       |SELECT l.doc_id, l.keeper, s.cluster_size,
+       |  l.doc_id = l.keeper AS is_keeper
+       |FROM lab l JOIN sizes s USING (keeper)
+       |ORDER BY l.doc_id""".stripMargin
 
   /** Near-dup cluster-size histogram — the redundancy profile of the
     * corpus (how much of it is 1-of-N near-copies, and how large the

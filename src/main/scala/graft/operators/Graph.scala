@@ -458,9 +458,12 @@ object Graph {
     * Scale shape: one round = labels ⋈ edges on the neighbor key +
     * an argmax window over (node, label) partial sums — both at edge
     * dimension, hash-partitioned; labels re-checkpoint per round to
-    * truncate lineage (the Lloyd/PageRank loop pattern). rows-only by
-    * design (iterative, no SQL re-expression); the spec pins exact
-    * convergence on a crafted barbell graph. */
+    * truncate lineage (the Lloyd/PageRank loop pattern). Full SQL
+    * since r14: every round is PURE INTEGER arithmetic (count-sum
+    * weights, row_number argmax, min-label ties) over a fixed round
+    * budget, so [[productCommunitiesSql]] mirrors the loop as
+    * unrolled CTE stages bit-exactly — no float anywhere. The spec
+    * additionally pins exact convergence on a crafted barbell. */
   def productCommunities(spark: SparkSession, dir: String,
       iterations: Int = 8): DataFrame =
     communitiesFrom(productEdges(spark, dir), iterations)
@@ -517,6 +520,64 @@ object Graph {
       .select(col("node").as("product_k"), col("label").as("community"),
         col("community_size"))
       .orderBy(desc("community_size"), asc("community"), asc("product_k"))
+  }
+
+  /** DuckDB oracle for [[productCommunities]] at the default round
+    * budget: the same directed view-transition edge extraction, the
+    * same symmetrized integer weight rollup, and the SAME synchronous
+    * argmax round — (node, label) weight sums, ties to the smallest
+    * label — unrolled `iterations` times. The whole loop is integer
+    * arithmetic with deterministic tie-breaks, so the mirror is
+    * bit-exact at any partitioning; the fixed `for (1 to iterations)`
+    * budget on the Spark side is what makes a fixed unroll the exact
+    * re-expression (no convergence-dependent round count). */
+  def productCommunitiesSql(iterations: Int = 8): String = {
+    val roundCtes = (0 until iterations).map { i =>
+      s"""l${i + 1} AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT a AS node, label,
+         |      ROW_NUMBER() OVER (PARTITION BY a ORDER BY lw DESC, label ASC) AS rk
+         |    FROM (
+         |      SELECT u.a, c.label, CAST(SUM(u.w) AS BIGINT) AS lw
+         |      FROM und u JOIN l$i c ON u.b = c.node
+         |      GROUP BY u.a, c.label
+         |    )
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id,
+       |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS event_epoch,
+       |    CAST(json_extract_string(props, '$$.k') AS INT) AS product_k
+       |  FROM events
+       |  WHERE event_type = 'view' AND json_extract_string(props, '$$.k') IS NOT NULL
+       |    AND ts IS NOT NULL AND user_id IS NOT NULL
+       |), lagged AS (
+       |  SELECT product_k,
+       |    LAG(product_k) OVER w AS prev_k,
+       |    event_epoch, LAG(event_epoch) OVER w AS prev_epoch
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_epoch, event_id)
+       |), edges AS (
+       |  SELECT prev_k AS src, product_k AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+       |  FROM lagged
+       |  WHERE prev_k IS NOT NULL AND event_epoch - prev_epoch <= $GapSeconds
+       |    AND prev_k <> product_k
+       |  GROUP BY prev_k, product_k
+       |), und AS MATERIALIZED (
+       |  SELECT a, b, CAST(SUM(weight) AS BIGINT) AS w FROM (
+       |    SELECT src AS a, dst AS b, weight FROM edges
+       |    UNION ALL SELECT dst AS a, src AS b, weight FROM edges
+       |  ) GROUP BY a, b
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS node, a AS label FROM und
+       |), $roundCtes, sizes AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+       |  FROM l$iterations GROUP BY label
+       |)
+       |SELECT l.node AS product_k, l.label AS community, s.community_size
+       |FROM l$iterations l JOIN sizes s USING (label)
+       |ORDER BY s.community_size DESC, community ASC, product_k ASC""".stripMargin
   }
 
   /** Triangle census + local clustering coefficient over the
@@ -779,7 +840,10 @@ object Graph {
     * below → exact convergence in finitely many rounds, detected by
     * an empty changed-row probe on checkpointed frames.
     *
-    * rows-only by design (iterative); the spec pins planted
+    * Full SQL since r14: coreness is algorithm-independent and the
+    * h-operator is pure integer arithmetic, so [[graphKcoreSql]]
+    * replays it as unrolled CTE stages (fixpoint-stable — extra
+    * rounds are no-ops). The spec additionally pins planted
     * clique/chain/triangle corenesses and full equivalence with a
     * driver-side exact peel on the sf co-view graph. */
   def corenessFrom(edges: DataFrame, maxRounds: Int = 50,
@@ -863,6 +927,58 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_products"))
       .orderBy(desc("degree"))
+  }
+
+  /** DuckDB oracle for [[graphKcore]]: coreness is ALGORITHM-
+    * INDEPENDENT (the max k a node survives peeling to is unique),
+    * so the oracle replays the same integer h-operator as `rounds`
+    * UNROLLED CTE stages — pure integer arithmetic, no float risk —
+    * over the shared co-view edge SQL. The iteration is monotone
+    * non-increasing and fixpoint-stable, so any `rounds` at or past
+    * Spark's convergence round (which [[corenessFrom]] REQUIRES —
+    * it throws at the cap) yields the identical fixpoint; extra
+    * rounds are no-ops. 32 is ~4× the observed sf fixpoint depth. */
+  def graphKcoreSql(rounds: Int = 32): String = {
+    val roundCtes = (0 until rounds).map { i =>
+      // AS MATERIALIZED: each round reads its predecessor TWICE; an
+      // inlining planner would otherwise expand the chain into 2^R
+      // scans of the base table (observed as fd exhaustion at R=32)
+      s"""c${i + 1} AS MATERIALIZED (
+         |  SELECT node, MAX(LEAST(t, cum)) AS c FROM (
+         |    SELECT node, t,
+         |      CAST(SUM(cnt) OVER (PARTITION BY node ORDER BY t DESC) AS BIGINT) AS cum
+         |    FROM (
+         |      SELECT s.node, LEAST(cn.c, cs.c) AS t, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM sym s JOIN c$i cn ON cn.node = s.nbr JOIN c$i cs ON cs.node = s.node
+         |      GROUP BY s.node, LEAST(cn.c, cs.c)
+         |    )
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH up AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date,
+       |    CAST(json_extract_string(props, '$$.k') AS INT) AS product_k
+       |  FROM events
+       |  WHERE event_type = 'view' AND json_extract_string(props, '$$.k') IS NOT NULL
+       |), eligible AS (
+       |  SELECT user_id, event_date FROM up
+       |  GROUP BY user_id, event_date
+       |  HAVING COUNT(*) BETWEEN 2 AND 50
+       |), basket AS (
+       |  SELECT up.* FROM up JOIN eligible USING (user_id, event_date)
+       |), edges AS (
+       |  SELECT DISTINCT x.product_k AS a, y.product_k AS b
+       |  FROM basket x JOIN basket y
+       |    ON x.user_id = y.user_id AND x.event_date = y.event_date
+       |   AND x.product_k < y.product_k
+       |), sym AS MATERIALIZED (
+       |  SELECT a AS node, b AS nbr FROM edges
+       |  UNION ALL SELECT b AS node, a AS nbr FROM edges
+       |), c0 AS MATERIALIZED (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY node
+       |), $roundCtes
+       |SELECT c AS coreness, CAST(COUNT(*) AS BIGINT) AS n_products
+       |FROM c$rounds GROUP BY c ORDER BY coreness DESC""".stripMargin
   }
 
   val graphDegreeCensusSql: String =

@@ -3258,7 +3258,8 @@ object TextAnalysis {
     * strictly-better candidates per query (a join-aggregate) instead
     * of a per-query ranking window whose partition width a hot term
     * would dictate. Ties break on doc_id, so ranks are deterministic.
-    * rows-only (ln in idf). */
+    * Full SQL since r14: the idf quantizes at term grain like
+    * searchBm25's (see the determinism comment at the idf below). */
   def searchSelfRecall(spark: SparkSession, dir: String, numQueries: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     searchSelfRecallFrom(Tables.documents(spark, dir), numQueries, k1, b)
@@ -3305,9 +3306,16 @@ object TextAnalysis {
     val df = postings
       .join(broadcast(probeTerms), Seq("term"), "leftsemi")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
+    // r14 determinism model (searchBm25's idf, same grid): the ONE
+    // libm call quantizes to a 1e-7 integer grid at TERM grain, so
+    // the tf·idf probe-term ranking and every BM25 contrib are exact
+    // IEEE arithmetic over integer counts — bit-identical
+    // cross-engine (LibmProbe, SURVEY §5) → full SQL oracle. The
+    // per-candidate score sums ≤2 such contribs (IEEE addition of two
+    // operands is commutative), so scores are shuffle-order-free too.
+    val idf = expr(
+      "CAST(CAST(ROUND(LN(1.0D + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5D)" +
+        " / (CAST(df AS DOUBLE) + 0.5D)) * 10000000.0D) AS BIGINT) AS DOUBLE) / 10000000.0D")
     // each probe's 2 most distinctive terms: tf·idf, ties on term —
     // the ranking window is per-PROBE (bounded by its own vocabulary)
     val wProbe = Window.partitionBy(col("doc_id"))
@@ -3347,6 +3355,68 @@ object TextAnalysis {
         (coalesce(col("n_better"), lit(0L)) + 1L).as("rank"))
       .withColumn("reciprocal_rank", lit(1.0) / col("rank").cast("double"))
       .orderBy("query_doc")
+  }
+
+  /** DuckDB oracle for [[searchSelfRecallFrom]] at the defaults —
+    * identical postings/dl token model to [[searchBm25Sql]], identical
+    * 1e-7 term-grain idf quantization, identical (tf·idf DESC, term
+    * ASC) top-2 probe-term pick, identical exact-literal BM25 chain,
+    * identical strictly-better rank count with the doc_id tie rule.
+    * The Spark side's probe-term semi-join on df is a pure
+    * restriction (df VALUES are corpus-wide either way), so the
+    * oracle computes df for all terms and joins. */
+  val searchSelfRecallSql: String = {
+    val qIdf = "(CAST(CAST(ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)" +
+      "\n      / (CAST(df AS DOUBLE) + 0.5)) * 10000000.0) AS BIGINT) AS DOUBLE) / 10000000.0)"
+    s"""WITH stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM documents
+       |), postings AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl,
+       |      unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |    FROM documents
+       |  ) WHERE term <> ''
+       |  GROUP BY doc_id, dl, term
+       |), dfreq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term
+       |), idf AS (
+       |  SELECT term, $qIdf AS term_idf
+       |  FROM dfreq, stats
+       |), probes AS (
+       |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20
+       |), qt AS (
+       |  SELECT query_doc, term, term_idf FROM (
+       |    SELECT p.doc_id AS query_doc, p.term, i.term_idf,
+       |      ROW_NUMBER() OVER (PARTITION BY p.doc_id
+       |        ORDER BY CAST(p.tf AS DOUBLE) * i.term_idf DESC, p.term ASC) AS r
+       |    FROM postings p JOIN probes USING (doc_id) JOIN idf i USING (term)
+       |  ) WHERE r <= 2
+       |), cand AS (
+       |  SELECT q.query_doc, p.doc_id,
+       |    SUM(q.term_idf * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+       |      / (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |          + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl)))) AS score,
+       |    CAST(COUNT(*) AS BIGINT) AS terms_matched
+       |  FROM postings p JOIN qt q USING (term), stats s
+       |  GROUP BY q.query_doc, p.doc_id
+       |), src AS (
+       |  SELECT query_doc, score AS src_score, terms_matched AS src_terms
+       |  FROM cand WHERE query_doc = doc_id
+       |), better AS (
+       |  SELECT c.query_doc, CAST(COUNT(*) AS BIGINT) AS n_better
+       |  FROM cand c JOIN src s USING (query_doc)
+       |  WHERE c.score > s.src_score
+       |     OR (c.score = s.src_score AND c.doc_id < c.query_doc)
+       |  GROUP BY c.query_doc
+       |)
+       |SELECT s.query_doc, s.src_terms,
+       |  COALESCE(b.n_better, CAST(0 AS BIGINT)) + 1 AS rank,
+       |  1.0 / CAST(COALESCE(b.n_better, CAST(0 AS BIGINT)) + 1 AS DOUBLE) AS reciprocal_rank
+       |FROM src s LEFT JOIN better b USING (query_doc)
+       |ORDER BY s.query_doc""".stripMargin
   }
 
   /** Persist one self-retrieval run's per-probe rows to the retrieval
