@@ -1326,10 +1326,13 @@ object TextAnalysis {
     * docs proportionally more likely, no doc twice, one pass, and the
     * plan is the proven bottom-k TakeOrdered (per-partition heaps, no
     * corpus shuffle), mergeable/append-stable like sampleUniformK.
-    * Rows-only: ln is not correctly-rounded cross-engine, so an
-    * oracle could flip ulp-adjacent ranks — the spec instead
-    * recomputes keys driver-side on the SAME JVM libm and asserts
-    * the exact sample. */
+    * Full SQL since r14 (the LibmProbe grid idiom, SURVEY §5): the
+    * ONE libm call (−ln u, bounded by 33·ln 2 ≈ 22.9 since u ≥
+    * 2⁻³³) quantizes to a 1e-9 integer grid at doc grain before the
+    * exact-IEEE division by the integer token weight, so keys — and
+    * the (key, doc_id) bottom-k they induce — are bit-identical
+    * cross-engine; the spec recomputes the quantized keys driver-side
+    * and asserts the exact sample. */
   def sampleWeightedK(spark: SparkSession, dir: String, k: Int = 200,
                       seed: String = "s0"): DataFrame =
     sampleWeightedKFrom(Tables.documents(spark, dir), k, seed)
@@ -1345,11 +1348,35 @@ object TextAnalysis {
       .withColumn("u",
         (conv(substring(md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))
             .cast("binary")), 1, 8), 16, 10).cast("double") + 0.5) / lit(4294967296.0))
-      .withColumn("sample_key", -log(col("u")) / col("weight").cast("double"))
+      // −ln u on the 1e-9 integer grid (see Scaladoc), then the exact
+      // IEEE division by the integer weight — mirrored op-for-op in
+      // the DuckDB oracle
+      .withColumn("sample_key",
+        expr("CAST(CAST(ROUND(-LN(u) * 1000000000.0D) AS BIGINT) AS DOUBLE)" +
+          " / 1000000000.0D") / col("weight").cast("double"))
       .drop("u")
       .orderBy("sample_key", "doc_id")
       .limit(k)
   }
+
+  /** DuckDB oracle for [[sampleWeightedKFrom]] at the defaults —
+    * identical md5-uniform (the 8-hex prefix parses via
+    * `CAST('0x…' AS BIGINT)`, exactly Spark's `conv(…, 16, 10)`),
+    * identical 1e-9 −ln grid, identical two-division literal shape,
+    * identical (key, doc_id) bottom-k. */
+  val sampleWeightedKSql: String =
+    """SELECT doc_id, source, weight,
+      |  (CAST(CAST(ROUND(-LN((CAST(CAST(('0x' ||
+      |      substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      + 0.5) / 4294967296.0) * 1000000000.0) AS BIGINT) AS DOUBLE)
+      |    / 1000000000.0) / CAST(weight AS DOUBLE) AS sample_key
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS weight
+      |  FROM documents
+      |) WHERE weight > 0
+      |ORDER BY sample_key, doc_id
+      |LIMIT 200""".stripMargin
 
   /** DSIR-style importance resampling (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", NeurIPS 2023):

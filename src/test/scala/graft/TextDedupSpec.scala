@@ -1169,8 +1169,10 @@ class CorpusPrepSpec extends SparkSpec {
         .map("%02x".format(_)).mkString.take(8)
       val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
       // Spark's log expression evaluates via StrictMath — the JVM
-      // intrinsic Math.log can differ in the last ulp
-      -StrictMath.log(u) / weight.toDouble
+      // intrinsic Math.log can differ in the last ulp; since r14 the
+      // operator quantizes −ln u to the 1e-9 grid before the weight
+      // division (the full-SQL-oracle idiom), so the replica does too
+      math.round(-StrictMath.log(u) * 1e9).toDouble / 1e9 / weight.toDouble
     }
     // 5 heavy docs (10k tokens) among 200 light (2 tokens)
     val docs = ((1L to 200L).map(i => (i, "light", ("w " * 2).trim)) ++
