@@ -190,6 +190,15 @@ object Pipeline {
     *   log and `widenStreaksLatest` feeds the daily report's
     *   velocity section. No contract or a failed gate logs nothing
     *   (a sick run's re-suggest would poison the trend). */
+  /** @param versionLogDir with `versionArtifacts` (logical name →
+    *   stamped artifact dir), every COMPLETED run snapshots the
+    *   artifacts' manifests into the version log under the run date
+    *   (idempotent per date, same run_id/no-derivable-date-skip
+    *   contract as the drift log) — `VersionLog.versionTrendFromLog`
+    *   then answers which artifact changed between which runs. A
+    *   failFast-stopped run logs nothing: its artifacts may be
+    *   half-refreshed, and a later rerun of the same date replaces
+    *   the partition anyway. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           failFast: Boolean = true, dates: Seq[String] = Nil,
           checkLogDir: Option[String] = None,
@@ -199,7 +208,9 @@ object Pipeline {
           suggestionsPath: Option[String] = None,
           sessionPlan: Option[operators.Skew.SkewPlan] = None,
           autoPromoteAfter: Option[Int] = None,
-          driftLogDir: Option[String] = None): Result = {
+          driftLogDir: Option[String] = None,
+          versionLogDir: Option[String] = None,
+          versionArtifacts: Seq[(String, String)] = Nil): Result = {
     autoPromoteAfter.foreach(n => require(n >= 1,
       s"autoPromoteAfter must be >= 1, got $n"))
     val base = EventMarts.enriched(spark, sfDir)
@@ -387,6 +398,12 @@ object Pipeline {
               scopePredicate = scope, deleteVanished = true)
           }
         }.getOrElse(Map.empty[String, MartSink.MergeStats])
+        // cross-run artifact versioning (r14): a COMPLETED run
+        // snapshots the registered stamped-artifact manifests under
+        // this run's id; no derivable date → skip, mirroring the
+        // drift log ("unknown" would permanently win max(run_id))
+        for (vd <- versionLogDir; rd <- runDate; if versionArtifacts.nonEmpty)
+          sources.VersionLog.snapshotAndAppend(spark, versionArtifacts, vd, rd)
         Result(passed = failed.isEmpty, failed, written, runDate, alert,
           martMerges = merges.toMap, sessionSkew = Some(skewPlan),
           contractDrift = contractDrift, contractPromoted = contractPromoted)

@@ -2040,6 +2040,44 @@ class ReportingSpec extends SparkSpec {
       "backfill must log its drift under the replay's run date")
   }
 
+  test("pipeline run snapshots registered artifacts into the version log; retrain reads content_changed") {
+    import spark.implicits._
+    import graft.sources.{ArtifactManifest, VersionLog}
+    def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), user, typ, v, """{"k":1}""")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def mkDir(day: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vl_src").toString
+      ((1 to 30).map(i =>
+        ev(i.toLong, f"$day 10:${i % 60}%02d:00", 100L + i, "view", 5.0)) :+
+        ev(99L, s"$day 11:00:00", 101L, "purchase", 9.0))
+        .toDF(cols: _*).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val art = java.nio.file.Files.createTempDirectory("graft_vl_art").toString
+    ArtifactManifest.write(art, ArtifactManifest.Stamp("bpe_vocab", "fp1", "corpus1"))
+    val vlog = java.nio.file.Files.createTempDirectory("graft_vl_log").toString
+    def out() = java.nio.file.Files.createTempDirectory("graft_vl_out").toString
+    val arts = Seq("vocab" -> art)
+    val r1 = Pipeline.run(spark, mkDir("2024-04-01"), out(), failFast = false,
+      versionLogDir = Some(vlog), versionArtifacts = arts)
+    // the artifact retrains between runs — the stamp's content moves
+    ArtifactManifest.write(art, ArtifactManifest.Stamp("bpe_vocab", "fp2", "corpus1"))
+    val r2 = Pipeline.run(spark, mkDir("2024-04-02"), out(), failFast = false,
+      versionLogDir = Some(vlog), versionArtifacts = arts)
+    assert(r1.passed && r2.passed)
+    val trend = VersionLog.versionTrendFromLog(spark, vlog).collect()
+      .map(r => r.getAs[String]("run_id") -> r.getAs[String]("change")).toMap
+    assert(trend == Map("2024-04-01" -> "added",
+      "2024-04-02" -> "content_changed"),
+      s"run-wired version trend diverged: $trend")
+    // rerunning the same date replaces its partition, never doubles it
+    Pipeline.run(spark, mkDir("2024-04-02"), out(), failFast = false,
+      versionLogDir = Some(vlog), versionArtifacts = arts)
+    assert(VersionLog.versionTrendFromLog(spark, vlog)
+      .filter(col("run_id") === "2024-04-02").count() == 1L)
+  }
+
   test("pipeline run appends the drift log; trend reads across two healthy runs") {
     import spark.implicits._
     def ev(id: Long, ts: String, user: Long, typ: String, v: Double) =
