@@ -217,6 +217,23 @@ def compare(old_path, new_path, flag, adj_dir, out=print):
     out(f"totals over {len(both)} shared queries: "
         f"{sum(old[q] for q in both):.1f}s -> {sum(new[q] for q in both):.1f}s; "
         f"{len(flagged)} flagged (>{flag}x and >0.1s)")
+    # Uniform-inflation downgrade (r14): two same-code runs read 318s
+    # and 285s against a 185s record with EVERY cpu-canary in-band —
+    # the probe is blind to at least one throttle class. The per-query
+    # ratio DISTRIBUTION separates that from a code regression: a real
+    # regression concentrates in the touched queries and leaves the
+    # median ratio ~1.0, while a host-state shift lifts the whole
+    # record. Median >1.3 over a broad, broadly-flagged record is the
+    # host, not the code.
+    ratios = sorted(new[q] / old[q] for q in both if old[q] > 0.05)
+    med_ratio = ratios[len(ratios) // 2] if ratios else 1.0
+    uniform = (len(both) >= 20 and med_ratio > 1.3
+               and len(flagged) >= 0.15 * len(both))
+    if uniform:
+        out(f"UNIFORM INFLATION: median per-query ratio x{med_ratio:.2f} "
+            f"across {len(both)} shared queries with {len(flagged)} flags — "
+            "whole-record host-state shift (the cpu-canary is blind to "
+            "this class; see the record's canary_shuffle probe)")
     if flagged and adj_dir:
         out(f"adjudicating {len(flagged)} flagged queries: "
             f"k=3 fresh-JVM reruns against {adj_dir} ...")
@@ -239,6 +256,11 @@ def compare(old_path, new_path, flag, adj_dir, out=print):
         out("exit 0 (downgraded): canary mismatch means these flags are "
             "host-state artifacts until a comparable-canary record or an "
             "--adjudicate rerun says otherwise")
+        return 0
+    if flagged and uniform:
+        out("exit 0 (downgraded): uniform inflation means these flags are "
+            "host-state artifacts until a quiet rerun or an --adjudicate "
+            "rerun says otherwise")
         return 0
     return 1 if flagged else 0
 
@@ -286,8 +308,35 @@ def smoke():
         lines = []
         compare(banded_old, banded_new, 2.0, None, out=lines.append)
         assert not any("throttled host" in l for l in lines), lines
-    print("canary smoke: 4/4 planted cases OK (mismatch downgrades, "
-          "quiet flags, legacy flags, record band overrides default)")
+        # uniform inflation with matching in-band canaries: the whole
+        # record lifted ~1.5x with a noisy >2x tail — downgrade; but a
+        # CONCENTRATED regression (median ~1.0) must still flag
+        def wide(path, lift, spikes, canary):
+            qs = {f"w{i}": 1.0 * lift for i in range(30)}
+            for i in range(spikes):
+                qs[f"w{i}"] = 3.0
+            json.dump({"queries": qs, "total": sum(qs.values()),
+                       "count": 30, "sf": "planted", "canary": canary},
+                      open(path, "w"))
+        wide_old = os.path.join(d, "wide_old.json")
+        wide_hot = os.path.join(d, "wide_hot.json")
+        wide_conc = os.path.join(d, "wide_conc.json")
+        json.dump({"queries": {f"w{i}": 1.0 for i in range(30)},
+                   "total": 30.0, "count": 30, "sf": "planted",
+                   "canary": 0.5}, open(wide_old, "w"))
+        wide(wide_hot, 1.5, 6, 0.52)    # lifted 1.5x, 6 spiked queries
+        wide(wide_conc, 1.0, 6, 0.52)   # median flat, 6 spiked queries
+        lines = []
+        rc_uniform = compare(wide_old, wide_hot, 2.0, None, out=lines.append)
+        assert rc_uniform == 0, f"uniform inflation must downgrade, got {rc_uniform}"
+        assert any(l.startswith("UNIFORM INFLATION") for l in lines), lines
+        lines = []
+        rc_conc = compare(wide_old, wide_conc, 2.0, None, out=lines.append)
+        assert rc_conc == 1, f"concentrated regression must flag, got {rc_conc}"
+        assert not any(l.startswith("UNIFORM INFLATION") for l in lines), lines
+    print("canary smoke: 6/6 planted cases OK (mismatch downgrades, "
+          "quiet flags, legacy flags, record band overrides default, "
+          "uniform inflation downgrades, concentrated regression flags)")
     return 0
 
 

@@ -74,6 +74,24 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // SECOND probe class (r14): two same-code runs read 318 s and
+    // 285 s against a 185 s record with BOTH cpu-canaries in-band —
+    // the narrow CPU-bound probe is blind to whatever throttles real
+    // query streams (scheduler/shuffle/IO path, not raw CPU). This
+    // probe pays a fixed-size EXCHANGE (1024-key hash aggregate over
+    // 128M rows) so that throttle class lands on a constant workload
+    // too. No gate yet — the band must be DERIVED from records, not
+    // guessed (the cpu-canary discipline): it is emitted start/end in
+    // the total line + sidecar; once a few rounds establish the quiet
+    // band, promote it into the cooldown gate beside the cpu probe.
+    def shuffleProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 128000000L, 1L, cpus.toInt)
+        .selectExpr("id % 1024 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.expr("max(xxhash64(id)) AS s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // Cooldown gate (r13 VERDICT #1): two driver rounds running
     // (BENCH_r12 235 s, BENCH_r13 311 s) were throttled-host records —
     // the host was still hot from whatever ran before the bench, every
@@ -99,9 +117,11 @@ object Bench {
     }
     val canaryWait = waited()
     val canaryExhausted = canaryStart > CanaryBandHi
+    val shuffleStart = Seq(shuffleProbe(), shuffleProbe()).min
     def canaryFields: String =
       f""""canary_band":[$CanaryBandLo%.2f,$CanaryBandHi%.2f],""" +
-        f""""canary_wait_sec":$canaryWait%.1f,"canary_wait_exhausted":$canaryExhausted"""
+        f""""canary_wait_sec":$canaryWait%.1f,"canary_wait_exhausted":$canaryExhausted,""" +
+        f""""canary_shuffle":$shuffleStart%.4f"""
     println(f"""{"canary_start":$canaryStart%.4f,$canaryFields}""")
     System.out.flush()
     // Bench-scale variants for iterative-training queries: identical plan
@@ -181,9 +201,11 @@ object Bench {
       }
     }
     val canaryEnd = Seq(canaryProbe(), canaryProbe()).min
+    val shuffleEnd = Seq(shuffleProbe(), shuffleProbe()).min
     val total = results.values.map(_._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","count":${results.size},"sf":"$sfDir",""" +
-      f""""canary":$canaryStart%.4f,"canary_end":$canaryEnd%.4f,$canaryFields}""")
+      f""""canary":$canaryStart%.4f,"canary_end":$canaryEnd%.4f,""" +
+      f""""canary_shuffle_end":$shuffleEnd%.4f,$canaryFields}""")
     System.out.flush()
     // Full-record sidecar: the driver's BENCH_r{N}.json keeps only a
     // truncated stdout tail, so the cross-round regression tripwire
@@ -200,7 +222,8 @@ object Bench {
           results.map { case (n, v) => "\"" + n + "\":" + f"${sel(v)}%.4f" }.mkString(",")
         val doc = "{\"queries\":{" + m(_._1) + "},\"max\":{" + m(_._2) + "}," +
           f"""\"total\":$total%.4f,\"count\":${results.size},\"sf\":\"$sfDir\",""" +
-          f"""\"canary\":$canaryStart%.4f,\"canary_end\":$canaryEnd%.4f,$canaryFields}"""
+          f"""\"canary\":$canaryStart%.4f,\"canary_end\":$canaryEnd%.4f,""" +
+          f"""\"canary_shuffle_end\":$shuffleEnd%.4f,$canaryFields}"""
         java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
           doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         ()
