@@ -108,16 +108,25 @@ object Bench {
     val waitBudget =
       if (args.nonEmpty) 0.0
       else sys.env.getOrElse("SPARK_GRAFT_CANARY_WAIT", "300").toDouble
+    // PROVISIONAL shuffle hold (r14, §6): only 4 quiet readings
+    // (0.36–0.46 s) against one throttled 1.36 s exist, so 0.60 is a
+    // bounded-wait HOLD, not a record-rejection gate — worst case it
+    // spends the same wait budget and runs anyway with the exhausted
+    // flag set. Promote to a real band once r15 accumulates records.
+    val ShuffleProvisionalHi = 0.60
     var canaryStart = Seq(canaryProbe(), canaryProbe()).min
+    var shuffleStart = Seq(shuffleProbe(), shuffleProbe()).min
     val waitT0 = System.nanoTime()
     def waited(): Double = (System.nanoTime() - waitT0) / 1e9
-    while (canaryStart > CanaryBandHi && waited() < waitBudget) {
+    while ((canaryStart > CanaryBandHi || shuffleStart > ShuffleProvisionalHi)
+        && waited() < waitBudget) {
       Thread.sleep(30000L)
       canaryStart = Seq(canaryProbe(), canaryProbe()).min
+      shuffleStart = Seq(shuffleProbe(), shuffleProbe()).min
     }
     val canaryWait = waited()
-    val canaryExhausted = canaryStart > CanaryBandHi
-    val shuffleStart = Seq(shuffleProbe(), shuffleProbe()).min
+    val canaryExhausted =
+      canaryStart > CanaryBandHi || shuffleStart > ShuffleProvisionalHi
     def canaryFields: String =
       f""""canary_band":[$CanaryBandLo%.2f,$CanaryBandHi%.2f],""" +
         f""""canary_wait_sec":$canaryWait%.1f,"canary_wait_exhausted":$canaryExhausted,""" +
