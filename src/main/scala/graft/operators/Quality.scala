@@ -1495,14 +1495,29 @@ object Quality {
           .select(Seq(lit(c).as("column_name"), lit("isin").as("check_type")) ++
             noBounds :+ col("vs").as("value_set"): _*)
       }
-    val range = df.schema.fields.toSeq
-      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).map { c =>
-        df.agg(min(col(c)).cast("double").as("lo"),
-            max(col(c)).cast("double").as("hi"))
-          .filter(col("lo").isNotNull)
-          .select(Seq(lit(c).as("column_name"), lit("range").as("check_type"),
-            col("lo"), col("hi")) :+ noSet: _*)
-      }
+    // r14 optimization: the per-column min/max legs fuse into ONE
+    // aggregate pass (guide §1.2/§2.4 — N column-pruned scans → one
+    // scan, N global-agg exchanges → one). The per-column separation
+    // is only load-bearing for countDistinct (fusing THOSE plans an
+    // Expand — the documented §7y rejection); min/max fuse with no
+    // plan penalty. The fused row unpivots via stack (codegen'd), and
+    // the per-column NULL-lo drop is the same filter applied after
+    // the unpivot — values and rows identical to the per-column form
+    // (oracle unchanged and still green).
+    val numericCols = df.schema.fields.toSeq
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    val range = if (numericCols.isEmpty) Nil else {
+      val aggs = numericCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c")))
+      val stacked = numericCols
+        .map(c => s"'$c', `lo_$c`, `hi_$c`").mkString(", ")
+      Seq(df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${numericCols.size}, $stacked) AS (column_name, lo, hi)")
+        .filter(col("lo").isNotNull)
+        .select(Seq(col("column_name"), lit("range").as("check_type"),
+          col("lo"), col("hi")) :+ noSet: _*))
+    }
     (Seq(notNull, unique) ++ isin ++ range).reduce(_ unionByName _)
       .orderBy("column_name", "check_type")
   }

@@ -2031,6 +2031,42 @@ class QualitySpec extends SparkSpec {
     assert(caught(("l_discount", "range")).getAs[Long]("n_violations") == 5L)
   }
 
+  test("fused range suggestions: one aggregate pass, all-null numeric dropped, mixed types exact") {
+    // r14 optimization pins: suggestedChecksAllFrom computes every
+    // numeric column's [min, max] in ONE fused aggregate (unpivoted
+    // via stack) instead of a per-column job each. This spec covers
+    // the two edges the fusion must preserve: an ALL-NULL numeric
+    // column yields NO range row (the per-column form dropped it via
+    // its own filter; the fused form must drop it post-unpivot), and
+    // mixed numeric types (int/long/double/decimal) come through the
+    // shared double cast with exact observed bounds.
+    import spark.implicits._
+    val f = Seq(
+      (1, 10L, 1.5d, BigDecimal("2.25"), None: Option[Int]),
+      (7, -3L, 0.25d, BigDecimal("9.50"), None: Option[Int]))
+      .toDF("i", "l", "d", "dec", "all_null")
+    val ranges = Quality.suggestedChecksAllFrom(f).collect()
+      .filter(_.getAs[String]("check_type") == "range")
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    assert(!ranges.contains("all_null"), "an all-null numeric column must emit no range row")
+    assert(ranges("i") == (1.0, 7.0))
+    assert(ranges("l") == (-3.0, 10.0))
+    assert(ranges("d") == (0.25, 1.5))
+    assert(ranges("dec") == (2.25, 9.5))
+    // plan shape: the range legs contribute ONE aggregate subtree —
+    // the final plan holds exactly one stack/Expand-free fused agg,
+    // observable as: at most one scan per union leg class. Cheap,
+    // robust proxy: the full plan's scan count for a 5-column frame
+    // stays below the per-column form's (which would be ≥ 4 extra).
+    // (profile legs scan once per consumer: notNull + unique = 10 for
+    // five columns; the fused range adds ONE more — the per-column
+    // form added five)
+    val scans = Quality.suggestedChecksAllFrom(f).queryExecution.executedPlan
+      .toString.split('\n').count(_.contains("LocalTableScan"))
+    assert(scans <= 12, s"range fusion regressed: $scans local scans in plan")
+  }
+
   test("suggestion contract: persists, verifies, gates a drifted arrival; tampering refuses to load") {
     val path = java.nio.file.Files.createTempDirectory("graft_sugg").toString + "/contract"
     val suggestions = Quality.suggestedChecksLineitem(spark, Sf)
